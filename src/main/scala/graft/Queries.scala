@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators._
+
+/** Batch query definitions bound to the driver testdata (TESTDATA.md).
+  * Each is registered in [[SparkEntry.queries]] with a DuckDB oracle twin.
+  *
+  * FP-determinism policy (the driver hash-compares values against DuckDB):
+  *   - big SUMs over doubles go through DECIMAL (exact, order-independent),
+  *     then cast back to double — both engines produce the identical double;
+  *   - small-window analytics (20/50-row frames) are rounded to 6 decimals;
+  *   - counts stay integer end-to-end.
+  */
+object Queries {
+
+  /** Exact order-independent sum of a double column: accumulate as decimal,
+    * return double. At scale this matters for reproducibility across
+    * partitionings, not just for the oracle compare.
+    */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // ---- medallion plane over `events` (user_id ≙ symbol, ts ≙ date, value ≙ close)
+
+  val eventRules = Seq(
+    Expectations.Expectation("not_null_user", col("user_id").isNotNull),
+    Expectations.Expectation("nonneg_value", col("value") >= 0),
+    Expectations.Expectation("value_le_300", col("value") <= 300))
+
+  def normEvents(s: SparkSession, dir: String): DataFrame =
+    Normalize.events(Tables.events(s, dir))
+
+  def dedupKeepLast(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepLast(
+      Tables.events(s, dir).select("user_id", "event_type", "ts", "event_id", "value"),
+      Seq("user_id", "event_type"),
+      Seq(col("ts").desc, col("event_id").desc))
+
+  def goldFeatures(s: SparkSession, dir: String): DataFrame =
+    GoldFeatures.features(
+      normEvents(s, dir),
+      keyCols = Seq("user_id"),
+      order = Seq(col("ts"), col("event_id")),
+      valueCol = "value")
+
+  def silverMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("user_id", "event_type", "ts", "event_id", "value")
+    val cutoff = lit("2024-01-15").cast("date")
+    val keys = Seq("user_id", "event_type")
+    val ord = Seq(col("ts").desc, col("event_id").desc)
+    val target = Dedup.keepLast(ev.filter(to_date(col("ts")) <= cutoff), keys, ord)
+    val updates = ev.filter(to_date(col("ts")) > cutoff)
+    MergeUpsert.merge(target, updates, keys, ord)
+  }
+
+  def dqAudit(s: SparkSession, dir: String): DataFrame =
+    Expectations.audit(
+      Tables.events(s, dir),
+      eventRules :+ Expectations.Expectation("not_null_ts", col("ts").isNotNull))
+
+  def quarantine(s: SparkSession, dir: String): DataFrame =
+    Expectations.quarantine(
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+      eventRules)
+
+  def countByType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+
+  def dupProps(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateGroups(
+      Tables.events(s, dir),
+      sha2(concat(col("event_type"), lit("|"), col("props")), 256),
+      "rec_hash")
+
+  def coverage(s: SparkSession, dir: String): DataFrame =
+    Aggregates.coverage(
+      Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+      Seq("user_id"), "day")
+
+  def topkUsers(s: SparkSession, dir: String): DataFrame =
+    Aggregates.topK(
+      Aggregates.countByGroup(Tables.events(s, dir), Seq("user_id")),
+      Seq(col("n").desc, col("user_id").asc), 20)
+
+  def latestDayMonitor(s: SparkSession, dir: String): DataFrame =
+    Aggregates.latestDayMonitor(
+      Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+      Seq("user_id"), "day", "ts")
+      .select("user_id", "n", "latest_ts")
+
+  // ---- analytics plane over the TPC-H-ish star schema
+
+  /** Pricing-summary aggregate (reference A1/A5 family at fact-table scale;
+    * shape of TPC-H Q1). Partial aggregation makes the shuffle carry
+    * #groups × #partitions rows only.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 4).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Selective filtered aggregate (TPC-H Q6 shape) — the filter must reach
+    * the parquet scan as PushedFilters.
+    */
+  def revenueFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Star-schema rollup: fact × dims with broadcast dimensions (J2). */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 4).as("revenue"))
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation/monitoring operators (reference §2.5 A1–A6, O2 top-k).
+  *
+  * All are plain hash aggregates → Catalyst plans partial (map-side) + final
+  * aggregation, so the shuffle carries one row per (partition × group), not
+  * per input row. Top-k is `TakeOrderedAndProject` — each partition keeps k
+  * rows, the driver merges k×partitions rows; no global sort at any scale.
+  */
+object Aggregates {
+
+  /** A1: row counts per group. */
+  def countByGroup(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+
+  /** A2: per-column null counts in one pass
+    * (`bronze_fundamentals_auto_loader.ipynb` cell 3, lines 171-173).
+    */
+  def nullAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val counts =
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    df.agg(count(lit(1)).as("n_total"), counts: _*)
+  }
+
+  /** A5: per-key coverage — min/max/distinct-count of a date column
+    * (`docs/databricks_setup.md:321-329`).
+    */
+  def coverage(df: DataFrame, keyCols: Seq[String], dateCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        min(col(dateCol)).as("first_day"),
+        max(col(dateCol)).as("last_day"),
+        countDistinct(col(dateCol)).as("n_days"),
+        count(lit(1)).as("n_rows"))
+
+  /** O2: deterministic top-k — `order` must totally order rows (include a
+    * unique tiebreaker) so the k-th row is well-defined.
+    */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** A6: latest-day ingest monitor — counts + max arrival per key on the most
+    * recent day in the data (`docs/databricks_setup.md:301-310` uses
+    * CURRENT_DATE; pinned to max(day) for reproducibility).
+    */
+  def latestDayMonitor(df: DataFrame, keyCols: Seq[String], dayCol: String, tsCol: String): DataFrame = {
+    val maxDay = df.agg(max(col(dayCol)).as("__max_day"))
+    df.join(broadcast(maxDay), col(dayCol) === col("__max_day"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), max(col(tsCol)).as("latest_ts"))
+  }
+}
