@@ -128,6 +128,50 @@ object Queries {
           .cast(DecimalType(18, 6))).cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  // ---- joins / calendar / envelope family
+
+  /** As-of join (J2): each event picks the user's latest purchase value at
+    * or before its timestamp — the prices×statements point-in-time lookup
+    * shape.
+    */
+  def asofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.select("event_id", "user_id", "ts", "event_type", "value")
+    val dim = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    AsOf.joinLastValue(facts, dim, "user_id", "ts", "value", "last_purchase_value")
+  }
+
+  /** J3 + §2.8 calendar family: trading-day dimension over the event span. */
+  def tradingCalendar(s: SparkSession, dir: String): DataFrame =
+    CalendarOps.calendarOver(
+      Tables.events(s, dir).withColumn("day", to_date(col("ts"))), "day")
+
+  def monthChunks(s: SparkSession, dir: String): DataFrame =
+    CalendarOps.monthChunks(
+      Tables.events(s, dir).withColumn("day", to_date(col("ts"))), "day")
+
+  /** P8 envelope projection over events.props (statement-envelope shape). */
+  def envelope(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id").cast("string").as("symbol"),
+      to_date(col("ts")).as("as_of_date"),
+      col("event_type").as("endpoint"),
+      col("props").as("payload"),
+      col("ts").as("fetched_at"),
+      lit("EVENTS").as("source"),
+      lit(200).as("http_status"),
+      graft.functions.Envelope.jsonField(col("props"), Seq("k", "key")).as("k_value"),
+      graft.functions.Envelope.payloadHash(col("props")).as("payload_hash"))
+
+  /** P9 file-level content hash per day (order-insensitive canonical sort). */
+  def dayFileHash(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        graft.functions.Envelope.fileHash(col("props")).as("file_hash"),
+        count(lit(1)).as("n"))
+
   /** Star-schema rollup: fact × dims with broadcast dimensions (J2). */
   def revenueByNation(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -34,6 +34,11 @@ object SparkEntry {
     "q1_pricing_summary" -> (Queries.pricingSummary _),
     "q6_revenue_filter" -> (Queries.revenueFilter _),
     "q_revenue_by_nation" -> (Queries.revenueByNation _),
+    "q_asof_purchase" -> (Queries.asofPurchase _),
+    "q_trading_calendar" -> (Queries.tradingCalendar _),
+    "q_month_chunks" -> (Queries.monthChunks _),
+    "q_envelope" -> (Queries.envelope _),
+    "q_day_filehash" -> (Queries.dayFileHash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,5 +184,65 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+
+    "q_asof_purchase" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+           p.value AS last_purchase_value
+         FROM events e
+         ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts""",
+
+    "q_trading_calendar" ->
+      """WITH bounds AS (
+           SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         days AS (
+           SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                  CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS cal_day
+           FROM bounds),
+         flagged AS (
+           SELECT cal_day, CAST(isodow(cal_day) - 1 AS INT) AS dow,
+             cal_day IN (DATE '2024-01-01', DATE '2024-01-15', DATE '2024-02-19',
+                         DATE '2024-03-29', DATE '2024-05-27', DATE '2024-06-19',
+                         DATE '2024-07-04', DATE '2024-09-02', DATE '2024-11-28',
+                         DATE '2024-12-25') AS is_holiday,
+             ((isodow(cal_day) - 1) <= 4 AND cal_day NOT IN (
+                         DATE '2024-01-01', DATE '2024-01-15', DATE '2024-02-19',
+                         DATE '2024-03-29', DATE '2024-05-27', DATE '2024-06-19',
+                         DATE '2024-07-04', DATE '2024-09-02', DATE '2024-11-28',
+                         DATE '2024-12-25')) AS is_trading_day
+           FROM days)
+         SELECT cal_day, dow, is_holiday, is_trading_day,
+           last_value(CASE WHEN is_trading_day THEN cal_day END IGNORE NULLS)
+             OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_trading_day
+         FROM flagged""",
+
+    "q_month_chunks" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month_start,
+           min(CAST(ts AS DATE)) AS chunk_start,
+           max(CAST(ts AS DATE)) AS chunk_end,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM events GROUP BY 1""",
+
+    "q_envelope" ->
+      """SELECT CAST(user_id AS VARCHAR) AS symbol,
+           CAST(ts AS DATE) AS as_of_date,
+           event_type AS endpoint,
+           props AS payload,
+           ts AS fetched_at,
+           'EVENTS' AS source,
+           CAST(200 AS INT) AS http_status,
+           coalesce(json_extract_string(props, '$.k'),
+                    json_extract_string(props, '$.key')) AS k_value,
+           sha256(props) AS payload_hash
+         FROM events""",
+
+    "q_day_filehash" ->
+      """SELECT CAST(ts AS DATE) AS day,
+           sha256(string_agg(props, chr(10) ORDER BY props)) AS file_hash,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1""",
   )
 }

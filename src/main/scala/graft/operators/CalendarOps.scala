@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trading-calendar dimension and calendar queries.
+  *
+  * The reference leans on `pandas_market_calendars` for five NYSE-calendar
+  * functions (`stock_pipeline/scripts/utils/dates.py`): `get_trading_days`
+  * (:63-79), `is_trading_day` (:135-148), `get_previous_trading_day`
+  * (:151-179), `get_last_n_trading_days` (:82-132), and
+  * `split_date_range_by_month` (:19-60). Spark has no market calendar, so we
+  * generate a date dimension (`sequence` + explode) with weekday + fixed
+  * holiday flags and express all five as queries over it — a broadcast-sized
+  * table (366 rows/year) that joins against facts for free.
+  */
+object CalendarOps {
+
+  /** Fixed US-market holiday list for the testdata window (extend per year;
+    * a real deployment loads this as a config table).
+    */
+  val usMarketHolidays: Seq[String] = Seq(
+    "2024-01-01", "2024-01-15", "2024-02-19", "2024-03-29",
+    "2024-05-27", "2024-06-19", "2024-07-04", "2024-09-02",
+    "2024-11-28", "2024-12-25")
+
+  /** Date dimension spanning [start, end] (inclusive), one row per day:
+    * `cal_day date, dow int (Mon=0), is_holiday, is_trading_day,
+    * prev_trading_day date` — prev_trading_day is the latest strictly-earlier
+    * trading day (`get_previous_trading_day` semantics).
+    */
+  def calendar(bounds: DataFrame): DataFrame = {
+    // bounds: single row (d0 date, d1 date)
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("cal_day"))
+    val holidayCol = usMarketHolidays
+      .map(d => col("cal_day") === to_date(lit(d)))
+      .reduce(_ || _)
+    val flagged = days
+      .withColumn("dow", expr("weekday(cal_day)"))
+      .withColumn("is_holiday", holidayCol)
+      .withColumn("is_trading_day", col("dow") <= 4 && !holidayCol)
+    // unpartitioned window is fine: a calendar is O(days), broadcast-small
+    val w = Window.orderBy(col("cal_day")).rowsBetween(Window.unboundedPreceding, -1)
+    flagged.withColumn(
+      "prev_trading_day",
+      last(when(col("is_trading_day"), col("cal_day")), ignoreNulls = true).over(w))
+  }
+
+  /** Calendar over the day-span of `df`'s `dayCol`. */
+  def calendarOver(df: DataFrame, dayCol: String): DataFrame =
+    calendar(df.agg(min(col(dayCol)).as("d0"), max(col(dayCol)).as("d1")))
+
+  /** `split_date_range_by_month` as a query: month chunks with first/last
+    * observed day and distinct-day counts (reference `utils/dates.py:19-60`).
+    */
+  def monthChunks(df: DataFrame, dayCol: String): DataFrame =
+    df.groupBy(trunc(col(dayCol), "month").as("month_start"))
+      .agg(
+        min(col(dayCol)).as("chunk_start"),
+        max(col(dayCol)).as("chunk_end"),
+        countDistinct(col(dayCol)).as("n_days"),
+        count(lit(1)).as("n_rows"))
+}
