@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators._
+import graft.llm.{MinHashDedup, Similarity, SimHash, TextOps}
 
 /** Batch query definitions bound to the driver testdata (TESTDATA.md).
   * Each is registered in [[SparkEntry.queries]] with a DuckDB oracle twin.
@@ -180,4 +181,40 @@ object Queries {
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 4).as("revenue"))
+
+  // ---- LLM-data plane over documents / embeddings
+
+  def docsExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.verifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 16, bucketCap = 50)
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < 5, k = 10)
+
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isCentroid = col("vec_id") < 16)
+
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      sha2(col("text"), 256).as("content_hash"),
+      expr("(octet_length(text) + 255) div 256").cast("long").as("n_chunks"))
 }

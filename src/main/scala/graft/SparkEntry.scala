@@ -39,6 +39,14 @@ object SparkEntry {
     "q_month_chunks" -> (Queries.monthChunks _),
     "q_envelope" -> (Queries.envelope _),
     "q_day_filehash" -> (Queries.dayFileHash _),
+    "q_docs_exact_dedup" -> (Queries.docsExactDedup _),
+    "q_minhash_pairs" -> (Queries.minhashPairs _),
+    "q_simhash" -> (Queries.simhash _),
+    "q_text_stats" -> (Queries.textStats _),
+    "q_fingerprint" -> (Queries.fingerprint _),
+    "q_cosine_topk" -> (Queries.cosineTopK _),
+    "q_ivf_assign" -> (Queries.ivfAssign _),
+    "q_binary_meta" -> (Queries.binaryMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -244,5 +252,151 @@ object SparkEntry {
            sha256(string_agg(props, chr(10) ORDER BY props)) AS file_hash,
            CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY 1""",
+
+    "q_docs_exact_dedup" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "q_minhash_pairs" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, substr(text, p, 16) AS shingle
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 15)) AS p
+                 FROM documents WHERE length(text) >= 16) t),
+         hashed AS (SELECT doc_id, sha256(shingle) AS h FROM sh),
+         sig AS (
+           SELECT doc_id,
+             min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
+             min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3,
+             min(substr(h, 33, 8)) AS m4, min(substr(h, 41, 8)) AS m5,
+             min(substr(h, 49, 8)) AS m6, min(substr(h, 57, 8)) AS m7
+           FROM hashed GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band, m0 AS sig FROM sig
+           UNION ALL SELECT doc_id, 1, m1 FROM sig
+           UNION ALL SELECT doc_id, 2, m2 FROM sig
+           UNION ALL SELECT doc_id, 3, m3 FROM sig
+           UNION ALL SELECT doc_id, 4, m4 FROM sig
+           UNION ALL SELECT doc_id, 5, m5 FROM sig
+           UNION ALL SELECT doc_id, 6, m6 FROM sig
+           UNION ALL SELECT doc_id, 7, m7 FROM sig),
+         ok AS (SELECT band, sig FROM bands GROUP BY band, sig
+                HAVING count(*) BETWEEN 2 AND 50),
+         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, sig)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM inok a JOIN inok b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.doc_a
+           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+           GROUP BY p.doc_a, p.doc_b)
+         SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+         FROM pairs p
+         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         JOIN cnt ca ON ca.doc_id = p.doc_a
+         JOIN cnt cb ON cb.doc_id = p.doc_b""",
+
+    "q_simhash" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         th AS (SELECT doc_id, sha256(token) AS h FROM tok),
+         tb AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM th),
+         bits AS (
+           SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(1 + j // 4 AS INT), 1)) - 1)
+               >> CAST(3 - j % 4 AS INT)) & 1 AS bit
+           FROM tb),
+         votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j),
+         signs AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM votes)
+         SELECT doc_id,
+           CAST(sum(CAST(s AS BIGINT) << CAST(31 - j AS INT)) AS BIGINT) AS simhash
+         FROM signs GROUP BY doc_id""",
+
+    "q_text_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letter
+           FROM documents)
+         SELECT doc_id, n_chars, n_tokens, n_uniq_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+           CAST(n_letter AS DOUBLE) / n_tokens AS avg_token_len,
+           (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+             + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.3
+             + (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.2 AS quality_score,
+           CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.06
+                THEN 'en' ELSE 'other' END AS pred_lang
+         FROM t""",
+
+    "q_fingerprint" ->
+      """WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g')) AS nt
+           FROM documents)
+         SELECT doc_id, sha256(nt) AS fingerprint,
+           substr(sha256(nt), 1, 4) AS fp_bucket
+         FROM n""",
+
+    "q_cosine_topk" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, nn AS qn FROM n2 WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS nv, nn AS cn FROM n2),
+         pairs AS (
+           SELECT q.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.nv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(q.qn) * sqrt(c.cn)) AS cosine
+           FROM q, c WHERE c.neighbor_id <> q.query_id)
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM pairs) r
+         WHERE rank <= 10""",
+
+    "q_ivf_assign" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2 WHERE vec_id < 16),
+         p AS (
+           SELECT v.vec_id, c.centroid_id,
+             v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS dist2
+           FROM n2 v, c)
+         SELECT vec_id, centroid_id, dist2 FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+           FROM p) r
+         WHERE rn = 1""",
+
+    "q_binary_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash,
+           CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
+         FROM documents""",
   )
 }

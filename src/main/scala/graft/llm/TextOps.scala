@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token stats,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All are scan-local narrow projections built from codegen'd string/array
+  * built-ins — no UDFs, no shuffle; at 100 TB they run at parquet-scan
+  * speed with column pruning down to (doc_id, text).
+  */
+object TextOps {
+
+  /** Tiny stopword list for the stopword-ratio heuristic. */
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document token/char statistics + quality score + language-ID
+    * heuristic. Ratios are single floating divisions of exact integer
+    * counts — deterministic everywhere.
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stopPred = stopwords.map(w => (x: Column) => x === w)
+      .reduce((f, g) => (x: Column) => f(x) || g(x))
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, x => stopPred(x))).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val nChars = length(t).cast("long")
+    val nLetterChars = length(regexp_replace(t, " ", "")).cast("long")
+    val stopRatio = nStop.cast("double") / nTokens
+    val uniqRatio = nUniq.cast("double") / nTokens
+    val avgTokLen = nLetterChars.cast("double") / nTokens
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      nUniq.as("n_uniq_tokens"),
+      nStop.as("n_stopwords"),
+      stopRatio.as("stop_ratio"),
+      uniqRatio.as("uniq_ratio"),
+      avgTokLen.as("avg_token_len"),
+      // quality score: stopword-rich, reasonably long, lexically diverse
+      (stopRatio * 0.5 +
+        least(nTokens, lit(100L)).cast("double") / 100.0 * 0.3 +
+        uniqRatio * 0.2).as("quality_score"),
+      when(stopRatio > 0.06, lit("en")).otherwise(lit("other")).as("pred_lang"))
+  }
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace — the preprocessing step before fingerprinting.
+    */
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Document fingerprint: sha256 of the normalized text + a short prefix
+    * bucket for grouping (rolling-hash family stand-in, deterministic).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = sha2(normalizeText(col(textCol)), 256)
+    df.select(col(idCol), fp.as("fingerprint"), substring(fp, 1, 4).as("fp_bucket"))
+  }
+
+  /** Character k-shingles as (id, shingle) rows, distinct per document.
+    * Guarded so texts shorter than k yield no rows (`sequence` would count
+    * DOWN for start > stop).
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val t = col(textCol)
+    val positions = when(length(t) >= k, sequence(lit(1), length(t) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), t.as("__t"), explode(positions).as("__pos"))
+      .select(col(idCol), expr(s"substring(__t, __pos, $k)").as("shingle"))
+      .distinct()
+  }
+}
