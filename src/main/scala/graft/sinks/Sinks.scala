@@ -1,0 +1,56 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch sinks mirroring the reference's raw-zone layout.
+  *
+  * - K1 day-partitioned Parquet (`ingest_fmp_prices.py:92-105,337-383`):
+  *   Hive-style `dt=YYYY-MM-DD/` directories, snappy parquet, idempotent
+  *   skip-if-exists unless forced. Partition directories give downstream
+  *   scans partition pruning for free.
+  * - K2 NDJSON.gz (`fmp_dump_raw.py:250-291`): gzipped JSON-lines,
+  *   per-endpoint/per-date keys.
+  * - K3 run-metrics JSON (`ingest_fmp_prices.py:580-604`).
+  *
+  * Idempotency semantics: the reference checks object existence per
+  * day-file; Spark's `SaveMode.Ignore` is the whole-output equivalent, and
+  * partition-level re-runs use dynamic partition overwrite so only the
+  * partitions present in the batch are rewritten — the per-partition
+  * idempotency that matters for backfills at scale.
+  */
+object Sinks {
+
+  /** K1: day-partitioned parquet. `force=false` → Ignore (skip if the
+    * target exists); `force=true` → dynamic partition overwrite (only the
+    * partitions in `df` are replaced).
+    */
+  def partitionedParquet(df: DataFrame, outDir: String, partitionCol: String,
+      force: Boolean): Unit = {
+    val mode = if (force) SaveMode.Overwrite else SaveMode.Ignore
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(mode).partitionBy(partitionCol).parquet(outDir)
+  }
+
+  /** K2: gzipped NDJSON partitioned by the given keys. */
+  def ndjsonGz(df: DataFrame, outDir: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .partitionBy(partitionCols: _*)
+      .json(outDir)
+
+  /** K3: run-level metrics document. */
+  final case class RunMetrics(
+      run_id: String,
+      dataset: String,
+      started_at: String,
+      finished_at: String,
+      rows_in: Long,
+      rows_out: Long,
+      rows_rejected: Long)
+
+  def writeMetrics(spark: SparkSession, m: RunMetrics, outDir: String): Unit = {
+    import spark.implicits._
+    Seq(m).toDF().coalesce(1).write.mode(SaveMode.Append).json(outDir)
+  }
+}

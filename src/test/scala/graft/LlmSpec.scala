@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Envelope
+import graft.llm._
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("canonical JSON sorts keys at every level; hash is key-order independent") {
+    assert(Envelope.canonicalize("""{"b":1,"a":{"z":2,"y":[1,2]}}""") ==
+      """{"a":{"y":[1,2],"z":2},"b":1}""")
+    val h1 = Envelope.canonicalHash("""{"a":1,"b":2}""")
+    val h2 = Envelope.canonicalHash("""{"b":2,"a":1}""")
+    val h3 = Envelope.canonicalHash("""{"a":1,"b":3}""")
+    assert(h1 == h2)
+    assert(h1 != h3)
+    assert(h1.length == 64 && h1.matches("[0-9a-f]+"))
+  }
+
+  test("minhash verified pairs: exact duplicates get jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content that shares no shingles whatsoever here")
+    ).toDF("doc_id", "text")
+    val pairs = MinHashDedup.verifiedPairs(docs, "doc_id", "text", k = 8, bucketCap = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: equal for identical and token-permuted text, 0 for null-free empty") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),
+      (3L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val hs = df.select($"doc_id", SimHash.simhash32($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L)) // bag-of-tokens semantics
+    assert(hs(1L) != hs(3L))
+    assert(hs(1L) >= 0 && hs(1L) <= 0xFFFFFFFFL)
+  }
+
+  test("simhash survives whole-stage codegen (expression, not UDF)") {
+    // a real file scan — local relations get constant-folded before codegen
+    val df = Tables.documents(spark, TestSpark.sfDir)
+    val plan = df.select(SimHash.simhash32($"text")).queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(plan.contains("*(1) Project") && plan.contains("simhash32"))
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("cosine top-k: duplicate vector ranks first with cosine 1") {
+    val docs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f)), // duplicate of the query
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(0.9f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(docs, "vec_id", "embedding", $"vec_id" === 0, k = 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 10L)
+    assert(math.abs(out(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(out(1).getAs[Long]("neighbor_id") == 12L)
+  }
+
+  test("ivf assignment picks the nearest centroid, ties to lowest id") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)), // centroids
+      (100L, Array(1.0f, 1.0f)), (101L, Array(9.0f, 9.0f)),
+      (102L, Array(5.0f, 5.0f)) // equidistant → centroid 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssign(vecs, "vec_id", "embedding", $"vec_id" < 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(100L) == 0L && out(101L) == 1L && out(102L) == 0L)
+  }
+
+  test("text stats: counts and ratios on a known sentence") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_stopwords") == 2)
+    assert(r.getAs[Long]("n_uniq_tokens") == 5)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 6) < 1e-12)
+    assert(r.getAs[String]("pred_lang") == "en")
+  }
+
+  test("fingerprint is invariant to case/punctuation/extra whitespace") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("fingerprint")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {
+    val docs = Seq((1L, "some payload"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaColumn(docs, "doc_id", "text")
+    val m = media.collect().map(r => r.getLong(0) -> r).toMap
+    assert(new String(m(1L).getAs[Array[Byte]]("media"), "UTF-8") == "some payload")
+    assert(m(1L).getStruct(2).getAs[Long]("n_bytes") == 12L)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.getLong(0))
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.getLong(0))
+    assert(f1.sameElements(f2))
+    assert(f1.forall(r => r.getInt(1) >= 64 && r.getInt(2) >= 64))
+  }
+}
