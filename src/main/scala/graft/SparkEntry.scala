@@ -273,14 +273,10 @@ object SparkEntry {
              min(substr(h, 49, 8)) AS m6, min(substr(h, 57, 8)) AS m7
            FROM hashed GROUP BY doc_id),
          bands AS (
-           SELECT doc_id, 0 AS band, m0 AS sig FROM sig
-           UNION ALL SELECT doc_id, 1, m1 FROM sig
-           UNION ALL SELECT doc_id, 2, m2 FROM sig
-           UNION ALL SELECT doc_id, 3, m3 FROM sig
-           UNION ALL SELECT doc_id, 4, m4 FROM sig
-           UNION ALL SELECT doc_id, 5, m5 FROM sig
-           UNION ALL SELECT doc_id, 6, m6 FROM sig
-           UNION ALL SELECT doc_id, 7, m7 FROM sig),
+           SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sig
+           UNION ALL SELECT doc_id, 1, m2 || m3 FROM sig
+           UNION ALL SELECT doc_id, 2, m4 || m5 FROM sig
+           UNION ALL SELECT doc_id, 3, m6 || m7 FROM sig),
          ok AS (SELECT band, sig FROM bands GROUP BY band, sig
                 HAVING count(*) BETWEEN 2 AND 50),
          inok AS (SELECT b.* FROM bands b JOIN ok USING (band, sig)),

@@ -25,13 +25,23 @@ object MinHashDedup {
   val numHashes = 8
 
   /** MinHash signature per document: columns m0..m7 (8-hex-char strings). */
-  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val shingles = TextOps.charShingles(docs, idCol, textCol, k)
-      .withColumn("__h", sha2(col("shingle"), 256))
+  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    signaturesFromShingles(TextOps.charShingles(docs, idCol, textCol, k), idCol)
+
+  def signaturesFromShingles(shingles: DataFrame, idCol: String): DataFrame = {
+    val hashed = shingles.withColumn("__h", sha2(col("shingle"), 256))
     val slices = (0 until numHashes).map(i =>
       min(substring(col("__h"), 1 + 8 * i, 8)).as(s"m$i"))
-    shingles.groupBy(col(idCol)).agg(slices.head, slices.tail: _*)
+    hashed.groupBy(col(idCol)).agg(slices.head, slices.tail: _*)
   }
+
+  /** LSH banding: r rows per band. r=2 over 8 signatures → 4 bands; the
+    * collision curve 1−(1−j²)⁴ passes ~50% at j≈0.4, so candidates are
+    * probable near-dups rather than anything sharing one common min-shingle
+    * (r=1 floods the candidate set on vocabulary-heavy corpora).
+    */
+  val bandRows = 2
+  val numBands: Int = numHashes / bandRows
 
   /** Candidate near-dup pairs (idCol_a < idCol_b) sharing at least one LSH
     * bucket, skipping buckets larger than `bucketCap`.
@@ -39,8 +49,9 @@ object MinHashDedup {
   def candidatePairs(sigs: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
     val bands = sigs.select(
       col(idCol),
-      explode(array((0 until numHashes).map(i =>
-        struct(lit(i).as("band"), col(s"m$i").as("sig"))): _*)).as("b"))
+      explode(array((0 until numBands).map(i =>
+        struct(lit(i).as("band"),
+          concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
     val okBuckets = bands.groupBy("band", "sig").count()
       .filter(col("count") >= 2 && col("count") <= bucketCap)
@@ -53,12 +64,41 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Exact shingle-Jaccard for each candidate pair. */
+  /** Exact shingle-Jaccard for each candidate pair.
+    *
+    * Scale structure: the raw (non-distinct) shingle stream feeds the
+    * signature aggregation WITHOUT any corpus-wide dedup shuffle — MIN is
+    * duplicate-insensitive, and partial aggregation reduces map-side to
+    * 8 slices per doc. Set semantics (distinct shingles) are only needed
+    * for the exact-Jaccard step, which runs on CANDIDATE docs alone — a
+    * semi-join-filtered sliver of the corpus.
+    */
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bucketCap: Int): DataFrame = {
-    val shingles = TextOps.charShingles(docs, idCol, textCol, k)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // single-file corpora arrive as one input split; spread docs across the
+    // cluster before the per-doc signature pass / shingle explode
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val raw = TextOps.charShingles(spread, idCol, textCol, k, distinct = false)
+    // signatures via the one-pass native expression — scan-local, no
+    // explode/shuffle (see MinHashSlices); identical output to
+    // signaturesFromShingles, which remains the generic/oracle formulation
+    val sigs = spread
+      .select(col(idCol), MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        col("__mh").getItem(i).as(s"m$i")): _*)
+      .persist(MEMORY_AND_DISK)
+    sigs.count()
+    val pairs = candidatePairs(sigs, idCol, bucketCap).persist(MEMORY_AND_DISK)
+    pairs.count()
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val shingles = raw.join(candDocs, Seq(idCol), "left_semi").distinct()
+      .persist(MEMORY_AND_DISK)
+    shingles.count()
     val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val pairs = candidatePairs(signatures(docs, idCol, textCol, k), idCol, bucketCap)
     // equi-join on (doc, shingle) both sides — never materializes the
     // per-pair shingle cross product
     val sa = shingles.withColumnRenamed(idCol, "doc_a")

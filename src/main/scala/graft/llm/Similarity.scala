@@ -39,14 +39,18 @@ object Similarity {
     */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int): DataFrame = {
+    // norms are per-VECTOR work — compute them before the pair join, not
+    // per pair (at n queries × m corpus that's n·m fewer norm passes)
     val queries = embeddings.filter(isQuery)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn"))
     val corpus = embeddings
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+        norm2(col(vecCol)).as("__nn"))
     val joined = corpus.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
     val cos = dotDec(col("__qv"), col("__nv")).cast("double") /
-      (sqrt(norm2(col("__qv"))) * sqrt(norm2(col("__nv"))))
+      (sqrt(col("__qn")) * sqrt(col("__nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     joined
@@ -62,11 +66,13 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       isCentroid: Column): DataFrame = {
     val centroids = embeddings.filter(isCentroid)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"),
+        norm2(col(vecCol)).as("__cn"))
     val joined = embeddings
-      .select(col(idCol).as("vec_id_"), col(vecCol).as("__v"))
+      .select(col(idCol).as("vec_id_"), col(vecCol).as("__v"),
+        norm2(col(vecCol)).as("__vn"))
       .crossJoin(broadcast(centroids))
-    val d2 = norm2(col("__v")) + norm2(col("__cv")) -
+    val d2 = col("__vn") + col("__cn") -
       lit(2.0) * dotDec(col("__v"), col("__cv")).cast("double")
     val w = Window.partitionBy(col("vec_id_"))
       .orderBy(col("dist2").asc, col("centroid_id").asc)

@@ -64,16 +64,18 @@ object TextOps {
     df.select(col(idCol), fp.as("fingerprint"), substring(fp, 1, 4).as("fp_bucket"))
   }
 
-  /** Character k-shingles as (id, shingle) rows, distinct per document.
-    * Guarded so texts shorter than k yield no rows (`sequence` would count
-    * DOWN for start > stop).
+  /** Character k-shingles as (id, shingle) rows. Guarded so texts shorter
+    * than k yield no rows (`sequence` would count DOWN for start > stop).
+    * `distinct=false` skips the per-corpus dedup shuffle — correct whenever
+    * the consumer is duplicate-insensitive (e.g. MinHash signatures).
     */
-  def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int,
+      distinct: Boolean = true): DataFrame = {
     val t = col(textCol)
     val positions = when(length(t) >= k, sequence(lit(1), length(t) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol), t.as("__t"), explode(positions).as("__pos"))
+    val out = df.select(col(idCol), t.as("__t"), explode(positions).as("__pos"))
       .select(col(idCol), expr(s"substring(__t, __pos, $k)").as("shingle"))
-      .distinct()
+    if (distinct) out.distinct() else out
   }
 }
