@@ -211,6 +211,21 @@ object Queries {
     Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
       isCentroid = col("vec_id") < 16)
 
+  /** Word-3-gram Jaccard on a deterministic candidate sample (adjacent doc
+    * ids); the pair source is pluggable (LSH/blocking in production).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = docs.select(col("doc_id").as("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
+    MinHashDedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by IVF centroid + label. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", isCentroid = col("vec_id") < 16, threshold = 0.2)
+
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

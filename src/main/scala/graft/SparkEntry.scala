@@ -47,6 +47,8 @@ object SparkEntry {
     "q_cosine_topk" -> (Queries.cosineTopK _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
+    "q_ngram_jaccard" -> (Queries.ngramJaccard _),
+    "q_embed_neardup" -> (Queries.embedNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,5 +396,59 @@ object SparkEntry {
            sha256(text) AS content_hash,
            CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
          FROM documents""",
+
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngram
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM g GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+           FROM pairs p
+           JOIN g ga ON ga.doc_id = p.doc_a
+           JOIN g gb ON gb.doc_id = p.doc_b AND gb.ngram = ga.ngram
+           GROUP BY p.doc_a, p.doc_b)
+         SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (ca.n_g + cb.n_g - coalesce(i.n_inter, 0)) AS jaccard
+         FROM pairs p
+         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         JOIN cnt ca ON ca.doc_id = p.doc_a
+         JOIN cnt cb ON cb.doc_id = p.doc_b""",
+
+    "q_embed_neardup" ->
+      """WITH n2 AS (
+           SELECT vec_id, label, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2 WHERE vec_id < 16),
+         p AS (
+           SELECT v.vec_id, v.label, v.embedding, v.nn, c.centroid_id,
+             v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS dist2
+           FROM n2 v, c),
+         a AS (
+           SELECT vec_id, label, embedding, nn, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+             FROM p) t
+           WHERE rn = 1)
+         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
+         FROM a x JOIN a y
+           ON x.centroid_id = y.centroid_id AND x.label = y.label AND x.vec_id < y.vec_id
+         WHERE CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) / (sqrt(x.nn) * sqrt(y.nn)) >= 0.2""",
   )
 }

@@ -115,4 +115,33 @@ object MinHashDedup {
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
   }
+
+  /** Exact word-n-gram Jaccard between given id pairs (the reference-free
+    * "n-gram Jaccard" dedup primitive; callers supply the candidate pairs —
+    * from LSH, blocking, or a deterministic sample).
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      pairs: DataFrame): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = docs
+      .select(col(idCol), words.as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n)))"))
+        .as("ngram"))
+      .distinct()
+    val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
+    val ga = grams.withColumnRenamed(idCol, "doc_a")
+    val gb = grams.withColumnRenamed(idCol, "doc_b")
+    val inter = pairs.join(ga, Seq("doc_a")).join(gb, Seq("doc_b", "ngram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_g", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_g", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
 }

@@ -66,4 +66,33 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 object SimHash {
   /** Column API: `simhash32($"text")`. */
   def simhash32(c: Column): Column = toColumn(SimHash32(toExpression(c)))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3).
+    *
+    * Banded join, not a cross product: the 32-bit fingerprint splits into 4
+    * byte-bands; by pigeonhole, any pair within hamming 3 matches on at
+    * least one untouched band, so candidates come from equi-joins on
+    * (band, byte) buckets — the same linear-vs-quadratic trade as MinHash
+    * LSH, which is what makes this runnable on a 100 TB corpus.
+    */
+  def hammingPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxHamming <= 3, "4 byte-bands guarantee recall only up to hamming 3")
+    val h = docs.select(col(idCol), simhash32(col(textCol)).as("simhash"))
+    val bands = h.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("bv"))
+    val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -60,6 +60,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates are blocked by IVF
+    * centroid AND a caller-supplied blocking column (e.g. label/language/
+    * source), then exact cosine filters at `threshold`. Blocking keeps the
+    * self-join linear-ish instead of all-pairs quadratic — the only shape
+    * that survives a corpus-scale near-dup sweep.
+    */
+  def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, isCentroid: Column, threshold: Double): DataFrame = {
+    val withNorm = embeddings.select(
+      col(idCol), col(vecCol).as("__v"), col(blockCol).as("__blk"),
+      norm2(col(vecCol)).as("__nn"))
+    val assign = ivfAssign(embeddings, idCol, vecCol, isCentroid)
+      .select(col("vec_id").as(idCol), col("centroid_id"))
+    val a = withNorm.join(assign, Seq(idCol))
+    val x = a.select(col(idCol).as("vec_a"), col("__v").as("__va"),
+      col("__blk").as("__blka"), col("__nn").as("__na"), col("centroid_id"))
+    val y = a.select(col(idCol).as("vec_b"), col("__v").as("__vb"),
+      col("__blk").as("__blkb"), col("__nn").as("__nb"), col("centroid_id"))
+    x.join(y, Seq("centroid_id"))
+      .filter(col("__blka") === col("__blkb") && col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dotDec(col("__va"), col("__vb")).cast("double") /
+        (sqrt(col("__na")) * sqrt(col("__nb"))))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** IVF coarse assignment: nearest centroid (squared L2) per vector.
     * Centroids are broadcast; ties break to the lowest centroid id.
     */

@@ -99,6 +99,42 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = MinHashDedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((2L, 3L)) == 0.0)
+  }
+
+  test("simhash hamming pairs: identical docs pair at distance 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated words here indeed friend")
+    ).toDF("doc_id", "text")
+    val out = SimHash.hammingPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) == 0)
+    assert(!out.contains((1L, 3L)))
+  }
+
+  test("cosine near-dup: duplicate vectors in same block found, cross-block excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // centroid
+      (10L, Array(0.9f, 0.1f), 1), (11L, Array(0.9f, 0.1f), 1), // same block dup
+      (12L, Array(0.9f, 0.1f), 2) // other block — excluded by blocking
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineNearDup(vecs, "vec_id", "embedding", "label",
+        isCentroid = $"vec_id" === 0, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((10L, 11L)))
+    assert(!out.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
   test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {
     val docs = Seq((1L, "some payload"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaColumn(docs, "doc_id", "text")
