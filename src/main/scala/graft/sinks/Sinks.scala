@@ -39,6 +39,23 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .json(outDir)
 
+  /** K5's `OPTIMIZE ... ZORDER BY` stand-in
+    * (`bronze_prices_auto_loader.ipynb:165-170`): range-repartition on the
+    * clustering keys + sort within partitions before writing, so scans
+    * filtering on those keys touch few files and parquet min/max stats
+    * prune row groups — the plain-Spark approximation of Z-ordering.
+    */
+  def clusteredParquet(df: DataFrame, outDir: String, clusterCols: Seq[String],
+      numFiles: Option[Int] = None): Unit = {
+    val cols = clusterCols.map(col)
+    val ranged = numFiles match {
+      case Some(n) => df.repartitionByRange(n, cols: _*)
+      case None => df.repartitionByRange(cols: _*)
+    }
+    ranged.sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** K3: run-level metrics document. */
   final case class RunMetrics(
       run_id: String,

@@ -36,4 +36,12 @@ object Sources {
   /** Vertical concat of same-schema frames (reference `pl.concat` O6). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_))
+
+  /** S7 lineage column: source file path per row
+    * (reference `bronze_fundamentals_auto_loader.ipynb:107` —
+    * `_metadata.file_path` → `_input_file`). Must be applied directly on a
+    * file-sourced frame.
+    */
+  def withInputFile(df: DataFrame): DataFrame =
+    df.withColumn("_input_file", col("_metadata.file_path"))
 }

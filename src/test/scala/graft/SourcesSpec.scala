@@ -35,6 +35,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.filter($"symbol" === "AAPL").count() == 1)
   }
 
+  test("withInputFile exposes the source file path per row") {
+    val out = Sources.withInputFile(
+      spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet"))
+    val paths = out.select("_input_file").distinct().as[String].collect()
+    assert(paths.length == 1 && paths(0).endsWith("nation.parquet"))
+  }
+
+  test("clusteredParquet writes range-clustered sorted files") {
+    val dir = Files.createTempDirectory("clustered").toString + "/t"
+    val df = spark.range(1000).toDF("id")
+      .withColumn("k", $"id" % 7).withColumn("v", $"id" * 2)
+    graft.sinks.Sinks.clusteredParquet(df, dir, Seq("k", "id"), numFiles = Some(4))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    // each output file covers a narrow contiguous range of k
+    val perFile = Sources.withInputFile(back)
+      .groupBy("_input_file").agg((max($"k") - min($"k")).as("spread"))
+      .agg(max($"spread")).collect()(0).getLong(0)
+    assert(perFile <= 3)
+  }
+
   test("unionAll folds by name across frames") {
     val a = Seq((1L, "x")).toDF("id", "s")
     val b = Seq(("y", 2L)).toDF("s", "id") // different column order
