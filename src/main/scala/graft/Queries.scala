@@ -152,6 +152,22 @@ object Queries {
     CalendarOps.monthChunks(
       Tables.events(s, dir).withColumn("day", to_date(col("ts"))), "day")
 
+  /** `get_last_n_trading_days` over the event span (reference
+    * `utils/dates.py:82-132` — drives default backfill windows).
+    */
+  def lastNTradingDays(s: SparkSession, dir: String): DataFrame =
+    CalendarOps.lastNTradingDays(tradingCalendar(s, dir), 10)
+
+  /** J3 fact×calendar semi-join: events gated to trading days
+    * (`utils/dates.py:135-148` as an ingest filter).
+    */
+  def tradingDayEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), to_date(col("ts")).as("day"))
+    CalendarOps.filterToTradingDays(ev, "day", tradingCalendar(s, dir))
+  }
+
   /** P8 envelope projection over events.props (statement-envelope shape). */
   def envelope(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(

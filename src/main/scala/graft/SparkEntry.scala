@@ -37,6 +37,8 @@ object SparkEntry {
     "q_asof_purchase" -> (Queries.asofPurchase _),
     "q_trading_calendar" -> (Queries.tradingCalendar _),
     "q_month_chunks" -> (Queries.monthChunks _),
+    "q_last_n_trading_days" -> (Queries.lastNTradingDays _),
+    "q_trading_day_events" -> (Queries.tradingDayEvents _),
     "q_envelope" -> (Queries.envelope _),
     "q_day_filehash" -> (Queries.dayFileHash _),
     "q_docs_exact_dedup" -> (Queries.docsExactDedup _),
@@ -227,6 +229,36 @@ object SparkEntry {
              OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_trading_day
          FROM flagged""",
+
+    "q_last_n_trading_days" ->
+      """WITH bounds AS (
+           SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         days AS (
+           SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                  CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS cal_day
+           FROM bounds),
+         trading AS (
+           SELECT cal_day FROM days
+           WHERE (isodow(cal_day) - 1) <= 4 AND cal_day NOT IN (
+             DATE '2024-01-01', DATE '2024-01-15', DATE '2024-02-19',
+             DATE '2024-03-29', DATE '2024-05-27', DATE '2024-06-19',
+             DATE '2024-07-04', DATE '2024-09-02', DATE '2024-11-28',
+             DATE '2024-12-25'))
+         SELECT cal_day, CAST(rn AS INT) AS rn FROM (
+           SELECT cal_day, row_number() OVER (ORDER BY cal_day DESC) AS rn
+           FROM trading) t
+         WHERE rn <= 10""",
+
+    "q_trading_day_events" ->
+      """SELECT event_id, user_id, ts, event_type, value,
+           CAST(ts AS DATE) AS day
+         FROM events
+         WHERE (isodow(CAST(ts AS DATE)) - 1) <= 4
+           AND CAST(ts AS DATE) NOT IN (
+             DATE '2024-01-01', DATE '2024-01-15', DATE '2024-02-19',
+             DATE '2024-03-29', DATE '2024-05-27', DATE '2024-06-19',
+             DATE '2024-07-04', DATE '2024-09-02', DATE '2024-11-28',
+             DATE '2024-12-25')""",
 
     "q_month_chunks" ->
       """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month_start,

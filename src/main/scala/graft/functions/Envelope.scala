@@ -25,6 +25,15 @@ object Envelope {
   def jsonField(payload: Column, keys: Seq[String]): Column =
     coalesce(keys.map(k => get_json_object(payload, s"$$.$k")): _*)
 
+  /** Ingest-run metadata columns (reference `fmp_dump_raw.py:236-241` and
+    * `bronze_fundamentals_auto_loader.ipynb:101-108`): a per-row `request_id`
+    * uuid plus the `_processing_time` ingest timestamp. Nondeterministic by
+    * design — shape-tested in specs, never oracle-compared.
+    */
+  def withIngestMeta(df: DataFrame): DataFrame =
+    df.withColumn("request_id", expr("uuid()"))
+      .withColumn("_processing_time", current_timestamp())
+
   /** Row-level sha256 of the payload string (P9). */
   def payloadHash(payload: Column): Column = sha2(payload, 256)
 

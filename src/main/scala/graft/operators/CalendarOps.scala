@@ -51,6 +51,28 @@ object CalendarOps {
   def calendarOver(df: DataFrame, dayCol: String): DataFrame =
     calendar(df.agg(min(col(dayCol)).as("d0"), max(col(dayCol)).as("d1")))
 
+  /** `get_last_n_trading_days` (reference `utils/dates.py:82-132`): the n
+    * most recent trading days of the calendar, rn=1 newest. The calendar is
+    * O(days) so the unpartitioned window is broadcast-cheap.
+    */
+  def lastNTradingDays(cal: DataFrame, n: Int): DataFrame = {
+    val w = Window.orderBy(col("cal_day").desc)
+    cal.filter(col("is_trading_day"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("cal_day", "rn")
+  }
+
+  /** `is_trading_day` as a set-filter (reference `utils/dates.py:135-148`,
+    * used as a gate before ingest): keep only fact rows whose `dayCol` is a
+    * trading day. The calendar side is broadcast — a left-semi join that
+    * never shuffles the fact table.
+    */
+  def filterToTradingDays(facts: DataFrame, dayCol: String, cal: DataFrame): DataFrame =
+    facts.join(
+      broadcast(cal.filter(col("is_trading_day")).select(col("cal_day"))),
+      facts(dayCol) === col("cal_day"), "left_semi")
+
   /** `split_date_range_by_month` as a query: month chunks with first/last
     * observed day and distinct-day counts (reference `utils/dates.py:19-60`).
     */

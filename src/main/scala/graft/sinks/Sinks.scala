@@ -26,11 +26,15 @@ object Sinks {
     * partitions in `df` are replaced).
     */
   def partitionedParquet(df: DataFrame, outDir: String, partitionCol: String,
-      force: Boolean): Unit = {
-    val mode = if (force) SaveMode.Overwrite else SaveMode.Ignore
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(mode).partitionBy(partitionCol).parquet(outDir)
-  }
+      force: Boolean): Unit =
+    if (force)
+      // per-write option, not a session conf — overwrite semantics of
+      // unrelated writes later in the session must not change
+      df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(outDir)
+    else
+      df.write.mode(SaveMode.Ignore).partitionBy(partitionCol).parquet(outDir)
 
   /** K2: gzipped NDJSON partitioned by the given keys. */
   def ndjsonGz(df: DataFrame, outDir: String, partitionCols: Seq[String]): Unit =

@@ -122,4 +122,25 @@ class OperatorsSpec extends AnyFunSuite {
     // previous trading day skips the weekend AND the holiday
     assert(cal("2024-01-16").getAs[java.sql.Date]("prev_trading_day").toString == "2024-01-12")
   }
+
+  test("lastNTradingDays: newest-first ranks, skips weekend and holiday") {
+    val bounds = Seq(("2024-01-08", "2024-01-16")).toDF("d0s", "d1s")
+      .select(to_date($"d0s").as("d0"), to_date($"d1s").as("d1"))
+    val out = CalendarOps.lastNTradingDays(CalendarOps.calendar(bounds), 3)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("cal_day").toString -> r.getAs[Int]("rn"))
+      .toMap
+    // 13th/14th = weekend, 15th = MLK holiday → 16th, 12th, 11th
+    assert(out == Map("2024-01-16" -> 1, "2024-01-12" -> 2, "2024-01-11" -> 3))
+  }
+
+  test("filterToTradingDays keeps only trading-day facts") {
+    val facts = Seq(("2024-01-12", 1), ("2024-01-13", 2), ("2024-01-15", 3),
+      ("2024-01-16", 4)).toDF("ds", "id")
+      .select(to_date($"ds").as("day"), $"id")
+    val cal = CalendarOps.calendarOver(facts, "day")
+    val kept = CalendarOps.filterToTradingDays(facts, "day", cal)
+      .select("id").as[Int].collect().sorted
+    assert(kept.toSeq == Seq(1, 4)) // Friday and Tuesday survive
+  }
 }

@@ -56,6 +56,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(perFile <= 3)
   }
 
+  test("catalog DDL: CREATE TABLE USING parquet LOCATION round-trips via spark.table") {
+    val loc = s"${TestSpark.sfDir}/nation.parquet"
+    val direct = spark.read.parquet(loc).count()
+    val t = graft.sources.Catalog.registerParquet(spark, "nation_reg", loc)
+    assert(t.count() == direct)
+    assert(spark.sql("SELECT count(*) FROM nation_reg").collect()(0).getLong(0) == direct)
+    graft.sources.Catalog.deregister(spark, "nation_reg")
+    assert(!spark.catalog.tableExists("nation_reg"))
+  }
+
   test("unionAll folds by name across frames") {
     val a = Seq((1L, "x")).toDF("id", "s")
     val b = Seq(("y", 2L)).toDF("s", "id") // different column order
