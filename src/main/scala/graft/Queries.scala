@@ -237,10 +237,12 @@ object Queries {
     MinHashDedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by IVF centroid + label. */
+  /** Embedding-cosine near-dup pairs, blocked by IVF centroid + label.
+    * Centroid count scales with the corpus (⌈√n⌉); mega-blocks capped.
+    */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-      "label", isCentroid = col("vec_id") < 16, threshold = 0.2)
+      "label", threshold = 0.2)
 
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(

@@ -460,7 +460,10 @@ object SparkEntry {
                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
                AS DOUBLE) AS nn
            FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2 WHERE vec_id < 16),
+         c AS (
+           SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
+           QUALIFY row_number() OVER (ORDER BY vec_id) <=
+             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
          p AS (
            SELECT v.vec_id, v.label, v.embedding, v.nn, c.centroid_id,
              v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
@@ -472,12 +475,16 @@ object SparkEntry {
              SELECT *, row_number() OVER (
                PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
              FROM p) t
-           WHERE rn = 1)
+           WHERE rn = 1),
+         ok AS (
+           SELECT centroid_id, label FROM a
+           GROUP BY centroid_id, label HAVING count(*) <= 10000),
+         a2 AS (SELECT a.* FROM a JOIN ok USING (centroid_id, label))
          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
            CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
              z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
              AS DOUBLE) / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
-         FROM a x JOIN a y
+         FROM a2 x JOIN a2 y
            ON x.centroid_id = y.centroid_id AND x.label = y.label AND x.vec_id < y.vec_id
          WHERE CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
              z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))

@@ -76,28 +76,37 @@ object MinHashDedup {
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bucketCap: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // single-file corpora arrive as one input split; spread docs across the
-    // cluster before the per-doc signature pass / shingle explode
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    // single-file corpora arrive as one input split; spread them before the
+    // per-doc signature pass. A well-split input (≥ half the cluster's
+    // slots) is left alone — at scale the corpus already has thousands of
+    // splits, and a corpus-wide round-robin shuffle before a scan-local
+    // signature pass would dwarf everything downstream.
+    val inputParts = docs.rdd.getNumPartitions
+    val spread =
+      if (inputParts * 2 < parallelism) docs.repartition(parallelism) else docs
     val raw = TextOps.charShingles(spread, idCol, textCol, k, distinct = false)
     // signatures via the one-pass native expression — scan-local, no
     // explode/shuffle (see MinHashSlices); identical output to
-    // signaturesFromShingles, which remains the generic/oracle formulation
+    // signaturesFromShingles, which remains the generic/oracle formulation.
+    // Persists are LAZY (no eager count jobs): each fills on first use
+    // inside the single result job and serves the remaining consumers.
     val sigs = spread
       .select(col(idCol), MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
       .filter(col("__mh").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("__mh").getItem(i).as(s"m$i")): _*)
       .persist(MEMORY_AND_DISK)
+    // one eager pass for the signature cache: downstream, THREE shuffle-map
+    // stages read it and the DAG scheduler may run them concurrently — a
+    // lazy persist would let each racing stage recompute the corpus scan
     sigs.count()
     val pairs = candidatePairs(sigs, idCol, bucketCap).persist(MEMORY_AND_DISK)
-    pairs.count()
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
       .distinct()
     val shingles = raw.join(candDocs, Seq(idCol), "left_semi").distinct()
       .persist(MEMORY_AND_DISK)
-    shingles.count()
     val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // equi-join on (doc, shingle) both sides — never materializes the
     // per-pair shingle cross product
@@ -106,7 +115,7 @@ object MinHashDedup {
     val inter = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
-    pairs
+    val out = pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(counts.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
@@ -114,6 +123,14 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
+      .persist(MEMORY_AND_DISK)
+    // one materializing job for the (candidate-bounded, small) result, then
+    // release the corpus-sized intermediates — repeated calls in a session
+    // no longer accumulate cached blocks. The returned frame stays cached;
+    // callers may unpersist it when done.
+    out.count()
+    sigs.unpersist(false); pairs.unpersist(false); shingles.unpersist(false)
+    out
   }
 
   /** Exact word-n-gram Jaccard between given id pairs (the reference-free

@@ -32,14 +32,21 @@ object MinHashSlicesImpl {
   def compute(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
     if (text == null) return null
     val s = text.toString
-    if (s.length < k) return null
+    // shingle windows count CODE POINTS, matching Spark/DuckDB substring
+    // semantics — UTF-16 code-unit windows would split surrogate pairs on
+    // non-BMP text (emoji) and silently diverge from the oracle formulation
+    val nCp = s.codePointCount(0, s.length)
+    if (nCp < k) return null
     val digest = md.get()
     val mins = Array.fill(numHashes)(0xFFFFFFFFFFFFFFFL) // > any unsigned 32-bit
     var i = 0
-    val last = s.length - k
+    val last = nCp - k
+    var startChar = 0
+    var endChar = s.offsetByCodePoints(0, k - 1) // start of window's last cp
     while (i <= last) {
       digest.reset()
-      val d = digest.digest(s.substring(i, i + k).getBytes("UTF-8"))
+      val winEnd = s.offsetByCodePoints(endChar, 1)
+      val d = digest.digest(s.substring(startChar, winEnd).getBytes("UTF-8"))
       var j = 0
       while (j < numHashes) {
         // slice j = digest bytes 4j..4j+3 == hex chars 8j..8j+7; unsigned
@@ -50,6 +57,8 @@ object MinHashSlicesImpl {
         if (v < mins(j)) mins(j) = v
         j += 1
       }
+      startChar = s.offsetByCodePoints(startChar, 1)
+      endChar = winEnd
       i += 1
     }
     val out = new Array[AnyRef](numHashes)

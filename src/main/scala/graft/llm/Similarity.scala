@@ -22,13 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact decimal-accumulated dot product of two array<float/double> cols. */
-  def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") * y.cast("double")).cast("decimal(28,12)")),
-      lit(0).cast("decimal(28,12)"),
-      (acc, z) => (acc + z).cast("decimal(28,12)"))
+  /** Spread a single-split input across the cluster before per-row-heavy
+    * projections (dot products against a broadcast side). A well-split
+    * input (≥ half the available slots) is left alone — at scale the
+    * corpus already has thousands of splits and a round-robin shuffle
+    * would cost more than it buys.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+  }
+
+  /** Exact decimal-accumulated dot product of two array<float/double> cols,
+    * as double. Native codegen'd expression ([[DotDecimal]]) — bit-identical
+    * to the declarative `aggregate(zip_with(...decimal(28,12)...))` form it
+    * replaces, but a single fused loop instead of per-element interpreted
+    * lambdas with boxed Decimals.
+    */
+  def dotDec(a: Column, b: Column): Column = DotDecExpr.dotDecimal(a, b)
 
   /** Exact squared L2 norm (decimal-accumulated), as double. */
   def norm2(v: Column): Column = dotDec(v, v).cast("double")
@@ -44,7 +55,7 @@ object Similarity {
     val queries = embeddings.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm2(col(vecCol)).as("__qn"))
-    val corpus = embeddings
+    val corpus = spread(embeddings)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
         norm2(col(vecCol)).as("__nn"))
     val joined = corpus.crossJoin(broadcast(queries))
@@ -62,24 +73,45 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: candidates are blocked by IVF
     * centroid AND a caller-supplied blocking column (e.g. label/language/
-    * source), then exact cosine filters at `threshold`. Blocking keeps the
-    * self-join linear-ish instead of all-pairs quadratic — the only shape
-    * that survives a corpus-scale near-dup sweep.
+    * source), then exact cosine filters at `threshold`.
+    *
+    * Scale design:
+    *   - the centroid count GROWS with the corpus (default ⌈√n⌉, the
+    *     standard IVF sizing that keeps expected block size ≈ √n, so the
+    *     within-block self-join stays ~O(n) total instead of quadratic; a
+    *     fixed K would blow up linearly-per-block at 100× data);
+    *   - centroids are the K lowest-id vectors — the deterministic sampled
+    *     init (k-means refinement is a drop-in replacement: anything that
+    *     yields a (id, vec) frame plugs into [[ivfAssignTo]]);
+    *   - oversized (centroid, block) buckets are DROPPED at `blockCap`,
+    *     mirroring [[MinHashDedup.candidatePairs]]'s mega-bucket guard — a
+    *     degenerate blocking key can never reintroduce the n² join.
     */
   def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, isCentroid: Column, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      numCentroids: Option[Int] = None, blockCap: Int = 10000): DataFrame = {
+    val k = numCentroids.getOrElse(
+      math.max(1, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt))
+    // TakeOrderedAndProject: K rows to the driver, broadcast back — cheap
+    // relative to the corpus scan it prunes
+    val centroids = embeddings.orderBy(col(idCol)).limit(k)
     val withNorm = embeddings.select(
       col(idCol), col(vecCol).as("__v"), col(blockCol).as("__blk"),
       norm2(col(vecCol)).as("__nn"))
-    val assign = ivfAssign(embeddings, idCol, vecCol, isCentroid)
+    val assign = ivfAssignTo(embeddings, idCol, vecCol, centroids)
       .select(col("vec_id").as(idCol), col("centroid_id"))
     val a = withNorm.join(assign, Seq(idCol))
-    val x = a.select(col(idCol).as("vec_a"), col("__v").as("__va"),
-      col("__blk").as("__blka"), col("__nn").as("__na"), col("centroid_id"))
-    val y = a.select(col(idCol).as("vec_b"), col("__v").as("__vb"),
-      col("__blk").as("__blkb"), col("__nn").as("__nb"), col("centroid_id"))
-    x.join(y, Seq("centroid_id"))
-      .filter(col("__blka") === col("__blkb") && col("vec_a") < col("vec_b"))
+    val okBlocks = a.groupBy("centroid_id", "__blk")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= blockCap)
+      .select("centroid_id", "__blk")
+    val gated = a.join(okBlocks, Seq("centroid_id", "__blk"), "left_semi")
+    val x = gated.select(col("centroid_id"), col("__blk"),
+      col(idCol).as("vec_a"), col("__v").as("__va"), col("__nn").as("__na"))
+    val y = gated.select(col("centroid_id"), col("__blk"),
+      col(idCol).as("vec_b"), col("__v").as("__vb"), col("__nn").as("__nb"))
+    x.join(y, Seq("centroid_id", "__blk"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine", dotDec(col("__va"), col("__vb")).cast("double") /
         (sqrt(col("__na")) * sqrt(col("__nb"))))
       .filter(col("cosine") >= threshold)
@@ -90,11 +122,18 @@ object Similarity {
     * Centroids are broadcast; ties break to the lowest centroid id.
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-      isCentroid: Column): DataFrame = {
-    val centroids = embeddings.filter(isCentroid)
+      isCentroid: Column): DataFrame =
+    ivfAssignTo(embeddings, idCol, vecCol, embeddings.filter(isCentroid))
+
+  /** IVF assignment against an explicit centroid frame (`idCol`, `vecCol`)
+    * — sampled ids, k-means output, or any externally-built codebook.
+    */
+  def ivfAssignTo(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroidFrame: DataFrame): DataFrame = {
+    val centroids = centroidFrame
       .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"),
         norm2(col(vecCol)).as("__cn"))
-    val joined = embeddings
+    val joined = spread(embeddings)
       .select(col(idCol).as("vec_id_"), col(vecCol).as("__v"),
         norm2(col(vecCol)).as("__vn"))
       .crossJoin(broadcast(centroids))

@@ -33,6 +33,23 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("minhash expression matches the shingle/agg formulation on non-BMP text") {
+    // emoji are surrogate pairs in UTF-16; code-point windows must agree
+    // with the Spark-substring (code point) shingle path
+    val docs = Seq(
+      (1L, "😀😁😂x😀😁😂y😀"),
+      (2L, "plain ascii text of decent length")
+    ).toDF("doc_id", "text")
+    val viaExpr = docs
+      .select($"doc_id", MinHashExpr.minhashSlices($"text", 5, 8).as("mh"))
+      .filter($"mh".isNotNull)
+      .select($"doc_id" +: (0 until 8).map(i => $"mh" (i).as(s"m$i")): _*)
+      .orderBy("doc_id").collect().toSeq
+    val viaAgg = MinHashDedup.signatures(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaExpr == viaAgg)
+  }
+
   test("simhash: equal for identical and token-permuted text, 0 for null-free empty") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
@@ -53,6 +70,26 @@ class LlmSpec extends AnyFunSuite {
     // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
     assert(plan.contains("*(1) Project") && plan.contains("simhash32"))
     assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("dot_decimal: bitwise-equal to the declarative decimal(28,12) form") {
+    val vecs = Seq(
+      (1L, Array(0.1f, -0.27f, 3.5f), Array(1.7f, 0.333f, -2.25f)),
+      (2L, Array(1e-7f, 2e-7f, 3e-7f), Array(4e-7f, 5e-7f, 6e-7f)),
+      (3L, Array(12345.678f, -9876.5f), Array(0.0001f, 777.77f))
+    ).toDF("id", "a", "b")
+    val declarative = aggregate(
+      zip_with($"a", $"b", (x, y) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(28,12)")),
+      lit(0).cast("decimal(28,12)"),
+      (acc, z) => (acc + z).cast("decimal(28,12)")).cast("double")
+    val rows = vecs
+      .select(Similarity.dotDec($"a", $"b").as("native"), declarative.as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
   }
 
   test("cosine top-k: duplicate vector ranks first with cosine 1") {
@@ -124,15 +161,27 @@ class LlmSpec extends AnyFunSuite {
 
   test("cosine near-dup: duplicate vectors in same block found, cross-block excluded") {
     val vecs = Seq(
-      (0L, Array(1.0f, 0.0f), 0), // centroid
+      (0L, Array(1.0f, 0.0f), 0), // lowest id → the single centroid
       (10L, Array(0.9f, 0.1f), 1), (11L, Array(0.9f, 0.1f), 1), // same block dup
       (12L, Array(0.9f, 0.1f), 2) // other block — excluded by blocking
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.cosineNearDup(vecs, "vec_id", "embedding", "label",
-        isCentroid = $"vec_id" === 0, threshold = 0.99)
+        threshold = 0.99, numCentroids = Some(1))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((10L, 11L)))
     assert(!out.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("cosine near-dup: a mega-block over blockCap is dropped, small blocks survive") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(1.0f, 0.0f), 1), // block 1: three identical vecs > cap
+      (10L, Array(0.0f, 1.0f), 2), (11L, Array(0.0f, 1.0f), 2) // block 2: pair
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineNearDup(vecs, "vec_id", "embedding", "label",
+        threshold = 0.99, numCentroids = Some(1), blockCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 11L))) // mega-block contributed no pairs
   }
 
   test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {
