@@ -60,6 +60,21 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Write-side schema evolution (the reference's `mergeSchema=true` write
+    * option, `bronze_prices_auto_loader.ipynb` cell 3 line 122): append the
+    * batch with its own (possibly wider) schema; parquet files keep their
+    * per-file schemas and [[readEvolved]] unions them.
+    */
+  def evolvingAppend(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(outDir)
+
+  /** Read an evolving parquet dir: union of all file schemas, columns
+    * missing from older files read as null (`addNewColumns` semantics,
+    * `docs/databricks_setup.md:120`).
+    */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** K3: run-level metrics document. */
   final case class RunMetrics(
       run_id: String,

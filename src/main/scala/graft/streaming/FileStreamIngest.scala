@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.operators.MergeUpsert
 
@@ -24,9 +24,14 @@ import java.util.Comparator
   * Silver (`docs/databricks_setup.md:170-198` + the CDF note at
   * `bronze_prices_auto_loader.ipynb:158`): without Delta's MERGE/CDF, each
   * micro-batch IS the change set — `foreachBatch` runs the latest-wins
-  * upsert against the current Silver snapshot and atomically swaps the
-  * staged result in (stage-then-rename, the plain-filesystem stand-in for
-  * a transactional commit).
+  * upsert against the current Silver snapshot. Two variants:
+  *   - [[upsertIntoPartitionedParquet]] (preferred): day-partitioned
+  *     snapshot, merge reads ONLY the partitions the batch touches and
+  *     dynamic partition overwrite rewrites only those — O(batch days), the
+  *     same file-pruning a Delta MERGE gets from its transaction log;
+  *   - [[upsertIntoParquet]] (legacy, unpartitioned): full-snapshot
+  *     stage-then-swap, O(target) per batch — only for small dimension-like
+  *     targets.
   */
 object FileStreamIngest {
 
@@ -40,6 +45,26 @@ object FileStreamIngest {
     val r = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(srcDir)
+  }
+
+  /** Bronze: incremental NDJSON(.gz) stream with schema-evolution rescue —
+    * the streaming half of S5, matching the fundamentals Auto Loader
+    * (`bronze_fundamentals_auto_loader.ipynb:86-98`, cell 2: `cloudFiles`
+    * json + `recursiveFileLookup` + `schemaEvolutionMode=rescue`). Rows
+    * that don't parse into the declared schema land intact in
+    * `_rescued_data` (permissive corrupt-record column) instead of being
+    * dropped; nested date directories are discovered recursively; gzipped
+    * files decompress by extension.
+    */
+  def bronzeJsonStream(spark: SparkSession, srcDir: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .schema(schema.add(StructField("_rescued_data", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_rescued_data")
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(srcDir)
   }
 
   /** Run a stream to a parquet append sink with AvailableNow semantics:
@@ -57,41 +82,111 @@ object FileStreamIngest {
     q.awaitTermination()
   }
 
-  /** Silver: AvailableNow stream where each micro-batch latest-wins-merges
-    * into the parquet snapshot at `targetDir` (CDF emulation: the batch is
-    * the change set). The merged result is staged and atomically swapped.
-    */
-  def runAvailableNowUpsert(df: DataFrame, targetDir: String, checkpointDir: String,
-      keys: Seq[String], order: Seq[Column]): Unit = {
+  /** AvailableNow drain through an arbitrary per-batch sink function. */
+  def runAvailableNowForeachBatch(df: DataFrame, checkpointDir: String)
+      (f: DataFrame => Unit): Unit = {
     val q = df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertIntoParquet(batch, targetDir, keys, order)
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => f(batch) }
       .start()
     q.awaitTermination()
   }
 
-  /** Latest-wins upsert of `batch` into the parquet dir at `targetDir`
-    * (created if absent), staged to a sibling dir then renamed into place.
+  /** Write-side schema evolution (`mergeSchema=true` on the reference's
+    * streaming write, `bronze_prices_auto_loader.ipynb` cell 3 line 122 /
+    * `addNewColumns` in `docs/databricks_setup.md:120`): each restart may
+    * declare a WIDER schema; batches append as-is and readers union file
+    * schemas via [[graft.sinks.Sinks.readEvolved]] — new columns read as
+    * null for history written before they existed.
+    */
+  def runAvailableNowEvolvingAppend(df: DataFrame, outDir: String,
+      checkpointDir: String): Unit =
+    runAvailableNowForeachBatch(df, checkpointDir)(
+      graft.sinks.Sinks.evolvingAppend(_, outDir))
+
+  /** Silver: AvailableNow stream where each micro-batch latest-wins-merges
+    * into the parquet snapshot at `targetDir` (CDF emulation: the batch is
+    * the change set). Unpartitioned legacy variant.
+    */
+  def runAvailableNowUpsert(df: DataFrame, targetDir: String, checkpointDir: String,
+      keys: Seq[String], order: Seq[Column]): Unit =
+    runAvailableNowForeachBatch(df, checkpointDir)(
+      upsertIntoParquet(_, targetDir, keys, order))
+
+  /** Silver: partition-pruned streaming upsert — day-partitioned snapshot,
+    * only partitions present in the batch are read and rewritten.
+    */
+  def runAvailableNowUpsertPartitioned(df: DataFrame, targetDir: String,
+      checkpointDir: String, keys: Seq[String], order: Seq[Column],
+      dayCol: String): Unit =
+    runAvailableNowForeachBatch(df, checkpointDir)(
+      upsertIntoPartitionedParquet(_, targetDir, keys, order, dayCol))
+
+  /** Latest-wins upsert of `batch` into the DAY-PARTITIONED parquet
+    * snapshot at `targetDir`: read only the partitions the batch touches
+    * (partition pruning), merge, and dynamic-partition-overwrite exactly
+    * those — untouched day directories are never rewritten. This is the
+    * shape that survives a 100 TB Silver table: per-batch cost is
+    * O(touched days), not O(target).
+    *
+    * Requires `dayCol ∈ keys` (the merge key must determine the partition,
+    * as with the reference's (symbol, trade_date) key / trade_date
+    * partitioning) — otherwise a key's latest row could move between days
+    * and the pruned merge could not retract the old day's row. `dayCol`
+    * should be a DateType/string column with stable text form (partition
+    * values round-trip through directory names).
+    */
+  def upsertIntoPartitionedParquet(batch: DataFrame, targetDir: String,
+      keys: Seq[String], order: Seq[Column], dayCol: String): Unit = synchronized {
+    require(keys.contains(dayCol),
+      s"dayCol '$dayCol' must be part of the merge key ${keys.mkString("[", ",", "]")}")
+    val spark = batch.sparkSession
+    val target = Paths.get(targetDir)
+    // touched partitions: bounded by days-per-batch, safe to collect
+    val days = batch.select(col(dayCol)).distinct().collect().map(_.get(0))
+    val merged =
+      if (Files.exists(target) && days.nonEmpty) {
+        val current = spark.read.parquet(targetDir)
+          .filter(col(dayCol).isin(days.toIndexedSeq: _*))
+          .select(batch.columns.map(col).toIndexedSeq: _*)
+        MergeUpsert.merge(current, batch, keys, order)
+      } else {
+        graft.operators.Dedup.keepLast(batch, keys, order)
+      }
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dayCol)
+      .parquet(targetDir)
+  }
+
+  /** Latest-wins upsert of `batch` into the unpartitioned parquet dir at
+    * `targetDir` (created if absent), staged to a sibling dir then renamed
+    * into place. Single-writer only (`synchronized` guards one JVM; nothing
+    * guards concurrent writers on a shared filesystem). A crash between the
+    * two renames leaves data in `targetDir.old` — recovered on the next
+    * call.
     */
   def upsertIntoParquet(batch: DataFrame, targetDir: String,
       keys: Seq[String], order: Seq[Column]): Unit = synchronized {
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
+    val old = Paths.get(targetDir + ".old")
+    // crash recovery: an interrupted swap leaves target missing and .old
+    // holding the last good snapshot — restore it before merging
+    if (!Files.exists(target) && Files.exists(old))
+      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
     val merged =
       if (Files.exists(target)) {
         val current = spark.read.parquet(targetDir)
-        MergeUpsert.merge(current.select(batch.columns.map(col): _*), batch, keys, order)
+        MergeUpsert.merge(current.select(batch.columns.map(col).toIndexedSeq: _*), batch, keys, order)
       } else {
         graft.operators.Dedup.keepLast(batch, keys, order)
       }
     val staged = Paths.get(targetDir + ".staged")
     deleteRecursively(staged)
     merged.write.parquet(staged.toString)
-    val old = Paths.get(targetDir + ".old")
     deleteRecursively(old)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)

@@ -61,6 +61,109 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(after2 == Map(1L -> (20L, 9.0), 2L -> (10L, 2.0), 3L -> (20L, 3.0)))
   }
 
+  test("streaming ndjson rescue: recursive lookup, malformed line rescued, gz, exactly-once") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types._
+    val src = tmp("jsrc"); val out = tmp("jout"); val ckpt = tmp("jckpt")
+    Files.createDirectories(Paths.get(src, "dt=2024-01-01"))
+    Files.writeString(Paths.get(src, "dt=2024-01-01", "a.json"),
+      "{\"symbol\":\"AAPL\",\"revenue\":1}\nthis is not json\n")
+    val schema = StructType(Seq(
+      StructField("symbol", StringType), StructField("revenue", LongType)))
+
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeJsonStream(spark, src, schema), out, ckpt)
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() == 2) // nested subdir discovered; bad line kept
+    assert(r1.filter($"_rescued_data".isNotNull).count() == 1)
+    assert(r1.filter($"symbol" === "AAPL" && $"revenue" === 1).count() == 1)
+
+    // second trigger: a gzipped file arrives; only the delta is processed
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(Paths.get(src, "b.json.gz")))
+    gz.write("{\"symbol\":\"MSFT\",\"revenue\":2}\n".getBytes("UTF-8")); gz.close()
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeJsonStream(spark, src, schema), out, ckpt)
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 3)
+    assert(r2.filter($"symbol" === "AAPL").count() == 1) // no reprocessing
+    assert(r2.filter($"symbol" === "MSFT").count() == 1) // gz decompressed
+  }
+
+  test("partitioned silver upsert: untouched day partitions stay byte-identical") {
+    import java.nio.file.Paths
+    import java.sql.Date
+    val target = tmp("pmerge") + "/silver"
+    val b1 = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10L, 1.0),
+      (2L, Date.valueOf("2024-01-02"), 10L, 2.0)).toDF("k", "day", "ord", "v")
+    FileStreamIngest.upsertIntoPartitionedParquet(
+      b1, target, Seq("k", "day"), Seq($"ord".desc), "day")
+    def day1Bytes: Map[String, Seq[Byte]] =
+      Files.walk(Paths.get(target, "day=2024-01-01")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted
+        .map(p => p -> Files.readAllBytes(Paths.get(p)).toSeq).toMap
+    val before = day1Bytes
+
+    // batch touches only 2024-01-02: update k=2, insert k=3
+    val b2 = Seq(
+      (2L, Date.valueOf("2024-01-02"), 20L, 9.0),
+      (3L, Date.valueOf("2024-01-02"), 20L, 3.0)).toDF("k", "day", "ord", "v")
+    FileStreamIngest.upsertIntoPartitionedParquet(
+      b2, target, Seq("k", "day"), Seq($"ord".desc), "day")
+
+    assert(day1Bytes == before) // same files, same bytes — never rewritten
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("ord"), r.getAs[Double]("v"))).toMap
+    assert(got == Map(1L -> (10L, 1.0), 2L -> (20L, 9.0), 3L -> (20L, 3.0)))
+  }
+
+  test("legacy upsert recovers .old snapshot after an interrupted swap") {
+    import java.nio.file.Paths
+    val target = tmp("rec") + "/silver"
+    val b1 = Seq((1L, 10L, 1.0)).toDF("k", "ord", "v")
+    FileStreamIngest.upsertIntoParquet(b1, target, Seq("k"), Seq($"ord".desc))
+    // simulate a crash between the two renames: target gone, .old holds data
+    Files.move(Paths.get(target), Paths.get(target + ".old"))
+    val b2 = Seq((2L, 20L, 2.0)).toDF("k", "ord", "v")
+    FileStreamIngest.upsertIntoParquet(b2, target, Seq("k"), Seq($"ord".desc))
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0)) // pre-crash row recovered
+  }
+
+  test("schema evolution: new column appends, history reads as null") {
+    val out = tmp("evo") + "/t"
+    Sinks.evolvingAppend(Seq((1L, "a")).toDF("id", "s"), out)
+    Sinks.evolvingAppend(Seq((2L, "b", 3.5)).toDF("id", "s", "score"), out)
+    val back = Sinks.readEvolved(spark, out)
+    assert(back.columns.sorted.toSeq == Seq("id", "s", "score").sorted)
+    val rows = back.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[Any]("score"))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(3.5)))
+  }
+
+  test("streaming schema evolution across restart: widened schema, exactly-once") {
+    import org.apache.spark.sql.types._
+    val src = tmp("esrc"); val out = tmp("eout"); val ckpt = tmp("eckpt")
+    val s1 = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    Seq((1L, "a")).toDF("id", "s").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowEvolvingAppend(
+      FileStreamIngest.bronzeStream(spark, src, s1), out, ckpt)
+
+    // restart with a WIDER declared schema; a new file carries the column
+    val s2 = s1.add(StructField("score", DoubleType))
+    Seq((2L, "b", 7.5)).toDF("id", "s", "score").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowEvolvingAppend(
+      FileStreamIngest.bronzeStream(spark, src, s2), out, ckpt)
+
+    val back = Sinks.readEvolved(spark, out)
+    assert(back.count() == 2) // row 1 not reprocessed under the new schema
+    val rows = back.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[Any]("score"))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(7.5)))
+  }
+
   test("partitioned parquet sink: day partitions, idempotent unless forced") {
     val out = tmp("psink") + "/prices"
     val df = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("dt", "v")
