@@ -45,17 +45,23 @@ object Envelope {
   def fileHash(payload: Column): Column =
     sha2(array_join(array_sort(collect_list(payload)), "\n"), 256)
 
-  // Minimal JSON parser/serializer for canonicalization: re-serialize a
-  // (flat or nested) JSON object with lexicographically sorted keys — the
-  // semantics of the reference's `json.dumps(payload, sort_keys=True)`
-  // (`fmp_dump_raw.py:222`). Spark's `to_json` keeps struct field order and
-  // cannot sort keys, hence the tiny hand-rolled serializer behind a UDF.
+  // JSON parser/serializer reproducing CPython's
+  // `json.dumps(json.loads(s), sort_keys=True)` BYTE FOR BYTE — the
+  // reference hashes `sha256(json.dumps(payload, sort_keys=True))`
+  // (`fmp_dump_raw.py:222`), so cross-system dedup/idempotency keyed on
+  // that hash only works if we emit the exact same text: `", "`/`": "`
+  // separators, ensure_ascii \uXXXX escaping, code-point key order,
+  // Python int/float repr for numbers. Spark's `to_json` keeps struct
+  // field order and cannot sort keys, hence the hand-rolled serializer
+  // behind a UDF (sanctioned by SURVEY §2.11).
   private object MiniJson {
     sealed trait J
     case class JObj(fields: List[(String, J)]) extends J
     case class JArr(items: List[J]) extends J
-    case class JStr(s: String) extends J
-    case class JRaw(s: String) extends J // numbers / true / false / null verbatim
+    case class JStr(s: String) extends J // decoded
+    case class JInt(digits: String) extends J // canonical int repr
+    case class JFloat(d: Double) extends J
+    case class JLit(s: String) extends J // true / false / null
 
     def parse(s: String): (J, Int) = parseValue(s, skipWs(s, 0))
 
@@ -93,31 +99,135 @@ object Envelope {
       case '"' =>
         val sb = new StringBuilder; var i = i0 + 1
         while (s(i) != '"') {
-          if (s(i) == '\\') { sb.append(s(i)).append(s(i + 1)); i += 2 }
-          else { sb.append(s(i)); i += 1 }
+          if (s(i) == '\\') {
+            s(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case c => sb.append(c); i += 2 // \" \\ \/
+            }
+          } else { sb.append(s(i)); i += 1 }
         }
         (JStr(sb.toString), i + 1)
       case _ =>
         var i = i0
-        while (i < s.length && !",}] \t\n\r".contains(s(i))) i += 1
-        (JRaw(s.substring(i0, i)), i)
+        while (i < s.length && !",}]: \t\n\r".contains(s(i))) i += 1
+        val tok = s.substring(i0, i)
+        val j = tok match {
+          case "true" | "false" | "null" => JLit(tok)
+          case "NaN" => JFloat(Double.NaN)
+          case "Infinity" => JFloat(Double.PositiveInfinity)
+          case "-Infinity" => JFloat(Double.NegativeInfinity)
+          case t if t.forall(c => c.isDigit || c == '-') => JInt(canonInt(t))
+          case t => JFloat(t.toDouble)
+        }
+        (j, i)
+    }
+
+    // Python int repr of the token: arbitrary precision, "-0"/leading
+    // zeros normalized
+    private def canonInt(t: String): String = {
+      val neg = t.startsWith("-")
+      val digits = (if (neg) t.substring(1) else t).dropWhile(_ == '0')
+      if (digits.isEmpty) "0" else (if (neg) "-" else "") + digits
+    }
+
+    // Python code-point string order (UTF-16 compareTo misorders
+    // supplementary chars against U+E000..U+FFFF)
+    private def cpLt(a: String, b: String): Boolean = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      a.length - i < b.length - j
     }
 
     def write(j: J): String = j match {
       case JObj(fs) =>
-        fs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + write(v) }
-          .mkString("{", ",", "}")
-      case JArr(items) => items.map(write).mkString("[", ",", "]")
-      case JStr(s) => "\"" + s + "\""
-      case JRaw(s) => s
+        // duplicate keys: Python dict keeps the LAST value per key
+        val lastWins = fs.foldLeft(Map.empty[String, J])(_ + _)
+        lastWins.keys.toList.sortWith(cpLt)
+          .map(k => pyStr(k) + ": " + write(lastWins(k)))
+          .mkString("{", ", ", "}")
+      case JArr(items) => items.map(write).mkString("[", ", ", "]")
+      case JStr(s) => pyStr(s)
+      case JInt(d) => d
+      case JFloat(d) => pyFloatRepr(d)
+      case JLit(s) => s
+    }
+
+    // json.dumps default ensure_ascii: everything outside 0x20..0x7E
+    // escaped (\uXXXX per UTF-16 unit, so non-BMP becomes a surrogate pair)
+    private def pyStr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < 0x20 || c > 0x7E => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+
+    /** Python float.__repr__: shortest decimal digits that round-trip,
+      * fixed notation for decimal exponent in (-4, 16], else scientific
+      * with signed ≥2-digit exponent.
+      */
+    def pyFloatRepr(d: Double): String = {
+      if (d.isNaN) return "NaN"
+      if (d == Double.PositiveInfinity) return "Infinity"
+      if (d == Double.NegativeInfinity) return "-Infinity"
+      if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+      val neg = d < 0
+      val a = math.abs(d)
+      // shortest correctly-rounded digits: minimal precision that round-trips
+      val exact = new java.math.BigDecimal(a)
+      var bd: java.math.BigDecimal = null
+      var p = 1
+      while (bd == null && p <= 17) {
+        val cand = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+        if (cand.doubleValue() == a) bd = cand
+        p += 1
+      }
+      if (bd == null) bd = exact // unreachable: 17 digits always round-trip
+      val stripped = bd.stripTrailingZeros()
+      val digits = stripped.unscaledValue().abs().toString
+      val decpt = digits.length - stripped.scale() // value = 0.digits × 10^decpt
+      val body =
+        if (decpt > 16 || decpt <= -4) { // scientific
+          val mant = if (digits.length == 1) digits
+            else digits.substring(0, 1) + "." + digits.substring(1)
+          f"${mant}e${decpt - 1}%+03d"
+        } else if (decpt <= 0) "0." + ("0" * -decpt) + digits
+        else if (decpt >= digits.length)
+          digits + ("0" * (decpt - digits.length)) + ".0"
+        else digits.substring(0, decpt) + "." + digits.substring(decpt)
+      if (neg) "-" + body else body
     }
   }
 
-  /** Sorted-keys canonical form of a JSON document (nulls stay, key order
-    * lexicographic at every nesting level, separators `,`/`:`).
+  /** Canonical form of a JSON document: byte-identical to CPython's
+    * `json.dumps(json.loads(s), sort_keys=True)` — sorted keys (code-point
+    * order) at every nesting level, `", "`/`": "` separators, ensure_ascii
+    * escapes, Python int/float repr.
     */
   def canonicalize(s: String): String =
     if (s == null) null else MiniJson.write(MiniJson.parse(s)._1)
+
+  /** Exposed for fixture tests against CPython output. */
+  private[graft] def pyFloatRepr(d: Double): String = MiniJson.pyFloatRepr(d)
 
   val canonicalJsonUdf = udf(canonicalize _)
 

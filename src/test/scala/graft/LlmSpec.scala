@@ -12,7 +12,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("canonical JSON sorts keys at every level; hash is key-order independent") {
     assert(Envelope.canonicalize("""{"b":1,"a":{"z":2,"y":[1,2]}}""") ==
-      """{"a":{"y":[1,2],"z":2},"b":1}""")
+      """{"a": {"y": [1, 2], "z": 2}, "b": 1}""")
     val h1 = Envelope.canonicalHash("""{"a":1,"b":2}""")
     val h2 = Envelope.canonicalHash("""{"b":2,"a":1}""")
     val h3 = Envelope.canonicalHash("""{"a":1,"b":3}""")
