@@ -244,6 +244,18 @@ object Queries {
     Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
       "label", threshold = 0.2)
 
+  /** SimHash near-dup pairs at hamming ≤ 1 (byte-band candidates, capped). */
+  def simhashHamming(s: SparkSession, dir: String): DataFrame =
+    SimHash.hammingPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 1)
+
+  /** IVF-probed ANN top-k: 5 query vectors, 3 probes, adaptive ⌈√n⌉
+    * centroids — the bucketed scale path next to brute-force cosineTopK.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < 5, k = 10, nProbe = 3)
+
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

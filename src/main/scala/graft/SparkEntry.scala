@@ -51,6 +51,8 @@ object SparkEntry {
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
+    "q_simhash_hamming" -> (Queries.simhashHamming _),
+    "q_ivf_topk" -> (Queries.ivfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,6 +454,79 @@ object SparkEntry {
          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          JOIN cnt ca ON ca.doc_id = p.doc_a
          JOIN cnt cb ON cb.doc_id = p.doc_b""",
+
+    "q_simhash_hamming" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         th AS (SELECT doc_id, sha256(token) AS h FROM tok),
+         tb AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM th),
+         bits AS (
+           SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(1 + j // 4 AS INT), 1)) - 1)
+               >> CAST(3 - j % 4 AS INT)) & 1 AS bit
+           FROM tb),
+         votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j),
+         signs AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM votes),
+         sh AS (
+           SELECT doc_id,
+             CAST(sum(CAST(s AS BIGINT) << CAST(31 - j AS INT)) AS BIGINT) AS simhash
+           FROM signs GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS bv
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) t),
+         ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+                HAVING count(*) BETWEEN 2 AND 10000),
+         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+           FROM inok a JOIN inok b
+             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1""",
+
+    "q_ivf_topk" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (
+           SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
+           QUALIFY row_number() OVER (ORDER BY vec_id) <=
+             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+         pc AS (
+           SELECT vec_id AS neighbor_id, embedding AS nv, nn, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM n2 v, c) t
+           WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, embedding AS qv, nn AS qn, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM (SELECT * FROM n2 WHERE vec_id < 5) v, c) t
+           WHERE rn <= 3),
+         pairs AS (
+           SELECT qp.query_id, pc.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(qp.qv, pc.nv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(qp.qn) * sqrt(pc.nn)) AS cosine
+           FROM qp JOIN pc
+             ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id)
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM pairs) r
+         WHERE rank <= 10""",
 
     "q_embed_neardup" ->
       """WITH n2 AS (

@@ -29,24 +29,42 @@ object MinHashSlicesImpl {
   }
   private val hex = "0123456789abcdef".toCharArray
 
+  private val digestOut = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](32)
+  }
+
   def compute(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
     if (text == null) return null
-    val s = text.toString
-    // shingle windows count CODE POINTS, matching Spark/DuckDB substring
-    // semantics — UTF-16 code-unit windows would split surrogate pairs on
-    // non-BMP text (emoji) and silently diverge from the oracle formulation
-    val nCp = s.codePointCount(0, s.length)
+    // operate on UTF-8 bytes directly: shingle windows count CODE POINTS
+    // (matching Spark/DuckDB substring semantics — UTF-16 code-unit windows
+    // would split surrogate pairs), and a code point's first byte is
+    // recognizable from its high bits, so windows are byte ranges with no
+    // per-window String/copy allocations. The UTF-8 slice of a code-point
+    // substring is bit-identical to substring(..).getBytes("UTF-8").
+    val bytes = text.getBytes
+    val nb = bytes.length
+    // code point start offsets (starts(i) = byte offset of cp i)
+    val starts = new Array[Int](nb + 1)
+    var nCp = 0
+    var off = 0
+    while (off < nb) {
+      starts(nCp) = off
+      val b = bytes(off) & 0xFF
+      off += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      nCp += 1
+    }
+    starts(nCp) = nb
     if (nCp < k) return null
     val digest = md.get()
+    val out32 = digestOut.get()
     val mins = Array.fill(numHashes)(0xFFFFFFFFFFFFFFFL) // > any unsigned 32-bit
     var i = 0
     val last = nCp - k
-    var startChar = 0
-    var endChar = s.offsetByCodePoints(0, k - 1) // start of window's last cp
     while (i <= last) {
       digest.reset()
-      val winEnd = s.offsetByCodePoints(endChar, 1)
-      val d = digest.digest(s.substring(startChar, winEnd).getBytes("UTF-8"))
+      digest.update(bytes, starts(i), starts(i + k) - starts(i))
+      digest.digest(out32, 0, 32)
+      val d = out32
       var j = 0
       while (j < numHashes) {
         // slice j = digest bytes 4j..4j+3 == hex chars 8j..8j+7; unsigned
@@ -57,8 +75,6 @@ object MinHashSlicesImpl {
         if (v < mins(j)) mins(j) = v
         j += 1
       }
-      startChar = s.offsetByCodePoints(startChar, 1)
-      endChar = winEnd
       i += 1
     }
     val out = new Array[AnyRef](numHashes)

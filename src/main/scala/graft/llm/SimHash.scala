@@ -73,10 +73,14 @@ object SimHash {
     * byte-bands; by pigeonhole, any pair within hamming 3 matches on at
     * least one untouched band, so candidates come from equi-joins on
     * (band, byte) buckets — the same linear-vs-quadratic trade as MinHash
-    * LSH, which is what makes this runnable on a 100 TB corpus.
+    * LSH. Buckets over `bucketCap` docs are dropped (a byte band has only
+    * 256 values, so at corpus scale hot buckets are inevitable — the cap is
+    * the same guard as `MinHashDedup.candidatePairs`; a production-scale
+    * corpus would move to a 64-bit simhash with 16-bit bands before ever
+    * raising the cap).
     */
   def hammingPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, maxHamming: Int, bucketCap: Int = 10000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxHamming <= 3, "4 byte-bands guarantee recall only up to hamming 3")
     val h = docs.select(col(idCol), simhash32(col(textCol)).as("simhash"))
@@ -84,9 +88,13 @@ object SimHash {
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+    val okBuckets = bands.groupBy("band", "bv").count()
+      .filter(col("count") >= 2 && col("count") <= bucketCap)
+      .select("band", "bv")
+    val inOk = bands.join(okBuckets, Seq("band", "bv"))
+    val a = inOk.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
       col("band"), col("bv"))
-    val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+    val b = inOk.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
       col("band"), col("bv"))
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))

@@ -129,7 +129,16 @@ object Similarity {
     * — sampled ids, k-means output, or any externally-built codebook.
     */
   def ivfAssignTo(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroidFrame: DataFrame): DataFrame = {
+      centroidFrame: DataFrame): DataFrame =
+    ivfRank(embeddings, idCol, vecCol, centroidFrame, 1)
+      .select(col("vec_id"), col("centroid_id"), col("dist2"))
+
+  /** The `nRank` nearest centroids per vector (probe lists). Centroids are
+    * broadcast; the `WindowGroupLimit` rank-limit applies map-side, so the
+    * shuffle carries ≤ nRank×partitions rows per vector, not all K.
+    */
+  def ivfRank(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroidFrame: DataFrame, nRank: Int): DataFrame = {
     val centroids = centroidFrame
       .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"),
         norm2(col(vecCol)).as("__cn"))
@@ -144,7 +153,52 @@ object Similarity {
     joined
       .withColumn("dist2", d2)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id_").as("vec_id"), col("centroid_id"), col("dist2"))
+      .filter(col("__rn") <= nRank)
+      .select(col("vec_id_").as("vec_id"), col("centroid_id"), col("dist2"),
+        col("__rn").as("probe_rank"))
+  }
+
+  /** IVF-probed approximate top-k — the ANN scale path: each query scans
+    * ONLY the corpus buckets of its `nProbe` nearest centroids instead of
+    * the whole corpus. Centroid count defaults to ⌈√n⌉ (lowest-id sampled
+    * init, as in [[cosineNearDup]]), so expected bucket size is √n and
+    * per-query work is nProbe·√n versus n for [[cosineTopK]].
+    *
+    * At scale the corpus side is a join keyed on `centroid_id` — write the
+    * assignment bucketed/partitioned by centroid and the probe join prunes
+    * to the touched buckets; the (small) query×probe side broadcasts.
+    * Recall is the standard IVF trade: a true neighbor outside every probed
+    * bucket is missed.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nProbe: Int,
+      numCentroids: Option[Int] = None): DataFrame = {
+    val kc = numCentroids.getOrElse(
+      math.max(1, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt))
+    val centroidFrame = embeddings.orderBy(col(idCol)).limit(kc)
+    val corpus = embeddings
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+        norm2(col(vecCol)).as("__nn"))
+      .join(
+        ivfRank(embeddings, idCol, vecCol, centroidFrame, 1)
+          .select(col("vec_id").as("neighbor_id"), col("centroid_id")),
+        Seq("neighbor_id"))
+    val probes = ivfRank(embeddings.filter(isQuery), idCol, vecCol,
+        centroidFrame, nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val queries = embeddings.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn"))
+      .join(probes, Seq("query_id"))
+    val joined = corpus.join(broadcast(queries), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("cosine", dotDec(col("__qv"), col("__nv")).cast("double") /
+        (sqrt(col("__qn")) * sqrt(col("__nn"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

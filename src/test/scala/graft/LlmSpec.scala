@@ -117,6 +117,24 @@ class LlmSpec extends AnyFunSuite {
     assert(out(100L) == 0L && out(101L) == 1L && out(102L) == 0L)
   }
 
+  test("ivf top-k: probes limit the search to nearest buckets") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f)), (1L, Array(1.0f, 0.0f)), // centroids (lowest ids)
+      (10L, Array(0.1f, 1.0f)), // bucket 0
+      (11L, Array(1.0f, 0.1f)), // bucket 1 — similar to the query too
+      (100L, Array(0.2f, 1.0f)) // query, nearest centroid 0
+    ).toDF("vec_id", "embedding")
+    val q = $"vec_id" === 100
+    val one = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 5,
+        nProbe = 1, numCentroids = Some(2))
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(one == Set(0L, 10L)) // only bucket 0 scanned: 11 invisible
+    val two = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 5,
+        nProbe = 2, numCentroids = Some(2))
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(two == Set(0L, 10L, 1L, 11L)) // second probe opens bucket 1
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
