@@ -164,6 +164,71 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(rows == Map(1L -> None, 2L -> Some(7.5)))
   }
 
+  test("watermarked windowed counts: windows finalize only after watermark passes") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.types._
+    import java.sql.Timestamp
+    val src = tmp("wsrc"); val out = tmp("wout"); val ckpt = tmp("wckpt")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    def ev(id: Long, t: String) = (id, Timestamp.valueOf(t))
+    Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:15:00"))
+      .toDF("id", "ts").write.mode("append").parquet(src)
+
+    def run(): Unit = FileStreamIngest.runAvailableNowAppend(
+      StatefulOps.windowedCounts(
+        FileStreamIngest.bronzeStream(spark, src, schema), "ts", "1 hour", "1 hour"),
+      out, ckpt)
+    run()
+    val files1 = Files.walk(java.nio.file.Paths.get(out)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    // watermark hasn't passed 11:00 — the 10:00 window must NOT be emitted
+    assert(spark.read.schema(
+      "window_start timestamp, window_end timestamp, n long")
+      .parquet(out).count() == 0 || files1 == 0)
+
+    // an event at 13:30 pushes the watermark past the 10:00 window's end
+    Seq(ev(3, "2024-01-01 13:30:00")).toDF("id", "ts")
+      .write.mode("append").parquet(src)
+    run()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[Long]("n"))).toSet
+    assert(rows == Set(("2024-01-01 10:00:00.0", 2L))) // finalized exactly once
+  }
+
+  test("sessionize: gap-based sessions close in-line and via event-time timeout") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.types._
+    import java.sql.Timestamp
+    val src = tmp("ssrc"); val out = tmp("sout"); val ckpt = tmp("sckpt")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def ev(u: Long, t: String) = (u, Timestamp.valueOf(t))
+    Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:10:00"),
+      ev(2, "2024-01-01 10:00:00"))
+      .toDF("user_id", "ts").write.mode("append").parquet(src)
+
+    def run(): Unit = FileStreamIngest.runAvailableNowAppend(
+      StatefulOps.sessionize(
+        FileStreamIngest.bronzeStream(spark, src, schema), "user_id", "ts", 30).toDF(),
+      out, ckpt)
+    run() // nothing can close yet — watermark is behind every open session
+
+    // user 1 reappears after a >gap pause: closes their first session
+    // in-line AND drags the watermark past user 2's timeout
+    Seq(ev(1, "2024-01-01 12:00:00")).toDF("user_id", "ts")
+      .write.mode("append").parquet(src)
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).toSet
+    assert(got.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
+    assert(got.contains((2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L)))
+  }
+
   test("partitioned parquet sink: day partitions, idempotent unless forced") {
     val out = tmp("psink") + "/prices"
     val df = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("dt", "v")
