@@ -256,6 +256,15 @@ object Queries {
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10, nProbe = 3)
 
+  /** Whitespace + BPE-ish regex token counting (LLM token-cost proxy). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Winnowing rolling-hash fingerprints (k=8 grams, window 4). */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, w = 4)
+
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

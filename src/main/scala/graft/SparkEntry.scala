@@ -53,6 +53,8 @@ object SparkEntry {
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_simhash_hamming" -> (Queries.simhashHamming _),
     "q_ivf_topk" -> (Queries.ivfTopK _),
+    "q_token_count" -> (Queries.tokenCounts _),
+    "q_winnow" -> (Queries.winnow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,6 +529,34 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
            FROM pairs) r
          WHERE rank <= 10""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))
+             AS BIGINT) AS n_bpeish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
+
+    "q_winnow" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, length(text) - 7),
+               i -> list_reduce(
+                 list_transform(generate_series(0, 7),
+                   j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+                 (a, b) -> (a * 257 + b) % 1000000007)) AS hs
+           FROM documents WHERE length(text) >= 11),
+         wnw AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(hs) - 3),
+               i -> list_min(list_slice(hs, CAST(i AS INT), CAST(i + 3 AS INT))))) AS fp
+           FROM h)
+         SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+           list_min(fp) AS fp_min, list_max(fp) AS fp_max,
+           CAST(list_sum(fp) AS BIGINT) AS fp_sum
+         FROM wnw""",
 
     "q_embed_neardup" ->
       """WITH n2 AS (

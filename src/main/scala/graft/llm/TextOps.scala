@@ -64,6 +64,58 @@ object TextOps {
     df.select(col(idCol), fp.as("fingerprint"), substring(fp, 1, 4).as("fp_bucket"))
   }
 
+  /** BPE-ish pretokenizer pattern (GPT-2 family shape, ASCII classes only
+    * so Java and RE2 regex engines agree): contractions, space-prefixed
+    * letter runs, space-prefixed digit runs, space-prefixed punctuation
+    * runs, residual whitespace.
+    */
+  val bpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Token counting two ways (SURVEY text-analysis plane): whitespace
+    * tokens and a BPE-ish regex pretokenization — the cheap proxy for "how
+    * many LLM tokens does this document cost". Scan-local projection.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Winnowing fingerprints (the rolling-hash fingerprint family): k-gram
+    * polynomial rolling hashes (base 257 mod 1e9+7 over code points),
+    * window-of-w minima, per-document distinct set — summarized as
+    * count/min/max/sum so the result stays one row per document.
+    *
+    * Entirely array-built-ins inside one projection: no explode, no
+    * shuffle — the winnow window runs over the in-row hash array
+    * (`array_min(slice(...))`), so at corpus scale this is a pure
+    * parquet-scan-speed pass like the other TextOps.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val B = 257L
+    val M = 1000000007L
+    val hashes =
+      s"""transform(sequence(1, length($textCol) - ${k - 1}),
+            i -> aggregate(sequence(0, ${k - 1}), 0L,
+                   (acc, j) -> (acc * $B + ascii(substring($textCol, i + j, 1))) % $M))"""
+    val winnowed =
+      s"""array_distinct(transform(sequence(1, size(__hs) - ${w - 1}),
+            i -> array_min(slice(__hs, i, $w))))"""
+    df.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol), expr(hashes).as("__hs"))
+      .select(col(idCol), expr(winnowed).as("__fp"))
+      .select(
+        col(idCol),
+        size(col("__fp")).cast("long").as("n_fp"),
+        expr("array_min(__fp)").as("fp_min"),
+        expr("array_max(__fp)").as("fp_max"),
+        expr("aggregate(__fp, 0L, (a, x) -> a + x)").as("fp_sum"))
+  }
+
   /** Character k-shingles as (id, shingle) rows. Guarded so texts shorter
     * than k yield no rows (`sequence` would count DOWN for start > stop).
     * `distinct=false` skips the per-corpus dedup shuffle — correct whenever

@@ -145,6 +145,28 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[String]("pred_lang") == "en")
   }
 
+  test("token counts: whitespace vs BPE-ish pretokenization") {
+    val df = Seq((1L, "I'll pay $42 now")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_ws_tokens") == 4)
+    // I | 'll | ␣pay | ␣$ | 42 | ␣now
+    assert(r.getAs[Long]("n_bpeish_tokens") == 6)
+    assert(r.getAs[Long]("n_chars") == 16)
+  }
+
+  test("winnow fingerprints: duplicates agree, short docs drop out") {
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq((1L, txt), (2L, txt), (3L, "a completely different sentence here"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val out = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_fp"), r.getAs[Long]("fp_min"), r.getAs[Long]("fp_sum"))).toMap
+    assert(!out.contains(4L)) // shorter than k+w-1
+    assert(out(1L) == out(2L)) // identical text → identical fingerprint set
+    assert(out(1L) != out(3L))
+    assert(out(1L)._1 > 0)
+  }
+
   test("fingerprint is invariant to case/punctuation/extra whitespace") {
     val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")
