@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.registerTempFunction
+import org.apache.spark.sql.types.IntegerType
+
+import graft.llm.{DotDecimal, MinHashSlices, SimHash32}
+
+/** SQL surface for the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT simhash32(text) ...")` works next to the Column API.
+  *
+  * Two activation paths, same builders:
+  *   - cluster-wide: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *     (constructor injection via [[SparkSessionExtensions.injectFunction]],
+  *     the supported plugin mechanism for third-party expression libraries);
+  *   - per-session at runtime: [[GraftFunctions.register]].
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash32" -> {
+      case Seq(c) => SimHash32(c)
+      case args => throw new IllegalArgumentException(
+        s"simhash32(text) takes 1 argument, got ${args.length}")
+    },
+    "minhash_slices" -> {
+      case Seq(c, k, n) =>
+        MinHashSlices(c, intLit(k, "k"), intLit(n, "numHashes"))
+      case args => throw new IllegalArgumentException(
+        s"minhash_slices(text, k, numHashes) takes 3 arguments, got ${args.length}")
+    },
+    "dot_decimal" -> {
+      case Seq(a, b) => DotDecimal(a, b)
+      case args => throw new IllegalArgumentException(
+        s"dot_decimal(a, b) takes 2 arguments, got ${args.length}")
+    })
+
+  /** Register all functions as temp functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      registerTempFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

@@ -142,6 +142,36 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("custom expressions callable from SQL after runtime registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash32('alpha beta') AS sh,
+                dot_decimal(array(1.5D, 2.0D), array(3.0D, 4.0D)) AS dd,
+                minhash_slices('abcdefghij', 3, 8) AS mh""").collect()(0)
+    assert(r.getAs[Long]("sh") ==
+      graft.llm.SimHashImpl.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta")))
+    assert(r.getAs[Double]("dd") == 12.5)
+    assert(r.getAs[scala.collection.Seq[String]]("mh").length == 8)
+  }
+
+  test("GraftExtensions injects the functions into a session built with it") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // shares the SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions()).getOrCreate()
+      val got = s2.sql("SELECT simhash32('x y z') AS sh").collect()(0).getLong(0)
+      assert(got == graft.llm.SimHashImpl.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x y z")))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("bench timeQuery: failure yields err marker, never a timing") {
     val ok = Bench.timeQuery(spark, TestSpark.sfDir, (s, d) => Tables.nation(s, d))
     assert(ok.isRight && ok.toOption.get >= 0.0)

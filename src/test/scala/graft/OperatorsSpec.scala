@@ -134,6 +134,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map("2024-01-16" -> 1, "2024-01-12" -> 2, "2024-01-11" -> 3))
   }
 
+  test("salted join: identical result to the plain join on a skewed key") {
+    val big = (1 to 500).map(i => (if (i <= 450) 7L else i.toLong, i))
+      .toDF("k", "payload") // key 7 holds 90% of rows
+    val small = Seq((7L, "hot"), (480L, "cold"), (999L, "absent")).toDF("k", "label")
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltFactor = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    // left join keeps unmatched big rows exactly once
+    val leftPlain = big.join(small, Seq("k"), "left").count()
+    assert(Skew.saltedJoin(big, small, Seq("k"), 8, "left").count() == leftPlain)
+  }
+
   test("filterToTradingDays keeps only trading-day facts") {
     val facts = Seq(("2024-01-12", 1), ("2024-01-13", 2), ("2024-01-15", 3),
       ("2024-01-16", 4)).toDF("ds", "id")
