@@ -70,4 +70,63 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** STUB resize kernel: a real implementation hands the payload to an
+    * image scaler; the fake is deterministic (truncate/cycle bytes to a
+    * target-size-derived length) so the pipeline contract is testable.
+    */
+  def fakeResize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val outLen = math.max(1, (targetW * targetH) / 64)
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length); i += 1
+    }
+    out
+  }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Resize every payload to (targetW × targetH) — per-partition batching,
+    * output is again a media-shaped frame so resizes chain with the other
+    * multimodal stages.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), fakeResize(r.getAs[Array[Byte]]("media"), targetW, targetH),
+          targetW, targetH)
+      }
+    }(enc)
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Frame sampling for video-shaped payloads: every `stride`-th fixed-size
+    * chunk becomes one output row (doc_id, frame_idx, frame) — the 1→N
+    * explode shape of real frame extraction, with deterministic fake
+    * "frames" (byte chunks) standing in for a video decoder.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          Row(r.getLong(0), f,
+            java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }(enc)
+  }
 }

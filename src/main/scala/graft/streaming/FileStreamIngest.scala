@@ -106,6 +106,27 @@ object FileStreamIngest {
     runAvailableNowForeachBatch(df, checkpointDir)(
       graft.sinks.Sinks.evolvingAppend(_, outDir))
 
+  /** Streaming DQ gate (the reference's expectation suite applied at ingest
+    * time, `validation/expectations_prices.json` +
+    * `docs/databricks_setup.md` DQ flow): each micro-batch splits on the
+    * rules — passing rows append to `outDir`, failing rows land in
+    * `quarantineDir` with their `dq_reason`. One pass over the cached batch
+    * feeds both sinks.
+    */
+  def runAvailableNowWithExpectations(df: DataFrame, outDir: String,
+      quarantineDir: String, checkpointDir: String,
+      rules: Seq[graft.operators.Expectations.Expectation]): Unit =
+    runAvailableNowForeachBatch(df, checkpointDir) { batch =>
+      import graft.operators.Expectations
+      val cached = batch.persist()
+      try {
+        Expectations.enforce(cached, rules)
+          .write.mode(SaveMode.Append).parquet(outDir)
+        Expectations.quarantine(cached, rules)
+          .write.mode(SaveMode.Append).parquet(quarantineDir)
+      } finally cached.unpersist()
+    }
+
   /** Silver: AvailableNow stream where each micro-batch latest-wins-merges
     * into the parquet snapshot at `targetDir` (CDF emulation: the batch is
     * the change set). Unpartitioned legacy variant.

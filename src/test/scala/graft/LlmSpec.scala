@@ -224,6 +224,22 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Set((10L, 11L))) // mega-block contributed no pairs
   }
 
+  test("multimodal resize + frame sampling: shapes and determinism") {
+    val docs = Seq((1L, "0123456789abcdef0123456789abcdef"), (2L, "xy"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaColumn(docs, "doc_id", "text")
+    val rs = Multimodal.resize(media, 128, 128).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    assert(rs(1L).length == 128 * 128 / 64 && rs(2L).length == rs(1L).length)
+    assert(rs(1L).toSeq == Multimodal.resize(media, 128, 128).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap.apply(1L).toSeq)
+    // 32-byte payload, 8-byte frames, stride 2 → frames 0 and 2
+    val fr = Multimodal.sampleFrames(media.filter($"doc_id" === 1), 8, 2).collect()
+    assert(fr.map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+    assert(new String(fr.find(_.getInt(1) == 0).get.getAs[Array[Byte]]("frame"), "UTF-8")
+      == "01234567")
+  }
+
   test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {
     val docs = Seq((1L, "some payload"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaColumn(docs, "doc_id", "text")

@@ -164,6 +164,30 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(rows == Map(1L -> None, 2L -> Some(7.5)))
   }
 
+  test("streaming DQ gate: passing rows to out, failing rows quarantined with reason") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Expectations
+    val src = tmp("qsrc"); val out = tmp("qout"); val quar = tmp("qquar"); val ckpt = tmp("qckpt")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val rules = Seq(Expectations.Expectation("nonneg_v", $"v" >= 0))
+    Seq((1L, 1.0), (2L, -5.0), (3L, 2.0)).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowWithExpectations(
+      FileStreamIngest.bronzeStream(spark, src, schema), out, quar, ckpt, rules)
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val q = spark.read.parquet(quar).collect()
+    assert(q.length == 1 && q(0).getAs[Long]("id") == 2L
+      && q(0).getAs[String]("dq_reason") == "nonneg_v")
+
+    // second trigger processes only the delta
+    Seq((4L, -1.0)).toDF("id", "v").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowWithExpectations(
+      FileStreamIngest.bronzeStream(spark, src, schema), out, quar, ckpt, rules)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(spark.read.parquet(quar).count() == 2)
+  }
+
   test("watermarked windowed counts: windows finalize only after watermark passes") {
     import graft.streaming.StatefulOps
     import org.apache.spark.sql.types._
