@@ -60,6 +60,20 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Bucketed managed table: hash-bucket by join key so equi-joins and
+    * aggregations on `bucketCols` between co-bucketed tables run with NO
+    * shuffle exchange — the co-located-join layout for fact×fact joins at
+    * scale (where neither side broadcasts). Requires a catalog name
+    * (bucket metadata lives in the table definition, not the files).
+    */
+  def bucketedTable(df: DataFrame, name: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+
   /** Write-side schema evolution (the reference's `mergeSchema=true` write
     * option, `bronze_prices_auto_loader.ipynb` cell 3 line 122): append the
     * batch with its own (possibly wider) schema; parquet files keep their

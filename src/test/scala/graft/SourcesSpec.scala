@@ -66,6 +66,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("nation_reg"))
   }
 
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    import graft.sinks.Sinks
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    val customer = spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Sinks.bucketedTable(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", Seq("o_custkey"), 4)
+    Sinks.bucketedTable(customer.select("o_custkey", "c_name"),
+      "customer_b", Seq("o_custkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(j.count() ==
+        orders.join(customer, Seq("o_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("unionAll folds by name across frames") {
     val a = Seq((1L, "x")).toDF("id", "s")
     val b = Seq(("y", 2L)).toDF("s", "id") // different column order
