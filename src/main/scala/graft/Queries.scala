@@ -256,6 +256,10 @@ object Queries {
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10, nProbe = 3)
 
+  /** N-gram-profile language ID (trigram occurrence scoring + argmax). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextOps.langIdNgram(Tables.documents(s, dir), "doc_id", "text")
+
   /** Whitespace + BPE-ish regex token counting (LLM token-cost proxy). */
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")

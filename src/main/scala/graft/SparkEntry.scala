@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ivf_topk" -> (Queries.ivfTopK _),
     "q_token_count" -> (Queries.tokenCounts _),
     "q_winnow" -> (Queries.winnow _),
+    "q_lang_id" -> (Queries.langId _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -529,6 +530,30 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
            FROM pairs) r
          WHERE rank <= 10""",
+
+    "q_lang_id" ->
+      """WITH sc AS (
+           SELECT doc_id,
+             CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'and', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ing', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ion', '')))
+               + (length(lower(text)) - length(replace(lower(text), ' of', ''))) AS BIGINT) AS score_en,
+             CAST((length(lower(text)) - length(replace(lower(text), 'der', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'sch', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ein', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ich', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'und', ''))) AS BIGINT) AS score_de,
+             CAST((length(lower(text)) - length(replace(lower(text), 'les', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ent', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'que', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'des', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ais', ''))) AS BIGINT) AS score_fr
+           FROM documents)
+         SELECT doc_id, score_en, score_de, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         FROM sc""",
 
     "q_token_count" ->
       """SELECT doc_id,

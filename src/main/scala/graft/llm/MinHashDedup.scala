@@ -53,6 +53,10 @@ object MinHashDedup {
         struct(lit(i).as("band"),
           concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
+    // the ok-bucket list grows with the number of dup clusters — small on
+    // most corpora but NOT bounded, so the broadcast decision is left to
+    // AQE's runtime join-strategy switch (safe at 100 TB, broadcast-fast
+    // when the actual size allows)
     val okBuckets = bands.groupBy("band", "sig").count()
       .filter(col("count") >= 2 && col("count") <= bucketCap)
       .select("band", "sig")
@@ -105,6 +109,8 @@ object MinHashDedup {
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
       .distinct()
+    // candidate-doc count scales with near-dup density, not a constant —
+    // AQE picks broadcast vs shuffle semi-join from the runtime size
     val shingles = raw.join(candDocs, Seq(idCol), "left_semi").distinct()
       .persist(MEMORY_AND_DISK)
     val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))

@@ -91,7 +91,7 @@ object SimHash {
     val okBuckets = bands.groupBy("band", "bv").count()
       .filter(col("count") >= 2 && col("count") <= bucketCap)
       .select("band", "bv")
-    val inOk = bands.join(okBuckets, Seq("band", "bv"))
+    val inOk = bands.join(broadcast(okBuckets), Seq("band", "bv"))
     val a = inOk.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
       col("band"), col("bv"))
     val b = inOk.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),

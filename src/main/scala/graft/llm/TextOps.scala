@@ -64,6 +64,34 @@ object TextOps {
     df.select(col(idCol), fp.as("fingerprint"), substring(fp, 1, 4).as("fp_bucket"))
   }
 
+  /** Characteristic trigram profiles for the n-gram language-ID heuristic.
+    * Tiny on purpose — production swaps in learned profiles; the operator
+    * shape (occurrence scoring + argmax) is what matters.
+    */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion", " of"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "fr" -> Seq("les", "ent", "que", "des", "ais"))
+
+  /** Language ID via n-gram occurrence scoring: per language, total
+    * characters matched by its characteristic trigrams in the lowercased
+    * text; prediction = argmax with first-profile tie-break. Scan-local
+    * string built-ins only.
+    */
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lt = lower(col(textCol))
+    val scores = langTrigrams.map { case (lang, grams) =>
+      lang -> grams.map(g => length(lt) - length(regexp_replace(lt, g, "")))
+        .reduce(_ + _).cast("long")
+    }
+    val Seq(en, de, fr) = scores.map(_._2)
+    df.select(
+      col(idCol),
+      en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
+      when(en >= de && en >= fr, "en")
+        .when(de >= fr, "de").otherwise("fr").as("pred_lang"))
+  }
+
   /** BPE-ish pretokenizer pattern (GPT-2 family shape, ASCII classes only
     * so Java and RE2 regex engines agree): contractions, space-prefixed
     * letter runs, space-prefixed digit runs, space-prefixed punctuation

@@ -145,6 +145,17 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[String]("pred_lang") == "en")
   }
 
+  test("n-gram language ID picks the dominant trigram profile") {
+    val df = Seq(
+      (1L, "the king and the queen are singing of the nation"),
+      (2L, "der schneider und der schuler sind einig und ich auch"),
+      (3L, "les etudiants naient que des questions anciennes et des idees")
+    ).toDF("doc_id", "text")
+    val out = TextOps.langIdNgram(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
   test("token counts: whitespace vs BPE-ish pretokenization") {
     val df = Seq((1L, "I'll pay $42 now")).toDF("doc_id", "text")
     val r = TextOps.tokenCounts(df, "doc_id", "text").collect()(0)
