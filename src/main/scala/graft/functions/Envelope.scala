@@ -226,6 +226,15 @@ object Envelope {
   def canonicalize(s: String): String =
     if (s == null) null else MiniJson.write(MiniJson.parse(s)._1)
 
+  /** Rescue-friendly canonicalization: malformed payloads yield null
+    * instead of failing the job (the raw-zone posture — bad rows land in
+    * quarantine/_rescued_data, they don't kill a 100 TB backfill).
+    */
+  def canonicalizeOrNull(s: String): String =
+    try canonicalize(s) catch { case _: Exception => null }
+
+  val canonicalizeOrNullUdf = udf(canonicalizeOrNull _)
+
   /** Exposed for fixture tests against CPython output. */
   private[graft] def pyFloatRepr(d: Double): String = MiniJson.pyFloatRepr(d)
 
