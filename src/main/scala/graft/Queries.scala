@@ -96,6 +96,14 @@ object Queries {
       Seq("user_id"), "day", "ts")
       .select("user_id", "n", "latest_ts")
 
+  /** Gap-based sessions over events (12h gap; batch twin of the streaming
+    * sessionizer).
+    */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame =
+    Aggregates.sessionizeBatch(
+      Tables.events(s, dir).select("user_id", "ts", "event_id"),
+      "user_id", "ts", Seq(col("ts"), col("event_id")), gapMinutes = 720)
+
   // ---- analytics plane over the TPC-H-ish star schema
 
   /** Pricing-summary aggregate (reference A1/A5 family at fact-table scale;

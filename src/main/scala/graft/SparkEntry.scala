@@ -31,6 +31,7 @@ object SparkEntry {
     "q_coverage" -> (Queries.coverage _),
     "q_topk_users" -> (Queries.topkUsers _),
     "q_latest_day_monitor" -> (Queries.latestDayMonitor _),
+    "q_sessionize" -> (Queries.sessionizeEvents _),
     "q1_pricing_summary" -> (Queries.pricingSummary _),
     "q6_revenue_filter" -> (Queries.revenueFilter _),
     "q_revenue_by_nation" -> (Queries.revenueByNation _),
@@ -173,6 +174,23 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
          GROUP BY user_id""",
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 43200000000
+                  THEN 1 ELSE 0 END AS nf
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+             CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, session_id""",
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

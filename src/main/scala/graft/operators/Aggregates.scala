@@ -42,6 +42,31 @@ object Aggregates {
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Batch sessionization (the oracle-verifiable twin of
+    * `streaming.StatefulOps.sessionize`): gap-based sessions via the
+    * classic lag-flag + cumulative-sum pattern — one shuffle on the key,
+    * two window passes, one aggregate; `orderCols` must totally order rows
+    * within a key (include a unique tiebreaker) for determinism.
+    */
+  def sessionizeBatch(df: DataFrame, userCol: String, tsCol: String,
+      orderCols: Seq[Column], gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val us = unix_micros(col(tsCol))
+    val newFlag = when(
+      lag(us, 1).over(w).isNull || us - lag(us, 1).over(w) >= gapUs, 1L)
+      .otherwise(0L)
+    df.withColumn("__nf", newFlag)
+      .withColumn("session_id", sum(col("__nf"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** A6: latest-day ingest monitor — counts + max arrival per key on the most
     * recent day in the data (`docs/databricks_setup.md:301-310` uses
     * CURRENT_DATE; pinned to max(day) for reproducibility).

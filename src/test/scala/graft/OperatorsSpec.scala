@@ -134,6 +134,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map("2024-01-16" -> 1, "2024-01-12" -> 2, "2024-01-11" -> 3))
   }
 
+  test("batch sessionize: gap splits sessions, counts and bounds correct") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:10:00", 2L),
+      (1L, "2024-01-01 22:30:00", 3L), // 12h20m after the previous → new session
+      (2L, "2024-01-01 09:00:00", 4L)
+    ).map { case (u, t, e) => (u, Timestamp.valueOf(t), e) }
+      .toDF("user_id", "ts", "event_id")
+    val out = Aggregates.sessionizeBatch(ev, "user_id", "ts",
+        Seq($"ts", $"event_id"), gapMinutes = 720)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2).toString, r.getTimestamp(3).toString, r.getLong(4))).toMap
+    assert(out((1L, 1L)) == ("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L))
+    assert(out((1L, 2L)) == ("2024-01-01 22:30:00.0", "2024-01-01 22:30:00.0", 1L))
+    assert(out((2L, 1L)) == ("2024-01-01 09:00:00.0", "2024-01-01 09:00:00.0", 1L))
+  }
+
   test("salted join: identical result to the plain join on a skewed key") {
     val big = (1 to 500).map(i => (if (i <= 450) 7L else i.toLong, i))
       .toDF("k", "payload") // key 7 holds 90% of rows
