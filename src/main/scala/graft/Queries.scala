@@ -96,6 +96,11 @@ object Queries {
       Seq("user_id"), "day", "ts")
       .select("user_id", "n", "latest_ts")
 
+  /** Exact per-type value percentiles (DQ distribution monitor). */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame =
+    Aggregates.quantileSummary(Tables.events(s, dir), Seq("event_type"),
+      "value", Seq(0.25, 0.5, 0.75, 0.95))
+
   /** Gap-based sessions over events (12h gap; batch twin of the streaming
     * sessionizer).
     */

@@ -32,6 +32,7 @@ object SparkEntry {
     "q_topk_users" -> (Queries.topkUsers _),
     "q_latest_day_monitor" -> (Queries.latestDayMonitor _),
     "q_sessionize" -> (Queries.sessionizeEvents _),
+    "q_value_quantiles" -> (Queries.valueQuantiles _),
     "q1_pricing_summary" -> (Queries.pricingSummary _),
     "q6_revenue_filter" -> (Queries.revenueFilter _),
     "q_revenue_by_nation" -> (Queries.revenueByNation _),
@@ -174,6 +175,14 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
          GROUP BY user_id""",
+
+    "q_value_quantiles" ->
+      """SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.75) AS p75,
+           quantile_disc(value, 0.95) AS p95
+         FROM events GROUP BY event_type""",
 
     "q_sessionize" ->
       """WITH flagged AS (

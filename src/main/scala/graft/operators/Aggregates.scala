@@ -67,6 +67,21 @@ object Aggregates {
         count(lit(1)).as("n_events"))
   }
 
+  /** Distribution summary for DQ monitoring: exact discrete percentiles
+    * per group (`percentile_disc` picks actual data values — cross-engine
+    * deterministic, unlike interpolated percentiles whose rounding can
+    * drift). Exact percentiles sort within groups; at 100 TB swap in
+    * `approx_percentile` for a sketch-merge plan — same call shape.
+    */
+  def quantileSummary(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    val aggs = ps.map { p =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)")
+        .as(s"p${(p * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** A6: latest-day ingest monitor — counts + max arrival per key on the most
     * recent day in the data (`docs/databricks_setup.md:301-310` uses
     * CURRENT_DATE; pinned to max(day) for reproducibility).
