@@ -96,6 +96,16 @@ object Queries {
       Seq("user_id"), "day", "ts")
       .select("user_id", "n", "latest_ts")
 
+  /** A2 null-count audit as a direct oracle query. */
+  def nullAudit(s: SparkSession, dir: String): DataFrame =
+    Aggregates.nullAudit(Tables.events(s, dir), Seq("user_id", "value", "props"))
+
+  /** O5 multi-key dropDuplicates (key projection keeps it deterministic). */
+  def distinctKeys(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDupKeys(
+      Tables.events(s, dir).select("user_id", "event_type"),
+      Seq("user_id", "event_type"))
+
   /** Exact per-type value percentiles (DQ distribution monitor). */
   def valueQuantiles(s: SparkSession, dir: String): DataFrame =
     Aggregates.quantileSummary(Tables.events(s, dir), Seq("event_type"),

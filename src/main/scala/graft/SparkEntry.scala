@@ -33,6 +33,8 @@ object SparkEntry {
     "q_latest_day_monitor" -> (Queries.latestDayMonitor _),
     "q_sessionize" -> (Queries.sessionizeEvents _),
     "q_value_quantiles" -> (Queries.valueQuantiles _),
+    "q_null_audit" -> (Queries.nullAudit _),
+    "q_distinct_keys" -> (Queries.distinctKeys _),
     "q1_pricing_summary" -> (Queries.pricingSummary _),
     "q6_revenue_filter" -> (Queries.revenueFilter _),
     "q_revenue_by_nation" -> (Queries.revenueByNation _),
@@ -175,6 +177,16 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
          GROUP BY user_id""",
+
+    "q_null_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user_id,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props
+         FROM events""",
+
+    "q_distinct_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
 
     "q_value_quantiles" ->
       """SELECT event_type,
