@@ -83,7 +83,7 @@ object SimHash {
       textCol: String, maxHamming: Int, bucketCap: Int = 10000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxHamming <= 3, "4 byte-bands guarantee recall only up to hamming 3")
-    val h = docs.select(col(idCol), simhash32(col(textCol)).as("simhash"))
+    val h = Spread(docs).select(col(idCol), simhash32(col(textCol)).as("simhash"))
     val bands = h.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))

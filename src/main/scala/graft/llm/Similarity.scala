@@ -22,16 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Spread a single-split input across the cluster before per-row-heavy
-    * projections (dot products against a broadcast side). A well-split
-    * input (≥ half the available slots) is left alone — at scale the
-    * corpus already has thousands of splits and a round-robin shuffle
-    * would cost more than it buys.
-    */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** Exact decimal-accumulated dot product of two array<float/double> cols,
     * as double. Native codegen'd expression ([[DotDecimal]]) — bit-identical

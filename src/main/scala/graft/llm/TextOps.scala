@@ -133,7 +133,7 @@ object TextOps {
     val winnowed =
       s"""array_distinct(transform(sequence(1, size(__hs) - ${w - 1}),
             i -> array_min(slice(__hs, i, $w))))"""
-    df.filter(length(col(textCol)) >= k + w - 1)
+    Spread(df).filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol), expr(hashes).as("__hs"))
       .select(col(idCol), expr(winnowed).as("__fp"))
       .select(
