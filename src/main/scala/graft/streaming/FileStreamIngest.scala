@@ -106,6 +106,18 @@ object FileStreamIngest {
     runAvailableNowForeachBatch(df, checkpointDir)(
       graft.sinks.Sinks.evolvingAppend(_, outDir))
 
+  /** Streaming dedup on ingest: duplicate records (same `idCols`) arriving
+    * within `delay` of each other are emitted once; state expires with the
+    * watermark so it stays bounded on an unbounded stream — the streaming-
+    * native alternative to deduping in the Silver merge when duplicates
+    * are known to arrive close together (retried uploads, at-least-once
+    * sources).
+    */
+  def dedupWithinWatermark(df: DataFrame, idCols: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Streaming DQ gate (the reference's expectation suite applied at ingest
     * time, `validation/expectations_prices.json` +
     * `docs/databricks_setup.md` DQ flow): each micro-batch splits on the

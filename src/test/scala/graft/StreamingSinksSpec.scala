@@ -164,6 +164,63 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(rows == Map(1L -> None, 2L -> Some(7.5)))
   }
 
+  test("streaming dedup within watermark: retried records emitted once") {
+    import org.apache.spark.sql.types._
+    import java.sql.Timestamp
+    val src = tmp("dsrc"); val out = tmp("dout"); val ckpt = tmp("dckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def ev(id: Long, t: String, v: Double) = (id, Timestamp.valueOf(t), v)
+    // same event_id twice in the batch (an at-least-once retry)
+    Seq(ev(1, "2024-01-01 10:00:00", 1.0), ev(1, "2024-01-01 10:00:05", 1.0),
+      ev(2, "2024-01-01 10:01:00", 2.0))
+      .toDF("event_id", "ts", "v").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.dedupWithinWatermark(
+        FileStreamIngest.bronzeStream(spark, src, schema),
+        Seq("event_id"), "ts", "10 minutes"),
+      out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+    // a second retry of id=1 arriving within the watermark is suppressed too
+    Seq(ev(1, "2024-01-01 10:02:00", 1.0), ev(3, "2024-01-01 10:03:00", 3.0))
+      .toDF("event_id", "ts", "v").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.dedupWithinWatermark(
+        FileStreamIngest.bronzeStream(spark, src, schema),
+        Seq("event_id"), "ts", "10 minutes"),
+      out, ckpt)
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("end-to-end: streamed bronze->silver matches the batch pipeline") {
+    import org.apache.spark.sql.types._
+    val src = tmp("e2src"); val silver = tmp("e2tgt") + "/silver"; val ckpt = tmp("e2ckpt")
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        to_date($"ts").as("day"))
+    // two waves in arrival order (MERGE semantics assume batches don't
+    // carry rows older than already-merged ones for the same key)
+    val cutoff = lit("2024-01-15").cast("date")
+    ev.filter($"day" <= cutoff).write.mode("append").parquet(src)
+    val schema = ev.schema
+    def drain(): Unit = FileStreamIngest.runAvailableNowUpsertPartitioned(
+      FileStreamIngest.bronzeStream(spark, src, schema), silver, ckpt,
+      keys = Seq("user_id", "event_type", "day"),
+      order = Seq($"ts".desc, $"event_id".desc), dayCol = "day")
+    drain()
+    ev.filter($"day" > cutoff).write.mode("append").parquet(src)
+    drain()
+    // the streamed silver equals the one-shot batch dedup of ALL events
+    val batch = graft.operators.Dedup.keepLast(ev,
+      Seq("user_id", "event_type", "day"), Seq($"ts".desc, $"event_id".desc))
+    val streamed = spark.read.parquet(silver)
+      .select(batch.columns.map(col): _*)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming DQ gate: passing rows to out, failing rows quarantined with reason") {
     import org.apache.spark.sql.types._
     import graft.operators.Expectations
