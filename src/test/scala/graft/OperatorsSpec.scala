@@ -109,6 +109,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("q") == None)               // other key unaffected
   }
 
+  test("as-of join matches a naive per-row model on 200 random rows") {
+    val rnd = new scala.util.Random(7L)
+    val facts = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val dim = (1 to 60).map(_ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
+      // joinLastValue requires dim unique per (key, time): keep max value
+      .groupBy(d => (d._1, d._2)).map(_._2.maxBy(_._3)).toSeq
+    val fdf = facts.toDF("k", "t", "fid")
+    val ddf = dim.toDF("k", "t", "dv")
+    val got = AsOf.joinLastValue(fdf, ddf, "k", "t", "dv", "asof")
+      .collect().map(r => r.getAs[Long]("fid") -> Option(r.getAs[Any]("asof"))).toMap
+    val model = facts.map { case (k, t, fid) =>
+      val candidates = dim.filter(d => d._1 == k && d._2 <= t)
+      fid -> (if (candidates.isEmpty) None
+              else Some(candidates.maxBy(_._2)._3))
+    }.toMap
+    assert(got == model)
+  }
+
   test("calendar: weekday/holiday/trading flags and previous trading day") {
     val days = Seq("2024-01-12", "2024-01-13", "2024-01-15", "2024-01-16")
       .toDF("d").select(to_date($"d").as("day"))
