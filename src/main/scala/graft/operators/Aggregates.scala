@@ -36,6 +36,21 @@ object Aggregates {
         countDistinct(col(dateCol)).as("n_days"),
         count(lit(1)).as("n_rows"))
 
+  /** A5 at 100 TB: sketch-based coverage. `countDistinct` shuffles every
+    * distinct (key, day) pair; the HLL++ sketch merges map-side, so the
+    * shuffle carries one fixed-size sketch per key per partition. Oracle
+    * compare is impossible across engines (different sketches) — the spec
+    * bounds the error against the exact count instead.
+    */
+  def coverageApprox(df: DataFrame, keyCols: Seq[String], dateCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        min(col(dateCol)).as("first_day"),
+        max(col(dateCol)).as("last_day"),
+        approx_count_distinct(col(dateCol), rsd).as("n_days_approx"),
+        count(lit(1)).as("n_rows"))
+
   /** O2: deterministic top-k — `order` must totally order rows (include a
     * unique tiebreaker) so the k-th row is well-defined.
     */

@@ -154,6 +154,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map("2024-01-16" -> 1, "2024-01-12" -> 2, "2024-01-11" -> 3))
   }
 
+  test("approx coverage: HLL distinct-day counts within 5% of exact") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .withColumn("day", to_date($"ts"))
+    val exact = Aggregates.coverage(ev, Seq("user_id"), "day")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_days")).toMap
+    val approx = Aggregates.coverageApprox(ev, Seq("user_id"), "day")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_days_approx")).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) <= 0.05, s"user $k: $a vs ${exact(k)}")
+    }
+  }
+
   test("batch sessionize: gap splits sessions, counts and bounds correct") {
     import java.sql.Timestamp
     val ev = Seq(
