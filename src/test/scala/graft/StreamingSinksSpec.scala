@@ -339,6 +339,27 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(back.columns.contains("endpoint")) // partition column recovered
   }
 
+  test("streaming metrics listener: one JSON line per micro-batch with input rows") {
+    import graft.streaming.MetricsListener
+    val src = tmp("msrc"); val out = tmp("mout"); val ckpt = tmp("mckpt")
+    val metrics = tmp("mfile") + "/metrics.jsonl"
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+    df.write.mode("append").parquet(src)
+    val l = MetricsListener.attach(spark, metrics)
+    try {
+      FileStreamIngest.runAvailableNowAppend(
+        FileStreamIngest.bronzeStream(spark, src, df.schema), out, ckpt)
+      // listener events are async — wait briefly for the progress flush
+      val deadline = System.currentTimeMillis() + 15000
+      while (!Files.exists(java.nio.file.Paths.get(metrics))
+        && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val lines = Files.readAllLines(java.nio.file.Paths.get(metrics))
+      assert(!lines.isEmpty)
+      val parsed = spark.read.json(metrics)
+      assert(parsed.select(sum($"num_input_rows")).collect()(0).getLong(0) == 3L)
+    } finally spark.streams.removeListener(l)
+  }
+
   test("metrics sink appends one JSON document per run") {
     val out = tmp("msink") + "/metrics"
     val m = Sinks.RunMetrics("r1", "events", "2024-01-01T00:00:00", "2024-01-01T00:01:00", 100, 98, 2)
