@@ -47,20 +47,23 @@ object MinHashDedup {
     * bucket, skipping buckets larger than `bucketCap`.
     */
   def candidatePairs(sigs: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bands = sigs.select(
       col(idCol),
       explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
           concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
-    // the ok-bucket list grows with the number of dup clusters — small on
-    // most corpora but NOT bounded, so the broadcast decision is left to
-    // AQE's runtime join-strategy switch (safe at 100 TB, broadcast-fast
-    // when the actual size allows)
-    val okBuckets = bands.groupBy("band", "sig").count()
-      .filter(col("count") >= 2 && col("count") <= bucketCap)
-      .select("band", "sig")
-    val inOk = bands.join(okBuckets, Seq("band", "sig"))
+    // bucket-size gate as a WINDOW count over the (band, sig) shuffle the
+    // self-join needs anyway — the join below reuses that partitioning, so
+    // the whole candidate stage is ONE exchange (vs a separate count
+    // aggregate + gating join). The count never materializes a mega-bucket;
+    // oversized buckets are filtered before the join explodes them.
+    val w = Window.partitionBy(col("band"), col("sig"))
+    val inOk = bands
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") >= 2 && col("__bn") <= bucketCap)
+      .drop("__bn")
     inOk.as("a").join(inOk.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -88,10 +88,14 @@ object SimHash {
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val okBuckets = bands.groupBy("band", "bv").count()
-      .filter(col("count") >= 2 && col("count") <= bucketCap)
-      .select("band", "bv")
-    val inOk = bands.join(broadcast(okBuckets), Seq("band", "bv"))
+    // bucket gate as a window count over the (band, bv) shuffle the
+    // self-join reuses — one exchange for the whole candidate stage
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bv"))
+    val inOk = bands
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") >= 2 && col("__bn") <= bucketCap)
+      .drop("__bn")
     val a = inOk.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
       col("band"), col("bv"))
     val b = inOk.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
