@@ -232,6 +232,17 @@ object Queries {
     MinHashDedup.verifiedPairs(Tables.documents(s, dir), "doc_id", "text",
       k = 16, bucketCap = 50)
 
+  /** Dedup clusters: connected components over verified MinHash pairs at
+    * jaccard ≥ 0.5 — cluster_id = min reachable doc id, singletons keep
+    * their own id.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = MinHashDedup.verifiedPairs(docs, "doc_id", "text",
+      k = 16, bucketCap = 50).filter(col("jaccard") >= 0.5)
+    MinHashDedup.connectedComponents(docs, "doc_id", edges)
+  }
+
   def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))

@@ -142,6 +142,107 @@ object MinHashDedup {
     out
   }
 
+  /** Connected components over near-dup pairs: every document gets the
+    * MINIMUM doc id reachable through the pair graph as its `cluster_id`
+    * (singletons label themselves) — the pairs → clusters → keep-one step
+    * that completes a dedup sweep.
+    *
+    * Min-label propagation to fixpoint: each round joins labels to the
+    * (symmetrized) edge list and takes the elementwise min. The driver
+    * loop runs O(component diameter) rounds — near-dup clusters are
+    * shallow (dups of dups), so a handful of DISTRIBUTED join+agg rounds,
+    * not a per-row driver loop; each round's result is persisted and the
+    * previous round released to keep lineage flat.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 20,
+      maxDriverPairs: Long = 5000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = vertices.sparkSession
+    // iterate ONLY over the pair-touched subgraph — the sliver the LSH +
+    // verify stages produce; untouched docs are singletons and join back
+    // at the end with their own id as the label
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nEdges = edges0.count()
+    // verified near-dup pairs are usually a sliver of the corpus: below
+    // the threshold, min-rooted union-find on the driver is exact, O(E α)
+    // and instant — the label-propagation rounds below exist for the
+    // billions-of-pairs regime where the edge list can't be collected
+    if (nEdges <= 2L * maxDriverPairs) {
+      val idField = vertices.schema(idCol)
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      pairs.select(col("doc_a"), col("doc_b")).collect().foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb // min wins
+        }
+      }
+      val touched = parent.keySet ++ parent.values
+      val labelRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(touched.toSeq.map(v =>
+          org.apache.spark.sql.Row(v, find(v))): _*)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "doc_id"), idField.copy(name = "__cc")))
+      val labelsDf = spark.createDataFrame(labelRows, schema)
+      return vertices.select(col(idCol).as("doc_id"))
+        .join(broadcast(labelsDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__cc"), col("doc_id")).as("cluster_id"))
+    }
+    // distributed path: size the iteration's partitioning to the subgraph,
+    // not the corpus — label-propagation rounds on few edges are
+    // task-overhead bound at corpus partition counts
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 100000L).toInt + 1))
+    val edges = edges0.repartition(parts, col("src")).persist(MEMORY_AND_DISK)
+    // localCheckpoint (eager) each round: persists truncate EXECUTION but
+    // the logical plan would still deepen every iteration and the
+    // optimizer would pay quadratically — checkpointing roots each round's
+    // plan at a leaf. (On a cluster swap in reliable checkpoint() — local
+    // blocks don't survive executor loss.)
+    var labels = edges0.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .repartition(parts, col("doc_id"))
+      .localCheckpoint(true)
+    var changed = if (nEdges == 0) 0L else 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("__nbr"))
+      val l1 = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(col("doc_id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+      // pointer-jumping: also adopt the label OF my label — paths collapse
+      // in O(log diameter) rounds instead of O(diameter)
+      val lookup = l1.select(col("doc_id").as("__lid"), col("label").as("__llabel"))
+      val step = l1
+        .join(lookup, l1("label") === col("__lid"), "left")
+        .select(col("doc_id"), col("__old"),
+          least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = step.filter(col("label") =!= col("__old")).count()
+      labels = step.select("doc_id", "label")
+      i += 1
+    }
+    edges.unpersist(false)
+    // final labels stay cached (subgraph-sized) — the returned plan reads
+    // them when the caller materializes
+    vertices.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("label", "cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Exact word-n-gram Jaccard between given id pairs (the reference-free
     * "n-gram Jaccard" dedup primitive; callers supply the candidate pairs —
     * from LSH, blocking, or a deterministic sample).

@@ -50,6 +50,21 @@ class LlmSpec extends AnyFunSuite {
     assert(viaExpr == viaAgg)
   }
 
+  test("connected components: chains collapse to min id, singletons self-label") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // 1-2, 2-3 chain; 4-5 pair; 9 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L)
+    val viaUnionFind = MinHashDedup.connectedComponents(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnionFind == expected)
+    // force the distributed label-propagation branch (billions-of-pairs path)
+    val viaPropagation = MinHashDedup.connectedComponents(vertices, "doc_id",
+        pairs, maxDriverPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPropagation == expected)
+  }
+
   test("simhash: equal for identical and token-permuted text, 0 for null-free empty") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
