@@ -31,6 +31,7 @@ object Sources {
       .schema(schema.add(StructField("_rescued_data", StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_rescued_data")
+      .option("recursiveFileLookup", "true") // nested date dirs, like the stream
       .json(path)
 
   /** Vertical concat of same-schema frames (reference `pl.concat` O6). */
