@@ -26,13 +26,18 @@ class SourcesSpec extends AnyFunSuite {
         |this is not json at all
         |{"symbol":"MSFT","revenue":2}
         |""".stripMargin)
+    // nested date directory, discovered via recursiveFileLookup
+    Files.createDirectories(dir.resolve("dt=2024-01-02"))
+    Files.writeString(dir.resolve("dt=2024-01-02").resolve("part-1.json"),
+      "{\"symbol\":\"NVDA\",\"revenue\":3}\n")
     val schema = StructType(Seq(
       StructField("symbol", StringType), StructField("revenue", LongType)))
     // Spark refuses corrupt-column-only queries on raw JSON — cache first
     val out = Sources.ndjsonWithRescue(spark, dir.toString, schema).cache()
-    assert(out.count() == 3)
+    assert(out.count() == 4)
     assert(out.filter($"_rescued_data".isNotNull).count() == 1)
     assert(out.filter($"symbol" === "AAPL").count() == 1)
+    assert(out.filter($"symbol" === "NVDA").count() == 1)
   }
 
   test("withInputFile exposes the source file path per row") {
