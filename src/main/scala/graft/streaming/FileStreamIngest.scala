@@ -175,6 +175,7 @@ object FileStreamIngest {
       keys: Seq[String], order: Seq[Column], dayCol: String): Unit = synchronized {
     require(keys.contains(dayCol),
       s"dayCol '$dayCol' must be part of the merge key ${keys.mkString("[", ",", "]")}")
+    if (batch.isEmpty) return // no-data micro-batch: nothing to merge
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
     // touched partitions: bounded by days-per-batch, safe to collect
@@ -203,6 +204,7 @@ object FileStreamIngest {
     */
   def upsertIntoParquet(batch: DataFrame, targetDir: String,
       keys: Seq[String], order: Seq[Column]): Unit = synchronized {
+    if (batch.isEmpty) return // no-data micro-batch: keep the snapshot as-is
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
     val old = Paths.get(targetDir + ".old")
