@@ -16,6 +16,11 @@ object Bench {
     } catch {
       case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    } finally {
+      // release frames operators left cached for this query's plan —
+      // without this, 40+ queries accumulate blocks and later queries
+      // pay their predecessors' memory pressure
+      CacheBin.drain()
     }
   }
 

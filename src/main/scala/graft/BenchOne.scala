@@ -12,6 +12,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      CacheBin.drain() // same per-query cache lifecycle as Bench/Verify
     }
     spark.stop()
   }

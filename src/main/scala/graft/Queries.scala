@@ -238,9 +238,16 @@ object Queries {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val edges = MinHashDedup.verifiedPairs(docs, "doc_id", "text",
-      k = 16, bucketCap = 50).filter(col("jaccard") >= 0.5)
-    MinHashDedup.connectedComponents(docs, "doc_id", edges)
+    val pairs = MinHashDedup.verifiedPairs(docs, "doc_id", "text",
+      k = 16, bucketCap = 50)
+    val cc = MinHashDedup.connectedComponents(docs, "doc_id",
+      pairs.filter(col("jaccard") >= 0.5))
+    // connectedComponents materializes every read of the pair frame inside
+    // the call (edge count + driver collect, or the checkpointed label
+    // rounds); its returned plan is rooted at the labels, so the verified
+    // pairs can be released before the caller runs the final join
+    pairs.unpersist(false)
+    cc
   }
 
   def simhash(s: SparkSession, dir: String): DataFrame =
@@ -276,7 +283,8 @@ object Queries {
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-      "label", threshold = 0.2)
+      "label", threshold = 0.2,
+      corpusCount = Some(Tables.rowCount(s, dir, "embeddings")))
 
   /** SimHash near-dup pairs at hamming ≤ 1 (byte-band candidates, capped). */
   def simhashHamming(s: SparkSession, dir: String): DataFrame =
@@ -288,7 +296,8 @@ object Queries {
     */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      isQuery = col("vec_id") < 5, k = 10, nProbe = 3)
+      isQuery = col("vec_id") < 5, k = 10, nProbe = 3,
+      corpusCount = Some(Tables.rowCount(s, dir, "embeddings")))
 
   /** N-gram-profile language ID (trigram occurrence scoring + argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =

@@ -34,4 +34,15 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Memoized table row count — one zero-column parquet count per (dir,
+    * table) per session instead of one full pass per query that needs a
+    * size (IVF centroid sizing runs off this). On a real deployment this
+    * is the catalog's row-count statistic; the memoized count is the
+    * stand-in for path-addressed tables without a catalog entry.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.getOrElseUpdate(s"$dir/$name", load(spark, dir, name).count())
 }

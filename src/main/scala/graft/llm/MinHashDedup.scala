@@ -135,11 +135,13 @@ object MinHashDedup {
       .persist(MEMORY_AND_DISK)
     // one materializing job for the (candidate-bounded, small) result, then
     // release the corpus-sized intermediates — repeated calls in a session
-    // no longer accumulate cached blocks. The returned frame stays cached;
-    // callers may unpersist it when done.
+    // no longer accumulate cached blocks. The returned frame stays cached
+    // (the returned plan reads it); CacheBin owns its release after the
+    // caller materializes, and callers that finish with it sooner (e.g.
+    // dedupClusters once the CC edges are consumed) may unpersist early.
     out.count()
     sigs.unpersist(false); pairs.unpersist(false); shingles.unpersist(false)
-    out
+    graft.CacheBin.register(out)
   }
 
   /** Connected components over near-dup pairs: every document gets the
@@ -210,10 +212,11 @@ object MinHashDedup {
     // optimizer would pay quadratically — checkpointing roots each round's
     // plan at a leaf. (On a cluster swap in reliable checkpoint() — local
     // blocks don't survive executor loss.)
-    var labels = edges0.select(col("src").as("doc_id")).distinct()
+    var cp = edges0.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .repartition(parts, col("doc_id"))
       .localCheckpoint(true)
+    var labels = cp
     var changed = if (nEdges == 0) 0L else 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -231,13 +234,19 @@ object MinHashDedup {
         .select(col("doc_id"), col("__old"),
           least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"))
         .localCheckpoint(true)
+      // eager checkpoint: `step`'s blocks exist now, so the round that fed
+      // it is disposable — release it here instead of leaking one cached
+      // label set per iteration
+      cp.unpersist(false)
+      cp = step
       changed = step.filter(col("label") =!= col("__old")).count()
       labels = step.select("doc_id", "label")
       i += 1
     }
     edges.unpersist(false)
-    // final labels stay cached (subgraph-sized) — the returned plan reads
-    // them when the caller materializes
+    // the final label checkpoint (subgraph-sized) backs the returned plan;
+    // CacheBin releases it once the caller has materialized
+    graft.CacheBin.register(cp)
     vertices.select(col(idCol).as("doc_id"))
       .join(labels.withColumnRenamed("label", "cluster_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -24,6 +24,16 @@ object Similarity {
 
   private def spread(df: DataFrame): DataFrame = Spread(df)
 
+  /** ⌈√n⌉ centroid sizing without a dedicated scan per query: callers pass
+    * the corpus size when they have it (catalog row-count statistics, a
+    * memoized [[graft.Tables.rowCount]], a manifest) — at 100 TB a
+    * per-query `count()` is an extra full-metadata pass just to size K.
+    * The inline `count()` remains only as the no-information fallback.
+    */
+  private def adaptiveCentroids(embeddings: DataFrame, n: Option[Long]): Int =
+    math.max(1, math.ceil(math.sqrt(
+      n.getOrElse(embeddings.count()).toDouble)).toInt)
+
   /** Exact decimal-accumulated dot product of two array<float/double> cols,
     * as double. Native codegen'd expression ([[DotDecimal]]) — bit-identical
     * to the declarative `aggregate(zip_with(...decimal(28,12)...))` form it
@@ -80,9 +90,9 @@ object Similarity {
     */
   def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double,
-      numCentroids: Option[Int] = None, blockCap: Int = 10000): DataFrame = {
-    val k = numCentroids.getOrElse(
-      math.max(1, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt))
+      numCentroids: Option[Int] = None, blockCap: Int = 10000,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val k = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
     // TakeOrderedAndProject: K rows to the driver, broadcast back — cheap
     // relative to the corpus scan it prunes
     val centroids = embeddings.orderBy(col(idCol)).limit(k)
@@ -163,9 +173,9 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, nProbe: Int,
-      numCentroids: Option[Int] = None): DataFrame = {
-    val kc = numCentroids.getOrElse(
-      math.max(1, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt))
+      numCentroids: Option[Int] = None,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val kc = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
     val centroidFrame = embeddings.orderBy(col(idCol)).limit(kc)
     val corpus = embeddings
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
