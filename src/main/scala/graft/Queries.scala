@@ -171,6 +171,17 @@ object Queries {
     CalendarOps.calendarOver(
       Tables.events(s, dir).withColumn("day", to_date(col("ts"))), "day")
 
+  /** Multi-year calendar over a fixed 2021-12-01..2025-12-31 span — the
+    * rule-generated schedule across year boundaries: Christmas 2021
+    * observed Friday, Saturday New Year 2022 NOT observed (market open
+    * Fri 2021-12-31), Juneteenth 2022 observed Monday, and the 2025-01-09
+    * mourning closure. Bounds are literals: the span is the subject under
+    * test, not a property of the data.
+    */
+  def tradingCalendarMultiyear(s: SparkSession, dir: String): DataFrame =
+    CalendarOps.calendar(
+      s.sql("SELECT DATE'2021-12-01' AS d0, DATE'2025-12-31' AS d1"))
+
   def monthChunks(s: SparkSession, dir: String): DataFrame =
     CalendarOps.monthChunks(
       Tables.events(s, dir).withColumn("day", to_date(col("ts"))), "day")

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_revenue_by_nation" -> (Queries.revenueByNation _),
     "q_asof_purchase" -> (Queries.asofPurchase _),
     "q_trading_calendar" -> (Queries.tradingCalendar _),
+    "q_trading_calendar_multiyear" -> (Queries.tradingCalendarMultiyear _),
     "q_month_chunks" -> (Queries.monthChunks _),
     "q_last_n_trading_days" -> (Queries.lastNTradingDays _),
     "q_trading_day_events" -> (Queries.tradingDayEvents _),
@@ -274,6 +275,29 @@ object SparkEntry {
              OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_trading_day
          FROM flagged""",
+
+    // single source of truth for the multiyear oracle's holiday in-list:
+    // the same rule generator the Spark side joins against (the RULES
+    // themselves are pinned by known-day specs in NyseCalendarSpec)
+    "q_trading_calendar_multiyear" -> {
+      val hol = graft.operators.NyseCalendar.holidaysBetween(
+          java.time.LocalDate.parse("2021-12-01"),
+          java.time.LocalDate.parse("2025-12-31"))
+        .map(d => s"DATE '$d'").mkString(", ")
+      s"""WITH days AS (
+           SELECT CAST(unnest(generate_series(TIMESTAMP '2021-12-01',
+                  TIMESTAMP '2025-12-31', INTERVAL 1 DAY)) AS DATE) AS cal_day),
+         flagged AS (
+           SELECT cal_day, CAST(isodow(cal_day) - 1 AS INT) AS dow,
+             cal_day IN ($hol) AS is_holiday,
+             ((isodow(cal_day) - 1) <= 4 AND cal_day NOT IN ($hol)) AS is_trading_day
+           FROM days)
+         SELECT cal_day, dow, is_holiday, is_trading_day,
+           last_value(CASE WHEN is_trading_day THEN cal_day END IGNORE NULLS)
+             OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_trading_day
+         FROM flagged"""
+    },
 
     "q_last_n_trading_days" ->
       """WITH bounds AS (

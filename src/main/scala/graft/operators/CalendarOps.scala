@@ -17,31 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object CalendarOps {
 
-  /** Fixed US-market holiday list for the testdata window (extend per year;
-    * a real deployment loads this as a config table).
+  /** NYSE full-day closures for any year the rule generator covers
+    * ([[NyseCalendar]], 1998–open-ended) — replaces the round-2 hard-coded
+    * 2024 list, whose 10 dates this reproduces exactly for 2024.
     */
-  val usMarketHolidays: Seq[String] = Seq(
-    "2024-01-01", "2024-01-15", "2024-02-19", "2024-03-29",
-    "2024-05-27", "2024-06-19", "2024-07-04", "2024-09-02",
-    "2024-11-28", "2024-12-25")
+  def usMarketHolidays(fromYear: Int = 1998, toYear: Int = 2100): Seq[String] =
+    NyseCalendar.holidayStrings(fromYear, toYear)
 
   /** Date dimension spanning [start, end] (inclusive), one row per day:
     * `cal_day date, dow int (Mon=0), is_holiday, is_trading_day,
     * prev_trading_day date` — prev_trading_day is the latest strictly-earlier
     * trading day (`get_previous_trading_day` semantics).
+    *
+    * Holidays arrive as a generated dimension (~1k rows for a century) and
+    * flag via broadcast left join — the config-table shape a deployment
+    * would swap its own exchange schedule into.
     */
-  def calendar(bounds: DataFrame): DataFrame = {
+  def calendar(bounds: DataFrame,
+      holidays: Seq[String] = usMarketHolidays()): DataFrame = {
+    val spark = bounds.sparkSession
+    import spark.implicits._
     // bounds: single row (d0 date, d1 date)
     val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("cal_day"))
-    val holidayCol = usMarketHolidays
-      .map(d => col("cal_day") === to_date(lit(d)))
-      .reduce(_ || _)
+    val holDim = holidays.toDF("h").select(to_date(col("h")).as("__hol"))
     val flagged = days
+      .join(broadcast(holDim), col("cal_day") === col("__hol"), "left")
       .withColumn("dow", expr("weekday(cal_day)"))
-      .withColumn("is_holiday", holidayCol)
-      .withColumn("is_trading_day", col("dow") <= 4 && !holidayCol)
-    // unpartitioned window is fine: a calendar is O(days), broadcast-small
-    val w = Window.orderBy(col("cal_day")).rowsBetween(Window.unboundedPreceding, -1)
+      .withColumn("is_holiday", col("__hol").isNotNull)
+      .withColumn("is_trading_day", col("dow") <= 4 && col("__hol").isNull)
+      .drop("__hol")
+    // constant partition key: the frame is the whole O(days) dimension by
+    // design (broadcast-small) — the literal key keeps WindowExec's "No
+    // Partition Defined" warning from drowning out real ones
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("cal_day")).rowsBetween(Window.unboundedPreceding, -1)
     flagged.withColumn(
       "prev_trading_day",
       last(when(col("is_trading_day"), col("cal_day")), ignoreNulls = true).over(w))
@@ -56,7 +65,8 @@ object CalendarOps {
     * O(days) so the unpartitioned window is broadcast-cheap.
     */
   def lastNTradingDays(cal: DataFrame, n: Int): DataFrame = {
-    val w = Window.orderBy(col("cal_day").desc)
+    // constant partition key for the same warning-hygiene reason as above
+    val w = Window.partitionBy(lit(1)).orderBy(col("cal_day").desc)
     cal.filter(col("is_trading_day"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
