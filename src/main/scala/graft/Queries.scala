@@ -64,6 +64,14 @@ object Queries {
       Tables.events(s, dir),
       eventRules :+ Expectations.Expectation("not_null_ts", col("ts").isNotNull))
 
+  /** Q1 via the declarative GE-format suite file (reference
+    * `validation/expectations_prices.json` shape): the engine-shipped
+    * events suite parses into the same audit the Scala-authored rules run.
+    */
+  def geAudit(s: SparkSession, dir: String): DataFrame =
+    GeSuite.loadResource("ge/expectations_events.json")
+      .audit(Tables.events(s, dir))
+
   def quarantine(s: SparkSession, dir: String): DataFrame =
     Expectations.quarantine(
       Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),

@@ -25,6 +25,7 @@ object SparkEntry {
     "q_gold_features" -> (Queries.goldFeatures _),
     "q_silver_merge" -> (Queries.silverMerge _),
     "q_dq_audit" -> (Queries.dqAudit _),
+    "q_ge_audit" -> (Queries.geAudit _),
     "q_quarantine" -> (Queries.quarantine _),
     "q_count_by_type" -> (Queries.countByType _),
     "q_dup_props" -> (Queries.dupProps _),
@@ -137,6 +138,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN NOT coalesce(value >= 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_nonneg_value,
            CAST(sum(CASE WHEN NOT coalesce(value <= 300, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_value_le_300,
            CAST(sum(CASE WHEN NOT coalesce(ts IS NOT NULL, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_not_null_ts
+         FROM events""",
+
+    "q_ge_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(0 AS BIGINT) AS n_viol_exists_user_id,
+           CAST(0 AS BIGINT) AS n_viol_exists_ts,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_not_null_user_id,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_not_null_ts,
+           CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 300) THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_between_value
          FROM events""",
 
     "q_quarantine" ->
