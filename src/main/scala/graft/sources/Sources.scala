@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** Batch sources mirroring the reference's inputs.
   *
@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *   `fmp_dump_raw.py:559-579`): a one-column symbol list; read as text,
   *   trim + uppercase, drop header tokens (`symbol`/`ticker`) and blanks.
   * - S5 NDJSON(.gz) with schema-evolution rescue: OSS Spark has no
-  *   `_rescued_data`, so the permissive-mode corrupt-record column is the
-  *   documented emulation (SURVEY.md §2.10) — malformed lines land intact
-  *   in `_rescued_data` instead of being dropped.
+  *   `_rescued_data`, so it's emulated (SURVEY.md §2.10): malformed lines
+  *   land intact, and undeclared extra fields on valid rows are captured
+  *   as JSON — both in `_rescued_data` ([[RescueJson]]).
   * - O6 vertical concat: `unionByName` fold over per-batch frames.
   */
 object Sources {
@@ -24,15 +24,19 @@ object Sources {
       .filter(col("symbol") =!= "" && !lower(col("symbol")).isin("symbol", "ticker"))
 
   /** NDJSON (optionally gzipped — Spark decompresses by extension) with a
-    * declared schema plus rescue column for rows that don't parse.
+    * declared schema plus `_rescued_data`: malformed lines land whole,
+    * and undeclared extra fields on VALID rows are captured as a JSON
+    * object (Auto Loader rescue semantics — see [[RescueJson]]). Read as
+    * text so the raw line survives for the extras pass; blank lines are
+    * dropped to match the JSON reader.
     */
-  def ndjsonWithRescue(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read
-      .schema(schema.add(StructField("_rescued_data", StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_rescued_data")
+  def ndjsonWithRescue(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val raw = spark.read
       .option("recursiveFileLookup", "true") // nested date dirs, like the stream
-      .json(path)
+      .text(path)
+      .filter(trim(col("value")) =!= "")
+    raw.select(RescueJson.rescueProjection(col("value"), schema): _*)
+  }
 
   /** Vertical concat of same-schema frames (reference `pl.concat` O6). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =

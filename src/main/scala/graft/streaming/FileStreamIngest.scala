@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.MergeUpsert
 
@@ -52,19 +52,20 @@ object FileStreamIngest {
     * (`bronze_fundamentals_auto_loader.ipynb:86-98`, cell 2: `cloudFiles`
     * json + `recursiveFileLookup` + `schemaEvolutionMode=rescue`). Rows
     * that don't parse into the declared schema land intact in
-    * `_rescued_data` (permissive corrupt-record column) instead of being
-    * dropped; nested date directories are discovered recursively; gzipped
-    * files decompress by extension.
+    * `_rescued_data`, and VALID rows carrying undeclared extra fields get
+    * those fields captured there as JSON instead of silently dropped
+    * (same projection as the batch source — [[graft.sources.RescueJson]]);
+    * nested date directories are discovered recursively; gzipped files
+    * decompress by extension.
     */
   def bronzeJsonStream(spark: SparkSession, srcDir: String, schema: StructType,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream
-      .schema(schema.add(StructField("_rescued_data", StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_rescued_data")
       .option("recursiveFileLookup", "true")
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.json(srcDir)
+    r.text(srcDir)
+      .filter(trim(col("value")) =!= "")
+      .select(graft.sources.RescueJson.rescueProjection(col("value"), schema): _*)
   }
 
   /** Run a stream to a parquet append sink with AvailableNow semantics:

@@ -32,12 +32,38 @@ class SourcesSpec extends AnyFunSuite {
       "{\"symbol\":\"NVDA\",\"revenue\":3}\n")
     val schema = StructType(Seq(
       StructField("symbol", StringType), StructField("revenue", LongType)))
-    // Spark refuses corrupt-column-only queries on raw JSON — cache first
     val out = Sources.ndjsonWithRescue(spark, dir.toString, schema).cache()
     assert(out.count() == 4)
     assert(out.filter($"_rescued_data".isNotNull).count() == 1)
     assert(out.filter($"symbol" === "AAPL").count() == 1)
     assert(out.filter($"symbol" === "NVDA").count() == 1)
+    // the malformed line is rescued whole
+    assert(out.filter($"_rescued_data" === "this is not json at all").count() == 1)
+  }
+
+  test("ndjson rescue captures undeclared extra fields on valid rows") {
+    val dir = Files.createTempDirectory("ndjson_extra")
+    Files.writeString(dir.resolve("part-0.json"),
+      """{"symbol":"AAPL","revenue":1}
+        |{"symbol":"TSLA","revenue":4,"surprise":"extra","nested":{"a":1},"n":2}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("symbol", StringType), StructField("revenue", LongType)))
+    val out = Sources.ndjsonWithRescue(spark, dir.toString, schema).cache()
+    assert(out.count() == 2)
+    // clean row: no rescue
+    assert(out.filter($"symbol" === "AAPL" && $"_rescued_data".isNull).count() == 1)
+    // extra-field row: declared columns populate AND the extras are kept,
+    // original JSON values intact (string stays quoted, number unquoted,
+    // nested object preserved), with the _file_path breadcrumb
+    val row = out.filter($"symbol" === "TSLA").collect()(0)
+    assert(row.getAs[Long]("revenue") == 4)
+    val rescued = row.getAs[String]("_rescued_data")
+    assert(rescued.contains("\"surprise\":\"extra\""))
+    assert(rescued.contains("\"nested\":{\"a\":1}"))
+    assert(rescued.contains("\"n\":2"))
+    assert(rescued.contains("\"_file_path\"") && rescued.contains("part-0.json"))
+    assert(!rescued.contains("\"symbol\"")) // declared fields are not rescued
   }
 
   test("withInputFile exposes the source file path per row") {

@@ -88,6 +88,20 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(r2.count() == 3)
     assert(r2.filter($"symbol" === "AAPL").count() == 1) // no reprocessing
     assert(r2.filter($"symbol" === "MSFT").count() == 1) // gz decompressed
+
+    // third trigger: a VALID row with an undeclared field — rescue captures
+    // the extra field (not the whole line) while declared columns populate
+    Files.writeString(Paths.get(src, "c.json"),
+      "{\"symbol\":\"NVDA\",\"revenue\":3,\"segment\":\"datacenter\"}\n")
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeJsonStream(spark, src, schema), out, ckpt)
+    val r3 = spark.read.parquet(out)
+    assert(r3.count() == 4)
+    val nv = r3.filter($"symbol" === "NVDA").collect()(0)
+    assert(nv.getAs[Long]("revenue") == 3)
+    val rescued = nv.getAs[String]("_rescued_data")
+    assert(rescued != null && rescued.contains("\"segment\":\"datacenter\""))
+    assert(rescued.contains("\"_file_path\"") && rescued.contains("c.json"))
   }
 
   test("partitioned silver upsert: untouched day partitions stay byte-identical") {
