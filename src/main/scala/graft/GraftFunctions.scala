@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.registerTempFunction
 import org.apache.spark.sql.types.IntegerType
 
-import graft.llm.{DotDecimal, MinHashSlices, SimHash32}
+import graft.llm.{DotDecimal, MinHashSlices, SimHashN}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash32(text) ...")` works next to the Column API.
@@ -27,9 +27,14 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash32" -> {
-      case Seq(c) => SimHash32(c)
+      case Seq(c) => SimHashN(c, 32)
       case args => throw new IllegalArgumentException(
         s"simhash32(text) takes 1 argument, got ${args.length}")
+    },
+    "simhash64" -> {
+      case Seq(c) => SimHashN(c, 64)
+      case args => throw new IllegalArgumentException(
+        s"simhash64(text) takes 1 argument, got ${args.length}")
     },
     "minhash_slices" -> {
       case Seq(c, k, n) =>

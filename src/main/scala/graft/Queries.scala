@@ -273,6 +273,16 @@ object Queries {
     Tables.documents(s, dir)
       .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))
 
+  /** 64-bit SimHash — the production width (16-bit bands don't saturate). */
+  def simhash64(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), SimHash.simhash64(col("text")).as("simhash64"))
+
+  /** 64-bit hamming near-dup pairs over 4×16-bit bands. */
+  def simhashHamming64(s: SparkSession, dir: String): DataFrame =
+    SimHash.hammingPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3, bits = 64)
+
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")
 

@@ -59,6 +59,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_simhash_hamming" -> (Queries.simhashHamming _),
+    "q_simhash64" -> (Queries.simhash64 _),
+    "q_simhash64_hamming" -> (Queries.simhashHamming64 _),
     "q_ivf_topk" -> (Queries.ivfTopK _),
     "q_token_count" -> (Queries.tokenCounts _),
     "q_winnow" -> (Queries.winnow _),
@@ -614,6 +616,62 @@ object SparkEntry {
              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1""",
+
+    // 64-bit twin: the unsigned bit-sum runs in HUGEINT, then wraps to the
+    // signed BIGINT Spark's LongType carries
+    "q_simhash64" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         th AS (SELECT doc_id, sha256(token) AS h FROM tok),
+         tb AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS j FROM th),
+         bits AS (
+           SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(1 + j // 4 AS INT), 1)) - 1)
+               >> CAST(3 - j % 4 AS INT)) & 1 AS bit
+           FROM tb),
+         votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j),
+         signs AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM votes),
+         u AS (SELECT doc_id, sum(CAST(s AS HUGEINT) << CAST(63 - j AS INT)) AS uv
+               FROM signs GROUP BY doc_id)
+         SELECT doc_id,
+           CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                     ELSE uv END AS BIGINT) AS simhash64
+         FROM u""",
+
+    "q_simhash64_hamming" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         th AS (SELECT doc_id, sha256(token) AS h FROM tok),
+         tb AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS j FROM th),
+         bits AS (
+           SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(1 + j // 4 AS INT), 1)) - 1)
+               >> CAST(3 - j % 4 AS INT)) & 1 AS bit
+           FROM tb),
+         votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j),
+         signs AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM votes),
+         u AS (SELECT doc_id, sum(CAST(s AS HUGEINT) << CAST(63 - j AS INT)) AS uv
+               FROM signs GROUP BY doc_id),
+         sh AS (SELECT doc_id, uv,
+           CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                     ELSE uv END AS BIGINT) AS simhash
+           FROM u),
+         bands AS (
+           SELECT doc_id, simhash,
+             b AS band, CAST((uv >> CAST(16 * b AS INT)) & 65535 AS BIGINT) AS bv
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) t),
+         ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+                HAVING count(*) BETWEEN 2 AND 10000),
+         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+           FROM inok a JOIN inok b
+             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
 
     "q_ivf_topk" ->
       """WITH n2 AS (

@@ -9,7 +9,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.security.MessageDigest
 
-/** 32-bit SimHash document fingerprint as a native Catalyst expression.
+/** SimHash document fingerprint (32- or 64-bit) as a native Catalyst
+  * expression.
   *
   * Near-duplicate fingerprinting for the training-data plane: documents
   * whose simhashes differ in few bits are near-dups. The per-row algorithm
@@ -20,22 +21,26 @@ import java.security.MessageDigest
   * the property that matters when fingerprinting 100 TB of text).
   *
   * Bit convention (mirrors the SQL-expressible oracle formulation): token
-  * hash bit j (0..31, MSB-first) is bit (7−j%8) of byte j/8 of
+  * hash bit j (0..bits−1, MSB-first) is bit (7−j%8) of byte j/8 of
   * sha256(token); tokens are the DISTINCT space-separated pieces (empties
-  * kept, like `split`); output = Σ_j sign_j · 2^(31−j) where sign_j is 1
-  * iff more tokens set bit j than clear it.
+  * kept, like `split`); output = Σ_j sign_j · 2^(bits−1−j) where sign_j is
+  * 1 iff more tokens set bit j than clear it. The first 32 signs are the
+  * same at either width, so `simhash64 >>> 32 == simhash32` — widening the
+  * fingerprint refines, never reshuffles, the 32-bit prefix. 64-bit is the
+  * production width (16-bit bands don't saturate at corpus scale); 32-bit
+  * stays for compactness and the legacy oracle.
   */
 object SimHashImpl {
-  def compute(text: UTF8String): Long = {
+  def compute(text: UTF8String, bits: Int): Long = {
     if (text == null) return 0L
     val toks = text.toString.split(" ", -1).distinct
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](bits)
     val md = MessageDigest.getInstance("SHA-256")
     var i = 0
     while (i < toks.length) {
       val d = md.digest(toks(i).getBytes("UTF-8"))
       var j = 0
-      while (j < 32) {
+      while (j < bits) {
         val bit = (d(j / 8) >> (7 - j % 8)) & 1
         votes(j) += (2 * bit - 1)
         j += 1
@@ -44,49 +49,61 @@ object SimHashImpl {
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
-      if (votes(j) > 0) out |= 1L << (31 - j)
+    while (j < bits) {
+      if (votes(j) > 0) out |= 1L << (bits - 1 - j)
       j += 1
     }
     out
   }
 }
 
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHashN(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"simhash$bits"
   override def nullSafeEval(v: Any): Any =
-    SimHashImpl.compute(v.asInstanceOf[UTF8String])
+    SimHashImpl.compute(v.asInstanceOf[UTF8String], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.llm.SimHashImpl.compute($c)")
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    defineCodeGen(ctx, ev, c => s"graft.llm.SimHashImpl.compute($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashN =
     copy(child = newChild)
 }
 
 object SimHash {
   /** Column API: `simhash32($"text")`. */
-  def simhash32(c: Column): Column = toColumn(SimHash32(toExpression(c)))
+  def simhash32(c: Column): Column = toColumn(SimHashN(toExpression(c), 32))
+
+  /** Column API: `simhash64($"text")` — the production width. */
+  def simhash64(c: Column): Column = toColumn(SimHashN(toExpression(c), 64))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3).
     *
-    * Banded join, not a cross product: the 32-bit fingerprint splits into 4
-    * byte-bands; by pigeonhole, any pair within hamming 3 matches on at
+    * Banded join, not a cross product: the fingerprint splits into 4
+    * equal bands; by pigeonhole, any pair within hamming 3 matches on at
     * least one untouched band, so candidates come from equi-joins on
-    * (band, byte) buckets — the same linear-vs-quadratic trade as MinHash
-    * LSH. Buckets over `bucketCap` docs are dropped (a byte band has only
-    * 256 values, so at corpus scale hot buckets are inevitable — the cap is
-    * the same guard as `MinHashDedup.candidatePairs`; a production-scale
-    * corpus would move to a 64-bit simhash with 16-bit bands before ever
-    * raising the cap).
+    * (band, value) buckets — the same linear-vs-quadratic trade as MinHash
+    * LSH. Buckets over `bucketCap` docs are dropped, the same guard as
+    * `MinHashDedup.candidatePairs`.
+    *
+    * `bits=64` (16-bit bands, 65 536 values each) is the production
+    * setting: 32-bit byte-bands have only 256 values, so at corpus scale
+    * every band value floods its bucket and the cap starts costing recall;
+    * 64-bit moves that saturation point out by 256×.
     */
   def hammingPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, maxHamming: Int, bucketCap: Int = 10000): org.apache.spark.sql.DataFrame = {
+      textCol: String, maxHamming: Int, bucketCap: Int = 10000,
+      bits: Int = 32): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    require(maxHamming <= 3, "4 byte-bands guarantee recall only up to hamming 3")
-    val h = Spread(docs).select(col(idCol), simhash32(col(textCol)).as("simhash"))
+    require(maxHamming <= 3, "4 bands guarantee recall only up to hamming 3")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val sh = if (bits == 64) simhash64(col(textCol)) else simhash32(col(textCol))
+    val h = Spread(docs).select(col(idCol), sh.as("simhash"))
     val bands = h.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
+        // logical shift: a 64-bit fingerprint uses the sign bit as data
+        shiftrightunsigned(col("simhash"), bandBits * i).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
     // bucket gate as a window count over the (band, bv) shuffle the
     // self-join reuses — one exchange for the whole candidate stage

@@ -146,11 +146,13 @@ class FunctionsSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT simhash32('alpha beta') AS sh,
+                simhash64('alpha beta') AS sh64,
                 dot_decimal(array(1.5D, 2.0D), array(3.0D, 4.0D)) AS dd,
                 minhash_slices('abcdefghij', 3, 8) AS mh""").collect()(0)
     assert(r.getAs[Long]("sh") ==
       graft.llm.SimHashImpl.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta")))
+        org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta"), 32))
+    assert((r.getAs[Long]("sh64") >>> 32) == r.getAs[Long]("sh"))
     assert(r.getAs[Double]("dd") == 12.5)
     assert(r.getAs[scala.collection.Seq[String]]("mh").length == 8)
   }
@@ -165,7 +167,7 @@ class FunctionsSpec extends AnyFunSuite {
         .withExtensions(new GraftExtensions()).getOrCreate()
       val got = s2.sql("SELECT simhash32('x y z') AS sh").collect()(0).getLong(0)
       assert(got == graft.llm.SimHashImpl.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString("x y z")))
+        org.apache.spark.unsafe.types.UTF8String.fromString("x y z"), 32))
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

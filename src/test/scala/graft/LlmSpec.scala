@@ -78,6 +78,30 @@ class LlmSpec extends AnyFunSuite {
     assert(hs(1L) >= 0 && hs(1L) <= 0xFFFFFFFFL)
   }
 
+  test("simhash64: top 32 bits equal simhash32 (same votes, wider tail)") {
+    val df = Tables.documents(spark, TestSpark.sfDir).limit(50)
+    val rows = df.select(
+        SimHash.simhash32($"text").as("h32"),
+        SimHash.simhash64($"text").as("h64"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(1) >>> 32) == r.getLong(0))
+    }
+  }
+
+  test("simhash64 hamming pairs: exact duplicates collide at hamming 0, 16-bit bands") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "completely different content about spark engines and parquet")
+    ).toDF("doc_id", "text")
+    val pairs = SimHash.hammingPairs(df, "doc_id", "text", maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
   test("simhash survives whole-stage codegen (expression, not UDF)") {
     // a real file scan — local relations get constant-folded before codegen
     val df = Tables.documents(spark, TestSpark.sfDir)
