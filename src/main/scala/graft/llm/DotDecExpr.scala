@@ -29,9 +29,16 @@ import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
   */
 object DotDecImpl {
 
+  // largest decimal(28,12) unscaled magnitude (28 nines)
+  private val Max28 = new BigInteger("9" * 28)
+
   /** Null (boxed) on: null/length-mismatched arrays, null elements, or
     * decimal(28,12) overflow — mirroring the null-propagation of the
-    * declarative form under non-ANSI casts.
+    * declarative form under non-ANSI casts. The overflow check runs on
+    * the RUNNING sum after every term, matching the stepwise
+    * `(acc + z).cast(decimal(28,12))` of the declarative/DuckDB twin: a
+    * transiently overflowing intermediate that would cancel back under
+    * precision 28 must still latch null.
     */
   def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     if (a == null || b == null) return null
@@ -81,11 +88,12 @@ object DotDecImpl {
           overflowed = true; big = BigInteger.valueOf(sum).add(BigInteger.valueOf(l))
         } else sum = s2
       }
+      // stepwise precision-28 latch (a plain long is ≤19 digits, so only
+      // the BigInteger branch can ever trip it)
+      if (overflowed && big.abs().compareTo(Max28) > 0) return null
       i += 1
     }
     val unscaled = if (overflowed) big else BigInteger.valueOf(sum)
-    // decimal(28,12) precision clamp on the running sum
-    if (unscaled.abs().toString.length > 28) return null
     new JBigDecimal(unscaled, 12).doubleValue()
   }
 }

@@ -15,12 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types under which salting is sound: the replicated (small) side
+    * must be the NON-preserved side, or its unmatched rows would be
+    * emitted once per salt value. "right"/"full"/"right_outer" are
+    * therefore rejected — flip the join around instead.
+    */
+  private val soundJoinTypes =
+    Set("inner", "left", "left_outer", "left_semi", "left_anti", "cross")
+
   /** Equi-join `big ⋈ small` on `keys`, with the big side salted.
-    * `joinType` as in `DataFrame.join` (inner / left / left_semi / ...).
+    * `joinType` is restricted to left-preserving types (see
+    * [[soundJoinTypes]]): the small side is replicated `saltFactor`×, so
+    * any join that preserves ITS unmatched rows would duplicate them.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(soundJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports ${soundJoinTypes.mkString("/")} — '$joinType' would " +
+        "emit unmatched small-side rows once per salt; swap the sides instead")
     // per-row uniform salt; the seed only fixes the partition placement,
     // any salt value joins correctly because the small side carries all
     val salted = big.withColumn("__salt", (rand(42) * saltFactor).cast("int"))

@@ -14,10 +14,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
-  /** Register (idempotently) and return the table. */
+  /** Register (idempotently) and return the table. Identifiers and the
+    * location are escaped before interpolation (a quote in a path must
+    * not break the DDL), and an already-registered name must point at the
+    * SAME location — `IF NOT EXISTS` silently returning a table backed by
+    * different data is the failure mode this guards.
+    */
   def registerParquet(spark: SparkSession, name: String, location: String): DataFrame = {
-    spark.sql(
-      s"CREATE TABLE IF NOT EXISTS `$name` USING parquet LOCATION '$location'")
+    val safeName = name.replace("`", "``")
+    if (spark.catalog.tableExists(name)) {
+      val existing = spark.sql(s"DESCRIBE FORMATTED `$safeName`")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+        .head().getString(1)
+      val conf = spark.sessionState.newHadoopConf()
+      def qualified(l: String): String = {
+        val p = new org.apache.hadoop.fs.Path(l)
+        p.getFileSystem(conf).makeQualified(p).toString
+      }
+      if (qualified(existing) != qualified(location))
+        throw new IllegalStateException(
+          s"table `$name` is already registered at '$existing', not '$location' — " +
+            "deregister it first or pick another name")
+    } else {
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$safeName` USING parquet " +
+        s"LOCATION '${location.replace("'", "''")}'")
+    }
     spark.table(name)
   }
 

@@ -160,10 +160,21 @@ object FileStreamIngest {
 
   /** Latest-wins upsert of `batch` into the DAY-PARTITIONED parquet
     * snapshot at `targetDir`: read only the partitions the batch touches
-    * (partition pruning), merge, and dynamic-partition-overwrite exactly
-    * those — untouched day directories are never rewritten. This is the
-    * shape that survives a 100 TB Silver table: per-batch cost is
-    * O(touched days), not O(target).
+    * (partition pruning), merge, and swap in exactly those — untouched day
+    * directories are never rewritten. This is the shape that survives a
+    * 100 TB Silver table: per-batch cost is O(touched days), not O(target).
+    *
+    * Crash safety (per-partition stage-then-rename): the merged output
+    * materializes in a sibling `.staged` dir BEFORE the snapshot is
+    * touched; each touched `day=` directory is then staged to `.old`,
+    * renamed in, and its `.old` dropped. A crash anywhere leaves every day
+    * either intact, or restorable from `.old` — the recovery sweep at the
+    * start of the next call restores it, so the checkpointed foreachBatch
+    * retry always merges against an uncorrupted snapshot (the property
+    * Delta's transactional MERGE gives the reference). Single-writer, like
+    * [[upsertIntoParquet]]; directory renames are atomic on local/HDFS
+    * filesystems — an object store without atomic rename needs a real
+    * table format instead.
     *
     * Requires `dayCol ∈ keys` (the merge key must determine the partition,
     * as with the reference's (symbol, trade_date) key / trade_date
@@ -179,22 +190,56 @@ object FileStreamIngest {
     if (batch.isEmpty) return // no-data micro-batch: nothing to merge
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
+    val oldRoot = Paths.get(targetDir + ".old")
+    recoverPartitionSwaps(target, oldRoot)
     // touched partitions: bounded by days-per-batch, safe to collect
     val days = batch.select(col(dayCol)).distinct().collect().map(_.get(0))
-    val merged =
-      if (Files.exists(target) && days.nonEmpty) {
-        val current = spark.read.parquet(targetDir)
-          .filter(col(dayCol).isin(days.toIndexedSeq: _*))
-          .select(batch.columns.map(col).toIndexedSeq: _*)
-        MergeUpsert.merge(current, batch, keys, order)
-      } else {
-        graft.operators.Dedup.keepLast(batch, keys, order)
+    if (!Files.exists(target)) {
+      // bootstrap: nothing to corrupt, write the deduped batch directly
+      graft.operators.Dedup.keepLast(batch, keys, order)
+        .write.mode(SaveMode.Overwrite).partitionBy(dayCol).parquet(targetDir)
+      return
+    }
+    val current = spark.read.parquet(targetDir)
+      .filter(col(dayCol).isin(days.toIndexedSeq: _*))
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+    val merged = MergeUpsert.merge(current, batch, keys, order)
+    val staged = Paths.get(targetDir + ".staged")
+    deleteRecursively(staged)
+    merged.write.partitionBy(dayCol).parquet(staged.toString)
+    // per-partition swap: target/day=X → .old/day=X → replaced → .old
+    // dropped; the snapshot is only mutated AFTER the merge fully wrote
+    Files.createDirectories(oldRoot)
+    Files.list(staged).toArray.map(_.asInstanceOf[Path])
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$dayCol="))
+      .foreach { sp =>
+        val dirName = sp.getFileName
+        val tp = target.resolve(dirName)
+        val op = oldRoot.resolve(dirName)
+        deleteRecursively(op)
+        if (Files.exists(tp)) Files.move(tp, op, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(sp, tp, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(op)
       }
-    merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(dayCol)
-      .parquet(targetDir)
+    deleteRecursively(staged)
+    deleteRecursively(oldRoot)
   }
+
+  /** Restore any day partition whose swap was interrupted: a `.old/day=X`
+    * with no live `day=X` means the crash hit between the two renames —
+    * move it back; a `.old/day=X` next to a live one is a stale backup —
+    * drop it.
+    */
+  private def recoverPartitionSwaps(target: Path, oldRoot: Path): Unit =
+    if (Files.exists(oldRoot)) {
+      Files.list(oldRoot).toArray.map(_.asInstanceOf[Path]).foreach { op =>
+        val tp = target.resolve(op.getFileName)
+        if (!Files.exists(tp)) Files.move(op, tp, StandardCopyOption.ATOMIC_MOVE)
+        else deleteRecursively(op)
+      }
+      deleteRecursively(oldRoot)
+    }
 
   /** Latest-wins upsert of `batch` into the unpartitioned parquet dir at
     * `targetDir` (created if absent), staged to a sibling dir then renamed

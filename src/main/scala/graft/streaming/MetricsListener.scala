@@ -17,6 +17,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * ordered, and emitted once per batch — no executor involvement.
   */
 class MetricsListener(outFile: String) extends StreamingQueryListener {
+  import MetricsListener.{jsonEscape, jsonNum}
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
@@ -24,8 +25,8 @@ class MetricsListener(outFile: String) extends StreamingQueryListener {
     val p = e.progress
     val line = s"""{"query_id":"${p.id}","run_id":"${p.runId}","batch_id":${p.batchId},""" +
       s""""timestamp":"${p.timestamp}","num_input_rows":${p.numInputRows},""" +
-      s""""processed_rows_per_second":${p.processedRowsPerSecond},""" +
-      s""""sink":"${p.sink.description.replace("\"", "'")}"}""" + "\n"
+      s""""processed_rows_per_second":${jsonNum(p.processedRowsPerSecond)},""" +
+      s""""sink":"${jsonEscape(p.sink.description)}"}""" + "\n"
     val path = Paths.get(outFile)
     if (path.getParent != null) Files.createDirectories(path.getParent)
     Files.write(path, line.getBytes(StandardCharsets.UTF_8),
@@ -36,6 +37,20 @@ class MetricsListener(outFile: String) extends StreamingQueryListener {
 }
 
 object MetricsListener {
+
+  // the metrics file is consumed by JSON parsers (spark.read.json,
+  // json.loads): bare NaN from a zero-duration/no-data micro-batch or an
+  // unescaped backslash/newline in a sink description would corrupt the
+  // whole line — emit null for non-finite doubles and escape strings fully
+  private[graft] def jsonNum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Attach a metrics listener to the session; returns it for removal. */
   def attach(spark: SparkSession, outFile: String): MetricsListener = {
     val l = new MetricsListener(outFile)

@@ -111,6 +111,29 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("dot_decimal latches null when the RUNNING sum transiently overflows decimal(28,12)") {
+    // each product ≈ 8.91e15 (16 integer digits, fits); two of them push
+    // the running sum past precision 28; the third cancels it back. The
+    // stepwise (acc + z).cast(decimal(28,12)) nulls at step 2 and stays
+    // null — the fused loop must latch the same way, not report the
+    // in-range final value.
+    val vecs = Seq((1L, Array(9.9e7, 9.9e7, -9.9e7), Array(9.0e7, 9.0e7, 9.0e7)))
+      .toDF("id", "a", "b")
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false") // overflow → null, not error
+    try {
+      val declarative = aggregate(
+        zip_with($"a", $"b", (x, y) =>
+          (x.cast("double") * y.cast("double")).cast("decimal(28,12)")),
+        lit(0).cast("decimal(28,12)"),
+        (acc, z) => (acc + z).cast("decimal(28,12)")).cast("double")
+      val r = vecs.select(Similarity.dotDec($"a", $"b").as("native"),
+        declarative.as("decl")).collect()(0)
+      assert(r.isNullAt(0), "native must latch null on transient overflow")
+      assert(r.isNullAt(1), "fixture must actually overflow the stepwise form")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("dot_decimal: bitwise-equal to the declarative decimal(28,12) form") {
     val vecs = Seq(
       (1L, Array(0.1f, -0.27f, 3.5f), Array(1.7f, 0.333f, -2.25f)),

@@ -197,6 +197,13 @@ class OperatorsSpec extends AnyFunSuite {
     // left join keeps unmatched big rows exactly once
     val leftPlain = big.join(small, Seq("k"), "left").count()
     assert(Skew.saltedJoin(big, small, Seq("k"), 8, "left").count() == leftPlain)
+    // small-side-preserving types are rejected: replication would emit the
+    // unmatched small row ('absent') once per salt value
+    Seq("right", "full", "right_outer", "full_outer").foreach { jt =>
+      val e = intercept[IllegalArgumentException](
+        Skew.saltedJoin(big, small, Seq("k"), 8, jt))
+      assert(e.getMessage.contains("swap the sides"))
+    }
   }
 
   test("filterToTradingDays keeps only trading-day facts") {

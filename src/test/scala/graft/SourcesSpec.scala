@@ -97,6 +97,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("nation_reg"))
   }
 
+  test("catalog registration: quoted paths survive, conflicting re-register throws") {
+    import graft.sources.Catalog
+    // a single quote in the location must not break the DDL
+    val dir = Files.createTempDirectory("cat'log")
+    spark.range(3).write.mode("overwrite").parquet(dir.toString + "/t")
+    val t = Catalog.registerParquet(spark, "quoted_loc", dir.toString + "/t")
+    assert(t.count() == 3)
+    // idempotent re-register at the SAME location is fine
+    assert(Catalog.registerParquet(spark, "quoted_loc", dir.toString + "/t").count() == 3)
+    // same name, DIFFERENT location: must fail loudly, not silently return
+    // the table at the old location
+    val other = Files.createTempDirectory("catother")
+    spark.range(5).write.mode("overwrite").parquet(other.toString + "/t")
+    val e = intercept[IllegalStateException](
+      Catalog.registerParquet(spark, "quoted_loc", other.toString + "/t"))
+    assert(e.getMessage.contains("already registered"))
+    Catalog.deregister(spark, "quoted_loc")
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     import graft.sinks.Sinks
     val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")

@@ -132,6 +132,46 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got == Map(1L -> (10L, 1.0), 2L -> (20L, 9.0), 3L -> (20L, 3.0)))
   }
 
+  test("partitioned upsert recovers an interrupted day-partition swap from .old") {
+    import java.nio.file.Paths
+    import java.sql.Date
+    val target = tmp("prec") + "/silver"
+    val b1 = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10L, 1.0),
+      (2L, Date.valueOf("2024-01-02"), 10L, 2.0)).toDF("k", "day", "ord", "v")
+    FileStreamIngest.upsertIntoPartitionedParquet(
+      b1, target, Seq("k", "day"), Seq($"ord".desc), "day")
+    // simulate a crash between the two renames of day=2024-01-01: the live
+    // dir is gone, .old holds the only copy
+    Files.createDirectories(Paths.get(target + ".old"))
+    Files.move(Paths.get(target, "day=2024-01-01"),
+      Paths.get(target + ".old", "day=2024-01-01"))
+    // the checkpointed retry merges a batch touching the OTHER day — the
+    // recovery sweep must restore day 1 first so nothing is lost
+    val b2 = Seq((2L, Date.valueOf("2024-01-02"), 20L, 9.0)).toDF("k", "day", "ord", "v")
+    FileStreamIngest.upsertIntoPartitionedParquet(
+      b2, target, Seq("k", "day"), Seq($"ord".desc), "day")
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("ord"), r.getAs[Double]("v"))).toMap
+    assert(got == Map(1L -> (10L, 1.0), 2L -> (20L, 9.0)))
+    assert(!Files.exists(Paths.get(target + ".old"))) // backups cleaned up
+    assert(!Files.exists(Paths.get(target + ".staged")))
+  }
+
+  test("metrics JSON stays parseable: non-finite rates become null, strings escape fully") {
+    import graft.streaming.MetricsListener
+    assert(MetricsListener.jsonNum(Double.NaN) == "null")
+    assert(MetricsListener.jsonNum(Double.PositiveInfinity) == "null")
+    assert(MetricsListener.jsonNum(12.5) == "12.5")
+    val hostile = "desc \\ with \" and \nnewline"
+    val line =
+      s"""{"sink":"${MetricsListener.jsonEscape(hostile)}","rate":${MetricsListener.jsonNum(Double.NaN)}}"""
+    val parsed = spark.read.json(Seq(line).toDS).collect()(0)
+    assert(parsed.getAs[String]("sink") == hostile) // round-trips, not corrupt
+    assert(parsed.schema.fieldNames.contains("rate"))
+    assert(!parsed.schema.fieldNames.contains("_corrupt_record"))
+  }
+
   test("legacy upsert recovers .old snapshot after an interrupted swap") {
     import java.nio.file.Paths
     val target = tmp("rec") + "/silver"
