@@ -47,6 +47,7 @@ object Bench {
       case (k, Right(sec)) => s"\"$k\":$sec"
       case (k, Left(err)) => s"""\"$k\":{"err":"${jsonEscape(err)}"}"""
     }.mkString("{", ",", "}")
+    CacheBin.drainAll() // suite end: release session-pinned shared results
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val failed = results.count(_._2.isLeft)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")

@@ -12,7 +12,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      CacheBin.drain() // same per-query cache lifecycle as Bench/Verify
+      // per-query lifecycle mirrors Bench/Verify; DRAIN_ALL=1 also clears
+      // session-pinned memos so later reps re-run shared pipelines warm-JVM
+      if (sys.env.get("SPARK_GRAFT_DRAIN_ALL").contains("1")) CacheBin.drainAll()
+      else CacheBin.drain()
     }
     spark.stop()
   }

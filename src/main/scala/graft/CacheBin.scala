@@ -11,19 +11,53 @@ import org.apache.spark.sql.Dataset
   * accumulates leaked blocks and every query pays the memory pressure of
   * all its predecessors.
   *
-  * Contract: operators `register` what they leave cached; entry points
-  * call `drain()` after materializing each query. Unpersisting an
-  * already-unpersisted frame is a no-op, so operators that release early
-  * (when they know the consumer is done) stay correct.
+  * Two tiers:
+  *   - per-query (`register`): released by `drain()` after each query —
+  *     the default for anything one query's plan reads;
+  *   - session (`pin`): survives per-query drains — for results SHARED
+  *     across queries in a suite (e.g. the memoized MinHash verified-pairs
+  *     table both `q_minhash_pairs` and `q_dedup_clusters` read; at 100 TB
+  *     the same principle is "materialize pairs once, read twice").
+  *     Released by `drainAll()` at suite end, which also runs any
+  *     registered invalidation hooks so memo tables don't hand out frames
+  *     whose cache was just dropped.
+  *
+  * Contract: operators `register`/`pin` what they leave cached; entry
+  * points call `drain()` after materializing each query and `drainAll()`
+  * once at suite end. Unpersisting an already-unpersisted frame is a
+  * no-op, so operators that release early (when they know the consumer is
+  * done) stay correct.
   */
 object CacheBin {
   private val bin = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val pinnedBin = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val invalidationHooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   def register[T <: Dataset[_]](df: T): T = { bin.add(df); df }
 
-  /** Unpersist (non-blocking) everything registered since the last drain. */
+  /** Session-tier registration: survives `drain()`, released by `drainAll()`. */
+  def pin[T <: Dataset[_]](df: T): T = { pinnedBin.add(df); df }
+
+  /** Run `hook` on `drainAll()` — memo owners use this to clear entries
+    * whose cached frames are about to be unpersisted.
+    */
+  def onDrainAll(hook: () => Unit): Unit = invalidationHooks.add(hook)
+
+  /** Unpersist (non-blocking) everything registered since the last drain.
+    * Pinned frames are untouched.
+    */
   def drain(): Unit = {
     var df = bin.poll()
     while (df != null) { df.unpersist(false); df = bin.poll() }
+  }
+
+  /** Suite-end release: per-query tier, then pinned tier, then
+    * invalidation hooks (memo clears).
+    */
+  def drainAll(): Unit = {
+    drain()
+    var df = pinnedBin.poll()
+    while (df != null) { df.unpersist(false); df = pinnedBin.poll() }
+    invalidationHooks.forEach(h => h())
   }
 }

@@ -247,9 +247,17 @@ object Queries {
       .groupBy(sha2(col("text"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Both MinHash consumers read ONE session-memoized verified-pairs table
+    * (signatures → banding → candidate join → exact Jaccard runs once per
+    * session, pinned across per-query cache drains) — the "materialize
+    * pairs once, read twice" decision a 100 TB dedup sweep makes on disk.
+    */
+  private def sharedPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.verifiedPairsShared(Tables.documents(s, dir),
+      corpusKey = s"$dir/documents", "doc_id", "text", k = 16, bucketCap = 50)
+
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    MinHashDedup.verifiedPairs(Tables.documents(s, dir), "doc_id", "text",
-      k = 16, bucketCap = 50)
+    sharedPairs(s, dir)
 
   /** Dedup clusters: connected components over verified MinHash pairs at
     * jaccard ≥ 0.5 — cluster_id = min reachable doc id, singletons keep
@@ -257,15 +265,8 @@ object Queries {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = MinHashDedup.verifiedPairs(docs, "doc_id", "text",
-      k = 16, bucketCap = 50)
     val cc = MinHashDedup.connectedComponents(docs, "doc_id",
-      pairs.filter(col("jaccard") >= 0.5))
-    // connectedComponents materializes every read of the pair frame inside
-    // the call (edge count + driver collect, or the checkpointed label
-    // rounds); its returned plan is rooted at the labels, so the verified
-    // pairs can be released before the caller runs the final join
-    pairs.unpersist(false)
+      sharedPairs(s, dir).filter(col("jaccard") >= 0.5))
     cc
   }
 

@@ -17,6 +17,7 @@ object Verify {
       }
       finally CacheBin.drain() // release per-query operator caches
     }
+    CacheBin.drainAll() // suite end: release session-pinned shared results
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

