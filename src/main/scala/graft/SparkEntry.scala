@@ -62,6 +62,7 @@ object SparkEntry {
     "q_simhash64" -> (Queries.simhash64 _),
     "q_simhash64_hamming" -> (Queries.simhashHamming64 _),
     "q_ivf_topk" -> (Queries.ivfTopK _),
+    "q_ivf_topk_kmeans" -> (Queries.ivfTopKKmeans _),
     "q_token_count" -> (Queries.tokenCounts _),
     "q_winnow" -> (Queries.winnow _),
     "q_lang_id" -> (Queries.langId _),
@@ -701,6 +702,111 @@ object SparkEntry {
                    z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
                    AS DOUBLE), c.centroid_id) AS rn
              FROM (SELECT * FROM n2 WHERE vec_id < 5) v, c) t
+           WHERE rn <= 3),
+         pairs AS (
+           SELECT qp.query_id, pc.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(qp.qv, pc.nv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(qp.qn) * sqrt(pc.nn)) AS cosine
+           FROM qp JOIN pc
+             ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id)
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM pairs) r
+         WHERE rank <= 10""",
+
+    // k-means-refined IVF: two unrolled Lloyd rounds from the lowest-id
+    // init, per-dimension means accumulated as DECIMAL(28,12) (the exact
+    // mirror of Similarity.kmeansCentroids), then the same probed top-k as
+    // q_ivf_topk against the refined codebook.
+    "q_ivf_topk_kmeans" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c0 AS (
+           SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings
+           QUALIFY row_number() OVER (ORDER BY vec_id) <=
+             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+         cn0 AS (
+           SELECT centroid_id, cv,
+             CAST(list_sum(list_transform(cv,
+               x -> CAST(x * x AS DECIMAL(28,12)))) AS DOUBLE) AS cn
+           FROM c0),
+         a1 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM n2 v, cn0 c) t
+           WHERE rn = 1),
+         x1 AS (
+           SELECT a.centroid_id, v.embedding,
+             unnest(generate_series(1, len(v.embedding))) AS pos
+           FROM a1 a JOIN embeddings v USING (vec_id)),
+         m1 AS (
+           SELECT centroid_id, pos,
+             CAST(sum(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+           FROM x1 GROUP BY centroid_id, pos),
+         c1 AS (
+           SELECT centroid_id, list(m ORDER BY pos) AS cv
+           FROM m1 GROUP BY centroid_id),
+         cn1 AS (
+           SELECT centroid_id, cv,
+             CAST(list_sum(list_transform(cv,
+               x -> CAST(x * x AS DECIMAL(28,12)))) AS DOUBLE) AS cn
+           FROM c1),
+         a2 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM n2 v, cn1 c) t
+           WHERE rn = 1),
+         x2 AS (
+           SELECT a.centroid_id, v.embedding,
+             unnest(generate_series(1, len(v.embedding))) AS pos
+           FROM a2 a JOIN embeddings v USING (vec_id)),
+         m2 AS (
+           SELECT centroid_id, pos,
+             CAST(sum(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+           FROM x2 GROUP BY centroid_id, pos),
+         c2 AS (
+           SELECT centroid_id, list(m ORDER BY pos) AS cv
+           FROM m2 GROUP BY centroid_id),
+         cn2 AS (
+           SELECT centroid_id, cv,
+             CAST(list_sum(list_transform(cv,
+               x -> CAST(x * x AS DECIMAL(28,12)))) AS DOUBLE) AS cn
+           FROM c2),
+         pc AS (
+           SELECT vec_id AS neighbor_id, embedding AS nv, nn, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM n2 v, cn2 c) t
+           WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, embedding AS qv, nn AS qn, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM (SELECT * FROM n2 WHERE vec_id < 5) v, cn2 c) t
            WHERE rn <= 3),
          pairs AS (
            SELECT qp.query_id, pc.neighbor_id,

@@ -119,6 +119,51 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Lloyd-refined IVF codebook: start from the deterministic lowest-id
+    * sample, run `iters` rounds of assign → per-dimension mean. Returns a
+    * (`idCol`, `vecCol`: array<double>) frame that plugs straight into
+    * [[ivfAssignTo]]/[[ivfRank]]/[[ivfTopK]] — centroid ids stay the
+    * original sampled ids; a centroid that loses all its members drops out
+    * (standard Lloyd behavior, deterministic).
+    *
+    * Exactness: per-dimension means accumulate as DECIMAL(28,12) (exact,
+    * order-independent) before one double divide — the refined codebook is
+    * bit-reproducible across partitionings and engines, so assignments and
+    * downstream top-k cutoffs never flip on a re-run.
+    *
+    * Scale design: each round is one assignment pass (broadcast centroids,
+    * scan-local argmin) plus one mean shuffle. The mean explodes to
+    * n×dim rows but groupBy(centroid, dim) SUM is partially aggregated
+    * map-side, so the shuffle carries only K×dim×partitions rows. At
+    * 100 TB, train the codebook on a sample (pass the sampled frame as
+    * `embeddings`) and assign the full corpus with the result — refinement
+    * cost is then independent of corpus size.
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var cent = embeddings.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    for (_ <- 1 to iters) {
+      val assign = ivfAssignTo(embeddings, idCol, vecCol, cent)
+        .select(col("vec_id").as(idCol), col("centroid_id"))
+      val byDim = embeddings.select(col(idCol), col(vecCol))
+        .join(assign, Seq(idCol))
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(col("col").cast("double").cast(DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+      cent = byDim.groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as(vecCol))
+        .select(col("centroid_id").as(idCol), col(vecCol))
+    }
+    // K×dim rows: cache the codebook so consumers that read it twice
+    // (probe list + corpus assignment) don't re-run the Lloyd rounds
+    graft.CacheBin.register(cent.persist())
+  }
+
   /** IVF coarse assignment: nearest centroid (squared L2) per vector.
     * Centroids are broadcast; ties break to the lowest centroid id.
     */
@@ -174,9 +219,10 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, nProbe: Int,
       numCentroids: Option[Int] = None,
-      corpusCount: Option[Long] = None): DataFrame = {
+      corpusCount: Option[Long] = None,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val kc = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
-    val centroidFrame = embeddings.orderBy(col(idCol)).limit(kc)
+    val centroidFrame = centroids.getOrElse(embeddings.orderBy(col(idCol)).limit(kc))
     val corpus = embeddings
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
         norm2(col(vecCol)).as("__nn"))

@@ -197,6 +197,54 @@ class LlmSpec extends AnyFunSuite {
     assert(two == Set(0L, 10L, 1L, 11L)) // second probe opens bucket 1
   }
 
+  test("kmeans centroids: one Lloyd round is the exact per-cluster mean") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)), // init (lowest ids)
+      (100L, Array(1.0f, 1.0f)), (101L, Array(9.0f, 9.0f)),
+      (102L, Array(5.0f, 5.0f)) // equidistant → centroid 0
+    ).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cent(0L) == Seq(2.0, 2.0)) // mean of (0,0),(1,1),(5,5)
+    assert(cent(1L) == Seq(9.5, 9.5)) // mean of (10,10),(9,9)
+    CacheBin.drain()
+  }
+
+  test("kmeans-refined ivf: deterministic and recall >= 0.6 vs exact top-k") {
+    // 4 well-separated clusters × 12 points, ids interleaved so the
+    // lowest-id init spans clusters; deterministic integer jitter
+    val pts = (0 until 48).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(4) { d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 31 + d * 17) % 7) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val vecs = pts.toDF("vec_id", "embedding")
+    val mk = () => Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 6, iters = 2)
+    val c1 = mk().collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c2 = mk().collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 == c2, "Lloyd refinement must be bit-reproducible")
+
+    val q = $"vec_id" < 4
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, k = 5)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val approx = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, k = 5,
+        nProbe = 2, centroids = Some(mk()))
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    // iterator, not .keys: a Set-mapped recall list dedupes equal values
+    val recall = exact.iterator.map { case (id, ex) =>
+      (ex & approx.getOrElse(id, Set.empty)).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.6,
+      s"recall $recall below threshold; exact=$exact approx=$approx cent=$c1")
+    CacheBin.drain()
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
