@@ -8,13 +8,45 @@ import org.apache.spark.sql.types._
   *
   * Images/audio/video ride through the pipeline as `binary` columns with a
   * metadata struct alongside; decode / feature-extraction runs per
-  * partition so batch-oriented native decoders amortize setup. The decode
-  * kernel itself is STUBBED with a deterministic fake (this container has
-  * no image/audio libraries) — the Spark-side contract (schema, partition
-  * batching, output shape) is real and tested, and a real decoder slots
-  * into [[fakeDecode]] without touching the plumbing.
+  * partition so batch-oriented native decoders amortize setup. Image
+  * payloads (PNG/JPEG/GIF/BMP, sniffed by magic bytes) decode for REAL via
+  * the JDK's `javax.imageio` — true dimensions, pixel checksum, and a
+  * bilinear resize. Non-image payloads (audio/video formats, for which this
+  * container has no decoder) fall back to the deterministic fake kernels,
+  * keeping the batching contract testable end-to-end.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed read cache (a temp file per decode);
+  // payloads here are in-memory byte arrays, so the cache is pure overhead
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Magic-byte sniff for the formats the JDK ships decoders for. */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Real image decode: true width/height plus a row-major ARGB pixel
+    * checksum (order fixed, so the value is partition- and
+    * platform-independent). None when the payload isn't a decodable image —
+    * callers fall back to [[fakeDecode]].
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    if (!looksLikeImage(bytes)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map { img =>
+        var checksum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { checksum = checksum * 31 + img.getRGB(x, y); x += 1 }
+          y += 1
+        }
+        (img.getWidth, img.getHeight, checksum)
+      }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -36,9 +68,9 @@ object Multimodal {
         sha2(col(payloadCol), 256).as("content_hash"),
         lit("text/plain").as("format")).as("media_meta"))
 
-  /** STUB decode kernel: deterministic fake "feature extraction" from raw
-    * bytes (length-derived width/height + first-bytes checksum). A real
-    * implementation would hand `bytes` to an image/audio decoder here.
+  /** Fallback kernel for non-image payloads: deterministic fake "feature
+    * extraction" from raw bytes (length-derived width/height + first-bytes
+    * checksum). Audio/video decoders would slot in beside [[decodeImage]].
     */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, Long) = {
     val w = 64 + (if (bytes.isEmpty) 0 else java.lang.Byte.toUnsignedInt(bytes(0)) % 64)
@@ -55,25 +87,54 @@ object Multimodal {
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("checksum", LongType)))
+    StructField("checksum", LongType),
+    StructField("decoder", StringType)))
 
-  /** Per-partition batched "decode": the mapPartitions boundary where a
-    * native decoder would process a batch of payloads at once (same batch
-    * shape a vectorized/Arrow UDF would see).
+  /** Per-partition batched decode: images go through [[decodeImage]]
+    * (real dimensions + pixel checksum, `decoder = "imageio"`); everything
+    * else through the deterministic fallback (`decoder = "opaque"`). The
+    * mapPartitions boundary is where a batch-oriented native decoder
+    * amortizes its setup (same batch shape a vectorized/Arrow UDF sees).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select("doc_id", "media").mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = fakeDecode(r.getAs[Array[Byte]]("media"))
-        Row(r.getLong(0), w, h, c)
+        val bytes = r.getAs[Array[Byte]]("media")
+        decodeImage(bytes) match {
+          case Some((w, h, c)) => Row(r.getLong(0), w, h, c, "imageio")
+          case None =>
+            val (w, h, c) = fakeDecode(bytes)
+            Row(r.getLong(0), w, h, c, "opaque")
+        }
       }
     }(enc)
   }
 
-  /** STUB resize kernel: a real implementation hands the payload to an
-    * image scaler; the fake is deterministic (truncate/cycle bytes to a
-    * target-size-derived length) so the pipeline contract is testable.
+  /** Real image resize: bilinear scale to (targetW × targetH), re-encoded
+    * as PNG (deterministic for a fixed input). None for non-images.
+    */
+  def imageResize(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    if (!looksLikeImage(bytes)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map { img =>
+        import java.awt.RenderingHints
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+
+  /** Fallback resize kernel for non-image payloads: deterministic
+    * (truncate/cycle bytes to a target-size-derived length) so the
+    * pipeline contract stays testable without an audio/video scaler.
     */
   def fakeResize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     val outLen = math.max(1, (targetW * targetH) / 64)
@@ -93,14 +154,17 @@ object Multimodal {
 
   /** Resize every payload to (targetW × targetH) — per-partition batching,
     * output is again a media-shaped frame so resizes chain with the other
-    * multimodal stages.
+    * multimodal stages. Images scale for real ([[imageResize]]); other
+    * payloads use the deterministic fallback.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
     media.select("doc_id", "media").mapPartitions { rows =>
       rows.map { r =>
-        Row(r.getLong(0), fakeResize(r.getAs[Array[Byte]]("media"), targetW, targetH),
-          targetW, targetH)
+        val bytes = r.getAs[Array[Byte]]("media")
+        val out = imageResize(bytes, targetW, targetH)
+          .getOrElse(fakeResize(bytes, targetW, targetH))
+        Row(r.getLong(0), out, targetW, targetH)
       }
     }(enc)
   }

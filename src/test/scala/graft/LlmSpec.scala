@@ -361,6 +361,32 @@ class LlmSpec extends AnyFunSuite {
       == "01234567")
   }
 
+  test("multimodal: real PNG decodes via imageio — true dims, pixel checksum, real resize") {
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, x * 50 + y * 65536)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    var cs = 0L // expected: row-major ARGB checksum of the source pixels
+    for (y <- 0 until 3; x <- 0 until 5) cs = cs * 31 + img.getRGB(x, y)
+
+    val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getInt(1) == 5 && f(1L).getInt(2) == 3) // true dimensions
+    assert(f(1L).getLong(3) == cs) // PNG is lossless: decoded pixels match
+    assert(f(1L).getString(4) == "imageio")
+    assert(f(2L).getString(4) == "opaque") // magic sniff routes non-images
+
+    val rs = Multimodal.resize(media, 4, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rs(1L)))
+    assert(rimg.getWidth == 4 && rimg.getHeight == 4) // real scale, PNG out
+    assert(Multimodal.looksLikeImage(rs(1L)))
+    assert(rs(2L).length == 1) // non-image keeps the fallback contract
+  }
+
   test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {
     val docs = Seq((1L, "some payload"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaColumn(docs, "doc_id", "text")
