@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.MergeUpsert
@@ -82,6 +82,25 @@ object FileStreamIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Always-on variant of [[runAvailableNowAppend]]: micro-batches on a
+    * `Trigger.ProcessingTime` cadence, the reference's documented
+    * alternative to `availableNow` for continuous ingest
+    * (`docs/databricks_setup.md:131`). Returns the RUNNING query — it never
+    * self-terminates; the caller owns `stop()`/`awaitTermination()`.
+    * Exactly-once discovery rides the same checkpoint WAL, so a pipeline
+    * can flip between scheduled (availableNow) and always-on
+    * (processingTime) without re-ingesting.
+    */
+  def runProcessingTimeAppend(df: DataFrame, outDir: String,
+      checkpointDir: String, interval: String = "5 minutes"): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(interval))
+      .start()
 
   /** AvailableNow drain through an arbitrary per-batch sink function. */
   def runAvailableNowForeachBatch(df: DataFrame, checkpointDir: String)
@@ -182,6 +201,14 @@ object FileStreamIngest {
     * and the pruned merge could not retract the old day's row. `dayCol`
     * should be a DateType/string column with stable text form (partition
     * values round-trip through directory names).
+    *
+    * Reader visibility: crash safety covers the WRITER, not concurrent
+    * readers — between the two renames of a touched `day=X` the partition
+    * is briefly absent, so a snapshot scan racing a batch commit can miss
+    * it. Readers must not scan while a commit is in flight (schedule reads
+    * between batches, or publish the snapshot path via a catalog pointer
+    * flipped after the swap). Delta's log gives the reference this
+    * isolation for free; plain parquet directories cannot.
     */
   def upsertIntoPartitionedParquet(batch: DataFrame, targetDir: String,
       keys: Seq[String], order: Seq[Column], dayCol: String): Unit = synchronized {
@@ -210,7 +237,7 @@ object FileStreamIngest {
     // per-partition swap: target/day=X → .old/day=X → replaced → .old
     // dropped; the snapshot is only mutated AFTER the merge fully wrote
     Files.createDirectories(oldRoot)
-    Files.list(staged).toArray.map(_.asInstanceOf[Path])
+    listDir(staged)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(s"$dayCol="))
       .foreach { sp =>
@@ -233,7 +260,7 @@ object FileStreamIngest {
     */
   private def recoverPartitionSwaps(target: Path, oldRoot: Path): Unit =
     if (Files.exists(oldRoot)) {
-      Files.list(oldRoot).toArray.map(_.asInstanceOf[Path]).foreach { op =>
+      listDir(oldRoot).foreach { op =>
         val tp = target.resolve(op.getFileName)
         if (!Files.exists(tp)) Files.move(op, tp, StandardCopyOption.ATOMIC_MOVE)
         else deleteRecursively(op)
@@ -274,8 +301,19 @@ object FileStreamIngest {
     deleteRecursively(old)
   }
 
+  // NIO directory streams hold an fd until closed — a long-running
+  // foreachBatch stream would leak one per micro-batch without the
+  // try/finally (GC closes them eventually, but fd exhaustion comes first
+  // on a busy ingest node)
+  private def listDir(p: Path): Array[Path] = {
+    val s = Files.list(p)
+    try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
     }
 }

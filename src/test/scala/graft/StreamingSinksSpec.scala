@@ -39,6 +39,38 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.select(countDistinct($"event_id")).collect()(0).getLong(0) == total)
   }
 
+  test("processingTime file stream: always-on micro-batches, exactly-once, checkpoint shared with availableNow") {
+    val src = tmp("psrc"); val out = tmp("pout"); val ckpt = tmp("pckpt")
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val total = ev.count()
+    val slice1 = ev.filter($"event_id" % 2 === 0)
+    val slice2 = ev.filter($"event_id" % 2 === 1)
+    slice1.write.mode("append").parquet(src)
+    val schema = ev.schema
+
+    // always-on query: short cadence for the test; drain deterministically
+    // with processAllAvailable rather than sleeping on the trigger clock
+    val q = FileStreamIngest.runProcessingTimeAppend(
+      FileStreamIngest.bronzeStream(spark, src, schema), out, ckpt,
+      interval = "50 milliseconds")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == slice1.count())
+      // files arriving while the query RUNS are drained by later triggers
+      slice2.write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == total)
+    assert(got.select(countDistinct($"event_id")).collect()(0).getLong(0) == total)
+
+    // same checkpoint, scheduled-mode restart: nothing left to ingest
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeStream(spark, src, schema), out, ckpt)
+    assert(spark.read.parquet(out).count() == total)
+  }
+
   test("foreachBatch silver upsert: latest-wins across two micro-batch runs") {
     val src = tmp("usrc"); val target = tmp("utgt") + "/silver"; val ckpt = tmp("uckpt")
     val b1 = Seq((1L, 10L, 1.0), (2L, 10L, 2.0)).toDF("k", "ord", "v")
