@@ -46,10 +46,11 @@ object CalendarOps {
       .withColumn("is_holiday", col("__hol").isNotNull)
       .withColumn("is_trading_day", col("dow") <= 4 && col("__hol").isNull)
       .drop("__hol")
-    // constant partition key: the frame is the whole O(days) dimension by
-    // design (broadcast-small) — the literal key keeps WindowExec's "No
-    // Partition Defined" warning from drowning out real ones
-    val w = Window.partitionBy(lit(1))
+    // single-partition window by DESIGN: the frame is the whole O(days)
+    // dimension, broadcast-small. (A lit(1) partition key doesn't silence
+    // WindowExec's warning — EliminateWindowPartitions folds it away — so
+    // log4j2.properties scopes that logger down instead.)
+    val w = Window
       .orderBy(col("cal_day")).rowsBetween(Window.unboundedPreceding, -1)
     flagged.withColumn(
       "prev_trading_day",
@@ -65,8 +66,8 @@ object CalendarOps {
     * O(days) so the unpartitioned window is broadcast-cheap.
     */
   def lastNTradingDays(cal: DataFrame, n: Int): DataFrame = {
-    // constant partition key for the same warning-hygiene reason as above
-    val w = Window.partitionBy(lit(1)).orderBy(col("cal_day").desc)
+    // single-partition by design, same note as [[calendar]]
+    val w = Window.orderBy(col("cal_day").desc)
     cal.filter(col("is_trading_day"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
