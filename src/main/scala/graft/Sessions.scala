@@ -18,6 +18,10 @@ import org.apache.spark.sql.SparkSession
   *    granularity for 1000 executors).
   *  - session timezone UTC: the reference stores tz-naive UTC timestamps;
   *    cross-engine determinism requires pinning it.
+  *  - `cbo.planStats.enabled`: propagate catalog row counts (ANALYZE'd by
+  *    [[graft.sources.Catalog.registerParquet]]) into logical-plan stats,
+  *    so sizing decisions (IVF centroid counts) read metadata instead of
+  *    paying a count job per query.
   */
 object Sessions {
   def build(master: String, cores: Int, appName: String = "graft"): SparkSession =
@@ -29,6 +33,7 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

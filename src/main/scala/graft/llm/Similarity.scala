@@ -24,15 +24,20 @@ object Similarity {
 
   private def spread(df: DataFrame): DataFrame = Spread(df)
 
-  /** ⌈√n⌉ centroid sizing without a dedicated scan per query: callers pass
-    * the corpus size when they have it (catalog row-count statistics, a
-    * memoized [[graft.Tables.rowCount]], a manifest) — at 100 TB a
-    * per-query `count()` is an extra full-metadata pass just to size K.
-    * The inline `count()` remains only as the no-information fallback.
+  /** ⌈√n⌉ centroid sizing without a dedicated scan per query. Size comes
+    * from, in order: the caller (a memoized [[graft.Tables.rowCount]], a
+    * manifest), the optimized plan's row-count statistics (a
+    * [[graft.sources.Catalog.registerParquet]]-registered + ANALYZE'd table
+    * carries them via `spark.sql.cbo.planStats.enabled` — zero jobs), and
+    * only as the no-information fallback an inline `count()` — at 100 TB a
+    * per-query count is an extra full-metadata pass just to size K.
     */
-  private def adaptiveCentroids(embeddings: DataFrame, n: Option[Long]): Int =
+  private def adaptiveCentroids(embeddings: DataFrame, n: Option[Long]): Int = {
+    val known = n.orElse(
+      embeddings.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
     math.max(1, math.ceil(math.sqrt(
-      n.getOrElse(embeddings.count()).toDouble)).toInt)
+      known.getOrElse(embeddings.count()).toDouble)).toInt)
+  }
 
   /** Exact decimal-accumulated dot product of two array<float/double> cols,
     * as double. Native codegen'd expression ([[DotDecimal]]) — bit-identical

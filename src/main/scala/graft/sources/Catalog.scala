@@ -38,9 +38,27 @@ object Catalog {
     } else {
       spark.sql(s"CREATE TABLE IF NOT EXISTS `$safeName` USING parquet " +
         s"LOCATION '${location.replace("'", "''")}'")
+      // record row/size statistics at registration: one metadata pass here
+      // means sizing decisions downstream (IVF centroid counts, join
+      // strategy) read the catalog instead of re-scanning per query —
+      // with `spark.sql.cbo.planStats.enabled` the counts flow into
+      // logical-plan stats automatically
+      analyze(spark, name)
     }
     spark.table(name)
   }
+
+  /** Recompute table statistics (call after appending to the location —
+    * external-table stats don't refresh themselves).
+    */
+  def analyze(spark: SparkSession, name: String): Unit =
+    spark.sql(s"ANALYZE TABLE `${name.replace("`", "``")}` COMPUTE STATISTICS")
+
+  /** Catalog row count, if statistics have been computed. */
+  def rowCount(spark: SparkSession, name: String): Option[Long] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .stats.flatMap(_.rowCount).map(_.toLong)
 
   /** Drop the registration (external: data stays at the location). */
   def deregister(spark: SparkSession, name: String): Unit =

@@ -116,6 +116,28 @@ class SourcesSpec extends AnyFunSuite {
     Catalog.deregister(spark, "quoted_loc")
   }
 
+  test("catalog stats: registered table sizes IVF from metadata, zero count jobs") {
+    import graft.sources.Catalog
+    import graft.llm.Similarity
+    val loc = s"${TestSpark.sfDir}/embeddings.parquet"
+    val n = spark.read.parquet(loc).count()
+    val t = Catalog.registerParquet(spark, "emb_reg", loc)
+    try {
+      assert(Catalog.rowCount(spark, "emb_reg").contains(n)) // ANALYZE ran
+      // planStats propagates the catalog count into the optimized plan
+      assert(t.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong).contains(n))
+      val sc = spark.sparkContext
+      sc.setJobGroup("ivf-sizing-probe", "no jobs expected during construction")
+      val df = try Similarity.ivfTopK(spark.table("emb_reg"), "vec_id", "embedding",
+        isQuery = $"vec_id" < 2, k = 3, nProbe = 2)
+      finally sc.clearJobGroup()
+      Thread.sleep(500) // status store is async; let a would-be job surface
+      assert(sc.statusTracker.getJobIdsForGroup("ivf-sizing-probe").isEmpty,
+        "ivfTopK construction ran a Spark job despite catalog stats")
+      assert(df.count() > 0)
+    } finally Catalog.deregister(spark, "emb_reg")
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     import graft.sinks.Sinks
     val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
