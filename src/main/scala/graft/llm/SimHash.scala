@@ -96,6 +96,10 @@ object SimHash {
       bits: Int = 32): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxHamming <= 3, "4 bands guarantee recall only up to hamming 3")
+    // mirror SimHashN's width check: any other value silently computes the
+    // 32-bit fingerprint with misaligned bands (e.g. bits=48 → one all-zero
+    // band = a single capped mega-bucket, losing recall without an error)
+    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
     val bandBits = bits / 4
     val mask = (1L << bandBits) - 1
     val sh = if (bits == 64) simhash64(col(textCol)) else simhash32(col(textCol))

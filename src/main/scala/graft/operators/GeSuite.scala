@@ -88,9 +88,18 @@ object GeSuite {
         require(supported.contains(etype),
           s"unsupported expectation_type '$etype' (supported: ${supported.mkString(", ")})")
         val kwargs = e.get("kwargs")
+        val column = kwargs.get("column").asText
+        // fail-fast contract: a bound we can't evaluate must REJECT the
+        // suite, not silently turn a between-expectation into always-pass
+        // (GE string/date bounds are unsupported; JSON null = half-open)
         def num(field: String): Option[Double] =
-          Option(kwargs.get(field)).filter(_.isNumber).map(_.asDouble)
-        GeExpectation(etype, kwargs.get("column").asText, num("min_value"), num("max_value"))
+          Option(kwargs.get(field)).filterNot(_.isNull).map { v =>
+            require(v.isNumber,
+              s"$etype on '$column': $field must be numeric, got $v — " +
+                "string/date bounds are unsupported; convert the bound or drop the rule")
+            v.asDouble
+          }
+        GeExpectation(etype, column, num("min_value"), num("max_value"))
       }
     Suite(name, exps)
   }

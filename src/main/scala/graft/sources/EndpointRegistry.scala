@@ -52,7 +52,14 @@ object EndpointRegistry {
           s"$name: per-date endpoints are market-wide, no symbol key")
     }
 
-    /** Resolved storage path under `rawRoot`. */
+    /** The reference CLIENT's single-object key under `rawRoot` — what
+      * `fmp_dump_raw.py` uploads as one gzipped NDJSON object. This models
+      * the reference layout for compatibility checks and migration tooling;
+      * it is NOT where the engine sink writes. [[writeRaw]] emits Spark
+      * part-files under [[partitionDir]] instead, and [[readRaw]] reads
+      * either layout (both live under the same partition directory). Use
+      * writeRaw/readRaw for engine I/O; never read back via this key.
+      */
     def path(rawRoot: String, symbol: String = null, date: String = null): String = {
       val resolved = scheme match {
         case PerSymbol =>
@@ -63,6 +70,15 @@ object EndpointRegistry {
           pathTemplate.replace("{date}", date)
       }
       s"${rawRoot.stripSuffix("/")}/$resolved"
+    }
+
+    /** The partition directory shared by the client layout and the engine
+      * sink: `path()`'s parent for one symbol/date, the directory
+      * [[writeRaw]] fills with part-files.
+      */
+    def partitionDir(rawRoot: String, symbol: String = null, date: String = null): String = {
+      val p = path(rawRoot, symbol, date)
+      p.substring(0, p.lastIndexOf('/'))
     }
 
     /** The Hive-style partition column this spec's layout encodes. */

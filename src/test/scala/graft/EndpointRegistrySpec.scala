@@ -66,6 +66,13 @@ class EndpointRegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](reg("treasury_rates").path("/r"))
   }
 
+  test("partitionDir is path's parent and matches where writeRaw lands files") {
+    assert(reg("income").partitionDir("s3a://bucket/raw", symbol = "AAPL")
+      == "s3a://bucket/raw/fmp/statements/income/symbol=AAPL")
+    assert(reg("treasury_rates").partitionDir("/data/raw/", date = "2024-10-25")
+      == "/data/raw/fmp/treasury_rates/dt=2024-10-25")
+  }
+
   test("writeRaw keys the K2 sink off the registry and round-trips") {
     val spark = TestSpark.spark
     import spark.implicits._

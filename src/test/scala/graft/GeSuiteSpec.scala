@@ -114,6 +114,22 @@ class GeSuiteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("expect_column_values_to_be_between"))
   }
 
+  test("non-numeric between bounds reject the suite instead of passing silently") {
+    val bad =
+      """{"expectation_suite_name":"x","expectations":[
+        |{"expectation_type":"expect_column_values_to_be_between",
+        | "kwargs":{"column":"d","min_value":"2024-01-01","max_value":"2024-12-31"}}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](GeSuite.parse(bad))
+    assert(e.getMessage.contains("min_value must be numeric"))
+    // explicit JSON null stays a legitimate half-open bound
+    val halfOpen =
+      """{"expectation_suite_name":"x","expectations":[
+        |{"expectation_type":"expect_column_values_to_be_between",
+        | "kwargs":{"column":"v","min_value":null,"max_value":5}}]}""".stripMargin
+    val s = GeSuite.parse(halfOpen)
+    assert(s.expectations.head.minValue.isEmpty && s.expectations.head.maxValue.contains(5.0))
+  }
+
   test("engine-shipped events suite loads from the classpath and audits sf0.001") {
     val suite = GeSuite.loadResource("ge/expectations_events.json")
     assert(suite.name == "events_quality")

@@ -100,6 +100,10 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+    // only the two fingerprint widths exist; anything else would silently
+    // band-misalign (e.g. 48 → an all-zero band)
+    assertThrows[IllegalArgumentException](
+      SimHash.hammingPairs(df, "doc_id", "text", maxHamming = 3, bits = 48))
   }
 
   test("simhash survives whole-stage codegen (expression, not UDF)") {
