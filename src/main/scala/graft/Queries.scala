@@ -190,6 +190,16 @@ object Queries {
     CalendarOps.calendar(
       s.sql("SELECT DATE'2021-12-01' AS d0, DATE'2025-12-31' AS d1"))
 
+  /** Backfill-window resolution (`fmp_dump_raw.py:628-651`): anchor
+    * 2025-07-04 is a Friday HOLIDAY, so the snapshot resolves to
+    * 2025-07-03 and the 30-day treasury window's trading days span
+    * [2025-06-04, 2025-07-04] minus weekends, Juneteenth, and July 4th.
+    * Anchor and span are literals: the resolution rule is the subject
+    * under test, not a property of the data.
+    */
+  def backfillWindow(s: SparkSession, dir: String): DataFrame =
+    CalendarOps.backfillWindow(s, "2025-07-04", 30)
+
   def monthChunks(s: SparkSession, dir: String): DataFrame =
     CalendarOps.monthChunks(
       Tables.events(s, dir).withColumn("day", to_date(col("ts"))), "day")

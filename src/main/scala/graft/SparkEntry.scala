@@ -63,6 +63,7 @@ object SparkEntry {
     "q_simhash64_hamming" -> (Queries.simhashHamming64 _),
     "q_ivf_topk" -> (Queries.ivfTopK _),
     "q_ivf_topk_kmeans" -> (Queries.ivfTopKKmeans _),
+    "q_backfill_window" -> (Queries.backfillWindow _),
     "q_token_count" -> (Queries.tokenCounts _),
     "q_winnow" -> (Queries.winnow _),
     "q_lang_id" -> (Queries.langId _),
@@ -310,6 +311,35 @@ object SparkEntry {
              OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_trading_day
          FROM flagged"""
+    },
+
+    // backfill-window resolution: same rule-generated holiday in-list as
+    // the multiyear calendar oracle; anchor 2025-07-04 is a Friday holiday
+    // so the snapshot falls back to the previous trading day
+    "q_backfill_window" -> {
+      val hol = graft.operators.NyseCalendar.holidaysBetween(
+          java.time.LocalDate.parse("2025-05-21"),
+          java.time.LocalDate.parse("2025-07-04"))
+        .map(d => s"DATE '$d'").mkString(", ")
+      s"""WITH days AS (
+           SELECT CAST(unnest(generate_series(TIMESTAMP '2025-05-21',
+                  TIMESTAMP '2025-07-04', INTERVAL 1 DAY)) AS DATE) AS cal_day),
+         cal AS (
+           SELECT cal_day,
+             ((isodow(cal_day) - 1) <= 4 AND cal_day NOT IN ($hol)) AS is_trading_day,
+             last_value(CASE WHEN ((isodow(cal_day) - 1) <= 4
+                 AND cal_day NOT IN ($hol)) THEN cal_day END IGNORE NULLS)
+               OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_trading_day
+           FROM days),
+         snap AS (
+           SELECT CASE WHEN is_trading_day THEN cal_day
+                       ELSE prev_trading_day END AS snapshot_date
+           FROM cal WHERE cal_day = DATE '2025-07-04')
+         SELECT cal_day AS backfill_day, snapshot_date,
+           DATE '2025-06-04' AS backfill_from, DATE '2025-07-04' AS backfill_to
+         FROM cal, snap
+         WHERE is_trading_day AND cal_day >= DATE '2025-06-04'"""
     },
 
     "q_last_n_trading_days" ->

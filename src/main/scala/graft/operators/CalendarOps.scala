@@ -84,6 +84,34 @@ object CalendarOps {
       broadcast(cal.filter(col("is_trading_day")).select(col("cal_day"))),
       facts(dayCol) === col("cal_day"), "left_semi")
 
+  /** Backfill-window resolution (reference `fmp_dump_raw.py:628-651`): the
+    * anchor date resolves to its snapshot date — itself if a trading day,
+    * else the previous trading day (the "runs after market close" rule) —
+    * and `--backfill-days N` yields the calendar-day window
+    * [anchor − N, anchor]. Returns the window's TRADING days (what a
+    * per-date feed backfill iterates), each row carrying the resolved
+    * snapshot date and the window bounds.
+    *
+    * The calendar spans a ~2-week pad before the window so the anchor's
+    * prev_trading_day always resolves inside it (the longest NYSE closure
+    * streak is far shorter).
+    */
+  def backfillWindow(spark: SparkSession, anchor: String, backfillDays: Int,
+      holidays: Seq[String] = usMarketHolidays()): DataFrame = {
+    val bounds = spark.sql(
+      s"SELECT date_sub(DATE'$anchor', ${backfillDays + 14}) AS d0, DATE'$anchor' AS d1")
+    val cal = calendar(bounds, holidays)
+    val snap = cal.filter(col("cal_day") === to_date(lit(anchor)))
+      .select(when(col("is_trading_day"), col("cal_day"))
+        .otherwise(col("prev_trading_day")).as("snapshot_date"))
+    cal.filter(col("is_trading_day") &&
+        col("cal_day") >= date_sub(to_date(lit(anchor)), backfillDays))
+      .crossJoin(broadcast(snap)) // one resolved row
+      .select(col("cal_day").as("backfill_day"), col("snapshot_date"),
+        date_sub(to_date(lit(anchor)), backfillDays).as("backfill_from"),
+        to_date(lit(anchor)).as("backfill_to"))
+  }
+
   /** `split_date_range_by_month` as a query: month chunks with first/last
     * observed day and distinct-day counts (reference `utils/dates.py:19-60`).
     */

@@ -78,6 +78,22 @@ class NyseCalendarSpec extends AnyFunSuite {
       "2018-11-22", "2018-12-05", "2018-12-25", "2019-01-01", "2019-01-21"))
   }
 
+  test("backfill window: holiday anchor resolves snapshot to the previous trading day") {
+    val spark = TestSpark.spark
+    // 2025-07-04 is a Friday holiday → snapshot 2025-07-03; 30-day window
+    val rows = CalendarOps.backfillWindow(spark, "2025-07-04", 30).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[java.sql.Date]("snapshot_date").toString == "2025-07-03"))
+    val days = rows.map(_.getAs[java.sql.Date]("backfill_day").toString).sorted
+    assert(days.head == "2025-06-04" && days.last == "2025-07-03")
+    assert(!days.contains("2025-06-19")) // Juneteenth excluded
+    assert(days.length == 21) // 23 weekdays minus Juneteenth and July 4th
+    assert(rows.forall(_.getAs[java.sql.Date]("backfill_from").toString == "2025-06-04"))
+    // a trading-day anchor resolves to itself
+    val td = CalendarOps.backfillWindow(spark, "2025-07-03", 5).collect()
+    assert(td.forall(_.getAs[java.sql.Date]("snapshot_date").toString == "2025-07-03"))
+  }
+
   test("multi-year calendar: prev_trading_day crosses an unobserved Saturday New Year and a mourning closure") {
     val spark = TestSpark.spark
     val cal = CalendarOps.calendar(
