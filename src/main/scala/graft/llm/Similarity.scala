@@ -146,27 +146,42 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = embeddings.sparkSession
+    // centroids are MODEL STATE, bounded at K×dim BY CONSTRUCTION
+    // (K = ⌈√n⌉ from the sizing policy; at 1e9 corpus rows and dim 128
+    // that's ~32 MB — and the 100 TB path trains on a sample anyway), so
+    // hold them on the driver between rounds, MLlib-KMeans style. Each
+    // round is then ONE distributed job against a literal centroid table;
+    // leaving the rounds lazy instead nests every earlier round's plan
+    // into the next broadcast and re-executes it per round.
+    val idField = embeddings.schema(idCol)
+    val schema = StructType(Seq(idField, StructField(vecCol, ArrayType(DoubleType))))
+    def toFrame(rows: Array[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     var cent = embeddings.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .collect()
     for (_ <- 1 to iters) {
-      val assign = ivfAssignTo(embeddings, idCol, vecCol, cent)
+      val assign = ivfAssignTo(embeddings, idCol, vecCol, toFrame(cent))
         .select(col("vec_id").as(idCol), col("centroid_id"))
-      val byDim = embeddings.select(col(idCol), col(vecCol))
+      cent = embeddings.select(col(idCol), col(vecCol))
         .join(assign, Seq(idCol))
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy(col("centroid_id"), col("pos"))
         .agg((sum(col("col").cast("double").cast(DecimalType(28, 12)))
           .cast("double") / count(lit(1))).as("m"))
-      cent = byDim.groupBy(col("centroid_id"))
+        .groupBy(col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as(vecCol))
         .select(col("centroid_id").as(idCol), col(vecCol))
+        .collect()
     }
-    // K×dim rows: cache the codebook so consumers that read it twice
-    // (probe list + corpus assignment) don't re-run the Lloyd rounds
-    graft.CacheBin.register(cent.persist())
+    // K×dim rows: cache the literal codebook so consumers that read it
+    // twice (probe list + corpus assignment) reuse one in-memory copy
+    graft.CacheBin.register(toFrame(cent).persist())
   }
 
   /** IVF coarse assignment: nearest centroid (squared L2) per vector.
