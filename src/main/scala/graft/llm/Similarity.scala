@@ -184,6 +184,69 @@ object Similarity {
     graft.CacheBin.register(toFrame(cent).persist())
   }
 
+  /** Materialize an IVF index at `dir`: the corpus (id, vector, norm)
+    * written `partitionBy(centroid_id)` — one directory per inverted
+    * list — with the codebook alongside at `dir/centroids`. This is the
+    * scale path the probed reader ([[ivfTopKFromIndex]]) needs: a probe
+    * touches only its bucket DIRECTORIES, so per-query scan cost is
+    * nProbe·√n files rather than the corpus. Rebuild (or re-assign
+    * incrementally) when the corpus or codebook changes.
+    */
+  def ivfIndexWrite(embeddings: DataFrame, idCol: String, vecCol: String,
+      dir: String, centroids: Option[DataFrame] = None,
+      numCentroids: Option[Int] = None, corpusCount: Option[Long] = None): Unit = {
+    val kc = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
+    val cf = centroids.getOrElse(embeddings.orderBy(col(idCol)).limit(kc))
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    val cfCached = graft.CacheBin.register(cf.persist())
+    embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        norm2(col(vecCol)).as("norm2"))
+      .join(ivfAssignTo(embeddings, idCol, vecCol, cfCached)
+        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .write.partitionBy("centroid_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/corpus")
+    cfCached.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+  }
+
+  /** Probed ANN top-k over a materialized index: rank the query set's
+    * `nProbe` nearest centroids from the stored codebook, then scan ONLY
+    * those inverted lists — the `centroid_id` IN-list is literal, so it
+    * prunes at the file-listing level (PartitionFilters on the scan, no
+    * touch of unprobed directories). The probe-id collect is bounded by
+    * |queries|×nProbe — the query set is broadcast-small by the same
+    * contract as [[cosineTopK]].
+    */
+  def ivfTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+      dir: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cols = centroids.columns
+    val probes = ivfRank(queries, idCol, vecCol,
+        centroids.select(col(cols(0)).as(idCol), col(cols(1)).as(vecCol)), nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .filter(col("centroid_id").isin(probeIds: _*))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn"))
+      .join(probes, Seq("query_id"))
+    val joined = corpus.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    joined
+      .withColumn("cosine", dotDec(col("__qv"), col("vec")).cast("double") /
+        (sqrt(col("__qn")) * sqrt(col("norm2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** IVF coarse assignment: nearest centroid (squared L2) per vector.
     * Centroids are broadcast; ties break to the lowest centroid id.
     */

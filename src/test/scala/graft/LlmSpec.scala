@@ -249,6 +249,39 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("ivf index: partitioned write, probed read prunes buckets, matches in-memory path") {
+    val pts = (0 until 48).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(4) { d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 31 + d * 17) % 7) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val vecs = pts.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.ivfIndexWrite(vecs, "vec_id", "embedding", dir, numCentroids = Some(4))
+    // one directory per inverted list
+    val parts = new java.io.File(dir + "/corpus").listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    assert(parts == 4)
+
+    val queries = vecs.filter($"vec_id" < 4)
+    val out = Similarity.ivfTopKFromIndex(queries, "vec_id", "embedding", dir,
+      k = 5, nProbe = 2)
+    val mem = Similarity.ivfTopK(vecs, "vec_id", "embedding", $"vec_id" < 4,
+      k = 5, nProbe = 2, numCentroids = Some(4))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    assert(key(out) == key(mem)) // index round-trip changes nothing
+
+    // the probe IN-list prunes at the scan: partition filters present on
+    // the corpus read, so unprobed bucket directories are never touched
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan.take(2000))
+    CacheBin.drain()
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
