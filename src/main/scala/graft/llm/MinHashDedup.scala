@@ -121,7 +121,6 @@ object MinHashDedup {
     val inputParts = docs.rdd.getNumPartitions
     val spread =
       if (inputParts * 2 < parallelism) docs.repartition(parallelism) else docs
-    val raw = TextOps.charShingles(spread, idCol, textCol, k, distinct = false)
     // signatures via the one-pass native expression — scan-local, no
     // explode/shuffle (see MinHashSlices); identical output to
     // signaturesFromShingles, which remains the generic/oracle formulation.
@@ -136,9 +135,16 @@ object MinHashDedup {
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
       .distinct()
-    // candidate-doc count scales with near-dup density, not a constant —
-    // AQE picks broadcast vs shuffle semi-join from the runtime size
-    val shingles = raw.join(candDocs, Seq(idCol), "left_semi").distinct()
+    // semi-join BEFORE the shingle explode: only the candidate sliver is
+    // ever exploded to shingle rows (the corpus-wide stream fed signatures
+    // in an earlier design; MinHashExpr made that pass scan-local, so an
+    // explode over non-candidate docs would be pure waste). Candidate-doc
+    // count scales with near-dup density, not a constant — AQE picks
+    // broadcast vs shuffle semi-join from the runtime size.
+    val shingles = TextOps.charShingles(
+        spread.join(candDocs, Seq(idCol), "left_semi"),
+        idCol, textCol, k, distinct = false)
+      .distinct()
       .persist(MEMORY_AND_DISK)
     val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // equi-join on (doc, shingle) both sides — never materializes the
