@@ -282,9 +282,11 @@ object SparkEntry {
                          DATE '2024-01-01', DATE '2024-01-15', DATE '2024-02-19',
                          DATE '2024-03-29', DATE '2024-05-27', DATE '2024-06-19',
                          DATE '2024-07-04', DATE '2024-09-02', DATE '2024-11-28',
-                         DATE '2024-12-25')) AS is_trading_day
+                         DATE '2024-12-25')) AS is_trading_day,
+             cal_day IN (DATE '2024-07-03', DATE '2024-11-29',
+                         DATE '2024-12-24') AS is_early_close
            FROM days)
-         SELECT cal_day, dow, is_holiday, is_trading_day,
+         SELECT cal_day, dow, is_holiday, is_trading_day, is_early_close,
            last_value(CASE WHEN is_trading_day THEN cal_day END IGNORE NULLS)
              OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_trading_day
@@ -298,15 +300,20 @@ object SparkEntry {
           java.time.LocalDate.parse("2021-12-01"),
           java.time.LocalDate.parse("2025-12-31"))
         .map(d => s"DATE '$d'").mkString(", ")
+      val ec = graft.operators.NyseCalendar.earlyClosesBetween(
+          java.time.LocalDate.parse("2021-12-01"),
+          java.time.LocalDate.parse("2025-12-31"))
+        .map(d => s"DATE '$d'").mkString(", ")
       s"""WITH days AS (
            SELECT CAST(unnest(generate_series(TIMESTAMP '2021-12-01',
                   TIMESTAMP '2025-12-31', INTERVAL 1 DAY)) AS DATE) AS cal_day),
          flagged AS (
            SELECT cal_day, CAST(isodow(cal_day) - 1 AS INT) AS dow,
              cal_day IN ($hol) AS is_holiday,
-             ((isodow(cal_day) - 1) <= 4 AND cal_day NOT IN ($hol)) AS is_trading_day
+             ((isodow(cal_day) - 1) <= 4 AND cal_day NOT IN ($hol)) AS is_trading_day,
+             cal_day IN ($ec) AS is_early_close
            FROM days)
-         SELECT cal_day, dow, is_holiday, is_trading_day,
+         SELECT cal_day, dow, is_holiday, is_trading_day, is_early_close,
            last_value(CASE WHEN is_trading_day THEN cal_day END IGNORE NULLS)
              OVER (ORDER BY cal_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_trading_day

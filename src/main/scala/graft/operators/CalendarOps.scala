@@ -24,28 +24,37 @@ object CalendarOps {
   def usMarketHolidays(fromYear: Int = 1998, toYear: Int = 2100): Seq[String] =
     NyseCalendar.holidayStrings(fromYear, toYear)
 
+  /** NYSE 1:00 pm early closes (half days — still trading days). */
+  def usEarlyCloses(fromYear: Int = 2013, toYear: Int = 2100): Seq[String] =
+    NyseCalendar.earlyCloseStrings(fromYear, toYear)
+
   /** Date dimension spanning [start, end] (inclusive), one row per day:
     * `cal_day date, dow int (Mon=0), is_holiday, is_trading_day,
-    * prev_trading_day date` — prev_trading_day is the latest strictly-earlier
-    * trading day (`get_previous_trading_day` semantics).
+    * is_early_close, prev_trading_day date` — prev_trading_day is the
+    * latest strictly-earlier trading day (`get_previous_trading_day`
+    * semantics); early-close half days count as trading days throughout.
     *
-    * Holidays arrive as a generated dimension (~1k rows for a century) and
-    * flag via broadcast left join — the config-table shape a deployment
-    * would swap its own exchange schedule into.
+    * Holidays and early closes arrive as generated dimensions (~1k rows
+    * for a century) and flag via broadcast left joins — the config-table
+    * shape a deployment would swap its own exchange schedule into.
     */
   def calendar(bounds: DataFrame,
-      holidays: Seq[String] = usMarketHolidays()): DataFrame = {
+      holidays: Seq[String] = usMarketHolidays(),
+      earlyCloses: Seq[String] = usEarlyCloses()): DataFrame = {
     val spark = bounds.sparkSession
     import spark.implicits._
     // bounds: single row (d0 date, d1 date)
     val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("cal_day"))
     val holDim = holidays.toDF("h").select(to_date(col("h")).as("__hol"))
+    val ecDim = earlyCloses.toDF("e").select(to_date(col("e")).as("__ec"))
     val flagged = days
       .join(broadcast(holDim), col("cal_day") === col("__hol"), "left")
+      .join(broadcast(ecDim), col("cal_day") === col("__ec"), "left")
       .withColumn("dow", expr("weekday(cal_day)"))
       .withColumn("is_holiday", col("__hol").isNotNull)
       .withColumn("is_trading_day", col("dow") <= 4 && col("__hol").isNull)
-      .drop("__hol")
+      .withColumn("is_early_close", col("__ec").isNotNull)
+      .drop("__hol", "__ec")
     // single-partition window by DESIGN: the frame is the whole O(days)
     // dimension, broadcast-small. (A lit(1) partition key doesn't silence
     // WindowExec's warning — EliminateWindowPartitions folds it away — so

@@ -27,8 +27,10 @@ import java.time.temporal.TemporalAdjusters
   *   - Christmas (Dec 25; Sat → Friday, Sun → Monday)
   * plus the ad-hoc full-day closures since 1998 (September 11 2001 week,
   * presidential mourning days, Hurricane Sandy). Early closes (half days)
-  * are out of scope: the reference pipeline only consumes full-day
-  * schedules for its trading-day math.
+  * generate from the modern rules too ([[earlyCloses]]) — they still COUNT
+  * as trading days for all date math (matching the reference, which only
+  * consumes full-day schedules); the flag serves volume/session-end
+  * analytics.
   */
 object NyseCalendar {
 
@@ -119,5 +121,31 @@ object NyseCalendar {
     */
   def holidayStrings(fromYear: Int, toYear: Int): Seq[String] =
     holidaysBetween(LocalDate.of(fromYear, 1, 1), LocalDate.of(toYear, 12, 31))
+      .map(_.toString)
+
+  /** 1:00 pm early-close days (half days) of `year` — the modern schedule,
+    * stable since 2013: July 3 when it falls Mon–Thu (when July 4 is
+    * observed Friday/Monday, the 3rd is a weekend or the full holiday
+    * itself), the Friday after Thanksgiving, and December 24 when it falls
+    * Mon–Thu. Never overlaps the full-day schedule by construction.
+    * Pre-2013 half-day schedules varied ad hoc and are out of scope, like
+    * pre-1998 holidays.
+    */
+  def earlyCloses(year: Int): Seq[LocalDate] = {
+    val jul3 = LocalDate.of(year, 7, 3)
+    val dec24 = LocalDate.of(year, 12, 24)
+    (Option.when(jul3.getDayOfWeek.getValue <= 4)(jul3).toSeq ++
+      Seq(nthWeekday(year, 11, DayOfWeek.THURSDAY, 4).plusDays(1)) ++
+      Option.when(dec24.getDayOfWeek.getValue <= 4)(dec24).toSeq).sorted
+  }
+
+  /** Early closes in [from, to] inclusive, sorted. */
+  def earlyClosesBetween(from: LocalDate, to: LocalDate): Seq[LocalDate] =
+    (from.getYear to to.getYear).flatMap(earlyCloses)
+      .filter(d => !d.isBefore(from) && !d.isAfter(to)).distinct.sorted
+
+  /** [[earlyClosesBetween]] as ISO strings. */
+  def earlyCloseStrings(fromYear: Int, toYear: Int): Seq[String] =
+    earlyClosesBetween(LocalDate.of(fromYear, 1, 1), LocalDate.of(toYear, 12, 31))
       .map(_.toString)
 }

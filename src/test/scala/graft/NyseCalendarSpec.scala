@@ -78,6 +78,28 @@ class NyseCalendarSpec extends AnyFunSuite {
       "2018-11-22", "2018-12-05", "2018-12-25", "2019-01-01", "2019-01-21"))
   }
 
+  test("early closes: modern-rule half days match known years, never overlap holidays") {
+    def ec(y: Int) = NyseCalendar.earlyCloses(y).map(_.toString)
+    assert(ec(2024) == Seq("2024-07-03", "2024-11-29", "2024-12-24"))
+    assert(ec(2023) == Seq("2023-07-03", "2023-11-24")) // Dec 24 Sunday
+    assert(ec(2022) == Seq("2022-11-25")) // Jul 3 Sunday, Dec 24 Saturday
+    assert(ec(2025) == Seq("2025-07-03", "2025-11-28", "2025-12-24"))
+    assert(ec(2021) == Seq("2021-11-26")) // Jul 3 Sat; Dec 24 = observed Christmas
+    // half days are trading days: never in the full-day schedule
+    (2013 to 2035).foreach { y =>
+      assert(NyseCalendar.earlyCloses(y).intersect(NyseCalendar.ruleHolidays(y)).isEmpty, s"year $y")
+    }
+  }
+
+  test("calendar dimension flags early closes as trading days") {
+    val spark = TestSpark.spark
+    val cal = CalendarOps.calendar(
+        spark.sql("SELECT DATE'2024-11-01' AS d0, DATE'2024-12-31' AS d1"))
+      .filter(col("is_early_close")).collect()
+      .map(_.getAs[java.sql.Date]("cal_day").toString)
+    assert(cal.toSeq.sorted == Seq("2024-11-29", "2024-12-24"))
+  }
+
   test("backfill window: holiday anchor resolves snapshot to the previous trading day") {
     val spark = TestSpark.spark
     // 2025-07-04 is a Friday holiday → snapshot 2025-07-03; 30-day window
