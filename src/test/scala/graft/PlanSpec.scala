@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hygiene guards: the physical properties the scale design promises
+  * (filter pushdown, column pruning, broadcast dimensions, whole-stage
+  * codegen) asserted on executed plans — a regression surfaces as a failing
+  * spec here rather than a slow bench three rounds later.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("filters reach the parquet scan and projection prunes the read schema") {
+    val df = Tables.lineitem(spark, TestSpark.sfDir)
+      .filter($"l_quantity" < 24)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      plan.take(3000))
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("l_orderkey") && rs.contains("l_quantity"))
+    // a pruned scan must not drag the wide columns to the reader
+    assert(!rs.contains("l_comment") && !rs.contains("l_shipdate"), rs)
+  }
+
+  test("dimension joins broadcast the small side, no shuffle of the dims") {
+    val plan = Queries.revenueByNation(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("the flagship aggregation runs inside whole-stage codegen") {
+    val df = Queries.pricingSummary(spark, TestSpark.sfDir)
+    df.collect() // AQE shows codegen stages only in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the *(n) star marks a whole-stage-codegen'd operator in the final plan
+    assert(plan.contains("*(1)") || plan.contains("*(2)"), plan.take(3000))
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("*(")),
+      plan.take(3000)) // the agg itself is inside a codegen stage
+    // decimal-exact agg stays codegen'd: no interpreted-eval fallback marker
+    assert(!plan.contains("CodegenFallback"), plan.take(3000))
+  }
+
+  test("trading-day gate stays a broadcast semi-join on the fact side") {
+    val plan = Queries.tradingDayEvents(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+  }
+}
