@@ -30,23 +30,34 @@ object Multimodal {
       (b(0) == 'B' && b(1) == 'M'))
 
   /** Real image decode: true width/height plus a row-major ARGB pixel
-    * checksum (order fixed, so the value is partition- and
-    * platform-independent). None when the payload isn't a decodable image —
+    * checksum. The fixed iteration order makes the checksum
+    * partition-independent; it is also platform-independent for the
+    * LOSSLESS formats (PNG/GIF/BMP) — JPEG decoding may legitimately vary
+    * by ±1 per pixel across JDK/libjpeg IDCT implementations, so treat
+    * JPEG checksums as per-cluster, not portable identity keys (hash the
+    * encoded bytes for that, as `media_meta.content_hash` already does).
+    * None when the payload isn't a decodable image — including a corrupt
+    * body behind a valid magic, which ImageIO reports by THROWING —
     * callers fall back to [[fakeDecode]].
     */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] =
     if (!looksLikeImage(bytes)) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      .map { img =>
-        var checksum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { checksum = checksum * 31 + img.getRGB(x, y); x += 1 }
-          y += 1
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          var checksum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { checksum = checksum * 31 + img.getRGB(x, y); x += 1 }
+            y += 1
+          }
+          (img.getWidth, img.getHeight, checksum)
         }
-        (img.getWidth, img.getHeight, checksum)
-      }
+    } catch {
+      // one truncated upload must not fail the whole partition's task
+      case _: java.io.IOException | _: RuntimeException => None
+    }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -116,7 +127,14 @@ object Multimodal {
     */
   def imageResize(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
     if (!looksLikeImage(bytes)) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    else try imageResizeUnsafe(bytes, targetW, targetH) catch {
+      // corrupt body behind a valid magic: fall back, don't fail the task
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  private def imageResizeUnsafe(bytes: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map { img =>
         import java.awt.RenderingHints
         val out = new java.awt.image.BufferedImage(

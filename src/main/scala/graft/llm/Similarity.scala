@@ -195,8 +195,10 @@ object Similarity {
   def ivfIndexWrite(embeddings: DataFrame, idCol: String, vecCol: String,
       dir: String, centroids: Option[DataFrame] = None,
       numCentroids: Option[Int] = None, corpusCount: Option[Long] = None): Unit = {
-    val kc = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
-    val cf = centroids.getOrElse(embeddings.orderBy(col(idCol)).limit(kc))
+    // as in ivfTopK: don't size (and possibly count) when a codebook is given
+    val cf = centroids.getOrElse(
+        embeddings.orderBy(col(idCol)).limit(
+          numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))))
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
     val cfCached = graft.CacheBin.register(cf.persist())
     embeddings
@@ -304,8 +306,11 @@ object Similarity {
       numCentroids: Option[Int] = None,
       corpusCount: Option[Long] = None,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val kc = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
-    val centroidFrame = centroids.getOrElse(embeddings.orderBy(col(idCol)).limit(kc))
+    // size ONLY when no codebook is supplied — adaptiveCentroids' fallback
+    // is a count job, and an explicit-codebook caller must never pay it
+    val centroidFrame = centroids.getOrElse(
+      embeddings.orderBy(col(idCol)).limit(
+        numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))))
     val corpus = embeddings
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
         norm2(col(vecCol)).as("__nn"))

@@ -422,6 +422,15 @@ class LlmSpec extends AnyFunSuite {
     assert(rimg.getWidth == 4 && rimg.getHeight == 4) // real scale, PNG out
     assert(Multimodal.looksLikeImage(rs(1L)))
     assert(rs(2L).length == 1) // non-image keeps the fallback contract
+
+    // corrupt body behind a valid magic: ImageIO throws internally — the
+    // row must fall back to the fake kernel, not fail the task
+    val corrupt = png.take(8) ++ Array.fill[Byte](16)(0x7f)
+    val cm = Seq((9L, corrupt)).toDF("doc_id", "media")
+    val cf = Multimodal.extractFeatures(cm).collect()(0)
+    assert(cf.getString(4) == "opaque")
+    assert(Multimodal.resize(cm, 4, 4).collect()(0)
+      .getAs[Array[Byte]]("media").length == 1) // fakeResize shape
   }
 
   test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {

@@ -42,6 +42,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CodegenFallback"), plan.take(3000))
   }
 
+  test("corpus-scale window queries never collapse to a single partition") {
+    // the WindowExec warning is logger-scoped down for the intentional
+    // (span-bounded) calendar windows — this guard keeps the blindness
+    // from hiding a REAL regression: a heavy similarity/minhash window
+    // losing its partition keys would show up here as SinglePartition
+    for (q <- Seq("q_cosine_topk", "q_minhash_pairs")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"$q: " + plan.take(2000))
+      CacheBin.drain()
+    }
+    CacheBin.drainAll()
+  }
+
   test("trading-day gate stays a broadcast semi-join on the fact side") {
     val plan = Queries.tradingDayEvents(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
