@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators._
-import graft.llm.{MinHashDedup, Similarity, SimHash, TextOps}
+import graft.llm.{MinHashDedup, Quantize, Similarity, SimHash, TextOps}
 
 /** Batch query definitions bound to the driver testdata (TESTDATA.md).
   * Each is registered in [[SparkEntry.queries]] with a DuckDB oracle twin.
@@ -303,6 +303,14 @@ object Queries {
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10)
+
+  /** Int8 quantize-then-rerank ANN: exact-integer coarse scores prune to a
+    * 4×k pool, decimal-exact cosine re-ranks — the 4×-smaller-storage scale
+    * lever beside IVF (and composable with it within inverted lists).
+    */
+  def quantTopK(s: SparkSession, dir: String): DataFrame =
+    Quantize.quantizedTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < 5, k = 10, rerankFactor = 4)
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",

@@ -54,6 +54,7 @@ object SparkEntry {
     "q_text_stats" -> (Queries.textStats _),
     "q_fingerprint" -> (Queries.fingerprint _),
     "q_cosine_topk" -> (Queries.cosineTopK _),
+    "q_quant_topk" -> (Queries.quantTopK _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
@@ -571,6 +572,50 @@ object SparkEntry {
            SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
            FROM pairs) r
+         WHERE rank <= 10""",
+
+    // int8 quantize-then-rerank: symmetric per-vector scale (max|x|/127,
+    // MIN_NORMAL-guarded), round-half-up via floor(x/s + 0.5) — identical
+    // IEEE ops in both engines; the coarse integer dot is summed exactly
+    // (BIGINT here, long in Spark), so the 4×k pool is deterministic, and
+    // the final rank uses the same decimal-exact cosine as q_cosine_topk
+    "q_quant_topk" ->
+      """WITH z AS (
+           SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))),
+               2.2250738585072014e-308) / 127.0 AS scale,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         q8 AS (
+           SELECT vec_id, embedding, scale, nn,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+           FROM z),
+         pool AS (
+           SELECT query_id, neighbor_id, qv, qn, nv, cn FROM (
+             SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+               qq.embedding AS qv, qq.nn AS qn,
+               cc.embedding AS nv, cc.nn AS cn,
+               row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+                 CAST(list_sum(list_transform(list_zip(qq.q, cc.q),
+                   p -> p[1] * p[2])) AS DOUBLE) * qq.scale * cc.scale DESC,
+                 cc.vec_id) AS crn
+             FROM (SELECT * FROM q8 WHERE vec_id < 5) qq
+             JOIN q8 cc ON cc.vec_id <> qq.vec_id) t
+           WHERE crn <= 40),
+         rer AS (
+           SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(list_zip(qv, nv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(qn) * sqrt(cn)) AS cosine
+           FROM pool)
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rer) r
          WHERE rank <= 10""",
 
     "q_ivf_assign" ->

@@ -249,6 +249,35 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("int8 quantization: known values, exact integer coarse dot, rerank ≈ exact") {
+    import graft.llm.Quantize
+    // scale = 2/127; q = round-half-up(x/scale): 127, 64 (63.5 rounds up), -127
+    val df = Seq((1L, Array(2.0f, 1.0f, -2.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val z = df.select($"vec_id", Quantize.int8($"embedding").as("z")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(z(1L).getSeq[Int](1) == Seq(127, 64, -127))
+    assert(math.abs(z(1L).getDouble(0) - 2.0 / 127) < 1e-15)
+    assert(z(2L).getSeq[Int](1) == Seq(0, 0, 0)) // all-zero vector safe
+
+    // quantize-then-rerank recovers the exact top-k on separated clusters
+    val pts = (0 until 48).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(4) { d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 31 + d * 17) % 7) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val vecs = pts.toDF("vec_id", "embedding")
+    val q = $"vec_id" < 4
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val exact = keyOf(Similarity.cosineTopK(vecs, "vec_id", "embedding", q, k = 5))
+    val quant = keyOf(Quantize.quantizedTopK(vecs, "vec_id", "embedding", q, k = 5))
+    assert(quant == exact) // identical incl. cosines: rerank is decimal-exact
+  }
+
   test("ivf index: partitioned write, probed read prunes buckets, matches in-memory path") {
     val pts = (0 until 48).map { i =>
       val c = i % 4
