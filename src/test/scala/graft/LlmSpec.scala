@@ -278,6 +278,33 @@ class LlmSpec extends AnyFunSuite {
     assert(quant == exact) // identical incl. cosines: rerank is decimal-exact
   }
 
+  test("int8 quantization invariants hold on 200 random vectors") {
+    import graft.llm.Quantize
+    val rnd = new scala.util.Random(20260812L)
+    val data = (0 until 200).map { i =>
+      val dim = 1 + rnd.nextInt(16)
+      val mag = math.pow(10, rnd.nextInt(6) - 3).toFloat
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * mag))
+    }
+    val rows = data.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding", Quantize.int8($"embedding").as("z"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val scale = r.getStruct(2).getDouble(0)
+      val q = r.getStruct(2).getSeq[Int](1)
+      assert(scale > 0.0)
+      assert(q.forall(x => x >= -127 && x <= 127), s"q out of range: $q")
+      // round-half-up: reconstruction within half a quantization step
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * scale) <= scale / 2 + math.ulp(127.0 * scale),
+          s"x=$x q=$qi scale=$scale")
+      }
+      // the max-magnitude element saturates the int8 range exactly
+      if (v.exists(_ != 0.0)) assert(q.map(math.abs).max == 127, s"$v -> $q")
+    }
+  }
+
   test("ivf index: partitioned write, probed read prunes buckets, matches in-memory path") {
     val pts = (0 until 48).map { i =>
       val c = i % 4

@@ -29,6 +29,21 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("nyse rules: holidays/early closes are weekdays, bounded, disjoint for 1998-2100") {
+    import graft.operators.NyseCalendar
+    for (y <- 1998 to 2100) {
+      val hol = NyseCalendar.ruleHolidays(y)
+      assert(hol == hol.distinct.sorted, s"year $y")
+      assert(hol.forall(_.getDayOfWeek.getValue <= 5), s"year $y") // never weekend
+      assert(hol.size >= 8 && hol.size <= 11, s"year $y: ${hol.size}")
+      val ec = NyseCalendar.earlyCloses(y)
+      assert(ec == ec.distinct.sorted, s"year $y")
+      assert(ec.forall(_.getDayOfWeek.getValue <= 5), s"year $y")
+      assert(ec.size >= 1 && ec.size <= 3, s"year $y")
+      assert(ec.intersect(hol).isEmpty, s"year $y") // half days trade
+    }
+  }
+
   private def randomScalar(): String = rnd.nextInt(6) match {
     case 0 => (rnd.nextInt(2000001) - 1000000).toString
     case 1 => Envelope.pyFloatRepr((rnd.nextDouble() - 0.5) * 2e6)
