@@ -300,6 +300,13 @@ object Queries {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Training-data curation gate: thresholds chosen to split the synthetic
+    * corpus meaningfully (token span 10–99, median stop_ratio ≈ 0.06).
+    */
+  def qualityGate(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityGate(Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 20, maxTokens = 80, minStopRatio = 0.03, minUniqRatio = 0.35)
+
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10)

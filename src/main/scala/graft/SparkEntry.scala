@@ -55,6 +55,7 @@ object SparkEntry {
     "q_fingerprint" -> (Queries.fingerprint _),
     "q_cosine_topk" -> (Queries.cosineTopK _),
     "q_quant_topk" -> (Queries.quantTopK _),
+    "q_quality_gate" -> (Queries.qualityGate _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
@@ -573,6 +574,35 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
            FROM pairs) r
          WHERE rank <= 10""",
+
+    // curation gate: same stats formulation as q_text_stats, thresholds as
+    // literals; concat_ws skips NULL reason slots in both engines
+    "q_quality_gate" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tokens,
+             CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+             CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+             (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+               + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.3
+               + (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.2 AS quality_score
+           FROM t)
+         SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, quality_score,
+           (n_tokens >= 20 AND n_tokens <= 80
+             AND stop_ratio >= 0.03 AND uniq_ratio >= 0.35) AS keep,
+           concat_ws(';',
+             CASE WHEN n_tokens < 20 THEN 'too_short' END,
+             CASE WHEN n_tokens > 80 THEN 'too_long' END,
+             CASE WHEN stop_ratio < 0.03 THEN 'low_stopword_ratio' END,
+             CASE WHEN uniq_ratio < 0.35 THEN 'low_lexical_diversity' END)
+             AS drop_reasons
+         FROM s""",
 
     // int8 quantize-then-rerank: symmetric per-vector scale (max|x|/127,
     // MIN_NORMAL-guarded), round-half-up via floor(x/s + 0.5) — identical

@@ -50,6 +50,30 @@ object TextOps {
       when(stopRatio > 0.06, lit("en")).otherwise(lit("other")).as("pred_lang"))
   }
 
+  /** Corpus-curation gate over [[textStats]] — the filter an LLM
+    * training-data pipeline actually runs: keep documents inside the
+    * quality envelope, annotate the rest with drop reasons (the DQ
+    * expect/quarantine split specialized for text curation; route on
+    * `keep` to materialize the two streams). Scan-local: a narrow
+    * projection + predicates over per-document stats, zero shuffle at any
+    * corpus size.
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxTokens: Long,
+      minStopRatio: Double, minUniqRatio: Double): DataFrame =
+    textStats(df, idCol, textCol).select(
+      col(idCol), col("n_tokens"), col("stop_ratio"), col("uniq_ratio"),
+      col("quality_score"),
+      (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("stop_ratio") >= minStopRatio &&
+        col("uniq_ratio") >= minUniqRatio).as("keep"),
+      concat_ws(";",
+        when(col("n_tokens") < minTokens, lit("too_short")),
+        when(col("n_tokens") > maxTokens, lit("too_long")),
+        when(col("stop_ratio") < minStopRatio, lit("low_stopword_ratio")),
+        when(col("uniq_ratio") < minUniqRatio, lit("low_lexical_diversity")))
+        .as("drop_reasons"))
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace — the preprocessing step before fingerprinting.
     */

@@ -338,6 +338,25 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("quality gate: envelope thresholds keep/drop with composed reasons") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat with the dog and a bird nearby watching it"), // keep (14 tokens... adjust below)
+      (2L, "word"), // too_short, low_stopword_ratio
+      (3L, "x " * 30 + "x") // repetitive: low diversity, no stopwords
+    ).toDF("doc_id", "text")
+    val g = TextOps.qualityGate(docs, "doc_id", "text",
+        minTokens = 5, maxTokens = 50, minStopRatio = 0.05, minUniqRatio = 0.3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Boolean]("keep"))
+    assert(g(1L).getAs[String]("drop_reasons") == "")
+    assert(!g(2L).getAs[Boolean]("keep"))
+    assert(g(2L).getAs[String]("drop_reasons")
+      == "too_short;low_stopword_ratio")
+    assert(!g(3L).getAs[Boolean]("keep"))
+    assert(g(3L).getAs[String]("drop_reasons")
+      == "low_stopword_ratio;low_lexical_diversity")
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextOps.textStats(df, "doc_id", "text").collect()(0)
