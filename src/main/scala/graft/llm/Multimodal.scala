@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * partition so batch-oriented native decoders amortize setup. Image
   * payloads (PNG/JPEG/GIF/BMP, sniffed by magic bytes) decode for REAL via
   * the JDK's `javax.imageio` — true dimensions, pixel checksum, and a
-  * bilinear resize. Non-image payloads (audio/video formats, for which this
-  * container has no decoder) fall back to the deterministic fake kernels,
+  * bilinear resize — and audio payloads (WAV/AIFF/AU) via
+  * `javax.sound.sampled` — format parameters and PCM checksum. Only video
+  * (no JDK codec exists) falls back to the deterministic fake kernels,
   * keeping the batching contract testable end-to-end.
   */
 object Multimodal {
@@ -79,9 +80,80 @@ object Multimodal {
         sha2(col(payloadCol), 256).as("content_hash"),
         lit("text/plain").as("format")).as("media_meta"))
 
+  /** Magic-byte sniff for the audio containers the JDK decodes
+    * (WAV/AIFF/AU via `javax.sound.sampled`).
+    */
+  def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') || // AIFF
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')) // AU
+
+  /** Real audio decode: format parameters plus a checksum over the decoded
+    * PCM byte stream (fixed stream order → partition-independent; PCM
+    * containers are lossless so the value is also platform-independent).
+    * None when the payload isn't decodable audio — including a corrupt
+    * body behind a valid magic — callers fall back to the fake kernel.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Double, Int, Int, Long, Long)] =
+    if (!looksLikeAudio(bytes)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        var checksum = 0L
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) { checksum = checksum * 31 + java.lang.Byte.toUnsignedInt(buf(i)); i += 1 }
+          n = in.read(buf)
+        }
+        Some((f.getSampleRate.toDouble, f.getChannels, f.getSampleSizeInBits,
+          in.getFrameLength, checksum))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", DoubleType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("checksum", LongType),
+    StructField("decoder", StringType)))
+
+  /** Per-partition batched audio feature extraction: WAV/AIFF/AU decode
+    * for real (`decoder = "javasound"`), anything else through the
+    * deterministic fake (`decoder = "opaque"`, format fields derived from
+    * the fake width/height so the schema stays total).
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    media.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        decodeAudio(bytes) match {
+          case Some((sr, ch, bits, frames, cs)) =>
+            Row(r.getLong(0), sr, ch, bits, frames, cs, "javasound")
+          case None =>
+            val (w, h, cs) = fakeDecode(bytes)
+            Row(r.getLong(0), (w * 100).toDouble, 1, 16, h.toLong, cs, "opaque")
+        }
+      }
+    }(enc)
+  }
+
   /** Fallback kernel for non-image payloads: deterministic fake "feature
     * extraction" from raw bytes (length-derived width/height + first-bytes
-    * checksum). Audio/video decoders would slot in beside [[decodeImage]].
+    * checksum). Video decoders would slot in beside [[decodeImage]] and
+    * [[decodeAudio]] (the JDK ships no video codec, so frame sampling
+    * stays on the deterministic fake).
     */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, Long) = {
     val w = 64 + (if (bytes.isEmpty) 0 else java.lang.Byte.toUnsignedInt(bytes(0)) % 64)

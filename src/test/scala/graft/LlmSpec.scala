@@ -508,6 +508,30 @@ class LlmSpec extends AnyFunSuite {
       .getAs[Array[Byte]]("media").length == 1) // fakeResize shape
   }
 
+  test("multimodal: real WAV decodes via javasound — format, frames, PCM checksum") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.tabulate[Byte](200)(i => ((i * 37) % 251).toByte) // 100 frames
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 100)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    var cs = 0L
+    pcm.foreach(b => cs = cs * 31 + java.lang.Byte.toUnsignedInt(b))
+
+    val media = Seq((1L, wav), (2L, "not audio at all!".getBytes("UTF-8")),
+        (3L, "RIFFxxxxWAVE".getBytes("UTF-8") ++ Array.fill[Byte](8)(1)))
+      .toDF("doc_id", "media")
+    val f = Multimodal.audioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getDouble(1) == 8000.0 && f(1L).getInt(2) == 1)
+    assert(f(1L).getInt(3) == 16 && f(1L).getLong(4) == 100L)
+    assert(f(1L).getLong(5) == cs) // PCM is lossless: bytes round-trip
+    assert(f(1L).getString(6) == "javasound")
+    assert(f(2L).getString(6) == "opaque") // sniff routes non-audio
+    assert(f(3L).getString(6) == "opaque") // corrupt body behind valid magic
+  }
+
   test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {
     val docs = Seq((1L, "some payload"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaColumn(docs, "doc_id", "text")
