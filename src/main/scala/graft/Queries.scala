@@ -300,6 +300,12 @@ object Queries {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Word-3-gram repetition profile — the boilerplate/spam signal beside
+    * [[qualityGate]]'s envelope checks.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text", n = 3)
+
   /** Training-data curation gate: thresholds chosen to split the synthetic
     * corpus meaningfully (token span 10–99, median stop_ratio ≈ 0.06).
     */

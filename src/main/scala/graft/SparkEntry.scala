@@ -56,6 +56,7 @@ object SparkEntry {
     "q_cosine_topk" -> (Queries.cosineTopK _),
     "q_quant_topk" -> (Queries.quantTopK _),
     "q_quality_gate" -> (Queries.qualityGate _),
+    "q_repetition" -> (Queries.repetition _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
@@ -574,6 +575,25 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
            FROM pairs) r
          WHERE rank <= 10""",
+
+    // word-3-gram repetition: per-doc gram counts then rollup; the ratio
+    // divisions are double/int with identical operand order in both engines
+    "q_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS gram
+           FROM w WHERE len(ws) >= 3),
+         c AS (
+           SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_uniq_grams,
+           1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup_ratio,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_gram_ratio
+         FROM c GROUP BY doc_id""",
 
     // curation gate: same stats formulation as q_text_stats, thresholds as
     // literals; concat_ws skips NULL reason slots in both engines

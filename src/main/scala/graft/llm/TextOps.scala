@@ -74,6 +74,34 @@ object TextOps {
         when(col("uniq_ratio") < minUniqRatio, lit("low_lexical_diversity")))
         .as("drop_reasons"))
 
+  /** Within-document repetition stats over word n-grams — the
+    * Gopher/CCNet-style quality signal boilerplate and spam light up on:
+    * `dup_ratio` (fraction of n-gram occurrences that are repeats) and
+    * `top_gram_ratio` (share of the single most frequent n-gram).
+    * Documents shorter than `n` words drop out.
+    *
+    * Scale shape: one explode keyed by (doc, gram) with map-side partial
+    * counts, then a per-doc rollup — shuffle volume is per-doc distinct
+    * grams, bounded by document length, never corpus-quadratic.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = df
+      .select(col(idCol), words.as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n)))"))
+        .as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__cnt").as("n_grams"),
+        count(lit(1)).as("n_uniq_grams"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum("__cnt")).as("dup_ratio"),
+        (max("__cnt").cast("double") / sum("__cnt")).as("top_gram_ratio"))
+  }
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace — the preprocessing step before fingerprinting.
     */

@@ -338,6 +338,22 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("repetition stats: known gram counts, repeated text saturates the ratios") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // grams: abc,bca,cab,abc,bca,cab → 6 total, 3 uniq
+      (2L, "w x y z"),           // 2 grams, both unique
+      (3L, "s t")                // too short: dropped
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(docs, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))
+    assert(r(1L).getAs[Long]("n_grams") == 6 && r(1L).getAs[Long]("n_uniq_grams") == 3)
+    assert(r(1L).getAs[Double]("dup_ratio") == 0.5)
+    assert(r(1L).getAs[Double]("top_gram_ratio") == 2.0 / 6)
+    assert(r(2L).getAs[Double]("dup_ratio") == 0.0)
+    assert(r(2L).getAs[Double]("top_gram_ratio") == 0.5)
+  }
+
   test("quality gate: envelope thresholds keep/drop with composed reasons") {
     val docs = Seq(
       (1L, "the cat sat on a mat with the dog and a bird nearby watching it"), // keep (14 tokens... adjust below)
