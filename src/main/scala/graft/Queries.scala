@@ -280,6 +280,17 @@ object Queries {
     cc
   }
 
+  /** Dedup keep-list: one survivor per cluster (the minimum doc id) with
+    * the member count it represents — the final materialization of the
+    * sweep; the third consumer of the session-memoized pair pipeline, so
+    * it costs one rollup, not a third corpus pass.
+    */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("doc_id"), col("n_members"))
+
   def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))

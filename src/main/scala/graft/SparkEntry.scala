@@ -50,6 +50,7 @@ object SparkEntry {
     "q_docs_exact_dedup" -> (Queries.docsExactDedup _),
     "q_minhash_pairs" -> (Queries.minhashPairs _),
     "q_dedup_clusters" -> (Queries.dedupClusters _),
+    "q_dedup_keep" -> (Queries.dedupKeep _),
     "q_simhash" -> (Queries.simhash _),
     "q_text_stats" -> (Queries.textStats _),
     "q_fingerprint" -> (Queries.fingerprint _),
@@ -75,7 +76,71 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared CTE prefix for the MinHash dedup oracles: shingles →
+    * signatures → banding → capped buckets → candidate pairs → exact
+    * Jaccard ≥ 0.5 edges → transitive reach (the DuckDB mirror of the
+    * session-memoized pipeline both consumers ride in Spark).
+    */
+  private val minhashReachCte: String =
+    """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id, substr(text, p, 16) AS shingle
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 15)) AS p
+                 FROM documents WHERE length(text) >= 16) t),
+         hashed AS (SELECT doc_id, sha256(shingle) AS h FROM sh),
+         sig AS (
+           SELECT doc_id,
+             min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
+             min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3,
+             min(substr(h, 33, 8)) AS m4, min(substr(h, 41, 8)) AS m5,
+             min(substr(h, 49, 8)) AS m6, min(substr(h, 57, 8)) AS m7
+           FROM hashed GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sig
+           UNION ALL SELECT doc_id, 1, m2 || m3 FROM sig
+           UNION ALL SELECT doc_id, 2, m4 || m5 FROM sig
+           UNION ALL SELECT doc_id, 3, m6 || m7 FROM sig),
+         ok AS (SELECT band, sig FROM bands GROUP BY band, sig
+                HAVING count(*) BETWEEN 2 AND 50),
+         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, sig)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM inok a JOIN inok b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.doc_a
+           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+           GROUP BY p.doc_a, p.doc_b),
+         jac AS (
+           SELECT p.doc_a, p.doc_b,
+             CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+               / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+           FROM pairs p
+           LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           JOIN cnt ca ON ca.doc_id = p.doc_a
+           JOIN cnt cb ON cb.doc_id = p.doc_b),
+         e AS (
+           SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+           UNION ALL
+           SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         reach(doc_id, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.doc_id)"""
+
   def oracleSql: Map[String, String] = Map(
+    // keep-list: one survivor (the min doc id) per cluster with the member
+    // count it represents — the final materialization of the dedup sweep
+    "q_dedup_keep" -> (minhashReachCte +
+      """
+         SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS n_members
+         FROM (SELECT doc_id, min(label) AS cluster_id
+               FROM reach GROUP BY doc_id) c
+         GROUP BY cluster_id"""),
+
     "q_norm_events" ->
       """SELECT event_id, ts, CAST(ts AS DATE) AS day, user_id,
          upper(trim(event_type)) AS event_type, value
@@ -455,57 +520,10 @@ object SparkEntry {
          JOIN cnt ca ON ca.doc_id = p.doc_a
          JOIN cnt cb ON cb.doc_id = p.doc_b""",
 
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT DISTINCT doc_id, substr(text, p, 16) AS shingle
-           FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, length(text) - 15)) AS p
-                 FROM documents WHERE length(text) >= 16) t),
-         hashed AS (SELECT doc_id, sha256(shingle) AS h FROM sh),
-         sig AS (
-           SELECT doc_id,
-             min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
-             min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3,
-             min(substr(h, 33, 8)) AS m4, min(substr(h, 41, 8)) AS m5,
-             min(substr(h, 49, 8)) AS m6, min(substr(h, 57, 8)) AS m7
-           FROM hashed GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sig
-           UNION ALL SELECT doc_id, 1, m2 || m3 FROM sig
-           UNION ALL SELECT doc_id, 2, m4 || m5 FROM sig
-           UNION ALL SELECT doc_id, 3, m6 || m7 FROM sig),
-         ok AS (SELECT band, sig FROM bands GROUP BY band, sig
-                HAVING count(*) BETWEEN 2 AND 50),
-         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, sig)),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM inok a JOIN inok b
-             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-           FROM pairs p
-           JOIN sh sa ON sa.doc_id = p.doc_a
-           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-           GROUP BY p.doc_a, p.doc_b),
-         jac AS (
-           SELECT p.doc_a, p.doc_b,
-             CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-               / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
-           FROM pairs p
-           LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-           JOIN cnt ca ON ca.doc_id = p.doc_a
-           JOIN cnt cb ON cb.doc_id = p.doc_b),
-         e AS (
-           SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
-           UNION ALL
-           SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
-         reach(doc_id, label) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.doc_id)
+    "q_dedup_clusters" -> (minhashReachCte +
+      """
          SELECT doc_id, min(label) AS cluster_id
-         FROM reach GROUP BY doc_id""",
+         FROM reach GROUP BY doc_id"""),
 
     "q_simhash" ->
       """WITH tok AS (

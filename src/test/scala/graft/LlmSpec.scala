@@ -338,6 +338,22 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("verifiedPairsShared: later consumers get the SAME memoized frame, keyed by params") {
+    val docs = Seq(
+      (1L, "the same twenty-two characters"),
+      (2L, "the same twenty-two characters"),
+      (3L, "completely different text here!")).toDF("doc_id", "text")
+    val a = MinHashDedup.verifiedPairsShared(docs, "corpus1", "doc_id", "text", 16, 50)
+    val b = MinHashDedup.verifiedPairsShared(docs, "corpus1", "doc_id", "text", 16, 50)
+    assert(a eq b, "same key must return the identical DataFrame instance")
+    val c = MinHashDedup.verifiedPairsShared(docs, "corpus2", "doc_id", "text", 16, 50)
+    assert(!(a eq c), "a different corpus key must not hit the memo")
+    CacheBin.drainAll() // also clears the memo via the registered hook
+    val d = MinHashDedup.verifiedPairsShared(docs, "corpus1", "doc_id", "text", 16, 50)
+    assert(!(a eq d), "drainAll must evict so a new pipeline is built")
+    CacheBin.drainAll()
+  }
+
   test("repetition stats: known gram counts, repeated text saturates the ratios") {
     val docs = Seq(
       (1L, "a b c a b c a b"),   // grams: abc,bca,cab,abc,bca,cab → 6 total, 3 uniq
