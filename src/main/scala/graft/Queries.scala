@@ -311,6 +311,15 @@ object Queries {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Unit-normalized embeddings (cosine ⇒ dot product downstream). */
+  def l2Normalize(s: SparkSession, dir: String): DataFrame =
+    Similarity.l2Normalize(Tables.embeddings(s, dir), "vec_id", "embedding")
+
+  /** Deterministic 90/10 corpus split keyed on sha256(doc_id ∥ salt). */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    TextOps.hashSplit(Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", salt = "graft-v1", pctTrain = 90)
+
   /** Word-3-gram repetition profile — the boilerplate/spam signal beside
     * [[qualityGate]]'s envelope checks.
     */

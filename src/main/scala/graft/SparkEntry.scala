@@ -58,6 +58,8 @@ object SparkEntry {
     "q_quant_topk" -> (Queries.quantTopK _),
     "q_quality_gate" -> (Queries.qualityGate _),
     "q_repetition" -> (Queries.repetition _),
+    "q_l2_normalize" -> (Queries.l2Normalize _),
+    "q_hash_split" -> (Queries.hashSplit _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
@@ -593,6 +595,32 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
            FROM pairs) r
          WHERE rank <= 10""",
+
+    // unit-normalization: decimal-exact norm, one double divide per
+    // element; the 1e-300 guard keeps zero vectors zero in both engines
+    "q_l2_normalize" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings)
+         SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(x AS DOUBLE) / sqrt(greatest(nn, 1e-300))) AS unit
+         FROM n2""",
+
+    // deterministic split: first-8-hex of sha256(id || salt) mod 100 —
+    // engine-independent (identical sha256 + unsigned-32 semantics)
+    "q_hash_split" ->
+      """SELECT doc_id, source,
+           CAST(CAST(concat('0x',
+             substr(sha256(concat(CAST(doc_id AS VARCHAR), 'graft-v1')), 1, 8))
+             AS BIGINT) % 100 AS INT) AS bucket,
+           CASE WHEN CAST(concat('0x',
+             substr(sha256(concat(CAST(doc_id AS VARCHAR), 'graft-v1')), 1, 8))
+             AS BIGINT) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+         FROM documents""",
 
     // word-3-gram repetition: per-doc gram counts then rollup; the ratio
     // divisions are double/int with identical operand order in both engines

@@ -50,6 +50,17 @@ object Similarity {
   /** Exact squared L2 norm (decimal-accumulated), as double. */
   def norm2(v: Column): Column = dotDec(v, v).cast("double")
 
+  /** Unit-normalize an embedding column (decimal-exact norm, one double
+    * divide per element) — the standard preprocessing that turns cosine
+    * into a plain dot product for every downstream ANN stage. Zero vectors
+    * stay zero via the tiny-norm guard (identical in the SQL oracle).
+    */
+  def l2Normalize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val denom = sqrt(greatest(norm2(col(vecCol)), lit(1e-300)))
+    embeddings.select(col(idCol),
+      transform(col(vecCol).cast("array<double>"), x => x / denom).as("unit"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `isQuery`), the k nearest corpus vectors by cosine similarity,
     * rank-ordered with id tiebreak.

@@ -102,6 +102,24 @@ object TextOps {
         (max("__cnt").cast("double") / sum("__cnt")).as("top_gram_ratio"))
   }
 
+  /** Deterministic hash-based corpus split (train/holdout): bucket =
+    * first-8-hex of sha256(id ∥ salt) mod 100, split = "train" below
+    * `pctTrain`. Reproducible anywhere (engine-, partitioning- and
+    * run-independent), stable under corpus growth (a document's bucket
+    * never changes), and re-saltable for fresh splits — the properties a
+    * random() split loses. Scan-local, zero shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      pctTrain: Int): DataFrame = {
+    require(pctTrain >= 0 && pctTrain <= 100, s"pctTrain $pctTrain not in [0,100]")
+    val bucket = (conv(substring(
+        sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < pctTrain, lit("train")).otherwise(lit("holdout")))
+  }
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace — the preprocessing step before fingerprinting.
     */

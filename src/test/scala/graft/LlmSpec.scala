@@ -338,6 +338,29 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("l2 normalize: unit vectors, zero vector stays zero") {
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.l2Normalize(df, "vec_id", "embedding").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    assert(r(1L) == Seq(0.6, 0.8))
+    assert(r(2L) == Seq(0.0, 0.0)) // tiny-norm guard, no NaN
+  }
+
+  test("hash split: deterministic, salt-sensitive, proportional, bucket-consistent") {
+    val df = (0L until 1000L).toSeq.toDF("doc_id")
+    def run(salt: String) = TextOps.hashSplit(df, "doc_id", salt, 90).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bucket"), r.getAs[String]("split"))).toMap
+    val s1 = run("s1")
+    assert(s1 == run("s1")) // reproducible
+    assert(s1 != run("s2")) // a new salt reshuffles
+    assert(s1.values.forall { case (b, _) => b >= 0 && b < 100 })
+    assert(s1.values.forall { case (b, s) => (b < 90) == (s == "train") })
+    val trainFrac = s1.values.count(_._2 == "train").toDouble / s1.size
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
   test("verifiedPairsShared: later consumers get the SAME memoized frame, keyed by params") {
     val docs = Seq(
       (1L, "the same twenty-two characters"),
