@@ -311,9 +311,11 @@ object Queries {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(Tables.documents(s, dir), "doc_id", "text")
 
-  /** Unit-normalized embeddings (cosine ⇒ dot product downstream). */
+  /** Unit-normalized embeddings (cosine ⇒ dot product downstream),
+    * exploded per element so the oracle compares exact scalars.
+    */
   def l2Normalize(s: SparkSession, dir: String): DataFrame =
-    Similarity.l2Normalize(Tables.embeddings(s, dir), "vec_id", "embedding")
+    Similarity.l2NormalizeFlat(Tables.embeddings(s, dir), "vec_id", "embedding")
 
   /** Deterministic 90/10 corpus split keyed on sha256(doc_id ∥ salt). */
   def hashSplit(s: SparkSession, dir: String): DataFrame =

@@ -481,46 +481,11 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY 1""",
 
-    "q_minhash_pairs" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, substr(text, p, 16) AS shingle
-           FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, length(text) - 15)) AS p
-                 FROM documents WHERE length(text) >= 16) t),
-         hashed AS (SELECT doc_id, sha256(shingle) AS h FROM sh),
-         sig AS (
-           SELECT doc_id,
-             min(substr(h, 1, 8)) AS m0, min(substr(h, 9, 8)) AS m1,
-             min(substr(h, 17, 8)) AS m2, min(substr(h, 25, 8)) AS m3,
-             min(substr(h, 33, 8)) AS m4, min(substr(h, 41, 8)) AS m5,
-             min(substr(h, 49, 8)) AS m6, min(substr(h, 57, 8)) AS m7
-           FROM hashed GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band, m0 || m1 AS sig FROM sig
-           UNION ALL SELECT doc_id, 1, m2 || m3 FROM sig
-           UNION ALL SELECT doc_id, 2, m4 || m5 FROM sig
-           UNION ALL SELECT doc_id, 3, m6 || m7 FROM sig),
-         ok AS (SELECT band, sig FROM bands GROUP BY band, sig
-                HAVING count(*) BETWEEN 2 AND 50),
-         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, sig)),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM inok a JOIN inok b
-             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-           FROM pairs p
-           JOIN sh sa ON sa.doc_id = p.doc_a
-           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-           GROUP BY p.doc_a, p.doc_b)
-         SELECT p.doc_a, p.doc_b,
-           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-             / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
-         FROM pairs p
-         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-         JOIN cnt ca ON ca.doc_id = p.doc_a
-         JOIN cnt cb ON cb.doc_id = p.doc_b""",
+    // pairs oracle rides the same shared CTE (the jac step already
+    // carries doc_a/doc_b/jaccard); reach is defined but unused — valid SQL
+    "q_minhash_pairs" -> (minhashReachCte +
+      """
+         SELECT doc_a, doc_b, jaccard FROM jac"""),
 
     "q_dedup_clusters" -> (minhashReachCte +
       """
@@ -596,8 +561,9 @@ object SparkEntry {
            FROM pairs) r
          WHERE rank <= 10""",
 
-    // unit-normalization: decimal-exact norm, one double divide per
-    // element; the 1e-300 guard keeps zero vectors zero in both engines
+    // unit-normalization, one row per element (scalar doubles compare
+    // exactly; an array column would go through string rendering);
+    // decimal-exact norm, the 1e-300 guard keeps zero vectors zero
     "q_l2_normalize" ->
       """WITH n2 AS (
            SELECT vec_id, embedding,
@@ -605,10 +571,12 @@ object SparkEntry {
                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
                AS DOUBLE) AS nn
            FROM embeddings)
-         SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(x AS DOUBLE) / sqrt(greatest(nn, 1e-300))) AS unit
-         FROM n2""",
+         SELECT vec_id, CAST(pos AS INT) AS pos,
+           CAST(embedding[CAST(pos AS INT)] AS DOUBLE)
+             / sqrt(greatest(nn, 1e-300)) AS value
+         FROM (SELECT vec_id, embedding, nn,
+                 unnest(generate_series(1, len(embedding))) AS pos
+               FROM n2) t""",
 
     // deterministic split: first-8-hex of sha256(id || salt) mod 100 —
     // engine-independent (identical sha256 + unsigned-32 semantics)

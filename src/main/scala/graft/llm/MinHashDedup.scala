@@ -292,14 +292,7 @@ object MinHashDedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
       pairs: DataFrame): DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams = docs
-      .select(col(idCol), words.as("__w"))
-      .filter(size(col("__w")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n)))"))
-        .as("ngram"))
-      .distinct()
+    val grams = TextOps.wordNgrams(docs, idCol, textCol, n).distinct()
     val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
     val ga = grams.withColumnRenamed(idCol, "doc_a")
     val gb = grams.withColumnRenamed(idCol, "doc_b")

@@ -104,15 +104,21 @@ object Multimodal {
       try {
         val f = in.getFormat
         var checksum = 0L
+        var total = 0L
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n > 0) {
           var i = 0
           while (i < n) { checksum = checksum * 31 + java.lang.Byte.toUnsignedInt(buf(i)); i += 1 }
+          total += n
           n = in.read(buf)
         }
+        // count frames from the bytes actually decoded: getFrameLength is
+        // NOT_SPECIFIED (-1) for AU headers with the unknown-length marker
+        val frames =
+          if (f.getFrameSize > 0) total / f.getFrameSize else in.getFrameLength
         Some((f.getSampleRate.toDouble, f.getChannels, f.getSampleSizeInBits,
-          in.getFrameLength, checksum))
+          frames, checksum))
       } finally in.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None

@@ -26,18 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** `(scale double, q array<int>)` for an `array<float/double>` column.
-    * All-zero vectors quantize to all-zero at a tiny positive scale (the
-    * MIN_NORMAL guard keeps the division defined without changing any
-    * nonzero vector's scale).
+  /** Add a `(scale double, q array<int>)` struct column quantizing
+    * `vecCol`. All-zero vectors quantize to all-zero at a tiny positive
+    * scale (the MIN_NORMAL guard keeps the division defined without
+    * changing any nonzero vector's scale).
+    *
+    * Two-step on purpose: the scale materializes as its OWN column before
+    * the per-element lambda references it. Embedding the aggregate inside
+    * the lambda would re-run the O(dim) max-abs scan per element (Spark
+    * does not hoist loop-invariant subtrees out of higher-order-function
+    * lambdas), turning quantization O(dim²) per row.
     */
-  def int8(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val scale = greatest(
-      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))),
-      lit(2.2250738585072014e-308)) / lit(127.0)
-    struct(scale.as("scale"),
-      transform(v, x => floor(x / scale + lit(0.5)).cast("int")).as("q"))
+  def withInt8(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("__qscale", greatest(
+        aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))),
+        lit(2.2250738585072014e-308)) / lit(127.0))
+      .withColumn(outCol, struct(col("__qscale").as("scale"),
+        transform(v, x => floor(x / col("__qscale") + lit(0.5)).cast("int")).as("q")))
+      .drop("__qscale")
   }
 
   /** Exact integer dot product of two quantized vectors, scaled back to
@@ -57,28 +64,39 @@ object Quantize {
     * ([[Similarity.dotDec]]) ranks the pool. Both stages tie-break on
     * neighbor id, and both scores are bit-reproducible, so the result is
     * deterministic end-to-end.
+    *
+    * The coarse cross-join and its ranking window carry ONLY ids + int8
+    * payloads — the float vectors (4× the bytes) join back for the
+    * pruned ≤ rerankFactor×k pool, so the bandwidth saving the
+    * quantization promises actually shows up in the shuffle.
     */
   def quantizedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, rerankFactor: Int = 4): DataFrame = {
-    val z = embeddings.select(
-      col(idCol), col(vecCol), int8(col(vecCol)).as("__z"),
-      Similarity.norm2(col(vecCol)).as("__nn"))
-    val queries = z.filter(isQuery).select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      col("__z").as("__qz"), col("__nn").as("__qn"))
-    val corpus = Spread(z).select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
-      col("__z").as("__nz"), col("__nn"))
+    val z = withInt8(embeddings.select(col(idCol), col(vecCol)), vecCol, "__z")
+    val qz = z.filter(isQuery).select(col(idCol).as("query_id"), col("__z").as("__qz"))
+    val cz = Spread(z).select(col(idCol).as("neighbor_id"), col("__z").as("__nz"))
     val coarseW = Window.partitionBy(col("query_id"))
       .orderBy(col("__coarse").desc, col("neighbor_id").asc)
-    val pool = corpus.crossJoin(broadcast(queries))
+    val pool = cz.crossJoin(broadcast(qz))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__coarse", dot8(col("__qz"), col("__nz")))
       .withColumn("__crn", row_number().over(coarseW))
       .filter(col("__crn") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    // float vectors only for the pruned pool: broadcast the (small) query
+    // vectors; the corpus side equi-joins on neighbor_id (AQE broadcasts
+    // the pool when it is the smaller side)
+    val queries = embeddings.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        Similarity.norm2(col(vecCol)).as("__qn"))
+    val corpus = embeddings
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+        Similarity.norm2(col(vecCol)).as("__nn"))
     val exactW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pool
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus, Seq("neighbor_id"))
       .withColumn("cosine",
         Similarity.dotDec(col("__qv"), col("__nv")).cast("double") /
           (sqrt(col("__qn")) * sqrt(col("__nn"))))

@@ -54,12 +54,26 @@ object Similarity {
     * divide per element) — the standard preprocessing that turns cosine
     * into a plain dot product for every downstream ANN stage. Zero vectors
     * stay zero via the tiny-norm guard (identical in the SQL oracle).
+    * Output keeps the array shape; [[l2NormalizeFlat]] is the exploded
+    * (id, pos, value) form the element-exact oracle compares.
     */
-  def l2Normalize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val denom = sqrt(greatest(norm2(col(vecCol)), lit(1e-300)))
-    embeddings.select(col(idCol),
-      transform(col(vecCol).cast("array<double>"), x => x / denom).as("unit"))
-  }
+  def l2Normalize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // norm as its OWN column before the lambda references it — captured
+    // inside `transform` the O(dim) dot product would re-run per element
+    embeddings
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        sqrt(greatest(norm2(col(vecCol)), lit(1e-300))).as("__d"))
+      .select(col(idCol), transform(col("__v"), x => x / col("__d")).as("unit"))
+
+  /** [[l2Normalize]] exploded to one row per element — scalar doubles
+    * compare EXACTLY in the verification harness, where an array column
+    * would be compared through its string rendering (≈8 digits).
+    */
+  def l2NormalizeFlat(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    l2Normalize(embeddings, idCol, vecCol)
+      .select(col(idCol), posexplode(col("unit")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("value"))
 
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `isQuery`), the k nearest corpus vectors by cosine similarity,

@@ -84,15 +84,20 @@ object TextOps {
     * counts, then a per-doc rollup — shuffle volume is per-doc distinct
     * grams, bounded by document length, never corpus-quadratic.
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams = df
-      .select(col(idCol), words.as("__w"))
+  /** One row per (doc, word-n-gram) occurrence — the shared expansion
+    * behind [[repetitionStats]] and [[graft.llm.MinHashDedup.ngramJaccard]]
+    * (one tokenization definition, two consumers).
+    */
+  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
       .filter(size(col("__w")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n)))"))
-        .as("gram"))
+        .as("ngram"))
+
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = wordNgrams(df, idCol, textCol, n).withColumnRenamed("ngram", "gram")
     grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__cnt"))
       .groupBy(col(idCol))
       .agg(

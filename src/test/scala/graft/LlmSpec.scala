@@ -254,7 +254,8 @@ class LlmSpec extends AnyFunSuite {
     // scale = 2/127; q = round-half-up(x/scale): 127, 64 (63.5 rounds up), -127
     val df = Seq((1L, Array(2.0f, 1.0f, -2.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val z = df.select($"vec_id", Quantize.int8($"embedding").as("z")).collect()
+    val z = Quantize.withInt8(df, "embedding", "z")
+      .select($"vec_id", $"z").collect()
       .map(r => r.getLong(0) -> r.getStruct(1)).toMap
     assert(z(1L).getSeq[Int](1) == Seq(127, 64, -127))
     assert(math.abs(z(1L).getDouble(0) - 2.0 / 127) < 1e-15)
@@ -286,8 +287,8 @@ class LlmSpec extends AnyFunSuite {
       val mag = math.pow(10, rnd.nextInt(6) - 3).toFloat
       (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * mag))
     }
-    val rows = data.toDF("vec_id", "embedding")
-      .select($"vec_id", $"embedding", Quantize.int8($"embedding").as("z"))
+    val rows = Quantize.withInt8(data.toDF("vec_id", "embedding"), "embedding", "z")
+      .select($"vec_id", $"embedding", $"z")
       .collect()
     rows.foreach { r =>
       val v = r.getSeq[Float](1).map(_.toDouble)
