@@ -59,6 +59,7 @@ object SparkEntry {
     "q_quality_gate" -> (Queries.qualityGate _),
     "q_repetition" -> (Queries.repetition _),
     "q_l2_normalize" -> (Queries.l2Normalize _),
+    "q_decontaminate" -> (Queries.decontaminate _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
@@ -577,6 +578,21 @@ object SparkEntry {
          FROM (SELECT vec_id, embedding, nn,
                  unnest(generate_series(1, len(embedding))) AS pos
                FROM n2) t""",
+
+    // decontamination: distinct word-3-gram overlap vs the every-50th-doc
+    // benchmark slice, flagged at >= 3 shared grams
+    "q_decontaminate" ->
+      """WITH cg AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         FROM cg c JOIN bg USING (gram)
+         GROUP BY c.doc_id
+         HAVING count(*) >= 3""",
 
     // deterministic split: first-8-hex of sha256(id || salt) mod 100 —
     // engine-independent (identical sha256 + unsigned-32 semantics)

@@ -107,6 +107,30 @@ object TextOps {
         (max("__cnt").cast("double") / sum("__cnt")).as("top_gram_ratio"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word-n-grams with the benchmark/eval set — the
+    * leakage scan run before training so evaluation stays honest. Returns
+    * (id, n_overlap) for flagged documents; anti-join the result against
+    * the corpus to drop them (benchmark members flag themselves, which is
+    * the desired behavior when the eval set was drawn from the corpus).
+    *
+    * Scale shape: the benchmark is small by construction (an eval set), so
+    * its distinct-gram table broadcasts; the corpus side is one n-gram
+    * scan joined on the gram key, map-side partial counts — never a
+    * corpus×corpus comparison.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int, minOverlap: Long): DataFrame = {
+    val cg = wordNgrams(corpus, idCol, textCol, n).distinct()
+    val bg = wordNgrams(benchmark, benchIdCol, benchTextCol, n)
+      .select(col("ngram")).distinct()
+    cg.join(broadcast(bg), Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Deterministic hash-based corpus split (train/holdout): bucket =
     * first-8-hex of sha256(id ∥ salt) mod 100, split = "train" below
     * `pctTrain`. Reproducible anywhere (engine-, partitioning- and

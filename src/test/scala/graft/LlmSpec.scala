@@ -348,6 +348,20 @@ class LlmSpec extends AnyFunSuite {
     assert(r(2L) == Seq(0.0, 0.0)) // tiny-norm guard, no NaN
   }
 
+  test("decontamination: gram-overlap counts vs a benchmark, threshold flags") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // all 4 grams shared
+      (2L, "one two three four five six seven"), // disjoint
+      (3L, "alpha beta gamma nothing else here") // 1 shared gram < threshold
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minOverlap = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 4L))
+  }
+
   test("hash split: deterministic, salt-sensitive, proportional, bucket-consistent") {
     val df = (0L until 1000L).toSeq.toDF("doc_id")
     def run(salt: String) = TextOps.hashSplit(df, "doc_id", salt, 90).collect()
