@@ -317,14 +317,15 @@ object Queries {
   def l2Normalize(s: SparkSession, dir: String): DataFrame =
     Similarity.l2NormalizeFlat(Tables.embeddings(s, dir), "vec_id", "embedding")
 
-  /** Eval-set leakage scan: every 50th document stands in as the held-out
-    * benchmark; corpus docs sharing ≥ 3 distinct word-3-grams with it are
-    * flagged with their overlap counts.
+  /** Eval-set leakage scan: a FIXED 10-document slice stands in as the
+    * held-out benchmark (bounded by construction — the broadcast side must
+    * not grow with the corpus); docs sharing ≥ 3 distinct word-3-grams
+    * with it are flagged with their overlap counts.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     TextOps.decontaminate(docs, "doc_id", "text",
-      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
       n = 3, minOverlap = 3L)
   }
 

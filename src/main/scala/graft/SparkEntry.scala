@@ -579,8 +579,8 @@ object SparkEntry {
                  unnest(generate_series(1, len(embedding))) AS pos
                FROM n2) t""",
 
-    // decontamination: distinct word-3-gram overlap vs the every-50th-doc
-    // benchmark slice, flagged at >= 3 shared grams
+    // decontamination: distinct word-3-gram overlap vs the fixed
+    // 10-doc benchmark slice, flagged at >= 3 shared grams
     "q_decontaminate" ->
       """WITH cg AS (
            SELECT DISTINCT doc_id,
@@ -588,7 +588,7 @@ object SparkEntry {
                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS gram
            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
            WHERE len(ws) >= 3),
-         bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0)
+         bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id < 10)
          SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          FROM cg c JOIN bg USING (gram)
          GROUP BY c.doc_id

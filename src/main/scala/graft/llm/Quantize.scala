@@ -83,9 +83,12 @@ object Quantize {
       .withColumn("__crn", row_number().over(coarseW))
       .filter(col("__crn") <= k * rerankFactor)
       .select("query_id", "neighbor_id")
-    // float vectors only for the pruned pool: broadcast the (small) query
-    // vectors; the corpus side equi-joins on neighbor_id (AQE broadcasts
-    // the pool when it is the smaller side)
+    // float vectors only for the pruned pool. BOTH small sides broadcast
+    // explicitly — the pool is bounded BY CONSTRUCTION (≤ |Q|·rerankFactor·k
+    // id-pairs) and the query set is broadcast-small by contract — so the
+    // corpus never shuffle-writes its float vectors at all (leaving this
+    // to AQE would still pay the corpus-side map write before the runtime
+    // broadcast switch).
     val queries = embeddings.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         Similarity.norm2(col(vecCol)).as("__qn"))
@@ -94,9 +97,9 @@ object Quantize {
         Similarity.norm2(col(vecCol)).as("__nn"))
     val exactW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pool
+    corpus
+      .join(broadcast(pool), Seq("neighbor_id"))
       .join(broadcast(queries), Seq("query_id"))
-      .join(corpus, Seq("neighbor_id"))
       .withColumn("cosine",
         Similarity.dotDec(col("__qv"), col("__nv")).cast("double") /
           (sqrt(col("__qn")) * sqrt(col("__nn"))))

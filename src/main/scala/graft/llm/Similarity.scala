@@ -54,26 +54,37 @@ object Similarity {
     * divide per element) — the standard preprocessing that turns cosine
     * into a plain dot product for every downstream ANN stage. Zero vectors
     * stay zero via the tiny-norm guard (identical in the SQL oracle).
-    * Output keeps the array shape; [[l2NormalizeFlat]] is the exploded
-    * (id, pos, value) form the element-exact oracle compares.
+    * Output is (id, unit array<double>, norm double); [[l2NormalizeFlat]]
+    * is the exploded (id, pos, value) form the element-exact oracle
+    * compares.
+    *
+    * The norm column is part of the OUTPUT on purpose: callers usually
+    * want it anyway, and the second reference is what stops
+    * CollapseProject from re-inlining the O(dim) norm into the transform
+    * lambda — a single-referenced alias gets collapsed back regardless of
+    * cost, and the norm would then re-run per ELEMENT (verified against
+    * this Spark's optimizer; same idiom as [[Quantize.withInt8]]).
     */
   def l2Normalize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
-    // norm as its OWN column before the lambda references it — captured
-    // inside `transform` the O(dim) dot product would re-run per element
     embeddings
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
         sqrt(greatest(norm2(col(vecCol)), lit(1e-300))).as("__d"))
-      .select(col(idCol), transform(col("__v"), x => x / col("__d")).as("unit"))
+      .select(col(idCol),
+        transform(col("__v"), x => x / col("__d")).as("unit"),
+        col("__d").as("norm"))
 
   /** [[l2Normalize]] exploded to one row per element — scalar doubles
     * compare EXACTLY in the verification harness, where an array column
-    * would be compared through its string rendering (≈8 digits).
+    * would be compared through its string rendering (≈8 digits). The
+    * Generate (posexplode) between the norm projection and the division
+    * is an optimizer barrier, so the norm computes once per ROW here too.
     */
   def l2NormalizeFlat(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
-    l2Normalize(embeddings, idCol, vecCol)
-      .select(col(idCol), posexplode(col("unit")))
+    embeddings
+      .select(col(idCol), posexplode(col(vecCol).cast("array<double>")),
+        sqrt(greatest(norm2(col(vecCol)), lit(1e-300))).as("__d"))
       .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
-        col("col").as("value"))
+        (col("col") / col("__d")).as("value"))
 
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `isQuery`), the k nearest corpus vectors by cosine similarity,

@@ -74,6 +74,18 @@ object TextOps {
         when(col("uniq_ratio") < minUniqRatio, lit("low_lexical_diversity")))
         .as("drop_reasons"))
 
+  /** One row per (doc, word-n-gram) occurrence — the shared expansion
+    * behind [[repetitionStats]], [[decontaminate]] and
+    * [[graft.llm.MinHashDedup.ngramJaccard]] (one tokenization
+    * definition, three consumers).
+    */
+  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n)))"))
+        .as("ngram"))
+
   /** Within-document repetition stats over word n-grams — the
     * Gopher/CCNet-style quality signal boilerplate and spam light up on:
     * `dup_ratio` (fraction of n-gram occurrences that are repeats) and
@@ -84,17 +96,6 @@ object TextOps {
     * counts, then a per-doc rollup — shuffle volume is per-doc distinct
     * grams, bounded by document length, never corpus-quadratic.
     */
-  /** One row per (doc, word-n-gram) occurrence — the shared expansion
-    * behind [[repetitionStats]] and [[graft.llm.MinHashDedup.ngramJaccard]]
-    * (one tokenization definition, two consumers).
-    */
-  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__w"))
-      .filter(size(col("__w")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n)))"))
-        .as("ngram"))
-
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val grams = wordNgrams(df, idCol, textCol, n).withColumnRenamed("ngram", "gram")
@@ -122,12 +123,17 @@ object TextOps {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int, minOverlap: Long): DataFrame = {
-    val cg = wordNgrams(corpus, idCol, textCol, n).distinct()
     val bg = wordNgrams(benchmark, benchIdCol, benchTextCol, n)
       .select(col("ngram")).distinct()
-    cg.join(broadcast(bg), Seq("ngram"))
+    // broadcast filter FIRST: the corpus gram stream shrinks to
+    // benchmark-matching grams map-side before anything shuffles (a
+    // corpus-wide distinct up front would shuffle every gram only to
+    // discard almost all of them). countDistinct of the surviving grams
+    // equals distinct-then-count because bg is distinct.
+    wordNgrams(corpus, idCol, textCol, n)
+      .join(broadcast(bg), Seq("ngram"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(countDistinct(col("ngram")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
 

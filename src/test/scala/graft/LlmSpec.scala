@@ -343,9 +343,14 @@ class LlmSpec extends AnyFunSuite {
     val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val r = Similarity.l2Normalize(df, "vec_id", "embedding").collect()
-      .map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
-    assert(r(1L) == Seq(0.6, 0.8))
-    assert(r(2L) == Seq(0.0, 0.0)) // tiny-norm guard, no NaN
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(r(1L).getDouble(2) == 5.0) // the norm rides along in the output
+    assert(r(2L).getSeq[Double](1) == Seq(0.0, 0.0)) // tiny-norm guard, no NaN
+    // flat form matches elementwise
+    val flat = Similarity.l2NormalizeFlat(df, "vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(flat((1L, 1)) == 0.6 && flat((1L, 2)) == 0.8)
   }
 
   test("decontamination: gram-overlap counts vs a benchmark, threshold flags") {
