@@ -60,6 +60,51 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Small-file compaction for a partitioned parquet table — the
+    * plain-Spark `OPTIMIZE` (Delta's bin-packing, `databricks` maintenance
+    * step the reference schedules): rewrite each selected partition into
+    * ⌈bytes / targetFileBytes⌉ files. Streaming appends and per-day
+    * backfills accrete small files; at 100 TB the file count — not the
+    * byte count — is what kills scan planning and open() overhead, so
+    * compaction after ingest is a first-class maintenance operation.
+    *
+    * Per-partition loop by design (callers pass the partitions just
+    * ingested, e.g. yesterday): each value is one pruned read + one
+    * dynamic-partition-overwrite write, exactly like Delta's per-partition
+    * OPTIMIZE granularity. Partitions already at-or-under target are left
+    * untouched (no rewrite, no mtime churn). Returns
+    * (value → (filesBefore, filesAfter)).
+    */
+  def compactPartitions(spark: SparkSession, dir: String, partitionCol: String,
+      targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)] = {
+    require(targetFileBytes > 0)
+    values.map { v =>
+      val pdir = java.nio.file.Paths.get(dir, s"$partitionCol=$v")
+      val files =
+        if (!java.nio.file.Files.isDirectory(pdir)) Array.empty[java.nio.file.Path]
+        else {
+          val s = java.nio.file.Files.list(pdir)
+          try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.getFileName.toString.startsWith("part-"))
+          finally s.close()
+        }
+      val bytes = files.map(java.nio.file.Files.size).sum
+      val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (files.length > target) {
+        // read the partition directory directly (no corpus-wide listing),
+        // restore the partition column from the path value, rewrite only
+        // this partition via dynamic overwrite
+        val part = spark.read.parquet(pdir.toString)
+          .withColumn(partitionCol, lit(v))
+          .repartition(target)
+        part.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(dir)
+        v -> (files.length, target)
+      } else v -> (files.length, files.length)
+    }.toMap
+  }
+
   /** Bucketed managed table: hash-bucket by join key so equi-joins and
     * aggregations on `bucketCols` between co-bucketed tables run with NO
     * shuffle exchange — the co-located-join layout for fact×fact joins at

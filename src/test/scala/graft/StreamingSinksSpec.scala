@@ -413,6 +413,35 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(vals == Map("2024-01-01" -> 50.0, "2024-01-02" -> 2.0))
   }
 
+  test("compaction: fragmented day rewritten to target, quiet day untouched") {
+    val out = tmp("compact") + "/t"
+    val manyFiles = (1 to 80).map(i => ("2024-01-01", i.toLong)).toDF("dt", "v")
+      .repartition(8) // day A: 8 small files
+    val oneFile = Seq(("2024-01-02", 1000L)).toDF("dt", "v").coalesce(1)
+    Sinks.partitionedParquet(manyFiles.union(oneFile).repartition(8), out, "dt",
+      force = true)
+    def partFiles(day: String) = {
+      val s = Files.list(java.nio.file.Paths.get(out, s"dt=$day"))
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-")).map(_.toString)
+      finally s.close()
+    }
+    assert(partFiles("2024-01-01").length > 1)
+    val before = spark.read.parquet(out).collect()
+      .map(r => String.valueOf(r.getAs[Any]("dt")) -> r.getLong(0)).sorted.toSeq
+    val quietBefore = partFiles("2024-01-02").sorted.toSeq
+
+    // huge target → one file for the fragmented day; quiet day untouched
+    val report = Sinks.compactPartitions(spark, out, "dt",
+      targetFileBytes = 1L << 30, values = Seq("2024-01-01", "2024-01-02"))
+    assert(report("2024-01-01")._1 > 1 && report("2024-01-01")._2 == 1)
+    assert(partFiles("2024-01-01").length == 1)
+    assert(partFiles("2024-01-02").sorted.toSeq == quietBefore) // no rewrite
+    val after = spark.read.parquet(out).collect()
+      .map(r => String.valueOf(r.getAs[Any]("dt")) -> r.getLong(0)).sorted.toSeq
+    assert(after == before) // byte-for-byte same data
+  }
+
   test("ndjson.gz sink round-trips and writes gzip files") {
     val out = tmp("jsink") + "/raw"
     val df = Seq((1L, "income", "{\"a\":1}"), (2L, "income", "{\"b\":2}"))
