@@ -329,6 +329,10 @@ object Queries {
       n = 3, minOverlap = 3L)
   }
 
+  /** PII redaction + per-category audit counts over the corpus. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    TextOps.scrubPii(Tables.documents(s, dir), "doc_id", "text")
+
   /** Deterministic 90/10 corpus split keyed on sha256(doc_id ∥ salt). */
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     TextOps.hashSplit(Tables.documents(s, dir).select("doc_id", "source"),

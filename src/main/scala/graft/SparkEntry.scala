@@ -60,6 +60,7 @@ object SparkEntry {
     "q_repetition" -> (Queries.repetition _),
     "q_l2_normalize" -> (Queries.l2Normalize _),
     "q_decontaminate" -> (Queries.decontaminate _),
+    "q_pii_scrub" -> (Queries.piiScrub _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
@@ -578,6 +579,26 @@ object SparkEntry {
          FROM (SELECT vec_id, embedding, nn,
                  unnest(generate_series(1, len(embedding))) AS pos
                FROM n2) t""",
+
+    // PII scrub: same pattern set and replacement order as
+    // TextOps.piiPatterns (Java-regex/RE2-identical syntax); DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+         FROM documents""",
 
     // decontamination: distinct word-3-gram overlap vs the fixed
     // 10-doc benchmark slice, flagged at >= 3 shared grams

@@ -137,6 +137,31 @@ object TextOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** PII scrubbing: redact emails, SSNs, phone numbers, and IPv4
+    * addresses with typed placeholders, and count each category (on the
+    * ORIGINAL text) for auditing. Patterns stick to syntax Java regex and
+    * RE2 interpret identically (char classes, bounded repeats, \b, \d) so
+    * the SQL oracle matches byte-for-byte; replacement order is fixed.
+    * Scan-local, zero shuffle — the redaction pass a training pipeline
+    * runs between quality filtering and tokenization.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (category, pattern, placeholder) — applied in this order
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clean = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = piiPatterns.map { case (cat, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$cat")
+    }
+    df.select(col(idCol) +: clean.as("clean") +: counts: _*)
+  }
+
   /** Deterministic hash-based corpus split (train/holdout): bucket =
     * first-8-hex of sha256(id ∥ salt) mod 100, split = "train" below
     * `pctTrain`. Reproducible anywhere (engine-, partitioning- and

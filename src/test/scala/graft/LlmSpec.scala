@@ -353,6 +353,21 @@ class LlmSpec extends AnyFunSuite {
     assert(flat((1L, 1)) == 0.6 && flat((1L, 2)) == 0.8)
   }
 
+  test("pii scrub: all categories redacted with audit counts, clean text untouched") {
+    val docs = Seq(
+      (1L, "mail john.doe+x@ex-ample.co or 555-123-4567, ssn 123-45-6789, host 10.0.0.1"),
+      (2L, "clean text with numbers 12345 and dots 1.2")
+    ).toDF("doc_id", "text")
+    val r = TextOps.scrubPii(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val c1 = r(1L).getString(1)
+    assert(c1 == "mail <EMAIL> or <PHONE>, ssn <SSN>, host <IP>")
+    assert(r(1L).getLong(2) == 1 && r(1L).getLong(3) == 1) // email, ip
+    assert(r(1L).getLong(4) == 1 && r(1L).getLong(5) == 1) // ssn, phone
+    assert(r(2L).getString(1) == "clean text with numbers 12345 and dots 1.2")
+    assert((2 to 5).forall(r(2L).getLong(_) == 0))
+  }
+
   test("decontamination: gram-overlap counts vs a benchmark, threshold flags") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // all 4 grams shared
