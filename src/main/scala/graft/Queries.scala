@@ -329,9 +329,19 @@ object Queries {
       n = 3, minOverlap = 3L)
   }
 
-  /** PII redaction + per-category audit counts over the corpus. */
-  def piiScrub(s: SparkSession, dir: String): DataFrame =
-    TextOps.scrubPii(Tables.documents(s, dir), "doc_id", "text")
+  /** PII redaction + per-category audit counts over the corpus. The
+    * synthetic corpus carries no digits or '@', so every 10th document
+    * gets a deterministic PII suffix grafted on (identically in the
+    * DuckDB oracle) — otherwise the cross-engine regex check would be
+    * vacuous, comparing untouched text to untouched text.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(s, dir).withColumn("text",
+      concat(col("text"), when(col("doc_id") % 10 === 0,
+        lit(" reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"))
+        .otherwise(lit(""))))
+    TextOps.scrubPii(seeded, "doc_id", "text")
+  }
 
   /** Deterministic 90/10 corpus split keyed on sha256(doc_id ∥ salt). */
   def hashSplit(s: SparkSession, dir: String): DataFrame =

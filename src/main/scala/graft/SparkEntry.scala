@@ -582,9 +582,17 @@ object SparkEntry {
 
     // PII scrub: same pattern set and replacement order as
     // TextOps.piiPatterns (Java-regex/RE2-identical syntax); DuckDB
-    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.
+    // Every 10th doc gets the same deterministic PII suffix as the Spark
+    // side so every pattern actually fires cross-engine.
     "q_pii_scrub" ->
-      """SELECT doc_id,
+      """WITH seeded AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+               THEN ' reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1'
+               ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
@@ -598,7 +606,7 @@ object SparkEntry {
              '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
            CAST(len(regexp_extract_all(text,
              '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
-         FROM documents""",
+         FROM seeded""",
 
     // decontamination: distinct word-3-gram overlap vs the fixed
     // 10-doc benchmark slice, flagged at >= 3 shared grams

@@ -69,6 +69,12 @@ object Quantize {
     * payloads — the float vectors (4× the bytes) join back for the
     * pruned ≤ rerankFactor×k pool, so the bandwidth saving the
     * quantization promises actually shows up in the shuffle.
+    *
+    * Contract: the query set must be broadcast-small (the same "handful of
+    * probes vs the corpus" contract as [[Similarity.cosineTopK]], which
+    * broadcasts it too) — the pool is |queries|·rerankFactor·k rows and is
+    * broadcast EXPLICITLY so the corpus never shuffle-writes its float
+    * vectors. A million-query batch needs a join-shaped retrieval instead.
     */
   def quantizedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, rerankFactor: Int = 4): DataFrame = {

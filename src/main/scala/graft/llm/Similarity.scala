@@ -71,7 +71,10 @@ object Similarity {
         sqrt(greatest(norm2(col(vecCol)), lit(1e-300))).as("__d"))
       .select(col(idCol),
         transform(col("__v"), x => x / col("__d")).as("unit"),
-        col("__d").as("norm"))
+        // report the TRUE norm: the guard floor (1e-150) exists only to
+        // keep the division defined; a zero vector's norm is 0.0. (This is
+        // still the second __d reference that prevents the collapse.)
+        when(col("__d") <= lit(1e-150), lit(0.0)).otherwise(col("__d")).as("norm"))
 
   /** [[l2Normalize]] exploded to one row per element — scalar doubles
     * compare EXACTLY in the verification harness, where an array column

@@ -138,12 +138,20 @@ object TextOps {
   }
 
   /** PII scrubbing: redact emails, SSNs, phone numbers, and IPv4
-    * addresses with typed placeholders, and count each category (on the
-    * ORIGINAL text) for auditing. Patterns stick to syntax Java regex and
-    * RE2 interpret identically (char classes, bounded repeats, \b, \d) so
-    * the SQL oracle matches byte-for-byte; replacement order is fixed.
+    * addresses with typed placeholders, and count each category for
+    * auditing. Patterns stick to syntax Java regex and RE2 interpret
+    * identically (char classes, bounded repeats, \b, \d) so the SQL
+    * oracle matches byte-for-byte; replacement order is fixed.
     * Scan-local, zero shuffle — the redaction pass a training pipeline
     * runs between quality filtering and tokenization.
+    *
+    * Count semantics: `n_<cat>` counts pattern occurrences in the
+    * ORIGINAL text (what was present in the source), while placeholders
+    * result from the ordered replacement cascade — on overlapping or
+    * adjacent matches the two can legitimately differ (an email eating a
+    * phone-shaped local part, a boundary created by an earlier
+    * placeholder). Reconcile audits against the source counts, not by
+    * counting placeholders in `clean`.
     */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     // (category, pattern, placeholder) — applied in this order

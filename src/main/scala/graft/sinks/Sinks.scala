@@ -70,40 +70,68 @@ object Sinks {
     *
     * Per-partition loop by design (callers pass the partitions just
     * ingested, e.g. yesterday): each value is one pruned read + one
-    * dynamic-partition-overwrite write, exactly like Delta's per-partition
-    * OPTIMIZE granularity. Partitions already at-or-under target are left
+    * staged rewrite, exactly like Delta's per-partition OPTIMIZE
+    * granularity. Partitions already at-or-under target are left
     * untouched (no rewrite, no mtime churn). Returns
-    * (value → (filesBefore, filesAfter)).
+    * (value → (filesBefore, filesAfter)) with filesAfter RE-LISTED from
+    * disk (empty write tasks emit no file, so the prediction can overshoot).
+    *
+    * Crash safety: compaction holds the ONLY copy of the data it
+    * rewrites, so the replacement materializes fully in a sibling staged
+    * dir BEFORE the live directory moves; the swap is two renames with a
+    * `.compact-old` backup, and an interrupted run is recovered at the
+    * start of the next call — the same stage-then-swap discipline as the
+    * streaming upsert. Dot-prefixed staging dirs are invisible to Spark
+    * readers. Single-writer, local/HDFS rename semantics (an object store
+    * without atomic rename needs a real table format).
     */
   def compactPartitions(spark: SparkSession, dir: String, partitionCol: String,
       targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(targetFileBytes > 0)
     values.map { v =>
-      val pdir = java.nio.file.Paths.get(dir, s"$partitionCol=$v")
-      val files =
-        if (!java.nio.file.Files.isDirectory(pdir)) Array.empty[java.nio.file.Path]
+      // partition values are escaped in Hive-style paths (':' → %3A etc.)
+      // — building the path from the raw value would silently no-op
+      val enc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+      val pdir = Paths.get(dir, s"$partitionCol=$enc")
+      val oldDir = Paths.get(dir, s".compact-old-$partitionCol=$enc")
+      val staged = Paths.get(dir, s".compact-staged-$partitionCol=$enc")
+      // recovery from a previous interrupted compaction of this value
+      if (Files.exists(oldDir) && !Files.exists(pdir))
+        Files.move(oldDir, pdir, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(oldDir) // stale backup of a completed swap
+      deleteRecursively(staged) // incomplete staged write
+      def partFiles() =
+        if (!Files.isDirectory(pdir)) Array.empty[java.nio.file.Path]
         else {
-          val s = java.nio.file.Files.list(pdir)
+          val s = Files.list(pdir)
           try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
             .filter(_.getFileName.toString.startsWith("part-"))
           finally s.close()
         }
-      val bytes = files.map(java.nio.file.Files.size).sum
+      val files = partFiles()
+      val bytes = files.map(Files.size).sum
       val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       if (files.length > target) {
-        // read the partition directory directly (no corpus-wide listing),
-        // restore the partition column from the path value, rewrite only
-        // this partition via dynamic overwrite
-        val part = spark.read.parquet(pdir.toString)
-          .withColumn(partitionCol, lit(v))
-          .repartition(target)
-        part.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partitionCol).parquet(dir)
-        v -> (files.length, target)
+        spark.read.parquet(pdir.toString).repartition(target)
+          .write.parquet(staged.toString)
+        // replacement fully on disk — now swap the live directory
+        Files.move(pdir, oldDir, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staged, pdir, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(oldDir)
+        v -> (files.length, partFiles().length)
       } else v -> (files.length, files.length)
     }.toMap
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
 
   /** Bucketed managed table: hash-bucket by join key so equi-joins and
     * aggregations on `bucketCols` between co-bucketed tables run with NO
