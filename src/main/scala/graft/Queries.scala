@@ -348,6 +348,32 @@ object Queries {
     TextOps.hashSplit(Tables.documents(s, dir).select("doc_id", "source"),
       "doc_id", salt = "graft-v1", pctTrain = 90)
 
+  /** The END-TO-END curation pipeline, composed from the verified stages:
+    * keep documents that (1) pass the quality envelope, (2) represent
+    * their near-dup cluster (the MinHash keep-list — rides the session
+    * memo, so the expensive pipeline is shared with the dedup queries),
+    * and (3) are not eval-contaminated; then (4) scrub PII and (5) assign
+    * the deterministic train/holdout split. Output is the training corpus
+    * a user of the reference would materialize: (doc_id, clean, split).
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val passed = qualityGate(s, dir).filter(col("keep")).select("doc_id")
+    val reps = dedupKeep(s, dir).select("doc_id")
+    val contaminated = decontaminate(s, dir).select("doc_id")
+    val scrubbed = TextOps.scrubPii(docs, "doc_id", "text")
+      .select(col("doc_id"), col("clean"))
+    val split = TextOps.hashSplit(docs.select("doc_id"), "doc_id",
+        salt = "graft-v1", pctTrain = 90)
+      .select(col("doc_id"), col("split"))
+    docs.select("doc_id")
+      .join(passed, Seq("doc_id"), "left_semi")
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(scrubbed, Seq("doc_id"))
+      .join(split, Seq("doc_id"))
+  }
+
   /** Word-3-gram repetition profile — the boilerplate/spam signal beside
     * [[qualityGate]]'s envelope checks.
     */

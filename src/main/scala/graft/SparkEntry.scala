@@ -61,6 +61,7 @@ object SparkEntry {
     "q_l2_normalize" -> (Queries.l2Normalize _),
     "q_decontaminate" -> (Queries.decontaminate _),
     "q_pii_scrub" -> (Queries.piiScrub _),
+    "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
@@ -136,6 +137,52 @@ object SparkEntry {
            SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
+    // the composed curation pipeline: quality envelope ∩ dedup keep-list
+    // ∩ not-contaminated, then PII scrub + deterministic split — each
+    // stage is the same SQL its standalone oracle uses
+    "q_curate" -> (minhashReachCte + """,
+         qual AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS uniq_ratio
+             FROM documents) q
+           WHERE n_tokens >= 20 AND n_tokens <= 80
+             AND stop_ratio >= 0.03 AND uniq_ratio >= 0.35),
+         reps AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY doc_id) c
+           WHERE doc_id = cluster_id),
+         cg2 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         bg2 AS (SELECT DISTINCT gram FROM cg2 WHERE doc_id < 10),
+         contaminated AS (
+           SELECT c.doc_id FROM cg2 c JOIN bg2 USING (gram)
+           GROUP BY c.doc_id HAVING count(*) >= 3)
+         SELECT d.doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(d.text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
+           CASE WHEN CAST(concat('0x',
+             substr(sha256(concat(CAST(d.doc_id AS VARCHAR), 'graft-v1')), 1, 8))
+             AS BIGINT) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+         FROM documents d
+         JOIN qual USING (doc_id)
+         JOIN reps USING (doc_id)
+         LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+         WHERE ct.doc_id IS NULL"""),
+
     // keep-list: one survivor (the min doc id) per cluster with the member
     // count it represents — the final materialization of the dedup sweep
     "q_dedup_keep" -> (minhashReachCte +

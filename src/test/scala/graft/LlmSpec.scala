@@ -353,6 +353,22 @@ class LlmSpec extends AnyFunSuite {
     assert(flat((1L, 1)) == 0.6 && flat((1L, 2)) == 0.8)
   }
 
+  test("curate: the composed pipeline is the intersection of its stages") {
+    val s = spark
+    val dir = TestSpark.sfDir
+    val curated = Queries.curate(s, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val passed = Queries.qualityGate(s, dir).filter($"keep")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val reps = Queries.dedupKeep(s, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = Queries.decontaminate(s, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(curated.nonEmpty)
+    assert(curated == passed.intersect(reps).diff(contaminated))
+    CacheBin.drainAll()
+  }
+
   test("pii scrub: all categories redacted with audit counts, clean text untouched") {
     val docs = Seq(
       (1L, "mail john.doe+x@ex-ample.co or 555-123-4567, ssn 123-45-6789, host 10.0.0.1"),
