@@ -442,6 +442,36 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(after == before) // byte-for-byte same data
   }
 
+  test("compaction recovery: interrupted swap restored; escaped partition values compact") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val out = tmp("crecov") + "/t"
+    val df = (1 to 40).map(i => ("2024-03-01", i.toLong)).toDF("dt", "v")
+      .repartition(4)
+    Sinks.partitionedParquet(df, out, "dt", force = true)
+    val live = Paths.get(out, "dt=2024-03-01")
+    val before = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    // simulate a crash between the two swap renames: live dir moved to the
+    // backup, replacement never arrived
+    Files.move(live, Paths.get(out, ".compact-old-dt=2024-03-01"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(live))
+    val report = Sinks.compactPartitions(spark, out, "dt",
+      targetFileBytes = 1L << 30, values = Seq("2024-03-01"))
+    assert(Files.exists(live)) // recovery sweep restored the partition
+    assert(report("2024-03-01")._2 == 1) // then compacted it
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq == before)
+
+    // a partition value Spark escapes in the path (':' → %3A) still
+    // resolves — building from the raw value would silently no-op
+    val out2 = tmp("cesc") + "/t"
+    val df2 = (1 to 20).map(i => ("a:b", i.toLong)).toDF("k", "v").repartition(4)
+    Sinks.partitionedParquet(df2, out2, "k", force = true)
+    val r2 = Sinks.compactPartitions(spark, out2, "k",
+      targetFileBytes = 1L << 30, values = Seq("a:b"))
+    assert(r2("a:b")._1 > 1 && r2("a:b")._2 == 1)
+    assert(spark.read.parquet(out2).count() == 20)
+  }
+
   test("ndjson.gz sink round-trips and writes gzip files") {
     val out = tmp("jsink") + "/raw"
     val df = Seq((1L, "income", "{\"a\":1}"), (2L, "income", "{\"b\":2}"))
