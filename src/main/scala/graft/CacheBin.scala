@@ -61,3 +61,21 @@ object CacheBin {
     invalidationHooks.forEach(h => h())
   }
 }
+
+/** Generic session memo over [[CacheBin]]'s pinned tier: build a frame
+  * once per (session, key), persist + pin it, and hand the SAME frame to
+  * every later consumer until `drainAll()` clears cache and memo together
+  * — the reusable form of the MinHash pair-table memo. At 100 TB the
+  * decision it encodes is "materialize this intermediate once, read it N
+  * times" instead of recomputing a corpus pass per consumer. Keyed on the
+  * session REFERENCE (hashes collide and outlive stopped sessions).
+  */
+object SessionMemo {
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  CacheBin.onDrainAll(() => memo.clear())
+
+  def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    memo.getOrElseUpdate((spark, key), CacheBin.pin(build.persist()))
+}

@@ -320,14 +320,17 @@ object Queries {
   /** Eval-set leakage scan: a FIXED 10-document slice stands in as the
     * held-out benchmark (bounded by construction — the broadcast side must
     * not grow with the corpus); docs sharing ≥ 3 distinct word-3-grams
-    * with it are flagged with their overlap counts.
+    * with it are flagged with their overlap counts. Session-memoized:
+    * `q_decontaminate` and `q_curate` both consume it, and the corpus gram
+    * scan should run once per session, not once per consumer.
     */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    TextOps.decontaminate(docs, "doc_id", "text",
-      docs.filter(col("doc_id") < 10), "doc_id", "text",
-      n = 3, minOverlap = 3L)
-  }
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"decon:$dir:3:3") {
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        n = 3, minOverlap = 3L)
+    }
 
   /** PII redaction + per-category audit counts over the corpus. The
     * synthetic corpus carries no digits or '@', so every 10th document
