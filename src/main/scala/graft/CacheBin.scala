@@ -77,5 +77,11 @@ object SessionMemo {
 
   def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    memo.getOrElseUpdate((spark, key), CacheBin.pin(build.persist()))
+    memo.getOrElseUpdate((spark, key), {
+      val df = build
+      // builders that persist (and materialize) internally stay as-is —
+      // re-persisting would only log CacheManager noise
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      CacheBin.pin(df)
+    })
 }

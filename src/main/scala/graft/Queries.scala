@@ -252,6 +252,32 @@ object Queries {
 
   // ---- LLM-data plane over documents / embeddings
 
+  // curation-stage parameters, defined ONCE: the standalone queries, the
+  // composed pipeline, and the session-memo keys all read these — a
+  // threshold change cannot silently diverge between consumers (the
+  // DuckDB oracles mirror them via shared SQL fragments in SparkEntry)
+  val QualityMinTokens = 20L
+  val QualityMaxTokens = 80L
+  val QualityMinStopRatio = 0.03
+  val QualityMinUniqRatio = 0.35
+  val DeconN = 3
+  val DeconMinOverlap = 3L
+  val DeconBenchmarkMaxId = 10L
+  val SplitSalt = "graft-v1"
+  val SplitPctTrain = 90
+  val PiiSeedSuffix =
+    " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
+
+  /** Documents with deterministic PII grafted onto every 10th row — the
+    * synthetic corpus carries no digits or '@', so without seeding any
+    * scrub oracle would vacuously compare untouched text to untouched
+    * text. The DuckDB side appends the identical suffix.
+    */
+  private def seededDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0, lit(PiiSeedSuffix)).otherwise(lit(""))))
+
   def docsExactDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(sha2(col("text"), 256).as("text_hash"))
@@ -325,55 +351,50 @@ object Queries {
     * scan should run once per session, not once per consumer.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame =
-    SessionMemo.cached(s, s"decon:$dir:3:3") {
+    SessionMemo.cached(s, s"decon:$dir:$DeconN:$DeconMinOverlap") {
       val docs = Tables.documents(s, dir)
       TextOps.decontaminate(docs, "doc_id", "text",
-        docs.filter(col("doc_id") < 10), "doc_id", "text",
-        n = 3, minOverlap = 3L)
+        docs.filter(col("doc_id") < DeconBenchmarkMaxId), "doc_id", "text",
+        n = DeconN, minOverlap = DeconMinOverlap)
     }
 
-  /** PII redaction + per-category audit counts over the corpus. The
-    * synthetic corpus carries no digits or '@', so every 10th document
-    * gets a deterministic PII suffix grafted on (identically in the
-    * DuckDB oracle) — otherwise the cross-engine regex check would be
-    * vacuous, comparing untouched text to untouched text.
+  /** PII redaction + per-category audit counts over the seeded corpus
+    * (see [[seededDocs]] for why seeding is needed at all).
     */
-  def piiScrub(s: SparkSession, dir: String): DataFrame = {
-    val seeded = Tables.documents(s, dir).withColumn("text",
-      concat(col("text"), when(col("doc_id") % 10 === 0,
-        lit(" reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"))
-        .otherwise(lit(""))))
-    TextOps.scrubPii(seeded, "doc_id", "text")
-  }
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    TextOps.scrubPii(seededDocs(s, dir), "doc_id", "text")
 
   /** Deterministic 90/10 corpus split keyed on sha256(doc_id ∥ salt). */
   def hashSplit(s: SparkSession, dir: String): DataFrame =
     TextOps.hashSplit(Tables.documents(s, dir).select("doc_id", "source"),
-      "doc_id", salt = "graft-v1", pctTrain = 90)
+      "doc_id", salt = SplitSalt, pctTrain = SplitPctTrain)
 
   /** The END-TO-END curation pipeline, composed from the verified stages:
     * keep documents that (1) pass the quality envelope, (2) represent
     * their near-dup cluster (the MinHash keep-list — rides the session
     * memo, so the expensive pipeline is shared with the dedup queries),
-    * and (3) are not eval-contaminated; then (4) scrub PII and (5) assign
-    * the deterministic train/holdout split. Output is the training corpus
-    * a user of the reference would materialize: (doc_id, clean, split).
+    * and (3) are not eval-contaminated; then (4) scrub PII over the
+    * SURVIVORS only (dropped docs never pay the regex cascade; seeded
+    * text so the scrub is genuinely exercised cross-engine) and (5)
+    * assign the deterministic train/holdout split. Output is the training
+    * corpus a user of the reference would materialize:
+    * (doc_id, clean, split).
     */
   def curate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
     val passed = qualityGate(s, dir).filter(col("keep")).select("doc_id")
     val reps = dedupKeep(s, dir).select("doc_id")
     val contaminated = decontaminate(s, dir).select("doc_id")
-    val scrubbed = TextOps.scrubPii(docs, "doc_id", "text")
-      .select(col("doc_id"), col("clean"))
-    val split = TextOps.hashSplit(docs.select("doc_id"), "doc_id",
-        salt = "graft-v1", pctTrain = 90)
-      .select(col("doc_id"), col("split"))
-    docs.select("doc_id")
+    // filter FIRST, scrub the survivors: the dropped majority must not pay
+    // the 4-regex cascade only to be discarded by the join
+    val kept = seededDocs(s, dir).select("doc_id", "text")
       .join(passed, Seq("doc_id"), "left_semi")
       .join(reps, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .join(scrubbed, Seq("doc_id"))
+    val split = TextOps.hashSplit(kept.select("doc_id"), "doc_id",
+        salt = SplitSalt, pctTrain = SplitPctTrain)
+      .select(col("doc_id"), col("split"))
+    TextOps.scrubPii(kept, "doc_id", "text")
+      .select(col("doc_id"), col("clean"))
       .join(split, Seq("doc_id"))
   }
 
@@ -388,7 +409,8 @@ object Queries {
     */
   def qualityGate(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityGate(Tables.documents(s, dir), "doc_id", "text",
-      minTokens = 20, maxTokens = 80, minStopRatio = 0.03, minUniqRatio = 0.35)
+      minTokens = QualityMinTokens, maxTokens = QualityMaxTokens,
+      minStopRatio = QualityMinStopRatio, minUniqRatio = QualityMinUniqRatio)
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",

@@ -136,48 +136,98 @@ object SparkEntry {
            UNION
            SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.doc_id)"""
 
+  // --- shared curation-oracle fragments: every threshold, pattern, and
+  // seed string below reads the SAME constants the Spark queries use
+  // (Queries.Quality*/Decon*/Split*/PiiSeedSuffix, TextOps.piiPatterns),
+  // so the standalone oracles and the composed q_curate cannot diverge.
+
+  private val qualityStatsCtes: String =
+    """qt AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords
+           FROM documents),
+         qs AS (
+           SELECT doc_id, n_tokens,
+             CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+             CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+             (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+               + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.3
+               + (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.2 AS quality_score
+           FROM qt)"""
+
+  private val qualityKeepPred: String =
+    s"(n_tokens >= ${Queries.QualityMinTokens} AND n_tokens <= ${Queries.QualityMaxTokens}" +
+      s" AND stop_ratio >= ${Queries.QualityMinStopRatio}" +
+      s" AND uniq_ratio >= ${Queries.QualityMinUniqRatio})"
+
+  private val deconGramExpr: String = (0 until Queries.DeconN)
+    .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(", ")
+
+  private val deconCtes: String =
+    s"""cg AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - ${Queries.DeconN - 1}),
+               i -> concat_ws(' ', $deconGramExpr))) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= ${Queries.DeconN}),
+         bg AS (SELECT DISTINCT gram FROM cg
+                WHERE doc_id < ${Queries.DeconBenchmarkMaxId}),
+         contaminated AS (
+           SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM cg c JOIN bg USING (gram)
+           GROUP BY c.doc_id HAVING count(*) >= ${Queries.DeconMinOverlap})"""
+
+  private val piiSeededCte: String =
+    s"""seeded AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+               THEN '${Queries.PiiSeedSuffix}'
+               ELSE '' END AS text
+           FROM documents)"""
+
+  /** The scrub cascade over `textExpr`, generated from the SAME pattern
+    * list the Spark side folds over (order included).
+    */
+  private def scrubCleanSql(textExpr: String): String =
+    graft.llm.TextOps.piiPatterns.foldLeft(textExpr) {
+      case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+
+  private val piiCountsSql: String =
+    graft.llm.TextOps.piiPatterns.map { case (cat, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$cat"
+    }.mkString(",\n           ")
+
+  private def splitBucketSql(idExpr: String): String =
+    s"CAST(concat('0x', substr(sha256(concat(CAST($idExpr AS VARCHAR), " +
+      s"'${Queries.SplitSalt}')), 1, 8)) AS BIGINT) % 100"
+
+  private def splitCaseSql(idExpr: String): String =
+    s"CASE WHEN ${splitBucketSql(idExpr)} < ${Queries.SplitPctTrain} " +
+      "THEN 'train' ELSE 'holdout' END"
+
   def oracleSql: Map[String, String] = Map(
     // the composed curation pipeline: quality envelope ∩ dedup keep-list
-    // ∩ not-contaminated, then PII scrub + deterministic split — each
-    // stage is the same SQL its standalone oracle uses
-    "q_curate" -> (minhashReachCte + """,
-         qual AS (
-           SELECT doc_id FROM (
-             SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(len(list_filter(string_split(text, ' '),
-                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                 / len(string_split(text, ' ')) AS stop_ratio,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) AS uniq_ratio
-             FROM documents) q
-           WHERE n_tokens >= 20 AND n_tokens <= 80
-             AND stop_ratio >= 0.03 AND uniq_ratio >= 0.35),
+    // ∩ not-contaminated, then PII scrub over the seeded survivors +
+    // deterministic split — every stage is the same shared fragment its
+    // standalone oracle uses
+    "q_curate" -> (minhashReachCte + s""",
+         $qualityStatsCtes,
+         qual AS (SELECT doc_id FROM qs WHERE $qualityKeepPred),
          reps AS (
            SELECT doc_id FROM (
              SELECT doc_id, min(label) AS cluster_id
              FROM reach GROUP BY doc_id) c
            WHERE doc_id = cluster_id),
-         cg2 AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(generate_series(1, len(ws) - 2),
-               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS gram
-           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         bg2 AS (SELECT DISTINCT gram FROM cg2 WHERE doc_id < 10),
-         contaminated AS (
-           SELECT c.doc_id FROM cg2 c JOIN bg2 USING (gram)
-           GROUP BY c.doc_id HAVING count(*) >= 3)
+         $deconCtes,
+         $piiSeededCte
          SELECT d.doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(d.text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
-           CASE WHEN CAST(concat('0x',
-             substr(sha256(concat(CAST(d.doc_id AS VARCHAR), 'graft-v1')), 1, 8))
-             AS BIGINT) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
-         FROM documents d
+           ${scrubCleanSql("d.text")} AS clean,
+           ${splitCaseSql("d.doc_id")} AS split
+         FROM seeded d
          JOIN qual USING (doc_id)
          JOIN reps USING (doc_id)
          LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
@@ -632,55 +682,23 @@ object SparkEntry {
     // regexp_replace needs the 'g' flag to match Spark's replace-all.
     // Every 10th doc gets the same deterministic PII suffix as the Spark
     // side so every pattern actually fires cross-engine.
-    "q_pii_scrub" ->
-      """WITH seeded AS (
-           SELECT doc_id,
-             text || CASE WHEN doc_id % 10 = 0
-               THEN ' reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1'
-               ELSE '' END AS text
-           FROM documents)
+    "q_pii_scrub" -> (s"""WITH $piiSeededCte
          SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
-           CAST(len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text,
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-           CAST(len(regexp_extract_all(text,
-             '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
-           CAST(len(regexp_extract_all(text,
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
-         FROM seeded""",
+           ${scrubCleanSql("text")} AS clean,
+           $piiCountsSql
+         FROM seeded"""),
 
     // decontamination: distinct word-3-gram overlap vs the fixed
     // 10-doc benchmark slice, flagged at >= 3 shared grams
-    "q_decontaminate" ->
-      """WITH cg AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(generate_series(1, len(ws) - 2),
-               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS gram
-           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id < 10)
-         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-         FROM cg c JOIN bg USING (gram)
-         GROUP BY c.doc_id
-         HAVING count(*) >= 3""",
+    "q_decontaminate" -> (s"""WITH $deconCtes
+         SELECT doc_id, n_overlap FROM contaminated"""),
 
     // deterministic split: first-8-hex of sha256(id || salt) mod 100 —
     // engine-independent (identical sha256 + unsigned-32 semantics)
-    "q_hash_split" ->
-      """SELECT doc_id, source,
-           CAST(CAST(concat('0x',
-             substr(sha256(concat(CAST(doc_id AS VARCHAR), 'graft-v1')), 1, 8))
-             AS BIGINT) % 100 AS INT) AS bucket,
-           CASE WHEN CAST(concat('0x',
-             substr(sha256(concat(CAST(doc_id AS VARCHAR), 'graft-v1')), 1, 8))
-             AS BIGINT) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
-         FROM documents""",
+    "q_hash_split" -> (s"""SELECT doc_id, source,
+           CAST(${splitBucketSql("doc_id")} AS INT) AS bucket,
+           ${splitCaseSql("doc_id")} AS split
+         FROM documents"""),
 
     // word-3-gram repetition: per-doc gram counts then rollup; the ratio
     // divisions are double/int with identical operand order in both engines
@@ -703,32 +721,16 @@ object SparkEntry {
 
     // curation gate: same stats formulation as q_text_stats, thresholds as
     // literals; concat_ws skips NULL reason slots in both engines
-    "q_quality_gate" ->
-      """WITH t AS (
-           SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
-             CAST(len(list_filter(string_split(text, ' '),
-                      x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords
-           FROM documents),
-         s AS (
-           SELECT doc_id, n_tokens,
-             CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
-             CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
-             (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
-               + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.3
-               + (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.2 AS quality_score
-           FROM t)
+    "q_quality_gate" -> (s"""WITH $qualityStatsCtes
          SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, quality_score,
-           (n_tokens >= 20 AND n_tokens <= 80
-             AND stop_ratio >= 0.03 AND uniq_ratio >= 0.35) AS keep,
+           $qualityKeepPred AS keep,
            concat_ws(';',
-             CASE WHEN n_tokens < 20 THEN 'too_short' END,
-             CASE WHEN n_tokens > 80 THEN 'too_long' END,
-             CASE WHEN stop_ratio < 0.03 THEN 'low_stopword_ratio' END,
-             CASE WHEN uniq_ratio < 0.35 THEN 'low_lexical_diversity' END)
+             CASE WHEN n_tokens < ${Queries.QualityMinTokens} THEN 'too_short' END,
+             CASE WHEN n_tokens > ${Queries.QualityMaxTokens} THEN 'too_long' END,
+             CASE WHEN stop_ratio < ${Queries.QualityMinStopRatio} THEN 'low_stopword_ratio' END,
+             CASE WHEN uniq_ratio < ${Queries.QualityMinUniqRatio} THEN 'low_lexical_diversity' END)
              AS drop_reasons
-         FROM s""",
+         FROM qs"""),
 
     // int8 quantize-then-rerank: symmetric per-vector scale (max|x|/127,
     // MIN_NORMAL-guarded), round-half-up via floor(x/s + 0.5) — identical

@@ -99,19 +99,11 @@ object MinHashDedup {
     * registered hook clears the memo so no caller receives a frame whose
     * cache was just dropped.
     */
-  // keyed on the SESSION REFERENCE (identity), not a hash of it: hashes
-  // collide and survive session death, so a stopped-and-GC'd session's
-  // entry could otherwise serve a dead cached frame to its address's
-  // next tenant. drainAll() still clears everything at suite end.
-  private val pairsMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, String, String, Int, Int), DataFrame]
-  graft.CacheBin.onDrainAll(() => pairsMemo.clear())
-
   def verifiedPairsShared(docs: DataFrame, corpusKey: String, idCol: String,
       textCol: String, k: Int, bucketCap: Int): DataFrame =
-    pairsMemo.getOrElseUpdate(
-      (docs.sparkSession, corpusKey, idCol, textCol, k, bucketCap),
-      graft.CacheBin.pin(verifiedPairsImpl(docs, idCol, textCol, k, bucketCap)))
+    graft.SessionMemo.cached(docs.sparkSession,
+      s"minhash:$corpusKey:$idCol:$textCol:$k:$bucketCap")(
+      verifiedPairsImpl(docs, idCol, textCol, k, bucketCap))
 
   private def verifiedPairsImpl(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bucketCap: Int): DataFrame = {
