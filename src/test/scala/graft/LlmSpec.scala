@@ -412,6 +412,25 @@ class LlmSpec extends AnyFunSuite {
     assert(trainFrac > 0.85 && trainFrac < 0.95, s"train fraction $trainFrac")
   }
 
+  test("SessionMemo: builds once per key, no re-persist of pre-persisted frames, drainAll evicts") {
+    var builds = 0
+    def build() = { builds += 1; Seq((1L, "x")).toDF("id", "t") }
+    val a = SessionMemo.cached(spark, "memo-spec-k1")(build())
+    val b = SessionMemo.cached(spark, "memo-spec-k1")(build())
+    assert(builds == 1 && (a eq b))
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // a builder that persisted (+ materialized) itself is left as-is
+    val pre = Seq((2L, "y")).toDF("id", "t").persist()
+    pre.count()
+    val c = SessionMemo.cached(spark, "memo-spec-k2")(pre)
+    assert(c eq pre)
+    CacheBin.drainAll()
+    assert(pre.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val d = SessionMemo.cached(spark, "memo-spec-k1")(build())
+    assert(builds == 2 && !(a eq d)) // evicted: rebuilt fresh
+    CacheBin.drainAll()
+  }
+
   test("verifiedPairsShared: later consumers get the SAME memoized frame, keyed by params") {
     val docs = Seq(
       (1L, "the same twenty-two characters"),
