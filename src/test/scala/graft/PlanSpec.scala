@@ -57,6 +57,28 @@ class PlanSpec extends AnyFunSuite {
     CacheBin.drainAll()
   }
 
+  test("decontaminate joins the benchmark grams as a broadcast, never a sort-merge") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val df = graft.llm.TextOps.decontaminate(docs, "doc_id", "text",
+      docs.filter($"doc_id" < 10), "doc_id", "text", n = 3, minOverlap = 3L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("quantized rerank broadcasts pool and queries; corpus floats never shuffle") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val df = graft.llm.Quantize.quantizedTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 3, k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both rerank joins are broadcast-built; the corpus float side appears
+    // only as a scan feeding a broadcast join probe, not a shuffle write
+    assert(plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("trading-day gate stays a broadcast semi-join on the fact side") {
     val plan = Queries.tradingDayEvents(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
