@@ -177,6 +177,24 @@ object FileStreamIngest {
     runAvailableNowForeachBatch(df, checkpointDir)(
       upsertIntoPartitionedParquet(_, targetDir, keys, order, dayCol))
 
+  /** Always-on variant of [[runAvailableNowUpsertPartitioned]]: the same
+    * checkpointed latest-wins merge on a `ProcessingTime` cadence —
+    * continuous Silver. Returns the RUNNING query (caller owns stop);
+    * flipping between scheduled and always-on preserves progress through
+    * the shared WAL, exactly as with the append runners.
+    */
+  def runProcessingTimeUpsertPartitioned(df: DataFrame, targetDir: String,
+      checkpointDir: String, keys: Seq[String], order: Seq[Column],
+      dayCol: String, interval: String = "5 minutes"): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertIntoPartitionedParquet(batch, targetDir, keys, order, dayCol)
+      }
+      .start()
+
   /** Latest-wins upsert of `batch` into the DAY-PARTITIONED parquet
     * snapshot at `targetDir`: read only the partitions the batch touches
     * (partition pruning), merge, and swap in exactly those — untouched day

@@ -71,6 +71,28 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == total)
   }
 
+  test("processingTime partitioned upsert: always-on latest-wins silver") {
+    val src = tmp("ppsrc"); val target = tmp("pptgt") + "/silver"; val ckpt = tmp("ppckpt")
+    val b1 = Seq((1L, "2024-01-01", 10L, 1.0), (2L, "2024-01-02", 10L, 2.0))
+      .toDF("k", "day", "ord", "v")
+    b1.write.mode("append").parquet(src)
+    val q = FileStreamIngest.runProcessingTimeUpsertPartitioned(
+      FileStreamIngest.bronzeStream(spark, src, b1.schema),
+      target, ckpt, Seq("k", "day"), Seq($"ord".desc), "day",
+      interval = "50 milliseconds")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == 2)
+      // a later wave for the same key arrives while the query runs
+      Seq((1L, "2024-01-01", 20L, 9.0)).toDF("k", "day", "ord", "v")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(after == Map(1L -> 9.0, 2L -> 2.0)) // latest won, other day intact
+  }
+
   test("foreachBatch silver upsert: latest-wins across two micro-batch runs") {
     val src = tmp("usrc"); val target = tmp("utgt") + "/silver"; val ckpt = tmp("uckpt")
     val b1 = Seq((1L, 10L, 1.0), (2L, 10L, 2.0)).toDF("k", "ord", "v")
