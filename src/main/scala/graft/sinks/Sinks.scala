@@ -125,6 +125,35 @@ object Sinks {
     }.toMap
   }
 
+  /** Sweep orphaned compaction artifacts under a table directory — the
+    * VACUUM companion to [[compactPartitions]] for partitions a crashed
+    * run never revisits. RESTORE-first: a `.compact-old` backup whose live
+    * partition is missing is moved back (that data is the only copy), and
+    * only then are stale backups and incomplete staged writes deleted.
+    * Returns (restored, deleted) counts.
+    */
+  def vacuumStaging(dir: String): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return (0, 0)
+    val entries = {
+      val s = Files.list(root)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally s.close()
+    }
+    var restored = 0
+    var deleted = 0
+    entries.filter(_.getFileName.toString.startsWith(".compact-old-")).foreach { op =>
+      val live = root.resolve(op.getFileName.toString.stripPrefix(".compact-old-"))
+      if (!Files.exists(live)) {
+        Files.move(op, live, StandardCopyOption.ATOMIC_MOVE); restored += 1
+      } else { deleteRecursively(op); deleted += 1 }
+    }
+    entries.filter(_.getFileName.toString.startsWith(".compact-staged-")).foreach { sp =>
+      deleteRecursively(sp); deleted += 1
+    }
+    (restored, deleted)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val s = java.nio.file.Files.walk(p)

@@ -494,6 +494,26 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).count() == 20)
   }
 
+  test("vacuum: restores orphaned backups first, then clears stale artifacts") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val out = tmp("vac") + "/t"
+    val df = Seq(("2024-05-01", 1L), ("2024-05-02", 2L)).toDF("dt", "v")
+    Sinks.partitionedParquet(df, out, "dt", force = true)
+    // crash leftovers: day-01's live dir lost mid-swap (only the backup
+    // remains), plus a stale backup AND an abandoned staged dir for day-02
+    Files.move(Paths.get(out, "dt=2024-05-01"),
+      Paths.get(out, ".compact-old-dt=2024-05-01"), StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(Paths.get(out, ".compact-old-dt=2024-05-02"))
+    Files.createDirectories(Paths.get(out, ".compact-staged-dt=2024-05-02"))
+    val (restored, deleted) = Sinks.vacuumStaging(out)
+    assert(restored == 1 && deleted == 2)
+    assert(Files.exists(Paths.get(out, "dt=2024-05-01"))) // data back
+    assert(!Files.exists(Paths.get(out, ".compact-old-dt=2024-05-02")))
+    assert(!Files.exists(Paths.get(out, ".compact-staged-dt=2024-05-02")))
+    assert(spark.read.parquet(out).count() == 2)
+    assert(Sinks.vacuumStaging(out) == (0, 0)) // idempotent
+  }
+
   test("ndjson.gz sink round-trips and writes gzip files") {
     val out = tmp("jsink") + "/raw"
     val df = Seq((1L, "income", "{\"a\":1}"), (2L, "income", "{\"b\":2}"))
