@@ -4,15 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Total stop-the-world GC time so far, in seconds — the delta across a
+    * query diagnoses anomalous samples from the artifact itself (a query
+    * whose wall-time balloons WITH gc_sec is memory pressure/contention; one
+    * without is plan or IO).
+    */
+  private def gcSeconds(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
   /** Time one query; a failure yields Left(marker) instead of a bogus
     * fast timing (a broken query must never look like a good one).
+    * Right = (wall seconds, GC seconds inside the window).
     */
   def timeQuery(spark: SparkSession, sfDir: String,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Double)] = {
+    val g0 = gcSeconds()
     val t0 = System.nanoTime()
     try {
       fn(spark, sfDir).count()
-      Right((System.nanoTime() - t0) / 1e9)
+      Right(((System.nanoTime() - t0) / 1e9, gcSeconds() - g0))
     } catch {
       case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
@@ -48,13 +61,20 @@ object Bench {
       name -> timeQuery(spark, sfDir, fn)
     }
     val qs = results.map {
-      case (k, Right(sec)) => s"\"$k\":$sec"
+      case (k, Right((sec, _))) => s"\"$k\":$sec"
       case (k, Left(err)) => s"""\"$k\":{"err":"${jsonEscape(err)}"}"""
     }.mkString("{", ",", "}")
+    // per-query GC seconds as a SIBLING map: the driver's contract reads
+    // "queries" as name→seconds, so diagnostics ride alongside, not inside
+    val gcs = results.collect {
+      case (k, Right((_, gc))) => s"\"$k\":${math.rint(gc * 1000) / 1000}"
+    }.mkString("{", ",", "}")
+    val peakMb = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / (1024 * 1024)
     CacheBin.drainAll() // suite end: release session-pinned shared results
-    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val total = results.collect { case (_, Right((sec, _))) => sec }.sum
     val failed = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"gc_sec":$gcs,"heap_used_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,11 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same factory as Bench — A/B numbers must come from the same confs
+    // (AQE, planStats, partitioning), or profiling chases config ghosts
+    val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-bench-one")
     spark.sparkContext.setLogLevel("WARN")
     Tables.documents(spark, sfDir).count(); Tables.embeddings(spark, sfDir).count()
     for (name <- args; rep <- 1 to 3) {

@@ -73,7 +73,17 @@ object CacheBin {
 object SessionMemo {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  CacheBin.onDrainAll(() => memo.clear())
+  private val ran = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Unit]
+  CacheBin.onDrainAll(() => { memo.clear(); ran.clear() })
+
+  /** Run `action` once per (session, key) — for idempotent side effects a
+    * query amortizes across a session (e.g. a materialized-index write).
+    * Re-running after `drainAll()` must be safe (actions overwrite).
+    */
+  def once(spark: org.apache.spark.sql.SparkSession, key: String)(
+      action: => Unit): Unit =
+    ran.getOrElseUpdate((spark, key), action)
 
   def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

@@ -390,12 +390,15 @@ object Queries {
       .join(passed, Seq("doc_id"), "left_semi")
       .join(reps, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    val split = TextOps.hashSplit(kept.select("doc_id"), "doc_id",
-        salt = SplitSalt, pctTrain = SplitPctTrain)
-      .select(col("doc_id"), col("split"))
-    TextOps.scrubPii(kept, "doc_id", "text")
-      .select(col("doc_id"), col("clean"))
-      .join(split, Seq("doc_id"))
+    // the split is a PURE PROJECTION on doc_id (TextOps.hashSplit), so it
+    // rides the scrub output as a column — deriving it from a second
+    // reference to `kept` and joining back (the previous shape) executed
+    // the three-join subtree TWICE (Spark does not share common subplans)
+    // and paid a shuffle join for what one sha256 per row computes in place
+    TextOps.hashSplit(
+        TextOps.scrubPii(kept, "doc_id", "text").select(col("doc_id"), col("clean")),
+        "doc_id", salt = SplitSalt, pctTrain = SplitPctTrain)
+      .select(col("doc_id"), col("clean"), col("split"))
   }
 
   /** Word-3-gram repetition profile — the boilerplate/spam signal beside
@@ -461,7 +464,8 @@ object Queries {
 
   /** IVF top-k over a Lloyd-refined codebook (2 k-means rounds from the
     * lowest-id init): same probe/k parameters as [[ivfTopK]], better
-    * centroid placement → higher recall at equal probe cost.
+    * centroid placement → higher recall at equal probe cost. The codebook
+    * is session-memoized — model state trains once, every query probes it.
     */
   def ivfTopKKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -469,8 +473,31 @@ object Queries {
       Tables.rowCount(s, dir, "embeddings").toDouble)).toInt)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10, nProbe = 3,
-      centroids = Some(Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      centroids = Some(Similarity.kmeansCentroidsShared(emb,
+        corpusKey = s"$dir/embeddings", "vec_id", "embedding",
         k = kc, iters = 2)))
+  }
+
+  /** IVF top-k over a MATERIALIZED index — the true 100 TB ANN shape:
+    * the corpus is written `partitionBy(centroid_id)` once per session
+    * (stored codebook alongside), and each query scans only its probed
+    * inverted-list DIRECTORIES (PartitionFilters prune at file listing).
+    * Same centroids/probe/k parameters as [[ivfTopK]], so the two share
+    * one oracle — what changes is WHERE the coarse structure lives (on
+    * disk, amortized across queries) rather than what it computes.
+    */
+  def ivfTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val n = Tables.rowCount(s, dir, "embeddings")
+    val idxDir = "/tmp/graft-ivf-index/" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    SessionMemo.once(s, s"ivfindex:$dir:$n") {
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding", idxDir,
+        corpusCount = Some(n))
+    }
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", idxDir, k = 10, nProbe = 3)
   }
 
   /** N-gram-profile language ID (trigram occurrence scoring + argmax). */

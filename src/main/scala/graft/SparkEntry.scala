@@ -72,6 +72,7 @@ object SparkEntry {
     "q_simhash64_hamming" -> (Queries.simhashHamming64 _),
     "q_ivf_topk" -> (Queries.ivfTopK _),
     "q_ivf_topk_kmeans" -> (Queries.ivfTopKKmeans _),
+    "q_ivf_topk_indexed" -> (Queries.ivfTopKIndexed _),
     "q_backfill_window" -> (Queries.backfillWindow _),
     "q_token_count" -> (Queries.tokenCounts _),
     "q_winnow" -> (Queries.winnow _),
@@ -208,6 +209,48 @@ object SparkEntry {
   private def splitCaseSql(idExpr: String): String =
     s"CASE WHEN ${splitBucketSql(idExpr)} < ${Queries.SplitPctTrain} " +
       "THEN 'train' ELSE 'holdout' END"
+
+  private val ivfTopKSql: String =
+    """WITH n2 AS (
+         SELECT vec_id, embedding,
+           CAST(list_sum(list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) AS nn
+         FROM embeddings),
+       c AS (
+         SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
+         QUALIFY row_number() OVER (ORDER BY vec_id) <=
+           CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+       pc AS (
+         SELECT vec_id AS neighbor_id, embedding AS nv, nn, centroid_id FROM (
+           SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                 z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                 AS DOUBLE), c.centroid_id) AS rn
+           FROM n2 v, c) t
+         WHERE rn = 1),
+       qp AS (
+         SELECT vec_id AS query_id, embedding AS qv, nn AS qn, centroid_id FROM (
+           SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                 z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                 AS DOUBLE), c.centroid_id) AS rn
+           FROM (SELECT * FROM n2 WHERE vec_id < 5) v, c) t
+         WHERE rn <= 3),
+       pairs AS (
+         SELECT qp.query_id, pc.neighbor_id,
+           CAST(list_sum(list_transform(list_zip(qp.qv, pc.nv),
+             z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) / (sqrt(qp.qn) * sqrt(pc.nn)) AS cosine
+         FROM qp JOIN pc
+           ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id)
+       SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM pairs) r
+       WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
     // the composed curation pipeline: quality envelope ∩ dedup keep-list
@@ -914,47 +957,13 @@ object SparkEntry {
          SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
 
-    "q_ivf_topk" ->
-      """WITH n2 AS (
-           SELECT vec_id, embedding,
-             CAST(list_sum(list_transform(embedding,
-               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS nn
-           FROM embeddings),
-         c AS (
-           SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
-           QUALIFY row_number() OVER (ORDER BY vec_id) <=
-             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
-         pc AS (
-           SELECT vec_id AS neighbor_id, embedding AS nv, nn, centroid_id FROM (
-             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
-                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-                   AS DOUBLE), c.centroid_id) AS rn
-             FROM n2 v, c) t
-           WHERE rn = 1),
-         qp AS (
-           SELECT vec_id AS query_id, embedding AS qv, nn AS qn, centroid_id FROM (
-             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
-                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-                   AS DOUBLE), c.centroid_id) AS rn
-             FROM (SELECT * FROM n2 WHERE vec_id < 5) v, c) t
-           WHERE rn <= 3),
-         pairs AS (
-           SELECT qp.query_id, pc.neighbor_id,
-             CAST(list_sum(list_transform(list_zip(qp.qv, pc.nv),
-               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) / (sqrt(qp.qn) * sqrt(pc.nn)) AS cosine
-           FROM qp JOIN pc
-             ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id)
-         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
-           SELECT *, row_number() OVER (
-             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-           FROM pairs) r
-         WHERE rank <= 10""",
+    "q_ivf_topk" -> ivfTopKSql,
+
+    // the materialized-index reader computes the SAME probed top-k (same
+    // lowest-id codebook, probes, k) — what changes is the storage shape
+    // (partition-pruned inverted lists), so the oracle is shared verbatim
+    "q_ivf_topk_indexed" -> ivfTopKSql,
+
 
     // k-means-refined IVF: two unrolled Lloyd rounds from the lowest-id
     // init, per-dimension means accumulated as DECIMAL(28,12) (the exact

@@ -131,30 +131,33 @@ object MinHashDedup {
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
       .distinct()
-    // semi-join BEFORE the shingle explode: only the candidate sliver is
-    // ever exploded to shingle rows (the corpus-wide stream fed signatures
-    // in an earlier design; MinHashExpr made that pass scan-local, so an
-    // explode over non-candidate docs would be pure waste). Candidate-doc
-    // count scales with near-dup density, not a constant — AQE picks
-    // broadcast vs shuffle semi-join from the runtime size.
-    val shingles = TextOps.charShingles(
-        spread.join(candDocs, Seq(idCol), "left_semi"),
-        idCol, textCol, k, distinct = false)
-      .distinct()
+    // exact Jaccard over IN-ROW shingle sets: semi-join the corpus down to
+    // the candidate sliver, build each doc's distinct-shingle set as one
+    // array column (a scan-local projection — no explode, no corpus-wide
+    // distinct shuffle), then join the sets onto the pairs and intersect
+    // in place. The previous formulation exploded candidates to (doc,
+    // shingle) rows and recovered |A∩B| via a two-sided equi-join + three
+    // count joins — six shuffle stages this one projection + two joins
+    // replace; a long synchronous critical path is exactly what balloons
+    // under cluster contention, so the stage graph is the optimization
+    // target here, not just the row counts. Per-row set size is bounded by
+    // document length (the same data the exploded form carried, held one
+    // row at a time).
+    val setExpr = array_distinct(expr(
+      s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
+    val candSets = spread.join(candDocs, Seq(idCol), "left_semi")
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol), setExpr.as("__sh"))
       .persist(MEMORY_AND_DISK)
-    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    // equi-join on (doc, shingle) both sides — never materializes the
-    // per-pair shingle cross product
-    val sa = shingles.withColumnRenamed(idCol, "doc_a")
-    val sb = shingles.withColumnRenamed(idCol, "doc_b")
-    val inter = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
     val out = pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(counts.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(counts.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .join(candSets.select(col(idCol).as("doc_a"), col("__sh").as("__sha")), Seq("doc_a"))
+      .join(candSets.select(col(idCol).as("doc_b"), col("__sh").as("__shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("n_inter"),
+        size(col("__sha")).cast("long").as("n_a"),
+        size(col("__shb")).cast("long").as("n_b"))
+      // n_inter is referenced twice below, which keeps CollapseProject from
+      // re-inlining the array_intersect into both references
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
@@ -166,7 +169,7 @@ object MinHashDedup {
     // release to CacheBin (per-query tier via `verifiedPairs`, session
     // tier via `verifiedPairsShared`).
     out.count()
-    sigs.unpersist(false); pairs.unpersist(false); shingles.unpersist(false)
+    sigs.unpersist(false); pairs.unpersist(false); candSets.unpersist(false)
     out
   }
 

@@ -176,7 +176,7 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("bench timeQuery: failure yields err marker, never a timing") {
     val ok = Bench.timeQuery(spark, TestSpark.sfDir, (s, d) => Tables.nation(s, d))
-    assert(ok.isRight && ok.toOption.get >= 0.0)
+    assert(ok.isRight && ok.toOption.get._1 >= 0.0 && ok.toOption.get._2 >= 0.0)
     val bad = Bench.timeQuery(spark, TestSpark.sfDir,
       (s, d) => s.read.parquet(d + "/no_such_table.parquet"))
     assert(bad.isLeft && bad.swap.toOption.get.nonEmpty)
