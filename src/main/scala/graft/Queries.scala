@@ -273,10 +273,12 @@ object Queries {
     * scrub oracle would vacuously compare untouched text to untouched
     * text. The DuckDB side appends the identical suffix.
     */
+  private def seededTextCol: Column =
+    concat(col("text"),
+      when(col("doc_id") % 10 === 0, lit(PiiSeedSuffix)).otherwise(lit("")))
+
   private def seededDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).withColumn("text",
-      concat(col("text"),
-        when(col("doc_id") % 10 === 0, lit(PiiSeedSuffix)).otherwise(lit(""))))
+    Tables.documents(s, dir).withColumn("text", seededTextCol)
 
   def docsExactDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -381,20 +383,35 @@ object Queries {
     * (doc_id, clean, split).
     */
   def curate(s: SparkSession, dir: String): DataFrame = {
-    val passed = qualityGate(s, dir).filter(col("keep")).select("doc_id")
     val reps = dedupKeep(s, dir).select("doc_id")
     val contaminated = decontaminate(s, dir).select("doc_id")
-    // filter FIRST, scrub the survivors: the dropped majority must not pay
-    // the 4-regex cascade only to be discarded by the join
-    val kept = seededDocs(s, dir).select("doc_id", "text")
-      .join(passed, Seq("doc_id"), "left_semi")
+    // the quality gate is FUSED into the curation scan: stats on the
+    // ORIGINAL text and the seeded text ride one projection, and the keep
+    // predicate (the shared TextOps.qualityKeep — same thresholds as
+    // q_quality_gate) filters in-scan. The previous shape ran a second
+    // corpus scan through qualityGate and semi-joined it back — one whole
+    // scan + exchange for a predicate the first scan can evaluate.
+    // stats evaluate on the ORIGINAL text (as q_quality_gate and the
+    // oracle do); the PII-seeded text is a sibling column of the same scan
+    val stats = TextOps.textStatCols(col("text")).toMap
+    val kept = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        seededTextCol.as("__seeded"),
+        TextOps.qualityKeep(
+          stats("n_tokens"), stats("stop_ratio"), stats("uniq_ratio"),
+          QualityMinTokens, QualityMaxTokens,
+          QualityMinStopRatio, QualityMinUniqRatio).as("__keep"))
+      .filter(col("__keep"))
+      .select(col("doc_id"), col("__seeded").as("text"))
       .join(reps, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
     // the split is a PURE PROJECTION on doc_id (TextOps.hashSplit), so it
     // rides the scrub output as a column — deriving it from a second
     // reference to `kept` and joining back (the previous shape) executed
-    // the three-join subtree TWICE (Spark does not share common subplans)
-    // and paid a shuffle join for what one sha256 per row computes in place
+    // the join subtree TWICE (Spark does not share common subplans) and
+    // paid a shuffle join for what one sha256 per row computes in place.
+    // Scrub still runs on SURVIVORS only: the dropped majority never pays
+    // the regex cascade.
     TextOps.hashSplit(
         TextOps.scrubPii(kept, "doc_id", "text").select(col("doc_id"), col("clean")),
         "doc_id", salt = SplitSalt, pctTrain = SplitPctTrain)

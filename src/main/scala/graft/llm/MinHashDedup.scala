@@ -47,27 +47,29 @@ object MinHashDedup {
     * bucket, skipping buckets larger than `bucketCap`.
     */
   def candidatePairs(sigs: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bands = sigs.select(
       col(idCol),
       explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
           concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
-    // bucket-size gate as a WINDOW count over the (band, sig) shuffle the
-    // self-join needs anyway — the join below reuses that partitioning, so
-    // the whole candidate stage is ONE exchange (vs a separate count
-    // aggregate + gating join). The count never materializes a mega-bucket;
-    // oversized buckets are filtered before the join explodes them.
-    val w = Window.partitionBy(col("band"), col("sig"))
-    val inOk = bands
-      .withColumn("__bn", count(lit(1)).over(w))
-      .filter(col("__bn") >= 2 && col("__bn") <= bucketCap)
-      .drop("__bn")
-    inOk.as("a").join(inOk.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    // ONE hash-aggregate exchange on (band, sig), then the within-bucket
+    // pair expansion runs IN-ROW over the collected id list — `bucketCap`
+    // bounds the list (≤ cap ids → ≤ cap²/2 pairs per row, a few KB), and
+    // oversized buckets are dropped before expanding, so the mega-bucket
+    // guard also caps the in-row work. Replaces a window-count (shuffle +
+    // SORT) feeding a bucket self-join: same candidate set, no sort, no
+    // join build, one fewer wide stage on the memo's critical path.
+    bands
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, bucketCap))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(__ids,
+               a -> transform(__ids, b -> named_struct('doc_a', a, 'doc_b', b)))),
+             p -> p.doc_a < p.doc_b)""")).as("__p"))
+      .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .distinct()
   }
 
@@ -128,9 +130,11 @@ object MinHashDedup {
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("__mh").getItem(i).as(s"m$i")): _*)
     val pairs = candidatePairs(sigs, idCol, bucketCap).persist(MEMORY_AND_DISK)
+    // no distinct: the ONLY consumer is a left-semi join, whose hash build
+    // dedups — an explicit distinct would add a whole shuffle to save the
+    // build a few duplicate inserts
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
-      .distinct()
     // exact Jaccard over IN-ROW shingle sets: semi-join the corpus down to
     // the candidate sliver, build each doc's distinct-shingle set as one
     // array column (a scan-local projection — no explode, no corpus-wide

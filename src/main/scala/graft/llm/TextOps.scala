@@ -17,12 +17,12 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Per-document token/char statistics + quality score + language-ID
-    * heuristic. Ratios are single floating divisions of exact integer
-    * counts — deterministic everywhere.
+  /** The [[textStats]] columns as named expressions over a text column —
+    * the single definition both the standalone stats/gate queries and
+    * fused pipelines (e.g. the curation scan, which must carry OTHER
+    * columns through the same projection) build from.
     */
-  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  def textStatCols(t: Column): Seq[(String, Column)] = {
     val toks = tokens(t)
     val stopPred = stopwords.map(w => (x: Column) => x === w)
       .reduce((f, g) => (x: Column) => f(x) || g(x))
@@ -34,21 +34,28 @@ object TextOps {
     val stopRatio = nStop.cast("double") / nTokens
     val uniqRatio = nUniq.cast("double") / nTokens
     val avgTokLen = nLetterChars.cast("double") / nTokens
-    df.select(
-      col(idCol),
-      nChars.as("n_chars"),
-      nTokens.as("n_tokens"),
-      nUniq.as("n_uniq_tokens"),
-      nStop.as("n_stopwords"),
-      stopRatio.as("stop_ratio"),
-      uniqRatio.as("uniq_ratio"),
-      avgTokLen.as("avg_token_len"),
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "n_uniq_tokens" -> nUniq,
+      "n_stopwords" -> nStop,
+      "stop_ratio" -> stopRatio,
+      "uniq_ratio" -> uniqRatio,
+      "avg_token_len" -> avgTokLen,
       // quality score: stopword-rich, reasonably long, lexically diverse
-      (stopRatio * 0.5 +
+      "quality_score" -> (stopRatio * 0.5 +
         least(nTokens, lit(100L)).cast("double") / 100.0 * 0.3 +
-        uniqRatio * 0.2).as("quality_score"),
-      when(stopRatio > 0.06, lit("en")).otherwise(lit("other")).as("pred_lang"))
+        uniqRatio * 0.2),
+      "pred_lang" -> when(stopRatio > 0.06, lit("en")).otherwise(lit("other")))
   }
+
+  /** Per-document token/char statistics + quality score + language-ID
+    * heuristic. Ratios are single floating divisions of exact integer
+    * counts — deterministic everywhere.
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +:
+      textStatCols(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
   /** Corpus-curation gate over [[textStats]] — the filter an LLM
     * training-data pipeline actually runs: keep documents inside the
@@ -58,15 +65,24 @@ object TextOps {
     * projection + predicates over per-document stats, zero shuffle at any
     * corpus size.
     */
+  /** The gate's keep predicate over [[textStats]] columns — shared by the
+    * standalone gate and fused pipelines so a threshold change cannot
+    * diverge between them.
+    */
+  def qualityKeep(nTokens: Column, stopRatio: Column, uniqRatio: Column,
+      minTokens: Long, maxTokens: Long,
+      minStopRatio: Double, minUniqRatio: Double): Column =
+    nTokens >= minTokens && nTokens <= maxTokens &&
+      stopRatio >= minStopRatio && uniqRatio >= minUniqRatio
+
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Long, maxTokens: Long,
       minStopRatio: Double, minUniqRatio: Double): DataFrame =
     textStats(df, idCol, textCol).select(
       col(idCol), col("n_tokens"), col("stop_ratio"), col("uniq_ratio"),
       col("quality_score"),
-      (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        col("stop_ratio") >= minStopRatio &&
-        col("uniq_ratio") >= minUniqRatio).as("keep"),
+      qualityKeep(col("n_tokens"), col("stop_ratio"), col("uniq_ratio"),
+        minTokens, maxTokens, minStopRatio, minUniqRatio).as("keep"),
       concat_ws(";",
         when(col("n_tokens") < minTokens, lit("too_short")),
         when(col("n_tokens") > maxTokens, lit("too_long")),
