@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Scale-headroom probe: run the dedup + ANN + curation plane against a
+  * baseline corpus and a K× corpus (tools/gen_scale10x.py) and compare wall
+  * time AND total shuffle-write records per phase. The sf0.1 bench is too
+  * small to catch a quadratic regression hiding under task overhead; this
+  * probe makes the growth CURVE observable: a phase whose shuffle rows grow
+  * ~K× is linear, one growing ~K²× has lost its bucketing/cap guard.
+  *
+  * Usage: tools/run.sh graft.ScaleProbe [baseDir] [scaledDir]
+  * Prints one JSON line per (phase, dir) and a final ratio summary.
+  */
+object ScaleProbe {
+
+  /** Accumulates shuffle-write record counts from completed stages. Stage
+    * events arrive on the listener bus asynchronously; [[settle]] waits a
+    * beat so a phase's last stages are counted before the snapshot.
+    */
+  private class ShuffleMeter extends SparkListener {
+    val records = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      records.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+  }
+
+  private def settle(): Unit = Thread.sleep(800)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val scaledDir = args.lift(1).getOrElse("/tmp/scale10x")
+    val spark = Sessions.build("local[32]", 32, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    // the phases under test: every large-×-large-risk operator of the LLM
+    // plane (bucketed dedup, blocked near-dup, probed ANN, composed curate)
+    val phases: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "minhash_pairs" -> (Queries.minhashPairs _),
+      "dedup_keep" -> (Queries.dedupKeep _),
+      "curate" -> (Queries.curate _),
+      "simhash_hamming64" -> (Queries.simhashHamming64 _),
+      // the probe's one superlinear finding, mitigated: the synthetic
+      // vocab is tiny (~30 words), so documents are GENUINELY mutually
+      // near-dup and the true hamming≤3 pair set grows ~quadratically —
+      // the bucket cap is the lever that bounds emitted pairs at any
+      // density; this phase proves tightening it restores ~linear growth
+      "simhash_hamming64_cap200" -> ((s: SparkSession, dir: String) =>
+        graft.llm.SimHash.hammingPairs(Tables.documents(s, dir), "doc_id",
+          "text", maxHamming = 3, bucketCap = 200, bits = 64)),
+      "embed_neardup" -> (Queries.embedNearDup _),
+      "ivf_topk" -> (Queries.ivfTopK _),
+      "quant_topk" -> (Queries.quantTopK _))
+
+    val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
+    for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {
+      settle()
+      val s0 = meter.records.get()
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      settle()
+      val sec = (System.nanoTime() - t0) / 1e9 - 0.8 // subtract the settle
+      val shuffled = meter.records.get() - s0
+      results((name, dir)) = (sec, shuffled, rows)
+      println(s"""{"phase":"$name","dir":"$dir","sec":${math.rint(sec * 100) / 100},"shuffle_records":$shuffled,"rows":$rows}""")
+      CacheBin.drain()
+    }
+    CacheBin.drainAll()
+
+    println("--- ratios (scaled / base); corpus multiplier is the linear expectation")
+    var worst = 0.0
+    for ((name, _) <- phases) {
+      val (bs, br, _) = results((name, baseDir))
+      val (ss, sr, _) = results((name, scaledDir))
+      val secRatio = if (bs > 0) ss / bs else 0
+      val recRatio = if (br > 0) sr.toDouble / br else 0
+      worst = math.max(worst, recRatio)
+      println(f"""{"phase":"$name%s","sec_ratio":$secRatio%.1f,"shuffle_ratio":$recRatio%.1f}""")
+    }
+    println(s"""{"metric":"worst_shuffle_ratio","value":$worst}""")
+    spark.stop()
+  }
+}

@@ -556,4 +556,31 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.select("rows_rejected").collect().forall(_.getLong(0) == 2))
   }
+
+  test("curated corpus sink end-to-end: write by split, compact, vacuum, re-read identical") {
+    // the operational close of the curation story: q_curate's output
+    // materialized split-partitioned, OPTIMIZE'd to one file per split,
+    // VACUUM'd, and read back byte-identical (reference analogue: the
+    // Silver write + OPTIMIZE maintenance pass)
+    val out = tmp("curated") + "/corpus"
+    try {
+      val curated = Queries.curate(spark, TestSpark.sfDir)
+      val expected = curated.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(expected.nonEmpty && expected.map(_._3).distinct.sorted == Seq("holdout", "train"))
+      // fragment the write on purpose so compaction has real work
+      Sinks.partitionedParquet(
+        Queries.curate(spark, TestSpark.sfDir).repartition(4), out, "split",
+        force = true)
+      val report = Sinks.compactPartitions(spark, out, "split",
+        targetFileBytes = 1L << 30, values = Seq("train", "holdout"))
+      assert(report("train")._1 > 1 && report("train")._2 == 1)
+      assert(report("holdout")._2 == 1)
+      assert(Sinks.vacuumStaging(out) == (0, 0)) // clean compact leaves no artifacts
+      val back = spark.read.parquet(out)
+        .select("doc_id", "clean", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(back == expected)
+    } finally CacheBin.drainAll() // release the session-memoized dedup pipeline
+  }
 }
