@@ -530,6 +530,25 @@ object Queries {
     TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
       k = 8, w = 4)
 
+  // media-gate thresholds, single-sourced with the oracle (chosen to
+  // split the synthetic corpus: fake widths span 97..122 from the first
+  // byte, heights 64..127 from length mod 64, payloads ~50..600 bytes)
+  val MediaMinW = 100
+  val MediaMinH = 80
+  val MediaMinBytes = 120L
+  val MediaMaxBytes = 450L
+
+  /** Multimodal curation gate over the documents corpus wrapped as a
+    * media column: decode metadata (deterministic fallback for these text
+    * payloads; real imageio dims for image bytes, spec-covered) drives
+    * keep/drop reasons — the [[qualityGate]] of the multimodal plane.
+    */
+  def mediaGate(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Multimodal.mediaQualityGate(
+      graft.llm.Multimodal.asMediaColumn(
+        Tables.documents(s, dir), "doc_id", "text"),
+      MediaMinW, MediaMinH, MediaMinBytes, MediaMaxBytes)
+
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_hash_split" -> (Queries.hashSplit _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
+    "q_media_gate" -> (Queries.mediaGate _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_simhash_hamming" -> (Queries.simhashHamming _),
@@ -845,6 +846,32 @@ object SparkEntry {
            sha256(text) AS content_hash,
            CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
          FROM documents""",
+
+    // the multimodal curation gate over the text corpus wrapped as media:
+    // every payload takes the deterministic fallback decoder (the corpus
+    // carries no image magic bytes), whose width/height derive from the
+    // first byte and byte length — the same expressions mirrored here.
+    // Real-image decode paths are spec-covered (no JDK-independent oracle
+    // for pixel checksums); thresholds read Queries.Media* constants.
+    "q_media_gate" -> s"""
+         WITH m AS (
+           SELECT doc_id,
+             CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+             CAST(64 + octet_length(encode(text)) % 64 AS INT) AS height,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             'opaque' AS decoder
+           FROM documents)
+         SELECT doc_id, width, height, n_bytes, decoder,
+           (width >= ${Queries.MediaMinW} AND height >= ${Queries.MediaMinH}
+             AND n_bytes >= ${Queries.MediaMinBytes}
+             AND n_bytes <= ${Queries.MediaMaxBytes}) AS keep,
+           concat_ws(';',
+             CASE WHEN width < ${Queries.MediaMinW} THEN 'too_narrow' END,
+             CASE WHEN height < ${Queries.MediaMinH} THEN 'too_flat' END,
+             CASE WHEN n_bytes < ${Queries.MediaMinBytes} THEN 'too_few_bytes' END,
+             CASE WHEN n_bytes > ${Queries.MediaMaxBytes} THEN 'too_many_bytes' END)
+             AS drop_reasons
+         FROM m""",
 
     "q_ngram_jaccard" ->
       """WITH g AS (

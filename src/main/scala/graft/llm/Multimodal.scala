@@ -200,6 +200,50 @@ object Multimodal {
     }(enc)
   }
 
+  private val gateSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("decoder", StringType)))
+
+  /** Multimodal curation gate — [[graft.llm.TextOps.qualityGate]] for
+    * media columns: decode metadata (real `javax.imageio` dimensions for
+    * images, the deterministic fallback otherwise) drives keep/drop
+    * reasons, so undersized/oversized payloads are quarantined with an
+    * audit trail before any expensive downstream featurization. One
+    * mapPartitions decode pass (batch boundary for native decoders) + a
+    * scan-local gate projection — no shuffle at any corpus size. The
+    * audio analogue composes the same way over [[audioFeatures]]'s
+    * sample-rate/channel fields.
+    */
+  def mediaQualityGate(media: DataFrame, minW: Int, minH: Int,
+      minBytes: Long, maxBytes: Long): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(gateSchema)
+    val decoded = media.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        decodeImage(bytes) match {
+          case Some((w, h, _)) =>
+            Row(r.getLong(0), w, h, bytes.length.toLong, "imageio")
+          case None =>
+            val (w, h, _) = fakeDecode(bytes)
+            Row(r.getLong(0), w, h, bytes.length.toLong, "opaque")
+        }
+      }
+    }(enc)
+    decoded.select(
+      col("doc_id"), col("width"), col("height"), col("n_bytes"), col("decoder"),
+      (col("width") >= minW && col("height") >= minH &&
+        col("n_bytes") >= minBytes && col("n_bytes") <= maxBytes).as("keep"),
+      concat_ws(";",
+        when(col("width") < minW, lit("too_narrow")),
+        when(col("height") < minH, lit("too_flat")),
+        when(col("n_bytes") < minBytes, lit("too_few_bytes")),
+        when(col("n_bytes") > maxBytes, lit("too_many_bytes")))
+        .as("drop_reasons"))
+  }
+
   /** Real image resize: bilinear scale to (targetW × targetH), re-encoded
     * as PNG (deterministic for a fixed input). None for non-images.
     */

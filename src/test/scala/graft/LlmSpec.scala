@@ -633,6 +633,31 @@ class LlmSpec extends AnyFunSuite {
       .getAs[Array[Byte]]("media").length == 1) // fakeResize shape
   }
 
+  test("media quality gate: real dims gate images, fallback dims gate the rest") {
+    // a real 5×3 PNG must be dropped by a 16×16 minimum with BOTH dim
+    // reasons — proof the gate reads DECODED dimensions, not payload bytes
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq((1L, png), (2L, ("x" * 100).getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val g = Multimodal.mediaQualityGate(media, minW = 16, minH = 16,
+      minBytes = 1L, maxBytes = 1L << 20).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getString(4) == "imageio" && !g(1L).getBoolean(5))
+    assert(g(1L).getString(6) == "too_narrow;too_flat")
+    // fallback: width = 64 + 'x'%64 = 120, height = 64 + 100%64 = 100 → keep
+    assert(g(2L).getString(4) == "opaque" && g(2L).getBoolean(5))
+    assert(g(2L).getInt(1) == 120 && g(2L).getInt(2) == 100)
+    assert(g(2L).getString(6) == "")
+
+    // the registered query splits the corpus meaningfully (both outcomes)
+    val q = Queries.mediaGate(spark, TestSpark.sfDir)
+      .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(q.keySet == Set(true, false) && q.values.forall(_ > 0))
+  }
+
   test("multimodal: real WAV decodes via javasound — format, frames, PCM checksum") {
     import javax.sound.sampled._
     val fmt = new AudioFormat(8000f, 16, 1, true, false)
