@@ -47,6 +47,13 @@ object MinHashDedup {
     * bucket, skipping buckets larger than `bucketCap`.
     */
   def candidatePairs(sigs: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
+    // the in-row expansion below builds ≤ cap² structs in one row; that is
+    // the RIGHT trade for LSH caps (tens), and catastrophically the wrong
+    // one for huge caps — callers wanting cap ≫ 10³ need the bucket
+    // self-join formulation (SimHash.hammingPairs keeps it) instead
+    require(bucketCap >= 2 && bucketCap <= 1000,
+      s"bucketCap $bucketCap outside [2, 1000]: the in-row pair expansion " +
+        "is sized for LSH-scale caps; use a join-based candidate stage beyond")
     val bands = sigs.select(
       col(idCol),
       explode(array((0 until numBands).map(i =>

@@ -431,6 +431,17 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drainAll()
   }
 
+  test("SessionMemo.once: runs per key once, re-arms after drainAll") {
+    var runs = 0
+    SessionMemo.once(spark, "once-spec-k1") { runs += 1 }
+    SessionMemo.once(spark, "once-spec-k1") { runs += 1 }
+    SessionMemo.once(spark, "once-spec-k2") { runs += 1 }
+    assert(runs == 2) // one per distinct key
+    CacheBin.drainAll()
+    SessionMemo.once(spark, "once-spec-k1") { runs += 1 }
+    assert(runs == 3) // drainAll re-arms (actions must be overwrite-safe)
+  }
+
   test("verifiedPairsShared: later consumers get the SAME memoized frame, keyed by params") {
     val docs = Seq(
       (1L, "the same twenty-two characters"),
