@@ -69,12 +69,19 @@ object Bench {
     val gcs = results.collect {
       case (k, Right((_, gc))) => s"\"$k\":${math.rint(gc * 1000) / 1000}"
     }.mkString("{", ",", "}")
-    val peakMb = java.lang.management.ManagementFactory.getMemoryMXBean
-      .getHeapMemoryUsage.getUsed / (1024 * 1024)
+    // TRUE high-water mark across the run (per-pool peaks, heap pools
+    // only) — an instantaneous getUsed read would miss a mid-run balloon
+    // that a later full GC already reclaimed
+    val peakMb = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => math.max(0L, p.getPeakUsage.getUsed)).sum / (1024 * 1024)
+    }
     CacheBin.drainAll() // suite end: release session-pinned shared results
     val total = results.collect { case (_, Right((sec, _))) => sec }.sum
     val failed = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"gc_sec":$gcs,"heap_used_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"gc_sec":$gcs,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,18 +80,27 @@ object SessionMemo {
   /** Run `action` once per (session, key) — for idempotent side effects a
     * query amortizes across a session (e.g. a materialized-index write).
     * Re-running after `drainAll()` must be safe (actions overwrite).
+    * Synchronized: TrieMap.getOrElseUpdate may evaluate a losing racer's
+    * thunk and discard only the VALUE — a side effect would still run
+    * twice, concurrently, into the same target.
     */
   def once(spark: org.apache.spark.sql.SparkSession, key: String)(
-      action: => Unit): Unit =
-    ran.getOrElseUpdate((spark, key), action)
+      action: => Unit): Unit = ran.synchronized {
+    if (!ran.contains((spark, key))) { action; ran.update((spark, key), ()) }
+  }
 
   def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    memo.getOrElseUpdate((spark, key), {
-      val df = build
-      // builders that persist (and materialize) internally stay as-is —
-      // re-persisting would only log CacheManager noise
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      CacheBin.pin(df)
-    })
+    // same race note as `once`: a losing racer's build would leak its
+    // persist; the lock makes build-once actually once (reentrant, so a
+    // builder composing other memoized stages stays safe)
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, key), {
+        val df = build
+        // builders that persist (and materialize) internally stay as-is —
+        // re-persisting would only log CacheManager noise
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+        CacheBin.pin(df)
+      })
+    }
 }

@@ -506,7 +506,12 @@ object Queries {
   def ivfTopKIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val n = Tables.rowCount(s, dir, "embeddings")
-    val idxDir = "/tmp/graft-ivf-index/" +
+    // applicationId scopes the index to THIS JVM: two concurrent drivers
+    // (bench + test suite) must not Overwrite the directory another is
+    // mid-scan on. Within one app the write-once memo serializes access;
+    // a production deployment gives the index a managed, versioned
+    // location instead (see ivfIndexWrite's rebuild contract).
+    val idxDir = "/tmp/graft-ivf-index/" + s.sparkContext.applicationId + "-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     SessionMemo.once(s, s"ivfindex:$dir:$n") {

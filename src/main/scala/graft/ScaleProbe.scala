@@ -76,7 +76,13 @@ object ScaleProbe {
       val (bs, br, _) = results((name, baseDir))
       val (ss, sr, _) = results((name, scaledDir))
       val secRatio = if (bs > 0) ss / bs else 0
-      val recRatio = if (br > 0) sr.toDouble / br else 0
+      // base = 0 shuffle records means the 1× plan was fully broadcast; if
+      // the scaled run shuffles at all, that's a LOST broadcast shape, not
+      // a pass — flag it with the absolute record count, never ratio 0
+      val recRatio =
+        if (br > 0) sr.toDouble / br
+        else if (sr == 0) 1.0
+        else sr.toDouble
       worst = math.max(worst, recRatio)
       println(f"""{"phase":"$name%s","sec_ratio":$secRatio%.1f,"shuffle_ratio":$recRatio%.1f}""")
     }

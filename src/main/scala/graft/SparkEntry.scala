@@ -851,12 +851,15 @@ object SparkEntry {
     // every payload takes the deterministic fallback decoder (the corpus
     // carries no image magic bytes), whose width/height derive from the
     // first byte and byte length — the same expressions mirrored here.
+    // The width reads the first UTF-8 BYTE (hex of the encoded blob), not
+    // the first character's code point: ascii() would diverge from the
+    // byte-based Spark kernel on any non-ASCII-initial document.
     // Real-image decode paths are spec-covered (no JDK-independent oracle
     // for pixel checksums); thresholds read Queries.Media* constants.
     "q_media_gate" -> s"""
          WITH m AS (
            SELECT doc_id,
-             CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+             CAST(64 + CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT) % 64 AS INT) AS width,
              CAST(64 + octet_length(encode(text)) % 64 AS INT) AS height,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              'opaque' AS decoder

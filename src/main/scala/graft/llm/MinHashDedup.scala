@@ -60,17 +60,23 @@ object MinHashDedup {
         struct(lit(i).as("band"),
           concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
-    // ONE hash-aggregate exchange on (band, sig), then the within-bucket
-    // pair expansion runs IN-ROW over the collected id list — `bucketCap`
-    // bounds the list (≤ cap ids → ≤ cap²/2 pairs per row, a few KB), and
-    // oversized buckets are dropped before expanding, so the mega-bucket
-    // guard also caps the in-row work. Replaces a window-count (shuffle +
-    // SORT) feeding a bucket self-join: same candidate set, no sort, no
-    // join build, one fewer wide stage on the memo's critical path.
+    // size-gate FIRST with a count aggregate (map-side partials, no list
+    // ever materialized — a mega-bucket must be droppable without any
+    // executor holding its id array), then collect ONLY the surviving
+    // ≤-cap buckets and expand pairs IN-ROW (≤ cap²/2 structs per row, a
+    // few KB at LSH caps). The semi-join and the collect_list groupBy
+    // share the (band, sig) hash partitioning, so the band stream still
+    // crosses one wide exchange; vs the old window-count + bucket
+    // self-join this drops the per-bucket SORT and the join build.
+    val okBuckets = bands
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn").between(2, bucketCap))
+      .select(col("band"), col("sig"))
     bands
+      .join(okBuckets, Seq("band", "sig"), "left_semi")
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")).between(2, bucketCap))
       .select(explode(expr(
         """filter(
              flatten(transform(__ids,
