@@ -81,7 +81,14 @@ object Bench {
     CacheBin.drainAll() // suite end: release session-pinned shared results
     val total = results.collect { case (_, Right((sec, _))) => sec }.sum
     val failed = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"gc_sec":$gcs,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"gc_sec":$gcs,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // also land the line as a file: harness wrappers (sbt) prefix stdout,
+    // which has broken downstream JSON extraction before — the artifact on
+    // disk is always clean
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: java.io.IOException => () } // stdout remains the contract
     spark.stop()
   }
 }
