@@ -265,6 +265,7 @@ object Queries {
   val DeconBenchmarkMaxId = 10L
   val SplitSalt = "graft-v1"
   val SplitPctTrain = 90
+  val SamplePerStratum = 30
   val PiiSeedSuffix =
     " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
 
@@ -365,6 +366,14 @@ object Queries {
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame =
     TextOps.scrubPii(seededDocs(s, dir), "doc_id", "text")
+
+  /** Corpus-mixture rebalancing: at most 30 docs per source, hash-ranked
+    * (deterministic; see [[TextOps.stratifiedSample]]).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    TextOps.stratifiedSample(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", "source", perStratum = SamplePerStratum, salt = SplitSalt)
 
   /** Deterministic 90/10 corpus split keyed on sha256(doc_id ∥ salt). */
   def hashSplit(s: SparkSession, dir: String): DataFrame =

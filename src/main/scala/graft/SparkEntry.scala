@@ -63,6 +63,7 @@ object SparkEntry {
     "q_pii_scrub" -> (Queries.piiScrub _),
     "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
+    "q_stratified_sample" -> (Queries.stratifiedSample _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_media_gate" -> (Queries.mediaGate _),
@@ -743,6 +744,17 @@ object SparkEntry {
            CAST(${splitBucketSql("doc_id")} AS INT) AS bucket,
            ${splitCaseSql("doc_id")} AS split
          FROM documents"""),
+
+    // stratified corpus-mixture sample: hash-rank per source, top-N; both
+    // engines produce lowercase-hex sha256, so the rank ORDER is identical
+    "q_stratified_sample" -> (s"""
+         SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY sha256(concat(CAST(doc_id AS VARCHAR),
+                 '${Queries.SplitSalt}')), doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= ${Queries.SamplePerStratum}"""),
 
     // word-3-gram repetition: per-doc gram counts then rollup; the ratio
     // divisions are double/int with identical operand order in both engines

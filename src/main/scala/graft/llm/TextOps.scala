@@ -204,6 +204,27 @@ object TextOps {
         when(col("bucket") < pctTrain, lit("train")).otherwise(lit("holdout")))
   }
 
+  /** Deterministic stratified sample: at most `perStratum` documents per
+    * stratum (source/language/domain), chosen by sha256(id ∥ salt) rank —
+    * the corpus-mixture subsampling step a training-data pipeline runs to
+    * rebalance over-represented sources. Same determinism contract as
+    * [[hashSplit]]: engine/partitioning/run-independent, re-saltable, and
+    * a document's rank only improves as competitors are removed (stable
+    * under corpus shrinkage). One keyed window shuffle; the rank limit
+    * applies map-side (WindowGroupLimit), so the exchange carries at most
+    * perStratum × partitions rows per stratum, never whole strata.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      perStratum: Int, salt: String): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive, got $perStratum")
+    import org.apache.spark.sql.expressions.Window
+    val rankKey = sha2(concat(col(idCol).cast("string"), lit(salt)), 256)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(rankKey.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perStratum)
+  }
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace — the preprocessing step before fingerprinting.
     */

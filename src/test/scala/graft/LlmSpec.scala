@@ -431,6 +431,24 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drainAll()
   }
 
+  test("stratified sample: per-stratum cap, partition-independent, re-saltable, map-side limit") {
+    val docs = Tables.documents(spark, TestSpark.sfDir).select("doc_id", "source")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    val a = TextOps.stratifiedSample(docs, "doc_id", "source", 5, "s1")
+    assert(a.groupBy("source").count().collect().forall(_.getLong(1) <= 5))
+    // identical under a different physical partitioning — the determinism
+    // contract random sampling loses
+    val b = TextOps.stratifiedSample(docs.repartition(7), "doc_id", "source", 5, "s1")
+    assert(key(a) == key(b))
+    // a fresh salt draws a different sample
+    val c = TextOps.stratifiedSample(docs, "doc_id", "source", 5, "s2")
+    assert(key(c).map(_._1) != key(a).map(_._1))
+    // the rank limit must apply BEFORE the exchange (WindowGroupLimit), so
+    // the shuffle never carries whole strata
+    assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("SessionMemo.once: runs per key once, re-arms after drainAll") {
     var runs = 0
     SessionMemo.once(spark, "once-spec-k1") { runs += 1 }
