@@ -449,6 +449,20 @@ class LlmSpec extends AnyFunSuite {
     assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("stratified sample: sampled docs survive corpus shrinkage (ranks only improve)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map(i => (i.toLong, s"s${rnd.nextInt(5)}"))
+    val sampled = TextOps.stratifiedSample(rows.toDF("doc_id", "source"),
+      "doc_id", "source", 8, "st").collect().map(_.getLong(0)).toSet
+    // drop ~half of the NON-sampled docs: every sampled doc must still be
+    // sampled (a fixed hash rank can only improve as competitors leave) —
+    // the curation-rerun stability a random() sample cannot give
+    val keep = rows.filter { case (id, _) => sampled(id) || rnd.nextBoolean() }
+    val sampled2 = TextOps.stratifiedSample(keep.toDF("doc_id", "source"),
+      "doc_id", "source", 8, "st").collect().map(_.getLong(0)).toSet
+    assert(sampled.subsetOf(sampled2))
+  }
+
   test("SessionMemo.once: runs per key once, re-arms after drainAll") {
     var runs = 0
     SessionMemo.once(spark, "once-spec-k1") { runs += 1 }
