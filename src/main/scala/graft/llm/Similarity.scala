@@ -266,11 +266,24 @@ object Similarity {
           numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))))
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
     val cfCached = graft.CacheBin.register(cf.persist())
-    embeddings
+    // ONE corpus scan: the assignment window computes the row's norm
+    // anyway, so (vec, norm, nearest centroid) come out of a single
+    // crossJoin(broadcast codebook) + rank-1 window — the former shape
+    // scanned the corpus twice (norm pass + ivfAssignTo pass) and paid a
+    // join on vec_id to glue them back together
+    val cents = cfCached.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("__cv"), norm2(col(vecCol)).as("__cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    spread(embeddings)
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
         norm2(col(vecCol)).as("norm2"))
-      .join(ivfAssignTo(embeddings, idCol, vecCol, cfCached)
-        .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", col("norm2") + col("__cn") -
+        lit(2.0) * dotDec(col("vec"), col("__cv")).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("vec"), col("norm2"), col("centroid_id"))
       // co-locate each inverted list before the write: without this every
       // write task touches every centroid directory (tasks × K small
       // files); with it a list is one task's contiguous file(s) — the
