@@ -140,12 +140,11 @@ object Similarity {
     // TakeOrderedAndProject: K rows to the driver, broadcast back — cheap
     // relative to the corpus scan it prunes
     val centroids = embeddings.orderBy(col(idCol)).limit(k)
-    val withNorm = embeddings.select(
-      col(idCol), col(vecCol).as("__v"), col(blockCol).as("__blk"),
-      norm2(col(vecCol)).as("__nn"))
-    val assign = ivfAssignTo(embeddings, idCol, vecCol, centroids)
-      .select(col("vec_id").as(idCol), col("centroid_id"))
-    val a = withNorm.join(assign, Seq(idCol))
+    // fused single-scan: (vec, norm, block, assignment) in one pass
+    val a = assignedWithVec(embeddings, idCol, vecCol, centroids,
+        extraCols = Seq(blockCol))
+      .select(col("vec_id").as(idCol), col("__v"),
+        col(blockCol).as("__blk"), col("__vn").as("__nn"), col("centroid_id"))
     val okBlocks = a.groupBy("centroid_id", "__blk")
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= blockCap)
@@ -226,16 +225,15 @@ object Similarity {
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .collect()
     for (_ <- 1 to iters) {
-      val assign = ivfAssignTo(embeddings, idCol, vecCol, toFrame(cent))
-        .select(col("vec_id").as(idCol), col("centroid_id"))
       // posexplode → per-(centroid, dim) decimal mean → per-centroid array.
       // (A dim-wide column-sum aggregate was A/B'd here and lost: 64
       // decimal accumulator columns compile into a slower aggregate than
       // the narrow exploded one, and the explode's extra shuffle carries
       // only K×dim pre-aggregated rows. At 100 TB, train on a sample.)
-      cent = embeddings.select(col(idCol), col(vecCol))
-        .join(assign, Seq(idCol))
-        .select(col("centroid_id"), posexplode(col(vecCol)))
+      // assignedWithVec keeps the vector through the assignment pass — one
+      // corpus scan per round, no join-back.
+      cent = assignedWithVec(embeddings, idCol, vecCol, toFrame(cent))
+        .select(col("centroid_id"), posexplode(col("__v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg((sum(col("col").cast("double").cast(DecimalType(28, 12)))
           .cast("double") / count(lit(1))).as("m"))
@@ -266,24 +264,12 @@ object Similarity {
           numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))))
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
     val cfCached = graft.CacheBin.register(cf.persist())
-    // ONE corpus scan: the assignment window computes the row's norm
-    // anyway, so (vec, norm, nearest centroid) come out of a single
-    // crossJoin(broadcast codebook) + rank-1 window — the former shape
-    // scanned the corpus twice (norm pass + ivfAssignTo pass) and paid a
-    // join on vec_id to glue them back together
-    val cents = cfCached.select(col(idCol).as("centroid_id"),
-      col(vecCol).as("__cv"), norm2(col(vecCol)).as("__cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2").asc, col("centroid_id").asc)
-    spread(embeddings)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-        norm2(col(vecCol)).as("norm2"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2", col("norm2") + col("__cn") -
-        lit(2.0) * dotDec(col("vec"), col("__cv")).cast("double"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("vec"), col("norm2"), col("centroid_id"))
+    // ONE corpus scan: (vec, norm, nearest centroid) from the fused
+    // assignment pass — the former shape scanned the corpus twice (norm
+    // pass + ivfAssignTo pass) and joined on vec_id to glue them together
+    assignedWithVec(embeddings, idCol, vecCol, cfCached)
+      .select(col("vec_id"), col("__v").as("vec"),
+        col("__vn").as("norm2"), col("centroid_id"))
       // co-locate each inverted list before the write: without this every
       // write task touches every centroid directory (tasks × K small
       // files); with it a list is one task's contiguous file(s) — the
@@ -330,6 +316,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cosine"), col("rank"))
+  }
+
+  /** Nearest-centroid assignment that KEEPS the row's vector and norm
+    * (plus `extraCols`) — the fused single-scan form every corpus-side
+    * consumer wants: the assignment window computes the norm anyway, so
+    * re-scanning the corpus for (vec, norm) and joining on id (the naive
+    * shape) costs a second scan and a corpus-wide shuffle join for data
+    * this one pass already holds. Output: (vec_id, __v, __vn,
+    * centroid_id, extraCols...).
+    */
+  private def assignedWithVec(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroidFrame: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val cents = centroidFrame.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("__cv"), norm2(col(vecCol)).as("__cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    spread(embeddings)
+      .select(col(idCol).as("vec_id") +: col(vecCol).as("__v") +:
+        norm2(col(vecCol)).as("__vn") +: extraCols.map(col): _*)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", col("__vn") + col("__cn") -
+        lit(2.0) * dotDec(col("__v"), col("__cv")).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id") +: col("__v") +: col("__vn") +:
+        col("centroid_id") +: extraCols.map(col): _*)
   }
 
   /** IVF coarse assignment: nearest centroid (squared L2) per vector.
@@ -394,13 +407,11 @@ object Similarity {
     val centroidFrame = centroids.getOrElse(
       embeddings.orderBy(col(idCol)).limit(
         numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))))
-    val corpus = embeddings
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
-        norm2(col(vecCol)).as("__nn"))
-      .join(
-        ivfRank(embeddings, idCol, vecCol, centroidFrame, 1)
-          .select(col("vec_id").as("neighbor_id"), col("centroid_id")),
-        Seq("neighbor_id"))
+    // fused single-scan corpus side: (vec, norm, assignment) in one pass —
+    // no second corpus scan, no corpus-wide join back on id
+    val corpus = assignedWithVec(embeddings, idCol, vecCol, centroidFrame)
+      .select(col("vec_id").as("neighbor_id"), col("__v").as("__nv"),
+        col("__vn").as("__nn"), col("centroid_id"))
     val probes = ivfRank(embeddings.filter(isQuery), idCol, vecCol,
         centroidFrame, nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
