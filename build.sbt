@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes straight to stdout, NOT through sbt's logger: the
+// logger prefixes every line with "[info] ", which has broken downstream
+// machine-parsing of Bench's single JSON line two rounds running.
+outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
