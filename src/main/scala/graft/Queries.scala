@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators._
-import graft.llm.{MinHashDedup, Quantize, Similarity, SimHash, TextOps}
+import graft.llm.{BloomDecon, MinHashDedup, Quantize, Similarity, SimHash, TextOps}
 
 /** Batch query definitions bound to the driver testdata (TESTDATA.md).
   * Each is registered in [[SparkEntry.queries]] with a DuckDB oracle twin.
@@ -360,6 +360,19 @@ object Queries {
         docs.filter(col("doc_id") < DeconBenchmarkMaxId), "doc_id", "text",
         n = DeconN, minOverlap = DeconMinOverlap)
     }
+
+  /** The 100 TB decontamination shape: Bloom-prefiltered corpus gram
+    * stream + exact confirm join (see [[graft.llm.BloomDecon]]). No false
+    * negatives ⇒ result identical to [[decontaminate]] — the oracle SQL is
+    * shared verbatim. Deliberately NOT memo-shared with `q_decontaminate`:
+    * the point of the query is exercising the bloom path end-to-end.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    BloomDecon.decontaminateBloom(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < DeconBenchmarkMaxId), "doc_id", "text",
+      n = DeconN, minOverlap = DeconMinOverlap)
+  }
 
   /** PII redaction + per-category audit counts over the seeded corpus
     * (see [[seededDocs]] for why seeding is needed at all).

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_repetition" -> (Queries.repetition _),
     "q_l2_normalize" -> (Queries.l2Normalize _),
     "q_decontaminate" -> (Queries.decontaminate _),
+    "q_decontaminate_bloom" -> (Queries.decontaminateBloom _),
     "q_pii_scrub" -> (Queries.piiScrub _),
     "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
@@ -736,6 +737,11 @@ object SparkEntry {
     // decontamination: distinct word-3-gram overlap vs the fixed
     // 10-doc benchmark slice, flagged at >= 3 shared grams
     "q_decontaminate" -> (s"""WITH $deconCtes
+         SELECT doc_id, n_overlap FROM contaminated"""),
+
+    // bloom-prefiltered variant: no false negatives + exact confirm join
+    // => answer-identical to q_decontaminate, oracle shared verbatim
+    "q_decontaminate_bloom" -> (s"""WITH $deconCtes
          SELECT doc_id, n_overlap FROM contaminated"""),
 
     // deterministic split: first-8-hex of sha256(id || salt) mod 100 —

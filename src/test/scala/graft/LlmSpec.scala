@@ -398,6 +398,55 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Map(1L -> 4L))
   }
 
+  test("bloom decontamination: identical to the exact variant (no false negatives)") {
+    // unit fixture: same semantics as the exact test above
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma nothing else here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.BloomDecon.decontaminateBloom(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minOverlap = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 4L))
+
+    // real-data identity: bloom FPs are killed by the confirm join, so the
+    // two variants must agree row-for-row — even at fpp=0.5 where the
+    // prefilter passes half of everything
+    val s = spark
+    val dir = TestSpark.sfDir
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows(Queries.decontaminate(s, dir))
+    assert(rows(Queries.decontaminateBloom(s, dir)) == exact)
+    val docs = Tables.documents(s, dir)
+    val sloppy = graft.llm.BloomDecon.decontaminateBloom(docs, "doc_id", "text",
+      docs.filter($"doc_id" < Queries.DeconBenchmarkMaxId), "doc_id", "text",
+      n = Queries.DeconN, minOverlap = Queries.DeconMinOverlap, fpp = 0.5)
+    assert(rows(sloppy) == exact)
+    CacheBin.drainAll()
+  }
+
+  test("bloom decontamination plan: might_contain filters the scan side, not post-join") {
+    val s = spark
+    val dir = TestSpark.sfDir
+    val df = Queries.decontaminateBloom(s, dir)
+    df.collect() // AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom prefilter must be the native BloomFilterMightContain")
+    // the prefilter must sit BELOW the confirm join: everything after the
+    // last join operator in the plan tree (= the deepest/scan side in the
+    // printed tree) carries the filter
+    val joinIdx = plan.lastIndexOf("Join")
+    val filterIdx = plan.lastIndexOf("might_contain")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "might_contain must be pushed to the gram stream below the confirm join")
+    CacheBin.drainAll()
+  }
+
   test("hash split: deterministic, salt-sensitive, proportional, bucket-consistent") {
     val df = (0L until 1000L).toSeq.toDF("doc_id")
     def run(salt: String) = TextOps.hashSplit(df, "doc_id", salt, 90).collect()
