@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators._
-import graft.llm.{BloomDecon, MinHashDedup, Quantize, Similarity, SimHash, TextOps}
+import graft.llm.{BloomDecon, MinHashDedup, Packing, Quantize, Similarity, SimHash, TextOps}
 
 /** Batch query definitions bound to the driver testdata (TESTDATA.md).
   * Each is registered in [[SparkEntry.queries]] with a DuckDB oracle twin.
@@ -263,6 +263,7 @@ object Queries {
   val DeconN = 3
   val DeconMinOverlap = 3L
   val DeconBenchmarkMaxId = 10L
+  val PackBudget = 2048L
   val SplitSalt = "graft-v1"
   val SplitPctTrain = 90
   val SamplePerStratum = 30
@@ -373,6 +374,14 @@ object Queries {
       docs.filter(col("doc_id") < DeconBenchmarkMaxId), "doc_id", "text",
       n = DeconN, minOverlap = DeconMinOverlap)
   }
+
+  /** Sequence packing over the corpus in doc_id order at a 2048-token
+    * budget — distributed prefix-sum, no global-window single-task sort
+    * (see [[graft.llm.Packing]]).
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
+      budget = PackBudget)
 
   /** PII redaction + per-category audit counts over the seeded corpus
     * (see [[seededDocs]] for why seeding is needed at all).

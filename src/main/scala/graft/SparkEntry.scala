@@ -78,6 +78,7 @@ object SparkEntry {
     "q_ivf_topk_indexed" -> (Queries.ivfTopKIndexed _),
     "q_backfill_window" -> (Queries.backfillWindow _),
     "q_token_count" -> (Queries.tokenCounts _),
+    "q_pack_sequences" -> (Queries.packSequences _),
     "q_winnow" -> (Queries.winnow _),
     "q_lang_id" -> (Queries.langId _),
   )
@@ -1141,6 +1142,23 @@ object SparkEntry {
            CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
                 WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS pred_lang
          FROM sc""",
+
+    // sequence packing: exclusive running token sum in doc_id order, then
+    // the 2048-token sequence each document starts in. The window form IS
+    // the semantics; the engine computes it as a distributed prefix-sum
+    // (DuckDB window SUM(BIGINT) returns HUGEINT — cast back)
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM t)
+         SELECT doc_id, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS seq_id
+         FROM o""",
 
     "q_token_count" ->
       """SELECT doc_id,

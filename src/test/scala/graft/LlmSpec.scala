@@ -447,6 +447,49 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drainAll()
   }
 
+  test("sequence packing: prefix-sum matches a global window, invariant to partitioning") {
+    val docs = Seq(
+      (1L, "a b c"), // 3 tokens, start 0,  seq 0
+      (2L, "d e"), // 2 tokens, start 3,  seq 0
+      (3L, "f g h i j k"), // 6 tokens, start 5,  seq 1 (budget 4)
+      (4L, "l"), // 1 token,  start 11, seq 2
+      (5L, "m n o p q r s t") // 8 tokens, start 12, seq 3
+    ).toDF("doc_id", "text")
+    def run(p: Int) = graft.llm.Packing
+      .packSequences(docs, "doc_id", "text", budget = 4L, partitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val expected = Seq((1L, 3L, 0L, 0L), (2L, 2L, 3L, 0L), (3L, 6L, 5L, 1L),
+      (4L, 1L, 11L, 2L), (5L, 8L, 12L, 3L))
+    assert(run(1) == expected) // single partition = the plain running sum
+    assert(run(3) == expected) // partition-count invariant (the offsets work)
+    assert(run(7) == expected) // more partitions than rows: empties are fine
+    CacheBin.drain()
+  }
+
+  test("sequence packing on the corpus: every offset equals the window cumsum") {
+    val s = spark
+    val dir = TestSpark.sfDir
+    val docs = Tables.documents(s, dir)
+    val packed = Queries.packSequences(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // oracle twin computed in-Spark with an explicit global window (fine
+    // at test scale; the operator exists to avoid exactly this plan)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val oracle = docs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed.keySet == oracle.keySet)
+    oracle.foreach { case (id, (n, start)) =>
+      val (pn, pstart, pseq) = packed(id)
+      assert(pn == n && pstart == start, s"doc $id")
+      assert(pseq == start / Queries.PackBudget, s"doc $id seq")
+    }
+    CacheBin.drain()
+  }
+
   test("hash split: deterministic, salt-sensitive, proportional, bucket-consistent") {
     val df = (0L until 1000L).toSeq.toDF("doc_id")
     def run(salt: String) = TextOps.hashSplit(df, "doc_id", salt, 90).collect()
