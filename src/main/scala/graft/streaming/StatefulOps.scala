@@ -31,6 +31,79 @@ object StatefulOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n"))
 
+  final case class BandDoc(band: Int, bv: Long, doc_id: Long, simhash: Long)
+  final case class BucketState(members: List[BucketMember])
+  final case class BucketMember(doc_id: Long, simhash: Long)
+  final case class NearDupHit(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Streaming near-duplicate detection — the ingest-time twin of
+    * [[graft.llm.SimHash.hammingPairs]]: as documents arrive, each is
+    * banded on its SimHash fingerprint (same 4-band pigeonhole guarantee
+    * up to hamming `maxHamming` ≤ 3) and compared against the documents
+    * already resident in its band buckets; every match emits a
+    * `(doc_a, doc_b, hamming)` pair, ids ordered.
+    *
+    * Semantics vs the batch twin, stated honestly:
+    *  - a pair can surface through MORE than one matching band →
+    *    at-least-once pair emission (the batch twin `.distinct()`s; a
+    *    streaming sink dedups downstream or writes idempotently);
+    *  - `bucketCap` bounds per-bucket state by TRUNCATION (docs past the
+    *    cap join no bucket, costing recall on flooded buckets), whereas
+    *    the batch twin drops oversized buckets wholesale — a streaming
+    *    operator cannot know a bucket's final size in advance;
+    *  - state never expires (near-dup history is the point); at 100 TB,
+    *    cap state by construction — shard the stream by corpus partition
+    *    or add a TTL wrapper — rather than by watermark, since documents
+    *    carry no event time.
+    *
+    * Scale shape: one shuffle on (band, bv) per micro-batch, state
+    * bounded by 4·buckets·bucketCap members, comparisons bounded by
+    * bucketCap per arrival — the same linear-vs-quadratic trade as the
+    * batch LSH stage, paid incrementally.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bucketCap: Int = 10000, bits: Int = 64): Dataset[NearDupHit] = {
+    require(maxHamming <= 3, "4 bands guarantee recall only up to hamming 3")
+    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val sh = if (bits == 64) graft.llm.SimHash.simhash64(col(textCol))
+      else graft.llm.SimHash.simhash32(col(textCol))
+    val bands = docs
+      .select(col(idCol).cast("long").as("doc_id"), sh.as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftrightunsigned(col("simhash"), bandBits * i)
+            .bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.bv").as("bv"),
+        col("doc_id"), col("simhash"))
+      .as(Encoders.product[BandDoc])
+    bands
+      .groupByKey(b => (b.band, b.bv))(Encoders.product[(Int, Long)])
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[BandDoc], state: GroupState[BucketState]) => {
+          var seen = state.getOption.map(_.members).getOrElse(Nil)
+          var nSeen = seen.size
+          val out = List.newBuilder[NearDupHit]
+          // doc_id order within the batch: deterministic pairs regardless
+          // of shuffle arrival order
+          rows.toArray.sortBy(_.doc_id).foreach { r =>
+            if (nSeen < bucketCap && !seen.exists(_.doc_id == r.doc_id)) {
+              seen.foreach { m =>
+                val d = java.lang.Long.bitCount(m.simhash ^ r.simhash)
+                if (d <= maxHamming)
+                  out += NearDupHit(math.min(m.doc_id, r.doc_id),
+                    math.max(m.doc_id, r.doc_id), d)
+              }
+              seen = BucketMember(r.doc_id, r.simhash) :: seen
+              nSeen += 1
+            }
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+        })(Encoders.product[BucketState], Encoders.product[NearDupHit])
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -418,6 +418,39 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.contains((2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("streaming near-dup pairs: two waves emit exactly the batch LSH pair set") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.types._
+    val src = tmp("ndsrc"); val out = tmp("ndout"); val ckpt = tmp("ndckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = Tables.documents(spark, TestSpark.sfDir).select("doc_id", "text")
+    // batch twin on the same corpus — the expected pair set (cap high
+    // enough that neither variant's cap semantics engage)
+    val expected = graft.llm.SimHash.hammingPairs(docs, "doc_id", "text",
+        maxHamming = 3, bucketCap = 100000, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty, "corpus must contain near-dups for this spec to bite")
+
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(src)
+    def run(): Unit = FileStreamIngest.runAvailableNowAppend(
+      StatefulOps.nearDupPairs(
+        FileStreamIngest.bronzeStream(spark, src, schema),
+        "doc_id", "text", maxHamming = 3, bucketCap = 100000).toDF(),
+      out, ckpt)
+    run()
+    val afterWave1 = spark.read.parquet(out).count()
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(src)
+    run() // wave 2 must find cross-wave pairs against wave-1 state
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected,
+      s"stream/batch divergence: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    assert(spark.read.parquet(out).count() > afterWave1,
+      "wave 2 must emit pairs against resident state, not restart it")
+  }
+
   test("partitioned parquet sink: day partitions, idempotent unless forced") {
     val out = tmp("psink") + "/prices"
     val df = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("dt", "v")
