@@ -53,7 +53,14 @@ object ScaleProbe {
           "text", maxHamming = 3, bucketCap = 200, bits = 64)),
       "embed_neardup" -> (Queries.embedNearDup _),
       "ivf_topk" -> (Queries.ivfTopK _),
-      "quant_topk" -> (Queries.quantTopK _))
+      "quant_topk" -> (Queries.quantTopK _),
+      // round 6: prefix-sum packing (shuffle = the one range exchange on
+      // the 2-col projection → must grow linearly; a global-window
+      // regression would show as a 1-partition stage, i.e. wall time
+      // growing superlinearly while shuffle stays linear) and bloom decon
+      // (corpus side scan-local: shuffle rows = surviving grams only)
+      "pack_sequences" -> (Queries.packSequences _),
+      "decontaminate_bloom" -> (Queries.decontaminateBloom _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {
