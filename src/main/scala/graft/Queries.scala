@@ -264,6 +264,7 @@ object Queries {
   val DeconMinOverlap = 3L
   val DeconBenchmarkMaxId = 10L
   val PackBudget = 2048L
+  val VocabK = 100
   val SplitSalt = "graft-v1"
   val SplitPctTrain = 90
   val SamplePerStratum = 30
@@ -382,6 +383,12 @@ object Queries {
   def packSequences(s: SparkSession, dir: String): DataFrame =
     Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
       budget = PackBudget)
+
+  /** Corpus vocabulary heavy hitters (top 100 tokens by occurrence,
+    * token-tie-broken; see [[TextOps.vocabTopK]]).
+    */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabTopK(Tables.documents(s, dir), "doc_id", "text", k = VocabK)
 
   /** PII redaction + per-category audit counts over the seeded corpus
     * (see [[seededDocs]] for why seeding is needed at all).

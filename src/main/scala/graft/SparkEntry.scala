@@ -79,6 +79,7 @@ object SparkEntry {
     "q_backfill_window" -> (Queries.backfillWindow _),
     "q_token_count" -> (Queries.tokenCounts _),
     "q_pack_sequences" -> (Queries.packSequences _),
+    "q_vocab_topk" -> (Queries.vocabTopK _),
     "q_winnow" -> (Queries.winnow _),
     "q_lang_id" -> (Queries.langId _),
   )
@@ -1159,6 +1160,17 @@ object SparkEntry {
          SELECT doc_id, n_tokens, start_offset,
            CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS seq_id
          FROM o""",
+
+    // vocabulary heavy hitters: top-100 tokens by occurrence count with
+    // document frequencies, token-tie-broken so the cutoff is stable
+    "q_vocab_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         d AS (SELECT token, doc_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
+         SELECT token, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM d GROUP BY token
+         ORDER BY n_occurrences DESC, token ASC LIMIT 100""",
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -105,4 +105,21 @@ object Packing {
     }
     spark.createDataFrame(packed, outSchema)
   }
+
+  /** Write a packed corpus into `nShards` token-balanced shard
+    * directories (`shard=<i>/`): sequences are budget-sized by
+    * construction, so round-robin on `seq_id` balances token counts to
+    * within one sequence per shard — no second pass, no token-count
+    * bin-packing job. The repartition on the shard key means each shard
+    * is written by one task as contiguous files (the same
+    * one-dir-one-writer discipline as the day-partitioned sink:
+    * partitionBy without it makes every task write every directory).
+    */
+  def writeShards(packed: DataFrame, out: String, nShards: Int): Unit = {
+    require(nShards > 0, "shard count must be positive")
+    packed
+      .withColumn("shard", (col("seq_id") % nShards).cast("int"))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(out)
+  }
 }

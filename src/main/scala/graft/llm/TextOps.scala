@@ -287,6 +287,29 @@ object TextOps {
         .cast("long").as("n_bpeish_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Corpus vocabulary top-k: the most frequent whitespace tokens with
+    * occurrence AND document frequencies — the heavy-hitters pass behind
+    * tokenizer-vocab building and stopword/IDF table construction.
+    *
+    * Deterministic: ties break on the token string, so the cutoff never
+    * flips across runs or partitionings.
+    *
+    * Scale shape: two-level aggregation — (token, doc) partial counts
+    * map-side, then per-token rollup — so the shuffle carries per-doc
+    * DISTINCT tokens, bounded by document length; the top-k itself plans
+    * as TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver), never a global sort of the vocabulary.
+    */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("token"))
+      .agg(sum(col("__n")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** Winnowing fingerprints (the rolling-hash fingerprint family): k-gram
     * polynomial rolling hashes (base 257 mod 1e9+7 over code points),
     * window-of-w minima, per-document distinct set — summarized as

@@ -490,6 +490,46 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("vocab top-k: occurrence + doc frequencies, deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b b c"), // a:1 b:2 c:1
+      (2L, "b c c"), // b:1 c:2
+      (3L, "a") // a:1
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.vocabTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // b and c both have 3 occurrences → tie breaks on the token string
+    assert(got == Seq(("b", 3L, 2L), ("c", 3L, 2L)))
+  }
+
+  test("vocab top-k plan: per-partition heaps, not a global vocabulary sort") {
+    val plan = Queries.vocabTopK(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, got:\n$plan")
+  }
+
+  test("shard writer: token-balanced round-robin on seq_id, data-complete") {
+    val s = spark
+    val dir = TestSpark.sfDir
+    val packed = Queries.packSequences(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    graft.llm.Packing.writeShards(packed, out, nShards = 4)
+    val back = s.read.parquet(out)
+    // complete and intact
+    assert(back.count() == packed.count())
+    assert(back.select("doc_id").distinct().count()
+      == packed.select("doc_id").distinct().count())
+    // balanced: per-shard token sums within 2 sequence budgets of each
+    // other (round-robin on budget-sized sequences; boundary docs overhang)
+    val sums = back.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(sums.length == 4)
+    assert(sums.max - sums.min <= 2 * Queries.PackBudget,
+      s"shard skew ${sums.max - sums.min} exceeds 2x budget: ${sums.toSeq}")
+    CacheBin.drain()
+  }
+
   test("hash split: deterministic, salt-sensitive, proportional, bucket-consistent") {
     val df = (0L until 1000L).toSeq.toDF("doc_id")
     def run(salt: String) = TextOps.hashSplit(df, "doc_id", salt, 90).collect()
