@@ -1149,7 +1149,7 @@ object SparkEntry {
     // the semantics; the engine computes it as a distributed prefix-sum
     // (DuckDB window SUM(BIGINT) returns HUGEINT — cast back)
     "q_pack_sequences" ->
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents),
          o AS (SELECT doc_id, n_tokens,
@@ -1158,19 +1158,19 @@ object SparkEntry {
                AS BIGINT) AS start_offset
            FROM t)
          SELECT doc_id, n_tokens, start_offset,
-           CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS seq_id
+           CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
          FROM o""",
 
     // vocabulary heavy hitters: top-100 tokens by occurrence count with
     // document frequencies, token-tie-broken so the cutoff is stable
     "q_vocab_topk" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
            FROM documents),
          d AS (SELECT token, doc_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
          SELECT token, CAST(SUM(n) AS BIGINT) AS n_occurrences,
            CAST(COUNT(*) AS BIGINT) AS n_docs
          FROM d GROUP BY token
-         ORDER BY n_occurrences DESC, token ASC LIMIT 100""",
+         ORDER BY n_occurrences DESC, token ASC LIMIT ${Queries.VocabK}""",
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -93,14 +93,22 @@ object BloomDecon {
   def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int, minOverlap: Long, fpp: Double = 0.01): DataFrame = {
-    val bgRaw = TextOps.wordNgrams(benchmark, benchIdCol, benchTextCol, n)
-      .select(col("ngram"))
+    // persisted: the gram stream feeds three consumers (sizing count,
+    // bloom aggregate, confirm join) — without it each re-runs the full
+    // tokenize+explode scan of the benchmark
+    val bgRaw = graft.CacheBin.register(
+      TextOps.wordNgrams(benchmark, benchIdCol, benchTextCol, n)
+        .select(col("ngram")).persist())
     // non-distinct count: cheap upper bound, avoids a gram-keyed shuffle
     // just to size the filter
     val bloom = serializedBloom(bgRaw, col("ngram"), bgRaw.count(), fpp)
     val survivors = TextOps.wordNgrams(corpus, idCol, textCol, n)
       .filter(mightContain(bloom, col("ngram")))
-    survivors.join(bgRaw.distinct(), Seq("ngram"))
+    // left_semi, not inner-against-distinct: answer-identical under the
+    // downstream countDistinct (no survivor-row multiplication), and it
+    // keeps the benchmark side free of the gram-keyed distinct exchange
+    // the bloom build just avoided
+    survivors.join(bgRaw, Seq("ngram"), "left_semi")
       .groupBy(col(idCol))
       .agg(countDistinct(col("ngram")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

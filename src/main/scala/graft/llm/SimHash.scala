@@ -77,6 +77,22 @@ object SimHash {
   /** Column API: `simhash64($"text")` — the production width. */
   def simhash64(c: Column): Column = toColumn(SimHashN(toExpression(c), 64))
 
+  /** The 4-band LSH decomposition of a fingerprint column — ONE
+    * definition shared by the batch pair join ([[hammingPairs]]) and the
+    * streaming bucket state ([[graft.streaming.StatefulOps.nearDupPairs]]),
+    * whose pair-set equality depends on banding identically. Logical
+    * shift: a 64-bit fingerprint uses the sign bit as data.
+    */
+  def bandStructs(simhashCol: Column, bits: Int): Column = {
+    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
+    import org.apache.spark.sql.functions._
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    array((0 until 4).map(i => struct(lit(i).as("band"),
+      shiftrightunsigned(simhashCol, bandBits * i)
+        .bitwiseAND(lit(mask)).as("bv"))): _*)
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3).
     *
     * Banded join, not a cross product: the fingerprint splits into 4
@@ -96,18 +112,13 @@ object SimHash {
       bits: Int = 32): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxHamming <= 3, "4 bands guarantee recall only up to hamming 3")
-    // mirror SimHashN's width check: any other value silently computes the
-    // 32-bit fingerprint with misaligned bands (e.g. bits=48 → one all-zero
-    // band = a single capped mega-bucket, losing recall without an error)
-    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
-    val bandBits = bits / 4
-    val mask = (1L << bandBits) - 1
+    // width check lives in bandStructs: any other value silently computes
+    // the 32-bit fingerprint with misaligned bands (e.g. bits=48 → one
+    // all-zero band = a single capped mega-bucket, losing recall silently)
     val sh = if (bits == 64) simhash64(col(textCol)) else simhash32(col(textCol))
     val h = Spread(docs).select(col(idCol), sh.as("simhash"))
     val bands = h.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        // logical shift: a 64-bit fingerprint uses the sign bit as data
-        shiftrightunsigned(col("simhash"), bandBits * i).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      explode(bandStructs(col("simhash"), bits)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
     // bucket gate as a window count over the (band, bv) shuffle the
     // self-join reuses — one exchange for the whole candidate stage

@@ -64,17 +64,14 @@ object StatefulOps {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, bucketCap: Int = 10000, bits: Int = 64): Dataset[NearDupHit] = {
     require(maxHamming <= 3, "4 bands guarantee recall only up to hamming 3")
-    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
-    val bandBits = bits / 4
-    val mask = (1L << bandBits) - 1
     val sh = if (bits == 64) graft.llm.SimHash.simhash64(col(textCol))
       else graft.llm.SimHash.simhash32(col(textCol))
     val bands = docs
       .select(col(idCol).cast("long").as("doc_id"), sh.as("simhash"))
       .select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-          shiftrightunsigned(col("simhash"), bandBits * i)
-            .bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+        // the SAME banding expression as the batch twin — the spec's
+        // stream/batch pair-set equality rides on this sharing
+        explode(graft.llm.SimHash.bandStructs(col("simhash"), bits)).as("b"))
       .select(col("b.band").as("band"), col("b.bv").as("bv"),
         col("doc_id"), col("simhash"))
       .as(Encoders.product[BandDoc])
