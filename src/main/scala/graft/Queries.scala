@@ -384,6 +384,13 @@ object Queries {
     Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
       budget = PackBudget)
 
+  /** Embedding-space label coherence: confusion table of true vs
+    * nearest-label-centroid labels (see [[Similarity.labelCoherence]]).
+    */
+  def labelCoherence(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCoherence(Tables.embeddings(s, dir), "vec_id",
+      "embedding", "label")
+
   /** Corpus vocabulary heavy hitters (top 100 tokens by occurrence,
     * token-tie-broken; see [[TextOps.vocabTopK]]).
     */

@@ -80,6 +80,7 @@ object SparkEntry {
     "q_token_count" -> (Queries.tokenCounts _),
     "q_pack_sequences" -> (Queries.packSequences _),
     "q_vocab_topk" -> (Queries.vocabTopK _),
+    "q_label_coherence" -> (Queries.labelCoherence _),
     "q_winnow" -> (Queries.winnow _),
     "q_lang_id" -> (Queries.langId _),
   )
@@ -1160,6 +1161,43 @@ object SparkEntry {
          SELECT doc_id, n_tokens, start_offset,
            CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
          FROM o""",
+
+    // label coherence: per-label decimal-exact centroids, nearest-centroid
+    // re-assignment (squared L2, ties to lowest label), confusion rollup —
+    // the same exact-mean/exact-dot CTE shapes as the kmeans oracle
+    "q_label_coherence" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         x AS (
+           SELECT CAST(label AS BIGINT) AS lbl, embedding,
+             unnest(generate_series(1, len(embedding))) AS pos
+           FROM embeddings),
+         m AS (
+           SELECT lbl, pos,
+             CAST(sum(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+           FROM x GROUP BY lbl, pos),
+         c AS (SELECT lbl, list(m ORDER BY pos) AS cv FROM m GROUP BY lbl),
+         cn AS (
+           SELECT lbl, cv,
+             CAST(list_sum(list_transform(cv,
+               x -> CAST(x * x AS DECIMAL(28,12)))) AS DOUBLE) AS cn
+           FROM c),
+         a AS (
+           SELECT vec_id, label, predicted_label FROM (
+             SELECT v.vec_id, v.label, c.lbl AS predicted_label,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.lbl) AS rn
+             FROM n2 v, cn c) t
+           WHERE rn = 1)
+         SELECT label, predicted_label, CAST(COUNT(*) AS BIGINT) AS n
+         FROM a GROUP BY 1, 2""",
 
     // vocabulary heavy hitters: top-100 tokens by occurrence count with
     // document frequencies, token-tie-broken so the cutoff is stable

@@ -430,4 +430,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Embedding-space label coherence: per-label decimal-exact centroids,
+    * every vector re-assigned to its nearest label centroid, rolled up as
+    * a confusion table `(label, predicted_label, n)` — the cluster-purity
+    * audit a training pipeline runs to catch mislabeled or drifted
+    * embedding batches before they poison a mixture (diagonal mass =
+    * labels that cohere in embedding space; off-diagonal cells name the
+    * confusable label pairs).
+    *
+    * Deterministic end to end: DECIMAL(28,12)-exact per-dimension means
+    * (order-independent, the [[kmeansCentroids]] discipline), squared-L2
+    * assignment with ties to the lowest label. Scale shape: centroid
+    * build is one posexplode aggregate (shuffle = L×dim pre-aggregated
+    * rows); assignment broadcasts the L-row codebook against one corpus
+    * scan (map-side `WindowGroupLimit` keeps the rank-1 shuffle at one
+    * row per vector); the confusion rollup is an L² result.
+    */
+  def labelCoherence(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = embeddings
+      .select(col(labelCol).cast("long").as("__lbl"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("__lbl"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(28, 12)))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("__lbl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as(vecCol))
+      .select(col("__lbl").as(idCol), col(vecCol))
+    assignedWithVec(embeddings, idCol, vecCol, cents,
+        extraCols = Seq(labelCol))
+      .groupBy(col(labelCol).cast("long").as("label"),
+        col("centroid_id").as("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -490,6 +490,25 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("label coherence: clean clusters sit on the diagonal, an outlier crosses") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), 0), // label-0 cluster near origin
+      (2L, Array(0.1f, 0.0f), 0),
+      (3L, Array(10.0f, 10.0f), 1), // label-1 cluster far away
+      (4L, Array(10.1f, 10.0f), 1),
+      (5L, Array(9.9f, 10.1f), 0) // mislabeled: sits in cluster 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.llm.Similarity.labelCoherence(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // centroid of label 0 is dragged toward cluster 1 by the outlier, but
+    // the two clean label-0 points stay nearest their own centroid; the
+    // mislabeled point lands on label 1's centroid → off-diagonal cell
+    assert(got((0L, 0L)) == 2L)
+    assert(got((1L, 1L)) == 2L)
+    assert(got((0L, 1L)) == 1L)
+    assert(got.values.sum == 5L)
+  }
+
   test("vocab top-k: occurrence + doc frequencies, deterministic tie-break") {
     val docs = Seq(
       (1L, "a b b c"), // a:1 b:2 c:1
