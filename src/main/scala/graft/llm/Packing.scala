@@ -46,8 +46,9 @@ object Packing {
     * real tokenizer count column when available).
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, partitions: Int = 0): DataFrame = {
+      budget: Long, partitions: Int = 0, resumeFrom: Long = 0L): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    require(resumeFrom >= 0, "resume offset must be non-negative")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -77,7 +78,10 @@ object Packing {
     }.collect().toMap
     val nParts = rows.getNumPartitions
     val offsets = new Array[Long](nParts)
-    var acc = 0L
+    // incremental growth: a new batch continues the stream where the
+    // already-packed corpus ended (pass its total token count) — batch N+1
+    // packs without re-reading batches 1..N, provided ids keep ascending
+    var acc = resumeFrom
     var i = 0
     while (i < nParts) {
       offsets(i) = acc

@@ -467,6 +467,22 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("sequence packing: resumeFrom packs an appended batch without re-reading the old") {
+    val all = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j k"),
+      (4L, "l"), (5L, "m n o p q r s t")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val whole = rows(graft.llm.Packing.packSequences(all, "doc_id", "text", budget = 4L))
+    val first = all.filter($"doc_id" <= 3)
+    val second = all.filter($"doc_id" > 3)
+    val firstPacked = graft.llm.Packing.packSequences(first, "doc_id", "text", budget = 4L)
+    val consumed = firstPacked.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val resumed = rows(graft.llm.Packing.packSequences(second, "doc_id", "text",
+      budget = 4L, resumeFrom = consumed))
+    assert(rows(firstPacked) ++ resumed == whole)
+    CacheBin.drain()
+  }
+
   test("sequence packing on the corpus: every offset equals the window cumsum") {
     val s = spark
     val dir = TestSpark.sfDir

@@ -19,6 +19,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("AAPL", "MSFT", "NVDA"))
   }
 
+  test("ORC format parity: lossless round-trip with predicate pushdown") {
+    // the engine is parquet-first, but Spark's ORC path shares the same
+    // DataSource v2 machinery — prove the lake can carry either format
+    // without losing data or the scan-level filter pushdown
+    val dir = Files.createTempDirectory("orc").toString + "/docs"
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    docs.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum(crc32(col("text")))).collect()(0).getLong(0)
+      == docs.agg(sum(crc32(col("text")))).collect()(0).getLong(0))
+    val plan = back.filter(col("doc_id") < 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,50)"),
+      s"ORC scan must carry the pushed predicate:\n$plan")
+  }
+
   test("ndjson with rescue: malformed lines land in _rescued_data, not dropped") {
     val dir = Files.createTempDirectory("ndjson")
     Files.writeString(dir.resolve("part-0.json"),
