@@ -391,6 +391,12 @@ object Queries {
     Similarity.labelCoherence(Tables.embeddings(s, dir), "vec_id",
       "embedding", "label")
 
+  /** Language-ID confusion: predicted vs labeled language
+    * (see [[TextOps.langConfusion]]).
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    TextOps.langConfusion(Tables.documents(s, dir), "doc_id", "text", "lang")
+
   /** Corpus vocabulary heavy hitters (top 100 tokens by occurrence,
     * token-tie-broken; see [[TextOps.vocabTopK]]).
     */

@@ -83,11 +83,40 @@ object SparkEntry {
     "q_label_coherence" -> (Queries.labelCoherence _),
     "q_winnow" -> (Queries.winnow _),
     "q_lang_id" -> (Queries.langId _),
+    "q_lang_confusion" -> (Queries.langConfusion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared trigram-score CTE + decision CASE for the language oracles
+    * (`q_lang_id`, `q_lang_confusion`) — mirrors `TextOps.langScores`/
+    * `langPred`, one definition each side.
+    */
+  private val langScoreCte: String =
+    """sc AS (
+           SELECT doc_id,
+             CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'and', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ing', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ion', '')))
+               + (length(lower(text)) - length(replace(lower(text), ' of', ''))) AS BIGINT) AS score_en,
+             CAST((length(lower(text)) - length(replace(lower(text), 'der', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'sch', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ein', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ich', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'und', ''))) AS BIGINT) AS score_de,
+             CAST((length(lower(text)) - length(replace(lower(text), 'les', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ent', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'que', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'des', '')))
+               + (length(lower(text)) - length(replace(lower(text), 'ais', ''))) AS BIGINT) AS score_fr
+           FROM documents)"""
+
+  private val langCaseSql: String =
+    """CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END"""
+
   /** Shared CTE prefix for the MinHash dedup oracles: shingles →
     * signatures → banding → capped buckets → candidate pairs → exact
     * Jaccard ≥ 0.5 edges → transitive reach (the DuckDB mirror of the
@@ -1122,28 +1151,19 @@ object SparkEntry {
          WHERE rank <= 10""",
 
     "q_lang_id" ->
-      """WITH sc AS (
-           SELECT doc_id,
-             CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'and', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'ing', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'ion', '')))
-               + (length(lower(text)) - length(replace(lower(text), ' of', ''))) AS BIGINT) AS score_en,
-             CAST((length(lower(text)) - length(replace(lower(text), 'der', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'sch', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'ein', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'ich', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'und', ''))) AS BIGINT) AS score_de,
-             CAST((length(lower(text)) - length(replace(lower(text), 'les', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'ent', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'que', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'des', '')))
-               + (length(lower(text)) - length(replace(lower(text), 'ais', ''))) AS BIGINT) AS score_fr
-           FROM documents)
+      (s"""WITH $langScoreCte
          SELECT doc_id, score_en, score_de, score_fr,
-           CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
-                WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS pred_lang
-         FROM sc""",
+           $langCaseSql AS pred_lang
+         FROM sc"""),
+
+    // confusion audit: predicted vs labeled language — same score CTE and
+    // decision CASE as q_lang_id (single-sourced, cannot drift)
+    "q_lang_confusion" ->
+      (s"""WITH $langScoreCte,
+         p AS (SELECT doc_id, $langCaseSql AS pred_lang FROM sc)
+         SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         FROM documents d JOIN p USING (doc_id)
+         GROUP BY 1, 2"""),
 
     // sequence packing: exclusive running token sum in doc_id order, then
     // the 2048-token sequence each document starts in. The window form IS

@@ -253,19 +253,41 @@ object TextOps {
     * text; prediction = argmax with first-profile tie-break. Scan-local
     * string built-ins only.
     */
-  def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lt = lower(col(textCol))
-    val scores = langTrigrams.map { case (lang, grams) =>
+  private def langScores(textCol: Column): Seq[(String, Column)] = {
+    val lt = lower(textCol)
+    langTrigrams.map { case (lang, grams) =>
       lang -> grams.map(g => length(lt) - length(regexp_replace(lt, g, "")))
         .reduce(_ + _).cast("long")
     }
-    val Seq(en, de, fr) = scores.map(_._2)
+  }
+
+  /** The language decision alone — ONE definition shared by the per-doc
+    * id query and the confusion audit, so they cannot drift.
+    */
+  def langPred(textCol: Column): Column = {
+    val Seq(en, de, fr) = langScores(textCol).map(_._2)
+    when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr")
+  }
+
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val Seq(en, de, fr) = langScores(col(textCol)).map(_._2)
     df.select(
       col(idCol),
       en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
-      when(en >= de && en >= fr, "en")
-        .when(de >= fr, "de").otherwise("fr").as("pred_lang"))
+      langPred(col(textCol)).as("pred_lang"))
   }
+
+  /** Language-ID confusion audit: predicted language vs the corpus's
+    * labeled `lang` column — the text-plane twin of
+    * [[graft.llm.Similarity.labelCoherence]] (off-diagonal cells name
+    * mislabeled slices or profile drift). Scan-local projection + one
+    * L² rollup; zero data shuffled beyond the confusion cells.
+    */
+  def langConfusion(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    df.select(col(langCol).as("lang"), langPred(col(textCol)).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
 
   /** BPE-ish pretokenizer pattern (GPT-2 family shape, ASCII classes only
     * so Java and RE2 regex engines agree): contractions, space-prefixed

@@ -525,6 +525,21 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.sum == 5L)
   }
 
+  test("lang confusion: cells sum to the corpus and agree with per-doc predictions") {
+    val s = spark
+    val dir = TestSpark.sfDir
+    val docs = Tables.documents(s, dir)
+    val conf = Queries.langConfusion(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf.values.sum == docs.count())
+    // cross-check one cell against the per-doc query it must agree with
+    val perDoc = Queries.langId(s, dir).select("doc_id", "pred_lang")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == perDoc)
+  }
+
   test("vocab top-k: occurrence + doc frequencies, deterministic tie-break") {
     val docs = Seq(
       (1L, "a b b c"), // a:1 b:2 c:1
