@@ -261,31 +261,38 @@ object TextOps {
     }
   }
 
-  /** The language decision alone — ONE definition shared by the per-doc
-    * id query and the confusion audit, so they cannot drift.
+  /** The language decision over ALREADY-MATERIALIZED score columns — ONE
+    * definition shared by the per-doc id query and the confusion audit.
+    * Taking columns (not the text) matters: the CASE references each
+    * score twice, and inlining the 5-regexp score stacks would evaluate
+    * ~30 regexes per row; multi-referenced projection aliases survive
+    * CollapseProject, so each score runs once.
     */
-  def langPred(textCol: Column): Column = {
-    val Seq(en, de, fr) = langScores(textCol).map(_._2)
+  def langPredFrom(en: Column, de: Column, fr: Column): Column =
     when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr")
-  }
 
-  def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val Seq(en, de, fr) = langScores(col(textCol)).map(_._2)
-    df.select(
-      col(idCol),
-      en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
-      langPred(col(textCol)).as("pred_lang"))
-  }
+  private def withLangScores(df: DataFrame, textCol: String,
+      keep: Seq[Column]): DataFrame =
+    df.select(keep ++ langScores(col(textCol)).map {
+      case (l, c) => c.as(s"score_$l")
+    }: _*)
+
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withLangScores(df, textCol, Seq(col(idCol)))
+      .withColumn("pred_lang", langPredFrom(
+        col("score_en"), col("score_de"), col("score_fr")))
 
   /** Language-ID confusion audit: predicted language vs the corpus's
     * labeled `lang` column — the text-plane twin of
     * [[graft.llm.Similarity.labelCoherence]] (off-diagonal cells name
-    * mislabeled slices or profile drift). Scan-local projection + one
+    * mislabeled slices or profile drift). Scan-local projections + one
     * L² rollup; zero data shuffled beyond the confusion cells.
     */
   def langConfusion(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame =
-    df.select(col(langCol).as("lang"), langPred(col(textCol)).as("pred_lang"))
+    withLangScores(df, textCol, Seq(col(langCol).as("lang")))
+      .select(col("lang"), langPredFrom(
+        col("score_en"), col("score_de"), col("score_fr")).as("pred_lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
 
