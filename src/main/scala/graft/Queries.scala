@@ -395,7 +395,7 @@ object Queries {
     * (see [[TextOps.langConfusion]]).
     */
   def langConfusion(s: SparkSession, dir: String): DataFrame =
-    TextOps.langConfusion(Tables.documents(s, dir), "doc_id", "text", "lang")
+    TextOps.langConfusion(Tables.documents(s, dir), "text", "lang")
 
   /** Corpus vocabulary heavy hitters (top 100 tokens by occurrence,
     * token-tie-broken; see [[TextOps.vocabTopK]]).

@@ -60,7 +60,13 @@ object ScaleProbe {
       // growing superlinearly while shuffle stays linear) and bloom decon
       // (corpus side scan-local: shuffle rows = surviving grams only)
       "pack_sequences" -> (Queries.packSequences _),
-      "decontaminate_bloom" -> (Queries.decontaminateBloom _))
+      "decontaminate_bloom" -> (Queries.decontaminateBloom _),
+      // vocab: shuffle = per-doc distinct tokens (bounded by doc length);
+      // label coherence: shuffle = L×dim centroid rows + 1 row/vector
+      // from the map-side rank-1 limit; lang confusion: L² cells only
+      "vocab_topk" -> (Queries.vocabTopK _),
+      "label_coherence" -> (Queries.labelCoherence _),
+      "lang_confusion" -> (Queries.langConfusion _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {

@@ -86,9 +86,6 @@ object SparkEntry {
     "q_lang_confusion" -> (Queries.langConfusion _),
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
   /** Shared trigram-score CTE + decision CASE for the language oracles
     * (`q_lang_id`, `q_lang_confusion`) — mirrors `TextOps.langScores`/
     * `langPred`, one definition each side.
@@ -287,6 +284,9 @@ object SparkEntry {
          FROM pairs) r
        WHERE rank <= 10"""
 
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
   def oracleSql: Map[String, String] = Map(
     // the composed curation pipeline: quality envelope ∩ dedup keep-list
     // ∩ not-contaminated, then PII scrub over the seeded survivors +

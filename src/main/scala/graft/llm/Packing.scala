@@ -44,6 +44,15 @@ object Packing {
   /** `(doc_id, n_tokens, start_offset, seq_id)` for every document, in
     * whitespace tokens (the `tokenCounts` proxy; swap `tokenExpr` for a
     * real tokenizer count column when available).
+    *
+    * `resumeFrom` continues an existing stream at that token offset for
+    * incremental corpus growth. PRECONDITION the engine cannot check
+    * (the packed history isn't an input): every id in `df` must sort
+    * AFTER every already-packed id. An overlapping batch produces
+    * offsets appended past the stream instead of interleaved — callers
+    * growing a corpus must partition batches by ascending id ranges
+    * (e.g. monotonic ingest ids), which is what makes not re-reading
+    * history possible at all.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Long, partitions: Int = 0, resumeFrom: Long = 0L): DataFrame = {

@@ -232,19 +232,32 @@ object Similarity {
       // only K×dim pre-aggregated rows. At 100 TB, train on a sample.)
       // assignedWithVec keeps the vector through the assignment pass — one
       // corpus scan per round, no join-back.
-      cent = assignedWithVec(embeddings, idCol, vecCol, toFrame(cent))
-        .select(col("centroid_id"), posexplode(col("__v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg((sum(col("col").cast("double").cast(DecimalType(28, 12)))
-          .cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as(vecCol))
+      cent = exactMeanVectors(
+          assignedWithVec(embeddings, idCol, vecCol, toFrame(cent)),
+          "centroid_id", "__v", vecCol)
         .select(col("centroid_id").as(idCol), col(vecCol))
         .collect()
     }
     toFrame(cent)
+  }
+
+  /** Per-key DECIMAL(28,12)-exact per-dimension mean vectors — the ONE
+    * numeric discipline behind every centroid build (Lloyd rounds AND
+    * [[labelCoherence]]): posexplode → exact decimal sum / count →
+    * position-sorted re-assembly. Order-independent, bit-reproducible
+    * across partitionings and engines.
+    */
+  private def exactMeanVectors(df: DataFrame, keyCol: String,
+      vecCol: String, outVec: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.select(col(keyCol), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(28, 12)))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col(keyCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as(outVec))
   }
 
   /** Materialize an IVF index at `dir`: the corpus (id, vector, norm)
@@ -449,17 +462,9 @@ object Similarity {
     */
   def labelCoherence(embeddings: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val cents = embeddings
-      .select(col(labelCol).cast("long").as("__lbl"),
-        posexplode(col(vecCol).cast("array<double>")))
-      .groupBy(col("__lbl"), col("pos"))
-      .agg((sum(col("col").cast(DecimalType(28, 12)))
-        .cast("double") / count(lit(1))).as("m"))
-      .groupBy(col("__lbl"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as(vecCol))
+    val cents = exactMeanVectors(
+        embeddings.select(col(labelCol).cast("long").as("__lbl"), col(vecCol)),
+        "__lbl", vecCol, vecCol)
       .select(col("__lbl").as(idCol), col(vecCol))
     assignedWithVec(embeddings, idCol, vecCol, cents,
         extraCols = Seq(labelCol))

@@ -288,7 +288,7 @@ object TextOps {
     * mislabeled slices or profile drift). Scan-local projections + one
     * L² rollup; zero data shuffled beyond the confusion cells.
     */
-  def langConfusion(df: DataFrame, idCol: String, textCol: String,
+  def langConfusion(df: DataFrame, textCol: String,
       langCol: String): DataFrame =
     withLangScores(df, textCol, Seq(col(langCol).as("lang")))
       .select(col("lang"), langPredFrom(

@@ -85,4 +85,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       plan.take(3000))
   }
+
+  test("label coherence broadcasts the codebook; the corpus never sort-merges") {
+    val plan = Queries.labelCoherence(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("sequence packing plans no Window operator — the prefix-sum replaced it") {
+    val plan = Queries.packSequences(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"a Window in the packing plan means the single-task global sort is back:\n${plan.take(3000)}")
+    CacheBin.drain()
+  }
+
+  test("lang queries evaluate each trigram score stack once, not per CASE branch") {
+    // 15 distinct regex patterns total; if the CASE inlined the score
+    // expressions the optimized plan would carry ~2x the regexp_replace
+    // calls. Count occurrences in the optimized plan of the confusion
+    // query: exactly 15 per text reference.
+    val n = "regexp_replace".r.findAllIn(
+      Queries.langConfusion(spark, TestSpark.sfDir)
+        .queryExecution.optimizedPlan.toString).size
+    assert(n == 15, s"expected 15 regexp_replace evaluations, found $n")
+  }
 }
