@@ -504,9 +504,21 @@ object Queries {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = docs.select(col("doc_id").as("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
-    MinHashDedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+    MinHashDedup.ngramJaccard(docs, "doc_id", "text", 3, adjacentPairs(docs))
+  }
+
+  private def adjacentPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b")),
+        col("doc_b") === col("doc_a") + 1)
+
+  /** Full overlap profile (Jaccard + both containments) on the same
+    * candidate sample — containment catches sub-document duplication
+    * resemblance misses (see [[MinHashDedup.ngramOverlap]]).
+    */
+  def ngramContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    MinHashDedup.ngramOverlap(docs, "doc_id", "text", 3, adjacentPairs(docs))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by IVF centroid + label.

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_media_gate" -> (Queries.mediaGate _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
+    "q_ngram_containment" -> (Queries.ngramContainment _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
     "q_simhash_hamming" -> (Queries.simhashHamming _),
     "q_simhash64" -> (Queries.simhash64 _),
@@ -85,6 +86,27 @@ object SparkEntry {
     "q_lang_id" -> (Queries.langId _),
     "q_lang_confusion" -> (Queries.langConfusion _),
   )
+
+  /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
+    * oracles (`q_ngram_jaccard`, `q_ngram_containment`) — the DuckDB
+    * mirror of `MinHashDedup.ngramOverlap`'s shared join pipeline.
+    */
+  private val ngramOverlapCtes: String =
+    """g AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngram
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM g GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+           FROM pairs p
+           JOIN g ga ON ga.doc_id = p.doc_a
+           JOIN g gb ON gb.doc_id = p.doc_b AND gb.ngram = ga.ngram
+           GROUP BY p.doc_a, p.doc_b)"""
 
   /** Shared trigram-score CTE + decision CASE for the language oracles
     * (`q_lang_id`, `q_lang_confusion`) — mirrors `TextOps.langScores`/
@@ -927,28 +949,28 @@ object SparkEntry {
          FROM m""",
 
     "q_ngram_jaccard" ->
-      """WITH g AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngram
-           FROM documents WHERE len(string_split(text, ' ')) >= 3),
-         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM g GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
-         inter AS (
-           SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-           FROM pairs p
-           JOIN g ga ON ga.doc_id = p.doc_a
-           JOIN g gb ON gb.doc_id = p.doc_b AND gb.ngram = ga.ngram
-           GROUP BY p.doc_a, p.doc_b)
+      (s"""WITH $ngramOverlapCtes
          SELECT p.doc_a, p.doc_b,
            CAST(coalesce(i.n_inter, 0) AS DOUBLE)
              / (ca.n_g + cb.n_g - coalesce(i.n_inter, 0)) AS jaccard
          FROM pairs p
          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          JOIN cnt ca ON ca.doc_id = p.doc_a
-         JOIN cnt cb ON cb.doc_id = p.doc_b""",
+         JOIN cnt cb ON cb.doc_id = p.doc_b"""),
+
+    // same pipeline, full overlap profile: containment flags sub-document
+    // duplication that symmetric resemblance misses
+    "q_ngram_containment" ->
+      (s"""WITH $ngramOverlapCtes
+         SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (ca.n_g + cb.n_g - coalesce(i.n_inter, 0)) AS jaccard,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE) / ca.n_g AS containment_a,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE) / cb.n_g AS containment_b
+         FROM pairs p
+         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         JOIN cnt ca ON ca.doc_id = p.doc_a
+         JOIN cnt cb ON cb.doc_id = p.doc_b"""),
 
     "q_simhash_hamming" ->
       """WITH tok AS (

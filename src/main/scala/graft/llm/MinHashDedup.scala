@@ -303,6 +303,20 @@ object MinHashDedup {
     * from LSH, blocking, or a deterministic sample).
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      pairs: DataFrame): DataFrame =
+    ngramOverlap(docs, idCol, textCol, n, pairs)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** The full overlap profile per candidate pair: Jaccard resemblance
+    * PLUS both containment directions — `containment_a = |A∩B| / |A|`
+    * flags A as a sub-document of B even when the symmetric Jaccard is
+    * low (a quoted paragraph inside a long page never scores high on
+    * resemblance, which is exactly how boilerplate survives
+    * resemblance-only dedup). One shared join pipeline feeds
+    * [[ngramJaccard]] and the containment query; shuffle volume is
+    * per-doc distinct grams for the candidate pairs only.
+    */
+  def ngramOverlap(docs: DataFrame, idCol: String, textCol: String, n: Int,
       pairs: DataFrame): DataFrame = {
     val grams = TextOps.wordNgrams(docs, idCol, textCol, n).distinct()
     val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
@@ -317,6 +331,8 @@ object MinHashDedup {
       .join(counts.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_g", "n_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
+          .as("jaccard"),
+        (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
+        (col("n_inter").cast("double") / col("n_b")).as("containment_b"))
   }
 }

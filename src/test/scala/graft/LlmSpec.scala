@@ -525,6 +525,23 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.sum == 5L)
   }
 
+  test("ngram containment: sub-document duplication scores high where jaccard stays low") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // 2 grams, both inside doc 2
+      (2L, "alpha beta gamma delta lots of extra words beyond the quote here now")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = graft.llm.MinHashDedup.ngramOverlap(docs, "doc_id", "text", 3, pairs)
+      .collect()(0)
+    assert(r.getAs[Double]("containment_a") == 1.0) // doc 1 fully inside doc 2
+    assert(r.getAs[Double]("jaccard") < 0.2) // resemblance alone misses it
+    assert(r.getAs[Double]("containment_b") < 0.2)
+    // jaccard column identical to the resemblance-only query
+    val j = graft.llm.MinHashDedup.ngramJaccard(docs, "doc_id", "text", 3, pairs)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(j == r.getAs[Double]("jaccard"))
+  }
+
   test("lang confusion: cells sum to the corpus and agree with per-doc predictions") {
     val s = spark
     val dir = TestSpark.sfDir
