@@ -322,6 +322,54 @@ object Queries {
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id").as("doc_id"), col("n_members"))
 
+  /** Cross-source near-dup leakage matrix: verified near-dup pairs
+    * (jaccard ≥ 0.5) bucketed by unordered source pair — the
+    * "which feeds duplicate each other" audit a corpus mixture needs
+    * before mixing weights mean anything. FOURTH consumer of the
+    * session-memoized pair table: the pairs side is a sliver, so AQE
+    * broadcasts it onto the (doc_id, source) projection and the corpus
+    * pays two broadcast joins, no corpus-side shuffle.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    sharedPairs(s, dir).filter(col("jaccard") >= 0.5)
+      .join(docs.select(col("doc_id").as("doc_a"), col("source").as("__sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("source").as("__sb")), Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Incremental dedup — every 5th document plays the NEW daily batch,
+    * deduped against the corpus without ever expanding old×old pairs
+    * (see [[MinHashDedup.incrementalNewKeep]]). Same k/bucketCap/threshold
+    * as the full sweep, so the decisions agree with [[dedupKeep]] where
+    * they overlap.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.incrementalNewKeep(Tables.documents(s, dir), "doc_id", "text",
+      k = 16, bucketCap = 50, isNew = col("doc_id") % 5 === 4, threshold = 0.5)
+
+  /** Per-doc distinctive term (lowest document frequency, exact integer
+    * tie-breaks — see [[TextOps.distinctiveTerms]]).
+    */
+  def distinctiveTerms(s: SparkSession, dir: String): DataFrame =
+    TextOps.distinctiveTerms(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Embedding outliers: the 20 vectors farthest from their assigned IVF
+    * centroid (squared L2) — the noise/junk filter of the embedding
+    * plane (far from every cluster ⇒ likely garbage, mis-embedding, or
+    * genuinely novel content worth a look). Plans as
+    * TakeOrderedAndProject over the assignment: per-partition top-k
+    * heaps, 20 rows to the driver — never a global sort.
+    */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isCentroid = col("vec_id") < 16)
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+      .limit(20)
+
   def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))

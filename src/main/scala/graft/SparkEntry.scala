@@ -85,6 +85,10 @@ object SparkEntry {
     "q_winnow" -> (Queries.winnow _),
     "q_lang_id" -> (Queries.langId _),
     "q_lang_confusion" -> (Queries.langConfusion _),
+    "q_source_overlap" -> (Queries.sourceOverlap _),
+    "q_incremental_dedup" -> (Queries.incrementalDedup _),
+    "q_distinctive_terms" -> (Queries.distinctiveTerms _),
+    "q_embed_outliers" -> (Queries.embedOutliers _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -305,6 +309,29 @@ object SparkEntry {
            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          FROM pairs) r
        WHERE rank <= 10"""
+
+  /** Shared IVF coarse-assignment SQL (`q_ivf_assign`) — `q_embed_outliers`
+    * wraps it with a distance ordering, one definition of dist2 each side.
+    */
+  private val ivfAssignSql: String =
+    """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2 WHERE vec_id < 16),
+         p AS (
+           SELECT v.vec_id, c.centroid_id,
+             v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS dist2
+           FROM n2 v, c)
+         SELECT vec_id, centroid_id, dist2 FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+           FROM p) r
+         WHERE rn = 1"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -892,24 +919,68 @@ object SparkEntry {
            FROM rer) r
          WHERE rank <= 10""",
 
-    "q_ivf_assign" ->
-      """WITH n2 AS (
-           SELECT vec_id, embedding,
-             CAST(list_sum(list_transform(embedding,
-               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS nn
-           FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2 WHERE vec_id < 16),
-         p AS (
-           SELECT v.vec_id, c.centroid_id,
-             v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
-               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS dist2
-           FROM n2 v, c)
-         SELECT vec_id, centroid_id, dist2 FROM (
-           SELECT *, row_number() OVER (
-             PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
-           FROM p) r
+    "q_ivf_assign" -> ivfAssignSql,
+
+    // embedding outliers: the same assignment, ordered by distance —
+    // farthest 20 from their centroid (dist2 hash-matches in
+    // q_ivf_assign, so the (dist2 DESC, vec_id) cutoff is identical)
+    "q_embed_outliers" ->
+      s"""SELECT vec_id, centroid_id, dist2 FROM ($ivfAssignSql) t
+         ORDER BY dist2 DESC, vec_id LIMIT 20""",
+
+    // cross-source near-dup leakage: verified pairs at jaccard >= 0.5
+    // bucketed by unordered source pair — shares the minhash CTE prefix
+    "q_source_overlap" -> (minhashReachCte +
+      """
+         SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM jac j
+         JOIN documents da ON da.doc_id = j.doc_a
+         JOIN documents db ON db.doc_id = j.doc_b
+         WHERE j.jaccard >= 0.5
+         GROUP BY 1, 2"""),
+
+    // incremental dedup: new batch = doc_id % 5 = 4. A pair (a < b) from
+    // the shared jac CTE evicts b when b is new (a precedes it), and
+    // evicts a only when b is OLD — a later new sibling never evicts an
+    // earlier one. Candidates involving a new doc are identical between
+    // the full sweep and the incremental banding (same total-size bucket
+    // gate), so the shared CTE is the exact mirror.
+    "q_incremental_dedup" -> (minhashReachCte +
+      """,
+         nd AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+         hits AS (
+           SELECT doc_b AS doc_id FROM jac
+           WHERE jaccard >= 0.5 AND doc_b % 5 = 4
+           UNION ALL
+           SELECT doc_a FROM jac
+           WHERE jaccard >= 0.5 AND doc_a % 5 = 4 AND doc_b % 5 <> 4),
+         dups AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups
+           FROM hits GROUP BY doc_id)
+         SELECT nd.doc_id,
+           coalesce(d.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+           d.doc_id IS NULL AS keep
+         FROM nd LEFT JOIN dups d USING (doc_id)"""),
+
+    // per-doc distinctive term: lowest document frequency, ties to higher
+    // in-doc count then token order — exact integer ordering, no float idf
+    "q_distinctive_terms" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (
+           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         dfreq AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1)
+         SELECT doc_id, token, tf, df FROM (
+           SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY dfreq.df ASC, tf.tf DESC, tf.token ASC) AS rn
+           FROM tf JOIN dfreq USING (token)) x
          WHERE rn = 1""",
 
     "q_binary_meta" ->

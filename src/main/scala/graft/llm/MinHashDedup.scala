@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection over a text column.
@@ -188,6 +188,104 @@ object MinHashDedup {
     out.count()
     sigs.unpersist(false); pairs.unpersist(false); candSets.unpersist(false)
     out
+  }
+
+  /** Incremental dedup: keep/drop decisions for a NEW batch of documents
+    * against the existing corpus — the daily-ingest shape of the sweep.
+    * A new document is dropped when it near-dups (exact shingle-Jaccard ≥
+    * `threshold`) ANY old document or an EARLIER (lower-id) new one; a
+    * later new sibling never evicts an earlier one, so the batch's
+    * internal ordering is deterministic.
+    *
+    * The 100 TB structure is what makes this different from re-running
+    * the full sweep over old ∪ new:
+    *   - LSH buckets the new batch never touches are dropped by the
+    *     bucket gate BEFORE any pair expansion — at a daily ratio of
+    *     1:1000 that is nearly all of them, so candidate volume scales
+    *     with the BATCH, not the corpus;
+    *   - old×old pairs are structurally excluded from the in-row
+    *     expansion (the filter requires a new side), so the exact-verify
+    *     join only ever loads shingle sets for batch-adjacent docs;
+    *   - signatures for old docs are recomputed here because the query is
+    *     self-contained over one table; a production deployment reads
+    *     them from the signature store the previous run materialized
+    *     (same slices [[signatures]] emits) and this stage becomes
+    *     batch-sized too.
+    *
+    * Output: one row per new document — (id, n_dups, keep), where
+    * `n_dups` counts the verified duplicate partners that evict it.
+    */
+  def incrementalNewKeep(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bucketCap: Int, isNew: Column, threshold: Double): DataFrame = {
+    require(bucketCap >= 2 && bucketCap <= 1000,
+      s"bucketCap $bucketCap outside [2, 1000]: see candidatePairs")
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val flagged = docs.withColumn("__new", isNew)
+    val inputParts = docs.rdd.getNumPartitions
+    val spread =
+      if (inputParts * 2 < parallelism) flagged.repartition(parallelism) else flagged
+    val sigs = spread
+      .select(col(idCol), col("__new"),
+        MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col(idCol) +: col("__new") +: (0 until numHashes).map(i =>
+        col("__mh").getItem(i).as(s"m$i")): _*)
+    val bands = sigs.select(
+      col(idCol), col("__new"),
+      explode(array((0 until numBands).map(i =>
+        struct(lit(i).as("band"),
+          concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
+      .select(col(idCol), col("__new"), col("b.band").as("band"), col("b.sig").as("sig"))
+    // gate on TOTAL bucket size (same cap as the full sweep — candidate
+    // pairs involving a new doc are identical to the full pipeline's) AND
+    // on the bucket containing at least one new doc
+    val okBuckets = bands
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__bn"), max(col("__new")).as("__hasNew"))
+      .filter(col("__bn").between(2, bucketCap) && col("__hasNew"))
+      .select(col("band"), col("sig"))
+    val pairs = graft.CacheBin.register(bands
+      .join(okBuckets, Seq("band", "sig"), "left_semi")
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("__new").as("nw"))).as("__ds"))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(__ds, a -> transform(__ds, b -> named_struct('a', a, 'b', b)))),
+             p -> p.a.id < p.b.id AND (p.a.nw OR p.b.nw))""")).as("__p"))
+      .select(col("__p.a.id").as("doc_a"), col("__p.b.id").as("doc_b"),
+        col("__p.a.nw").as("__a_new"), col("__p.b.nw").as("__b_new"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol)))
+    val setExpr = array_distinct(expr(
+      s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
+    val candSets = spread.join(candDocs, Seq(idCol), "left_semi")
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol), setExpr.as("__sh"))
+    val verified = pairs
+      .join(candSets.select(col(idCol).as("doc_a"), col("__sh").as("__sha")), Seq("doc_a"))
+      .join(candSets.select(col(idCol).as("doc_b"), col("__sh").as("__shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("__a_new"), col("__b_new"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("n_inter"),
+        size(col("__sha")).cast("long").as("n_a"),
+        size(col("__shb")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("__a_new"), col("__b_new"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // a verified pair (a < b) evicts b when b is new (a precedes it: old
+    // corpus or earlier new), and evicts a only when b is OLD — each pair
+    // contributes to exactly one side, so n_dups = distinct partners
+    val hits = verified.filter(col("__b_new")).select(col("doc_b").as(idCol))
+      .union(verified.filter(col("__a_new") && not(col("__b_new")))
+        .select(col("doc_a").as(idCol)))
+    val dups = hits.groupBy(col(idCol)).agg(count(lit(1)).as("n_dups"))
+    flagged.filter(col("__new")).select(col(idCol))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("n_dups").isNull.as("keep"))
   }
 
   /** Connected components over near-dup pairs: every document gets the

@@ -339,6 +339,33 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Per-document distinctive term: the token with the LOWEST corpus
+    * document frequency (ties: higher in-document count, then token
+    * order) — TF-IDF-flavored keyword extraction with exact integer
+    * ordering instead of a float idf, so the ranking is engine- and
+    * partitioning-independent (cross-engine log() rounding can flip a
+    * rank; (df ASC, tf DESC, token ASC) cannot).
+    *
+    * Scale shape: the (doc, token) counts aggregate with map-side
+    * partials (shuffle = per-doc distinct tokens); the document-frequency
+    * table is VOCABULARY-sized — bounded in practice, broadcast onto the
+    * counts so no corpus-side shuffle pays for it; the final rank-1 is a
+    * doc-keyed window whose limit applies map-side (WindowGroupLimit).
+    */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("df").asc, col("tf").desc, col("token").asc)
+    tf.join(broadcast(dfreq), Seq("token"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("token"), col("tf"), col("df"))
+  }
+
   /** Winnowing fingerprints (the rolling-hash fingerprint family): k-gram
     * polynomial rolling hashes (base 257 mod 1e9+7 over code points),
     * window-of-w minima, per-document distinct set — summarized as

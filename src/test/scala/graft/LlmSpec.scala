@@ -924,6 +924,65 @@ class LlmSpec extends AnyFunSuite {
     assert(f(3L).getString(6) == "opaque") // corrupt body behind valid magic
   }
 
+  test("incremental dedup: old evicts new, earlier new evicts later, old never evicted") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    val twin = "entirely novel duplicated sentence appearing twice in the new batch only"
+    val docs = Seq(
+      (10L, dup),                                                        // old
+      (11L, "some other unrelated old content nothing shares here at"),  // old
+      (14L, dup),   // new: near-dups OLD 10 → dropped
+      (19L, twin),  // new: first of a new-batch twin pair → kept
+      (24L, twin),  // new: duplicates EARLIER new 19 → dropped
+      (29L, "completely unique fresh document with zero overlap anywhere")
+    ).toDF("doc_id", "text")
+    val out = MinHashDedup.incrementalNewKeep(docs, "doc_id", "text",
+        k = 8, bucketCap = 50, isNew = col("doc_id") % 5 === 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(14L, 19L, 24L, 29L)) // one row per NEW doc only
+    assert(out(14L) == (1L, false)) // evicted by old 10
+    assert(out(19L) == (0L, true))  // later sibling 24 does NOT evict it
+    assert(out(24L) == (1L, false)) // evicted by earlier new 19
+    assert(out(29L) == (0L, true))
+  }
+
+  test("incremental dedup agrees with the full sweep's verified pairs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = col("doc_id") % 5 === 4
+    val full = MinHashDedup.verifiedPairs(docs, "doc_id", "text", k = 16, bucketCap = 50)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // derive the expected decisions from the full pair set
+    val newIds = docs.filter(isNew).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedDrops = full.flatMap { case (a, b) =>
+      Seq(if (newIds(b)) Some(b) else None,
+          if (newIds(a) && !newIds(b)) Some(a) else None).flatten
+    }
+    val out = MinHashDedup.incrementalNewKeep(docs, "doc_id", "text",
+        k = 16, bucketCap = 50, isNew = isNew, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet == newIds)
+    assert(out.filter(!_._2).keySet == expectedDrops)
+  }
+
+  test("distinctive terms: lowest-df token wins, tf then token break ties") {
+    val docs = Seq(
+      (1L, "common common rare"),        // 'rare' df=1 beats 'common' df=3
+      (2L, "common zz zz aa"),           // df-1 tie aa/zz: tf 2 beats 1 → zz
+      (3L, "common only")                // 'only' df=1
+    ).toDF("doc_id", "text")
+    val out = TextOps.distinctiveTerms(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ("rare", 1L, 1L))
+    assert(out(2L) == ("zz", 2L, 1L))
+    assert(out(3L) == ("only", 1L, 1L))
+  }
+
+  test("embedding outliers plan as a distributed top-k, never a global sort") {
+    val plan = Queries.embedOutliers(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("multimodal: binary wrap preserves bytes; feature extraction is deterministic") {
     val docs = Seq((1L, "some payload"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaColumn(docs, "doc_id", "text")
