@@ -365,8 +365,7 @@ object Queries {
     * heaps, 20 rows to the driver — never a global sort.
     */
   def embedOutliers(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
-      isCentroid = col("vec_id") < 16)
+    ivfAssign(s, dir)
       .orderBy(col("dist2").desc, col("vec_id").asc)
       .limit(20)
 
@@ -531,6 +530,29 @@ object Queries {
       minTokens = QualityMinTokens, maxTokens = QualityMaxTokens,
       minStopRatio = QualityMinStopRatio, minUniqRatio = QualityMinUniqRatio)
 
+  // ---- shared IVF-plane model state (session-memoized, like the MinHash
+  // pair table): ONE lowest-id ⌈√n⌉ codebook and ONE fused corpus
+  // assignment serve q_ivf_topk's corpus side, q_embed_neardup's blocking,
+  // and q_ivf_topk_indexed's index write — three corpus×codebook
+  // assignment passes collapse into one. At 100 TB this is "the
+  // assignment IS the index": materialize once, serve every query.
+
+  private def ivfK(s: SparkSession, dir: String): Int =
+    math.max(1, math.ceil(math.sqrt(
+      Tables.rowCount(s, dir, "embeddings").toDouble)).toInt)
+
+  private def ivfCentroidsShared(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"ivfcents:$dir") {
+      Tables.embeddings(s, dir).orderBy(col("vec_id")).limit(ivfK(s, dir))
+        .select(col("vec_id"), col("embedding"))
+    }
+
+  private def ivfAssignedShared(s: SparkSession, dir: String): DataFrame =
+    Similarity.assignedCorpusShared(Tables.embeddings(s, dir),
+      corpusKey = s"$dir/embeddings", "vec_id", "embedding",
+      ivfCentroidsShared(s, dir), codebookKey = s"low${ivfK(s, dir)}",
+      extraCols = Seq("label"))
+
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10)
@@ -543,9 +565,15 @@ object Queries {
     Quantize.quantizedTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10, rerankFactor = 4)
 
+  /** Coarse assignment against the fixed 16-centroid codebook —
+    * session-memoized (3 narrow columns per vector): `q_embed_outliers`
+    * orders the same table, so the crossJoin argmin runs once for both.
+    */
   def ivfAssign(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
-      isCentroid = col("vec_id") < 16)
+    SessionMemo.cached(s, s"ivfassign16:$dir") {
+      Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+        isCentroid = col("vec_id") < 16)
+    }
 
   /** Word-3-gram Jaccard on a deterministic candidate sample (adjacent doc
     * ids); the pair source is pluggable (LSH/blocking in production).
@@ -575,7 +603,7 @@ object Queries {
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
       "label", threshold = 0.2,
-      corpusCount = Some(Tables.rowCount(s, dir, "embeddings")))
+      assigned = Some(ivfAssignedShared(s, dir)))
 
   /** SimHash near-dup pairs at hamming ≤ 1 (byte-band candidates, capped). */
   def simhashHamming(s: SparkSession, dir: String): DataFrame =
@@ -588,7 +616,8 @@ object Queries {
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < 5, k = 10, nProbe = 3,
-      corpusCount = Some(Tables.rowCount(s, dir, "embeddings")))
+      centroids = Some(ivfCentroidsShared(s, dir)),
+      assigned = Some(ivfAssignedShared(s, dir)))
 
   /** IVF top-k over a Lloyd-refined codebook (2 k-means rounds from the
     * lowest-id init): same probe/k parameters as [[ivfTopK]], better
@@ -627,7 +656,8 @@ object Queries {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     SessionMemo.once(s, s"ivfindex:$dir:$n") {
       Similarity.ivfIndexWrite(emb, "vec_id", "embedding", idxDir,
-        corpusCount = Some(n))
+        centroids = Some(ivfCentroidsShared(s, dir)),
+        assigned = Some(ivfAssignedShared(s, dir)))
     }
     Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", idxDir, k = 10, nProbe = 3)

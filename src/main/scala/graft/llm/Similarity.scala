@@ -135,14 +135,20 @@ object Similarity {
   def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double,
       numCentroids: Option[Int] = None, blockCap: Int = 10000,
-      corpusCount: Option[Long] = None): DataFrame = {
-    val k = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
-    // TakeOrderedAndProject: K rows to the driver, broadcast back — cheap
-    // relative to the corpus scan it prunes
-    val centroids = embeddings.orderBy(col(idCol)).limit(k)
-    // fused single-scan: (vec, norm, block, assignment) in one pass
-    val a = assignedWithVec(embeddings, idCol, vecCol, centroids,
-        extraCols = Seq(blockCol))
+      corpusCount: Option[Long] = None,
+      assigned: Option[DataFrame] = None): DataFrame = {
+    // `assigned` (an [[assignedCorpusShared]] frame whose extraCols include
+    // blockCol) skips the assignment pass entirely — the memoized corpus
+    // assignment serves every IVF-plane consumer in the session
+    val a = assigned.getOrElse {
+        val k = numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))
+        // TakeOrderedAndProject: K rows to the driver, broadcast back —
+        // cheap relative to the corpus scan it prunes
+        val centroids = embeddings.orderBy(col(idCol)).limit(k)
+        // fused single-scan: (vec, norm, block, assignment) in one pass
+        assignedWithVec(embeddings, idCol, vecCol, centroids,
+          extraCols = Seq(blockCol))
+      }
       .select(col("vec_id").as(idCol), col("__v"),
         col(blockCol).as("__blk"), col("__vn").as("__nn"), col("centroid_id"))
     val okBlocks = a.groupBy("centroid_id", "__blk")
@@ -270,7 +276,8 @@ object Similarity {
     */
   def ivfIndexWrite(embeddings: DataFrame, idCol: String, vecCol: String,
       dir: String, centroids: Option[DataFrame] = None,
-      numCentroids: Option[Int] = None, corpusCount: Option[Long] = None): Unit = {
+      numCentroids: Option[Int] = None, corpusCount: Option[Long] = None,
+      assigned: Option[DataFrame] = None): Unit = {
     // as in ivfTopK: don't size (and possibly count) when a codebook is given
     val cf = centroids.getOrElse(
         embeddings.orderBy(col(idCol)).limit(
@@ -279,8 +286,10 @@ object Similarity {
     val cfCached = graft.CacheBin.register(cf.persist())
     // ONE corpus scan: (vec, norm, nearest centroid) from the fused
     // assignment pass — the former shape scanned the corpus twice (norm
-    // pass + ivfAssignTo pass) and joined on vec_id to glue them together
-    assignedWithVec(embeddings, idCol, vecCol, cfCached)
+    // pass + ivfAssignTo pass) and joined on vec_id to glue them together.
+    // An `assigned` frame (same-codebook contract as ivfTopK) means the
+    // write is a repartition of the memoized assignment — zero scans.
+    assigned.getOrElse(assignedWithVec(embeddings, idCol, vecCol, cfCached))
       .select(col("vec_id"), col("__v").as("vec"),
         col("__vn").as("norm2"), col("centroid_id"))
       // co-locate each inverted list before the write: without this every
@@ -358,6 +367,24 @@ object Similarity {
         col("centroid_id") +: extraCols.map(col): _*)
   }
 
+  /** Session-memoized fused corpus assignment (vec_id, __v, __vn,
+    * centroid_id, extraCols) against `centroidFrame` — the in-session
+    * twin of the materialized index: the corpus-×-codebook assignment
+    * pass runs ONCE and every IVF-plane consumer (probed top-k corpus
+    * side, near-dup blocking, the index write itself) reads the same
+    * frame. At 100 TB the equivalent decision is "the assignment IS the
+    * index — materialize it once, serve every query from it"
+    * ([[ivfIndexWrite]] is the on-disk form). `codebookKey` names the
+    * codebook identity (the frame itself can't key a map); callers must
+    * keep key and frame in sync — same contract as every memo here.
+    */
+  def assignedCorpusShared(embeddings: DataFrame, corpusKey: String,
+      idCol: String, vecCol: String, centroidFrame: DataFrame,
+      codebookKey: String, extraCols: Seq[String] = Nil): DataFrame =
+    graft.SessionMemo.cached(embeddings.sparkSession,
+      s"ivfassigned:$corpusKey:$idCol:$vecCol:$codebookKey:${extraCols.mkString(",")}")(
+      assignedWithVec(embeddings, idCol, vecCol, centroidFrame, extraCols))
+
   /** IVF coarse assignment: nearest centroid (squared L2) per vector.
     * Centroids are broadcast; ties break to the lowest centroid id.
     */
@@ -414,15 +441,19 @@ object Similarity {
       isQuery: Column, k: Int, nProbe: Int,
       numCentroids: Option[Int] = None,
       corpusCount: Option[Long] = None,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      assigned: Option[DataFrame] = None): DataFrame = {
     // size ONLY when no codebook is supplied — adaptiveCentroids' fallback
     // is a count job, and an explicit-codebook caller must never pay it
     val centroidFrame = centroids.getOrElse(
       embeddings.orderBy(col(idCol)).limit(
         numCentroids.getOrElse(adaptiveCentroids(embeddings, corpusCount))))
     // fused single-scan corpus side: (vec, norm, assignment) in one pass —
-    // no second corpus scan, no corpus-wide join back on id
-    val corpus = assignedWithVec(embeddings, idCol, vecCol, centroidFrame)
+    // no second corpus scan, no corpus-wide join back on id. An `assigned`
+    // frame (memoized corpus assignment against the SAME codebook — caller
+    // contract) skips even that one pass.
+    val corpus = assigned.getOrElse(
+        assignedWithVec(embeddings, idCol, vecCol, centroidFrame))
       .select(col("vec_id").as("neighbor_id"), col("__v").as("__nv"),
         col("__vn").as("__nn"), col("centroid_id"))
     val probes = ivfRank(embeddings.filter(isQuery), idCol, vecCol,

@@ -977,6 +977,22 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ("only", 1L, 1L))
   }
 
+  test("shared IVF assignment: memoized path is identical to the standalone one") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    // standalone (no `assigned`) formulations — the pre-memo shapes
+    val topkAlone = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      isQuery = col("vec_id") < 5, k = 10, nProbe = 3, corpusCount = Some(n))
+    val nearAlone = Similarity.cosineNearDup(emb, "vec_id", "embedding",
+      "label", threshold = 0.2, corpusCount = Some(n))
+    // memoized-assignment paths, as the registered queries run them
+    val topkShared = Queries.ivfTopK(spark, dir)
+    val nearShared = Queries.embedNearDup(spark, dir)
+    assert(topkShared.collect().toSet == topkAlone.collect().toSet)
+    assert(nearShared.collect().toSet == nearAlone.collect().toSet)
+  }
+
   test("embedding outliers plan as a distributed top-k, never a global sort") {
     val plan = Queries.embedOutliers(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
