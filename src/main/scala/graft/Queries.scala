@@ -605,6 +605,60 @@ object Queries {
       "label", threshold = 0.2,
       assigned = Some(ivfAssignedShared(s, dir)))
 
+  /** SemDeDup keep-list: connected components over the embedding near-dup
+    * pairs, one survivor (min vec id) per cluster with its member count —
+    * the embedding twin of [[dedupKeep]] (semantic duplicates collapse to
+    * a representative even when their TEXT shares nothing — paraphrases,
+    * translations, re-renderings). Rides the shared IVF assignment
+    * through [[embedNearDup]]; the CC stage is the same hybrid
+    * union-find / label-propagation used for the MinHash sweep.
+    */
+  def semdedupKeep(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.connectedComponents(
+        Tables.embeddings(s, dir).select("vec_id"), "vec_id",
+        embedNearDup(s, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("vec_id"), col("n_members"))
+
+  /** Token-length histogram (decade buckets): the length distribution
+    * behind packing budgets and curriculum mixes. One scan, #buckets
+    * rows out — map-side partials make the shuffle negligible.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((size(TextOps.tokens(col("text"))).cast("long")).as("__nt"))
+      .groupBy((expr("__nt div 10") * 10).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens_total"))
+
+  /** Per-source quality report: doc counts, quality-gate keep rate, token
+    * volume, decimal-exact mean quality — the table mixture weights are
+    * planned from. Stats and keep predicate are the same shared
+    * fragments as [[qualityGate]]; scan-local stats then a #sources-row
+    * rollup.
+    */
+  def sourceQuality(s: SparkSession, dir: String): DataFrame = {
+    val stats = TextOps.textStatCols(col("text")).toMap
+    Tables.documents(s, dir)
+      .select(col("source"),
+        stats("n_tokens").as("__nt"),
+        stats("quality_score").as("__q"),
+        TextOps.qualityKeep(
+          stats("n_tokens"), stats("stop_ratio"), stats("uniq_ratio"),
+          QualityMinTokens, QualityMaxTokens,
+          QualityMinStopRatio, QualityMinUniqRatio)
+          .cast("int").as("__keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__keep")).as("n_keep"),
+        (sum(col("__keep")).cast("double") / count(lit(1))).as("keep_rate"),
+        sum(col("__nt")).as("n_tokens_total"),
+        (sum(col("__q").cast(DecimalType(18, 12))).cast("double") /
+          count(lit(1))).as("avg_quality"))
+  }
+
   /** SimHash near-dup pairs at hamming ≤ 1 (byte-band candidates, capped). */
   def simhashHamming(s: SparkSession, dir: String): DataFrame =
     SimHash.hammingPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -89,6 +89,9 @@ object SparkEntry {
     "q_incremental_dedup" -> (Queries.incrementalDedup _),
     "q_distinctive_terms" -> (Queries.distinctiveTerms _),
     "q_embed_outliers" -> (Queries.embedOutliers _),
+    "q_semdedup_keep" -> (Queries.semdedupKeep _),
+    "q_length_histogram" -> (Queries.lengthHistogram _),
+    "q_source_quality" -> (Queries.sourceQuality _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -309,6 +312,49 @@ object SparkEntry {
            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          FROM pairs) r
        WHERE rank <= 10"""
+
+  /** Shared CTE chain for the embedding near-dup oracles: norms → ⌈√n⌉
+    * lowest-id centroids → assignment → (centroid, label) block cap →
+    * exact-cosine pairs ≥ 0.2 (`ep`). `q_embed_neardup` reads `ep`
+    * directly; `q_semdedup_keep` runs the transitive closure over it.
+    */
+  private val embedNearDupCtes: String =
+    """n2 AS (
+           SELECT vec_id, label, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (
+           SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
+           QUALIFY row_number() OVER (ORDER BY vec_id) <=
+             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+         p AS (
+           SELECT v.vec_id, v.label, v.embedding, v.nn, c.centroid_id,
+             v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS dist2
+           FROM n2 v, c),
+         a AS (
+           SELECT vec_id, label, embedding, nn, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+             FROM p) t
+           WHERE rn = 1),
+         ok AS (
+           SELECT centroid_id, label FROM a
+           GROUP BY centroid_id, label HAVING count(*) <= 10000),
+         a2 AS (SELECT a.* FROM a JOIN ok USING (centroid_id, label)),
+         ep AS (
+           SELECT vec_a, vec_b, cosine FROM (
+             SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                 z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                 AS DOUBLE) / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
+             FROM a2 x JOIN a2 y
+               ON x.centroid_id = y.centroid_id AND x.label = y.label
+                 AND x.vec_id < y.vec_id) t
+           WHERE cosine >= 0.2)"""
 
   /** Shared IVF coarse-assignment SQL (`q_ivf_assign`) — `q_embed_outliers`
     * wraps it with a distance ordering, one definition of dist2 each side.
@@ -1351,41 +1397,56 @@ object SparkEntry {
            CAST(list_sum(fp) AS BIGINT) AS fp_sum
          FROM wnw""",
 
-    "q_embed_neardup" ->
-      """WITH n2 AS (
-           SELECT vec_id, label, embedding,
-             CAST(list_sum(list_transform(embedding,
-               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS nn
-           FROM embeddings),
-         c AS (
-           SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
-           QUALIFY row_number() OVER (ORDER BY vec_id) <=
-             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
-         p AS (
-           SELECT v.vec_id, v.label, v.embedding, v.nn, c.centroid_id,
-             v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
-               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS dist2
-           FROM n2 v, c),
-         a AS (
-           SELECT vec_id, label, embedding, nn, centroid_id FROM (
-             SELECT *, row_number() OVER (
-               PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
-             FROM p) t
-           WHERE rn = 1),
-         ok AS (
-           SELECT centroid_id, label FROM a
-           GROUP BY centroid_id, label HAVING count(*) <= 10000),
-         a2 AS (SELECT a.* FROM a JOIN ok USING (centroid_id, label))
-         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-           CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
-             z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-             AS DOUBLE) / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
-         FROM a2 x JOIN a2 y
-           ON x.centroid_id = y.centroid_id AND x.label = y.label AND x.vec_id < y.vec_id
-         WHERE CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
-             z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-             AS DOUBLE) / (sqrt(x.nn) * sqrt(y.nn)) >= 0.2""",
+    "q_embed_neardup" -> (s"WITH $embedNearDupCtes" +
+      """
+         SELECT vec_a, vec_b, cosine FROM ep"""),
+
+    // SemDeDup keep-list: connected components over the embedding
+    // near-dup pairs (same ep CTE as q_embed_neardup), one survivor (the
+    // min vec id) per cluster with its member count — the embedding twin
+    // of q_dedup_keep
+    "q_semdedup_keep" -> (s"WITH RECURSIVE $embedNearDupCtes," +
+      """
+         e AS (
+           SELECT vec_a AS src, vec_b AS dst FROM ep
+           UNION ALL
+           SELECT vec_b, vec_a FROM ep),
+         reach(vec_id, label) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.vec_id)
+         SELECT cluster_id AS vec_id, CAST(count(*) AS BIGINT) AS n_members
+         FROM (SELECT vec_id, min(label) AS cluster_id
+               FROM reach GROUP BY vec_id) c
+         GROUP BY cluster_id"""),
+
+    // token-length histogram: decade buckets over the whitespace token
+    // count — the length distribution behind packing budgets and
+    // curriculum mixes
+    "q_length_histogram" ->
+      """WITH t AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT (n_tokens // 10) * 10 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+         FROM t GROUP BY 1""",
+
+    // per-source quality report: doc counts, quality-gate keep rate,
+    // token volume, decimal-exact mean quality — the mixture-weight
+    // planning table; stats and keep predicate are the shared fragments
+    "q_source_quality" -> (s"""WITH $qualityStatsCtes,
+         j AS (
+           SELECT d.source, qs.n_tokens, qs.quality_score,
+             CASE WHEN $qualityKeepPred THEN 1 ELSE 0 END AS keep
+           FROM qs JOIN documents d USING (doc_id))
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+           CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE)
+             / count(*) AS avg_quality
+         FROM j GROUP BY source"""),
   )
 }

@@ -993,6 +993,27 @@ class LlmSpec extends AnyFunSuite {
     assert(nearShared.collect().toSet == nearAlone.collect().toSet)
   }
 
+  test("semdedup keep-list: member counts cover the corpus, reps are cluster minima") {
+    val dir = "/root/testdata/sf0.001"
+    val keep = Queries.semdedupKeep(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    assert(keep.values.sum == n) // every vector is in exactly one cluster
+    // a near-dup pair's two sides map to the same representative, and the
+    // representative is <= both members
+    val pairs = Queries.embedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = MinHashDedup.connectedComponents(
+        Tables.embeddings(spark, dir).select("vec_id"), "vec_id",
+        Queries.embedNearDup(spark, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b) && cluster(a) <= math.min(a, b))
+    }
+    assert(cluster.values.toSet.subsetOf(keep.keySet))
+  }
+
   test("embedding outliers plan as a distributed top-k, never a global sort") {
     val plan = Queries.embedOutliers(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
