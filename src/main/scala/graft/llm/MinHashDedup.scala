@@ -216,7 +216,8 @@ object MinHashDedup {
     * `n_dups` counts the verified duplicate partners that evict it.
     */
   def incrementalNewKeep(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bucketCap: Int, isNew: Column, threshold: Double): DataFrame = {
+      k: Int, bucketCap: Int, isNew: Column, threshold: Double,
+      storedSigs: Option[DataFrame] = None): DataFrame = {
     require(bucketCap >= 2 && bucketCap <= 1000,
       s"bucketCap $bucketCap outside [2, 1000]: see candidatePairs")
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
@@ -224,12 +225,23 @@ object MinHashDedup {
     val inputParts = docs.rdd.getNumPartitions
     val spread =
       if (inputParts * 2 < parallelism) flagged.repartition(parallelism) else flagged
-    val sigs = spread
+    def sigPass(in: DataFrame): DataFrame = in
       .select(col(idCol), col("__new"),
         MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
       .filter(col("__mh").isNotNull)
       .select(col(idCol) +: col("__new") +: (0 until numHashes).map(i =>
         col("__mh").getItem(i).as(s"m$i")): _*)
+    // `storedSigs` is the production shape: the previous run's signature
+    // table ([[signatures]] layout: idCol, m0..m7) read from the store, so
+    // the corpus-wide signature pass costs the BATCH only. Without it the
+    // self-contained single-pass form computes both sides in one scan.
+    val sigs = storedSigs match {
+      case Some(st) =>
+        sigPass(spread.filter(col("__new"))).unionByName(
+          st.select(col(idCol) +: (0 until numHashes).map(i => col(s"m$i")): _*)
+            .withColumn("__new", lit(false)))
+      case None => sigPass(spread)
+    }
     val bands = sigs.select(
       col(idCol), col("__new"),
       explode(array((0 until numBands).map(i =>

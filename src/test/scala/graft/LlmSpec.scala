@@ -964,6 +964,23 @@ class LlmSpec extends AnyFunSuite {
     assert(out.filter(!_._2).keySet == expectedDrops)
   }
 
+  test("incremental dedup from a stored signature table equals the recomputed path") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = col("doc_id") % 5 === 4
+    // the previous run materializes OLD signatures; today's run reads them
+    MinHashDedup.signatures(docs.filter(!isNew), "doc_id", "text", k = 16)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    val fromStore = MinHashDedup.incrementalNewKeep(docs, "doc_id", "text",
+        k = 16, bucketCap = 50, isNew = isNew, threshold = 0.5,
+        storedSigs = Some(spark.read.parquet(s"$dir/sigs")))
+      .collect().toSet
+    val recomputed = MinHashDedup.incrementalNewKeep(docs, "doc_id", "text",
+        k = 16, bucketCap = 50, isNew = isNew, threshold = 0.5)
+      .collect().toSet
+    assert(fromStore == recomputed && fromStore.nonEmpty)
+  }
+
   test("distinctive terms: lowest-df token wins, tf then token break ties") {
     val docs = Seq(
       (1L, "common common rare"),        // 'rare' df=1 beats 'common' df=3
