@@ -431,6 +431,25 @@ object Queries {
     Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
       budget = PackBudget)
 
+  /** Shard balance table: the round-robin-on-seq_id shard assignment
+    * [[graft.llm.Packing.writeShards]] uses, rolled up per shard — docs,
+    * distinct sequences, token volume. The "are my training shards
+    * actually balanced" audit; rides the same prefix-sum packing.
+    */
+  def shardBalance(s: SparkSession, dir: String): DataFrame =
+    packSequences(s, dir)
+      .groupBy((col("seq_id") % 8).as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens_total"))
+
+  /** Per-label centroid drift between the even/odd vec_id halves standing
+    * in as consecutive snapshots (see [[Similarity.labelDrift]]).
+    */
+  def embedDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelDrift(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", isNew = col("vec_id") % 2 === 1)
+
   /** Embedding-space label coherence: confusion table of true vs
     * nearest-label-centroid labels (see [[Similarity.labelCoherence]]).
     */

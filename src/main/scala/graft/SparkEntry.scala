@@ -92,6 +92,8 @@ object SparkEntry {
     "q_semdedup_keep" -> (Queries.semdedupKeep _),
     "q_length_histogram" -> (Queries.lengthHistogram _),
     "q_source_quality" -> (Queries.sourceQuality _),
+    "q_shard_balance" -> (Queries.shardBalance _),
+    "q_embed_drift" -> (Queries.embedDrift _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -1431,6 +1433,54 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
          FROM t GROUP BY 1""",
+
+    // shard balance: round-robin on the packed seq_id (the writeShards
+    // assignment), rolled up per shard — same window cumsum as
+    // q_pack_sequences underneath
+    "q_shard_balance" ->
+      s"""WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM t),
+         p AS (SELECT doc_id, n_tokens,
+             CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
+           FROM o)
+         SELECT seq_id % 8 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+         FROM p GROUP BY 1""",
+
+    // per-label centroid drift between even/odd vec_id halves: exact
+    // decimal means per (label, half), exact squared-L2 shift — the same
+    // mean discipline as q_label_coherence
+    "q_embed_drift" ->
+      """WITH x AS (
+           SELECT CAST(label AS BIGINT) AS lbl, vec_id % 2 AS snap, embedding,
+             unnest(generate_series(1, len(embedding))) AS pos
+           FROM embeddings),
+         m AS (
+           SELECT lbl, snap, pos,
+             CAST(sum(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+           FROM x GROUP BY lbl, snap, pos),
+         c AS (SELECT lbl, snap, list(m ORDER BY pos) AS cv
+               FROM m GROUP BY lbl, snap),
+         n AS (SELECT CAST(label AS BIGINT) AS lbl, vec_id % 2 AS snap,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM embeddings GROUP BY 1, 2)
+         SELECT o.lbl AS label, no.cnt AS n_old, nn.cnt AS n_new,
+           CAST(list_sum(list_transform(list_zip(o.cv, w.cv),
+             z -> CAST((z[1] - z[2]) * (z[1] - z[2]) AS DECIMAL(28,12))))
+             AS DOUBLE) AS drift2
+         FROM c o
+         JOIN c w ON w.lbl = o.lbl AND o.snap = 0 AND w.snap = 1
+         JOIN n no ON no.lbl = o.lbl AND no.snap = 0
+         JOIN n nn ON nn.lbl = o.lbl AND nn.snap = 1""",
 
     // per-source quality report: doc counts, quality-gate keep rate,
     // token volume, decimal-exact mean quality — the mixture-weight

@@ -475,6 +475,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Embedding drift between two corpus snapshots: per-label decimal-exact
+    * centroids computed for the `isNew=false` and `isNew=true` slices,
+    * joined per label with the exact squared-L2 shift between them — the
+    * batch-over-batch monitor that catches an embedding-model change,
+    * pipeline regression, or topical drift BEFORE the new batch poisons a
+    * mixture (labelCoherence says "labels cohere now"; this says "the
+    * same label moved").
+    *
+    * Deterministic: means accumulate DECIMAL(28,12) per dimension (the
+    * [[kmeansCentroids]] discipline); drift² accumulates the squared
+    * per-dimension deltas the same way. Scale shape: one corpus scan into
+    * the posexplode mean aggregate (shuffle = 2L×dim pre-aggregated
+    * rows), then an L-row join — nothing corpus-sized moves.
+    */
+  def labelDrift(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, isNew: Column): DataFrame = {
+    val flagged = embeddings.select(
+      col(labelCol).cast("long").as("__lbl"),
+      isNew.cast("int").cast("long").as("__snap"), col(vecCol))
+    val cents = exactMeanVectors(
+      flagged.withColumn("__k", col("__lbl") * 2 + col("__snap")),
+      "__k", vecCol, "cv")
+    val counts = flagged.groupBy(col("__lbl"), col("__snap"))
+      .agg(count(lit(1)).as("__n"))
+    val oldC = cents.filter(col("__k") % 2 === 0)
+      .select((col("__k") / 2).cast("long").as("label"), col("cv").as("__co"))
+    val newC = cents.filter(col("__k") % 2 === 1)
+      .select(((col("__k") - 1) / 2).cast("long").as("label"), col("cv").as("__cn"))
+    // drift² through the decimal-exact dot kernel: per-dimension double
+    // subtraction is the identical IEEE op in both engines, the squared
+    // deltas then accumulate as DECIMAL(28,12) exactly like every dot
+    // product here (a plain SQL aggregate() widens the accumulator to
+    // DECIMAL(29,12) and fails to resolve)
+    val diff = expr("zip_with(__co, __cn, (x, y) -> x - y)")
+    val drift2 = dotDec(diff, diff).cast("double")
+    oldC.join(newC, Seq("label"))
+      .join(counts.filter(col("__snap") === 0)
+        .select(col("__lbl").as("label"), col("__n").as("n_old")), Seq("label"))
+      .join(counts.filter(col("__snap") === 1)
+        .select(col("__lbl").as("label"), col("__n").as("n_new")), Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"), drift2.as("drift2"))
+  }
+
   /** Embedding-space label coherence: per-label decimal-exact centroids,
     * every vector re-assigned to its nearest label centroid, rolled up as
     * a confusion table `(label, predicted_label, n)` — the cluster-purity

@@ -255,8 +255,12 @@ object TextOps {
     */
   private def langScores(textCol: Column): Seq[(String, Column)] = {
     val lt = lower(textCol)
+    // literal occurrence counting: non-regex StringReplace — the regexp
+    // engine buys nothing for fixed trigrams and costs ~5× per pass (15
+    // passes per row); the oracle's replace() is the same operator
     langTrigrams.map { case (lang, grams) =>
-      lang -> grams.map(g => length(lt) - length(regexp_replace(lt, g, "")))
+      lang -> grams.map(g =>
+          length(lt) - length(call_function("replace", lt, lit(g))))
         .reduce(_ + _).cast("long")
     }
   }

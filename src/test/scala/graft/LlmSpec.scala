@@ -1010,6 +1010,23 @@ class LlmSpec extends AnyFunSuite {
     assert(nearShared.collect().toSet == nearAlone.collect().toSet)
   }
 
+  test("label drift: identical halves drift zero, a shifted label moves") {
+    val rows = Seq(
+      // label 1: even and odd halves hold the same two vectors → drift 0
+      (0L, 1L, Seq(1.0f, 2.0f)), (1L, 1L, Seq(1.0f, 2.0f)),
+      (2L, 1L, Seq(3.0f, 0.0f)), (3L, 1L, Seq(3.0f, 0.0f)),
+      // label 2: odd (new) half shifted by (1, 0) → drift² = 1
+      (4L, 2L, Seq(0.0f, 0.0f)), (5L, 2L, Seq(1.0f, 0.0f)),
+      (6L, 2L, Seq(2.0f, 2.0f)), (7L, 2L, Seq(3.0f, 2.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val d = Similarity.labelDrift(rows, "vec_id", "embedding", "label",
+        isNew = col("vec_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(d(1L) == (2L, 2L, 0.0))
+    // old mean (1,1), new mean (2,1) → drift² = 1; counts 2/2
+    assert(d(2L) == (2L, 2L, 1.0))
+  }
+
   test("semdedup keep-list: member counts cover the corpus, reps are cluster minima") {
     val dir = "/root/testdata/sf0.001"
     val keep = Queries.semdedupKeep(spark, dir).collect()
