@@ -66,7 +66,18 @@ object ScaleProbe {
       // from the map-side rank-1 limit; lang confusion: L² cells only
       "vocab_topk" -> (Queries.vocabTopK _),
       "label_coherence" -> (Queries.labelCoherence _),
-      "lang_confusion" -> (Queries.langConfusion _))
+      "lang_confusion" -> (Queries.langConfusion _),
+      // round-6b: incremental dedup (candidates scale with the BATCH —
+      // the new-doc gate must keep bucket expansion bounded), semdedup
+      // CC over the blocked pair sliver, distinctive terms (shuffle =
+      // per-doc distinct tokens + broadcast vocab join), source overlap
+      // (pair-sliver joins only), embedding drift (2L×dim pre-aggregated
+      // rows — corpus-size-independent shuffle)
+      "incremental_dedup" -> (Queries.incrementalDedup _),
+      "semdedup_keep" -> (Queries.semdedupKeep _),
+      "distinctive_terms" -> (Queries.distinctiveTerms _),
+      "source_overlap" -> (Queries.sourceOverlap _),
+      "embed_drift" -> (Queries.embedDrift _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {

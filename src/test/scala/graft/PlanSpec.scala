@@ -103,13 +103,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("lang queries evaluate each trigram score stack once, not per CASE branch") {
-    // 15 distinct regex patterns total; if the CASE inlined the score
-    // expressions the optimized plan would carry ~2x the regexp_replace
-    // calls. Count occurrences in the optimized plan of the confusion
-    // query: exactly 15 per text reference.
-    val n = "regexp_replace".r.findAllIn(
+    // 15 distinct trigram patterns total (now non-regex StringReplace);
+    // if the CASE inlined the score expressions the optimized plan would
+    // carry ~2x the replace calls. Count occurrences in the optimized
+    // plan of the confusion query: exactly 15 per text reference.
+    val n = "replace\\(".r.findAllIn(
       Queries.langConfusion(spark, TestSpark.sfDir)
         .queryExecution.optimizedPlan.toString).size
-    assert(n == 15, s"expected 15 regexp_replace evaluations, found $n")
+    assert(n == 15, s"expected 15 replace evaluations, found $n")
   }
 }
