@@ -736,6 +736,17 @@ object Queries {
       "vec_id", "embedding", idxDir, k = 10, nProbe = 3)
   }
 
+  /** IVF × int8 composed retrieval: probe pruning + quantized coarse
+    * scoring within the probed lists + exact rerank — the full ANN scale
+    * stack (see [[graft.llm.Quantize.ivfQuantizedTopK]]); rides the
+    * shared assignment/codebook.
+    */
+  def ivfQuantTopK(s: SparkSession, dir: String): DataFrame =
+    Quantize.ivfQuantizedTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < 5, k = 10, nProbe = 3, rerankFactor = 4,
+      centroids = ivfCentroidsShared(s, dir),
+      assigned = ivfAssignedShared(s, dir))
+
   /** N-gram-profile language ID (trigram occurrence scoring + argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
     TextOps.langIdNgram(Tables.documents(s, dir), "doc_id", "text")

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_source_quality" -> (Queries.sourceQuality _),
     "q_shard_balance" -> (Queries.shardBalance _),
     "q_embed_drift" -> (Queries.embedDrift _),
+    "q_ivf_quant_topk" -> (Queries.ivfQuantTopK _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -1179,6 +1180,77 @@ object SparkEntry {
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
 
     "q_ivf_topk" -> ivfTopKSql,
+
+    // IVF × int8 composition: the q_ivf_topk probe/assignment structure
+    // (n2/c/pc/qp CTE shapes) + the q_quant_topk quantization (z/q8) —
+    // int8 coarse scores rank WITHIN probed lists to a 4×k pool, the
+    // decimal-exact cosine reranks; multiplication order of the coarse
+    // score (int sum × query scale × corpus scale) mirrors dot8 exactly
+    "q_ivf_quant_topk" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (
+           SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
+           QUALIFY row_number() OVER (ORDER BY vec_id) <=
+             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+         pc AS (
+           SELECT vec_id AS neighbor_id, embedding AS nv, nn, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   w -> CAST(CAST(w[1] AS DOUBLE) * CAST(w[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM n2 v, c) t
+           WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, embedding AS qv, nn AS qn, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   w -> CAST(CAST(w[1] AS DOUBLE) * CAST(w[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM (SELECT * FROM n2 WHERE vec_id < 5) v, c) t
+           WHERE rn <= 3),
+         z AS (
+           SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))),
+               2.2250738585072014e-308) / 127.0 AS scale
+           FROM embeddings),
+         q8 AS (
+           SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+           FROM z),
+         cand AS (
+           SELECT qp.query_id, pc.neighbor_id, qp.qv, qp.qn, pc.nv, pc.nn,
+             CAST(list_sum(list_transform(list_zip(zq.q, zn.q),
+               p -> p[1] * p[2])) AS DOUBLE) * zq.scale * zn.scale AS coarse
+           FROM qp
+           JOIN pc ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id
+           JOIN q8 zq ON zq.vec_id = qp.query_id
+           JOIN q8 zn ON zn.vec_id = pc.neighbor_id),
+         pool AS (
+           SELECT query_id, neighbor_id, qv, qn, nv, nn FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY coarse DESC, neighbor_id) AS crn
+             FROM cand) t
+           WHERE crn <= 40),
+         rer AS (
+           SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(list_zip(qv, nv),
+               w -> CAST(CAST(w[1] AS DOUBLE) * CAST(w[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(qn) * sqrt(nn)) AS cosine
+           FROM pool)
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rer) r
+         WHERE rank <= 10""",
 
     // the materialized-index reader computes the SAME probed top-k (same
     // lowest-id codebook, probes, k) — what changes is the storage shape

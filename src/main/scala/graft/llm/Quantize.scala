@@ -76,6 +76,63 @@ object Quantize {
     * broadcast EXPLICITLY so the corpus never shuffle-writes its float
     * vectors. A million-query batch needs a join-shaped retrieval instead.
     */
+  /** IVF × int8 composition — the full ANN scale stack in one retrieval:
+    * the probe list prunes the corpus to `nProbe` inverted lists, the
+    * int8 coarse score prunes each probed list to a `rerankFactor`×k
+    * pool carrying ONLY ids + int8 payloads, and the decimal-exact
+    * cosine ranks the pool. At 100 TB this is "quantize WITHIN inverted
+    * lists": per-query work is nProbe·√n cheap integer dots, float
+    * vectors move only for the pruned pool, and every stage stays
+    * deterministic (exact integer coarse sums, id tie-breaks).
+    *
+    * `assigned` is the session-memoized corpus assignment
+    * ([[Similarity.assignedCorpusShared]]) and `centroids` its codebook —
+    * the same-codebook caller contract as [[Similarity.ivfTopK]].
+    */
+  def ivfQuantizedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nProbe: Int, rerankFactor: Int,
+      centroids: DataFrame, assigned: DataFrame): DataFrame = {
+    // coarse side: ids + int8 only — the quantization's bandwidth saving
+    // must survive into the shuffle, exactly as in quantizedTopK
+    val corpus8 = withInt8(
+        assigned.select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+          col("__v").as("__nv")),
+        "__nv", "__nz")
+      .select("neighbor_id", "centroid_id", "__nz")
+    val probes = Similarity.ivfRank(embeddings.filter(isQuery), idCol, vecCol,
+        centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val queries8 = withInt8(embeddings.filter(isQuery)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "__qv", "__qz")
+      .select(col("query_id"), col("__qz"))
+      .join(probes, Seq("query_id"))
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__coarse").desc, col("neighbor_id").asc)
+    val pool = corpus8.join(broadcast(queries8), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__coarse", dot8(col("__qz"), col("__nz")))
+      .withColumn("__crn", row_number().over(coarseW))
+      .filter(col("__crn") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    // float vectors only for the pruned pool (bounded by construction),
+    // read back from the memoized assignment — no second corpus scan
+    val corpusF = assigned.select(col("vec_id").as("neighbor_id"),
+      col("__v").as("__nv"), col("__vn").as("__nn"))
+    val queriesF = embeddings.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        Similarity.norm2(col(vecCol)).as("__qn"))
+    val exactW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpusF.join(broadcast(pool), Seq("neighbor_id"))
+      .join(broadcast(queriesF), Seq("query_id"))
+      .withColumn("cosine",
+        Similarity.dotDec(col("__qv"), col("__nv")).cast("double") /
+          (sqrt(col("__qn")) * sqrt(col("__nn"))))
+      .withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   def quantizedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, rerankFactor: Int = 4): DataFrame = {
     val z = withInt8(embeddings.select(col(idCol), col(vecCol)), vecCol, "__z")

@@ -1048,6 +1048,35 @@ class LlmSpec extends AnyFunSuite {
     assert(cluster.values.toSet.subsetOf(keep.keySet))
   }
 
+  test("ivf+int8 retrieval reduces to plain IVF when the pool is unbounded") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val kc = math.max(1, math.ceil(math.sqrt(
+      Tables.rowCount(spark, dir, "embeddings").toDouble)).toInt)
+    val cents = emb.orderBy(col("vec_id")).limit(kc)
+      .select(col("vec_id"), col("embedding"))
+    val assigned = Similarity.assignedCorpusShared(emb, s"$dir/embeddings",
+      "vec_id", "embedding", cents, codebookKey = s"low$kc",
+      extraCols = Seq("label"))
+    def composed(rf: Int) = Quantize.ivfQuantizedTopK(emb, "vec_id",
+        "embedding", isQuery = col("vec_id") < 5, k = 10, nProbe = 3,
+        rerankFactor = rf, centroids = cents, assigned = assigned)
+      .collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        isQuery = col("vec_id") < 5, k = 10, nProbe = 3,
+        centroids = Some(cents), assigned = Some(assigned))
+      .collect().toSet
+    // rerankFactor large enough that no candidate is pruned → the exact
+    // rerank sees the full probed buckets, i.e. exactly ivfTopK
+    assert(composed(1000000) == ivf)
+    // at the production pool size, the quantized pruning keeps ≥ 80% of
+    // the true probed top-k (int8 pool misses only near-boundary ties)
+    val c4 = composed(4)
+    val overlap = c4.map(r => (r.getLong(0), r.getLong(1)))
+      .intersect(ivf.map(r => (r.getLong(0), r.getLong(1))))
+    assert(c4.size == ivf.size && overlap.size >= (ivf.size * 8) / 10)
+  }
+
   test("embedding outliers plan as a distributed top-k, never a global sort") {
     val plan = Queries.embedOutliers(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
