@@ -60,8 +60,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, fn)
     }
+    // milliseconds of precision are plenty for per-query seconds, and the
+    // compact rendering keeps the single stdout line well inside any
+    // tail-window a downstream parser might apply (a 17-digit double per
+    // query once pushed the line past one)
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val qs = results.map {
-      case (k, Right((sec, _))) => s"\"$k\":$sec"
+      case (k, Right((sec, _))) => s"\"$k\":${r3(sec)}"
       case (k, Left(err)) => s"""\"$k\":{"err":"${jsonEscape(err)}"}"""
     }.mkString("{", ",", "}")
     // per-query GC seconds as a SIBLING map: the driver's contract reads
@@ -79,7 +84,7 @@ object Bench {
         .map(p => math.max(0L, p.getPeakUsage.getUsed)).sum / (1024 * 1024)
     }
     CacheBin.drainAll() // suite end: release session-pinned shared results
-    val total = results.collect { case (_, Right((sec, _))) => sec }.sum
+    val total = r3(results.collect { case (_, Right((sec, _))) => sec }.sum)
     val failed = results.count(_._2.isLeft)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"gc_sec":$gcs,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}"""
     println(line)

@@ -369,6 +369,23 @@ object Queries {
       .orderBy(col("dist2").desc, col("vec_id").asc)
       .limit(20)
 
+  /** Dedup sweep executive summary — one row per stage of the sweep
+    * (corpus size, exact-dup groups, verified near-dup pairs, clusters
+    * kept): the rollup an operator reads before/after a 100 TB dedup
+    * run. Every stage rides an already-memoized or single-agg frame, so
+    * the whole table costs four tiny aggregates.
+    */
+  def dedupSummary(s: SparkSession, dir: String): DataFrame = {
+    def one(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+    one("docs", Tables.documents(s, dir))
+      .unionAll(one("exact_dup_groups",
+        docsExactDedup(s, dir).filter(col("n_copies") > 1)))
+      .unionAll(one("near_dup_pairs",
+        sharedPairs(s, dir).filter(col("jaccard") >= 0.5)))
+      .unionAll(one("clusters_kept", dedupKeep(s, dir)))
+  }
+
   def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_shard_balance" -> (Queries.shardBalance _),
     "q_embed_drift" -> (Queries.embedDrift _),
     "q_ivf_quant_topk" -> (Queries.ivfQuantTopK _),
+    "q_dedup_summary" -> (Queries.dedupSummary _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -755,6 +756,23 @@ object SparkEntry {
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_doc_id,
            CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY 1""",
+
+    // sweep summary: one row per dedup stage, every leg a count over the
+    // same shared CTE chain the standalone oracles use
+    "q_dedup_summary" -> (minhashReachCte +
+      """
+         SELECT 'docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+         UNION ALL
+         SELECT 'exact_dup_groups', CAST(count(*) AS BIGINT) FROM (
+           SELECT sha256(text) FROM documents
+           GROUP BY 1 HAVING count(*) > 1) g
+         UNION ALL
+         SELECT 'near_dup_pairs', CAST(count(*) AS BIGINT)
+         FROM jac WHERE jaccard >= 0.5
+         UNION ALL
+         SELECT 'clusters_kept', CAST(count(DISTINCT cluster_id) AS BIGINT)
+         FROM (SELECT doc_id, min(label) AS cluster_id
+               FROM reach GROUP BY doc_id) c"""),
 
     // pairs oracle rides the same shared CTE (the jac step already
     // carries doc_a/doc_b/jaccard); reach is defined but unused — valid SQL
