@@ -777,6 +777,21 @@ object Queries {
     TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
       k = 8, w = 4)
 
+  /** MOSS-style winnow candidate pairs: ≥ 3 shared fingerprints, buckets
+    * capped at 50 (see [[TextOps.winnowPairs]]) — the local-similarity
+    * modality beside MinHash/SimHash.
+    */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, w = 4, minShared = 3L, bucketCap = 50)
+
+  /** Corpus bigram heavy hitters (collocation / boilerplate-phrase
+    * discovery; see [[TextOps.ngramTopK]]).
+    */
+  def bigramTopK(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramTopK(Tables.documents(s, dir), "doc_id", "text",
+      n = 2, k = VocabK)
+
   // media-gate thresholds, single-sourced with the oracle (chosen to
   // split the synthetic corpus: fake widths span 97..122 from the first
   // byte, heights 64..127 from length mod 64, payloads ~50..600 bytes)

@@ -96,6 +96,8 @@ object SparkEntry {
     "q_embed_drift" -> (Queries.embedDrift _),
     "q_ivf_quant_topk" -> (Queries.ivfQuantTopK _),
     "q_dedup_summary" -> (Queries.dedupSummary _),
+    "q_winnow_pairs" -> (Queries.winnowPairs _),
+    "q_bigram_topk" -> (Queries.bigramTopK _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -316,6 +318,24 @@ object SparkEntry {
            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          FROM pairs) r
        WHERE rank <= 10"""
+
+  /** Shared winnow CTEs (`h` → `wnw` with the per-doc fingerprint list):
+    * `q_winnow` summarizes, `q_winnow_pairs` joins on shared prints.
+    */
+  private val winnowCtes: String =
+    """h AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, length(text) - 7),
+               i -> list_reduce(
+                 list_transform(generate_series(0, 7),
+                   j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+                 (a, b) -> (a * 257 + b) % 1000000007)) AS hs
+           FROM documents WHERE length(text) >= 11),
+         wnw AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(hs) - 3),
+               i -> list_min(list_slice(hs, CAST(i AS INT), CAST(i + 3 AS INT))))) AS fp
+           FROM h)"""
 
   /** Shared CTE chain for the embedding near-dup oracles: norms → ⌈√n⌉
     * lowest-id centroids → assignment → (centroid, label) block cap →
@@ -1470,24 +1490,39 @@ object SparkEntry {
            CAST(length(text) AS BIGINT) AS n_chars
          FROM documents""",
 
-    "q_winnow" ->
-      """WITH h AS (
-           SELECT doc_id,
-             list_transform(generate_series(1, length(text) - 7),
-               i -> list_reduce(
-                 list_transform(generate_series(0, 7),
-                   j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
-                 (a, b) -> (a * 257 + b) % 1000000007)) AS hs
-           FROM documents WHERE length(text) >= 11),
-         wnw AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(hs) - 3),
-               i -> list_min(list_slice(hs, CAST(i AS INT), CAST(i + 3 AS INT))))) AS fp
-           FROM h)
+    "q_winnow" -> (s"WITH $winnowCtes" +
+      """
          SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
            list_min(fp) AS fp_min, list_max(fp) AS fp_max,
            CAST(list_sum(fp) AS BIGINT) AS fp_sum
-         FROM wnw""",
+         FROM wnw"""),
+
+    // winnow candidate pairs: shared fingerprints with the same bucket
+    // gate (2..50) as the Spark side; n_shared counts capped fps only
+    "q_winnow_pairs" -> (s"WITH $winnowCtes," +
+      """
+         f AS (SELECT doc_id, unnest(fp) AS fpv FROM wnw),
+         ok AS (SELECT fpv FROM f GROUP BY fpv
+                HAVING count(*) BETWEEN 2 AND 50),
+         fi AS (SELECT f.* FROM f JOIN ok USING (fpv))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM fi a JOIN fi b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3"""),
+
+    // bigram heavy hitters: q_vocab_topk generalized to 2-grams
+    "q_bigram_topk" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+               i -> concat_ws(' ', ws[i], ws[i+1]))) AS ngram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) s
+           WHERE len(ws) >= 2),
+         d AS (SELECT ngram, doc_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
+         SELECT ngram, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM d GROUP BY ngram
+         ORDER BY n_occurrences DESC, ngram ASC LIMIT ${Queries.VocabK}""",
 
     "q_embed_neardup" -> (s"WITH $embedNearDupCtes" +
       """

@@ -380,7 +380,11 @@ object TextOps {
     * (`array_min(slice(...))`), so at corpus scale this is a pure
     * parquet-scan-speed pass like the other TextOps.
     */
-  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+  /** The per-document winnow fingerprint SET as an array column — the
+    * shared kernel behind [[winnowFingerprints]] (summary) and
+    * [[winnowPairs]] (candidate generation).
+    */
+  def winnowSets(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     val B = 257L
     val M = 1000000007L
@@ -394,13 +398,79 @@ object TextOps {
     Spread(df).filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol), expr(hashes).as("__hs"))
       .select(col(idCol), expr(winnowed).as("__fp"))
+  }
+
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame =
+    winnowSets(df, idCol, textCol, k, w)
       .select(
         col(idCol),
         size(col("__fp")).cast("long").as("n_fp"),
         expr("array_min(__fp)").as("fp_min"),
         expr("array_max(__fp)").as("fp_max"),
         expr("aggregate(__fp, 0L, (a, x) -> a + x)").as("fp_sum"))
+
+  /** MOSS-style winnow candidate pairs: documents sharing ≥ `minShared`
+    * winnow fingerprints — the local-similarity dedup modality beside
+    * MinHash (global resemblance) and SimHash (topical distance): a
+    * shared fingerprint pins a shared ~(k+w)-char REGION, so heavily
+    * templated or partially copied documents surface even when global
+    * similarity is low.
+    *
+    * Same scale guards as the LSH banding: fingerprints shared by more
+    * than `bucketCap` docs are dropped BEFORE any expansion (a stopword
+    * region must never fan out a quadratic bucket), surviving buckets
+    * expand pairs in-row, and the per-pair count of shared (capped)
+    * fingerprints is the ranking signal.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, bucketCap: Int): DataFrame = {
+    require(bucketCap >= 2 && bucketCap <= 1000,
+      s"bucketCap $bucketCap outside [2, 1000]: the in-row pair expansion " +
+        "is sized for capped buckets; see MinHashDedup.candidatePairs")
+    // the cache is a CORRECTNESS-OF-COST barrier, not an optimization:
+    // exploding __fp directly lets CollapseProject inline the whole
+    // rolling-hash pipeline into the generator, where the loop-invariant
+    // hash array re-evaluates per fingerprint position — O(len²·k)
+    // interpreted lambdas per row (measured: minutes for 500 docs vs
+    // ~1 s through the barrier). In-row consumers (winnowFingerprints)
+    // never hit this; only the explode does. At 100 TB the analogous
+    // move is materializing the fingerprint table to the store once.
+    val sets = graft.CacheBin.register(winnowSets(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val fps = sets.select(col(idCol), explode(col("__fp")).as("fp"))
+    val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn").between(2, bucketCap))
+      .select("fp")
+    fps.join(ok, Seq("fp"), "left_semi")
+      .groupBy(col("fp"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(__ids,
+               a -> transform(__ids, b -> named_struct('doc_a', a, 'doc_b', b)))),
+             p -> p.doc_a < p.doc_b)""")).as("__p"))
+      .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
+
+  /** Word-n-gram heavy hitters — [[vocabTopK]] generalized to phrases:
+    * top-k n-grams by occurrence count with document frequencies
+    * (collocation mining / boilerplate-phrase discovery). Same two-level
+    * aggregation and TakeOrderedAndProject shape.
+    */
+  def ngramTopK(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    wordNgrams(df, idCol, textCol, n)
+      .groupBy(col("ngram"), col(idCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__n")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
 
   /** Character k-shingles as (id, shingle) rows. Guarded so texts shorter
     * than k yield no rows (`sequence` would count DOWN for start > stop).

@@ -1027,6 +1027,30 @@ class LlmSpec extends AnyFunSuite {
     assert(d(2L) == (2L, 2L, 1.0))
   }
 
+  test("winnow pairs surface shared regions and drop over-shared fingerprints") {
+    val region = "unmistakably shared fragment of text here"
+    val docs = Seq(
+      (1L, s"alpha prefix $region omega suffix one"),
+      (2L, s"totally different framing yet $region appears"),
+      (3L, "no overlap with anything else in this corpus at all times")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 3L, bucketCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 3L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // a fingerprint shared by MORE than bucketCap docs must be dropped:
+    // with cap 2, the 3-way shared region fans out no pairs at all
+    val many = Seq(
+      (1L, s"aa $region zz"), (2L, s"bb $region yy"), (3L, s"cc $region xx")
+    ).toDF("doc_id", "text")
+    val capped = TextOps.winnowPairs(many, "doc_id", "text",
+      k = 8, w = 4, minShared = 1L, bucketCap = 2)
+    val uncapped = TextOps.winnowPairs(many, "doc_id", "text",
+      k = 8, w = 4, minShared = 1L, bucketCap = 50)
+    assert(capped.count() == 0 && uncapped.count() == 3)
+  }
+
   test("semdedup keep-list: member counts cover the corpus, reps are cluster minima") {
     val dir = "/root/testdata/sf0.001"
     val keep = Queries.semdedupKeep(spark, dir).collect()
