@@ -77,7 +77,11 @@ object ScaleProbe {
       "semdedup_keep" -> (Queries.semdedupKeep _),
       "distinctive_terms" -> (Queries.distinctiveTerms _),
       "source_overlap" -> (Queries.sourceOverlap _),
-      "embed_drift" -> (Queries.embedDrift _))
+      "embed_drift" -> (Queries.embedDrift _),
+      // winnow pairs: per-bucket expansion is cap²-bounded, bucket count
+      // grows ~linearly; bigram topk: shuffle = per-doc distinct bigrams
+      "winnow_pairs" -> (Queries.winnowPairs _),
+      "bigram_topk" -> (Queries.bigramTopK _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {
