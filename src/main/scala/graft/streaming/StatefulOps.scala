@@ -101,6 +101,62 @@ object StatefulOps {
         })(Encoders.product[BucketState], Encoders.product[NearDupHit])
   }
 
+  final case class MhBandDoc(band: Int, sig: String, doc_id: Long)
+  final case class MhBucket(members: List[Long])
+  final case class CandidatePair(doc_a: Long, doc_b: Long)
+
+  /** Streaming MinHash-LSH candidate generation — the ingest-time twin of
+    * [[graft.llm.MinHashDedup.candidatePairs]] and the streaming half of
+    * the incremental dedup story ([[graft.llm.MinHashDedup
+    * .incrementalNewKeep]] is the scheduled-batch form): each arriving
+    * document is banded on its MinHash signature (same slices, same
+    * band/sig concatenation as the batch stage) and paired against the
+    * documents already RESIDENT in its band buckets. Downstream, exact
+    * Jaccard verification runs as the batch verify stage over the emitted
+    * candidates — candidates are cheap, verification is the expensive
+    * part, and only candidates need to be incremental.
+    *
+    * Same honest divergences as [[nearDupPairs]]: at-least-once pair
+    * emission (a pair can match in more than one band; the batch twin
+    * `.distinct()`s), cap-by-truncation instead of the batch's
+    * drop-the-bucket, and non-expiring state (shard or TTL-wrap at
+    * corpus scale). One shuffle on (band, sig) per micro-batch;
+    * comparisons per arrival bounded by bucketCap.
+    */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bucketCap: Int = 10000): Dataset[CandidatePair] = {
+    import graft.llm.{MinHashDedup, MinHashExpr}
+    val bands = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        MinHashExpr.minhashSlices(col(textCol), k, MinHashDedup.numHashes).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col("doc_id"),
+        explode(array((0 until MinHashDedup.numBands).map(i =>
+          struct(lit(i).as("band"),
+            concat(col("__mh").getItem(MinHashDedup.bandRows * i),
+              col("__mh").getItem(MinHashDedup.bandRows * i + 1)).as("sig"))): _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.sig").as("sig"), col("doc_id"))
+      .as(Encoders.product[MhBandDoc])
+    bands
+      .groupByKey(b => (b.band, b.sig))(Encoders.product[(Int, String)])
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[MhBandDoc], state: GroupState[MhBucket]) => {
+          var seen = state.getOption.map(_.members).getOrElse(Nil)
+          var nSeen = seen.size
+          val out = List.newBuilder[CandidatePair]
+          rows.toArray.sortBy(_.doc_id).foreach { r =>
+            if (nSeen < bucketCap && !seen.contains(r.doc_id)) {
+              seen.foreach(m => out += CandidatePair(
+                math.min(m, r.doc_id), math.max(m, r.doc_id)))
+              seen = r.doc_id :: seen
+              nSeen += 1
+            }
+          }
+          state.update(MhBucket(seen))
+          out.result().iterator
+        })(Encoders.product[MhBucket], Encoders.product[CandidatePair])
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

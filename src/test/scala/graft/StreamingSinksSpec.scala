@@ -451,6 +451,40 @@ class StreamingSinksSpec extends AnyFunSuite {
       "wave 2 must emit pairs against resident state, not restart it")
   }
 
+  test("streaming minhash candidates: two waves emit the batch banding's pair set") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.types._
+    val src = tmp("mhsrc"); val out = tmp("mhout"); val ckpt = tmp("mhckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = Tables.documents(spark, TestSpark.sfDir).select("doc_id", "text")
+    // batch twin: same signatures, same banding, cap high enough that
+    // neither variant's differing cap semantics engage
+    val expected = graft.llm.MinHashDedup.candidatePairs(
+        graft.llm.MinHashDedup.signatures(docs, "doc_id", "text", k = 16),
+        "doc_id", bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "corpus must contain banding collisions for this spec")
+
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(src)
+    def run(): Unit = FileStreamIngest.runAvailableNowAppend(
+      StatefulOps.minhashCandidatePairs(
+        FileStreamIngest.bronzeStream(spark, src, schema),
+        "doc_id", "text", k = 16, bucketCap = 1000).toDF(),
+      out, ckpt)
+    run()
+    val afterWave1 = spark.read.parquet(out).count()
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(src)
+    run() // wave 2 pairs against wave-1 resident state
+    // at-least-once emission (multi-band matches) → compare as sets
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == expected,
+      s"stream/batch divergence: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    assert(spark.read.parquet(out).count() > afterWave1,
+      "wave 2 must emit pairs against resident state, not restart it")
+  }
+
   test("partitioned parquet sink: day partitions, idempotent unless forced") {
     val out = tmp("psink") + "/prices"
     val df = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("dt", "v")
