@@ -268,6 +268,7 @@ object Queries {
   val SplitSalt = "graft-v1"
   val SplitPctTrain = 90
   val SamplePerStratum = 30
+  val SampleTokenBudget = 400L
   val PiiSeedSuffix =
     " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
 
@@ -499,6 +500,13 @@ object Queries {
     TextOps.stratifiedSample(
       Tables.documents(s, dir).select("doc_id", "source"),
       "doc_id", "source", perStratum = SamplePerStratum, salt = SplitSalt)
+
+  /** Token-budgeted mixture sampling: ~400 tokens per source in
+    * deterministic hash order (see [[TextOps.tokenBudgetSample]]).
+    */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenBudgetSample(Tables.documents(s, dir), "doc_id", "source",
+      "text", budget = SampleTokenBudget, salt = SplitSalt)
 
   /** Deterministic 90/10 corpus split keyed on sha256(doc_id ∥ salt). */
   def hashSplit(s: SparkSession, dir: String): DataFrame =

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_summary" -> (Queries.dedupSummary _),
     "q_winnow_pairs" -> (Queries.winnowPairs _),
     "q_bigram_topk" -> (Queries.bigramTopK _),
+    "q_token_budget_sample" -> (Queries.tokenBudgetSample _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -918,6 +919,28 @@ object SparkEntry {
            CAST(${splitBucketSql("doc_id")} AS INT) AS bucket,
            ${splitCaseSql("doc_id")} AS split
          FROM documents"""),
+
+    // token-budgeted mixture sample: hash-rank per source, keep while the
+    // running token sum fits the budget; rank and cumsum share one window
+    // order, integer arithmetic end-to-end
+    "q_token_budget_sample" -> (s"""
+         WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             sha256(concat(CAST(doc_id AS VARCHAR), '${Queries.SplitSalt}')) AS k
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, n_tokens, k,
+             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+           FROM t),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM r WHERE rn <= ${Queries.SampleTokenBudget})
+         SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= ${Queries.SampleTokenBudget}"""),
 
     // stratified corpus-mixture sample: hash-rank per source, top-N; both
     // engines produce lowercase-hex sha256, so the rank ORDER is identical

