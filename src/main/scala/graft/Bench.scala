@@ -60,19 +60,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, fn)
     }
-    // milliseconds of precision are plenty for per-query seconds, and the
-    // compact rendering keeps the single stdout line well inside any
-    // tail-window a downstream parser might apply (a 17-digit double per
-    // query once pushed the line past one)
+    // The downstream artifact keeps only the last ~2000 chars of stdout, and
+    // round 5's line (per-query gc_sec inline) outgrew that window — the
+    // total was cut off the front. The stdout line now carries ONLY the
+    // contract fields ({"metric",…,"queries",…,"sf"}) at centisecond
+    // precision; full-precision timings, per-query GC and peak heap land in
+    // bench_last.json on disk.
+    def r1(x: Double): Double = math.rint(x * 10) / 10
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val qs = results.map {
-      case (k, Right((sec, _))) => s"\"$k\":${r3(sec)}"
+      case (k, Right((sec, _))) => s"\"$k\":${r1(sec)}"
       case (k, Left(err)) => s"""\"$k\":{"err":"${jsonEscape(err)}"}"""
     }.mkString("{", ",", "}")
     // per-query GC seconds as a SIBLING map: the driver's contract reads
     // "queries" as name→seconds, so diagnostics ride alongside, not inside
     val gcs = results.collect {
       case (k, Right((_, gc))) => s"\"$k\":${math.rint(gc * 1000) / 1000}"
+    }.mkString("{", ",", "}")
+    val qsFull = results.map {
+      case (k, Right((sec, _))) => s"\"$k\":${r3(sec)}"
+      case (k, Left(err)) => s"""\"$k\":{"err":"${jsonEscape(err)}"}"""
     }.mkString("{", ",", "}")
     // TRUE high-water mark across the run (per-pool peaks, heap pools
     // only) — an instantaneous getUsed read would miss a mid-run balloon
@@ -86,13 +93,19 @@ object Bench {
     CacheBin.drainAll() // suite end: release session-pinned shared results
     val total = r3(results.collect { case (_, Right((sec, _))) => sec }.sum)
     val failed = results.count(_._2.isLeft)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"gc_sec":$gcs,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}"""
+    // "queries" leads and metric/value/sf trail: JSON key order is
+    // irrelevant to a parser, but the tail window clips the FRONT of the
+    // output — this way the total survives even if the per-query map is cut
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val failedPart = if (failed > 0) s""""failed":$failed,""" else ""
+    val line = s"""{"queries":$qs,$failedPart"metric":"total","value":$total,"unit":"sec","sf":"$sfShort"}"""
     println(line)
-    // also land the line as a file: harness wrappers (sbt) prefix stdout,
-    // which has broken downstream JSON extraction before — the artifact on
-    // disk is always clean
+    // full-precision detail (per-query ms, GC, peak heap) as a file: stdout
+    // must stay inside the tail window, and harness wrappers (sbt) prefix
+    // stdout anyway — the artifact on disk is always clean
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qsFull,"gc_sec":$gcs,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("bench_last.json"), detail + "\n")
     catch { case _: java.io.IOException => () } // stdout remains the contract
     spark.stop()
   }

@@ -644,10 +644,16 @@ object Queries {
   /** Embedding-cosine near-dup pairs, blocked by IVF centroid + label.
     * Centroid count scales with the corpus (⌈√n⌉); mega-blocks capped.
     */
+  /** Embedding near-dup pairs are session-memoized like the MinHash pair
+    * table: the blocked self-join + exact cosine runs once and serves both
+    * `q_embed_neardup` (the pairs) and `q_semdedup_keep` (their connected
+    * components). The frame is pair-bounded (near-dups only) — cheap to pin.
+    */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-      "label", threshold = 0.2,
-      assigned = Some(ivfAssignedShared(s, dir)))
+    SessionMemo.cached(s, s"embedneardup:$dir")(
+      Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", threshold = 0.2,
+        assigned = Some(ivfAssignedShared(s, dir))))
 
   /** SemDeDup keep-list: connected components over the embedding near-dup
     * pairs, one survivor (min vec id) per cluster with its member count —
@@ -781,9 +787,16 @@ object Queries {
     TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
 
   /** Winnowing rolling-hash fingerprints (k=8 grams, window 4). */
+  /** The session-shared winnow fingerprint table both winnow queries
+    * read (k=8, w=4 — one definition; see [[TextOps.winnowSetsShared]]).
+    */
+  private def winnowSetsFor(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowSetsShared(Tables.documents(s, dir), corpusKey = dir,
+      "doc_id", "text", k = 8, w = 4)
+
   def winnow(s: SparkSession, dir: String): DataFrame =
     TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
-      k = 8, w = 4)
+      k = 8, w = 4, sets = Some(winnowSetsFor(s, dir)))
 
   /** MOSS-style winnow candidate pairs: ≥ 3 shared fingerprints, buckets
     * capped at 50 (see [[TextOps.winnowPairs]]) — the local-similarity
@@ -791,7 +804,8 @@ object Queries {
     */
   def winnowPairs(s: SparkSession, dir: String): DataFrame =
     TextOps.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
-      k = 8, w = 4, minShared = 3L, bucketCap = 50)
+      k = 8, w = 4, minShared = 3L, bucketCap = 50,
+      sets = Some(winnowSetsFor(s, dir)))
 
   /** Corpus bigram heavy hitters (collocation / boilerplate-phrase
     * discovery; see [[TextOps.ngramTopK]]).
@@ -825,4 +839,48 @@ object Queries {
       octet_length(col("text")).cast("long").as("n_bytes"),
       sha2(col("text"), 256).as("content_hash"),
       expr("(octet_length(text) + 255) div 256").cast("long").as("n_chunks"))
+
+  // data-selection parameters (see graft.llm.Selection): target = English
+  // documents, keep the top quarter by importance score
+  val DsirKeepNum = 1
+  val DsirKeepDen = 4
+  val ChunkDedupTokens = 10
+
+  /** DSIR-style importance weights toward the `lang='en'` target slice,
+    * with the top-quarter keep flag (see [[graft.llm.Selection]]).
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Selection.importanceWeights(Tables.documents(s, dir),
+      "doc_id", "text", targetPred = col("lang") === "en",
+      keepNum = DsirKeepNum, keepDen = DsirKeepDen)
+
+  /** Temperature-scaled per-source mixture weights (τ=1 and τ=0.5; see
+    * [[graft.llm.Selection.mixtureWeights]]).
+    */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Selection.mixtureWeights(Tables.documents(s, dir), "source", "text")
+
+  /** Sub-document chunk dedup: first corpus-wide occurrence of every
+    * 10-token chunk survives, documents reassemble from surviving chunks
+    * (see [[graft.llm.ChunkDedup]]).
+    */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.ChunkDedup.chunkDedup(Tables.documents(s, dir),
+      "doc_id", "text", chunkTokens = ChunkDedupTokens)
+
+  /** ANN quality evaluation: recall@10 of the IVF-probed top-k
+    * ([[ivfTopK]]) against brute-force cosine ([[cosineTopK]]) per query —
+    * the measurement loop that keeps the approximate scale path honest.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id",
+      "embedding", isQuery = col("vec_id") < 5, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    bf.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__hit")).as("n_hits"),
+        (count(col("__hit")).cast("double") / lit(10.0)).as("recall"))
+  }
 }

@@ -99,6 +99,10 @@ object SparkEntry {
     "q_winnow_pairs" -> (Queries.winnowPairs _),
     "q_bigram_topk" -> (Queries.bigramTopK _),
     "q_token_budget_sample" -> (Queries.tokenBudgetSample _),
+    "q_dsir_weights" -> (Queries.dsirWeights _),
+    "q_mixture_weights" -> (Queries.mixtureWeights _),
+    "q_chunk_dedup" -> (Queries.chunkDedup _),
+    "q_ann_recall" -> (Queries.annRecall _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -278,8 +282,12 @@ object SparkEntry {
     s"CASE WHEN ${splitBucketSql(idExpr)} < ${Queries.SplitPctTrain} " +
       "THEN 'train' ELSE 'holdout' END"
 
-  private val ivfTopKSql: String =
-    """WITH n2 AS (
+  /** IVF CTE chain (`n2` → … → `pairs`) WITHOUT the final rank-select —
+    * shared by `q_ivf_topk`/`q_ivf_topk_indexed` (which rank to top-10)
+    * and `q_ann_recall` (which joins the ranked set against brute force).
+    */
+  private val ivfPairsCtes: String =
+    """n2 AS (
          SELECT vec_id, embedding,
            CAST(list_sum(list_transform(embedding,
              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
@@ -313,7 +321,10 @@ object SparkEntry {
              z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
              AS DOUBLE) / (sqrt(qp.qn) * sqrt(pc.nn)) AS cosine
          FROM qp JOIN pc
-           ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id)
+           ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id)"""
+
+  private val ivfTopKSql: String =
+    s"""WITH $ivfPairsCtes
        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
          SELECT *, row_number() OVER (
            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1646,5 +1657,118 @@ object SparkEntry {
            CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE)
              / count(*) AS avg_quality
          FROM j GROUP BY source"""),
+
+    // DSIR-style importance weights: smoothed target/corpus token-ratio
+    // mean per doc (exact integer counts → one double division per token
+    // → DECIMAL(28,12)-exact sum), top-quarter keep via the k-th
+    // (score desc, id) threshold row — ceil-division k as in Spark
+    "q_dsir_weights" -> (s"""
+         WITH t AS (
+           SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         st AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           FROM t GROUP BY token),
+         tot AS (
+           SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS v
+           FROM st),
+         sc AS (
+           SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(
+               CAST(st.ct + 1 AS DOUBLE) * CAST(tot.nr + tot.v AS DOUBLE)
+                 / (CAST(st.cr + 1 AS DOUBLE) * CAST(tot.nt + tot.v AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS dsir_score
+           FROM t JOIN st USING (token) CROSS JOIN tot
+           GROUP BY t.doc_id),
+         thr AS (
+           SELECT dsir_score AS ts, doc_id AS td FROM sc
+           QUALIFY row_number() OVER (ORDER BY dsir_score DESC, doc_id) =
+             ((SELECT count(*) FROM documents) * ${Queries.DsirKeepNum}
+               + ${Queries.DsirKeepDen - 1}) // ${Queries.DsirKeepDen})
+         SELECT sc.doc_id, sc.n_tokens, sc.dsir_score,
+           (sc.dsir_score > thr.ts
+             OR (sc.dsir_score = thr.ts AND sc.doc_id <= thr.td)) AS selected
+         FROM sc CROSS JOIN thr"""),
+
+    // temperature-scaled mixture weights: τ=1 (proportional) and τ=0.5
+    // (sqrt up-sampling); sqrt terms summed DECIMAL-exact as in Spark
+    "q_mixture_weights" ->
+      """WITH per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+             CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)))
+               AS DOUBLE) AS stot
+           FROM per)
+         SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS w_prop,
+           sqrt(CAST(n_tokens AS DOUBLE)) / stot AS w_temp
+         FROM per CROSS JOIN tot""",
+
+    // sub-document chunk dedup: 10-token chunks, corpus-wide first
+    // occurrence (doc_id, chunk idx) wins, docs reassemble in order
+    "q_chunk_dedup" -> (s"""
+         WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (
+           SELECT doc_id,
+             unnest(generate_series(1,
+               CAST(ceil(len(toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT))) AS idx,
+             unnest(list_transform(
+               generate_series(1,
+                 CAST(ceil(len(toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT)),
+               i -> array_to_string(list_slice(toks,
+                 (i - 1) * ${Queries.ChunkDedupTokens} + 1,
+                 least(i * ${Queries.ChunkDedupTokens}, len(toks))), ' '))) AS chunk
+           FROM d),
+         k AS (
+           SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+           FROM c),
+         kept AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+           FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(ceil(len(d.toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT) AS n_chunks,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           coalesce(kept.kept_text, '') AS kept_text
+         FROM d LEFT JOIN kept USING (doc_id)"""),
+
+    // ANN recall@10: per query, |IVF top-10 ∩ brute-force top-10| / 10 —
+    // the IVF chain is the shared ivfPairsCtes, brute force the cosine CTE
+    "q_ann_recall" -> (s"""
+         WITH $ivfPairsCtes,
+         approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM pairs) r
+           WHERE rank <= 10),
+         bfpairs AS (
+           SELECT q.query_id, c2.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(q.qv, c2.nv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(q.qn) * sqrt(c2.cn)) AS cosine
+           FROM (SELECT vec_id AS query_id, embedding AS qv, nn AS qn
+                 FROM n2 WHERE vec_id < 5) q,
+                (SELECT vec_id AS neighbor_id, embedding AS nv, nn AS cn FROM n2) c2
+           WHERE c2.neighbor_id <> q.query_id),
+         bf AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM bfpairs) r
+           WHERE rank <= 10)
+         SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+         FROM bf b LEFT JOIN approx a
+           ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id"""),
   )
 }

@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sub-document exact deduplication: split each document into fixed-size
+  * token chunks, keep only the FIRST occurrence of every distinct chunk
+  * corpus-wide (first = lowest (doc_id, chunk_index)), and reconstruct
+  * each document from its surviving chunks in order — the whole-corpus
+  * analogue of the line-level dedup step in CCNet (Wenzek et al. 2020)
+  * and MassiveText/Gopher (Rae et al. 2021), where repeated boilerplate
+  * spans are removed even when the documents containing them are not
+  * global near-duplicates.
+  *
+  * Scale shape: one narrow projection builds the chunk list in-row
+  * (`transform(sequence(...))` over the token array — no per-token
+  * explode), then ONE shuffle keyed by chunk text for the first-occurrence
+  * window and ONE regroup by document for reconstruction. The chunk-keyed
+  * window is the natural skew point (a boilerplate chunk repeated across
+  * millions of docs lands on one reducer) — but the window computes only
+  * row_number over (doc_id, idx), so the reducer does a sort-and-scan, not
+  * a materialized group; AQE skew-split handles the rest. At 100 TB,
+  * hashing the chunk (xxhash64) as the window key instead of the raw text
+  * cuts shuffle bytes ~10×; kept verbatim here so the oracle can replay it
+  * in SQL.
+  */
+object ChunkDedup {
+
+  /** Per-document chunk-dedup summary: `n_chunks` (before), `n_kept`
+    * (after), and `kept_text` — the document re-joined from its surviving
+    * chunks in original order ('' when every chunk was seen earlier).
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        ceil(size(col("__toks")).cast("double") / chunkTokens).cast("long").as("n_chunks"))
+    val chunks = base.select(col(idCol), col("n_chunks"),
+      posexplode(expr(
+        s"transform(sequence(0, int(n_chunks) - 1), " +
+          s"i -> concat_ws(' ', slice(__toks, i * $chunkTokens + 1, $chunkTokens)))")))
+      .select(col(idCol), col("n_chunks"), col("pos").as("__idx"), col("col").as("__chunk"))
+    val firstWins = Window.partitionBy(col("__chunk"))
+      .orderBy(col(idCol).asc, col("__idx").asc)
+    val kept = chunks
+      .withColumn("__rn", row_number().over(firstWins))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(__idx, __chunk))), s -> s.__chunk)")).as("kept_text"))
+    base.select(col(idCol), col("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-selection operators for assembling a training mix: importance
+  * weighting toward a target distribution (the DSIR family — Xie et al.
+  * 2023, "Data Selection for Language Models via Importance Resampling",
+  * which ranks raw documents by how target-like their n-gram distribution
+  * is) and temperature-scaled domain mixture weights (the multilingual /
+  * multi-domain sampling rule from mBERT/XLM-R-style training, p_i ∝
+  * n_i^τ).
+  *
+  * Everything is built from exact integer counts with float steps confined
+  * to single correctly-rounded IEEE operations (×, ÷, sqrt) plus
+  * DECIMAL(28,12)-exact sums, so results are bit-identical across engines
+  * — the same determinism discipline as [[Similarity]]'s decimal cosine.
+  * No ln/pow: a transcendental differs in the last ulp between libm and
+  * the JVM, which is why the importance score is the (smoothed) mean
+  * probability RATIO rather than the mean log-ratio — a monotone-in-spirit
+  * stand-in that preserves the ranking DSIR needs while staying exactly
+  * reproducible.
+  */
+object Selection {
+
+  /** Per-document importance score toward `targetPred` (e.g. `lang='en'`):
+    * score(d) = (1/|d|) · Σ_{t ∈ d} [(ct_t+1)(Nr+V)] / [(cr_t+1)(Nt+V)]
+    * where ct/cr are target/corpus token occurrence counts, Nt/Nr the
+    * token totals and V the vocabulary size (add-one smoothing). Selection
+    * keeps the top ⌈N·keepNum/keepDen⌉ documents by (score desc, id asc).
+    *
+    * Scale shape: the token-stats table is VOCABULARY-sized — broadcast
+    * onto the exploded corpus so the only corpus-scale shuffle is the
+    * per-document partial-aggregated sum; the selection threshold is a
+    * TakeOrdered (top-k without a global window), so no single-partition
+    * stage touches corpus-sized data. At 100 TB the vocabulary table stops
+    * being broadcastable only past ~10^8 distinct tokens; shuffle-join the
+    * stats at that point, nothing else changes.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, keepNum: Int = 1, keepDen: Int = 4): DataFrame = {
+    require(keepNum >= 1 && keepDen >= keepNum,
+      s"keep fraction $keepNum/$keepDen outside (0, 1]")
+    val toks = docs.select(col(idCol), targetPred.as("__t"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val stats = toks.groupBy(col("token")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    val totals = stats.agg(
+      sum(col("__cr")).as("__nr"),
+      sum(col("__ct")).as("__nt"),
+      count(lit(1)).as("__v"))
+    // per-token ratio: exact integer arithmetic into one double division
+    // (correctly rounded everywhere), then a DECIMAL(28,12) cast so the
+    // per-document sum is order-independent
+    val ratio = ((col("__ct") + 1).cast("double") * (col("__nr") + col("__v")).cast("double") /
+      ((col("__cr") + 1).cast("double") * (col("__nt") + col("__v")).cast("double")))
+      .cast(DecimalType(28, 12))
+    val scored = toks
+      .join(broadcast(stats), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(ratio).cast("double") / count(lit(1))).as("dsir_score"))
+    // threshold row via TakeOrdered twice (k-th best), not a global
+    // window: rank the top-k slice ascending and keep its last row
+    val n = docs.count()
+    val k = ((n * keepNum + keepDen - 1) / keepDen).toInt
+    val thr = scored
+      .orderBy(col("dsir_score").desc, col(idCol).asc).limit(k)
+      .orderBy(col("dsir_score").asc, col(idCol).desc).limit(1)
+      .select(col("dsir_score").as("__ts"), col(idCol).as("__td"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("n_tokens"), col("dsir_score"),
+        (col("dsir_score") > col("__ts") ||
+          (col("dsir_score") === col("__ts") && col(idCol) <= col("__td")))
+          .as("selected"))
+  }
+
+  /** Temperature-scaled domain mixture weights per `sourceCol`:
+    * `w_prop` is the proportional (τ=1) token share, `w_temp` the τ=0.5
+    * share p_i ∝ sqrt(n_i) — the standard low-resource up-sampling rule,
+    * with sqrt chosen over pow(·, τ) because sqrt is a correctly-rounded
+    * IEEE primitive (exact cross-engine) and pow is not.
+    *
+    * One aggregation keyed by source (domain-sized result); the
+    * normalizing sums run over that tiny frame. At 100 TB this is a
+    * metadata-scale query: per-source token totals are what the mixture
+    * planner feeds the training loader.
+    */
+  def mixtureWeights(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val per = docs
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val totals = per.agg(
+      sum(col("n_tokens")).as("__tot"),
+      sum(sqrt(col("n_tokens").cast("double")).cast(DecimalType(28, 12)))
+        .cast("double").as("__stot"))
+    per.crossJoin(broadcast(totals))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__tot").cast("double")).as("w_prop"),
+        (sqrt(col("n_tokens").cast("double")) / col("__stot")).as("w_temp"))
+  }
+}

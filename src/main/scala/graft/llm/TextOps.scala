@@ -428,9 +428,23 @@ object TextOps {
       .select(col(idCol), expr(winnowed).as("__fp"))
   }
 
+  /** Session-memoized [[winnowSets]]: the rolling-hash fingerprint table
+    * is the expensive shared input of BOTH the per-doc summary
+    * (`q_winnow`) and the pair generation (`q_winnow_pairs`) — build and
+    * persist it once per (session, corpus, k, w) and let every consumer
+    * read the same frame. At 100 TB this is "materialize the fingerprint
+    * table to the store once"; the memo encodes that decision in-session.
+    */
+  def winnowSetsShared(df: DataFrame, corpusKey: String, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame =
+    graft.SessionMemo.cached(df.sparkSession,
+      s"winnowsets:$corpusKey:$idCol:$textCol:$k:$w")(
+      winnowSets(df, idCol, textCol, k, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame =
-    winnowSets(df, idCol, textCol, k, w)
+      k: Int, w: Int, sets: Option[DataFrame] = None): DataFrame =
+    sets.getOrElse(winnowSets(df, idCol, textCol, k, w))
       .select(
         col(idCol),
         size(col("__fp")).cast("long").as("n_fp"),
@@ -452,7 +466,8 @@ object TextOps {
     * fingerprints is the ranking signal.
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Long, bucketCap: Int): DataFrame = {
+      k: Int, w: Int, minShared: Long, bucketCap: Int,
+      sets: Option[DataFrame] = None): DataFrame = {
     require(bucketCap >= 2 && bucketCap <= 1000,
       s"bucketCap $bucketCap outside [2, 1000]: the in-row pair expansion " +
         "is sized for capped buckets; see MinHashDedup.candidatePairs")
@@ -464,13 +479,19 @@ object TextOps {
     // ~1 s through the barrier). In-row consumers (winnowFingerprints)
     // never hit this; only the explode does. At 100 TB the analogous
     // move is materializing the fingerprint table to the store once.
-    val sets = graft.CacheBin.register(winnowSets(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val fps = sets.select(col(idCol), explode(col("__fp")).as("fp"))
-    val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("__bn"))
+    val cached = sets.getOrElse(graft.CacheBin.register(
+      winnowSets(df, idCol, textCol, k, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    val fps = cached.select(col(idCol), explode(col("__fp")).as("fp"))
+    // bucket gate as a window count over the SAME fp-keyed shuffle the
+    // collect_list aggregation needs — one exchange for the whole
+    // candidate stage (the previous count-aggregate + semi-join shape
+    // shuffled the exploded fingerprints twice); same single-exchange
+    // pattern as SimHash.hammingPairs' (band, bv) gate
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    fps
+      .withColumn("__bn", count(lit(1)).over(byFp))
       .filter(col("__bn").between(2, bucketCap))
-      .select("fp")
-    fps.join(ok, Seq("fp"), "left_semi")
       .groupBy(col("fp"))
       .agg(collect_list(col(idCol)).as("__ids"))
       .select(explode(expr(

@@ -1136,4 +1136,84 @@ class LlmSpec extends AnyFunSuite {
     assert(f1.sameElements(f2))
     assert(f1.forall(r => r.getInt(1) >= 64 && r.getInt(2) >= 64))
   }
+
+  test("chunk dedup: corpus-wide first occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d"),  // chunks "a b","c d" — both first occurrences
+      (2L, "a b x y"),  // "a b" already seen in doc 1; "x y" survives
+      (3L, "c d")       // fully deduplicated away
+    ).toDF("doc_id", "text")
+    val out = ChunkDedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((1L, 0L, "")))
+  }
+
+  test("chunk dedup: a trailing short chunk is its own unit, not merged") {
+    val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    val out = ChunkDedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("kept_text")).toMap
+    // doc 1 chunks to ["a b", "c"]; doc 2's lone chunk "c" is a duplicate
+    assert(out(1L) == "a b c" && out(2L) == "")
+  }
+
+  test("mixture weights: proportional and sqrt-temperature shares sum to 1") {
+    val docs = Seq(
+      (1L, "web", "a b c d"), (2L, "web", "e f g h"), (3L, "code", "x y")
+    ).toDF("doc_id", "source", "text")
+    val w = Selection.mixtureWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("w_prop"), r.getAs[Double]("w_temp")))).toMap
+    assert(w("web")._1 == 2L && w("web")._2 == 8L)
+    assert(w("code")._1 == 1L && w("code")._2 == 2L)
+    assert(w("web")._3 == 0.8 && w("code")._3 == 0.2)
+    // τ=0.5 flattens: sqrt(8)/(sqrt(8)+sqrt(2)) = 2/3 exactly
+    assert(math.abs(w("web")._4 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(w("web")._4 + w("code")._4 - 1.0) < 1e-12)
+    assert(w("web")._4 < w("web")._3) // temperature up-samples the small source
+  }
+
+  test("dsir weights: target-like docs outrank off-target, keep fraction is exact") {
+    // target slice (lang=en) uses {aa bb}; off-target uses {zz yy}; a mixed
+    // doc sits between — ranking must be mixed strictly between the pure docs
+    val docs = Seq(
+      (1L, "en", "aa bb aa bb"), (2L, "en", "bb aa bb aa"),
+      (3L, "xx", "zz yy zz yy"), (4L, "xx", "aa zz"),
+      (5L, "xx", "yy zz yy zz"), (6L, "en", "aa aa bb bb"),
+      (7L, "xx", "zz zz yy yy"), (8L, "xx", "yy yy zz zz")
+    ).toDF("doc_id", "lang", "text")
+    val out = Selection.importanceWeights(docs, "doc_id", "text",
+      targetPred = col("lang") === "en", keepNum = 1, keepDen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("dsir_score"), r.getAs[Boolean]("selected")))).toMap
+    val pureTarget = Seq(1L, 2L, 6L).map(out(_)._1)
+    val mixed = out(4L)._1
+    val pureOff = Seq(3L, 5L, 7L, 8L).map(out(_)._1)
+    assert(pureTarget.forall(s => s > mixed))
+    assert(pureOff.forall(s => s < mixed))
+    // k = ceil(8 * 1/4) = 2: exactly two selected, and they are top-scored
+    val selected = out.filter(_._2._2).keySet
+    assert(selected.size == 2)
+    val topByScore = out.toSeq.sortBy { case (id, (s, _)) => (-s, id) }
+      .take(2).map(_._1).toSet
+    assert(selected == topByScore)
+  }
+
+  test("ann recall: IVF-probed top-k recovers brute-force neighbors on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Queries.annRecall(spark, dir).collect()
+    assert(rows.length == 5) // queries are vec_id < 5
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val recall = r.getAs[Double]("recall")
+      assert(hits >= 0L && hits <= 10L)
+      assert(recall == hits.toDouble / 10.0)
+    }
+    // probing enough centroids must find at least half the true neighbors
+    assert(rows.map(_.getAs[Double]("recall")).sum / 5 >= 0.5)
+  }
 }
