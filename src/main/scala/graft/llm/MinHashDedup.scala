@@ -137,11 +137,18 @@ object MinHashDedup {
     // signaturesFromShingles, which remains the generic/oracle formulation.
     // Persists are LAZY (no eager count jobs): each fills on first use
     // inside the single result job and serves the remaining consumers.
+    // persisted: candidatePairs consumes the band stream TWICE (the
+    // count-gate aggregate and the collect_list side of the semi-join),
+    // and without the cache each pass re-evaluates the minhash expression
+    // over every document — the single most expensive scan expression in
+    // the pipeline, paid double. The signature table is 1+numHashes narrow
+    // columns per doc (the thing a 100 TB sweep materializes to the store).
     val sigs = spread
       .select(col(idCol), MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
       .filter(col("__mh").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("__mh").getItem(i).as(s"m$i")): _*)
+      .persist(MEMORY_AND_DISK)
     val pairs = candidatePairs(sigs, idCol, bucketCap).persist(MEMORY_AND_DISK)
     // no distinct: the ONLY consumer is a left-semi join, whose hash build
     // dedups — an explicit distinct would add a whole shuffle to save the
