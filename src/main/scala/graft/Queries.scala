@@ -868,6 +868,47 @@ object Queries {
     graft.llm.ChunkDedup.chunkDedup(Tables.documents(s, dir),
       "doc_id", "text", chunkTokens = ChunkDedupTokens)
 
+  // Gopher-rule thresholds (see TextOps.gopherRules): chosen to split the
+  // synthetic corpus (10-99 tokens, ~30-word vocab, median repeat ratio
+  // ≈ 0.5) meaningfully on every rule
+  val GopherMinTokens = 20L
+  val GopherMaxTokens = 90L
+  val GopherMinAvgTokLen = 3.0
+  val GopherMaxAvgTokLen = 6.0
+  val GopherMaxRepeatRatio = 0.5
+  val GopherMinDistinctStop = 1
+  // epoch-shuffle parameters (see TextOps.epochOrder)
+  val EpochSeed = "epoch0"
+  val EpochShards = 8
+
+  /** Corpus-bigram LM quality score (CCNet-style perplexity filtering in
+    * a determinism-safe rational form; see [[graft.llm.Selection.lmScore]]).
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Selection.lmScore(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Gopher-style per-rule quality audit (see [[TextOps.gopherRules]]). */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+      GopherMinTokens, GopherMaxTokens, GopherMinAvgTokLen,
+      GopherMaxAvgTokLen, GopherMaxRepeatRatio, GopherMinDistinctStop)
+
+  /** [[chunkDedup]] with the shuffle keyed by xxhash64(chunk) — the 100 TB
+    * shuffle-bytes lever; shares q_chunk_dedup's oracle because the output
+    * is identical absent a 64-bit collision (see
+    * [[graft.llm.ChunkDedup.chunkDedupHashed]]).
+    */
+  def chunkDedupHashed(s: SparkSession, dir: String): DataFrame =
+    graft.llm.ChunkDedup.chunkDedupHashed(Tables.documents(s, dir),
+      "doc_id", "text", chunkTokens = ChunkDedupTokens)
+
+  /** Deterministic epoch shuffle: (shard, pos) per document (see
+    * [[TextOps.epochOrder]]).
+    */
+  def epochOrder(s: SparkSession, dir: String): DataFrame =
+    TextOps.epochOrder(Tables.documents(s, dir), "doc_id",
+      seed = EpochSeed, nShards = EpochShards)
+
   /** ANN quality evaluation: recall@10 of the IVF-probed top-k
     * ([[ivfTopK]]) against brute-force cosine ([[cosineTopK]]) per query —
     * the measurement loop that keeps the approximate scale path honest.

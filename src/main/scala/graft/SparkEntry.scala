@@ -103,6 +103,10 @@ object SparkEntry {
     "q_mixture_weights" -> (Queries.mixtureWeights _),
     "q_chunk_dedup" -> (Queries.chunkDedup _),
     "q_ann_recall" -> (Queries.annRecall _),
+    "q_lm_score" -> (Queries.lmScore _),
+    "q_gopher_rules" -> (Queries.gopherRules _),
+    "q_chunk_dedup_hashed" -> (Queries.chunkDedupHashed _),
+    "q_epoch_order" -> (Queries.epochOrder _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -281,6 +285,38 @@ object SparkEntry {
   private def splitCaseSql(idExpr: String): String =
     s"CASE WHEN ${splitBucketSql(idExpr)} < ${Queries.SplitPctTrain} " +
       "THEN 'train' ELSE 'holdout' END"
+
+  /** Shared chunk-dedup oracle: q_chunk_dedup (text-keyed shuffle) and
+   * q_chunk_dedup_hashed (xxhash64-keyed shuffle) produce identical rows,
+   * so both verify against one SQL.
+   */
+  private val chunkDedupSql: String = (s"""
+         WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (
+           SELECT doc_id,
+             unnest(generate_series(1,
+               CAST(ceil(len(toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT))) AS idx,
+             unnest(list_transform(
+               generate_series(1,
+                 CAST(ceil(len(toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT)),
+               i -> array_to_string(list_slice(toks,
+                 (i - 1) * ${Queries.ChunkDedupTokens} + 1,
+                 least(i * ${Queries.ChunkDedupTokens}, len(toks))), ' '))) AS chunk
+           FROM d),
+         k AS (
+           SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+           FROM c),
+         kept AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+           FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(ceil(len(d.toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT) AS n_chunks,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           coalesce(kept.kept_text, '') AS kept_text
+         FROM d LEFT JOIN kept USING (doc_id)""")
 
   /** IVF CTE chain (`n2` → … → `pairs`) WITHOUT the final rank-select —
     * shared by `q_ivf_topk`/`q_ivf_topk_indexed` (which rank to top-10)
@@ -1711,34 +1747,14 @@ object SparkEntry {
          FROM per CROSS JOIN tot""",
 
     // sub-document chunk dedup: 10-token chunks, corpus-wide first
-    // occurrence (doc_id, chunk idx) wins, docs reassemble in order
-    "q_chunk_dedup" -> (s"""
-         WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         c AS (
-           SELECT doc_id,
-             unnest(generate_series(1,
-               CAST(ceil(len(toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT))) AS idx,
-             unnest(list_transform(
-               generate_series(1,
-                 CAST(ceil(len(toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT)),
-               i -> array_to_string(list_slice(toks,
-                 (i - 1) * ${Queries.ChunkDedupTokens} + 1,
-                 least(i * ${Queries.ChunkDedupTokens}, len(toks))), ' '))) AS chunk
-           FROM d),
-         k AS (
-           SELECT doc_id, idx, chunk,
-             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
-           FROM c),
-         kept AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-             string_agg(chunk, ' ' ORDER BY idx) AS kept_text
-           FROM k WHERE rn = 1 GROUP BY doc_id)
-         SELECT d.doc_id,
-           CAST(ceil(len(d.toks) / ${Queries.ChunkDedupTokens}.0) AS BIGINT) AS n_chunks,
-           coalesce(kept.n_kept, 0) AS n_kept,
-           coalesce(kept.kept_text, '') AS kept_text
-         FROM d LEFT JOIN kept USING (doc_id)"""),
+    // occurrence (doc_id, chunk idx) wins, docs reassemble in order.
+    // q_chunk_dedup_hashed runs the SAME oracle: its Spark plan keys the
+    // first-occurrence shuffle by xxhash64(chunk) instead of the chunk
+    // text (the shuffle-bytes lever), which changes bytes moved, not rows
+    // kept — identical output absent a 64-bit collision.
+    "q_chunk_dedup_hashed" -> chunkDedupSql,
+    "q_chunk_dedup" -> chunkDedupSql,
+
 
     // ANN recall@10: per query, |IVF top-10 ∩ brute-force top-10| / 10 —
     // the IVF chain is the shared ivfPairsCtes, brute force the cosine CTE
@@ -1770,5 +1786,81 @@ object SparkEntry {
          FROM bf b LEFT JOIN approx a
            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          GROUP BY b.query_id"""),
+
+    // corpus-bigram LM score: Laplace-smoothed mean P(w2|w1) per doc —
+    // exact integer counts → one double division per bigram →
+    // DECIMAL(28,12)-exact sum, as in Spark; <2-token docs score NULL
+    "q_lm_score" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+           FROM d WHERE len(w) >= 2),
+         b2 AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bi),
+         bc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM b2 GROUP BY w1, w2),
+         pc AS (
+           SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b2 GROUP BY w1),
+         v AS (
+           SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         sc AS (
+           SELECT b2.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(
+               CAST(bc.c12 + 1 AS DOUBLE) / CAST(pc.c1 + v.v AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
+           FROM b2 JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
+           GROUP BY b2.doc_id)
+         SELECT d.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.lm_score
+         FROM d LEFT JOIN sc USING (doc_id)""",
+
+    // Gopher-rule audit: all signals are exact integer counts with single
+    // double divisions; boolean thresholds identical to the Spark side
+    "q_gopher_rules" -> (s"""
+         WITH s AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+               ['the', 'a'])) AS BIGINT) AS n_distinct_stop
+           FROM documents),
+         m AS (
+           SELECT doc_id, n_tokens, n_distinct_stop,
+             CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+             CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / n_tokens AS repeat_ratio
+           FROM s)
+         SELECT doc_id, n_tokens, avg_token_len, repeat_ratio, n_distinct_stop,
+           (n_tokens BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens})
+             AS ok_token_count,
+           (avg_token_len >= ${Queries.GopherMinAvgTokLen}
+             AND avg_token_len <= ${Queries.GopherMaxAvgTokLen}) AS ok_avg_token_len,
+           (repeat_ratio <= ${Queries.GopherMaxRepeatRatio}) AS ok_repeat_ratio,
+           (n_distinct_stop >= ${Queries.GopherMinDistinctStop}) AS ok_stopwords,
+           ((n_tokens BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens})
+             AND avg_token_len >= ${Queries.GopherMinAvgTokLen}
+             AND avg_token_len <= ${Queries.GopherMaxAvgTokLen}
+             AND repeat_ratio <= ${Queries.GopherMaxRepeatRatio}
+             AND n_distinct_stop >= ${Queries.GopherMinDistinctStop}) AS keep
+         FROM m"""),
+
+    // deterministic epoch shuffle: shard = first-8-hex(sha256(id∥seed))
+    // mod nShards, pos = rank of the hash within the shard
+    "q_epoch_order" -> (s"""
+         WITH h AS (
+           SELECT doc_id,
+             sha256(concat(CAST(doc_id AS VARCHAR), '${Queries.EpochSeed}')) AS hh
+           FROM documents)
+         SELECT doc_id,
+           CAST(CAST(concat('0x', substr(hh, 1, 8)) AS BIGINT)
+             % ${Queries.EpochShards} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(concat('0x', substr(hh, 1, 8)) AS BIGINT)
+               % ${Queries.EpochShards}
+             ORDER BY hh, doc_id) AS BIGINT) AS pos
+         FROM h"""),
   )
 }

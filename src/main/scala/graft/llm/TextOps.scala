@@ -204,6 +204,71 @@ object TextOps {
         when(col("bucket") < pctTrain, lit("train")).otherwise(lit("holdout")))
   }
 
+  /** Gopher-style quality rule audit (Rae et al. 2021 §A1.1 apply a fixed
+    * battery of per-document heuristics and keep only documents passing
+    * ALL of them): one boolean column per rule plus the conjunction, so a
+    * curation run can both filter and report per-rule drop rates. Rules
+    * (thresholds are parameters; the defaults in Queries split the
+    * synthetic corpus meaningfully):
+    *  - token count within [minTokens, maxTokens]
+    *  - mean token length within [minAvgTokLen, maxAvgTokLen]
+    *  - repeated-token mass (1 − distinct/total) ≤ maxRepeatRatio
+    *  - at least `minDistinctStop` DISTINCT stopwords present (Gopher's
+    *    "2 of a fixed stop list" rule)
+    * Every signal is exact integer counts with single correctly-rounded
+    * double divisions — deterministic cross-engine. Scan-local, zero
+    * shuffle: the whole audit is one narrow projection.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxTokens: Long,
+      minAvgTokLen: Double, maxAvgTokLen: Double,
+      maxRepeatRatio: Double, minDistinctStop: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    // mean token length over tokens (chars excluding separators / tokens)
+    val nLetterChars = (length(col(textCol)).cast("long") - (nTokens - 1L))
+    val avgTokLen = nLetterChars.cast("double") / nTokens
+    val repeatRatio = lit(1.0) - nUniq.cast("double") / nTokens
+    val nStopDistinct = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("long")
+    val okTok = nTokens.between(minTokens, maxTokens)
+    val okLen = avgTokLen >= minAvgTokLen && avgTokLen <= maxAvgTokLen
+    val okRep = repeatRatio <= maxRepeatRatio
+    val okStop = nStopDistinct >= minDistinctStop
+    df.select(col(idCol),
+      nTokens.as("n_tokens"), avgTokLen.as("avg_token_len"),
+      repeatRatio.as("repeat_ratio"), nStopDistinct.as("n_distinct_stop"),
+      okTok.as("ok_token_count"), okLen.as("ok_avg_token_len"),
+      okRep.as("ok_repeat_ratio"), okStop.as("ok_stopwords"),
+      (okTok && okLen && okRep && okStop).as("keep"))
+  }
+
+  /** Deterministic epoch shuffle: assign each document a shard and a
+    * position within it, both derived from sha256(id ∥ seed) — the
+    * "global shuffle" a training loader needs, produced WITHOUT a global
+    * sort. Shard = first-8-hex mod nShards (scan-local projection);
+    * position = rank of the hash within the shard (one keyed window per
+    * shard, all shards sorted in parallel). Re-seeding yields an
+    * independent permutation per epoch; the assignment is
+    * engine/partitioning/run-independent like [[hashSplit]]. At 100 TB
+    * the writer emits shard files with `partitionBy(shard)` and each
+    * shard sorts locally — no stage ever totally orders the corpus.
+    * sha256 (not a cheaper hash) keeps the oracle replayable in SQL;
+    * swap the hash, not the shape, if scan cost ever matters.
+    */
+  def epochOrder(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = sha2(concat(col(idCol).cast("string"), lit(seed)), 256)
+    val shard = (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Deterministic stratified sample: at most `perStratum` documents per
     * stratum (source/language/domain), chosen by sha256(id ∥ salt) rank —
     * the corpus-mixture subsampling step a training-data pipeline runs to

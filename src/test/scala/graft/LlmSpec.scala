@@ -1203,6 +1203,72 @@ class LlmSpec extends AnyFunSuite {
     assert(selected == topByScore)
   }
 
+  test("lm score: repeated bigrams outscore rare ones; <2-token docs score null") {
+    // bigram counts: (a,b)=2, (a,c)=1; c1(a)=3; vocab {a,b,c,x} → V=4
+    // P(b|a) = (2+1)/(3+4) = 3/7, P(c|a) = (1+1)/7 = 2/7
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = Selection.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // per-bigram terms round through DECIMAL(28,12) by design (exact,
+    // order-independent summation), so compare at that precision
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2.get - 3.0 / 7.0) < 1e-12)
+    assert(out(3L)._1 == 1L && math.abs(out(3L)._2.get - 2.0 / 7.0) < 1e-12)
+    assert(out(4L) == ((0L, None)))
+    assert(out(1L)._2.get > out(3L)._2.get)
+  }
+
+  test("gopher rules: each rule trips independently; keep is the conjunction") {
+    val docs = Seq(
+      (1L, ("the " * 24 + "ok").trim),              // 25 tokens, stopword-rich, repeat-heavy
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" ") + " the"), // diverse, has 'the'
+      (3L, (1 to 30).map(i => s"tok$i").mkString(" ")),          // no stopword
+      (4L, "a b")                                                // too short
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text",
+      minTokens = 20L, maxTokens = 90L, minAvgTokLen = 3.0, maxAvgTokLen = 6.0,
+      maxRepeatRatio = 0.5, minDistinctStop = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getAs[Boolean]("ok_repeat_ratio")) // 25 tokens, 2 distinct
+    assert(out(1L).getAs[Boolean]("ok_stopwords"))
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("ok_token_count") &&
+      !out(3L).getAs[Boolean]("ok_stopwords") && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("ok_token_count") && !out(4L).getAs[Boolean]("keep"))
+  }
+
+  test("hashed chunk dedup equals the text-keyed formulation") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b x y c d"), (3L, "c d"), (4L, "q")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    assert(rows(ChunkDedup.chunkDedupHashed(docs, "doc_id", "text", 2)) ==
+      rows(ChunkDedup.chunkDedup(docs, "doc_id", "text", 2)))
+  }
+
+  test("epoch order: shards partition the corpus, positions are dense, seeds permute") {
+    val docs = (0L until 200L).toDF("doc_id").withColumn("text", lit("x"))
+    val e0 = TextOps.epochOrder(docs, "doc_id", seed = "s0", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e0.length == 200 && e0.map(_._1).distinct.length == 200)
+    assert(e0.forall(t => t._2 >= 0 && t._2 < 8))
+    // dense positions 1..n within every shard
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length.toLong))
+    }
+    // deterministic under re-run; a different seed yields a different order
+    val e0b = TextOps.epochOrder(docs, "doc_id", seed = "s0", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e0.sortBy(_._1).sameElements(e0b.sortBy(_._1)))
+    val e1 = TextOps.epochOrder(docs, "doc_id", seed = "s1", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.sortBy(_._1).map(t => (t._2, t._3)).toSeq !=
+      e0.sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+  }
+
   test("ann recall: IVF-probed top-k recovers brute-force neighbors on testdata") {
     val dir = "/root/testdata/sf0.001"
     val rows = Queries.annRecall(spark, dir).collect()
