@@ -10,7 +10,10 @@ object BenchOne {
     Tables.documents(spark, sfDir).count(); Tables.embeddings(spark, sfDir).count()
     for (name <- args; rep <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      // noop sink, same materialization as Bench.timeQuery (count() lets
+      // the optimizer skip count-independent subtrees)
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"$name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // per-query lifecycle mirrors Bench/Verify; DRAIN_ALL=1 also clears
       // session-pinned memos so later reps re-run shared pipelines warm-JVM

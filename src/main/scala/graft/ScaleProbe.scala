@@ -81,17 +81,37 @@ object ScaleProbe {
       // winnow pairs: per-bucket expansion is cap²-bounded, bucket count
       // grows ~linearly; bigram topk: shuffle = per-doc distinct bigrams
       "winnow_pairs" -> (Queries.winnowPairs _),
-      "bigram_topk" -> (Queries.bigramTopK _))
+      "bigram_topk" -> (Queries.bigramTopK _),
+      // round 6: dsir/lm score (shuffle = exploded token/bigram stream →
+      // linear in corpus tokens; the stats side must stay broadcast),
+      // chunk dedup (ONE chunk-keyed shuffle; the hashed variant must
+      // shuffle the same ROWS with smaller bytes), epoch order (one
+      // shard-keyed window exchange), gopher rules (scan-local: ZERO
+      // shuffle at any scale — any nonzero scaled count is a regression)
+      "dsir_weights" -> (Queries.dsirWeights _),
+      "lm_score" -> (Queries.lmScore _),
+      "chunk_dedup" -> (Queries.chunkDedup _),
+      "chunk_dedup_hashed" -> (Queries.chunkDedupHashed _),
+      "epoch_order" -> (Queries.epochOrder _),
+      "gopher_rules" -> (Queries.gopherRules _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {
       settle()
       val s0 = meter.records.get()
       val t0 = System.nanoTime()
-      val rows = fn(spark, dir).count()
+      // materialize via the noop sink (NOT count(): the optimizer prunes
+      // count-independent subtrees — left joins against unique-keyed
+      // aggregates, unread window/regex columns — and the probe would
+      // measure a plan the real consumer never runs)
+      val df = fn(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
       settle()
       val sec = (System.nanoTime() - t0) / 1e9 - 0.8 // subtract the settle
       val shuffled = meter.records.get() - s0
+      // row count AFTER the shuffle snapshot, so its jobs never pollute
+      // the phase's shuffle attribution (cheap: memo/caches are warm)
+      val rows = df.count()
       results((name, dir)) = (sec, shuffled, rows)
       println(s"""{"phase":"$name","dir":"$dir","sec":${math.rint(sec * 100) / 100},"shuffle_records":$shuffled,"rows":$rows}""")
       CacheBin.drain()

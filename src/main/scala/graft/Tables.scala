@@ -15,8 +15,48 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  /** Split-for-parallelism table service over the FACT tables: the local
+    * testdata ships each table as ONE parquet file with ONE row group, and
+    * parquet parallelism is row-group-granular — so every scan-heavy first
+    * stage (decode + per-row expressions + partial aggregation) ran on a
+    * single task while the other 31 cores idled. At cluster scale inputs
+    * arrive in thousands of splits and this is a non-problem; locally the
+    * engine applies its own remedy ONCE per (session, corpus): rewrite the
+    * table as a multi-file parquet mirror (the inverse of the OPTIMIZE
+    * compaction service — same table-layout discipline, opposite
+    * direction) and read the mirror. Every row is preserved; no operator
+    * in the engine depends on input row order. A well-split input
+    * (≥ half the cluster's scan slots) is left untouched — the mirror is a
+    * local-input repair, not a default extra hop.
+    */
+  private def splitMirror(spark: SparkSession, dir: String, name: String,
+      prep: DataFrame => DataFrame = identity): DataFrame = {
+    val raw = prep(load(spark, dir, name))
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions * 2 >= parallelism) raw
+    else {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val dst = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-split",
+        spark.sparkContext.applicationId, s"$name-$dirKey").toString
+      // parallelism/4 files: enough scan slots to unserialize the decode
+      // stage (the win is 1 task → 8, not 8 → 32) while keeping the
+      // per-query footer/listing overhead of the mirror small — 87 bench
+      // queries re-open these files constantly
+      val nFiles = math.max(2, parallelism / 4)
+      SessionMemo.once(spark, s"split:$dir:$name") {
+        raw.repartition(nFiles).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
+      }
+      spark.read.parquet(dst)
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    splitMirror(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    splitMirror(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
@@ -26,14 +66,18 @@ object Tables {
     * rejects outright. Read nanos as long (legacy conf, set per-session at
     * call time so it works under any driver-provided session) and convert —
     * the generator emits whole-µs values, so the division is lossless.
+    * The conversion runs BEFORE the split mirror, so the mirror stores a
+    * proper µs timestamp column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    splitMirror(spark, dir, "events",
+      _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    splitMirror(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    splitMirror(spark, dir, "embeddings")
 
   private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 

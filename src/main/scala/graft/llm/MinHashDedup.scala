@@ -118,10 +118,34 @@ object MinHashDedup {
       textCol: String, k: Int, bucketCap: Int): DataFrame =
     graft.SessionMemo.cached(docs.sparkSession,
       s"minhash:$corpusKey:$idCol:$textCol:$k:$bucketCap")(
-      verifiedPairsImpl(docs, idCol, textCol, k, bucketCap))
+      verifiedPairsImpl(docs, idCol, textCol, k, bucketCap,
+        sharedSigs = Some(signaturesShared(docs, corpusKey, idCol, textCol, k))))
+
+  /** Session-memoized signature table ((idCol, m0..m7), the
+    * [[signatures]] layout) — the artifact a 100 TB sweep materializes to
+    * the store once and every consumer reads: the full-sweep pair build
+    * AND the incremental batch dedup ([[incrementalNewKeep]]'s
+    * `storedSigs`) both ride it, so the corpus-wide minhash scan runs
+    * once per session, not once per pipeline.
+    */
+  def signaturesShared(docs: DataFrame, corpusKey: String, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    graft.SessionMemo.cached(docs.sparkSession,
+      s"minhashsigs:$corpusKey:$idCol:$textCol:$k:$numHashes") {
+      val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+      val inputParts = docs.rdd.getNumPartitions
+      val spread =
+        if (inputParts * 2 < parallelism) docs.repartition(parallelism) else docs
+      spread
+        .select(col(idCol), MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
+        .filter(col("__mh").isNotNull)
+        .select(col(idCol) +: (0 until numHashes).map(i =>
+          col("__mh").getItem(i).as(s"m$i")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private def verifiedPairsImpl(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bucketCap: Int): DataFrame = {
+      k: Int, bucketCap: Int, sharedSigs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     // single-file corpora arrive as one input split; spread them before the
@@ -142,13 +166,15 @@ object MinHashDedup {
     // and without the cache each pass re-evaluates the minhash expression
     // over every document — the single most expensive scan expression in
     // the pipeline, paid double. The signature table is 1+numHashes narrow
-    // columns per doc (the thing a 100 TB sweep materializes to the store).
-    val sigs = spread
+    // columns per doc (the thing a 100 TB sweep materializes to the
+    // store); the shared-memo path hands in exactly that table, owned by
+    // SessionMemo — only a locally-built one is unpersisted below.
+    val sigs = sharedSigs.getOrElse(spread
       .select(col(idCol), MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
       .filter(col("__mh").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("__mh").getItem(i).as(s"m$i")): _*)
-      .persist(MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK))
     val pairs = candidatePairs(sigs, idCol, bucketCap).persist(MEMORY_AND_DISK)
     // no distinct: the ONLY consumer is a left-semi join, whose hash build
     // dedups — an explicit distinct would add a whole shuffle to save the
@@ -193,7 +219,8 @@ object MinHashDedup {
     // release to CacheBin (per-query tier via `verifiedPairs`, session
     // tier via `verifiedPairsShared`).
     out.count()
-    sigs.unpersist(false); pairs.unpersist(false); candSets.unpersist(false)
+    if (sharedSigs.isEmpty) sigs.unpersist(false)
+    pairs.unpersist(false); candSets.unpersist(false)
     out
   }
 
