@@ -355,9 +355,11 @@ object Queries {
     // (the stored-signature-table production shape: the batch pays its
     // own minhash pass, the corpus side is a narrow read) — the same
     // frame the full-sweep pair memo builds from
+    // the new/old predicate is a pure function of doc_id, which the
+    // signature table carries — filter it directly, no join back to docs
     val stored = MinHashDedup.signaturesShared(docs,
         corpusKey = s"$dir/documents", "doc_id", "text", k = 16)
-      .join(docs.filter(!isNew).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(!isNew)
     MinHashDedup.incrementalNewKeep(docs, "doc_id", "text",
       k = 16, bucketCap = 50, isNew = isNew, threshold = 0.5,
       storedSigs = Some(stored))

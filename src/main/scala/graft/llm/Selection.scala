@@ -106,8 +106,10 @@ object Selection {
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
     val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c12"))
-    val predCounts = bigrams.groupBy(col("w1"))
-      .agg(count(lit(1)).as("__c1"))
+    // c(w1,·) = Σ_w2 c(w1,w2): roll up the vocabulary²-bounded bigram
+    // table instead of re-aggregating the corpus-scale bigram stream
+    val predCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("__c12")).as("__c1"))
     val vocab = docs
       .select(explode(TextOps.tokens(col(textCol))).as("__t"))
       .agg(count_distinct(col("__t")).as("__v"))
