@@ -930,6 +930,49 @@ object Queries {
     TextOps.epochOrder(Tables.documents(s, dir), "doc_id",
       seed = EpochSeed, nShards = EpochShards)
 
+  // OOV audit: rate against the corpus top-N vocabulary
+  val OovVocabTopN = 10
+
+  /** Train/holdout near-dup leakage: verified MinHash pairs (jaccard ≥
+    * 0.5) bucketed by the unordered split pair of their endpoints — the
+    * eval-hygiene audit a split must pass BEFORE the holdout means
+    * anything (a near-duplicate of a training doc in the holdout is
+    * leakage, exactly what [[decontaminate]] guards against for external
+    * benchmarks). Fifth consumer of the session-memoized pair table; the
+    * split label is a pure projection on the pair endpoints
+    * ([[TextOps.splitLabel]]), so the audit costs one rollup of the pair
+    * sliver — no corpus pass, no join.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    sharedPairs(s, dir).filter(col("jaccard") >= 0.5)
+      .select(
+        least(TextOps.splitLabel(col("doc_a"), SplitSalt, SplitPctTrain),
+          TextOps.splitLabel(col("doc_b"), SplitSalt, SplitPctTrain)).as("split_a"),
+        greatest(TextOps.splitLabel(col("doc_a"), SplitSalt, SplitPctTrain),
+          TextOps.splitLabel(col("doc_b"), SplitSalt, SplitPctTrain)).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Per-source out-of-vocabulary rate against the corpus top-N
+    * vocabulary (count desc, token asc — a total order, so the vocab is
+    * deterministic): the tokenizer-coverage audit run before fixing a
+    * vocabulary. The vocab is top-k-bounded (broadcast at any corpus
+    * size); the only corpus-scale shuffle is the per-source rollup.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("token").asc).limit(OovVocabTopN)
+      .select(col("token"), lit(true).as("__inv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** ANN quality evaluation: recall@10 of the IVF-probed top-k
     * ([[ivfTopK]]) against brute-force cosine ([[cosineTopK]]) per query —
     * the measurement loop that keeps the approximate scale path honest.

@@ -107,6 +107,8 @@ object SparkEntry {
     "q_gopher_rules" -> (Queries.gopherRules _),
     "q_chunk_dedup_hashed" -> (Queries.chunkDedupHashed _),
     "q_epoch_order" -> (Queries.epochOrder _),
+    "q_split_leakage" -> (Queries.splitLeakage _),
+    "q_oov_rate" -> (Queries.oovRate _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -1846,6 +1848,35 @@ object SparkEntry {
              AND repeat_ratio <= ${Queries.GopherMaxRepeatRatio}
              AND n_distinct_stop >= ${Queries.GopherMinDistinctStop}) AS keep
          FROM m"""),
+
+    // train/holdout near-dup leakage: the shared minhash CTE's verified
+    // pairs at jaccard ≥ 0.5, endpoints labeled by the SAME split rule as
+    // q_hash_split, rolled up by unordered split pair
+    "q_split_leakage" -> (minhashReachCte + s"""
+         SELECT least(${splitCaseSql("doc_a")}, ${splitCaseSql("doc_b")}) AS split_a,
+           greatest(${splitCaseSql("doc_a")}, ${splitCaseSql("doc_b")}) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM jac WHERE jaccard >= 0.5
+         GROUP BY 1, 2"""),
+
+    // per-source OOV rate vs the corpus top-N vocabulary (count desc,
+    // token asc — total order, deterministic vocab)
+    "q_oov_rate" -> (s"""
+         WITH t AS (
+           SELECT source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         voc AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+             FROM t GROUP BY token) r
+           WHERE rn <= ${Queries.OovVocabTopN})
+         SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+         FROM t LEFT JOIN voc USING (token)
+         GROUP BY t.source"""),
 
     // deterministic epoch shuffle: shard = first-8-hex(sha256(id∥seed))
     // mod nShards, pos = rank of the hash within the shard

@@ -193,13 +193,23 @@ object TextOps {
     * never changes), and re-saltable for fresh splits — the properties a
     * random() split loses. Scan-local, zero shuffle.
     */
+  /** The split bucket/label as pure COLUMN expressions over any id column
+    * — [[hashSplit]] rides them, and set-level audits (near-dup pairs
+    * crossing the train/holdout boundary) apply them to pair endpoints
+    * without a join back to the corpus.
+    */
+  def splitBucket(id: Column, salt: String): Column =
+    (conv(substring(
+        sha2(concat(id.cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  def splitLabel(id: Column, salt: String, pctTrain: Int): Column =
+    when(splitBucket(id, salt) < pctTrain, lit("train")).otherwise(lit("holdout"))
+
   def hashSplit(df: DataFrame, idCol: String, salt: String,
       pctTrain: Int): DataFrame = {
     require(pctTrain >= 0 && pctTrain <= 100, s"pctTrain $pctTrain not in [0,100]")
-    val bucket = (conv(substring(
-        sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 8), 16, 10)
-      .cast("long") % 100).cast("int")
-    df.withColumn("bucket", bucket)
+    df.withColumn("bucket", splitBucket(col(idCol), salt))
       .withColumn("split",
         when(col("bucket") < pctTrain, lit("train")).otherwise(lit("holdout")))
   }

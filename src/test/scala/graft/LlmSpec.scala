@@ -1269,6 +1269,34 @@ class LlmSpec extends AnyFunSuite {
       e0.sortBy(_._1).map(t => (t._2, t._3)).toSeq)
   }
 
+  test("split leakage partitions the verified pair set by split-pair buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Queries.splitLeakage(spark, dir).collect()
+    val labels = Set("train", "holdout")
+    rows.foreach { r =>
+      assert(labels(r.getString(0)) && labels(r.getString(1)))
+      assert(r.getString(0) <= r.getString(1)) // unordered pair normalization
+    }
+    // the buckets partition the jaccard>=0.5 pair set exactly
+    val total = Queries.minhashPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == total)
+  }
+
+  test("oov rate: top-N vocab covers in-vocab tokens; rates are consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Queries.oovRate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("oov_rate") == oov.toDouble / n)
+    }
+    // the synthetic vocabulary is ~30 words, so a top-10 vocab must leave
+    // a real OOV tail in every source
+    assert(rows.forall(_.getAs[Long]("n_oov") > 0))
+  }
+
   test("ann recall: IVF-probed top-k recovers brute-force neighbors on testdata") {
     val dir = "/root/testdata/sf0.001"
     val rows = Queries.annRecall(spark, dir).collect()
