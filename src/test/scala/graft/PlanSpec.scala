@@ -112,4 +112,35 @@ class PlanSpec extends AnyFunSuite {
         .queryExecution.optimizedPlan.toString).size
     assert(n == 15, s"expected 15 replace evaluations, found $n")
   }
+
+  test("dsir/lm/oov stats sides broadcast; the corpus stream never sort-merges") {
+    for (q <- Seq(Queries.dsirWeights _, Queries.lmScore _, Queries.oovRate _)) {
+      val df = q(spark, TestSpark.sfDir)
+      df.collect() // AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"),
+        s"a sort-merge join means a vocabulary-bounded stats table shuffled " +
+          s"the corpus stream:\n${plan.take(3000)}")
+    }
+    CacheBin.drain()
+  }
+
+  test("gopher rules plan scan-local: no exchange at all") {
+    val plan = Queries.gopherRules(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the rule audit is one narrow projection; an Exchange is a regression:\n${plan.take(3000)}")
+  }
+
+  test("epoch order never plans a single-partition global sort") {
+    val df = Queries.epochOrder(spark, TestSpark.sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the window must be keyed by shard (hashpartitioning), not a global
+    // ORDER BY (rangepartitioning or SinglePartition would both betray it)
+    assert(plan.contains("hashpartitioning(shard"), plan.take(3000))
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+    CacheBin.drain()
+  }
 }
