@@ -904,9 +904,12 @@ object Queries {
 
   /** Corpus-bigram LM quality score (CCNet-style perplexity filtering in
     * a determinism-safe rational form; see [[graft.llm.Selection.lmScore]]).
+    * Session-memoized: `q_lm_score` returns it, the v2 curation gate
+    * filters on it — the LM scoring pass runs once per session.
     */
   def lmScore(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Selection.lmScore(Tables.documents(s, dir), "doc_id", "text")
+    SessionMemo.cached(s, s"lmscore:$dir")(
+      graft.llm.Selection.lmScore(Tables.documents(s, dir), "doc_id", "text"))
 
   /** Gopher-style per-rule quality audit (see [[TextOps.gopherRules]]). */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
@@ -932,6 +935,39 @@ object Queries {
 
   // OOV audit: rate against the corpus top-N vocabulary
   val OovVocabTopN = 10
+  // v2 curation LM-score floor: the corpus median (~0.0345 at sf0.01), so
+  // the LM gate does real work beside the rule gate
+  val CurateV2LmMin = 0.0345
+
+  /** v2 curation: the "modern" composed gate — Gopher rules (in-scan
+    * predicate) ∧ LM score ≥ floor ∧ near-dup cluster survivor ∧ not
+    * benchmark-contaminated, then PII-scrub the survivors only and derive
+    * the split as a pure projection. Same shape as [[curate]] with the
+    * quality envelope swapped for the round-6 quality stack; every
+    * threshold reads the same constants its standalone oracle uses, and
+    * every expensive input (pair memo, decon scan, LM score table) is the
+    * session-memoized frame its sibling query returns.
+    */
+  def curateV2(s: SparkSession, dir: String): DataFrame = {
+    val reps = dedupKeep(s, dir).select("doc_id")
+    val contaminated = decontaminate(s, dir).select("doc_id")
+    val lmKeep = lmScore(s, dir)
+      .filter(col("lm_score") >= CurateV2LmMin).select("doc_id")
+    val kept = Tables.documents(s, dir)
+      .select(col("doc_id"), seededTextCol.as("__seeded"),
+        TextOps.gopherKeep(col("text"),
+          GopherMinTokens, GopherMaxTokens, GopherMinAvgTokLen,
+          GopherMaxAvgTokLen, GopherMaxRepeatRatio, GopherMinDistinctStop)
+          .as("__keep"))
+      .filter(col("__keep"))
+      .select(col("doc_id"), col("__seeded").as("text"))
+      .join(lmKeep, Seq("doc_id"), "left_semi")
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    TextOps.scrubPii(kept, "doc_id", "text")
+      .select(col("doc_id"), col("clean"),
+        TextOps.splitLabel(col("doc_id"), SplitSalt, SplitPctTrain).as("split"))
+  }
 
   /** Train/holdout near-dup leakage: verified MinHash pairs (jaccard ≥
     * 0.5) bucketed by the unordered split pair of their endpoints — the

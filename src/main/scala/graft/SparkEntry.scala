@@ -109,6 +109,7 @@ object SparkEntry {
     "q_epoch_order" -> (Queries.epochOrder _),
     "q_split_leakage" -> (Queries.splitLeakage _),
     "q_oov_rate" -> (Queries.oovRate _),
+    "q_curate_v2" -> (Queries.curateV2 _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -1848,6 +1849,63 @@ object SparkEntry {
              AND repeat_ratio <= ${Queries.GopherMaxRepeatRatio}
              AND n_distinct_stop >= ${Queries.GopherMinDistinctStop}) AS keep
          FROM m"""),
+
+    // v2 curation: gopher-rule gate ∧ LM-score floor ∧ dedup survivor ∧
+    // not-contaminated → scrub → split; every stage is the same shared
+    // fragment (or same-constant inline) its standalone oracle uses
+    "q_curate_v2" -> (minhashReachCte + s""",
+         gs AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS gn,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS gu,
+             CAST(length(text) AS BIGINT) AS gc,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+               ['the', 'a'])) AS BIGINT) AS gds
+           FROM documents),
+         gk AS (
+           SELECT doc_id FROM gs
+           WHERE gn BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens}
+             AND CAST(gc - (gn - 1) AS DOUBLE) / gn >= ${Queries.GopherMinAvgTokLen}
+             AND CAST(gc - (gn - 1) AS DOUBLE) / gn <= ${Queries.GopherMaxAvgTokLen}
+             AND CAST(1 AS DOUBLE) - CAST(gu AS DOUBLE) / gn <= ${Queries.GopherMaxRepeatRatio}
+             AND gds >= ${Queries.GopherMinDistinctStop}),
+         lmd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         lmbi AS (
+           SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+           FROM lmd WHERE len(w) >= 2),
+         lmb2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM lmbi),
+         lmbc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM lmb2 GROUP BY w1, w2),
+         lmpc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lmbc GROUP BY w1),
+         lmv AS (
+           SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         lmk AS (
+           SELECT doc_id FROM (
+             SELECT lmb2.doc_id,
+               CAST(sum(CAST(
+                 CAST(lmbc.c12 + 1 AS DOUBLE) / CAST(lmpc.c1 + lmv.v AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
+             FROM lmb2 JOIN lmbc USING (w1, w2) JOIN lmpc USING (w1) CROSS JOIN lmv
+             GROUP BY lmb2.doc_id) sc
+           WHERE lm_score >= ${Queries.CurateV2LmMin}),
+         reps AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY doc_id) c
+           WHERE doc_id = cluster_id),
+         $deconCtes,
+         $piiSeededCte
+         SELECT d.doc_id,
+           ${scrubCleanSql("d.text")} AS clean,
+           ${splitCaseSql("d.doc_id")} AS split
+         FROM seeded d
+         JOIN gk USING (doc_id)
+         JOIN lmk USING (doc_id)
+         JOIN reps USING (doc_id)
+         LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+         WHERE ct.doc_id IS NULL"""),
 
     // train/holdout near-dup leakage: the shared minhash CTE's verified
     // pairs at jaccard ≥ 0.5, endpoints labeled by the SAME split rule as

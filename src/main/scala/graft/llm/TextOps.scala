@@ -233,15 +233,7 @@ object TextOps {
       minTokens: Long, maxTokens: Long,
       minAvgTokLen: Double, maxAvgTokLen: Double,
       maxRepeatRatio: Double, minDistinctStop: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTokens = size(toks).cast("long")
-    val nUniq = size(array_distinct(toks)).cast("long")
-    // mean token length over tokens (chars excluding separators / tokens)
-    val nLetterChars = (length(col(textCol)).cast("long") - (nTokens - 1L))
-    val avgTokLen = nLetterChars.cast("double") / nTokens
-    val repeatRatio = lit(1.0) - nUniq.cast("double") / nTokens
-    val nStopDistinct = size(array_intersect(array_distinct(toks),
-      array(stopwords.map(lit): _*))).cast("long")
+    val (nTokens, avgTokLen, repeatRatio, nStopDistinct) = gopherSignals(col(textCol))
     val okTok = nTokens.between(minTokens, maxTokens)
     val okLen = avgTokLen >= minAvgTokLen && avgTokLen <= maxAvgTokLen
     val okRep = repeatRatio <= maxRepeatRatio
@@ -252,6 +244,33 @@ object TextOps {
       okTok.as("ok_token_count"), okLen.as("ok_avg_token_len"),
       okRep.as("ok_repeat_ratio"), okStop.as("ok_stopwords"),
       (okTok && okLen && okRep && okStop).as("keep"))
+  }
+
+  /** The four Gopher signals as column expressions over a text column —
+    * one definition for the standalone audit and fused pipelines (the
+    * curation scan evaluates the keep predicate in-scan, like
+    * [[textStatCols]] for the v1 quality gate).
+    */
+  private def gopherSignals(t: Column): (Column, Column, Column, Column) = {
+    val toks = tokens(t)
+    val nTokens = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    // mean token length over tokens (chars excluding separators / tokens)
+    val avgTokLen = (length(t).cast("long") - (nTokens - 1L)).cast("double") / nTokens
+    val repeatRatio = lit(1.0) - nUniq.cast("double") / nTokens
+    val nStopDistinct = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("long")
+    (nTokens, avgTokLen, repeatRatio, nStopDistinct)
+  }
+
+  /** The conjunction of all four Gopher rules as one predicate column. */
+  def gopherKeep(t: Column, minTokens: Long, maxTokens: Long,
+      minAvgTokLen: Double, maxAvgTokLen: Double,
+      maxRepeatRatio: Double, minDistinctStop: Int): Column = {
+    val (nTokens, avgTokLen, repeatRatio, nStopDistinct) = gopherSignals(t)
+    nTokens.between(minTokens, maxTokens) &&
+      avgTokLen >= minAvgTokLen && avgTokLen <= maxAvgTokLen &&
+      repeatRatio <= maxRepeatRatio && nStopDistinct >= minDistinctStop
   }
 
   /** Deterministic epoch shuffle: assign each document a shard and a

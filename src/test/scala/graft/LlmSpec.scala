@@ -1297,6 +1297,24 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n_oov") > 0))
   }
 
+  test("curate v2: survivors satisfy every gate; PII seeding never leaks through") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Queries.curateV2(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    val gopherKeep = Queries.gopherRules(spark, dir)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val lmKeep = Queries.lmScore(spark, dir)
+      .filter(col("lm_score") >= Queries.CurateV2LmMin)
+      .collect().map(_.getLong(0)).toSet
+    val reps = Queries.dedupKeep(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gopherKeep) && ids.subsetOf(lmKeep) && ids.subsetOf(reps))
+    // the deterministic PII seed (appended to every 10th doc) must be
+    // scrubbed from every surviving clean text
+    assert(out.forall(r => !r.getAs[String]("clean").contains("@")))
+    assert(out.forall(r => Set("train", "holdout")(r.getAs[String]("split"))))
+  }
+
   test("ann recall: IVF-probed top-k recovers brute-force neighbors on testdata") {
     val dir = "/root/testdata/sf0.001"
     val rows = Queries.annRecall(spark, dir).collect()
