@@ -93,7 +93,13 @@ object ScaleProbe {
       "chunk_dedup" -> (Queries.chunkDedup _),
       "chunk_dedup_hashed" -> (Queries.chunkDedupHashed _),
       "epoch_order" -> (Queries.epochOrder _),
-      "gopher_rules" -> (Queries.gopherRules _))
+      "gopher_rules" -> (Queries.gopherRules _),
+      // round 6d: v2 curation (rides the pair/decon/LM memos — its own
+      // marginal shuffle is the survivor sliver), split leakage (pair
+      // sliver rollup only), oov rate (token stream + broadcast vocab)
+      "curate_v2" -> (Queries.curateV2 _),
+      "split_leakage" -> (Queries.splitLeakage _),
+      "oov_rate" -> (Queries.oovRate _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {
