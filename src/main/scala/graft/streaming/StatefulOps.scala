@@ -17,6 +17,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
+  /** Ingest-time curation gate as a STREAMING transform: Gopher rule
+    * conjunction → PII scrub (survivors only) → deterministic split
+    * label. Every signal is a pure per-row projection
+    * ([[graft.llm.TextOps.gopherKeep]]/`scrubPii`/`splitLabel`), so the
+    * same expression tree runs unchanged on a file stream with
+    * exactly-once append semantics — the scan-local HALF of curation
+    * applied as documents land; the corpus-wide gates (LM score, near-dup
+    * survivorship, decontamination) run as the batch sweep over the
+    * landed corpus (Queries.curateV2), which is how a 100 TB pipeline
+    * splits the work: per-document filters at ingest, corpus passes on
+    * the lake.
+    */
+  def curationGate(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxTokens: Long,
+      minAvgTokLen: Double, maxAvgTokLen: Double,
+      maxRepeatRatio: Double, minDistinctStop: Int,
+      splitSalt: String, pctTrain: Int): DataFrame = {
+    import graft.llm.TextOps
+    TextOps.scrubPii(
+        docs.filter(TextOps.gopherKeep(col(textCol), minTokens, maxTokens,
+          minAvgTokLen, maxAvgTokLen, maxRepeatRatio, minDistinctStop)),
+        idCol, textCol)
+      .select(col(idCol), col("clean"),
+        TextOps.splitLabel(col(idCol), splitSalt, pctTrain).as("split"))
+  }
+
   /** Watermarked tumbling-window counts: rows per (window × key-free)
     * bucket, emitted (append) once the watermark passes the window end —
     * late rows beyond `watermarkDelay` are dropped, finalized windows are

@@ -353,6 +353,42 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(quar).count() == 2)
   }
 
+  test("streaming curation gate: two waves append exactly the batch gate's rows") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.types._
+    val src = tmp("cgsrc"); val out = tmp("cgout"); val ckpt = tmp("cgckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      StatefulOps.curationGate(df, "doc_id", "text",
+        minTokens = 3L, maxTokens = 50L, minAvgTokLen = 1.0, maxAvgTokLen = 10.0,
+        maxRepeatRatio = 0.9, minDistinctStop = 1,
+        splitSalt = Queries.SplitSalt, pctTrain = Queries.SplitPctTrain)
+    val wave1 = Seq(
+      (1L, "the quick mail reached a@b.com today"), // keeps; email scrubbed
+      (2L, "no stopwords here whatsoever friends"), // dropped: no stop list hit
+      (3L, "a b"))                                  // dropped: too short
+    val wave2 = Seq(
+      (4L, "a second message for 555-123-4567 the caller"), // keeps; phone scrubbed
+      (5L, "x y"))                                          // dropped
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      gated(FileStreamIngest.bronzeStream(spark, src, schema)), out, ckpt)
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      gated(FileStreamIngest.bronzeStream(spark, src, schema)), out, ckpt)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    // exactly-once: the second trigger processed only wave 2
+    assert(streamed.map(_._1) == Seq(1L, 4L))
+    assert(streamed(0)._2.contains("<EMAIL>") && streamed(1)._2.contains("<PHONE>"))
+    // the streaming gate IS the batch gate: same rows, same clean text,
+    // same split labels
+    val batch = gated((wave1 ++ wave2).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
   test("watermarked windowed counts: windows finalize only after watermark passes") {
     import graft.streaming.StatefulOps
     import org.apache.spark.sql.types._
