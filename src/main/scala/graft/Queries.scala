@@ -305,12 +305,17 @@ object Queries {
     * jaccard ≥ 0.5 — cluster_id = min reachable doc id, singletons keep
     * their own id.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val cc = MinHashDedup.connectedComponents(docs, "doc_id",
-      sharedPairs(s, dir).filter(col("jaccard") >= 0.5))
-    cc
-  }
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // session-memoized like the pair table it reads: the union-find /
+    // label-propagation pass runs once and serves every consumer
+    // (q_dedup_clusters, q_dedup_keep, both curate pipelines, the sweep
+    // summary) — at 100 TB the cluster map is materialized next to the
+    // pair table for exactly this reason
+    SessionMemo.cached(s, s"dedupclusters:$dir") {
+      val docs = Tables.documents(s, dir)
+      MinHashDedup.connectedComponents(docs, "doc_id",
+        sharedPairs(s, dir).filter(col("jaccard") >= 0.5))
+    }
 
   /** Dedup keep-list: one survivor per cluster (the minimum doc id) with
     * the member count it represents — the final materialization of the
