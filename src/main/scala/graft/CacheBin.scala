@@ -75,7 +75,16 @@ object SessionMemo {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
   private val ran = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), Unit]
+  private val buildSec = scala.collection.concurrent.TrieMap.empty[String, Double]
   CacheBin.onDrainAll(() => { memo.clear(); ran.clear() })
+
+  /** Wall seconds spent BUILDING each memoized frame (plan construction +
+    * cache materialization), keyed by memo key. Survives drainAll() —
+    * it's run-level diagnostics, not cache state. Bench emits it as
+    * `memo_sec` so a shared pipeline's cost stops reading as a regression
+    * of whichever consumer ran first alphabetically.
+    */
+  def buildSeconds: Map[String, Double] = buildSec.toMap
 
   /** Run `action` once per (session, key) — for idempotent side effects a
     * query amortizes across a session (e.g. a materialized-index write).
@@ -86,7 +95,12 @@ object SessionMemo {
     */
   def once(spark: org.apache.spark.sql.SparkSession, key: String)(
       action: => Unit): Unit = ran.synchronized {
-    if (!ran.contains((spark, key))) { action; ran.update((spark, key), ()) }
+    if (!ran.contains((spark, key))) {
+      val t0 = System.nanoTime()
+      action
+      buildSec.update(key, (System.nanoTime() - t0) / 1e9)
+      ran.update((spark, key), ())
+    }
   }
 
   def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
@@ -96,10 +110,18 @@ object SessionMemo {
     // builder composing other memoized stages stays safe)
     memo.synchronized {
       memo.getOrElseUpdate((spark, key), {
+        val t0 = System.nanoTime()
         val df = build
         // builders that persist (and materialize) internally stay as-is —
         // re-persisting would only log CacheManager noise
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+        // materialize NOW (noop sink fills the cache) so the build cost is
+        // attributable to the memo rather than smeared into whichever
+        // consumer acts first — the work happens in the same timed window
+        // either way (cached() runs inside the first consumer's plan
+        // build), this only makes it measurable
+        df.write.format("noop").mode("overwrite").save()
+        buildSec.update(key, (System.nanoTime() - t0) / 1e9)
         CacheBin.pin(df)
       })
     }

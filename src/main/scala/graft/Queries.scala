@@ -474,7 +474,7 @@ object Queries {
     */
   def shardBalance(s: SparkSession, dir: String): DataFrame =
     packSequences(s, dir)
-      .groupBy((col("seq_id") % 8).as("shard_id"))
+      .groupBy((col("seq_id") % NShards).as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("seq_id")).as("n_seqs"),
         sum(col("n_tokens")).as("n_tokens_total"))
@@ -622,7 +622,7 @@ object Queries {
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
     SessionMemo.cached(s, s"cosinetopk:$dir")(
       Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        isQuery = col("vec_id") < 5, k = 10))
+        isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK))
 
   /** Int8 quantize-then-rerank ANN: exact-integer coarse scores prune to a
     * 4×k pool, decimal-exact cosine re-ranks — the 4×-smaller-storage scale
@@ -630,7 +630,7 @@ object Queries {
     */
   def quantTopK(s: SparkSession, dir: String): DataFrame =
     Quantize.quantizedTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      isQuery = col("vec_id") < 5, k = 10, rerankFactor = 4)
+      isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK, rerankFactor = 4)
 
   /** Coarse assignment against the fixed 16-centroid codebook —
     * session-memoized (3 narrow columns per vector): `q_embed_outliers`
@@ -745,7 +745,7 @@ object Queries {
     // q_ann_recall as the approximate side
     SessionMemo.cached(s, s"ivftopk:$dir")(
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        isQuery = col("vec_id") < 5, k = 10, nProbe = 3,
+        isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK, nProbe = AnnNProbe,
         centroids = Some(ivfCentroidsShared(s, dir)),
         assigned = Some(ivfAssignedShared(s, dir))))
 
@@ -759,7 +759,7 @@ object Queries {
     val kc = math.max(1, math.ceil(math.sqrt(
       Tables.rowCount(s, dir, "embeddings").toDouble)).toInt)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
-      isQuery = col("vec_id") < 5, k = 10, nProbe = 3,
+      isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK, nProbe = AnnNProbe,
       centroids = Some(Similarity.kmeansCentroidsShared(emb,
         corpusKey = s"$dir/embeddings", "vec_id", "embedding",
         k = kc, iters = 2)))
@@ -789,8 +789,8 @@ object Queries {
         centroids = Some(ivfCentroidsShared(s, dir)),
         assigned = Some(ivfAssignedShared(s, dir)))
     }
-    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5),
-      "vec_id", "embedding", idxDir, k = 10, nProbe = 3)
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < AnnNumQueries),
+      "vec_id", "embedding", idxDir, k = AnnTopK, nProbe = AnnNProbe)
   }
 
   /** IVF × int8 composed retrieval: probe pruning + quantized coarse
@@ -800,7 +800,7 @@ object Queries {
     */
   def ivfQuantTopK(s: SparkSession, dir: String): DataFrame =
     Quantize.ivfQuantizedTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      isQuery = col("vec_id") < 5, k = 10, nProbe = 3, rerankFactor = 4,
+      isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK, nProbe = AnnNProbe, rerankFactor = 4,
       centroids = ivfCentroidsShared(s, dir),
       assigned = ivfAssignedShared(s, dir))
 
@@ -872,13 +872,25 @@ object Queries {
   val DsirKeepDen = 4
   val ChunkDedupTokens = 10
 
+  // ANN-plane parameters, defined ONCE: every top-k query (brute, IVF,
+  // kmeans, indexed, quantized) and the recall denominator read these —
+  // changing k in one place can no longer silently mis-scale recall
+  // (the oracle SQL in SparkEntry interpolates the same constants)
+  val AnnTopK = 10
+  val AnnNumQueries = 5
+  val AnnNProbe = 3
+  // training-shard count: the shard-balance audit and writeShards callers
+  // share this so the audit can't diverge from the writer's layout
+  val NShards = 8
+
   /** DSIR-style importance weights toward the `lang='en'` target slice,
     * with the top-quarter keep flag (see [[graft.llm.Selection]]).
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
     graft.llm.Selection.importanceWeights(Tables.documents(s, dir),
       "doc_id", "text", targetPred = col("lang") === "en",
-      keepNum = DsirKeepNum, keepDen = DsirKeepDen)
+      keepNum = DsirKeepNum, keepDen = DsirKeepDen,
+      totalRows = Some(Tables.rowCount(s, dir, "documents")))
 
   /** Temperature-scaled per-source mixture weights (τ=1 and τ=0.5; see
     * [[graft.llm.Selection.mixtureWeights]]).
@@ -1026,6 +1038,6 @@ object Queries {
     bf.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(col("__hit")).as("n_hits"),
-        (count(col("__hit")).cast("double") / lit(10.0)).as("recall"))
+        (count(col("__hit")).cast("double") / lit(AnnTopK.toDouble)).as("recall"))
   }
 }

@@ -46,12 +46,41 @@ object Tables {
       // queries re-open these files constantly
       val nFiles = math.max(2, parallelism / 4)
       SessionMemo.once(spark, s"split:$dir:$name") {
-        raw.repartition(nFiles).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
+        // the path is applicationId-unique, so a completed mirror on disk
+        // is valid for this session even after drainAll() cleared the
+        // SessionMemo — skip the redundant shuffle+rewrite (e.g. every
+        // BenchOne DRAIN_ALL=1 rep re-entered here)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "_SUCCESS"))) {
+          raw.repartition(nFiles).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
+        }
+        registerMirrorCleanup(spark)
       }
       spark.read.parquet(dst)
     }
   }
+
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Delete this application's split-mirror directory on JVM exit — the
+    * mirrors are session-scoped repair state, not data; without this, one
+    * directory set per applicationId accumulates in tmp across runs.
+    */
+  private def registerMirrorCleanup(spark: SparkSession): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val root = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-split",
+        spark.sparkContext.applicationId)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(root)) {
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        } catch { case _: java.io.IOException => () }))
+    }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     splitMirror(spark, dir, "lineitem")

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,12 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object ChunkDedup {
 
-  /** Per-document chunk-dedup summary: `n_chunks` (before), `n_kept`
-    * (after), and `kept_text` — the document re-joined from its surviving
-    * chunks in original order ('' when every chunk was seen earlier).
+  /** Shared pipeline for both public variants: the ONLY degree of freedom
+    * is which column keys the first-occurrence window (`keyOf` over the
+    * chunk text) — a tie-break or reconstruction fix lands in one place
+    * instead of two silently-driftable copies.
     */
-  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int): DataFrame = {
+  private def chunkDedupBy(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int)(keyOf: Column => Column): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),
@@ -41,8 +42,9 @@ object ChunkDedup {
       posexplode(expr(
         s"transform(sequence(0, int(n_chunks) - 1), " +
           s"i -> concat_ws(' ', slice(__toks, i * $chunkTokens + 1, $chunkTokens)))")))
-      .select(col(idCol), col("n_chunks"), col("pos").as("__idx"), col("col").as("__chunk"))
-    val firstWins = Window.partitionBy(col("__chunk"))
+      .select(col(idCol), col("n_chunks"), col("pos").as("__idx"),
+        col("col").as("__chunk"))
+    val firstWins = Window.partitionBy(keyOf(col("__chunk")))
       .orderBy(col(idCol).asc, col("__idx").asc)
     val kept = chunks
       .withColumn("__rn", row_number().over(firstWins))
@@ -58,6 +60,16 @@ object ChunkDedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Per-document chunk-dedup summary: `n_chunks` (before), `n_kept`
+    * (after), and `kept_text` — the document re-joined from its surviving
+    * chunks in original order ('' when every chunk was seen earlier).
+    * The corpus-wide shuffle is keyed by the chunk TEXT (oracle-replayable
+    * verbatim in SQL).
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame =
+    chunkDedupBy(docs, idCol, textCol, chunkTokens)(identity)
+
   /** [[chunkDedup]] with the first-occurrence window keyed by
     * xxhash64(chunk) instead of the chunk text — the 100 TB formulation:
     * the corpus-wide shuffle carries an 8-byte key instead of the full
@@ -69,30 +81,6 @@ object ChunkDedup {
     * shuffle, not done here). Verified against chunkDedup's oracle.
     */
   def chunkDedupHashed(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
-    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"),
-        ceil(size(col("__toks")).cast("double") / chunkTokens).cast("long").as("n_chunks"))
-    val chunks = base.select(col(idCol), col("n_chunks"),
-      posexplode(expr(
-        s"transform(sequence(0, int(n_chunks) - 1), " +
-          s"i -> concat_ws(' ', slice(__toks, i * $chunkTokens + 1, $chunkTokens)))")))
-      .select(col(idCol), col("n_chunks"), col("pos").as("__idx"),
-        col("col").as("__chunk"), xxhash64(col("col")).as("__ck"))
-    val firstWins = Window.partitionBy(col("__ck"))
-      .orderBy(col(idCol).asc, col("__idx").asc)
-    val kept = chunks
-      .withColumn("__rn", row_number().over(firstWins))
-      .filter(col("__rn") === 1)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", expr("transform(array_sort(" +
-          "collect_list(struct(__idx, __chunk))), s -> s.__chunk)")).as("kept_text"))
-    base.select(col(idCol), col("n_chunks"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
-  }
+      chunkTokens: Int): DataFrame =
+    chunkDedupBy(docs, idCol, textCol, chunkTokens)(xxhash64(_))
 }

@@ -39,7 +39,8 @@ object Selection {
     * stats at that point, nothing else changes.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, keepNum: Int = 1, keepDen: Int = 4): DataFrame = {
+      targetPred: Column, keepNum: Int = 1, keepDen: Int = 4,
+      totalRows: Option[Long] = None): DataFrame = {
     require(keepNum >= 1 && keepDen >= keepNum,
       s"keep fraction $keepNum/$keepDen outside (0, 1]")
     val toks = docs.select(col(idCol), targetPred.as("__t"),
@@ -64,8 +65,13 @@ object Selection {
       .agg(count(lit(1)).as("n_tokens"),
         (sum(ratio).cast("double") / count(lit(1))).as("dsir_score"))
     // threshold row via TakeOrdered twice (k-th best), not a global
-    // window: rank the top-k slice ascending and keep its last row
-    val n = docs.count()
+    // window: rank the top-k slice ascending and keep its last row.
+    // The limit() below needs the corpus size as a PLAN-TIME literal, so
+    // a size must be known eagerly — callers with a catalog/session row
+    // count pass it via totalRows (Queries routes Tables.rowCount's
+    // session cache) so plan construction triggers no corpus scan; the
+    // count() fallback is for ad-hoc frames without one.
+    val n = totalRows.getOrElse(docs.count())
     val k = ((n * keepNum + keepDen - 1) / keepDen).toInt
     val thr = scored
       .orderBy(col("dsir_score").desc, col(idCol).asc).limit(k)
