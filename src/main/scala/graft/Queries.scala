@@ -370,6 +370,40 @@ object Queries {
       storedSigs = Some(stored))
   }
 
+  // exact-substring dedup: minimum duplicated span length in tokens
+  // (Lee et al. use 50 BPE tokens at web scale; 8 splits the synthetic
+  // 10-99-token corpus meaningfully — 47 spans at sf0.01)
+  val SubstringMinTokens = 8
+
+  /** Maximal cross-document duplicated token spans (≥ [[SubstringMinTokens]]
+    * tokens, arbitrary boundaries) — the Lee-et-al exact-substring dedup
+    * modality (see [[graft.llm.SubstringDedup]]). Session-memoized: the
+    * stats rollup (`q_substring_stats`) reads the same span sliver.
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"substrspans:$dir:$SubstringMinTokens")(
+      graft.llm.SubstringDedup.substringSpans(Tables.documents(s, dir),
+        "doc_id", "text", minSpanTokens = SubstringMinTokens))
+
+  /** [[substringDedup]] with the corpus-wide shuffle keyed by
+    * xxhash64(gram) — the 100 TB shuffle-bytes lever; shares the
+    * text-keyed oracle (identical output absent a 64-bit collision).
+    * Deliberately NOT memo-shared: the point is exercising the hashed
+    * path end-to-end.
+    */
+  def substringDedupHashed(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SubstringDedup.substringSpansHashed(Tables.documents(s, dir),
+      "doc_id", "text", minSpanTokens = SubstringMinTokens)
+
+  /** Per-document duplicated-text audit over the span sliver (every doc,
+    * zero-filled): the "is the cut worth running" rollup. Rides the
+    * memoized span table — costs one sliver join, not a second gram pass.
+    */
+  def substringStats(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SubstringDedup.substringDupStats(Tables.documents(s, dir),
+      "doc_id", "text", minSpanTokens = SubstringMinTokens,
+      spans = Some(substringDedup(s, dir)))
+
   /** Per-doc distinctive term (lowest document frequency, exact integer
     * tie-breaks — see [[TextOps.distinctiveTerms]]).
     */

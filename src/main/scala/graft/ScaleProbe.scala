@@ -99,7 +99,13 @@ object ScaleProbe {
       // sliver rollup only), oov rate (token stream + broadcast vocab)
       "curate_v2" -> (Queries.curateV2 _),
       "split_leakage" -> (Queries.splitLeakage _),
-      "oov_rate" -> (Queries.oovRate _))
+      "oov_rate" -> (Queries.oovRate _),
+      // round 7: substring dedup is count-based (two-level gram agg + a
+      // hits join + doc-local windows) — shuffle rows must grow ~linearly
+      // in corpus tokens; there is no pair expansion to go quadratic. The
+      // hashed variant must shuffle the same ROWS at ~L× smaller bytes.
+      "substring_dedup" -> (Queries.substringDedup _),
+      "substring_dedup_hashed" -> (Queries.substringDedupHashed _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {

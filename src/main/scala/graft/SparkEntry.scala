@@ -110,6 +110,9 @@ object SparkEntry {
     "q_split_leakage" -> (Queries.splitLeakage _),
     "q_oov_rate" -> (Queries.oovRate _),
     "q_curate_v2" -> (Queries.curateV2 _),
+    "q_substring_dedup" -> (Queries.substringDedup _),
+    "q_substring_dedup_hashed" -> (Queries.substringDedupHashed _),
+    "q_substring_stats" -> (Queries.substringStats _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -453,6 +456,52 @@ object SparkEntry {
              PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
            FROM p) r
          WHERE rn = 1"""
+
+  /** Shared CTE chain for the exact-substring dedup oracles: L-grams at
+    * every position (1-based) → grams in ≥ 2 distinct docs → anchor hits
+    * → gaps-and-islands merge → maximal spans — the DuckDB mirror of
+    * [[graft.llm.SubstringDedup]] (one definition of L via
+    * [[Queries.SubstringMinTokens]]).
+    */
+  private val substringSpanCtes: String = {
+    val L = Queries.SubstringMinTokens
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - $L + 1)) AS pos,
+             unnest(list_transform(generate_series(1, len(toks) - $L + 1),
+               i -> array_to_string(list_slice(toks, i, i + $L - 1), ' '))) AS gram
+           FROM d WHERE len(toks) >= $L),
+         dupg AS (
+           SELECT gram FROM (
+             SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram) t
+           WHERE nd >= 2),
+         hits AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+         isl AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $L
+                  THEN 1 ELSE 0 END AS nf
+           FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         st AS (
+           SELECT doc_id, pos,
+             sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + $L - 1 AS BIGINT) AS span_end,
+             CAST(max(pos) + $L - 1 - min(pos) + 1 AS BIGINT) AS span_tokens
+           FROM st GROUP BY doc_id, island)"""
+  }
+
+  /** Maximal duplicated spans — q_substring_dedup_hashed runs the SAME
+    * oracle: its Spark plan keys the corpus-wide shuffle by
+    * xxhash64(gram) instead of the gram text (the shuffle-bytes lever),
+    * identical output absent a 64-bit collision.
+    */
+  private val substringSpansSql: String =
+    s"""WITH $substringSpanCtes
+         SELECT doc_id, span_start, span_end, span_tokens FROM spans"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1951,5 +2000,22 @@ object SparkEntry {
                % ${Queries.EpochShards}
              ORDER BY hh, doc_id) AS BIGINT) AS pos
          FROM h"""),
+
+    "q_substring_dedup" -> substringSpansSql,
+    "q_substring_dedup_hashed" -> substringSpansSql,
+
+    // per-document duplicated-text audit: span sliver rolled up, every
+    // document zero-filled
+    "q_substring_stats" -> (s"""
+         WITH $substringSpanCtes,
+         per AS (
+           SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup,
+             CAST(count(*) AS BIGINT) AS nsp
+           FROM spans GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           coalesce(per.dup, 0) AS n_dup_tokens,
+           CAST(coalesce(per.dup, 0) AS DOUBLE) / len(d.toks) AS dup_ratio,
+           coalesce(per.nsp, 0) AS n_spans
+         FROM d LEFT JOIN per USING (doc_id)"""),
   )
 }

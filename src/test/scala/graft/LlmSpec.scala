@@ -1069,6 +1069,57 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.count() == 0 && uncapped.count() == 3)
   }
 
+  test("substring dedup: maximal cross-doc spans at arbitrary boundaries; within-doc repeats excluded; hashed variant identical") {
+    // a 10-token run shared at DIFFERENT offsets (position 4 in doc 1,
+    // position 1 in doc 2) — exactly what chunk-aligned dedup misses
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $shared x y z"),
+      (2L, s"$shared p q r s t u v w"),
+      (3L, "totally unrelated words with nothing in common at all right here ok"),
+      // an 8-gram repeated WITHIN one doc only: not a cross-document
+      // duplicate, must not be marked
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8")
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.substringSpans(docs, "doc_id", "text",
+        minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // anchors 4..6 in doc 1 cover tokens [4, 13]; anchors 1..3 in doc 2
+    // cover [1, 10] — ONE maximal merged span each, full 10-token length
+    assert(spans == Set((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L)))
+    val hashed = SubstringDedup.substringSpansHashed(docs, "doc_id", "text",
+        minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(hashed == spans)
+    // stats rollup zero-fills non-duplicated docs and covers every doc
+    val stats = SubstringDedup.substringDupStats(docs, "doc_id", "text",
+        minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(stats.keySet == Set(1L, 2L, 3L, 4L))
+    assert(stats(1L) == ((10L, 1L)) && stats(2L) == ((10L, 1L)))
+    assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
+  }
+
+  test("substring dedup: overlapping duplicated grams merge into one maximal span") {
+    // doc 1 shares tokens 1-9 with doc 2 and tokens 5-13 with doc 3: the
+    // covered intervals overlap, so doc 1 reports ONE span 1..13 — the
+    // island merge, not per-gram fragments
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val b = "w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 tail1 tail2"),
+      (2L, s"$a other tokens here entirely"),
+      (3L, s"prefix tokens go here $b")
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.substringSpans(docs, "doc_id", "text",
+        minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == 1L)
+    assert(spans.toSeq == Seq((1L, 1L, 13L)))
+  }
+
   test("semdedup keep-list: member counts cover the corpus, reps are cluster minima") {
     val dir = "/root/testdata/sf0.001"
     val keep = Queries.semdedupKeep(spark, dir).collect()
