@@ -893,6 +893,48 @@ object Queries {
         Tables.documents(s, dir), "doc_id", "text"),
       MediaMinW, MediaMinH, MediaMinBytes, MediaMaxBytes)
 
+  // perceptual image-hash near-dup parameters, single-sourced with the
+  // oracles: hamming radius (≤ 3, the 4-band pigeonhole bound) and the
+  // hot-bucket cap
+  val ImageMaxHamming = 3
+  val ImageBucketCap = 50
+
+  /** The documents corpus wrapped as a media column with SEEDED byte-level
+    * re-encodes — every 5th payload is the PREVIOUS doc's bytes with the
+    * final byte rewritten (a one-metadata-byte re-encode). Like
+    * [[PiiSeedSuffix]]: the synthetic corpus has no natural byte-near
+    * payloads, so without seeding the perceptual-pair oracle would
+    * vacuously compare empty sets. The DuckDB side applies the identical
+    * rewrite.
+    */
+  private def seededMedia(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val prev = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("__prev"))
+    val seeded = d.join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 4 && col("__prev").isNotNull,
+          concat(expr("substring(__prev, 1, length(__prev) - 1)"), lit("z")))
+          .otherwise(col("text")).as("text"))
+    graft.llm.Multimodal.asMediaColumn(seeded, "doc_id", "text")
+  }
+
+  /** Perceptual dHash per media payload (deterministic byte-sampling
+    * fallback for these text payloads — real imageio decode for image
+    * bytes, spec-covered). Session-memoized: the pair query reads the
+    * same 3-column frame.
+    */
+  def imageDhash(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"imagedhash:$dir")(
+      graft.llm.ImageHash.dhashFrame(seededMedia(s, dir)))
+
+  /** Perceptual image near-dup pairs: hamming ≤ [[ImageMaxHamming]] over
+    * the dHashes via the SimHash 4×16-bit banding ([[graft.llm.SimHash
+    * .hammingPairsOn]]) — the seeded re-encodes pair with their originals.
+    */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SimHash.hammingPairsOn(imageDhash(s, dir), "doc_id", "dhash",
+      maxHamming = ImageMaxHamming, bucketCap = ImageBucketCap, bits = 64)
+
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

@@ -113,6 +113,8 @@ object SparkEntry {
     "q_substring_dedup" -> (Queries.substringDedup _),
     "q_substring_dedup_hashed" -> (Queries.substringDedupHashed _),
     "q_substring_stats" -> (Queries.substringStats _),
+    "q_image_dhash" -> (Queries.imageDhash _),
+    "q_image_neardup" -> (Queries.imageNearDup _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -502,6 +504,39 @@ object SparkEntry {
   private val substringSpansSql: String =
     s"""WITH $substringSpanCtes
          SELECT doc_id, span_start, span_end, span_tokens FROM spans"""
+
+  /** Shared CTE chain for the perceptual image-hash oracles: the seeded
+    * media payloads (every 5th = previous doc's bytes, last byte
+    * rewritten — same rule as [[Queries.seededMedia]]), the byte-sampled
+    * 9×8 gray grid, and the 64-bit dHash (unsigned accumulate in HUGEINT,
+    * wrapped to signed BIGINT like the simhash64 oracle). Replays
+    * [[graft.llm.ImageHashImpl]]'s fallback path exactly — the corpus
+    * payloads are ASCII text, so character positions = byte positions.
+    */
+  private val imageDhashCtes: String =
+    """prev AS (SELECT doc_id + 1 AS doc_id, text AS ptext FROM documents),
+         seeded AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 5 = 4 AND p.ptext IS NOT NULL
+                  THEN substr(p.ptext, 1, length(p.ptext) - 1) || 'z'
+                  ELSE d.text END AS text
+           FROM documents d LEFT JOIN prev p USING (doc_id)),
+         gr AS (
+           SELECT doc_id, list_transform(generate_series(0, 71),
+             i -> ascii(substr(text, CAST((i * length(text)) // 72 + 1 AS INT), 1))) AS gs
+           FROM seeded),
+         bv AS (
+           SELECT doc_id, j,
+             CASE WHEN gs[CAST((j // 8) * 9 + (j % 8) + 2 AS INT)]
+                     > gs[CAST((j // 8) * 9 + (j % 8) + 1 AS INT)]
+                  THEN 1 ELSE 0 END AS bit
+           FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS j, gs FROM gr) t),
+         u AS (SELECT doc_id, sum(CAST(bit AS HUGEINT) << CAST(63 - j AS INT)) AS uv
+               FROM bv GROUP BY doc_id),
+         sh AS (SELECT doc_id, uv,
+           CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                     ELSE uv END AS BIGINT) AS dhash
+           FROM u)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2017,5 +2052,33 @@ object SparkEntry {
            CAST(coalesce(per.dup, 0) AS DOUBLE) / len(d.toks) AS dup_ratio,
            coalesce(per.nsp, 0) AS n_spans
          FROM d LEFT JOIN per USING (doc_id)"""),
+
+    // perceptual hash per payload: these text payloads all take the
+    // deterministic byte-sampling fallback ('opaque'); the real-image
+    // path (imageio decode + box-average grid) is spec-covered with
+    // actual PNGs, which DuckDB cannot decode
+    "q_image_dhash" -> (s"""
+         WITH $imageDhashCtes
+         SELECT doc_id, dhash, 'opaque' AS decoder FROM sh"""),
+
+    // perceptual near-dup pairs: 4×16-bit banding + capped buckets +
+    // bit_count(xor) radius — the same candidate chain as the simhash64
+    // oracle, over the dHash fingerprints
+    "q_image_neardup" -> (s"""
+         WITH $imageDhashCtes,
+         bands AS (
+           SELECT doc_id, dhash, b AS band,
+             CAST((uv >> CAST(16 * b AS INT)) & 65535 AS BIGINT) AS bvv
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) t),
+         ok AS (SELECT band, bvv FROM bands GROUP BY band, bvv
+                HAVING count(*) BETWEEN 2 AND ${Queries.ImageBucketCap}),
+         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, bvv)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.dhash AS sh_a, b.dhash AS sh_b
+           FROM inok a JOIN inok b
+             ON a.band = b.band AND a.bvv = b.bvv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= ${Queries.ImageMaxHamming}"""),
   )
 }

@@ -116,10 +116,27 @@ object SimHash {
     // the 32-bit fingerprint with misaligned bands (e.g. bits=48 → one
     // all-zero band = a single capped mega-bucket, losing recall silently)
     val sh = if (bits == 64) simhash64(col(textCol)) else simhash32(col(textCol))
-    val h = Spread(docs).select(col(idCol), sh.as("simhash"))
-    val bands = h.select(col(idCol), col("simhash"),
-      explode(bandStructs(col("simhash"), bits)).as("b"))
-      .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    hammingPairsOn(Spread(docs).select(col(idCol), sh.as("simhash")),
+      idCol, "simhash", maxHamming, bucketCap, bits)
+  }
+
+  /** The banded hamming join over a PRECOMPUTED fingerprint column — the
+    * candidate machinery of [[hammingPairs]], factored out because the
+    * banding is a property of the fingerprint width, not of text:
+    * [[graft.llm.ImageHash.dhashPairs]] runs perceptual image hashes
+    * through the identical stage. Same guarantees: 4-band pigeonhole
+    * recall to hamming ≤ 3, bucketCap gate BEFORE pair expansion, one
+    * (band, value) exchange reused by the self-join.
+    */
+  def hammingPairsOn(hashes: org.apache.spark.sql.DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, bucketCap: Int,
+      bits: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxHamming <= 3, "4 bands guarantee recall only up to hamming 3")
+    val h = hashes.select(col(idCol), col(hashCol).as("__h"))
+    val bands = h.select(col(idCol), col("__h"),
+      explode(bandStructs(col("__h"), bits)).as("b"))
+      .select(col(idCol), col("__h"), col("b.band").as("band"), col("b.bv").as("bv"))
     // bucket gate as a window count over the (band, bv) shuffle the
     // self-join reuses — one exchange for the whole candidate stage
     val w = org.apache.spark.sql.expressions.Window
@@ -128,9 +145,9 @@ object SimHash {
       .withColumn("__bn", count(lit(1)).over(w))
       .filter(col("__bn") >= 2 && col("__bn") <= bucketCap)
       .drop("__bn")
-    val a = inOk.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+    val a = inOk.select(col(idCol).as("doc_a"), col("__h").as("sh_a"),
       col("band"), col("bv"))
-    val b = inOk.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+    val b = inOk.select(col(idCol).as("doc_b"), col("__h").as("sh_b"),
       col("band"), col("bv"))
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))

@@ -1069,6 +1069,50 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.count() == 0 && uncapped.count() == 3)
   }
 
+  test("image dhash: a resized re-encoded PNG pairs with its original; a distinct image does not") {
+    // blocky column pattern aligned to the 9-wide dHash grid (72 px / 9
+    // cells = 8 px per cell): cell-constant luma makes the hash exactly
+    // resize-stable, so the pair assertion tests the pipeline, not
+    // resampling luck
+    def png(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(72, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val v = f(x * 9 / 72) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val orig = png(cx => (cx * 53) % 256)
+    val distinct = png(cx => 255 - (cx * 53) % 256)
+    // REAL bilinear resize + PNG re-encode (different bytes, same content)
+    val resized = Multimodal.imageResize(orig, 36, 32).get
+    assert(!java.util.Arrays.equals(orig, resized))
+    val (hOrig, dOrig) = ImageHashImpl.dhash(orig)
+    val (hRes, dRes) = ImageHashImpl.dhash(resized)
+    val (hDist, _) = ImageHashImpl.dhash(distinct)
+    assert(dOrig == "imageio" && dRes == "imageio")
+    assert(java.lang.Long.bitCount(hOrig ^ hRes) <= 3)
+    assert(java.lang.Long.bitCount(hOrig ^ hDist) > 3)
+    // end to end through the media frame + the SimHash banding: only the
+    // (original, resized) pair survives
+    val media = Seq((1L, orig), (2L, resized), (3L, distinct))
+      .toDF("doc_id", "media")
+    val pairs = ImageHash.dhashPairs(media, maxHamming = 3, bucketCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // a non-image payload takes the deterministic fallback and matches
+    // the byte-sampling definition the oracle replays
+    val textBytes = "some plain utf8 text payload that is not an image at all"
+      .getBytes("UTF-8")
+    val (hTxt, dTxt) = ImageHashImpl.dhash(textBytes)
+    assert(dTxt == "opaque")
+    assert(hTxt == ImageHashImpl.dhashFromGrays(
+      ImageHashImpl.fallbackGrays(textBytes)))
+  }
+
   test("substring dedup: maximal cross-doc spans at arbitrary boundaries; within-doc repeats excluded; hashed variant identical") {
     // a 10-token run shared at DIFFERENT offsets (position 4 in doc 1,
     // position 1 in doc 2) — exactly what chunk-aligned dedup misses
