@@ -959,6 +959,50 @@ object Queries {
   // share this so the audit can't diverge from the writer's layout
   val NShards = 8
 
+  // learned-BPE vocabulary size (merge count): 30 is deep enough that
+  // frequent whole words ("customer", "filter") reassemble while rare
+  // words stay multi-token — the split a real subword vocabulary shows
+  val BpeNumMerges = 30
+
+  // driver-side BPE model memo (one training run per (session, corpus),
+  // the model is vocabulary-bounded state like the kmeans codebook);
+  // cleared with the session memos so a fresh suite retrains
+  private val bpeModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.llm.Bpe.Model]
+  CacheBin.onDrainAll(() => bpeModels.clear())
+
+  private def bpeModel(s: SparkSession, dir: String): graft.llm.Bpe.Model =
+    bpeModels.getOrElseUpdate((s, dir), {
+      val words = graft.llm.Bpe.wordCounts(Tables.documents(s, dir), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      graft.llm.Bpe.train(words, BpeNumMerges)
+    })
+
+  /** The learned BPE merge table (count-desc, pair-asc deterministic
+    * training — see [[graft.llm.Bpe]]): rank, pair, merged symbol, and
+    * the pair count at selection time.
+    */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Bpe.mergeTable(s, bpeModel(s, dir))
+
+  /** Per-document token counts under the TRAINED vocabulary — the real
+    * counts the packing/budget plane should run on, next to the
+    * whitespace proxy (`q_token_count`).
+    */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
+      bpeModel(s, dir))
+
+  /** Sequence packing on LEARNED-BPE token counts — [[packSequences]]
+    * with the proxy count column swapped for [[bpeTokenCounts]] through
+    * the [[graft.llm.Packing.packSequencesBy]] seam (same distributed
+    * prefix-sum, no global window).
+    */
+  def packSequencesBpe(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequencesBy(
+      bpeTokenCounts(s, dir).select(col("doc_id"), col("n_bpe_tokens")),
+      "doc_id", "n_bpe_tokens", budget = PackBudget)
+
   /** DSIR-style importance weights toward the `lang='en'` target slice,
     * with the top-quarter keep flag (see [[graft.llm.Selection]]).
     */

@@ -105,7 +105,11 @@ object ScaleProbe {
       // in corpus tokens; there is no pair expansion to go quadratic. The
       // hashed variant must shuffle the same ROWS at ~L× smaller bytes.
       "substring_dedup" -> (Queries.substringDedup _),
-      "substring_dedup_hashed" -> (Queries.substringDedupHashed _))
+      "substring_dedup_hashed" -> (Queries.substringDedupHashed _),
+      // BPE counts: training input is the vocab-bounded word table; the
+      // corpus-scale shuffle is the exploded word stream + per-doc rollup
+      // (broadcast segmentation join) — must stay ~linear
+      "bpe_token_count" -> (Queries.bpeTokenCounts _))
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {

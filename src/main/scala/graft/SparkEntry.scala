@@ -115,6 +115,9 @@ object SparkEntry {
     "q_substring_stats" -> (Queries.substringStats _),
     "q_image_dhash" -> (Queries.imageDhash _),
     "q_image_neardup" -> (Queries.imageNearDup _),
+    "q_bpe_vocab" -> (Queries.bpeVocab _),
+    "q_bpe_token_count" -> (Queries.bpeTokenCounts _),
+    "q_pack_sequences_bpe" -> (Queries.packSequencesBpe _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -537,6 +540,51 @@ object SparkEntry {
            CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
                      ELSE uv END AS BIGINT) AS dhash
            FROM u)"""
+
+  /** Unrolled BPE-training oracle (DuckDB replays the training loop):
+    * t0 encodes each distinct word's symbol sequence as `(s1)(s2)…` with
+    * its count; each round r picks the best pair (count desc, pair asc)
+    * and applies it via `replace()` — whose non-overlapping left-to-right
+    * scan reproduces greedy BPE merge application exactly (the `(…)`
+    * wrapping is what makes adjacent matches non-overlapping in the
+    * string). MATERIALIZED is load-bearing: t{r} is referenced twice per
+    * round, and inlining would re-derive the whole chain exponentially.
+    * One definition of the merge count via [[Queries.BpeNumMerges]]; the
+    * inner series bound 50 just needs to exceed the longest word.
+    */
+  private val bpeCtes: String = {
+    val M = Queries.BpeNumMerges
+    val sb = new StringBuilder
+    sb.append(
+      """t0 AS MATERIALIZED (
+           SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+             '(' || array_to_string(list_transform(generate_series(1, length(w)),
+               i -> substr(w, i, 1)), ')(') || ')' AS enc
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+           GROUP BY w)""")
+    for (r <- 0 until M) sb.append(s""",
+         b$r AS MATERIALIZED (
+           SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+           FROM (SELECT cnt, string_split(substr(enc, 2, length(enc) - 2), ')(') AS syms
+                 FROM t$r) s,
+                (SELECT unnest(generate_series(1, 50)) AS i) ii
+           WHERE i <= len(syms) - 1
+           GROUP BY 1, 2
+           ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         t${r + 1} AS MATERIALIZED (
+           SELECT word, cnt,
+             replace(enc, '(' || b$r.a || ')(' || b$r.b || ')',
+               '(' || b$r.a || b$r.b || ')') AS enc
+           FROM t$r CROSS JOIN b$r)""")
+    sb.toString
+  }
+
+  /** Final per-word BPE segment counts (reads the last training state). */
+  private val bpeNsymCte: String =
+    s"""ns AS (
+           SELECT word, CAST(len(string_split(substr(enc, 2, length(enc) - 2),
+             ')(')) AS BIGINT) AS nsym
+           FROM t${Queries.BpeNumMerges})"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2080,5 +2128,48 @@ object SparkEntry {
              ON a.band = b.band AND a.bvv = b.bvv AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= ${Queries.ImageMaxHamming}"""),
+
+    // learned BPE merge table: the unrolled training chain, one row per
+    // round from its b{r} selection
+    "q_bpe_vocab" -> (s"""
+         WITH $bpeCtes
+         SELECT * FROM (${(0 until Queries.BpeNumMerges).map(r =>
+           s"SELECT CAST($r AS INT) AS merge_rank, a, b, a || b AS merged, " +
+             s"c AS pair_count FROM b$r").mkString(" UNION ALL ")})
+         ORDER BY merge_rank"""),
+
+    // per-doc token counts under the trained vocabulary: corpus words
+    // joined against the final segmentation state
+    "q_bpe_token_count" -> (s"""
+         WITH $bpeCtes,
+         $bpeNsymCte,
+         wc AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ns.nsym) AS BIGINT) AS n_bpe_tokens
+         FROM wc JOIN ns USING (word)
+         GROUP BY doc_id"""),
+
+    // sequence packing on the BPE counts: same prefix-sum semantics as
+    // q_pack_sequences with the count column swapped
+    "q_pack_sequences_bpe" -> (s"""
+         WITH $bpeCtes,
+         $bpeNsymCte,
+         wc AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         t AS (
+           SELECT doc_id, CAST(sum(ns.nsym) AS BIGINT) AS n_tokens
+           FROM wc JOIN ns USING (word)
+           GROUP BY doc_id),
+         o AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM t)
+         SELECT doc_id, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
+         FROM o"""),
   )
 }

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned byte-pair-encoding vocabulary (Sennrich et al. 2016, the
+  * tokenizer-training primitive every token-budget operator ultimately
+  * depends on): train merge rules on the corpus word-frequency table,
+  * then re-derive per-document token counts from the learned
+  * segmentation — replacing the whitespace/"BPE-ish regex" PROXY counts
+  * ([[TextOps.tokenCounts]]) with counts from an actual trained
+  * subword vocabulary.
+  *
+  * Determinism (the property that makes a cross-engine oracle possible):
+  * merge order is fully specified — highest pair count first, ties broken
+  * by (left symbol asc, right symbol asc); pair counts sum the word
+  * frequency once per ADJACENT OCCURRENCE (so "aaa" contributes twice to
+  * (a,a)); merges apply greedily left-to-right within each word. Exactly
+  * `numMerges` rounds run — training `require`s the corpus supports them
+  * (a corpus that exhausts earlier needs a smaller vocabulary, and the
+  * caller should know).
+  *
+  * Scale shape: training never touches the corpus — it runs on the WORD
+  * FREQUENCY table (one explode + hash-agg shuffle, output bounded by the
+  * vocabulary, ~10⁵–10⁷ distinct words for natural language at ANY corpus
+  * size), collected as driver-side model state exactly like the k-means
+  * codebook ([[Similarity]]): bounded by construction, not by luck. The
+  * training loop is O(numMerges × Σ word lengths) on that table. Applying
+  * the vocabulary is a BROADCAST join of the final word→segment-count map
+  * onto the exploded corpus — the corpus-scale path stays one shuffle
+  * (the per-doc count rollup). Past ~10⁸ distinct words, train on a
+  * frequency-truncated table (standard practice — rare-word tails don't
+  * move merge counts); nothing else changes.
+  */
+object Bpe {
+
+  /** Trained model: the merge table rows `(rank, a, b, merged,
+    * pair_count)` in training order, and the final per-word segment
+    * count under the full merge sequence.
+    */
+  case class Model(merges: Seq[(Int, String, String, String, Long)],
+      wordSegments: Map[String, Int])
+
+  /** Train `numMerges` merges over `(word, count)` rows. */
+  def train(words: Seq[(String, Long)], numMerges: Int): Model = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    // state: each distinct word as its current symbol sequence + count
+    var state: Seq[(Array[String], Long)] =
+      words.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 0
+    while (r < numMerges) {
+      val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- state; i <- 0 until syms.length - 1)
+        stats.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      require(stats.nonEmpty,
+        s"corpus exhausted after $r merges; lower numMerges below $numMerges")
+      // deterministic selection: count desc, then (a, b) asc
+      val ((a, b), cnt) = stats.minBy { case ((x, y), c) => (-c, x, y) }
+      merges += ((r, a, b, a + b, cnt))
+      state = state.map { case (syms, c) =>
+        // greedy left-to-right application — the semantics the oracle's
+        // non-overlapping replace() reproduces
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), c)
+      }
+      r += 1
+    }
+    Model(merges.result(),
+      words.map(_._1).zip(state.map(_._1.length)).toMap)
+  }
+
+  /** The vocabulary-bounded word-frequency table (the training input —
+    * ONE corpus explode + hash agg; everything after is model-sized).
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** The learned merge table as a DataFrame:
+    * `(merge_rank, a, b, merged, pair_count)`.
+    */
+  def mergeTable(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.merges.toDF("merge_rank", "a", "b", "merged", "pair_count")
+  }
+
+  /** Per-document BPE token counts `(id, n_words, n_bpe_tokens)`: the
+    * final segmentation is known per DISTINCT word at training end, so
+    * application is a broadcast join of the word→|segments| map onto the
+    * exploded corpus — no per-row merge replay.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nsym = model.wordSegments.toSeq.toDF("word", "__nsym")
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(broadcast(nsym), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nsym").cast("long")).as("n_bpe_tokens"))
+  }
+}

@@ -55,6 +55,18 @@ object Packing {
     * history possible at all.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, partitions: Int = 0, resumeFrom: Long = 0L): DataFrame =
+    packSequencesBy(
+      df.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__nt")),
+      idCol, "__nt", budget, partitions, resumeFrom)
+
+  /** [[packSequences]] over a PRECOMPUTED per-document token-count column
+    * — the seam a real tokenizer plugs into: [[Bpe.tokenCounts]] feeds
+    * learned-BPE counts through the identical prefix-sum machinery (same
+    * semantics, same no-global-window scale shape).
+    */
+  def packSequencesBy(df: DataFrame, idCol: String, nTokensCol: String,
       budget: Long, partitions: Int = 0, resumeFrom: Long = 0L): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(resumeFrom >= 0, "resume offset must be non-negative")
@@ -63,7 +75,7 @@ object Packing {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = df.select(
         col(idCol).cast("long").as("doc_id"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+        col(nTokensCol).cast("long").as("n_tokens"))
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)

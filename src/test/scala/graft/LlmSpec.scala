@@ -1069,6 +1069,41 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.count() == 0 && uncapped.count() == 3)
   }
 
+  test("bpe training: deterministic merge order, overlap counting, greedy application, tie-breaks") {
+    // round 1: (a,b) count 2+3=5 beats (a,a) count 4 (two adjacent
+    // occurrences in "aaab", weight 2) — overlapping positions both count
+    val m1 = Bpe.train(Seq("aaab" -> 2L, "ab" -> 3L), numMerges = 1)
+    assert(m1.merges == Seq((0, "a", "b", "ab", 5L)))
+    // greedy left-to-right: "aaa" under merge (a,a) becomes [aa, a]
+    val m2 = Bpe.train(Seq("aaa" -> 1L), numMerges = 1)
+    assert(m2.merges == Seq((0, "a", "a", "aa", 2L)))
+    assert(m2.wordSegments("aaa") == 2)
+    // count tie broken by (a asc, b asc): (x,y) before (x,z)
+    val m3 = Bpe.train(Seq("xy" -> 1L, "xz" -> 1L), numMerges = 1)
+    assert(m3.merges == Seq((0, "x", "y", "xy", 1L)))
+    // merges compose: after (a,b)->(ab), round 2 of "abab" merges
+    // (ab, ab); segments collapse to 1
+    val m4 = Bpe.train(Seq("abab" -> 1L), numMerges = 2)
+    assert(m4.merges.map(t => (t._2, t._3, t._4)) ==
+      Seq(("a", "b", "ab"), ("ab", "ab", "abab")))
+    assert(m4.wordSegments("abab") == 1)
+    // a corpus that cannot support the requested depth refuses loudly
+    intercept[IllegalArgumentException] {
+      Bpe.train(Seq("ab" -> 1L), numMerges = 2)
+    }
+  }
+
+  test("bpe token counts ride the trained segmentation via broadcast join") {
+    val docs = Seq((1L, "abab ab"), (2L, "abab abab abab")).toDF("doc_id", "text")
+    val words = Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val model = Bpe.train(words, numMerges = 2)
+    // after (a,b) and (ab,ab): "abab" = 1 token, "ab" = 1 token
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts == Map(1L -> ((2L, 2L)), 2L -> ((3L, 3L))))
+  }
+
   test("image dhash: a resized re-encoded PNG pairs with its original; a distinct image does not") {
     // blocky column pattern aligned to the 9-wide dHash grid (72 px / 9
     // cells = 8 px per cell): cell-constant luma makes the hash exactly
