@@ -838,6 +838,23 @@ object Queries {
       centroids = ivfCentroidsShared(s, dir),
       assigned = ivfAssignedShared(s, dir))
 
+  // PQ parameters: m sub-spaces × pqK codes per space (dim 64 → 8×8
+  // sub-vectors; 256 codes is the web-scale setting, 16 fits the corpus)
+  val PqM = 8
+  val PqK = 16
+
+  /** IVF-PQ composed retrieval: probe pruning + per-subspace code lookup
+    * (ADC) + exact rerank — the faiss-standard 100 TB layout (see
+    * [[graft.llm.Quantize.ivfPqTopK]]); rides the shared codebook and
+    * corpus assignment like its int8 sibling.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    Quantize.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK, nProbe = AnnNProbe,
+      m = PqM, pqK = PqK, rerankFactor = 4,
+      centroids = ivfCentroidsShared(s, dir),
+      assigned = ivfAssignedShared(s, dir))
+
   /** N-gram-profile language ID (trigram occurrence scoring + argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
     TextOps.langIdNgram(Tables.documents(s, dir), "doc_id", "text")

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_bpe_vocab" -> (Queries.bpeVocab _),
     "q_bpe_token_count" -> (Queries.bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (Queries.packSequencesBpe _),
+    "q_ivf_pq_topk" -> (Queries.ivfPqTopK _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2171,5 +2172,105 @@ object SparkEntry {
          SELECT doc_id, n_tokens, start_offset,
            CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
          FROM o"""),
+
+    // IVF-PQ: the q_ivf_topk probe/assignment chain (n2/c/pc/qp) + PQ
+    // code assignment per (vector, subspace) against the lowest-id
+    // sub-codebooks + ADC table-lookup scoring (decimal-exact per-subspace
+    // dots summed exactly — pool selection bit-identical to Spark) +
+    // decimal-exact cosine rerank. The unrolled distance tables are the
+    // `tab` CTE (one row per query × subspace × code).
+    "q_ivf_pq_topk" -> {
+      val M = Queries.PqM
+      val sl = (v: String, s: String) =>
+        s"list_slice($v, $s * (len($v) // $M) + 1, ($s + 1) * (len($v) // $M))"
+      s"""WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (
+           SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2
+           QUALIFY row_number() OVER (ORDER BY vec_id) <=
+             CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+         pc AS (
+           SELECT vec_id AS neighbor_id, embedding AS nv, nn, centroid_id FROM (
+             SELECT v.vec_id, v.embedding, v.nn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM n2 v, c) t
+           WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), c.centroid_id) AS rn
+             FROM (SELECT * FROM n2 WHERE vec_id < ${Queries.AnnNumQueries}) v, c) t
+           WHERE rn <= ${Queries.AnnNProbe}),
+         ss AS (SELECT unnest(generate_series(0, ${M - 1})) AS s),
+         cbv AS (
+           SELECT vec_id AS cid, embedding AS cv0 FROM n2
+           QUALIFY row_number() OVER (ORDER BY vec_id) <= ${Queries.PqK}),
+         pcn AS (
+           SELECT s, cid, ${sl("cv0", "s")} AS cv,
+             CAST(list_sum(list_transform(${sl("cv0", "s")},
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS cn2
+           FROM cbv, ss),
+         csub AS (
+           SELECT neighbor_id, centroid_id, s, ${sl("nv", "s")} AS sub,
+             CAST(list_sum(list_transform(${sl("nv", "s")},
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS sn2
+           FROM pc, ss),
+         codes AS (
+           SELECT neighbor_id, centroid_id, s, cid AS code FROM (
+             SELECT cs.neighbor_id, cs.centroid_id, cs.s, p.cid,
+               row_number() OVER (PARTITION BY cs.neighbor_id, cs.s ORDER BY
+                 cs.sn2 + p.cn2 - 2.0 * CAST(list_sum(list_transform(list_zip(cs.sub, p.cv),
+                   z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+                   AS DOUBLE), p.cid) AS rn
+             FROM csub cs JOIN pcn p USING (s)) t
+           WHERE rn = 1),
+         qv0 AS (SELECT vec_id AS query_id, embedding AS qv, nn AS qn
+                 FROM n2 WHERE vec_id < ${Queries.AnnNumQueries}),
+         tab AS (
+           SELECT q.query_id, p.s, p.cid AS code,
+             CAST(list_sum(list_transform(list_zip(${sl("q.qv", "p.s")}, p.cv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DECIMAL(28,12)) AS td
+           FROM qv0 q, pcn p),
+         approx AS (
+           SELECT qp.query_id, codes.neighbor_id, sum(tab.td) AS ascore
+           FROM qp
+           JOIN codes ON codes.centroid_id = qp.centroid_id
+             AND codes.neighbor_id <> qp.query_id
+           JOIN tab ON tab.query_id = qp.query_id AND tab.s = codes.s
+             AND tab.code = codes.code
+           GROUP BY 1, 2),
+         pool AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY ascore DESC, neighbor_id) AS prn
+             FROM approx) t
+           WHERE prn <= ${4 * Queries.AnnTopK}),
+         rer AS (
+           SELECT pool.query_id, pool.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(q.qv, pc.nv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(q.qn) * sqrt(pc.nn)) AS cosine
+           FROM pool
+           JOIN qv0 q USING (query_id)
+           JOIN pc ON pc.neighbor_id = pool.neighbor_id)
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rer) r
+         WHERE rank <= ${Queries.AnnTopK}"""
+    },
   )
 }

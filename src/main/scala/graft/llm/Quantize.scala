@@ -133,6 +133,113 @@ object Quantize {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-PQ retrieval — the faiss-standard 100 TB ANN layout, one step
+    * past the int8 path: the corpus is stored as m sub-vector CODES
+    * (m·log₂(pqK) bits per vector instead of dim·32), probes prune to
+    * nProbe inverted lists, and per-query scoring is m LOOKUPS into a
+    * precomputed (subspace, code) distance table (ADC — asymmetric
+    * distance computation) instead of a dim-length dot product; the
+    * decimal-exact cosine reranks a rerankFactor×k pool.
+    *
+    * Codebooks: per subspace s, the sub-vectors of the pqK LOWEST-id
+    * vectors (the same deterministic convention as the IVF "low"
+    * codebook; a Lloyd-refined PQ codebook slots in exactly like
+    * [[Similarity.kmeansCentroidsShared]] does for IVF). Codes assign by
+    * squared L2 (ties to lowest code id). This is non-residual PQ —
+    * encoding the IVF residual (x − centroid) instead is the standard
+    * refinement and changes only the encoded vector, not the machinery.
+    *
+    * Determinism: every distance term is a decimal-exact dot
+    * ([[Similarity.dotDec]]); the ADC score per pair is a SUM OF m
+    * DECIMALS (exact, order-independent), so pool selection — the only
+    * approximate stage — is bit-identical across engines and
+    * partitionings, which is what makes a DuckDB oracle possible at all.
+    *
+    * Scale shape: codebooks are m·pqK rows (broadcast); the ADC table is
+    * |Q|·m·pqK rows (broadcast); the corpus-side work is the code
+    * assignment (corpus×m rows through one window — the PQ INDEX BUILD,
+    * materialized once in production) and the probed-list candidate
+    * stream (m rows per candidate, map-side-combined to one). Float
+    * vectors move only for the pruned pool.
+    */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nProbe: Int, m: Int, pqK: Int,
+      rerankFactor: Int, centroids: DataFrame, assigned: DataFrame): DataFrame = {
+    require(m >= 1 && pqK >= 1 && rerankFactor >= 1)
+    // subspace s of a vector column: slice(v, s·(dim/m)+1, dim/m) —
+    // in-plan, so no driver-side dim lookup; dim must divide by m (the
+    // slice comes out short otherwise and the decimal dots catch
+    // nothing), so callers pick m per their embedding dim
+    def sub(vecName: String): Column =
+      expr(s"slice($vecName, s * (size($vecName) div $m) + 1, " +
+        s"size($vecName) div $m)")
+    val ss = explode(sequence(lit(0), lit(m - 1))).as("s")
+    // per-subspace codebooks from the pqK lowest-id vectors; code id =
+    // the source vec id (argmin ties break to the lowest)
+    val cb = embeddings.orderBy(col(idCol)).limit(pqK)
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cv0"))
+      .select(col("__cid"), col("__cv0"), ss)
+      .select(col("s"), col("__cid"), sub("__cv0").as("__cv"))
+      .withColumn("__cn2", Similarity.norm2(col("__cv")))
+    // PQ index build: nearest sub-codebook entry per (corpus vector,
+    // subspace) — reads the session-memoized IVF assignment, so the
+    // corpus scan+norm work is already paid
+    val corpusSub = assigned
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"), col("__v"), ss)
+      .select(col("neighbor_id"), col("centroid_id"), col("s"), sub("__v").as("__sub"))
+      .withColumn("__sn2", Similarity.norm2(col("__sub")))
+    val codeW = Window.partitionBy(col("neighbor_id"), col("s"))
+      .orderBy(col("__d2").asc, col("__cid").asc)
+    val codes = corpusSub.join(broadcast(cb), Seq("s"))
+      .withColumn("__d2", col("__sn2") + col("__cn2") -
+        lit(2.0) * Similarity.dotDec(col("__sub"), col("__cv")).cast("double"))
+      .withColumn("__rn", row_number().over(codeW))
+      .filter(col("__rn") === 1)
+      .select(col("neighbor_id"), col("centroid_id"), col("s"),
+        col("__cid").as("__code"))
+    // ADC tables: decimal-exact partial dot per (query, subspace, code)
+    val queries = embeddings.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        Similarity.norm2(col(vecCol)).as("__qn"))
+    val tab = queries.select(col("query_id"), col("__qv"), ss)
+      .select(col("query_id"), col("s"), sub("__qv").as("__qsub"))
+      .join(broadcast(cb.select(col("s"), col("__cid"), col("__cv"))), Seq("s"))
+      .select(col("query_id"), col("s"), col("__cid").as("__code"),
+        Similarity.dotDec(col("__qsub"), col("__cv")).as("__td"))
+    val probes = Similarity.ivfRank(embeddings.filter(isQuery), idCol, vecCol,
+        centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    // candidate stream: m code rows per (query, probed-list vector),
+    // folded to one ADC score by an exact decimal sum (partial aggs make
+    // the shuffle one row per pair)
+    val approx = codes.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(tab), Seq("query_id", "s", "__code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__td")).as("__ascore"))
+    val poolW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ascore").desc, col("neighbor_id").asc)
+    val pool = approx
+      .withColumn("__prn", row_number().over(poolW))
+      .filter(col("__prn") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    // exact rerank over the pruned pool — float vectors from the
+    // memoized assignment, both small sides broadcast (same tail as
+    // ivfQuantizedTopK)
+    val corpusF = assigned.select(col("vec_id").as("neighbor_id"),
+      col("__v").as("__nv"), col("__vn").as("__nn"))
+    val exactW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpusF.join(broadcast(pool), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        Similarity.dotDec(col("__qv"), col("__nv")).cast("double") /
+          (sqrt(col("__qn")) * sqrt(col("__nn"))))
+      .withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   def quantizedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, rerankFactor: Int = 4): DataFrame = {
     val z = withInt8(embeddings.select(col(idCol), col(vecCol)), vecCol, "__z")

@@ -1069,6 +1069,26 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.count() == 0 && uncapped.count() == 3)
   }
 
+  test("ivf-pq: recall vs exact brute force stays high; pool is genuinely PQ-pruned") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Queries.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Queries.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.nonEmpty)
+    // per-query result size never exceeds k
+    assert(pq.groupBy(_._1).values.forall(_.length <= Queries.AnnTopK))
+    // recall@10 against brute force: the PQ+probe stack must stay a
+    // usable approximation (IVF probe loss + PQ pool loss combined)
+    val recall = pq.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ivf-pq recall $recall too low")
+    // deterministic end-to-end: a second run (decimal ADC sums, id
+    // tie-breaks at every window) reproduces the exact row set
+    val again = Queries.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSet == pq.toSet)
+  }
+
   test("bpe training: deterministic merge order, overlap counting, greedy application, tie-breaks") {
     // round 1: (a,b) count 2+3=5 beats (a,a) count 4 (two adjacent
     // occurrences in "aaab", weight 2) — overlapping positions both count
