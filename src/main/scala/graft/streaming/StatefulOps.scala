@@ -43,6 +43,58 @@ object StatefulOps {
         TextOps.splitLabel(col(idCol), splitSalt, pctTrain).as("split"))
   }
 
+  /** [[curationGate]] extended with ingest-time eval-set hygiene — the
+    * streaming face of [[graft.llm.BloomDecon.decontaminateBloom]]: the
+    * benchmark's Bloom filter rides into every task as BROADCAST STATE
+    * (a literal in the plan — Spark ships it with the serialized
+    * expression tree exactly like the optimizer's injected runtime
+    * filters), and each arriving document is gated per row:
+    *
+    *  1. the codegen'd `might_contain` prunes the document's in-row
+    *     n-gram array scan-locally (the 100 TB lever — most grams of most
+    *     docs miss, and misses cost one hash, no memory);
+    *  2. the bloom SURVIVORS confirm exactly against the benchmark's
+    *     distinct gram set (bounded by the decontaminate contract — the
+    *     broadcast side must not grow with the corpus), so false
+    *     positives cannot drop a clean document: decisions are IDENTICAL
+    *     to the batch operator's, which the spec proves across waves.
+    *
+    * Everything stays a pure projection — no stream-stream join, no
+    * stateful operator — so exactly-once append semantics carry over
+    * unchanged. Rebuilding the filter when the eval set changes is a
+    * planning-time event (new literal, new stream restart), matching how
+    * eval suites version in practice.
+    */
+  def curationGateDecon(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxTokens: Long,
+      minAvgTokLen: Double, maxAvgTokLen: Double,
+      maxRepeatRatio: Double, minDistinctStop: Int,
+      splitSalt: String, pctTrain: Int,
+      bloom: Array[Byte], benchGrams: Seq[String], n: Int,
+      minOverlap: Long): DataFrame = {
+    import graft.llm.{BloomDecon, TextOps}
+    require(n >= 1 && minOverlap >= 1)
+    // in-row gram array (same construction as TextOps.wordNgrams, minus
+    // the explode); docs shorter than n words carry no grams
+    val grams = expr(
+      s"case when size(split($textCol, ' ')) >= $n " +
+        s"then transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
+        "else array() end")
+    val bloomHits = filter(grams, g => BloomDecon.mightContain(bloom, g))
+    // exact confirm: distinct overlap count vs the benchmark gram set —
+    // array_intersect dedups, mirroring the batch countDistinct
+    val overlap = size(array_intersect(array_distinct(bloomHits),
+      typedLit(benchGrams)))
+    TextOps.scrubPii(
+        docs.filter(TextOps.gopherKeep(col(textCol), minTokens, maxTokens,
+            minAvgTokLen, maxAvgTokLen, maxRepeatRatio, minDistinctStop))
+          .filter(overlap < minOverlap),
+        idCol, textCol)
+      .select(col(idCol), col("clean"),
+        TextOps.splitLabel(col(idCol), splitSalt, pctTrain).as("split"))
+  }
+
   /** Watermarked tumbling-window counts: rows per (window × key-free)
     * bucket, emitted (append) once the watermark passes the window end —
     * late rows beyond `watermarkDelay` are dropped, finalized windows are

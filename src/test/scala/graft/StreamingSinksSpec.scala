@@ -389,6 +389,59 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming decontamination gate: bloom broadcast state + exact confirm equals batch decisions across two waves") {
+    import graft.streaming.StatefulOps
+    import graft.llm.{BloomDecon, TextOps}
+    import org.apache.spark.sql.types._
+    val src = tmp("dcsrc"); val out = tmp("dcout"); val ckpt = tmp("dcckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val n = 3; val minOverlap = 2L
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bgrams = TextOps.wordNgrams(bench, "doc_id", "text", n)
+      .select("ngram").distinct()
+    val benchGrams = bgrams.collect().map(_.getString(0)).toSeq
+    val bloom = BloomDecon.serializedBloom(bgrams, col("ngram"), benchGrams.size.toLong)
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      StatefulOps.curationGateDecon(df, "doc_id", "text",
+        minTokens = 3L, maxTokens = 50L, minAvgTokLen = 1.0, maxAvgTokLen = 10.0,
+        maxRepeatRatio = 0.9, minDistinctStop = 1,
+        splitSalt = Queries.SplitSalt, pctTrain = Queries.SplitPctTrain,
+        bloom = bloom, benchGrams = benchGrams, n = n, minOverlap = minOverlap)
+    val wave1 = Seq(
+      (1L, "the quick alpha beta gamma delta report"),  // 2 shared grams → dropped
+      (2L, "the quick brown fox jumps a lot"))          // clean → kept
+    val wave2 = Seq(
+      (3L, "a fresh note with alpha beta gamma inside"),          // 1 shared → kept
+      (4L, "the alpha beta gamma delta epsilon recap today"))     // 3 shared → dropped
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      gated(FileStreamIngest.bronzeStream(spark, src, schema)), out, ckpt)
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      gated(FileStreamIngest.bronzeStream(spark, src, schema)), out, ckpt)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(streamed.map(_._1) == Seq(2L, 3L))
+    // the streamed keep set IS the batch composition: gopher keep minus
+    // the batch bloom-decontamination flags (exact-confirm semantics —
+    // bloom false positives cannot drop a clean doc)
+    val all = (wave1 ++ wave2).toDF("doc_id", "text")
+    val flagged = BloomDecon.decontaminateBloom(all, "doc_id", "text",
+        bench, "doc_id", "text", n = n, minOverlap = minOverlap)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 4L))
+    val batchKept = all
+      .filter(TextOps.gopherKeep(col("text"), 3L, 50L, 1.0, 10.0, 0.9, 1))
+      .collect().map(_.getLong(0)).toSet -- flagged
+    assert(streamed.map(_._1).toSet == batchKept)
+    // and the emitted columns keep the plain gate's contract: scrubbed
+    // clean text plus a valid deterministic split label per row
+    assert(streamed.forall(r => r._3 == "train" || r._3 == "holdout"))
+    assert(streamed.forall(_._2.nonEmpty))
+  }
+
   test("watermarked windowed counts: windows finalize only after watermark passes") {
     import graft.streaming.StatefulOps
     import org.apache.spark.sql.types._
