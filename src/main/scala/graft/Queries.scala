@@ -56,7 +56,7 @@ object Queries {
     val ord = Seq(col("ts").desc, col("event_id").desc)
     val target = Dedup.keepLast(ev.filter(to_date(col("ts")) <= cutoff), keys, ord)
     val updates = ev.filter(to_date(col("ts")) > cutoff)
-    MergeUpsert.merge(target, updates, keys, ord)
+    TableOps.default.merge(target, updates, keys, ord)
   }
 
   def dqAudit(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Table-services seam (SURVEY §7.3) — the four mutating table services
+  * the engine emulates over plain parquet, behind ONE small trait so a
+  * transactional table format (Delta/Iceberg/Hudi) can slot in without
+  * touching call sites:
+  *
+  *   - `merge`: MERGE-upsert semantics on frames (latest-wins per key) —
+  *     Delta maps it to `DeltaTable.merge`;
+  *   - `upsertPartitions`: apply a batch to a live partitioned table
+  *     (here: partition-pruned stage-then-swap renames; Delta: the same
+  *     merge with partition pruning, plus real reader isolation — the
+  *     documented swap-visibility window this seam exists to close);
+  *   - `compact`: OPTIMIZE / bin-packing small-file compaction;
+  *   - `vacuum`: sweep stale artifacts (staging dirs here; aged
+  *     tombstoned files in a real format).
+  *
+  * The default binding is [[ParquetTableOps]]; production code paths
+  * (silver merge, the streaming upsert triggers, the maintenance specs)
+  * go through [[TableOps.default]], so swapping the implementation is a
+  * one-line binding change, not a refactor.
+  */
+trait TableOps {
+
+  /** MERGE upsert: latest row per `keys` wins under `order`; unmatched
+    * target rows survive, unmatched update rows insert.
+    */
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame
+
+  /** Apply `batch` to the live day-partitioned table at `targetDir` with
+    * partition pruning (only partitions present in the batch are
+    * touched), crash-safe.
+    */
+  def upsertPartitions(batch: DataFrame, targetDir: String, keys: Seq[String],
+      order: Seq[Column], dayCol: String): Unit
+
+  /** OPTIMIZE: compact the named partition values toward
+    * `targetFileBytes` per file; returns value → (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String, partitionCol: String,
+      targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)]
+
+  /** VACUUM: restore-first sweep of orphaned maintenance artifacts;
+    * returns (restored, deleted).
+    */
+  def vacuum(dir: String): (Int, Int)
+}
+
+object TableOps {
+  /** The engine-wide binding — swap here to mount a transactional
+    * format's implementation.
+    */
+  val default: TableOps = ParquetTableOps
+}
+
+/** The plain-parquet implementation: delegates to the spec-proven
+  * emulations ([[MergeUpsert]], [[graft.streaming.FileStreamIngest]],
+  * [[graft.sinks.Sinks]]).
+  */
+object ParquetTableOps extends TableOps {
+  override def merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame =
+    MergeUpsert.merge(target, updates, keys, order)
+
+  override def upsertPartitions(batch: DataFrame, targetDir: String,
+      keys: Seq[String], order: Seq[Column], dayCol: String): Unit =
+    graft.streaming.FileStreamIngest.upsertIntoPartitionedParquet(
+      batch, targetDir, keys, order, dayCol)
+
+  override def compact(spark: SparkSession, dir: String, partitionCol: String,
+      targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)] =
+    graft.sinks.Sinks.compactPartitions(spark, dir, partitionCol,
+      targetFileBytes, values)
+
+  override def vacuum(dir: String): (Int, Int) =
+    graft.sinks.Sinks.vacuumStaging(dir)
+}

@@ -175,7 +175,7 @@ object FileStreamIngest {
       checkpointDir: String, keys: Seq[String], order: Seq[Column],
       dayCol: String): Unit =
     runAvailableNowForeachBatch(df, checkpointDir)(
-      upsertIntoPartitionedParquet(_, targetDir, keys, order, dayCol))
+      graft.operators.TableOps.default.upsertPartitions(_, targetDir, keys, order, dayCol))
 
   /** Always-on variant of [[runAvailableNowUpsertPartitioned]]: the same
     * checkpointed latest-wins merge on a `ProcessingTime` cadence —
@@ -191,7 +191,7 @@ object FileStreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertIntoPartitionedParquet(batch, targetDir, keys, order, dayCol)
+        graft.operators.TableOps.default.upsertPartitions(batch, targetDir, keys, order, dayCol)
       }
       .start()
 

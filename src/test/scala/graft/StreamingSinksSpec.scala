@@ -165,7 +165,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     val b1 = Seq(
       (1L, Date.valueOf("2024-01-01"), 10L, 1.0),
       (2L, Date.valueOf("2024-01-02"), 10L, 2.0)).toDF("k", "day", "ord", "v")
-    FileStreamIngest.upsertIntoPartitionedParquet(
+    graft.operators.TableOps.default.upsertPartitions(
       b1, target, Seq("k", "day"), Seq($"ord".desc), "day")
     def day1Bytes: Map[String, Seq[Byte]] =
       Files.walk(Paths.get(target, "day=2024-01-01")).toArray.map(_.toString)
@@ -177,7 +177,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     val b2 = Seq(
       (2L, Date.valueOf("2024-01-02"), 20L, 9.0),
       (3L, Date.valueOf("2024-01-02"), 20L, 3.0)).toDF("k", "day", "ord", "v")
-    FileStreamIngest.upsertIntoPartitionedParquet(
+    graft.operators.TableOps.default.upsertPartitions(
       b2, target, Seq("k", "day"), Seq($"ord".desc), "day")
 
     assert(day1Bytes == before) // same files, same bytes — never rewritten
@@ -193,7 +193,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     val b1 = Seq(
       (1L, Date.valueOf("2024-01-01"), 10L, 1.0),
       (2L, Date.valueOf("2024-01-02"), 10L, 2.0)).toDF("k", "day", "ord", "v")
-    FileStreamIngest.upsertIntoPartitionedParquet(
+    graft.operators.TableOps.default.upsertPartitions(
       b1, target, Seq("k", "day"), Seq($"ord".desc), "day")
     // simulate a crash between the two renames of day=2024-01-01: the live
     // dir is gone, .old holds the only copy
@@ -203,7 +203,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     // the checkpointed retry merges a batch touching the OTHER day — the
     // recovery sweep must restore day 1 first so nothing is lost
     val b2 = Seq((2L, Date.valueOf("2024-01-02"), 20L, 9.0)).toDF("k", "day", "ord", "v")
-    FileStreamIngest.upsertIntoPartitionedParquet(
+    graft.operators.TableOps.default.upsertPartitions(
       b2, target, Seq("k", "day"), Seq($"ord".desc), "day")
     val got = spark.read.parquet(target).collect()
       .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("ord"), r.getAs[Double]("v"))).toMap
@@ -610,7 +610,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     val quietBefore = partFiles("2024-01-02").sorted.toSeq
 
     // huge target → one file for the fragmented day; quiet day untouched
-    val report = Sinks.compactPartitions(spark, out, "dt",
+    val report = graft.operators.TableOps.default.compact(spark, out, "dt",
       targetFileBytes = 1L << 30, values = Seq("2024-01-01", "2024-01-02"))
     assert(report("2024-01-01")._1 > 1 && report("2024-01-01")._2 == 1)
     assert(partFiles("2024-01-01").length == 1)
@@ -633,7 +633,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     Files.move(live, Paths.get(out, ".compact-old-dt=2024-03-01"),
       StandardCopyOption.ATOMIC_MOVE)
     assert(!Files.exists(live))
-    val report = Sinks.compactPartitions(spark, out, "dt",
+    val report = graft.operators.TableOps.default.compact(spark, out, "dt",
       targetFileBytes = 1L << 30, values = Seq("2024-03-01"))
     assert(Files.exists(live)) // recovery sweep restored the partition
     assert(report("2024-03-01")._2 == 1) // then compacted it
@@ -644,7 +644,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     val out2 = tmp("cesc") + "/t"
     val df2 = (1 to 20).map(i => ("a:b", i.toLong)).toDF("k", "v").repartition(4)
     Sinks.partitionedParquet(df2, out2, "k", force = true)
-    val r2 = Sinks.compactPartitions(spark, out2, "k",
+    val r2 = graft.operators.TableOps.default.compact(spark, out2, "k",
       targetFileBytes = 1L << 30, values = Seq("a:b"))
     assert(r2("a:b")._1 > 1 && r2("a:b")._2 == 1)
     assert(spark.read.parquet(out2).count() == 20)
@@ -661,13 +661,13 @@ class StreamingSinksSpec extends AnyFunSuite {
       Paths.get(out, ".compact-old-dt=2024-05-01"), StandardCopyOption.ATOMIC_MOVE)
     Files.createDirectories(Paths.get(out, ".compact-old-dt=2024-05-02"))
     Files.createDirectories(Paths.get(out, ".compact-staged-dt=2024-05-02"))
-    val (restored, deleted) = Sinks.vacuumStaging(out)
+    val (restored, deleted) = graft.operators.TableOps.default.vacuum(out)
     assert(restored == 1 && deleted == 2)
     assert(Files.exists(Paths.get(out, "dt=2024-05-01"))) // data back
     assert(!Files.exists(Paths.get(out, ".compact-old-dt=2024-05-02")))
     assert(!Files.exists(Paths.get(out, ".compact-staged-dt=2024-05-02")))
     assert(spark.read.parquet(out).count() == 2)
-    assert(Sinks.vacuumStaging(out) == (0, 0)) // idempotent
+    assert(graft.operators.TableOps.default.vacuum(out) == (0, 0)) // idempotent
   }
 
   test("ndjson.gz sink round-trips and writes gzip files") {
@@ -728,11 +728,11 @@ class StreamingSinksSpec extends AnyFunSuite {
       Sinks.partitionedParquet(
         Queries.curate(spark, TestSpark.sfDir).repartition(4), out, "split",
         force = true)
-      val report = Sinks.compactPartitions(spark, out, "split",
+      val report = graft.operators.TableOps.default.compact(spark, out, "split",
         targetFileBytes = 1L << 30, values = Seq("train", "holdout"))
       assert(report("train")._1 > 1 && report("train")._2 == 1)
       assert(report("holdout")._2 == 1)
-      assert(Sinks.vacuumStaging(out) == (0, 0)) // clean compact leaves no artifacts
+      assert(graft.operators.TableOps.default.vacuum(out) == (0, 0)) // clean compact leaves no artifacts
       val back = spark.read.parquet(out)
         .select("doc_id", "clean", "split").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
