@@ -48,6 +48,18 @@ object Queries {
       order = Seq(col("ts"), col("event_id")),
       valueCol = "value")
 
+  /** O3 — the Gold view's global ORDER BY (reference
+    * `docs/databricks_setup.md:240`: `ORDER BY symbol, trade_date DESC`,
+    * here user/ts/event). A global `orderBy` in Spark is a RANGE-
+    * partitioned distributed sort (sampling pass, then P-way parallel
+    * sort — spec-asserted to never collapse to one task); the driver's
+    * hash compare is order-insensitive, so the ScalaTest spec is what
+    * pins the actual ordering.
+    */
+  def goldViewSorted(s: SparkSession, dir: String): DataFrame =
+    goldFeatures(s, dir)
+      .orderBy(col("user_id").asc, col("ts").desc, col("event_id").desc)
+
   def silverMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select("user_id", "event_type", "ts", "event_id", "value")

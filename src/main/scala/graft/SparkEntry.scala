@@ -119,6 +119,7 @@ object SparkEntry {
     "q_bpe_token_count" -> (Queries.bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (Queries.packSequencesBpe _),
     "q_ivf_pq_topk" -> (Queries.ivfPqTopK _),
+    "q_gold_view_sorted" -> (Queries.goldViewSorted _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -463,6 +464,31 @@ object SparkEntry {
            FROM p) r
          WHERE rn = 1"""
 
+  private val goldFeaturesSql: String =
+    """WITH norm AS (
+           SELECT event_id, ts, CAST(ts AS DATE) AS day, user_id,
+                  upper(trim(event_type)) AS event_type, value
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value >= 0)
+         SELECT event_id, ts, day, user_id, event_type, value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / count(*) OVER w20 AS ma_20,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w50 AS DOUBLE) / count(*) OVER w50 AS ma_50,
+           CASE WHEN count(*) OVER w20 > 1 THEN sqrt(greatest(
+             (CAST(sum(CAST(value*value AS DECIMAL(18,4))) OVER w20 AS DOUBLE)
+              - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w20 AS DOUBLE)
+                * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w20 AS DOUBLE)
+                / (count(*) OVER w20))
+             / (count(*) OVER w20 - 1), 0.0)) END AS vol_20,
+           lag(value, 1) OVER w AS prev_value,
+           (value - lag(value, 1) OVER w) / nullif(lag(value, 1) OVER w, 0) AS daily_return
+         FROM norm
+         WINDOW
+           w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           w50 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)"""
+
   /** Shared CTE chain for the exact-substring dedup oracles: L-grams at
     * every position (1-based) → grams in ≥ 2 distinct docs → anchor hits
     * → gaps-and-islands merge → maximal spans — the DuckDB mirror of
@@ -637,30 +663,15 @@ object SparkEntry {
            FROM events) t
          WHERE rn = 1""",
 
-    "q_gold_features" ->
-      """WITH norm AS (
-           SELECT event_id, ts, CAST(ts AS DATE) AS day, user_id,
-                  upper(trim(event_type)) AS event_type, value
-           FROM events
-           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value >= 0)
-         SELECT event_id, ts, day, user_id, event_type, value,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / count(*) OVER w20 AS ma_20,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w50 AS DOUBLE) / count(*) OVER w50 AS ma_50,
-           CASE WHEN count(*) OVER w20 > 1 THEN sqrt(greatest(
-             (CAST(sum(CAST(value*value AS DECIMAL(18,4))) OVER w20 AS DOUBLE)
-              - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w20 AS DOUBLE)
-                * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w20 AS DOUBLE)
-                / (count(*) OVER w20))
-             / (count(*) OVER w20 - 1), 0.0)) END AS vol_20,
-           lag(value, 1) OVER w AS prev_value,
-           (value - lag(value, 1) OVER w) / nullif(lag(value, 1) OVER w, 0) AS daily_return
-         FROM norm
-         WINDOW
-           w AS (PARTITION BY user_id ORDER BY ts, event_id),
-           w20 AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-           w50 AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)""",
+    "q_gold_features" -> goldFeaturesSql,
+
+    // O3: the same gold view under the reference's global ORDER BY —
+    // the driver hash is order-insensitive (rows/schema/hash identical
+    // to q_gold_features); the spec pins the actual global ordering and
+    // the range-partitioned (never single-task) sort plan
+    "q_gold_view_sorted" -> (goldFeaturesSql +
+      """
+         ORDER BY user_id ASC, ts DESC, event_id DESC"""),
 
     "q_silver_merge" ->
       """WITH t AS (

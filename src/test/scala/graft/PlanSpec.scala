@@ -57,6 +57,22 @@ class PlanSpec extends AnyFunSuite {
     CacheBin.drainAll()
   }
 
+  test("gold view global ORDER BY: range-partitioned distributed sort, rows globally ordered") {
+    val df = Queries.goldViewSorted(spark, TestSpark.sfDir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // a global orderBy must plan as a RANGE exchange (sampling + P-way
+    // parallel sort), never a single-task sort
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    // and the collected order IS the reference's view order:
+    // user asc, ts desc, event_id desc
+    val keys = rows.map(r => (r.getAs[Long]("user_id"),
+      -r.getAs[java.sql.Timestamp]("ts").getTime, -r.getAs[Long]("event_id")))
+    assert(keys.sameElements(keys.sorted))
+    CacheBin.drainAll()
+  }
+
   test("decontaminate joins the benchmark grams as a broadcast, never a sort-merge") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val df = graft.llm.TextOps.decontaminate(docs, "doc_id", "text",
