@@ -407,6 +407,14 @@ object Queries {
     graft.llm.SubstringDedup.substringSpansHashed(Tables.documents(s, dir),
       "doc_id", "text", minSpanTokens = SubstringMinTokens)
 
+  /** APPLY the substring dedup (the Lee-et-al cut): later copies of
+    * duplicated spans are removed, the corpus-first occurrence survives
+    * (see [[graft.llm.SubstringDedup.substringCut]]).
+    */
+  def substringCut(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SubstringDedup.substringCut(Tables.documents(s, dir),
+      "doc_id", "text", minSpanTokens = SubstringMinTokens)
+
   /** Per-document duplicated-text audit over the span sliver (every doc,
     * zero-filled): the "is the cut worth running" rollup. Rides the
     * memoized span table — costs one sliver join, not a second gram pass.

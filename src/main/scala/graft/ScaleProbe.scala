@@ -31,6 +31,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val scaledDir = args.lift(1).getOrElse("/tmp/scale10x")
+    // optional 3rd arg: probe only the named phases (local iteration)
+    val only = args.lift(2).map(_.split(',').toSet)
     val spark = Sessions.build("local[32]", 32, "graft-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val meter = new ShuffleMeter
@@ -109,7 +111,11 @@ object ScaleProbe {
       // BPE counts: training input is the vocab-bounded word table; the
       // corpus-scale shuffle is the exploded word stream + per-doc rollup
       // (broadcast segmentation join) — must stay ~linear
-      "bpe_token_count" -> (Queries.bpeTokenCounts _))
+      "bpe_token_count" -> (Queries.bpeTokenCounts _),
+      // the cut adds a token explode + a per-doc disjoint-interval join
+      // over the span machinery — still ~linear in corpus tokens
+      "substring_cut" -> (Queries.substringCut _))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
     for (dir <- Seq(baseDir, scaledDir); (name, fn) <- phases) {

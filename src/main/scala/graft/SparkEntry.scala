@@ -120,6 +120,7 @@ object SparkEntry {
     "q_pack_sequences_bpe" -> (Queries.packSequencesBpe _),
     "q_ivf_pq_topk" -> (Queries.ivfPqTopK _),
     "q_gold_view_sorted" -> (Queries.goldViewSorted _),
+    "q_substring_cut" -> (Queries.substringCut _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2112,6 +2113,57 @@ object SparkEntry {
            CAST(coalesce(per.dup, 0) AS DOUBLE) / len(d.toks) AS dup_ratio,
            coalesce(per.nsp, 0) AS n_spans
          FROM d LEFT JOIN per USING (doc_id)"""),
+
+    // the substring CUT: remove tokens covered by non-corpus-first
+    // duplicated-gram occurrences (first = lowest (doc, pos)); merged
+    // disjoint intervals gate a token-level coverage anti-join
+    "q_substring_cut" -> {
+      val L = Queries.SubstringMinTokens
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - $L + 1)) AS pos,
+             unnest(list_transform(generate_series(1, len(toks) - $L + 1),
+               i -> array_to_string(list_slice(toks, i, i + $L - 1), ' '))) AS gram
+           FROM d WHERE len(toks) >= $L),
+         dd AS (SELECT gram FROM (
+             SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram) t
+           WHERE nd >= 2),
+         firsts AS (SELECT gram, doc_id AS fd, pos AS fp FROM (
+             SELECT gram, doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             FROM g) t
+           WHERE rn = 1),
+         nf AS (
+           SELECT g.doc_id, g.pos FROM g
+           JOIN dd USING (gram) JOIN firsts f USING (gram)
+           WHERE NOT (g.doc_id = f.fd AND g.pos = f.fp)),
+         isl AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $L
+                  THEN 1 ELSE 0 END AS nfg
+           FROM nf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         st AS (
+           SELECT doc_id, pos, sum(nfg) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl),
+         iv AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS lo,
+             CAST(max(pos) + $L - 1 AS BIGINT) AS hi
+           FROM st GROUP BY doc_id, island),
+         tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS tpos,
+             unnest(toks) AS token FROM d),
+         kept AS (
+           SELECT t.doc_id, t.tpos, t.token FROM tk t
+           LEFT JOIN iv ON iv.doc_id = t.doc_id AND t.tpos BETWEEN iv.lo AND iv.hi
+           WHERE iv.doc_id IS NULL),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+             string_agg(token, ' ' ORDER BY tpos) AS kt
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - coalesce(per.nk, 0) AS BIGINT) AS n_removed,
+           coalesce(per.kt, '') AS kept_text
+         FROM d LEFT JOIN per USING (doc_id)"""
+    },
 
     // perceptual hash per payload: these text payloads all take the
     // deterministic byte-sampling fallback ('opaque'); the real-image

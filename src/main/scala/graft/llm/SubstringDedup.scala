@@ -102,6 +102,80 @@ object SubstringDedup {
       minSpanTokens: Int): DataFrame =
     spansBy(docs, idCol, textCol, minSpanTokens)(xxhash64(_))
 
+  /** APPLY the dedup — the Lee-et-al cut: remove every token covered by
+    * a duplicated L-gram occurrence that is NOT the gram's corpus-first
+    * occurrence (first = lowest (doc_id, pos)), so each duplicated span
+    * survives exactly once, in the earliest document that carries it.
+    * Output one row per document: `(id, n_tokens, n_removed, kept_text)`
+    * — kept tokens re-joined in original order, '' when everything was a
+    * later copy.
+    *
+    * Same scale shape as [[substringSpans]] plus one token-level explode
+    * and one per-doc interval join: the non-first hit intervals are
+    * merged per doc (disjoint by construction), so the coverage join
+    * matches each token against at most one interval — a left join on
+    * the doc key with a range residual, never a row-multiplying range
+    * join. First-occurrence selection is one min(struct(doc, pos)) on
+    * the same gram aggregate that decides duplication — no extra
+    * corpus pass.
+    */
+  def substringCut(docs: DataFrame, idCol: String, textCol: String,
+      minSpanTokens: Int): DataFrame = {
+    require(minSpanTokens >= 2,
+      s"minSpanTokens must be >= 2, got $minSpanTokens")
+    val L = minSpanTokens
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val grams = base
+      .filter(size(col("__toks")) >= L)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(__toks) - ${L - 1}), " +
+          s"i -> concat_ws(' ', slice(__toks, i, $L)))")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("__g"))
+    // one aggregate decides BOTH duplication and the surviving copy:
+    // min(struct(doc, pos)) is the lexicographic first occurrence
+    val dupFirst = grams
+      .groupBy(col("__g"))
+      .agg(count_distinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol).as("__fd"), col("pos").as("__fp"))).as("__f"))
+      .filter(col("__nd") >= 2)
+      .select(col("__g"), col("__f.__fd").as("__fd"), col("__f.__fp").as("__fp"))
+    val nonFirst = grams.join(dupFirst, Seq("__g"))
+      .filter(!(col(idCol) === col("__fd") && col("pos") === col("__fp")))
+      .select(col(idCol), col("pos"))
+    // island-merge the removal intervals (disjoint per doc)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val intervals = nonFirst
+      .withColumn("__nf",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + L, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__nf"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("__lo"),
+        (max(col("pos")) + lit(L.toLong - 1)).as("__hi"))
+      .select(col(idCol).as("__ivd"), col("__lo"), col("__hi"))
+    // coverage: token kept iff no removal interval contains it (merged
+    // intervals are disjoint → left join matches at most one row)
+    val toks = base.select(col(idCol),
+        posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__tpos"), col("__tok"))
+    val kept = toks.join(intervals,
+        col(idCol) === col("__ivd") &&
+          col("__tpos") >= col("__lo") && col("__tpos") <= col("__hi"),
+        "left")
+      .filter(col("__ivd").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"),
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(__tpos, __tok))), s -> s.__tok)")).as("kept_text"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Per-document rollup of [[substringSpans]] joined back over the
     * corpus: `n_tokens`, `n_dup_tokens` (tokens covered by some
     * duplicated span), `dup_ratio`, `n_spans` — every document appears

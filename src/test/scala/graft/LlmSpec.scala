@@ -1201,6 +1201,30 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("substring cut: later copies lose the span, the corpus-first occurrence survives intact") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $shared x y z"),  // FIRST occurrence: untouched
+      (2L, s"$shared p q r s t u v w"),      // later copy: span removed
+      (3L, "totally unrelated words with nothing in common at all right here ok")
+    ).toDF("doc_id", "text")
+    val cut = SubstringDedup.substringCut(docs, "doc_id", "text",
+        minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut(1L)._2 == 0L && cut(1L)._3 ==
+      s"one two three $shared x y z")
+    assert(cut(2L)._2 == 10L && cut(2L)._3 == "p q r s t u v w")
+    assert(cut(3L)._2 == 0L)
+    // a FULL later duplicate empties out entirely
+    val dup = Seq((1L, shared + " tail one two"), (2L, shared + " tail one two"))
+      .toDF("doc_id", "text")
+    val cut2 = SubstringDedup.substringCut(dup, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(cut2(1L) == ((0L, shared + " tail one two")))
+    assert(cut2(2L) == ((13L, "")))
+  }
+
   test("substring dedup: overlapping duplicated grams merge into one maximal span") {
     // doc 1 shares tokens 1-9 with doc 2 and tokens 5-13 with doc 3: the
     // covered intervals overlap, so doc 1 reports ONE span 1..13 — the
