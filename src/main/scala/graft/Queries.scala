@@ -281,6 +281,18 @@ object Queries {
   val SplitPctTrain = 90
   val SamplePerStratum = 30
   val SampleTokenBudget = 400L
+  // semantic decontamination: cosine floor vs the benchmark embedding
+  // slice (vec_id < DeconBenchmarkMaxId) — chosen between the synthetic
+  // corpus's p99 (0.29) and max (0.49) eval-vs-corpus cosines so the
+  // gate genuinely splits the data at every sf
+  val SemanticDeconTau = 0.35
+  // BM25 retrieval parameters (see llm.Bm25): query docs, terms per
+  // query, Robertson k1/b, and result depth — mirrored into the oracle
+  val Bm25NQueries = 3L
+  val Bm25QueryTerms = 5
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
   val PiiSeedSuffix =
     " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
 
@@ -406,6 +418,24 @@ object Queries {
   def substringDedupHashed(s: SparkSession, dir: String): DataFrame =
     graft.llm.SubstringDedup.substringSpansHashed(Tables.documents(s, dir),
       "doc_id", "text", minSpanTokens = SubstringMinTokens)
+
+  /** Embedding-space decontamination against the benchmark slice — the
+    * semantic complement of [[decontaminate]]; same eval-id convention
+    * ([[DeconBenchmarkMaxId]]), cosine floor [[SemanticDeconTau]].
+    */
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDecon(Tables.embeddings(s, dir), "vec_id", "embedding",
+      isEval = col("vec_id") < DeconBenchmarkMaxId, threshold = SemanticDeconTau)
+
+  /** BM25 more-like-this retrieval: top-k corpus documents per query,
+    * queries drawn from the first documents' leading distinct terms
+    * (see [[graft.llm.Bm25.moreLikeThis]] for the determinism-safe
+    * rational-idf form).
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Bm25.moreLikeThis(Tables.documents(s, dir), "doc_id", "text",
+      nQueries = Bm25NQueries, queryTerms = Bm25QueryTerms,
+      k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
 
   /** APPLY the substring dedup (the Lee-et-al cut): later copies of
     * duplicated spans are removed, the corpus-first occurrence survives

@@ -114,7 +114,13 @@ object ScaleProbe {
       "bpe_token_count" -> (Queries.bpeTokenCounts _),
       // the cut adds a token explode + a per-doc disjoint-interval join
       // over the span machinery — still ~linear in corpus tokens
-      "substring_cut" -> (Queries.substringCut _))
+      "substring_cut" -> (Queries.substringCut _),
+      // postings-bounded retrieval: tf/df/scoring all run on the query
+      // vocabulary's postings — shuffle ~linear in corpus tokens
+      "bm25" -> (Queries.bm25TopK _),
+      // broadcast eval slice, scan-local cosine pass; shuffle is the
+      // hit-bounded rollup only
+      "semantic_decon" -> (Queries.decontaminateSemantic _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

@@ -121,6 +121,8 @@ object SparkEntry {
     "q_ivf_pq_topk" -> (Queries.ivfPqTopK _),
     "q_gold_view_sorted" -> (Queries.goldViewSorted _),
     "q_substring_cut" -> (Queries.substringCut _),
+    "q_bm25_topk" -> (Queries.bm25TopK _),
+    "q_decontaminate_semantic" -> (Queries.decontaminateSemantic _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2163,6 +2165,82 @@ object SparkEntry {
            CAST(len(d.toks) - coalesce(per.nk, 0) AS BIGINT) AS n_removed,
            coalesce(per.kt, '') AS kept_text
          FROM d LEFT JOIN per USING (doc_id)"""
+    },
+
+    // semantic decontamination: decimal-exact cosine vs the benchmark
+    // embedding slice, threshold + id convention shared with the Spark
+    // side via Queries constants; max_cos is order-independent (a max)
+    "q_decontaminate_semantic" ->
+      s"""WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         e AS (SELECT vec_id AS eid, embedding AS ev, nn AS en FROM n2
+           WHERE vec_id < ${Queries.DeconBenchmarkMaxId}),
+         c AS (SELECT vec_id, embedding AS cv, nn AS cn FROM n2
+           WHERE vec_id >= ${Queries.DeconBenchmarkMaxId}),
+         p AS (
+           SELECT c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.cv, e.ev),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(c.cn) * sqrt(e.en)) AS cosine
+           FROM c, e)
+         SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cosine) AS max_cos
+         FROM p WHERE cosine >= ${Queries.SemanticDeconTau}
+         GROUP BY vec_id""",
+
+    // BM25 more-like-this: rational (log-free) idf — pure IEEE
+    // arithmetic, no library-specific transcendental — with the
+    // DECIMAL(28,12) contribution sum; parenthesization mirrors
+    // Bm25.moreLikeThis token-for-token
+    "q_bm25_topk" -> {
+      val nq = Queries.Bm25NQueries
+      val qtn = Queries.Bm25QueryTerms
+      val k1 = Queries.Bm25K1
+      val k1p1 = Queries.Bm25K1 + 1.0
+      val oneMb = 1.0 - Queries.Bm25B
+      val b = Queries.Bm25B
+      val k = Queries.Bm25TopK
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(toks)) AS BIGINT) AS total FROM base),
+         qe AS (SELECT doc_id AS query_id,
+             unnest(generate_series(1, len(toks))) AS p,
+             unnest(toks) AS term
+           FROM base WHERE doc_id < $nq),
+         qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY min(p), term) AS rn
+             FROM qe GROUP BY query_id, term) t
+           WHERE rn <= $qtn),
+         tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             unnest(toks) AS term FROM base),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             max(dl) AS dl
+           FROM tk WHERE term IN (SELECT term FROM qt)
+           GROUP BY doc_id, term),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CAST(
+               ((CAST(s.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * $k1p1
+                  / (CAST(tf.tf AS DOUBLE) + $k1 * ($oneMb
+                     + $b * CAST(tf.dl AS DOUBLE) * CAST(s.n AS DOUBLE)
+                       / CAST(s.total AS DOUBLE))))
+               AS DECIMAL(28,12))) AS DOUBLE) AS score
+           FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN s
+           WHERE tf.doc_id <> qt.query_id
+           GROUP BY qt.query_id, tf.doc_id)
+         SELECT query_id, doc_id, n_terms, score, CAST(rank AS INT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank FROM sc) r
+         WHERE rank <= $k"""
     },
 
     // perceptual hash per payload: these text payloads all take the

@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** BM25 sparse retrieval ("more-like-this"): score every corpus document
+  * against a handful of term queries and keep the top-k per query.
+  *
+  * The scoring is Robertson/Sparck-Jones BM25 with one determinism
+  * twist, the same move [[Selection.lmScore]] makes for perplexity: the
+  * idf keeps its rational odds form `(N - df + 0.5) / (df + 0.5)`
+  * WITHOUT the log. `ln` is a transcendental whose last ulp is
+  * library-specific (JVM `Math.log` is 1-ulp semi-monotonic, glibc's
+  * `log` is correctly rounded), so a logged idf could hash-diverge from
+  * the DuckDB oracle on near-tie ranks; the rational form is pure IEEE
+  * arithmetic — bit-identical cross-engine — and log is monotone, so
+  * per-term the odds rank documents exactly as the logged idf would.
+  * Per-document contributions are cast to DECIMAL(28,12) before the sum
+  * (associative, order-independent), the established cross-engine
+  * aggregation pattern.
+  *
+  * Scale shape: queries are tiny (a handful of term rows) and broadcast;
+  * the corpus token stream is filtered to query terms BEFORE any
+  * aggregate, so tf, df, and the scoring join all run on the postings of
+  * the query vocabulary — cost is O(postings of queried terms), never
+  * O(corpus vocabulary). Document length rides the explode projection
+  * (`max` inside the tf group), so no corpus-scale dl join. The final
+  * per-query top-k is a rank window Spark 4 caps map-side via
+  * WindowGroupLimit.
+  */
+object Bm25 {
+
+  /** Top-k BM25 retrieval where the queries are the first
+    * `queryTerms` distinct tokens (in first-appearance order) of each
+    * document with id < `nQueries` — the query document itself is
+    * excluded from its own result list.
+    * Output: `(query_id, <idCol>, n_terms, score, rank)`.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Long, queryTerms: Int, k1: Double, b: Double,
+      topK: Int): DataFrame = {
+    require(nQueries >= 1 && queryTerms >= 1 && topK >= 1,
+      s"need positive nQueries/queryTerms/topK, got $nQueries/$queryTerms/$topK")
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+
+    // corpus stats: N docs and total tokens — one tiny broadcast row
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(size(col("__toks"))).cast("long").as("__total"))
+
+    // query terms: first `queryTerms` distinct tokens per query doc,
+    // ordered by first appearance (distinct terms have distinct first
+    // positions; the term tiebreak is belt-and-braces)
+    val qw = Window.partitionBy("query_id").orderBy(col("__fp"), col("term"))
+    val qt = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"),
+        posexplode(col("__toks")).as(Seq("__p", "term")))
+      .groupBy("query_id", "term").agg(min(col("__p")).as("__fp"))
+      .withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= queryTerms)
+      .select("query_id", "term")
+
+    // postings restricted to the query vocabulary: tf carries dl so the
+    // scorer never joins back to the corpus
+    val toks = base.select(col(idCol),
+        size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("term"))
+    // tf feeds BOTH the df rollup and the scorer — persist the postings
+    // aggregate so the corpus scan+shuffle runs once, not once per
+    // branch (at 100 TB: materialize the postings table, read it twice)
+    val tf = graft.CacheBin.register(toks
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+
+    val nD = col("__n").cast("double")
+    val dfD = col("__df").cast("double")
+    val tfD = col("__tf").cast("double")
+    val dlD = col("__dl").cast("double")
+    val totD = col("__total").cast("double")
+    // rational-idf BM25 contribution; parenthesization mirrored verbatim
+    // by the oracle SQL so IEEE evaluation order is identical
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val den = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD * nD / totD)
+    val contrib = idf * (tfD * lit(k1 + 1.0) / den)
+
+    val scored = tf
+      .join(broadcast(df_), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__c", contrib.cast(DecimalType(28, 12)))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__c")).cast("double").as("score"))
+
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol), col("n_terms"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+}

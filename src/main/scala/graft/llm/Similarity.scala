@@ -116,6 +116,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Semantic decontamination: flag corpus vectors whose cosine against
+    * ANY eval-set vector reaches `threshold` — the embedding-space
+    * complement of the n-gram decontamination in
+    * [[TextOps.decontaminate]], catching paraphrased benchmark leakage
+    * exact gram overlap misses. Output one row per contaminated corpus
+    * id: `(<idCol>, n_hits, max_cos)`.
+    *
+    * Scale shape: the eval slice is benchmark-sized and broadcast; the
+    * corpus side is one scan-local pass (broadcast nested-loop against
+    * |eval| rows, no shuffle until the per-id rollup, which is
+    * hit-bounded). Cosines are decimal-exact ([[dotDec]]) so the
+    * threshold decision is bit-identical cross-engine; `max_cos` is a
+    * max, not a sum — order-independent by construction.
+    */
+  def semanticDecon(embeddings: DataFrame, idCol: String, vecCol: String,
+      isEval: Column, threshold: Double): DataFrame = {
+    val n2 = embeddings.select(col(idCol), col(vecCol).as("__v"),
+      norm2(col(vecCol)).as("__nn"))
+    val eval_ = n2.filter(isEval)
+      .select(col(idCol).as("__eid"), col("__v").as("__ev"),
+        col("__nn").as("__en"))
+    val cos = dotDec(col("__v"), col("__ev")).cast("double") /
+      (sqrt(col("__nn")) * sqrt(col("__en")))
+    n2.filter(!isEval)
+      .crossJoin(broadcast(eval_))
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates are blocked by IVF
     * centroid AND a caller-supplied blocking column (e.g. label/language/
     * source), then exact cosine filters at `threshold`.

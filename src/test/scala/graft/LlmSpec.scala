@@ -1201,6 +1201,45 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("semantic decon: cosine floor vs the eval slice, hits counted per corpus vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // eval
+      (1L, Array(0.0f, 1.0f)),   // eval
+      (10L, Array(2.0f, 0.0f)),  // cos 1.0 with eval 0
+      (11L, Array(1.0f, 1.0f)),  // cos ~0.707 with BOTH eval vectors
+      (12L, Array(-1.0f, 0.1f))  // below threshold everywhere
+    ).toDF("vec_id", "embedding")
+    val hits = Similarity.semanticDecon(vecs, "vec_id", "embedding",
+        isEval = col("vec_id") < 10, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits.keySet == Set(10L, 11L))
+    assert(hits(10L)._1 == 1L && math.abs(hits(10L)._2 - 1.0) < 1e-12)
+    assert(hits(11L)._1 == 2L && math.abs(hits(11L)._2 - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("bm25: rarity beats commonality, brevity beats length, the query doc is excluded") {
+    val docs = Seq(
+      (0L, "rare common alpha pad pad2"),           // the query doc
+      (1L, "rare zzz yyy xxx www vvv"),             // rare term, short
+      (2L, "common zzz yyy xxx www vvv"),           // common term, short
+      (3L, "common uuu ttt sss rrr qqq"),           // more common-term docs
+      (4L, "common ppp ooo nnn mmm lll"),           //   to raise df(common)
+      (5L, "rare kkk jjj iii hhh ggg fff eee ddd")  // rare term, LONG
+    ).toDF("doc_id", "text")
+    val hits = Bm25.moreLikeThis(docs, "doc_id", "text",
+        nQueries = 1, queryTerms = 3, k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("rank").collect()
+    assert(hits.forall(_.getLong(0) == 0L))
+    val ranked = hits.map(_.getLong(1)).toSeq
+    // df(rare)=3 < df(common)=4 ⇒ higher idf; among equal tf, the
+    // shorter doc wins; common-term ties fall back to doc_id order
+    assert(ranked == Seq(1L, 5L, 2L, 3L, 4L))
+    assert(!ranked.contains(0L))          // no self-retrieval
+    assert(hits.forall(_.getLong(2) == 1L)) // each hit matched one term
+    val scores = hits.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b2) => a >= b2 })
+  }
+
   test("substring cut: later copies lose the span, the corpus-first occurrence survives intact") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
