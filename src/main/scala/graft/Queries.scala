@@ -293,6 +293,8 @@ object Queries {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25TopK = 10
+  // reciprocal-rank fusion constant (Cormack et al. 2009's k=60)
+  val RrfK0 = 60.0
   val PiiSeedSuffix =
     " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
 
@@ -433,9 +435,25 @@ object Queries {
     * rational-idf form).
     */
   def bm25TopK(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Bm25.moreLikeThis(Tables.documents(s, dir), "doc_id", "text",
-      nQueries = Bm25NQueries, queryTerms = Bm25QueryTerms,
-      k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
+    SessionMemo.cached(s, s"bm25:$dir") {
+      graft.llm.Bm25.moreLikeThis(Tables.documents(s, dir), "doc_id", "text",
+        nQueries = Bm25NQueries, queryTerms = Bm25QueryTerms,
+        k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
+    }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 sparse lists
+    * with dense cosine top-k over the same query ids — rides the
+    * memoized [[bm25TopK]] table, so the corpus text pass runs once for
+    * both consumers.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val sparse = bm25TopK(s, dir).select("query_id", "doc_id", "rank")
+    val dense = Similarity.cosineTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding",
+        isQuery = col("vec_id") < Bm25NQueries, k = Bm25TopK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.llm.Bm25.rrfFuse(sparse, dense, k0 = RrfK0, topK = Bm25TopK)
+  }
 
   /** APPLY the substring dedup (the Lee-et-al cut): later copies of
     * duplicated spans are removed, the corpus-first occurrence survives

@@ -123,6 +123,7 @@ object SparkEntry {
     "q_substring_cut" -> (Queries.substringCut _),
     "q_bm25_topk" -> (Queries.bm25TopK _),
     "q_decontaminate_semantic" -> (Queries.decontaminateSemantic _),
+    "q_hybrid_rrf" -> (Queries.hybridRrf _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -272,6 +273,59 @@ object SparkEntry {
            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
            FROM cg c JOIN bg USING (gram)
            GROUP BY c.doc_id HAVING count(*) >= ${Queries.DeconMinOverlap})"""
+
+  /** BM25 oracle CTE chain (see q_bm25_topk for the determinism notes);
+    * terminal CTE `bmr` carries the ranked lists, reused verbatim by the
+    * q_hybrid_rrf fusion so sparse ranks cannot diverge between the
+    * standalone query and the hybrid.
+    */
+  private val bm25Ctes: String = {
+    val nq = Queries.Bm25NQueries
+    val qtn = Queries.Bm25QueryTerms
+    val k1 = Queries.Bm25K1
+    val k1p1 = Queries.Bm25K1 + 1.0
+    val oneMb = 1.0 - Queries.Bm25B
+    val b = Queries.Bm25B
+    val k = Queries.Bm25TopK
+    s"""base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(len(toks)) AS BIGINT) AS total FROM base),
+       qe AS (SELECT doc_id AS query_id,
+           unnest(generate_series(1, len(toks))) AS p,
+           unnest(toks) AS term
+         FROM base WHERE doc_id < $nq),
+       qt AS (SELECT query_id, term FROM (
+           SELECT query_id, term,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY min(p), term) AS rn
+           FROM qe GROUP BY query_id, term) t
+         WHERE rn <= $qtn),
+       tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           unnest(toks) AS term FROM base),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+           max(dl) AS dl
+         FROM tk WHERE term IN (SELECT term FROM qt)
+         GROUP BY doc_id, term),
+       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         FROM tf GROUP BY term),
+       sc AS (SELECT qt.query_id, tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CAST(
+             ((CAST(s.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+                / (CAST(dfq.df AS DOUBLE) + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * $k1p1
+                / (CAST(tf.tf AS DOUBLE) + $k1 * ($oneMb
+                   + $b * CAST(tf.dl AS DOUBLE) * CAST(s.n AS DOUBLE)
+                     / CAST(s.total AS DOUBLE))))
+             AS DECIMAL(28,12))) AS DOUBLE) AS score
+         FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN s
+         WHERE tf.doc_id <> qt.query_id
+         GROUP BY qt.query_id, tf.doc_id),
+       bmr AS (SELECT query_id, doc_id, n_terms, score, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank FROM sc) r
+         WHERE rank <= $k)"""
+  }
 
   private val piiSeededCte: String =
     s"""seeded AS (
@@ -2194,54 +2248,54 @@ object SparkEntry {
     // BM25 more-like-this: rational (log-free) idf — pure IEEE
     // arithmetic, no library-specific transcendental — with the
     // DECIMAL(28,12) contribution sum; parenthesization mirrors
-    // Bm25.moreLikeThis token-for-token
-    "q_bm25_topk" -> {
-      val nq = Queries.Bm25NQueries
-      val qtn = Queries.Bm25QueryTerms
-      val k1 = Queries.Bm25K1
-      val k1p1 = Queries.Bm25K1 + 1.0
-      val oneMb = 1.0 - Queries.Bm25B
-      val b = Queries.Bm25B
-      val k = Queries.Bm25TopK
-      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(len(toks)) AS BIGINT) AS total FROM base),
-         qe AS (SELECT doc_id AS query_id,
-             unnest(generate_series(1, len(toks))) AS p,
-             unnest(toks) AS term
-           FROM base WHERE doc_id < $nq),
-         qt AS (SELECT query_id, term FROM (
-             SELECT query_id, term,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY min(p), term) AS rn
-             FROM qe GROUP BY query_id, term) t
-           WHERE rn <= $qtn),
-         tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-             unnest(toks) AS term FROM base),
-         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-             max(dl) AS dl
-           FROM tk WHERE term IN (SELECT term FROM qt)
-           GROUP BY doc_id, term),
-         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-           FROM tf GROUP BY term),
-         sc AS (SELECT qt.query_id, tf.doc_id,
-             CAST(count(*) AS BIGINT) AS n_terms,
-             CAST(sum(CAST(
-               ((CAST(s.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-                  / (CAST(dfq.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * $k1p1
-                  / (CAST(tf.tf AS DOUBLE) + $k1 * ($oneMb
-                     + $b * CAST(tf.dl AS DOUBLE) * CAST(s.n AS DOUBLE)
-                       / CAST(s.total AS DOUBLE))))
-               AS DECIMAL(28,12))) AS DOUBLE) AS score
-           FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN s
-           WHERE tf.doc_id <> qt.query_id
-           GROUP BY qt.query_id, tf.doc_id)
+    // Bm25.moreLikeThis token-for-token (CTEs shared with q_hybrid_rrf)
+    "q_bm25_topk" ->
+      s"""WITH $bm25Ctes
          SELECT query_id, doc_id, n_terms, score, CAST(rank AS INT) AS rank
+         FROM bmr""",
+
+    // hybrid retrieval: the BM25 lists fused with dense cosine top-k by
+    // reciprocal rank — each term is one IEEE division on a small-int
+    // rank, summed sparse-first exactly as Bm25.rrfFuse does
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         dn2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         dq AS (SELECT vec_id AS query_id, embedding AS qv, nn AS qn FROM dn2
+           WHERE vec_id < ${Queries.Bm25NQueries}),
+         dc AS (SELECT vec_id AS id, embedding AS nv, nn AS cn FROM dn2),
+         dp AS (
+           SELECT dq.query_id, dc.id,
+             CAST(list_sum(list_transform(list_zip(dq.qv, dc.nv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(dq.qn) * sqrt(dc.cn)) AS cosine
+           FROM dq, dc WHERE dc.id <> dq.query_id),
+         dr AS (SELECT query_id, id, rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, id) AS rank FROM dp) t
+           WHERE rank <= ${Queries.Bm25TopK}),
+         f AS (
+           SELECT coalesce(b.query_id, d.query_id) AS query_id,
+             coalesce(b.doc_id, d.id) AS doc_id,
+             b.rank AS rs, d.rank AS rd
+           FROM bmr b FULL OUTER JOIN dr d
+             ON b.query_id = d.query_id AND b.doc_id = d.id),
+         g AS (
+           SELECT query_id, doc_id,
+             (rs IS NOT NULL) AS in_sparse, (rd IS NOT NULL) AS in_dense,
+             coalesce(1.0 / (${Queries.RrfK0} + CAST(rs AS DOUBLE)), 0.0)
+               + coalesce(1.0 / (${Queries.RrfK0} + CAST(rd AS DOUBLE)), 0.0)
+               AS rrf
+           FROM f)
+         SELECT query_id, doc_id, in_sparse, in_dense, rrf,
+           CAST(rank AS INT) AS rank
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY score DESC, doc_id) AS rank FROM sc) r
-         WHERE rank <= $k"""
-    },
+             ORDER BY rrf DESC, doc_id) AS rank FROM g) r
+         WHERE rank <= ${Queries.Bm25TopK}""",
 
     // perceptual hash per payload: these text payloads all take the
     // deterministic byte-sampling fallback ('opaque'); the real-image

@@ -104,4 +104,37 @@ object Bm25 {
       .select(col("query_id"), col(idCol), col("n_terms"), col("score"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Reciprocal-rank fusion of two retrieval result lists (Cormack et
+    * al. 2009): `rrf = 1/(k0 + rank_sparse) + 1/(k0 + rank_dense)`,
+    * absent-system contributions zero. Rank inputs are small integers,
+    * so each term is one IEEE division — bit-identical cross-engine with
+    * no decimal machinery; the two-term sum has a fixed order (sparse
+    * first), mirrored by the oracle.
+    *
+    * Both inputs must carry `(query_id, doc_id, rank)`. The fused lists
+    * are top-k-bounded on both sides, so this whole operator runs on
+    * O(queries × k) rows — driver-scale relative to the retrieval passes
+    * that feed it.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k0: Double,
+      topK: Int): DataFrame = {
+    val sp = sparse.select(col("query_id"), col("doc_id"),
+      col("rank").as("__rs"))
+    val de = dense.select(col("query_id"), col("doc_id"),
+      col("rank").as("__rd"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(k0) + col("__rs").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(k0) + col("__rd").cast("double")), lit(0.0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sp.join(de, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("in_sparse", col("__rs").isNotNull)
+      .withColumn("in_dense", col("__rd").isNotNull)
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("in_sparse"),
+        col("in_dense"), col("rrf"), col("rank").cast("int").as("rank"))
+  }
 }

@@ -1201,6 +1201,21 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("rrf fusion: both-systems doc outranks either single-system doc; flags track membership") {
+    val sparse = Seq((0L, 100L, 1), (0L, 101L, 2)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 100L, 2), (0L, 102L, 1)).toDF("query_id", "doc_id", "rank")
+    val fused = Bm25.rrfFuse(sparse, dense, k0 = 60.0, topK = 10)
+      .orderBy("rank").collect()
+    // 100: 1/61 + 1/62 > 102: 1/61 > 101: 1/62
+    assert(fused.map(_.getLong(1)).toSeq == Seq(100L, 102L, 101L))
+    val flags = fused.map(r => r.getLong(1) ->
+      (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(flags(100L) == ((true, true)))
+    assert(flags(101L) == ((true, false)))
+    assert(flags(102L) == ((false, true)))
+    assert(math.abs(fused.head.getDouble(4) - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+  }
+
   test("semantic decon: cosine floor vs the eval slice, hits counted per corpus vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),   // eval
