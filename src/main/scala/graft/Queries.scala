@@ -295,6 +295,9 @@ object Queries {
   val Bm25TopK = 10
   // reciprocal-rank fusion constant (Cormack et al. 2009's k=60)
   val RrfK0 = 60.0
+  // RAG chunking: window/stride in whitespace tokens (overlapping halves)
+  val RagWindow = 64
+  val RagStride = 32
   val PiiSeedSuffix =
     " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
 
@@ -420,6 +423,42 @@ object Queries {
   def substringDedupHashed(s: SparkSession, dir: String): DataFrame =
     graft.llm.SubstringDedup.substringSpansHashed(Tables.documents(s, dir),
       "doc_id", "text", minSpanTokens = SubstringMinTokens)
+
+  /** Sliding-window RAG chunking: [[RagWindow]]-token chunks every
+    * [[RagStride]] tokens with 1-based offsets back into the document
+    * (see [[graft.llm.TextOps.chunkWindows]] — entirely scan-local).
+    */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+      window = RagWindow, stride = RagStride)
+
+  /** kNN label classification of the ANN query slice against the corpus
+    * (see [[graft.llm.Similarity.knnLabel]]); same query/depth
+    * conventions as [[cosineTopK]].
+    */
+  def knnLabel(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabel(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK)
+
+  /** Tokenizer fertility audit on the learned BPE: per source, BPE
+    * tokens per word and chars per BPE token — exact BIGINT sums with
+    * single double divisions; rides [[bpeTokenCounts]].
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    bpeTokenCounts(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
 
   /** Embedding-space decontamination against the benchmark slice — the
     * semantic complement of [[decontaminate]]; same eval-id convention

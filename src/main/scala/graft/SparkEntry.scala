@@ -124,6 +124,9 @@ object SparkEntry {
     "q_bm25_topk" -> (Queries.bm25TopK _),
     "q_decontaminate_semantic" -> (Queries.decontaminateSemantic _),
     "q_hybrid_rrf" -> (Queries.hybridRrf _),
+    "q_chunk_windows" -> (Queries.chunkWindows _),
+    "q_knn_label" -> (Queries.knnLabel _),
+    "q_bpe_fertility" -> (Queries.bpeFertility _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -273,6 +276,34 @@ object SparkEntry {
            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
            FROM cg c JOIN bg USING (gram)
            GROUP BY c.doc_id HAVING count(*) >= ${Queries.DeconMinOverlap})"""
+
+  /** Dense cosine top-k oracle CTE chain (decimal-exact dots, rank with
+    * id tiebreak — mirrors Similarity.cosineTopK): terminal CTE `cr`
+    * carries `(query_id, neighbor_id, cosine, rank)`. Parameterized so
+    * q_cosine_topk (queries < AnnNumQueries), q_knn_label (same), and
+    * q_hybrid_rrf's dense side (queries < Bm25NQueries) share one
+    * definition.
+    */
+  private def cosineRankCtes(maxQueryId: Long, k: Int): String =
+    s"""cn2 AS (
+         SELECT vec_id, embedding,
+           CAST(list_sum(list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) AS nn
+         FROM embeddings),
+       cq AS (SELECT vec_id AS query_id, embedding AS qv, nn AS qn FROM cn2
+         WHERE vec_id < $maxQueryId),
+       cc AS (SELECT vec_id AS neighbor_id, embedding AS nv, nn AS cn FROM cn2),
+       cp AS (
+         SELECT cq.query_id, cc.neighbor_id,
+           CAST(list_sum(list_transform(list_zip(cq.qv, cc.nv),
+             z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) / (sqrt(cq.qn) * sqrt(cc.cn)) AS cosine
+         FROM cq, cc WHERE cc.neighbor_id <> cq.query_id),
+       cr AS (SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM cp) t
+         WHERE rank <= $k)"""
 
   /** BM25 oracle CTE chain (see q_bm25_topk for the determinism notes);
     * terminal CTE `bmr` carries the ranked lists, reused verbatim by the
@@ -1106,25 +1137,28 @@ object SparkEntry {
          FROM n""",
 
     "q_cosine_topk" ->
-      """WITH n2 AS (
-           SELECT vec_id, embedding,
-             CAST(list_sum(list_transform(embedding,
-               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS nn
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, embedding AS qv, nn AS qn FROM n2 WHERE vec_id < 5),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS nv, nn AS cn FROM n2),
-         pairs AS (
-           SELECT q.query_id, c.neighbor_id,
-             CAST(list_sum(list_transform(list_zip(q.qv, c.nv),
-               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) / (sqrt(q.qn) * sqrt(c.cn)) AS cosine
-           FROM q, c WHERE c.neighbor_id <> q.query_id)
-         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
-           SELECT *, row_number() OVER (
-             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-           FROM pairs) r
-         WHERE rank <= 10""",
+      s"""WITH ${cosineRankCtes(Queries.AnnNumQueries, Queries.AnnTopK)}
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         FROM cr""",
+
+    // kNN label classification: majority label of the cosine top-k
+    // (shared cr chain), ties toward the smaller label
+    "q_knn_label" ->
+      s"""WITH ${cosineRankCtes(Queries.AnnNumQueries, Queries.AnnTopK)},
+         v AS (
+           SELECT cr.query_id, e.label AS pred_label,
+             CAST(count(*) AS BIGINT) AS n_votes
+           FROM cr JOIN embeddings e ON e.vec_id = cr.neighbor_id
+           GROUP BY cr.query_id, e.label),
+         b AS (
+           SELECT query_id, pred_label, n_votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, pred_label) AS rn
+           FROM v)
+         SELECT b.query_id, t.label AS true_label, b.pred_label, b.n_votes,
+           (b.pred_label = t.label) AS correct
+         FROM b JOIN embeddings t ON t.vec_id = b.query_id
+         WHERE b.rn = 1""",
 
     // unit-normalization, one row per element (scalar doubles compare
     // exactly; an array column would go through string rendering);
@@ -2221,6 +2255,52 @@ object SparkEntry {
          FROM d LEFT JOIN per USING (doc_id)"""
     },
 
+    // RAG sliding-window chunking: integer-only window arithmetic
+    // (count, 1-based inclusive offsets) — engine-exact by construction
+    "q_chunk_windows" -> {
+      val w = Queries.RagWindow
+      val st = Queries.RagStride
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len,
+             CASE WHEN len(toks) <= $w THEN 1
+                  ELSE ((len(toks) - $w + ${st - 1}) // $st) + 1 END AS nw
+           FROM d),
+         e AS (SELECT doc_id, toks, len,
+             unnest(generate_series(1, nw)) AS i FROM n)
+         SELECT doc_id, CAST(i AS INT) AS win_id,
+           CAST(1 + (i - 1) * $st AS BIGINT) AS tok_lo,
+           CAST(least(1 + (i - 1) * $st + ${w - 1}, len) AS BIGINT) AS tok_hi,
+           CAST(least(1 + (i - 1) * $st + ${w - 1}, len)
+             - (1 + (i - 1) * $st) + 1 AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, 1 + (i - 1) * $st,
+             least(1 + (i - 1) * $st + ${w - 1}, len)), ' ') AS chunk_text
+         FROM e"""
+    },
+
+    // tokenizer fertility: exact BIGINT sums per source over the shared
+    // BPE segmentation chain; single double divisions for the ratios
+    "q_bpe_fertility" -> (s"""
+         WITH $bpeCtes,
+         $bpeNsymCte,
+         wc AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         t AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(ns.nsym) AS BIGINT) AS n_bpe
+           FROM wc JOIN ns USING (word)
+           GROUP BY doc_id)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_words) AS BIGINT) AS n_words,
+           CAST(sum(t.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(t.n_bpe) AS DOUBLE) / CAST(sum(t.n_words) AS DOUBLE)
+             AS fertility,
+           CAST(sum(d.n_chars) AS DOUBLE) / CAST(sum(t.n_bpe) AS DOUBLE)
+             AS chars_per_token
+         FROM documents d JOIN t USING (doc_id)
+         GROUP BY d.source"""),
+
     // semantic decontamination: decimal-exact cosine vs the benchmark
     // embedding slice, threshold + id convention shared with the Spark
     // side via Queries constants; max_cos is order-independent (a max)
@@ -2259,31 +2339,13 @@ object SparkEntry {
     // rank, summed sparse-first exactly as Bm25.rrfFuse does
     "q_hybrid_rrf" ->
       s"""WITH $bm25Ctes,
-         dn2 AS (
-           SELECT vec_id, embedding,
-             CAST(list_sum(list_transform(embedding,
-               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS nn
-           FROM embeddings),
-         dq AS (SELECT vec_id AS query_id, embedding AS qv, nn AS qn FROM dn2
-           WHERE vec_id < ${Queries.Bm25NQueries}),
-         dc AS (SELECT vec_id AS id, embedding AS nv, nn AS cn FROM dn2),
-         dp AS (
-           SELECT dq.query_id, dc.id,
-             CAST(list_sum(list_transform(list_zip(dq.qv, dc.nv),
-               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) / (sqrt(dq.qn) * sqrt(dc.cn)) AS cosine
-           FROM dq, dc WHERE dc.id <> dq.query_id),
-         dr AS (SELECT query_id, id, rank FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, id) AS rank FROM dp) t
-           WHERE rank <= ${Queries.Bm25TopK}),
+         ${cosineRankCtes(Queries.Bm25NQueries, Queries.Bm25TopK)},
          f AS (
            SELECT coalesce(b.query_id, d.query_id) AS query_id,
-             coalesce(b.doc_id, d.id) AS doc_id,
+             coalesce(b.doc_id, d.neighbor_id) AS doc_id,
              b.rank AS rs, d.rank AS rd
-           FROM bmr b FULL OUTER JOIN dr d
-             ON b.query_id = d.query_id AND b.doc_id = d.id),
+           FROM bmr b FULL OUTER JOIN cr d
+             ON b.query_id = d.query_id AND b.doc_id = d.neighbor_id),
          g AS (
            SELECT query_id, doc_id,
              (rs IS NOT NULL) AS in_sparse, (rd IS NOT NULL) AS in_dense,

@@ -116,6 +116,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** kNN label classification over the embedding space: each query
+    * vector takes the majority label of its k nearest corpus neighbors
+    * (exact cosine, self excluded), ties broken toward the smaller
+    * label — the standard embedding-quality probe ("do labels cluster?")
+    * and a label-propagation primitive for weakly-labeled corpora.
+    * Output: `(query_id, true_label, pred_label, n_votes, correct)`.
+    *
+    * Scale shape: rides [[cosineTopK]] (broadcast queries, scan-local
+    * scoring); the vote join broadcasts the queries×k result against the
+    * corpus label projection, so nothing corpus-scale shuffles.
+    */
+  def knnLabel(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, isQuery: Column, k: Int): DataFrame = {
+    val topk = cosineTopK(embeddings, idCol, vecCol, isQuery, k)
+    val labels = embeddings.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val votes = broadcast(topk).join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("__nl").asc)
+    val pred = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"), col("n_votes"))
+    embeddings.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(labelCol).as("true_label"))
+      .join(pred, Seq("query_id"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+  }
+
   /** Semantic decontamination: flag corpus vectors whose cosine against
     * ANY eval-set vector reaches `threshold` — the embedding-space
     * complement of the n-gram decontamination in

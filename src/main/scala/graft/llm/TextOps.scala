@@ -298,6 +298,44 @@ object TextOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Sliding-window chunking for retrieval corpora: fixed `window`-token
+    * chunks every `stride` tokens (overlapping when stride < window),
+    * the standard RAG context-construction step. Every document yields
+    * at least one window; the last window is truncated at the document
+    * end rather than padded. Output one row per window:
+    * `(id, win_id, tok_lo, tok_hi, n_tokens, chunk_text)` with 1-based
+    * inclusive token offsets back into the source document.
+    *
+    * Scale shape: entirely scan-local — the window list is computed
+    * in-row (`transform` over a `sequence` of starts, bounded by
+    * ⌈len/stride⌉) and exploded; no shuffle at any corpus size. Window
+    * count uses integer arithmetic only, so the chunk boundaries are
+    * engine-exact.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__len", size(col("__toks")).cast("long"))
+      // nw = 1 + ceil((len - window) / stride) for len > window, else 1
+      .withColumn("__nw", expr(
+        s"CASE WHEN __len <= $window THEN 1 " +
+          s"ELSE ((__len - $window + ${stride - 1}) DIV $stride) + 1 END"))
+      .select(col(idCol), col("__toks"), col("__len"),
+        explode(expr("sequence(1, __nw)")).as("win_id"))
+      .withColumn("tok_lo",
+        (lit(1L) + (col("win_id") - 1) * stride).cast("long"))
+      .withColumn("tok_hi",
+        least(col("tok_lo") + lit(window.toLong - 1), col("__len")))
+      .select(col(idCol), col("win_id").cast("int").as("win_id"),
+        col("tok_lo"), col("tok_hi"),
+        (col("tok_hi") - col("tok_lo") + 1).as("n_tokens"),
+        concat_ws(" ", expr(
+          s"slice(__toks, CAST(tok_lo AS INT), " +
+            "CAST(tok_hi - tok_lo + 1 AS INT))")).as("chunk_text"))
+  }
+
   /** Deterministic stratified sample: at most `perStratum` documents per
     * stratum (source/language/domain), chosen by sha256(id ∥ salt) rank —
     * the corpus-mixture subsampling step a training-data pipeline runs to

@@ -1201,6 +1201,36 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("chunk windows: overlapping strides, truncated tail, short docs yield one window") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val wins = TextOps.chunkWindows(docs, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(wins.size == 4)
+    assert(wins((1L, 1)) == ((1L, 4L, 4L, "a b c d")))
+    assert(wins((1L, 2)) == ((3L, 6L, 4L, "c d e f")))
+    assert(wins((1L, 3)) == ((5L, 7L, 3L, "e f g")))   // truncated tail
+    assert(wins((2L, 1)) == ((1L, 2L, 2L, "x y")))     // short doc: one window
+  }
+
+  test("knn label: majority of the k nearest wins; self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),    // the query, true label 1
+      (10L, Array(1.0f, 0.1f), 1),
+      (11L, Array(1.0f, -0.1f), 1),
+      (12L, Array(0.9f, 0.0f), 2),   // parallel -> cosine 1.0, rank 1
+      (13L, Array(0.0f, 1.0f), 2),
+      (14L, Array(0.0f, 1.1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabel(vecs, "vec_id", "embedding", "label",
+        isQuery = col("vec_id") < 10, k = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // top-3 = {12 (l2), 10, 11 (l1)} -> label 1 wins 2:1
+    assert(r.getLong(0) == 0L && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getLong(3) == 2L && r.getBoolean(4))
+  }
+
   test("rrf fusion: both-systems doc outranks either single-system doc; flags track membership") {
     val sparse = Seq((0L, 100L, 1), (0L, 101L, 2)).toDF("query_id", "doc_id", "rank")
     val dense = Seq((0L, 100L, 2), (0L, 102L, 1)).toDF("query_id", "doc_id", "rank")
