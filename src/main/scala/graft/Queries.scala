@@ -298,6 +298,9 @@ object Queries {
   // RAG chunking: window/stride in whitespace tokens (overlapping halves)
   val RagWindow = 64
   val RagStride = 32
+  // composed training-mix global token budget, split across sources by
+  // the temperature mixture weights
+  val MixTokenBudget = 4000L
   val PiiSeedSuffix =
     " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
 
@@ -423,6 +426,50 @@ object Queries {
   def substringDedupHashed(s: SparkSession, dir: String): DataFrame =
     graft.llm.SubstringDedup.substringSpansHashed(Tables.documents(s, dir),
       "doc_id", "text", minSpanTokens = SubstringMinTokens)
+
+  /** The composed TRAINING-MIX pipeline: temperature mixture weights
+    * ([[mixtureWeights]]' `w_temp`) allocate the global
+    * [[MixTokenBudget]] across sources; each source's allocation is
+    * filled deterministically in sha256(id ∥ salt) rank order (the
+    * [[tokenBudgetSample]] rule with a per-source budget); the selected
+    * documents then pack into training sequences via the distributed
+    * prefix-sum ([[packSequences]]' machinery). Every stage reuses its
+    * standalone operator's constants and rank key, so the composition
+    * cannot diverge from the parts.
+    *
+    * Scale shape: one source-keyed window exchange for the budget fill
+    * (rank-bounded map-side by the global budget — a doc has ≥ 1 token,
+    * so rank > budget can never fit), then the pack prefix-sum over the
+    * budget-bounded survivor slice; the mixture weights and per-source
+    * budgets are a broadcast-sized rollup.
+    */
+  def trainingMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val budgets = graft.llm.Selection.mixtureWeights(docs, "source", "text")
+      .select(col("source"),
+        floor(col("w_temp") * lit(MixTokenBudget.toDouble)).cast("long")
+          .as("__sb"))
+    val key = sha2(concat(col("doc_id").cast("string"), lit(SplitSalt)), 256)
+    val w = Window.partitionBy("source").orderBy(col("__k"), col("doc_id"))
+    // survivors feed BOTH the packer and the source-attribution join —
+    // persist the budget-bounded sliver (≤ MixTokenBudget docs)
+    val sel = CacheBin.register(docs
+      .select(col("doc_id"), col("source"),
+        size(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        key.as("__k"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= MixTokenBudget)
+      .withColumn("cum_tokens", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("__sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Packing.packSequencesBy(sel, "doc_id", "n_tokens", budget = PackBudget)
+      .join(broadcast(sel.select(col("doc_id"), col("source"))), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("seq_id"))
+  }
 
   /** Sliding-window RAG chunking: [[RagWindow]]-token chunks every
     * [[RagStride]] tokens with 1-based offsets back into the document

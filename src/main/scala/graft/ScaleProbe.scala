@@ -120,7 +120,12 @@ object ScaleProbe {
       "bm25" -> (Queries.bm25TopK _),
       // broadcast eval slice, scan-local cosine pass; shuffle is the
       // hit-bounded rollup only
-      "semantic_decon" -> (Queries.decontaminateSemantic _))
+      "semantic_decon" -> (Queries.decontaminateSemantic _),
+      // one source-keyed window exchange (rank-bounded map-side) + the
+      // prefix-sum over the budget-bounded survivors — the survivor
+      // count is budget-fixed, so shuffle should stay ~linear and the
+      // pack side constant
+      "training_mix" -> (Queries.trainingMix _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

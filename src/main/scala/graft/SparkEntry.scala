@@ -127,6 +127,7 @@ object SparkEntry {
     "q_chunk_windows" -> (Queries.chunkWindows _),
     "q_knn_label" -> (Queries.knnLabel _),
     "q_bpe_fertility" -> (Queries.bpeFertility _),
+    "q_training_mix" -> (Queries.trainingMix _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2254,6 +2255,53 @@ object SparkEntry {
            coalesce(per.kt, '') AS kept_text
          FROM d LEFT JOIN per USING (doc_id)"""
     },
+
+    // composed training mix: temperature weights -> per-source budget
+    // fill (same sha256 rank key as q_token_budget_sample) -> the
+    // q_pack_sequences prefix-sum over the survivors; every constant
+    // and expression mirrors the standalone stages
+    "q_training_mix" -> (s"""
+         WITH per AS (
+           SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)))
+               AS DOUBLE) AS stot
+           FROM per),
+         bud AS (
+           SELECT source,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / stot
+               * ${Queries.MixTokenBudget}.0) AS BIGINT) AS src_budget
+           FROM per CROSS JOIN tot),
+         t AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             sha256(concat(CAST(doc_id AS VARCHAR), '${Queries.SplitSalt}')) AS k
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, n_tokens, k,
+             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+           FROM t),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM r WHERE rn <= ${Queries.MixTokenBudget}),
+         sel AS (
+           SELECT c.doc_id, c.source, c.n_tokens
+           FROM c JOIN bud USING (source)
+           WHERE c.cum_tokens <= bud.src_budget),
+         o AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM sel)
+         SELECT doc_id, source, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
+         FROM o"""),
 
     // RAG sliding-window chunking: integer-only window arithmetic
     // (count, 1-based inclusive offsets) — engine-exact by construction

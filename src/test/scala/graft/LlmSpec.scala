@@ -1201,6 +1201,28 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("training mix: per-source fills respect the temperature allocation; packing is a clean prefix-sum") {
+    val mix = Queries.trainingMix(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(mix.nonEmpty)
+    // every source stays within its floor(w_temp * B) allocation
+    val wts = Queries.mixtureWeights(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    mix.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = math.floor(wts(src) * Queries.MixTokenBudget).toLong
+      assert(rows.map(_._3).sum <= budget, s"$src over-filled")
+    }
+    assert(mix.map(_._3).sum <= Queries.MixTokenBudget)
+    // offsets are the exclusive prefix-sum in doc_id order; seq from offset
+    val sorted = mix.sortBy(_._1)
+    var off = 0L
+    sorted.foreach { case (_, _, n, start, seq) =>
+      assert(start == off && seq == start / Queries.PackBudget)
+      off += n
+    }
+    CacheBin.drain()
+  }
+
   test("chunk windows: overlapping strides, truncated tail, short docs yield one window") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
     val wins = TextOps.chunkWindows(docs, "doc_id", "text", window = 4, stride = 2)

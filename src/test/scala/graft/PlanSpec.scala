@@ -149,6 +149,34 @@ class PlanSpec extends AnyFunSuite {
       s"the rule audit is one narrow projection; an Exchange is a regression:\n${plan.take(3000)}")
   }
 
+  test("chunk windows plan scan-local: no exchange at all") {
+    val plan = Queries.chunkWindows(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"window chunking is an in-row explode; an Exchange is a regression:\n${plan.take(3000)}")
+  }
+
+  test("semantic decon broadcasts the eval slice; the corpus never sort-merges") {
+    val plan = Queries.decontaminateSemantic(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("bm25 joins the query vocabulary, df, and stats as broadcasts — no sort-merge") {
+    // the raw operator, not the memoized wrapper: the cached frame's
+    // executed plan would be an InMemoryTableScan hiding the joins
+    val plan = graft.llm.Bm25.moreLikeThis(
+        Tables.documents(spark, TestSpark.sfDir), "doc_id", "text",
+        nQueries = Queries.Bm25NQueries, queryTerms = Queries.Bm25QueryTerms,
+        k1 = Queries.Bm25K1, b = Queries.Bm25B, topK = Queries.Bm25TopK)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    CacheBin.drain()
+  }
+
   test("epoch order never plans a single-partition global sort") {
     val df = Queries.epochOrder(spark, TestSpark.sfDir)
     df.collect()
