@@ -527,6 +527,34 @@ object Queries {
         k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
     }
 
+  // postings-index bucket count: vocabulary cardinality never becomes
+  // directory cardinality — buckets do (pruned reads touch only the
+  // query terms' buckets)
+  val Bm25IndexBuckets = 64
+
+  /** BM25 over a MATERIALIZED postings index: full postings bucketed by
+    * term hash on disk, query-time reads pruned to the query terms'
+    * buckets at the file listing (see [[graft.llm.Bm25.topKFromIndex]]).
+    * Same parameters as [[bm25TopK]], so the two share one oracle — what
+    * changes is where the corpus text pass lives (amortized into the
+    * stored index), exactly as [[ivfTopKIndexed]] does for the dense
+    * plane.
+    */
+  def bm25TopKIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // applicationId-scoped for the same concurrent-driver reason as
+    // ivfTopKIndexed's index directory
+    val idxDir = "/tmp/graft-bm25-index/" + s.sparkContext.applicationId +
+      "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    SessionMemo.once(s, s"bm25index:$dir") {
+      graft.llm.Bm25.indexWrite(docs, "doc_id", "text", idxDir,
+        Bm25IndexBuckets)
+    }
+    graft.llm.Bm25.topKFromIndex(docs, "doc_id", "text", idxDir,
+      Bm25IndexBuckets, Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 sparse lists
     * with dense cosine top-k over the same query ids — rides the
     * memoized [[bm25TopK]] table, so the corpus text pass runs once for

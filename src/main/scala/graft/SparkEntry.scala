@@ -128,6 +128,7 @@ object SparkEntry {
     "q_knn_label" -> (Queries.knnLabel _),
     "q_bpe_fertility" -> (Queries.bpeFertility _),
     "q_training_mix" -> (Queries.trainingMix _),
+    "q_bm25_topk_indexed" -> (Queries.bm25TopKIndexed _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2378,6 +2379,13 @@ object SparkEntry {
     // DECIMAL(28,12) contribution sum; parenthesization mirrors
     // Bm25.moreLikeThis token-for-token (CTEs shared with q_hybrid_rrf)
     "q_bm25_topk" ->
+      s"""WITH $bm25Ctes
+         SELECT query_id, doc_id, n_terms, score, CAST(rank AS INT) AS rank
+         FROM bmr""",
+
+    // the materialized-index path computes the identical lists — the
+    // oracle is shared verbatim (what changes is where postings live)
+    "q_bm25_topk_indexed" ->
       s"""WITH $bm25Ctes
          SELECT query_id, doc_id, n_terms, score, CAST(rank AS INT) AS rank
          FROM bmr""",

@@ -43,36 +43,55 @@ object Bm25 {
       topK: Int): DataFrame = {
     require(nQueries >= 1 && queryTerms >= 1 && topK >= 1,
       s"need positive nQueries/queryTerms/topK, got $nQueries/$queryTerms/$topK")
-    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val base = tokenized(docs, idCol, textCol)
 
     // corpus stats: N docs and total tokens — one tiny broadcast row
     val stats = base.agg(count(lit(1)).as("__n"),
       sum(size(col("__toks"))).cast("long").as("__total"))
-
-    // query terms: first `queryTerms` distinct tokens per query doc,
-    // ordered by first appearance (distinct terms have distinct first
-    // positions; the term tiebreak is belt-and-braces)
-    val qw = Window.partitionBy("query_id").orderBy(col("__fp"), col("term"))
-    val qt = base.filter(col(idCol) < nQueries)
-      .select(col(idCol).as("query_id"),
-        posexplode(col("__toks")).as(Seq("__p", "term")))
-      .groupBy("query_id", "term").agg(min(col("__p")).as("__fp"))
-      .withColumn("__rn", row_number().over(qw))
-      .filter(col("__rn") <= queryTerms)
-      .select("query_id", "term")
+    val qt = queryTermTable(base, idCol, nQueries, queryTerms)
 
     // postings restricted to the query vocabulary: tf carries dl so the
     // scorer never joins back to the corpus
     val toks = base.select(col(idCol),
         size(col("__toks")).cast("long").as("__dl"),
         explode(col("__toks")).as("term"))
-    // tf feeds BOTH the df rollup and the scorer — persist the postings
-    // aggregate so the corpus scan+shuffle runs once, not once per
-    // branch (at 100 TB: materialize the postings table, read it twice)
-    val tf = graft.CacheBin.register(toks
+    val tf = toks
       .join(broadcast(qt.select("term").distinct()), Seq("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    scoreTopK(tf, qt, stats, idCol, k1, b, topK)
+  }
+
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+
+  /** Query terms: first `queryTerms` distinct tokens per query doc,
+    * ordered by first appearance (distinct terms have distinct first
+    * positions; the term tiebreak is belt-and-braces).
+    */
+  private def queryTermTable(base: DataFrame, idCol: String,
+      nQueries: Long, queryTerms: Int): DataFrame = {
+    val qw = Window.partitionBy("query_id").orderBy(col("__fp"), col("term"))
+    base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"),
+        posexplode(col("__toks")).as(Seq("__p", "term")))
+      .groupBy("query_id", "term").agg(min(col("__p")).as("__fp"))
+      .withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= queryTerms)
+      .select("query_id", "term")
+  }
+
+  /** The shared scoring tail: df rollup + rational-idf contributions +
+    * per-query rank. `tf` is `(idCol, term, __tf, __dl)` — from a live
+    * corpus pass ([[moreLikeThis]]) or pruned stored postings
+    * ([[topKFromIndex]]); it feeds BOTH the df rollup and the scorer, so
+    * it is persisted here (at 100 TB: materialize the postings slice
+    * once, read it twice).
+    */
+  private def scoreTopK(tfIn: DataFrame, qt: DataFrame, stats: DataFrame,
+      idCol: String, k1: Double, b: Double, topK: Int): DataFrame = {
+    val tf = graft.CacheBin.register(tfIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("__df"))
 
@@ -103,6 +122,63 @@ object Bm25 {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col(idCol), col("n_terms"), col("score"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** Materialize the BM25 index: the FULL postings table
+    * `(idCol, term, tf, dl)` — query-independent, unlike the in-memory
+    * path's query-vocabulary slice — bucketed by `xxhash64(term) mod
+    * nBuckets` and written `partitionBy(term_bucket)` (repartitioned
+    * first so each bucket is one task's contiguous file, the layout the
+    * pruned reader wants), plus the one-row corpus stats. Vocabulary
+    * cardinality never becomes directory cardinality — buckets do.
+    */
+  def indexWrite(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"need positive nBuckets, got $nBuckets")
+    val base = tokenized(docs, idCol, textCol)
+    val postings = base
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+    postings.repartition(col("term_bucket"))
+      .write.partitionBy("term_bucket")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/postings")
+    base.agg(count(lit(1)).as("__n"),
+        sum(size(col("__toks"))).cast("long").as("__total"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k over a materialized index: derive the query-term table
+    * from the (tiny) query documents, prune the stored postings to the
+    * query terms' buckets — the `term_bucket` IN-list is literal, so it
+    * prunes at the file-listing level (PartitionFilters, unprobed
+    * directories untouched) — and run the same scoring tail as
+    * [[moreLikeThis]]. Result-identical to the in-memory path; what
+    * changes is that the corpus text pass is amortized into the stored
+    * index. The bucket-id collect is bounded by the query vocabulary.
+    */
+  def topKFromIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int, nQueries: Long, queryTerms: Int,
+      k1: Double, b: Double, topK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val qt = queryTermTable(
+      tokenized(docs.filter(col(idCol) < nQueries), idCol, textCol),
+      idCol, nQueries, queryTerms)
+    val buckets = qt
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+        .as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .select(col(idCol), col("term"), col("tf").as("__tf"),
+        col("dl").as("__dl"))
+    scoreTopK(tf, qt, spark.read.parquet(s"$dir/stats"),
+      idCol, k1, b, topK)
   }
 
   /** Reciprocal-rank fusion of two retrieval result lists (Cormack et

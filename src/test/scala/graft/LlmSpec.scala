@@ -1201,6 +1201,31 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("bm25 index: round-trip identical to the in-memory path; reads prune to probed buckets") {
+    val docs = Seq(
+      (0L, "rare common alpha pad pad2"),
+      (1L, "rare zzz yyy xxx www vvv"),
+      (2L, "common zzz yyy xxx www vvv"),
+      (3L, "common uuu ttt sss rrr qqq"),
+      (4L, "rare kkk jjj iii hhh ggg fff")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25.indexWrite(docs, "doc_id", "text", dir, nBuckets = 8)
+    val out = Bm25.topKFromIndex(docs, "doc_id", "text", dir, nBuckets = 8,
+      nQueries = 1, queryTerms = 3, k1 = 1.2, b = 0.75, topK = 10)
+    val mem = Bm25.moreLikeThis(docs, "doc_id", "text",
+      nQueries = 1, queryTerms = 3, k1 = 1.2, b = 0.75, topK = 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(key(out) == key(mem)) // index round-trip changes nothing
+    // the bucket IN-list prunes at the scan: unprobed term buckets'
+    // directories are never touched
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [term_bucket"), plan.take(2000))
+    CacheBin.drain()
+  }
+
   test("training mix: per-source fills respect the temperature allocation; packing is a clean prefix-sum") {
     val mix = Queries.trainingMix(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
