@@ -894,6 +894,24 @@ object Queries {
         "label", threshold = 0.2,
         assigned = Some(ivfAssignedShared(s, dir))))
 
+  /** SEMANTIC split leakage: embedding near-dup pairs that straddle the
+    * train/holdout boundary — the paraphrase-leakage twin of
+    * [[splitLeakage]] (which audits textual near-dups). Third consumer
+    * of the memoized pair table: one rollup over the pair sliver, no
+    * corpus pass.
+    */
+  def semanticSplitLeakage(s: SparkSession, dir: String): DataFrame =
+    embedNearDup(s, dir)
+      .select(
+        least(TextOps.splitLabel(col("vec_a"), SplitSalt, SplitPctTrain),
+          TextOps.splitLabel(col("vec_b"), SplitSalt, SplitPctTrain))
+          .as("split_a"),
+        greatest(TextOps.splitLabel(col("vec_a"), SplitSalt, SplitPctTrain),
+          TextOps.splitLabel(col("vec_b"), SplitSalt, SplitPctTrain))
+          .as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** SemDeDup keep-list: connected components over the embedding near-dup
     * pairs, one survivor (min vec id) per cluster with its member count —
     * the embedding twin of [[dedupKeep]] (semantic duplicates collapse to

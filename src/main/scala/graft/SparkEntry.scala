@@ -129,6 +129,7 @@ object SparkEntry {
     "q_bpe_fertility" -> (Queries.bpeFertility _),
     "q_training_mix" -> (Queries.trainingMix _),
     "q_bm25_topk_indexed" -> (Queries.bm25TopKIndexed _),
+    "q_semantic_split_leakage" -> (Queries.semanticSplitLeakage _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -1837,6 +1838,16 @@ object SparkEntry {
     "q_embed_neardup" -> (s"WITH $embedNearDupCtes" +
       """
          SELECT vec_a, vec_b, cosine FROM ep"""),
+
+    // semantic split leakage: the same ep pair sliver rolled up by the
+    // deterministic split labels of its endpoints
+    "q_semantic_split_leakage" -> (s"""WITH $embedNearDupCtes
+         SELECT least(${splitCaseSql("vec_a")}, ${splitCaseSql("vec_b")})
+             AS split_a,
+           greatest(${splitCaseSql("vec_a")}, ${splitCaseSql("vec_b")})
+             AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM ep GROUP BY 1, 2"""),
 
     // SemDeDup keep-list: connected components over the embedding
     // near-dup pairs (same ep CTE as q_embed_neardup), one survivor (the
