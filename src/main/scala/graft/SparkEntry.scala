@@ -1981,7 +1981,10 @@ object SparkEntry {
          FROM sc CROSS JOIN thr"""),
 
     // temperature-scaled mixture weights: τ=1 (proportional) and τ=0.5
-    // (sqrt up-sampling); sqrt terms summed DECIMAL-exact as in Spark
+    // (sqrt up-sampling); the sqrt-sum denominator is floor-quantized to
+    // 1e-6 then summed as exact BIGINTs — floor of a double is bit-exact
+    // in both engines, where a direct double→DECIMAL cast of an
+    // irrational sqrt rounds engine-specifically near scale boundaries
     "q_mixture_weights" ->
       """WITH per AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1989,12 +1992,13 @@ object SparkEntry {
            FROM documents GROUP BY source),
          tot AS (
            SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
-             CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)))
-               AS DOUBLE) AS stot
+             CAST(sum(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+               AS BIGINT)) AS BIGINT) AS stotq
            FROM per)
          SELECT source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS w_prop,
-           sqrt(CAST(n_tokens AS DOUBLE)) / stot AS w_temp
+           sqrt(CAST(n_tokens AS DOUBLE))
+             / (CAST(stotq AS DOUBLE) / 1000000.0) AS w_temp
          FROM per CROSS JOIN tot""",
 
     // sub-document chunk dedup: 10-token chunks, corpus-wide first
@@ -2278,12 +2282,13 @@ object SparkEntry {
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
            FROM documents GROUP BY source),
          tot AS (
-           SELECT CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)))
-               AS DOUBLE) AS stot
+           SELECT CAST(sum(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+               AS BIGINT)) AS BIGINT) AS stotq
            FROM per),
          bud AS (
            SELECT source,
-             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / stot
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+               / (CAST(stotq AS DOUBLE) / 1000000.0)
                * ${Queries.MixTokenBudget}.0) AS BIGINT) AS src_budget
            FROM per CROSS JOIN tot),
          t AS (

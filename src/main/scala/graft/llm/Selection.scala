@@ -151,13 +151,21 @@ object Selection {
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    // the sqrt-sum denominator is QUANTIZED to 1e-6 before summing:
+    // floor(sqrt·1e6) of a double is bit-exact in every engine (floor
+    // has no rounding mode), and the BIGINT sum is exact — whereas
+    // casting an irrational double straight to DECIMAL rounds
+    // differently between Spark (BigDecimal HALF_UP on the exact binary
+    // value) and DuckDB (×10^s in double, then llround) near scale
+    // boundaries, which shifted w_temp by 1 ulp on one sf0.1 source
     val totals = per.agg(
       sum(col("n_tokens")).as("__tot"),
-      sum(sqrt(col("n_tokens").cast("double")).cast(DecimalType(28, 12)))
-        .cast("double").as("__stot"))
+      sum(floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0))
+        .cast("long")).as("__stotq"))
     per.crossJoin(broadcast(totals))
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("__tot").cast("double")).as("w_prop"),
-        (sqrt(col("n_tokens").cast("double")) / col("__stot")).as("w_temp"))
+        (sqrt(col("n_tokens").cast("double"))
+          / (col("__stotq").cast("double") / lit(1000000.0))).as("w_temp"))
   }
 }

@@ -1476,9 +1476,11 @@ class LlmSpec extends AnyFunSuite {
     assert(w("web")._1 == 2L && w("web")._2 == 8L)
     assert(w("code")._1 == 1L && w("code")._2 == 2L)
     assert(w("web")._3 == 0.8 && w("code")._3 == 0.2)
-    // τ=0.5 flattens: sqrt(8)/(sqrt(8)+sqrt(2)) = 2/3 exactly
-    assert(math.abs(w("web")._4 - 2.0 / 3.0) < 1e-12)
-    assert(math.abs(w("web")._4 + w("code")._4 - 1.0) < 1e-12)
+    // τ=0.5 flattens: sqrt(8)/(sqrt(8)+sqrt(2)) = 2/3, up to the 1e-6
+    // floor-quantization of the denominator (the cross-engine
+    // determinism guard: deviation is bounded by n_sources·1e-6/Σsqrt)
+    assert(math.abs(w("web")._4 - 2.0 / 3.0) < 1e-5)
+    assert(math.abs(w("web")._4 + w("code")._4 - 1.0) < 1e-5)
     assert(w("web")._4 < w("web")._3) // temperature up-samples the small source
   }
 
