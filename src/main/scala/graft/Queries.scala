@@ -555,6 +555,28 @@ object Queries {
       Bm25IndexBuckets, Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK)
   }
 
+  /** Hard-negative mining for retriever training: each query's dense
+    * cosine top-k neighbors that its BM25 list does NOT contain —
+    * semantically close but lexically unmatched, the classic
+    * contrastive-training negative. Anti-join of two top-k-bounded
+    * lists (O(queries × k) rows); rides the memoized [[bm25TopK]].
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = Similarity.cosineTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding",
+        isQuery = col("vec_id") < Bm25NQueries, k = Bm25TopK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cosine"), col("rank").as("dense_rank"))
+    val sparse = bm25TopK(s, dir).select("query_id", "doc_id")
+    dense.join(sparse, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dense_rank"))))
+      .select(col("query_id"), col("doc_id"), col("cosine"),
+        col("dense_rank").cast("int").as("dense_rank"),
+        col("neg_rank").cast("int").as("neg_rank"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 sparse lists
     * with dense cosine top-k over the same query ids — rides the
     * memoized [[bm25TopK]] table, so the corpus text pass runs once for

@@ -130,6 +130,7 @@ object SparkEntry {
     "q_training_mix" -> (Queries.trainingMix _),
     "q_bm25_topk_indexed" -> (Queries.bm25TopKIndexed _),
     "q_semantic_split_leakage" -> (Queries.semanticSplitLeakage _),
+    "q_hard_negatives" -> (Queries.hardNegatives _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2405,6 +2406,19 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          SELECT query_id, doc_id, n_terms, score, CAST(rank AS INT) AS rank
          FROM bmr""",
+
+    // hard negatives: the dense top-k minus the BM25 lists (both CTE
+    // chains shared verbatim with their standalone queries)
+    "q_hard_negatives" ->
+      s"""WITH $bm25Ctes,
+         ${cosineRankCtes(Queries.Bm25NQueries, Queries.Bm25TopK)}
+         SELECT query_id, neighbor_id AS doc_id, cosine,
+           CAST(rank AS INT) AS dense_rank,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+             AS INT) AS neg_rank
+         FROM cr
+         WHERE NOT EXISTS (SELECT 1 FROM bmr b
+           WHERE b.query_id = cr.query_id AND b.doc_id = cr.neighbor_id)""",
 
     // hybrid retrieval: the BM25 lists fused with dense cosine top-k by
     // reciprocal rank — each term is one IEEE division on a small-int

@@ -1201,6 +1201,21 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("hard negatives: dense hits minus the sparse lists, ranks contiguous in dense order") {
+    val negs = Queries.hardNegatives(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+    assert(negs.nonEmpty)
+    val sparse = Queries.bm25TopK(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs.forall { case (q, d, _, _) => !sparse.contains((q, d)) })
+    negs.groupBy(_._1).values.foreach { rows =>
+      val byNeg = rows.sortBy(_._4)
+      assert(byNeg.map(_._4).toSeq == (1 to rows.length).toSeq)
+      assert(byNeg.map(_._3).toSeq == byNeg.map(_._3).sorted.toSeq)
+    }
+    CacheBin.drain()
+  }
+
   test("bm25 index: round-trip identical to the in-memory path; reads prune to probed buckets") {
     val docs = Seq(
       (0L, "rare common alpha pad pad2"),
