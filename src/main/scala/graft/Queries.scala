@@ -1287,6 +1287,27 @@ object Queries {
     SessionMemo.cached(s, s"lmscore:$dir")(
       graft.llm.Selection.lmScore(Tables.documents(s, dir), "doc_id", "text"))
 
+  // dynamic-gate percentile: drop the corpus's own bottom decile
+  val LmGatePercentile = 0.10
+
+  /** DYNAMIC quality threshold: keep documents at or above the corpus's
+    * own [[LmGatePercentile]] lm_score percentile — the data-dependent
+    * complement of the fixed-constant gates (`percentile_disc` picks an
+    * actual data value, so the cut is engine-deterministic). Second
+    * consumer of the memoized [[lmScore]] table; the percentile is a
+    * one-row broadcast.
+    */
+  def lmPercentileGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(s, dir).filter(col("lm_score").isNotNull)
+      .select(col("doc_id"), col("lm_score"))
+    val thr = scored.agg(expr(
+      s"percentile_disc($LmGatePercentile) WITHIN GROUP (ORDER BY lm_score)")
+      .as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("lm_score"), col("threshold"),
+        (col("lm_score") >= col("threshold")).as("keep"))
+  }
+
   /** Gopher-style per-rule quality audit (see [[TextOps.gopherRules]]). */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text",

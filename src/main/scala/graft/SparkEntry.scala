@@ -131,6 +131,7 @@ object SparkEntry {
     "q_bm25_topk_indexed" -> (Queries.bm25TopKIndexed _),
     "q_semantic_split_leakage" -> (Queries.semanticSplitLeakage _),
     "q_hard_negatives" -> (Queries.hardNegatives _),
+    "q_lm_percentile_gate" -> (Queries.lmPercentileGate _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -308,6 +309,38 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM cp) t
          WHERE rank <= $k)"""
+
+  /** LM bigram-score oracle CTE chain (see q_lm_score): terminal CTE
+    * `lmr` carries `(doc_id, n_bigrams, lm_score)`; shared with the
+    * percentile gate so the score definition cannot diverge.
+    */
+  private val lmScoreCtes: String =
+    """d AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       bi AS (
+         SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+         FROM d WHERE len(w) >= 2),
+       b2 AS (
+         SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bi),
+       bc AS (
+         SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         FROM b2 GROUP BY w1, w2),
+       pc AS (
+         SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b2 GROUP BY w1),
+       v AS (
+         SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+           SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+       sc AS (
+         SELECT b2.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(
+             CAST(bc.c12 + 1 AS DOUBLE) / CAST(pc.c1 + v.v AS DOUBLE)
+             AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
+         FROM b2 JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
+         GROUP BY b2.doc_id),
+       lmr AS (
+         SELECT d.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.lm_score
+         FROM d LEFT JOIN sc USING (doc_id))"""
 
   /** BM25 oracle CTE chain (see q_bm25_topk for the determinism notes);
     * terminal CTE `bmr` carries the ranked lists, reused verbatim by the
@@ -2047,31 +2080,19 @@ object SparkEntry {
     // exact integer counts → one double division per bigram →
     // DECIMAL(28,12)-exact sum, as in Spark; <2-token docs score NULL
     "q_lm_score" ->
-      """WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         bi AS (
-           SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
-           FROM d WHERE len(w) >= 2),
-         b2 AS (
-           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bi),
-         bc AS (
-           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-           FROM b2 GROUP BY w1, w2),
-         pc AS (
-           SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b2 GROUP BY w1),
-         v AS (
-           SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
-             SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
-         sc AS (
-           SELECT b2.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             CAST(sum(CAST(
-               CAST(bc.c12 + 1 AS DOUBLE) / CAST(pc.c1 + v.v AS DOUBLE)
-               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
-           FROM b2 JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
-           GROUP BY b2.doc_id)
-         SELECT d.doc_id,
-           coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.lm_score
-         FROM d LEFT JOIN sc USING (doc_id)""",
+      s"""WITH $lmScoreCtes
+         SELECT doc_id, n_bigrams, lm_score FROM lmr""",
+
+    // dynamic quality threshold: keep docs at or above the corpus's own
+    // lm_score percentile — percentile_disc picks an actual data value,
+    // so the cut is engine-deterministic (same lmr chain as q_lm_score)
+    "q_lm_percentile_gate" ->
+      s"""WITH $lmScoreCtes,
+         s AS (SELECT doc_id, lm_score FROM lmr WHERE lm_score IS NOT NULL),
+         thr AS (SELECT quantile_disc(lm_score, ${Queries.LmGatePercentile})
+           AS t FROM s)
+         SELECT doc_id, lm_score, t AS threshold, (lm_score >= t) AS keep
+         FROM s CROSS JOIN thr""",
 
     // Gopher-rule audit: all signals are exact integer counts with single
     // double divisions; boolean thresholds identical to the Spark side
