@@ -349,6 +349,21 @@ object Queries {
         sharedPairs(s, dir).filter(col("jaccard") >= 0.5))
     }
 
+  /** LEAKAGE-SAFE split: train/holdout assigned by dedup CLUSTER rather
+    * than by document — every member of a near-dup cluster hashes on
+    * its cluster id, so near-duplicates can never straddle the
+    * boundary. The structural fix the [[splitLeakage]] audit motivates
+    * (Lee et al. 2022's dedup-before-split recommendation, kept
+    * deterministic by the same sha256 rule as [[TextOps.hashSplit]]).
+    * Another consumer of the memoized cluster map — one projection, no
+    * corpus pass.
+    */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        TextOps.splitLabel(col("cluster_id"), SplitSalt, SplitPctTrain)
+          .as("split"))
+
   /** Dedup keep-list: one survivor per cluster (the minimum doc id) with
     * the member count it represents — the final materialization of the
     * sweep; the third consumer of the session-memoized pair pipeline, so

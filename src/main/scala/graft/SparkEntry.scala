@@ -132,6 +132,7 @@ object SparkEntry {
     "q_semantic_split_leakage" -> (Queries.semanticSplitLeakage _),
     "q_hard_negatives" -> (Queries.hardNegatives _),
     "q_lm_percentile_gate" -> (Queries.lmPercentileGate _),
+    "q_cluster_split" -> (Queries.clusterSplit _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -1124,6 +1125,16 @@ object SparkEntry {
       """
          SELECT doc_id, min(label) AS cluster_id
          FROM reach GROUP BY doc_id"""),
+
+    // leakage-safe split: the split hash keys on the CLUSTER id, so a
+    // near-dup cluster lands in one split wholesale (same reach chain
+    // as q_dedup_clusters, same split rule as q_hash_split)
+    "q_cluster_split" -> (minhashReachCte + s"""
+         , cl AS (SELECT doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY doc_id)
+         SELECT doc_id, cluster_id,
+           ${splitCaseSql("cluster_id")} AS split
+         FROM cl"""),
 
     "q_simhash" ->
       """WITH tok AS (

@@ -1201,6 +1201,20 @@ class LlmSpec extends AnyFunSuite {
     assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
   }
 
+  test("cluster split: every near-dup cluster lands in one split wholesale") {
+    val rows = Queries.clusterSplit(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500)
+    // the no-straddle invariant the per-doc split cannot give
+    rows.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1)
+    }
+    // multi-member clusters exist at this sf, so the invariant bites
+    assert(rows.groupBy(_._2).values.exists(_.length > 1))
+    assert(rows.map(_._3).distinct.toSet.subsetOf(Set("train", "holdout")))
+    CacheBin.drain()
+  }
+
   test("hard negatives: dense hits minus the sparse lists, ranks contiguous in dense order") {
     val negs = Queries.hardNegatives(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
