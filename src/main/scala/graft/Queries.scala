@@ -1381,6 +1381,41 @@ object Queries {
         TextOps.splitLabel(col("doc_id"), SplitSalt, SplitPctTrain).as("split"))
   }
 
+  /** v3 curation: the round-7 gates composed — [[curateV2]]'s
+    * Gopher ∧ dedup-survivor ∧ not-(gram-)contaminated stack with the
+    * fixed LM floor swapped for the DYNAMIC decile gate
+    * ([[lmPercentileGate]]), a semantic decontamination anti-join
+    * ([[decontaminateSemantic]], vec ids ≡ doc ids), and the
+    * leakage-safe CLUSTER split ([[clusterSplit]]'s rule) instead of the
+    * per-doc hash. Every stage rides its standalone memo (lm table,
+    * pair/cluster map, decon scans); the only new work is the survivor
+    * sliver's joins.
+    */
+  def curateV3(s: SparkSession, dir: String): DataFrame = {
+    val reps = dedupKeep(s, dir).select("doc_id")
+    val contaminated = decontaminate(s, dir).select("doc_id")
+    val semContaminated = decontaminateSemantic(s, dir)
+      .select(col("vec_id").as("doc_id"))
+    val lmKeep = lmPercentileGate(s, dir).filter(col("keep")).select("doc_id")
+    val kept = Tables.documents(s, dir)
+      .select(col("doc_id"), seededTextCol.as("__seeded"),
+        TextOps.gopherKeep(col("text"),
+          GopherMinTokens, GopherMaxTokens, GopherMinAvgTokLen,
+          GopherMaxAvgTokLen, GopherMaxRepeatRatio, GopherMinDistinctStop)
+          .as("__keep"))
+      .filter(col("__keep"))
+      .select(col("doc_id"), col("__seeded").as("text"))
+      .join(lmKeep, Seq("doc_id"), "left_semi")
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(semContaminated, Seq("doc_id"), "left_anti")
+    TextOps.scrubPii(kept, "doc_id", "text")
+      .join(dedupClusters(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("clean"),
+        TextOps.splitLabel(col("cluster_id"), SplitSalt, SplitPctTrain)
+          .as("split"))
+  }
+
   /** Train/holdout near-dup leakage: verified MinHash pairs (jaccard ≥
     * 0.5) bucketed by the unordered split pair of their endpoints — the
     * eval-hygiene audit a split must pass BEFORE the holdout means

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_hard_negatives" -> (Queries.hardNegatives _),
     "q_lm_percentile_gate" -> (Queries.lmPercentileGate _),
     "q_cluster_split" -> (Queries.clusterSplit _),
+    "q_curate_v3" -> (Queries.curateV3 _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2191,6 +2192,86 @@ object SparkEntry {
          JOIN reps USING (doc_id)
          LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
          WHERE ct.doc_id IS NULL"""),
+
+    // v3 curation: v2's gates with the dynamic lm decile (same lm chain
+    // as q_lm_percentile_gate), a semantic-decon anti-join (same cosine
+    // form as q_decontaminate_semantic, CTEs prefixed sd to avoid the
+    // reach chain's names), and the cluster split of q_cluster_split
+    "q_curate_v3" -> (minhashReachCte + s""",
+         gs AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS gn,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS gu,
+             CAST(length(text) AS BIGINT) AS gc,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+               ['the', 'a'])) AS BIGINT) AS gds
+           FROM documents),
+         gk AS (
+           SELECT doc_id FROM gs
+           WHERE gn BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens}
+             AND CAST(gc - (gn - 1) AS DOUBLE) / gn >= ${Queries.GopherMinAvgTokLen}
+             AND CAST(gc - (gn - 1) AS DOUBLE) / gn <= ${Queries.GopherMaxAvgTokLen}
+             AND CAST(1 AS DOUBLE) - CAST(gu AS DOUBLE) / gn <= ${Queries.GopherMaxRepeatRatio}
+             AND gds >= ${Queries.GopherMinDistinctStop}),
+         lmd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         lmbi AS (
+           SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+           FROM lmd WHERE len(w) >= 2),
+         lmb2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM lmbi),
+         lmbc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM lmb2 GROUP BY w1, w2),
+         lmpc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lmbc GROUP BY w1),
+         lmv AS (
+           SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         lmsc AS (
+           SELECT lmb2.doc_id,
+             CAST(sum(CAST(
+               CAST(lmbc.c12 + 1 AS DOUBLE) / CAST(lmpc.c1 + lmv.v AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
+           FROM lmb2 JOIN lmbc USING (w1, w2) JOIN lmpc USING (w1) CROSS JOIN lmv
+           GROUP BY lmb2.doc_id),
+         lmthr AS (SELECT quantile_disc(lm_score, ${Queries.LmGatePercentile})
+           AS t FROM lmsc),
+         lmk AS (SELECT doc_id FROM lmsc CROSS JOIN lmthr WHERE lm_score >= t),
+         reps AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY doc_id) c
+           WHERE doc_id = cluster_id),
+         cl AS (SELECT doc_id, min(label) AS cluster_id
+           FROM reach GROUP BY doc_id),
+         sdn2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         sde AS (SELECT vec_id, embedding AS ev, nn AS en FROM sdn2
+           WHERE vec_id < ${Queries.DeconBenchmarkMaxId}),
+         sdc AS (SELECT vec_id, embedding AS cv, nn AS cn FROM sdn2
+           WHERE vec_id >= ${Queries.DeconBenchmarkMaxId}),
+         semcont AS (
+           SELECT DISTINCT sdc.vec_id AS doc_id
+           FROM sdc, sde
+           WHERE CAST(list_sum(list_transform(list_zip(sdc.cv, sde.ev),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(sdc.cn) * sqrt(sde.en))
+             >= ${Queries.SemanticDeconTau}),
+         $deconCtes,
+         $piiSeededCte
+         SELECT d.doc_id,
+           ${scrubCleanSql("d.text")} AS clean,
+           ${splitCaseSql("cl.cluster_id")} AS split
+         FROM seeded d
+         JOIN gk USING (doc_id)
+         JOIN lmk USING (doc_id)
+         JOIN reps USING (doc_id)
+         JOIN cl USING (doc_id)
+         LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+         LEFT JOIN semcont sx ON sx.doc_id = d.doc_id
+         WHERE ct.doc_id IS NULL AND sx.doc_id IS NULL"""),
 
     // train/holdout near-dup leakage: the shared minhash CTE's verified
     // pairs at jaccard ≥ 0.5, endpoints labeled by the SAME split rule as
