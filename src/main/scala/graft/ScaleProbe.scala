@@ -125,7 +125,10 @@ object ScaleProbe {
       // prefix-sum over the budget-bounded survivors — the survivor
       // count is budget-fixed, so shuffle should stay ~linear and the
       // pack side constant
-      "training_mix" -> (Queries.trainingMix _))
+      "training_mix" -> (Queries.trainingMix _),
+      // marginal cost over the shared memos is the survivor sliver's
+      // joins — same flat-to-linear expectation as curate_v2
+      "curate_v3" -> (Queries.curateV3 _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
