@@ -1381,6 +1381,48 @@ object Queries {
         TextOps.splitLabel(col("doc_id"), SplitSalt, SplitPctTrain).as("split"))
   }
 
+  /** Per-source CORPUS DATA CARD: the one-stop summary a dataset ships
+    * with — documents, tokens, near-dup rate (docs in multi-member
+    * clusters), benchmark-contamination rate, and mean LM quality score
+    * per source. Every signal rides an existing memo (cluster map, decon
+    * scan, lm table); the only new work is the per-source rollup. The LM
+    * mean is floor-quantized to 1e-12 before summing — the same
+    * cross-engine rule as the mixture-weight denominator: never cast an
+    * irrational double straight to DECIMAL.
+    */
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+    val clusters = dedupClusters(s, dir)
+    val dup = clusters.join(
+        clusters.groupBy("cluster_id").agg(count(lit(1)).as("__cs")),
+        Seq("cluster_id"))
+      .select(col("doc_id"), (col("__cs") > 1).as("__isdup"))
+    val cont = decontaminate(s, dir)
+      .select(col("doc_id"), lit(true).as("__cont"))
+    val lm = lmScore(s, dir).select(col("doc_id"), col("lm_score"))
+    docs.join(dup, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(when(col("__isdup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("__cont").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        count(col("lm_score")).as("__nscored"),
+        sum(floor(col("lm_score") * lit(1000000000000.0)).cast("long"))
+          .as("__lmsumq"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"), col("n_contaminated"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"),
+        (col("__lmsumq").cast("double") / lit(1000000000000.0)
+          / col("__nscored").cast("double")).as("mean_lm_score"))
+  }
+
   /** v3 curation: the round-7 gates composed — [[curateV2]]'s
     * Gopher ∧ dedup-survivor ∧ not-(gram-)contaminated stack with the
     * fixed LM floor swapped for the DYNAMIC decile gate

@@ -134,6 +134,7 @@ object SparkEntry {
     "q_lm_percentile_gate" -> (Queries.lmPercentileGate _),
     "q_cluster_split" -> (Queries.clusterSplit _),
     "q_curate_v3" -> (Queries.curateV3 _),
+    "q_corpus_card" -> (Queries.corpusCard _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2192,6 +2193,57 @@ object SparkEntry {
          JOIN reps USING (doc_id)
          LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
          WHERE ct.doc_id IS NULL"""),
+
+    // per-source data card: cluster sizes from the reach chain, the
+    // decon scan, and the lm chain rolled up by source; the lm mean is
+    // floor-quantized to 1e-12 (the mixture-weight determinism rule)
+    "q_corpus_card" -> (minhashReachCte + s""",
+         cs AS (SELECT doc_id, min(label) AS cluster_id
+           FROM reach GROUP BY doc_id),
+         csz AS (SELECT cluster_id, count(*) AS csize FROM cs GROUP BY cluster_id),
+         dup AS (SELECT cs.doc_id, (csz.csize > 1) AS isdup
+           FROM cs JOIN csz USING (cluster_id)),
+         lmd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         lmbi AS (
+           SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+           FROM lmd WHERE len(w) >= 2),
+         lmb2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM lmbi),
+         lmbc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM lmb2 GROUP BY w1, w2),
+         lmpc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lmbc GROUP BY w1),
+         lmv AS (
+           SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         lmsc AS (
+           SELECT lmb2.doc_id,
+             CAST(sum(CAST(
+               CAST(lmbc.c12 + 1 AS DOUBLE) / CAST(lmpc.c1 + lmv.v AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
+           FROM lmb2 JOIN lmbc USING (w1, w2) JOIN lmpc USING (w1) CROSS JOIN lmv
+           GROUP BY lmb2.doc_id),
+         $deconCtes,
+         base AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)
+         SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.nt) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN dup.isdup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(CASE WHEN dup.isdup THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_rate,
+           CAST(sum(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS contamination_rate,
+           CAST(sum(CAST(floor(lmsc.lm_score * 1000000000000.0) AS BIGINT))
+               AS DOUBLE) / 1000000000000.0
+             / CAST(count(lmsc.lm_score) AS DOUBLE) AS mean_lm_score
+         FROM base b
+         JOIN dup USING (doc_id)
+         LEFT JOIN contaminated ct ON ct.doc_id = b.doc_id
+         LEFT JOIN lmsc USING (doc_id)
+         GROUP BY b.source"""),
 
     // v3 curation: v2's gates with the dynamic lm decile (same lm chain
     // as q_lm_percentile_gate), a semantic-decon anti-join (same cosine
