@@ -720,6 +720,20 @@ object Queries {
     Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
       budget = PackBudget)
 
+  /** Per-sequence MANIFEST: where each document lands inside its
+    * training sequence — intra-sequence offset and whether the document
+    * straddles the boundary into the next sequence (the dataloader needs
+    * exactly this map to reconstruct document spans from packed token
+    * streams). Pure integer projections over [[packSequences]]' offsets.
+    */
+  def sequenceManifest(s: SparkSession, dir: String): DataFrame =
+    packSequences(s, dir)
+      .select(col("seq_id"), col("doc_id"),
+        (col("start_offset") - col("seq_id") * PackBudget).as("offset_in_seq"),
+        col("n_tokens"),
+        (col("start_offset") + col("n_tokens") >
+          (col("seq_id") + 1) * PackBudget).as("spans_boundary"))
+
   /** Shard balance table: the round-robin-on-seq_id shard assignment
     * [[graft.llm.Packing.writeShards]] uses, rolled up per shard — docs,
     * distinct sequences, token volume. The "are my training shards

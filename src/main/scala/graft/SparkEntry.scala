@@ -135,6 +135,7 @@ object SparkEntry {
     "q_cluster_split" -> (Queries.clusterSplit _),
     "q_curate_v3" -> (Queries.curateV3 _),
     "q_corpus_card" -> (Queries.corpusCard _),
+    "q_sequence_manifest" -> (Queries.sequenceManifest _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -2680,6 +2681,28 @@ object SparkEntry {
          SELECT doc_id, n_tokens, start_offset,
            CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
          FROM o"""),
+
+    // sequence manifest: integer projections over the pack offsets —
+    // intra-sequence position and the boundary-straddle flag
+    "q_sequence_manifest" -> (s"""
+         WITH t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM t),
+         p AS (SELECT doc_id, n_tokens, start_offset,
+             CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT) AS seq_id
+           FROM o)
+         SELECT seq_id, doc_id,
+           CAST(start_offset - seq_id * ${Queries.PackBudget} AS BIGINT)
+             AS offset_in_seq,
+           n_tokens,
+           (start_offset + n_tokens > (seq_id + 1) * ${Queries.PackBudget})
+             AS spans_boundary
+         FROM p"""),
 
     // IVF-PQ: the q_ivf_topk probe/assignment chain (n2/c/pc/qp) + PQ
     // code assignment per (vector, subspace) against the lowest-id
