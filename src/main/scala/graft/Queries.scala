@@ -281,6 +281,8 @@ object Queries {
   val SplitPctTrain = 90
   val SamplePerStratum = 30
   val SampleTokenBudget = 400L
+  // per-IVF-cell quota for the cluster-balanced diversity sample
+  val ClusterSampleK = 5
   // semantic decontamination: cosine floor vs the benchmark embedding
   // slice (vec_id < DeconBenchmarkMaxId) — chosen between the synthetic
   // corpus's p99 (0.29) and max (0.49) eval-vs-corpus cosines so the
@@ -908,6 +910,23 @@ object Queries {
       Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
         isCentroid = col("vec_id") < 16)
     }
+
+  /** Cluster-balanced diversity sample: at most [[ClusterSampleK]]
+    * vectors per IVF cell, hash-ranked within the cell — the "cover the
+    * embedding space, not the head clusters" sampling rule (the
+    * cluster-stratified selection used when a proportional sample would
+    * be dominated by the corpus's dense modes).
+    *
+    * Rides the session-memoized corpus assignment (zero extra corpus
+    * pass); the per-cell quota applies map-side via WindowGroupLimit —
+    * the same shape as [[stratifiedSample]], with the IVF cell as the
+    * stratum. At 100 TB: the assignment is the materialized index, so
+    * this is one rank-limited keyed shuffle over (vec_id, centroid_id).
+    */
+  def clusterSample(s: SparkSession, dir: String): DataFrame =
+    TextOps.stratifiedSample(
+      ivfAssignedShared(s, dir).select(col("vec_id"), col("centroid_id")),
+      "vec_id", "centroid_id", perStratum = ClusterSampleK, salt = SplitSalt)
 
   /** Word-3-gram Jaccard on a deterministic candidate sample (adjacent doc
     * ids); the pair source is pluggable (LSH/blocking in production).

@@ -128,7 +128,10 @@ object ScaleProbe {
       "training_mix" -> (Queries.trainingMix _),
       // marginal cost over the shared memos is the survivor sliver's
       // joins — same flat-to-linear expectation as curate_v2
-      "curate_v3" -> (Queries.curateV3 _))
+      "curate_v3" -> (Queries.curateV3 _),
+      // round 7b: rank-limited keyed shuffle over the memoized assignment
+      // (the assignment pass itself is charged to the ANN phases)
+      "cluster_sample" -> (Queries.clusterSample _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

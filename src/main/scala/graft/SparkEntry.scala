@@ -65,6 +65,7 @@ object SparkEntry {
     "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
+    "q_cluster_sample" -> (Queries.clusterSample _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_media_gate" -> (Queries.mediaGate _),
@@ -1288,6 +1289,19 @@ object SparkEntry {
                  '${Queries.SplitSalt}')), doc_id) AS rn
            FROM documents) t
          WHERE rn <= ${Queries.SamplePerStratum}"""),
+
+    // cluster-balanced diversity sample: the IVF corpus assignment (pc of
+    // the shared CTEs — same lowest-id codebook, same decimal-exact
+    // distance, same lowest-centroid tie-break) as the stratum, then the
+    // identical sha256 hash-rank rule as q_stratified_sample
+    "q_cluster_sample" -> (s"""WITH $ivfPairsCtes
+         SELECT vec_id, centroid_id, CAST(rn AS INT) AS sample_rank FROM (
+           SELECT neighbor_id AS vec_id, centroid_id,
+             row_number() OVER (PARTITION BY centroid_id
+               ORDER BY sha256(concat(CAST(neighbor_id AS VARCHAR),
+                 '${Queries.SplitSalt}')), neighbor_id) AS rn
+           FROM pc) t
+         WHERE rn <= ${Queries.ClusterSampleK}"""),
 
     // word-3-gram repetition: per-doc gram counts then rollup; the ratio
     // divisions are double/int with identical operand order in both engines

@@ -648,6 +648,23 @@ class LlmSpec extends AnyFunSuite {
     assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("cluster sample: per-cell quota with every occupied cell represented") {
+    // two tight, well-separated clusters around the two lowest-id vectors
+    // (the IVF codebook init), deliberately unbalanced: 6 vs 2 members
+    val vecs = (Seq((0L, Array(0f, 0f)), (1L, Array(100f, 100f))) ++
+      (2L to 7L).map(i => (i, Array(i * 0.1f, i * 0.1f))) ++
+      Seq((8L, Array(99f, 99f)), (9L, Array(101f, 101f)))).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssignTo(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" < 2)).select($"vec_id", $"centroid_id")
+    val out = TextOps.stratifiedSample(assigned, "vec_id", "centroid_id", 3, "cs")
+      .collect().map(r => r.getLong(1) -> r.getLong(0))
+    val perCell = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // dense cell capped at the quota; sparse cell fully represented —
+    // the diversity property a proportional sample would not give
+    assert(perCell(0L) == 3 && perCell(1L) == 3)
+    assert(out.filter(_._1 == 1L).map(_._2).toSet.subsetOf(Set(1L, 8L, 9L)))
+  }
+
   test("stratified sample: sampled docs survive corpus shrinkage (ranks only improve)") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 300).map(i => (i.toLong, s"s${rnd.nextInt(5)}"))
