@@ -1362,6 +1362,26 @@ object Queries {
       GopherMinTokens, GopherMaxTokens, GopherMinAvgTokLen,
       GopherMaxAvgTokLen, GopherMaxRepeatRatio, GopherMinDistinctStop)
 
+  /** Quality-curriculum training order: band 0 = passes BOTH the v1
+    * quality gate and the Gopher rules, band 1 = quality gate only,
+    * band 2 = the rest — clean text first, noisy text last, hash-shuffled
+    * within each band. Absolute 0-based position computed distributively
+    * (see [[TextOps.curriculumOrder]] for the no-global-sort shape); the
+    * band predicates are the SAME shared expressions the gate queries
+    * use, so a threshold change cannot diverge the curriculum.
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val stats = TextOps.textStatCols(col("text")).toMap
+    val qk = TextOps.qualityKeep(stats("n_tokens"), stats("stop_ratio"),
+      stats("uniq_ratio"), QualityMinTokens, QualityMaxTokens,
+      QualityMinStopRatio, QualityMinUniqRatio)
+    val gk = TextOps.gopherKeep(col("text"), GopherMinTokens, GopherMaxTokens,
+      GopherMinAvgTokLen, GopherMaxAvgTokLen, GopherMaxRepeatRatio,
+      GopherMinDistinctStop)
+    val band = when(qk && gk, lit(0)).when(qk, lit(1)).otherwise(lit(2))
+    TextOps.curriculumOrder(Tables.documents(s, dir), "doc_id", band, SplitSalt)
+  }
+
   /** [[chunkDedup]] with the shuffle keyed by xxhash64(chunk) — the 100 TB
     * shuffle-bytes lever; shares q_chunk_dedup's oracle because the output
     * is identical absent a 64-bit collision (see

@@ -131,7 +131,9 @@ object ScaleProbe {
       "curate_v3" -> (Queries.curateV3 _),
       // round 7b: rank-limited keyed shuffle over the memoized assignment
       // (the assignment pass itself is charged to the ANN phases)
-      "cluster_sample" -> (Queries.clusterSample _))
+      "cluster_sample" -> (Queries.clusterSample _),
+      // round 7b: per-(band, hash-prefix) windows + metadata-scale offsets
+      "curriculum_order" -> (Queries.curriculumOrder _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

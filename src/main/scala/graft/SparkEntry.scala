@@ -108,6 +108,7 @@ object SparkEntry {
     "q_gopher_rules" -> (Queries.gopherRules _),
     "q_chunk_dedup_hashed" -> (Queries.chunkDedupHashed _),
     "q_epoch_order" -> (Queries.epochOrder _),
+    "q_curriculum_order" -> (Queries.curriculumOrder _),
     "q_split_leakage" -> (Queries.splitLeakage _),
     "q_oov_rate" -> (Queries.oovRate _),
     "q_curate_v2" -> (Queries.curateV2 _),
@@ -269,6 +270,32 @@ object SparkEntry {
     s"(n_tokens >= ${Queries.QualityMinTokens} AND n_tokens <= ${Queries.QualityMaxTokens}" +
       s" AND stop_ratio >= ${Queries.QualityMinStopRatio}" +
       s" AND uniq_ratio >= ${Queries.QualityMinUniqRatio})"
+
+  /** Gopher signal CTEs (`gps` counts → `gpm` ratios) + the four-rule keep
+    * conjunction over `gpm`'s columns — shared by q_gopher_rules and the
+    * curriculum-band oracle so the rule set is written once.
+    */
+  private val gopherCtes: String =
+    """gps AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+               ['the', 'a'])) AS BIGINT) AS n_distinct_stop
+           FROM documents),
+         gpm AS (
+           SELECT doc_id, n_tokens, n_distinct_stop,
+             CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+             CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / n_tokens AS repeat_ratio
+           FROM gps)"""
+
+  private val gopherKeepPred: String =
+    s"""((n_tokens BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens})
+             AND avg_token_len >= ${Queries.GopherMinAvgTokLen}
+             AND avg_token_len <= ${Queries.GopherMaxAvgTokLen}
+             AND repeat_ratio <= ${Queries.GopherMaxRepeatRatio}
+             AND n_distinct_stop >= ${Queries.GopherMinDistinctStop})"""
 
   private val deconGramExpr: String = (0 until Queries.DeconN)
     .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(", ")
@@ -2125,19 +2152,7 @@ object SparkEntry {
     // Gopher-rule audit: all signals are exact integer counts with single
     // double divisions; boolean thresholds identical to the Spark side
     "q_gopher_rules" -> (s"""
-         WITH s AS (
-           SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-               ['the', 'a'])) AS BIGINT) AS n_distinct_stop
-           FROM documents),
-         m AS (
-           SELECT doc_id, n_tokens, n_distinct_stop,
-             CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-             CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / n_tokens AS repeat_ratio
-           FROM s)
+         WITH $gopherCtes
          SELECT doc_id, n_tokens, avg_token_len, repeat_ratio, n_distinct_stop,
            (n_tokens BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens})
              AS ok_token_count,
@@ -2145,12 +2160,27 @@ object SparkEntry {
              AND avg_token_len <= ${Queries.GopherMaxAvgTokLen}) AS ok_avg_token_len,
            (repeat_ratio <= ${Queries.GopherMaxRepeatRatio}) AS ok_repeat_ratio,
            (n_distinct_stop >= ${Queries.GopherMinDistinctStop}) AS ok_stopwords,
-           ((n_tokens BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens})
-             AND avg_token_len >= ${Queries.GopherMinAvgTokLen}
-             AND avg_token_len <= ${Queries.GopherMaxAvgTokLen}
-             AND repeat_ratio <= ${Queries.GopherMaxRepeatRatio}
-             AND n_distinct_stop >= ${Queries.GopherMinDistinctStop}) AS keep
-         FROM m"""),
+           $gopherKeepPred AS keep
+         FROM gpm"""),
+
+    // quality curriculum: band from the SAME shared quality/gopher
+    // predicates as the gate oracles; the global position is the plain
+    // total-order row_number here — the engine's no-global-sort
+    // decomposition must land on exactly this order (shard is a hash
+    // prefix, so (band, shard, hash) ≡ (band, hash))
+    "q_curriculum_order" -> (s"""WITH $qualityStatsCtes, $gopherCtes,
+         qk AS (SELECT doc_id, $qualityKeepPred AS qkeep FROM qs),
+         gk AS (SELECT doc_id, $gopherKeepPred AS gkeep FROM gpm),
+         b AS (
+           SELECT doc_id,
+             CASE WHEN qkeep AND gkeep THEN 0
+                  WHEN qkeep THEN 1 ELSE 2 END AS band
+           FROM qk JOIN gk USING (doc_id))
+         SELECT doc_id, band,
+           CAST(row_number() OVER (ORDER BY band,
+             sha256(concat(CAST(doc_id AS VARCHAR), '${Queries.SplitSalt}')),
+             doc_id) - 1 AS BIGINT) AS curriculum_pos
+         FROM b"""),
 
     // v2 curation: gopher-rule gate ∧ LM-score floor ∧ dedup survivor ∧
     // not-contaminated → scrub → split; every stage is the same shared

@@ -298,6 +298,46 @@ object TextOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Global curriculum position WITHOUT a global sort: documents are
+    * ordered by (`band` asc, sha256(id ∥ salt), id) — easy bands first,
+    * deterministic shuffle within a band — and each gets its absolute
+    * 0-based position in that total order. The decomposition is the
+    * point: shard = first hex byte of the hash key, so ordering by
+    * (band, shard, key) IS ordering by (band, key); ranks come from
+    * per-(band, shard) windows all sorted in parallel, and the global
+    * offset of each (band, shard) block comes from a metadata-scale
+    * count rollup (bands × 256 rows) joined back as a broadcast. At
+    * 100 TB no stage ever totally orders the corpus — the same
+    * construction as [[epochOrder]], extended with the cross-block
+    * offset so consumers get an absolute curriculum index, not just a
+    * per-shard rank.
+    *
+    * The count rollup groups by the window's own partition keys, so it
+    * reuses the window exchange rather than re-shuffling the corpus.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, band: Column,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = sha2(concat(col(idCol).cast("string"), lit(salt)), 256)
+    val w = Window.partitionBy(col("band"), col("__shard"))
+      .orderBy(col("__k"), col(idCol))
+    val ranked = df
+      .select(col(idCol), band.as("band"), key.as("__k"),
+        substring(key, 1, 2).as("__shard"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy(col("band"), col("__shard"))
+      .agg(max(col("__r")).as("__n"))
+    // exclusive prefix over the tiny block table (band-major, shard minor)
+    val offW = Window.orderBy(col("band"), col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .select(col("band"), col("__shard"), col("__off"))
+    ranked.join(broadcast(offsets), Seq("band", "__shard"))
+      .select(col(idCol), col("band"),
+        (col("__off") + col("__r") - 1L).as("curriculum_pos"))
+  }
+
   /** Sliding-window chunking for retrieval corpora: fixed `window`-token
     * chunks every `stride` tokens (overlapping when stride < window),
     * the standard RAG context-construction step. Every document yields

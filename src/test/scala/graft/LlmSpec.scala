@@ -648,6 +648,27 @@ class LlmSpec extends AnyFunSuite {
     assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("curriculum order: decomposed position equals a global sort, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, TestSpark.sfDir).select("doc_id")
+    val band = (col("doc_id") % 3).cast("int")
+    val out = TextOps.curriculumOrder(docs.repartition(11), "doc_id", band, "cur")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the reference order computed the naive way: one global window
+    val key = sha2(concat(col("doc_id").cast("string"), lit("cur")), 256)
+    val ref = docs.select(col("doc_id"), band.as("b"), key.as("k"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("b"), col("k"), col("doc_id"))).cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == ref)
+    // and the engine's corpus-scale window must be hash-partitioned by
+    // (band, shard) — the only single-partition stage is the bands×256
+    // offset rollup (metadata-scale, like the packing offsets)
+    val plan = Queries.curriculumOrder(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(band"))
+  }
+
   test("cluster sample: per-cell quota with every occupied cell represented") {
     // two tight, well-separated clusters around the two lowest-id vectors
     // (the IVF codebook init), deliberately unbalanced: 6 vs 2 members
