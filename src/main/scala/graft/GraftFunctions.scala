@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.registerTempFunction
 import org.apache.spark.sql.types.IntegerType
 
-import graft.llm.{DotDecimal, MinHashSlices, SimHashN}
+import graft.llm.{DotDecimal, MinHashSlices, SimHashN, UnicodeNormalize}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash32(text) ...")` works next to the Column API.
@@ -46,6 +46,16 @@ object GraftFunctions {
       case Seq(a, b) => DotDecimal(a, b)
       case args => throw new IllegalArgumentException(
         s"dot_decimal(a, b) takes 2 arguments, got ${args.length}")
+    },
+    "nfc_normalize" -> {
+      case Seq(c) => UnicodeNormalize(c, nfkc = false)
+      case args => throw new IllegalArgumentException(
+        s"nfc_normalize(text) takes 1 argument, got ${args.length}")
+    },
+    "nfkc_normalize" -> {
+      case Seq(c) => UnicodeNormalize(c, nfkc = true)
+      case args => throw new IllegalArgumentException(
+        s"nfkc_normalize(text) takes 1 argument, got ${args.length}")
     })
 
   /** Register all functions as temp functions on a live session. */

@@ -305,6 +305,10 @@ object Queries {
   val MixTokenBudget = 4000L
   val PiiSeedSuffix =
     " reach bob@example.com or 555-123-4567 ssn 123-45-6789 at 10.0.0.1"
+  // unicode seed: "cafe" + COMBINING ACUTE (composes to é under NFC) + BEL
+  // (a stray control byte the sanitizer strips); the oracle spells the
+  // same two codepoints with chr() so no raw control byte rides the SQL
+  val UnicodeSeedSuffix = " cafe\u0301\u0007"
 
   /** Documents with deterministic PII grafted onto every 10th row — the
     * synthetic corpus carries no digits or '@', so without seeding any
@@ -317,6 +321,27 @@ object Queries {
 
   private def seededDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).withColumn("text", seededTextCol)
+
+  /** Unicode canonicalization audit over a corpus seeded with decomposed
+    * accents + a stray control byte on every 10th doc (the synthetic
+    * corpus is pure ASCII, so unseeded the normalizer would vacuously
+    * pass — same rationale as [[seededDocs]] for PII). `nfc_text` is the
+    * composed storage form, `changed` flags docs whose bytes moved, and
+    * `n_chars_sanitized` measures the full sanitize (NFC + control-strip
+    * + trim). Scan-local at any corpus size; the NFC expression is
+    * codegen'd with an allocation-free already-normalized fast path
+    * (see [[graft.llm.UnicodeNorm]]).
+    */
+  def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 10 === 3, lit(UnicodeSeedSuffix)).otherwise(lit(""))))
+    seeded.select(col("doc_id"),
+      graft.llm.UnicodeNorm.nfc(col("text")).as("nfc_text"),
+      (graft.llm.UnicodeNorm.nfc(col("text")) =!= col("text")).as("changed"),
+      length(graft.llm.UnicodeNorm.sanitize(col("text"))).cast("long")
+        .as("n_chars_sanitized"))
+  }
 
   def docsExactDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_decontaminate" -> (Queries.decontaminate _),
     "q_decontaminate_bloom" -> (Queries.decontaminateBloom _),
     "q_pii_scrub" -> (Queries.piiScrub _),
+    "q_unicode_normalize" -> (Queries.unicodeNormalize _),
     "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
@@ -1266,6 +1267,25 @@ object SparkEntry {
            ${scrubCleanSql("text")} AS clean,
            $piiCountsSql
          FROM seeded"""),
+
+    // unicode canonicalization: DuckDB's nfc_normalize is the independent
+    // NFC implementation (utf8proc) checking the JDK Normalizer; the seed
+    // codepoints are spelled with chr() so no raw control byte rides the
+    // SQL text, and the control-strip class is the shared ControlClass
+    // constant verbatim
+    "q_unicode_normalize" -> (s"""
+         WITH useeded AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 3
+               THEN ' cafe' || chr(769) || chr(7) ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           nfc_normalize(text) AS nfc_text,
+           nfc_normalize(text) != text AS changed,
+           CAST(length(trim(regexp_replace(nfc_normalize(text),
+             '${graft.llm.UnicodeNorm.ControlClass}', '', 'g'))) AS BIGINT)
+             AS n_chars_sanitized
+         FROM useeded"""),
 
     // decontamination: distinct word-3-gram overlap vs the fixed
     // 10-doc benchmark slice, flagged at >= 3 shared grams

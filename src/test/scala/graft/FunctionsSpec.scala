@@ -148,13 +148,17 @@ class FunctionsSpec extends AnyFunSuite {
       """SELECT simhash32('alpha beta') AS sh,
                 simhash64('alpha beta') AS sh64,
                 dot_decimal(array(1.5D, 2.0D), array(3.0D, 4.0D)) AS dd,
-                minhash_slices('abcdefghij', 3, 8) AS mh""").collect()(0)
+                minhash_slices('abcdefghij', 3, 8) AS mh,
+                nfc_normalize('cafe\u0301') AS nfc,
+                nfkc_normalize('\ufb01le') AS nfkc""").collect()(0)
     assert(r.getAs[Long]("sh") ==
       graft.llm.SimHashImpl.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta"), 32))
     assert((r.getAs[Long]("sh64") >>> 32) == r.getAs[Long]("sh"))
     assert(r.getAs[Double]("dd") == 12.5)
     assert(r.getAs[scala.collection.Seq[String]]("mh").length == 8)
+    assert(r.getAs[String]("nfc") == "caf\u00e9")
+    assert(r.getAs[String]("nfkc") == "file")
   }
 
   test("GraftExtensions injects the functions into a session built with it") {

@@ -648,6 +648,36 @@ class LlmSpec extends AnyFunSuite {
     assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("unicode normalize: NFC composes, NFKC folds compatibility, sanitize strips controls") {
+    val rows = Seq(
+      (0L, "cafe\u0301"),      // decomposed acute: composes to \u00e9
+      (1L, "caf\u00e9"),       // already NFC: unchanged
+      (2L, "\ufb01le"),        // fi ligature: NFC keeps, NFKC folds to "fi"
+      (3L, "ab\u0007c\u0000"), // stray controls: sanitized out
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = rows.select($"id", UnicodeNorm.nfc($"t").as("nfc"),
+        UnicodeNorm.nfkc($"t").as("nfkc"), UnicodeNorm.sanitize($"t").as("san"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(out(0L)._1 == "caf\u00e9" && out(1L)._1 == "caf\u00e9")
+    assert(out(2L)._1 == "\ufb01le" && out(2L)._2 == "file")
+    assert(out(3L)._3 == "abc")
+    assert(out(4L)._1 == null && out(4L)._3 == null)
+    // idempotent: a second pass is the identity
+    val twice = rows.filter($"t".isNotNull)
+      .select(UnicodeNorm.nfc(UnicodeNorm.nfc($"t")) === UnicodeNorm.nfc($"t"))
+      .collect().forall(_.getBoolean(0))
+    assert(twice)
+  }
+
+  test("unicode normalize survives whole-stage codegen (expression, not UDF)") {
+    // a real file scan — local relations get constant-folded before codegen
+    val df = Tables.documents(spark, TestSpark.sfDir)
+    val plan = df.select(UnicodeNorm.nfc($"text")).queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("nfc_normalize"))
+    assert(!plan.contains("ScalaUDF"))
+  }
+
   test("curriculum order: decomposed position equals a global sort, partition-invariant") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, TestSpark.sfDir).select("doc_id")
