@@ -1000,6 +1000,13 @@ object Queries {
       keep.as("pred_keep"), (col("y") === 1.0).as("label"))
   }
 
+  /** Per-source lexical diversity: token volume, vocabulary size,
+    * type-token ratio, Shannon unigram entropy (see
+    * [[TextOps.sourceEntropy]] for the cross-engine quantization rule).
+    */
+  def sourceEntropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceEntropy(Tables.documents(s, dir), "source", "text")
+
   /** Cluster-balanced diversity sample: at most [[ClusterSampleK]]
     * vectors per IVF cell, hash-ranked within the cell — the "cover the
     * embedding space, not the head clusters" sampling rule (the

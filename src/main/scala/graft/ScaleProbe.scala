@@ -136,7 +136,9 @@ object ScaleProbe {
       "curriculum_order" -> (Queries.curriculumOrder _),
       // round 7b: K aggregate scans (fit) + one scan-local score pass;
       // the per-step shuffle is d+2 longs per partition, corpus-invariant
-      "classifier_scores" -> (Queries.classifierScores _))
+      "classifier_scores" -> (Queries.classifierScores _),
+      // round 7b: shuffle = per-source distinct tokens (vocab-bounded)
+      "source_entropy" -> (Queries.sourceEntropy _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

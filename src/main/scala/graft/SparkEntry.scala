@@ -65,6 +65,7 @@ object SparkEntry {
     "q_unicode_normalize" -> (Queries.unicodeNormalize _),
     "q_quality_classifier" -> (Queries.qualityClassifier _),
     "q_classifier_scores" -> (Queries.classifierScores _),
+    "q_source_entropy" -> (Queries.sourceEntropy _),
     "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
@@ -1341,6 +1342,29 @@ object SparkEntry {
              '${graft.llm.UnicodeNorm.ControlClass}', '', 'g'))) AS BIGINT)
              AS n_chars_sanitized
          FROM useeded"""),
+
+    // per-source lexical diversity: entropy terms floor-quantized to
+    // 1e-9 and summed as BIGINTs (ln is 1-ulp engine-specific and float
+    // sums are order-sensitive; the quantized integer sum is neither)
+    "q_source_entropy" -> ("""
+         WITH etok AS (
+           SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+         ecnt AS (
+           SELECT source, t, CAST(count(*) AS BIGINT) AS c
+           FROM etok GROUP BY source, t),
+         etot AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types
+           FROM ecnt GROUP BY source),
+         ej AS (
+           SELECT ecnt.source, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             n, n_types
+           FROM ecnt JOIN etot USING (source))
+         SELECT source, max(n) AS n_tokens, max(n_types) AS n_types,
+           -(CAST(SUM(CAST(floor(p*ln(p)*1000000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000000.0) AS entropy,
+           CAST(max(n_types) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS ttr
+         FROM ej GROUP BY source"""),
 
     // trained quality classifier: the full fixed-step logistic fit
     // unrolled as CTEs — DuckDB independently trains the same model and

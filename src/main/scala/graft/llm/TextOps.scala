@@ -543,6 +543,37 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Per-source lexical-diversity rollup — the data-card metric that
+    * catches a source gone templated/repetitive before training on it:
+    * token volume, vocabulary size, type-token ratio, and Shannon
+    * unigram entropy (nats).
+    *
+    * Entropy crosses engines safely the same way the mixture
+    * denominator does: each `-(p·ln p)` term is floor-quantized to 1e-9
+    * and summed as exact BIGINTs, so the order-sensitive float sum and
+    * the 1-ulp libm `ln` spread both disappear below the quantum
+    * (p = c/N is a single exact division; ~1e-7 flip odds per term).
+    *
+    * Scale shape: (source, token) counts aggregate with map-side
+    * partials — the shuffle carries per-source distinct tokens, not
+    * occurrences; the per-source rollup is vocabulary-bounded.
+    */
+  def sourceEntropy(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(sourceCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(sourceCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col(sourceCol))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_types"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    counts.join(broadcast(totals), Seq(sourceCol))
+      .groupBy(col(sourceCol))
+      .agg(max(col("__n")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        (-(sum(floor(p * log(p) * lit(1000000000.0)).cast("long"))
+          .cast("double") / lit(1000000000.0))).as("entropy"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-document distinctive term: the token with the LOWEST corpus
     * document frequency (ties: higher in-document count, then token
     * order) — TF-IDF-flavored keyword extraction with exact integer

@@ -678,6 +678,21 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("source entropy: uniform hits ln(k), constant hits 0, ttr exact") {
+    val docs = Seq(
+      ("uni", "a b c d"),        // 4 distinct tokens, once each: H = ln 4
+      ("const", "x x x x x"),    // one type: H = 0
+      ("mix", "a a b")           // H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    ).toDF("source", "text")
+    val out = TextOps.sourceEntropy(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(math.abs(out("uni")._3 - math.log(4.0)) < 1e-8)
+    assert(out("const")._3 == 0.0 && out("const")._4 == 0.2)
+    val hMix = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(out("mix")._3 - hMix) < 1e-8)
+    assert(out("uni") == ((4L, 4L, out("uni")._3, 1.0)))
+  }
+
   test("classifier: separable data fits to 100%, weights partition-invariant") {
     // deterministic separable set: y = (x1 > 0), x2 pure noise-ish
     val rows = (0 until 200).map { i =>
