@@ -1000,6 +1000,39 @@ object Queries {
       keep.as("pred_keep"), (col("y") === 1.0).as("label"))
   }
 
+  /** Session-memoized 64-bit sign-LSH binary codes over the embedding
+    * corpus (see [[Similarity.binaryCodes]]); the dim lookup reads one
+    * row driver-side.
+    */
+  def embedBinary(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"binarycodes:$dir") {
+      val emb = Tables.embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      Similarity.binaryCodes(emb, "vec_id", "embedding", dim)
+    }
+
+  /** Binary-code coarse retrieval: top-k by hamming distance over the
+    * 64-bit codes for the standard ANN query set — the production use
+    * of sign-LSH codes (rank 8-byte codes first, spend float work only
+    * on survivors). Ties break by neighbor id; the whole pass works on
+    * two longs per pair, so the scan is 32× lighter than float cosine.
+    */
+  def binaryHammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val codes = embedBinary(s, dir)
+    val queries = codes.filter(col("vec_id") < AnnNumQueries)
+      .select(col("vec_id").as("query_id"), col("code64").as("__qc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    codes.select(col("vec_id").as("neighbor_id"), col("code64").as("__nc"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", expr("bit_count(__qc ^ __nc)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnTopK)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+  }
+
   /** Per-source lexical diversity: token volume, vocabulary size,
     * type-token ratio, Shannon unigram entropy (see
     * [[TextOps.sourceEntropy]] for the cross-engine quantization rule).

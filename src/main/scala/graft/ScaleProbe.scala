@@ -138,7 +138,10 @@ object ScaleProbe {
       // the per-step shuffle is d+2 longs per partition, corpus-invariant
       "classifier_scores" -> (Queries.classifierScores _),
       // round 7b: shuffle = per-source distinct tokens (vocab-bounded)
-      "source_entropy" -> (Queries.sourceEntropy _))
+      "source_entropy" -> (Queries.sourceEntropy _),
+      // round 7b: 64 broadcast hyperplanes; map-side partial collapses
+      // the 64x expansion, so the exchange carries one row per vector
+      "binary_hamming_topk" -> (Queries.binaryHammingTopK _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

@@ -66,6 +66,8 @@ object SparkEntry {
     "q_quality_classifier" -> (Queries.qualityClassifier _),
     "q_classifier_scores" -> (Queries.classifierScores _),
     "q_source_entropy" -> (Queries.sourceEntropy _),
+    "q_embed_binary" -> (Queries.embedBinary _),
+    "q_binary_hamming_topk" -> (Queries.binaryHammingTopK _),
     "q_curate" -> (Queries.curate _),
     "q_hash_split" -> (Queries.hashSplit _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
@@ -585,6 +587,33 @@ object SparkEntry {
              AS DOUBLE) / (sqrt(qp.qn) * sqrt(pc.nn)) AS cosine
          FROM qp JOIN pc
            ON qp.centroid_id = pc.centroid_id AND pc.neighbor_id <> qp.query_id)"""
+
+  /** Sign-LSH binary-code CTEs: deterministic hyperplanes from the
+    * shared sha256 top-bit rule ("first hex char < '8'"), decimal-exact
+    * projections, HUGEINT bit-sum wrapped to the signed BIGINT Spark's
+    * LongType carries (same wrap trick as the simhash64 oracle).
+    */
+  private val binaryCodeCtes: String =
+    """edim AS (SELECT CAST(max(len(embedding)) AS INT) AS d FROM embeddings),
+       ehp AS (
+         SELECT j.j AS j, i.i AS i,
+           CASE WHEN substr(sha256('hp:' || j.j || ':' || i.i), 1, 1) < '8'
+             THEN 1.0 ELSE -1.0 END AS s
+         FROM (SELECT unnest(generate_series(0, 63)) AS j) j,
+              (SELECT unnest(generate_series(0, (SELECT d FROM edim) - 1)) AS i) i),
+       ehpl AS (SELECT j, list(s ORDER BY i) AS hv FROM ehp GROUP BY j),
+       ebits AS (
+         SELECT e.vec_id, h.j,
+           CASE WHEN CAST(list_sum(list_transform(list_zip(e.embedding, h.hv),
+             z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) > 0.0 THEN 1 ELSE 0 END AS s
+         FROM embeddings e CROSS JOIN ehpl h),
+       ecode AS (
+         SELECT vec_id,
+           CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                     ELSE uv END AS BIGINT) AS code64
+         FROM (SELECT vec_id, sum(CAST(s AS HUGEINT) << CAST(63 - j AS INT)) AS uv
+               FROM ebits GROUP BY vec_id) u)"""
 
   private val ivfTopKSql: String =
     s"""WITH $ivfPairsCtes
@@ -1738,6 +1767,24 @@ object SparkEntry {
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
 
     "q_ivf_topk" -> ivfTopKSql,
+
+    // sign-LSH binary codes (Charikar hyperplane LSH): 32× compression
+    // of the embedding corpus into 8-byte codes
+    "q_embed_binary" -> (s"""WITH $binaryCodeCtes
+         SELECT vec_id, code64 FROM ecode"""),
+
+    // coarse retrieval over the codes: brute hamming top-k for the
+    // standard ANN query slice, ties to the lower neighbor id
+    "q_binary_hamming_topk" -> (s"""WITH $binaryCodeCtes
+         SELECT query_id, neighbor_id, CAST(hamming AS INT) AS hamming,
+           CAST(rank AS INT) AS rank FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             bit_count(xor(q.code64, n.code64)) AS hamming,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.code64, n.code64)), n.vec_id) AS rank
+           FROM ecode q JOIN ecode n ON n.vec_id <> q.vec_id
+           WHERE q.vec_id < ${Queries.AnnNumQueries}) r
+         WHERE rank <= ${Queries.AnnTopK}"""),
 
     // IVF × int8 composition: the q_ivf_topk probe/assignment structure
     // (n2/c/pc/qp CTE shapes) + the q_quant_topk quantization (z/q8) —

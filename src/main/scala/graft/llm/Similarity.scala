@@ -116,6 +116,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Deterministic ±1 hyperplane entry for sign-LSH binary codes: the
+    * sign is the top bit of sha256("hp:j:i") — a rule both engines can
+    * evaluate (the oracle reads it as "first hex char < '8'"), so the
+    * random hyperplanes need no seed-synchronized RNG.
+    */
+  private[graft] def hyperplaneSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"hp:$j:$i".getBytes("UTF-8"))
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
+  /** 64-bit sign-LSH binary codes over an embedding column — the 32×
+    * compression layer of a retrieval stack: bit j is the sign of the
+    * vector's projection onto deterministic hyperplane j (random
+    * hyperplane LSH, Charikar 2002), so hamming distance estimates
+    * angular distance and the codes feed the same banded hamming join
+    * as SimHash/dHash ([[SimHash.hammingPairsOn]]).
+    *
+    * Projections use the decimal-exact dot ([[dotDec]]), so every bit —
+    * hence every code — is association- and engine-independent. Shape:
+    * hyperplanes are 64 broadcast rows; the 64× expansion collapses
+    * map-side (partial sum per vector before the exchange), so the
+    * shuffle carries one row per vector.
+    */
+  def binaryCodes(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes = (0 until 64).map { j =>
+      (j, (0 until dim).map(i => hyperplaneSign(j, i)), 1L << (63 - j))
+    }
+    val hp = planes.toDF("j", "hv", "w")
+    spread(embeddings)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(hp))
+      .select(col("vec_id"), col("w"),
+        (dotDec(col("__v"), col("hv")).cast("double") > lit(0.0)).as("__bit"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("__bit"), col("w")).otherwise(lit(0L))).as("code64"))
+  }
+
   /** kNN label classification over the embedding space: each query
     * vector takes the majority label of its k nearest corpus neighbors
     * (exact cosine, self excluded), ties broken toward the smaller

@@ -678,6 +678,26 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("binary codes: partition-invariant, duplicates collide, bits match driver recompute") {
+    val base = (0L to 19L).map(i =>
+      (i, Array.tabulate(8)(k => ((i * 7 + k * 3) % 11 - 5).toFloat)))
+    val vecs = base :+ (100L, base.head._2) // exact duplicate of vec 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val codes = Similarity.binaryCodes(df, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes2 = Similarity.binaryCodes(df.repartition(5), "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes == codes2)
+    assert(codes(0L) == codes(100L)) // identical vectors → identical codes
+    // bit-level check against a direct driver-side recompute of vec 1
+    val v = base(1)._2.map(_.toDouble)
+    val expected = (0 until 64).foldLeft(0L) { (acc, j) =>
+      val dot = (0 until 8).map(i => Similarity.hyperplaneSign(j, i) * v(i)).sum
+      if (dot > 0) acc | (1L << (63 - j)) else acc
+    }
+    assert(codes(1L) == expected)
+  }
+
   test("source entropy: uniform hits ln(k), constant hits 0, ttr exact") {
     val docs = Seq(
       ("uni", "a b c d"),        // 4 distinct tokens, once each: H = ln 4
