@@ -389,6 +389,47 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming scoring: batch-trained classifier + unicode sanitize run unchanged on a stream") {
+    import graft.llm.{Classifier, UnicodeNorm}
+    import org.apache.spark.sql.types._
+    val src = tmp("clsrc"); val out = tmp("clout"); val ckpt = tmp("clckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // scan-local featurization: sanitize first (the codegen'd expression
+    // must run under streaming), then one length feature + rule label
+    def featurize(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), UnicodeNorm.sanitize(col("text")).as("text"))
+        .withColumn("x1",
+          (size(split(col("text"), " ")).cast("double") - lit(4.0)) / lit(4.0))
+        .withColumn("y",
+          when(size(split(col("text"), " ")) >= 4, 1.0).otherwise(0.0))
+    val wave1 = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "tiny\u0007 doc"))
+    val wave2 = Seq((3L, "one two three four five six"), (4L, "too short"))
+    // the model trains in BATCH (driver-side weights), then scores the
+    // stream as literals — the ingest-time-scoring deployment shape
+    val w = Classifier.trainLogistic(featurize((wave1 ++ wave2).toDF("doc_id", "text")),
+      Seq("x1"), "y", steps = 16, lr = 2.0)
+    val (score, keep) = Classifier.scoreCols(w, Seq("x1"))
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      featurize(df).select(col("doc_id"), col("text"), score.as("score"),
+        keep.as("keep"))
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      scored(FileStreamIngest.bronzeStream(spark, src, schema)), out, ckpt)
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      scored(FileStreamIngest.bronzeStream(spark, src, schema)), out, ckpt)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 4L)) // exactly-once, both waves
+    assert(streamed(1)._2 == "tiny doc") // control byte sanitized in-stream
+    val batch = scored((wave1 ++ wave2).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch) // the streamed scores ARE the batch scores
+  }
+
   test("streaming decontamination gate: bloom broadcast state + exact confirm equals batch decisions across two waves") {
     import graft.streaming.StatefulOps
     import graft.llm.{BloomDecon, TextOps}
