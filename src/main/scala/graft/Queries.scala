@@ -1640,6 +1640,25 @@ object Queries {
           .as("split"))
   }
 
+  /** Curation v4: [[curateV3]]'s survivors additionally gated by the
+    * TRAINED classifier (score ≥ 0.5), emitted in learned-quality
+    * training order — score-decile band (best first), hash-shuffled
+    * within band, absolute position from the no-global-sort
+    * decomposition ([[TextOps.curriculumOrder]]). Every stage rides its
+    * standalone memo (v3's chain, the classifier fit); the new work is
+    * the survivor sliver's join plus its banded windows.
+    */
+  def curateV4(s: SparkSession, dir: String): DataFrame = {
+    val sc = classifierScores(s, dir).filter(col("pred_keep"))
+      .select(col("doc_id"), col("score"))
+    val kept = curateV3(s, dir).join(sc, Seq("doc_id"))
+    val band = (lit(9L) - floor(col("score") * lit(10.0))).cast("int")
+    kept.join(TextOps.curriculumOrder(kept, "doc_id", band, SplitSalt),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("clean"), col("split"), col("score"),
+        col("band"), col("curriculum_pos"))
+  }
+
   /** Train/holdout near-dup leakage: verified MinHash pairs (jaccard ≥
     * 0.5) bucketed by the unordered split pair of their endpoints — the
     * eval-hygiene audit a split must pass BEFORE the holdout means

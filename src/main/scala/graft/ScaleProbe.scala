@@ -141,7 +141,10 @@ object ScaleProbe {
       "source_entropy" -> (Queries.sourceEntropy _),
       // round 7b: 64 broadcast hyperplanes; map-side partial collapses
       // the 64x expansion, so the exchange carries one row per vector
-      "binary_hamming_topk" -> (Queries.binaryHammingTopK _))
+      "binary_hamming_topk" -> (Queries.binaryHammingTopK _),
+      // round 7b: marginal over the shared memos = survivor sliver joins
+      // + its banded windows (same claim as curate_v2/v3)
+      "curate_v4" -> (Queries.curateV4 _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

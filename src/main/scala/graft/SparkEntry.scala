@@ -142,6 +142,7 @@ object SparkEntry {
     "q_lm_percentile_gate" -> (Queries.lmPercentileGate _),
     "q_cluster_split" -> (Queries.clusterSplit _),
     "q_curate_v3" -> (Queries.curateV3 _),
+    "q_curate_v4" -> (Queries.curateV4 _),
     "q_corpus_card" -> (Queries.corpusCard _),
     "q_sequence_manifest" -> (Queries.sequenceManifest _),
   )
@@ -614,6 +615,87 @@ object SparkEntry {
                      ELSE uv END AS BIGINT) AS code64
          FROM (SELECT vec_id, sum(CAST(s AS HUGEINT) << CAST(63 - j AS INT)) AS uv
                FROM ebits GROUP BY vec_id) u)"""
+
+  /** The full v3 curation chain as a reusable fragment ending in the
+    * survivor CTE `cv3 (doc_id, clean, split)` — q_curate_v3 selects it
+    * verbatim; q_curate_v4 composes the classifier gate on top.
+    */
+  private val curateV3Ctes: String = (minhashReachCte + s""",
+         gs AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS gn,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS gu,
+             CAST(length(text) AS BIGINT) AS gc,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+               ['the', 'a'])) AS BIGINT) AS gds
+           FROM documents),
+         gk AS (
+           SELECT doc_id FROM gs
+           WHERE gn BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens}
+             AND CAST(gc - (gn - 1) AS DOUBLE) / gn >= ${Queries.GopherMinAvgTokLen}
+             AND CAST(gc - (gn - 1) AS DOUBLE) / gn <= ${Queries.GopherMaxAvgTokLen}
+             AND CAST(1 AS DOUBLE) - CAST(gu AS DOUBLE) / gn <= ${Queries.GopherMaxRepeatRatio}
+             AND gds >= ${Queries.GopherMinDistinctStop}),
+         lmd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         lmbi AS (
+           SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+           FROM lmd WHERE len(w) >= 2),
+         lmb2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM lmbi),
+         lmbc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM lmb2 GROUP BY w1, w2),
+         lmpc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lmbc GROUP BY w1),
+         lmv AS (
+           SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         lmsc AS (
+           SELECT lmb2.doc_id,
+             CAST(sum(CAST(
+               CAST(lmbc.c12 + 1 AS DOUBLE) / CAST(lmpc.c1 + lmv.v AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
+           FROM lmb2 JOIN lmbc USING (w1, w2) JOIN lmpc USING (w1) CROSS JOIN lmv
+           GROUP BY lmb2.doc_id),
+         lmthr AS (SELECT quantile_disc(lm_score, ${Queries.LmGatePercentile})
+           AS t FROM lmsc),
+         lmk AS (SELECT doc_id FROM lmsc CROSS JOIN lmthr WHERE lm_score >= t),
+         reps AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY doc_id) c
+           WHERE doc_id = cluster_id),
+         cl AS (SELECT doc_id, min(label) AS cluster_id
+           FROM reach GROUP BY doc_id),
+         sdn2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         sde AS (SELECT vec_id, embedding AS ev, nn AS en FROM sdn2
+           WHERE vec_id < ${Queries.DeconBenchmarkMaxId}),
+         sdc AS (SELECT vec_id, embedding AS cv, nn AS cn FROM sdn2
+           WHERE vec_id >= ${Queries.DeconBenchmarkMaxId}),
+         semcont AS (
+           SELECT DISTINCT sdc.vec_id AS doc_id
+           FROM sdc, sde
+           WHERE CAST(list_sum(list_transform(list_zip(sdc.cv, sde.ev),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) / (sqrt(sdc.cn) * sqrt(sde.en))
+             >= ${Queries.SemanticDeconTau}),
+         $deconCtes,
+         $piiSeededCte,
+         cv3 AS (
+           SELECT d.doc_id,
+             ${scrubCleanSql("d.text")} AS clean,
+             ${splitCaseSql("cl.cluster_id")} AS split
+           FROM seeded d
+           JOIN gk USING (doc_id)
+           JOIN lmk USING (doc_id)
+           JOIN reps USING (doc_id)
+           JOIN cl USING (doc_id)
+           LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+           LEFT JOIN semcont sx ON sx.doc_id = d.doc_id
+           WHERE ct.doc_id IS NULL AND sx.doc_id IS NULL)""")
 
   private val ivfTopKSql: String =
     s"""WITH $ivfPairsCtes
@@ -2461,81 +2543,31 @@ object SparkEntry {
     // as q_lm_percentile_gate), a semantic-decon anti-join (same cosine
     // form as q_decontaminate_semantic, CTEs prefixed sd to avoid the
     // reach chain's names), and the cluster split of q_cluster_split
-    "q_curate_v3" -> (minhashReachCte + s""",
-         gs AS (
-           SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS gn,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS gu,
-             CAST(length(text) AS BIGINT) AS gc,
-             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-               ['the', 'a'])) AS BIGINT) AS gds
-           FROM documents),
-         gk AS (
-           SELECT doc_id FROM gs
-           WHERE gn BETWEEN ${Queries.GopherMinTokens} AND ${Queries.GopherMaxTokens}
-             AND CAST(gc - (gn - 1) AS DOUBLE) / gn >= ${Queries.GopherMinAvgTokLen}
-             AND CAST(gc - (gn - 1) AS DOUBLE) / gn <= ${Queries.GopherMaxAvgTokLen}
-             AND CAST(1 AS DOUBLE) - CAST(gu AS DOUBLE) / gn <= ${Queries.GopherMaxRepeatRatio}
-             AND gds >= ${Queries.GopherMinDistinctStop}),
-         lmd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         lmbi AS (
-           SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
-           FROM lmd WHERE len(w) >= 2),
-         lmb2 AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM lmbi),
-         lmbc AS (
-           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-           FROM lmb2 GROUP BY w1, w2),
-         lmpc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lmbc GROUP BY w1),
-         lmv AS (
-           SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
-             SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
-         lmsc AS (
-           SELECT lmb2.doc_id,
-             CAST(sum(CAST(
-               CAST(lmbc.c12 + 1 AS DOUBLE) / CAST(lmpc.c1 + lmv.v AS DOUBLE)
-               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS lm_score
-           FROM lmb2 JOIN lmbc USING (w1, w2) JOIN lmpc USING (w1) CROSS JOIN lmv
-           GROUP BY lmb2.doc_id),
-         lmthr AS (SELECT quantile_disc(lm_score, ${Queries.LmGatePercentile})
-           AS t FROM lmsc),
-         lmk AS (SELECT doc_id FROM lmsc CROSS JOIN lmthr WHERE lm_score >= t),
-         reps AS (
-           SELECT doc_id FROM (
-             SELECT doc_id, min(label) AS cluster_id
-             FROM reach GROUP BY doc_id) c
-           WHERE doc_id = cluster_id),
-         cl AS (SELECT doc_id, min(label) AS cluster_id
-           FROM reach GROUP BY doc_id),
-         sdn2 AS (
-           SELECT vec_id, embedding,
-             CAST(list_sum(list_transform(embedding,
-               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) AS nn
-           FROM embeddings),
-         sde AS (SELECT vec_id, embedding AS ev, nn AS en FROM sdn2
-           WHERE vec_id < ${Queries.DeconBenchmarkMaxId}),
-         sdc AS (SELECT vec_id, embedding AS cv, nn AS cn FROM sdn2
-           WHERE vec_id >= ${Queries.DeconBenchmarkMaxId}),
-         semcont AS (
-           SELECT DISTINCT sdc.vec_id AS doc_id
-           FROM sdc, sde
-           WHERE CAST(list_sum(list_transform(list_zip(sdc.cv, sde.ev),
-               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
-               AS DOUBLE) / (sqrt(sdc.cn) * sqrt(sde.en))
-             >= ${Queries.SemanticDeconTau}),
-         $deconCtes,
-         $piiSeededCte
-         SELECT d.doc_id,
-           ${scrubCleanSql("d.text")} AS clean,
-           ${splitCaseSql("cl.cluster_id")} AS split
-         FROM seeded d
-         JOIN gk USING (doc_id)
-         JOIN lmk USING (doc_id)
-         JOIN reps USING (doc_id)
-         JOIN cl USING (doc_id)
-         LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
-         LEFT JOIN semcont sx ON sx.doc_id = d.doc_id
-         WHERE ct.doc_id IS NULL AND sx.doc_id IS NULL"""),
+
+
+    "q_curate_v3" -> (curateV3Ctes + """
+         SELECT doc_id, clean, split FROM cv3"""),
+
+    // v4: v3's survivors gated by the TRAINED classifier, ordered by
+    // learned quality (score-decile band, best first, hash-shuffled
+    // within band) — the engine computes the same position without a
+    // global sort (band/hash decomposition, see q_curriculum_order)
+    "q_curate_v4" -> (curateV3Ctes + s""",
+         $qualityStatsCtes, $gopherCtes,
+         $classifierCtes,
+         csc AS (
+           SELECT f.doc_id, $classifierScoreSql AS score
+           FROM cfeats f CROSS JOIN cw w),
+         v4 AS (
+           SELECT cv3.doc_id, cv3.clean, cv3.split, csc.score
+           FROM cv3 JOIN csc USING (doc_id)
+           WHERE csc.score >= 0.5)
+         SELECT doc_id, clean, split, score,
+           CAST(9 - floor(score*10.0) AS INT) AS band,
+           CAST(row_number() OVER (ORDER BY 9 - floor(score*10.0),
+             sha256(concat(CAST(doc_id AS VARCHAR), '${Queries.SplitSalt}')),
+             doc_id) - 1 AS BIGINT) AS curriculum_pos
+         FROM v4"""),
 
     // train/holdout near-dup leakage: the shared minhash CTE's verified
     // pairs at jaccard ≥ 0.5, endpoints labeled by the SAME split rule as

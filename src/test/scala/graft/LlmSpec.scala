@@ -678,6 +678,20 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("curate v4: v3 survivors ∧ classifier keep, contiguous band-major positions") {
+    val v4 = Queries.curateV4(spark, TestSpark.sfDir).collect()
+    val v3Ids = Queries.curateV3(spark, TestSpark.sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val keepIds = Queries.classifierScores(spark, TestSpark.sfDir)
+      .filter(col("pred_keep")).collect().map(_.getLong(0)).toSet
+    assert(v4.map(_.getLong(0)).toSet == (v3Ids & keepIds))
+    // absolute order: positions are 0..n-1 with band nondecreasing
+    val byPos = v4.sortBy(_.getLong(5))
+    assert(byPos.map(_.getLong(5)).toSeq == (0L until v4.length).toSeq)
+    assert(byPos.map(_.getInt(4)).toSeq == byPos.map(_.getInt(4)).toSeq.sorted)
+    CacheBin.drainAll()
+  }
+
   test("binary codes: partition-invariant, duplicates collide, bits match driver recompute") {
     val base = (0L to 19L).map(i =>
       (i, Array.tabulate(8)(k => ((i * 7 + k * 3) % 11 - 5).toFloat)))
