@@ -1640,6 +1640,28 @@ object Queries {
           .as("split"))
   }
 
+  /** Classifier evaluation rollup: the confusion counts and derived
+    * precision/recall/F1/accuracy of the trained model against the rule
+    * labels it distilled — single exact-integer rollup of the memoized
+    * score table; ratios are single float divisions of exact counts.
+    */
+  def classifierEval(s: SparkSession, dir: String): DataFrame =
+    classifierScores(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_keep") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred_keep") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred_keep") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred_keep") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        ((lit(2L) * col("tp")).cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")).as("f1"),
+        ((col("tp") + col("tn")).cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+
   /** Curation v4: [[curateV3]]'s survivors additionally gated by the
     * TRAINED classifier (score ≥ 0.5), emitted in learned-quality
     * training order — score-decile band (best first), hash-shuffled

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_cluster_split" -> (Queries.clusterSplit _),
     "q_curate_v3" -> (Queries.curateV3 _),
     "q_curate_v4" -> (Queries.curateV4 _),
+    "q_classifier_eval" -> (Queries.classifierEval _),
     "q_corpus_card" -> (Queries.corpusCard _),
     "q_sequence_manifest" -> (Queries.sequenceManifest _),
   )
@@ -2547,6 +2548,28 @@ object SparkEntry {
 
     "q_curate_v3" -> (curateV3Ctes + """
          SELECT doc_id, clean, split FROM cv3"""),
+
+    // classifier evaluation: confusion rollup + derived metrics, all
+    // single float divisions of exact BIGINT counts
+    "q_classifier_eval" -> (s"""WITH $qualityStatsCtes, $gopherCtes,
+         $classifierCtes,
+         cm AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN $classifierScoreSql >= 0.5 AND f.y = 1.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN $classifierScoreSql >= 0.5 AND f.y = 0.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN $classifierScoreSql < 0.5 AND f.y = 1.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN $classifierScoreSql < 0.5 AND f.y = 0.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM cfeats f CROSS JOIN cw w)
+         SELECT n, tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+           CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) AS f1,
+           CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+         FROM cm"""),
 
     // v4: v3's survivors gated by the TRAINED classifier, ordered by
     // learned quality (score-decile band, best first, hash-shuffled
