@@ -1640,6 +1640,33 @@ object Queries {
           .as("split"))
   }
 
+  /** Content-addressed dataset manifest: one fingerprint row per
+    * training shard — doc count, token volume, and a content hash (XOR
+    * of per-doc sha256 prefixes over (id, text)) that flips if ANY
+    * document in the shard changes, appears, or disappears. The
+    * reproducibility primitive: a training run records the manifest;
+    * any later rebuild can prove byte-equivalence shard-by-shard
+    * without rereading pairs. XOR makes the rollup order- and
+    * partition-independent (and engine-independent, unlike a hash of a
+    * sorted concat, which would need a global sort per shard).
+    *
+    * Shards are the REAL packing shards (`seq_id % NShards` — the same
+    * rule the shard writer uses), so the manifest describes the actual
+    * training artifacts. One co-keyed join + a shard-keyed rollup.
+    */
+  def datasetManifest(s: SparkSession, dir: String): DataFrame = {
+    val fp = conv(substring(sha2(concat(col("doc_id").cast("string"),
+      lit(":"), col("text")), 256), 1, 15), 16, 10).cast("long")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), fp.as("__fp"))
+    packSequences(s, dir)
+      .select(col("doc_id"), (col("seq_id") % NShards).as("shard_id"),
+        col("n_tokens"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"),
+        expr("bit_xor(__fp)").as("content_fp"))
+  }
+
   /** Classifier evaluation rollup: the confusion counts and derived
     * precision/recall/F1/accuracy of the trained model against the rule
     * labels it distilled — single exact-integer rollup of the memoized

@@ -144,6 +144,7 @@ object SparkEntry {
     "q_curate_v3" -> (Queries.curateV3 _),
     "q_curate_v4" -> (Queries.curateV4 _),
     "q_classifier_eval" -> (Queries.classifierEval _),
+    "q_dataset_manifest" -> (Queries.datasetManifest _),
     "q_corpus_card" -> (Queries.corpusCard _),
     "q_sequence_manifest" -> (Queries.sequenceManifest _),
   )
@@ -2548,6 +2549,31 @@ object SparkEntry {
 
     "q_curate_v3" -> (curateV3Ctes + """
          SELECT doc_id, clean, split FROM cv3"""),
+
+    // dataset manifest: the pack-sequence shard rule + an order-invariant
+    // XOR of per-doc sha256-prefix fingerprints (15 hex chars = 60 bits,
+    // signed-BIGINT-safe in both engines)
+    "q_dataset_manifest" -> (s"""
+         WITH mt AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         mo AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+           FROM mt),
+         ms AS (SELECT doc_id, n_tokens,
+             CAST(FLOOR(start_offset / ${Queries.PackBudget}.0) AS BIGINT)
+               % ${Queries.NShards} AS shard_id
+           FROM mo),
+         mf AS (SELECT ms.shard_id, ms.n_tokens,
+             CAST(concat('0x', substr(sha256(concat(CAST(d.doc_id AS VARCHAR),
+               ':', d.text)), 1, 15)) AS BIGINT) AS fp
+           FROM ms JOIN documents d USING (doc_id))
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+           bit_xor(fp) AS content_fp
+         FROM mf GROUP BY shard_id"""),
 
     // classifier evaluation: confusion rollup + derived metrics, all
     // single float divisions of exact BIGINT counts

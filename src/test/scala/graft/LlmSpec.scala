@@ -678,6 +678,20 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("dataset manifest fingerprint: partition-invariant, flips on any content change") {
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(conv(substring(sha2(concat($"doc_id".cast("string"), lit(":"),
+        $"text"), 256), 1, 15), 16, 10).cast("long").as("fp"))
+      .agg(expr("bit_xor(fp)")).head.getLong(0)
+    val base = (1L to 6L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
+    val oneEdit = (1L to 6L).map(i =>
+      (i, if (i == 4L) "document number 4 bodY" else s"document number $i body"))
+      .toDF("doc_id", "text")
+    assert(fingerprint(base) == fingerprint(base.repartition(7))) // XOR: order-free
+    assert(fingerprint(base) != fingerprint(oneEdit))             // 1-char change flips
+    assert(fingerprint(base) != fingerprint(base.limit(5)))       // a missing doc flips
+  }
+
   test("curate v4: v3 survivors ∧ classifier keep, contiguous band-major positions") {
     val v4 = Queries.curateV4(spark, TestSpark.sfDir).collect()
     val v3Ids = Queries.curateV3(spark, TestSpark.sfDir).collect()
