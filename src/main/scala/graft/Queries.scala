@@ -368,6 +368,95 @@ object Queries {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     sharedPairs(s, dir)
 
+  // fixed probe-prefix size for the LSH recall eval: ground truth is exact
+  // Jaccard of each probe against the FULL corpus, so a fixed probe count
+  // keeps the eval linear in corpus size (the same reason q_ann_recall
+  // evaluates a fixed query set, not all-pairs)
+  val DedupProbeN = 50L
+
+  /** LSH dedup-quality eval: recall and candidate precision of the MinHash
+    * banding pipeline against EXACT ground truth on a fixed probe set —
+    * the dedup-plane twin of [[annRecall]]. Ground truth is every pair
+    * (probe, other) with exact 16-char-shingle Jaccard ≥ 0.5, computed by
+    * broadcasting the probe shingle sets over one scan-local corpus pass
+    * (probe side is fixed-size, so this stays linear at 100 TB — the
+    * standard way an LSH parameter choice (bands × rows, bucketCap) is
+    * audited before a sweep is trusted). Candidates are the
+    * session-memoized verified-pairs table restricted to probe pairs:
+    *   recall         = true pairs the LSH pipeline surfaced / true pairs
+    *   cand_precision = surfaced candidates that verify ≥ 0.5 / candidates
+    */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val docs = Tables.documents(s, dir)
+    val setExpr = array_distinct(expr(
+      s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))"))
+    val sets = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"), setExpr.as("__sh"))
+    val probeSets = sets.filter(col("doc_id") < DedupProbeN)
+      .select(col("doc_id").as("p_id"), col("__sh").as("p_sh"))
+    val truePairs = sets.crossJoin(broadcast(probeSets))
+      .filter(col("doc_id") =!= col("p_id"))
+      .select(col("doc_id"), col("p_id"),
+        size(array_intersect(col("__sh"), col("p_sh"))).cast("long").as("n_inter"),
+        size(col("__sh")).cast("long").as("n_c"),
+        size(col("p_sh")).cast("long").as("n_p"))
+      // n_inter referenced twice keeps CollapseProject from re-inlining the
+      // array_intersect into numerator and denominator (same guard as the
+      // verified-pairs builder)
+      .select(least(col("doc_id"), col("p_id")).as("doc_a"),
+        greatest(col("doc_id"), col("p_id")).as("doc_b"),
+        (col("n_inter").cast("double") / (col("n_c") + col("n_p") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      // a probe×probe pair arrives once from each side; distinct is over
+      // the true-pair sliver, not the corpus
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // candidate pairs involving a probe: doc_a < doc_b in the pair table,
+    // so "involves a doc_id < DedupProbeN" is exactly doc_a < DedupProbeN
+    val cand = sharedPairs(s, dir).filter(col("doc_a") < DedupProbeN)
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L))
+          .as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        (col("n_hits").cast("double") / nullif(col("n_true"), lit(0L))).as("recall"),
+        (col("n_hits").cast("double") / nullif(col("n_candidates"), lit(0L)))
+          .as("cand_precision"))
+  }
+
+  // edit-similarity floor for q_edit_neardup: on the synthetic corpus the
+  // shingle-verified pairs sit ≥ 0.93 and the sole false candidate at
+  // 0.35, so 0.8 separates cleanly at any sf
+  val EditSimThreshold = 0.8
+
+  /** Character-level near-dup verification: exact Levenshtein distance
+    * over the LSH candidate sliver — the edit-distance complement of the
+    * shingle-Jaccard verify (Jaccard is order-insensitive; edit distance
+    * catches the transposition/rewrite structure set similarity cannot).
+    * The O(len²) DP runs ONLY on the session-memoized candidate pairs —
+    * never corpus×corpus — so the cost is the pair sliver, which bucketCap
+    * bounds at any corpus size; the text lookup is two linear joins of
+    * that sliver against the scan. `edit_sim` = 1 − dist/max(len): one
+    * IEEE division + subtraction, cross-engine exact.
+    */
+  def editNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    sharedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("__ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("__tb")), Seq("doc_b"))
+      // lev is referenced twice downstream, which keeps CollapseProject
+      // from re-inlining the DP into both the output and the similarity
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long").as("__len"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast("double") / col("__len")).as("edit_sim"))
+      .filter(col("edit_sim") >= EditSimThreshold)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
+  }
+
   /** Dedup clusters: connected components over verified MinHash pairs at
     * jaccard ≥ 0.5 — cluster_id = min reachable doc id, singletons keep
     * their own id.

@@ -144,7 +144,14 @@ object ScaleProbe {
       "binary_hamming_topk" -> (Queries.binaryHammingTopK _),
       // round 7b: marginal over the shared memos = survivor sliver joins
       // + its banded windows (same claim as curate_v2/v3)
-      "curate_v4" -> (Queries.curateV4 _))
+      "curate_v4" -> (Queries.curateV4 _),
+      // round 7c: ground truth broadcasts the FIXED probe set over one
+      // scan-local corpus pass — shuffle is the true-pair sliver plus
+      // single-row aggregates, so growth must stay ~linear in corpus size
+      "minhash_recall" -> (Queries.minhashRecall _),
+      // round 7c: the O(len²) DP runs only on the memoized pair sliver —
+      // shuffle is that sliver's two text-lookup joins, ~linear growth
+      "edit_neardup" -> (Queries.editNearDup _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

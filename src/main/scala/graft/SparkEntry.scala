@@ -49,6 +49,8 @@ object SparkEntry {
     "q_day_filehash" -> (Queries.dayFileHash _),
     "q_docs_exact_dedup" -> (Queries.docsExactDedup _),
     "q_minhash_pairs" -> (Queries.minhashPairs _),
+    "q_minhash_recall" -> (Queries.minhashRecall _),
+    "q_edit_neardup" -> (Queries.editNearDup _),
     "q_dedup_clusters" -> (Queries.dedupClusters _),
     "q_dedup_keep" -> (Queries.dedupKeep _),
     "q_simhash" -> (Queries.simhash _),
@@ -1321,6 +1323,50 @@ object SparkEntry {
     "q_minhash_pairs" -> (minhashReachCte +
       """
          SELECT doc_a, doc_b, jaccard FROM jac"""),
+
+    // LSH recall eval: ground truth = exact shingle Jaccard of each probe
+    // (doc_id < DedupProbeN) against the full corpus, reusing the shared
+    // sh/cnt CTEs; candidates = the jac chain restricted to probe pairs
+    "q_minhash_recall" -> (minhashReachCte + s"""
+         , pinter AS (
+           SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b,
+                  count(DISTINCT a.shingle) AS n_inter
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < ${Queries.DedupProbeN}
+            AND b.doc_id <> a.doc_id
+           GROUP BY 1, 2),
+         tj AS (
+           SELECT i.doc_a, i.doc_b,
+             CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS j
+           FROM pinter i
+           JOIN cnt ca ON ca.doc_id = i.doc_a
+           JOIN cnt cb ON cb.doc_id = i.doc_b),
+         tp AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tj WHERE j >= 0.5),
+         pc AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+           FROM jac WHERE doc_a < ${Queries.DedupProbeN})
+         SELECT n_true, n_candidates, n_hits,
+           CAST(n_hits AS DOUBLE) / nullif(n_true, 0) AS recall,
+           CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0) AS cand_precision
+         FROM tp, pc"""),
+
+    // edit-distance verification of the LSH candidate sliver: DuckDB's
+    // levenshtein is the same integer DP as Spark's; the similarity is a
+    // single IEEE division + subtraction, so the hash compare is exact
+    "q_edit_neardup" -> (minhashReachCte + s"""
+         , ed AS (
+           SELECT p.doc_a, p.doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS len_m
+           FROM pairs p
+           JOIN documents a ON a.doc_id = p.doc_a
+           JOIN documents b ON b.doc_id = p.doc_b)
+         SELECT doc_a, doc_b, edit_dist,
+           1.0 - CAST(edit_dist AS DOUBLE) / len_m AS edit_sim
+         FROM ed
+         WHERE 1.0 - CAST(edit_dist AS DOUBLE) / len_m >= ${Queries.EditSimThreshold}"""),
 
     "q_dedup_clusters" -> (minhashReachCte +
       """

@@ -1813,6 +1813,57 @@ class LlmSpec extends AnyFunSuite {
     assert(out.forall(r => Set("train", "holdout")(r.getAs[String]("split"))))
   }
 
+  test("minhash recall: LSH surfaces the exact near-dup probe pairs; counts reconcile") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Queries.minhashRecall(spark, dir).collect() match {
+      case Array(only) => only
+      case other => fail(s"expected one summary row, got ${other.length}")
+    }
+    val nTrue = r.getAs[Long]("n_true"); val nCand = r.getAs[Long]("n_candidates")
+    val nHits = r.getAs[Long]("n_hits")
+    assert(nTrue > 0, "synthetic corpus must contain probe near-dups")
+    assert(nHits <= nCand && nHits <= nTrue)
+    // the candidate counts must reconcile with the shared pair table the
+    // query reads (doc_a < probe-N is exactly "involves a probe")
+    val probeCand = Queries.minhashPairs(spark, dir)
+      .filter(col("doc_a") < Queries.DedupProbeN)
+    assert(nCand == probeCand.count())
+    assert(nHits == probeCand.filter(col("jaccard") >= 0.5).count())
+    assert(r.getAs[Double]("recall") == nHits.toDouble / nTrue)
+    assert(r.getAs[Double]("cand_precision") == nHits.toDouble / nCand)
+    // the synthetic near-dups sit far above the 0.5 threshold, where the
+    // 4-band × 2-row collision probability is ~1 — the sweep finds them all
+    assert(r.getAs[Double]("recall") >= 0.9)
+  }
+
+  test("edit neardup: Levenshtein verify on the candidate sliver matches a reference DP") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Queries.editNearDup(spark, dir).collect()
+    assert(out.nonEmpty, "synthetic corpus must contain edit-near pairs")
+    assert(out.forall { r =>
+      val s = r.getAs[Double]("edit_sim")
+      s >= Queries.EditSimThreshold && s <= 1.0
+    })
+    // independent check: recompute one pair's distance with a plain DP
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cur
+        }
+      }
+      prev(b.length)
+    }
+    val texts = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val probe = out.head
+    assert(probe.getAs[Long]("edit_dist") ==
+      lev(texts(probe.getAs[Long]("doc_a")), texts(probe.getAs[Long]("doc_b"))))
+  }
+
   test("ann recall: IVF-probed top-k recovers brute-force neighbors on testdata") {
     val dir = "/root/testdata/sf0.001"
     val rows = Queries.annRecall(spark, dir).collect()
