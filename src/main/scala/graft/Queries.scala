@@ -1616,6 +1616,60 @@ object Queries {
     TextOps.epochOrder(Tables.documents(s, dir), "doc_id",
       seed = EpochSeed, nShards = EpochShards)
 
+  // ---- line-plane curation (LineOps): the synthetic corpus is
+  // single-line, so the line operators run over a deterministic MULTILINE
+  // view — the text re-wrapped at LineWrapTokens tokens per line, plus
+  // seeded boilerplate / junk / duplicate lines on fixed doc_id residues
+  // (same rationale as seededDocs for PII: without seeding, every line
+  // oracle would vacuously pass). The oracle replays the identical view
+  // in SQL (mLinesCte in SparkEntry).
+  val LineWrapTokens = 8
+  val LineDedupMinDocs = 30L
+  val LineFilterMinTokens = 3
+  val LineSeedBoiler = "subscribe to the newsletter today"
+  val LineSeedJunk = "HOME | ABOUT | CONTACT\n- click here now\nok"
+  val LineSeedDup = "all rights reserved"
+
+  /** The multiline corpus view: 8-token lines + seeded lines. The wrap
+    * regex replaces every 8th token's trailing space with a newline
+    * (left-to-right non-overlapping — identical semantics in Java regex
+    * and DuckDB's RE2).
+    */
+  private def multilineDocs(s: SparkSession, dir: String): DataFrame = {
+    val wrapPat = s"((?:\\S+ ){${LineWrapTokens - 1}}\\S+) "
+    Tables.documents(s, dir).withColumn("text", concat(
+      regexp_replace(col("text"), wrapPat, "$1\n"),
+      when(col("doc_id") % 7 === 2, lit("\n" + LineSeedBoiler)).otherwise(lit("")),
+      when(col("doc_id") % 11 === 5, lit("\n" + LineSeedJunk)).otherwise(lit("")),
+      when(col("doc_id") % 13 === 1,
+        lit("\n" + LineSeedDup + "\n" + LineSeedDup)).otherwise(lit(""))))
+  }
+
+  /** CCNet-style corpus-wide boilerplate-line removal (see
+    * [[graft.llm.LineOps.lineDedup]]): every copy of a line present in ≥
+    * [[LineDedupMinDocs]] distinct documents is dropped. The seeded
+    * boilerplate/junk/dup lines all cross the threshold at every sf
+    * (residues 7/11/13 ⇒ ≥ 1/13 of the corpus each; sf0.001 = 500 docs ⇒
+    * ≥ 38 docs); natural 8-token lines of the random-word corpus stay
+    * far below it.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LineOps.lineDedup(multilineDocs(s, dir), "doc_id", "text",
+      minDocs = LineDedupMinDocs)
+
+  /** Within-document first-occurrence line dedup (see
+    * [[graft.llm.LineOps.intraDocDedup]]) — scan-local, zero exchanges.
+    */
+  def intraDocDedup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LineOps.intraDocDedup(multilineDocs(s, dir), "doc_id", "text")
+
+  /** Rule-based junk-line stripping (see [[graft.llm.LineOps.lineFilter]])
+    * — scan-local, zero exchanges.
+    */
+  def lineFilterDocs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LineOps.lineFilter(multilineDocs(s, dir), "doc_id", "text",
+      minTokens = LineFilterMinTokens)
+
   // OOV audit: rate against the corpus top-N vocabulary
   val OovVocabTopN = 10
   // v2 curation LM-score floor: the corpus median (~0.0345 at sf0.01), so

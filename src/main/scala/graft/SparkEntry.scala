@@ -115,6 +115,9 @@ object SparkEntry {
     "q_lm_score" -> (Queries.lmScore _),
     "q_gopher_rules" -> (Queries.gopherRules _),
     "q_chunk_dedup_hashed" -> (Queries.chunkDedupHashed _),
+    "q_line_dedup" -> (Queries.lineDedup _),
+    "q_intradoc_dedup" -> (Queries.intraDocDedup _),
+    "q_line_filter" -> (Queries.lineFilterDocs _),
     "q_epoch_order" -> (Queries.epochOrder _),
     "q_curriculum_order" -> (Queries.curriculumOrder _),
     "q_split_leakage" -> (Queries.splitLeakage _),
@@ -551,6 +554,49 @@ object SparkEntry {
            coalesce(kept.n_kept, 0) AS n_kept,
            coalesce(kept.kept_text, '') AS kept_text
          FROM d LEFT JOIN kept USING (doc_id)""")
+
+  /** A seed string with embedded newlines as a SQL concat of its lines
+    * joined by chr(10) — no raw control characters ride the SQL text
+    * (same convention as the unicode-seed chr() spelling).
+    */
+  private def seedLinesSql(s: String): String =
+    s.split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
+
+  /** The multiline corpus view (Queries.multilineDocs replayed in SQL):
+    * text re-wrapped at LineWrapTokens tokens per line + the seeded
+    * boilerplate/junk/duplicate lines on the same doc_id residues. `ml`
+    * carries the split line list, `pl` the per-line rows with 1-based
+    * positions — shared by all three line-plane oracles.
+    */
+  private val mLinesCtes: String = {
+    val wrapPat = s"((?:\\S+ ){${Queries.LineWrapTokens - 1}}\\S+) "
+    s"""mdocs AS (
+           SELECT doc_id,
+             regexp_replace(text, '$wrapPat', '\\1' || chr(10), 'g')
+             || CASE WHEN doc_id % 7 = 2
+               THEN chr(10) || '${Queries.LineSeedBoiler}' ELSE '' END
+             || CASE WHEN doc_id % 11 = 5
+               THEN chr(10) || ${seedLinesSql(Queries.LineSeedJunk)} ELSE '' END
+             || CASE WHEN doc_id % 13 = 1
+               THEN chr(10) || '${Queries.LineSeedDup}' || chr(10) ||
+                 '${Queries.LineSeedDup}' ELSE '' END AS text
+           FROM documents),
+         ml AS (
+           SELECT doc_id, string_split(text, chr(10)) AS ls FROM mdocs),
+         pl AS (
+           SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) AS pos
+           FROM ml)"""
+  }
+
+  /** The LineOps.lineKeep predicate over a SQL line expression `x` —
+    * single-sourced thresholds; the lambda body of the line-filter oracle.
+    */
+  private def lineKeepSql(x: String): String =
+    s"len(string_split($x, ' ')) >= ${Queries.LineFilterMinTokens} " +
+      s"AND NOT starts_with($x, '- ') AND NOT starts_with($x, '* ') " +
+      s"AND 2 * length(regexp_replace($x, '[^A-Z]', '', 'g')) <= " +
+      s"length(regexp_replace($x, '[^A-Za-z]', '', 'g'))"
 
   /** IVF CTE chain (`n2` → … → `pairs`) WITHOUT the final rank-select —
     * shared by `q_ivf_topk`/`q_ivf_topk_indexed` (which rank to top-10)
@@ -2395,6 +2441,50 @@ object SparkEntry {
     // kept — identical output absent a 64-bit collision.
     "q_chunk_dedup_hashed" -> chunkDedupSql,
     "q_chunk_dedup" -> chunkDedupSql,
+
+    // CCNet-style boilerplate-line removal over the seeded multiline
+    // view: a line in >= LineDedupMinDocs distinct docs is dropped from
+    // every document; reassembly preserves original line order
+    "q_line_dedup" -> (s"""WITH $mLinesCtes,
+         hot AS (
+           SELECT line FROM (SELECT DISTINCT line, doc_id FROM pl)
+           GROUP BY line HAVING count(*) >= ${Queries.LineDedupMinDocs}),
+         keptl AS (
+           SELECT * FROM pl WHERE line NOT IN (SELECT line FROM hot)),
+         r AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM keptl GROUP BY doc_id)
+         SELECT ml.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(ml.ls) AS BIGINT) AS n_lines,
+           CAST(len(ml.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM ml LEFT JOIN r USING (doc_id)"""),
+
+    // within-document first-occurrence line dedup on the same view
+    "q_intradoc_dedup" -> (s"""WITH $mLinesCtes,
+         f AS (
+           SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+           FROM pl),
+         k AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM f WHERE rn = 1 GROUP BY doc_id)
+         SELECT ml.doc_id, k.clean_text,
+           CAST(len(ml.ls) AS BIGINT) AS n_lines,
+           CAST(len(ml.ls) - k.n_kept AS BIGINT) AS n_dupes_removed
+         FROM ml JOIN k USING (doc_id)"""),
+
+    // rule-based junk-line strip: the lineKeep predicate as a list_filter
+    // lambda over the split line list — scan-local on both engines
+    "q_line_filter" -> (s"""WITH $mLinesCtes
+         SELECT doc_id,
+           array_to_string(list_filter(ls, x -> ${lineKeepSql("x")}),
+             chr(10)) AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls, x -> ${lineKeepSql("x")})) AS BIGINT)
+             AS n_kept
+         FROM ml"""),
 
 
     // ANN recall@10: per query, |IVF top-10 ∩ brute-force top-10| / 10 —

@@ -1877,4 +1877,42 @@ class LlmSpec extends AnyFunSuite {
     // probing enough centroids must find at least half the true neighbors
     assert(rows.map(_.getAs[Double]("recall")).sum / 5 >= 0.5)
   }
+
+  test("line dedup: a line in >= minDocs docs is dropped from EVERY doc, rare lines survive") {
+    val docs = Seq(
+      (1L, "keep me alpha\nsubscribe now\nkeep me beta"),
+      (2L, "subscribe now\nanother unique line"),
+      (3L, "subscribe now"), // all boilerplate -> empty survivor
+      (4L, "no boilerplate here at all")
+    ).toDF("doc_id", "text")
+    val out = LineOps.lineDedup(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("keep me alpha\nkeep me beta", 3L, 1L)))
+    assert(out(2L) == (("another unique line", 2L, 1L)))
+    assert(out(3L) == (("", 1L, 1L))) // the doc survives, its text doesn't
+    assert(out(4L) == (("no boilerplate here at all", 1L, 0L)))
+  }
+
+  test("intra-doc dedup keeps the FIRST occurrence of each line, order preserved") {
+    val docs = Seq(
+      (1L, "a b c\nd e f\na b c\ng h i\nd e f"),
+      (2L, "only one line")
+    ).toDF("doc_id", "text")
+    val out = LineOps.intraDocDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c\nd e f\ng h i", 5L, 2L)))
+    assert(out(2L) == (("only one line", 1L, 0L)))
+  }
+
+  test("line filter drops short, bullet, and uppercase-heavy lines; keeps prose") {
+    val docs = Seq(
+      (1L, "a normal prose line\nok\n- click here now\n* star bullet line\n" +
+        "HOME | ABOUT | CONTACT\nanother Fine Prose line")
+    ).toDF("doc_id", "text")
+    val r = LineOps.lineFilter(docs, "doc_id", "text", minTokens = 3).collect().head
+    assert(r.getString(1) == "a normal prose line\nanother Fine Prose line")
+    assert(r.getLong(2) == 6L && r.getLong(3) == 2L)
+  }
 }

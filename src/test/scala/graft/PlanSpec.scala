@@ -156,6 +156,15 @@ class PlanSpec extends AnyFunSuite {
       s"window chunking is an in-row explode; an Exchange is a regression:\n${plan.take(3000)}")
   }
 
+  test("intra-doc line dedup and line filter plans are scan-local: no exchange") {
+    Seq(Queries.intraDocDedup(spark, TestSpark.sfDir),
+        Queries.lineFilterDocs(spark, TestSpark.sfDir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"line-local curation is an in-row higher-order filter; an Exchange is a regression:\n${plan.take(3000)}")
+    }
+  }
+
   test("semantic decon broadcasts the eval slice; the corpus never sort-merges") {
     val plan = Queries.decontaminateSemantic(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
