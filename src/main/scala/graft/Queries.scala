@@ -1670,6 +1670,38 @@ object Queries {
     graft.llm.LineOps.lineFilter(multilineDocs(s, dir), "doc_id", "text",
       minTokens = LineFilterMinTokens)
 
+  // heavy-hitter gate: tokens at ≥ 1% of the corpus token stream. The MG
+  // guarantee needs k > 1/phi; 128 > 100 leaves eviction headroom. At
+  // every sf the generator's 30 common tokens sit at ~3.2% and the seeded
+  // rare token at ~0.1% — the threshold separates them deterministically.
+  val HeavyHitterPhi = 0.01
+  val HeavyHitterK = 128
+
+  /** Exact heavy-hitter tokens via Misra–Gries sketch + exact confirm
+    * (see [[graft.llm.HeavyHitters.heavyHitterTokens]]): the sketch pass
+    * moves O(k·partitions) instead of the full vocabulary, the confirm
+    * pass counts only the ≤k candidates, and the k·phi>1 guarantee makes
+    * the confirmed result identical to a full GROUP BY + HAVING — which
+    * is exactly what the oracle runs.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.llm.HeavyHitters.heavyHitterTokens(Tables.documents(s, dir),
+      "text", phi = HeavyHitterPhi, k = HeavyHitterK)
+
+  // PMI gate: ≥5 co-occurrences keeps one-off juxtapositions out of the
+  // top list; 50 rows is the collocation-table size
+  val PmiMinPair = 5L
+  val PmiTopK = 50
+
+  /** Top-k PMI collocations over adjacent token pairs (see
+    * [[graft.llm.TextOps.pmiCollocations]]) — emitted as the monotone
+    * PMI ratio so the ranking crosses engines bit-exactly without a
+    * libm log in the compare path.
+    */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextOps.pmiCollocations(Tables.documents(s, dir), "text",
+      minPair = PmiMinPair, k = PmiTopK)
+
   // OOV audit: rate against the corpus top-N vocabulary
   val OovVocabTopN = 10
   // v2 curation LM-score floor: the corpus median (~0.0345 at sf0.01), so

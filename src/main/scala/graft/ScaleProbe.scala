@@ -151,7 +151,16 @@ object ScaleProbe {
       "minhash_recall" -> (Queries.minhashRecall _),
       // round 7c: the O(len²) DP runs only on the memoized pair sliver —
       // shuffle is that sliver's two text-lookup joins, ~linear growth
-      "edit_neardup" -> (Queries.editNearDup _))
+      "edit_neardup" -> (Queries.editNearDup _),
+      // round 7d: line dedup — two-level (line-hash, doc) partial agg +
+      // hot-sliver anti-join + per-doc regroup; shuffle ~linear in corpus
+      // lines (the hot set is threshold-bounded tiny)
+      "line_dedup" -> (Queries.lineDedup _),
+      // round 7d: MG sketch partial buffers are k-bounded, so the sketch
+      // exchange is O(k·partitions) — corpus-size-INVARIANT; the confirm
+      // pass hash-aggregates only the ≤k-candidate sliver. Wall time may
+      // grow (two scans) but shuffle rows should stay ~flat
+      "heavy_hitters" -> (Queries.heavyHitters _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

@@ -118,6 +118,8 @@ object SparkEntry {
     "q_line_dedup" -> (Queries.lineDedup _),
     "q_intradoc_dedup" -> (Queries.intraDocDedup _),
     "q_line_filter" -> (Queries.lineFilterDocs _),
+    "q_heavy_hitters" -> (Queries.heavyHitters _),
+    "q_pmi_collocations" -> (Queries.pmiCollocations _),
     "q_epoch_order" -> (Queries.epochOrder _),
     "q_curriculum_order" -> (Queries.curriculumOrder _),
     "q_split_leakage" -> (Queries.splitLeakage _),
@@ -2485,6 +2487,43 @@ object SparkEntry {
            CAST(len(list_filter(ls, x -> ${lineKeepSql("x")})) AS BIGINT)
              AS n_kept
          FROM ml"""),
+
+    // exact heavy hitters: the Spark side answers via MG sketch + exact
+    // confirm, whose k·phi>1 guarantee makes it EQUAL to this full
+    // GROUP BY + HAVING (the whole point of the exact-confirm pass)
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tot AS (SELECT COUNT(*) AS total FROM t)
+         SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS DOUBLE) / total AS share
+         FROM t, tot GROUP BY token, total
+         HAVING COUNT(*) >= CAST(CEIL(${Queries.HeavyHitterPhi} * total) AS BIGINT)""",
+
+    // PMI collocations: the ratio chain below is written in EXACTLY the
+    // Spark operator's operation order (exact BIGINT counts → one fixed
+    // shape of IEEE double ops), so the doubles are bit-identical
+    "q_pmi_collocations" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         pc AS (
+           SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_pair FROM (
+             SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+             FROM w WHERE len(ws) >= 2) b
+           GROUP BY 1, 2),
+         uc AS (SELECT t, COUNT(*) AS n FROM
+           (SELECT unnest(ws) AS t FROM w) u GROUP BY t),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM uc),
+         btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM pc)
+         SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
+           CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+           (CAST(pc.n_pair AS DOUBLE) * n_tokens * n_tokens) /
+             (CAST(n_bigrams AS DOUBLE) * ua.n * ub.n) AS pmi_ratio
+         FROM pc, tot, btot
+         JOIN uc ua ON ua.t = pc.w1
+         JOIN uc ub ON ub.t = pc.w2
+         WHERE pc.n_pair >= ${Queries.PmiMinPair}
+         ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT ${Queries.PmiTopK}""",
 
 
     // ANN recall@10: per query, |IVF top-10 ∩ brute-force top-10| / 10 —

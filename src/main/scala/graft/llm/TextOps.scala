@@ -543,6 +543,55 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** PMI collocations (Church & Hanks 1990, "Word association norms,
+    * mutual information, and lexicography"): the top-k adjacent token
+    * pairs by pointwise mutual information, with a pair-count floor so
+    * one-off juxtapositions cannot top the list.
+    *
+    * Emits the PMI RATIO p(a,b)/(p(a)·p(b)) = n_pair·N_tok²/(N_big·n_a·n_b)
+    * rather than its log: the ratio is a monotone transform of PMI (the
+    * ranking is identical), and it crosses engines bit-exactly — exact
+    * BIGINT counts into one fixed-shape chain of IEEE double ops —
+    * where a libm `ln` could drift an ulp (same stance as
+    * [[sourceEntropy]], minus the need for quantization).
+    *
+    * Scale shape: ONE corpus-scale exchange — the bigram hash-agg with
+    * map-side partials. Unigram counts, both totals, and the final join
+    * all operate on the vocabulary(²)-bounded stat tables (unigrams
+    * broadcast twice; totals roll up the stat tables instead of
+    * rescanning the corpus), and the top-k is TakeOrderedAndProject,
+    * never a global sort.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minPair: Long,
+      k: Int): DataFrame = {
+    val pairCounts = docs
+      .select(tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> named_struct('w1', __w[i - 1], 'w2', __w[i]))")).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uniCounts = docs
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val nTokens = uniCounts.agg(sum(col("__n")).as("__n_tok"))
+    val nBigrams = pairCounts.agg(sum(col("n_pair")).as("__n_big"))
+    pairCounts.filter(col("n_pair") >= minPair)
+      .join(broadcast(uniCounts.select(col("__t").as("w1"), col("__n").as("n_a"))), Seq("w1"))
+      .join(broadcast(uniCounts.select(col("__t").as("w2"), col("__n").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(nTokens))
+      .crossJoin(broadcast(nBigrams))
+      // fixed-shape double chain — written IDENTICALLY in the oracle SQL
+      .withColumn("pmi_ratio",
+        (col("n_pair").cast("double") * col("__n_tok") * col("__n_tok")) /
+          (col("__n_big").cast("double") * col("n_a") * col("n_b")))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_a"), col("n_b"),
+        col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Per-source lexical-diversity rollup — the data-card metric that
     * catches a source gone templated/repetitive before training on it:
     * token volume, vocabulary size, type-token ratio, and Shannon

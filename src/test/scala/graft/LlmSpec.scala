@@ -1915,4 +1915,63 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getString(1) == "a normal prose line\nanother Fine Prose line")
     assert(r.getLong(2) == 6L && r.getLong(3) == 2L)
   }
+
+  test("misra-gries: items above n/k survive ANY partitioning; lbs never exceed truth") {
+    val stream = Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 60).map(i => s"unique$i") // n=140, k=5 -> guarantee floor 28
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (p <- Seq(1, 4, 13)) {
+      val sketch = stream.toDF("t").repartition(p)
+        .agg(HeavyHitters.misraGries(col("t"), 5).as("s"))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+      assert(sketch.size <= 5)
+      val items = sketch.map(_.getString(0))
+      // 50 > 28 and 30 > 28: both MUST be present however partials merged
+      assert(items.contains("hot") && items.contains("warm"), s"p=$p: $items")
+      sketch.foreach { r =>
+        assert(r.getLong(1) <= truth(r.getString(0)),
+          s"p=$p: lb exceeds true count for ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("misra-gries: nulls are skipped; buffer serde round-trips") {
+    val withNulls = Seq(Some("a"), None, Some("a"), Some("b"), None)
+      .toDF("t").repartition(3)
+    val sketch = withNulls.agg(HeavyHitters.misraGries(col("t"), 4))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(sketch.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+    // direct serde round-trip (the distributed path above already
+    // exercises it via partial-buffer shipping; this pins the format)
+    val agg = MisraGriesSketch(org.apache.spark.sql.graftbridge.toExpression(org.apache.spark.sql.functions.lit("x")), 3)
+    val buf = scala.collection.mutable.HashMap(
+      org.apache.spark.unsafe.types.UTF8String.fromString("k1") -> 7L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("k2") -> 2L)
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+  }
+
+  test("heavy hitters: sketch + exact confirm equals the brute-force GROUP BY") {
+    val docs = Seq(
+      (1L, "x x x y y z common common common common"),
+      (2L, "x y common common rare1 rare2 rare3"),
+      (3L, "common x x y unique tail words here")
+    ).toDF("doc_id", "text")
+    // n=25 tokens; phi=0.15 -> threshold ceil(3.75)=4: common(8) and x(6)
+    // qualify, y(4) exactly at threshold qualifies, z/rares do not
+    val out = HeavyHitters.heavyHitterTokens(docs, "text", phi = 0.15, k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().filter(col("count") >= 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(1) / 25.0)).toSet
+    assert(out == brute)
+    assert(out.map(_._1) == Set("common", "x", "y"))
+  }
+
+  test("heavy hitters: k*phi <= 1 is rejected (guarantee would not hold)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHitterTokens(docs, "text", phi = 0.01, k = 100)
+    }
+  }
 }
