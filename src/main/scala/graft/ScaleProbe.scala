@@ -160,7 +160,11 @@ object ScaleProbe {
       // exchange is O(k·partitions) — corpus-size-INVARIANT; the confirm
       // pass hash-aggregates only the ≤k-candidate sliver. Wall time may
       // grow (two scans) but shuffle rows should stay ~flat
-      "heavy_hitters" -> (Queries.heavyHitters _))
+      "heavy_hitters" -> (Queries.heavyHitters _),
+      // round 7d: one corpus-scale exchange (the bigram hash-agg, same
+      // stream bigram_topk probes); everything downstream is
+      // vocabulary(²)-bounded stat tables behind broadcasts
+      "pmi_collocations" -> (Queries.pmiCollocations _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

@@ -1974,4 +1974,26 @@ class LlmSpec extends AnyFunSuite {
       HeavyHitters.heavyHitterTokens(docs, "text", phi = 0.01, k = 100)
     }
   }
+
+  test("pmi collocations: the glued pair tops the list; the floor drops rare pairs") {
+    val docs = Seq(
+      (1L, "ice cream ice cream ice cream ice cream ice cream"),
+      (2L, "w x w y w z w x w y")
+    ).toDF("doc_id", "text")
+    // N_tok=20, N_big=18; qualifying pairs at floor 4: (ice,cream) x5 and
+    // (cream,ice) x4 — every doc-2 bigram occurs at most twice
+    val out = TextOps.pmiCollocations(docs, "text", minPair = 4L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.length == 2)
+    // expected ratios via the SAME double chain the operator uses
+    val iceCream = (5.0 * 20 * 20) / (18.0 * 5 * 5)
+    val creamIce = (4.0 * 20 * 20) / (18.0 * 5 * 5)
+    assert(out(0) == (("ice", "cream", 5L, 5L, 5L, iceCream)))
+    assert(out(1) == (("cream", "ice", 4L, 5L, 5L, creamIce)))
+    // k truncates after the PMI ordering
+    val top1 = TextOps.pmiCollocations(docs, "text", minPair = 4L, k = 1)
+      .collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "ice")
+  }
 }

@@ -142,6 +142,19 @@ class PlanSpec extends AnyFunSuite {
     CacheBin.drain()
   }
 
+  test("pmi stats sides broadcast; top-k is TakeOrdered, never a global sort") {
+    val df = Queries.pmiCollocations(spark, TestSpark.sfDir)
+    df.collect() // AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join means a vocabulary-bounded stats table shuffled " +
+        s"the bigram table:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-k must not plan a global sort:\n${plan.take(3000)}")
+    CacheBin.drain()
+  }
+
   test("gopher rules plan scan-local: no exchange at all") {
     val plan = Queries.gopherRules(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
