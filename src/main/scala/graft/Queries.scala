@@ -499,6 +499,24 @@ object Queries {
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id").as("doc_id"), col("n_members"))
 
+  /** Priority-aware cluster resolution: one survivor per dedup cluster,
+    * chosen by QUALITY (highest [[lmScore]], doc_id tie-break) instead of
+    * positional min-id — when near-dups differ (one clean copy, one
+    * boilerplate-wrapped), the keep-list should retain the best copy,
+    * not the one with the smallest id. Unscored docs (<2 tokens) rank
+    * below every scored one via a -1.0 sentinel (scores are positive),
+    * spelled identically in the oracle's `coalesce(lm_score, -1.0)`.
+    *
+    * Scale shape: two memoized inputs (cluster map, LM table) joined on
+    * doc_id, then ONE cluster-keyed hash aggregate — the argmax is
+    * `min(struct(-score, doc_id))`, which partial-aggregates map-side;
+    * no window, no global sort. `promoted` flags clusters where quality
+    * overrode the min-id choice.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.keepBest(dedupClusters(s, dir),
+      lmScore(s, dir).select(col("doc_id"), col("lm_score")), "lm_score")
+
   /** Cross-source near-dup leakage matrix: verified near-dup pairs
     * (jaccard ≥ 0.5) bucketed by unordered source pair — the
     * "which feeds duplicate each other" audit a corpus mixture needs

@@ -164,7 +164,11 @@ object ScaleProbe {
       // round 7d: one corpus-scale exchange (the bigram hash-agg, same
       // stream bigram_topk probes); everything downstream is
       // vocabulary(²)-bounded stat tables behind broadcasts
-      "pmi_collocations" -> (Queries.pmiCollocations _))
+      "pmi_collocations" -> (Queries.pmiCollocations _),
+      // round 7d: rides the cluster + LM memos (probe it AFTER dedup_keep
+      // and lm_score to see the marginal cost) — one doc_id join and one
+      // cluster-keyed partial-agg argmax
+      "keep_best" -> (Queries.dedupKeepBest _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

@@ -120,6 +120,7 @@ object SparkEntry {
     "q_line_filter" -> (Queries.lineFilterDocs _),
     "q_heavy_hitters" -> (Queries.heavyHitters _),
     "q_pmi_collocations" -> (Queries.pmiCollocations _),
+    "q_dedup_keep_best" -> (Queries.dedupKeepBest _),
     "q_epoch_order" -> (Queries.epochOrder _),
     "q_curriculum_order" -> (Queries.curriculumOrder _),
     "q_split_leakage" -> (Queries.splitLeakage _),
@@ -1420,6 +1421,25 @@ object SparkEntry {
       """
          SELECT doc_id, min(label) AS cluster_id
          FROM reach GROUP BY doc_id"""),
+
+    // priority-aware keep-list: the reach chain's clusters resolved by
+    // LM quality (coalesce(-1.0) ranks unscored docs last, matching the
+    // Spark side's sentinel), doc_id tie-break
+    "q_dedup_keep_best" -> (minhashReachCte + ", " + lmScoreCtes +
+      """,
+         cl AS (SELECT doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY doc_id),
+         mq AS (SELECT cl.cluster_id, cl.doc_id, lmr.lm_score
+             FROM cl JOIN lmr USING (doc_id)),
+         rk AS (SELECT cluster_id, doc_id, lm_score,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY coalesce(lm_score, -1.0) DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+           FROM mq)
+         SELECT cluster_id, doc_id AS keep_doc_id, lm_score AS keep_lm_score,
+           CAST(n_members AS BIGINT) AS n_members,
+           (doc_id <> cluster_id) AS promoted
+         FROM rk WHERE rn = 1"""),
 
     // leakage-safe split: the split hash keys on the CLUSTER id, so a
     // near-dup cluster lands in one split wholesale (same reach chain

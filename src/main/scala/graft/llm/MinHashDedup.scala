@@ -479,4 +479,28 @@ object MinHashDedup {
         (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
         (col("n_inter").cast("double") / col("n_b")).as("containment_b"))
   }
+
+  /** Priority-aware cluster resolution: one survivor per cluster, the
+    * member with the HIGHEST score (doc_id tie-break; null scores rank
+    * last via a -1.0 sentinel — callers pass non-negative scores).
+    *
+    * `clusters` is a (doc_id, cluster_id) map ([[connectedComponents]]
+    * output), `scores` a (doc_id, scoreCol) table. One doc_id hash join,
+    * then ONE cluster-keyed hash aggregate whose argmax is
+    * `min(struct(-score, doc_id))` — partial-aggregable map-side, so the
+    * exchange carries one candidate row per (partition, cluster), never
+    * a window over the corpus.
+    */
+  def keepBest(clusters: DataFrame, scores: DataFrame,
+      scoreCol: String): DataFrame =
+    clusters
+      .join(scores.select(col("doc_id"), col(scoreCol).as("__score")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct((-coalesce(col("__score"), lit(-1.0))).as("nscore"),
+          col("doc_id").as("d"), col("__score").as("sc"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("__best.d").as("keep_doc_id"),
+        col("__best.sc").as(s"keep_$scoreCol"), col("n_members"),
+        (col("__best.d") =!= col("cluster_id")).as("promoted"))
 }

@@ -1975,6 +1975,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best: quality overrides min-id; nulls rank last; ties break on doc_id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: scores 0.2, 0.9, null
+      (4L, 4L), (5L, 4L),           // cluster 4: tie 0.5/0.5 -> min id 4
+      (6L, 6L)                      // singleton, null score
+    ).toDF("doc_id", "cluster_id")
+    val scores = Seq(
+      (1L, Some(0.2)), (2L, Some(0.9)), (3L, None),
+      (4L, Some(0.5)), (5L, Some(0.5)), (6L, None)
+    ).toDF("doc_id", "lm_score")
+    val out = MinHashDedup.keepBest(clusters, scores, "lm_score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, Some(0.9), 3L, true)))  // promoted over min-id 1
+    assert(out(4L) == ((4L, Some(0.5), 2L, false))) // tie -> smallest id
+    assert(out(6L) == ((6L, None, 1L, false)))      // singleton, never promoted
+    // exactly one survivor per cluster, and survivors are cluster members
+    assert(out.keySet == Set(1L, 4L, 6L))
+  }
+
   test("pmi collocations: the glued pair tops the list; the floor drops rare pairs") {
     val docs = Seq(
       (1L, "ice cream ice cream ice cream ice cream ice cream"),
