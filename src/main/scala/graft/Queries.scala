@@ -1107,6 +1107,50 @@ object Queries {
       keep.as("pred_keep"), (col("y") === 1.0).as("label"))
   }
 
+  // PCA parameters (see graft.llm.Pca): fixed-step power iteration —
+  // the step count is part of the result's DEFINITION (both engines run
+  // exactly PcaSteps steps; convergence is not tested)
+  val PcaComponents = 2
+  val PcaSteps = 16
+
+  /** Session-memoized PCA fit over the embedding corpus: one row per
+    * (component, dim), carrying the loading, the component eigenvalue,
+    * and the per-dimension centering mean (see [[graft.llm.Pca]]). The
+    * fit runs once; the projection query reads this frame driver-side.
+    */
+  def pcaComponents(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"pca:$dir") {
+      val emb = Tables.embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val m = graft.llm.Pca.fit(emb, "embedding", dim, PcaComponents, PcaSteps)
+      import s.implicits._
+      (for {
+        c <- 0 until PcaComponents
+        j <- 0 until dim
+      } yield (c + 1, j + 1, m.loadings(c)(j), m.eigenvalues(c), m.means(j)))
+        .toDF("component", "dim_idx", "loading", "eigenvalue", "dim_mean")
+    }
+
+  /** Every embedding projected onto the fitted principal components —
+    * the rotation in front of product quantization and the 2-d corpus
+    * sketch. Scan-local: the loadings ride as literals; the only work is
+    * one quantized dot product per component per row.
+    */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val rows = pcaComponents(s, dir).collect()
+    val dim = rows.map(_.getInt(1)).max
+    val means = new Array[Double](dim)
+    val loads = Array.ofDim[Double](PcaComponents, dim)
+    val eigs = new Array[Double](PcaComponents)
+    rows.foreach { r =>
+      val c = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      loads(c)(j) = r.getDouble(2); eigs(c) = r.getDouble(3); means(j) = r.getDouble(4)
+    }
+    val model = graft.llm.Pca.Model(means, loads, eigs)
+    Tables.embeddings(s, dir).select(
+      col("vec_id") +: graft.llm.Pca.projectCols(model, "embedding"): _*)
+  }
+
   /** Session-memoized 64-bit sign-LSH binary codes over the embedding
     * corpus (see [[Similarity.binaryCodes]]); the dim lookup reads one
     * row driver-side.
@@ -1471,6 +1515,12 @@ object Queries {
   val DsirKeepDen = 4
   val ChunkDedupTokens = 10
 
+  // content-defined chunking (see ChunkDedup.cdcDedup): boundary when the
+  // trailing 3-token gram's sha256 starts with hex 0/1 → P(cut) = 2/16,
+  // mean chunk ≈ 8 tokens (comparable to the fixed 10-token plane)
+  val CdcWindow = 3
+  val CdcHexDigits = 2
+
   // ANN-plane parameters, defined ONCE: every top-k query (brute, IVF,
   // kmeans, indexed, quantized) and the recall denominator read these —
   // changing k in one place can no longer silently mis-scale recall
@@ -1548,6 +1598,21 @@ object Queries {
   def chunkDedup(s: SparkSession, dir: String): DataFrame =
     graft.llm.ChunkDedup.chunkDedup(Tables.documents(s, dir),
       "doc_id", "text", chunkTokens = ChunkDedupTokens)
+
+  /** Content-defined-chunk dedup: boundaries fall where the trailing
+    * gram's hash says, not at fixed offsets, so shift-displaced duplicate
+    * spans still collide (see [[graft.llm.ChunkDedup.cdcDedup]]).
+    */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.ChunkDedup.cdcDedup(Tables.documents(s, dir),
+      "doc_id", "text", window = CdcWindow, hexDigits = CdcHexDigits)
+
+  /** [[cdcDedup]] with the corpus-wide window keyed by xxhash64(chunk) —
+    * the 8-byte shuffle-key formulation; shares cdcDedup's oracle.
+    */
+  def cdcDedupHashed(s: SparkSession, dir: String): DataFrame =
+    graft.llm.ChunkDedup.cdcDedupHashed(Tables.documents(s, dir),
+      "doc_id", "text", window = CdcWindow, hexDigits = CdcHexDigits)
 
   // Gopher-rule thresholds (see TextOps.gopherRules): chosen to split the
   // synthetic corpus (10-99 tokens, ~30-word vocab, median repeat ratio

@@ -115,6 +115,10 @@ object SparkEntry {
     "q_lm_score" -> (Queries.lmScore _),
     "q_gopher_rules" -> (Queries.gopherRules _),
     "q_chunk_dedup_hashed" -> (Queries.chunkDedupHashed _),
+    "q_cdc_dedup" -> (Queries.cdcDedup _),
+    "q_cdc_dedup_hashed" -> (Queries.cdcDedupHashed _),
+    "q_pca_components" -> (Queries.pcaComponents _),
+    "q_pca_project" -> (Queries.pcaProject _),
     "q_line_dedup" -> (Queries.lineDedup _),
     "q_intradoc_dedup" -> (Queries.intraDocDedup _),
     "q_line_filter" -> (Queries.lineFilterDocs _),
@@ -530,6 +534,94 @@ object SparkEntry {
    * q_chunk_dedup_hashed (xxhash64-keyed shuffle) produce identical rows,
    * so both verify against one SQL.
    */
+  /** PCA oracle CTE chain: re-derives Pca.fit operation-for-operation —
+    * quantized-BIGINT mean and Gram sums, then Queries.PcaSteps unrolled
+    * power-iteration steps per component with 1e-9 re-quantization of the
+    * iterate each step (w{c}_{s} = quantized matvec, n{c}_{s} = its norm,
+    * v{c}_{s} = the normalized re-quantized iterate), then quantized
+    * deflation between components. Both engines execute the same IEEE
+    * operation sequence, so loadings compare bit-identically (sqrt and
+    * division are exactly rounded under IEEE-754; every SUM is integer).
+    */
+  private def pcaCtes: String = {
+    val steps = Queries.PcaSteps
+    val comps = Queries.PcaComponents
+    val sb = new StringBuilder
+    sb.append(s"""
+         WITH nrows AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         dims AS MATERIALIZED (SELECT unnest(generate_series(1,
+           (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j),
+         coords AS MATERIALIZED (
+           SELECT vec_id, unnest(generate_series(1, len(embedding))) AS j,
+             unnest(list_transform(generate_series(1, len(embedding)),
+               t -> CAST(embedding[t] AS DOUBLE))) AS x
+           FROM embeddings),
+         m AS MATERIALIZED (
+           SELECT j, CAST(CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS DOUBLE) / 1000000.0 / (SELECT n FROM nrows) AS m
+           FROM coords GROUP BY j),
+         cc AS MATERIALIZED (SELECT c.vec_id, c.j, c.x - m.m AS cx
+           FROM coords c JOIN m ON c.j = m.j),
+         g1 AS MATERIALIZED (
+           SELECT a.j AS i, b.j AS j,
+             CAST(CAST(sum(CAST(floor(a.cx * b.cx * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS DOUBLE) / 1000000.0 / (SELECT n FROM nrows) AS gv
+           FROM cc a JOIN cc b USING (vec_id) GROUP BY a.j, b.j)""")
+    for (c <- 1 to comps) {
+      sb.append(s""",
+         v${c}_0 AS MATERIALIZED (SELECT j, 0.125 AS v FROM dims)""")
+      for (s <- 1 to steps) {
+        sb.append(s""",
+         w${c}_$s AS MATERIALIZED (
+           SELECT g.i AS j, CAST(sum(CAST(floor(g.gv * v.v * 1000000000.0)
+             AS BIGINT)) AS BIGINT) AS wq
+           FROM g$c g JOIN v${c}_${s - 1} v ON g.j = v.j GROUP BY g.i),
+         n${c}_$s AS MATERIALIZED (
+           SELECT sqrt(CAST(CAST(sum(CAST(floor(
+             (CAST(wq AS DOUBLE) / 1000000000.0) *
+             (CAST(wq AS DOUBLE) / 1000000000.0) * 1000000000.0) AS BIGINT))
+             AS BIGINT) AS DOUBLE) / 1000000000.0) AS nrm FROM w${c}_$s),
+         v${c}_$s AS MATERIALIZED (
+           SELECT j, floor(CAST(wq AS DOUBLE) / 1000000000.0 /
+             (SELECT nrm FROM n${c}_$s) * 1000000000.0) / 1000000000.0 AS v
+           FROM w${c}_$s)""")
+      }
+      if (c < comps) sb.append(s""",
+         g${c + 1} AS MATERIALIZED (
+           SELECT g.i, g.j, g.gv - floor((SELECT nrm FROM n${c}_$steps) *
+             vi.v * vj.v * 1000000000.0) / 1000000000.0 AS gv
+           FROM g$c g JOIN v${c}_$steps vi ON g.i = vi.j
+           JOIN v${c}_$steps vj ON g.j = vj.j)""")
+    }
+    sb.toString
+  }
+
+  private val pcaComponentsSql: String = {
+    val steps = Queries.PcaSteps
+    val selects = (1 to Queries.PcaComponents).map { c =>
+      s"""SELECT CAST($c AS INTEGER) AS component, CAST(v.j AS INTEGER) AS dim_idx,
+           v.v AS loading, (SELECT nrm FROM n${c}_$steps) AS eigenvalue,
+           m.m AS dim_mean
+         FROM v${c}_$steps v JOIN m ON v.j = m.j"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"$pcaCtes\n         $selects"
+  }
+
+  private val pcaProjectSql: String = {
+    val steps = Queries.PcaSteps
+    val pcCols = (1 to Queries.PcaComponents).map { c =>
+      s"""CAST(CAST(sum(CAST(floor(cc.cx * p$c.v * 1000000000.0) AS BIGINT))
+           AS BIGINT) AS DOUBLE) / 1000000000.0 AS pc$c"""
+    }.mkString(",\n           ")
+    val joins = (1 to Queries.PcaComponents).map { c =>
+      s"JOIN v${c}_$steps p$c ON cc.j = p$c.j"
+    }.mkString(" ")
+    s"""$pcaCtes
+         SELECT cc.vec_id, $pcCols
+         FROM cc $joins
+         GROUP BY cc.vec_id"""
+  }
+
   private val chunkDedupSql: String = (s"""
          WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -557,6 +649,51 @@ object SparkEntry {
            coalesce(kept.n_kept, 0) AS n_kept,
            coalesce(kept.kept_text, '') AS kept_text
          FROM d LEFT JOIN kept USING (doc_id)""")
+
+  /** Content-defined-chunking oracle: replays ChunkDedup.cdcChunkList's
+    * boundary rule (sha256 of the trailing CdcWindow-token gram starts
+    * with a hex digit below CdcHexDigits) with DuckDB list lambdas, then
+    * the same first-occurrence window + reassembly as chunkDedupSql.
+    * DuckDB's sha256() and Spark's sha2(…, 256) both emit lowercase hex,
+    * so the boundary predicate is engine-identical by construction.
+    */
+  private val cdcDedupSql: String = {
+    val w = Queries.CdcWindow
+    val boundaryChars =
+      (0 until Queries.CdcHexDigits).map(d => s"'${d.toHexString}'").mkString(", ")
+    (s"""
+         WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+             list_filter(generate_series($w, greatest(len(toks) - 1, $w)), i ->
+               i + 1 <= len(toks) AND
+               substr(sha256(array_to_string(
+                 list_slice(toks, i - $w + 1, i), ' ')), 1, 1) IN ($boundaryChars)) AS bnds
+           FROM d),
+         c AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(bnds) + 1)) AS idx,
+             unnest(list_transform(generate_series(0, len(bnds)), k ->
+               array_to_string(list_slice(toks,
+                 CASE WHEN k = 0 THEN 1 ELSE bnds[k] + 1 END,
+                 CASE WHEN k = len(bnds) THEN len(toks) ELSE bnds[k + 1] END),
+                 ' '))) AS chunk
+           FROM b),
+         k AS (
+           SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+           FROM c),
+         kept AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+           FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT b.doc_id,
+           CAST(len(b.bnds) + 1 AS BIGINT) AS n_chunks,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           coalesce(kept.kept_text, '') AS kept_text
+         FROM b LEFT JOIN kept USING (doc_id)""")
+  }
 
   /** A seed string with embedded newlines as a SQL concat of its lines
     * joined by chr(10) — no raw control characters ride the SQL text
@@ -2463,6 +2600,17 @@ object SparkEntry {
     // kept — identical output absent a 64-bit collision.
     "q_chunk_dedup_hashed" -> chunkDedupSql,
     "q_chunk_dedup" -> chunkDedupSql,
+
+    // content-defined chunking: boundaries where the trailing CdcWindow-gram
+    // sha256 starts below CdcHexDigits; both variants (text-keyed and
+    // xxhash64-keyed window) must match the one chunk-policy oracle
+    "q_cdc_dedup" -> cdcDedupSql,
+    "q_cdc_dedup_hashed" -> cdcDedupSql,
+
+    // PCA fit inside the determinism contract: the oracle re-runs the
+    // identical quantized power iteration to bit-identical loadings
+    "q_pca_components" -> pcaComponentsSql,
+    "q_pca_project" -> pcaProjectSql,
 
     // CCNet-style boilerplate-line removal over the seeded multiline
     // view: a line in >= LineDedupMinDocs distinct docs is dropped from

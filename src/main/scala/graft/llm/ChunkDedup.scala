@@ -27,21 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object ChunkDedup {
 
-  /** Shared pipeline for both public variants: the ONLY degree of freedom
-    * is which column keys the first-occurrence window (`keyOf` over the
-    * chunk text) — a tie-break or reconstruction fix lands in one place
-    * instead of two silently-driftable copies.
+  /** First-occurrence dedup + per-document reconstruction over an
+    * already-built per-document chunk LIST — the half of the pipeline
+    * every chunking policy (fixed-width, content-defined) shares. `base`
+    * must carry (idCol, `n_chunks`, `__chunklist`: array&lt;string&gt;);
+    * `keyOf` picks the first-occurrence window key from the chunk text.
     */
-  private def chunkDedupBy(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int)(keyOf: Column => Column): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
-    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"),
-        ceil(size(col("__toks")).cast("double") / chunkTokens).cast("long").as("n_chunks"))
+  private def dedupChunkList(base: DataFrame, idCol: String)
+      (keyOf: Column => Column): DataFrame = {
     val chunks = base.select(col(idCol), col("n_chunks"),
-      posexplode(expr(
-        s"transform(sequence(0, int(n_chunks) - 1), " +
-          s"i -> concat_ws(' ', slice(__toks, i * $chunkTokens + 1, $chunkTokens)))")))
+      posexplode(col("__chunklist")))
       .select(col(idCol), col("n_chunks"), col("pos").as("__idx"),
         col("col").as("__chunk"))
     val firstWins = Window.partitionBy(keyOf(col("__chunk")))
@@ -58,6 +53,24 @@ object ChunkDedup {
       .select(col(idCol), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Shared pipeline for both fixed-width variants: the ONLY degree of
+    * freedom is which column keys the first-occurrence window (`keyOf`
+    * over the chunk text) — a tie-break or reconstruction fix lands in one
+    * place instead of two silently-driftable copies.
+    */
+  private def chunkDedupBy(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int)(keyOf: Column => Column): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        ceil(size(col("__toks")).cast("double") / chunkTokens).cast("long").as("n_chunks"))
+      .select(col(idCol), col("n_chunks"), expr(
+        s"transform(sequence(0, int(n_chunks) - 1), " +
+          s"i -> concat_ws(' ', slice(__toks, i * $chunkTokens + 1, $chunkTokens)))")
+        .as("__chunklist"))
+    dedupChunkList(base, idCol)(keyOf)
   }
 
   /** Per-document chunk-dedup summary: `n_chunks` (before), `n_kept`
@@ -83,4 +96,64 @@ object ChunkDedup {
   def chunkDedupHashed(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame =
     chunkDedupBy(docs, idCol, textCol, chunkTokens)(xxhash64(_))
+
+  /** Per-document CONTENT-DEFINED chunk list (basic CDC, the policy under
+    * FastCDC / LBFS-style dedup storage): a chunk boundary falls after
+    * token position i whenever the sha256 of the trailing `window`-token
+    * gram starts with a hex digit below `hexDigits` — so boundaries are a
+    * function of local CONTENT, not position, and inserting or deleting a
+    * prefix shifts every fixed-width chunk but leaves CDC boundaries
+    * downstream of the edit untouched. With hexDigits=2 the boundary
+    * probability is 2/16 → mean chunk ≈ 8 tokens. Built entirely in-row
+    * (filter/transform over the token array — zero shuffle, no per-token
+    * explode); the sha256 boundary rule replays verbatim in DuckDB.
+    *
+    * Returns (idCol, n_chunks, __chunklist) for [[dedupChunkList]].
+    */
+  private def cdcChunkList(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, hexDigits: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    require(hexDigits >= 1 && hexDigits <= 15,
+      s"hexDigits must be in [1,15], got $hexDigits")
+    val boundaryChars = (0 until hexDigits).map(d => s"'${d.toHexString}'").mkString(", ")
+    // sequence() is clamped below so it never runs descending on short
+    // docs; the i+1 <= size guard (not position validity) is what keeps a
+    // boundary off the final token — slice(…, i-W+1, W) is valid for every
+    // generated i because the sequence starts at W.
+    val bnds =
+      s"filter(sequence($window, greatest(size(__toks) - 1, $window)), " +
+        s"i -> i + 1 <= size(__toks) AND substring(sha2(concat_ws(' ', " +
+        s"slice(__toks, i - $window + 1, $window)), 256), 1, 1) IN ($boundaryChars))"
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), expr(bnds).as("__bnds"))
+      .select(col(idCol),
+        (size(col("__bnds")) + 1).cast("long").as("n_chunks"),
+        expr(
+          "transform(sequence(0, size(__bnds)), k -> concat_ws(' ', slice(__toks, " +
+            "if(k = 0, 1, element_at(__bnds, k) + 1), " +
+            "if(k = size(__bnds), size(__toks), element_at(__bnds, k + 1)) " +
+            "- if(k = 0, 1, element_at(__bnds, k) + 1) + 1)))").as("__chunklist"))
+  }
+
+  /** Content-defined-chunk dedup: [[chunkDedup]]'s first-occurrence
+    * semantics over [[cdcChunkList]] boundaries. Catches the duplication
+    * fixed-width chunking structurally cannot — a span repeated at a
+    * DIFFERENT token offset (quote + commentary, boilerplate after a
+    * variable-length header) re-chunks identically wherever it lands, so
+    * its chunks collide corpus-wide. Same output shape and scale shape as
+    * [[chunkDedup]]: the only exchanges are the chunk-keyed window and the
+    * per-document regroup.
+    */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, hexDigits: Int): DataFrame =
+    dedupChunkList(cdcChunkList(docs, idCol, textCol, window, hexDigits), idCol)(identity)
+
+  /** [[cdcDedup]] with the first-occurrence window keyed by
+    * xxhash64(chunk) — the same 8-byte-shuffle-key trade as
+    * [[chunkDedupHashed]], same collision odds argument. Verified against
+    * cdcDedup's oracle.
+    */
+  def cdcDedupHashed(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, hexDigits: Int): DataFrame =
+    dedupChunkList(cdcChunkList(docs, idCol, textCol, window, hexDigits), idCol)(xxhash64(_))
 }

@@ -1747,6 +1747,75 @@ class LlmSpec extends AnyFunSuite {
       rows(ChunkDedup.chunkDedup(docs, "doc_id", "text", 2)))
   }
 
+  test("cdc dedup: content-defined boundaries catch a shift-displaced duplicate") {
+    // doc 1 carries span S; doc 2 is a 3-token header + S — every fixed
+    // 10-token chunk of doc 2 is misaligned against doc 1, but CDC
+    // boundaries inside S depend only on S's own grams, so doc 2
+    // re-chunks S identically and its interior chunks collide with doc 1's
+    val span = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, span), (2L, s"hdr1 hdr2 hdr3 $span")).toDF("doc_id", "text")
+    val cdc = ChunkDedup.cdcDedup(docs, "doc_id", "text", window = 3, hexDigits = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept")))).toMap
+    // doc 1 keeps everything (first occurrence); doc 2 loses the shared span
+    assert(cdc(1L)._2 == cdc(1L)._1)
+    assert(cdc(2L)._2 < cdc(2L)._1,
+      s"CDC missed the shifted duplicate span: ${cdc(2L)}")
+    // the fixed-width plane structurally cannot see it: every chunk of
+    // doc 2 differs from every chunk of doc 1 at offset 3
+    val fixed = ChunkDedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept")))).toMap
+    assert(fixed(2L)._2 == fixed(2L)._1)
+  }
+
+  test("cdc dedup: hashed-key variant matches; short and empty docs are one chunk") {
+    val docs = Seq(
+      (1L, (0 until 25).map(i => s"t$i").mkString(" ")),
+      (2L, "only two"), (3L, "")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect().toSeq
+    val out = ChunkDedup.cdcDedup(docs, "doc_id", "text", window = 3, hexDigits = 2)
+    assert(rows(ChunkDedup.cdcDedupHashed(docs, "doc_id", "text", 3, 2)) == rows(out))
+    val m = rows(out).map(r => r.getLong(0) ->
+      ((r.getAs[Long]("n_chunks"), r.getAs[String]("kept_text")))).toMap
+    // below the gram window no boundary can fire: the whole doc is one chunk
+    assert(m(2L) == ((1L, "only two")))
+    assert(m(3L) == ((1L, "")))
+  }
+
+  test("pca: recovers a planted principal direction; components orthonormal") {
+    // rank-1 data along (0.6, 0.8) with spread t ∈ {-2..2} plus a small
+    // orthogonal component along (-0.8, 0.6) — PC1 must align with the
+    // planted direction, PC2 with its complement, eigenvalues ordered
+    val d1 = (0.6, 0.8); val d2 = (-0.8, 0.6)
+    val pts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0).zip(
+      Seq(0.1, -0.1, 0.0, -0.1, 0.1)).map { case (t, u) =>
+      Array((t * d1._1 + u * d2._1).toFloat, (t * d1._2 + u * d2._2).toFloat)
+    }
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", dim = 2, components = 2, steps = 16)
+    val v1 = m.loadings(0); val v2 = m.loadings(1)
+    val align1 = math.abs(v1(0) * d1._1 + v1(1) * d1._2)
+    val align2 = math.abs(v2(0) * d2._1 + v2(1) * d2._2)
+    assert(align1 > 0.999, s"PC1 off the planted direction: ${v1.toSeq}")
+    assert(align2 > 0.999, s"PC2 off the orthogonal direction: ${v2.toSeq}")
+    assert(math.abs(v1(0) * v2(0) + v1(1) * v2(1)) < 1e-3)
+    // λ1 = E[t²] = 2 (mean-zero spread), λ2 = E[u²] = 0.008
+    assert(math.abs(m.eigenvalues(0) - 2.0) < 1e-2)
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    // projection recovers the planted coordinates up to sign
+    val proj = df.select(col("vec_id") +: Pca.projectCols(m, "embedding"): _*)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sgn = math.signum(proj(4L)._1) // t=+2 row fixes the sign convention
+    assert(math.abs(sgn * proj(4L)._1 - 2.0) < 1e-2)
+    assert(math.abs(sgn * proj(0L)._1 + 2.0) < 1e-2)
+    // deterministic: a re-fit lands on bit-identical loadings
+    val m2 = Pca.fit(df, "embedding", dim = 2, components = 2, steps = 16)
+    assert(m.loadings.flatMap(_.toSeq).sameElements(m2.loadings.flatMap(_.toSeq)))
+  }
+
   test("epoch order: shards partition the corpus, positions are dense, seeds permute") {
     val docs = (0L until 200L).toDF("doc_id").withColumn("text", lit("x"))
     val e0 = TextOps.epochOrder(docs, "doc_id", seed = "s0", nShards = 8)
