@@ -1502,6 +1502,27 @@ object Queries {
     graft.llm.SimHash.hammingPairsOn(imageDhash(s, dir), "doc_id", "dhash",
       maxHamming = ImageMaxHamming, bucketCap = ImageBucketCap, bits = 64)
 
+  // audio-plane banding parameters — same recall/cost trade as the image
+  // plane (4×16-bit bands give pigeonhole recall to hamming 3)
+  val AudioMaxHamming = 3
+  val AudioBucketCap = 50
+
+  /** Perceptual audio envelope hash per media payload (deterministic
+    * byte-sampling fallback for these text payloads — real javax.sound
+    * PCM decode for WAV/AIFF bytes, spec-covered). Session-memoized: the
+    * pair query reads the same 3-column frame.
+    */
+  def audioHash(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"audiohash:$dir")(
+      graft.llm.AudioHash.audioHashFrame(seededMedia(s, dir)))
+
+  /** Audio near-dup pairs: hamming ≤ [[AudioMaxHamming]] over the
+    * envelope hashes — the seeded re-encodes pair with their originals.
+    */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SimHash.hammingPairsOn(audioHash(s, dir), "doc_id", "ahash",
+      maxHamming = AudioMaxHamming, bucketCap = AudioBucketCap, bits = 64)
+
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

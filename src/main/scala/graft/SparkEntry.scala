@@ -135,6 +135,8 @@ object SparkEntry {
     "q_substring_stats" -> (Queries.substringStats _),
     "q_image_dhash" -> (Queries.imageDhash _),
     "q_image_neardup" -> (Queries.imageNearDup _),
+    "q_audio_hash" -> (Queries.audioHash _),
+    "q_audio_neardup" -> (Queries.audioNearDup _),
     "q_bpe_vocab" -> (Queries.bpeVocab _),
     "q_bpe_token_count" -> (Queries.bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (Queries.packSequencesBpe _),
@@ -1058,14 +1060,21 @@ object SparkEntry {
     * [[graft.llm.ImageHashImpl]]'s fallback path exactly — the corpus
     * payloads are ASCII text, so character positions = byte positions.
     */
-  private val imageDhashCtes: String =
+  /** The seeded-media view shared by the perceptual image AND audio
+    * oracles (Queries.seededMedia replayed in SQL): every 5th payload is
+    * the previous doc's bytes with the final byte rewritten.
+    */
+  private val seededMediaCtes: String =
     """prev AS (SELECT doc_id + 1 AS doc_id, text AS ptext FROM documents),
          seeded AS (
            SELECT d.doc_id,
              CASE WHEN d.doc_id % 5 = 4 AND p.ptext IS NOT NULL
                   THEN substr(p.ptext, 1, length(p.ptext) - 1) || 'z'
                   ELSE d.text END AS text
-           FROM documents d LEFT JOIN prev p USING (doc_id)),
+           FROM documents d LEFT JOIN prev p USING (doc_id))"""
+
+  private val imageDhashCtes: String =
+    s"""$seededMediaCtes,
          gr AS (
            SELECT doc_id, list_transform(generate_series(0, 71),
              i -> ascii(substr(text, CAST((i * length(text)) // 72 + 1 AS INT), 1))) AS gs
@@ -1082,6 +1091,29 @@ object SparkEntry {
            CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
                      ELSE uv END AS BIGINT) AS dhash
            FROM u)"""
+
+  /** Audio envelope-hash oracle chain: the opaque fallback path of
+    * AudioHashImpl replayed in SQL — 65 byte samples at (i·len)/65 as the
+    * energy curve, bit j = e(j+1) > e(j), assembled MSB-first (the same
+    * HUGEINT → signed BIGINT fold as the image/simhash oracles).
+    */
+  private val audioHashCtes: String =
+    s"""$seededMediaCtes,
+         agr AS (
+           SELECT doc_id, list_transform(generate_series(0, 64),
+             i -> ascii(substr(text, CAST((i * length(text)) // 65 + 1 AS INT), 1))) AS es
+           FROM seeded),
+         abv AS (
+           SELECT doc_id, j,
+             CASE WHEN es[CAST(j + 2 AS INT)] > es[CAST(j + 1 AS INT)]
+                  THEN 1 ELSE 0 END AS bit
+           FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS j, es FROM agr) t),
+         au AS (SELECT doc_id, sum(CAST(bit AS HUGEINT) << CAST(63 - j AS INT)) AS uv
+               FROM abv GROUP BY doc_id),
+         ash AS (SELECT doc_id, uv,
+           CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                     ELSE uv END AS BIGINT) AS ahash
+           FROM au)"""
 
   /** Unrolled BPE-training oracle (DuckDB replays the training loop):
     * t0 encodes each distinct word's symbol sequence as `(s1)(s2)…` with
@@ -3273,6 +3305,31 @@ object SparkEntry {
              ON a.band = b.band AND a.bvv = b.bvv AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= ${Queries.ImageMaxHamming}"""),
+
+    // audio envelope hash over the same seeded payloads (opaque fallback
+    // path — real WAV/AIFF decode is spec-covered, like imageio)
+    "q_audio_hash" -> (s"""
+         WITH $audioHashCtes
+         SELECT doc_id, ahash, 'opaque' AS decoder FROM ash"""),
+
+    // envelope near-dup pairs: the same banded candidate chain as the
+    // image/simhash planes, over the audio fingerprints
+    "q_audio_neardup" -> (s"""
+         WITH $audioHashCtes,
+         bands AS (
+           SELECT doc_id, ahash, b AS band,
+             CAST((uv >> CAST(16 * b AS INT)) & 65535 AS BIGINT) AS bvv
+           FROM ash, (SELECT unnest(generate_series(0, 3)) AS b) t),
+         ok AS (SELECT band, bvv FROM bands GROUP BY band, bvv
+                HAVING count(*) BETWEEN 2 AND ${Queries.AudioBucketCap}),
+         inok AS (SELECT b.* FROM bands b JOIN ok USING (band, bvv)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ahash AS sh_a, b.ahash AS sh_b
+           FROM inok a JOIN inok b
+             ON a.band = b.band AND a.bvv = b.bvv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= ${Queries.AudioMaxHamming}"""),
 
     // learned BPE merge table: the unrolled training chain, one row per
     // round from its b{r} selection

@@ -1784,6 +1784,46 @@ class LlmSpec extends AnyFunSuite {
     assert(m(3L) == ((1L, "")))
   }
 
+  test("audio hash: real WAVs — gain and resample survive, a different envelope doesn't") {
+    // 16-bit mono WAV with a sawtooth amplitude envelope (4 ramps); the
+    // envelope — not the pitch — is what the fingerprint captures
+    val frames0 = 4000
+    def wav(sampleRate: Int, frames: Int, gainDiv: Int, reversed: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val phase = (i.toDouble * frames0) / frames // time-normalized position
+        val ramp = phase % (frames0 / 4.0) / (frames0 / 4.0)
+        val env = if (reversed) 1.0 - ramp else ramp
+        val s = (28000.0 * env * math.sin(2 * math.Pi * i * 440.0 / sampleRate)).toInt / gainDiv
+        pcm(i * 2) = (s & 0xFF).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (base, decBase) = AudioHashImpl.audioHash(wav(8000, 4000, 1, reversed = false))
+    assert(decBase == "javasound")
+    // uniform gain: neighbor-energy comparisons are scale-invariant
+    val (half, _) = AudioHashImpl.audioHash(wav(8000, 4000, 2, reversed = false))
+    assert(hamming(base, half) <= 3, s"gain change moved ${hamming(base, half)} bits")
+    // resample: the 65-cell grid is time-normalized
+    val (res, _) = AudioHashImpl.audioHash(wav(16000, 8000, 1, reversed = false))
+    assert(hamming(base, res) <= 3, s"resample moved ${hamming(base, res)} bits")
+    // a reversed envelope is a genuinely different clip
+    val (rev, _) = AudioHashImpl.audioHash(wav(8000, 4000, 1, reversed = true))
+    assert(hamming(base, rev) > 10, s"distinct envelopes collided at ${hamming(base, rev)}")
+    // non-audio payloads fall back deterministically
+    val bytes = "not audio at all".getBytes("UTF-8")
+    val (f1, d1) = AudioHashImpl.audioHash(bytes)
+    assert(d1 == "opaque" && f1 == AudioHashImpl.audioHash(bytes)._1)
+  }
+
   test("pca: recovers a planted principal direction; components orthonormal") {
     // rank-1 data along (0.6, 0.8) with spread t ∈ {-2..2} plus a small
     // orthogonal component along (-0.8, 0.6) — PC1 must align with the
