@@ -168,7 +168,19 @@ object ScaleProbe {
       // round 7d: rides the cluster + LM memos (probe it AFTER dedup_keep
       // and lm_score to see the marginal cost) — one doc_id join and one
       // cluster-keyed partial-agg argmax
-      "keep_best" -> (Queries.dedupKeepBest _))
+      "keep_best" -> (Queries.dedupKeepBest _),
+      // round 7e: CDC chunk construction is in-row (zero exchange); the
+      // shuffled rows are the chunk-keyed window + per-doc regroup —
+      // ~linear in corpus tokens, same claim as chunk_dedup
+      "cdc_dedup" -> (Queries.cdcDedup _),
+      // round 7e: the fit reduces the corpus to dim+dim² sufficient
+      // statistics (map-side combinable), so the exchange carries
+      // dim²×partitions longs — corpus-size-INVARIANT, like the
+      // classifier's per-step gradient; projection is scan-local
+      "pca_project" -> (Queries.pcaProject _),
+      // round 7e: envelope hash is scan-local; the only exchanges are the
+      // banded candidate stage + the bounded pair sliver (image-plane twin)
+      "audio_neardup" -> (Queries.audioNearDup _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]

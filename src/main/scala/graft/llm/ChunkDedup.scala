@@ -105,8 +105,10 @@ object ChunkDedup {
     * prefix shifts every fixed-width chunk but leaves CDC boundaries
     * downstream of the edit untouched. With hexDigits=2 the boundary
     * probability is 2/16 → mean chunk ≈ 8 tokens. Built entirely in-row
-    * (filter/transform over the token array — zero shuffle, no per-token
-    * explode); the sha256 boundary rule replays verbatim in DuckDB.
+    * (filter/transform over the token array — no per-token explode, zero
+    * shuffle), with the token and boundary arrays let-bound ([[Let.bound]])
+    * so each is computed once per row; the sha256 boundary rule replays verbatim
+    * in DuckDB.
     *
     * Returns (idCol, n_chunks, __chunklist) for [[dedupChunkList]].
     */
@@ -115,24 +117,29 @@ object ChunkDedup {
     require(window >= 1, s"window must be positive, got $window")
     require(hexDigits >= 1 && hexDigits <= 15,
       s"hexDigits must be in [1,15], got $hexDigits")
-    val boundaryChars = (0 until hexDigits).map(d => s"'${d.toHexString}'").mkString(", ")
-    // sequence() is clamped below so it never runs descending on short
-    // docs; the i+1 <= size guard (not position validity) is what keeps a
-    // boundary off the final token — slice(…, i-W+1, W) is valid for every
-    // generated i because the sequence starts at W.
-    val bnds =
-      s"filter(sequence($window, greatest(size(__toks) - 1, $window)), " +
-        s"i -> i + 1 <= size(__toks) AND substring(sha2(concat_ws(' ', " +
-        s"slice(__toks, i - $window + 1, $window)), 256), 1, 1) IN ($boundaryChars))"
-    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"), expr(bnds).as("__bnds"))
+    val boundaryChars = (0 until hexDigits).map(_.toHexString)
+    // sequence() is clamped so it never runs descending on short docs;
+    // the i+1 <= size guard (not position validity) is what keeps a
+    // boundary off the final token — slice(…, i-W+1, W) is valid for
+    // every generated i because the sequence starts at W.
+    val chunkList = Let.bound(TextOps.tokens(col(textCol))) { ts =>
+      Let.bound(filter(
+        sequence(lit(window), greatest(size(ts) - 1, lit(window))),
+        i => (i + 1 <= size(ts)) &&
+          substring(sha2(concat_ws(" ",
+            slice(ts, i - lit(window) + 1, lit(window))), 256), 1, 1)
+            .isin(boundaryChars: _*))) { bs =>
+        transform(sequence(lit(0), size(bs)), k => {
+          val start = when(k === 0, lit(1)).otherwise(element_at(bs, k) + 1)
+          val end = when(k === size(bs), size(ts)).otherwise(element_at(bs, k + 1))
+          concat_ws(" ", slice(ts, start, end - start + 1))
+        })
+      }
+    }
+    docs.select(col(idCol), chunkList.as("__chunklist"))
       .select(col(idCol),
-        (size(col("__bnds")) + 1).cast("long").as("n_chunks"),
-        expr(
-          "transform(sequence(0, size(__bnds)), k -> concat_ws(' ', slice(__toks, " +
-            "if(k = 0, 1, element_at(__bnds, k) + 1), " +
-            "if(k = size(__bnds), size(__toks), element_at(__bnds, k + 1)) " +
-            "- if(k = 0, 1, element_at(__bnds, k) + 1) + 1)))").as("__chunklist"))
+        size(col("__chunklist")).cast("long").as("n_chunks"),
+        col("__chunklist"))
   }
 
   /** Content-defined-chunk dedup: [[chunkDedup]]'s first-occurrence

@@ -672,12 +672,21 @@ object TextOps {
       s"""transform(sequence(1, length($textCol) - ${k - 1}),
             i -> aggregate(sequence(0, ${k - 1}), 0L,
                    (acc, j) -> (acc * $B + ascii(substring($textCol, i + j, 1))) % $M))"""
-    val winnowed =
-      s"""array_distinct(transform(sequence(1, size(__hs) - ${w - 1}),
-            i -> array_min(slice(__hs, i, $w))))"""
+    // the hash array is let-bound (Let.bound), not projected as an alias:
+    // an alias here is one CollapseProject away from re-evaluating the
+    // O(len·k) rolling-hash build per window position — the O(len²·k)
+    // trap — whenever a downstream consumer (the winnowPairs explode, a
+    // fused scan) pulls the projection chain together. The binding makes
+    // single evaluation structural, so the frame is safe to RECOMPUTE:
+    // under bench-wide cache pressure the memoized persist
+    // (winnowSetsShared) can evict without turning linear work quadratic.
+    val fp = Let.bound(expr(hashes)) { hs =>
+      array_distinct(transform(
+        sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w)))))
+    }
     Spread(df).filter(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol), expr(hashes).as("__hs"))
-      .select(col(idCol), expr(winnowed).as("__fp"))
+      .select(col(idCol), fp.as("__fp"))
   }
 
   /** Session-memoized [[winnowSets]]: the rolling-hash fingerprint table
@@ -723,18 +732,15 @@ object TextOps {
     require(bucketCap >= 2 && bucketCap <= 1000,
       s"bucketCap $bucketCap outside [2, 1000]: the in-row pair expansion " +
         "is sized for capped buckets; see MinHashDedup.candidatePairs")
-    // the cache is a CORRECTNESS-OF-COST barrier, not an optimization:
-    // exploding __fp directly lets CollapseProject inline the whole
-    // rolling-hash pipeline into the generator, where the loop-invariant
-    // hash array re-evaluates per fingerprint position — O(len²·k)
-    // interpreted lambdas per row (measured: minutes for 500 docs vs
-    // ~1 s through the barrier). In-row consumers (winnowFingerprints)
-    // never hit this; only the explode does. At 100 TB the analogous
-    // move is materializing the fingerprint table to the store once.
-    val cached = sets.getOrElse(graft.CacheBin.register(
-      winnowSets(df, idCol, textCol, k, w)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-    val fps = cached.select(col(idCol), explode(col("__fp")).as("fp"))
+    // no barrier needed: winnowSets let-binds its hash array (Let.bound),
+    // so pulling the fingerprint build into the explode's projection
+    // evaluates it once per row — the former cache here guarded against
+    // CollapseProject re-evaluating the build per fingerprint position
+    // (O(len²·k); measured minutes for 500 docs), which the binding now
+    // rules out structurally. Callers wanting cross-query reuse pass the
+    // memoized frame via `sets` (winnowSetsShared).
+    val fps = sets.getOrElse(winnowSets(df, idCol, textCol, k, w))
+      .select(col(idCol), explode(col("__fp")).as("fp"))
     // bucket gate as a window count over the SAME fp-keyed shuffle the
     // collect_list aggregation needs — one exchange for the whole
     // candidate stage (the previous count-aggregate + semi-join shape
