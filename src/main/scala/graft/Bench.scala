@@ -133,11 +133,16 @@ object Bench {
     // column decoders, or fault the data pages in from disk (count()
     // alone reads only metadata; the first COLUMN scan was still cold and
     // landed on whichever query ran first)
-    Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
-    Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
-    Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save()
-    Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save()
-    warmUpOperators(spark)
+    // Each warm-up step is fault-isolated: round 7's bench died rc=1 in
+    // THIS untimed block (an events-loader analysis error) before a single
+    // query ran — a warm-up must never be able to zero the whole artifact.
+    def warmSafe(step: => Unit): Unit =
+      try step catch { case scala.util.control.NonFatal(_) => () }
+    warmSafe(Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe(Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe(Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe(Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe(warmUpOperators(spark))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, fn)
     }

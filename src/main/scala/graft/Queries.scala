@@ -1558,6 +1558,13 @@ object Queries {
   // words stay multi-token — the split a real subword vocabulary shows
   val BpeNumMerges = 30
 
+  // hard cap on the driver-side BPE training collect (top-M words by
+  // count via TakeOrdered): 1M words × ~40 bytes ≈ 40 MB of driver state,
+  // far above any local SF's true vocabulary (training is exact here) and
+  // bounded by construction for heavy-tailed web text at 100 TB — words
+  // below the cap segment via the distributed merge replay at apply time
+  val BpeMaxTrainWords = 1 << 20
+
   // driver-side BPE model memo (one training run per (session, corpus),
   // the model is vocabulary-bounded state like the kmeans codebook);
   // cleared with the session memos so a fresh suite retrains
@@ -1567,8 +1574,8 @@ object Queries {
 
   private def bpeModel(s: SparkSession, dir: String): graft.llm.Bpe.Model =
     bpeModels.getOrElseUpdate((s, dir), {
-      val words = graft.llm.Bpe.wordCounts(Tables.documents(s, dir), "text")
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val words = graft.llm.Bpe.collectTrainingWords(
+        Tables.documents(s, dir), "text", BpeMaxTrainWords)
       graft.llm.Bpe.train(words, BpeNumMerges)
     })
 

@@ -91,17 +91,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
-    * rejects outright. Read nanos as long (legacy conf, set per-session at
-    * call time so it works under any driver-provided session) and convert —
-    * the generator emits whole-µs values, so the division is lossless.
-    * The conversion runs BEFORE the split mirror, so the mirror stores a
-    * proper µs timestamp column.
+  /** `events.ts` has shipped under THREE physical parquet encodings across
+    * testdata regenerations — TIMESTAMP(NANOS) (rejected by Spark's µs
+    * TimestampType unless read as long under the legacy conf),
+    * TIMESTAMP(MICROS) not adjusted to UTC (reads as TimestampNTZ), and a
+    * plain UTC TIMESTAMP — so the loader probes the stored type from the
+    * footer and adapts instead of hardcoding any one encoding. All paths
+    * normalize to the session-TZ TimestampType (session TZ is UTC, so the
+    * NTZ cast and the nanos div-1000 are value-identical). The conversion
+    * runs BEFORE the split mirror, so the mirror stores a proper µs
+    * timestamp column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    splitMirror(spark, dir, "events",
-      _.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+    val nanosShim: DataFrame => DataFrame =
+      _.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Footer-only schema probe; a nanos file throws here when the legacy
+    // conf is off — that exception IS the signal to turn the conf on.
+    val probed: Option[DataType] =
+      try Some(load(spark, dir, "events").schema("ts").dataType)
+      catch { case scala.util.control.NonFatal(_) => None }
+    probed match {
+      case Some(TimestampType) => splitMirror(spark, dir, "events")
+      case Some(TimestampNTZType) => splitMirror(spark, dir, "events",
+        _.withColumn("ts", col("ts").cast(TimestampType)))
+      case Some(LongType) => // nanosAsLong already in effect for this session
+        splitMirror(spark, dir, "events", nanosShim)
+      case _ => // nanos encoding rejected: enable the legacy read, then shim
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        splitMirror(spark, dir, "events", nanosShim)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     splitMirror(spark, dir, "documents")

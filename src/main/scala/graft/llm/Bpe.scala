@@ -83,6 +83,45 @@ object Bpe {
     docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** The BOUNDED training-word collect: top `maxWords` by (count desc,
+    * word asc) via TakeOrderedAndProject — never the full distinct-word
+    * table. "Vocabulary-bounded" is optimistic for heavy-tailed web text
+    * (easily 10⁸–10⁹ distinct tokens at 100 TB), so the driver-side model
+    * state is bounded BY CONSTRUCTION here, like the k-means codebook.
+    * Dropping the rare tail is standard BPE practice and cannot change
+    * the learned merges as long as the cap exceeds the true vocabulary —
+    * below-cap corpora (all local SFs) train on the identical table.
+    * Out-of-vocabulary words at apply time segment via the distributed
+    * merge replay in [[tokenCounts]], so no row is ever dropped.
+    */
+  def collectTrainingWords(docs: DataFrame, textCol: String,
+      maxWords: Int): Seq[(String, Long)] =
+    wordCounts(docs, textCol)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  /** Segment count of `word` under the learned merge sequence, as a pure
+    * Catalyst expression (codegen'd higher-order folds, no UDF): split to
+    * characters, then replay each merge rule in rank order as a greedy
+    * left-to-right fold — `(a,b)→ab` merges exactly the non-overlapping
+    * adjacent pairs the driver-side trainer merges. This is the tokenizer
+    * for words OUTSIDE the trained map (below the training cap's
+    * frequency floor), computed distributively on the executors.
+    */
+  def segmentCountExpr(word: org.apache.spark.sql.Column,
+      model: Model): org.apache.spark.sql.Column = {
+    val chars = filter(split(word, ""), c => c =!= lit(""))
+    val merged = model.merges.foldLeft(chars) { case (acc, (_, a, b, m, _)) =>
+      aggregate(acc, array().cast("array<string>"), (st, x) =>
+        when(size(st) > 0 &&
+            try_element_at(st, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(st, lit(1), size(st) - 1), array(lit(m))))
+          .otherwise(concat(st, array(x))))
+    }
+    size(merged)
+  }
+
   /** The learned merge table as a DataFrame:
     * `(merge_rank, a, b, merged, pair_count)`.
     */
@@ -92,9 +131,13 @@ object Bpe {
   }
 
   /** Per-document BPE token counts `(id, n_words, n_bpe_tokens)`: the
-    * final segmentation is known per DISTINCT word at training end, so
-    * application is a broadcast join of the word→|segments| map onto the
-    * exploded corpus — no per-row merge replay.
+    * final segmentation is known per DISTINCT trained word at training
+    * end, so application is a broadcast LEFT join of the word→|segments|
+    * map onto the exploded corpus. Words absent from the (cap-bounded)
+    * trained map fall back to the distributed merge replay of
+    * [[segmentCountExpr]] — below the training cap the fallback never
+    * fires and the result is identical to the inner-join formulation; at
+    * 100 TB it is what keeps rare-tail rows from being silently dropped.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
@@ -102,9 +145,10 @@ object Bpe {
     import spark.implicits._
     val nsym = model.wordSegments.toSeq.toDF("word", "__nsym")
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
-      .join(broadcast(nsym), Seq("word"))
+      .join(broadcast(nsym), Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
-        sum(col("__nsym").cast("long")).as("n_bpe_tokens"))
+        sum(coalesce(col("__nsym"), segmentCountExpr(col("word"), model))
+          .cast("long")).as("n_bpe_tokens"))
   }
 }

@@ -1286,6 +1286,47 @@ class LlmSpec extends AnyFunSuite {
     assert(counts == Map(1L -> ((2L, 2L)), 2L -> ((3L, 3L))))
   }
 
+  test("bpe training collect is cap-bounded and cap-equivalent above the vocabulary") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val uncapped = Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // a cap above the true vocabulary collects the IDENTICAL table (as a
+    // set — TakeOrdered fixes an order; training stats are order-free)
+    val capped = Bpe.collectTrainingWords(docs, "text",
+      maxWords = uncapped.size + 1000)
+    assert(capped.toSet == uncapped.toSet)
+    assert(Bpe.train(capped, 10).merges == Bpe.train(uncapped, 10).merges)
+    // a cap BELOW the vocabulary keeps the highest-count words and is
+    // bounded at exactly the cap — the 100 TB driver-memory contract
+    val tiny = Bpe.collectTrainingWords(docs, "text", maxWords = 5)
+    assert(tiny.size == 5)
+    assert(tiny.map(_._2).min >= uncapped.sortBy(-_._2).drop(5).map(_._2).max)
+  }
+
+  test("bpe token counts: out-of-vocab words segment via the distributed merge replay") {
+    // train on a corpus WITHOUT "aabab", then tokenize a doc containing it:
+    // the left-join misses, and the expression replay must produce the
+    // same greedy segmentation the driver-side trainer would —
+    // (a,b)->ab then (ab,ab)->abab gives "aabab" -> [a, ab, ab] ->
+    // wait: greedy rule 1 on a-a-b-a-b -> [a, ab, ab]; rule 2 needs
+    // adjacent (ab,ab) -> [a, abab] = 2 segments
+    val trainDocs = Seq((1L, "abab ab abab")).toDF("doc_id", "text")
+    val words = Bpe.wordCounts(trainDocs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val model = Bpe.train(words, numMerges = 2)
+    assert(!model.wordSegments.contains("aabab"))
+    val applied = Seq((9L, "aabab ab")).toDF("doc_id", "text")
+    val counts = Bpe.tokenCounts(applied, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "aabab" = 2 segments (replayed), "ab" = 1 (trained map)
+    assert(counts == Map(9L -> ((2L, 3L))))
+    // the replay expression alone agrees with a driver-side application
+    val seg = applied.select(
+      Bpe.segmentCountExpr(org.apache.spark.sql.functions.lit("aabab"), model))
+      .head().getInt(0)
+    assert(seg == 2)
+  }
+
   test("image dhash: a resized re-encoded PNG pairs with its original; a distinct image does not") {
     // blocky column pattern aligned to the 9-wide dHash grid (72 px / 9
     // cells = 8 px per cell): cell-constant luma makes the hash exactly

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Testdata schema canary: the driver regenerates /root/testdata between
+  * rounds and has already changed a physical column encoding once
+  * (events.ts: TIMESTAMP(NANOS) → timestamp[us]), which silently broke every
+  * consumer of the table until the next verification run. This suite fails
+  * FAST and LOUD if any table loader no longer analyzes against the data on
+  * disk — each loader must adapt to what the footer says, never hardcode a
+  * physical type.
+  */
+class TestdataCanarySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private val loaders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    "lineitem" -> (() => Tables.lineitem(spark, dir)),
+    "orders" -> (() => Tables.orders(spark, dir)),
+    "customer" -> (() => Tables.customer(spark, dir)),
+    "supplier" -> (() => Tables.supplier(spark, dir)),
+    "part" -> (() => Tables.part(spark, dir)),
+    "nation" -> (() => Tables.nation(spark, dir)),
+    "region" -> (() => Tables.region(spark, dir)),
+    "events" -> (() => Tables.events(spark, dir)),
+    "documents" -> (() => Tables.documents(spark, dir)),
+    "embeddings" -> (() => Tables.embeddings(spark, dir))
+  )
+
+  test("every table loader analyzes and materializes against the on-disk schema") {
+    loaders.foreach { case (name, load) =>
+      val df = withClue(s"loader $name failed to analyze: ") { load() }
+      // force one full row through the physical plan — analysis alone does
+      // not exercise the vectorized reader's physical-type handling
+      withClue(s"loader $name failed to read a row: ") {
+        assert(df.limit(1).count() == 1L, s"table $name is empty")
+      }
+    }
+  }
+
+  test("events.ts is normalized to session-TZ TimestampType whatever the file stores") {
+    // the stored encoding may be nanos-as-long, timestamp[us] (NTZ), or UTC
+    // timestamp across regenerations; the loader's contract is a single
+    // logical type downstream operators can bank on
+    val tsType = Tables.events(spark, dir).schema("ts").dataType
+    assert(tsType == TimestampType,
+      s"events loader must yield TimestampType, got $tsType")
+    assert(tsType != TimestampNTZType)
+  }
+}
