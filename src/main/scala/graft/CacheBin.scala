@@ -103,6 +103,19 @@ object SessionMemo {
     }
   }
 
+  /** Time a non-DataFrame model build (BPE merge table, codebooks) into
+    * `buildSeconds` under `key` — same cost-attribution channel as the
+    * frame memos, for driver-side model state that isn't a cacheable
+    * plan. The caller owns the memoization; this only makes the one real
+    * build measurable instead of smeared into its first consumer.
+    */
+  def timed[T](key: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val v = build
+    buildSec.update(key, (System.nanoTime() - t0) / 1e9)
+    v
+  }
+
   def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     // same race note as `once`: a losing racer's build would leak its

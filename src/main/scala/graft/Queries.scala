@@ -377,12 +377,18 @@ object Queries {
   /** LSH dedup-quality eval: recall and candidate precision of the MinHash
     * banding pipeline against EXACT ground truth on a fixed probe set —
     * the dedup-plane twin of [[annRecall]]. Ground truth is every pair
-    * (probe, other) with exact 16-char-shingle Jaccard ≥ 0.5, computed by
-    * broadcasting the probe shingle sets over one scan-local corpus pass
-    * (probe side is fixed-size, so this stays linear at 100 TB — the
-    * standard way an LSH parameter choice (bands × rows, bucketCap) is
-    * audited before a sweep is trusted). Candidates are the
-    * session-memoized verified-pairs table restricted to probe pairs:
+    * (probe, other) with exact 16-char-shingle Jaccard ≥ 0.5, computed as
+    * an INVERTED-INDEX join: explode each doc's distinct shingles once,
+    * broadcast-hash-join the fixed-size probe shingle table, and count
+    * matches per (doc, probe) — intersection sizes fall out of one
+    * scan-linear pass with no per-pair set intersection at all (the
+    * crossJoin+array_intersect formulation did |corpus|×|probes| array
+    * walks and was the bench's slowest query; this is also the only shape
+    * that survives 100 TB — the standard way an LSH parameter choice
+    * (bands × rows, bucketCap) is audited before a sweep is trusted).
+    * Zero-intersection pairs produce no join rows, which is exactly the
+    * jaccard < 0.5 set. Candidates are the session-memoized
+    * verified-pairs table restricted to probe pairs:
     *   recall         = true pairs the LSH pipeline surfaced / true pairs
     *   cand_precision = surfaced candidates that verify ≥ 0.5 / candidates
     */
@@ -393,17 +399,15 @@ object Queries {
       s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))"))
     val sets = docs.filter(length(col("text")) >= k)
       .select(col("doc_id"), setExpr.as("__sh"))
-    val probeSets = sets.filter(col("doc_id") < DedupProbeN)
-      .select(col("doc_id").as("p_id"), col("__sh").as("p_sh"))
-    val truePairs = sets.crossJoin(broadcast(probeSets))
+    val corpusSh = sets.select(col("doc_id"),
+      size(col("__sh")).cast("long").as("n_c"), explode(col("__sh")).as("sh"))
+    val probeSh = sets.filter(col("doc_id") < DedupProbeN)
+      .select(col("doc_id").as("p_id"),
+        size(col("__sh")).cast("long").as("n_p"), explode(col("__sh")).as("sh"))
+    val truePairs = corpusSh.join(broadcast(probeSh), Seq("sh"))
       .filter(col("doc_id") =!= col("p_id"))
-      .select(col("doc_id"), col("p_id"),
-        size(array_intersect(col("__sh"), col("p_sh"))).cast("long").as("n_inter"),
-        size(col("__sh")).cast("long").as("n_c"),
-        size(col("p_sh")).cast("long").as("n_p"))
-      // n_inter referenced twice keeps CollapseProject from re-inlining the
-      // array_intersect into numerator and denominator (same guard as the
-      // verified-pairs builder)
+      .groupBy(col("doc_id"), col("p_id"), col("n_c"), col("n_p"))
+      .agg(count(lit(1)).as("n_inter"))
       .select(least(col("doc_id"), col("p_id")).as("doc_a"),
         greatest(col("doc_id"), col("p_id")).as("doc_b"),
         (col("n_inter").cast("double") / (col("n_c") + col("n_p") - col("n_inter")))
@@ -1573,11 +1577,12 @@ object Queries {
   CacheBin.onDrainAll(() => bpeModels.clear())
 
   private def bpeModel(s: SparkSession, dir: String): graft.llm.Bpe.Model =
-    bpeModels.getOrElseUpdate((s, dir), {
-      val words = graft.llm.Bpe.collectTrainingWords(
-        Tables.documents(s, dir), "text", BpeMaxTrainWords)
-      graft.llm.Bpe.train(words, BpeNumMerges)
-    })
+    bpeModels.getOrElseUpdate((s, dir),
+      SessionMemo.timed(s"bpemodel:$dir") {
+        val words = graft.llm.Bpe.collectTrainingWords(
+          Tables.documents(s, dir), "text", BpeMaxTrainWords)
+        graft.llm.Bpe.train(words, BpeNumMerges)
+      })
 
   /** The learned BPE merge table (count-desc, pair-asc deterministic
     * training — see [[graft.llm.Bpe]]): rank, pair, merged symbol, and

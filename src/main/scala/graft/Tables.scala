@@ -102,15 +102,20 @@ object Tables {
     * runs BEFORE the split mirror, so the mirror stores a proper µs
     * timestamp column.
     */
+  private val eventsTsType = scala.collection.concurrent.TrieMap
+    .empty[String, Option[org.apache.spark.sql.types.DataType]]
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
     val nanosShim: DataFrame => DataFrame =
       _.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    // Footer-only schema probe; a nanos file throws here when the legacy
-    // conf is off — that exception IS the signal to turn the conf on.
-    val probed: Option[DataType] =
+    // Footer-only schema probe, memoized per path — the stored type can't
+    // change mid-run, and 24 queries re-enter this loader. A nanos file
+    // throws here when the legacy conf is off — that exception IS the
+    // signal to turn the conf on.
+    val probed: Option[DataType] = eventsTsType.getOrElseUpdate(s"$dir/events",
       try Some(load(spark, dir, "events").schema("ts").dataType)
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch { case scala.util.control.NonFatal(_) => None })
     probed match {
       case Some(TimestampType) => splitMirror(spark, dir, "events")
       case Some(TimestampNTZType) => splitMirror(spark, dir, "events",

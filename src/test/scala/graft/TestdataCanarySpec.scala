@@ -39,6 +39,24 @@ class TestdataCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("all scale factors share one physical schema per table") {
+    // the driver regenerates all SFs together; a regeneration that
+    // changes an encoding at one SF but not another would pass sf0.001
+    // tests and still break the sf0.01 verify / sf0.1 bench — footer
+    // probes are cheap, so compare all three
+    val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+    loaders.map(_._1).foreach { name =>
+      val schemas = sfDirs.map(d =>
+        d -> Tables.load(spark, d, name).schema)
+      schemas.tail.foreach { case (d, sch) =>
+        assert(sch == schemas.head._2,
+          s"table $name: $d stores ${sch.treeString} but ${schemas.head._1} " +
+            s"stores ${schemas.head._2.treeString}")
+      }
+    }
+  }
+
   test("events.ts is normalized to session-TZ TimestampType whatever the file stores") {
     // the stored encoding may be nanos-as-long, timestamp[us] (NTZ), or UTC
     // timestamp across regenerations; the loader's contract is a single
