@@ -33,7 +33,11 @@ object Tables {
       prep: DataFrame => DataFrame = identity): DataFrame = {
     val raw = prep(load(spark, dir, name))
     val parallelism = spark.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions * 2 >= parallelism) raw
+    // file count, not df.rdd.getNumPartitions: the RDD probe forces a
+    // physical planning pass outside AQE just to count splits. Small files
+    // are never split (only packed), so file count upper-bounds scan
+    // parallelism — the conservative direction for a single-file repair
+    if (raw.inputFiles.length * 2 >= parallelism) raw
     else {
       val dirKey = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)

@@ -132,11 +132,7 @@ object MinHashDedup {
       textCol: String, k: Int): DataFrame =
     graft.SessionMemo.cached(docs.sparkSession,
       s"minhashsigs:$corpusKey:$idCol:$textCol:$k:$numHashes") {
-      val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-      val inputParts = docs.rdd.getNumPartitions
-      val spread =
-        if (inputParts * 2 < parallelism) docs.repartition(parallelism) else docs
-      spread
+      Spread(docs)
         .select(col(idCol), MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
         .filter(col("__mh").isNotNull)
         .select(col(idCol) +: (0 until numHashes).map(i =>
@@ -147,15 +143,12 @@ object MinHashDedup {
   private def verifiedPairsImpl(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bucketCap: Int, sharedSigs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     // single-file corpora arrive as one input split; spread them before the
     // per-doc signature pass. A well-split input (≥ half the cluster's
     // slots) is left alone — at scale the corpus already has thousands of
     // splits, and a corpus-wide round-robin shuffle before a scan-local
     // signature pass would dwarf everything downstream.
-    val inputParts = docs.rdd.getNumPartitions
-    val spread =
-      if (inputParts * 2 < parallelism) docs.repartition(parallelism) else docs
+    val spread = Spread(docs)
     // signatures via the one-pass native expression — scan-local, no
     // explode/shuffle (see MinHashSlices); identical output to
     // signaturesFromShingles, which remains the generic/oracle formulation.
@@ -254,11 +247,7 @@ object MinHashDedup {
       storedSigs: Option[DataFrame] = None): DataFrame = {
     require(bucketCap >= 2 && bucketCap <= 1000,
       s"bucketCap $bucketCap outside [2, 1000]: see candidatePairs")
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val flagged = docs.withColumn("__new", isNew)
-    val inputParts = docs.rdd.getNumPartitions
-    val spread =
-      if (inputParts * 2 < parallelism) flagged.repartition(parallelism) else flagged
+    val spread = Spread(docs.withColumn("__new", isNew))
     def sigPass(in: DataFrame): DataFrame = in
       .select(col(idCol), col("__new"),
         MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
@@ -327,7 +316,7 @@ object MinHashDedup {
       .union(verified.filter(col("__a_new") && not(col("__b_new")))
         .select(col("doc_a").as(idCol)))
     val dups = hits.groupBy(col(idCol)).agg(count(lit(1)).as("n_dups"))
-    flagged.filter(col("__new")).select(col(idCol))
+    spread.filter(col("__new")).select(col(idCol))
       .join(dups, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
