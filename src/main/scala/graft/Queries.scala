@@ -1438,6 +1438,14 @@ object Queries {
       k = 8, w = 4, minShared = 3L, bucketCap = 50,
       sets = Some(winnowSetsFor(s, dir)))
 
+  /** Bucket-gate coverage audit for the winnow pair sweep — how much of
+    * the fingerprint mass the cap silently drops (see
+    * [[TextOps.winnowCoverage]]); read before trusting `q_winnow_pairs`.
+    */
+  def winnowCoverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowCoverage(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, w = 4, bucketCap = 50, sets = Some(winnowSetsFor(s, dir)))
+
   /** Corpus bigram heavy hitters (collocation / boilerplate-phrase
     * discovery; see [[TextOps.ngramTopK]]).
     */

@@ -81,8 +81,14 @@ object ScaleProbe {
       "source_overlap" -> (Queries.sourceOverlap _),
       "embed_drift" -> (Queries.embedDrift _),
       // winnow pairs: per-bucket expansion is cap²-bounded, bucket count
-      // grows ~linearly; bigram topk: shuffle = per-doc distinct bigrams
+      // grows ~linearly; bigram topk: shuffle = per-doc distinct bigrams.
+      // At 10× of THIS corpus winnow_pairs returns 0 rows — every
+      // fingerprint runs past the absolute 2..50 bucket cap on the
+      // tiny-vocab synthetic text — which is why the coverage audit runs
+      // beside it: pair_coverage collapsing toward 0 is the observable
+      // that says "re-tune the cap before trusting the pair output"
       "winnow_pairs" -> (Queries.winnowPairs _),
+      "winnow_coverage" -> (Queries.winnowCoverage _),
       "bigram_topk" -> (Queries.bigramTopK _),
       // round 6: dsir/lm score (shuffle = exploded token/bigram stream →
       // linear in corpus tokens; the stats side must stay broadcast),

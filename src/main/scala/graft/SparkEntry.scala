@@ -106,6 +106,7 @@ object SparkEntry {
     "q_ivf_quant_topk" -> (Queries.ivfQuantTopK _),
     "q_dedup_summary" -> (Queries.dedupSummary _),
     "q_winnow_pairs" -> (Queries.winnowPairs _),
+    "q_winnow_coverage" -> (Queries.winnowCoverage _),
     "q_bigram_topk" -> (Queries.bigramTopK _),
     "q_token_budget_sample" -> (Queries.tokenBudgetSample _),
     "q_dsir_weights" -> (Queries.dsirWeights _),
@@ -2443,6 +2444,27 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_shared
          FROM fi a JOIN fi b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3"""),
+
+    // winnow bucket-gate coverage audit: how much fingerprint mass the
+    // 2..50 cap keeps pairable — the no-silent-caps companion of
+    // q_winnow_pairs (same gate constants)
+    "q_winnow_coverage" -> (s"WITH $winnowCtes," +
+      """
+         f AS (SELECT doc_id, unnest(fp) AS fpv FROM wnw),
+         g AS (SELECT fpv, count(*) AS n_occ FROM f GROUP BY fpv)
+         SELECT CAST(count(*) AS BIGINT) AS n_fp_distinct,
+           CAST(sum(n_occ) AS BIGINT) AS n_occ_total,
+           CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fp_singleton,
+           CAST(sum(CASE WHEN n_occ > 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fp_hot,
+           CAST(sum(CASE WHEN n_occ > 50 THEN n_occ ELSE 0 END) AS BIGINT)
+             AS n_occ_hot,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 50 THEN n_occ ELSE 0 END)
+             AS BIGINT) AS n_occ_pairable,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 50 THEN n_occ ELSE 0 END)
+             AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE) AS pair_coverage
+         FROM g"""),
 
     // bigram heavy hitters: q_vocab_topk generalized to 2-grams
     "q_bigram_topk" ->

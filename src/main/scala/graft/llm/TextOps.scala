@@ -713,6 +713,45 @@ object TextOps {
         expr("array_max(__fp)").as("fp_max"),
         expr("aggregate(__fp, 0L, (a, x) -> a + x)").as("fp_sum"))
 
+  /** Coverage audit for the [[winnowPairs]] bucket gate — the "no silent
+    * caps" companion every capped pipeline needs before its output is
+    * trusted: fingerprints occurring in more than `bucketCap` docs are
+    * dropped BEFORE pair expansion (correct — a stopword region must
+    * never fan out a quadratic bucket), but on a corpus where most
+    * fingerprints run hot (boilerplate-heavy, or any corpus big enough
+    * that common regions exceed an absolute cap) that silently drives
+    * pair recall toward zero. The 10× scale probe surfaced exactly this:
+    * winnow_pairs returned 0 rows at 10× because every fingerprint
+    * bucket blew past the cap on the tiny-vocabulary synthetic corpus.
+    * One row: distinct/singleton/hot fingerprint counts, occurrence
+    * totals, and `pair_coverage` — the fraction of fingerprint
+    * occurrences that remain pairable under the cap. An operator reads
+    * this BEFORE the sweep: coverage near 0 means the cap (or the
+    * fingerprint scheme) needs re-tuning for this corpus, and no pair
+    * output should be believed. Cost: the same fp-keyed exchange the
+    * pair stage pays, ending in a corpus-size-invariant single row.
+    */
+  def winnowCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, bucketCap: Int,
+      sets: Option[DataFrame] = None): DataFrame = {
+    val perFp = sets.getOrElse(winnowSets(df, idCol, textCol, k, w))
+      .select(explode(col("__fp")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+    perFp.agg(
+        count(lit(1)).as("n_fp_distinct"),
+        sum(col("n_occ")).as("n_occ_total"),
+        sum(when(col("n_occ") === 1, 1L).otherwise(0L)).as("n_fp_singleton"),
+        sum(when(col("n_occ") > bucketCap, 1L).otherwise(0L)).as("n_fp_hot"),
+        sum(when(col("n_occ") > bucketCap, col("n_occ")).otherwise(0L))
+          .as("n_occ_hot"),
+        sum(when(col("n_occ").between(2, bucketCap), col("n_occ"))
+          .otherwise(0L)).as("n_occ_pairable"))
+      .select(col("n_fp_distinct"), col("n_occ_total"), col("n_fp_singleton"),
+        col("n_fp_hot"), col("n_occ_hot"), col("n_occ_pairable"),
+        (col("n_occ_pairable").cast("double") / col("n_occ_total"))
+          .as("pair_coverage"))
+  }
+
   /** MOSS-style winnow candidate pairs: documents sharing ≥ `minShared`
     * winnow fingerprints — the local-similarity dedup modality beside
     * MinHash (global resemblance) and SimHash (topical distance): a

@@ -1229,6 +1229,20 @@ class LlmSpec extends AnyFunSuite {
     val uncapped = TextOps.winnowPairs(many, "doc_id", "text",
       k = 8, w = 4, minShared = 1L, bucketCap = 50)
     assert(capped.count() == 0 && uncapped.count() == 3)
+    // the coverage audit makes that silent zero observable: under cap 2
+    // the 3-way-shared fingerprints read as hot (pair_coverage sinks),
+    // under cap 50 the same mass is pairable — and the occurrence ledger
+    // always balances (total = singletons + pairable + hot)
+    def cov(cap: Int) = TextOps.winnowCoverage(many, "doc_id", "text",
+      k = 8, w = 4, bucketCap = cap).head()
+    val tight = cov(2); val loose = cov(50)
+    Seq(tight, loose).foreach { r =>
+      assert(r.getLong(1) ==
+        r.getLong(2) + r.getLong(5) + r.getLong(4),
+        s"occurrence ledger must balance: $r")
+    }
+    assert(tight.getLong(3) > 0 && tight.getDouble(6) < loose.getDouble(6))
+    assert(loose.getLong(3) == 0 && loose.getDouble(6) <= 1.0)
   }
 
   test("ivf-pq: recall vs exact brute force stays high; pool is genuinely PQ-pruned") {
