@@ -368,6 +368,16 @@ object Queries {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     sharedPairs(s, dir)
 
+  /** LSH bucket-gate occupancy audit over the session-shared signature
+    * table (see [[MinHashDedup.bucketStats]]) — read before trusting
+    * `q_minhash_pairs` / the dedup sweep; same cap as the pair stage.
+    */
+  def minhashBucketStats(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.bucketStats(
+      MinHashDedup.signaturesShared(Tables.documents(s, dir),
+        corpusKey = s"$dir/documents", "doc_id", "text", k = 16),
+      "doc_id", bucketCap = 50)
+
   // fixed probe-prefix size for the LSH recall eval: ground truth is exact
   // Jaccard of each probe against the FULL corpus, so a fixed probe count
   // keeps the eval linear in corpus size (the same reason q_ann_recall

@@ -42,6 +42,10 @@ object ScaleProbe {
     // plane (bucketed dedup, blocked near-dup, probed ANN, composed curate)
     val phases: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "minhash_pairs" -> (Queries.minhashPairs _),
+      // occupancy audit beside the sweep: shuffle = the one (band, sig)
+      // exchange, output one row — hot-bucket mass growing faster than
+      // corpus rows is the early warning the cap is eating recall
+      "minhash_bucket_stats" -> (Queries.minhashBucketStats _),
       "dedup_keep" -> (Queries.dedupKeep _),
       "curate" -> (Queries.curate _),
       "simhash_hamming64" -> (Queries.simhashHamming64 _),

@@ -49,6 +49,7 @@ object SparkEntry {
     "q_day_filehash" -> (Queries.dayFileHash _),
     "q_docs_exact_dedup" -> (Queries.docsExactDedup _),
     "q_minhash_pairs" -> (Queries.minhashPairs _),
+    "q_minhash_bucket_stats" -> (Queries.minhashBucketStats _),
     "q_minhash_recall" -> (Queries.minhashRecall _),
     "q_edit_neardup" -> (Queries.editNearDup _),
     "q_dedup_clusters" -> (Queries.dedupClusters _),
@@ -1542,6 +1543,26 @@ object SparkEntry {
     "q_minhash_pairs" -> (minhashReachCte +
       """
          SELECT doc_a, doc_b, jaccard FROM jac"""),
+
+    // LSH bucket-gate occupancy audit: same bands CTE, per-bucket counts
+    // classed against the 2..50 cap — the no-silent-caps companion of
+    // q_minhash_pairs (winnow twin: q_winnow_coverage)
+    "q_minhash_bucket_stats" -> (minhashReachCte + """
+         , g AS (SELECT band, sig, count(*) AS n_occ FROM bands
+                 GROUP BY band, sig)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n_occ) AS BIGINT) AS n_rows_total,
+           CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_singleton,
+           CAST(sum(CASE WHEN n_occ > 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_hot,
+           CAST(sum(CASE WHEN n_occ > 50 THEN n_occ ELSE 0 END) AS BIGINT)
+             AS n_rows_hot,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 50 THEN n_occ ELSE 0 END)
+             AS BIGINT) AS n_rows_pairable,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 50 THEN n_occ ELSE 0 END)
+             AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE) AS pair_coverage
+         FROM g"""),
 
     // LSH recall eval: ground truth = exact shingle Jaccard of each probe
     // (doc_id < DedupProbeN) against the full corpus, reusing the shared

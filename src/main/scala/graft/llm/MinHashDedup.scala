@@ -46,6 +46,17 @@ object MinHashDedup {
   /** Candidate near-dup pairs (idCol_a < idCol_b) sharing at least one LSH
     * bucket, skipping buckets larger than `bucketCap`.
     */
+  /** The (id, band, sig) stream of a signature table — the banding every
+    * bucket consumer (pair expansion, occupancy audit) starts from.
+    */
+  private def bandsOf(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(
+      col(idCol),
+      explode(array((0 until numBands).map(i =>
+        struct(lit(i).as("band"),
+          concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
+
   def candidatePairs(sigs: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
     // the in-row expansion below builds ≤ cap² structs in one row; that is
     // the RIGHT trade for LSH caps (tens), and catastrophically the wrong
@@ -54,12 +65,7 @@ object MinHashDedup {
     require(bucketCap >= 2 && bucketCap <= 1000,
       s"bucketCap $bucketCap outside [2, 1000]: the in-row pair expansion " +
         "is sized for LSH-scale caps; use a join-based candidate stage beyond")
-    val bands = sigs.select(
-      col(idCol),
-      explode(array((0 until numBands).map(i =>
-        struct(lit(i).as("band"),
-          concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
+    val bands = bandsOf(sigs, idCol)
     // size-gate FIRST with a count aggregate (map-side partials, no list
     // ever materialized — a mega-bucket must be droppable without any
     // executor holding its id array), then collect ONLY the surviving
@@ -84,6 +90,40 @@ object MinHashDedup {
              p -> p.doc_a < p.doc_b)""")).as("__p"))
       .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .distinct()
+  }
+
+  /** LSH bucket-gate occupancy audit — the "no silent caps" companion of
+    * [[candidatePairs]] (same pattern as `TextOps.winnowCoverage` for the
+    * winnow gate): buckets larger than `bucketCap` are dropped before any
+    * pair expansion, which is the guard that keeps the sweep subquadratic
+    * — and also the place recall silently leaks if the corpus's duplicate
+    * density outgrows the cap. One corpus-size-invariant row off the same
+    * (band, sig) exchange the pair stage pays: bucket counts by class
+    * (singleton / pairable / hot), band-row mass in each, and
+    * `pair_coverage` — the fraction of band rows still pairable under
+    * the cap. Read it before trusting a sweep's pair output; hot mass
+    * growing round-over-round is the signal to re-tune bands × rows or
+    * the cap.
+    */
+  def bucketStats(sigs: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
+    val per = bandsOf(sigs, idCol)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n_occ"))
+    per.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n_occ")).as("n_rows_total"),
+        sum(when(col("n_occ") === 1, 1L).otherwise(0L))
+          .as("n_buckets_singleton"),
+        sum(when(col("n_occ") > bucketCap, 1L).otherwise(0L))
+          .as("n_buckets_hot"),
+        sum(when(col("n_occ") > bucketCap, col("n_occ")).otherwise(0L))
+          .as("n_rows_hot"),
+        sum(when(col("n_occ").between(2, bucketCap), col("n_occ"))
+          .otherwise(0L)).as("n_rows_pairable"))
+      .select(col("n_buckets"), col("n_rows_total"),
+        col("n_buckets_singleton"), col("n_buckets_hot"), col("n_rows_hot"),
+        col("n_rows_pairable"),
+        (col("n_rows_pairable").cast("double") / col("n_rows_total"))
+          .as("pair_coverage"))
   }
 
   /** Exact shingle-Jaccard for each candidate pair.

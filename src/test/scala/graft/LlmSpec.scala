@@ -1245,6 +1245,28 @@ class LlmSpec extends AnyFunSuite {
     assert(loose.getLong(3) == 0 && loose.getDouble(6) <= 1.0)
   }
 
+  test("minhash bucket stats ledger balances and flags hot buckets under a tight cap") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val sigs = MinHashDedup.signaturesShared(docs,
+      corpusKey = TestSpark.sfDir + "/documents", "doc_id", "text", k = 16)
+    def stats(cap: Int) =
+      MinHashDedup.bucketStats(sigs, "doc_id", bucketCap = cap).head()
+    val normal = stats(50)
+    // every banded row lands in exactly one occupancy class
+    assert(normal.getLong(1) ==
+      normal.getLong(2) + normal.getLong(5) + normal.getLong(4))
+    // total band rows = numBands per signatured doc
+    assert(normal.getLong(1) == sigs.count() * MinHashDedup.numBands)
+    // cap 2 reclassifies every bucket of size 3..50 as hot: pairable mass
+    // can only shrink, hot mass only grow, the ledger still balances
+    val tight = stats(2)
+    assert(tight.getLong(1) ==
+      tight.getLong(2) + tight.getLong(5) + tight.getLong(4))
+    assert(tight.getLong(5) <= normal.getLong(5) &&
+      tight.getLong(4) >= normal.getLong(4))
+    assert(tight.getDouble(6) <= normal.getDouble(6))
+  }
+
   test("ivf-pq: recall vs exact brute force stays high; pool is genuinely PQ-pruned") {
     val dir = "/root/testdata/sf0.001"
     val exact = Queries.cosineTopK(spark, dir).collect()
