@@ -828,6 +828,17 @@ object Queries {
     SimHash.hammingPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3, bits = 64)
 
+  /** Band-bucket occupancy audit for the 64-bit simhash sweep (same
+    * width and cap as `q_simhash64_hamming`; see
+    * [[SimHash.bandCoverage]]) — the scale probe's one superlinear
+    * plane, so this is the audit to watch across corpus growth.
+    */
+  def simhashBucketStats(s: SparkSession, dir: String): DataFrame =
+    SimHash.bandCoverage(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), SimHash.simhash64(col("text")).as("simhash64")),
+      "doc_id", "simhash64", bucketCap = 10000, bits = 64)
+
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")
 

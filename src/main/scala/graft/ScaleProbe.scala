@@ -57,6 +57,10 @@ object ScaleProbe {
       "simhash_hamming64_cap200" -> ((s: SparkSession, dir: String) =>
         graft.llm.SimHash.hammingPairs(Tables.documents(s, dir), "doc_id",
           "text", maxHamming = 3, bucketCap = 200, bits = 64)),
+      // the occupancy audit for that superlinear plane: hot-bucket mass
+      // here quantifies exactly how much the cap is clipping as density
+      // grows — the number an operator reads before re-tuning the cap
+      "simhash64_bucket_stats" -> (Queries.simhashBucketStats _),
       "embed_neardup" -> (Queries.embedNearDup _),
       "ivf_topk" -> (Queries.ivfTopK _),
       "quant_topk" -> (Queries.quantTopK _),

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_simhash_hamming" -> (Queries.simhashHamming _),
     "q_simhash64" -> (Queries.simhash64 _),
     "q_simhash64_hamming" -> (Queries.simhashHamming64 _),
+    "q_simhash64_bucket_stats" -> (Queries.simhashBucketStats _),
     "q_ivf_topk" -> (Queries.ivfTopK _),
     "q_ivf_topk_kmeans" -> (Queries.ivfTopKKmeans _),
     "q_ivf_topk_indexed" -> (Queries.ivfTopKIndexed _),
@@ -2154,6 +2155,43 @@ object SparkEntry {
              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+
+    // band-bucket occupancy audit: same chain up to bands, per-bucket
+    // counts classed against the 2..10000 cap — the no-silent-caps
+    // companion of q_simhash64_hamming
+    "q_simhash64_bucket_stats" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         th AS (SELECT doc_id, sha256(token) AS h FROM tok),
+         tb AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS j FROM th),
+         bits AS (
+           SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(1 + j // 4 AS INT), 1)) - 1)
+               >> CAST(3 - j % 4 AS INT)) & 1 AS bit
+           FROM tb),
+         votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j),
+         signs AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM votes),
+         u AS (SELECT doc_id, sum(CAST(s AS HUGEINT) << CAST(63 - j AS INT)) AS uv
+               FROM signs GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, b AS band,
+             CAST((uv >> CAST(16 * b AS INT)) & 65535 AS BIGINT) AS bv
+           FROM u, (SELECT unnest(generate_series(0, 3)) AS b) t),
+         g AS (SELECT band, bv, count(*) AS n_occ FROM bands GROUP BY band, bv)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n_occ) AS BIGINT) AS n_rows_total,
+           CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_singleton,
+           CAST(sum(CASE WHEN n_occ > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_hot,
+           CAST(sum(CASE WHEN n_occ > 10000 THEN n_occ ELSE 0 END) AS BIGINT)
+             AS n_rows_hot,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 10000 THEN n_occ ELSE 0 END)
+             AS BIGINT) AS n_rows_pairable,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 10000 THEN n_occ ELSE 0 END)
+             AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE) AS pair_coverage
+         FROM g""",
 
     "q_ivf_topk" -> ivfTopKSql,
 

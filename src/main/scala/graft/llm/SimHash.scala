@@ -120,6 +120,41 @@ object SimHash {
       idCol, "simhash", maxHamming, bucketCap, bits)
   }
 
+  /** Band-bucket occupancy audit for [[hammingPairsOn]]'s cap gate — the
+    * SimHash member of the no-silent-caps family (`MinHashDedup
+    * .bucketStats`, `TextOps.winnowCoverage`). This is the plane where
+    * the audit earns its keep: the 10× scale probe's one superlinear
+    * finding is simhash band buckets saturating on dense corpora, and
+    * 32-bit fingerprints (256-value byte bands) saturate 256× sooner
+    * than the production 64-bit width. One corpus-size-invariant row off
+    * the (band, bv) exchange: bucket counts by occupancy class, row mass
+    * per class, and `pair_coverage` under `bucketCap`.
+    */
+  def bandCoverage(hashes: org.apache.spark.sql.DataFrame, idCol: String,
+      hashCol: String, bucketCap: Int, bits: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val per = hashes.select(col(hashCol).as("__h"))
+      .select(explode(bandStructs(col("__h"), bits)).as("b"))
+      .select(col("b.band").as("band"), col("b.bv").as("bv"))
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n_occ"))
+    per.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n_occ")).as("n_rows_total"),
+        sum(when(col("n_occ") === 1, 1L).otherwise(0L))
+          .as("n_buckets_singleton"),
+        sum(when(col("n_occ") > bucketCap, 1L).otherwise(0L))
+          .as("n_buckets_hot"),
+        sum(when(col("n_occ") > bucketCap, col("n_occ")).otherwise(0L))
+          .as("n_rows_hot"),
+        sum(when(col("n_occ").between(2, bucketCap), col("n_occ"))
+          .otherwise(0L)).as("n_rows_pairable"))
+      .select(col("n_buckets"), col("n_rows_total"),
+        col("n_buckets_singleton"), col("n_buckets_hot"), col("n_rows_hot"),
+        col("n_rows_pairable"),
+        (col("n_rows_pairable").cast("double") / col("n_rows_total"))
+          .as("pair_coverage"))
+  }
+
   /** The banded hamming join over a PRECOMPUTED fingerprint column — the
     * candidate machinery of [[hammingPairs]], factored out because the
     * banding is a property of the fingerprint width, not of text:

@@ -1267,6 +1267,24 @@ class LlmSpec extends AnyFunSuite {
     assert(tight.getDouble(6) <= normal.getDouble(6))
   }
 
+  test("simhash band coverage ledger balances; 32-bit bands saturate before 64-bit") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    def cov(bits: Int, cap: Int) = SimHash.bandCoverage(
+      docs.select(col("doc_id"),
+        (if (bits == 64) SimHash.simhash64(col("text"))
+         else SimHash.simhash32(col("text"))).as("sh")),
+      "doc_id", "sh", bucketCap = cap, bits = bits).head()
+    val c64 = cov(64, 10000)
+    assert(c64.getLong(1) == c64.getLong(2) + c64.getLong(5) + c64.getLong(4))
+    assert(c64.getLong(1) == docs.count() * 4) // 4 bands per doc
+    // byte bands (256 values) concentrate the same rows into far fewer
+    // buckets than 16-bit bands — the saturation asymmetry the Scaladoc
+    // claims; under a tight cap that shows up as strictly less coverage
+    val t32 = cov(32, 5); val t64 = cov(64, 5)
+    assert(t32.getLong(0) <= t64.getLong(0))
+    assert(t32.getDouble(6) <= t64.getDouble(6))
+  }
+
   test("ivf-pq: recall vs exact brute force stays high; pool is genuinely PQ-pruned") {
     val dir = "/root/testdata/sf0.001"
     val exact = Queries.cosineTopK(spark, dir).collect()
