@@ -1076,6 +1076,28 @@ object Queries {
         isCentroid = col("vec_id") < 16)
     }
 
+  /** IVF inverted-list balance audit over the shared assignment memo —
+    * the ANN-plane member of the cap-audit family: probe latency at
+    * scale is governed by list SKEW (a probe touching the fattest list
+    * pays max_list, not avg_list), and a skew drifting up across
+    * ingests says the centroids no longer span the data. One
+    * corpus-size-invariant row: list count, vector count, min/max/avg
+    * list size, and `skew` = max/avg.
+    */
+  def ivfListBalance(s: SparkSession, dir: String): DataFrame =
+    ivfAssign(s, dir)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_lists"),
+        sum(col("n")).as("n_vectors"),
+        min(col("n")).as("min_list"),
+        max(col("n")).as("max_list"))
+      .select(col("n_lists"), col("n_vectors"), col("min_list"),
+        col("max_list"),
+        (col("n_vectors").cast("double") / col("n_lists")).as("avg_list"),
+        (col("max_list").cast("double") * col("n_lists") / col("n_vectors"))
+          .as("skew"))
+
   /** The classifier's feature frame: four scan-local text statistics
     * (all exact-integer counts with single float divisions, so the frame
     * is bit-identical in any engine) plus the v1-quality-gate label. The

@@ -63,6 +63,10 @@ object ScaleProbe {
       "simhash64_bucket_stats" -> (Queries.simhashBucketStats _),
       "embed_neardup" -> (Queries.embedNearDup _),
       "ivf_topk" -> (Queries.ivfTopK _),
+      // list-balance audit beside the probe path: skew (max/avg list)
+      // rising with corpus growth = probe latency decoupling from the
+      // nProbe budget — re-train centroids before trusting latency SLAs
+      "ivf_list_balance" -> (Queries.ivfListBalance _),
       "quant_topk" -> (Queries.quantTopK _),
       // round 6: prefix-sum packing (shuffle = the one range exchange on
       // the 2-col projection → must grow linearly; a global-window

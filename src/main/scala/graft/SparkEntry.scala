@@ -76,6 +76,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Queries.stratifiedSample _),
     "q_cluster_sample" -> (Queries.clusterSample _),
     "q_ivf_assign" -> (Queries.ivfAssign _),
+    "q_ivf_list_balance" -> (Queries.ivfListBalance _),
     "q_binary_meta" -> (Queries.binaryMeta _),
     "q_media_gate" -> (Queries.mediaGate _),
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
@@ -1946,6 +1947,38 @@ object SparkEntry {
          WHERE rank <= 10""",
 
     "q_ivf_assign" -> ivfAssignSql,
+
+    // inverted-list balance audit over the same assignment: skew =
+    // max/avg list size, the probe-latency factor — the ANN-plane
+    // member of the cap-audit family
+    "q_ivf_list_balance" ->
+      """WITH n2 AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS nn
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, embedding AS cv, nn AS cn FROM n2 WHERE vec_id < 16),
+         p AS (
+           SELECT v.vec_id, c.centroid_id,
+             v.nn + c.cn - 2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+               z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(28,12))))
+               AS DOUBLE) AS dist2
+           FROM n2 v, c),
+         a AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+             FROM p) r
+           WHERE rn = 1),
+         g AS (SELECT centroid_id, count(*) AS n FROM a GROUP BY centroid_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(min(n) AS BIGINT) AS min_list,
+           CAST(max(n) AS BIGINT) AS max_list,
+           CAST(sum(n) AS DOUBLE) / count(*) AS avg_list,
+           CAST(max(n) AS DOUBLE) * count(*) / sum(n) AS skew
+         FROM g""",
 
     // embedding outliers: the same assignment, ordered by distance —
     // farthest 20 from their centroid (dist2 hash-matches in

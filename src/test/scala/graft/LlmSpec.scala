@@ -1285,6 +1285,18 @@ class LlmSpec extends AnyFunSuite {
     assert(t32.getDouble(6) <= t64.getDouble(6))
   }
 
+  test("ivf list balance accounts for every vector and bounds skew sanely") {
+    val r = Queries.ivfListBalance(spark, TestSpark.sfDir).head()
+    val nVecs = Tables.embeddings(spark, TestSpark.sfDir).count()
+    assert(r.getLong(1) == nVecs) // every vector lands in exactly one list
+    assert(r.getLong(0) <= 16L) // at most the fixed centroid count
+    assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(3))
+    // avg between min and max; skew = max/avg >= 1 by construction
+    assert(r.getDouble(4) >= r.getLong(2).toDouble &&
+      r.getDouble(4) <= r.getLong(3).toDouble)
+    assert(r.getDouble(5) >= 1.0)
+  }
+
   test("ivf-pq: recall vs exact brute force stays high; pool is genuinely PQ-pruned") {
     val dir = "/root/testdata/sf0.001"
     val exact = Queries.cosineTopK(spark, dir).collect()
