@@ -95,6 +95,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("minhash recall ground truth is an inverted-index broadcast join, never a cross product") {
+    // the exact-Jaccard ground truth must stay the explode + broadcast
+    // probe-shingle join (scan-linear); a regression back to
+    // crossJoin+array_intersect shows up as a nested-loop/cartesian
+    // operator and |corpus|×|probes| array walks
+    val df = Queries.minhashRecall(spark, TestSpark.sfDir)
+    df.collect()
+    // AQE's toString repeats operators across the final/initial plan
+    // sections — count only the final plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // exactly one loop join is legitimate: the 1-row × 1-row stats
+    // combine at the top; a second one means row-level pair generation
+    // regressed to a cross product
+    val loops = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(loops <= 1, s"$loops loop joins:\n" + plan.take(3000))
+  }
+
   test("trading-day gate stays a broadcast semi-join on the fact side") {
     val plan = Queries.tradingDayEvents(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
