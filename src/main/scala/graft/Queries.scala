@@ -1957,7 +1957,16 @@ object Queries {
     * pair/cluster map, decon scans); the only new work is the survivor
     * sliver's joins.
     */
-  def curateV3(s: SparkSession, dir: String): DataFrame = {
+  def curateV3(s: SparkSession, dir: String): DataFrame =
+    // session-memoized: v4 derives from this frame (classifier band +
+    // curriculum on TOP of the v3 keep-set), so the corpus-side work —
+    // the gopher gate scan and the PII regex scrub, the two expensive
+    // per-doc stages — runs once per session instead of once per curate
+    // variant. At 100 TB this is "materialize the curated corpus once,
+    // derive downstream views from it", the call every pipeline makes.
+    SessionMemo.cached(s, s"curatev3:$dir")(curateV3Impl(s, dir))
+
+  private def curateV3Impl(s: SparkSession, dir: String): DataFrame = {
     val reps = dedupKeep(s, dir).select("doc_id")
     val contaminated = decontaminate(s, dir).select("doc_id")
     val semContaminated = decontaminateSemantic(s, dir)
