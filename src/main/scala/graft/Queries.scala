@@ -1291,6 +1291,14 @@ object Queries {
         "label", threshold = 0.2,
         assigned = Some(ivfAssignedShared(s, dir))))
 
+  /** (centroid, label) block-occupancy audit for the embedding near-dup
+    * gate (same blocking and cap as `q_embed_neardup`; see
+    * [[Similarity.blockStats]]) — the embedding-plane cap audit.
+    */
+  def embedBlockStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockStats(ivfAssignedShared(s, dir), "label",
+      blockCap = 10000)
+
   /** SEMANTIC split leakage: embedding near-dup pairs that straddle the
     * train/holdout boundary — the paraphrase-leakage twin of
     * [[splitLeakage]] (which audits textual near-dups). Third consumer

@@ -62,6 +62,10 @@ object ScaleProbe {
       // grows — the number an operator reads before re-tuning the cap
       "simhash64_bucket_stats" -> (Queries.simhashBucketStats _),
       "embed_neardup" -> (Queries.embedNearDup _),
+      // block-occupancy audit beside the blocked self-join: hot-block
+      // vector mass growing with the corpus = the blocking key is
+      // degenerating and the cap is eating near-dup recall
+      "embed_block_stats" -> (Queries.embedBlockStats _),
       "ivf_topk" -> (Queries.ivfTopK _),
       // list-balance audit beside the probe path: skew (max/avg list)
       // rising with corpus growth = probe latency decoupling from the

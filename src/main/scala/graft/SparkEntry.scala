@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Queries.ngramJaccard _),
     "q_ngram_containment" -> (Queries.ngramContainment _),
     "q_embed_neardup" -> (Queries.embedNearDup _),
+    "q_embed_block_stats" -> (Queries.embedBlockStats _),
     "q_simhash_hamming" -> (Queries.simhashHamming _),
     "q_simhash64" -> (Queries.simhash64 _),
     "q_simhash64_hamming" -> (Queries.simhashHamming64 _),
@@ -2575,6 +2576,27 @@ object SparkEntry {
     "q_embed_neardup" -> (s"WITH $embedNearDupCtes" +
       """
          SELECT vec_a, vec_b, cosine FROM ep"""),
+
+    // (centroid, label) block-occupancy audit over the same assignment
+    // chain: the embedding-plane no-silent-caps row (cap 10000, matching
+    // the ok gate above; ep is defined but unused — valid SQL)
+    "q_embed_block_stats" -> (s"WITH $embedNearDupCtes" +
+      """
+         , g AS (SELECT centroid_id, label, count(*) AS n_occ
+                 FROM a GROUP BY centroid_id, label)
+         SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n_occ) AS BIGINT) AS n_vectors_total,
+           CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks_singleton,
+           CAST(sum(CASE WHEN n_occ > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks_hot,
+           CAST(sum(CASE WHEN n_occ > 10000 THEN n_occ ELSE 0 END) AS BIGINT)
+             AS n_vectors_hot,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 10000 THEN n_occ ELSE 0 END)
+             AS BIGINT) AS n_vectors_pairable,
+           CAST(sum(CASE WHEN n_occ BETWEEN 2 AND 10000 THEN n_occ ELSE 0 END)
+             AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE) AS pair_coverage
+         FROM g"""),
 
     // semantic split leakage: the same ep pair sliver rolled up by the
     // deterministic split labels of its endpoints

@@ -270,6 +270,40 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Block-occupancy audit for [[cosineNearDup]]'s cap gate — the
+    * embedding-plane member of the no-silent-caps family
+    * (`MinHashDedup.bucketStats`, `SimHash.bandCoverage`,
+    * `TextOps.winnowCoverage`): (centroid, block) groups larger than
+    * `blockCap` are dropped before the within-block self-join (correct —
+    * a degenerate blocking key must never reintroduce the n² join), and
+    * this row is where that drop stops being silent. Same
+    * corpus-size-invariant schema as the siblings, off the
+    * (centroid, block) exchange the gate already pays: block counts by
+    * occupancy class, vector mass per class, and `pair_coverage`.
+    */
+  def blockStats(assigned: DataFrame, blockCol: String,
+      blockCap: Int): DataFrame = {
+    val per = assigned
+      .groupBy(col("centroid_id"), col(blockCol))
+      .agg(count(lit(1)).as("n_occ"))
+    per.agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("n_occ")).as("n_vectors_total"),
+        sum(when(col("n_occ") === 1, 1L).otherwise(0L))
+          .as("n_blocks_singleton"),
+        sum(when(col("n_occ") > blockCap, 1L).otherwise(0L))
+          .as("n_blocks_hot"),
+        sum(when(col("n_occ") > blockCap, col("n_occ")).otherwise(0L))
+          .as("n_vectors_hot"),
+        sum(when(col("n_occ").between(2, blockCap), col("n_occ"))
+          .otherwise(0L)).as("n_vectors_pairable"))
+      .select(col("n_blocks"), col("n_vectors_total"),
+        col("n_blocks_singleton"), col("n_blocks_hot"),
+        col("n_vectors_hot"), col("n_vectors_pairable"),
+        (col("n_vectors_pairable").cast("double") / col("n_vectors_total"))
+          .as("pair_coverage"))
+  }
+
   /** Lloyd-refined IVF codebook: start from the deterministic lowest-id
     * sample, run `iters` rounds of assign → per-dimension mean. Returns a
     * (`idCol`, `vecCol`: array<double>) frame that plugs straight into

@@ -1285,6 +1285,26 @@ class LlmSpec extends AnyFunSuite {
     assert(t32.getDouble(6) <= t64.getDouble(6))
   }
 
+  test("embed block stats ledger balances; a tight cap reclassifies mass as hot") {
+    val assigned = Seq(
+      (1L, 0L, "en"), (2L, 0L, "en"), (3L, 0L, "en"), // block of 3
+      (4L, 0L, "fr"), // singleton
+      (5L, 1L, "en"), (6L, 1L, "en") // block of 2
+    ).toDF("vec_id", "centroid_id", "label")
+    def stats(cap: Int) =
+      Similarity.blockStats(assigned, "label", blockCap = cap).head()
+    val loose = stats(10)
+    assert(loose.getLong(0) == 3 && loose.getLong(1) == 6)
+    assert(loose.getLong(2) == 1 && loose.getLong(3) == 0)
+    assert(loose.getLong(5) == 5 && loose.getDouble(6) == 5.0 / 6.0)
+    val tight = stats(2)
+    // the 3-block goes hot; ledger still balances
+    assert(tight.getLong(3) == 1 && tight.getLong(4) == 3)
+    assert(tight.getLong(1) ==
+      tight.getLong(2) + tight.getLong(5) + tight.getLong(4))
+    assert(tight.getDouble(6) < loose.getDouble(6))
+  }
+
   test("ivf list balance accounts for every vector and bounds skew sanely") {
     val r = Queries.ivfListBalance(spark, TestSpark.sfDir).head()
     val nVecs = Tables.embeddings(spark, TestSpark.sfDir).count()
