@@ -136,13 +136,19 @@ object Bench {
     // Each warm-up step is fault-isolated: round 7's bench died rc=1 in
     // THIS untimed block (an events-loader analysis error) before a single
     // query ran — a warm-up must never be able to zero the whole artifact.
-    def warmSafe(step: => Unit): Unit =
-      try step catch { case scala.util.control.NonFatal(_) => () }
-    warmSafe(Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save())
-    warmSafe(Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save())
-    warmSafe(Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save())
-    warmSafe(Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save())
-    warmSafe(warmUpOperators(spark))
+    // A swallowed warm-up failure must still leave a trace: without the
+    // stderr line, a loader regression is invisible here and the first timed
+    // query silently absorbs both the cold cache and the original error.
+    def warmSafe(name: String)(step: => Unit): Unit =
+      try step catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up '$name' failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    warmSafe("lineitem")(Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe("events")(Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe("documents")(Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe("embeddings")(Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save())
+    warmSafe("operators")(warmUpOperators(spark))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, fn)
     }

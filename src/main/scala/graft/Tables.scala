@@ -108,6 +108,9 @@ object Tables {
     */
   private val eventsTsType = scala.collection.concurrent.TrieMap
     .empty[String, Option[org.apache.spark.sql.types.DataType]]
+  // A testdata regeneration under a long-lived JVM must re-probe the stored
+  // encoding, or the adaptive loader defeats its own purpose.
+  CacheBin.onDrainAll(() => { eventsTsType.clear(); countCache.clear() })
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
@@ -124,11 +127,23 @@ object Tables {
       case Some(TimestampType) => splitMirror(spark, dir, "events")
       case Some(TimestampNTZType) => splitMirror(spark, dir, "events",
         _.withColumn("ts", col("ts").cast(TimestampType)))
-      case Some(LongType) => // nanosAsLong already in effect for this session
-        splitMirror(spark, dir, "events", nanosShim)
-      case _ => // nanos encoding rejected: enable the legacy read, then shim
+      case Some(LongType) =>
+        // The probe result is memoized per PATH but the LongType outcome is
+        // SESSION-dependent (it means nanosAsLong was on when probed). A
+        // second session in the same JVM hits the memo without the conf, so
+        // re-assert it here — idempotent for the session that set it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         splitMirror(spark, dir, "events", nanosShim)
+      case None => // probe threw = nanos rejected: enable legacy read, then shim
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        splitMirror(spark, dir, "events", nanosShim)
+      case Some(other) =>
+        // A future regeneration shipping ts as STRING/DATE/INT96 must fail
+        // loudly at the loader, not be silently treated as nanos and
+        // mis-converted by the div-1000 shim downstream.
+        throw new IllegalStateException(
+          s"events.ts stored as unsupported parquet type $other at $dir — " +
+          "extend Tables.events for this encoding")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,46 @@ class TestdataCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("nanosAsLong legacy conf does not cross-talk non-nanos timestamp reads") {
+    // Tables.events' nanos fallback sets spark.sql.legacy.parquet.nanosAsLong
+    // session-wide. That conf only changes how TIMESTAMP(NANOS) columns decode
+    // (long instead of analysis error) — this canary proves a mixed-encoding
+    // session stays correct: with the conf ON, a TimestampNTZ file and a UTC
+    // TimestampType file written and read back in the SAME session keep their
+    // logical types and values. (Spark cannot write TIMESTAMP(NANOS), so the
+    // nanos side itself is exercised by the loader-probe path when the driver
+    // regenerates testdata with that encoding.)
+    import org.apache.spark.sql.functions._
+    val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ts-canary").toString
+      val base = spark.range(3).select(
+        col("id"),
+        timestamp_micros(col("id") * 1000000L + 1700000000000000L).as("t"))
+      base.write.mode("overwrite").parquet(s"$tmp/utc")
+      base.select(col("id"), col("t").cast(TimestampNTZType).as("t"))
+        .write.mode("overwrite").parquet(s"$tmp/ntz")
+      val utcBack = spark.read.parquet(s"$tmp/utc")
+      val ntzBack = spark.read.parquet(s"$tmp/ntz")
+      assert(utcBack.schema("t").dataType == TimestampType)
+      assert(ntzBack.schema("t").dataType == TimestampNTZType)
+      val utcVals = utcBack.select(unix_micros(col("t"))).orderBy("t")
+        .collect().map(_.getLong(0)).toSeq
+      val ntzVals = ntzBack
+        .select(unix_micros(col("t").cast(TimestampType))).orderBy("t")
+        .collect().map(_.getLong(0)).toSeq
+      val expect = Seq(0L, 1L, 2L).map(_ * 1000000L + 1700000000000000L)
+      assert(utcVals == expect, s"UTC timestamps corrupted under nanosAsLong: $utcVals")
+      assert(ntzVals == expect, s"NTZ timestamps corrupted under nanosAsLong: $ntzVals")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+  }
+
   test("events.ts is normalized to session-TZ TimestampType whatever the file stores") {
     // the stored encoding may be nanos-as-long, timestamp[us] (NTZ), or UTC
     // timestamp across regenerations; the loader's contract is a single
