@@ -2121,4 +2121,67 @@ object Queries {
       .agg(count(col("__hit")).as("n_hits"),
         (count(col("__hit")).cast("double") / lit(AnnTopK.toDouble)).as("recall"))
   }
+
+  // ---- transactional commit-log table plane (Delta emulation: MERGE /
+  //      history / CDF / time travel — graft.tables.CommitLogTable)
+
+  /** Build (once per session) the deterministic 3-commit demo table the
+    * commit-log queries share: over `events` keyed by `event_id`,
+    *   v1 append of event_id%4 ∈ {0,1};
+    *   v2 MERGE of %4 ∈ {1,2} with value doubled (→ %4=1 update, %4=2 insert);
+    *   v3 MERGE of %4 ∈ {2,3} with value tripled (→ %4=2 update, %4=3 insert).
+    * Every statistic the oracles check (insert/update counts, totals,
+    * change images, pinned snapshots) is a pure function of `events`.
+    */
+  private def commitLogDemoDir(s: SparkSession, dir: String): String = {
+    val tableDir = "/tmp/graft-commitlog/" + s.sparkContext.applicationId +
+      "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    SessionMemo.once(s, s"commitlog:$dir") {
+      // applicationId-unique path: a completed build survives drainAll()
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val m = col("event_id") % 4
+        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+        t.append(ev.filter(m < 2))
+        t.merge(ev.filter(m === 1 || m === 2)
+          .withColumn("value", col("value") * 2), Seq("event_id"), Seq(col("event_id")))
+        t.merge(ev.filter(m === 2 || m === 3)
+          .withColumn("value", col("value") * 3), Seq("event_id"), Seq(col("event_id")))
+      }
+    }
+    tableDir
+  }
+
+  /** Table history from the commit manifests alone (no data read):
+    * version, action, and row statistics per commit — the `DESCRIBE
+    * HISTORY` surface of the reference's Delta tables.
+    */
+  def tableHistory(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogDemoDir(s, dir)).history
+      .select(col("version"), col("action"), col("rows_inserted"),
+        col("rows_updated"), col("rows_deleted"), col("rows_total"))
+
+  /** Persisted Change Data Feed replay for versions 2-3: insert rows plus
+    * update pre/post images, each tagged with its commit version — a
+    * durable change table a downstream consumer reads LATER, not an
+    * in-flight foreachBatch callback.
+    */
+  def cdfRead(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogDemoDir(s, dir))
+      .readChanges(2, 3)
+      .select(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Time travel: aggregate the snapshot PINNED at version 2 — correct
+    * even though version 3 has since rewritten overlapping keys, because
+    * a manifest's files are immutable until vacuumed.
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogDemoDir(s, dir))
+      .read(Some(2L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
 }

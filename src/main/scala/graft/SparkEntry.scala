@@ -166,6 +166,9 @@ object SparkEntry {
     "q_dataset_manifest" -> (Queries.datasetManifest _),
     "q_corpus_card" -> (Queries.corpusCard _),
     "q_sequence_manifest" -> (Queries.sequenceManifest _),
+    "q_table_history" -> (Queries.tableHistory _),
+    "q_cdf_read" -> (Queries.cdfRead _),
+    "q_time_travel" -> (Queries.timeTravel _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -3631,5 +3634,56 @@ object SparkEntry {
            FROM rer) r
          WHERE rank <= ${Queries.AnnTopK}"""
     },
+
+    // commit-log plane: the 3-commit demo scenario (v1 append of
+    // event_id%4∈{0,1}; v2 merge of {1,2} doubled; v3 merge of {2,3}
+    // tripled) makes every manifest statistic a pure function of `events`
+    "q_table_history" -> """
+      WITH e AS (SELECT event_id % 4 AS m FROM events)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS version, 'create' AS action,
+               CAST(0 AS BIGINT) AS rows_inserted, CAST(0 AS BIGINT) AS rows_updated,
+               CAST(0 AS BIGINT) AS rows_deleted, CAST(0 AS BIGINT) AS rows_total
+        UNION ALL
+        SELECT 1, 'append', (SELECT count(*) FROM e WHERE m < 2), 0, 0,
+               (SELECT count(*) FROM e WHERE m < 2)
+        UNION ALL
+        SELECT 2, 'merge', (SELECT count(*) FROM e WHERE m = 2),
+               (SELECT count(*) FROM e WHERE m = 1), 0,
+               (SELECT count(*) FROM e WHERE m < 3)
+        UNION ALL
+        SELECT 3, 'merge', (SELECT count(*) FROM e WHERE m = 3),
+               (SELECT count(*) FROM e WHERE m = 2), 0,
+               (SELECT count(*) FROM e)
+      ) ORDER BY version""",
+
+    "q_cdf_read" -> """
+      WITH e AS (SELECT *, event_id % 4 AS m FROM events)
+      SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+             event_id, user_id, event_type, value * 2 AS value
+        FROM e WHERE m = 2
+      UNION ALL
+      SELECT 2, 'update_preimage', event_id, user_id, event_type, value
+        FROM e WHERE m = 1
+      UNION ALL
+      SELECT 2, 'update_postimage', event_id, user_id, event_type, value * 2
+        FROM e WHERE m = 1
+      UNION ALL
+      SELECT 3, 'insert', event_id, user_id, event_type, value * 3
+        FROM e WHERE m = 3
+      UNION ALL
+      SELECT 3, 'update_preimage', event_id, user_id, event_type, value * 2
+        FROM e WHERE m = 2
+      UNION ALL
+      SELECT 3, 'update_postimage', event_id, user_id, event_type, value * 3
+        FROM e WHERE m = 2""",
+
+    // snapshot pinned at version 2: %4∈{0} original, {1,2} doubled
+    "q_time_travel" -> """
+      WITH e AS (SELECT *, event_id % 4 AS m FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(CASE WHEN m = 0 THEN value ELSE value * 2 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM e WHERE m < 3 GROUP BY event_type""",
   )
 }

@@ -54,6 +54,49 @@ object TableOps {
     * format's implementation.
     */
   val default: TableOps = ParquetTableOps
+
+  /** The transactional binding: the same four services over the
+    * [[graft.tables.CommitLogTable]] versioned-manifest format — atomic
+    * commits, snapshot-isolated readers, persisted CDF, time travel.
+    * Callers read the table through `CommitLogTable.open(...).read()`
+    * rather than a bare `spark.read.parquet(dir)`.
+    */
+  val commitLog: TableOps = CommitLogTableOps
+}
+
+/** [[graft.tables.CommitLogTable]]-backed table services: upserts become
+  * atomic versioned MERGE commits with partition-pruned copy-on-write,
+  * compact/vacuum operate on the manifest rather than live directories —
+  * so a concurrent reader's resolved snapshot is never perturbed.
+  */
+object CommitLogTableOps extends TableOps {
+  import graft.tables.CommitLogTable
+
+  /** Frame-level MERGE is storage-free — same semantics as the default
+    * binding (the transactional value-add lives in [[upsertPartitions]],
+    * where the result is committed).
+    */
+  override def merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame =
+    MergeUpsert.merge(target, updates, keys, order)
+
+  override def upsertPartitions(batch: DataFrame, targetDir: String,
+      keys: Seq[String], order: Seq[Column], dayCol: String): Unit = {
+    val tbl = CommitLogTable.forPath(batch.sparkSession, targetDir,
+      batch.schema, Some(dayCol))
+    tbl.merge(batch, keys, order)
+  }
+
+  override def compact(spark: SparkSession, dir: String, partitionCol: String,
+      targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)] =
+    CommitLogTable.open(spark, dir).compact(targetFileBytes, Some(values))
+
+  /** Sweeps data files outside the 2-version retention window plus
+    * orphans of lost commit races; the commit-log format never restores
+    * (nothing is ever in a half-swapped state), so `restored` is 0.
+    */
+  override def vacuum(dir: String): (Int, Int) =
+    (0, CommitLogTable.vacuumPath(dir, retainVersions = 2))
 }
 
 /** The plain-parquet implementation: delegates to the spec-proven

@@ -1,0 +1,534 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A transactional plain-parquet table format: versioned, atomically
+  * committed manifests over immutable data files — the engine's answer to
+  * the reference's Delta-lake plane (MERGE / OPTIMIZE / VACUUM / Change
+  * Data Feed / time travel — `docs/databricks_setup.md:96,170-198`,
+  * `bronze_prices_auto_loader.ipynb:158`, `README.md:174`) in an
+  * environment with no lakehouse jars.
+  *
+  * Layout under the table root:
+  * {{{
+  *   _graft_log/v<20-digit>.json     one manifest per committed version
+  *   _graft_log/changes/c-<uuid>/    persisted change rows (CDF) per commit
+  *   data/c-<uuid>/[p=v/]part-*.parquet   immutable data files per commit
+  * }}}
+  *
+  * Each manifest carries the FULL active file list (path, partition value,
+  * footer row count, bytes) plus commit statistics — so resolving any
+  * version is one small JSON read, with no log replay. At 100 TB the list
+  * is tens of thousands of entries of ~100 bytes: still a single-digit-MB
+  * driver-side read, the same order as a Delta checkpoint, and file-level
+  * partition pruning happens on this metadata rather than on directory
+  * listings.
+  *
+  * ATOMICITY & ISOLATION. A commit writes its data files first (invisible
+  * to readers — nothing references them), then publishes a fully-written
+  * manifest via hard-link: `Files.createLink(v<N>.json, tmp)` atomically
+  * fails with [[FileAlreadyExistsException]] if another writer claimed
+  * version N, giving optimistic concurrency on any POSIX filesystem —
+  * losers recompute against the new snapshot and retry onto N+1. Readers
+  * resolve a manifest once and read ONLY its file list, so a concurrent
+  * compact/merge/vacuum never changes what an already-resolved reader
+  * sees: old files are immutable and survive until [[vacuum]] drops
+  * versions past the retention window. This closes the reader-visibility
+  * window the stage-then-swap emulation
+  * ([[graft.streaming.FileStreamIngest.upsertIntoPartitionedParquet]])
+  * documents but cannot close.
+  *
+  * Change Data Feed: merge/append/delete commits persist their change rows
+  * (`_change_type` ∈ insert / update_preimage / update_postimage / delete)
+  * as parquet under `_graft_log/changes/`, referenced from the manifest —
+  * a durable, replayable change table ([[readChanges]]), not an in-flight
+  * `foreachBatch` callback.
+  *
+  * Scale notes: merge rewrites ONLY the files of partitions present in the
+  * update batch (manifest-level pruning — the copy-on-write granularity
+  * Delta uses); the change set falls out of the same full-outer join that
+  * produces the new snapshot (one shuffle, no second pass); all row counts
+  * come from parquet footers, never a data scan.
+  */
+final class CommitLogTable private (val spark: SparkSession, val dir: String) {
+  import CommitLogTable._
+
+  private val logDir = Paths.get(dir, LogDirName)
+
+  // ---------------------------------------------------------------- reads
+
+  /** Latest committed version (0 = created empty). */
+  def latestVersion: Long = listVersions.last
+
+  /** Snapshot read; `version` pins a historical snapshot (time travel).
+    * The file list is resolved NOW — the returned frame is isolated from
+    * any later commit.
+    */
+  def read(version: Option[Long] = None): DataFrame = {
+    val m = manifest(version.getOrElse(latestVersion))
+    readFiles(m.files, m.schema, m.partitionCol)
+  }
+
+  /** One row per committed version, oldest first: the table's history
+    * (action + row/file statistics), from manifests only — no data read.
+    */
+  def history: DataFrame = {
+    val rows = listVersions.map(manifest).map { m =>
+      Row(m.version, m.action, m.rowsInserted, m.rowsUpdated, m.rowsDeleted,
+        m.rowsTotal, m.files.size, m.tsMillis)
+    }
+    spark.createDataFrame(rows.asJava, HistorySchema).orderBy("version")
+  }
+
+  /** Replayable CDF: all change rows committed in versions
+    * [`fromVersion`, `toVersion`], each tagged `_commit_version`. Versions
+    * without changes (create/compact/restore) contribute nothing.
+    */
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    val ms = listVersions.filter(v => v >= fromVersion && v <= toVersion)
+      .map(manifest).filter(_.changesDir.isDefined)
+    val m0 = manifest(latestVersion)
+    val changeSchema = new StructType(
+      (m0.schema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType)))
+    val frames = ms.map { m =>
+      spark.read.schema(changeSchema).parquet(s"$dir/${m.changesDir.get}")
+        .withColumn("_commit_version", lit(m.version))
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        new StructType(changeSchema.fields :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType)))
+    else frames.reduce(_.unionByName(_))
+  }
+
+  // --------------------------------------------------------------- writes
+
+  /** Blind append: new files, all rows recorded as CDF inserts. */
+  def append(df: DataFrame): Long = retryCommit("append") { snap =>
+    requireSchema(df, snap)
+    val (newFiles, dataRows) = writeData(df, snap.partitionCol)
+    val changesSub = writeChanges(
+      readFiles(newFiles, snap.schema, snap.partitionCol)
+        .withColumn("_change_type", lit("insert")))
+    mkManifest(snap, "append", snap.files ++ newFiles,
+      rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
+      rowsTotal = snap.rowsTotal + dataRows, changesDir = Some(changesSub))
+  }
+
+  /** MERGE upsert, latest-wins per `keys` under `order` (same semantics as
+    * [[graft.operators.MergeUpsert.merge]]), committed atomically with
+    * file-level partition pruning: only files of partitions present in the
+    * update batch are rewritten; every other file carries over by
+    * reference. CDF records insert + update pre/post images.
+    *
+    * Partitioned tables require the partition value of an existing key to
+    * be stable across updates (true for day-keyed upserts, where the day
+    * is part of the merge key) — a row "moving" partitions would escape
+    * the pruned rewrite, exactly as in partition-pruned Delta MERGE.
+    */
+  def merge(updates: DataFrame, keys: Seq[String], order: Seq[Column]): Long =
+    retryCommit("merge") { snap =>
+      requireSchema(updates, snap)
+      val latest = graft.operators.Dedup.keepLast(updates, keys, order)
+      val (affected, untouched) = snap.partitionCol match {
+        case Some(p) =>
+          // bounded driver collect: distinct partition values of ONE batch
+          // (micro-batches touch a handful of days; a backfill, a few
+          // hundred) — never corpus-scale
+          val vals = latest.select(col(p).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          snap.files.partition(f => f.partition.exists(vals.contains))
+        case None => (snap.files, Seq.empty[LogFile])
+      }
+      val target = readFiles(affected, snap.schema, snap.partitionCol)
+      val t = target.as("t")
+      val u = latest.as("u")
+      val joinCond = keys.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
+      // ONE shuffle produces snapshot + change set + counts: persist the
+      // joined frame, release after the commit's writes are on disk
+      val joined = t.join(u, joinCond, "full_outer").persist()
+      try {
+        val uP = col(s"u.${keys.head}").isNotNull
+        val tP = col(s"t.${keys.head}").isNotNull
+        val valueCols = snap.schema.fieldNames.filterNot(keys.contains)
+        val picks = keys.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
+          valueCols.map(c => when(uP, col(s"u.$c")).otherwise(col(s"t.$c")).as(c))
+        def side(s0: String) =
+          snap.schema.fieldNames.map(c => col(s"$s0.$c").as(c)).toSeq
+        val changes =
+          joined.filter(uP && !tP).select(side("u"): _*)
+            .withColumn("_change_type", lit("insert"))
+          .unionByName(joined.filter(uP && tP).select(side("t"): _*)
+            .withColumn("_change_type", lit("update_preimage")))
+          .unionByName(joined.filter(uP && tP).select(side("u"): _*)
+            .withColumn("_change_type", lit("update_postimage")))
+        val (newFiles, _) = writeData(joined.select(picks: _*), snap.partitionCol)
+        val changesSub = writeChanges(changes)
+        val counts = joined.agg(
+          sum(when(uP && !tP, 1L).otherwise(0L)),
+          sum(when(uP && tP, 1L).otherwise(0L))).head()
+        val (ins, upd) = (zeroIfNull(counts, 0), zeroIfNull(counts, 1))
+        mkManifest(snap, "merge", untouched ++ newFiles,
+          rowsInserted = ins, rowsUpdated = upd, rowsDeleted = 0,
+          rowsTotal = snap.rowsTotal - affected.map(_.rows).sum +
+            newFiles.map(_.rows).sum,
+          changesDir = Some(changesSub))
+      } finally joined.unpersist(false)
+    }
+
+  /** Delete rows matching `predicate`; CDF records the deleted rows.
+    * Full-table copy-on-write (no file-stat pruning — acceptable for the
+    * maintenance-grade deletes this engine issues).
+    */
+  def delete(predicate: Column): Long = retryCommit("delete") { snap =>
+    val current = readFiles(snap.files, snap.schema, snap.partitionCol).persist()
+    try {
+      val (newFiles, kept) = writeData(current.filter(!predicate), snap.partitionCol)
+      val changesSub = writeChanges(
+        current.filter(predicate).withColumn("_change_type", lit("delete")))
+      mkManifest(snap, "delete", newFiles,
+        rowsInserted = 0, rowsUpdated = 0,
+        rowsDeleted = snap.rowsTotal - kept, rowsTotal = kept,
+        changesDir = Some(changesSub))
+    } finally current.unpersist(false)
+  }
+
+  /** OPTIMIZE: bin-pack each partition's files toward `targetFileBytes`.
+    * Logical content is unchanged (no CDF); readers pinned at earlier
+    * versions are untouched — their files survive until [[vacuum]].
+    * Returns partitionValue → (filesBefore, filesAfter); key "" for an
+    * unpartitioned table.
+    */
+  def compact(targetFileBytes: Long,
+      values: Option[Seq[String]] = None): Map[String, (Int, Int)] = {
+    require(targetFileBytes > 0)
+    var report = Map.empty[String, (Int, Int)]
+    retryCommit("compact") { snap =>
+      report = Map.empty
+      val groups = snap.files.groupBy(_.partition.getOrElse(""))
+        .filter { case (v, _) => values.forall(_.contains(v)) }
+      val (rewritten, newFiles) = groups.toSeq.sortBy(_._1).map { case (v, fs) =>
+        val bytes = fs.map(_.bytes).sum
+        val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (fs.size <= nOut) { report += v -> (fs.size, fs.size); (Seq.empty[LogFile], Seq.empty[LogFile]) }
+        else {
+          val df = readFiles(fs, snap.schema, snap.partitionCol).coalesce(nOut)
+          val (nf, _) = writeData(df, snap.partitionCol)
+          report += v -> (fs.size, nf.size)
+          (fs, nf)
+        }
+      }.unzip
+      val replaced = rewritten.flatten.map(_.path).toSet
+      mkManifest(snap, "compact",
+        snap.files.filterNot(f => replaced.contains(f.path)) ++ newFiles.flatten,
+        rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
+        rowsTotal = snap.rowsTotal, changesDir = None)
+    }
+    report
+  }
+
+  /** Re-publish a historical version's file list as the new head (the
+    * write side of time travel). Fails if [[vacuum]] already dropped any
+    * of that version's files.
+    */
+  def restore(version: Long): Long = retryCommit("restore") { snap =>
+    val old = manifest(version)
+    old.files.foreach(f => require(Files.exists(Paths.get(dir, f.path)),
+      s"restore($version): data file ${f.path} was vacuumed"))
+    mkManifest(snap, "restore", old.files, rowsInserted = 0, rowsUpdated = 0,
+      rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None)
+  }
+
+  /** Drop data files referenced ONLY by versions older than the last
+    * `retainVersions` — after this, time travel reaches back exactly
+    * `retainVersions` versions. Change files and manifests are kept (they
+    * are the audit trail; size is commit-proportional, not
+    * corpus-proportional). Returns deleted-file count. Also sweeps data
+    * files no manifest references at all (orphans of lost commit races).
+    */
+  def vacuum(retainVersions: Int = 2): Int =
+    CommitLogTable.vacuumPath(dir, retainVersions)
+
+  // ------------------------------------------------------------ internals
+
+  private def listVersions: Seq[Long] = CommitLogTable.listVersionsAt(dir)
+
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Manifest]
+
+  private def manifest(version: Long): Manifest =
+    manifestCache.getOrElseUpdate(version, CommitLogTable.manifestAt(dir, version))
+
+  private def snapshot(): Manifest = manifest(latestVersion)
+
+  private def requireSchema(df: DataFrame, snap: Manifest): Unit =
+    require(df.columns.sameElements(snap.schema.fieldNames),
+      s"schema mismatch: table has ${snap.schema.fieldNames.mkString(",")}, " +
+        s"got ${df.columns.mkString(",")}")
+
+  private def zeroIfNull(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+
+  /** Explicit-file read: the manifest IS the file index, so no partition
+    * or schema inference ever runs — each path is a leaf parquet file and
+    * the stored schema is authoritative. (Partition values live both in
+    * the data columns and in the manifest's per-file metadata; pruning
+    * happens on the manifest, not on directory listings.)
+    */
+  private def readFiles(files: Seq[LogFile], schema: StructType,
+      partitionCol: Option[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => s"$dir/${f.path}"): _*)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** Write `df` as this commit's immutable data files; returns (file
+    * entries with footer row counts, total rows). Partitioned tables
+    * co-locate each partition before the write and lay files out
+    * Hive-style via a SHADOW of the partition column (`__part=value/`),
+    * so the real column survives IN the data files — explicit-file reads
+    * then need no path-based partition reconstruction, which cannot span
+    * multiple commit roots.
+    */
+  private def writeData(df: DataFrame,
+      partitionCol: Option[String]): (Seq[LogFile], Long) = {
+    val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
+    val abs = s"$dir/$sub"
+    partitionCol match {
+      case Some(p) =>
+        df.withColumn(ShadowPartCol, col(p).cast("string"))
+          .repartition(col(ShadowPartCol))
+          .write.partitionBy(ShadowPartCol).parquet(abs)
+      case None => df.write.parquet(abs)
+    }
+    val files = enumerate(Paths.get(abs), sub)
+    (files, files.map(_.rows).sum)
+  }
+
+  private def writeChanges(changes: DataFrame): String = {
+    val sub = s"$LogDirName/changes/c-${UUID.randomUUID().toString.take(12)}"
+    changes.write.parquet(s"$dir/$sub")
+    sub
+  }
+
+  private def enumerate(root: Path, sub: String): Seq[LogFile] = {
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && {
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map { p =>
+        val rel = s"$sub/${root.relativize(p)}"
+        val partition = root.relativize(p).iterator().asScala.toSeq.init
+          .map(_.toString).find(_.contains("=")).map { seg =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(seg.indexOf('=') + 1))
+          }
+        LogFile(rel, partition, footerRows(p), Files.size(p))
+      }.toVector
+    finally s.close()
+  }
+
+  /** Footer-only row count — never a data scan. */
+  private def footerRows(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def mkManifest(snap: Manifest, action: String, files: Seq[LogFile],
+      rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
+      rowsTotal: Long, changesDir: Option[String]): Manifest =
+    Manifest(snap.version + 1, action, System.currentTimeMillis(),
+      snap.schema, snap.partitionCol, files, rowsInserted, rowsUpdated,
+      rowsDeleted, rowsTotal, changesDir)
+
+  /** Optimistic-concurrency commit loop: recompute against the fresh
+    * snapshot, publish via atomic hard-link; a lost race leaves only
+    * orphaned data files (swept by [[vacuum]]) and retries.
+    */
+  private def retryCommit(action: String)(body: Manifest => Manifest): Long = {
+    var attempts = 0
+    while (attempts < MaxCommitRetries) {
+      val m = body(snapshot())
+      if (tryPublish(m)) return m.version
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"$action lost $MaxCommitRetries commit races at $dir")
+  }
+
+  private def tryPublish(m: Manifest): Boolean = {
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, manifestJson(m).getBytes(UTF_8))
+    try { Files.createLink(logDir.resolve(manifestName(m.version)), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+}
+
+object CommitLogTable {
+  private val LogDirName = "_graft_log"
+  private val DataDirName = "data"
+  private val ShadowPartCol = "__part"
+  private val MaxCommitRetries = 20
+
+  final case class LogFile(path: String, partition: Option[String],
+      rows: Long, bytes: Long)
+
+  final case class Manifest(version: Long, action: String, tsMillis: Long,
+      schema: StructType, partitionCol: Option[String], files: Seq[LogFile],
+      rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
+      rowsTotal: Long, changesDir: Option[String])
+
+  val HistorySchema: StructType = StructType.fromDDL(
+    "version BIGINT, action STRING, rows_inserted BIGINT, " +
+      "rows_updated BIGINT, rows_deleted BIGINT, rows_total BIGINT, " +
+      "num_files INT, ts_millis BIGINT")
+
+  def exists(dir: String): Boolean =
+    Files.isDirectory(Paths.get(dir, LogDirName))
+
+  /** Open an existing table. */
+  def open(spark: SparkSession, dir: String): CommitLogTable = {
+    require(exists(dir), s"no commit-log table at $dir")
+    new CommitLogTable(spark, dir)
+  }
+
+  /** Create an empty table at `dir` (version 0) — or open it if a
+    * concurrent creator won the v0 race or it already exists.
+    */
+  def create(spark: SparkSession, dir: String, schema: StructType,
+      partitionCol: Option[String] = None): CommitLogTable = {
+    partitionCol.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column $p not in schema"))
+    val logDir = Paths.get(dir, LogDirName)
+    Files.createDirectories(logDir.resolve("changes"))
+    val t = new CommitLogTable(spark, dir)
+    val v0 = Manifest(0L, "create", System.currentTimeMillis(), schema,
+      partitionCol, Seq.empty, 0, 0, 0, 0, None)
+    t.tryPublish(v0) // losing the race means someone else created it: fine
+    t
+  }
+
+  /** Open-or-create. */
+  def forPath(spark: SparkSession, dir: String, schema: StructType,
+      partitionCol: Option[String] = None): CommitLogTable =
+    if (exists(dir)) open(spark, dir) else create(spark, dir, schema, partitionCol)
+
+  private def manifestName(version: Long): String = f"v$version%020d.json"
+
+  private[tables] def listVersionsAt(dir: String): Seq[Long] = {
+    val s = Files.list(Paths.get(dir, LogDirName))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong).toVector.sorted
+    finally s.close()
+  }
+
+  private[tables] def manifestAt(dir: String, version: Long): Manifest = {
+    val p = Paths.get(dir, LogDirName).resolve(manifestName(version))
+    require(Files.exists(p), s"version $version does not exist at $dir")
+    parseManifest(new String(Files.readAllBytes(p), UTF_8))
+  }
+
+  /** Spark-free vacuum (see the instance method's contract): drop data
+    * files referenced only by versions older than the last
+    * `retainVersions`, plus orphans of lost commit races; sweep commit
+    * dirs left holding nothing but markers. Returns deleted-file count.
+    */
+  def vacuumPath(dir: String, retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1)
+    val retained = listVersionsAt(dir).takeRight(retainVersions)
+    val referenced = retained.flatMap(v => manifestAt(dir, v).files.map(_.path)).toSet
+    val dataRoot = Paths.get(dir, DataDirName)
+    if (!Files.isDirectory(dataRoot)) return 0
+    def walk[T](f: Iterator[Path] => T): T = {
+      val s = Files.walk(dataRoot)
+      try f(s.iterator().asScala) finally s.close()
+    }
+    def isMarker(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.startsWith("_") || n.startsWith(".")
+    }
+    var deleted = 0
+    walk(_.filter(p => Files.isRegularFile(p) && !isMarker(p)).toVector)
+      .foreach { p =>
+        if (!referenced.contains(Paths.get(dir).relativize(p).toString)) {
+          Files.deleteIfExists(p); deleted += 1
+        }
+      }
+    // bottom-up: drop commit dirs holding nothing but markers (_SUCCESS/.crc)
+    walk(_.toVector).sortBy(-_.getNameCount).foreach { p =>
+      if (Files.isDirectory(p) && p != dataRoot) {
+        val children = { val s = Files.list(p)
+          try s.iterator().asScala.toVector finally s.close() }
+        if (children.forall(c => Files.isRegularFile(c) && isMarker(c))) {
+          children.foreach(Files.deleteIfExists)
+          Files.deleteIfExists(p)
+        }
+      }
+    }
+    deleted
+  }
+
+  // ----------------------------------------------------------- JSON codec
+  // Jackson ships with Spark; manifests are small driver-side documents.
+
+  private val mapper = new ObjectMapper()
+
+  private def manifestJson(m: Manifest): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", m.version)
+    root.put("action", m.action)
+    root.put("tsMillis", m.tsMillis)
+    root.put("schemaDdl", m.schema.toDDL)
+    m.partitionCol.foreach(root.put("partitionCol", _))
+    root.put("rowsInserted", m.rowsInserted)
+    root.put("rowsUpdated", m.rowsUpdated)
+    root.put("rowsDeleted", m.rowsDeleted)
+    root.put("rowsTotal", m.rowsTotal)
+    m.changesDir.foreach(root.put("changesDir", _))
+    val arr = root.putArray("files")
+    m.files.foreach { f =>
+      val o = arr.addObject()
+      o.put("path", f.path)
+      f.partition.foreach(o.put("partition", _))
+      o.put("rows", f.rows)
+      o.put("bytes", f.bytes)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseManifest(s: String): Manifest = {
+    val n = mapper.readTree(s)
+    def optText(field: String): Option[String] =
+      if (n.hasNonNull(field)) Some(n.get(field).asText) else None
+    val files = n.get("files").elements().asScala.map { f =>
+      LogFile(f.get("path").asText,
+        if (f.hasNonNull("partition")) Some(f.get("partition").asText) else None,
+        f.get("rows").asLong, f.get("bytes").asLong)
+    }.toVector
+    Manifest(n.get("version").asLong, n.get("action").asText,
+      n.get("tsMillis").asLong,
+      StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
+      files, n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
+      n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
+      optText("changesDir"))
+  }
+}
