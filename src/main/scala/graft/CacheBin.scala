@@ -83,8 +83,39 @@ object SessionMemo {
     * it's run-level diagnostics, not cache state. Bench emits it as
     * `memo_sec` so a shared pipeline's cost stops reading as a regression
     * of whichever consumer ran first alphabetically.
+    *
+    * ADDITIVE decomposition: a memo build that triggers nested memo
+    * builds (the curate-v3/v4 pattern) records only its SELF time — each
+    * nested build's wall time is subtracted from every enclosing build
+    * and billed to the nested key alone. sum(buildSeconds) therefore
+    * never double-bills and stays ≤ the run's total wall time.
     */
   def buildSeconds: Map[String, Double] = buildSec.toMap
+
+  // Per-thread stack of child-time accumulators: builds run under this
+  // object's locks, so nesting is always same-thread.
+  private val nesting = new ThreadLocal[List[Array[Double]]] {
+    override def initialValue: List[Array[Double]] = Nil
+  }
+
+  /** Time `body` into `buildSeconds(key)` as SELF time (total minus any
+    * nested timed builds), while billing the full elapsed time upward to
+    * the enclosing build's child accumulator.
+    */
+  private def timedSelf[T](key: String)(body: => T): T = {
+    val childAcc = Array(0.0)
+    nesting.set(childAcc :: nesting.get())
+    val t0 = System.nanoTime()
+    try body finally {
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      nesting.set(nesting.get().tail)
+      nesting.get() match {
+        case parentAcc :: _ => parentAcc(0) += elapsed
+        case Nil => ()
+      }
+      buildSec.update(key, elapsed - childAcc(0))
+    }
+  }
 
   /** Run `action` once per (session, key) — for idempotent side effects a
     * query amortizes across a session (e.g. a materialized-index write).
@@ -96,9 +127,7 @@ object SessionMemo {
   def once(spark: org.apache.spark.sql.SparkSession, key: String)(
       action: => Unit): Unit = ran.synchronized {
     if (!ran.contains((spark, key))) {
-      val t0 = System.nanoTime()
-      action
-      buildSec.update(key, (System.nanoTime() - t0) / 1e9)
+      timedSelf(key)(action)
       ran.update((spark, key), ())
     }
   }
@@ -109,12 +138,7 @@ object SessionMemo {
     * plan. The caller owns the memoization; this only makes the one real
     * build measurable instead of smeared into its first consumer.
     */
-  def timed[T](key: String)(build: => T): T = {
-    val t0 = System.nanoTime()
-    val v = build
-    buildSec.update(key, (System.nanoTime() - t0) / 1e9)
-    v
-  }
+  def timed[T](key: String)(build: => T): T = timedSelf(key)(build)
 
   def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -122,8 +146,7 @@ object SessionMemo {
     // persist; the lock makes build-once actually once (reentrant, so a
     // builder composing other memoized stages stays safe)
     memo.synchronized {
-      memo.getOrElseUpdate((spark, key), {
-        val t0 = System.nanoTime()
+      memo.getOrElseUpdate((spark, key), timedSelf(key) {
         val df = build
         // builders that persist (and materialize) internally stay as-is —
         // re-persisting would only log CacheManager noise
@@ -134,7 +157,6 @@ object SessionMemo {
         // either way (cached() runs inside the first consumer's plan
         // build), this only makes it measurable
         df.write.format("noop").mode("overwrite").save()
-        buildSec.update(key, (System.nanoTime() - t0) / 1e9)
         CacheBin.pin(df)
       })
     }

@@ -630,6 +630,27 @@ class LlmSpec extends AnyFunSuite {
     CacheBin.drainAll()
   }
 
+  test("SessionMemo.buildSeconds: nested builds bill self time only (additive decomposition)") {
+    // the curate-v3/v4 shape: a parent memo whose builder triggers a child
+    // memo — the child's wall time must land on the CHILD key alone, so
+    // sum(memo_sec) never double-bills nested pipelines
+    CacheBin.drainAll()
+    SessionMemo.cached(spark, "nest-parent") {
+      Thread.sleep(150)
+      val child = SessionMemo.cached(spark, "nest-child") {
+        Thread.sleep(400)
+        Seq((1L, "c")).toDF("id", "t")
+      }
+      child.select("id", "t")
+    }
+    val bs = SessionMemo.buildSeconds
+    assert(bs("nest-child") >= 0.4, s"child undertimed: ${bs("nest-child")}")
+    // parent self time excludes the child's 400ms sleep entirely
+    assert(bs("nest-parent") < 0.4,
+      s"parent double-billed the child build: ${bs("nest-parent")}")
+    CacheBin.drainAll()
+  }
+
   test("stratified sample: per-stratum cap, partition-independent, re-saltable, map-side limit") {
     val docs = Tables.documents(spark, TestSpark.sfDir).select("doc_id", "source")
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
