@@ -726,6 +726,39 @@ object Queries {
       Bm25IndexBuckets, Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK)
   }
 
+  /** BM25 over an incrementally MAINTAINED commit-log postings index:
+    * the corpus arrives as two batches, each committed atomically with
+    * its own corpus-stat row (stats are additive — the append never
+    * reads old postings), then the term buckets are bin-packed by an
+    * OPTIMIZE commit. Postings and document stats are per-document
+    * facts, so the maintained index is result-identical to the fresh
+    * build and the two share one oracle verbatim (see
+    * [[graft.llm.Bm25.indexLogAppend]]).
+    */
+  def bm25TopKMaintained(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = Tables.rowCount(s, dir, "documents")
+    val split = math.max(Bm25NQueries + 1, n * 3 / 5)
+    val idxDir = "/tmp/graft-bm25-log/" + s.sparkContext.applicationId +
+      "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    SessionMemo.once(s, s"bm25log:$dir") {
+      if (!graft.tables.CommitLogTable.exists(idxDir)) {
+        graft.llm.Bm25.indexLogAppend(s, idxDir,
+          docs.filter(col("doc_id") < split), "doc_id", "text",
+          Bm25IndexBuckets)
+        graft.llm.Bm25.indexLogAppend(s, idxDir,
+          docs.filter(col("doc_id") >= split), "doc_id", "text",
+          Bm25IndexBuckets)
+        graft.tables.CommitLogTable.open(s, idxDir)
+          .compact(targetFileBytes = 32L << 20)
+      }
+    }
+    graft.llm.Bm25.topKFromLog(docs, "doc_id", "text",
+      graft.tables.CommitLogTable.open(s, idxDir), Bm25IndexBuckets,
+      Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK)
+  }
+
   /** Hard-negative mining for retriever training: each query's dense
     * cosine top-k neighbors that its BM25 list does NOT contain —
     * semantically close but lexically unmatched, the classic
@@ -1430,6 +1463,39 @@ object Queries {
     }
     Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < AnnNumQueries),
       "vec_id", "embedding", idxDir, k = AnnTopK, nProbe = AnnNProbe)
+  }
+
+  /** IVF top-k over an incrementally MAINTAINED commit-log index — the
+    * lifecycle [[ivfTopKIndexed]]'s one-shot build skips: the corpus
+    * arrives as two batches appended against the frozen codebook (each
+    * append scans only its batch), then the inverted lists are
+    * bin-packed by an atomic OPTIMIZE commit. Probe pruning happens on
+    * the snapshot MANIFEST, so concurrent appends can't perturb a read.
+    * Assignment against a fixed codebook is batch-independent, so the
+    * maintained index is result-identical to the fresh build — the two
+    * share one oracle verbatim.
+    */
+  def ivfTopKMaintained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val n = Tables.rowCount(s, dir, "embeddings")
+    val split = math.max(1L, n * 3 / 5)
+    val idxDir = "/tmp/graft-ivf-log/" + s.sparkContext.applicationId + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    SessionMemo.once(s, s"ivflog:$dir:$n") {
+      if (!graft.tables.CommitLogTable.exists(idxDir)) {
+        val cents = ivfCentroidsShared(s, dir)
+        Similarity.ivfLogAppend(s, idxDir,
+          emb.filter(col("vec_id") < split), "vec_id", "embedding", cents)
+        Similarity.ivfLogAppend(s, idxDir,
+          emb.filter(col("vec_id") >= split), "vec_id", "embedding", cents)
+        graft.tables.CommitLogTable.open(s, idxDir)
+          .compact(targetFileBytes = 32L << 20)
+      }
+    }
+    Similarity.ivfTopKFromLog(emb.filter(col("vec_id") < AnnNumQueries),
+      "vec_id", "embedding", graft.tables.CommitLogTable.open(s, idxDir),
+      ivfCentroidsShared(s, dir), k = AnnTopK, nProbe = AnnNProbe)
   }
 
   /** IVF × int8 composed retrieval: probe pruning + quantized coarse

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_ivf_topk" -> (Queries.ivfTopK _),
     "q_ivf_topk_kmeans" -> (Queries.ivfTopKKmeans _),
     "q_ivf_topk_indexed" -> (Queries.ivfTopKIndexed _),
+    "q_ivf_topk_maintained" -> (Queries.ivfTopKMaintained _),
     "q_backfill_window" -> (Queries.backfillWindow _),
     "q_token_count" -> (Queries.tokenCounts _),
     "q_pack_sequences" -> (Queries.packSequences _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q_bpe_fertility" -> (Queries.bpeFertility _),
     "q_training_mix" -> (Queries.trainingMix _),
     "q_bm25_topk_indexed" -> (Queries.bm25TopKIndexed _),
+    "q_bm25_topk_maintained" -> (Queries.bm25TopKMaintained _),
     "q_semantic_split_leakage" -> (Queries.semanticSplitLeakage _),
     "q_hard_negatives" -> (Queries.hardNegatives _),
     "q_lm_percentile_gate" -> (Queries.lmPercentileGate _),
@@ -2326,6 +2328,11 @@ object SparkEntry {
     // (partition-pruned inverted lists), so the oracle is shared verbatim
     "q_ivf_topk_indexed" -> ivfTopKSql,
 
+    // the incrementally-maintained commit-log index assigns each batch
+    // against the SAME frozen codebook — assignment is per-row, so the
+    // maintained lists equal the fresh build's and the oracle is shared
+    "q_ivf_topk_maintained" -> ivfTopKSql,
+
 
     // k-means-refined IVF: two unrolled Lloyd rounds from the lowest-id
     // init, per-dimension means accumulated as DECIMAL(28,12) (the exact
@@ -3375,6 +3382,14 @@ object SparkEntry {
     // the materialized-index path computes the identical lists — the
     // oracle is shared verbatim (what changes is where postings live)
     "q_bm25_topk_indexed" ->
+      s"""WITH $bm25Ctes
+         SELECT query_id, doc_id, n_terms, score, CAST(rank AS INT) AS rank
+         FROM bmr""",
+
+    // postings and corpus stats are per-document facts, additive across
+    // batches — the incrementally-maintained index computes the identical
+    // lists, so the oracle is again shared verbatim
+    "q_bm25_topk_maintained" ->
       s"""WITH $bm25Ctes
          SELECT query_id, doc_id, n_terms, score, CAST(rank AS INT) AS rank
          FROM bmr""",

@@ -152,6 +152,77 @@ object Bm25 {
       .parquet(s"$dir/stats")
   }
 
+  // --------------------------------------------- maintained postings index
+
+  /** Reserved partition value for corpus-stat rows inside a commit-log
+    * postings table: real buckets are `pmod(hash) ∈ [0, nBuckets)`, so
+    * `-1` can never collide with a query's bucket set.
+    */
+  val StatsBucket = -1
+
+  /** Append one document batch to a commit-log-backed postings index.
+    * Layout: ONE table partitioned by `term_bucket` holding the batch's
+    * postings `(idCol, term, tf, dl)` PLUS a single corpus-stat row in
+    * the reserved [[StatsBucket]] partition (`idCol` = batch doc count,
+    * `tf` = batch token total, `term` = "", `dl` = 0) — the stat row
+    * rides the SAME atomic commit as its postings, so any snapshot a
+    * reader resolves has N/total consistent with the visible postings by
+    * construction (two separate tables could publish one without the
+    * other). Corpus stats are additive, so the append never reads old
+    * data; [[graft.tables.CommitLogTable.compact]] bin-packs hot term
+    * buckets without touching logical content. The first append creates
+    * the table.
+    */
+  def indexLogAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): Long = {
+    require(nBuckets >= 1, s"need positive nBuckets, got $nBuckets")
+    val base = tokenized(docs, idCol, textCol)
+    val postings = base
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .select(col(idCol), col("term"), col("tf"), col("dl"),
+        col("term_bucket"))
+    val statRow = base
+      .agg(count(lit(1)).cast("long").as(idCol),
+        sum(size(col("__toks"))).cast("long").as("tf"))
+      .select(col(idCol), lit("").as("term"), col("tf"), lit(0L).as("dl"),
+        lit(StatsBucket).as("term_bucket"))
+    val batch = postings.unionByName(statRow)
+    graft.tables.CommitLogTable.forPath(spark, dir, batch.schema,
+      Some("term_bucket")).append(batch)
+  }
+
+  /** BM25 top-k over a commit-log-backed postings index: identical math
+    * to [[topKFromIndex]]; bucket pruning happens on the table MANIFEST
+    * (driver-side metadata pass, no directory listings), and the corpus
+    * stats are summed from the reserved stat partition of the SAME
+    * resolved snapshot — reads stay consistent under concurrent appends.
+    */
+  def topKFromLog(docs: DataFrame, idCol: String, textCol: String,
+      table: graft.tables.CommitLogTable, nBuckets: Int, nQueries: Long,
+      queryTerms: Int, k1: Double, b: Double, topK: Int): DataFrame = {
+    val qt = queryTermTable(
+      tokenized(docs.filter(col(idCol) < nQueries), idCol, textCol),
+      idCol, nQueries, queryTerms)
+    val buckets = qt
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+        .as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val version = table.latestVersion
+    val tf = table.readPartitions(buckets.map(_.toString), Some(version))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .select(col(idCol), col("term"), col("tf").as("__tf"),
+        col("dl").as("__dl"))
+    val stats = table.readPartitions(Set(StatsBucket.toString), Some(version))
+      .agg(sum(col(idCol)).as("__n"), sum(col("tf")).as("__total"))
+    scoreTopK(tf, qt, stats, idCol, k1, b, topK)
+  }
+
   /** BM25 top-k over a materialized index: derive the query-term table
     * from the (tiny) query documents, prune the stored postings to the
     * query terms' buckets — the `term_bucket` IN-list is literal, so it

@@ -35,6 +35,31 @@ object MinHashDedup {
     hashed.groupBy(col(idCol)).agg(slices.head, slices.tail: _*)
   }
 
+  /** Append one document batch's signatures to a commit-log-backed
+    * signature store (the [[signatures]] layout: idCol, m0..m7), computed
+    * via the codegen'd one-pass [[MinHashExpr]] (spec-proven identical to
+    * the shingle/agg formulation). This is the persistence half of
+    * [[incrementalNewKeep]]'s production cycle: each daily run reads the
+    * store snapshot as `storedSigs` (old-corpus signatures — the batch is
+    * the only text scanned), dedups the batch against it, then appends
+    * the KEPT batch rows here for the next run. Documents shorter than
+    * the shingle width produce no signature — same as the full sweep.
+    * The first append creates the table; compact/vacuum ride
+    * [[graft.tables.CommitLogTable]].
+    */
+  def signatureStoreAppend(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame, idCol: String, textCol: String,
+      k: Int): Long = {
+    val sigs = docs
+      .select(col(idCol),
+        MinHashExpr.minhashSlices(col(textCol), k, numHashes).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        col("__mh").getItem(i).as(s"m$i")): _*)
+    graft.tables.CommitLogTable.forPath(spark, dir, sigs.schema, None)
+      .append(sigs)
+  }
+
   /** LSH banding: r rows per band. r=2 over 8 signatures → 4 bands; the
     * collision curve 1−(1−j²)⁴ passes ~50% at j≈0.4, so candidates are
     * probable near-dups rather than anything sharing one common min-shingle

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -452,13 +452,30 @@ object Similarity {
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cols = centroids.columns
-    val probes = ivfRank(queries, idCol, vecCol,
-        centroids.select(col(cols(0)).as(idCol), col(cols(1)).as(vecCol)), nProbe)
-      .select(col("vec_id").as("query_id"), col("centroid_id"))
-    val probeIds = probes.select("centroid_id").distinct()
-      .collect().map(_.get(0)).toIndexedSeq
+    val (probes, probeIds) = probeSet(queries, idCol, vecCol,
+      centroids.select(col(cols(0)).as(idCol), col(cols(1)).as(vecCol)), nProbe)
     val corpus = spark.read.parquet(s"$dir/corpus")
       .filter(col("centroid_id").isin(probeIds: _*))
+    probedTopK(queries, idCol, vecCol, corpus, probes, k)
+  }
+
+  /** The query side of a probed read: (query_id → probed centroid_id)
+    * pairs plus the distinct probe-id list (bounded by |queries|×nProbe).
+    */
+  private def probeSet(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nProbe: Int): (DataFrame, IndexedSeq[Any]) = {
+    val probes = ivfRank(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    (probes, probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toIndexedSeq)
+  }
+
+  /** Shared scoring tail of every probed-index reader: exact cosine of
+    * each query against its probed inverted lists, ranked to top-k.
+    * `corpus` must carry (vec_id, vec, norm2, centroid_id).
+    */
+  private def probedTopK(queries: DataFrame, idCol: String, vecCol: String,
+      corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm2(col(vecCol)).as("__qn"))
@@ -474,6 +491,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cosine"), col("rank"))
+  }
+
+  // ------------------------------------------------- maintained IVF index
+
+  /** Append one corpus batch to a commit-log-backed IVF index: assign the
+    * batch against the index's FROZEN codebook (re-clustering means a
+    * rebuild — the standard IVF maintenance contract) and commit the
+    * assigned rows atomically, one inverted list per table partition. The
+    * first append creates the table. Daily ingest at 100 TB is exactly
+    * this shape: the append scans ONLY the batch, readers stay
+    * snapshot-isolated, and [[graft.tables.CommitLogTable.compact]]
+    * bin-packs the lists without touching logical content — so
+    * fresh-build and incrementally-maintained indexes are
+    * result-identical by construction.
+    */
+  def ivfLogAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame): Long = {
+    val assigned = assignedWithVec(batch, idCol, vecCol, centroids)
+      .select(col("vec_id"), col("__v").as("vec"),
+        col("__vn").as("norm2"), col("centroid_id"))
+    val table = graft.tables.CommitLogTable.forPath(spark, dir,
+      assigned.schema, Some("centroid_id"))
+    table.append(assigned)
+  }
+
+  /** Probed top-k over a commit-log-backed IVF index: identical math to
+    * [[ivfTopKFromIndex]]; what changes is that probe pruning happens on
+    * the table MANIFEST (a driver-side metadata pass over the snapshot's
+    * file list — no directory listings, and concurrent appends/compacts
+    * can't perturb the read).
+    */
+  def ivfTopKFromLog(queries: DataFrame, idCol: String, vecCol: String,
+      table: graft.tables.CommitLogTable, centroids: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val (probes, probeIds) = probeSet(queries, idCol, vecCol, centroids, nProbe)
+    val corpus = table.readPartitions(probeIds.map(String.valueOf).toSet)
+    probedTopK(queries, idCol, vecCol, corpus, probes, k)
   }
 
   /** Nearest-centroid assignment that KEEPS the row's vector and norm

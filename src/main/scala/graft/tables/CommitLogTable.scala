@@ -78,6 +78,28 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     readFiles(m.files, m.schema, m.partitionCol)
   }
 
+  /** Partition-pruned snapshot read: only files whose manifest partition
+    * value (string form) is in `values` are read — pruning happens on the
+    * manifest metadata, never on directory listings or footer reads. This
+    * is the probed-index read path: an IVF / postings table stores one
+    * partition per inverted list, and a query resolves its probe set to a
+    * file list in one driver-side manifest pass (the same metadata-level
+    * pruning a Delta reader does with its checkpoint's per-file stats).
+    * Same snapshot-isolation contract as [[read]].
+    */
+  def readPartitions(values: Set[String],
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(version.getOrElse(latestVersion))
+    require(m.partitionCol.isDefined,
+      s"readPartitions on unpartitioned table $dir")
+    readFiles(m.files.filter(_.partition.exists(values.contains)),
+      m.schema, m.partitionCol)
+  }
+
+  /** File count of the current (or pinned) snapshot — manifest-only. */
+  def fileCount(version: Option[Long] = None): Int =
+    manifest(version.getOrElse(latestVersion)).files.size
+
   /** One row per committed version, oldest first: the table's history
     * (action + row/file statistics), from manifests only — no data read.
     */
