@@ -47,6 +47,14 @@ trait TableOps {
     * returns (restored, deleted).
     */
   def vacuum(dir: String): (Int, Int)
+
+  /** Read the live table this binding maintains at `dir` — the read half
+    * of [[upsertPartitions]] (plain parquet scan here; a snapshot resolve
+    * in a transactional format, `spark.read.format("delta").load` in
+    * Delta). Pipelines that read their own silver/gold mid-stream go
+    * through this seam so the binding stays swappable end-to-end.
+    */
+  def readTable(spark: SparkSession, dir: String): DataFrame
 }
 
 object TableOps {
@@ -97,6 +105,10 @@ object CommitLogTableOps extends TableOps {
     */
   override def vacuum(dir: String): (Int, Int) =
     (0, CommitLogTable.vacuumPath(dir, retainVersions = 2))
+
+  /** Snapshot-isolated read of the latest committed version. */
+  override def readTable(spark: SparkSession, dir: String): DataFrame =
+    CommitLogTable.open(spark, dir).read()
 }
 
 /** The plain-parquet implementation: delegates to the spec-proven
@@ -120,4 +132,7 @@ object ParquetTableOps extends TableOps {
 
   override def vacuum(dir: String): (Int, Int) =
     graft.sinks.Sinks.vacuumStaging(dir)
+
+  override def readTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 }

@@ -195,6 +195,90 @@ object FileStreamIngest {
       }
       .start()
 
+  /** One micro-batch of the WHOLE medallion: the reference's
+    * bronze→silver→gold architecture (`docs/databricks_setup.md` DQ flow
+    * + Silver merge + Gold view) applied end-to-end to a single batch,
+    * maintaining three tables under `outRoot`:
+    *
+    *   - `quarantine/` — rows failing the DQ `rules`, with `dq_reason`;
+    *   - `silver/`     — normalized events, partition-pruned latest-wins
+    *     upsert keyed by `event_id`, day-partitioned;
+    *   - `gold/`       — the window-feature view ([[graft.operators
+    *     .GoldFeatures]]), INCREMENTALLY maintained: the features are
+    *     backward-looking per-key windows, so a key's gold rows change
+    *     only when that key receives data. Each batch recomputes the
+    *     window chain for the TOUCHED user_ids' full history (read back
+    *     from silver through the binding's `readTable` seam — at 100 TB
+    *     the per-key history is bounded while silver is not) and upserts
+    *     exactly those keys' rows. Late data is thereby handled for
+    *     free: a late row re-derives every downstream feature of its key.
+    *
+    * Exactly-once: the streaming checkpoint replays an interrupted batch,
+    * and every sink here is a KEYED upsert — quarantine included — so a
+    * replay converges to identical tables instead of double-appending.
+    * All storage goes through the [[graft.operators.TableOps]] seam, so
+    * the plain-parquet and transactional commit-log bindings both run the
+    * pipeline unchanged.
+    */
+  def medallionBatch(batch: DataFrame, outRoot: String,
+      rules: Seq[graft.operators.Expectations.Expectation],
+      ops: graft.operators.TableOps = graft.operators.TableOps.default): Unit = {
+    import graft.operators.{Expectations, GoldFeatures, Normalize}
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      upsertIntoParquet(Expectations.quarantine(cached, rules),
+        s"$outRoot/quarantine", Seq("event_id"), Seq(col("event_id")))
+      val normalized = Normalize.events(Expectations.enforce(cached, rules))
+      if (!normalized.isEmpty) {
+        val silverDir = s"$outRoot/silver"
+        // day rides the merge key (it is a function of ts, so the pair is
+        // as unique as event_id alone) — the partition-stability contract
+        // both upsert bindings want
+        ops.upsertPartitions(normalized, silverDir,
+          keys = Seq("event_id", "day"), order = Seq(col("ts").desc),
+          dayCol = "day")
+        val touched = normalized.select("user_id").distinct()
+        val history = ops.readTable(spark, silverDir)
+          .join(broadcast(touched), Seq("user_id"), "left_semi")
+        val gold = GoldFeatures.features(history, keyCols = Seq("user_id"),
+          order = Seq(col("ts"), col("event_id")), valueCol = "value")
+        ops.upsertPartitions(gold, s"$outRoot/gold",
+          keys = Seq("event_id", "day"), order = Seq(col("ts").desc),
+          dayCol = "day")
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Always-on medallion: [[medallionBatch]] on a `ProcessingTime`
+    * cadence — the reference's scheduled notebooks as ONE running
+    * pipeline. Returns the running query (caller owns stop); restarts
+    * resume exactly-once from the shared checkpoint.
+    */
+  def runProcessingTimeMedallion(df: DataFrame, outRoot: String,
+      checkpointDir: String,
+      rules: Seq[graft.operators.Expectations.Expectation],
+      ops: graft.operators.TableOps = graft.operators.TableOps.default,
+      interval: String = "5 minutes"): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        medallionBatch(batch, outRoot, rules, ops)
+      }
+      .start()
+
+  /** Scheduled-drain medallion (Trigger.AvailableNow), sharing the
+    * checkpoint — flip between this and the always-on form freely.
+    */
+  def runAvailableNowMedallion(df: DataFrame, outRoot: String,
+      checkpointDir: String,
+      rules: Seq[graft.operators.Expectations.Expectation],
+      ops: graft.operators.TableOps = graft.operators.TableOps.default): Unit =
+    runAvailableNowForeachBatch(df, checkpointDir)(
+      medallionBatch(_, outRoot, rules, ops))
+
   /** Latest-wins upsert of `batch` into the DAY-PARTITIONED parquet
     * snapshot at `targetDir`: read only the partitions the batch touches
     * (partition pruning), merge, and swap in exactly those — untouched day
