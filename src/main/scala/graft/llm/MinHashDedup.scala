@@ -400,6 +400,12 @@ object MinHashDedup {
     * not a per-row driver loop; each round's result is persisted and the
     * previous round released to keep lineage flat.
     */
+  /** Diagnostic for the scale probe: which path the last
+    * [[connectedComponents]] call took (0 = driver union-find; n>0 = the
+    * distributed label-propagation converged in n checkpointed rounds).
+    */
+  @volatile var lastCcRounds: Int = 0
+
   def connectedComponents(vertices: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 20,
       maxDriverPairs: Long = 5000000L): DataFrame = {
@@ -415,7 +421,8 @@ object MinHashDedup {
     // the threshold, min-rooted union-find on the driver is exact, O(E α)
     // and instant — the label-propagation rounds below exist for the
     // billions-of-pairs regime where the edge list can't be collected
-    if (nEdges <= 2L * maxDriverPairs) {
+    if (maxDriverPairs == Long.MaxValue || nEdges <= 2L * maxDriverPairs) {
+      lastCcRounds = 0
       val idField = vertices.schema(idCol)
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {
@@ -487,6 +494,7 @@ object MinHashDedup {
       labels = step.select("doc_id", "label")
       i += 1
     }
+    lastCcRounds = i
     edges.unpersist(false)
     // the final label checkpoint (subgraph-sized) backs the returned plan;
     // CacheBin releases it once the caller has materialized
