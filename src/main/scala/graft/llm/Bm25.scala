@@ -177,7 +177,10 @@ object Bm25 {
       docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): Long = {
     require(nBuckets >= 1, s"need positive nBuckets, got $nBuckets")
+    // the tokenized batch feeds BOTH the postings rollup and the stat
+    // row — cache it so the text pass runs once, not per branch
     val base = tokenized(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = base
       .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))
@@ -193,8 +196,12 @@ object Bm25 {
       .select(col(idCol), lit("").as("term"), col("tf"), lit(0L).as("dl"),
         lit(StatsBucket).as("term_bucket"))
     val batch = postings.unionByName(statRow)
-    graft.tables.CommitLogTable.forPath(spark, dir, batch.schema,
-      Some("term_bucket")).append(batch)
+    // recordChanges=false: postings are DERIVED from the document table,
+    // which owns the change feed — insert images here would double the
+    // append's write volume for re-derivable rows
+    try graft.tables.CommitLogTable.forPath(spark, dir, batch.schema,
+      Some("term_bucket")).append(batch, recordChanges = false)
+    finally base.unpersist(false)
   }
 
   /** BM25 top-k over a commit-log-backed postings index: identical math

@@ -56,8 +56,10 @@ object MinHashDedup {
       .filter(col("__mh").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         col("__mh").getItem(i).as(s"m$i")): _*)
+    // recordChanges=false: signatures are derived from the document
+    // table, which owns the change feed
     graft.tables.CommitLogTable.forPath(spark, dir, sigs.schema, None)
-      .append(sigs)
+      .append(sigs, recordChanges = false)
   }
 
   /** LSH banding: r rows per band. r=2 over 8 signatures → 4 bands; the

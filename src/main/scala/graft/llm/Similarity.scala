@@ -513,7 +513,9 @@ object Similarity {
         col("__vn").as("norm2"), col("centroid_id"))
     val table = graft.tables.CommitLogTable.forPath(spark, dir,
       assigned.schema, Some("centroid_id"))
-    table.append(assigned)
+    // recordChanges=false: inverted-list rows are derived (assignment of
+    // the corpus batch) — the embeddings table owns the change feed
+    table.append(assigned, recordChanges = false)
   }
 
   /** Probed top-k over a commit-log-backed IVF index: identical math to

@@ -137,17 +137,24 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   // --------------------------------------------------------------- writes
 
-  /** Blind append: new files, all rows recorded as CDF inserts. */
-  def append(df: DataFrame): Long = retryCommit("append") { snap =>
-    requireSchema(df, snap)
-    val (newFiles, dataRows) = writeData(df, snap.partitionCol)
-    val changesSub = writeChanges(
-      readFiles(newFiles, snap.schema, snap.partitionCol)
-        .withColumn("_change_type", lit("insert")))
-    mkManifest(snap, "append", snap.files ++ newFiles,
-      rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
-      rowsTotal = snap.rowsTotal + dataRows, changesDir = Some(changesSub))
-  }
+  /** Blind append: new files, all rows recorded as CDF inserts.
+    * `recordChanges = false` skips the change images — for DERIVED tables
+    * (index postings, signature stores) whose source table already owns
+    * the change feed, the insert copy would double every append's write
+    * volume for rows a consumer can re-derive; data tables keep the
+    * default.
+    */
+  def append(df: DataFrame, recordChanges: Boolean = true): Long =
+    retryCommit("append") { snap =>
+      requireSchema(df, snap)
+      val (newFiles, dataRows) = writeData(df, snap.partitionCol)
+      val changesSub = if (recordChanges) Some(writeChanges(
+        readFiles(newFiles, snap.schema, snap.partitionCol)
+          .withColumn("_change_type", lit("insert")))) else None
+      mkManifest(snap, "append", snap.files ++ newFiles,
+        rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
+        rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub)
+    }
 
   /** MERGE upsert, latest-wins per `keys` under `order` (same semantics as
     * [[graft.operators.MergeUpsert.merge]]), committed atomically with
