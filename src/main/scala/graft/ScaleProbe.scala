@@ -224,6 +224,11 @@ object ScaleProbe {
       val rows = df.count()
       results((name, dir)) = (sec, shuffled, rows)
       println(s"""{"phase":"$name","dir":"$dir","sec":${math.rint(sec * 100) / 100},"shuffle_records":$shuffled,"rows":$rows}""")
+      // cap-audit phases emit a handful of occupancy/coverage rows; print
+      // them verbatim so the probe log records WHAT the caps clipped at
+      // each scale, not just that the audit ran (cheap: memos are warm)
+      if (rows <= 8)
+        df.toJSON.collect().foreach(j => println(s"""{"phase":"$name","dir":"$dir","row":$j}"""))
       CacheBin.drain()
     }
     CacheBin.drainAll()

@@ -51,7 +51,8 @@ import org.apache.spark.sql.types.StructType
   * (`_change_type` ∈ insert / update_preimage / update_postimage / delete)
   * as parquet under `_graft_log/changes/`, referenced from the manifest —
   * a durable, replayable change table ([[readChanges]]), not an in-flight
-  * `foreachBatch` callback.
+  * `foreachBatch` callback, and a checkpointed STREAMING source
+  * ([[readChangesStream]] — the reference's `readChangeFeed` read).
   *
   * Scale notes: merge rewrites ONLY the files of partitions present in the
   * update batch (manifest-level pruning — the copy-on-write granularity
@@ -112,28 +113,43 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   }
 
   /** Replayable CDF: all change rows committed in versions
-    * [`fromVersion`, `toVersion`], each tagged `_commit_version`. Versions
-    * without changes (create/compact/restore) contribute nothing.
+    * [`fromVersion`, `toVersion`], each tagged `_commit_version` (stored in
+    * the change files at commit time). Versions without changes
+    * (create/compact/restore) contribute nothing.
     */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val ms = listVersions.filter(v => v >= fromVersion && v <= toVersion)
       .map(manifest).filter(_.changesDir.isDefined)
-    val m0 = manifest(latestVersion)
-    val changeSchema = new StructType(
-      (m0.schema.fields :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType)))
+    val sch = changeSchema(manifest(latestVersion).schema)
     val frames = ms.map { m =>
-      spark.read.schema(changeSchema).parquet(s"$dir/${m.changesDir.get}")
-        .withColumn("_commit_version", lit(m.version))
+      spark.read.schema(sch).parquet(s"$dir/${m.changesDir.get}")
     }
     if (frames.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        new StructType(changeSchema.fields :+
-          org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(new java.util.ArrayList[Row](), sch)
     else frames.reduce(_.unionByName(_))
   }
+
+  /** STREAMING CDF — the reference's `readChangeFeed` streaming read
+    * (`bronze_prices_auto_loader.ipynb:158`) over the commit log: a
+    * checkpointed parquet file stream globbing the per-commit change
+    * directories. Exactly-once falls out of the file-source WAL; ordering
+    * within a micro-batch comes from the stored `_commit_version`. Safe
+    * against optimistic-concurrency losers because a losing writer deletes
+    * its own change files before retrying ([[retryCommit]]) — phantom
+    * changes from lost commits never enter the feed. At 100 TB the change
+    * volume is commit-proportional (the listing cost is one directory glob
+    * per trigger), never corpus-proportional.
+    */
+  def readChangesStream: DataFrame =
+    spark.readStream.schema(changeSchema(snapshot().schema))
+      .parquet(s"$dir/$LogDirName/changes/*")
+
+  private def changeSchema(base: StructType): StructType =
+    new StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
 
   // --------------------------------------------------------------- writes
 
@@ -150,7 +166,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val (newFiles, dataRows) = writeData(df, snap.partitionCol)
       val changesSub = if (recordChanges) Some(writeChanges(
         readFiles(newFiles, snap.schema, snap.partitionCol)
-          .withColumn("_change_type", lit("insert")))) else None
+          .withColumn("_change_type", lit("insert")), snap.version + 1)) else None
       mkManifest(snap, "append", snap.files ++ newFiles,
         rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
         rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub)
@@ -204,7 +220,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           .unionByName(joined.filter(uP && tP).select(side("u"): _*)
             .withColumn("_change_type", lit("update_postimage")))
         val (newFiles, _) = writeData(joined.select(picks: _*), snap.partitionCol)
-        val changesSub = writeChanges(changes)
+        val changesSub = writeChanges(changes, snap.version + 1)
         val counts = joined.agg(
           sum(when(uP && !tP, 1L).otherwise(0L)),
           sum(when(uP && tP, 1L).otherwise(0L))).head()
@@ -226,7 +242,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     try {
       val (newFiles, kept) = writeData(current.filter(!predicate), snap.partitionCol)
       val changesSub = writeChanges(
-        current.filter(predicate).withColumn("_change_type", lit("delete")))
+        current.filter(predicate).withColumn("_change_type", lit("delete")),
+        snap.version + 1)
       mkManifest(snap, "delete", newFiles,
         rowsInserted = 0, rowsUpdated = 0,
         rowsDeleted = snap.rowsTotal - kept, rowsTotal = kept,
@@ -346,9 +363,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     (files, files.map(_.rows).sum)
   }
 
-  private def writeChanges(changes: DataFrame): String = {
+  /** Persist a commit's change rows, tagged with the version the commit
+    * is ABOUT to claim — correct because a lost race recomputes `body`
+    * against the fresh snapshot (new files, new tag) after deleting this
+    * attempt's output.
+    */
+  private def writeChanges(changes: DataFrame, version: Long): String = {
     val sub = s"$LogDirName/changes/c-${UUID.randomUUID().toString.take(12)}"
-    changes.write.parquet(s"$dir/$sub")
+    changes.withColumn("_commit_version", lit(version)).write.parquet(s"$dir/$sub")
     sub
   }
 
@@ -388,18 +410,33 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       rowsDeleted, rowsTotal, changesDir)
 
   /** Optimistic-concurrency commit loop: recompute against the fresh
-    * snapshot, publish via atomic hard-link; a lost race leaves only
-    * orphaned data files (swept by [[vacuum]]) and retries.
+    * snapshot, publish via atomic hard-link. A loser deletes its OWN
+    * attempt's output before retrying — data files (hygiene; vacuum would
+    * also sweep them) and, critically, its change files, which the
+    * streaming CDF reader globs directly and must never see.
     */
   private def retryCommit(action: String)(body: Manifest => Manifest): Long = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
-      val m = body(snapshot())
+      val snap = snapshot()
+      val m = body(snap)
       if (tryPublish(m)) return m.version
+      val carried = snap.files.map(_.path).toSet
+      m.files.filterNot(f => carried.contains(f.path))
+        .map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
+        .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+      m.changesDir.foreach(sub => deleteRecursively(Paths.get(dir, sub)))
       attempts += 1
     }
     throw new IllegalStateException(
       s"$action lost $MaxCommitRetries commit races at $dir")
+  }
+
+  private def deleteRecursively(root: Path): Unit = if (Files.exists(root)) {
+    val s = Files.walk(root)
+    try s.iterator().asScala.toVector.sortBy(-_.getNameCount)
+      .foreach(Files.deleteIfExists)
+    finally s.close()
   }
 
   private def tryPublish(m: Manifest): Boolean = {

@@ -141,6 +141,37 @@ class CommitLogSpec extends AnyFunSuite {
       Set((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 30.0), (4L, "d2", 4.0)))
   }
 
+  test("streaming CDF: exactly-once change replay across restarts") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.merge(mk(Seq((2L, "b", 20.0), (3L, "c", 3.0))), Seq("k"), Seq($"v"))
+    val ckpt = tmpDir()
+    val out = tmpDir() + "/out"
+    def runOnce(): Unit = {
+      val q = t.readChangesStream.writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def slurp(df: DataFrame): Set[(Long, String, Long, Double)] =
+      df.select("_commit_version", "_change_type", "k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    runOnce()
+    assert(slurp(spark.read.parquet(out)) == slurp(t.readChanges(1, 2)))
+    // a commit AFTER the first run arrives on restart — once, with nothing
+    // from the already-consumed versions replayed
+    t.delete($"k" === 1L)
+    runOnce()
+    assert(spark.read.parquet(out).count() ==
+      t.readChanges(1, t.latestVersion).count())
+    assert(slurp(spark.read.parquet(out)) ==
+      slurp(t.readChanges(1, t.latestVersion)))
+  }
+
   test("optimistic concurrency: concurrent appends both land, distinct versions") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -156,6 +187,14 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.read().count() == 4L)
     val total = t.history.orderBy($"version".desc).head().getLong(5)
     assert(total == 4L)
+    // losers cleaned up after themselves: exactly one change dir per
+    // committed append survives (an orphan would poison the CDF stream)
+    val changeDirs = {
+      val s = Files.list(Paths.get(dir, "_graft_log", "changes"))
+      try s.count() finally s.close()
+    }
+    assert(changeDirs == 4L, s"orphaned change dirs: $changeDirs != 4")
+    assert(t.readChanges(1, 4).count() == 4L)
   }
 
   test("TableOps commit-log binding: upsertPartitions + compact + vacuum end-to-end") {
