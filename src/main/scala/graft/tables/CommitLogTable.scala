@@ -251,34 +251,50 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     } finally current.unpersist(false)
   }
 
-  /** OPTIMIZE: bin-pack each partition's files toward `targetFileBytes`.
+  /** OPTIMIZE: bin-pack each partition's files toward `targetFileBytes`,
+    * optionally CLUSTERING rows by `sortCols` during the rewrite — the
+    * `OPTIMIZE ... ZORDER BY` emulation inside the transactional format
+    * (range-clustered + sorted-within-file is the plain-Spark answer to
+    * Z-ordering, SURVEY §4.3): parquet min/max stats on the sort columns
+    * then prune row groups at scan, which is what ZORDER buys.
     * Logical content is unchanged (no CDF); readers pinned at earlier
     * versions are untouched — their files survive until [[vacuum]].
+    * Partition rewrites are independent, so they run CONCURRENTLY on a
+    * driver thread pool (each a small Spark job — the scheduler
+    * interleaves their tasks): a thousand-list index compaction is one
+    * commit of parallel rewrites, not a thousand sequential jobs.
     * Returns partitionValue → (filesBefore, filesAfter); key "" for an
     * unpartitioned table.
     */
   def compact(targetFileBytes: Long,
-      values: Option[Seq[String]] = None): Map[String, (Int, Int)] = {
+      values: Option[Seq[String]] = None,
+      sortCols: Seq[Column] = Seq.empty): Map[String, (Int, Int)] = {
     require(targetFileBytes > 0)
     var report = Map.empty[String, (Int, Int)]
     retryCommit("compact") { snap =>
-      report = Map.empty
       val groups = snap.files.groupBy(_.partition.getOrElse(""))
         .filter { case (v, _) => values.forall(_.contains(v)) }
-      val (rewritten, newFiles) = groups.toSeq.sortBy(_._1).map { case (v, fs) =>
+      val results = inParallel(groups.toSeq.sortBy(_._1)) { case (v, fs) =>
         val bytes = fs.map(_.bytes).sum
         val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        if (fs.size <= nOut) { report += v -> (fs.size, fs.size); (Seq.empty[LogFile], Seq.empty[LogFile]) }
+        if (fs.size <= nOut && sortCols.isEmpty)
+          (v, fs.size, fs.size, Seq.empty[LogFile], Seq.empty[LogFile])
         else {
-          val df = readFiles(fs, snap.schema, snap.partitionCol).coalesce(nOut)
-          val (nf, _) = writeData(df, snap.partitionCol)
-          report += v -> (fs.size, nf.size)
-          (fs, nf)
+          val src = readFiles(fs, snap.schema, snap.partitionCol)
+          val df =
+            if (sortCols.isEmpty) src.coalesce(nOut)
+            else if (nOut == 1) src.coalesce(1).sortWithinPartitions(sortCols: _*)
+            else src.repartitionByRange(nOut, sortCols: _*)
+              .sortWithinPartitions(sortCols: _*)
+          val (nf, _) = writeData(df, snap.partitionCol, preClustered = true)
+          (v, fs.size, nf.size, fs, nf)
         }
-      }.unzip
-      val replaced = rewritten.flatten.map(_.path).toSet
+      }
+      report = results.map { case (v, nb, na, _, _) => v -> (nb, na) }.toMap
+      val replaced = results.flatMap(_._4).map(_.path).toSet
       mkManifest(snap, "compact",
-        snap.files.filterNot(f => replaced.contains(f.path)) ++ newFiles.flatten,
+        snap.files.filterNot(f => replaced.contains(f.path)) ++
+          results.flatMap(_._5),
         rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
         rowsTotal = snap.rowsTotal, changesDir = None)
     }
@@ -348,15 +364,19 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * then need no path-based partition reconstruction, which cannot span
     * multiple commit roots.
     */
-  private def writeData(df: DataFrame,
-      partitionCol: Option[String]): (Seq[LogFile], Long) = {
+  private def writeData(df: DataFrame, partitionCol: Option[String],
+      preClustered: Boolean = false): (Seq[LogFile], Long) = {
     val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
     val abs = s"$dir/$sub"
     partitionCol match {
       case Some(p) =>
-        df.withColumn(ShadowPartCol, col(p).cast("string"))
-          .repartition(col(ShadowPartCol))
-          .write.partitionBy(ShadowPartCol).parquet(abs)
+        // preClustered: the caller already co-located (and possibly
+        // sorted) the rows — compact's per-partition rewrites — and a
+        // repartition here would both redistribute and UNSORT them
+        val shadowed = df.withColumn(ShadowPartCol, col(p).cast("string"))
+        val arranged =
+          if (preClustered) shadowed else shadowed.repartition(col(ShadowPartCol))
+        arranged.write.partitionBy(ShadowPartCol).parquet(abs)
       case None => df.write.parquet(abs)
     }
     val files = enumerate(Paths.get(abs), sub)
@@ -375,23 +395,44 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   }
 
   private def enumerate(root: Path, sub: String): Seq[LogFile] = {
-    val s = Files.walk(root)
-    try s.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && {
-        val n = p.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      .map { p =>
-        val rel = s"$sub/${root.relativize(p)}"
-        val partition = root.relativize(p).iterator().asScala.toSeq.init
-          .map(_.toString).find(_.contains("=")).map { seg =>
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(seg.substring(seg.indexOf('=') + 1))
-          }
-        LogFile(rel, partition, footerRows(p), Files.size(p))
-      }.toVector
-    finally s.close()
+    val paths = {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }).toVector
+      finally s.close()
+    }
+    // footer reads are independent driver-side I/O — fan them out (a
+    // partitioned commit writes one file per partition; reading hundreds
+    // of footers serially would dominate small-batch commit latency)
+    inParallel(paths) { p =>
+      val rel = s"$sub/${root.relativize(p)}"
+      val partition = root.relativize(p).iterator().asScala.toSeq.init
+        .map(_.toString).find(_.contains("=")).map { seg =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(seg.indexOf('=') + 1))
+        }
+      LogFile(rel, partition, footerRows(p), Files.size(p))
+    }
   }
+
+  /** Run `f` over `items` on a bounded thread pool, preserving order.
+    * Used for driver-side metadata I/O and for launching independent
+    * per-partition Spark jobs concurrently.
+    */
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.lengthCompare(2) < 0) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, items.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+      finally pool.shutdown()
+    }
 
   /** Footer-only row count — never a data scan. */
   private def footerRows(p: Path): Long = {

@@ -141,6 +141,32 @@ class CommitLogSpec extends AnyFunSuite {
       Set((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 30.0), (4L, "d2", 4.0)))
   }
 
+  test("clustered compact (ZORDER-style): content identical, every file sorted, file ranges disjoint") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    // appends arrive in key-interleaved order, several small commits
+    val rnd = new scala.util.Random(7)
+    val data = rnd.shuffle((1 to 400).map(i => (i.toLong, s"c${i % 3}", i * 1.5)))
+    data.grouped(100).foreach(g => t.append(mk(g)))
+    val before = rows(t.read())
+    // tiny target forces multi-file output per partition → range clustering
+    val report = t.compact(targetFileBytes = 4096L, sortCols = Seq($"k"))
+    assert(rows(t.read()) == before, "compact changed table content")
+    assert(report("")._1 > report("")._2, s"no bin-packing happened: $report")
+    val files = t.read().inputFiles
+    assert(files.length > 1, "want multiple files to prove disjoint ranges")
+    val ranges = files.toSeq.map { f =>
+      val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file $f not sorted by k")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file key ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("streaming CDF: exactly-once change replay across restarts") {
     val dir = tmpDir()
     val t = CommitLogTable.create(spark, dir, mk(Nil).schema)

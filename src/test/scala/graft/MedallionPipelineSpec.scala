@@ -113,6 +113,40 @@ class MedallionPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/quarantine").count() == quarCount)
   }
 
+  test("ALWAYS-ON medallion over transactional tables: crash/restart, atomic commits, batch parity") {
+    val src = tmp("clog-src"); val out = tmp("clog-stream-out"); val ckpt = tmp("clog-ckpt")
+    val all = corpus()
+    val schema = all.schema
+    val wave1 = all.filter($"event_id" % 2 === 0)
+    val wave2 = all.filter($"event_id" % 2 === 1)
+
+    wave1.write.mode("append").parquet(src)
+    val q1 = FileStreamIngest.runProcessingTimeMedallion(
+      FileStreamIngest.bronzeStream(spark, src, schema), out, ckpt, rules,
+      ops = TableOps.commitLog, interval = "50 milliseconds")
+    try q1.processAllAvailable() finally q1.stop() // crash between batches
+
+    wave2.write.mode("append").parquet(src)
+    val q2 = FileStreamIngest.runProcessingTimeMedallion(
+      FileStreamIngest.bronzeStream(spark, src, schema), out, ckpt, rules,
+      ops = TableOps.commitLog, interval = "50 milliseconds")
+    try q2.processAllAvailable() finally q2.stop()
+
+    assertSameSet(TableOps.commitLog.readTable(spark, s"$out/silver"),
+      Normalize.events(all))
+    assertSameSet(TableOps.commitLog.readTable(spark, s"$out/gold"),
+      batchGold(all))
+    // every micro-batch landed as one atomic MERGE commit per table, and
+    // the change feed replays the whole silver history
+    val silverT = graft.tables.CommitLogTable.open(spark, s"$out/silver")
+    val acts = silverT.history.select("action").as[String].collect()
+    assert(acts.head == "create" && acts.tail.forall(_ == "merge"))
+    val inserted = silverT.readChanges(1, silverT.latestVersion)
+      .filter($"_change_type" === "insert").count()
+    assert(inserted == Normalize.events(all).count(),
+      "CDF insert images must cover exactly the silver rows")
+  }
+
   test("medallion through the transactional commit-log binding") {
     val out = tmp("clog-out")
     val all = corpus()
