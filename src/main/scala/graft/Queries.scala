@@ -378,11 +378,19 @@ object Queries {
         corpusKey = s"$dir/documents", "doc_id", "text", k = 16),
       "doc_id", bucketCap = 50)
 
-  // fixed probe-prefix size for the LSH recall eval: ground truth is exact
-  // Jaccard of each probe against the FULL corpus, so a fixed probe count
+  // probe-prefix size for the LSH recall eval: ground truth is exact
+  // Jaccard of each probe against the FULL corpus, so a bounded probe count
   // keeps the eval linear in corpus size (the same reason q_ann_recall
-  // evaluates a fixed query set, not all-pairs)
-  val DedupProbeN = 50L
+  // evaluates a fixed query set, not all-pairs). The count SCALES with the
+  // corpus (1% of docs, floor 50): the 100× probe showed a fixed 50-doc
+  // sample carries ~0.1 expected true pairs at 500k docs — n_true = 0, a
+  // vacuous eval — while 1% keeps the expected true-pair count growing
+  // with the corpus. At every driver SF (≤5000 docs) this is exactly the
+  // historical 50, so oracle results are unchanged where verified; the
+  // DuckDB twin derives the same bound from count(*), never a literal.
+  val DedupProbeFloor = 50L
+  def dedupProbeN(s: SparkSession, dir: String): Long =
+    math.max(DedupProbeFloor, Tables.rowCount(s, dir, "documents") / 100)
 
   /** LSH dedup-quality eval: recall and candidate precision of the MinHash
     * banding pipeline against EXACT ground truth on a fixed probe set —
@@ -411,7 +419,8 @@ object Queries {
       .select(col("doc_id"), setExpr.as("__sh"))
     val corpusSh = sets.select(col("doc_id"),
       size(col("__sh")).cast("long").as("n_c"), explode(col("__sh")).as("sh"))
-    val probeSh = sets.filter(col("doc_id") < DedupProbeN)
+    val probeN = dedupProbeN(s, dir)
+    val probeSh = sets.filter(col("doc_id") < probeN)
       .select(col("doc_id").as("p_id"),
         size(col("__sh")).cast("long").as("n_p"), explode(col("__sh")).as("sh"))
     val truePairs = corpusSh.join(broadcast(probeSh), Seq("sh"))
@@ -427,8 +436,8 @@ object Queries {
       // the true-pair sliver, not the corpus
       .select(col("doc_a"), col("doc_b")).distinct()
     // candidate pairs involving a probe: doc_a < doc_b in the pair table,
-    // so "involves a doc_id < DedupProbeN" is exactly doc_a < DedupProbeN
-    val cand = sharedPairs(s, dir).filter(col("doc_a") < DedupProbeN)
+    // so "involves a doc_id < probeN" is exactly doc_a < probeN
+    val cand = sharedPairs(s, dir).filter(col("doc_a") < probeN)
     truePairs.agg(count(lit(1)).as("n_true"))
       .crossJoin(cand.agg(
         count(lit(1)).as("n_candidates"),

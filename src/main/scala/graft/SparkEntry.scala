@@ -1573,15 +1573,20 @@ object SparkEntry {
          FROM g"""),
 
     // LSH recall eval: ground truth = exact shingle Jaccard of each probe
-    // (doc_id < DedupProbeN) against the full corpus, reusing the shared
-    // sh/cnt CTEs; candidates = the jac chain restricted to probe pairs
+    // (doc_id < probeN, where probeN = greatest(floor, 1% of docs) is
+    // derived from count(*) on BOTH engines — never a literal, so the
+    // probe set scales with the corpus) against the full corpus, reusing
+    // the shared sh/cnt CTEs; candidates = the jac chain on probe pairs
     "q_minhash_recall" -> (minhashReachCte + s"""
-         , pinter AS (
+         , pn AS (SELECT greatest(${Queries.DedupProbeFloor}, count(*) // 100)
+                    AS probe_n FROM documents),
+         pinter AS (
            SELECT least(a.doc_id, b.doc_id) AS doc_a,
                   greatest(a.doc_id, b.doc_id) AS doc_b,
                   count(DISTINCT a.shingle) AS n_inter
            FROM sh a JOIN sh b
-             ON a.shingle = b.shingle AND a.doc_id < ${Queries.DedupProbeN}
+             ON a.shingle = b.shingle
+            AND a.doc_id < (SELECT probe_n FROM pn)
             AND b.doc_id <> a.doc_id
            GROUP BY 1, 2),
          tj AS (
@@ -1594,7 +1599,7 @@ object SparkEntry {
          pc AS (
            SELECT CAST(count(*) AS BIGINT) AS n_candidates,
              CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
-           FROM jac WHERE doc_a < ${Queries.DedupProbeN})
+           FROM jac WHERE doc_a < (SELECT probe_n FROM pn))
          SELECT n_true, n_candidates, n_hits,
            CAST(n_hits AS DOUBLE) / nullif(n_true, 0) AS recall,
            CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0) AS cand_precision

@@ -2083,7 +2083,7 @@ class LlmSpec extends AnyFunSuite {
     // the candidate counts must reconcile with the shared pair table the
     // query reads (doc_a < probe-N is exactly "involves a probe")
     val probeCand = Queries.minhashPairs(spark, dir)
-      .filter(col("doc_a") < Queries.DedupProbeN)
+      .filter(col("doc_a") < Queries.dedupProbeN(spark, dir))
     assert(nCand == probeCand.count())
     assert(nHits == probeCand.filter(col("jaccard") >= 0.5).count())
     assert(r.getAs[Double]("recall") == nHits.toDouble / nTrue)
