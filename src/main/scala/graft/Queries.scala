@@ -748,9 +748,12 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val n = Tables.rowCount(s, dir, "documents")
     val split = math.max(Bm25NQueries + 1, n * 3 / 5)
+    // corpus-stamped path: the exists() guard must not serve an index
+    // built from a previous testdata generation (see ivfTopKMaintained)
     val idxDir = "/tmp/graft-bm25-log/" + s.sparkContext.applicationId +
       "-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest((dir + Tables.tableStamp(dir, "documents")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
     SessionMemo.once(s, s"bm25log:$dir") {
       if (!graft.tables.CommitLogTable.exists(idxDir)) {
         graft.llm.Bm25.indexLogAppend(s, idxDir,
@@ -1488,9 +1491,13 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     val n = Tables.rowCount(s, dir, "embeddings")
     val split = math.max(1L, n * 3 / 5)
+    // the corpus stamp keys the path by source-file content: the
+    // exists() rebuild guard below must never serve an index built from
+    // a previous testdata generation in the same JVM
     val idxDir = "/tmp/graft-ivf-log/" + s.sparkContext.applicationId + "-" +
       java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest((dir + Tables.tableStamp(dir, "embeddings")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
     SessionMemo.once(s, s"ivflog:$dir:$n") {
       if (!graft.tables.CommitLogTable.exists(idxDir)) {
         val cents = ivfCentroidsShared(s, dir)
@@ -2209,9 +2216,12 @@ object Queries {
     * change images, pinned snapshots) is a pure function of `events`.
     */
   private def commitLogDemoDir(s: SparkSession, dir: String): String = {
+    // corpus-stamped path: the exists() guard must not serve a demo table
+    // built from a previous events generation (see ivfTopKMaintained)
     val tableDir = "/tmp/graft-commitlog/" + s.sparkContext.applicationId +
       "-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
     SessionMemo.once(s, s"commitlog:$dir") {
       // applicationId-unique path: a completed build survives drainAll()
       if (!graft.tables.CommitLogTable.exists(tableDir)) {

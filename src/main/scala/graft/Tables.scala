@@ -161,4 +161,20 @@ object Tables {
     */
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     countCache.getOrElseUpdate(s"$dir/$name", load(spark, dir, name).count())
+
+  /** Content stamp of a source table's parquet file (size + mtime): keyed
+    * into on-disk index/demo-table paths so an `exists(dir)` rebuild
+    * guard can't serve state built from a PREVIOUS testdata generation —
+    * the path itself changes when the source file does.
+    */
+  def tableStamp(dir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    val info =
+      if (java.nio.file.Files.exists(p))
+        s"$p:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis
+      else s"$p:absent"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(info.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
 }

@@ -37,6 +37,13 @@ trait TableOps {
   def upsertPartitions(batch: DataFrame, targetDir: String, keys: Seq[String],
       order: Seq[Column], dayCol: String): Unit
 
+  /** Apply `batch` to the live UNPARTITIONED keyed table at `targetDir`
+    * (latest-wins per `keys` under `order`) — the quarantine-table shape:
+    * small, keyed, no day partitioning worth pruning on.
+    */
+  def upsert(batch: DataFrame, targetDir: String, keys: Seq[String],
+      order: Seq[Column]): Unit
+
   /** OPTIMIZE: compact the named partition values toward
     * `targetFileBytes` per file; returns value → (filesBefore, filesAfter).
     */
@@ -95,6 +102,11 @@ object CommitLogTableOps extends TableOps {
     tbl.merge(batch, keys, order)
   }
 
+  override def upsert(batch: DataFrame, targetDir: String, keys: Seq[String],
+      order: Seq[Column]): Unit =
+    CommitLogTable.forPath(batch.sparkSession, targetDir, batch.schema, None)
+      .merge(batch, keys, order)
+
   override def compact(spark: SparkSession, dir: String, partitionCol: String,
       targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)] =
     CommitLogTable.open(spark, dir).compact(targetFileBytes, Some(values))
@@ -124,6 +136,11 @@ object ParquetTableOps extends TableOps {
       keys: Seq[String], order: Seq[Column], dayCol: String): Unit =
     graft.streaming.FileStreamIngest.upsertIntoPartitionedParquet(
       batch, targetDir, keys, order, dayCol)
+
+  override def upsert(batch: DataFrame, targetDir: String, keys: Seq[String],
+      order: Seq[Column]): Unit =
+    graft.streaming.FileStreamIngest.upsertIntoParquet(
+      batch, targetDir, keys, order)
 
   override def compact(spark: SparkSession, dir: String, partitionCol: String,
       targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)] =

@@ -227,7 +227,9 @@ object FileStreamIngest {
     val spark = batch.sparkSession
     val cached = batch.persist()
     try {
-      upsertIntoParquet(Expectations.quarantine(cached, rules),
+      // through the seam like silver/gold — under the commit-log binding
+      // the quarantine table gets the same atomic commits and CDF
+      ops.upsert(Expectations.quarantine(cached, rules),
         s"$outRoot/quarantine", Seq("event_id"), Seq(col("event_id")))
       val normalized = Normalize.events(Expectations.enforce(cached, rules))
       if (!normalized.isEmpty) {

@@ -120,6 +120,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val ms = listVersions.filter(v => v >= fromVersion && v <= toVersion)
       .map(manifest).filter(_.changesDir.isDefined)
+    ms.foreach(m => promoteChanges(m.changesDir.get)) // crash repair
     val sch = changeSchema(manifest(latestVersion).schema)
     val frames = ms.map { m =>
       spark.read.schema(sch).parquet(s"$dir/${m.changesDir.get}")
@@ -136,13 +137,19 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * within a micro-batch comes from the stored `_commit_version`. Safe
     * against optimistic-concurrency losers because a losing writer deletes
     * its own change files before retrying ([[retryCommit]]) — phantom
-    * changes from lost commits never enter the feed. At 100 TB the change
-    * volume is commit-proportional (the listing cost is one directory glob
-    * per trigger), never corpus-proportional.
+    * changes from lost commits never enter the feed: change files stage
+    * OUTSIDE the globbed dir and move in atomically only after their
+    * manifest wins the publish race. At 100 TB the change volume is
+    * commit-proportional (the listing cost is one directory glob per
+    * trigger), never corpus-proportional.
     */
-  def readChangesStream: DataFrame =
+  def readChangesStream: DataFrame = {
+    // repair any commit that crashed between publish and promotion, so
+    // the stream doesn't silently skip its (durable, committed) changes
+    listVersions.map(manifest).flatMap(_.changesDir).foreach(promoteChanges)
     spark.readStream.schema(changeSchema(snapshot().schema))
-      .parquet(s"$dir/$LogDirName/changes/*")
+      .parquet(s"$dir/$ChangesDirName/*")
+  }
 
   private def changeSchema(base: StructType): StructType =
     new StructType(base.fields :+
@@ -198,17 +205,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         case None => (snap.files, Seq.empty[LogFile])
       }
       val target = readFiles(affected, snap.schema, snap.partitionCol)
-      val t = target.as("t")
-      val u = latest.as("u")
+      // explicit presence markers, NOT key-nullness: a NULL merge key never
+      // equi-matches (SQL semantics — it inserts, like Delta MERGE), and
+      // probing the key column would then misread the row as absent and
+      // null out its value columns
+      val t = target.withColumn("__t", lit(true)).as("t")
+      val u = latest.withColumn("__u", lit(true)).as("u")
       val joinCond = keys.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
       // ONE shuffle produces snapshot + change set + counts: persist the
       // joined frame, release after the commit's writes are on disk
       val joined = t.join(u, joinCond, "full_outer").persist()
       try {
-        val uP = col(s"u.${keys.head}").isNotNull
-        val tP = col(s"t.${keys.head}").isNotNull
+        val uP = col("u.__u").isNotNull
+        val tP = col("t.__t").isNotNull
         val valueCols = snap.schema.fieldNames.filterNot(keys.contains)
-        val picks = keys.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
+        val picks = keys.map(k => when(uP, col(s"u.$k")).otherwise(col(s"t.$k")).as(k)) ++
           valueCols.map(c => when(uP, col(s"u.$c")).otherwise(col(s"t.$c")).as(c))
         def side(s0: String) =
           snap.schema.fieldNames.map(c => col(s"$s0.$c").as(c)).toSeq
@@ -234,15 +245,19 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     }
 
   /** Delete rows matching `predicate`; CDF records the deleted rows.
-    * Full-table copy-on-write (no file-stat pruning — acceptable for the
-    * maintenance-grade deletes this engine issues).
+    * SQL DELETE semantics: only rows where the predicate is TRUE go — a
+    * NULL predicate keeps the row (naively filtering on `!predicate`
+    * would silently drop NULL-evaluating rows from BOTH the table and
+    * the change feed). Full-table copy-on-write (no file-stat pruning —
+    * acceptable for the maintenance-grade deletes this engine issues).
     */
   def delete(predicate: Column): Long = retryCommit("delete") { snap =>
     val current = readFiles(snap.files, snap.schema, snap.partitionCol).persist()
+    val goes = coalesce(predicate, lit(false))
     try {
-      val (newFiles, kept) = writeData(current.filter(!predicate), snap.partitionCol)
+      val (newFiles, kept) = writeData(current.filter(!goes), snap.partitionCol)
       val changesSub = writeChanges(
-        current.filter(predicate).withColumn("_change_type", lit("delete")),
+        current.filter(goes).withColumn("_change_type", lit("delete")),
         snap.version + 1)
       mkManifest(snap, "delete", newFiles,
         rowsInserted = 0, rowsUpdated = 0,
@@ -292,6 +307,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       }
       report = results.map { case (v, nb, na, _, _) => v -> (nb, na) }.toMap
       val replaced = results.flatMap(_._4).map(_.path).toSet
+      // nothing needed rewriting → don't publish a version identical to
+      // its predecessor: a scheduled maintenance loop would otherwise
+      // grow the log and tick the vacuum retention window forward on
+      // every idle run
+      if (replaced.isEmpty) throw NoOpCommit
       mkManifest(snap, "compact",
         snap.files.filterNot(f => replaced.contains(f.path)) ++
           results.flatMap(_._5),
@@ -317,8 +337,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * `retainVersions` — after this, time travel reaches back exactly
     * `retainVersions` versions. Change files and manifests are kept (they
     * are the audit trail; size is commit-proportional, not
-    * corpus-proportional). Returns deleted-file count. Also sweeps data
-    * files no manifest references at all (orphans of lost commit races).
+    * corpus-proportional). Returns deleted-file count. Also sweeps
+    * manifest-unreferenced files and stale staged-change dirs, but only
+    * past an age grace window — a concurrent IN-FLIGHT commit's output is
+    * also unreferenced until its manifest lands, and the age gate is what
+    * keeps vacuum from corrupting it (see [[CommitLogTable.vacuumPath]]).
     */
   def vacuum(retainVersions: Int = 2): Int =
     CommitLogTable.vacuumPath(dir, retainVersions)
@@ -387,11 +410,39 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * is ABOUT to claim — correct because a lost race recomputes `body`
     * against the fresh snapshot (new files, new tag) after deleting this
     * attempt's output.
+    *
+    * Written to a STAGING dir outside `changes/` and atomically renamed
+    * in only after the manifest publish wins ([[tryPublish]]): the
+    * streaming CDF reader globs the changes dir directly, so an in-flight or
+    * losing commit's change files must never be visible there — under
+    * write-then-publish they briefly were. Returns the FINAL sub-path
+    * the manifest records.
     */
   private def writeChanges(changes: DataFrame, version: Long): String = {
-    val sub = s"$LogDirName/changes/c-${UUID.randomUUID().toString.take(12)}"
-    changes.withColumn("_commit_version", lit(version)).write.parquet(s"$dir/$sub")
-    sub
+    val name = s"c-${UUID.randomUUID().toString.take(12)}"
+    changes.withColumn("_commit_version", lit(version))
+      .write.parquet(s"$dir/$StagedChangesDirName/$name")
+    s"$ChangesDirName/$name"
+  }
+
+  /** Promote a committed manifest's staged change dir into `changes/`
+    * (atomic directory rename). Runs at publish; also invoked lazily by
+    * readers as crash repair — a crash between manifest publish and
+    * promotion leaves the staged dir complete on disk, so the move is
+    * merely deferred. Idempotent and race-safe: a concurrent promote
+    * loses the rename and finds the target already present.
+    */
+  private def promoteChanges(finalSub: String): Unit = {
+    val staged = Paths.get(dir, StagedChangesDirName,
+      Paths.get(finalSub).getFileName.toString)
+    val target = Paths.get(dir, finalSub)
+    if (!Files.exists(target) && Files.isDirectory(staged)) {
+      Files.createDirectories(target.getParent)
+      try Files.move(staged, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: FileAlreadyExistsException |
+                   _: java.nio.file.NoSuchFileException => () }
+    }
   }
 
   private def enumerate(root: Path, sub: String): Seq[LogFile] = {
@@ -452,21 +503,29 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   /** Optimistic-concurrency commit loop: recompute against the fresh
     * snapshot, publish via atomic hard-link. A loser deletes its OWN
-    * attempt's output before retrying — data files (hygiene; vacuum would
-    * also sweep them) and, critically, its change files, which the
-    * streaming CDF reader globs directly and must never see.
+    * attempt's output before retrying — its new data dirs (hygiene;
+    * vacuum would also sweep them) and its staged change files. "Own"
+    * is established by exclusion: a candidate dir is deleted only if NO
+    * committed manifest references anything inside it — files this
+    * attempt re-referenced from history (restore, compact carry-overs)
+    * are never its output and must survive the loss.
     */
   private def retryCommit(action: String)(body: Manifest => Manifest): Long = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
       val snap = snapshot()
-      val m = body(snap)
+      val m = try body(snap) catch { case NoOpCommit => return snap.version }
       if (tryPublish(m)) return m.version
       val carried = snap.files.map(_.path).toSet
+      val committed = listVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
       m.files.filterNot(f => carried.contains(f.path))
         .map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
+        .filterNot(sub => committed.exists(_.startsWith(sub + "/")))
         .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
-      m.changesDir.foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+      m.changesDir.foreach { sub =>
+        deleteRecursively(Paths.get(dir, StagedChangesDirName,
+          Paths.get(sub).getFileName.toString))
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -483,17 +542,31 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private def tryPublish(m: Manifest): Boolean = {
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, manifestJson(m).getBytes(UTF_8))
-    try { Files.createLink(logDir.resolve(manifestName(m.version)), tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
+    val won =
+      try { Files.createLink(logDir.resolve(manifestName(m.version)), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    // the commit is durable once the manifest link exists; promotion into
+    // the stream-visible changes/ dir is repaired lazily by readers if a
+    // crash lands exactly here
+    if (won) m.changesDir.foreach(promoteChanges)
+    won
   }
 }
 
 object CommitLogTable {
   private val LogDirName = "_graft_log"
   private val DataDirName = "data"
+  private val ChangesDirName = s"$LogDirName/changes"
+  private val StagedChangesDirName = s"$LogDirName/staged_changes"
   private val ShadowPartCol = "__part"
   private val MaxCommitRetries = 20
+
+  /** Thrown by a commit body to abandon the attempt without publishing
+    * (e.g. a compact that found nothing to rewrite); flow control, not
+    * an error.
+    */
+  private object NoOpCommit extends scala.util.control.ControlThrowable
 
   final case class LogFile(path: String, partition: Option[String],
       rows: Long, bytes: Long)
@@ -526,6 +599,7 @@ object CommitLogTable {
       s"partition column $p not in schema"))
     val logDir = Paths.get(dir, LogDirName)
     Files.createDirectories(logDir.resolve("changes"))
+    Files.createDirectories(logDir.resolve("staged_changes"))
     val t = new CommitLogTable(spark, dir)
     val v0 = Manifest(0L, "create", System.currentTimeMillis(), schema,
       partitionCol, Seq.empty, 0, 0, 0, 0, None)
@@ -556,15 +630,50 @@ object CommitLogTable {
 
   /** Spark-free vacuum (see the instance method's contract): drop data
     * files referenced only by versions older than the last
-    * `retainVersions`, plus orphans of lost commit races; sweep commit
-    * dirs left holding nothing but markers. Returns deleted-file count.
+    * `retainVersions`; sweep commit dirs left holding nothing but
+    * markers. Returns deleted-file count.
+    *
+    * Files referenced by NO manifest at all — a crashed writer's output,
+    * or a lost race whose self-cleanup also died — are deleted only once
+    * older than `orphanGraceMillis`: a CONCURRENT in-flight commit's
+    * freshly-written files are also unreferenced until its manifest
+    * lands, and an age gate is what keeps vacuum from corrupting it
+    * (the same reason Delta's VACUUM has a retention-hours floor).
+    * Stale `staged_changes/` dirs past the grace window are swept the
+    * same way.
     */
-  def vacuumPath(dir: String, retainVersions: Int = 2): Int = {
+  def vacuumPath(dir: String, retainVersions: Int = 2,
+      orphanGraceMillis: Long = 20L * 60 * 1000): Int = {
     require(retainVersions >= 1)
-    val retained = listVersionsAt(dir).takeRight(retainVersions)
-    val referenced = retained.flatMap(v => manifestAt(dir, v).files.map(_.path)).toSet
+    val versions = listVersionsAt(dir)
+    val retainedRefs = versions.takeRight(retainVersions)
+      .flatMap(v => manifestAt(dir, v).files.map(_.path)).toSet
+    val committedManifests = versions.map(v => manifestAt(dir, v))
+    val anyRefs = committedManifests.flatMap(_.files.map(_.path)).toSet
+    val promotedChanges = committedManifests.flatMap(_.changesDir)
+      .map(sub => Paths.get(sub).getFileName.toString).toSet
+    val now = System.currentTimeMillis()
+    def aged(p: Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis > orphanGraceMillis
+      catch { case _: java.io.IOException => false }
+    var deleted = 0
+    // stale staging dirs: promoted ones were MOVED out, so anything left
+    // past the grace window is a dead writer's orphan (a referenced-but-
+    // unpromoted dir is crash state the readers repair — keep it)
+    val stagedRoot = Paths.get(dir, StagedChangesDirName)
+    if (Files.isDirectory(stagedRoot)) {
+      val s = Files.list(stagedRoot)
+      val dead = try s.iterator().asScala.toVector finally s.close()
+      dead.filter(p => !promotedChanges.contains(p.getFileName.toString) && aged(p))
+        .foreach { p =>
+          val f = Files.walk(p)
+          val all = try f.iterator().asScala.toVector finally f.close()
+          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+          deleted += 1
+        }
+    }
     val dataRoot = Paths.get(dir, DataDirName)
-    if (!Files.isDirectory(dataRoot)) return 0
+    if (!Files.isDirectory(dataRoot)) return deleted
     def walk[T](f: Iterator[Path] => T): T = {
       val s = Files.walk(dataRoot)
       try f(s.iterator().asScala) finally s.close()
@@ -573,10 +682,10 @@ object CommitLogTable {
       val n = p.getFileName.toString
       n.startsWith("_") || n.startsWith(".")
     }
-    var deleted = 0
     walk(_.filter(p => Files.isRegularFile(p) && !isMarker(p)).toVector)
       .foreach { p =>
-        if (!referenced.contains(Paths.get(dir).relativize(p).toString)) {
+        val rel = Paths.get(dir).relativize(p).toString
+        if (!retainedRefs.contains(rel) && (anyRefs.contains(rel) || aged(p))) {
           Files.deleteIfExists(p); deleted += 1
         }
       }

@@ -141,6 +141,55 @@ class CommitLogSpec extends AnyFunSuite {
       Set((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 30.0), (4L, "d2", 4.0)))
   }
 
+  test("delete: SQL semantics — NULL-evaluating rows survive, CDF covers exactly the deleted") {
+    val dir = tmpDir()
+    val df = Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0),
+      (3L, Option.empty[String], 3.0)).toDF("k", "cat", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df)
+    t.delete($"cat" === "x") // NULL === "x" is NULL, not TRUE: row 3 stays
+    val kept = t.read().select("k").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L), s"NULL-predicate row was dropped: $kept")
+    val deleted = t.readChanges(2, 2).select("k").as[Long].collect().toSeq
+    assert(deleted == Seq(1L), "CDF must record exactly the TRUE-predicate rows")
+    assert(t.history.filter($"version" === 2).head().getLong(4) == 1L)
+  }
+
+  test("merge: a NULL-keyed update row inserts intact (never nulled-out value columns)") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0))))
+    val updates = Seq((Option.empty[Long], Some("b"), Some(2.0)),
+      (Some(1L), Some("A"), Some(10.0))).toDF("k", "cat", "v")
+    t.merge(updates, Seq("k"), Seq($"v"))
+    val got = t.read().select("k", "cat", "v").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
+        r.getDouble(2))).toSet
+    assert(got == Set((1L, "A", 10.0), (-1L, "b", 2.0)),
+      s"NULL-keyed insert lost its values: $got")
+    val h = t.history.filter($"version" === 2).head()
+    assert((h.getLong(2), h.getLong(3)) == (1L, 1L)) // 1 insert, 1 update
+  }
+
+  test("no-op compact publishes no version; vacuum spares young orphans") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0))))
+    val v = t.latestVersion
+    t.compact(64L * 1024 * 1024) // already one small file: nothing to do
+    assert(t.latestVersion == v, "idle compact must not grow the log")
+    // a freshly-written unreferenced file (an in-flight commit's output)
+    // must survive vacuum's orphan sweep until the grace window passes
+    val orphan = Paths.get(dir, "data", "c-orphan", "part-0.parquet")
+    Files.createDirectories(orphan.getParent)
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    assert(t.vacuum(retainVersions = 2) == 0, "young orphan swept too early")
+    assert(Files.exists(orphan))
+    assert(CommitLogTable.vacuumPath(dir, retainVersions = 2,
+      orphanGraceMillis = 0L) == 1, "aged orphan must be swept")
+    assert(!Files.exists(orphan))
+  }
+
   test("clustered compact (ZORDER-style): content identical, every file sorted, file ranges disjoint") {
     val dir = tmpDir()
     val t = CommitLogTable.create(spark, dir, mk(Nil).schema)

@@ -145,6 +145,10 @@ class MedallionPipelineSpec extends AnyFunSuite {
       .filter($"_change_type" === "insert").count()
     assert(inserted == Normalize.events(all).count(),
       "CDF insert images must cover exactly the silver rows")
+    // quarantine goes through the same seam: transactional too
+    val quar = TableOps.commitLog.readTable(spark, s"$out/quarantine")
+    assert(quar.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(900001L, 900002L, 900003L))
   }
 
   test("medallion through the transactional commit-log binding") {
