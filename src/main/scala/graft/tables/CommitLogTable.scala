@@ -193,14 +193,24 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   def merge(updates: DataFrame, keys: Seq[String], order: Seq[Column]): Long =
     retryCommit("merge") { snap =>
       requireSchema(updates, snap)
-      val latest = graft.operators.Dedup.keepLast(updates, keys, order)
+      // latest-wins collapses only NON-NULL-keyed rows: a NULL merge key
+      // never equi-matches anything (itself included) — each NULL-keyed
+      // update row is an independent insert, like Delta MERGE — and
+      // keepLast's window would wrongly group the NULLs together
+      val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+      val latest = graft.operators.Dedup
+        .keepLast(updates.filter(!anyKeyNull), keys, order)
+        .unionByName(updates.filter(anyKeyNull))
       val (affected, untouched) = snap.partitionCol match {
         case Some(p) =>
           // bounded driver collect: distinct partition values of ONE batch
           // (micro-batches touch a handful of days; a backfill, a few
-          // hundred) — never corpus-scale
-          val vals = latest.select(col(p).cast("string")).distinct()
-            .collect().map(_.getString(0)).toSet
+          // hundred) — never corpus-scale. NULL partition values must map
+          // to the Hive default-partition name the manifest stores, or
+          // the NULL-partition file would silently escape the rewrite
+          val vals = latest.select(
+              coalesce(col(p).cast("string"), lit(HiveDefaultPartition)))
+            .distinct().collect().map(_.getString(0)).toSet
           snap.files.partition(f => f.partition.exists(vals.contains))
         case None => (snap.files, Seq.empty[LogFile])
       }
@@ -286,13 +296,27 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       sortCols: Seq[Column] = Seq.empty): Map[String, (Int, Int)] = {
     require(targetFileBytes > 0)
     var report = Map.empty[String, (Int, Int)]
+    val sortKey = if (sortCols.isEmpty) None
+      else Some(sortCols.map(_.toString).mkString(","))
     retryCommit("compact") { snap =>
+      // a clustered rewrite is skippable only when the SNAPSHOT is already
+      // clustered by these keys (the manifest marker, cleared by any
+      // data-changing commit) — without the marker a scheduled clustered
+      // compact would re-read and rewrite the whole table on every idle
+      // run, which is exactly what the no-op guard below exists to stop
+      val alreadyClustered = sortKey.isEmpty || snap.clusteredBy == sortKey
       val groups = snap.files.groupBy(_.partition.getOrElse(""))
         .filter { case (v, _) => values.forall(_.contains(v)) }
       val results = inParallel(groups.toSeq.sortBy(_._1)) { case (v, fs) =>
         val bytes = fs.map(_.bytes).sum
         val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        if (fs.size <= nOut && sortCols.isEmpty)
+        // re-pack only when it buys something: at least two undersized
+        // files to merge (the Delta OPTIMIZE minFileSize rule). A bare
+        // fs.size > nOut test oscillates — each rewrite of sorted data
+        // compresses better, shrinking nOut below the fresh file count
+        // and triggering another full rewrite on the next idle run
+        val undersized = fs.count(_.bytes < targetFileBytes / 2)
+        if ((fs.size <= nOut || undersized < 2) && alreadyClustered)
           (v, fs.size, fs.size, Seq.empty[LogFile], Seq.empty[LogFile])
         else {
           val src = readFiles(fs, snap.schema, snap.partitionCol)
@@ -312,18 +336,26 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // grow the log and tick the vacuum retention window forward on
       // every idle run
       if (replaced.isEmpty) throw NoOpCommit
+      // the marker holds only for a clustered compact over the WHOLE
+      // table (a values-scoped pass leaves other partitions unsorted, and
+      // a plain bin-pack's coalesce destroys any previous ordering in the
+      // files it rewrites)
+      val marker = if (values.isEmpty) sortKey else None
       mkManifest(snap, "compact",
         snap.files.filterNot(f => replaced.contains(f.path)) ++
           results.flatMap(_._5),
         rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
-        rowsTotal = snap.rowsTotal, changesDir = None)
+        rowsTotal = snap.rowsTotal, changesDir = None, clusteredBy = marker)
     }
     report
   }
 
   /** Re-publish a historical version's file list as the new head (the
     * write side of time travel). Fails if [[vacuum]] already dropped any
-    * of that version's files.
+    * of that version's files. The existence check races a CONCURRENT
+    * vacuum (old-version-referenced files have no age grace) — schedule
+    * restore and vacuum in the same maintenance window, never overlapped,
+    * as with Delta's RESTORE + VACUUM retention interplay.
     */
   def restore(version: Long): Long = retryCommit("restore") { snap =>
     val old = manifest(version)
@@ -358,10 +390,18 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private def snapshot(): Manifest = manifest(latestVersion)
 
-  private def requireSchema(df: DataFrame, snap: Manifest): Unit =
-    require(df.columns.sameElements(snap.schema.fieldNames),
-      s"schema mismatch: table has ${snap.schema.fieldNames.mkString(",")}, " +
-        s"got ${df.columns.mkString(",")}")
+  private def requireSchema(df: DataFrame, snap: Manifest): Unit = {
+    // names AND types (nullability excepted — catalogString is
+    // nullability-insensitive at every nesting level, and the stored
+    // schema round-trips through DDL which drops nested containsNull): a
+    // name-only check would let a type-drifted batch commit files the
+    // manifest schema can't read — the commit succeeds but every later
+    // scan throws
+    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+    require(sig(df.schema) == sig(snap.schema),
+      s"schema mismatch: table has ${snap.schema.toDDL}, " +
+        s"got ${df.schema.toDDL}")
+  }
 
   private def zeroIfNull(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
 
@@ -496,10 +536,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private def mkManifest(snap: Manifest, action: String, files: Seq[LogFile],
       rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
-      rowsTotal: Long, changesDir: Option[String]): Manifest =
+      rowsTotal: Long, changesDir: Option[String],
+      clusteredBy: Option[String] = None): Manifest =
     Manifest(snap.version + 1, action, System.currentTimeMillis(),
       snap.schema, snap.partitionCol, files, rowsInserted, rowsUpdated,
-      rowsDeleted, rowsTotal, changesDir)
+      rowsDeleted, rowsTotal, changesDir, clusteredBy)
 
   /** Optimistic-concurrency commit loop: recompute against the fresh
     * snapshot, publish via atomic hard-link. A loser deletes its OWN
@@ -541,11 +582,25 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private def tryPublish(m: Manifest): Boolean = {
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, manifestJson(m).getBytes(UTF_8))
+    // SYNC: the manifest bytes must be durable BEFORE the link makes the
+    // version visible — otherwise power loss after the link leaves a
+    // torn v<N>.json that bricks every subsequent read
+    Files.write(tmp, manifestJson(m).getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     val won =
       try { Files.createLink(logDir.resolve(manifestName(m.version)), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
       finally Files.deleteIfExists(tmp)
+    // best-effort directory-entry durability for the link itself
+    if (won) {
+      try {
+        val ch = java.nio.channels.FileChannel.open(logDir,
+          java.nio.file.StandardOpenOption.READ)
+        try ch.force(true) finally ch.close()
+      } catch { case _: Exception => () }
+    }
     // the commit is durable once the manifest link exists; promotion into
     // the stream-visible changes/ dir is repaired lazily by readers if a
     // crash lands exactly here
@@ -561,6 +616,11 @@ object CommitLogTable {
   private val StagedChangesDirName = s"$LogDirName/staged_changes"
   private val ShadowPartCol = "__part"
   private val MaxCommitRetries = 20
+  /** What partitionBy writes for a NULL partition value — and therefore
+    * what [[enumerate]] reads back into the manifest's partition field.
+    */
+  private val HiveDefaultPartition =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
   /** Thrown by a commit body to abandon the attempt without publishing
     * (e.g. a compact that found nothing to rewrite); flow control, not
@@ -574,7 +634,8 @@ object CommitLogTable {
   final case class Manifest(version: Long, action: String, tsMillis: Long,
       schema: StructType, partitionCol: Option[String], files: Seq[LogFile],
       rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
-      rowsTotal: Long, changesDir: Option[String])
+      rowsTotal: Long, changesDir: Option[String],
+      clusteredBy: Option[String] = None)
 
   val HistorySchema: StructType = StructType.fromDDL(
     "version BIGINT, action STRING, rows_inserted BIGINT, " +
@@ -584,9 +645,14 @@ object CommitLogTable {
   def exists(dir: String): Boolean =
     Files.isDirectory(Paths.get(dir, LogDirName))
 
-  /** Open an existing table. */
+  /** Open an existing table. Requires at least one published manifest —
+    * a log dir with none is the debris of a create() that died before
+    * its v0 publish ([[forPath]] repairs that state by re-creating).
+    */
   def open(spark: SparkSession, dir: String): CommitLogTable = {
     require(exists(dir), s"no commit-log table at $dir")
+    require(listVersionsAt(dir).nonEmpty,
+      s"table creation incomplete at $dir (log dir exists, no manifest)")
     new CommitLogTable(spark, dir)
   }
 
@@ -607,10 +673,13 @@ object CommitLogTable {
     t
   }
 
-  /** Open-or-create. */
+  /** Open-or-create; a log dir without any manifest (create() crashed
+    * before v0) is re-created rather than opened broken.
+    */
   def forPath(spark: SparkSession, dir: String, schema: StructType,
       partitionCol: Option[String] = None): CommitLogTable =
-    if (exists(dir)) open(spark, dir) else create(spark, dir, schema, partitionCol)
+    if (exists(dir) && listVersionsAt(dir).nonEmpty) open(spark, dir)
+    else create(spark, dir, schema, partitionCol)
 
   private def manifestName(version: Long): String = f"v$version%020d.json"
 
@@ -657,6 +726,18 @@ object CommitLogTable {
       try now - Files.getLastModifiedTime(p).toMillis > orphanGraceMillis
       catch { case _: java.io.IOException => false }
     var deleted = 0
+    // crashed tryPublish attempts leak .tmp-<uuid> manifests in the log
+    // dir (the finally-delete never ran); sweep them past the grace age
+    val logRoot = Paths.get(dir, LogDirName)
+    if (Files.isDirectory(logRoot)) {
+      val s = Files.list(logRoot)
+      val tmps = try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".tmp-")).toVector
+        finally s.close()
+      tmps.filter(aged).foreach { p =>
+        if (Files.deleteIfExists(p)) deleted += 1
+      }
+    }
     // stale staging dirs: promoted ones were MOVED out, so anything left
     // past the grace window is a dead writer's orphan (a referenced-but-
     // unpromoted dir is crash state the readers repair — keep it)
@@ -720,6 +801,7 @@ object CommitLogTable {
     root.put("rowsDeleted", m.rowsDeleted)
     root.put("rowsTotal", m.rowsTotal)
     m.changesDir.foreach(root.put("changesDir", _))
+    m.clusteredBy.foreach(root.put("clusteredBy", _))
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val o = arr.addObject()
@@ -745,6 +827,6 @@ object CommitLogTable {
       StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
       files, n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
-      optText("changesDir"))
+      optText("changesDir"), optText("clusteredBy"))
   }
 }

@@ -160,15 +160,18 @@ class CommitLogSpec extends AnyFunSuite {
     val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
     t.append(mk(Seq((1L, "a", 1.0))))
     val updates = Seq((Option.empty[Long], Some("b"), Some(2.0)),
+      (Option.empty[Long], Some("c"), Some(3.0)),
       (Some(1L), Some("A"), Some(10.0))).toDF("k", "cat", "v")
     t.merge(updates, Seq("k"), Seq($"v"))
     val got = t.read().select("k", "cat", "v").collect()
       .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
         r.getDouble(2))).toSet
-    assert(got == Set((1L, "A", 10.0), (-1L, "b", 2.0)),
-      s"NULL-keyed insert lost its values: $got")
+    // BOTH NULL-keyed rows insert independently (latest-wins must not
+    // group NULL keys together), values intact
+    assert(got == Set((1L, "A", 10.0), (-1L, "b", 2.0), (-1L, "c", 3.0)),
+      s"NULL-keyed inserts lost or collapsed: $got")
     val h = t.history.filter($"version" === 2).head()
-    assert((h.getLong(2), h.getLong(3)) == (1L, 1L)) // 1 insert, 1 update
+    assert((h.getLong(2), h.getLong(3)) == (2L, 1L)) // 2 inserts, 1 update
   }
 
   test("no-op compact publishes no version; vacuum spares young orphans") {
@@ -214,6 +217,45 @@ class CommitLogSpec extends AnyFunSuite {
         assert(hi <= lo, s"file key ranges overlap: $ranges")
       case _ =>
     }
+    // the manifest remembers the clustering: repeat runs converge — one
+    // re-pack is allowed (sorted data re-compresses, shrinking the
+    // byte-derived file budget) and then the FIXPOINT is a no-op commit,
+    // not a full-table rewrite on every idle maintenance run
+    t.compact(targetFileBytes = 4096L, sortCols = Seq($"k"))
+    val v = t.latestVersion
+    t.compact(targetFileBytes = 4096L, sortCols = Seq($"k"))
+    assert(t.latestVersion == v, "clustered compact must reach a fixpoint")
+    // new data clears the marker; the next clustered compact rewrites
+    t.append(mk(Seq((999L, "c0", 9.9))))
+    t.compact(targetFileBytes = 4096L, sortCols = Seq($"k"))
+    assert(t.latestVersion == v + 2)
+  }
+
+  test("type-drifted batch is rejected before it can poison the table") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema) // v DOUBLE
+    t.append(mk(Seq((1L, "a", 1.0))))
+    val drifted = Seq((2L, "b", "oops")).toDF("k", "cat", "v") // v STRING
+    intercept[IllegalArgumentException](t.append(drifted))
+    intercept[IllegalArgumentException](t.merge(drifted, Seq("k"), Seq($"v")))
+    assert(t.read().count() == 1L)
+  }
+
+  test("merge on a NULL-partition-valued key rewrites (not duplicates) the stored row") {
+    val dir = tmpDir()
+    val df = Seq((1L, Some("d1"), 1.0), (2L, Option.empty[String], 2.0))
+      .toDF("k", "cat", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    t.append(df)
+    // key 2 lives in the __HIVE_DEFAULT_PARTITION__ file; the update's
+    // NULL partition value must select that file for the rewrite
+    t.merge(Seq((2L, Option.empty[String], 20.0)).toDF("k", "cat", "v"),
+      Seq("k"), Seq($"v"))
+    val got = t.read().select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.0), (2L, 20.0)), s"NULL-partition row duplicated: $got")
+    val h = t.history.filter($"version" === 2).head()
+    assert((h.getLong(2), h.getLong(3)) == (0L, 1L), "must count as an update")
   }
 
   test("streaming CDF: exactly-once change replay across restarts") {
