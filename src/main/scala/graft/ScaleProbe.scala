@@ -202,7 +202,15 @@ object ScaleProbe {
       "pca_project" -> (Queries.pcaProject _),
       // round 7e: envelope hash is scan-local; the only exchanges are the
       // banded candidate stage + the bounded pair sliver (image-plane twin)
-      "audio_neardup" -> (Queries.audioNearDup _))
+      "audio_neardup" -> (Queries.audioNearDup _),
+      // round 9: the commit-log maintained-index lifecycle end-to-end —
+      // two batch appends (each scans only ITS batch against the frozen
+      // codebook / term buckets), an OPTIMIZE commit over the inverted
+      // lists, then the probe. Shuffle must stay ~linear in corpus size
+      // (assignment + postings rollup); the probe side stays pruned to
+      // the manifest's probe set at any scale
+      "ivf_topk_maintained" -> (Queries.ivfTopKMaintained _),
+      "bm25_maintained" -> (Queries.bm25TopKMaintained _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val results = scala.collection.mutable.Map.empty[(String, String), (Double, Long, Long)]
