@@ -144,6 +144,12 @@ object FileStreamIngest {
     * rules — passing rows append to `outDir`, failing rows land in
     * `quarantineDir` with their `dq_reason`. One pass over the cached batch
     * feeds both sinks.
+    *
+    * Delivery is AT-LEAST-ONCE: these are blind appends inside
+    * foreachBatch, so a crash between the writes and the checkpoint
+    * commit replays the batch and double-appends. Consumers that need
+    * exactly-once use [[medallionBatch]] (keyed upserts converge on
+    * replay) or the plain file-sink runners (`_spark_metadata` log).
     */
   def runAvailableNowWithExpectations(df: DataFrame, outDir: String,
       quarantineDir: String, checkpointDir: String,
@@ -226,12 +232,23 @@ object FileStreamIngest {
     import graft.operators.{Expectations, GoldFeatures, Normalize}
     val spark = batch.sparkSession
     val cached = batch.persist()
+    // persisted: each upsert helper fires several actions (emptiness
+    // probe, touched-days collect, the write, the merge) — without the
+    // persists the normalize chain and the full gold window chain over
+    // the touched keys' silver history would re-execute per action,
+    // tripling the dominant per-batch work at scale
+    val normalized = Normalize.events(Expectations.enforce(cached, rules)).persist()
+    var gold: DataFrame = null
     try {
       // through the seam like silver/gold — under the commit-log binding
-      // the quarantine table gets the same atomic commits and CDF
-      ops.upsert(Expectations.quarantine(cached, rules),
-        s"$outRoot/quarantine", Seq("event_id"), Seq(col("event_id")))
-      val normalized = Normalize.events(Expectations.enforce(cached, rules))
+      // the quarantine table gets the same atomic commits and CDF.
+      // Tie-break order is the full row (struct comparison): replayed
+      // duplicate keys converge on ONE deterministic winner — ordering by
+      // the key itself would make keepLast arbitrary-wins and a replay
+      // could produce a different table than the first attempt
+      val quar = Expectations.quarantine(cached, rules)
+      ops.upsert(quar, s"$outRoot/quarantine", Seq("event_id"),
+        Seq(struct(quar.columns.map(col).toIndexedSeq: _*)))
       if (!normalized.isEmpty) {
         val silverDir = s"$outRoot/silver"
         // day rides the merge key (it is a function of ts, so the pair is
@@ -243,13 +260,17 @@ object FileStreamIngest {
         val touched = normalized.select("user_id").distinct()
         val history = ops.readTable(spark, silverDir)
           .join(broadcast(touched), Seq("user_id"), "left_semi")
-        val gold = GoldFeatures.features(history, keyCols = Seq("user_id"),
-          order = Seq(col("ts"), col("event_id")), valueCol = "value")
+        gold = GoldFeatures.features(history, keyCols = Seq("user_id"),
+          order = Seq(col("ts"), col("event_id")), valueCol = "value").persist()
         ops.upsertPartitions(gold, s"$outRoot/gold",
           keys = Seq("event_id", "day"), order = Seq(col("ts").desc),
           dayCol = "day")
       }
-    } finally cached.unpersist()
+    } finally {
+      cached.unpersist()
+      normalized.unpersist()
+      if (gold != null) gold.unpersist()
+    }
   }
 
   /** Always-on medallion: [[medallionBatch]] on a `ProcessingTime`
@@ -315,9 +336,10 @@ object FileStreamIngest {
     * isolation for free; plain parquet directories cannot.
     */
   def upsertIntoPartitionedParquet(batch: DataFrame, targetDir: String,
-      keys: Seq[String], order: Seq[Column], dayCol: String): Unit = synchronized {
+      keys: Seq[String], order: Seq[Column], dayCol: String): Unit = lockFor(targetDir).synchronized {
     require(keys.contains(dayCol),
       s"dayCol '$dayCol' must be part of the merge key ${keys.mkString("[", ",", "]")}")
+    requireLocalPath(targetDir)
     if (batch.isEmpty) return // no-data micro-batch: nothing to merge
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
@@ -331,9 +353,17 @@ object FileStreamIngest {
         .write.mode(SaveMode.Overwrite).partitionBy(dayCol).parquet(targetDir)
       return
     }
+    // NULL day values must select the target's null-day rows too:
+    // isin(null) never evaluates TRUE, yet the swap below replaces the
+    // day=__HIVE_DEFAULT_PARTITION__ dir — without the isNull leg the
+    // target's existing null-day rows would be silently lost
+    val nonNull = days.filter(_ != null).toIndexedSeq
+    val dayPred =
+      if (days.contains(null)) col(dayCol).isin(nonNull: _*) || col(dayCol).isNull
+      else col(dayCol).isin(nonNull: _*)
     val current = spark.read.parquet(targetDir)
-      .filter(col(dayCol).isin(days.toIndexedSeq: _*))
-      .select(batch.columns.map(col).toIndexedSeq: _*)
+      .filter(dayPred)
+      .select(requireSameColumns(spark.read.parquet(targetDir), batch).map(col).toIndexedSeq: _*)
     val merged = MergeUpsert.merge(current, batch, keys, order)
     val staged = Paths.get(targetDir + ".staged")
     deleteRecursively(staged)
@@ -380,7 +410,8 @@ object FileStreamIngest {
     * call.
     */
   def upsertIntoParquet(batch: DataFrame, targetDir: String,
-      keys: Seq[String], order: Seq[Column]): Unit = synchronized {
+      keys: Seq[String], order: Seq[Column]): Unit = lockFor(targetDir).synchronized {
+    requireLocalPath(targetDir)
     if (batch.isEmpty) return // no-data micro-batch: keep the snapshot as-is
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
@@ -392,7 +423,9 @@ object FileStreamIngest {
     val merged =
       if (Files.exists(target)) {
         val current = spark.read.parquet(targetDir)
-        MergeUpsert.merge(current.select(batch.columns.map(col).toIndexedSeq: _*), batch, keys, order)
+        MergeUpsert.merge(
+          current.select(requireSameColumns(current, batch).map(col).toIndexedSeq: _*),
+          batch, keys, order)
       } else {
         graft.operators.Dedup.keepLast(batch, keys, order)
       }
@@ -403,6 +436,40 @@ object FileStreamIngest {
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
+  }
+
+  // single-writer safety without cross-table serialization: one monitor
+  // per canonical target path — two pipelines upserting DIFFERENT tables
+  // in one JVM must not wait on each other for the duration of a write job
+  private val targetLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(targetDir: String): Object =
+    targetLocks.computeIfAbsent(
+      Paths.get(targetDir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
+  /** The stage-then-rename emulation is java.nio-local by construction; a
+    * remote URI would silently resolve as a relative LOCAL path, miss the
+    * existing table, and bootstrap-Overwrite the real one on every batch.
+    * Fail loudly instead — a remote deployment mounts the commit-log (or a
+    * real table format), not the rename emulation.
+    */
+  private def requireLocalPath(targetDir: String): Unit =
+    require(!targetDir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
+      s"upsert emulation requires a local path, got URI '$targetDir' — " +
+        "use TableOps.commitLog or a transactional format for remote storage")
+
+  /** The target must carry exactly the batch's columns (any order): a
+    * narrower batch would otherwise silently project existing columns
+    * AWAY from every rewritten partition. Returns the batch's column
+    * order for the target projection.
+    */
+  private def requireSameColumns(current: DataFrame, batch: DataFrame): Array[String] = {
+    val extraT = current.columns.toSet -- batch.columns
+    require(extraT.isEmpty,
+      s"batch is missing table columns ${extraT.mkString(",")} — a " +
+        "narrower upsert would silently drop them from rewritten partitions")
+    batch.columns
   }
 
   // NIO directory streams hold an fd until closed — a long-running
