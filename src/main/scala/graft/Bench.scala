@@ -152,6 +152,30 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, fn)
     }
+    // Two MORE samples of the frozen basket → per-query median-of-3
+    // (`basket_r1_med`). Single-sample basket totals swing ±25% under
+    // co-tenant load (round-9 documented spread 17.3–22.1 s), which makes
+    // one-round regressions unreadable; the median pins them. The extra
+    // samples run with every session memo already built, so the median is
+    // the REPEAT-STABLE marginal cost of the basket plans — `basket_r1`
+    // (first-sample sum, memo builds billed to first consumers) remains
+    // the apples-to-apples gate number against BASELINE.md.
+    val basketQs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(p => basketR1(p._1))
+    val extraSamples = (1 to 2).map { _ =>
+      basketQs.map { case (name, fn) =>
+        name -> timeQuery(spark, sfDir, fn) }.toMap
+    }
+    val basketSamples = results.collect {
+      case (k, Right((s0, _))) if basketR1(k) =>
+        k -> (s0 +: extraSamples.flatMap(_.get(k).collect {
+          case Right((s, _)) => s }))
+    }
+    val basketMed = basketSamples
+      .map { case (_, ss) => ss.sorted.apply(ss.size / 2) }.sum
+    // per-sample basket sums document the run's spread in the artifact
+    val basketSums = (0 to 2).map(i => basketSamples.map {
+      case (_, ss) => if (i < ss.size) ss(i) else ss.head }.sum)
     // The downstream artifact keeps only the last ~2000 chars of stdout, and
     // round 5's line (per-query gc_sec inline) outgrew that window — the
     // total was cut off the front. The stdout line now carries ONLY the
@@ -200,12 +224,14 @@ object Bench {
     // "queries" leads and metric/value/sf trail: JSON key order is
     // irrelevant to a parser, but the tail window clips the FRONT of the
     // output — this way the total survives even if the per-query map is cut
-    val line = s"""{"queries":$qs,"failed":$failed,"basket_r1":$basket,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    val line = s"""{"queries":$qs,"failed":$failed,"basket_r1":$basket,"basket_r1_med":${r3(basketMed)},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(line)
     // full-precision detail (per-query ms, GC, peak heap, memo builds) as a
     // file: stdout must stay inside the tail window, and harness wrappers
     // (sbt) prefix stdout anyway — the artifact on disk is always clean
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","basket_r1":$basket,"n_queries":${results.length},"queries":$qsFull,"gc_sec":$gcs,"memo_sec":$memoSec,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}"""
+    val basketMedQs = basketSamples.map { case (k, ss) =>
+      s"\"$k\":${r3(ss.sorted.apply(ss.size / 2))}" }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","basket_r1":$basket,"basket_r1_med":${r3(basketMed)},"basket_r1_samples":[${basketSums.map(r3).mkString(",")}],"basket_med_queries":$basketMedQs,"n_queries":${results.length},"queries":$qsFull,"gc_sec":$gcs,"memo_sec":$memoSec,"peak_heap_mb":$peakMb,"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), detail + "\n")
     catch { case _: java.io.IOException => () } // stdout remains the contract

@@ -2269,4 +2269,49 @@ object Queries {
       .read(Some(2L))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+
+  /** Build (once per session) the schema-evolution + rename demo table:
+    *   v1 append of event_id%4==0 rows under (event_id, event_type, value);
+    *   v2 `mergeSchema` append of %4==1 rows carrying a NEW
+    *      `score = value*2` column — the reference's Bronze
+    *      `mergeSchema=true` / Auto Loader `addNewColumns`
+    *      (`bronze_prices_auto_loader.ipynb` cell 3,
+    *      `docs/databricks_setup.md:120`): v1's files are NOT rewritten,
+    *      they null-backfill `score` at read;
+    *   v3 metadata-only `renameColumn(value→amount)` via column mapping
+    *      (`docs/databricks_setup.md:96`) — zero data files touched.
+    */
+  private def commitLogEvolveDir(s: SparkSession, dir: String): String = {
+    val tableDir = "/tmp/graft-commitlog-evolve/" + s.sparkContext.applicationId +
+      "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    SessionMemo.once(s, s"commitlogEvolve:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val m = col("event_id") % 4
+        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+        t.append(ev.filter(m === 0))
+        t.append(ev.filter(m === 1).withColumn("score", col("value") * 2),
+          mergeSchema = true)
+        t.renameColumn("value", "amount")
+      }
+    }
+    tableDir
+  }
+
+  /** Schema evolution + rename, end to end: the widened read shows v1's
+    * rows with a NULL `score` (null-backfill instead of a table rewrite)
+    * and every row under the renamed `amount` column; the per-type rollup
+    * makes both visible to the oracle (`n_score` counts only post-
+    * evolution rows).
+    */
+  def tableEvolve(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogEvolveDir(s, dir)).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("amount"), 6).as("sum_amount"),
+        count(col("score")).as("n_score"),
+        dsum(col("score"), 6).as("sum_score"))
 }

@@ -171,6 +171,7 @@ object SparkEntry {
     "q_table_history" -> (Queries.tableHistory _),
     "q_cdf_read" -> (Queries.cdfRead _),
     "q_time_travel" -> (Queries.timeTravel _),
+    "q_table_evolve" -> (Queries.tableEvolve _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -3705,5 +3706,21 @@ object SparkEntry {
              CAST(SUM(CAST(CASE WHEN m = 0 THEN value ELSE value * 2 END
                AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM e WHERE m < 3 GROUP BY event_type""",
+
+    // evolution demo: v1 append %4=0 (no score column — reads back NULL),
+    // v2 mergeSchema append %4=1 with score=value*2, v3 rename value→amount
+    "q_table_evolve" -> """
+      WITH t AS (
+        SELECT event_type, value AS amount, CAST(NULL AS DOUBLE) AS score
+          FROM events WHERE event_id % 4 = 0
+        UNION ALL
+        SELECT event_type, value AS amount, value * 2 AS score
+          FROM events WHERE event_id % 4 = 1
+      )
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_amount,
+             count(score) AS n_score,
+             CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+      FROM t GROUP BY event_type""",
   )
 }

@@ -95,17 +95,30 @@ object CommitLogTableOps extends TableOps {
       order: Seq[Column]): DataFrame =
     MergeUpsert.merge(target, updates, keys, order)
 
+  /** A batch that COVERS the table's columns and adds new ones evolves
+    * the schema in place (the reference's Auto Loader `addNewColumns` +
+    * Bronze `mergeSchema=true` applied at the table seam — a stream
+    * restarting with a widened source keeps flowing); a NARROWER batch
+    * still fails loudly (silently nulling existing columns on matched
+    * rows is never what an upsert meant).
+    */
+  private def evolves(tbl: CommitLogTable, batch: DataFrame): Boolean =
+    tbl.schema.fieldNames.forall(batch.columns.contains) &&
+      batch.columns.length > tbl.schema.fields.length
+
   override def upsertPartitions(batch: DataFrame, targetDir: String,
       keys: Seq[String], order: Seq[Column], dayCol: String): Unit = {
     val tbl = CommitLogTable.forPath(batch.sparkSession, targetDir,
       batch.schema, Some(dayCol))
-    tbl.merge(batch, keys, order)
+    tbl.merge(batch, keys, order, mergeSchema = evolves(tbl, batch))
   }
 
   override def upsert(batch: DataFrame, targetDir: String, keys: Seq[String],
-      order: Seq[Column]): Unit =
-    CommitLogTable.forPath(batch.sparkSession, targetDir, batch.schema, None)
-      .merge(batch, keys, order)
+      order: Seq[Column]): Unit = {
+    val tbl = CommitLogTable.forPath(batch.sparkSession, targetDir,
+      batch.schema, None)
+    tbl.merge(batch, keys, order, mergeSchema = evolves(tbl, batch))
+  }
 
   override def compact(spark: SparkSession, dir: String, partitionCol: String,
       targetFileBytes: Long, values: Seq[String]): Map[String, (Int, Int)] =

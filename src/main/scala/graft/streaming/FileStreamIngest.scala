@@ -68,6 +68,69 @@ object FileStreamIngest {
       .select(graft.sources.RescueJson.rescueProjection(col("value"), schema): _*)
   }
 
+  /** S5 with STREAMING SCHEMA INFERENCE — OSS parity for Auto Loader's
+    * `cloudFiles.inferColumnTypes=true` + `cloudFiles.schemaLocation`
+    * (`bronze_fundamentals_auto_loader.ipynb:91-95`; the OSS knob is
+    * `spark.sql.streaming.schemaInference`, but bare inference re-runs at
+    * every restart and silently re-types the stream — the schema-location
+    * protocol below is what makes inference restart-stable, which is the
+    * part Auto Loader actually adds):
+    *
+    *   - FIRST run: infer the schema from the NDJSON(.gz) files already
+    *     in `srcDir` (one batch inference pass over what exists — the
+    *     stream hasn't started, so this is bounded by the initial
+    *     backlog, never by stream lifetime) and RECORD it at
+    *     `schemaLocation/schema.json` (atomic publish);
+    *   - LATER runs: load the recorded schema — inference never re-runs,
+    *     so a restart cannot re-type or re-order columns under the
+    *     checkpoint;
+    *   - columns that appear AFTER the schema was recorded land in
+    *     `_rescued_data` (the rescue projection of [[bronzeJsonStream]]),
+    *     mirroring `schemaEvolutionMode=rescue` — an operator widens the
+    *     stream by recording a new schema file and restarting, which is
+    *     Auto Loader's `addNewColumns` restart made explicit.
+    *
+    * Returns the streaming frame; the schema in force is recoverable from
+    * the schema file.
+    */
+  def bronzeJsonStreamInferred(spark: SparkSession, srcDir: String,
+      schemaLocation: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = loadOrInferSchema(spark, srcDir, schemaLocation)
+    bronzeJsonStream(spark, srcDir, schema, maxFilesPerTrigger)
+  }
+
+  /** The schema-location protocol: load `schema.json` if recorded, else
+    * infer from the current files and publish atomically (tmp + rename —
+    * two racing first runs converge on one winner's schema).
+    */
+  private[graft] def loadOrInferSchema(spark: SparkSession, srcDir: String,
+      schemaLocation: String): StructType = {
+    val loc = Paths.get(schemaLocation)
+    val file = loc.resolve("schema.json")
+    if (Files.exists(file))
+      org.apache.spark.sql.types.DataType.fromJson(
+        Files.readString(file)).asInstanceOf[StructType]
+    else {
+      val inferred = spark.read
+        .option("recursiveFileLookup", "true")
+        .json(srcDir).schema
+      // the corrupt-record column is an inference artifact, not data
+      val clean = StructType(inferred.fields.filterNot(
+        _.name == spark.conf.get("spark.sql.columnNameOfCorruptRecord")))
+      require(clean.nonEmpty,
+        s"schema inference found no parseable JSON under $srcDir")
+      Files.createDirectories(loc)
+      val tmp = loc.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, clean.json)
+      try Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp) } // a concurrent first run won: use its schema
+      org.apache.spark.sql.types.DataType.fromJson(
+        Files.readString(file)).asInstanceOf[StructType]
+    }
+  }
+
   /** Run a stream to a parquet append sink with AvailableNow semantics:
     * drain everything new, commit the checkpoint, stop. Returns after the
     * drain completes (the reference's scheduled-batch shape).
@@ -179,9 +242,10 @@ object FileStreamIngest {
     */
   def runAvailableNowUpsertPartitioned(df: DataFrame, targetDir: String,
       checkpointDir: String, keys: Seq[String], order: Seq[Column],
-      dayCol: String): Unit =
+      dayCol: String,
+      ops: graft.operators.TableOps = graft.operators.TableOps.default): Unit =
     runAvailableNowForeachBatch(df, checkpointDir)(
-      graft.operators.TableOps.default.upsertPartitions(_, targetDir, keys, order, dayCol))
+      ops.upsertPartitions(_, targetDir, keys, order, dayCol))
 
   /** Always-on variant of [[runAvailableNowUpsertPartitioned]]: the same
     * checkpointed latest-wins merge on a `ProcessingTime` cadence —
@@ -222,6 +286,11 @@ object FileStreamIngest {
     * Exactly-once: the streaming checkpoint replays an interrupted batch,
     * and every sink here is a KEYED upsert — quarantine included — so a
     * replay converges to identical tables instead of double-appending.
+    * The quarantine key is a non-null surrogate (below), so convergence
+    * holds even for malformed NULL-id rows; silver/gold key on
+    * `event_id`, so rows that PASS the DQ gate must carry a non-null
+    * `event_id` for replay convergence — gate NULL ids with a
+    * `not_null(event_id)` expectation (they then converge in quarantine).
     * All storage goes through the [[graft.operators.TableOps]] seam, so
     * the plain-parquet and transactional commit-log bindings both run the
     * pipeline unchanged.
@@ -242,13 +311,24 @@ object FileStreamIngest {
     try {
       // through the seam like silver/gold — under the commit-log binding
       // the quarantine table gets the same atomic commits and CDF.
-      // Tie-break order is the full row (struct comparison): replayed
-      // duplicate keys converge on ONE deterministic winner — ordering by
-      // the key itself would make keepLast arbitrary-wins and a replay
-      // could produce a different table than the first attempt
-      val quar = Expectations.quarantine(cached, rules)
-      ops.upsert(quar, s"$outRoot/quarantine", Seq("event_id"),
-        Seq(struct(quar.columns.map(col).toIndexedSeq: _*)))
+      // Keyed on a NON-NULL surrogate, not event_id directly: quarantine
+      // is exactly where malformed rows land, and a NULL merge key never
+      // equi-matches (it inserts unconditionally) — a checkpointed replay
+      // after a crash would re-insert every NULL-keyed row on each retry.
+      // coalesce(event_id, sha256(full row)) is replay-deterministic, so
+      // retries converge for malformed rows too (identical malformed rows
+      // collapse to one — the price of idempotence, since replays cannot
+      // tell copies apart). Tie-break order is the full row (struct
+      // comparison): replayed duplicate keys converge on ONE
+      // deterministic winner — ordering by the key itself would make
+      // keepLast arbitrary-wins and a replay could produce a different
+      // table than the first attempt
+      val quarRaw = Expectations.quarantine(cached, rules)
+      val quar = quarRaw.withColumn("quarantine_key",
+        coalesce(col("event_id").cast("string"),
+          sha2(to_json(struct(quarRaw.columns.map(col).toIndexedSeq: _*)), 256)))
+      ops.upsert(quar, s"$outRoot/quarantine", Seq("quarantine_key"),
+        Seq(struct(quarRaw.columns.map(col).toIndexedSeq: _*)))
       if (!normalized.isEmpty) {
         val silverDir = s"$outRoot/silver"
         // day rides the merge key (it is a function of ts, so the pair is

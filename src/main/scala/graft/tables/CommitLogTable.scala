@@ -37,15 +37,30 @@ import org.apache.spark.sql.types.StructType
   * to readers — nothing references them), then publishes a fully-written
   * manifest via hard-link: `Files.createLink(v<N>.json, tmp)` atomically
   * fails with [[FileAlreadyExistsException]] if another writer claimed
-  * version N, giving optimistic concurrency on any POSIX filesystem —
-  * losers recompute against the new snapshot and retry onto N+1. Readers
-  * resolve a manifest once and read ONLY its file list, so a concurrent
+  * version N, giving optimistic concurrency on any POSIX filesystem.
+  * Losers first try to REBASE (commute) onto the winning snapshot — an
+  * append always commutes, and a merge/compact commutes when the
+  * interleaved commits touched disjoint partitions (Delta-style conflict
+  * detection) — so concurrent writers on disjoint data retry the cheap
+  * manifest publish, not the expensive computation. Only a genuine
+  * conflict recomputes against the new snapshot. Readers resolve a
+  * manifest once and read ONLY its file list, so a concurrent
   * compact/merge/vacuum never changes what an already-resolved reader
   * sees: old files are immutable and survive until [[vacuum]] drops
-  * versions past the retention window. This closes the reader-visibility
-  * window the stage-then-swap emulation
-  * ([[graft.streaming.FileStreamIngest.upsertIntoPartitionedParquet]])
-  * documents but cannot close.
+  * versions past the retention window.
+  *
+  * SCHEMA EVOLUTION. `append`/`merge` accept `mergeSchema = true` (the
+  * reference's Bronze `mergeSchema` write option,
+  * `bronze_prices_auto_loader.ipynb` cell 3, and Auto Loader's
+  * `addNewColumns`, `docs/databricks_setup.md:120`): new batch columns
+  * widen the table schema in the commit's manifest; existing data files
+  * are NOT rewritten — the widened read schema null-backfills them at
+  * scan, exactly as Delta does. Each manifest stores the schema OF ITS
+  * VERSION, so time travel replays the schema that version had.
+  * [[renameColumn]] is a metadata-only commit via column mapping: the
+  * manifest maps logical names to immutable physical (in-file) names, so
+  * a rename rewrites one JSON document, not 100 TB of parquet
+  * (`docs/databricks_setup.md:96` — Delta column mapping `name` mode).
   *
   * Change Data Feed: merge/append/delete commits persist their change rows
   * (`_change_type` ∈ insert / update_preimage / update_postimage / delete)
@@ -65,18 +80,34 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private val logDir = Paths.get(dir, LogDirName)
 
+  /** Commit-loop observability (spec probes): how many times a commit
+    * body was RE-EXECUTED after losing a publish race, vs. how many lost
+    * races were resolved by the cheap manifest rebase instead.
+    */
+  private[graft] val commitRecomputes = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val commitRebases = new java.util.concurrent.atomic.AtomicLong
+
   // ---------------------------------------------------------------- reads
 
   /** Latest committed version (0 = created empty). */
   def latestVersion: Long = listVersions.last
 
+  /** The CURRENT logical schema (latest manifest's). */
+  def schema: StructType = snapshot().schema
+
   /** Snapshot read; `version` pins a historical snapshot (time travel).
     * The file list is resolved NOW — the returned frame is isolated from
-    * any later commit.
+    * any later commit. A pinned read FAILS FAST with a clear error if the
+    * version's files were already vacuumed (the alternative is a
+    * mid-scan FileNotFoundException from a task, or worse a partial
+    * result if the scan raced the sweep) — the reader's half of the
+    * vacuum/retention contract. The schema (and column names) returned
+    * are the ones THAT version had: evolution and renames replay.
     */
   def read(version: Option[Long] = None): DataFrame = {
     val m = manifest(version.getOrElse(latestVersion))
-    readFiles(m.files, m.schema, m.partitionCol)
+    version.foreach(v => requireFilesPresent(m, s"read(version=$v)"))
+    readFiles(m.files, m.schema, m.columnMapping)
   }
 
   /** Partition-pruned snapshot read: only files whose manifest partition
@@ -86,15 +117,19 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * partition per inverted list, and a query resolves its probe set to a
     * file list in one driver-side manifest pass (the same metadata-level
     * pruning a Delta reader does with its checkpoint's per-file stats).
-    * Same snapshot-isolation contract as [[read]].
+    * Same snapshot-isolation and pinned-read fail-fast contract as
+    * [[read]] (the existence check covers only the pruned subset — cheap
+    * even on a query's hot path).
     */
   def readPartitions(values: Set[String],
       version: Option[Long] = None): DataFrame = {
     val m = manifest(version.getOrElse(latestVersion))
     require(m.partitionCol.isDefined,
       s"readPartitions on unpartitioned table $dir")
-    readFiles(m.files.filter(_.partition.exists(values.contains)),
-      m.schema, m.partitionCol)
+    val pruned = m.files.filter(_.partition.exists(values.contains))
+    version.foreach(v => requireFilesPresent(
+      m.copy(files = pruned), s"readPartitions(version=$v)"))
+    readFiles(pruned, m.schema, m.columnMapping)
   }
 
   /** File count of the current (or pinned) snapshot — manifest-only. */
@@ -113,17 +148,30 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   }
 
   /** Replayable CDF: all change rows committed in versions
-    * [`fromVersion`, `toVersion`], each tagged `_commit_version` (stored in
-    * the change files at commit time). Versions without changes
-    * (create/compact/restore) contribute nothing.
+    * [`fromVersion`, `toVersion`], each tagged `_commit_version`. The tag
+    * is stored in the change files at commit time; files written by the
+    * pre-tag format (or restamp-skipped rebases) backfill it from the
+    * manifest that references them — per-manifest framing makes that a
+    * constant, so old-format tables keep correct version tags instead of
+    * silently reading NULL. Versions without changes (create / compact /
+    * restore / rename) contribute nothing. Change rows surface under the
+    * CURRENT logical column names (files store immutable physical names,
+    * so historical change files survive renames).
     */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val ms = listVersions.filter(v => v >= fromVersion && v <= toVersion)
       .map(manifest).filter(_.changesDir.isDefined)
     ms.foreach(m => promoteChanges(m.changesDir.get)) // crash repair
-    val sch = changeSchema(manifest(latestVersion).schema)
+    val latest = snapshot()
+    val sch = changeSchema(latest.schema)
+    val physSch = toPhysicalSchema(sch, latest.columnMapping)
+    val logicalCols = sch.fields.map(f =>
+      col(latest.columnMapping.getOrElse(f.name, f.name)).as(f.name)).toSeq
     val frames = ms.map { m =>
-      spark.read.schema(sch).parquet(s"$dir/${m.changesDir.get}")
+      spark.read.schema(physSch).parquet(s"$dir/${m.changesDir.get}")
+        .withColumn("_commit_version",
+          coalesce(col("_commit_version"), lit(m.version)))
+        .select(logicalCols: _*)
     }
     if (frames.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), sch)
@@ -134,21 +182,39 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * (`bronze_prices_auto_loader.ipynb:158`) over the commit log: a
     * checkpointed parquet file stream globbing the per-commit change
     * directories. Exactly-once falls out of the file-source WAL; ordering
-    * within a micro-batch comes from the stored `_commit_version`. Safe
-    * against optimistic-concurrency losers because a losing writer deletes
-    * its own change files before retrying ([[retryCommit]]) — phantom
-    * changes from lost commits never enter the feed: change files stage
-    * OUTSIDE the globbed dir and move in atomically only after their
-    * manifest wins the publish race. At 100 TB the change volume is
-    * commit-proportional (the listing cost is one directory glob per
-    * trigger), never corpus-proportional.
+    * within a micro-batch comes from the stored `_commit_version`
+    * (change files written by the pre-tag format backfill it from a
+    * static change-dir→version map resolved at stream start — legacy
+    * files are by definition already committed, so the static map covers
+    * them all; files from commits AFTER stream start carry the stored
+    * tag). Safe against optimistic-concurrency losers because a losing
+    * writer deletes its own change files before retrying
+    * ([[retryCommit]]) — phantom changes from lost commits never enter
+    * the feed: change files stage OUTSIDE the globbed dir and move in
+    * atomically only after their manifest wins the publish race. At
+    * 100 TB the change volume is commit-proportional (the listing cost is
+    * one directory glob per trigger), never corpus-proportional.
     */
   def readChangesStream: DataFrame = {
     // repair any commit that crashed between publish and promotion, so
     // the stream doesn't silently skip its (durable, committed) changes
-    listVersions.map(manifest).flatMap(_.changesDir).foreach(promoteChanges)
-    spark.readStream.schema(changeSchema(snapshot().schema))
-      .parquet(s"$dir/$ChangesDirName/*")
+    val ms = listVersions.map(manifest)
+    ms.flatMap(_.changesDir).foreach(promoteChanges)
+    val snap = snapshot()
+    val sch = changeSchema(snap.schema)
+    val physSch = toPhysicalSchema(sch, snap.columnMapping)
+    val legacyMap = ms.collect { case m if m.changesDir.isDefined =>
+      Row(Paths.get(m.changesDir.get).getFileName.toString, m.version) }
+    val vmap = spark.createDataFrame(legacyMap.asJava,
+      StructType.fromDDL("__chdir STRING, __ver BIGINT"))
+    spark.readStream.schema(physSch).parquet(s"$dir/$ChangesDirName/*")
+      .withColumn("__chdir",
+        element_at(split(col("_metadata.file_path"), "/"), -2))
+      .join(broadcast(vmap), Seq("__chdir"), "left")
+      .withColumn("_commit_version",
+        coalesce(col("_commit_version"), col("__ver")))
+      .select(sch.fields.map(f =>
+        col(snap.columnMapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
   }
 
   private def changeSchema(base: StructType): StructType =
@@ -165,42 +231,55 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * (index postings, signature stores) whose source table already owns
     * the change feed, the insert copy would double every append's write
     * volume for rows a consumer can re-derive; data tables keep the
-    * default.
+    * default. `mergeSchema = true` lets a WIDER batch evolve the table
+    * schema (new columns appended; existing files null-backfill at read);
+    * type changes on existing columns are always rejected.
     */
-  def append(df: DataFrame, recordChanges: Boolean = true): Long =
+  def append(df: DataFrame, recordChanges: Boolean = true,
+      mergeSchema: Boolean = false): Long =
     retryCommit("append") { snap =>
-      requireSchema(df, snap)
-      val (newFiles, dataRows) = writeData(df, snap.partitionCol)
+      val (schema2, mapping2, aligned) = resolveSchema(df, snap, mergeSchema)
+      val (newFiles, dataRows) = writeData(aligned, snap.partitionCol, mapping2)
       val changesSub = if (recordChanges) Some(writeChanges(
-        readFiles(newFiles, snap.schema, snap.partitionCol)
-          .withColumn("_change_type", lit("insert")), snap.version + 1)) else None
+        readFiles(newFiles, schema2, mapping2)
+          .withColumn("_change_type", lit("insert")),
+        snap.version + 1, mapping2)) else None
       mkManifest(snap, "append", snap.files ++ newFiles,
         rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
-        rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub)
+        rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub,
+        schema = schema2, columnMapping = mapping2)
     }
 
   /** MERGE upsert, latest-wins per `keys` under `order` (same semantics as
     * [[graft.operators.MergeUpsert.merge]]), committed atomically with
     * file-level partition pruning: only files of partitions present in the
     * update batch are rewritten; every other file carries over by
-    * reference. CDF records insert + update pre/post images.
+    * reference. CDF records insert + update pre/post images. An EMPTY
+    * update batch returns the current version without publishing — the
+    * common idle micro-batch must not grow the log with no-op versions
+    * (each of which would rewrite the whole unpartitioned snapshot).
+    * `mergeSchema = true` evolves the schema exactly as in [[append]];
+    * update rows missing pre-existing columns null those columns on the
+    * rows they rewrite (explicit-NULL update semantics).
     *
     * Partitioned tables require the partition value of an existing key to
     * be stable across updates (true for day-keyed upserts, where the day
     * is part of the merge key) — a row "moving" partitions would escape
     * the pruned rewrite, exactly as in partition-pruned Delta MERGE.
     */
-  def merge(updates: DataFrame, keys: Seq[String], order: Seq[Column]): Long =
+  def merge(updates: DataFrame, keys: Seq[String], order: Seq[Column],
+      mergeSchema: Boolean = false): Long = {
+    if (updates.isEmpty) return latestVersion
     retryCommit("merge") { snap =>
-      requireSchema(updates, snap)
+      val (schema2, mapping2, aligned) = resolveSchema(updates, snap, mergeSchema)
       // latest-wins collapses only NON-NULL-keyed rows: a NULL merge key
       // never equi-matches anything (itself included) — each NULL-keyed
       // update row is an independent insert, like Delta MERGE — and
       // keepLast's window would wrongly group the NULLs together
       val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
       val latest = graft.operators.Dedup
-        .keepLast(updates.filter(!anyKeyNull), keys, order)
-        .unionByName(updates.filter(anyKeyNull))
+        .keepLast(aligned.filter(!anyKeyNull), keys, order)
+        .unionByName(aligned.filter(anyKeyNull))
       val (affected, untouched) = snap.partitionCol match {
         case Some(p) =>
           // bounded driver collect: distinct partition values of ONE batch
@@ -214,7 +293,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           snap.files.partition(f => f.partition.exists(vals.contains))
         case None => (snap.files, Seq.empty[LogFile])
       }
-      val target = readFiles(affected, snap.schema, snap.partitionCol)
+      val target = readFiles(affected, schema2, mapping2)
       // explicit presence markers, NOT key-nullness: a NULL merge key never
       // equi-matches (SQL semantics — it inserts, like Delta MERGE), and
       // probing the key column would then misread the row as absent and
@@ -228,11 +307,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       try {
         val uP = col("u.__u").isNotNull
         val tP = col("t.__t").isNotNull
-        val valueCols = snap.schema.fieldNames.filterNot(keys.contains)
+        val valueCols = schema2.fieldNames.filterNot(keys.contains)
         val picks = keys.map(k => when(uP, col(s"u.$k")).otherwise(col(s"t.$k")).as(k)) ++
           valueCols.map(c => when(uP, col(s"u.$c")).otherwise(col(s"t.$c")).as(c))
         def side(s0: String) =
-          snap.schema.fieldNames.map(c => col(s"$s0.$c").as(c)).toSeq
+          schema2.fieldNames.map(c => col(s"$s0.$c").as(c)).toSeq
         val changes =
           joined.filter(uP && !tP).select(side("u"): _*)
             .withColumn("_change_type", lit("insert"))
@@ -240,8 +319,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             .withColumn("_change_type", lit("update_preimage")))
           .unionByName(joined.filter(uP && tP).select(side("u"): _*)
             .withColumn("_change_type", lit("update_postimage")))
-        val (newFiles, _) = writeData(joined.select(picks: _*), snap.partitionCol)
-        val changesSub = writeChanges(changes, snap.version + 1)
+        val (newFiles, _) = writeData(joined.select(picks: _*),
+          snap.partitionCol, mapping2)
+        val changesSub = writeChanges(changes, snap.version + 1, mapping2)
         val counts = joined.agg(
           sum(when(uP && !tP, 1L).otherwise(0L)),
           sum(when(uP && tP, 1L).otherwise(0L))).head()
@@ -250,9 +330,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           rowsInserted = ins, rowsUpdated = upd, rowsDeleted = 0,
           rowsTotal = snap.rowsTotal - affected.map(_.rows).sum +
             newFiles.map(_.rows).sum,
-          changesDir = Some(changesSub))
+          changesDir = Some(changesSub),
+          schema = schema2, columnMapping = mapping2)
       } finally joined.unpersist(false)
     }
+  }
 
   /** Delete rows matching `predicate`; CDF records the deleted rows.
     * SQL DELETE semantics: only rows where the predicate is TRUE go — a
@@ -262,19 +344,49 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * acceptable for the maintenance-grade deletes this engine issues).
     */
   def delete(predicate: Column): Long = retryCommit("delete") { snap =>
-    val current = readFiles(snap.files, snap.schema, snap.partitionCol).persist()
+    val current = readFiles(snap.files, snap.schema, snap.columnMapping).persist()
     val goes = coalesce(predicate, lit(false))
     try {
-      val (newFiles, kept) = writeData(current.filter(!goes), snap.partitionCol)
+      val (newFiles, kept) = writeData(current.filter(!goes),
+        snap.partitionCol, snap.columnMapping)
       val changesSub = writeChanges(
         current.filter(goes).withColumn("_change_type", lit("delete")),
-        snap.version + 1)
+        snap.version + 1, snap.columnMapping)
       mkManifest(snap, "delete", newFiles,
         rowsInserted = 0, rowsUpdated = 0,
         rowsDeleted = snap.rowsTotal - kept, rowsTotal = kept,
         changesDir = Some(changesSub))
     } finally current.unpersist(false)
   }
+
+  /** Metadata-only column rename — Delta column mapping `name` mode
+    * (enabled on the reference's Bronze table,
+    * `docs/databricks_setup.md:96` / `bronze_prices_auto_loader.ipynb`
+    * cell 4): the manifest's logical schema renames; the PHYSICAL in-file
+    * name (fixed when the column was first added) never changes, so zero
+    * data files are rewritten — at 100 TB a rename is one JSON document,
+    * not a table rewrite. Time travel to a pre-rename version replays the
+    * old name; CDF keeps working across the rename because change files
+    * also store physical names.
+    */
+  def renameColumn(oldName: String, newName: String): Long =
+    retryCommit("rename") { snap =>
+      require(snap.schema.fieldNames.contains(oldName),
+        s"renameColumn: no column '$oldName' in ${snap.schema.fieldNames.mkString(",")}")
+      require(!snap.schema.fieldNames.contains(newName),
+        s"renameColumn: column '$newName' already exists")
+      val physName = snap.columnMapping.getOrElse(oldName, oldName)
+      val schema2 = StructType(snap.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val mapping2 = (snap.columnMapping - oldName) ++
+        (if (physName == newName) Map.empty[String, String]
+         else Map(newName -> physName))
+      val pcol2 = snap.partitionCol.map(p => if (p == oldName) newName else p)
+      mkManifest(snap, "rename", snap.files, rowsInserted = 0,
+        rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+        changesDir = None, schema = schema2, columnMapping = mapping2,
+        partitionCol = pcol2)
+    }
 
   /** OPTIMIZE: bin-pack each partition's files toward `targetFileBytes`,
     * optionally CLUSTERING rows by `sortCols` during the rewrite — the
@@ -319,13 +431,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         if ((fs.size <= nOut || undersized < 2) && alreadyClustered)
           (v, fs.size, fs.size, Seq.empty[LogFile], Seq.empty[LogFile])
         else {
-          val src = readFiles(fs, snap.schema, snap.partitionCol)
+          val src = readFiles(fs, snap.schema, snap.columnMapping)
           val df =
             if (sortCols.isEmpty) src.coalesce(nOut)
             else if (nOut == 1) src.coalesce(1).sortWithinPartitions(sortCols: _*)
             else src.repartitionByRange(nOut, sortCols: _*)
               .sortWithinPartitions(sortCols: _*)
-          val (nf, _) = writeData(df, snap.partitionCol, preClustered = true)
+          val (nf, _) = writeData(df, snap.partitionCol, snap.columnMapping,
+            preClustered = true)
           (v, fs.size, nf.size, fs, nf)
         }
       }
@@ -355,14 +468,18 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * of that version's files. The existence check races a CONCURRENT
     * vacuum (old-version-referenced files have no age grace) — schedule
     * restore and vacuum in the same maintenance window, never overlapped,
-    * as with Delta's RESTORE + VACUUM retention interplay.
+    * as with Delta's RESTORE + VACUUM retention interplay. Restoring to
+    * a pre-evolution / pre-rename version also restores THAT version's
+    * schema and column mapping.
     */
   def restore(version: Long): Long = retryCommit("restore") { snap =>
     val old = manifest(version)
     old.files.foreach(f => require(Files.exists(Paths.get(dir, f.path)),
       s"restore($version): data file ${f.path} was vacuumed"))
     mkManifest(snap, "restore", old.files, rowsInserted = 0, rowsUpdated = 0,
-      rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None)
+      rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None,
+      schema = old.schema, columnMapping = old.columnMapping,
+      partitionCol = old.partitionCol)
   }
 
   /** Drop data files referenced ONLY by versions older than the last
@@ -371,12 +488,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * are the audit trail; size is commit-proportional, not
     * corpus-proportional). Returns deleted-file count. Also sweeps
     * manifest-unreferenced files and stale staged-change dirs, but only
-    * past an age grace window — a concurrent IN-FLIGHT commit's output is
+    * past `orphanGraceMillis` — a concurrent IN-FLIGHT commit's output is
     * also unreferenced until its manifest lands, and the age gate is what
     * keeps vacuum from corrupting it (see [[CommitLogTable.vacuumPath]]).
+    * The grace MUST exceed the longest possible commit duration; the
+    * default is 24 h (Delta's VACUUM retention floor is 7 DAYS for the
+    * same reason — tighten only when no long commit can be in flight).
     */
-  def vacuum(retainVersions: Int = 2): Int =
-    CommitLogTable.vacuumPath(dir, retainVersions)
+  def vacuum(retainVersions: Int = 2,
+      orphanGraceMillis: Long = DefaultOrphanGraceMillis): Int =
+    CommitLogTable.vacuumPath(dir, retainVersions, orphanGraceMillis)
 
   // ------------------------------------------------------------ internals
 
@@ -390,66 +511,145 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private def snapshot(): Manifest = manifest(latestVersion)
 
-  private def requireSchema(df: DataFrame, snap: Manifest): Unit = {
+  /** Fail-fast existence check for PINNED reads: a version past the
+    * vacuum retention window raises a clear, immediate error instead of
+    * a mid-scan task failure. Latest-version reads never need it (the
+    * head's files are always retained).
+    */
+  private def requireFilesPresent(m: Manifest, what: String): Unit = {
+    val missing = m.files.filterNot(f => Files.exists(Paths.get(dir, f.path)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$what at $dir: version ${m.version} is no longer readable — " +
+        s"${missing.size} of ${m.files.size} data file(s) were vacuumed " +
+        s"(first: ${missing.head.path}); raise vacuum retainVersions to " +
+        "keep time travel this deep")
+  }
+
+  private def schemaSig(s: StructType): Seq[(String, String)] =
+    s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+
+  private def requireSchema(df: DataFrame, snap: Manifest): Unit =
     // names AND types (nullability excepted — catalogString is
     // nullability-insensitive at every nesting level, and the stored
     // schema round-trips through DDL which drops nested containsNull): a
     // name-only check would let a type-drifted batch commit files the
     // manifest schema can't read — the commit succeeds but every later
     // scan throws
-    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
-    require(sig(df.schema) == sig(snap.schema),
+    require(schemaSig(df.schema) == schemaSig(snap.schema),
       s"schema mismatch: table has ${snap.schema.toDDL}, " +
-        s"got ${df.schema.toDDL}")
-  }
+        s"got ${df.schema.toDDL} (pass mergeSchema=true to evolve)")
+
+  /** Resolve the WRITE schema of a batch: strict signature equality by
+    * default; with `mergeSchema` the batch may ADD columns (appended to
+    * the table schema, each assigned an immutable physical name that
+    * dodges collisions with names freed by earlier renames) and may OMIT
+    * existing columns (null-filled). Type changes never pass. Returns
+    * (evolved schema, evolved mapping, batch aligned to the schema's
+    * column order).
+    */
+  private def resolveSchema(df: DataFrame, snap: Manifest,
+      mergeSchema: Boolean): (StructType, Map[String, String], DataFrame) =
+    if (!mergeSchema) { requireSchema(df, snap); (snap.schema, snap.columnMapping, df) }
+    else {
+      val existing = snap.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+      df.schema.fields.filter(f => existing.contains(f.name)).foreach { f =>
+        require(existing(f.name) == f.dataType.catalogString,
+          s"mergeSchema cannot change the type of '${f.name}': table has " +
+            s"${existing(f.name)}, batch has ${f.dataType.catalogString}")
+      }
+      val newFields = df.schema.fields.filterNot(f => existing.contains(f.name)).toSeq
+      val schema2 = StructType(snap.schema.fields ++ newFields)
+      // physical-name assignment: a column renamed AWAY from 'x' keeps
+      // physical 'x' forever, so a later evolution adding a new 'x' must
+      // take a fresh physical name or the two would collide in-file
+      val taken = scala.collection.mutable.Set(
+        snap.schema.fieldNames.map(n => snap.columnMapping.getOrElse(n, n)).toSeq: _*)
+      val mapping2 = snap.columnMapping ++ newFields.flatMap { f =>
+        var cand = f.name
+        var i = 0
+        while (taken(cand)) { i += 1; cand = s"${f.name}_$i" }
+        taken += cand
+        if (cand == f.name) None else Some(f.name -> cand)
+      }
+      val aligned = df.select(schema2.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      (schema2, mapping2, aligned)
+    }
 
   private def zeroIfNull(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
 
+  /** Rename a logical-named frame to physical column names for writing
+    * (single atomic select — sequential withColumnRenamed could collide
+    * when a freed logical name is another column's physical name).
+    * Columns outside the mapping (CDF meta columns) pass through.
+    */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+
+  private def toPhysicalSchema(schema: StructType,
+      mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
   /** Explicit-file read: the manifest IS the file index, so no partition
     * or schema inference ever runs — each path is a leaf parquet file and
-    * the stored schema is authoritative. (Partition values live both in
-    * the data columns and in the manifest's per-file metadata; pruning
-    * happens on the manifest, not on directory listings.)
+    * the stored schema is authoritative. Files are read under PHYSICAL
+    * column names and surfaced under the manifest's logical names; files
+    * older than a schema evolution lack the newer physical columns and
+    * null-backfill them at scan (the parquet missing-column contract —
+    * what lets evolution skip the 100 TB rewrite). (Partition values live
+    * both in the data columns and in the manifest's per-file metadata;
+    * pruning happens on the manifest, not on directory listings.)
     */
   private def readFiles(files: Seq[LogFile], schema: StructType,
-      partitionCol: Option[String]): DataFrame =
+      mapping: Map[String, String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else
-      spark.read.schema(schema).parquet(files.map(f => s"$dir/${f.path}"): _*)
-        .select(schema.fieldNames.map(col).toSeq: _*)
+      spark.read.schema(toPhysicalSchema(schema, mapping))
+        .parquet(files.map(f => s"$dir/${f.path}"): _*)
+        .select(schema.fields.map(f =>
+          col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
 
-  /** Write `df` as this commit's immutable data files; returns (file
-    * entries with footer row counts, total rows). Partitioned tables
-    * co-locate each partition before the write and lay files out
-    * Hive-style via a SHADOW of the partition column (`__part=value/`),
-    * so the real column survives IN the data files — explicit-file reads
-    * then need no path-based partition reconstruction, which cannot span
-    * multiple commit roots.
+  /** Write `df` (logical column names) as this commit's immutable data
+    * files under PHYSICAL names; returns (file entries with footer row
+    * counts, total rows). Partitioned tables co-locate each partition
+    * before the write and lay files out Hive-style via a SHADOW of the
+    * partition column (`__part=value/`), so the real column survives IN
+    * the data files — explicit-file reads then need no path-based
+    * partition reconstruction, which cannot span multiple commit roots.
     */
   private def writeData(df: DataFrame, partitionCol: Option[String],
+      mapping: Map[String, String],
       preClustered: Boolean = false): (Seq[LogFile], Long) = {
     val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
     val abs = s"$dir/$sub"
+    val physDf = toPhysical(df, mapping)
     partitionCol match {
       case Some(p) =>
         // preClustered: the caller already co-located (and possibly
         // sorted) the rows — compact's per-partition rewrites — and a
         // repartition here would both redistribute and UNSORT them
-        val shadowed = df.withColumn(ShadowPartCol, col(p).cast("string"))
+        val physP = mapping.getOrElse(p, p)
+        val shadowed = physDf.withColumn(ShadowPartCol, col(physP).cast("string"))
         val arranged =
           if (preClustered) shadowed else shadowed.repartition(col(ShadowPartCol))
         arranged.write.partitionBy(ShadowPartCol).parquet(abs)
-      case None => df.write.parquet(abs)
+      case None => physDf.write.parquet(abs)
     }
     val files = enumerate(Paths.get(abs), sub)
     (files, files.map(_.rows).sum)
   }
 
-  /** Persist a commit's change rows, tagged with the version the commit
-    * is ABOUT to claim — correct because a lost race recomputes `body`
-    * against the fresh snapshot (new files, new tag) after deleting this
-    * attempt's output.
+  /** Persist a commit's change rows (under physical column names, so
+    * change files survive later renames), tagged with the version the
+    * commit is ABOUT to claim — a lost race either rebases (the restamp
+    * rewrites the tag, [[rebased]]) or recomputes `body` against the
+    * fresh snapshot after deleting this attempt's output.
     *
     * Written to a STAGING dir outside `changes/` and atomically renamed
     * in only after the manifest publish wins ([[tryPublish]]): the
@@ -458,9 +658,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * write-then-publish they briefly were. Returns the FINAL sub-path
     * the manifest records.
     */
-  private def writeChanges(changes: DataFrame, version: Long): String = {
+  private def writeChanges(changes: DataFrame, version: Long,
+      mapping: Map[String, String]): String = {
     val name = s"c-${UUID.randomUUID().toString.take(12)}"
-    changes.withColumn("_commit_version", lit(version))
+    toPhysical(changes.withColumn("_commit_version", lit(version)), mapping)
       .write.parquet(s"$dir/$StagedChangesDirName/$name")
     s"$ChangesDirName/$name"
   }
@@ -537,40 +738,141 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private def mkManifest(snap: Manifest, action: String, files: Seq[LogFile],
       rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
       rowsTotal: Long, changesDir: Option[String],
-      clusteredBy: Option[String] = None): Manifest =
+      clusteredBy: Option[String] = None,
+      schema: StructType = null,
+      columnMapping: Map[String, String] = null,
+      partitionCol: Option[String] = null): Manifest =
     Manifest(snap.version + 1, action, System.currentTimeMillis(),
-      snap.schema, snap.partitionCol, files, rowsInserted, rowsUpdated,
-      rowsDeleted, rowsTotal, changesDir, clusteredBy)
+      Option(schema).getOrElse(snap.schema),
+      Option(partitionCol).getOrElse(snap.partitionCol), files,
+      rowsInserted, rowsUpdated, rowsDeleted, rowsTotal, changesDir,
+      clusteredBy, Option(columnMapping).getOrElse(snap.columnMapping))
 
-  /** Optimistic-concurrency commit loop: recompute against the fresh
-    * snapshot, publish via atomic hard-link. A loser deletes its OWN
-    * attempt's output before retrying — its new data dirs (hygiene;
-    * vacuum would also sweep them) and its staged change files. "Own"
-    * is established by exclusion: a candidate dir is deleted only if NO
-    * committed manifest references anything inside it — files this
-    * attempt re-referenced from history (restore, compact carry-overs)
-    * are never its output and must survive the loss.
+  private def mkDiff(base: Manifest, m: Manifest): AttemptDiff = {
+    val mPaths = m.files.map(_.path).toSet
+    val basePaths = base.files.map(_.path).toSet
+    val removedFiles = base.files.filterNot(f => mPaths.contains(f.path))
+    val added = m.files.filterNot(f => basePaths.contains(f.path))
+    AttemptDiff(removedFiles.map(_.path).toSet, removedFiles.map(_.rows).sum,
+      added, (removedFiles ++ added).map(_.partition.getOrElse("")).toSet)
+  }
+
+  /** Commutativity check + manifest rebase for a lost publish race
+    * (Delta-style partition-level conflict detection): re-apply the
+    * attempt's file diff on top of the winning snapshot WITHOUT
+    * recomputing the data when the interleaved commits provably commute —
+    *
+    *   - any action: the winners must not have changed schema, column
+    *     mapping, or partitioning, and every file this attempt replaces
+    *     must still be live (a winner rewriting one means it saw — and
+    *     changed — data this attempt read);
+    *   - `append` writes blind: the above suffices;
+    *   - `compact` preserves content: carrying the winners' new files
+    *     (even in compacted partitions) stays correct, merely unpacked —
+    *     but the clustered marker drops, since winners' files are unsorted;
+    *   - `merge` additionally requires that no winner ADDED files in a
+    *     partition this merge rewrote or inserted into (rows this merge
+    *     never saw; on an unpartitioned table every file shares the ""
+    *     partition, so any concurrent change forces the recompute) —
+    *   - `delete`/`restore`/`rename` recompute (predicate scans the whole
+    *     table; the others are metadata-cheap anyway).
+    *
+    * The change files were stamped with the version the attempt
+    * originally claimed; the rebase restamps them for the new claim
+    * (cost: one batch-proportional rewrite — the data files, which are
+    * corpus-partition-proportional, move by reference).
+    */
+  private def rebased(diff: AttemptDiff, m: Manifest, onto: Manifest,
+      fresh: Manifest): Option[Manifest] = {
+    val rebasable = m.action == "append" || m.action == "merge" ||
+      m.action == "compact"
+    if (!rebasable) return None
+    if (schemaSig(fresh.schema) != schemaSig(onto.schema) ||
+        fresh.columnMapping != onto.columnMapping ||
+        fresh.partitionCol != onto.partitionCol) return None
+    val freshPaths = fresh.files.map(_.path).toSet
+    if (!diff.removed.forall(freshPaths.contains)) return None
+    if (m.action == "merge") {
+      val ontoPaths = onto.files.map(_.path).toSet
+      val winnerAdded = fresh.files.filterNot(f => ontoPaths.contains(f.path))
+        .map(_.partition.getOrElse("")).toSet
+      if (winnerAdded.intersect(diff.partitions).nonEmpty) return None
+    }
+    val newChanges = m.changesDir.map(restampChanges(_, fresh.version + 1))
+    Some(Manifest(fresh.version + 1, m.action, System.currentTimeMillis(),
+      m.schema, m.partitionCol,
+      fresh.files.filterNot(f => diff.removed.contains(f.path)) ++ diff.added,
+      m.rowsInserted, m.rowsUpdated, m.rowsDeleted,
+      fresh.rowsTotal - diff.removedRows + diff.added.map(_.rows).sum,
+      newChanges, clusteredBy = None, columnMapping = m.columnMapping))
+  }
+
+  /** Rewrite a staged change dir with a new `_commit_version` stamp (the
+    * rebase moved the claim); the old staged dir is dropped.
+    */
+  private def restampChanges(sub: String, newVersion: Long): String = {
+    val staged = Paths.get(dir, StagedChangesDirName,
+      Paths.get(sub).getFileName.toString)
+    val name = s"c-${UUID.randomUUID().toString.take(12)}"
+    spark.read.parquet(staged.toString)
+      .withColumn("_commit_version", lit(newVersion))
+      .write.parquet(s"$dir/$StagedChangesDirName/$name")
+    deleteRecursively(staged)
+    s"$ChangesDirName/$name"
+  }
+
+  /** Optimistic-concurrency commit loop: compute against the current
+    * snapshot, publish via atomic hard-link. A loser first tries the
+    * cheap [[rebased]] commute; only a genuine conflict deletes the
+    * attempt's own output and re-runs `body` against the fresh snapshot.
+    * "Own" output is established by exclusion: a candidate dir is deleted
+    * only if NO committed manifest references anything inside it — files
+    * the attempt re-referenced from history (compact carry-overs, a
+    * rebase's carried winner files) are never its output and must survive
+    * the loss.
     */
   private def retryCommit(action: String)(body: Manifest => Manifest): Long = {
-    var attempts = 0
-    while (attempts < MaxCommitRetries) {
+    def compute(): (Manifest, Option[Manifest], AttemptDiff) = {
       val snap = snapshot()
-      val m = try body(snap) catch { case NoOpCommit => return snap.version }
+      val m = try body(snap) catch { case NoOpCommit => return (snap, None, null) }
+      (snap, Some(m), mkDiff(snap, m))
+    }
+    var (base, mOpt, diff) = compute()
+    if (mOpt.isEmpty) return base.version
+    var m = mOpt.get
+    var onto = base // the snapshot m currently claims on top of
+    var failures = 0
+    while (failures < MaxCommitRetries) {
       if (tryPublish(m)) return m.version
-      val carried = snap.files.map(_.path).toSet
-      val committed = listVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
-      m.files.filterNot(f => carried.contains(f.path))
-        .map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
-        .filterNot(sub => committed.exists(_.startsWith(sub + "/")))
-        .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
-      m.changesDir.foreach { sub =>
-        deleteRecursively(Paths.get(dir, StagedChangesDirName,
-          Paths.get(sub).getFileName.toString))
+      failures += 1
+      val fresh = snapshot()
+      rebased(diff, m, onto, fresh) match {
+        case Some(r) =>
+          commitRebases.incrementAndGet()
+          m = r
+          onto = fresh
+        case None =>
+          cleanupLostAttempt(diff, m)
+          commitRecomputes.incrementAndGet()
+          val (b2, m2, d2) = compute()
+          if (m2.isEmpty) return b2.version
+          base = b2; m = m2.get; diff = d2; onto = b2
       }
-      attempts += 1
     }
     throw new IllegalStateException(
       s"$action lost $MaxCommitRetries commit races at $dir")
+  }
+
+  private def cleanupLostAttempt(diff: AttemptDiff, m: Manifest): Unit = {
+    val committed = listVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
+    diff.added
+      .map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
+      .filterNot(sub => committed.exists(_.startsWith(sub + "/")))
+      .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+    m.changesDir.foreach { sub =>
+      deleteRecursively(Paths.get(dir, StagedChangesDirName,
+        Paths.get(sub).getFileName.toString))
+    }
   }
 
   private def deleteRecursively(root: Path): Unit = if (Files.exists(root)) {
@@ -616,6 +918,20 @@ object CommitLogTable {
   private val StagedChangesDirName = s"$LogDirName/staged_changes"
   private val ShadowPartCol = "__part"
   private val MaxCommitRetries = 20
+
+  /** Default orphan grace for [[vacuumPath]]: an UNREFERENCED file is an
+    * in-flight commit's output until proven otherwise, so the sweep age
+    * gate must exceed the longest plausible commit duration — at the
+    * 100 TB scale this engine targets a large merge/compact can run for
+    * hours, and a shorter grace would let an overlapping vacuum delete
+    * its not-yet-referenced files mid-commit (the manifest then publishes
+    * referencing missing files and every read of that version fails).
+    * Delta's VACUUM floor is 7 days for exactly this reason; 24 h is the
+    * engine's default, tightenable per call when no long commit can
+    * overlap (single-writer maintenance windows, tests).
+    */
+  val DefaultOrphanGraceMillis: Long = 24L * 60 * 60 * 1000
+
   /** What partitionBy writes for a NULL partition value — and therefore
     * what [[enumerate]] reads back into the manifest's partition field.
     */
@@ -631,11 +947,23 @@ object CommitLogTable {
   final case class LogFile(path: String, partition: Option[String],
       rows: Long, bytes: Long)
 
+  /** The attempt's file-level footprint relative to the snapshot it was
+    * computed against — the invariant a rebase re-applies on top of a
+    * different snapshot.
+    */
+  private final case class AttemptDiff(removed: Set[String], removedRows: Long,
+      added: Seq[LogFile], partitions: Set[String])
+
+  /** One committed version. `schema` and `columnMapping` are the state AT
+    * this version — evolution and renames replay under time travel.
+    * `columnMapping` is sparse logical→physical (absent = identical).
+    */
   final case class Manifest(version: Long, action: String, tsMillis: Long,
       schema: StructType, partitionCol: Option[String], files: Seq[LogFile],
       rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
       rowsTotal: Long, changesDir: Option[String],
-      clusteredBy: Option[String] = None)
+      clusteredBy: Option[String] = None,
+      columnMapping: Map[String, String] = Map.empty)
 
   val HistorySchema: StructType = StructType.fromDDL(
     "version BIGINT, action STRING, rows_inserted BIGINT, " +
@@ -706,13 +1034,14 @@ object CommitLogTable {
     * or a lost race whose self-cleanup also died — are deleted only once
     * older than `orphanGraceMillis`: a CONCURRENT in-flight commit's
     * freshly-written files are also unreferenced until its manifest
-    * lands, and an age gate is what keeps vacuum from corrupting it
-    * (the same reason Delta's VACUUM has a retention-hours floor).
-    * Stale `staged_changes/` dirs past the grace window are swept the
-    * same way.
+    * lands, and the age gate is what keeps vacuum from corrupting it
+    * (the same reason Delta's VACUUM has a retention-hours floor). The
+    * grace MUST exceed the longest possible in-flight commit — see
+    * [[DefaultOrphanGraceMillis]]. Stale `staged_changes/` dirs past the
+    * grace window are swept the same way.
     */
   def vacuumPath(dir: String, retainVersions: Int = 2,
-      orphanGraceMillis: Long = 20L * 60 * 1000): Int = {
+      orphanGraceMillis: Long = DefaultOrphanGraceMillis): Int = {
     require(retainVersions >= 1)
     val versions = listVersionsAt(dir)
     val retainedRefs = versions.takeRight(retainVersions)
@@ -802,6 +1131,10 @@ object CommitLogTable {
     root.put("rowsTotal", m.rowsTotal)
     m.changesDir.foreach(root.put("changesDir", _))
     m.clusteredBy.foreach(root.put("clusteredBy", _))
+    if (m.columnMapping.nonEmpty) {
+      val cm = root.putObject("columnMapping")
+      m.columnMapping.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val o = arr.addObject()
@@ -822,11 +1155,16 @@ object CommitLogTable {
         if (f.hasNonNull("partition")) Some(f.get("partition").asText) else None,
         f.get("rows").asLong, f.get("bytes").asLong)
     }.toVector
+    val mapping =
+      if (n.hasNonNull("columnMapping")) {
+        val cm = n.get("columnMapping")
+        cm.fieldNames().asScala.map(k => k -> cm.get(k).asText).toMap
+      } else Map.empty[String, String]
     Manifest(n.get("version").asLong, n.get("action").asText,
       n.get("tsMillis").asLong,
       StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
       files, n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
-      optText("changesDir"), optText("clusteredBy"))
+      optText("changesDir"), optText("clusteredBy"), mapping)
   }
 }

@@ -14,6 +14,32 @@ import graft.tables.CommitLogTable
   * for the reference's Delta plane (`docs/databricks_setup.md:96,170-198`,
   * `README.md:174`) in a lakehouse-jar-free environment.
   */
+/** Deterministic commit-race gate: a filter udf whose SECOND evaluation
+  * blocks until released. Evaluation #1 is `merge`'s cheap isEmpty probe
+  * (which runs BEFORE the snapshot resolves), so the block lands inside
+  * the commit body — after snapshot resolution, before publish — letting
+  * a test commit an interleaved writer underneath a stalled merge and
+  * observe how the publish race resolves (rebase vs recompute).
+  * Top-level object so the task closure resolves it statically in
+  * local mode.
+  */
+object CommitGate {
+  private val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var arrivedFlag = false
+  @volatile private var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    calls.set(0); arrivedFlag = false
+    latch = new java.util.concurrent.CountDownLatch(1)
+  }
+  def udf(): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udf { () =>
+      if (calls.incrementAndGet() >= 2) { arrivedFlag = true; latch.await() }
+      true
+    }.apply()
+  def awaitArrived(): Unit = while (!arrivedFlag) Thread.sleep(10)
+  def release(): Unit = latch.countDown()
+}
+
 class CommitLogSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
@@ -312,6 +338,177 @@ class CommitLogSpec extends AnyFunSuite {
     }
     assert(changeDirs == 4L, s"orphaned change dirs: $changeDirs != 4")
     assert(t.readChanges(1, 4).count() == 4L)
+  }
+
+  test("schema evolution: mergeSchema append widens, old files null-backfill, time travel replays the old schema") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0), (2L, "b", 2.0)))) // v1, pre-evolution
+    val wide = Seq((3L, "c", 3.0, 30.0), (4L, "d", 4.0, 40.0))
+      .toDF("k", "cat", "v", "score")
+    // strict mode still rejects a widened batch loudly
+    intercept[IllegalArgumentException](t.append(wide))
+    val filesBefore = t.read().inputFiles.toSet
+    t.append(wide, mergeSchema = true) // v2, evolved
+    // v1's files were NOT rewritten — they are a subset of the new scan
+    assert(filesBefore.subsetOf(t.read().inputFiles.toSet),
+      "evolution must not rewrite pre-existing files")
+    val got = t.read().select("k", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(30.0), 4L -> Some(40.0)),
+      "pre-evolution rows must read NULL for the new column")
+    // per-version schema: time travel to v1 returns the narrow schema
+    assert(t.read(Some(1)).columns.toSeq == Seq("k", "cat", "v"))
+    assert(t.read().columns.toSeq == Seq("k", "cat", "v", "score"))
+    // type changes never pass, evolved or not
+    val drifted = Seq((9L, "z", "oops", 1.0)).toDF("k", "cat", "v", "score")
+    intercept[IllegalArgumentException](t.append(drifted, mergeSchema = true))
+    // merge can evolve too; update rows omitting an old column null it
+    // (explicit-NULL update semantics), and a second new column lands
+    t.merge(Seq((1L, "A", 10.0, Some("fr")), (5L, "e", 5.0, Option.empty[String]))
+      .toDF("k", "cat", "v", "lang"), Seq("k"), Seq(col("v")), mergeSchema = true)
+    val r1 = t.read().filter($"k" === 1L).head()
+    assert(r1.getAs[String]("cat") == "A" && r1.isNullAt(r1.fieldIndex("score"))
+      && r1.getAs[String]("lang") == "fr")
+    assert(t.read().filter($"k" === 2L).head().getAs[String]("lang") == null)
+    // CDF reads the union under the latest schema (old images null-fill)
+    val ch = t.readChanges(1, t.latestVersion)
+    // inserts: v1 append 2, v2 evolved append 2, v3 merge 1 (k=5)
+    assert(ch.columns.contains("lang") && ch.filter($"_change_type" === "insert").count() == 5)
+  }
+
+  test("metadata-only rename (column mapping): zero files rewritten, time travel + CDF + later evolution keep working") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.merge(mk(Seq((2L, "B", 20.0), (3L, "c", 3.0))), Seq("k"), Seq($"v"))
+    val filesBefore = t.read().inputFiles.toSet
+    t.renameColumn("v", "amount")
+    assert(t.read().inputFiles.toSet == filesBefore,
+      "rename must be metadata-only — no data file may move")
+    assert(t.read().columns.toSeq == Seq("k", "cat", "amount"))
+    assert(t.read().select("k", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    // time travel replays the pre-rename name
+    assert(t.read(Some(2)).columns.toSeq == Seq("k", "cat", "v"))
+    // CDF written BEFORE the rename surfaces under the new logical name
+    val post = t.readChanges(2, 2).filter($"_change_type" === "update_postimage")
+    assert(post.select("amount").as[Double].collect().toSeq == Seq(20.0))
+    // writes speak the new name; the old name is rejected
+    intercept[IllegalArgumentException](
+      t.merge(mk(Seq((4L, "d", 4.0))), Seq("k"), Seq($"v")))
+    t.merge(Seq((4L, "d", 4.0)).toDF("k", "cat", "amount"), Seq("k"),
+      Seq($"amount"))
+    assert(t.read().count() == 4)
+    // evolution AFTER the rename may re-introduce the freed logical name
+    // 'v': it must get a fresh physical name (the old physical 'v' still
+    // belongs to 'amount' in every existing file)
+    t.append(Seq((5L, "e", 5.0, 555.0)).toDF("k", "cat", "amount", "v"),
+      mergeSchema = true)
+    val r5 = t.read().filter($"k" === 5L).head()
+    assert(r5.getAs[Double]("amount") == 5.0 && r5.getAs[Double]("v") == 555.0)
+    val r1 = t.read().filter($"k" === 1L).head()
+    assert(r1.getAs[Double]("amount") == 1.0 && r1.isNullAt(r1.fieldIndex("v")),
+      "old files must keep physical 'v' bound to logical 'amount'")
+    // restore to the pre-rename version restores its schema
+    t.restore(2)
+    assert(t.read().columns.toSeq == Seq("k", "cat", "v"))
+  }
+
+  test("empty merge batch is a no-op: no version published, no snapshot rewrite") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0))))
+    val v = t.latestVersion
+    val files = t.read().inputFiles.toSet
+    assert(t.merge(mk(Nil), Seq("k"), Seq($"v")) == v)
+    assert(t.latestVersion == v, "idle upsert must not grow the log")
+    assert(t.read().inputFiles.toSet == files)
+  }
+
+  test("vacuumed pinned version fails fast on read with a clear error") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0))))                    // v1
+    t.merge(mk(Seq((1L, "a", 9.0))), Seq("k"), Seq($"v")) // v2 rewrites v1's file
+    t.vacuum(retainVersions = 1, orphanGraceMillis = 0L)
+    val e = intercept[IllegalStateException](t.read(Some(1)))
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("retainVersions"),
+      s"unclear failure: ${e.getMessage}")
+    assert(rows(t.read()) == Set((1L, "a", 9.0)), "head snapshot unaffected")
+  }
+
+  test("legacy change files without _commit_version backfill it from the manifest") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0), (2L, "b", 2.0)))) // v1
+    // simulate the pre-tag on-disk format: strip the stored column
+    val chRoot = Paths.get(dir, "_graft_log", "changes")
+    val sub = { val s = Files.list(chRoot); try s.iterator().next() finally s.close() }
+    val legacy = spark.read.parquet(sub.toString).drop("_commit_version")
+    val (legacyRows, legacySchema) = (legacy.collect().toSeq, legacy.schema)
+    import scala.jdk.CollectionConverters._
+    val f = Files.walk(sub)
+    try f.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+    finally f.close()
+    spark.createDataFrame(legacyRows.asJava, legacySchema).write.parquet(sub.toString)
+    val ch = t.readChanges(1, 1)
+    assert(ch.count() == 2 &&
+      ch.select("_commit_version").as[Long].collect().toSet == Set(1L),
+      "legacy change files must report the manifest's version, not NULL")
+  }
+
+  test("concurrent disjoint-partition merges commute: both commit, neither recomputes") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir()
+    val df = Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("k", "cat", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    t.append(df)
+    CommitGate.reset()
+    // the d1 merge resolves its snapshot, then stalls inside its body (the
+    // gate udf blocks the SECOND evaluation — the first is the cheap
+    // isEmpty probe, which runs before the snapshot resolves) while the
+    // d2 merge commits underneath it: a deterministic publish race
+    val slow = Seq((1L, "d1", 101.0)).toDF("k", "cat", "v").filter(CommitGate.udf())
+    val fut = Future(t.merge(slow, Seq("k"), Seq($"v")))
+    CommitGate.awaitArrived()
+    t.merge(Seq((2L, "d2", 102.0)).toDF("k", "cat", "v"), Seq("k"), Seq($"v"))
+    CommitGate.release()
+    val v = Await.result(fut, 300.seconds)
+    assert(v == 3L && t.latestVersion == 3L)
+    assert(rows(t.read()) == Set((1L, "d1", 101.0), (2L, "d2", 102.0)))
+    assert(t.commitRecomputes.get() == 0L,
+      "a disjoint-partition loser must rebase, not recompute")
+    assert(t.commitRebases.get() == 1L)
+    // the rebased commit's CDF is intact and restamped to its final version
+    val ch3 = t.readChanges(3, 3)
+    assert(ch3.filter($"_change_type" === "update_postimage")
+      .select("v").as[Double].collect().toSeq == Seq(101.0))
+  }
+
+  test("concurrent same-partition merges conflict: the loser recomputes against the winner") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir()
+    val df = Seq((1L, "d1", 1.0)).toDF("k", "cat", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    t.append(df)
+    CommitGate.reset()
+    val slow = Seq((1L, "d1", 101.0)).toDF("k", "cat", "v").filter(CommitGate.udf())
+    val fut = Future(t.merge(slow, Seq("k"), Seq($"v")))
+    CommitGate.awaitArrived()
+    t.merge(Seq((1L, "d1", 50.0)).toDF("k", "cat", "v"), Seq("k"), Seq($"v"))
+    CommitGate.release()
+    Await.result(fut, 300.seconds)
+    // latest-wins under v: the recomputed merge sees the winner's 50.0
+    assert(rows(t.read()) == Set((1L, "d1", 101.0)))
+    assert(t.commitRecomputes.get() == 1L,
+      "an overlapping-partition loser MUST recompute — a rebase would lose the winner's rows")
+    assert(t.commitRebases.get() == 0L)
   }
 
   test("TableOps commit-log binding: upsertPartitions + compact + vacuum end-to-end") {

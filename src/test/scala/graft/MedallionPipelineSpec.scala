@@ -151,6 +151,60 @@ class MedallionPipelineSpec extends AnyFunSuite {
       Seq(900001L, 900002L, 900003L))
   }
 
+  test("quarantine replay convergence for NULL-id (malformed) rows") {
+    val out = tmp("qnull")
+    // both rows FAIL the DQ gate; the first is malformed to the point of a
+    // NULL event_id — the exact shape a naive event_id-keyed upsert
+    // re-inserts on every checkpointed replay (NULL keys never equi-match)
+    val bad = Seq(
+      (Option.empty[Long], Some("2024-01-10 01:02:03"), Option.empty[Long],
+        Some("CLICK"), Some(1.0)),
+      (Some(900002L), Some("2024-01-11 01:02:03"), Some(7L), Some("view"),
+        Some(-4.0))
+    ).toDF(rawCols: _*)
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+    FileStreamIngest.medallionBatch(bad, out, rules)
+    val first = spark.read.parquet(s"$out/quarantine")
+    assert(first.count() == 2)
+    assert(first.filter(col("quarantine_key").isNull).isEmpty,
+      "the surrogate key must be non-null even for NULL-id rows")
+    // a crash inside foreachBatch replays the batch verbatim — the keyed
+    // upsert must converge instead of double-appending the NULL-id row
+    FileStreamIngest.medallionBatch(bad, out, rules)
+    assert(spark.read.parquet(s"$out/quarantine").count() == 2,
+      "replayed malformed rows re-inserted: quarantine diverges under replay")
+  }
+
+  test("streaming upsert restarts across a schema evolution (commit-log binding)") {
+    val src = tmp("evo-src"); val ckpt = tmp("evo-ckpt")
+    val out = tmp("evo-out") + "/tbl"
+    val keys = Seq("event_id", "day")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val narrow = Seq((1L, d("2024-01-01"), 1.0)).toDF("event_id", "day", "value")
+    narrow.write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowUpsertPartitioned(
+      FileStreamIngest.bronzeStream(spark, src, narrow.schema), out, ckpt,
+      keys, Seq($"value"), "day", ops = TableOps.commitLog)
+    // restart with a WIDENED source schema — the reference's Auto Loader
+    // addNewColumns restart (`docs/databricks_setup.md:120`): the new
+    // column must evolve the silver table in place, not crash the stream
+    val wide = Seq((1L, d("2024-01-01"), 10.0, "fmp"),
+      (2L, d("2024-01-02"), 2.0, "iex"))
+      .toDF("event_id", "day", "value", "source")
+    wide.write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowUpsertPartitioned(
+      FileStreamIngest.bronzeStream(spark, src, wide.schema), out, ckpt,
+      keys, Seq($"value"), "day", ops = TableOps.commitLog)
+    val t = graft.tables.CommitLogTable.open(spark, out)
+    assert(t.read().columns.toSeq == Seq("event_id", "day", "value", "source"))
+    val got = t.read().select("event_id", "value", "source").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, 10.0, Some("fmp")), (2L, 2.0, Some("iex"))))
+    // pre-evolution history is still time-travelable with its own schema
+    assert(t.read(Some(1)).columns.toSeq == Seq("event_id", "day", "value"))
+  }
+
   test("medallion through the transactional commit-log binding") {
     val out = tmp("clog-out")
     val all = corpus()

@@ -115,6 +115,41 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(after2 == Map(1L -> (20L, 9.0), 2L -> (10L, 2.0), 3L -> (20L, 3.0)))
   }
 
+  test("streaming schema inference: first run infers + records, restarts hold the schema, late columns rescue") {
+    import java.nio.file.Paths
+    val src = tmp("inf-src"); val out = tmp("inf-out"); val ckpt = tmp("inf-ckpt")
+    val schemaLoc = tmp("inf-schema")
+    Files.writeString(Paths.get(src, "a.json"),
+      "{\"id\": 1, \"sym\": \"AAPL\", \"px\": 10.5}\n" +
+        "{\"id\": 2, \"sym\": \"MSFT\", \"px\": 20.25}\n")
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeJsonStreamInferred(spark, src, schemaLoc), out, ckpt)
+    val r1 = spark.read.parquet(out)
+    assert(r1.columns.toSet == Set("id", "sym", "px", "_rescued_data"))
+    assert(r1.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(r1.schema("px").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(r1.filter($"_rescued_data".isNotNull).isEmpty)
+    val schemaFile = Paths.get(schemaLoc, "schema.json")
+    assert(Files.exists(schemaFile), "first run must RECORD the inferred schema")
+    val recorded = Files.readString(schemaFile)
+    // restart after a file with an EXTRA column arrives: the recorded
+    // schema holds (no re-inference, no re-typing under the checkpoint)
+    // and the new column lands in _rescued_data, exactly like Auto
+    // Loader's schemaEvolutionMode=rescue
+    Files.writeString(Paths.get(src, "b.json"),
+      "{\"id\": 3, \"sym\": \"GOOG\", \"px\": 5.0, \"venue\": \"NYSE\"}\n")
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeJsonStreamInferred(spark, src, schemaLoc), out, ckpt)
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 3)
+    val late = r2.filter($"id" === 3).head()
+    val rescued = late.getAs[String]("_rescued_data")
+    assert(rescued != null && rescued.contains("\"venue\":\"NYSE\""),
+      s"undeclared late column must be rescued, got: $rescued")
+    assert(Files.readString(schemaFile) == recorded,
+      "a restart must never silently re-infer the recorded schema")
+  }
+
   test("streaming ndjson rescue: recursive lookup, malformed line rescued, gz, exactly-once") {
     import java.nio.file.Paths
     import org.apache.spark.sql.types._
