@@ -2314,4 +2314,45 @@ object Queries {
         dsum(col("amount"), 6).as("sum_amount"),
         count(col("score")).as("n_score"),
         dsum(col("score"), 6).as("sum_score"))
+
+  /** Build (once per session) the column-DROP demo table:
+    *   v1 append of event_id%4∈{0,1} under (event_id, event_type, value,
+    *      score = value*2);
+    *   v2 metadata-only `dropColumn(score)` — the physical name retires;
+    *   v3 `mergeSchema` append of %4==2 RE-ADDING logical `score` as
+    *      value*3 — it binds a FRESH physical name, so v1's stale
+    *      score values must NOT resurface (they read NULL).
+    */
+  private def commitLogDropDir(s: SparkSession, dir: String): String = {
+    val tableDir = "/tmp/graft-commitlog-drop/" + s.sparkContext.applicationId +
+      "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    SessionMemo.once(s, s"commitlogDrop:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val m = col("event_id") % 4
+        val withScore = ev.withColumn("score", col("value") * 2)
+        val t = graft.tables.CommitLogTable.create(s, tableDir, withScore.schema)
+        t.append(withScore.filter(m < 2))
+        t.dropColumn("score")
+        t.append(ev.filter(m === 2).withColumn("score", col("value") * 3),
+          mergeSchema = true)
+      }
+    }
+    tableDir
+  }
+
+  /** Column drop + no-resurface re-add, end to end: after the drop, the
+    * re-added `score` is a NEW column — pre-drop rows read NULL (their
+    * retired physical data is invisible), post-re-add rows carry value*3.
+    */
+  def tableDrop(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogDropDir(s, dir)).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value"), 6).as("sum_value"),
+        count(col("score")).as("n_score"),
+        dsum(col("score"), 6).as("sum_score"))
 }

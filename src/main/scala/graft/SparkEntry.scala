@@ -172,6 +172,7 @@ object SparkEntry {
     "q_cdf_read" -> (Queries.cdfRead _),
     "q_time_travel" -> (Queries.timeTravel _),
     "q_table_evolve" -> (Queries.tableEvolve _),
+    "q_table_drop" -> (Queries.tableDrop _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -3719,6 +3720,23 @@ object SparkEntry {
       )
       SELECT event_type, count(*) AS n_rows,
              CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_amount,
+             count(score) AS n_score,
+             CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+      FROM t GROUP BY event_type""",
+
+    // drop demo: v1 append %4∈{0,1} with score=value*2, v2 dropColumn,
+    // v3 evolved re-add score=value*3 for %4=2 — pre-drop rows must read
+    // NULL score (retired physical data never resurfaces)
+    "q_table_drop" -> """
+      WITH t AS (
+        SELECT event_type, value, CAST(NULL AS DOUBLE) AS score
+          FROM events WHERE event_id % 4 < 2
+        UNION ALL
+        SELECT event_type, value, value * 3 AS score
+          FROM events WHERE event_id % 4 = 2
+      )
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              count(score) AS n_score,
              CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
       FROM t GROUP BY event_type""",

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the commit-log table format's METADATA operations
+  * (`tables/CommitLogTable`): builds a partitioned table at two file-count
+  * scales (default 64 and 640 partitions — a 10× manifest) and times each
+  * table-service op at both. The claim under test is the one that matters
+  * at 100 TB: schema evolution, rename, drop, the empty-merge guard, and
+  * history are O(manifest) — one small JSON read/write — and a pruned
+  * merge or partition read is O(touched partitions), while only the full
+  * append/compact scale with the data. A 10× manifest should move the
+  * metadata ops by far less than 10× (they are dominated by fixed
+  * driver-side costs); a data-proportional op that failed to prune would
+  * show ~10×.
+  *
+  * Usage: `tools/run.sh graft.TableFormatProbe /tmp/tfprobe [64,640]`
+  * Prints one JSON line per (scale, op) with wall millis, plus a summary
+  * ratio line per op.
+  */
+object TableFormatProbe {
+
+  def main(args: Array[String]): Unit = {
+    val outRoot = args.headOption.getOrElse("/tmp/graft-tableformat-probe")
+    val scales = args.lift(1).getOrElse("64,640").split(',').map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.build(s"local[$cpus]", cpus.toInt, "graft-tf-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.tables.CommitLogTable
+
+    def timeMs[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e6)
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+    def rec(scale: Int, op: String, ms: Double): Unit = {
+      results += ((scale, op, ms))
+      println(f"""{"scale":$scale,"op":"$op","ms":${math.rint(ms * 10) / 10}%s}""")
+    }
+
+    for (p <- scales) {
+      val dir = s"$outRoot/t$p-${System.nanoTime()}"
+      // 200 rows per partition — small data on purpose: the probe isolates
+      // metadata cost, so data volume must not dominate any op under test
+      val df = spark.range(p * 200L).select(
+        col("id").as("k"),
+        (col("id") % p).cast("string").as("part"),
+        ((col("id") * 7 % 1000) / 10.0).as("v"))
+      val t = CommitLogTable.create(spark, dir, df.schema, Some("part"))
+      rec(p, "append_full", timeMs(t.append(df, recordChanges = false))._2)
+
+      // snapshot resolution + plan only (no execution): the reader-side
+      // cost of the manifest being the file index
+      rec(p, "resolve_plan", timeMs(t.read().queryExecution.executedPlan)._2)
+      rec(p, "history", timeMs(t.history.collect())._2)
+
+      // metadata-only ops — the 100 TB "rename without rewrite" claims
+      rec(p, "rename_column", timeMs(t.renameColumn("v", "amount"))._2)
+      val evo = spark.range(5).select(col("id").as("k"),
+        lit("0").as("part"), (col("id") * 1.0).as("amount"),
+        lit("x").as("tag"))
+      rec(p, "evolve_append_1part", timeMs(t.append(evo, mergeSchema = true))._2)
+      rec(p, "drop_column", timeMs(t.dropColumn("tag"))._2)
+
+      // the idle-stream guard: an empty upsert must cost ~nothing and
+      // publish nothing
+      val empty = df.filter(lit(false))
+      rec(p, "empty_merge_noop", timeMs(t.merge(empty, Seq("k", "part"), Seq(col("amount"))))._2)
+
+      // partition-pruned paths: cost tracks the TOUCHED partition, not p
+      val one = spark.range(3).select((col("id") + 1000000L).as("k"),
+        lit("3").as("part"), lit(1.5).as("amount"))
+      rec(p, "pruned_merge_1part", timeMs(t.merge(one, Seq("k", "part"), Seq(col("amount"))))._2)
+      rec(p, "read_1partition", timeMs(t.readPartitions(Set("3")).count())._2)
+
+      rec(p, "vacuum", timeMs(t.vacuum(retainVersions = 2, orphanGraceMillis = 0L))._2)
+    }
+
+    // per-op scale ratio: metadata ops should sit far below the scale
+    // factor; only append_full is licensed to track it
+    if (scales.size == 2) {
+      val Seq(a, b) = scales
+      val byOp = results.groupBy(_._2)
+      println("op,base_ms,scaled_ms,ratio")
+      byOp.toSeq.sortBy(_._1).foreach { case (op, rows) =>
+        val ma = rows.find(_._1 == a).map(_._3).getOrElse(Double.NaN)
+        val mb = rows.find(_._1 == b).map(_._3).getOrElse(Double.NaN)
+        println(f"$op,${math.rint(ma * 10) / 10}%s,${math.rint(mb * 10) / 10}%s,${math.rint(mb / ma * 100) / 100}%s")
+      }
+    }
+    spark.stop()
+  }
+}

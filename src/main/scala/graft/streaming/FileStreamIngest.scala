@@ -47,6 +47,24 @@ object FileStreamIngest {
     r.parquet(srcDir)
   }
 
+  /** [[bronzeStream]] without a declared schema — OSS
+    * `spark.sql.streaming.schemaInference` parity (the conf Auto Loader's
+    * `inferColumnTypes` wraps for self-describing formats): the parquet
+    * file source infers the schema from the files present at stream
+    * start. Parquet footers make the inference deterministic for a
+    * consistent directory; a source whose schema may DRIFT between
+    * restarts should use the declared-schema [[bronzeStream]] or the
+    * schema-location protocol of [[bronzeJsonStreamInferred]] instead,
+    * which is what pins a stable schema under the checkpoint.
+    */
+  def bronzeStreamInferred(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.streaming.schemaInference", "true")
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(srcDir)
+  }
+
   /** Bronze: incremental NDJSON(.gz) stream with schema-evolution rescue —
     * the streaming half of S5, matching the fundamentals Auto Loader
     * (`bronze_fundamentals_auto_loader.ipynb:86-98`, cell 2: `cloudFiles`

@@ -89,8 +89,46 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   // ---------------------------------------------------------------- reads
 
-  /** Latest committed version (0 = created empty). */
-  def latestVersion: Long = listVersions.last
+  /** Latest committed version (0 = created empty). Resolved via the
+    * `_latest` hint file + forward existence probes, NOT a directory
+    * listing: a long-lived streaming table commits once per micro-batch,
+    * and a listing-based resolve would make every commit and snapshot
+    * read O(#versions) — at one commit a minute that is half a million
+    * directory entries within a year. The hint is a FLOOR (written
+    * best-effort after each publish; two near-simultaneous winners may
+    * leave it one behind), so the probe walks forward to the true head —
+    * O(staleness), typically 0–1 probes. A missing/torn hint falls back
+    * to the full listing.
+    */
+  def latestVersion: Long = latestFromHint().getOrElse(listVersions.last)
+
+  private def latestFromHint(): Option[Long] =
+    try {
+      val p = logDir.resolve(LatestHintName)
+      if (!Files.exists(p)) None
+      else {
+        val h = new String(Files.readAllBytes(p), UTF_8).trim.toLong
+        if (!Files.exists(logDir.resolve(manifestName(h)))) None
+        else {
+          var v = h
+          while (Files.exists(logDir.resolve(manifestName(v + 1)))) v += 1
+          Some(v)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Best-effort head hint after a successful publish; losing a write
+    * race only leaves the hint stale by one, which the forward probe in
+    * [[latestVersion]] absorbs.
+    */
+  private def writeLatestHint(v: Long): Unit =
+    try {
+      val tmp = logDir.resolve(s".tmp-hint-${UUID.randomUUID()}")
+      Files.write(tmp, v.toString.getBytes(UTF_8))
+      Files.move(tmp, logDir.resolve(LatestHintName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () }
 
   /** The CURRENT logical schema (latest manifest's). */
   def schema: StructType = snapshot().schema
@@ -195,7 +233,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * 100 TB the change volume is commit-proportional (the listing cost is
     * one directory glob per trigger), never corpus-proportional.
     */
-  def readChangesStream: DataFrame = {
+  def readChangesStream: DataFrame = readChangesStream(startingVersion = 0L)
+
+  /** [[readChangesStream]] from a given commit version onward — Delta's
+    * `readChangeFeed` + `startingVersion` option: change rows of earlier
+    * commits are excluded (a consumer bootstrapped from a snapshot at
+    * version V streams the delta with `startingVersion = V + 1`).
+    */
+  def readChangesStream(startingVersion: Long): DataFrame = {
     // repair any commit that crashed between publish and promotion, so
     // the stream doesn't silently skip its (durable, committed) changes
     val ms = listVersions.map(manifest)
@@ -213,6 +258,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       .join(broadcast(vmap), Seq("__chdir"), "left")
       .withColumn("_commit_version",
         coalesce(col("_commit_version"), col("__ver")))
+      .filter(col("_commit_version") >= startingVersion)
       .select(sch.fields.map(f =>
         col(snap.columnMapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
   }
@@ -240,6 +286,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     retryCommit("append") { snap =>
       val (schema2, mapping2, aligned) = resolveSchema(df, snap, mergeSchema)
       val (newFiles, dataRows) = writeData(aligned, snap.partitionCol, mapping2)
+      // idle-stream guard, detected POST-write (costs no extra action —
+      // an isEmpty pre-probe would re-execute the batch pipeline): an
+      // empty batch must not publish a version, or a scheduled append
+      // loop grows the log and ticks the retention window every idle run.
+      // A schema-EVOLVING empty batch still publishes: the widened schema
+      // is the commit's content even with zero rows.
+      if (dataRows == 0 && schemaSig(schema2) == schemaSig(snap.schema)) {
+        newFiles.map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
+          .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+        throw NoOpCommit
+      }
       val changesSub = if (recordChanges) Some(writeChanges(
         readFiles(newFiles, schema2, mapping2)
           .withColumn("_change_type", lit("insert")),
@@ -388,6 +445,31 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         partitionCol = pcol2)
     }
 
+  /** Metadata-only column DROP (the other half of Delta column mapping):
+    * the logical column leaves the schema in one manifest commit; its
+    * physical name is RETIRED — the in-file data is dead weight that the
+    * next compact's rewrite naturally sheds (projection excludes it), and
+    * the name can never be reassigned, so a later evolution re-adding the
+    * same logical name reads NULL for history instead of resurrecting
+    * stale values. Time travel to a pre-drop version still sees the
+    * column. The partition column cannot be dropped.
+    */
+  def dropColumn(name: String): Long = retryCommit("drop") { snap =>
+    require(snap.schema.fieldNames.contains(name),
+      s"dropColumn: no column '$name' in ${snap.schema.fieldNames.mkString(",")}")
+    require(!snap.partitionCol.contains(name),
+      s"dropColumn: '$name' is the partition column")
+    require(snap.schema.fields.length > 1,
+      "dropColumn: cannot drop the last column")
+    val schema2 = StructType(snap.schema.fields.filterNot(_.name == name))
+    mkManifest(snap, "drop", snap.files, rowsInserted = 0,
+      rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+      changesDir = None, schema = schema2,
+      columnMapping = snap.columnMapping - name,
+      retiredPhysical = snap.retiredPhysical :+
+        snap.columnMapping.getOrElse(name, name))
+  }
+
   /** OPTIMIZE: bin-pack each partition's files toward `targetFileBytes`,
     * optionally CLUSTERING rows by `sortCols` during the rewrite — the
     * `OPTIMIZE ... ZORDER BY` emulation inside the transactional format
@@ -479,7 +561,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     mkManifest(snap, "restore", old.files, rowsInserted = 0, rowsUpdated = 0,
       rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None,
       schema = old.schema, columnMapping = old.columnMapping,
-      partitionCol = old.partitionCol)
+      partitionCol = old.partitionCol, retiredPhysical = old.retiredPhysical)
   }
 
   /** Drop data files referenced ONLY by versions older than the last
@@ -560,10 +642,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val newFields = df.schema.fields.filterNot(f => existing.contains(f.name)).toSeq
       val schema2 = StructType(snap.schema.fields ++ newFields)
       // physical-name assignment: a column renamed AWAY from 'x' keeps
-      // physical 'x' forever, so a later evolution adding a new 'x' must
-      // take a fresh physical name or the two would collide in-file
+      // physical 'x' forever, and a DROPPED column's physical name is
+      // retired — a later evolution adding a new 'x' must take a fresh
+      // physical name or old files would leak stale values into it
       val taken = scala.collection.mutable.Set(
-        snap.schema.fieldNames.map(n => snap.columnMapping.getOrElse(n, n)).toSeq: _*)
+        (snap.schema.fieldNames.map(n => snap.columnMapping.getOrElse(n, n)) ++
+          snap.retiredPhysical).toSeq: _*)
       val mapping2 = snap.columnMapping ++ newFields.flatMap { f =>
         var cand = f.name
         var i = 0
@@ -741,12 +825,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       clusteredBy: Option[String] = None,
       schema: StructType = null,
       columnMapping: Map[String, String] = null,
-      partitionCol: Option[String] = null): Manifest =
+      partitionCol: Option[String] = null,
+      retiredPhysical: Seq[String] = null): Manifest =
     Manifest(snap.version + 1, action, System.currentTimeMillis(),
       Option(schema).getOrElse(snap.schema),
       Option(partitionCol).getOrElse(snap.partitionCol), files,
       rowsInserted, rowsUpdated, rowsDeleted, rowsTotal, changesDir,
-      clusteredBy, Option(columnMapping).getOrElse(snap.columnMapping))
+      clusteredBy, Option(columnMapping).getOrElse(snap.columnMapping),
+      Option(retiredPhysical).getOrElse(snap.retiredPhysical))
 
   private def mkDiff(base: Manifest, m: Manifest): AttemptDiff = {
     val mPaths = m.files.map(_.path).toSet
@@ -789,6 +875,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     if (!rebasable) return None
     if (schemaSig(fresh.schema) != schemaSig(onto.schema) ||
         fresh.columnMapping != onto.columnMapping ||
+        fresh.retiredPhysical != onto.retiredPhysical ||
         fresh.partitionCol != onto.partitionCol) return None
     val freshPaths = fresh.files.map(_.path).toSet
     if (!diff.removed.forall(freshPaths.contains)) return None
@@ -804,7 +891,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       fresh.files.filterNot(f => diff.removed.contains(f.path)) ++ diff.added,
       m.rowsInserted, m.rowsUpdated, m.rowsDeleted,
       fresh.rowsTotal - diff.removedRows + diff.added.map(_.rows).sum,
-      newChanges, clusteredBy = None, columnMapping = m.columnMapping))
+      newChanges, clusteredBy = None, columnMapping = m.columnMapping,
+      retiredPhysical = m.retiredPhysical))
   }
 
   /** Rewrite a staged change dir with a new `_commit_version` stamp (the
@@ -906,13 +994,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     // the commit is durable once the manifest link exists; promotion into
     // the stream-visible changes/ dir is repaired lazily by readers if a
     // crash lands exactly here
-    if (won) m.changesDir.foreach(promoteChanges)
+    if (won) {
+      m.changesDir.foreach(promoteChanges)
+      writeLatestHint(m.version)
+    }
     won
   }
 }
 
 object CommitLogTable {
   private val LogDirName = "_graft_log"
+  private val LatestHintName = "_latest"
   private val DataDirName = "data"
   private val ChangesDirName = s"$LogDirName/changes"
   private val StagedChangesDirName = s"$LogDirName/staged_changes"
@@ -955,15 +1047,20 @@ object CommitLogTable {
       added: Seq[LogFile], partitions: Set[String])
 
   /** One committed version. `schema` and `columnMapping` are the state AT
-    * this version — evolution and renames replay under time travel.
-    * `columnMapping` is sparse logical→physical (absent = identical).
+    * this version — evolution, renames, and drops replay under time
+    * travel. `columnMapping` is sparse logical→physical (absent =
+    * identical). `retiredPhysical` lists physical names whose logical
+    * column was DROPPED: their in-file data is dead but the name can
+    * never be reassigned (a later evolution re-adding the logical name
+    * takes a fresh physical name, so stale values never resurface).
     */
   final case class Manifest(version: Long, action: String, tsMillis: Long,
       schema: StructType, partitionCol: Option[String], files: Seq[LogFile],
       rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
       rowsTotal: Long, changesDir: Option[String],
       clusteredBy: Option[String] = None,
-      columnMapping: Map[String, String] = Map.empty)
+      columnMapping: Map[String, String] = Map.empty,
+      retiredPhysical: Seq[String] = Seq.empty)
 
   val HistorySchema: StructType = StructType.fromDDL(
     "version BIGINT, action STRING, rows_inserted BIGINT, " +
@@ -1135,6 +1232,10 @@ object CommitLogTable {
       val cm = root.putObject("columnMapping")
       m.columnMapping.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
     }
+    if (m.retiredPhysical.nonEmpty) {
+      val rp = root.putArray("retiredPhysical")
+      m.retiredPhysical.foreach(rp.add)
+    }
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val o = arr.addObject()
@@ -1160,11 +1261,15 @@ object CommitLogTable {
         val cm = n.get("columnMapping")
         cm.fieldNames().asScala.map(k => k -> cm.get(k).asText).toMap
       } else Map.empty[String, String]
+    val retired =
+      if (n.hasNonNull("retiredPhysical"))
+        n.get("retiredPhysical").elements().asScala.map(_.asText).toVector
+      else Seq.empty[String]
     Manifest(n.get("version").asLong, n.get("action").asText,
       n.get("tsMillis").asLong,
       StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
       files, n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
-      optText("changesDir"), optText("clusteredBy"), mapping)
+      optText("changesDir"), optText("clusteredBy"), mapping, retired)
   }
 }

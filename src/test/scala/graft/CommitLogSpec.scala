@@ -313,6 +313,17 @@ class CommitLogSpec extends AnyFunSuite {
       t.readChanges(1, t.latestVersion).count())
     assert(slurp(spark.read.parquet(out)) ==
       slurp(t.readChanges(1, t.latestVersion)))
+    // startingVersion (Delta readChangeFeed parity): a consumer
+    // bootstrapped from the v2 snapshot streams only commits ≥ 3
+    val out2 = tmpDir() + "/out2"
+    val q2 = t.readChangesStream(startingVersion = 3).writeStream
+      .format("parquet")
+      .option("checkpointLocation", tmpDir()).option("path", out2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(slurp(spark.read.parquet(out2)) ==
+      slurp(t.readChanges(3, t.latestVersion)))
   }
 
   test("optimistic concurrency: concurrent appends both land, distinct versions") {
@@ -416,6 +427,38 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.read().columns.toSeq == Seq("k", "cat", "v"))
   }
 
+  test("metadata-only column drop: retired physical data never resurfaces on re-add") {
+    val dir = tmpDir()
+    val df = Seq((1L, "a", 1.0, 10.0), (2L, "b", 2.0, 20.0))
+      .toDF("k", "cat", "v", "score")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df)
+    val filesBefore = t.read().inputFiles.toSet
+    t.dropColumn("score")
+    assert(t.read().inputFiles.toSet == filesBefore, "drop must be metadata-only")
+    assert(t.read().columns.toSeq == Seq("k", "cat", "v"))
+    // strict writes now speak the narrowed schema
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "cat", "v"))
+    intercept[IllegalArgumentException](
+      t.append(Seq((9L, "z", 9.0, 90.0)).toDF("k", "cat", "v", "score")))
+    // time travel to the pre-drop version still sees the column
+    assert(t.read(Some(1)).columns.toSeq == Seq("k", "cat", "v", "score"))
+    assert(t.read(Some(1)).filter($"k" === 1L).head().getAs[Double]("score") == 10.0)
+    // evolution RE-ADDS the logical name: it binds a fresh physical name,
+    // so the dropped values must read NULL, not 10.0/20.0
+    t.append(Seq((4L, "d", 4.0, 400.0)).toDF("k", "cat", "v", "score"),
+      mergeSchema = true)
+    val got = t.read().select("k", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some(400.0)),
+      s"retired physical data resurfaced: $got")
+    // the partition column and the last column refuse to drop
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+    val pd = Seq((1L, "x", 1.0)).toDF("k", "cat", "v")
+    val tp = CommitLogTable.create(spark, tmpDir(), pd.schema, Some("cat"))
+    intercept[IllegalArgumentException](tp.dropColumn("cat"))
+  }
+
   test("empty merge batch is a no-op: no version published, no snapshot rewrite") {
     val dir = tmpDir()
     val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
@@ -425,6 +468,30 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.merge(mk(Nil), Seq("k"), Seq($"v")) == v)
     assert(t.latestVersion == v, "idle upsert must not grow the log")
     assert(t.read().inputFiles.toSet == files)
+  }
+
+  test("empty append is a no-op; head-hint resolution survives staleness and absence") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0))))
+    val v = t.latestVersion
+    // the `_latest` hint is a FLOOR: a stale value forward-probes to the
+    // true head; a missing file falls back to the directory listing
+    val hint = Paths.get(dir, "_graft_log", "_latest")
+    Files.write(hint, "0".getBytes)
+    assert(t.latestVersion == v, "stale hint must be a floor, not the answer")
+    Files.delete(hint)
+    assert(t.latestVersion == v, "missing hint must fall back to listing")
+    // idle append: no version published, no growth
+    assert(t.append(mk(Nil)) == v)
+    assert(t.latestVersion == v, "idle append grew the log")
+    // but a schema-EVOLVING empty batch still publishes — the widened
+    // schema is the commit's content even with zero rows
+    t.append(Seq.empty[(Long, String, Double, Double)].toDF("k", "cat", "v", "s2"),
+      mergeSchema = true)
+    assert(t.latestVersion == v + 1)
+    assert(t.read().columns.toSeq == Seq("k", "cat", "v", "s2"))
+    assert(rows(t.read()) == Set((1L, "a", 1.0)))
   }
 
   test("vacuumed pinned version fails fast on read with a clear error") {
@@ -509,6 +576,40 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.commitRecomputes.get() == 1L,
       "an overlapping-partition loser MUST recompute — a rebase would lose the winner's rows")
     assert(t.commitRebases.get() == 0L)
+  }
+
+  test("mixed concurrent writers: appends + merges interleave arbitrarily, bookkeeping stays exact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir()
+    val df = Seq((0L, "d0", 0.0), (1L, "d1", 1.0), (2L, "d2", 2.0),
+      (3L, "d3", 3.0)).toDF("k", "cat", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    t.append(df)
+    // five concurrent writers: two blind appends, three single-partition
+    // merges — whatever order the publish races resolve in (rebases for
+    // commuting pairs, recomputes for the d3 append/merge overlap), the
+    // final state is order-independent
+    val works: Seq[() => Long] = Seq(
+      () => t.append(Seq((10L, "d0", 10.0)).toDF("k", "cat", "v")),
+      () => t.merge(Seq((1L, "d1", 100.0)).toDF("k", "cat", "v"), Seq("k"), Seq($"v")),
+      () => t.merge(Seq((2L, "d2", 200.0)).toDF("k", "cat", "v"), Seq("k"), Seq($"v")),
+      () => t.append(Seq((11L, "d3", 11.0)).toDF("k", "cat", "v")),
+      () => t.merge(Seq((3L, "d3", 300.0)).toDF("k", "cat", "v"), Seq("k"), Seq($"v")))
+    val versions = Await.result(
+      Future.sequence(works.map(w => Future(w()))), 300.seconds)
+    assert(versions.toSet.size == 5, s"versions collided: $versions")
+    assert(t.latestVersion == 6L)
+    assert(rows(t.read()) == Set((0L, "d0", 0.0), (10L, "d0", 10.0),
+      (1L, "d1", 100.0), (2L, "d2", 200.0), (3L, "d3", 300.0),
+      (11L, "d3", 11.0)), "final state must be order-independent")
+    // manifest bookkeeping survives the interleaving exactly
+    val h = t.history.orderBy($"version".desc).head()
+    assert(h.getLong(5) == 6L, s"rowsTotal drifted: ${h.getLong(5)}")
+    assert(t.readChanges(1, 6).filter($"_change_type" === "insert").count() == 6L)
+    assert(t.readChanges(1, 6).filter($"_change_type" === "update_postimage")
+      .select("v").as[Double].collect().toSet == Set(100.0, 200.0, 300.0))
   }
 
   test("TableOps commit-log binding: upsertPartitions + compact + vacuum end-to-end") {

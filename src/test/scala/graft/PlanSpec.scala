@@ -24,6 +24,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs.contains("l_comment") && !rs.contains("l_shipdate"), rs)
   }
 
+  test("column-mapped commit-log read keeps pushdown and pruning on PHYSICAL names") {
+    // a rename must stay plan-free: the logical→physical alias projection
+    // cannot block filter pushdown or column pruning at the parquet scan
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planspec-clog").toString
+    val df = Seq((1L, "a", 1.0), (2L, "b", 25.0), (3L, "c", 50.0))
+      .toDF("k", "cat", "v")
+    val t = graft.tables.CommitLogTable.create(spark, dir, df.schema)
+    t.append(df)
+    t.renameColumn("v", "amount") // physical stays 'v'
+    val q = t.read().filter($"amount" > 10.0).select("k", "amount")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v"),
+      plan.take(3000)) // pushed under the PHYSICAL in-file name
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).get
+    val struct = rs.substring(rs.indexOf("ReadSchema"))
+    assert(struct.contains("k:bigint") && struct.contains("v:double") &&
+      !struct.contains("cat"),
+      struct) // pruning holds: the unselected column never reaches the reader
+  }
+
   test("dimension joins broadcast the small side, no shuffle of the dims") {
     val plan = Queries.revenueByNation(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString

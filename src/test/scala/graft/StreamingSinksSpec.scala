@@ -150,6 +150,19 @@ class StreamingSinksSpec extends AnyFunSuite {
       "a restart must never silently re-infer the recorded schema")
   }
 
+  test("parquet streaming schema inference: no declared schema, exactly-once across restarts") {
+    val src = tmp("pinf-src"); val out = tmp("pinf-out"); val ckpt = tmp("pinf-ckpt")
+    Seq((1L, "a", 1.5)).toDF("id", "sym", "px").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeStreamInferred(spark, src), out, ckpt)
+    val r1 = spark.read.parquet(out)
+    assert(r1.columns.toSet == Set("id", "sym", "px") && r1.count() == 1)
+    Seq((2L, "b", 2.5)).toDF("id", "sym", "px").write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeStreamInferred(spark, src), out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("streaming ndjson rescue: recursive lookup, malformed line rescued, gz, exactly-once") {
     import java.nio.file.Paths
     import org.apache.spark.sql.types._
