@@ -2355,4 +2355,45 @@ object Queries {
         dsum(col("value"), 6).as("sum_value"),
         count(col("score")).as("n_score"),
         dsum(col("score"), 6).as("sum_score"))
+
+  /** Manifest-stats data skipping ([[graft.tables.CommitLogTable.readRange]]):
+    * a range read over the demo table prunes files on the per-file
+    * (min, max) recorded at commit time and applies the residual
+    * predicate — result-identical to a plain filter, which is exactly
+    * what the oracle checks (the file-skipping arithmetic itself is
+    * spec-pinned on constructed layouts).
+    */
+  def tableSkip(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogDropDir(s, dir))
+      .readRange("value", 50.0, 100.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+
+  /** Build (once per session) the UPDATE demo table: v1 append of
+    * event_id%4∈{0,1}; v2 `UPDATE value = value*2+1 WHERE event_id%3=0`
+    * — the `UPDATE … SET … WHERE` surface of the reference's Delta
+    * tables, with CDF pre/post images behind it (spec-pinned).
+    */
+  private def commitLogUpdateDir(s: SparkSession, dir: String): String = {
+    val tableDir = "/tmp/graft-commitlog-update/" + s.sparkContext.applicationId +
+      "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    SessionMemo.once(s, s"commitlogUpdate:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+        t.append(ev.filter(col("event_id") % 4 < 2))
+        t.update(col("event_id") % 3 === 0,
+          Map("value" -> (col("value") * 2 + 1)))
+      }
+    }
+    tableDir
+  }
+
+  def tableUpdate(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogUpdateDir(s, dir)).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 }

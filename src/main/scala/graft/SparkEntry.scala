@@ -173,6 +173,8 @@ object SparkEntry {
     "q_time_travel" -> (Queries.timeTravel _),
     "q_table_evolve" -> (Queries.tableEvolve _),
     "q_table_drop" -> (Queries.tableDrop _),
+    "q_table_skip" -> (Queries.tableSkip _),
+    "q_table_update" -> (Queries.tableUpdate _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -3740,5 +3742,21 @@ object SparkEntry {
              count(score) AS n_score,
              CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
       FROM t GROUP BY event_type""",
+
+    // stats-pruned range read over the drop-demo table (%4 <= 2 rows):
+    // result-identical to the plain filter
+    "q_table_skip" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id % 4 <= 2 AND value >= 50.0 AND value <= 100.0
+      GROUP BY event_type""",
+
+    // UPDATE demo: v1 append %4<2, v2 UPDATE value=value*2+1 WHERE id%3=0
+    "q_table_update" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 + 1
+               ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 4 < 2 GROUP BY event_type""",
   )
 }

@@ -183,6 +183,34 @@ object FileStreamIngest {
       .trigger(Trigger.ProcessingTime(interval))
       .start()
 
+  /** Exactly-once BLIND append into a commit-log table from a streaming
+    * foreachBatch — the idempotent-writes shape Delta documents for
+    * foreachBatch sinks (`txnAppId`/`txnVersion`): the micro-batch id is
+    * the transaction version, so a batch replayed after a crash between
+    * the append and the checkpoint commit is recognized by the table's
+    * recorded txn watermark and skipped, instead of double-appending.
+    * This closes the at-least-once caveat of the plain foreachBatch
+    * appenders WITHOUT requiring a merge key — the Bronze shape, where
+    * rows are raw and keys may not exist yet. `appId` must be unique per
+    * logical stream (two streams sharing an appId would suppress each
+    * other's batches); the checkpoint and the appId must move together.
+    */
+  def runAvailableNowCommitLogAppend(df: DataFrame, tableDir: String,
+      checkpointDir: String, appId: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.tables.CommitLogTable
+          .forPath(batch.sparkSession, tableDir, batch.schema, None)
+          .append(batch, txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** AvailableNow drain through an arbitrary per-batch sink function. */
   def runAvailableNowForeachBatch(df: DataFrame, checkpointDir: String)
       (f: DataFrame => Unit): Unit = {

@@ -174,6 +174,103 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   def fileCount(version: Option[Long] = None): Int =
     manifest(version.getOrElse(latestVersion)).files.size
 
+  /** Manifest-level DATA SKIPPING: read rows of `column` in [lo, hi]
+    * (inclusive; a null bound is unbounded) scanning ONLY files whose
+    * stored (min, max) for the column can intersect the range — the
+    * per-file stats pruning Delta's transaction log provides, and the
+    * read side of the clustered compact: after `compact(sortCols = k)`
+    * file ranges on k are DISJOINT, so a point or narrow-range query
+    * resolves to O(1 + range/fileWidth) files on manifest metadata alone,
+    * with zero footer reads and zero data scanned for skipped files. The
+    * residual predicate still applies (stats pruning is an optimization,
+    * never the filter). Files without stats for the column (pre-stats
+    * manifests, unsupported types) are read, not skipped — pruning can
+    * only ever be a subset. Supported bound types: numbers, strings,
+    * java.sql.Date, java.sql.Timestamp.
+    */
+  def readRange(column: String, lo: Any, hi: Any,
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(version.getOrElse(latestVersion))
+    require(m.schema.fieldNames.contains(column),
+      s"readRange: no column '$column' in ${m.schema.fieldNames.mkString(",")}")
+    val phys = m.columnMapping.getOrElse(column, column)
+    val dt = m.schema(column).dataType
+    val loC = Option(lo).flatMap(v => statBound(dt, v))
+    val hiC = Option(hi).flatMap(v => statBound(dt, v))
+    val keep = m.files.filter { f =>
+      f.stats.get(phys) match {
+        case Some((mn, mx)) =>
+          val mnC = statParse(dt, mn)
+          val mxC = statParse(dt, mx)
+          // keep iff [mn,mx] ∩ [lo,hi] could be non-empty; any conversion
+          // failure keeps the file (pruning must stay conservative)
+          (for { l <- loC; fileMax <- mxC } yield statLte(l, fileMax))
+            .getOrElse(true) &&
+          (for { h <- hiC; fileMin <- mnC } yield statLte(fileMin, h))
+            .getOrElse(true)
+        case None => true
+      }
+    }
+    version.foreach(v => requireFilesPresent(
+      m.copy(files = keep), s"readRange(version=$v)"))
+    val c = col(column)
+    val preds = Option(lo).map(v => c >= lit(v)) ++ Option(hi).map(v => c <= lit(v))
+    val base = readFiles(keep, m.schema, m.columnMapping)
+    preds.reduceOption(_ && _).map(base.filter).getOrElse(base)
+  }
+
+  /** Comparable form of a user bound / stored stat under the column's
+    * type: numeric domain (Left) or lexical domain (Right). None = not
+    * convertible → no pruning.
+    */
+  private def statBound(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Either[BigDecimal, String]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(Right(String.valueOf(v)))
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType =>
+        try Some(Left(BigDecimal(String.valueOf(v)))) catch { case _: NumberFormatException => None }
+      case DateType => v match {
+        case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
+        case s: String =>
+          try Some(Left(BigDecimal(java.time.LocalDate.parse(s).toEpochDay)))
+          catch { case _: java.time.format.DateTimeParseException => None }
+        case n: Number => Some(Left(BigDecimal(n.longValue)))
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          val i = t.toInstant
+          Some(Left(BigDecimal(i.getEpochSecond) * 1000000 + i.getNano / 1000))
+        case n: Number => Some(Left(BigDecimal(n.longValue)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Stored stats are canonical strings: numbers for every non-string
+    * supported type (date days / timestamp micros ride their physical
+    * int), verbatim for strings.
+    */
+  private def statParse(dt: org.apache.spark.sql.types.DataType,
+      s: String): Option[Either[BigDecimal, String]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(Right(s))
+      case _ =>
+        try Some(Left(BigDecimal(s))) catch { case _: NumberFormatException => None }
+    }
+  }
+
+  private def statLte(a: Either[BigDecimal, String],
+      b: Either[BigDecimal, String]): Boolean = (a, b) match {
+    case (Left(x), Left(y)) => x <= y
+    case (Right(x), Right(y)) => x <= y
+    case _ => true // mixed domains: cannot compare → never prune
+  }
+
   /** One row per committed version, oldest first: the table's history
     * (action + row/file statistics), from manifests only — no data read.
     */
@@ -280,19 +377,39 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * default. `mergeSchema = true` lets a WIDER batch evolve the table
     * schema (new columns appended; existing files null-backfill at read);
     * type changes on existing columns are always rejected.
+    *
+    * `txn = Some((appId, txnVersion))` makes the append IDEMPOTENT —
+    * Delta's `txnAppId`/`txnVersion` writer option: the manifest records
+    * the highest committed txnVersion per appId, and an append whose
+    * version is ≤ the recorded one is recognized as a replay and skipped
+    * BEFORE any data is written. This is what upgrades a streaming
+    * foreachBatch BLIND append to exactly-once (the micro-batch id is the
+    * txnVersion): a crash between the append and the checkpoint commit
+    * replays the batch, and the txn check — not a keyed merge — makes the
+    * replay converge. The check races like any commit: a concurrent
+    * same-txn writer loses the publish, fails the rebase txn check, and
+    * its recompute sees the recorded version — exactly one copy lands.
     */
   def append(df: DataFrame, recordChanges: Boolean = true,
-      mergeSchema: Boolean = false): Long =
+      mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long =
     retryCommit("append") { snap =>
+      // idempotent-replay skip FIRST — before the batch is even written
+      txn.foreach { case (appId, v) =>
+        if (snap.txns.get(appId).exists(_ >= v)) throw NoOpCommit }
       val (schema2, mapping2, aligned) = resolveSchema(df, snap, mergeSchema)
+      enforceConstraints(snap, aligned, "append")
       val (newFiles, dataRows) = writeData(aligned, snap.partitionCol, mapping2)
       // idle-stream guard, detected POST-write (costs no extra action —
       // an isEmpty pre-probe would re-execute the batch pipeline): an
       // empty batch must not publish a version, or a scheduled append
       // loop grows the log and ticks the retention window every idle run.
-      // A schema-EVOLVING empty batch still publishes: the widened schema
-      // is the commit's content even with zero rows.
-      if (dataRows == 0 && schemaSig(schema2) == schemaSig(snap.schema)) {
+      // A schema-EVOLVING empty batch still publishes (the widened schema
+      // is the commit's content), and so does an empty TXN batch (the
+      // recorded version is the content — a replayed empty batch must
+      // still be recognizable as committed).
+      if (dataRows == 0 && schemaSig(schema2) == schemaSig(snap.schema)
+          && txn.isEmpty) {
         newFiles.map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
           .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
         throw NoOpCommit
@@ -304,7 +421,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       mkManifest(snap, "append", snap.files ++ newFiles,
         rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
         rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub,
-        schema = schema2, columnMapping = mapping2)
+        schema = schema2, columnMapping = mapping2,
+        txns = snap.txns ++ txn.toMap)
     }
 
   /** MERGE upsert, latest-wins per `keys` under `order` (same semantics as
@@ -337,6 +455,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val latest = graft.operators.Dedup
         .keepLast(aligned.filter(!anyKeyNull), keys, order)
         .unionByName(aligned.filter(anyKeyNull))
+      enforceConstraints(snap, latest, "merge")
       val (affected, untouched) = snap.partitionCol match {
         case Some(p) =>
           // bounded driver collect: distinct partition values of ONE batch
@@ -393,6 +512,55 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** UPDATE rows matching `predicate`: each matched row's `set` columns
+    * are recomputed (expressions may reference the row's current
+    * values); unmatched rows carry over byte-identical. SQL semantics on
+    * the predicate (NULL = no match, like [[delete]]). CDF records
+    * update pre/post images, so downstream incremental consumers replay
+    * the change — the `UPDATE tbl SET ... WHERE ...` surface of the
+    * reference's Delta tables. Full-table copy-on-write like [[delete]]
+    * (maintenance-grade); a keyed high-frequency path belongs in
+    * [[merge]], which prunes partitions.
+    */
+  def update(predicate: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "update: empty SET clause")
+    retryCommit("update") { snap =>
+      set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+        s"update: no column '$c' in ${snap.schema.fieldNames.mkString(",")}"))
+      require(!snap.partitionCol.exists(set.contains),
+        "update: cannot SET the partition column (a row may not move partitions)")
+      val current = readFiles(snap.files, snap.schema, snap.columnMapping).persist()
+      val hits = coalesce(predicate, lit(false))
+      try {
+        val updatedRows = current.filter(hits).select(
+          snap.schema.fieldNames.map(c =>
+            set.get(c).map(_.cast(snap.schema(c).dataType).as(c))
+              .getOrElse(col(c))).toSeq: _*)
+        enforceConstraints(snap, updatedRows, "update")
+        val (newFiles, _) = writeData(
+          current.filter(!hits).unionByName(updatedRows),
+          snap.partitionCol, snap.columnMapping)
+        val changesSub = writeChanges(
+          current.filter(hits).withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updatedRows
+              .withColumn("_change_type", lit("update_postimage"))),
+          snap.version + 1, snap.columnMapping)
+        val nUpd = current.filter(hits).count()
+        if (nUpd == 0) {
+          // nothing matched: drop this attempt's output, publish nothing
+          newFiles.map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
+            .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+          deleteRecursively(Paths.get(dir, StagedChangesDirName,
+            Paths.get(changesSub).getFileName.toString))
+          throw NoOpCommit
+        }
+        mkManifest(snap, "update", newFiles,
+          rowsInserted = 0, rowsUpdated = nUpd, rowsDeleted = 0,
+          rowsTotal = snap.rowsTotal, changesDir = Some(changesSub))
+      } finally current.unpersist(false)
+    }
+  }
+
   /** Delete rows matching `predicate`; CDF records the deleted rows.
     * SQL DELETE semantics: only rows where the predicate is TRUE go — a
     * NULL predicate keeps the row (naively filtering on `!predicate`
@@ -432,6 +600,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         s"renameColumn: no column '$oldName' in ${snap.schema.fieldNames.mkString(",")}")
       require(!snap.schema.fieldNames.contains(newName),
         s"renameColumn: column '$newName' already exists")
+      constraintRefs(snap).foreach { case (n, refs) =>
+        require(!refs.contains(oldName),
+          s"renameColumn: CHECK constraint '$n' references '$oldName' — drop it first") }
       val physName = snap.columnMapping.getOrElse(oldName, oldName)
       val schema2 = StructType(snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -461,6 +632,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       s"dropColumn: '$name' is the partition column")
     require(snap.schema.fields.length > 1,
       "dropColumn: cannot drop the last column")
+    constraintRefs(snap).foreach { case (n, refs) =>
+      require(!refs.contains(name),
+        s"dropColumn: CHECK constraint '$n' references '$name' — drop it first") }
     val schema2 = StructType(snap.schema.fields.filterNot(_.name == name))
     mkManifest(snap, "drop", snap.files, rowsInserted = 0,
       rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
@@ -469,6 +643,69 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       retiredPhysical = snap.retiredPhysical :+
         snap.columnMapping.getOrElse(name, name))
   }
+
+  /** ADD a table-level CHECK constraint (Delta `ALTER TABLE … ADD
+    * CONSTRAINT … CHECK`): `expression` is a SQL boolean over logical
+    * column names; SQL CHECK semantics (NULL passes — only FALSE
+    * violates). Existing data is scanned once and must satisfy it, as
+    * Delta does; from this version on, every append/merge/update batch
+    * is validated in ONE extra aggregate action (constraint-free tables
+    * pay nothing) and a violating write fails whole before any manifest
+    * publishes. This is write-time schema-level DQ, complementing the
+    * row-routing expectations gate (`operators/Expectations`, the
+    * reference's GE suite) which quarantines instead of rejecting.
+    */
+  def addConstraint(name: String, expression: String): Long =
+    retryCommit("constraint") { snap =>
+      require(!snap.constraints.contains(name),
+        s"constraint '$name' already exists")
+      val bad = readFiles(snap.files, snap.schema, snap.columnMapping)
+        .filter(coalesce(expr(expression), lit(true)) === false).count()
+      require(bad == 0,
+        s"cannot add CHECK '$name': $bad existing row(s) violate $expression")
+      mkManifest(snap, "constraint", snap.files, rowsInserted = 0,
+        rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+        changesDir = None,
+        constraints = snap.constraints + (name -> expression))
+    }
+
+  /** Drop a CHECK constraint by name (metadata-only). */
+  def dropConstraint(name: String): Long = retryCommit("constraint") { snap =>
+    require(snap.constraints.contains(name), s"no constraint '$name'")
+    mkManifest(snap, "constraint", snap.files, rowsInserted = 0,
+      rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+      changesDir = None, constraints = snap.constraints - name)
+  }
+
+  /** One aggregate action validates every constraint against a write
+    * batch; the error names the first violated constraint and its
+    * violation count.
+    */
+  private def enforceConstraints(snap: Manifest, batch: DataFrame,
+      what: String): Unit =
+    if (snap.constraints.nonEmpty) {
+      val checks = snap.constraints.toSeq.sortBy(_._1)
+      val aggs = checks.map { case (n, e) =>
+        sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)).as(n) }
+      val row = batch.agg(aggs.head, aggs.tail: _*).head()
+      checks.zipWithIndex.foreach { case ((n, e), i) =>
+        val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+        require(v == 0,
+          s"$what violates CHECK constraint '$n' ($e) on $v row(s) at $dir")
+      }
+    }
+
+  /** Logical column names referenced by stored constraint expressions —
+    * rename/drop of a referenced column is refused (Delta's rule), since
+    * the stored SQL text would silently dangle.
+    */
+  private def constraintRefs(snap: Manifest): Map[String, Set[String]] =
+    snap.constraints.map { case (n, e) =>
+      n -> spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.toSet
+    }
 
   /** OPTIMIZE: bin-pack each partition's files toward `targetFileBytes`,
     * optionally CLUSTERING rows by `sortCols` during the rewrite — the
@@ -561,7 +798,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     mkManifest(snap, "restore", old.files, rowsInserted = 0, rowsUpdated = 0,
       rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None,
       schema = old.schema, columnMapping = old.columnMapping,
-      partitionCol = old.partitionCol, retiredPhysical = old.retiredPhysical)
+      partitionCol = old.partitionCol, retiredPhysical = old.retiredPhysical,
+      // constraints travel with the schema they reference (a head-side
+      // constraint may name a column the restored schema lacks)
+      constraints = old.constraints)
   }
 
   /** Drop data files referenced ONLY by versions older than the last
@@ -790,7 +1030,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.substring(seg.indexOf('=') + 1))
         }
-      LogFile(rel, partition, footerRows(p), Files.size(p))
+      val (rows, stats) = footerInfo(p)
+      LogFile(rel, partition, rows, Files.size(p), stats)
     }
   }
 
@@ -810,13 +1051,63 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       finally pool.shutdown()
     }
 
-  /** Footer-only row count — never a data scan. */
-  private def footerRows(p: Path): Long = {
+  /** Footer-only row count + per-column (min, max) — never a data scan.
+    * Row-group stats merge to file-level bounds; null-only groups are
+    * skipped (NULL rows never match a range predicate, so the remaining
+    * bounds stay valid for skipping). Supported: int/long (incl. date
+    * days, timestamp micros — their logical annotations ride the
+    * physical int), float/double (NaN bounds dropped), short UTF8
+    * strings. Decimals and nested paths are excluded (a raw int bound
+    * would misread the scale). Capped to the first
+    * [[MaxStatsColumns]] schema-order columns.
+    */
+  private def footerInfo(p: Path): (Long, Map[String, (String, String)]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
       spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val schemaOrder = r.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName).zipWithIndex.toMap
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      val stats = byCol.toSeq
+        .filter { case (name, _) => !name.contains(".") }
+        .sortBy { case (name, _) => schemaOrder.getOrElse(name, Int.MaxValue) }
+        .take(MaxStatsColumns)
+        .flatMap { case (name, chunks) =>
+          val pt = chunks.head.getPrimitiveType
+          val isDecimal = pt.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          val ss = chunks.map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          if (ss.isEmpty || isDecimal) None
+          else pt.getPrimitiveTypeName match {
+            case INT32 | INT64 =>
+              val mn = ss.map(_.genericGetMin.asInstanceOf[Number].longValue).min
+              val mx = ss.map(_.genericGetMax.asInstanceOf[Number].longValue).max
+              Some(name -> (mn.toString, mx.toString))
+            case FLOAT | DOUBLE =>
+              val mn = ss.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min
+              val mx = ss.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max
+              if (mn.isNaN || mx.isNaN) None
+              else Some(name -> (mn.toString, mx.toString))
+            case BINARY if pt.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              val mn = ss.map(_.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min
+              val mx = ss.map(_.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max
+              if (mn.length > 64 || mx.length > 64) None else Some(name -> (mn, mx))
+            case _ => None
+          }
+        }.toMap
+      (rows, stats)
+    } finally r.close()
   }
 
   private def mkManifest(snap: Manifest, action: String, files: Seq[LogFile],
@@ -826,13 +1117,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       schema: StructType = null,
       columnMapping: Map[String, String] = null,
       partitionCol: Option[String] = null,
-      retiredPhysical: Seq[String] = null): Manifest =
+      retiredPhysical: Seq[String] = null,
+      txns: Map[String, Long] = null,
+      constraints: Map[String, String] = null): Manifest =
     Manifest(snap.version + 1, action, System.currentTimeMillis(),
       Option(schema).getOrElse(snap.schema),
       Option(partitionCol).getOrElse(snap.partitionCol), files,
       rowsInserted, rowsUpdated, rowsDeleted, rowsTotal, changesDir,
       clusteredBy, Option(columnMapping).getOrElse(snap.columnMapping),
-      Option(retiredPhysical).getOrElse(snap.retiredPhysical))
+      Option(retiredPhysical).getOrElse(snap.retiredPhysical),
+      Option(txns).getOrElse(snap.txns),
+      Option(constraints).getOrElse(snap.constraints))
 
   private def mkDiff(base: Manifest, m: Manifest): AttemptDiff = {
     val mPaths = m.files.map(_.path).toSet
@@ -876,7 +1171,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     if (schemaSig(fresh.schema) != schemaSig(onto.schema) ||
         fresh.columnMapping != onto.columnMapping ||
         fresh.retiredPhysical != onto.retiredPhysical ||
-        fresh.partitionCol != onto.partitionCol) return None
+        fresh.partitionCol != onto.partitionCol ||
+        // a constraint added underneath this attempt must re-validate
+        // the batch — the recompute path enforces it
+        fresh.constraints != onto.constraints) return None
     val freshPaths = fresh.files.map(_.path).toSet
     if (!diff.removed.forall(freshPaths.contains)) return None
     if (m.action == "merge") {
@@ -885,6 +1183,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         .map(_.partition.getOrElse("")).toSet
       if (winnerAdded.intersect(diff.partitions).nonEmpty) return None
     }
+    // txn commutativity: OUR txn record must still be news under fresh —
+    // a winner that already recorded this (appId, version) means this
+    // attempt was a replay of a commit that landed; the recompute path
+    // then recognizes it and no-ops. Interleaved winners' txn records
+    // carry through (fresh.txns is the base, ours overlay it).
+    val ourTxns = m.txns.filter { case (a, v) => !onto.txns.get(a).contains(v) }
+    ourTxns.foreach { case (a, v) =>
+      if (fresh.txns.get(a).exists(_ >= v)) return None }
     val newChanges = m.changesDir.map(restampChanges(_, fresh.version + 1))
     Some(Manifest(fresh.version + 1, m.action, System.currentTimeMillis(),
       m.schema, m.partitionCol,
@@ -892,7 +1198,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       m.rowsInserted, m.rowsUpdated, m.rowsDeleted,
       fresh.rowsTotal - diff.removedRows + diff.added.map(_.rows).sum,
       newChanges, clusteredBy = None, columnMapping = m.columnMapping,
-      retiredPhysical = m.retiredPhysical))
+      retiredPhysical = m.retiredPhysical, txns = fresh.txns ++ ourTxns,
+      constraints = m.constraints))
   }
 
   /** Rewrite a staged change dir with a new `_commit_version` stamp (the
@@ -1011,6 +1318,13 @@ object CommitLogTable {
   private val ShadowPartCol = "__part"
   private val MaxCommitRetries = 20
 
+  /** Per-file min/max stats are kept for at most this many columns
+    * (schema-order first — the leading columns are the keys and
+    * clustering targets); the cap bounds manifest growth the same way
+    * Delta's `dataSkippingNumIndexedCols` (default 32) does.
+    */
+  val MaxStatsColumns = 12
+
   /** Default orphan grace for [[vacuumPath]]: an UNREFERENCED file is an
     * in-flight commit's output until proven otherwise, so the sweep age
     * gate must exceed the longest plausible commit duration — at the
@@ -1036,8 +1350,16 @@ object CommitLogTable {
     */
   private object NoOpCommit extends scala.util.control.ControlThrowable
 
+  /** `stats`: per-PHYSICAL-column (min, max) in canonical string form
+    * (numeric/date/timestamp as numbers, strings verbatim ≤64 chars),
+    * merged across the file's row groups at commit time from the parquet
+    * footer (already open for the row count — stats cost no extra I/O).
+    * Capped to [[MaxStatsColumns]] columns; absent = no pruning for the
+    * file (pre-stats manifests, unsupported types, long strings).
+    */
   final case class LogFile(path: String, partition: Option[String],
-      rows: Long, bytes: Long)
+      rows: Long, bytes: Long,
+      stats: Map[String, (String, String)] = Map.empty)
 
   /** The attempt's file-level footprint relative to the snapshot it was
     * computed against — the invariant a rebase re-applies on top of a
@@ -1060,7 +1382,9 @@ object CommitLogTable {
       rowsTotal: Long, changesDir: Option[String],
       clusteredBy: Option[String] = None,
       columnMapping: Map[String, String] = Map.empty,
-      retiredPhysical: Seq[String] = Seq.empty)
+      retiredPhysical: Seq[String] = Seq.empty,
+      txns: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   val HistorySchema: StructType = StructType.fromDDL(
     "version BIGINT, action STRING, rows_inserted BIGINT, " +
@@ -1236,6 +1560,14 @@ object CommitLogTable {
       val rp = root.putArray("retiredPhysical")
       m.retiredPhysical.foreach(rp.add)
     }
+    if (m.txns.nonEmpty) {
+      val tx = root.putObject("txns")
+      m.txns.toSeq.sortBy(_._1).foreach { case (a, v) => tx.put(a, v) }
+    }
+    if (m.constraints.nonEmpty) {
+      val cn = root.putObject("constraints")
+      m.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
+    }
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val o = arr.addObject()
@@ -1243,6 +1575,12 @@ object CommitLogTable {
       f.partition.foreach(o.put("partition", _))
       o.put("rows", f.rows)
       o.put("bytes", f.bytes)
+      if (f.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val a = st.putArray(c); a.add(mn); a.add(mx)
+        }
+      }
     }
     mapper.writeValueAsString(root)
   }
@@ -1252,9 +1590,17 @@ object CommitLogTable {
     def optText(field: String): Option[String] =
       if (n.hasNonNull(field)) Some(n.get(field).asText) else None
     val files = n.get("files").elements().asScala.map { f =>
+      val stats =
+        if (f.hasNonNull("stats")) {
+          val st = f.get("stats")
+          st.fieldNames().asScala.map { c =>
+            val a = st.get(c)
+            c -> (a.get(0).asText, a.get(1).asText)
+          }.toMap
+        } else Map.empty[String, (String, String)]
       LogFile(f.get("path").asText,
         if (f.hasNonNull("partition")) Some(f.get("partition").asText) else None,
-        f.get("rows").asLong, f.get("bytes").asLong)
+        f.get("rows").asLong, f.get("bytes").asLong, stats)
     }.toVector
     val mapping =
       if (n.hasNonNull("columnMapping")) {
@@ -1265,11 +1611,22 @@ object CommitLogTable {
       if (n.hasNonNull("retiredPhysical"))
         n.get("retiredPhysical").elements().asScala.map(_.asText).toVector
       else Seq.empty[String]
+    val txns =
+      if (n.hasNonNull("txns")) {
+        val tx = n.get("txns")
+        tx.fieldNames().asScala.map(k => k -> tx.get(k).asLong).toMap
+      } else Map.empty[String, Long]
+    val constraints =
+      if (n.hasNonNull("constraints")) {
+        val cn = n.get("constraints")
+        cn.fieldNames().asScala.map(k => k -> cn.get(k).asText).toMap
+      } else Map.empty[String, String]
     Manifest(n.get("version").asLong, n.get("action").asText,
       n.get("tsMillis").asLong,
       StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
       files, n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
-      optText("changesDir"), optText("clusteredBy"), mapping, retired)
+      optText("changesDir"), optText("clusteredBy"), mapping, retired, txns,
+      constraints)
   }
 }

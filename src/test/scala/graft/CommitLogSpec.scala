@@ -31,9 +31,13 @@ object CommitGate {
     calls.set(0); arrivedFlag = false
     latch = new java.util.concurrent.CountDownLatch(1)
   }
-  def udf(): org.apache.spark.sql.Column =
+  /** blockFrom = 2 suits merge (whose evaluation #1 is the pre-snapshot
+    * isEmpty probe); append evaluates its batch only inside the commit
+    * body, so blockFrom = 1 stalls it after snapshot resolution.
+    */
+  def udf(blockFrom: Int = 2): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udf { () =>
-      if (calls.incrementAndGet() >= 2) { arrivedFlag = true; latch.await() }
+      if (calls.incrementAndGet() >= blockFrom) { arrivedFlag = true; latch.await() }
       true
     }.apply()
   def awaitArrived(): Unit = while (!arrivedFlag) Thread.sleep(10)
@@ -576,6 +580,141 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.commitRecomputes.get() == 1L,
       "an overlapping-partition loser MUST recompute — a rebase would lose the winner's rows")
     assert(t.commitRebases.get() == 0L)
+  }
+
+  test("UPDATE: SET expressions see current values, CDF images recorded, no-match publishes nothing") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    t.update($"k" >= 2L, Map("v" -> (col("v") * 10), "cat" -> upper(col("cat"))))
+    assert(rows(t.read()) == Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "C", 30.0)))
+    val h = t.history.filter($"version" === 2).head()
+    assert((h.getLong(3), h.getLong(5)) == (2L, 3L)) // rows_updated, rows_total
+    val ch = t.readChanges(2, 2)
+    assert(ch.filter($"_change_type" === "update_preimage")
+      .select("v").as[Double].collect().toSet == Set(2.0, 3.0))
+    assert(ch.filter($"_change_type" === "update_postimage")
+      .select("v").as[Double].collect().toSet == Set(20.0, 30.0))
+    // NULL-evaluating predicate rows don't match (SQL semantics); a
+    // no-match update publishes no version
+    val v = t.latestVersion
+    t.update($"cat" === "nope", Map("v" -> lit(0.0)))
+    assert(t.latestVersion == v, "no-match update grew the log")
+    // the partition column cannot be SET (rows may not move partitions)
+    val pd = Seq((1L, "d1", 1.0)).toDF("k", "cat", "v")
+    val tp = CommitLogTable.create(spark, tmpDir(), pd.schema, Some("cat"))
+    tp.append(pd)
+    intercept[IllegalArgumentException](
+      tp.update($"k" === 1L, Map("cat" -> lit("d2"))))
+  }
+
+  test("CHECK constraints: writes validate, violations fail whole, rename/drop of referenced columns refused") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0))))
+    // existing data must satisfy a new constraint
+    intercept[IllegalArgumentException](t.addConstraint("v_neg", "v < 0"))
+    t.addConstraint("v_pos", "v >= 0")
+    // a violating append fails WHOLE — nothing lands, no version
+    val v = t.latestVersion
+    intercept[IllegalArgumentException](
+      t.append(mk(Seq((2L, "b", 2.0), (3L, "c", -1.0)))))
+    assert(t.latestVersion == v && t.read().count() == 1)
+    // passing writes flow; NULL passes (SQL CHECK semantics)
+    t.append(Seq((4L, Some("d"), Option.empty[Double])).toDF("k", "cat", "v"))
+    assert(t.read().count() == 2)
+    // merge and update enforce too
+    intercept[IllegalArgumentException](
+      t.merge(mk(Seq((1L, "a", -5.0))), Seq("k"), Seq($"v")))
+    intercept[IllegalArgumentException](
+      t.update($"k" === 1L, Map("v" -> lit(-2.0))))
+    t.update($"k" === 1L, Map("v" -> lit(9.0)))
+    // rename/drop of a referenced column is refused; dropping the
+    // constraint re-enables both
+    intercept[IllegalArgumentException](t.renameColumn("v", "amount"))
+    intercept[IllegalArgumentException](t.dropColumn("v"))
+    t.dropConstraint("v_pos")
+    t.append(mk(Seq((5L, "e", -1.0)))) // no longer enforced
+    t.renameColumn("v", "amount")
+    assert(t.read().columns.contains("amount"))
+  }
+
+  test("manifest stats + readRange: file skipping on metadata alone, across types and renames") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    // four single-file commits with disjoint k ranges — the post-clustered
+    // layout (the clustered-compact spec proves disjointness; here the
+    // layout is constructed so the pruning arithmetic is exact)
+    (0 until 4).foreach { b =>
+      t.append(mk(((b * 100 + 1) to (b * 100 + 100)).map(i =>
+        (i.toLong, f"c$i%03d", i * 1.0))).coalesce(1))
+    }
+    val total = t.read().inputFiles.length
+    assert(total == 4)
+    // numeric range inside one file's bounds → one file scanned
+    val q = t.readRange("k", 150L, 160L)
+    assert(q.inputFiles.length == 1, s"expected 1 file, got ${q.inputFiles.length}")
+    assert(q.select("k").as[Long].collect().sorted.toSeq == (150L to 160L))
+    // range straddling two files
+    assert(t.readRange("k", 190L, 210L).inputFiles.length == 2)
+    // string bounds prune on lexical stats
+    val qs = t.readRange("cat", "c050", "c060")
+    assert(qs.inputFiles.length == 1 && qs.count() == 11)
+    // double column; unbounded low side keeps every file up to hi
+    val qd = t.readRange("v", 350.5, null)
+    assert(qd.inputFiles.length == 1 && qd.count() == 50)
+    assert(t.readRange("k", null, 10L).select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 10L))
+    // a rename keeps skipping through the immutable physical name
+    t.renameColumn("k", "key")
+    val qr = t.readRange("key", 150L, 160L)
+    assert(qr.inputFiles.length == 1 && qr.count() == 11)
+    // date columns prune on their day-int physical stats
+    val dd = Seq.tabulate(90)(i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)))
+      .toDF("k", "d")
+    val t2 = CommitLogTable.create(spark, tmpDir(), dd.schema)
+    t2.append(dd.filter($"k" < 31).coalesce(1))
+    t2.append(dd.filter($"k" >= 31 && $"k" < 60).coalesce(1))
+    t2.append(dd.filter($"k" >= 60).coalesce(1))
+    val qdate = t2.readRange("d",
+      java.sql.Date.valueOf("2024-02-05"), java.sql.Date.valueOf("2024-02-20"))
+    assert(qdate.inputFiles.length == 1 && qdate.count() == 16)
+  }
+
+  test("idempotent txn appends: replays skip before writing, concurrent same-txn lands once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    val b = mk(Seq((1L, "a", 1.0)))
+    assert(t.append(b, txn = Some(("job", 0L))) == 1L)
+    // replay of a committed txn: skipped (no version, no data written)
+    assert(t.append(b, txn = Some(("job", 0L))) == 1L)
+    assert(t.read().count() == 1 && t.latestVersion == 1L)
+    // a newer version appends; an independent appId is unaffected
+    assert(t.append(b, txn = Some(("job", 1L))) == 2L)
+    assert(t.append(b, txn = Some(("other", 0L))) == 3L)
+    assert(t.read().count() == 3)
+    // an EMPTY txn batch still records its version — the replay of an
+    // empty batch must be recognizable as committed
+    assert(t.append(mk(Nil), txn = Some(("job", 2L))) == 4L)
+    assert(t.append(b, txn = Some(("job", 2L))) == 4L,
+      "recorded empty txn must suppress the replay")
+    assert(t.read().count() == 3)
+    // concurrent same-txn writers (a zombie retry racing its successor):
+    // exactly one copy lands; the loser's rebase is REFUSED by the txn
+    // check and its recompute recognizes the recorded version
+    CommitGate.reset()
+    val slow = mk(Seq((9L, "z", 9.0))).filter(CommitGate.udf(blockFrom = 1))
+    val fut = Future(t.append(slow, txn = Some(("job", 5L))))
+    CommitGate.awaitArrived()
+    t.append(mk(Seq((9L, "z", 9.0))), txn = Some(("job", 5L)))
+    CommitGate.release()
+    val v = Await.result(fut, 300.seconds)
+    assert(v == t.latestVersion)
+    assert(t.read().filter($"k" === 9L).count() == 1, "same txn landed twice")
   }
 
   test("mixed concurrent writers: appends + merges interleave arbitrarily, bookkeeping stays exact") {

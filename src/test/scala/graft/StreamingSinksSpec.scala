@@ -150,6 +150,34 @@ class StreamingSinksSpec extends AnyFunSuite {
       "a restart must never silently re-infer the recorded schema")
   }
 
+  test("commit-log bronze append: exactly-once blind appends via txn watermark, replay converges") {
+    val src = tmp("txn-src"); val ckpt = tmp("txn-ckpt")
+    val tbl = tmp("txn-out") + "/bronze"
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val slice1 = ev.filter($"event_id" % 2 === 0)
+    val slice2 = ev.filter($"event_id" % 2 === 1)
+    slice1.write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowCommitLogAppend(
+      FileStreamIngest.bronzeStream(spark, src, ev.schema), tbl, ckpt, "bronze-A")
+    val t = graft.tables.CommitLogTable.open(spark, tbl)
+    assert(t.read().count() == slice1.count())
+    // crash-inside-foreachBatch replay: re-running the committed batch id
+    // must be recognized by the table's txn watermark and skipped — this
+    // is a BLIND append, there is no merge key to converge on
+    val vBefore = t.latestVersion
+    t.append(slice1, txn = Some(("bronze-A", 0L)))
+    assert(t.latestVersion == vBefore && t.read().count() == slice1.count(),
+      "replayed micro-batch double-appended")
+    // restart drains only the delta
+    slice2.write.mode("append").parquet(src)
+    FileStreamIngest.runAvailableNowCommitLogAppend(
+      FileStreamIngest.bronzeStream(spark, src, ev.schema), tbl, ckpt, "bronze-A")
+    val got = t.read()
+    assert(got.count() == ev.count())
+    assert(got.select(countDistinct($"event_id")).as[Long].head() == ev.count())
+  }
+
   test("parquet streaming schema inference: no declared schema, exactly-once across restarts") {
     val src = tmp("pinf-src"); val out = tmp("pinf-out"); val ckpt = tmp("pinf-ckpt")
     Seq((1L, "a", 1.5)).toDF("id", "sym", "px").write.mode("append").parquet(src)
