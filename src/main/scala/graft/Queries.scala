@@ -720,6 +720,21 @@ object Queries {
     * stored index), exactly as [[ivfTopKIndexed]] does for the dense
     * plane.
     */
+  /** /tmp working dir for a session-built commit-log artifact, keyed by
+    * applicationId (two concurrent drivers — bench + test suite — must
+    * never share or Overwrite each other's directories) AND a
+    * source-file content stamp (an exists() rebuild guard must never
+    * serve an artifact built from a previous testdata generation in the
+    * same JVM). One definition — the stamping scheme changes in one
+    * place, not per artifact.
+    */
+  private def stampedTmpDir(s: SparkSession, dir: String, prefix: String,
+      table: String): String =
+    s"/tmp/$prefix/" + s.sparkContext.applicationId + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((dir + Tables.tableStamp(dir, table)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+
   def bm25TopKIndexed(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // applicationId-scoped for the same concurrent-driver reason as
@@ -748,12 +763,7 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val n = Tables.rowCount(s, dir, "documents")
     val split = math.max(Bm25NQueries + 1, n * 3 / 5)
-    // corpus-stamped path: the exists() guard must not serve an index
-    // built from a previous testdata generation (see ivfTopKMaintained)
-    val idxDir = "/tmp/graft-bm25-log/" + s.sparkContext.applicationId +
-      "-" + java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + Tables.tableStamp(dir, "documents")).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+    val idxDir = stampedTmpDir(s, dir, "graft-bm25-log", "documents")
     SessionMemo.once(s, s"bm25log:$dir") {
       if (!graft.tables.CommitLogTable.exists(idxDir)) {
         graft.llm.Bm25.indexLogAppend(s, idxDir,
@@ -1491,13 +1501,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     val n = Tables.rowCount(s, dir, "embeddings")
     val split = math.max(1L, n * 3 / 5)
-    // the corpus stamp keys the path by source-file content: the
-    // exists() rebuild guard below must never serve an index built from
-    // a previous testdata generation in the same JVM
-    val idxDir = "/tmp/graft-ivf-log/" + s.sparkContext.applicationId + "-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + Tables.tableStamp(dir, "embeddings")).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+    val idxDir = stampedTmpDir(s, dir, "graft-ivf-log", "embeddings")
     SessionMemo.once(s, s"ivflog:$dir:$n") {
       if (!graft.tables.CommitLogTable.exists(idxDir)) {
         val cents = ivfCentroidsShared(s, dir)
@@ -2216,12 +2220,7 @@ object Queries {
     * change images, pinned snapshots) is a pure function of `events`.
     */
   private def commitLogDemoDir(s: SparkSession, dir: String): String = {
-    // corpus-stamped path: the exists() guard must not serve a demo table
-    // built from a previous events generation (see ivfTopKMaintained)
-    val tableDir = "/tmp/graft-commitlog/" + s.sparkContext.applicationId +
-      "-" + java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog", "events")
     SessionMemo.once(s, s"commitlog:$dir") {
       // applicationId-unique path: a completed build survives drainAll()
       if (!graft.tables.CommitLogTable.exists(tableDir)) {
@@ -2282,10 +2281,7 @@ object Queries {
     *      (`docs/databricks_setup.md:96`) — zero data files touched.
     */
   private def commitLogEvolveDir(s: SparkSession, dir: String): String = {
-    val tableDir = "/tmp/graft-commitlog-evolve/" + s.sparkContext.applicationId +
-      "-" + java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-evolve", "events")
     SessionMemo.once(s, s"commitlogEvolve:$dir") {
       if (!graft.tables.CommitLogTable.exists(tableDir)) {
         val ev = Tables.events(s, dir)
@@ -2324,10 +2320,7 @@ object Queries {
     *      score values must NOT resurface (they read NULL).
     */
   private def commitLogDropDir(s: SparkSession, dir: String): String = {
-    val tableDir = "/tmp/graft-commitlog-drop/" + s.sparkContext.applicationId +
-      "-" + java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-drop", "events")
     SessionMemo.once(s, s"commitlogDrop:$dir") {
       if (!graft.tables.CommitLogTable.exists(tableDir)) {
         val ev = Tables.events(s, dir)
@@ -2375,10 +2368,7 @@ object Queries {
     * tables, with CDF pre/post images behind it (spec-pinned).
     */
   private def commitLogUpdateDir(s: SparkSession, dir: String): String = {
-    val tableDir = "/tmp/graft-commitlog-update/" + s.sparkContext.applicationId +
-      "-" + java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + Tables.tableStamp(dir, "events")).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-update", "events")
     SessionMemo.once(s, s"commitlogUpdate:$dir") {
       if (!graft.tables.CommitLogTable.exists(tableDir)) {
         val ev = Tables.events(s, dir)

@@ -75,6 +75,28 @@ object TableFormatProbe {
       rec(p, "pruned_merge_1part", timeMs(t.merge(one, Seq("k", "part"), Seq(col("amount"))))._2)
       rec(p, "read_1partition", timeMs(t.readPartitions(Set("3")).count())._2)
 
+      // stats skipping on a range-clustered UNPARTITIONED table: p files
+      // with disjoint contiguous k ranges — a narrow range resolves to
+      // ~1 file on manifest stats alone, while the full scan pays all p
+      val sdir = s"$outRoot/s$p-${System.nanoTime()}"
+      val clustered = spark.range(p * 200L).select(col("id").as("k"),
+        (col("id") * 0.1).as("x"))
+        .repartitionByRange(p, col("k")).sortWithinPartitions("k")
+      val ts = CommitLogTable.create(spark, sdir, clustered.schema)
+      ts.append(clustered, recordChanges = false)
+      rec(p, "read_range_narrow",
+        timeMs(ts.readRange("k", 10L, 20L).count())._2)
+      rec(p, "read_full_scan", timeMs(ts.read().count())._2)
+      // txn replay skip is pure metadata (no data written)
+      t.append(one, txn = Some(("probe", 1L)))
+      rec(p, "txn_replay_skip", timeMs(t.append(df, txn = Some(("probe", 1L))))._2)
+      // constraint management is metadata + one scan on add
+      rec(p, "add_constraint", timeMs(t.addConstraint("k_pos", "k >= 0"))._2)
+      rec(p, "validated_append_1part", timeMs(t.append(
+        spark.range(3).select((col("id") + 2000000L).as("k"),
+          lit("5").as("part"), lit(2.5).as("amount"))))._2)
+      rec(p, "drop_constraint", timeMs(t.dropConstraint("k_pos"))._2)
+
       rec(p, "vacuum", timeMs(t.vacuum(retainVersions = 2, orphanGraceMillis = 0L))._2)
     }
 

@@ -59,10 +59,22 @@ object FileStreamIngest {
     */
   def bronzeStreamInferred(spark: SparkSession, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.streaming.schemaInference", "true")
-    val r = spark.readStream
-    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(srcDir)
+    // scoped: the file source resolves its schema during load(), so the
+    // conf only needs to hold across the reader construction — leaving it
+    // set session-wide would let every LATER schema-less readStream in
+    // the session silently infer (and re-type across restarts) instead of
+    // failing fast, the exact drift this helper's docstring warns about
+    val key = "spark.sql.streaming.schemaInference"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val r = spark.readStream
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(srcDir)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Bronze: incremental NDJSON(.gz) stream with schema-evolution rescue —
@@ -487,9 +499,7 @@ object FileStreamIngest {
     val dayPred =
       if (days.contains(null)) col(dayCol).isin(nonNull: _*) || col(dayCol).isNull
       else col(dayCol).isin(nonNull: _*)
-    val current = spark.read.parquet(targetDir)
-      .filter(dayPred)
-      .select(requireSameColumns(spark.read.parquet(targetDir), batch).map(col).toIndexedSeq: _*)
+    val current = alignToBatch(spark.read.parquet(targetDir).filter(dayPred), batch)
     val merged = MergeUpsert.merge(current, batch, keys, order)
     val staged = Paths.get(targetDir + ".staged")
     deleteRecursively(staged)
@@ -548,9 +558,7 @@ object FileStreamIngest {
       Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
     val merged =
       if (Files.exists(target)) {
-        val current = spark.read.parquet(targetDir)
-        MergeUpsert.merge(
-          current.select(requireSameColumns(current, batch).map(col).toIndexedSeq: _*),
+        MergeUpsert.merge(alignToBatch(spark.read.parquet(targetDir), batch),
           batch, keys, order)
       } else {
         graft.operators.Dedup.keepLast(batch, keys, order)
@@ -585,17 +593,24 @@ object FileStreamIngest {
       s"upsert emulation requires a local path, got URI '$targetDir' — " +
         "use TableOps.commitLog or a transactional format for remote storage")
 
-  /** The target must carry exactly the batch's columns (any order): a
-    * narrower batch would otherwise silently project existing columns
-    * AWAY from every rewritten partition. Returns the batch's column
-    * order for the target projection.
+  /** Project the live table to the batch's schema. A NARROWER batch is
+    * refused (it would silently project existing columns AWAY from every
+    * rewritten partition); a WIDER batch EVOLVES the rewritten
+    * partitions — missing columns null-backfill, so a pipeline restarted
+    * with an upgraded schema (a widened source, or an upgraded engine
+    * adding a column like the quarantine surrogate key) keeps flowing
+    * over a pre-evolution snapshot instead of crashing on the first
+    * micro-batch. This is the parquet-seam mirror of the commit-log
+    * binding's auto-mergeSchema.
     */
-  private def requireSameColumns(current: DataFrame, batch: DataFrame): Array[String] = {
+  private def alignToBatch(current: DataFrame, batch: DataFrame): DataFrame = {
     val extraT = current.columns.toSet -- batch.columns
     require(extraT.isEmpty,
       s"batch is missing table columns ${extraT.mkString(",")} — a " +
         "narrower upsert would silently drop them from rewritten partitions")
-    batch.columns
+    current.select(batch.schema.fields.map(f =>
+      if (current.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
   // NIO directory streams hold an fd until closed — a long-running

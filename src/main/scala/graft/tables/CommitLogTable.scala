@@ -227,7 +227,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       v: Any): Option[Either[BigDecimal, String]] = {
     import org.apache.spark.sql.types._
     dt match {
-      case StringType => Some(Right(String.valueOf(v)))
+      // a NON-string bound on a string column would prune lexically
+      // ("9.0" vs max "9") while the residual predicate compares after a
+      // numeric cast — only a genuine string bound may prune. (Stored
+      // stats are ASCII-only, and ASCII-vs-anything comparisons agree
+      // between Java's UTF-16 order and Spark/parquet's UTF-8 byte
+      // order, so any string bound is safe here.)
+      case StringType => v match {
+        case s: String => Some(Right(s))
+        case _ => None
+      }
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType =>
         try Some(Left(BigDecimal(String.valueOf(v)))) catch { case _: NumberFormatException => None }
@@ -399,19 +408,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         if (snap.txns.get(appId).exists(_ >= v)) throw NoOpCommit }
       val (schema2, mapping2, aligned) = resolveSchema(df, snap, mergeSchema)
       enforceConstraints(snap, aligned, "append")
-      val (newFiles, dataRows) = writeData(aligned, snap.partitionCol, mapping2)
+      val (newFiles, dataRows, sub) = writeData(aligned, snap.partitionCol, mapping2)
       // idle-stream guard, detected POST-write (costs no extra action —
       // an isEmpty pre-probe would re-execute the batch pipeline): an
       // empty batch must not publish a version, or a scheduled append
       // loop grows the log and ticks the retention window every idle run.
+      // The whole commit dir is dropped (a partitioned empty write leaves
+      // a marker-only dir that a once-a-minute idle loop would otherwise
+      // accumulate for the full orphan-grace window).
       // A schema-EVOLVING empty batch still publishes (the widened schema
       // is the commit's content), and so does an empty TXN batch (the
       // recorded version is the content — a replayed empty batch must
       // still be recognizable as committed).
       if (dataRows == 0 && schemaSig(schema2) == schemaSig(snap.schema)
           && txn.isEmpty) {
-        newFiles.map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
-          .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+        deleteRecursively(Paths.get(dir, sub))
         throw NoOpCommit
       }
       val changesSub = if (recordChanges) Some(writeChanges(
@@ -443,8 +454,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * the pruned rewrite, exactly as in partition-pruned Delta MERGE.
     */
   def merge(updates: DataFrame, keys: Seq[String], order: Seq[Column],
-      mergeSchema: Boolean = false): Long = {
-    if (updates.isEmpty) return latestVersion
+      mergeSchema: Boolean = false): Long =
     retryCommit("merge") { snap =>
       val (schema2, mapping2, aligned) = resolveSchema(updates, snap, mergeSchema)
       // latest-wins collapses only NON-NULL-keyed rows: a NULL merge key
@@ -452,9 +462,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // update row is an independent insert, like Delta MERGE — and
       // keepLast's window would wrongly group the NULLs together
       val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+      // persisted: the empty probe below, the partition-value collect,
+      // and the full-outer join all consume this frame — without the
+      // persist the batch pipeline would re-execute per action (and the
+      // idle-batch guard would ADD a pipeline execution instead of
+      // reusing one)
       val latest = graft.operators.Dedup
         .keepLast(aligned.filter(!anyKeyNull), keys, order)
-        .unionByName(aligned.filter(anyKeyNull))
+        .unionByName(aligned.filter(anyKeyNull)).persist()
+      try {
+      // idle-stream guard: an empty update batch must not publish — on
+      // an unpartitioned table it would select EVERY file as affected
+      // and rewrite the whole snapshot for nothing, once per idle
+      // micro-batch (the probe reads the persisted frame, so the cost
+      // is the materialization the body pays anyway)
+      if (latest.isEmpty) throw NoOpCommit
       enforceConstraints(snap, latest, "merge")
       val (affected, untouched) = snap.partitionCol match {
         case Some(p) =>
@@ -495,7 +517,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             .withColumn("_change_type", lit("update_preimage")))
           .unionByName(joined.filter(uP && tP).select(side("u"): _*)
             .withColumn("_change_type", lit("update_postimage")))
-        val (newFiles, _) = writeData(joined.select(picks: _*),
+        val (newFiles, _, _) = writeData(joined.select(picks: _*),
           snap.partitionCol, mapping2)
         val changesSub = writeChanges(changes, snap.version + 1, mapping2)
         val counts = joined.agg(
@@ -509,8 +531,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           changesDir = Some(changesSub),
           schema = schema2, columnMapping = mapping2)
       } finally joined.unpersist(false)
+      } finally latest.unpersist(false)
     }
-  }
 
   /** UPDATE rows matching `predicate`: each matched row's `set` columns
     * are recomputed (expressions may reference the row's current
@@ -537,7 +559,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             set.get(c).map(_.cast(snap.schema(c).dataType).as(c))
               .getOrElse(col(c))).toSeq: _*)
         enforceConstraints(snap, updatedRows, "update")
-        val (newFiles, _) = writeData(
+        val (newFiles, _, updSub) = writeData(
           current.filter(!hits).unionByName(updatedRows),
           snap.partitionCol, snap.columnMapping)
         val changesSub = writeChanges(
@@ -548,8 +570,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         val nUpd = current.filter(hits).count()
         if (nUpd == 0) {
           // nothing matched: drop this attempt's output, publish nothing
-          newFiles.map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
-            .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+          deleteRecursively(Paths.get(dir, updSub))
           deleteRecursively(Paths.get(dir, StagedChangesDirName,
             Paths.get(changesSub).getFileName.toString))
           throw NoOpCommit
@@ -572,7 +593,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val current = readFiles(snap.files, snap.schema, snap.columnMapping).persist()
     val goes = coalesce(predicate, lit(false))
     try {
-      val (newFiles, kept) = writeData(current.filter(!goes),
+      val (newFiles, kept, _) = writeData(current.filter(!goes),
         snap.partitionCol, snap.columnMapping)
       val changesSub = writeChanges(
         current.filter(goes).withColumn("_change_type", lit("delete")),
@@ -610,10 +631,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         (if (physName == newName) Map.empty[String, String]
          else Map(newName -> physName))
       val pcol2 = snap.partitionCol.map(p => if (p == oldName) newName else p)
+      // metadata-only: the files (and their sort order) are untouched, so
+      // the clustered marker survives — dropping it would make the next
+      // scheduled clustered compact rewrite the whole table for nothing
       mkManifest(snap, "rename", snap.files, rowsInserted = 0,
         rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
         changesDir = None, schema = schema2, columnMapping = mapping2,
-        partitionCol = pcol2)
+        partitionCol = pcol2, clusteredBy = snap.clusteredBy)
     }
 
   /** Metadata-only column DROP (the other half of Delta column mapping):
@@ -641,7 +665,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       changesDir = None, schema = schema2,
       columnMapping = snap.columnMapping - name,
       retiredPhysical = snap.retiredPhysical :+
-        snap.columnMapping.getOrElse(name, name))
+        snap.columnMapping.getOrElse(name, name),
+      clusteredBy = snap.clusteredBy)
   }
 
   /** ADD a table-level CHECK constraint (Delta `ALTER TABLE … ADD
@@ -666,7 +691,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       mkManifest(snap, "constraint", snap.files, rowsInserted = 0,
         rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
         changesDir = None,
-        constraints = snap.constraints + (name -> expression))
+        constraints = snap.constraints + (name -> expression),
+        clusteredBy = snap.clusteredBy)
     }
 
   /** Drop a CHECK constraint by name (metadata-only). */
@@ -674,7 +700,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     require(snap.constraints.contains(name), s"no constraint '$name'")
     mkManifest(snap, "constraint", snap.files, rowsInserted = 0,
       rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
-      changesDir = None, constraints = snap.constraints - name)
+      changesDir = None, constraints = snap.constraints - name,
+      clusteredBy = snap.clusteredBy)
   }
 
   /** One aggregate action validates every constraint against a write
@@ -756,7 +783,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             else if (nOut == 1) src.coalesce(1).sortWithinPartitions(sortCols: _*)
             else src.repartitionByRange(nOut, sortCols: _*)
               .sortWithinPartitions(sortCols: _*)
-          val (nf, _) = writeData(df, snap.partitionCol, snap.columnMapping,
+          val (nf, _, _) = writeData(df, snap.partitionCol, snap.columnMapping,
             preClustered = true)
           (v, fs.size, nf.size, fs, nf)
         }
@@ -800,8 +827,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       schema = old.schema, columnMapping = old.columnMapping,
       partitionCol = old.partitionCol, retiredPhysical = old.retiredPhysical,
       // constraints travel with the schema they reference (a head-side
-      // constraint may name a column the restored schema lacks)
-      constraints = old.constraints)
+      // constraint may name a column the restored schema lacks), and the
+      // restored version's clustered marker is exactly as valid as its
+      // files are
+      constraints = old.constraints, clusteredBy = old.clusteredBy)
   }
 
   /** Drop data files referenced ONLY by versions older than the last
@@ -949,7 +978,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   private def writeData(df: DataFrame, partitionCol: Option[String],
       mapping: Map[String, String],
-      preClustered: Boolean = false): (Seq[LogFile], Long) = {
+      preClustered: Boolean = false): (Seq[LogFile], Long, String) = {
     val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
     val abs = s"$dir/$sub"
     val physDf = toPhysical(df, mapping)
@@ -966,7 +995,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       case None => physDf.write.parquet(abs)
     }
     val files = enumerate(Paths.get(abs), sub)
-    (files, files.map(_.rows).sum)
+    (files, files.map(_.rows).sum, sub)
   }
 
   /** Persist a commit's change rows (under physical column names, so
@@ -1081,11 +1110,30 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         .take(MaxStatsColumns)
         .flatMap { case (name, chunks) =>
           val pt = chunks.head.getPrimitiveType
-          val isDecimal = pt.getLogicalTypeAnnotation
-            .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          val ann = pt.getLogicalTypeAnnotation
+          val isDecimal =
+            ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          // only MICROS timestamps may prune (statBound converts query
+          // bounds to micros); a MILLIS/NANOS file would compare 1000×
+          // off and silently drop matching files
+          val badTimeUnit = ann match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
+            case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => true
+            case _ => false
+          }
+          // EVERY chunk must either carry value stats or be provably
+          // all-null — parquet also omits stats for oversized binary
+          // bounds, and treating such a chunk as all-null would narrow
+          // the file bounds and wrongly prune rows it actually holds
+          val accounted = chunks.forall { c =>
+            val s = c.getStatistics
+            s != null && (s.hasNonNullValue ||
+              (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+          }
           val ss = chunks.map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
-          if (ss.isEmpty || isDecimal) None
+          if (ss.isEmpty || !accounted || isDecimal || badTimeUnit) None
           else pt.getPrimitiveTypeName match {
             case INT32 | INT64 =>
               val mn = ss.map(_.genericGetMin.asInstanceOf[Number].longValue).min
@@ -1096,13 +1144,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
               val mx = ss.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max
               if (mn.isNaN || mx.isNaN) None
               else Some(name -> (mn.toString, mx.toString))
-            case BINARY if pt.getLogicalTypeAnnotation
+            case BINARY if ann
                 .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
               val mn = ss.map(_.genericGetMin
                 .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min
               val mx = ss.map(_.genericGetMax
                 .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max
-              if (mn.length > 64 || mx.length > 64) None else Some(name -> (mn, mx))
+              // ASCII-only: parquet orders string stats by unsigned UTF-8
+              // bytes, Java compares UTF-16 chars — the orders agree only
+              // on ASCII, and a mismatch silently prunes matching files
+              // (supplementary characters sort before U+E000..U+FFFF in
+              // UTF-8 but after in UTF-16). Non-ASCII bounds → no stats.
+              def ascii(s: String) = s.forall(c => c >= ' ' && c < 127)
+              if (mn.length > 64 || mx.length > 64 || !ascii(mn) || !ascii(mx))
+                None
+              else Some(name -> (mn, mx))
             case _ => None
           }
         }.toMap

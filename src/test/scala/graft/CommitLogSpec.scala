@@ -14,14 +14,14 @@ import graft.tables.CommitLogTable
   * for the reference's Delta plane (`docs/databricks_setup.md:96,170-198`,
   * `README.md:174`) in a lakehouse-jar-free environment.
   */
-/** Deterministic commit-race gate: a filter udf whose SECOND evaluation
-  * blocks until released. Evaluation #1 is `merge`'s cheap isEmpty probe
-  * (which runs BEFORE the snapshot resolves), so the block lands inside
-  * the commit body — after snapshot resolution, before publish — letting
-  * a test commit an interleaved writer underneath a stalled merge and
-  * observe how the publish race resolves (rebase vs recompute).
-  * Top-level object so the task closure resolves it statically in
-  * local mode.
+/** Deterministic commit-race gate: a filter udf whose `blockFrom`-th
+  * evaluation blocks until released. Both merge and append evaluate
+  * their batch only INSIDE the commit body (after the snapshot
+  * resolves), so `blockFrom = 1` stalls the commit between snapshot
+  * resolution and publish — letting a test commit an interleaved writer
+  * underneath and observe how the publish race resolves (rebase vs
+  * recompute). Top-level object so the task closure resolves it
+  * statically in local mode.
   */
 object CommitGate {
   private val calls = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -31,11 +31,7 @@ object CommitGate {
     calls.set(0); arrivedFlag = false
     latch = new java.util.concurrent.CountDownLatch(1)
   }
-  /** blockFrom = 2 suits merge (whose evaluation #1 is the pre-snapshot
-    * isEmpty probe); append evaluates its batch only inside the commit
-    * body, so blockFrom = 1 stalls it after snapshot resolution.
-    */
-  def udf(blockFrom: Int = 2): org.apache.spark.sql.Column =
+  def udf(blockFrom: Int = 1): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udf { () =>
       if (calls.incrementAndGet() >= blockFrom) { arrivedFlag = true; latch.await() }
       true
@@ -539,10 +535,10 @@ class CommitLogSpec extends AnyFunSuite {
     val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
     t.append(df)
     CommitGate.reset()
-    // the d1 merge resolves its snapshot, then stalls inside its body (the
-    // gate udf blocks the SECOND evaluation — the first is the cheap
-    // isEmpty probe, which runs before the snapshot resolves) while the
-    // d2 merge commits underneath it: a deterministic publish race
+    // the d1 merge resolves its snapshot, then stalls inside its body
+    // (the gate udf blocks the first batch evaluation — inside the
+    // commit body, after the snapshot resolved) while the d2 merge
+    // commits underneath it: a deterministic publish race
     val slow = Seq((1L, "d1", 101.0)).toDF("k", "cat", "v").filter(CommitGate.udf())
     val fut = Future(t.merge(slow, Seq("k"), Seq($"v")))
     CommitGate.awaitArrived()
@@ -682,6 +678,58 @@ class CommitLogSpec extends AnyFunSuite {
     assert(qdate.inputFiles.length == 1 && qdate.count() == 16)
   }
 
+  test("stats pruning stays conservative: numeric-vs-string bounds, non-ASCII stats, orphanless idle appends") {
+    // a NUMERIC bound on a STRING column must not prune lexically while
+    // the residual predicate compares after a numeric cast: "10" < "9"
+    // lexically but 10 > 9 numerically — pruning on the string stats
+    // would silently drop matching rows
+    val dir = tmpDir()
+    val sdf = Seq((1L, "9"), (2L, "10")).toDF("k", "s")
+    val t = CommitLogTable.create(spark, dir, sdf.schema)
+    t.append(sdf.coalesce(1))
+    assert(t.readRange("s", 9, null).count() == 2,
+      "numeric bound on string column wrongly pruned")
+    assert(t.readRange("s", "0", "2").select("k").as[Long].collect().toSeq
+      == Seq(2L)) // genuine string bounds still prune/filter lexically
+    // non-ASCII values: Java UTF-16 order disagrees with parquet's
+    // unsigned UTF-8 order beyond the BMP — such stats are not recorded,
+    // so the file is read, never wrongly skipped
+    val udf2 = Seq((1L, "😀"), (2L, "�")).toDF("k", "s")
+    val t2 = CommitLogTable.create(spark, tmpDir(), udf2.schema)
+    t2.append(udf2.coalesce(1))
+    assert(t2.readRange("s", "�", "�").count() == 1,
+      "non-ASCII row lost to miscollated stats pruning")
+    // idle appends on a PARTITIONED table leave no orphan commit dirs
+    // for vacuum to babysit through the 24h grace window
+    val pdf = Seq((1L, "d1", 1.0)).toDF("k", "cat", "v")
+    val tp = CommitLogTable.create(spark, tmpDir(), pdf.schema, Some("cat"))
+    tp.append(pdf)
+    def dataDirs(d: String) = {
+      val s = Files.list(Paths.get(d, "data")); try s.count() finally s.close()
+    }
+    val before = dataDirs(tp.dir)
+    tp.append(pdf.filter($"k" < 0)) // empty batch
+    assert(tp.latestVersion == 1L && dataDirs(tp.dir) == before,
+      "idle append left an orphan commit dir")
+  }
+
+  test("metadata-only commits keep the clustered marker: no full rewrite on the next scheduled compact") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    val rnd = new scala.util.Random(3)
+    rnd.shuffle((1 to 400).map(i => (i.toLong, s"c${i % 3}", i * 1.5)))
+      .grouped(100).foreach(g => t.append(mk(g.toSeq)))
+    t.compact(64L * 1024 * 1024, sortCols = Seq($"k")) // clustered
+    val v = t.latestVersion
+    t.addConstraint("k_pos", "k > 0")
+    t.renameColumn("cat", "category") // unrelated to the sort key
+    // the files are untouched and still sorted — a repeat clustered
+    // compact must be a no-op, not a full-table rewrite
+    t.compact(64L * 1024 * 1024, sortCols = Seq($"k"))
+    assert(t.latestVersion == v + 2,
+      "metadata-only commits dropped the clustered marker: idle compact rewrote the table")
+  }
+
   test("idempotent txn appends: replays skip before writing, concurrent same-txn lands once") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -707,7 +755,7 @@ class CommitLogSpec extends AnyFunSuite {
     // exactly one copy lands; the loser's rebase is REFUSED by the txn
     // check and its recompute recognizes the recorded version
     CommitGate.reset()
-    val slow = mk(Seq((9L, "z", 9.0))).filter(CommitGate.udf(blockFrom = 1))
+    val slow = mk(Seq((9L, "z", 9.0))).filter(CommitGate.udf())
     val fut = Future(t.append(slow, txn = Some(("job", 5L))))
     CommitGate.awaitArrived()
     t.append(mk(Seq((9L, "z", 9.0))), txn = Some(("job", 5L)))

@@ -150,6 +150,25 @@ class StreamingSinksSpec extends AnyFunSuite {
       "a restart must never silently re-infer the recorded schema")
   }
 
+  test("parquet upsert evolves on a wider batch: pre-evolution snapshot null-backfills, never crashes") {
+    // the upgrade path: a pipeline restarted with a batch that gained a
+    // column (widened source, or an engine upgrade adding a surrogate
+    // key) must keep flowing over the old-format snapshot
+    val dir = tmp("upw") + "/tbl"
+    val old = Seq((1L, 1.0)).toDF("k", "v")
+    FileStreamIngest.upsertIntoParquet(old, dir, Seq("k"), Seq($"v"))
+    val wide = Seq((2L, 2.0, "x")).toDF("k", "v", "tag")
+    FileStreamIngest.upsertIntoParquet(wide, dir, Seq("k"), Seq($"v"))
+    val got = spark.read.parquet(dir)
+    assert(got.columns.toSet == Set("k", "v", "tag"))
+    val byK = got.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("tag"))).toMap
+    assert(byK == Map(1L -> None, 2L -> Some("x")))
+    // a NARROWER batch is still refused loudly
+    intercept[IllegalArgumentException](
+      FileStreamIngest.upsertIntoParquet(old, dir, Seq("k"), Seq($"v")))
+  }
+
   test("commit-log bronze append: exactly-once blind appends via txn watermark, replay converges") {
     val src = tmp("txn-src"); val ckpt = tmp("txn-ckpt")
     val tbl = tmp("txn-out") + "/bronze"
