@@ -2386,4 +2386,50 @@ object Queries {
     graft.tables.CommitLogTable.open(s, commitLogUpdateDir(s, dir)).read()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+
+  /** Build (once per session) the MERGE-ON-READ delete demo: v1 append of
+    * event_id%4<3; v2 `deleteLazy("value < 50")` — metadata-only, the
+    * deletion-vector analogue: matching rows vanish from reads while
+    * every data file stays byte-identical until the next rewrite.
+    */
+  private def commitLogLazyDir(s: SparkSession, dir: String): String = {
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-lazy", "events")
+    SessionMemo.once(s, s"commitlogLazy:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+        t.append(ev.filter(col("event_id") % 4 < 3))
+        t.deleteLazy("value < 50")
+      }
+    }
+    tableDir
+  }
+
+  /** Merge-on-read delete surfaced through a plain read: matching rows
+    * filtered, NULL-evaluating rows kept (SQL DELETE semantics), zero
+    * files rewritten (the metadata-only property is spec-pinned).
+    */
+  def tableLazyDelete(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogLazyDir(s, dir)).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+
+  /** Shallow clone of the 3-commit demo table PINNED at version 2 (built
+    * once per session): a zero-copy fork whose reads must equal the
+    * source's pinned snapshot — the same oracle as time travel, taken
+    * through the clone's own manifest and absolute-path references.
+    */
+  def tableClone(s: SparkSession, dir: String): DataFrame = {
+    val cloneDir = stampedTmpDir(s, dir, "graft-commitlog-clone", "events")
+    val srcDir = commitLogDemoDir(s, dir)
+    SessionMemo.once(s, s"commitlogClone:$dir") {
+      if (!graft.tables.CommitLogTable.exists(cloneDir))
+        graft.tables.CommitLogTable.open(s, srcDir)
+          .shallowCloneTo(cloneDir, version = Some(2L))
+    }
+    graft.tables.CommitLogTable.open(s, cloneDir).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+  }
 }

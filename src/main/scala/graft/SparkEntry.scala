@@ -175,6 +175,8 @@ object SparkEntry {
     "q_table_drop" -> (Queries.tableDrop _),
     "q_table_skip" -> (Queries.tableSkip _),
     "q_table_update" -> (Queries.tableUpdate _),
+    "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
+    "q_table_clone" -> (Queries.tableClone _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -3758,5 +3760,23 @@ object SparkEntry {
              CAST(SUM(CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 + 1
                ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events WHERE event_id % 4 < 2 GROUP BY event_type""",
+
+    // merge-on-read delete demo: v1 append %4<3, v2 deleteLazy(value<50) —
+    // NULL-evaluating rows survive, like SQL DELETE
+    "q_table_lazy_delete" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id % 4 < 3 AND (NOT (value < 50) OR value IS NULL)
+      GROUP BY event_type""",
+
+    // shallow clone pinned at demo v2: identical to the time-travel state
+    // (%4=0 original, {1,2} doubled), read through the clone's manifest
+    "q_table_clone" -> """
+      WITH e AS (SELECT *, event_id % 4 AS m FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(CASE WHEN m = 0 THEN value ELSE value * 2 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM e WHERE m < 3 GROUP BY event_type""",
   )
 }

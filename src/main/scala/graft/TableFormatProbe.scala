@@ -90,6 +90,11 @@ object TableFormatProbe {
       // txn replay skip is pure metadata (no data written)
       t.append(one, txn = Some(("probe", 1L)))
       rec(p, "txn_replay_skip", timeMs(t.append(df, txn = Some(("probe", 1L))))._2)
+      // merge-on-read delete and shallow clone: one manifest write each,
+      // regardless of table size
+      rec(p, "lazy_delete", timeMs(t.deleteLazy("k < 0"))._2)
+      rec(p, "shallow_clone",
+        timeMs(t.shallowCloneTo(s"$outRoot/clone$p-${System.nanoTime()}"))._2)
       // constraint management is metadata + one scan on add
       rec(p, "add_constraint", timeMs(t.addConstraint("k_pos", "k >= 0"))._2)
       rec(p, "validated_append_1part", timeMs(t.append(

@@ -605,6 +605,49 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     } finally current.unpersist(false)
   }
 
+  /** MERGE-ON-READ delete — the deletion-vector analogue (Delta/Iceberg
+    * position deletes): `predicate` (SQL text over logical columns) is
+    * recorded per file in the manifest; readers filter matching rows
+    * out, and the rows physically disappear at the file's next rewrite
+    * (merge, update, compact — run OPTIMIZE to materialize eagerly).
+    * The commit is METADATA-ONLY: deleting 0.1% of rows from a 100 TB
+    * table writes one manifest, not 100 TB — the eager [[delete]] is the
+    * copy-on-write alternative when the change feed must carry the
+    * deleted images (lazy deletes record no CDF: producing images would
+    * need the very scan this op exists to skip). Rows INSERTED after the
+    * lazy delete are never affected (new files carry no mark — the
+    * serialization order Delta's per-file DVs give). Multiple lazy
+    * deletes OR-combine per file; `history` row counts remain the
+    * PHYSICAL upper bound until materialization. The predicate must be
+    * deterministic (it re-evaluates at every read until materialized).
+    */
+  def deleteLazy(predicate: String): Long = retryCommit("delete_lazy") { snap =>
+    val refs = spark.sessionState.sqlParser.parseExpression(predicate)
+      .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name }
+    refs.foreach(r => require(snap.schema.fieldNames.contains(r),
+      s"deleteLazy: predicate references unknown column '$r'"))
+    if (snap.files.isEmpty) throw NoOpCommit
+    val files2 = snap.files.map(f => f.copy(pendingDelete = Some(
+      f.pendingDelete.map(e => s"($e) OR ($predicate)").getOrElse(predicate))))
+    // files are physically untouched: sort order (clusteredBy) survives
+    mkManifest(snap, "delete_lazy", files2, rowsInserted = 0,
+      rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+      changesDir = None, clusteredBy = snap.clusteredBy)
+  }
+
+  /** Logical column names referenced by any outstanding lazy-delete
+    * predicate — rename/drop of such a column is refused until the
+    * predicates materialize (the stored SQL text would dangle).
+    */
+  private def pendingDeleteRefs(snap: Manifest): Set[String] =
+    snap.files.flatMap(_.pendingDelete).distinct.flatMap { p =>
+      spark.sessionState.sqlParser.parseExpression(p).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+    }.toSet
+
   /** Metadata-only column rename — Delta column mapping `name` mode
     * (enabled on the reference's Bronze table,
     * `docs/databricks_setup.md:96` / `bronze_prices_auto_loader.ipynb`
@@ -624,6 +667,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       constraintRefs(snap).foreach { case (n, refs) =>
         require(!refs.contains(oldName),
           s"renameColumn: CHECK constraint '$n' references '$oldName' — drop it first") }
+      require(!pendingDeleteRefs(snap).contains(oldName),
+        s"renameColumn: outstanding lazy-delete predicates reference " +
+          s"'$oldName' — materialize them (compact) first")
       val physName = snap.columnMapping.getOrElse(oldName, oldName)
       val schema2 = StructType(snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -659,6 +705,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     constraintRefs(snap).foreach { case (n, refs) =>
       require(!refs.contains(name),
         s"dropColumn: CHECK constraint '$n' references '$name' — drop it first") }
+    require(!pendingDeleteRefs(snap).contains(name),
+      s"dropColumn: outstanding lazy-delete predicates reference '$name' — " +
+        "materialize them (compact) first")
     val schema2 = StructType(snap.schema.fields.filterNot(_.name == name))
     mkManifest(snap, "drop", snap.files, rowsInserted = 0,
       rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
@@ -774,7 +823,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         // compresses better, shrinking nOut below the fresh file count
         // and triggering another full rewrite on the next idle run
         val undersized = fs.count(_.bytes < targetFileBytes / 2)
-        if ((fs.size <= nOut || undersized < 2) && alreadyClustered)
+        // files carrying lazy-delete marks are ALWAYS rewritten: compact
+        // is how merge-on-read deletes materialize
+        val hasPending = fs.exists(_.pendingDelete.isDefined)
+        if ((fs.size <= nOut || undersized < 2) && alreadyClustered
+            && !hasPending)
           (v, fs.size, fs.size, Seq.empty[LogFile], Seq.empty[LogFile])
         else {
           val src = readFiles(fs, snap.schema, snap.columnMapping)
@@ -800,11 +853,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // a plain bin-pack's coalesce destroys any previous ordering in the
       // files it rewrites)
       val marker = if (values.isEmpty) sortKey else None
+      // content-preserving rewrites keep the total; a rewrite that
+      // MATERIALIZED pending lazy deletes sheds their rows here
+      val rowsTotal2 = snap.rowsTotal -
+        results.flatMap(_._4).map(_.rows).sum +
+        results.flatMap(_._5).map(_.rows).sum
       mkManifest(snap, "compact",
         snap.files.filterNot(f => replaced.contains(f.path)) ++
           results.flatMap(_._5),
         rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
-        rowsTotal = snap.rowsTotal, changesDir = None, clusteredBy = marker)
+        rowsTotal = rowsTotal2, changesDir = None, clusteredBy = marker)
     }
     report
   }
@@ -820,7 +878,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   def restore(version: Long): Long = retryCommit("restore") { snap =>
     val old = manifest(version)
-    old.files.foreach(f => require(Files.exists(Paths.get(dir, f.path)),
+    old.files.foreach(f => require(Files.exists(dataPath(f)),
       s"restore($version): data file ${f.path} was vacuumed"))
     mkManifest(snap, "restore", old.files, rowsInserted = 0, rowsUpdated = 0,
       rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None,
@@ -831,6 +889,44 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // restored version's clustered marker is exactly as valid as its
       // files are
       constraints = old.constraints, clusteredBy = old.clusteredBy)
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE src [VERSION AS
+    * OF v]`): a NEW table at `targetDir` whose v0 manifest references
+    * this table's (optionally pinned) data files BY ABSOLUTE PATH — zero
+    * bytes copied, so cloning a 100 TB table is one manifest write. The
+    * clone is fully independent from then on: its writes produce its own
+    * local files, a merge/compact/delete drops foreign references
+    * without ever touching the source's bytes, and its vacuum only
+    * sweeps its own `data/` dir (foreign absolute paths are invisible to
+    * the sweep by construction). Schema, column mapping, constraints,
+    * clustering marker, and txn watermarks carry over; history starts
+    * fresh at the clone's v0.
+    *
+    * Caveat (same as Delta's): the SOURCE's vacuum does not know about
+    * clones — retention-vacuuming the source can delete files a clone
+    * still references. Keep clones inside the source's retention window
+    * or compact the clone (which localizes the data) before deep
+    * retention passes.
+    */
+  def shallowCloneTo(targetDir: String,
+      version: Option[Long] = None): CommitLogTable = {
+    val m = manifest(version.getOrElse(latestVersion))
+    requireFilesPresent(m, s"shallowCloneTo($targetDir)")
+    require(!CommitLogTable.exists(targetDir),
+      s"shallowCloneTo: a table already exists at $targetDir")
+    val tgtLog = Paths.get(targetDir, LogDirName)
+    Files.createDirectories(tgtLog.resolve("changes"))
+    Files.createDirectories(tgtLog.resolve("staged_changes"))
+    val t = new CommitLogTable(spark, targetDir)
+    val absolute = m.files.map(f => f.copy(path =
+      if (f.path.startsWith("/")) f.path // cloning a clone: already absolute
+      else Paths.get(dir, f.path).toAbsolutePath.normalize.toString))
+    val v0 = Manifest(0L, "clone", System.currentTimeMillis(), m.schema,
+      m.partitionCol, absolute, 0, 0, 0, m.rowsTotal, None, m.clusteredBy,
+      m.columnMapping, m.retiredPhysical, m.txns, m.constraints)
+    require(t.tryPublish(v0), s"shallowCloneTo: lost the v0 race at $targetDir")
+    t
   }
 
   /** Drop data files referenced ONLY by versions older than the last
@@ -867,8 +963,15 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * a mid-scan task failure. Latest-version reads never need it (the
     * head's files are always retained).
     */
+  /** Resolve a manifest file entry to a filesystem path: entries are
+    * table-relative except SHALLOW-CLONE references, which are absolute
+    * (they live under the source table's root).
+    */
+  private def dataPath(f: LogFile): Path =
+    if (f.path.startsWith("/")) Paths.get(f.path) else Paths.get(dir, f.path)
+
   private def requireFilesPresent(m: Manifest, what: String): Unit = {
-    val missing = m.files.filterNot(f => Files.exists(Paths.get(dir, f.path)))
+    val missing = m.files.filterNot(f => Files.exists(dataPath(f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"$what at $dir: version ${m.version} is no longer readable — " +
         s"${missing.size} of ${m.files.size} data file(s) were vacuumed " +
@@ -962,11 +1065,23 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       mapping: Map[String, String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else
-      spark.read.schema(toPhysicalSchema(schema, mapping))
-        .parquet(files.map(f => s"$dir/${f.path}"): _*)
-        .select(schema.fields.map(f =>
-          col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+    else {
+      // files group by their pending-delete predicate (merge-on-read:
+      // SQL DELETE semantics — only TRUE-matching rows are hidden, so a
+      // NULL-evaluating row survives, mirroring the eager delete()).
+      // Almost always one or two groups: clean files plus at most a few
+      // distinct outstanding predicates between rewrites
+      val groups = files.groupBy(_.pendingDelete).toSeq
+        .sortBy(_._1.getOrElse(""))
+      groups.map { case (pd, fs) =>
+        val base = spark.read.schema(toPhysicalSchema(schema, mapping))
+          .parquet(fs.map(f => dataPath(f).toString): _*)
+          .select(schema.fields.map(f =>
+            col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+        pd.map(p => base.filter(!coalesce(expr(p), lit(false))))
+          .getOrElse(base)
+      }.reduce(_.unionByName(_))
+    }
 
   /** Write `df` (logical column names) as this commit's immutable data
     * files under PHYSICAL names; returns (file entries with footer row
@@ -1233,6 +1348,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         fresh.constraints != onto.constraints) return None
     val freshPaths = fresh.files.map(_.path).toSet
     if (!diff.removed.forall(freshPaths.contains)) return None
+    // an interleaved LAZY DELETE marks existing file ENTRIES in place: a
+    // file this attempt rewrote was read without that mark, so carrying
+    // the rewrite would resurrect the deleted rows — same-path entries
+    // must be mark-identical between the snapshots or the loser recomputes
+    val ontoPending = onto.files.map(f => f.path -> f.pendingDelete).toMap
+    val freshPending = fresh.files.map(f => f.path -> f.pendingDelete).toMap
+    if (diff.removed.exists(p => ontoPending.get(p) != freshPending.get(p)))
+      return None
     if (m.action == "merge") {
       val ontoPaths = onto.files.map(_.path).toSet
       val winnerAdded = fresh.files.filterNot(f => ontoPaths.contains(f.path))
@@ -1413,9 +1536,16 @@ object CommitLogTable {
     * Capped to [[MaxStatsColumns]] columns; absent = no pruning for the
     * file (pre-stats manifests, unsupported types, long strings).
     */
+  /** `pendingDelete`: a SQL predicate over logical column names whose
+    * matching rows are LOGICALLY deleted from this file but physically
+    * still present (merge-on-read — the deletion-vector analogue);
+    * readers filter it out, the next rewrite of the file materializes
+    * it. Multiple lazy deletes OR-combine. None = file is clean.
+    */
   final case class LogFile(path: String, partition: Option[String],
       rows: Long, bytes: Long,
-      stats: Map[String, (String, String)] = Map.empty)
+      stats: Map[String, (String, String)] = Map.empty,
+      pendingDelete: Option[String] = None)
 
   /** The attempt's file-level footprint relative to the snapshot it was
     * computed against — the invariant a rebase re-applies on top of a
@@ -1637,6 +1767,7 @@ object CommitLogTable {
           val a = st.putArray(c); a.add(mn); a.add(mx)
         }
       }
+      f.pendingDelete.foreach(o.put("pendingDelete", _))
     }
     mapper.writeValueAsString(root)
   }
@@ -1656,7 +1787,9 @@ object CommitLogTable {
         } else Map.empty[String, (String, String)]
       LogFile(f.get("path").asText,
         if (f.hasNonNull("partition")) Some(f.get("partition").asText) else None,
-        f.get("rows").asLong, f.get("bytes").asLong, stats)
+        f.get("rows").asLong, f.get("bytes").asLong, stats,
+        if (f.hasNonNull("pendingDelete")) Some(f.get("pendingDelete").asText)
+        else None)
     }.toVector
     val mapping =
       if (n.hasNonNull("columnMapping")) {

@@ -765,6 +765,76 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.read().filter($"k" === 9L).count() == 1, "same txn landed twice")
   }
 
+  test("lazy (merge-on-read) delete: metadata-only, reads filter, rewrites materialize, inserts unaffected") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0), (2L, "b", -2.0), (3L, "c", 3.0)))) // v1
+    t.append(Seq((4L, Some("d"), Option.empty[Double])).toDF("k", "cat", "v")) // v2
+    val filesBefore = t.read().inputFiles.toSet
+    t.deleteLazy("v < 0") // v3 — metadata only
+    assert(t.read().inputFiles.toSet == filesBefore,
+      "lazy delete must not move a single data file")
+    // SQL DELETE semantics: NULL-evaluating rows survive
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // rows INSERTED after the delete are never affected, even if they
+    // match the predicate (per-file marks give serialization order)
+    t.append(mk(Seq((5L, "e", -5.0)))) // v4
+    t.deleteLazy("cat = 'c'") // v5 — OR-combines on already-marked files
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
+    // time travel replays the marks of the pinned version
+    assert(t.read(Some(2)).count() == 4)
+    assert(t.read(Some(3)).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // a rename/drop of a column referenced by an outstanding predicate
+    // is refused — the stored SQL text would dangle
+    intercept[IllegalArgumentException](t.renameColumn("v", "amount"))
+    intercept[IllegalArgumentException](t.dropColumn("cat"))
+    // OPTIMIZE materializes: rows physically gone, bookkeeping drops to
+    // the logical count, and the freed column ops work again
+    t.compact(64L * 1024 * 1024)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L))
+    assert(t.read().inputFiles.toSet != filesBefore)
+    assert(t.history.orderBy($"version".desc).head().getLong(5) == 3L,
+      "materialization must shed the deleted rows from rows_total")
+    t.renameColumn("v", "amount")
+    assert(t.read().columns.contains("amount"))
+  }
+
+  test("shallow clone: zero-copy fork, independent histories, vacuum never touches foreign bytes") {
+    val srcDir = tmpDir()
+    val src = CommitLogTable.create(spark, srcDir, mk(Nil).schema)
+    src.append(mk(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    src.merge(mk(Seq((2L, "B", 20.0))), Seq("k"), Seq($"v"))
+    val cloneDir = tmpDir() + "/clone"
+    val c = src.shallowCloneTo(cloneDir)
+    // zero data copied: the clone has no local data dir yet
+    assert(!Files.isDirectory(Paths.get(cloneDir, "data")),
+      "shallow clone copied data")
+    assert(rows(c.read()) == rows(src.read()))
+    assert(c.latestVersion == 0L && c.history.head().getString(1) == "clone")
+    // independent histories: a write to the clone is invisible to the
+    // source, and vice versa
+    c.merge(mk(Seq((3L, "c", 3.0))), Seq("k"), Seq($"v"))
+    src.append(mk(Seq((9L, "z", 9.0))))
+    assert(rows(c.read()) == Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+    assert(rows(src.read()) == Set((1L, "a", 1.0), (2L, "B", 20.0), (9L, "z", 9.0)))
+    // the clone's vacuum sweeps only its own data dir — the source's
+    // bytes (still referenced by the clone's v0) survive untouched
+    val srcFilesBefore = src.read().inputFiles.toSet
+    c.compact(64L * 1024 * 1024) // localizes the data into the clone
+    c.vacuum(retainVersions = 1, orphanGraceMillis = 0L)
+    assert(src.read().inputFiles.toSet == srcFilesBefore &&
+      rows(src.read()).contains((1L, "a", 1.0)),
+      "clone vacuum touched the source's files")
+    assert(rows(c.read()) == Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+    // cloning a PINNED version forks the past
+    val c2 = src.shallowCloneTo(tmpDir() + "/clone2", version = Some(1L))
+    assert(rows(c2.read()) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    // cloning a clone re-uses the already-absolute references
+    val c3 = c.shallowCloneTo(tmpDir() + "/clone3")
+    assert(rows(c3.read()) == rows(c.read()))
+  }
+
   test("mixed concurrent writers: appends + merges interleave arbitrarily, bookkeeping stays exact") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
