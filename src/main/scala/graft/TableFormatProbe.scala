@@ -65,8 +65,10 @@ object TableFormatProbe {
       rec(p, "drop_column", timeMs(t.dropColumn("tag"))._2)
 
       // the idle-stream guard: an empty upsert must cost ~nothing and
-      // publish nothing
-      val empty = df.filter(lit(false))
+      // publish nothing (schema validation still runs first — the batch
+      // speaks the current post-rename schema)
+      val empty = spark.range(0).select(col("id").as("k"),
+        lit("0").as("part"), lit(0.0).as("amount"))
       rec(p, "empty_merge_noop", timeMs(t.merge(empty, Seq("k", "part"), Seq(col("amount"))))._2)
 
       // partition-pruned paths: cost tracks the TOUCHED partition, not p
@@ -92,7 +94,7 @@ object TableFormatProbe {
       rec(p, "txn_replay_skip", timeMs(t.append(df, txn = Some(("probe", 1L))))._2)
       // merge-on-read delete and shallow clone: one manifest write each,
       // regardless of table size
-      rec(p, "lazy_delete", timeMs(t.deleteLazy("k < 0"))._2)
+      rec(p, "lazy_delete", timeMs(t.deleteLazy("k < 10"))._2)
       rec(p, "shallow_clone",
         timeMs(t.shallowCloneTo(s"$outRoot/clone$p-${System.nanoTime()}"))._2)
       // constraint management is metadata + one scan on add

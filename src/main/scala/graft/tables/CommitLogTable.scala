@@ -273,12 +273,19 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
-  private def statLte(a: Either[BigDecimal, String],
-      b: Either[BigDecimal, String]): Boolean = (a, b) match {
-    case (Left(x), Left(y)) => x <= y
-    case (Right(x), Right(y)) => x <= y
-    case _ => true // mixed domains: cannot compare → never prune
+  /** None for mixed domains — a caller must treat "cannot compare" as
+    * "cannot prune".
+    */
+  private def statCompare(a: Either[BigDecimal, String],
+      b: Either[BigDecimal, String]): Option[Int] = (a, b) match {
+    case (Left(x), Left(y)) => Some(x.compare(y))
+    case (Right(x), Right(y)) => Some(x.compareTo(y))
+    case _ => None
   }
+
+  private def statLte(a: Either[BigDecimal, String],
+      b: Either[BigDecimal, String]): Boolean =
+    statCompare(a, b).forall(_ <= 0)
 
   /** One row per committed version, oldest first: the table's history
     * (action + row/file statistics), from manifests only — no data read.
@@ -575,9 +582,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             Paths.get(changesSub).getFileName.toString))
           throw NoOpCommit
         }
+        // rowsTotal from the FOOTERS of the full rewrite, not carried
+        // forward: this rewrite also materializes any outstanding lazy
+        // deletes (`current` reads through the marks), and carrying
+        // snap.rowsTotal would let the shed rows haunt the bookkeeping
+        // forever
         mkManifest(snap, "update", newFiles,
           rowsInserted = 0, rowsUpdated = nUpd, rowsDeleted = 0,
-          rowsTotal = snap.rowsTotal, changesDir = Some(changesSub))
+          rowsTotal = newFiles.map(_.rows).sum, changesDir = Some(changesSub))
       } finally current.unpersist(false)
     }
   }
@@ -598,9 +610,15 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val changesSub = writeChanges(
         current.filter(goes).withColumn("_change_type", lit("delete")),
         snap.version + 1, snap.columnMapping)
+      // rows_deleted = the PREDICATE's count (what the CDF records) —
+      // NOT snap.rowsTotal - kept, which would also fold in any lazy
+      // deletes this rewrite happens to materialize (`current` reads
+      // through the marks) and report phantom deletions against the
+      // change feed; rowsTotal is the physical footer truth
+      val nDel = current.filter(goes).count()
       mkManifest(snap, "delete", newFiles,
         rowsInserted = 0, rowsUpdated = 0,
-        rowsDeleted = snap.rowsTotal - kept, rowsTotal = kept,
+        rowsDeleted = nDel, rowsTotal = kept,
         changesDir = Some(changesSub))
     } finally current.unpersist(false)
   }
@@ -622,18 +640,80 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * deterministic (it re-evaluates at every read until materialized).
     */
   def deleteLazy(predicate: String): Long = retryCommit("delete_lazy") { snap =>
-    val refs = spark.sessionState.sqlParser.parseExpression(predicate)
-      .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.name }
-    refs.foreach(r => require(snap.schema.fieldNames.contains(r),
-      s"deleteLazy: predicate references unknown column '$r'"))
+    val refs = sqlRefs(predicate)
+    refs.foreach(r =>
+      require(snap.schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"deleteLazy: predicate references unknown column '$r'"))
     if (snap.files.isEmpty) throw NoOpCommit
-    val files2 = snap.files.map(f => f.copy(pendingDelete = Some(
-      f.pendingDelete.map(e => s"($e) OR ($predicate)").getOrElse(predicate))))
+    // stats-aware marking: a file whose per-column (min, max) PROVES it
+    // holds no matching row is left clean — for a 0.1%-selective delete
+    // on a clustered 100 TB table that is the difference between marking
+    // (and later rewriting) 0.1% of files vs all of them. Only simple
+    // comparison predicates prove anything; everything else marks
+    // conservatively (correct, merely broader).
+    val files2 = snap.files.map { f =>
+      if (!lazyDeleteMayMatch(snap, f, predicate)) f
+      else f.copy(pendingDelete = Some(
+        f.pendingDelete.map(e => s"($e) OR ($predicate)").getOrElse(predicate)))
+    }
+    // a delete PROVABLY matching nothing publishes nothing
+    if (files2 == snap.files) throw NoOpCommit
     // files are physically untouched: sort order (clusteredBy) survives
     mkManifest(snap, "delete_lazy", files2, rowsInserted = 0,
       rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
       changesDir = None, clusteredBy = snap.clusteredBy)
+  }
+
+  /** Can `f` possibly hold a row matching the lazy-delete predicate?
+    * TRUE unless the file's stats disprove it: a simple
+    * `col <op> literal` (either operand order; op ∈ <, <=, >, >=, =)
+    * over a stats-carrying column is testable against the stored
+    * (min, max); any other shape — or a stat-less file — is
+    * conservatively a match.
+    */
+  private def lazyDeleteMayMatch(snap: Manifest, f: LogFile,
+      predicate: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def unlit(l: Literal): Any = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => x
+    }
+    val simple: Option[(String, String, Any)] =
+      try spark.sessionState.sqlParser.parseExpression(predicate) match {
+        case LessThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<", unlit(l)))
+        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<=", unlit(l)))
+        case GreaterThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, ">", unlit(l)))
+        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, ">=", unlit(l)))
+        case EqualTo(a: UnresolvedAttribute, l: Literal) => Some((a.name, "=", unlit(l)))
+        case LessThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, ">", unlit(l)))
+        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, ">=", unlit(l)))
+        case GreaterThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<", unlit(l)))
+        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<=", unlit(l)))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) => Some((a.name, "=", unlit(l)))
+        case _ => None
+      } catch { case _: Exception => None }
+    simple match {
+      case None => true
+      case Some((name, op, v)) =>
+        val field = snap.schema.fields.find(_.name.equalsIgnoreCase(name))
+        val result = for {
+          fld <- field
+          (mnS, mxS) <- f.stats.get(
+            snap.columnMapping.getOrElse(fld.name, fld.name))
+          bound <- statBound(fld.dataType, v)
+          mn <- statParse(fld.dataType, mnS)
+          mx <- statParse(fld.dataType, mxS)
+        } yield op match {
+          case "<"  => statCompare(mn, bound).forall(_ < 0)
+          case "<=" => statCompare(mn, bound).forall(_ <= 0)
+          case ">"  => statCompare(mx, bound).forall(_ > 0)
+          case ">=" => statCompare(mx, bound).forall(_ >= 0)
+          case _ => statCompare(mn, bound).forall(_ <= 0) &&
+            statCompare(mx, bound).forall(_ >= 0)
+        }
+        result.getOrElse(true)
+    }
   }
 
   /** Logical column names referenced by any outstanding lazy-delete
@@ -641,11 +721,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * predicates materialize (the stored SQL text would dangle).
     */
   private def pendingDeleteRefs(snap: Manifest): Set[String] =
-    snap.files.flatMap(_.pendingDelete).distinct.flatMap { p =>
-      spark.sessionState.sqlParser.parseExpression(p).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.name
-      }
+    snap.files.flatMap(_.pendingDelete).distinct.flatMap(sqlRefs).toSet
+
+  /** Logical column names referenced by a stored SQL fragment (CHECK
+    * constraints, lazy-delete predicates) — ONE definition of reference
+    * extraction for every guard.
+    */
+  private def sqlRefs(sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
     }.toSet
 
   /** Metadata-only column rename — Delta column mapping `name` mode
@@ -664,10 +749,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         s"renameColumn: no column '$oldName' in ${snap.schema.fieldNames.mkString(",")}")
       require(!snap.schema.fieldNames.contains(newName),
         s"renameColumn: column '$newName' already exists")
+      // case-insensitive, matching Spark's default resolution of the
+      // stored SQL text
       constraintRefs(snap).foreach { case (n, refs) =>
-        require(!refs.contains(oldName),
+        require(!refs.exists(_.equalsIgnoreCase(oldName)),
           s"renameColumn: CHECK constraint '$n' references '$oldName' — drop it first") }
-      require(!pendingDeleteRefs(snap).contains(oldName),
+      require(!pendingDeleteRefs(snap).exists(_.equalsIgnoreCase(oldName)),
         s"renameColumn: outstanding lazy-delete predicates reference " +
           s"'$oldName' — materialize them (compact) first")
       val physName = snap.columnMapping.getOrElse(oldName, oldName)
@@ -703,9 +790,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     require(snap.schema.fields.length > 1,
       "dropColumn: cannot drop the last column")
     constraintRefs(snap).foreach { case (n, refs) =>
-      require(!refs.contains(name),
+      require(!refs.exists(_.equalsIgnoreCase(name)),
         s"dropColumn: CHECK constraint '$n' references '$name' — drop it first") }
-    require(!pendingDeleteRefs(snap).contains(name),
+    require(!pendingDeleteRefs(snap).exists(_.equalsIgnoreCase(name)),
       s"dropColumn: outstanding lazy-delete predicates reference '$name' — " +
         "materialize them (compact) first")
     val schema2 = StructType(snap.schema.fields.filterNot(_.name == name))
@@ -776,12 +863,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * the stored SQL text would silently dangle.
     */
   private def constraintRefs(snap: Manifest): Map[String, Set[String]] =
-    snap.constraints.map { case (n, e) =>
-      n -> spark.sessionState.sqlParser.parseExpression(e).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.name
-      }.toSet
-    }
+    snap.constraints.map { case (n, e) => n -> sqlRefs(e) }
 
   /** OPTIMIZE: bin-pack each partition's files toward `targetFileBytes`,
     * optionally CLUSTERING rows by `sortCols` during the rewrite — the
@@ -958,11 +1040,6 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private def snapshot(): Manifest = manifest(latestVersion)
 
-  /** Fail-fast existence check for PINNED reads: a version past the
-    * vacuum retention window raises a clear, immediate error instead of
-    * a mid-scan task failure. Latest-version reads never need it (the
-    * head's files are always retained).
-    */
   /** Resolve a manifest file entry to a filesystem path: entries are
     * table-relative except SHALLOW-CLONE references, which are absolute
     * (they live under the source table's root).
@@ -970,6 +1047,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private def dataPath(f: LogFile): Path =
     if (f.path.startsWith("/")) Paths.get(f.path) else Paths.get(dir, f.path)
 
+  /** Fail-fast existence check for PINNED reads: a version past the
+    * vacuum retention window raises a clear, immediate error instead of
+    * a mid-scan task failure. Latest-version reads never need it (the
+    * head's files are always retained).
+    */
   private def requireFilesPresent(m: Manifest, what: String): Unit = {
     val missing = m.files.filterNot(f => Files.exists(dataPath(f)))
     if (missing.nonEmpty) throw new IllegalStateException(

@@ -800,6 +800,30 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.read().columns.contains("amount"))
   }
 
+  test("lazy delete marks only stats-matching files; materialization rewrites only the marked partition") {
+    // part=j holds k ∈ [j*100, j*100+99] — per-file stats make the
+    // predicate's footprint provable from the manifest
+    val df = (0L until 400L).map(k => (k, (k / 100).toString, k * 1.0))
+      .toDF("k", "part", "v")
+    val t = CommitLogTable.create(spark, tmpDir(), df.schema, Some("part"))
+    t.append(df)
+    val before = t.read().inputFiles.toSet
+    // a delete PROVABLY matching nothing publishes no version at all
+    val v = t.latestVersion
+    assert(t.deleteLazy("k > 100000") == v,
+      "provably-empty lazy delete published a version")
+    // a selective delete marks ONLY the file whose stats may match — at
+    // 100 TB that is 0.1% of files marked/rewritten, not all of them
+    t.deleteLazy("k <= 20")
+    assert(t.read().count() == 379)
+    t.compact(64L * 1024 * 1024) // materializes exactly the marked file
+    val after = t.read().inputFiles.toSet
+    val moved = before -- after
+    assert(moved.size == 1 && moved.head.contains("__part=0"),
+      s"materialization rewrote more than the marked partition: $moved")
+    assert(t.read().count() == 379)
+  }
+
   test("shallow clone: zero-copy fork, independent histories, vacuum never touches foreign bytes") {
     val srcDir = tmpDir()
     val src = CommitLogTable.create(spark, srcDir, mk(Nil).schema)
