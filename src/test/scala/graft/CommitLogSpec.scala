@@ -893,6 +893,65 @@ class CommitLogSpec extends AnyFunSuite {
       .select("v").as[Double].collect().toSet == Set(100.0, 200.0, 300.0))
   }
 
+  test("model parity: random append/merge/delete/lazy-delete/update/compact sequences match an in-memory model") {
+    // the interactions no single spec exercises — a lazy delete under a
+    // later merge, an update over half-materialized marks, compact mid-
+    // sequence — all checked against a trivial Map model. Seeded: the
+    // sequences are deterministic across runs.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 2) {
+      val dir = tmpDir()
+      val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+      var model = Map.empty[Long, (String, Double)] // k -> (cat, v)
+      var nextKey = 0L
+      def freshRows(n: Int): Seq[(Long, String, Double)] =
+        (1 to n).map { _ =>
+          nextKey += 1
+          (nextKey, s"c${rnd.nextInt(4)}", math.rint(rnd.nextDouble() * 200) / 2)
+        }
+      for (step <- 1 to 12) {
+        rnd.nextInt(8) match {
+          case 0 | 1 => // append fresh keys
+            val rows = freshRows(1 + rnd.nextInt(4))
+            t.append(mk(rows).coalesce(1))
+            model ++= rows.map(r => r._1 -> (r._2, r._3))
+          case 2 => // merge: mix of updated existing keys and inserts
+            val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+              .map(k => (k, s"u${rnd.nextInt(4)}", math.rint(rnd.nextDouble() * 200) / 2))
+            val rows = upd ++ freshRows(1 + rnd.nextInt(2))
+            t.merge(mk(rows).coalesce(1), Seq("k"), Seq($"v"))
+            model ++= rows.map(r => r._1 -> (r._2, r._3))
+          case 3 => // eager copy-on-write delete
+            val x = rnd.nextInt(200) / 2.0
+            t.delete($"v" < x)
+            model = model.filter { case (_, (_, v)) => !(v < x) }
+          case 4 => // merge-on-read lazy delete (same logical outcome)
+            val x = rnd.nextInt(200) / 2.0
+            t.deleteLazy(s"v < $x")
+            model = model.filter { case (_, (_, v)) => !(v < x) }
+          case 5 => // update
+            val x = rnd.nextInt(200) / 2.0
+            t.update($"v" >= x, Map("v" -> (col("v") + 0.5)))
+            model = model.map { case (k, (c, v)) =>
+              k -> (c, if (v >= x) v + 0.5 else v) }
+          case 6 => // compact: materializes marks, never changes content
+            t.compact(targetFileBytes = 4L * 1024)
+          case 7 => // idle churn: empty merge + provably-empty lazy delete
+            t.merge(mk(Nil), Seq("k"), Seq($"v"))
+            if (model.nonEmpty) t.deleteLazy("v < -1000000")
+        }
+        if (step % 4 == 0 || step == 12) {
+          val got = t.read().collect()
+            .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+          assert(got == model,
+            s"trial $trial diverged at step $step:\n got=$got\n exp=$model")
+        }
+      }
+      // the full history replays: every version still readable
+      (0L to t.latestVersion).foreach(v => t.read(Some(v)).count())
+    }
+  }
+
   test("TableOps commit-log binding: upsertPartitions + compact + vacuum end-to-end") {
     val dir = tmpDir() + "/tbl"
     val ops = graft.operators.TableOps.commitLog
