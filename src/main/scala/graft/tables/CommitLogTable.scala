@@ -805,6 +805,40 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       clusteredBy = snap.clusteredBy)
   }
 
+  /** Current table properties (latest manifest's). */
+  def properties: Map[String, String] = snapshot().properties
+
+  /** SET table properties (Delta `ALTER TABLE … SET TBLPROPERTIES` —
+    * the reference's DDL sets `delta.enableChangeDataFeed` and column
+    * mapping this way, `docs/databricks_setup.md:96`): free-form
+    * key→value metadata versioned with the table, one manifest commit.
+    * Existing keys overwrite; time travel/restore replay the pinned
+    * version's properties.
+    */
+  def setProperties(props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties: empty property map")
+    retryCommit("properties") { snap =>
+      if (props.forall { case (k, v) => snap.properties.get(k).contains(v) })
+        throw NoOpCommit // idempotent re-set publishes nothing
+      mkManifest(snap, "properties", snap.files, rowsInserted = 0,
+        rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+        changesDir = None, clusteredBy = snap.clusteredBy,
+        properties = snap.properties ++ props)
+    }
+  }
+
+  /** UNSET table properties (`ALTER TABLE … UNSET TBLPROPERTIES`);
+    * absent keys are ignored, an all-absent unset publishes nothing.
+    */
+  def unsetProperties(keys: Seq[String]): Long =
+    retryCommit("properties") { snap =>
+      if (!keys.exists(snap.properties.contains)) throw NoOpCommit
+      mkManifest(snap, "properties", snap.files, rowsInserted = 0,
+        rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+        changesDir = None, clusteredBy = snap.clusteredBy,
+        properties = snap.properties -- keys)
+    }
+
   /** ADD a table-level CHECK constraint (Delta `ALTER TABLE … ADD
     * CONSTRAINT … CHECK`): `expression` is a SQL boolean over logical
     * column names; SQL CHECK semantics (NULL passes — only FALSE
@@ -1006,7 +1040,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       else Paths.get(dir, f.path).toAbsolutePath.normalize.toString))
     val v0 = Manifest(0L, "clone", System.currentTimeMillis(), m.schema,
       m.partitionCol, absolute, 0, 0, 0, m.rowsTotal, None, m.clusteredBy,
-      m.columnMapping, m.retiredPhysical, m.txns, m.constraints)
+      m.columnMapping, m.retiredPhysical, m.txns, m.constraints,
+      m.properties)
     require(t.tryPublish(v0), s"shallowCloneTo: lost the v0 race at $targetDir")
     t
   }
@@ -1372,7 +1407,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       partitionCol: Option[String] = null,
       retiredPhysical: Seq[String] = null,
       txns: Map[String, Long] = null,
-      constraints: Map[String, String] = null): Manifest =
+      constraints: Map[String, String] = null,
+      properties: Map[String, String] = null): Manifest =
     Manifest(snap.version + 1, action, System.currentTimeMillis(),
       Option(schema).getOrElse(snap.schema),
       Option(partitionCol).getOrElse(snap.partitionCol), files,
@@ -1380,7 +1416,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       clusteredBy, Option(columnMapping).getOrElse(snap.columnMapping),
       Option(retiredPhysical).getOrElse(snap.retiredPhysical),
       Option(txns).getOrElse(snap.txns),
-      Option(constraints).getOrElse(snap.constraints))
+      Option(constraints).getOrElse(snap.constraints),
+      Option(properties).getOrElse(snap.properties))
 
   private def mkDiff(base: Manifest, m: Manifest): AttemptDiff = {
     val mPaths = m.files.map(_.path).toSet
@@ -1460,7 +1497,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       fresh.rowsTotal - diff.removedRows + diff.added.map(_.rows).sum,
       newChanges, clusteredBy = None, columnMapping = m.columnMapping,
       retiredPhysical = m.retiredPhysical, txns = fresh.txns ++ ourTxns,
-      constraints = m.constraints))
+      constraints = m.constraints,
+      // a winner's property commit survives the rebase (this attempt
+      // never touches properties — the properties action is not rebasable)
+      properties = fresh.properties))
   }
 
   /** Rewrite a staged change dir with a new `_commit_version` stamp (the
@@ -1652,7 +1692,8 @@ object CommitLogTable {
       columnMapping: Map[String, String] = Map.empty,
       retiredPhysical: Seq[String] = Seq.empty,
       txns: Map[String, Long] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty)
 
   val HistorySchema: StructType = StructType.fromDDL(
     "version BIGINT, action STRING, rows_inserted BIGINT, " +
@@ -1836,6 +1877,10 @@ object CommitLogTable {
       val cn = root.putObject("constraints")
       m.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
     }
+    if (m.properties.nonEmpty) {
+      val pr = root.putObject("properties")
+      m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
+    }
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val o = arr.addObject()
@@ -1887,17 +1932,18 @@ object CommitLogTable {
         val tx = n.get("txns")
         tx.fieldNames().asScala.map(k => k -> tx.get(k).asLong).toMap
       } else Map.empty[String, Long]
-    val constraints =
-      if (n.hasNonNull("constraints")) {
-        val cn = n.get("constraints")
-        cn.fieldNames().asScala.map(k => k -> cn.get(k).asText).toMap
+    def optMap(field: String): Map[String, String] =
+      if (n.hasNonNull(field)) {
+        val o = n.get(field)
+        o.fieldNames().asScala.map(k => k -> o.get(k).asText).toMap
       } else Map.empty[String, String]
+    val constraints = optMap("constraints")
     Manifest(n.get("version").asLong, n.get("action").asText,
       n.get("tsMillis").asLong,
       StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
       files, n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
       optText("changesDir"), optText("clusteredBy"), mapping, retired, txns,
-      constraints)
+      constraints, optMap("properties"))
   }
 }

@@ -893,6 +893,31 @@ class CommitLogSpec extends AnyFunSuite {
       .select("v").as[Double].collect().toSet == Set(100.0, 200.0, 300.0))
   }
 
+  test("table properties: SET/UNSET version with the table, idempotent re-sets publish nothing") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    t.append(mk(Seq((1L, "a", 1.0))))
+    assert(t.properties.isEmpty)
+    t.setProperties(Map("owner" -> "ingest", "retention.days" -> "7"))
+    assert(t.properties == Map("owner" -> "ingest", "retention.days" -> "7"))
+    // idempotent re-set: no version published (idle config loops must
+    // not grow the log)
+    val v = t.latestVersion
+    assert(t.setProperties(Map("owner" -> "ingest")) == v)
+    t.setProperties(Map("owner" -> "gold")) // overwrite publishes
+    assert(t.latestVersion == v + 1 && t.properties("owner") == "gold")
+    // unset; absent keys are a no-op
+    t.unsetProperties(Seq("retention.days", "nope"))
+    assert(t.properties == Map("owner" -> "gold"))
+    assert(t.unsetProperties(Seq("nope")) == t.latestVersion)
+    // properties are versioned: a clone carries the head's, data
+    // commits preserve them
+    t.append(mk(Seq((2L, "b", 2.0))))
+    assert(t.properties == Map("owner" -> "gold"))
+    val c = t.shallowCloneTo(tmpDir() + "/pclone")
+    assert(c.properties == Map("owner" -> "gold"))
+  }
+
   test("model parity: random append/merge/delete/lazy-delete/update/compact sequences match an in-memory model") {
     // the interactions no single spec exercises — a lazy delete under a
     // later merge, an update over half-materialized marks, compact mid-
