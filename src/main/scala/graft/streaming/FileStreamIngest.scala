@@ -223,6 +223,28 @@ object FileStreamIngest {
     q.awaitTermination()
   }
 
+  /** Always-on twin of [[runAvailableNowCommitLogAppend]] (the same
+    * AvailableNow/ProcessingTime duality every other runner has): the
+    * txn watermark rides the shared checkpoint's batch ids, so a
+    * pipeline can flip between scheduled drains and continuous ingest
+    * without re-appending OR double-appending. Returns the RUNNING
+    * query — the caller owns stop().
+    */
+  def runProcessingTimeCommitLogAppend(df: DataFrame, tableDir: String,
+      checkpointDir: String, appId: String,
+      interval: String = "5 minutes"): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.tables.CommitLogTable
+          .forPath(batch.sparkSession, tableDir, batch.schema, None)
+          .append(batch, txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+
   /** AvailableNow drain through an arbitrary per-batch sink function. */
   def runAvailableNowForeachBatch(df: DataFrame, checkpointDir: String)
       (f: DataFrame => Unit): Unit = {

@@ -188,10 +188,13 @@ class StreamingSinksSpec extends AnyFunSuite {
     t.append(slice1, txn = Some(("bronze-A", 0L)))
     assert(t.latestVersion == vBefore && t.read().count() == slice1.count(),
       "replayed micro-batch double-appended")
-    // restart drains only the delta
+    // flip to the ALWAYS-ON trigger on the same checkpoint: the shared
+    // WAL + txn watermark drain only the delta, exactly once
     slice2.write.mode("append").parquet(src)
-    FileStreamIngest.runAvailableNowCommitLogAppend(
-      FileStreamIngest.bronzeStream(spark, src, ev.schema), tbl, ckpt, "bronze-A")
+    val q = FileStreamIngest.runProcessingTimeCommitLogAppend(
+      FileStreamIngest.bronzeStream(spark, src, ev.schema), tbl, ckpt,
+      "bronze-A", interval = "50 milliseconds")
+    try q.processAllAvailable() finally q.stop()
     val got = t.read()
     assert(got.count() == ev.count())
     assert(got.select(countDistinct($"event_id")).as[Long].head() == ev.count())
