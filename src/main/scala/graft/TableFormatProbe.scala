@@ -107,15 +107,53 @@ object TableFormatProbe {
       rec(p, "vacuum", timeMs(t.vacuum(retainVersions = 2, orphanGraceMillis = 0L))._2)
     }
 
-    // per-op scale ratio: metadata ops should sit far below the scale
-    // factor; only append_full is licensed to track it
-    if (scales.size == 2) {
-      val Seq(a, b) = scales
-      val byOp = results.groupBy(_._2)
-      println("op,base_ms,scaled_ms,ratio")
-      byOp.toSeq.sortBy(_._1).foreach { case (op, rows) =>
-        val ma = rows.find(_._1 == a).map(_._3).getOrElse(Double.NaN)
-        val mb = rows.find(_._1 == b).map(_._3).getOrElse(Double.NaN)
+    // ---- FILE-COUNT axis (checkpointed log): a metadata-only commit on
+    // the diff-serialized log must cost O(diff) — flat wall time AND flat
+    // manifest bytes while the live file count grows 100×. Before the
+    // checkpointed log every commit serialized the full O(#files) list;
+    // these rows are the evidence that cost is gone.
+    val fileScales = args.lift(2).getOrElse("64,6400")
+      .split(',').map(_.trim.toInt).toSeq
+    for (fc <- fileScales) {
+      import java.nio.file.{Files, Paths}
+      val dir = s"$outRoot/f$fc-${System.nanoTime()}"
+      val df = spark.range(fc * 10L).select(col("id").as("k"),
+        (col("id") * 0.5).as("v")).repartition(fc)
+      val t = CommitLogTable.create(spark, dir, df.schema)
+      rec(fc, "files_build_append", timeMs(t.append(df, recordChanges = false))._2)
+      val one = spark.range(1).select((col("id") + 10000000L).as("k"),
+        lit(0.0).as("v")).coalesce(1)
+      rec(fc, "files_append_1file",
+        timeMs(t.append(one, recordChanges = false))._2)
+      rec(fc, "files_rename", timeMs(t.renameColumn("v", "w"))._2)
+      rec(fc, "files_set_property",
+        timeMs(t.setProperties(Map("owner" -> "probe")))._2)
+      rec(fc, "files_lazy_delete", timeMs(t.deleteLazy("k < 5"))._2)
+      def manifestBytes(v: Long): Long =
+        Files.size(Paths.get(dir, "_graft_log", f"v$v%020d.json"))
+      rec(fc, "files_meta_manifest_bytes",
+        manifestBytes(t.latestVersion).toDouble)
+      // cold MANIFEST resolve from a fresh instance: one checkpoint read
+      // + ≤ CheckpointInterval diff replays — this is the log's cost and
+      // must stay ~flat. (Plan construction over the resolved file list —
+      // Spark's FileIndex — is file-count-proportional by nature and is
+      // tracked separately as resolve_plan on the partition axis.)
+      rec(fc, "files_cold_manifest", timeMs(
+        CommitLogTable.open(spark, dir).fileCount())._2)
+      rec(fc, "files_cold_plan", timeMs(
+        CommitLogTable.open(spark, dir).read().queryExecution.executedPlan)._2)
+    }
+
+    // per-op scale ratio across whichever two scales the op ran at:
+    // metadata ops should sit far below the scale factor; only the
+    // build/full appends are licensed to track it
+    val byOp = results.groupBy(_._2)
+    println("op,base_ms,scaled_ms,ratio")
+    byOp.toSeq.sortBy(_._1).foreach { case (op, rows) =>
+      val sorted = rows.sortBy(_._1)
+      if (sorted.size >= 2) {
+        val ma = sorted.head._3
+        val mb = sorted.last._3
         println(f"$op,${math.rint(ma * 10) / 10}%s,${math.rint(mb * 10) / 10}%s,${math.rint(mb / ma * 100) / 100}%s")
       }
     }

@@ -59,22 +59,23 @@ object FileStreamIngest {
     */
   def bronzeStreamInferred(spark: SparkSession, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // scoped: the file source resolves its schema during load(), so the
-    // conf only needs to hold across the reader construction — leaving it
-    // set session-wide would let every LATER schema-less readStream in
-    // the session silently infer (and re-type across restarts) instead of
-    // failing fast, the exact drift this helper's docstring warns about
-    val key = "spark.sql.streaming.schemaInference"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try {
-      val r = spark.readStream
-      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-      r.parquet(srcDir)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    // scoped via an ISOLATED session, not a set/restore on the caller's:
+    // the file source resolves its schema during load(), and a toggle on
+    // the shared session races any concurrent reader construction — a
+    // schema-less readStream built in the window would silently infer
+    // (and re-type across restarts) instead of failing fast, or an
+    // interleaved restore could leave the wrong final value. newSession()
+    // shares the SparkContext but owns its conf; the caller's session is
+    // never mutated. Runtime confs are carried over so the stream plans
+    // under the caller's settings (shuffle partitions etc.).
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () } // static confs
     }
+    s2.conf.set("spark.sql.streaming.schemaInference", "true")
+    val r = s2.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(srcDir)
   }
 
   /** Bronze: incremental NDJSON(.gz) stream with schema-evolution rescue —
@@ -521,7 +522,14 @@ object FileStreamIngest {
     val dayPred =
       if (days.contains(null)) col(dayCol).isin(nonNull: _*) || col(dayCol).isNull
       else col(dayCol).isin(nonNull: _*)
-    val current = alignToBatch(spark.read.parquet(targetDir).filter(dayPred), batch)
+    // mergeSchema: a previous wider batch may have evolved the seam, so
+    // the target holds mixed per-partition schemas — single-footer
+    // inference could resolve a pre-evolution file, alignToBatch would
+    // null-backfill the evolved column, and carried-over rows would
+    // silently lose their real values on the rewrite
+    val current = alignToBatch(
+      spark.read.option("mergeSchema", "true").parquet(targetDir).filter(dayPred),
+      batch)
     val merged = MergeUpsert.merge(current, batch, keys, order)
     val staged = Paths.get(targetDir + ".staged")
     deleteRecursively(staged)

@@ -25,13 +25,20 @@ import org.apache.spark.sql.types.StructType
   *   data/c-<uuid>/[p=v/]part-*.parquet   immutable data files per commit
   * }}}
   *
-  * Each manifest carries the FULL active file list (path, partition value,
-  * footer row count, bytes) plus commit statistics — so resolving any
-  * version is one small JSON read, with no log replay. At 100 TB the list
-  * is tens of thousands of entries of ~100 bytes: still a single-digit-MB
-  * driver-side read, the same order as a Delta checkpoint, and file-level
-  * partition pruning happens on this metadata rather than on directory
-  * listings.
+  * The log is CHECKPOINTED (Delta's `_delta_log` actions + checkpoint
+  * split): most commits serialize only their file DIFF (adds/removes vs
+  * the parent version) plus full small metadata, and a full-snapshot
+  * checkpoint manifest is forced every [[CommitLogTable.CheckpointInterval]]
+  * versions — or whenever the diff would be at least as large as the
+  * snapshot. Commit cost is therefore O(files touched), never O(files
+  * total): at 100 TB (~10⁶ live files) a metadata-only rename writes a
+  * ~200-byte diff, not a ~100 MB file list. Snapshot resolution replays
+  * at most CheckpointInterval diffs forward from the nearest checkpoint
+  * (cached per instance, so sequential access pays one raw read per
+  * version); file-level partition pruning happens on this resolved
+  * metadata rather than on directory listings. [[vacuumLog]] drops log
+  * segments a later checkpoint supersedes, bounding history like Delta's
+  * `logRetentionDuration`.
   *
   * ATOMICITY & ISOLATION. A commit writes its data files first (invisible
   * to readers — nothing references them), then publishes a fully-written
@@ -239,7 +246,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       }
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType =>
-        try Some(Left(BigDecimal(String.valueOf(v)))) catch { case _: NumberFormatException => None }
+        // a Float bound must widen THROUGH the double domain the stats
+        // (and Spark's residual comparison) live in: String.valueOf(0.1f)
+        // is "0.1", but the stored stat is the widened 0.10000000149...,
+        // and pruning with the narrower decimal would drop a file whose
+        // min is exactly the bound — silent row loss
+        val canon = v match {
+          case f: java.lang.Float => String.valueOf(f.doubleValue)
+          case other => String.valueOf(other)
+        }
+        try Some(Left(BigDecimal(canon))) catch { case _: NumberFormatException => None }
       case DateType => v match {
         case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
         case s: String =>
@@ -605,7 +621,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val current = readFiles(snap.files, snap.schema, snap.columnMapping).persist()
     val goes = coalesce(predicate, lit(false))
     try {
-      val (newFiles, kept, _) = writeData(current.filter(!goes),
+      val (newFiles, kept, delSub) = writeData(current.filter(!goes),
         snap.partitionCol, snap.columnMapping)
       val changesSub = writeChanges(
         current.filter(goes).withColumn("_change_type", lit("delete")),
@@ -616,6 +632,15 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // through the marks) and report phantom deletions against the
       // change feed; rowsTotal is the physical footer truth
       val nDel = current.filter(goes).count()
+      if (nDel == 0) {
+        // nothing matched: a scheduled delete loop must not pay a full
+        // rewrite per idle run, grow the log, or tick the vacuum
+        // retention window (same guard as update())
+        deleteRecursively(Paths.get(dir, delSub))
+        deleteRecursively(Paths.get(dir, StagedChangesDirName,
+          Paths.get(changesSub).getFileName.toString))
+        throw NoOpCommit
+      }
       mkManifest(snap, "delete", newFiles,
         rowsInserted = 0, rowsUpdated = 0,
         rowsDeleted = nDel, rowsTotal = kept,
@@ -650,9 +675,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     // on a clustered 100 TB table that is the difference between marking
     // (and later rewriting) 0.1% of files vs all of them. Only simple
     // comparison predicates prove anything; everything else marks
-    // conservatively (correct, merely broader).
+    // conservatively (correct, merely broader). The predicate parses
+    // ONCE — the per-file work is a stat comparison, so marking stays
+    // O(#files) cheap driver work, not O(#files) SQL parses.
+    val parsed = parseSimpleComparison(predicate)
     val files2 = snap.files.map { f =>
-      if (!lazyDeleteMayMatch(snap, f, predicate)) f
+      if (!lazyDeleteMayMatch(snap, f, parsed)) f
       else f.copy(pendingDelete = Some(
         f.pendingDelete.map(e => s"($e) OR ($predicate)").getOrElse(predicate)))
     }
@@ -664,35 +692,38 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       changesDir = None, clusteredBy = snap.clusteredBy)
   }
 
-  /** Can `f` possibly hold a row matching the lazy-delete predicate?
-    * TRUE unless the file's stats disprove it: a simple
-    * `col <op> literal` (either operand order; op ∈ <, <=, >, >=, =)
-    * over a stats-carrying column is testable against the stored
-    * (min, max); any other shape — or a stat-less file — is
-    * conservatively a match.
+  /** Parse a predicate into the one shape stats can refute: a simple
+    * `col <op> literal` (either operand order; op ∈ <, <=, >, >=, =).
+    * None = not provable — callers must treat every file as a may-match.
     */
-  private def lazyDeleteMayMatch(snap: Manifest, f: LogFile,
-      predicate: String): Boolean = {
+  private def parseSimpleComparison(predicate: String): Option[(String, String, Any)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     def unlit(l: Literal): Any = l.value match {
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
       case x => x
     }
-    val simple: Option[(String, String, Any)] =
-      try spark.sessionState.sqlParser.parseExpression(predicate) match {
-        case LessThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<", unlit(l)))
-        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<=", unlit(l)))
-        case GreaterThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, ">", unlit(l)))
-        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, ">=", unlit(l)))
-        case EqualTo(a: UnresolvedAttribute, l: Literal) => Some((a.name, "=", unlit(l)))
-        case LessThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, ">", unlit(l)))
-        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, ">=", unlit(l)))
-        case GreaterThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<", unlit(l)))
-        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<=", unlit(l)))
-        case EqualTo(l: Literal, a: UnresolvedAttribute) => Some((a.name, "=", unlit(l)))
-        case _ => None
-      } catch { case _: Exception => None }
+    try spark.sessionState.sqlParser.parseExpression(predicate) match {
+      case LessThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<", unlit(l)))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<=", unlit(l)))
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, ">", unlit(l)))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, ">=", unlit(l)))
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => Some((a.name, "=", unlit(l)))
+      case LessThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, ">", unlit(l)))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, ">=", unlit(l)))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<", unlit(l)))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<=", unlit(l)))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => Some((a.name, "=", unlit(l)))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** Can `f` possibly hold a row matching the (pre-parsed) predicate?
+    * TRUE unless the file's stats disprove it; a stat-less file or an
+    * unprovable predicate shape is conservatively a match.
+    */
+  private def lazyDeleteMayMatch(snap: Manifest, f: LogFile,
+      simple: Option[(String, String, Any)]): Boolean = {
     simple match {
       case None => true
       case Some((name, op, v)) =>
@@ -1063,6 +1094,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       orphanGraceMillis: Long = DefaultOrphanGraceMillis): Int =
     CommitLogTable.vacuumPath(dir, retainVersions, orphanGraceMillis)
 
+  /** Drop LOG SEGMENTS (manifests + their change dirs) superseded by a
+    * later checkpoint, keeping at least the last `retainVersions`
+    * versions readable — Delta's `logRetentionDuration` cleanup,
+    * version-counted. See [[CommitLogTable.vacuumLogPath]].
+    */
+  def vacuumLog(retainVersions: Int): Int =
+    CommitLogTable.vacuumLogPath(dir, retainVersions)
+
   // ------------------------------------------------------------ internals
 
   private def listVersions: Seq[Long] = CommitLogTable.listVersionsAt(dir)
@@ -1070,8 +1109,37 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private val manifestCache =
     scala.collection.concurrent.TrieMap.empty[Long, Manifest]
 
+  /** Cached diff-resolving snapshot lookup: walk back from `version`
+    * until a cached resolved manifest OR an on-disk full (checkpoint)
+    * manifest, then replay diffs forward, caching every intermediate.
+    * Sequential access (history, change replay, the steady-state
+    * commit loop) therefore pays ONE raw read per version; a cold random
+    * version pays at most [[CommitLogTable.CheckpointInterval]] reads.
+    * Manifests are immutable once published, so the cache never
+    * invalidates.
+    */
   private def manifest(version: Long): Manifest =
-    manifestCache.getOrElseUpdate(version, CommitLogTable.manifestAt(dir, version))
+    manifestCache.get(version).getOrElse {
+      var chain = List.empty[RawDiff]
+      var v = version
+      var base: Manifest = null
+      while (base == null) {
+        manifestCache.get(v) match {
+          case Some(m) => base = m
+          case None => CommitLogTable.readRaw(dir, v) match {
+            case RawFull(m) =>
+              manifestCache.putIfAbsent(v, m)
+              base = m
+            case d: RawDiff => chain ::= d; v -= 1
+          }
+        }
+      }
+      chain.foldLeft(base) { (p, d) =>
+        val m = CommitLogTable.applyDiff(p, d)
+        manifestCache.putIfAbsent(m.version, m)
+        m
+      }
+    }
 
   private def snapshot(): Manifest = manifest(latestVersion)
 
@@ -1578,12 +1646,49 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     finally s.close()
   }
 
+  /** Choose the on-disk form for a commit and stamp its checkpoint
+    * anchor. A commit serializes as a file DIFF against its parent
+    * unless (a) it's v0, (b) the chain since the last checkpoint reached
+    * [[CommitLogTable.CheckpointInterval]] (bounds cold-resolve replay),
+    * or (c) the diff would be at least as large as the snapshot (full
+    * rewrites — delete/update/restore — where a diff is pure overhead).
+    * This is what makes commit cost O(files touched): a metadata-only
+    * rename on a 10⁶-file table writes a ~200-byte diff, not a ~100 MB
+    * snapshot. Same-path entries whose LogFile changed (a lazy-delete
+    * mark) serialize as remove+add.
+    */
+  private def serializeForPublish(m: Manifest): (String, Manifest) =
+    if (m.version == 0) {
+      val r = m.copy(checkpointVersion = 0L)
+      (fullJson(r), r)
+    } else {
+      val parent = manifest(m.version - 1)
+      val parentCkpt =
+        if (parent.checkpointVersion >= 0) parent.checkpointVersion
+        else parent.version
+      val parentByPath = parent.files.iterator.map(f => f.path -> f).toMap
+      val mByPath = m.files.iterator.map(f => f.path -> f).toMap
+      val added = m.files.filterNot(f => parentByPath.get(f.path).contains(f))
+      val removed = parent.files
+        .filterNot(f => mByPath.get(f.path).contains(f)).map(_.path)
+      val useFull = (m.version - parentCkpt) >= CheckpointInterval ||
+        added.size + removed.size >= m.files.size
+      if (useFull) {
+        val r = m.copy(checkpointVersion = m.version)
+        (fullJson(r), r)
+      } else {
+        val r = m.copy(checkpointVersion = parentCkpt)
+        (diffJson(r, added, removed), r)
+      }
+    }
+
   private def tryPublish(m: Manifest): Boolean = {
+    val (json, resolved) = serializeForPublish(m)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     // SYNC: the manifest bytes must be durable BEFORE the link makes the
     // version visible — otherwise power loss after the link leaves a
     // torn v<N>.json that bricks every subsequent read
-    Files.write(tmp, manifestJson(m).getBytes(UTF_8),
+    Files.write(tmp, json.getBytes(UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE,
       java.nio.file.StandardOpenOption.SYNC)
@@ -1603,6 +1708,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     // the stream-visible changes/ dir is repaired lazily by readers if a
     // crash lands exactly here
     if (won) {
+      // the winner's resolved snapshot seeds the cache — the commit loop
+      // (and the next commit's diff computation) never re-reads what this
+      // process just wrote
+      manifestCache.putIfAbsent(resolved.version, resolved)
       m.changesDir.foreach(promoteChanges)
       writeLatestHint(m.version)
     }
@@ -1618,6 +1727,14 @@ object CommitLogTable {
   private val StagedChangesDirName = s"$LogDirName/staged_changes"
   private val ShadowPartCol = "__part"
   private val MaxCommitRetries = 20
+
+  /** A full-snapshot (checkpoint) manifest is forced at least every this
+    * many versions — the bound on a cold snapshot resolve's diff replay
+    * (Delta's `checkpointInterval`, default 10 there too). Between
+    * checkpoints every commit serializes only its file diff, making
+    * commit cost O(files touched) instead of O(files total).
+    */
+  val CheckpointInterval = 10
 
   /** Per-file min/max stats are kept for at most this many columns
     * (schema-order first — the leading columns are the keys and
@@ -1693,7 +1810,11 @@ object CommitLogTable {
       retiredPhysical: Seq[String] = Seq.empty,
       txns: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      // nearest full-snapshot (checkpoint) version at-or-below this one —
+      // assigned at publish time (-1 = in-flight, not yet serialized);
+      // the resolver replays diffs forward from it
+      checkpointVersion: Long = -1L)
 
   val HistorySchema: StructType = StructType.fromDDL(
     "version BIGINT, action STRING, rows_inserted BIGINT, " +
@@ -1749,10 +1870,44 @@ object CommitLogTable {
     finally s.close()
   }
 
-  private[tables] def manifestAt(dir: String, version: Long): Manifest = {
+  private[tables] def readRaw(dir: String, version: Long): RawManifest = {
     val p = Paths.get(dir, LogDirName).resolve(manifestName(version))
-    require(Files.exists(p), s"version $version does not exist at $dir")
-    parseManifest(new String(Files.readAllBytes(p), UTF_8))
+    require(Files.exists(p), s"version $version does not exist at $dir " +
+      "(vacuumed log segment, or never committed)")
+    parseRaw(new String(Files.readAllBytes(p), UTF_8))
+  }
+
+  /** Resolve one version cold: walk back to the nearest full manifest
+    * (≤ [[CheckpointInterval]] steps by construction), replay diffs
+    * forward. Instance reads go through the cached
+    * [[CommitLogTable.manifest]] instead.
+    */
+  private[tables] def manifestAt(dir: String, version: Long): Manifest = {
+    var chain = List.empty[RawDiff]
+    var v = version
+    var base: Manifest = null
+    while (base == null) readRaw(dir, v) match {
+      case RawFull(m) => base = m
+      case d: RawDiff => chain ::= d; v -= 1
+    }
+    chain.foldLeft(base)(applyDiff)
+  }
+
+  /** Resolve EVERY listed version in one sequential fold — O(total raw
+    * bytes), not O(versions × chain): the bulk path for vacuum/history
+    * walks. `versions` must be the ascending contiguous committed list
+    * (what [[listVersionsAt]] returns); the oldest retained version is
+    * always a full manifest (the log-vacuum invariant).
+    */
+  private[tables] def manifestsAt(dir: String, versions: Seq[Long]): Seq[Manifest] = {
+    var prev: Manifest = null
+    versions.map { v =>
+      prev = readRaw(dir, v) match {
+        case RawFull(m) => m
+        case d: RawDiff => applyDiff(prev, d)
+      }
+      prev
+    }
   }
 
   /** Spark-free vacuum (see the instance method's contract): drop data
@@ -1774,9 +1929,11 @@ object CommitLogTable {
       orphanGraceMillis: Long = DefaultOrphanGraceMillis): Int = {
     require(retainVersions >= 1)
     val versions = listVersionsAt(dir)
-    val retainedRefs = versions.takeRight(retainVersions)
-      .flatMap(v => manifestAt(dir, v).files.map(_.path)).toSet
-    val committedManifests = versions.map(v => manifestAt(dir, v))
+    // one sequential diff-replay over the whole log, not a per-version
+    // chain resolve — vacuum touches every manifest by definition
+    val committedManifests = manifestsAt(dir, versions)
+    val retainedRefs = committedManifests.takeRight(retainVersions)
+      .flatMap(_.files.map(_.path)).toSet
     val anyRefs = committedManifests.flatMap(_.files.map(_.path)).toSet
     val promotedChanges = committedManifests.flatMap(_.changesDir)
       .map(sub => Paths.get(sub).getFileName.toString).toSet
@@ -1843,12 +2000,98 @@ object CommitLogTable {
     deleted
   }
 
+  /** Spark-free LOG-SEGMENT vacuum: delete manifests (and their change
+    * dirs) that a later checkpoint supersedes, keeping at least the last
+    * `retainVersions` versions resolvable. The cut never lands mid-chain:
+    * it retreats to the CHECKPOINT anchoring the oldest retained version
+    * (one raw read — the stored `checkpoint` field), so every surviving
+    * version still replays. Time travel and `history` are thereafter
+    * bounded by log retention — Delta's `logRetentionDuration` contract;
+    * data files are untouched (that's [[vacuumPath]]'s job — run it
+    * FIRST, while every manifest is still present to testify about which
+    * files are referenced).
+    *
+    * Deletion runs newest-first inside the dropped prefix, so a crash
+    * leaves `[0..k] ∪ [anchor..head]` — both runs resolvable (the anchor
+    * is a full manifest) — and a re-run finishes the sweep. Returns
+    * dropped-manifest count.
+    */
+  def vacuumLogPath(dir: String, retainVersions: Int): Int = {
+    require(retainVersions >= 1)
+    val versions = listVersionsAt(dir)
+    if (versions.size <= retainVersions) return 0
+    val keepFrom = versions.takeRight(retainVersions).head
+    val anchor = readRaw(dir, keepFrom).checkpointVersion
+    val drop = versions.filter(_ < anchor).sorted.reverse
+    var n = 0
+    drop.foreach { v =>
+      val raw = readRaw(dir, v)
+      val changes = raw match {
+        case RawFull(m) => m.changesDir
+        case d: RawDiff => d.meta.changesDir
+      }
+      changes.foreach(sub => deleteTree(Paths.get(dir, sub)))
+      if (Files.deleteIfExists(
+          Paths.get(dir, LogDirName).resolve(manifestName(v)))) n += 1
+    }
+    n
+  }
+
+  private def deleteTree(root: Path): Unit = if (Files.exists(root)) {
+    val s = Files.walk(root)
+    try s.iterator().asScala.toVector.sortBy(-_.getNameCount)
+      .foreach(Files.deleteIfExists)
+    finally s.close()
+  }
+
   // ----------------------------------------------------------- JSON codec
   // Jackson ships with Spark; manifests are small driver-side documents.
+  //
+  // TWO on-disk forms (the Delta `_delta_log` actions + checkpoint split):
+  //   - FULL (checkpoint): complete `files` array — self-contained, one
+  //     read resolves the snapshot;
+  //   - DIFF: `filesAdded` / `filesRemoved` relative to version-1, plus
+  //     `checkpoint` pointing at the nearest full manifest at-or-below —
+  //     commit cost is O(files touched), never O(files total).
+  // Both carry the FULL non-file metadata (schema, mapping, txns,
+  // constraints, properties, counts) — that part is small and diffing it
+  // would buy nothing. Legacy manifests (pre-diff format: `files`, no
+  // `checkpoint`) parse as full with checkpoint = own version, so every
+  // existing table remains readable and its next commit can diff.
 
   private val mapper = new ObjectMapper()
 
-  private def manifestJson(m: Manifest): String = {
+  /** Raw parsed form of one on-disk manifest, before diff resolution. */
+  private[tables] sealed trait RawManifest {
+    def version: Long
+    def checkpointVersion: Long
+  }
+  private[tables] final case class RawFull(m: Manifest) extends RawManifest {
+    def version: Long = m.version
+    def checkpointVersion: Long = m.checkpointVersion
+  }
+  /** `meta` carries every non-file field (files = empty). The parent is
+    * always version - 1 (manifests claim consecutive versions).
+    */
+  private[tables] final case class RawDiff(meta: Manifest,
+      added: Seq[LogFile], removed: Set[String]) extends RawManifest {
+    def version: Long = meta.version
+    def checkpointVersion: Long = meta.checkpointVersion
+  }
+
+  /** Replay one diff on top of its resolved parent: same-path entries in
+    * `removed`+`added` express in-place modification (a lazy-delete mark),
+    * kept files preserve their relative order, added files append — the
+    * exact shape the commit bodies build in memory.
+    */
+  private[tables] def applyDiff(parent: Manifest, d: RawDiff): Manifest = {
+    require(parent.version == d.version - 1,
+      s"diff manifest v${d.version} replayed onto v${parent.version}")
+    d.meta.copy(files =
+      parent.files.filterNot(f => d.removed.contains(f.path)) ++ d.added)
+  }
+
+  private def putMeta(m: Manifest): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("action", m.action)
@@ -1859,6 +2102,7 @@ object CommitLogTable {
     root.put("rowsUpdated", m.rowsUpdated)
     root.put("rowsDeleted", m.rowsDeleted)
     root.put("rowsTotal", m.rowsTotal)
+    root.put("checkpoint", m.checkpointVersion)
     m.changesDir.foreach(root.put("changesDir", _))
     m.clusteredBy.foreach(root.put("clusteredBy", _))
     if (m.columnMapping.nonEmpty) {
@@ -1881,8 +2125,13 @@ object CommitLogTable {
       val pr = root.putObject("properties")
       m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
     }
-    val arr = root.putArray("files")
-    m.files.foreach { f =>
+    root
+  }
+
+  private def putFiles(root: com.fasterxml.jackson.databind.node.ObjectNode,
+      field: String, files: Seq[LogFile]): Unit = {
+    val arr = root.putArray(field)
+    files.foreach { f =>
       val o = arr.addObject()
       o.put("path", f.path)
       f.partition.foreach(o.put("partition", _))
@@ -1896,14 +2145,25 @@ object CommitLogTable {
       }
       f.pendingDelete.foreach(o.put("pendingDelete", _))
     }
+  }
+
+  private def fullJson(m: Manifest): String = {
+    val root = putMeta(m)
+    putFiles(root, "files", m.files)
     mapper.writeValueAsString(root)
   }
 
-  private def parseManifest(s: String): Manifest = {
-    val n = mapper.readTree(s)
-    def optText(field: String): Option[String] =
-      if (n.hasNonNull(field)) Some(n.get(field).asText) else None
-    val files = n.get("files").elements().asScala.map { f =>
+  private def diffJson(m: Manifest, added: Seq[LogFile],
+      removed: Seq[String]): String = {
+    val root = putMeta(m)
+    putFiles(root, "filesAdded", added)
+    val rm = root.putArray("filesRemoved")
+    removed.foreach(rm.add)
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseFiles(n: com.fasterxml.jackson.databind.JsonNode): Seq[LogFile] =
+    n.elements().asScala.map { f =>
       val stats =
         if (f.hasNonNull("stats")) {
           val st = f.get("stats")
@@ -1918,6 +2178,11 @@ object CommitLogTable {
         if (f.hasNonNull("pendingDelete")) Some(f.get("pendingDelete").asText)
         else None)
     }.toVector
+
+  private[tables] def parseRaw(s: String): RawManifest = {
+    val n = mapper.readTree(s)
+    def optText(field: String): Option[String] =
+      if (n.hasNonNull(field)) Some(n.get(field).asText) else None
     val mapping =
       if (n.hasNonNull("columnMapping")) {
         val cm = n.get("columnMapping")
@@ -1937,13 +2202,24 @@ object CommitLogTable {
         val o = n.get(field)
         o.fieldNames().asScala.map(k => k -> o.get(k).asText).toMap
       } else Map.empty[String, String]
-    val constraints = optMap("constraints")
-    Manifest(n.get("version").asLong, n.get("action").asText,
+    val version = n.get("version").asLong
+    val isFull = n.hasNonNull("files")
+    // legacy full manifests predate the checkpoint field: each one IS a
+    // checkpoint (self-contained), so it anchors at its own version
+    val ckpt =
+      if (n.hasNonNull("checkpoint")) n.get("checkpoint").asLong
+      else version
+    val meta = Manifest(version, n.get("action").asText,
       n.get("tsMillis").asLong,
       StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
-      files, n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
+      if (isFull) parseFiles(n.get("files")) else Seq.empty,
+      n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
       optText("changesDir"), optText("clusteredBy"), mapping, retired, txns,
-      constraints, optMap("properties"))
+      optMap("constraints"), optMap("properties"), ckpt)
+    if (isFull) RawFull(meta)
+    else RawDiff(meta,
+      parseFiles(n.get("filesAdded")),
+      n.get("filesRemoved").elements().asScala.map(_.asText).toSet)
   }
 }

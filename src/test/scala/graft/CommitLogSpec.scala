@@ -977,6 +977,97 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------- checkpointed log
+
+  private def rawJson(dir: String, v: Long): String =
+    new String(Files.readAllBytes(
+      Paths.get(dir, "_graft_log", f"v$v%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+
+  test("checkpointed log: commits diff, checkpoints recur, cold reopen resolves across the boundary") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema, Some("cat"))
+    val expect = scala.collection.mutable.Set.empty[(Long, String, Double)]
+    (1 to 14).foreach { i =>
+      val r = Seq((i.toLong, s"c${i % 3}", i * 1.0))
+      t.append(mk(r).coalesce(1), recordChanges = false)
+      expect ++= r
+    }
+    // v0 is a full checkpoint; the appends in between serialize as diffs;
+    // the CheckpointInterval forces another full snapshot along the way
+    assert(rawJson(dir, 0).contains("\"files\""))
+    val forms = (1L to 14L).map(v => rawJson(dir, v))
+    assert(forms.count(_.contains("\"filesAdded\"")) >= 10,
+      "appends should serialize as diffs, not snapshots")
+    assert(forms.exists(_.contains("\"files\"")),
+      s"no checkpoint within ${CommitLogTable.CheckpointInterval + 4} commits")
+    // a lazy delete mutates entries IN PLACE — the diff must carry the
+    // mark as remove+add of the same path
+    t.deleteLazy("v <= 2.0")
+    expect.retain(_._3 > 2.0)
+    // cold reopen (fresh instance, empty cache): latest resolves through
+    // the diff chain, and time travel crosses the checkpoint boundary
+    // in BOTH directions
+    val t2 = CommitLogTable.open(spark, dir)
+    assert(rows(t2.read()) == expect.toSet)
+    assert(t2.read(Some(3L)).count() == 3L)
+    assert(t2.read(Some(12L)).count() == 12L)
+    assert(t2.history.count() == t2.latestVersion + 1)
+  }
+
+  test("commit cost is O(diff): a metadata-only commit's manifest does not scale with the file count") {
+    val dir = tmpDir()
+    val df = spark.range(400).select($"id".as("k"),
+      ($"id" % 64).cast("string").as("cat"), ($"id" * 1.0).as("v"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Some("cat"))
+    t.append(df, recordChanges = false) // 64 files
+    val v = t.renameColumn("v", "amount")
+    val renameBytes = rawJson(dir, v).length
+    // the rename touches zero files — its diff manifest is a few hundred
+    // bytes of metadata however many files the snapshot holds, while the
+    // snapshot (append) manifest carries all 64 entries
+    assert(rawJson(dir, v).contains("\"filesAdded\""))
+    assert(renameBytes < rawJson(dir, 1).length / 4,
+      s"rename manifest ($renameBytes B) should be far smaller than the snapshot")
+    // a full-rewrite action (eager delete) replaces every file — the diff
+    // would be 2× the snapshot, so it must checkpoint instead
+    val dv = t.delete($"k" < 200)
+    assert(rawJson(dir, dv).contains("\"files\""))
+  }
+
+  test("vacuumLog: superseded segments drop at a checkpoint cut, survivors resolve, dropped versions error clearly") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    (1 to 25).foreach(i =>
+      t.append(mk(Seq((i.toLong, "a", i * 1.0))).coalesce(1)))
+    val before = t.latestVersion
+    val dropped = t.vacuumLog(retainVersions = 5)
+    assert(dropped > 0)
+    val live = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(dir, "_graft_log"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong).toVector.sorted
+      finally s.close()
+    }
+    // at least the last 5 versions survive; the cut lands ON a checkpoint
+    // (the oldest survivor is a full manifest, so every survivor replays)
+    assert(live.size >= 5 && live.last == before)
+    assert(rawJson(dir, live.head).contains("\"files\""))
+    val t2 = CommitLogTable.open(spark, dir)
+    assert(t2.read().count() == 25L)
+    assert(t2.read(Some(live.head)).count() == live.head) // time travel inside retention
+    assert(t2.history.count() == live.size)
+    val e = intercept[IllegalArgumentException](t2.read(Some(0L)))
+    assert(e.getMessage.contains("vacuumed log segment"))
+    // data vacuum still works over the shortened log (manifest fold
+    // starts at the surviving checkpoint)
+    t2.vacuum(retainVersions = 2, orphanGraceMillis = 0L)
+    assert(t2.read().count() == 25L)
+    // idempotent: nothing newly superseded
+    assert(t2.vacuumLog(retainVersions = 5) == 0)
+  }
+
   test("TableOps commit-log binding: upsertPartitions + compact + vacuum end-to-end") {
     val dir = tmpDir() + "/tbl"
     val ops = graft.operators.TableOps.commitLog
