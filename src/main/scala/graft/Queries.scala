@@ -2362,6 +2362,19 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** The same range query through the DataSource-V2 reader
+    * ([[graft.sources.CommitLogDataSource]]): `spark.read.format(
+    * "commitlog")` with a NATURAL `.filter(...)` — stats pruning happens
+    * automatically in the scan (what `readRange` requires the caller to
+    * spell), over a table with a dropped/re-added column exercising the
+    * column-mapping read path. Oracle-identical to [[tableSkip]].
+    */
+  def tableDsv2(s: SparkSession, dir: String): DataFrame =
+    s.read.format("commitlog").load(commitLogDropDir(s, dir))
+      .filter(col("value") >= 50.0 && col("value") <= 100.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+
   /** Build (once per session) the UPDATE demo table: v1 append of
     * event_id%4∈{0,1}; v2 `UPDATE value = value*2+1 WHERE event_id%3=0`
     * — the `UPDATE … SET … WHERE` surface of the reference's Delta

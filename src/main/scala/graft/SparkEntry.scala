@@ -174,6 +174,7 @@ object SparkEntry {
     "q_table_evolve" -> (Queries.tableEvolve _),
     "q_table_drop" -> (Queries.tableDrop _),
     "q_table_skip" -> (Queries.tableSkip _),
+    "q_table_dsv2" -> (Queries.tableDsv2 _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
     "q_table_clone" -> (Queries.tableClone _),
@@ -3748,6 +3749,16 @@ object SparkEntry {
     // stats-pruned range read over the drop-demo table (%4 <= 2 rows):
     // result-identical to the plain filter
     "q_table_skip" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id % 4 <= 2 AND value >= 50.0 AND value <= 100.0
+      GROUP BY event_type""",
+
+    // the same range read routed through the DSv2 `format("commitlog")`
+    // reader with a natural .filter — must be hash-identical to
+    // q_table_skip's explicit readRange
+    "q_table_dsv2" -> """
       SELECT event_type, count(*) AS n_rows,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events

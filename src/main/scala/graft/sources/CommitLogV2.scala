@@ -1,0 +1,326 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate => CatalystPredicate, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.tables.CommitLogTable
+import graft.tables.CommitLogTable.{LogFile, Manifest}
+
+/** DataSource-V2 read path for the commit-log table format:
+  *
+  * {{{
+  *   spark.read.format("commitlog").load(tableDir)
+  *     .filter($"d" >= lit(x))          // prunes files via manifest stats
+  *   spark.read.format("commitlog").option("versionAsOf", 3).load(dir)
+  * }}}
+  *
+  * This closes the gap between the explicit `readRange(col, lo, hi)` API
+  * and the filter a user naturally writes (what Delta readers get from
+  * `spark.read.table`): pushed V1 filters are translated to the same
+  * simple comparisons the manifest's per-file (min, max) stats can
+  * refute, and provably-unmatched files never reach the scan. Every
+  * pushed filter is ALSO returned as a residual, so pruning is purely an
+  * optimization — Spark re-evaluates the full predicate row-by-row.
+  *
+  * The physical read rides Spark's OWN vectorized parquet machinery
+  * ([[ParquetPartitionReaderFactory]] — the factory `ParquetScan` itself
+  * constructs), so the clean-table path keeps columnar batches and
+  * whole-stage codegen. The factory reads under PHYSICAL column names
+  * (column mapping: renames/drops never rewrote the files) positionally
+  * aligned with the scan's LOGICAL output schema, and parquet's
+  * missing-column contract null-backfills pre-evolution files.
+  * Merge-on-read deletes are honored: files carrying `pendingDelete`
+  * marks read through a row-level filter (mark-referenced columns are
+  * added to the read schema and projected back out), and only partitions
+  * containing marked files drop off the columnar fast path.
+  *
+  * Scale: planning cost is O(live files) driver-side arithmetic on the
+  * resolved manifest — no directory listing, no footer reads; split
+  * sizing follows `spark.sql.files.maxPartitionBytes`/`openCostInBytes`
+  * exactly like Spark's own file sources.
+  */
+final class CommitLogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "commitlog"
+
+  private def tableFor(options: CaseInsensitiveStringMap): CommitLogV2Table = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "commitlog reader: specify the table directory via .load(dir)"))
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+    new CommitLogV2Table(SparkSession.active, path, version)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableFor(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    tableFor(new CaseInsensitiveStringMap(properties))
+}
+
+final class CommitLogV2Table(spark: SparkSession, dir: String,
+    version: Option[Long]) extends Table with SupportsRead {
+  private val table = CommitLogTable.open(spark, dir)
+  private[sources] val snap: Manifest = table.resolvedManifest(version)
+  // pinned (time-travel) reads fail fast if vacuum already dropped them —
+  // same contract as CommitLogTable.read(version)
+  version.foreach(v =>
+    table.requireFilesPresent(snap, s"commitlog DSv2 read(versionAsOf=$v)"))
+
+  override def name(): String =
+    s"commitlog.`$dir`" + version.map(v => s"@v$v").getOrElse("")
+  override def schema(): StructType = snap.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CommitLogScanBuilder(spark, table, snap)
+}
+
+final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
+    snap: Manifest) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = snap.schema
+  private var accepted: Array[Filter] = Array.empty
+
+  /** Conjuncts a filter contributes that manifest stats can test. An OR
+    * contributes nothing (pruning on one branch would be wrong); an AND
+    * contributes each provable side — pruning on a subset of conjuncts
+    * is always sound.
+    */
+  private def comparisons(f: Filter): Seq[(String, String, Any)] = f match {
+    case sources.EqualTo(a, v) => Seq((a, "=", v))
+    case sources.GreaterThan(a, v) => Seq((a, ">", v))
+    case sources.GreaterThanOrEqual(a, v) => Seq((a, ">=", v))
+    case sources.LessThan(a, v) => Seq((a, "<", v))
+    case sources.LessThanOrEqual(a, v) => Seq((a, "<=", v))
+    case sources.And(l, r) => comparisons(l) ++ comparisons(r)
+    case _ => Seq.empty
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f => comparisons(f).nonEmpty)
+    filters // everything stays residual: stats pruning is never the filter
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new CommitLogScan(spark, table, snap, required,
+      accepted.flatMap(comparisons).toSeq, accepted.toSeq)
+}
+
+final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
+    snap: Manifest, required: StructType,
+    preds: Seq[(String, String, Any)], pushed: Seq[Filter])
+    extends Scan with Batch {
+
+  /** Files surviving stats pruning: every pushed conjunct must be a
+    * possible match (the same conservative prover the lazy-delete mark
+    * path uses — unprovable shapes keep the file).
+    */
+  private[graft] lazy val prunedFiles: Seq[LogFile] =
+    snap.files.filter(f =>
+      preds.forall(p => table.lazyDeleteMayMatch(snap, f, Some(p))))
+  private[graft] def totalFiles: Int = snap.files.size
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val pf = prunedFiles.size
+    s"CommitLogScan ${snap.schema.fieldNames.mkString("[", ",", "]")} " +
+      s"files=$pf/${snap.files.size} " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  }
+
+  private def phys(name: String): String =
+    snap.columnMapping.getOrElse(name, name)
+  private def toPhysical(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = phys(f.name))))
+
+  /** Pushed filters under physical names, for parquet row-group/page
+    * skipping inside the file reader (a filter naming a column an old
+    * file lacks is skipped by Spark's ParquetFilters — safe under
+    * evolution).
+    */
+  private def physFilters: Array[Filter] = {
+    def rename(f: Filter): Option[Filter] = f match {
+      case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
+      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(phys(a), v))
+      case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(phys(a), v))
+      case sources.LessThan(a, v) => Some(sources.LessThan(phys(a), v))
+      case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(phys(a), v))
+      case sources.And(l, r) => for { l2 <- rename(l); r2 <- rename(r) } yield sources.And(l2, r2)
+      case _ => None
+    }
+    pushed.flatMap(rename).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPart = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = prunedFiles.map(_.bytes + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPart)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val split = prunedFiles.flatMap { f =>
+      val abs = table.dataPath(f).toString
+      (0L until math.max(1L, f.bytes) by maxSplit).map { off =>
+        PartitionedFile(InternalRow.empty, SparkPath.fromPathString(abs),
+          off, math.min(maxSplit, f.bytes - off), Array.empty, 0L, f.bytes)
+      }
+    }
+    FilePartition.getFilePartitions(spark, split, maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // mark-referenced logical columns must be read (then projected out)
+    // so the row-level pendingDelete filter can evaluate
+    val markRefs: Seq[String] = prunedFiles.flatMap(_.pendingDelete).distinct
+      .flatMap(table.sqlRefs).distinct
+    val extraFields = markRefs
+      .flatMap(r => snap.schema.fields.find(_.name.equalsIgnoreCase(r)))
+      .filterNot(f => required.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .distinct
+    val extendedLogical = StructType(required.fields ++ extraFields)
+    val physRead = toPhysical(extendedLogical)
+    val physData = toPhysical(snap.schema)
+
+    val hc: Configuration = spark.sessionState.newHadoopConf()
+    // the conf entries ParquetScan plants for its own factory: the
+    // requested (physical) schema for both the vectorized reader and the
+    // ReadSupport row path
+    hc.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hc.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physRead.json)
+    hc.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, physRead.json)
+    ParquetWriteSupport.setSchema(physRead, hc)
+    // ParquetToSparkSchemaConverter(Configuration) reads these with NO
+    // default (`conf.get(key).toBoolean` throws on an absent key), so
+    // every one must be planted — the same block ParquetScan runs
+    locally {
+      import org.apache.spark.sql.internal.SQLConf
+      val sqlConf = spark.sessionState.conf
+      Seq(SQLConf.PARQUET_BINARY_AS_STRING,
+        SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+        SQLConf.CASE_SENSITIVE,
+        SQLConf.PARQUET_FIELD_ID_READ_ENABLED,
+        SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+        SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+        SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
+        SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION,
+        SQLConf.VARIANT_ALLOW_READING_SHREDDED)
+        .foreach(e => hc.setBoolean(e.key, sqlConf.getConf(e)))
+      hc.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+      hc.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      hc.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    }
+    val broadcasted = spark.sparkContext.broadcast(new SerializableConfiguration(hc))
+    val inner = ParquetPartitionReaderFactory(
+      spark.sessionState.conf, broadcasted, physData, physRead,
+      new StructType(), physFilters, None,
+      new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+
+    val marked = prunedFiles.filter(_.pendingDelete.isDefined)
+    if (marked.isEmpty && extraFields.isEmpty) inner
+    else {
+      // bind each distinct mark predicate against the EXTENDED logical
+      // schema via the analyzer (type coercion included), then rebase the
+      // resolved attributes onto positional BoundReferences — the rows
+      // the factory produces are positional physical reads of
+      // extendedLogical
+      val bound: Map[String, Expression] =
+        prunedFiles.flatMap(_.pendingDelete).distinct.map { pd =>
+          val df = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), extendedLogical)
+          val analyzed = df.filter(org.apache.spark.sql.functions.expr(pd))
+            .queryExecution.analyzed
+          val (cond, out) = analyzed match {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              (f.condition, f.child.output)
+            case other => throw new IllegalStateException(
+              s"unexpected analyzed mark plan: $other")
+          }
+          pd -> cond.transform {
+            case a: AttributeReference =>
+              BoundReference(out.indexWhere(_.exprId == a.exprId),
+                a.dataType, a.nullable)
+          }
+        }.toMap
+      val perPath: Map[String, Expression] = prunedFiles
+        .filter(_.pendingDelete.isDefined)
+        .map(f => table.dataPath(f).toString -> bound(f.pendingDelete.get))
+        .toMap
+      MarkFilteringReaderFactory(inner, perPath, required.length,
+        extendedLogical)
+    }
+  }
+}
+
+/** Wraps the stock parquet reader factory with per-file merge-on-read
+  * delete filtering: rows matching the file's `pendingDelete` predicate
+  * are dropped (TRUE drops; NULL keeps — SQL DELETE semantics, matching
+  * `CommitLogTable.readFiles`), then rows project back down to the
+  * scan's pruned output schema. Row-based only — a marked table trades
+  * the columnar fast path for correctness until its marks materialize.
+  */
+final case class MarkFilteringReaderFactory(
+    inner: ParquetPartitionReaderFactory,
+    predicates: Map[String, Expression],
+    keepColumns: Int,
+    extendedSchema: StructType) extends FilePartitionReaderFactory {
+
+  override def options: org.apache.spark.sql.catalyst.FileSourceOptions =
+    inner.options
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] = {
+    val raw = inner.buildReader(file)
+    val predExpr = predicates.get(file.filePath.toString)
+    val needsProject = keepColumns < extendedSchema.length
+    if (predExpr.isEmpty && !needsProject) raw
+    else new PartitionReader[InternalRow] {
+      private val pred = predExpr.map(CatalystPredicate.create) // executor-side codegen
+      private val proj =
+        if (!needsProject) null
+        else UnsafeProjection.create(
+          (0 until keepColumns).map(i => BoundReference(i,
+            extendedSchema.fields(i).dataType,
+            extendedSchema.fields(i).nullable)))
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (raw.next()) {
+          val r = raw.get()
+          if (!pred.exists(_.eval(r))) { row = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow =
+        if (proj == null) row else proj(row)
+      override def close(): Unit = raw.close()
+    }
+  }
+}

@@ -574,7 +574,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         s"update: no column '$c' in ${snap.schema.fieldNames.mkString(",")}"))
       require(!snap.partitionCol.exists(set.contains),
         "update: cannot SET the partition column (a row may not move partitions)")
-      val current = readFiles(snap.files, snap.schema, snap.columnMapping).persist()
+      // stats pruning (same prover as deleteLazy): files whose (min, max)
+      // PROVE no row matches carry over BY REFERENCE, marks and all — a
+      // one-partition-selective UPDATE on a clustered 100 TB table
+      // rewrites that partition's files, not the table
+      val parsed = parseSimpleComparisonExpr(
+        org.apache.spark.sql.graftbridge.toCatalystExpression(predicate))
+      val (mayMatch, carried) =
+        snap.files.partition(f => lazyDeleteMayMatch(snap, f, parsed))
+      if (mayMatch.isEmpty) throw NoOpCommit // provably nothing to update
+      val current = readFiles(mayMatch, snap.schema, snap.columnMapping).persist()
       val hits = coalesce(predicate, lit(false))
       try {
         val updatedRows = current.filter(hits).select(
@@ -598,14 +607,15 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             Paths.get(changesSub).getFileName.toString))
           throw NoOpCommit
         }
-        // rowsTotal from the FOOTERS of the full rewrite, not carried
-        // forward: this rewrite also materializes any outstanding lazy
-        // deletes (`current` reads through the marks), and carrying
-        // snap.rowsTotal would let the shed rows haunt the bookkeeping
-        // forever
-        mkManifest(snap, "update", newFiles,
+        // bookkeeping is footer truth on the rewritten slice: the rewrite
+        // materializes any lazy-delete marks ON THE FILES IT TOUCHES
+        // (`current` reads through them); carried files keep their
+        // physical counts (and their marks) unchanged
+        mkManifest(snap, "update", carried ++ newFiles,
           rowsInserted = 0, rowsUpdated = nUpd, rowsDeleted = 0,
-          rowsTotal = newFiles.map(_.rows).sum, changesDir = Some(changesSub))
+          rowsTotal = snap.rowsTotal - mayMatch.map(_.rows).sum +
+            newFiles.map(_.rows).sum,
+          changesDir = Some(changesSub))
       } finally current.unpersist(false)
     }
   }
@@ -614,26 +624,38 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * SQL DELETE semantics: only rows where the predicate is TRUE go — a
     * NULL predicate keeps the row (naively filtering on `!predicate`
     * would silently drop NULL-evaluating rows from BOTH the table and
-    * the change feed). Full-table copy-on-write (no file-stat pruning —
-    * acceptable for the maintenance-grade deletes this engine issues).
+    * the change feed). Copy-on-write with FILE-STAT PRUNING: files whose
+    * stored (min, max) prove no row matches carry over by reference
+    * (marks and all), so a selective delete on a clustered table
+    * rewrites O(matching files), not the table — and unlike
+    * [[deleteLazy]] the change feed still carries the deleted images
+    * (the pruned scan that produces them runs anyway). Unprovable
+    * predicate shapes fall back to the full rewrite.
     */
   def delete(predicate: Column): Long = retryCommit("delete") { snap =>
-    val current = readFiles(snap.files, snap.schema, snap.columnMapping).persist()
+    val parsed = parseSimpleComparisonExpr(
+        org.apache.spark.sql.graftbridge.toCatalystExpression(predicate))
+    val (mayMatch, carried) =
+      snap.files.partition(f => lazyDeleteMayMatch(snap, f, parsed))
+    if (mayMatch.isEmpty) throw NoOpCommit // provably nothing to delete
+    val current = readFiles(mayMatch, snap.schema, snap.columnMapping).persist()
     val goes = coalesce(predicate, lit(false))
     try {
-      val (newFiles, kept, delSub) = writeData(current.filter(!goes),
+      val (newFiles, _, delSub) = writeData(current.filter(!goes),
         snap.partitionCol, snap.columnMapping)
       val changesSub = writeChanges(
         current.filter(goes).withColumn("_change_type", lit("delete")),
         snap.version + 1, snap.columnMapping)
       // rows_deleted = the PREDICATE's count (what the CDF records) —
-      // NOT snap.rowsTotal - kept, which would also fold in any lazy
+      // NOT a before/after file diff, which would also fold in any lazy
       // deletes this rewrite happens to materialize (`current` reads
-      // through the marks) and report phantom deletions against the
-      // change feed; rowsTotal is the physical footer truth
+      // through the marks on the files it rewrites) and report phantom
+      // deletions against the change feed; rowsTotal stays footer truth:
+      // carried files keep their physical counts, rewritten files
+      // contribute theirs
       val nDel = current.filter(goes).count()
       if (nDel == 0) {
-        // nothing matched: a scheduled delete loop must not pay a full
+        // nothing matched: a scheduled delete loop must not pay a
         // rewrite per idle run, grow the log, or tick the vacuum
         // retention window (same guard as update())
         deleteRecursively(Paths.get(dir, delSub))
@@ -641,9 +663,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           Paths.get(changesSub).getFileName.toString))
         throw NoOpCommit
       }
-      mkManifest(snap, "delete", newFiles,
+      mkManifest(snap, "delete", carried ++ newFiles,
         rowsInserted = 0, rowsUpdated = 0,
-        rowsDeleted = nDel, rowsTotal = kept,
+        rowsDeleted = nDel,
+        rowsTotal = snap.rowsTotal - mayMatch.map(_.rows).sum +
+          newFiles.map(_.rows).sum,
         changesDir = Some(changesSub))
     } finally current.unpersist(false)
   }
@@ -696,14 +720,25 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * `col <op> literal` (either operand order; op ∈ <, <=, >, >=, =).
     * None = not provable — callers must treat every file as a may-match.
     */
-  private def parseSimpleComparison(predicate: String): Option[(String, String, Any)] = {
+  private def parseSimpleComparison(predicate: String): Option[(String, String, Any)] =
+    try parseSimpleComparisonExpr(
+      spark.sessionState.sqlParser.parseExpression(predicate))
+    catch { case _: Exception => None }
+
+  /** The expression-tree half of [[parseSimpleComparison]] — also the
+    * entry point for `Column` predicates (`delete`/`update`), whose
+    * `.expr` is the same unresolved comparison shape the SQL parser
+    * yields.
+    */
+  private def parseSimpleComparisonExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[(String, String, Any)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     def unlit(l: Literal): Any = l.value match {
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
       case x => x
     }
-    try spark.sessionState.sqlParser.parseExpression(predicate) match {
+    try e match {
       case LessThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<", unlit(l)))
       case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, "<=", unlit(l)))
       case GreaterThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, ">", unlit(l)))
@@ -714,6 +749,24 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       case GreaterThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<", unlit(l)))
       case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, "<=", unlit(l)))
       case EqualTo(l: Literal, a: UnresolvedAttribute) => Some((a.name, "=", unlit(l)))
+      // a Column predicate converts to UnresolvedFunction('<', args) —
+      // the operator arrives as a function NAME, not a typed node
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        def flip(op: String) = op match {
+          case "<" => ">"; case "<=" => ">="
+          case ">" => "<"; case ">=" => "<="; case other => other
+        }
+        val op = f.nameParts.last match {
+          case "==" => Some("="); case o @ ("=" | "<" | "<=" | ">" | ">=") => Some(o)
+          case _ => None
+        }
+        (op, f.arguments) match {
+          case (Some(o), Seq(a: UnresolvedAttribute, l: Literal)) =>
+            Some((a.name, o, unlit(l)))
+          case (Some(o), Seq(l: Literal, a: UnresolvedAttribute)) =>
+            Some((a.name, flip(o), unlit(l)))
+          case _ => None
+        }
       case _ => None
     } catch { case _: Exception => None }
   }
@@ -722,7 +775,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * TRUE unless the file's stats disprove it; a stat-less file or an
     * unprovable predicate shape is conservatively a match.
     */
-  private def lazyDeleteMayMatch(snap: Manifest, f: LogFile,
+  private[graft] def lazyDeleteMayMatch(snap: Manifest, f: LogFile,
       simple: Option[(String, String, Any)]): Boolean = {
     simple match {
       case None => true
@@ -758,7 +811,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * constraints, lazy-delete predicates) — ONE definition of reference
     * extraction for every guard.
     */
-  private def sqlRefs(sql: String): Set[String] =
+  private[graft] def sqlRefs(sql: String): Set[String] =
     spark.sessionState.sqlParser.parseExpression(sql).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.name
@@ -1143,11 +1196,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private def snapshot(): Manifest = manifest(latestVersion)
 
+  /** Resolved snapshot manifest for external (package-internal) readers —
+    * the DSv2 connector plans its scan from this.
+    */
+  private[graft] def resolvedManifest(version: Option[Long] = None): Manifest =
+    manifest(version.getOrElse(latestVersion))
+
   /** Resolve a manifest file entry to a filesystem path: entries are
     * table-relative except SHALLOW-CLONE references, which are absolute
     * (they live under the source table's root).
     */
-  private def dataPath(f: LogFile): Path =
+  private[graft] def dataPath(f: LogFile): Path =
     if (f.path.startsWith("/")) Paths.get(f.path) else Paths.get(dir, f.path)
 
   /** Fail-fast existence check for PINNED reads: a version past the
@@ -1155,7 +1214,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * a mid-scan task failure. Latest-version reads never need it (the
     * head's files are always retained).
     */
-  private def requireFilesPresent(m: Manifest, what: String): Unit = {
+  private[graft] def requireFilesPresent(m: Manifest, what: String): Unit = {
     val missing = m.files.filterNot(f => Files.exists(dataPath(f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"$what at $dir: version ${m.version} is no longer readable — " +
@@ -1294,7 +1353,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         arranged.write.partitionBy(ShadowPartCol).parquet(abs)
       case None => physDf.write.parquet(abs)
     }
-    val files = enumerate(Paths.get(abs), sub)
+    // zero-row part files (an empty write task, a delete that emptied its
+    // slice) never enter the manifest: they carry no stats, so every
+    // later stats-pruned op would conservatively rewrite them forever —
+    // pure dead weight. Dropped from disk immediately (nothing can
+    // reference them).
+    val (files, empties) = enumerate(Paths.get(abs), sub).partition(_.rows > 0)
+    empties.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
     (files, files.map(_.rows).sum, sub)
   }
 

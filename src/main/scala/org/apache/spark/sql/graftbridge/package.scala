@@ -12,6 +12,15 @@ package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a Catalyst expression.
+    * `toExpression` returns a LAZY `ColumnNodeExpression` wrapper whose
+    * tree is connect-internal `ColumnNode`s — useless for structural
+    * pattern matching; this runs the real converter, yielding ordinary
+    * `UnresolvedFunction`/`UnresolvedAttribute`/`Literal` Catalyst nodes.
+    */
+  def toCatalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a temp SQL function on a live session (the runtime twin of
     * `SparkSessionExtensions.injectFunction` for sessions built without
     * `spark.sql.extensions`).

@@ -1068,6 +1068,53 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t2.vacuumLog(retainVersions = 5) == 0)
   }
 
+  test("stats-pruned eager DELETE/UPDATE: unmatched files carry by reference, CDF intact, provable no-ops publish nothing") {
+    val dir = tmpDir()
+    // 8 files with EXACT disjoint k ranges [i*100, (i+1)*100) — appended
+    // one by one so file boundaries are deterministic (repartitionByRange
+    // samples its boundaries and may split off-by-a-few)
+    val df = spark.range(800).select($"id".as("k"), lit("a").as("cat"),
+      ($"id" * 1.0).as("v"))
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    (0 until 8).foreach { i =>
+      t.append(df.filter($"k" >= i * 100 && $"k" < (i + 1) * 100).coalesce(1),
+        recordChanges = false)
+    }
+    // the manifest DIFF is the evidence of pruning: a selective
+    // delete/update must remove (rewrite) exactly the one may-match file
+    // and carry the other 7 by reference (old bytes stay on disk for
+    // time travel either way — the manifest is what matters)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def diffCounts(v: Long): (Int, Int) = {
+      val n = om.readTree(rawJson(dir, v))
+      (if (n.hasNonNull("filesAdded")) n.get("filesAdded").size else -1,
+        if (n.hasNonNull("filesRemoved")) n.get("filesRemoved").size else -1)
+    }
+    // k ∈ [0,100) lives in one file — the delete must rewrite only it
+    val dv = t.delete($"k" < 100)
+    val (dAdd, dRem) = diffCounts(dv)
+    assert(dRem == 1, s"selective delete should rewrite exactly 1 of 8 files, rewrote $dRem")
+    assert(dAdd >= 0 && dAdd <= 2)
+    assert(t.read().count() == 700)
+    val delChanges = t.readChanges(dv, dv)
+    assert(delChanges.count() == 100 &&
+      delChanges.agg(max($"k")).head.getLong(0) == 99L)
+    // selective UPDATE: same pruning, pre/post images recorded
+    val uv = t.update($"k" >= 700, Map("v" -> (col("v") + 1000)))
+    val (_, uRem) = diffCounts(uv)
+    assert(uRem == 1,
+      s"selective update should rewrite exactly the one may-match file, rewrote $uRem")
+    assert(t.read().filter($"k" >= 700).agg(min($"v")).head.getDouble(0) == 1700.0)
+    assert(t.readChanges(uv, uv).filter($"_change_type" === "update_postimage").count() == 100)
+    // provably-out-of-range predicates publish nothing at all
+    val head = t.latestVersion
+    assert(t.delete($"k" > 10000000L) == head)
+    assert(t.update($"k" > 10000000L, Map("v" -> lit(0.0))) == head)
+    // rowsTotal bookkeeping survived the carried-by-reference paths
+    assert(t.history.orderBy($"version".desc).select("rows_total")
+      .head.getLong(0) == 700L)
+  }
+
   test("TableOps commit-log binding: upsertPartitions + compact + vacuum end-to-end") {
     val dir = tmpDir() + "/tbl"
     val ops = graft.operators.TableOps.commitLog
