@@ -44,7 +44,12 @@ import org.apache.spark.sql.types.StructType
   * to readers — nothing references them), then publishes a fully-written
   * manifest via hard-link: `Files.createLink(v<N>.json, tmp)` atomically
   * fails with [[FileAlreadyExistsException]] if another writer claimed
-  * version N, giving optimistic concurrency on any POSIX filesystem.
+  * version N, giving optimistic concurrency on any POSIX filesystem —
+  * across THREADS and across PROCESSES alike (nothing is shared in
+  * memory; the cross-JVM race is spec-pinned). Caveat: an object store
+  * without atomic create-if-absent (plain S3) cannot arbitrate this way
+  * — deploy there behind a commit coordinator (a DynamoDB-style
+  * lock/LogStore), exactly as Delta requires for S3 multi-writer.
   * Losers first try to REBASE (commute) onto the winning snapshot — an
   * append always commutes, and a merge/compact commutes when the
   * interleaved commits touched disjoint partitions (Delta-style conflict
@@ -198,13 +203,27 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   def readRange(column: String, lo: Any, hi: Any,
       version: Option[Long] = None): DataFrame = {
     val m = manifest(version.getOrElse(latestVersion))
+    val keep = rangeFiles(m, column, lo, hi)
+    version.foreach(v => requireFilesPresent(
+      m.copy(files = keep), s"readRange(version=$v)"))
+    val c = col(column)
+    val preds = Option(lo).map(v => c >= lit(v)) ++ Option(hi).map(v => c <= lit(v))
+    val base = readFiles(keep, m.schema, m.columnMapping)
+    preds.reduceOption(_ && _).map(base.filter).getOrElse(base)
+  }
+
+  /** The files a [lo, hi] range on `column` cannot rule out — the pruning
+    * half of [[readRange]], reusable by probes and layout specs.
+    */
+  private[graft] def rangeFiles(m: Manifest, column: String,
+      lo: Any, hi: Any): Seq[LogFile] = {
     require(m.schema.fieldNames.contains(column),
       s"readRange: no column '$column' in ${m.schema.fieldNames.mkString(",")}")
     val phys = m.columnMapping.getOrElse(column, column)
     val dt = m.schema(column).dataType
     val loC = Option(lo).flatMap(v => statBound(dt, v))
     val hiC = Option(hi).flatMap(v => statBound(dt, v))
-    val keep = m.files.filter { f =>
+    m.files.filter { f =>
       f.stats.get(phys) match {
         case Some((mn, mx)) =>
           val mnC = statParse(dt, mn)
@@ -218,13 +237,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         case None => true
       }
     }
-    version.foreach(v => requireFilesPresent(
-      m.copy(files = keep), s"readRange(version=$v)"))
-    val c = col(column)
-    val preds = Option(lo).map(v => c >= lit(v)) ++ Option(hi).map(v => c <= lit(v))
-    val base = readFiles(keep, m.schema, m.columnMapping)
-    preds.reduceOption(_ && _).map(base.filter).getOrElse(base)
   }
+
+  /** Files a range read would scan at the current (or pinned) snapshot —
+    * the layout-quality metric Z-order specs assert on.
+    */
+  private[graft] def rangeFileCount(column: String, lo: Any, hi: Any,
+      version: Option[Long] = None): Int =
+    rangeFiles(manifest(version.getOrElse(latestVersion)), column, lo, hi).size
 
   /** Comparable form of a user bound / stored stat under the column's
     * type: numeric domain (Left) or lexical domain (Right). None = not
@@ -1000,11 +1020,15 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   def compact(targetFileBytes: Long,
       values: Option[Seq[String]] = None,
-      sortCols: Seq[Column] = Seq.empty): Map[String, (Int, Int)] = {
+      sortCols: Seq[Column] = Seq.empty,
+      clusterLabel: Option[String] = None): Map[String, (Int, Int)] = {
     require(targetFileBytes > 0)
     var report = Map.empty[String, (Int, Int)]
+    // the marker label: an explicit name when given (compactZOrder — the
+    // derived expression string would bloat every manifest), else the
+    // sort expressions' text
     val sortKey = if (sortCols.isEmpty) None
-      else Some(sortCols.map(_.toString).mkString(","))
+      else Some(clusterLabel.getOrElse(sortCols.map(_.toString).mkString(",")))
     retryCommit("compact") { snap =>
       // a clustered rewrite is skippable only when the SNAPSHOT is already
       // clustered by these keys (the manifest marker, cleared by any
@@ -1048,23 +1072,114 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // grow the log and tick the vacuum retention window forward on
       // every idle run
       if (replaced.isEmpty) throw NoOpCommit
+      // this rewrite MATERIALIZES any lazy-delete marks on the files it
+      // replaces — the moment their rows physically disappear, and the
+      // moment the deferred CDF delete images get stamped (deleteLazy
+      // records none: producing them needs the very scan it skips; this
+      // scan runs anyway). Downstream incremental consumers therefore
+      // never miss a lazy deletion — it surfaces at the materializing
+      // version, like a DV-aware Delta CDF read.
+      val marked = results.flatMap(_._4).filter(_.pendingDelete.isDefined)
+      val changesSub =
+        if (marked.isEmpty) None
+        else Some(writeChanges(
+          marked.groupBy(_.pendingDelete.get).toSeq.sortBy(_._1)
+            .map { case (pd, mfs) =>
+              readFiles(mfs, snap.schema, snap.columnMapping,
+                applyMarks = false).filter(coalesce(expr(pd), lit(false)))
+            }
+            .reduce(_.unionByName(_))
+            .withColumn("_change_type", lit("delete")),
+          snap.version + 1, snap.columnMapping))
       // the marker holds only for a clustered compact over the WHOLE
       // table (a values-scoped pass leaves other partitions unsorted, and
       // a plain bin-pack's coalesce destroys any previous ordering in the
       // files it rewrites)
       val marker = if (values.isEmpty) sortKey else None
       // content-preserving rewrites keep the total; a rewrite that
-      // MATERIALIZED pending lazy deletes sheds their rows here
-      val rowsTotal2 = snap.rowsTotal -
-        results.flatMap(_._4).map(_.rows).sum +
-        results.flatMap(_._5).map(_.rows).sum
+      // materialized pending lazy deletes sheds their rows here — and
+      // reports them as this commit's deletions, matching its CDF
+      val replacedRows = results.flatMap(_._4).map(_.rows).sum
+      val newRows = results.flatMap(_._5).map(_.rows).sum
       mkManifest(snap, "compact",
         snap.files.filterNot(f => replaced.contains(f.path)) ++
           results.flatMap(_._5),
-        rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
-        rowsTotal = rowsTotal2, changesDir = None, clusteredBy = marker)
+        rowsInserted = 0, rowsUpdated = 0,
+        rowsDeleted = math.max(0L, replacedRows - newRows),
+        rowsTotal = snap.rowsTotal - replacedRows + newRows,
+        changesDir = changesSub, clusteredBy = marker)
     }
     report
+  }
+
+  /** Multi-column Z-ORDER compact — the real `OPTIMIZE … ZORDER BY (a, b)`
+    * (the reference's table service, `docs/databricks_setup.md`): rows
+    * sort by the BIT-INTERLEAVED normalized codes of the cluster columns,
+    * so file (min, max) ranges are narrow on EVERY cluster column and a
+    * range read on ANY of them prunes ~|files|^(1-1/k) of the layout —
+    * where a lexicographic `compact(sortCols = a, b)` leaves the second
+    * column's per-file range full-width (zero pruning). Columns must be
+    * numeric/date/timestamp (strings have no linear code — cluster on a
+    * numeric surrogate instead). Codes normalize linearly between the
+    * column's global (min, max), read from MANIFEST stats when every file
+    * carries them — zero data scanned — else one min/max aggregate; the
+    * interleave itself is pure codegen-able column arithmetic (no UDF).
+    * Bounds are a layout heuristic: skew degrades pruning, never
+    * correctness (the residual predicate always applies).
+    */
+  def compactZOrder(targetFileBytes: Long, cols: Seq[String],
+      bitsPerColumn: Int = 16): Map[String, (Int, Int)] = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"compactZOrder: 2-4 cluster columns, got ${cols.size}")
+    require(bitsPerColumn * cols.size <= 63,
+      s"compactZOrder: ${cols.size} cols × $bitsPerColumn bits exceeds a long")
+    val snap0 = snapshot()
+    import org.apache.spark.sql.types._
+    val numeric: Map[String, Column] = cols.map { c =>
+      require(snap0.schema.fieldNames.contains(c),
+        s"compactZOrder: no column '$c'")
+      c -> (snap0.schema(c).dataType match {
+        case DateType => datediff(col(c), to_date(lit("1970-01-01")))
+          .cast("double")
+        case TimestampType => unix_micros(col(c)).cast("double")
+        case _: NumericType => col(c).cast("double")
+        case dt => throw new IllegalArgumentException(
+          s"compactZOrder: unsupported type ${dt.catalogString} for '$c'")
+      })
+    }.toMap
+    val bounds: Map[String, (Double, Double)] = cols.map { c =>
+      val phys = snap0.columnMapping.getOrElse(c, c)
+      val perFile = snap0.files.map(_.stats.get(phys))
+      val fromStats =
+        if (perFile.nonEmpty && perFile.forall(_.isDefined))
+          try Some((perFile.map(_.get._1.toDouble).min,
+            perFile.map(_.get._2.toDouble).max))
+          catch { case _: NumberFormatException => None }
+        else None
+      c -> fromStats.getOrElse {
+        val r = readFiles(snap0.files, snap0.schema, snap0.columnMapping)
+          .agg(min(numeric(c)), max(numeric(c))).head()
+        if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
+      }
+    }.toMap
+    val maxCode = (1L << bitsPerColumn) - 1
+    val codes: Seq[Column] = cols.map { c =>
+      val (mn, mx) = bounds(c)
+      if (mx <= mn) lit(0L)
+      else least(lit(maxCode), greatest(lit(0L),
+        floor((numeric(c) - lit(mn)) / lit(mx - mn) * lit(maxCode.toDouble))
+          .cast("long")))
+    }
+    // interleave: bit j of code i lands at position j*k + i — a chain of
+    // shift/mask/or column ops, fully inside whole-stage codegen
+    var z: Column = lit(0L)
+    for (j <- 0 until bitsPerColumn; i <- codes.indices) {
+      val bit = shiftright(codes(i), j).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(bit, j * codes.size + i))
+    }
+    compact(targetFileBytes, values = None, sortCols = Seq(z),
+      clusterLabel = Some(
+        s"zorder(${cols.mkString(",")},bits=$bitsPerColumn)"))
   }
 
   /** Re-publish a historical version's file list as the new head (the
@@ -1306,7 +1421,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * pruning happens on the manifest, not on directory listings.)
     */
   private def readFiles(files: Seq[LogFile], schema: StructType,
-      mapping: Map[String, String]): DataFrame =
+      mapping: Map[String, String], applyMarks: Boolean = true): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else {
@@ -1314,7 +1429,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // SQL DELETE semantics — only TRUE-matching rows are hidden, so a
       // NULL-evaluating row survives, mirroring the eager delete()).
       // Almost always one or two groups: clean files plus at most a few
-      // distinct outstanding predicates between rewrites
+      // distinct outstanding predicates between rewrites.
+      // `applyMarks = false` reads the raw physical rows — the
+      // materialization path uses it to produce the CDF delete images of
+      // the very rows the marks hide.
       val groups = files.groupBy(_.pendingDelete).toSeq
         .sortBy(_._1.getOrElse(""))
       groups.map { case (pd, fs) =>
@@ -1322,7 +1440,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           .parquet(fs.map(f => dataPath(f).toString): _*)
           .select(schema.fields.map(f =>
             col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
-        pd.map(p => base.filter(!coalesce(expr(p), lit(false))))
+        pd.filter(_ => applyMarks)
+          .map(p => base.filter(!coalesce(expr(p), lit(false))))
           .getOrElse(base)
       }.reduce(_.unionByName(_))
     }

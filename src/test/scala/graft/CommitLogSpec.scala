@@ -1115,6 +1115,116 @@ class CommitLogSpec extends AnyFunSuite {
       .head.getLong(0) == 700L)
   }
 
+  test("Z-order compact: range reads prune on EVERY cluster column; lexicographic leaves the second unprunable") {
+    import scala.jdk.CollectionConverters._
+    // 64×64 grid of (k, j) — two tables, same content, different layout
+    def build(): (String, CommitLogTable) = {
+      val dir = tmpDir()
+      val df = spark.range(4096).select(($"id" / 64).cast("long").as("k"),
+        ($"id" % 64).as("j"), ($"id" * 1.0).as("v"))
+      val t = CommitLogTable.create(spark, dir, df.schema)
+      t.append(df.repartition(8), recordChanges = false)
+      (dir, t)
+    }
+    def dataBytes(dir: String): Long = {
+      val s = Files.walk(Paths.get(dir, "data"))
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+      finally s.close()
+    }
+    val (lexDir, lex) = build()
+    val (_, zed) = build()
+    val target = dataBytes(lexDir) / 16 + 1
+    lex.compact(target, sortCols = Seq(col("k"), col("j")))
+    zed.compactZOrder(target, Seq("k", "j"))
+    assert(lex.fileCount() >= 8 && zed.fileCount() >= 8)
+    // second-column range: every lexicographic file spans the full j
+    // domain (zero pruning); the Z-layout's files have ~sqrt-width j
+    // extents, so a narrow j slice touches a fraction of them
+    val lexJ = lex.rangeFileCount("j", 0L, 7L)
+    val zJ = zed.rangeFileCount("j", 0L, 7L)
+    assert(lexJ == lex.fileCount(), "lexicographic files should all span j")
+    assert(zJ * 2 <= lexJ,
+      s"zorder should prune ≥2× more on the second column: z=$zJ lex=$lexJ")
+    // the first column still prunes on the Z-layout
+    assert(zed.rangeFileCount("k", 0L, 7L) <= zed.fileCount() / 2)
+    // layout change only — content identical
+    assert(zed.read().count() == 4096)
+    assert(zed.read().agg(sum($"v")).head.getDouble(0) ==
+      lex.read().agg(sum($"v")).head.getDouble(0))
+    // the zorder cluster marker makes an idle re-run a no-op
+    val head = zed.latestVersion
+    zed.compactZOrder(target, Seq("k", "j"))
+    assert(zed.latestVersion == head)
+  }
+
+  test("lazy-delete materialization stamps CDF delete images at the compacting version") {
+    val dir = tmpDir()
+    val df = spark.range(200).select($"id".as("k"), lit("a").as("cat"),
+      ($"id" * 1.0).as("v"))
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df.filter($"k" < 100).coalesce(1))
+    t.append(df.filter($"k" >= 100).coalesce(1))
+    t.deleteLazy("v < 50") // marks only the first file (stats-aware)
+    assert(t.readChanges(3, 3).count() == 0) // lazy delete itself: no CDF
+    assert(t.read().count() == 150)
+    t.compact(1L << 30) // materializes the mark
+    val cv = t.latestVersion
+    val ch = t.readChanges(cv, cv)
+    // the deferred delete images surface AT the materializing version
+    assert(ch.count() == 50)
+    assert(ch.select("_change_type").distinct().head.getString(0) == "delete")
+    assert(ch.agg(max($"v")).head.getDouble(0) == 49.0)
+    // history reports the shed rows as this commit's deletions
+    val h = t.history.filter($"version" === cv).head
+    assert(h.getAs[Long]("rows_deleted") == 50L)
+    assert(h.getAs[Long]("rows_total") == 150L)
+    assert(t.read().count() == 150) // content unchanged by materialization
+  }
+
+  test("cross-JVM commit arbitration: two processes append concurrently, every commit a distinct version, no lost updates") {
+    // the in-memory publish path shares nothing between writers by
+    // design; this is the proof — a SECOND JVM (own SparkSession, own
+    // table instance) races this one, and arbitration happens purely via
+    // the filesystem's atomic hard-link create. (Object stores without
+    // atomic create need a commit coordinator instead — documented in
+    // CommitLogTable's atomicity contract.)
+    val dir = tmpDir()
+    val df = Seq(("seed", "s", 0.0)).toDF("k", "cat", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    val n = 4
+    val jvm = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val pb = new ProcessBuilder(jvm, "-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.CommitRaceAppender", dir, n.toString, "other")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    // race it from THIS process while the other JVM spins up and appends
+    val mine = (1 to n).map { i =>
+      t.append(Seq((s"mine-$i", "mine", i * 1.0)).toDF("k", "cat", "v"))
+    }
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "second JVM did not finish")
+    assert(proc.exitValue() == 0 && out.contains("DONE"),
+      s"second JVM failed:\n${out.takeRight(3000)}")
+    val theirs = out.linesIterator.find(_.startsWith("DONE")).get
+      .stripPrefix("DONE ").split(',').map(_.toLong).toSeq
+    // 2n appends → versions 1..2n, each claimed EXACTLY once across the
+    // two processes
+    assert((mine ++ theirs).sorted == (1L to 2L * n),
+      s"version claims collided or skipped: mine=$mine theirs=$theirs")
+    assert(t.latestVersion == 2L * n)
+    // no lost updates: every row from both writers is present once
+    val rows = t.read().select("k").as[String].collect().sorted.toSeq
+    assert(rows == ((1 to n).map(i => s"mine-$i") ++
+      (1 to n).map(i => s"other-$i")).sorted)
+    // both histories replay from either side's log view
+    assert(t.history.count() == 2L * n + 1)
+  }
+
   test("TableOps commit-log binding: upsertPartitions + compact + vacuum end-to-end") {
     val dir = tmpDir() + "/tbl"
     val ops = graft.operators.TableOps.commitLog
