@@ -58,15 +58,30 @@ import graft.tables.CommitLogTable.{LogFile, Manifest}
   * sizing follows `spark.sql.files.maxPartitionBytes`/`openCostInBytes`
   * exactly like Spark's own file sources.
   */
-final class CommitLogDataSource extends TableProvider with DataSourceRegister {
+final class CommitLogDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "commitlog"
 
-  private def tableFor(options: CaseInsensitiveStringMap): CommitLogV2Table = {
-    val path = Option(options.get("path")).getOrElse(
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
-        "commitlog reader: specify the table directory via .load(dir)"))
+        "commitlog: specify the table directory via .load(dir)/.save(dir)"))
+
+  private def tableFor(options: CaseInsensitiveStringMap): Table = {
+    val path = pathOf(options)
     val version = Option(options.get("versionAsOf")).map(_.toLong)
-    new CommitLogV2Table(SparkSession.active, path, version)
+    // a missing table surfaces as a capability-less stub: reads fail with
+    // Spark's "does not support read" (the table genuinely has nothing to
+    // read), while the V1 write path below gets its create-on-first-write
+    if (!CommitLogTable.exists(path)) new Table {
+      override def name(): String = s"commitlog.`$path` (uncreated)"
+      override def schema(): StructType = new StructType()
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.Collections.emptySet()
+    }
+    else new CommitLogV2Table(SparkSession.active, path, version)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -75,6 +90,149 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     tableFor(new CaseInsensitiveStringMap(properties))
+
+  /** V1 batch WRITE path (`df.write.format("commitlog").mode(...)
+    * .save(dir)`): DataFrameWriter falls back here because the V2 table
+    * deliberately exposes no BATCH_WRITE — every mode maps onto one
+    * TRANSACTIONAL table commit (blind append, atomic overwrite), so a
+    * plain `df.write` user gets the commit log's atomicity, CDF, and
+    * stats without touching the table API. Options: `partitionCol` (used
+    * at creation), `mergeSchema` (schema evolution on append/overwrite).
+    */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("commitlog write: missing path"))
+    val partitionCol = parameters.get("partitionCol")
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    val existed = CommitLogTable.exists(path)
+    mode match {
+      case Append =>
+        CommitLogTable.forPath(spark, path, data.schema, partitionCol)
+          .append(data, mergeSchema = mergeSchema)
+      case Overwrite =>
+        if (existed)
+          CommitLogTable.open(spark, path)
+            .overwrite(data, mergeSchema = mergeSchema)
+        else
+          CommitLogTable.create(spark, path, data.schema, partitionCol)
+            .append(data)
+      case ErrorIfExists =>
+        if (existed) throw new IllegalStateException(
+          s"commitlog table already exists at $path (mode=ErrorIfExists)")
+        CommitLogTable.create(spark, path, data.schema, partitionCol)
+          .append(data)
+      case Ignore =>
+        if (!existed)
+          CommitLogTable.create(spark, path, data.schema, partitionCol)
+            .append(data)
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      override def schema: StructType = data.schema
+    }
+  }
+
+  /** V1 STREAMING sink (`df.writeStream.format("commitlog")`):
+    * exactly-once via the table's idempotent txn appends — the micro-batch
+    * id is the txnVersion, so a crash between the append and the
+    * checkpoint commit replays the batch and the table recognizes it
+    * (the same upgrade `FileStreamIngest`'s commit-log appender makes
+    * explicit, here behind the stock writeStream surface). Append mode
+    * only. Options: `txnAppId` (defaults to the checkpoint location —
+    * distinct streams into one table must not share it), `partitionCol`,
+    * `mergeSchema`.
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"commitlog sink supports Append output mode only, got $outputMode")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("commitlog sink: missing path"))
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(s"commitlog-sink:$path")
+    val partitionCol =
+      parameters.get("partitionCol").orElse(partitionColumns.headOption)
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.DataFrame): Unit = {
+        val batch = org.apache.spark.sql.graftbridge.asBatchFrame(data)
+        CommitLogTable
+          .forPath(sqlContext.sparkSession, path, batch.schema, partitionCol)
+          .append(batch, mergeSchema = mergeSchema,
+            txn = Some((appId, batchId)))
+      }
+      override def toString: String = s"CommitLogSink[$path]"
+    }
+  }
+
+  /** V1 STREAMING CDF source (`spark.readStream.format("commitlog")`
+    * .option("path", dir)` — Delta's `readChangeFeed` streaming read
+    * behind the stock surface): each micro-batch is the change rows of
+    * the commit versions between the checkpointed offset and the current
+    * head, tagged `_change_type` / `_commit_version`. Offsets are commit
+    * versions — deterministic replay (versions are immutable), so
+    * exactly-once falls out of the engine's offset log. Options:
+    * `startingVersion` (exclude earlier commits — a consumer
+    * bootstrapped from a snapshot at V streams with V+1). The declared
+    * schema is the table's CURRENT change schema; restart a stream after
+    * a schema evolution to pick up the widened columns (same contract as
+    * any streaming source schema change). Note `vacuumLog` drops old
+    * change files with their versions — keep log retention deeper than
+    * the slowest consumer's lag.
+    */
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("commitlog source: missing path"))
+    (shortName(),
+      CommitLogTable.open(sqlContext.sparkSession, path).cdfSchema)
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+    import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("commitlog source: missing path"))
+    val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+    val table = CommitLogTable.open(spark, path)
+    val declaredSchema = table.cdfSchema
+    new Source {
+      private def ver(o: V1Offset): Long = o match {
+        case l: LongOffset => l.offset
+        case s: SerializedOffset => LongOffset(s).offset
+        case other => other.json.toLong
+      }
+      override def schema: StructType = declaredSchema
+      override def getOffset: Option[V1Offset] = {
+        val head = table.latestVersion
+        if (head < starting) None else Some(LongOffset(head))
+      }
+      override def getBatch(start: Option[V1Offset],
+          end: V1Offset): org.apache.spark.sql.DataFrame = {
+        val from = start.map(ver(_) + 1).getOrElse(starting)
+        org.apache.spark.sql.graftbridge.asStreamingFrame(
+          table.readChanges(from, ver(end)))
+      }
+      override def stop(): Unit = ()
+      override def toString: String = s"CommitLogCdfSource[$path]"
+    }
+  }
 }
 
 final class CommitLogV2Table(spark: SparkSession, dir: String,

@@ -412,6 +412,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         col(snap.columnMapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
   }
 
+  /** The CDF row schema at the CURRENT table schema — what the V1
+    * streaming CDF source declares.
+    */
+  private[graft] def cdfSchema: StructType = changeSchema(snapshot().schema)
+
   private def changeSchema(base: StructType): StructType =
     new StructType(base.fields :+
       org.apache.spark.sql.types.StructField("_change_type",
@@ -477,6 +482,40 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub,
         schema = schema2, columnMapping = mapping2,
         txns = snap.txns ++ txn.toMap)
+    }
+
+  /** Atomic full REPLACE (`df.write.mode("overwrite")` / `INSERT
+    * OVERWRITE`): one commit swaps the entire snapshot for the batch.
+    * Readers pinned at earlier versions keep their files (until vacuum);
+    * `recordChanges = true` (default) records delete images of the
+    * replaced snapshot plus insert images of the batch, so incremental
+    * consumers see the replacement rather than silently missing it —
+    * the cost is one read of the old snapshot, licensed for an op that
+    * rewrites the table anyway. `mergeSchema` widens as in [[append]];
+    * without it the batch must speak the table's schema.
+    */
+  def overwrite(df: DataFrame, recordChanges: Boolean = true,
+      mergeSchema: Boolean = false): Long =
+    retryCommit("overwrite") { snap =>
+      val (schema2, mapping2, aligned) = resolveSchema(df, snap, mergeSchema)
+      enforceConstraints(snap, aligned, "overwrite")
+      val (newFiles, dataRows, _) = writeData(aligned, snap.partitionCol, mapping2)
+      val changesSub = if (!recordChanges) None else Some(writeChanges(
+        readFiles(snap.files, snap.schema, snap.columnMapping)
+          .withColumn("_change_type", lit("delete"))
+          // old rows surface under the old logical names; align to the
+          // (possibly widened) new schema before unioning
+          .select((schema2.fieldNames.map(c =>
+            (if (snap.schema.fieldNames.contains(c)) col(c)
+             else lit(null).cast(schema2(c).dataType)).as(c)) :+
+            col("_change_type")).toSeq: _*)
+          .unionByName(readFiles(newFiles, schema2, mapping2)
+            .withColumn("_change_type", lit("insert"))),
+        snap.version + 1, mapping2))
+      mkManifest(snap, "overwrite", newFiles,
+        rowsInserted = dataRows, rowsUpdated = 0,
+        rowsDeleted = snap.rowsTotal, rowsTotal = dataRows,
+        changesDir = changesSub, schema = schema2, columnMapping = mapping2)
     }
 
   /** MERGE upsert, latest-wins per `keys` under `order` (same semantics as

@@ -21,6 +21,31 @@ package object graftbridge {
   def toCatalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Re-frame a STREAMING micro-batch DataFrame as a batch frame over the
+    * same physical rows (the standard V1 `Sink.addBatch` bridge — a
+    * streaming-planned frame refuses batch writes). The RDD is the
+    * micro-batch's materialized plan; re-wrapping it drops the streaming
+    * flag without copying data.
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val session = classicDf.sparkSession
+    session.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
+  /** The inverse bridge: re-frame a batch DataFrame as a STREAMING one —
+    * what a V1 `Source.getBatch` must return (the engine asserts
+    * `isStreaming` on source output). Lazy: the wrapped RDD executes per
+    * trigger, not at wrap time.
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val session = classicDf.sparkSession
+    session.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Register a temp SQL function on a live session (the runtime twin of
     * `SparkSessionExtensions.injectFunction` for sessions built without
     * `spark.sql.extensions`).

@@ -76,6 +76,122 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(v2.filter($"k" < 200).count() == 100) // 100..199 survive
   }
 
+  test("batch write path: every SaveMode maps onto one transactional commit") {
+    import org.apache.spark.sql.SaveMode
+    val dir = tmpDir() + "/t"
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "cat", "v")
+    // Append on a missing table creates it (partitionCol honored)
+    df.write.format("commitlog").option("partitionCol", "cat")
+      .mode(SaveMode.Append).save(dir)
+    val t = CommitLogTable.open(spark, dir)
+    assert(t.read().count() == 2)
+    df.write.format("commitlog").mode(SaveMode.Append).save(dir)
+    assert(t.read().count() == 4)
+    // partition pruning works on the written layout
+    assert(t.readPartitions(Set("a")).count() == 2)
+    // Overwrite is ONE atomic commit with full CDF (deletes + inserts)
+    Seq((9L, "z", 9.0)).toDF("k", "cat", "v")
+      .write.format("commitlog").mode(SaveMode.Overwrite).save(dir)
+    assert(t.read().select("k").as[Long].collect().toSeq == Seq(9L))
+    val ov = t.latestVersion
+    val ch = t.readChanges(ov, ov).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("delete" -> 4L, "insert" -> 1L))
+    // time travel reaches through the overwrite
+    assert(t.read(Some(ov - 1)).count() == 4)
+    // ErrorIfExists refuses; Ignore no-ops
+    intercept[IllegalStateException] {
+      df.write.format("commitlog").mode(SaveMode.ErrorIfExists).save(dir)
+    }
+    val head = t.latestVersion
+    df.write.format("commitlog").mode(SaveMode.Ignore).save(dir)
+    assert(t.latestVersion == head && t.read().count() == 1)
+  }
+
+  test("streaming sink: exactly-once via txn appends — a replayed micro-batch lands once") {
+    val root = tmpDir()
+    val tbl = root + "/tbl"
+    val mk = (n: Long) => spark.range(n, n + 2).select($"id".as("k"),
+      lit("s").as("cat"), ($"id" * 1.0).as("v"))
+    val ds = new graft.sources.CommitLogDataSource
+    val sink = ds.createSink(spark.sqlContext,
+      Map("path" -> tbl, "txnAppId" -> "spec-sink"), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0, mk(0))
+    sink.addBatch(0, mk(0)) // crash-replay of the same micro-batch
+    val t = CommitLogTable.open(spark, tbl)
+    assert(t.read().count() == 2, "replayed batch must not double-land")
+    sink.addBatch(1, mk(10))
+    assert(t.read().count() == 4)
+    // a SECOND sink instance (restarted query, same checkpoint identity)
+    // still recognizes the committed batch ids
+    val sink2 = ds.createSink(spark.sqlContext,
+      Map("path" -> tbl, "txnAppId" -> "spec-sink"), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink2.addBatch(1, mk(10))
+    assert(t.read().count() == 4, "restart replay must not double-land")
+    sink2.addBatch(2, mk(20))
+    assert(t.read().count() == 6)
+    // end-to-end through writeStream: the stock streaming surface
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = ms.toDF().toDF("k", "cat", "v").writeStream.format("commitlog")
+      .option("path", root + "/st")
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      ms.addData((1L, "x", 1.0), (2L, "x", 2.0))
+      q.processAllAvailable()
+      ms.addData((3L, "x", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.format("commitlog").load(root + "/st").count() == 3)
+  }
+
+  test("streaming CDF source: per-version change batches, restart resumes at the checkpointed version") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val out = root + "/out"
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "cat", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df)
+    t.merge(Seq((2L, "b", 20.0), (3L, "c", 3.0)).toDF("k", "cat", "v"),
+      Seq("k"), Seq($"v"))
+    def run(): Unit = {
+      val q = spark.readStream.format("commitlog").option("path", dir).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    def got(): Seq[(Long, String, Long)] =
+      spark.read.parquet(out).select("k", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._3, x._1, x._2)).toSeq
+    assert(got() == Seq((1L, "insert", 1L), (2L, "insert", 1L),
+      (2L, "update_postimage", 2L), (2L, "update_preimage", 2L),
+      (3L, "insert", 2L)))
+    // restart after one more commit: ONLY the delta arrives
+    t.delete($"k" === 1L)
+    run()
+    assert(got().size == 6 && got().contains((1L, "delete", 3L)))
+    // idle restart: nothing new
+    run()
+    assert(got().size == 6)
+    // startingVersion excludes earlier commits
+    val s2 = spark.readStream.format("commitlog").option("path", dir)
+      .option("startingVersion", 3).load()
+      .writeStream.format("parquet").option("path", root + "/out2")
+      .option("checkpointLocation", root + "/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(s2.awaitTermination(120000))
+    val late = spark.read.parquet(root + "/out2")
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(late == Seq((1L, "delete")))
+  }
+
   test("DSv2 time travel via versionAsOf matches read(version); vacuumed pins fail fast") {
     val dir = tmpDir()
     val t = buildTable(dir)
