@@ -235,7 +235,7 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
   }
 }
 
-final class CommitLogV2Table(spark: SparkSession, dir: String,
+class CommitLogV2Table(spark: SparkSession, dir: String,
     version: Option[Long]) extends Table with SupportsRead {
   private val table = CommitLogTable.open(spark, dir)
   private[sources] val snap: Manifest = table.resolvedManifest(version)
@@ -255,10 +255,12 @@ final class CommitLogV2Table(spark: SparkSession, dir: String,
 
 final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
     snap: Manifest) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = snap.schema
   private var accepted: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   /** Conjuncts a filter contributes that manifest stats can test. An OR
     * contributes nothing (pruning on one branch would be wrong); an AND
@@ -283,9 +285,119 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new CommitLogScan(spark, table, snap, required,
-      accepted.flatMap(comparisons).toSeq, accepted.toSeq)
+  /** METADATA-ONLY aggregation: a global (no GROUP BY) `COUNT(*)` /
+    * `MIN(col)` / `MAX(col)` answers from the manifest — file row counts
+    * and per-file stats — with ZERO data scanned: at 100 TB a count is a
+    * driver-side sum over the resolved snapshot, the trick Delta's
+    * metadata-only query optimization plays. Refused (→ normal scan)
+    * whenever metadata can't answer exactly: any merge-on-read delete
+    * mark (hidden rows), a stat-less file for the min/max column, or a
+    * residual filter (Spark only attempts the pushdown when every filter
+    * was fully consumed, which this source never claims — so filtered
+    * aggregates always take the row path).
+    */
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (snap.files.exists(_.pendingDelete.isDefined)) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          snap.schema.fields.find(_.name == r.fieldNames.head)
+        case _ => None
+      }
+    // stats string → internal value of the column's type (dates ride
+    // epoch-day ints, timestamps epoch-micro longs — the same physical
+    // encodings footerInfo recorded)
+    def internal(f: StructField, s: String): Option[Any] =
+      try f.dataType match {
+        case ByteType => Some(s.toByte)
+        case ShortType => Some(s.toShort)
+        case IntegerType | DateType => Some(s.toInt)
+        case LongType | TimestampType => Some(s.toLong)
+        case FloatType => Some(s.toFloat)
+        case DoubleType => Some(s.toDouble)
+        case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+    def bound(f: StructField, takeMax: Boolean): Option[Any] = {
+      if (snap.files.isEmpty) return Some(null) // empty table: NULL min/max
+      val phys = snap.columnMapping.getOrElse(f.name, f.name)
+      val perFile = snap.files.map(_.stats.get(phys))
+      if (!perFile.forall(_.isDefined)) return None // a stat-less file
+      val parsed = perFile.map(_.get).map(mm => if (takeMax) mm._2 else mm._1)
+      val best = f.dataType match {
+        case StringType => if (takeMax) parsed.max else parsed.min
+        case _ =>
+          val nums = parsed.map(BigDecimal(_))
+          val b = if (takeMax) nums.max else nums.min
+          parsed(nums.indexOf(b))
+      }
+      internal(f, best)
+    }
+    val out = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count", LongType, nullable = false),
+          snap.files.map(_.rows).sum: Any))
+      case m: Min => colOf(m.column).flatMap(f =>
+        bound(f, takeMax = false).map(v => (StructField("min", f.dataType), v)))
+      case m: Max => colOf(m.column).flatMap(f =>
+        bound(f, takeMax = true).map(v => (StructField("max", f.dataType), v)))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.map(_.get._1)), out.map(_.get._2)))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new CommitLogAggScan(snap, schema, row)
+    case None =>
+      new CommitLogScan(spark, table, snap, required,
+        accepted.flatMap(comparisons).toSeq, accepted.toSeq)
+  }
+}
+
+/** The one-row scan a completely-pushed metadata aggregate resolves to:
+  * no files, no tasks beyond a single empty partition yielding the
+  * pre-computed row.
+  */
+final class CommitLogAggScan(snap: Manifest, aggSchema: StructType,
+    values: Seq[Any]) extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CommitLogAggScan metadata-only ${aggSchema.fieldNames.mkString("[", ",", "]")} " +
+      s"over ${snap.files.size} manifest entries"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(new InputPartition {})
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val row = values.toArray
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 final class CommitLogScan(spark: SparkSession, table: CommitLogTable,

@@ -1411,25 +1411,50 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       }
       val newFields = df.schema.fields.filterNot(f => existing.contains(f.name)).toSeq
       val schema2 = StructType(snap.schema.fields ++ newFields)
-      // physical-name assignment: a column renamed AWAY from 'x' keeps
-      // physical 'x' forever, and a DROPPED column's physical name is
-      // retired — a later evolution adding a new 'x' must take a fresh
-      // physical name or old files would leak stale values into it
-      val taken = scala.collection.mutable.Set(
-        (snap.schema.fieldNames.map(n => snap.columnMapping.getOrElse(n, n)) ++
-          snap.retiredPhysical).toSeq: _*)
-      val mapping2 = snap.columnMapping ++ newFields.flatMap { f =>
-        var cand = f.name
-        var i = 0
-        while (taken(cand)) { i += 1; cand = s"${f.name}_$i" }
-        taken += cand
-        if (cand == f.name) None else Some(f.name -> cand)
-      }
+      val mapping2 = snap.columnMapping ++ assignPhysical(snap, newFields)
       val aligned = df.select(schema2.fields.map { f =>
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
       (schema2, mapping2, aligned)
+    }
+
+  /** Physical-name assignment for NEW logical columns: a column renamed
+    * AWAY from 'x' keeps physical 'x' forever, and a DROPPED column's
+    * physical name is retired — a later evolution adding a new 'x' must
+    * take a fresh physical name or old files would leak stale values
+    * into it.
+    */
+  private def assignPhysical(snap: Manifest,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Map[String, String] = {
+    val taken = scala.collection.mutable.Set(
+      (snap.schema.fieldNames.map(n => snap.columnMapping.getOrElse(n, n)) ++
+        snap.retiredPhysical).toSeq: _*)
+    newFields.flatMap { f =>
+      var cand = f.name
+      var i = 0
+      while (taken(cand)) { i += 1; cand = s"${f.name}_$i" }
+      taken += cand
+      if (cand == f.name) None else Some(f.name -> cand)
+    }.toMap
+  }
+
+  /** Metadata-only ADD COLUMN (`ALTER TABLE … ADD COLUMNS`): the widened
+    * schema lands in one manifest commit; existing files null-backfill at
+    * scan — the standalone half of the evolution `mergeSchema` appends
+    * perform, with the same retired-name-dodging physical assignment.
+    */
+  def addColumns(fields: Seq[org.apache.spark.sql.types.StructField]): Long =
+    retryCommit("evolve") { snap =>
+      require(fields.nonEmpty, "addColumns: no columns")
+      fields.foreach(f => require(!snap.schema.fieldNames.contains(f.name),
+        s"addColumns: column '${f.name}' already exists"))
+      mkManifest(snap, "evolve", snap.files, rowsInserted = 0,
+        rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
+        changesDir = None,
+        schema = StructType(snap.schema.fields ++ fields),
+        columnMapping = snap.columnMapping ++ assignPhysical(snap, fields),
+        clusteredBy = snap.clusteredBy)
     }
 
   private def zeroIfNull(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)

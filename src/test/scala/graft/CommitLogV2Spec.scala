@@ -76,6 +76,37 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(v2.filter($"k" < 200).count() == 100) // 100..199 survive
   }
 
+  test("metadata-only aggregates: count/min/max answer from the manifest; marks and filters fall back") {
+    val dir = tmpDir()
+    val df = spark.range(1000).select($"id".as("k"),
+      concat(lit("s"), ($"id" % 5).cast("string")).as("cat"),
+      ($"id" * 0.5).as("v"))
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df.repartition(8), recordChanges = false)
+    val v2 = spark.read.format("commitlog").load(dir)
+    val q = v2.agg(count(lit(1)).as("n"), min($"k").as("mn"),
+      max($"v").as("mx"), max($"cat").as("mc"))
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)) ==
+      (1000L, 0L, 499.5, "s4"))
+    // the plan is the one-row metadata scan — zero data files planned
+    assert(q.queryExecution.executedPlan.toString.contains("CommitLogAggScan"),
+      q.queryExecution.executedPlan.toString)
+    // merge-on-read marks hide rows metadata can't see → row path, still right
+    t.deleteLazy("k < 10")
+    val v3 = spark.read.format("commitlog").load(dir)
+    val mq = v3.groupBy().count()
+    assert(mq.head.getLong(0) == 990)
+    assert(!mq.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    // a filtered aggregate must take the row path (this source never
+    // claims to consume filters)
+    val fq = v2.filter($"k" >= 500).agg(count(lit(1)))
+    assert(fq.head.getLong(0) == 500)
+    assert(!fq.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    // grouped aggregates are never pushed
+    assert(v2.groupBy("cat").count().count() == 5)
+  }
+
   test("batch write path: every SaveMode maps onto one transactional commit") {
     import org.apache.spark.sql.SaveMode
     val dir = tmpDir() + "/t"
@@ -190,6 +221,52 @@ class CommitLogV2Spec extends AnyFunSuite {
       .select("k", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(late == Seq((1L, "delete")))
+  }
+
+  test("SQL catalog: CREATE/INSERT/SELECT/ALTER/VERSION AS OF/RENAME/DROP all land as table-format commits") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.graft_t",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t.warehouse", wh)
+    spark.sql("CREATE TABLE graft_t.bronze.prices (sym STRING, d DATE, px DOUBLE) " +
+      "PARTITIONED BY (d) TBLPROPERTIES ('pipeline'='fmp')")
+    spark.sql("INSERT INTO graft_t.bronze.prices VALUES " +
+      "('AAPL', DATE'2024-01-02', 185.5), ('MSFT', DATE'2024-01-02', 370.1)")
+    spark.sql("INSERT INTO graft_t.bronze.prices VALUES ('AAPL', DATE'2024-01-03', 186.0)")
+    assert(spark.sql("SELECT sym, px FROM graft_t.bronze.prices ORDER BY sym, px")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("AAPL", 185.5), ("AAPL", 186.0), ("MSFT", 370.1)))
+    // the underlying table really is the commit-log format: transactional
+    // history, partition pruning, properties
+    val t = CommitLogTable.open(spark, s"$wh/bronze/prices")
+    assert(t.history.count() >= 4) // create + properties + 2 inserts
+    assert(t.properties.get("pipeline").contains("fmp"))
+    assert(t.readPartitions(Set("2024-01-03")).count() == 1)
+    // metadata-only count through SQL + time travel
+    assert(spark.sql("SELECT count(*) FROM graft_t.bronze.prices").head.getLong(0) == 3)
+    val prev = t.latestVersion - 1
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_t.bronze.prices VERSION AS OF $prev")
+      .head.getLong(0) == 2)
+    // INSERT OVERWRITE = one atomic replace commit
+    spark.sql("INSERT OVERWRITE graft_t.bronze.prices VALUES ('NVDA', DATE'2024-01-04', 500.0)")
+    assert(spark.sql("SELECT sym FROM graft_t.bronze.prices").collect()
+      .map(_.getString(0)).toSeq == Seq("NVDA"))
+    // ALTER TABLE: each change is one metadata-only commit
+    spark.sql("ALTER TABLE graft_t.bronze.prices SET TBLPROPERTIES ('layer'='bronze')")
+    spark.sql("ALTER TABLE graft_t.bronze.prices RENAME COLUMN px TO close")
+    spark.sql("ALTER TABLE graft_t.bronze.prices ADD COLUMNS (vol BIGINT)")
+    assert(spark.sql("SELECT sym, close, vol FROM graft_t.bronze.prices").head
+      .isNullAt(2)) // added column null-backfills
+    spark.sql("ALTER TABLE graft_t.bronze.prices DROP COLUMN vol")
+    assert(CommitLogTable.open(spark, s"$wh/bronze/prices")
+      .properties.get("layer").contains("bronze"))
+    assert(spark.sql("SHOW TABLES IN graft_t.bronze").count() == 1)
+    // RENAME TO takes the target inside the same catalog
+    spark.sql("ALTER TABLE graft_t.bronze.prices RENAME TO bronze.px")
+    assert(spark.sql("SELECT count(*) FROM graft_t.bronze.px").head.getLong(0) == 1)
+    spark.sql("DROP TABLE graft_t.bronze.px")
+    assert(spark.sql("SHOW TABLES IN graft_t.bronze").count() == 0)
   }
 
   test("DSv2 time travel via versionAsOf matches read(version); vacuumed pins fail fast") {
