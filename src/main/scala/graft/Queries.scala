@@ -2428,6 +2428,93 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Build (once per session) the checkpoint-crossing demo table: 12
+    * single-slice appends (event_id%12 == i lands as version i+1) push
+    * the log past the forced full-snapshot checkpoint at version
+    * [[graft.tables.CommitLogTable.CheckpointInterval]] (10), so snapshot
+    * resolution exercises BOTH log paths: a pre-checkpoint pin replays
+    * file diffs forward from the root, the latest loads the v10
+    * checkpoint plus two diffs. Every version's content is a pure
+    * function of `events`.
+    */
+  private def commitLogCkptDir(s: SparkSession, dir: String): String = {
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-ckpt", "events")
+    SessionMemo.once(s, s"commitlogCkpt:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+        (0 until 12).foreach { i =>
+          t.append(ev.filter(col("event_id") % 12 === i))
+        }
+      }
+    }
+    tableDir
+  }
+
+  /** Time travel on either side of a checkpoint boundary: the version-7
+    * pin resolves by diff replay from the root manifest (no checkpoint at
+    * or below it), the latest snapshot by loading the version-10
+    * checkpoint plus two diffs — each must see exactly its slices
+    * (Delta's `_delta_log` JSON-actions + checkpoint-parquet resolution,
+    * `docs/databricks_setup.md` time travel).
+    */
+  def tableCkpt(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.tables.CommitLogTable.open(s, commitLogCkptDir(s, dir))
+    val pinned = t.read(Some(7L)).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+      .withColumn("snap", lit("v7"))
+    val latest = t.read().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+      .withColumn("snap", lit("latest"))
+    pinned.unionByName(latest)
+  }
+
+  /** Metadata-only aggregate through the DSv2 reader
+    * ([[graft.sources.CommitLogDataSource]] `SupportsPushDownAggregates`):
+    * global COUNT/MIN/MAX answer from the manifest's row counts and
+    * per-file stats in a one-row scan — zero data files read (the plan
+    * shape is spec-pinned; this query pins the VALUES against the
+    * oracle). Runs over the checkpoint demo table, so the stats served
+    * come from a checkpoint-plus-diffs resolved manifest.
+    */
+  def tableAgg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("commitlog").load(commitLogCkptDir(s, dir))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        max(col("value")).as("max_value"))
+
+  /** Build-and-query entirely through the SQL surface
+    * ([[graft.sources.CommitLogCatalog]]): CREATE TABLE … via the
+    * catalog, two INSERT INTO … SELECT commits (each one transactional
+    * append), read back with plain `spark.sql` over the catalog
+    * identifier — the Databricks-SQL DDL/DML path of the reference
+    * (`docs/databricks_setup.md` CREATE TABLE / INSERT), stateless over
+    * the filesystem.
+    */
+  def tableSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = stampedTmpDir(s, dir, "graft-commitlog-sqlwh", "events")
+    s.conf.set("spark.sql.catalog.graft_sql",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    SessionMemo.once(s, s"commitlogSql:$dir") {
+      if (!graft.tables.CommitLogTable.exists(s"$wh/gold/events")) {
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("graft_sql_events_src")
+        s.sql("CREATE TABLE graft_sql.gold.events " +
+          "(event_id BIGINT, event_type STRING, value DOUBLE)")
+        s.sql("INSERT INTO graft_sql.gold.events SELECT event_id, " +
+          "event_type, value FROM graft_sql_events_src WHERE event_id % 2 = 0")
+        s.sql("INSERT INTO graft_sql.gold.events SELECT event_id, " +
+          "event_type, value FROM graft_sql_events_src WHERE event_id % 2 = 1")
+      }
+    }
+    s.sql("""SELECT event_type, count(*) AS n_rows,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM graft_sql.gold.events GROUP BY event_type""")
+  }
+
   /** Shallow clone of the 3-commit demo table PINNED at version 2 (built
     * once per session): a zero-copy fork whose reads must equal the
     * source's pinned snapshot — the same oracle as time travel, taken

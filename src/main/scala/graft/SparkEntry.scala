@@ -178,6 +178,9 @@ object SparkEntry {
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
     "q_table_clone" -> (Queries.tableClone _),
+    "q_table_ckpt" -> (Queries.tableCkpt _),
+    "q_table_agg" -> (Queries.tableAgg _),
+    "q_table_sql" -> (Queries.tableSql _),
   )
 
   /** Shared gram/count/pair/intersection CTEs for the n-gram overlap
@@ -3789,5 +3792,32 @@ object SparkEntry {
              CAST(SUM(CAST(CASE WHEN m = 0 THEN value ELSE value * 2 END
                AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM e WHERE m < 3 GROUP BY event_type""",
+
+    // checkpoint demo: 12 appends of event_id%12==i (version i+1) cross
+    // the forced checkpoint at v10 — the v7 pin replays diffs from the
+    // root, the latest resolves checkpoint@10 + 2 diffs
+    "q_table_ckpt" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             'v7' AS snap
+      FROM events WHERE event_id % 12 < 7 GROUP BY event_type
+      UNION ALL
+      SELECT event_type, count(*),
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 'latest'
+      FROM events GROUP BY event_type""",
+
+    // metadata-only aggregate over the checkpoint demo table (all events
+    // rows): count/min/max answered from manifest stats, values pinned
+    // against the raw table
+    "q_table_agg" -> """
+      SELECT count(*) AS n_rows, min(event_id) AS min_id,
+             max(event_id) AS max_id, max(value) AS max_value
+      FROM events""",
+
+    // SQL-catalog demo: two INSERT INTO halves reassemble all of events
+    "q_table_sql" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type""",
   )
 }
