@@ -5,14 +5,20 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.tables.CommitLogTable
 
@@ -41,7 +47,7 @@ import graft.tables.CommitLogTable
   * SET/UNSET TBLPROPERTIES, RENAME/DROP/ADD COLUMN — each one manifest
   * write, never a data rewrite.
   */
-final class CommitLogCatalog extends TableCatalog {
+final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -148,6 +154,154 @@ final class CommitLogCatalog extends TableCatalog {
     Files.createDirectories(Paths.get(dirOf(to)).getParent)
     Files.move(Paths.get(dirOf(from)), Paths.get(dirOf(to)))
   }
+
+  // ---- table-services procedures: `CALL graft.system.optimize(...)` —
+  //      the OPTIMIZE / OPTIMIZE ZORDER BY / VACUUM surface of the
+  //      reference's Delta maintenance (`docs/databricks_setup.md`
+  //      OPTIMIZE ... ZORDER BY (as_of_date, symbol)), as SQL-callable
+  //      stored procedures over the table format
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("optimize", "vacuum").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"commitlog catalog: procedures live in the `system` namespace, got $ident")
+    val tableOf: String => CommitLogTable = { name =>
+      val parts = name.split('.')
+      val id = Identifier.of(parts.init, parts.last)
+      if (!tableExists(id)) throw new NoSuchTableException(id)
+      CommitLogTable.open(spark, dirOf(id))
+    }
+    ident.name match {
+      case "optimize" => new OptimizeProcedure(tableOf)
+      case "vacuum" => new VacuumProcedure(tableOf)
+      case other => throw new UnsupportedOperationException(
+        s"commitlog catalog: no procedure `$other` (have: optimize, vacuum)")
+    }
+  }
+}
+
+/** A procedure's result set: a driver-local one-shot scan (the rows were
+  * computed by the maintenance op itself — nothing to distribute).
+  */
+private final class ProcedureResult(schema: StructType,
+    rowData: Seq[Seq[Any]]) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rowData.map(r =>
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      r.toArray)).toArray[InternalRow]
+}
+
+/** `CALL cat.system.optimize(table => 'ns.t' [, target_file_mb => 128]
+  * [, zorder_by => 'c1,c2'] [, sort_by => 'c1'])` — bin-packing compact,
+  * optionally clustered: `zorder_by` interleaves 2-4 dimensions
+  * (multi-column range pruning), `sort_by` is the linear lexicographic
+  * layout. One transactional commit; returns per-partition file counts.
+  */
+private final class OptimizeProcedure(tableOf: String => CommitLogTable)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "optimize"
+  override def description(): String =
+    "bin-packing compaction, optionally Z-ordered or sorted"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_file_mb", IntegerType)
+      .defaultValue("128").build(),
+    ProcedureParameter.in("zorder_by", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    ProcedureParameter.in("sort_by", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val t = tableOf(input.getUTF8String(0).toString)
+    val targetBytes = input.getInt(1).toLong * 1024 * 1024
+    val zorder = if (input.isNullAt(2)) None
+      else Some(input.getUTF8String(2).toString.split(',').map(_.trim).toSeq)
+    val sortBy = if (input.isNullAt(3)) None
+      else Some(input.getUTF8String(3).toString.split(',').map(_.trim).toSeq)
+    require(zorder.isEmpty || sortBy.isEmpty,
+      "optimize: give zorder_by OR sort_by, not both")
+    val report = zorder match {
+      case Some(cols) => t.compactZOrder(targetBytes, cols)
+      case None => t.compact(targetBytes,
+        sortCols = sortBy.getOrElse(Seq.empty).map(col))
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition", StringType),
+      org.apache.spark.sql.types.StructField("files_before", IntegerType),
+      org.apache.spark.sql.types.StructField("files_after", IntegerType)))
+    val rows = report.toSeq.sortBy(_._1).map { case (p, (b, a)) =>
+      Seq[Any](UTF8String.fromString(p), b, a) }
+    java.util.Collections.singletonList(
+      new ProcedureResult(schema, rows): Scan).iterator()
+  }
+}
+
+/** `CALL cat.system.vacuum(table => 'ns.t' [, retain_versions => 2]
+  * [, vacuum_log => true])` — drop data files only superseded versions
+  * reference (plus aged write orphans), and optionally checkpoint-
+  * superseded log segments. Returns (data_files_removed,
+  * log_segments_removed).
+  */
+private final class VacuumProcedure(tableOf: String => CommitLogTable)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "remove data files and log segments only superseded versions reference"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("retain_versions", IntegerType)
+      .defaultValue("2").build(),
+    ProcedureParameter.in("vacuum_log", org.apache.spark.sql.types.BooleanType)
+      .defaultValue("false").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val t = tableOf(input.getUTF8String(0).toString)
+    val retain = input.getInt(1)
+    val nData = t.vacuum(retain)
+    val nLog = if (input.getBoolean(2)) t.vacuumLog(retain) else 0
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("data_files_removed", IntegerType),
+      org.apache.spark.sql.types.StructField("log_segments_removed", IntegerType)))
+    java.util.Collections.singletonList(
+      new ProcedureResult(schema, Seq(Seq[Any](nData, nLog))): Scan).iterator()
+  }
+}
+
+/** V1 `Filter` → `Column` for the SQL DELETE path: the supported shapes
+  * translate exactly; an untranslatable filter makes `canDeleteWhere`
+  * refuse, and Spark reports the unsupported DELETE instead of silently
+  * deleting the wrong rows.
+  */
+private object FilterToColumn {
+  def apply(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for { a <- apply(l); b <- apply(r) } yield a && b
+    case sources.Or(l, r) => for { a <- apply(l); b <- apply(r) } yield a || b
+    case sources.Not(c) => apply(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** A catalog-bound commit-log table: the DSv2 read path of
@@ -160,11 +314,28 @@ final class CommitLogCatalog extends TableCatalog {
   */
 final class CommitLogCatalogTable(spark: SparkSession, dir: String,
     version: Option[Long]) extends CommitLogV2Table(spark, dir, version)
-    with SupportsWrite {
+    with SupportsWrite with SupportsDelete {
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** SQL `DELETE FROM cat.ns.t WHERE …` (and, via the default
+    * `truncateTable`, `TRUNCATE TABLE`): the conjunction lands as ONE
+    * transactional copy-on-write delete — stats-pruned file carry-over,
+    * CDF delete images, no-op publishes nothing. A predicate the filter
+    * bridge can't express (so Spark couldn't hand it to us faithfully)
+    * is refused at analysis; use [[CommitLogTable.delete]] for arbitrary
+    * Column predicates.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(FilterToColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    CommitLogTable.open(spark, dir).delete(cond)
+  }
 
   override def properties(): JMap[String, String] =
     snap.properties.asJava

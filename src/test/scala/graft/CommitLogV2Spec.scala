@@ -269,6 +269,44 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_t.bronze").count() == 0)
   }
 
+  test("SQL DELETE / TRUNCATE / CALL optimize+vacuum land as table-format commits") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.graft_m",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_m.warehouse", wh)
+    spark.sql("CREATE TABLE graft_m.db.t (k BIGINT, cat STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft_m.db.t " +
+      "SELECT id, concat('c', id % 4), id * 0.5 FROM range(1000)")
+    // DELETE with a translatable conjunction: ONE copy-on-write commit
+    // with CDF delete images and the real deleted-row count
+    spark.sql("DELETE FROM graft_m.db.t WHERE k < 100 AND cat = 'c1'")
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.t").head.getLong(0) == 975)
+    val t = CommitLogTable.open(spark, s"$wh/db/t")
+    val h = t.history.orderBy(desc("version")).head
+    assert(h.getAs[String]("action") == "delete")
+    assert(h.getAs[Long]("rows_deleted") == 25)
+    assert(t.readChanges(t.latestVersion, t.latestVersion)
+      .filter($"_change_type" === "delete").count() == 25)
+    // a zero-match DELETE publishes nothing (no idle log growth)
+    val vBefore = t.latestVersion
+    spark.sql("DELETE FROM graft_m.db.t WHERE k < 0")
+    assert(CommitLogTable.open(spark, s"$wh/db/t").latestVersion == vBefore)
+    // CALL optimize: multi-column Z-order through SQL, report row back
+    val rep = spark.sql("CALL graft_m.system.optimize(table => 'db.t', " +
+      "target_file_mb => 1, zorder_by => 'k,v')")
+    assert(rep.columns.toSeq == Seq("partition", "files_before", "files_after"))
+    assert(rep.count() >= 1)
+    // CALL vacuum: drops superseded data files + checkpointed log segments
+    val vac = spark.sql("CALL graft_m.system.vacuum(table => 'db.t', " +
+      "retain_versions => 1, vacuum_log => true)").head
+    assert(vac.getInt(0) >= 0 && vac.getInt(1) >= 0)
+    // maintenance changed layout, never content
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.t").head.getLong(0) == 975)
+    // TRUNCATE = DELETE FROM with the always-true filter, one commit
+    spark.sql("TRUNCATE TABLE graft_m.db.t")
+    assert(spark.sql("SELECT count(*) FROM graft_m.db.t").head.getLong(0) == 0)
+  }
+
   test("DSv2 time travel via versionAsOf matches read(version); vacuumed pins fail fast") {
     val dir = tmpDir()
     val t = buildTable(dir)
