@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate => CatalystPredicate, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
@@ -403,16 +403,105 @@ final class CommitLogAggScan(snap: Manifest, aggSchema: StructType,
 final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     snap: Manifest, required: StructType,
     preds: Seq[(String, String, Any)], pushed: Seq[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  /** Files surviving stats pruning: every pushed conjunct must be a
-    * possible match (the same conservative prover the lazy-delete mark
-    * path uses — unprovable shapes keep the file).
+  /** Files surviving COMPILE-TIME stats pruning: every pushed conjunct
+    * must be a possible match (the same conservative prover the
+    * lazy-delete mark path uses — unprovable shapes keep the file).
+    * Runtime filters ([[filter]]) narrow this further before partition
+    * planning.
     */
-  private[graft] lazy val prunedFiles: Seq[LogFile] =
+  private[graft] var prunedFiles: Seq[LogFile] =
     snap.files.filter(f =>
       preds.forall(p => table.lazyDeleteMayMatch(snap, f, Some(p))))
   private[graft] def totalFiles: Int = snap.files.size
+
+  /** Dynamic partition pruning / runtime group filtering (SPARK-35779):
+    * a join against a selective dimension re-prunes THIS scan's file
+    * list at execution start with the dim's actual key set — the DSv2
+    * hook behind Delta/Iceberg's DPP. Any column with a manifest stat on
+    * every live file is filterable (at 100 TB the fact side never lists
+    * a file the dim's keys provably can't touch). An IN set is pruned
+    * per-value (file survives if ANY value may match); oversized sets
+    * (>10k values) skip pruning rather than pay O(files × values)
+    * driver arithmetic.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns of the PRUNED output (Spark resolves these against the
+    // scan relation's output — a projected-away column can't anchor a DPP
+    // subquery anyway) that carry a stat on every live file
+    val statted = required.fieldNames.filter { n =>
+      val phys = snap.columnMapping.getOrElse(n, n)
+      snap.files.nonEmpty && snap.files.forall(_.stats.contains(phys))
+    }
+    statted.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def keep(f: LogFile, flt: Filter): Boolean = flt match {
+      case sources.In(a, vs) =>
+        vs.length > 10000 ||
+          vs.exists(v => v != null &&
+            table.lazyDeleteMayMatch(snap, f, Some((a, "=", v)))) ||
+          vs.contains(null) // NULL keys can't be refuted by min/max stats
+      case sources.EqualTo(a, v) =>
+        table.lazyDeleteMayMatch(snap, f, Some((a, "=", v)))
+      case sources.And(l, r) => keep(f, l) && keep(f, r)
+      case sources.Or(l, r) => keep(f, l) || keep(f, r)
+      case _ => true // unprovable shapes never prune
+    }
+    prunedFiles = prunedFiles.filter(f => filters.forall(keep(f, _)))
+  }
+
+  /** V2 runtime-filter entry point — the one Spark's BatchScanExec
+    * actually calls ([[translateRuntimeFilterV2]] emits `IN(col,
+    * lit...)`). Converted by hand because `PredicateUtils` is
+    * `private[sql]`; only the shapes DPP produces are handled, anything
+    * else falls through unpruned (never unsound).
+    */
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val v1: Array[Filter] = predicates.flatMap { p =>
+      val kids = p.children()
+      val col = kids.headOption.collect {
+        case nr: NamedReference => nr.fieldNames.mkString(".")
+      }
+      (p.name(), col) match {
+        case ("IN", Some(c)) =>
+          val lits = kids.tail.flatMap {
+            case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              Some(CatalystTypeConverters.convertToScala(lv.value, lv.dataType))
+            case _ => None
+          }
+          // a non-literal member means we can't see the full key set: no pruning
+          if (lits.length == kids.length - 1) Some(sources.In(c, lits.toArray[Any]))
+          else None
+        case ("=", Some(c)) => kids.lift(1).collect {
+          case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            sources.EqualTo(c,
+              CatalystTypeConverters.convertToScala(lv.value, lv.dataType))
+        }
+        case _ => None
+      }
+    }
+    filter(v1)
+  }
+
+  /** Planning-time statistics from the manifest (post static pruning):
+    * actual bytes and rows, so AQE and join strategy see the PRUNED scan
+    * size — a filtered commitlog fact can broadcast when it really is
+    * small, instead of defaulting to the huge fallback size.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val fs = prunedFiles
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, fs.map(_.bytes).sum))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(fs.map(_.rows).sum)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

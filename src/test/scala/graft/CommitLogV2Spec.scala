@@ -269,6 +269,57 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_t.bronze").count() == 0)
   }
 
+  test("runtime filtering: a selective dim join re-prunes the file list at execution (DPP)") {
+    val dir = tmpDir() + "/fact"
+    val dimDir = tmpDir() + "/dim"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("day", LongType),
+      StructField("k", LongType)))
+    val t = CommitLogTable.create(spark, dir, schema)
+    // 8 single-file commits, each holding exactly one day → per-file day
+    // stats with min==max, so an IN prune is exact
+    (0 until 8).foreach { i =>
+      t.append(spark.range(i * 100L, (i + 1) * 100L)
+        .select(lit(i.toLong).as("day"), $"id".as("k")).coalesce(1),
+        recordChanges = false)
+    }
+    Seq((0L, "keep"), (5L, "keep"), (3L, "drop"))
+      .toDF("day", "tag").write.parquet(dimDir)
+    val fact = spark.read.format("commitlog").load(dir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+    val joined = fact.join(broadcast(dim), "day")
+    assert(joined.count() == 200)
+    // the executed scan must carry a runtime (DPP) filter and have
+    // narrowed its files to the dim's 2 live days. NB collect() (not
+    // head(), which plans a separate limited QueryExecution) so the
+    // inspected plan is the one that actually executed.
+    val run = fact.join(broadcast(dim), "day").agg(sum($"k"))
+    assert(run.collect()(0).getLong(0) ==
+      (0L until 100).sum + (500L until 600).sum)
+    val scans = collectBatchScans(run.queryExecution.executedPlan)
+    val cls = scans.map(_.scan).collect {
+      case s: graft.sources.CommitLogScan => s }
+    assert(cls.nonEmpty, run.queryExecution.executedPlan.toString)
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      "no DPP filter was planted on the commitlog scan")
+    assert(cls.head.totalFiles == 8)
+    assert(cls.head.prunedFiles.size == 2,
+      s"expected 2 files post-DPP, got ${cls.head.prunedFiles.size}")
+  }
+
+  private def collectBatchScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wrappers are LEAF nodes holding their stage plan in a field, so
+    // a plain collect stops at them — recurse explicitly
+    p.collect {
+      case a: AdaptiveSparkPlanExec => collectBatchScans(a.executedPlan)
+      case q: QueryStageExec => collectBatchScans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
+    }.flatten
+  }
+
   test("SQL DELETE / TRUNCATE / CALL optimize+vacuum land as table-format commits") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.graft_m",
