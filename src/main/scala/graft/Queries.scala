@@ -2375,6 +2375,54 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Build (once per session) the storage-partitioned-join demo: a fact
+    * and a per-day dim table, BOTH commitlog tables partitioned on the
+    * same derived `day` key — the co-location that lets the join below
+    * run shuffle-free.
+    */
+  private def commitLogSpjDirs(s: SparkSession, dir: String): (String, String) = {
+    val dirA = stampedTmpDir(s, dir, "graft-commitlog-spj-a", "events")
+    val dirB = stampedTmpDir(s, dir, "graft-commitlog-spj-b", "events")
+    SessionMemo.once(s, s"commitlogSpj:$dir") {
+      val ev = Tables.events(s, dir)
+        .select((col("event_id") % 8).as("day"), col("value"))
+      if (!graft.tables.CommitLogTable.exists(dirA)) {
+        val fact = ev.filter(col("day") >= 0) // all rows, day-partitioned
+        graft.tables.CommitLogTable
+          .create(s, dirA, fact.schema, Some("day")).append(fact)
+      }
+      if (!graft.tables.CommitLogTable.exists(dirB)) {
+        val perDay = ev.groupBy(col("day"))
+          .agg(dsum(col("value"), 6).as("w"))
+        graft.tables.CommitLogTable
+          .create(s, dirB, perDay.schema, Some("day")).append(perDay)
+      }
+    }
+    (dirA, dirB)
+  }
+
+  /** Fact ⋈ dim on the shared partition key through the DSv2 reader with
+    * key-grouped (storage-partitioned) execution enabled on a cloned
+    * session: both sides report KeyGroupedPartitioning(day), so the join
+    * plans with NO shuffle on either side (spec-pinned in
+    * `CommitLogV2Spec`); the session clone keeps the opt-in conf from
+    * leaking into other queries. `w_day` is max() of the per-day constant
+    * — bit-stable across engines, unlike re-summing doubles.
+    */
+  def tableSpj(s: SparkSession, dir: String): DataFrame = {
+    val (da, db) = commitLogSpjDirs(s, dir)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = s2.read.format("commitlog").load(da)
+    val dim = s2.read.format("commitlog").load(db)
+    fact.join(dim, "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"),
+        max(col("w")).as("w_day"))
+  }
+
   /** Build (once per session) the UPDATE demo table: v1 append of
     * event_id%4∈{0,1}; v2 `UPDATE value = value*2+1 WHERE event_id%3=0`
     * — the `UPDATE … SET … WHERE` surface of the reference's Delta

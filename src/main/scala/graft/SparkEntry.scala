@@ -175,6 +175,7 @@ object SparkEntry {
     "q_table_drop" -> (Queries.tableDrop _),
     "q_table_skip" -> (Queries.tableSkip _),
     "q_table_dsv2" -> (Queries.tableDsv2 _),
+    "q_table_spj" -> (Queries.tableSpj _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
     "q_table_clone" -> (Queries.tableClone _),
@@ -3767,6 +3768,20 @@ object SparkEntry {
       FROM events
       WHERE event_id % 4 <= 2 AND value >= 50.0 AND value <= 100.0
       GROUP BY event_type""",
+
+    // storage-partitioned join: fact ⋈ per-day dim on the shared
+    // partition key (both commitlog tables partitioned by day); the
+    // Spark side runs key-grouped with zero shuffle under the join
+    "q_table_spj" -> """
+      WITH fact AS (SELECT event_id % 8 AS day, value FROM events),
+           dim AS (SELECT event_id % 8 AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS w
+                   FROM events GROUP BY 1)
+      SELECT fact.day AS day, count(*) AS n_rows,
+             CAST(SUM(CAST(fact.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             MAX(dim.w) AS w_day
+      FROM fact JOIN dim ON fact.day = dim.day
+      GROUP BY fact.day""",
 
     // UPDATE demo: v1 append %4<2, v2 UPDATE value=value*2+1 WHERE id%3=0
     "q_table_update" -> """

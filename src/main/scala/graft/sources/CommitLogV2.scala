@@ -405,7 +405,8 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     preds: Seq[(String, String, Any)], pushed: Seq[Filter])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Files surviving COMPILE-TIME stats pruning: every pushed conjunct
     * must be a possible match (the same conservative prover the
@@ -503,6 +504,75 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
         java.util.OptionalLong.of(fs.map(_.rows).sum)
     }
 
+  // ---- storage-partitioned joins (SPARK-37375, the Iceberg pattern) ----
+
+  private def partitionField: Option[org.apache.spark.sql.types.StructField] =
+    snap.partitionCol.flatMap(p =>
+      snap.schema.fields.find(_.name.equalsIgnoreCase(p)))
+
+  /** File groups keyed by the table's partition value, in the value's
+    * INTERNAL Catalyst form — the unit of a storage-partitioned join.
+    * None when the scan can't guarantee key-grouping: no partition
+    * column, the column was projected away (nothing to resolve the key
+    * against), a pre-partitioning file with no recorded value, or a
+    * value string that doesn't round-trip through a TRY cast.
+    * Recomputed per call (cheap driver arithmetic) so runtime filtering
+    * ([[filter]]) and partition planning always agree on the groups.
+    */
+  private def keyedGroups: Option[Seq[(InternalRow, Seq[LogFile])]] =
+    partitionField.flatMap { f =>
+      if (!required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
+          prunedFiles.isEmpty || prunedFiles.exists(_.partition.isEmpty)) None
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+        val sentinel = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+        // group by the STRING the writer serialized (canonical per value —
+        // every file of one partition carries the identical string)
+        val keyed = prunedFiles.groupBy(_.partition.get).toSeq.sortBy(_._1)
+          .map { case (s, fs) =>
+            val v =
+              if (s == sentinel) null // partitionBy's NULL-value sentinel
+              else Cast(Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                org.apache.spark.sql.types.StringType),
+                f.dataType, zone, EvalMode.TRY).eval()
+            (s, v, fs)
+          }
+        if (keyed.exists { case (s, v, _) => v == null && s != sentinel }) None
+        else Some(keyed.map { case (_, v, fs) =>
+          (new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](v)): InternalRow, fs)
+        })
+      }
+    }
+
+  /** Reported whenever the file list is key-groupable; INERT until
+    * `spark.sql.sources.v2.bucketing.enabled` — with it off (the
+    * default) the tagged splits flow flat at today's byte-balanced
+    * parallelism, with it on Spark coalesces each key's splits into one
+    * task and a join/aggregate clustered on the partition column runs
+    * with NO shuffle on this side (the `q_table_spj` plan shows two
+    * commitlog scans meeting in a SortMergeJoin with zero
+    * ShuffleExchange). The conf stays opt-in because key-grouped
+    * execution caps scan parallelism at #partitions — the right trade
+    * only when the shuffle saved outweighs it (Iceberg ships the same
+    * way).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some(g) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(partitionField.get.name)), g.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -544,14 +614,27 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     val bytesPerCore = totalBytes / math.max(1, minPart)
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, bytesPerCore))
-    val split = prunedFiles.flatMap { f =>
+    def splits(fs: Seq[LogFile]): Seq[PartitionedFile] = fs.flatMap { f =>
       val abs = table.dataPath(f).toString
       (0L until math.max(1L, f.bytes) by maxSplit).map { off =>
         PartitionedFile(InternalRow.empty, SparkPath.fromPathString(abs),
           off, math.min(maxSplit, f.bytes - off), Array.empty, 0L, f.bytes)
       }
     }
-    FilePartition.getFilePartitions(spark, split, maxSplit).toArray
+    keyedGroups match {
+      case Some(groups) =>
+        // byte-balanced splits WITHIN each key group, every split tagged
+        // with the group's key — flat execution keeps full parallelism,
+        // key-grouped execution (v2.bucketing) coalesces per key
+        var i = -1
+        groups.flatMap { case (key, fs) =>
+          FilePartition.getFilePartitions(spark, splits(fs), maxSplit).map {
+            fp => i += 1; new KeyedFilePartition(i, fp.files, key) }
+        }.toArray[InputPartition]
+      case None =>
+        FilePartition.getFilePartitions(spark, splits(prunedFiles), maxSplit)
+          .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -646,6 +729,20 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
   * scan's pruned output schema. Row-based only — a marked table trades
   * the columnar fast path for correctness until its marks materialize.
   */
+/** A [[FilePartition]] (so the stock parquet reader factories accept it
+  * unchanged) that also carries its table-partition key, making it
+  * eligible for Spark's key-grouped (storage-partitioned-join)
+  * execution. `key` is the partition value in internal Catalyst form,
+  * single-column.
+  */
+final class KeyedFilePartition(idx: Int,
+    fs: Array[PartitionedFile],
+    key: InternalRow)
+    extends FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 final case class MarkFilteringReaderFactory(
     inner: ParquetPartitionReaderFactory,
     predicates: Map[String, Expression],

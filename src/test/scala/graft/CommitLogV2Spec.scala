@@ -307,6 +307,61 @@ class CommitLogV2Spec extends AnyFunSuite {
       s"expected 2 files post-DPP, got ${cls.head.prunedFiles.size}")
   }
 
+  test("storage-partitioned join: co-partitioned tables join with no shuffle on either side") {
+    val dirA = tmpDir() + "/spjA"
+    val dirB = tmpDir() + "/spjB"
+    import org.apache.spark.sql.types._
+    val schemaA = StructType(Seq(StructField("day", LongType),
+      StructField("v", LongType)))
+    val ta = CommitLogTable.create(spark, dirA, schemaA, Some("day"))
+    val tb = CommitLogTable.create(spark, dirB, schemaA, Some("day"))
+    ta.append(spark.range(0L, 400L).select(($"id" % 4).as("day"), $"id".as("v")),
+      recordChanges = false)
+    tb.append(spark.range(0L, 40L).select(($"id" % 4).as("day"), $"id".as("v")),
+      recordChanges = false)
+    val before = Map(
+      "spark.sql.sources.v2.bucketing.enabled" ->
+        spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" ->
+        spark.conf.getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fa = spark.read.format("commitlog").load(dirA).select($"day", $"v".as("va"))
+      val fb = spark.read.format("commitlog").load(dirB).select($"day", $"v".as("vb"))
+      val j = fa.join(fb, "day")
+      assert(j.count() == 400L * 40 / 4) // 100 va-rows × 10 vb-rows per day × 4 days
+      // the join must consume both commitlog scans directly — sorts are
+      // fine, but a ShuffleExchange on either side means SPJ didn't engage
+      val plan = j.groupBy($"day").count().queryExecution.executedPlan
+      val joins = collectNodes(plan) {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj }
+      assert(joins.nonEmpty, plan.toString)
+      val shufflesUnderJoin = joins.flatMap(j => collectNodes(j) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e })
+      assert(shufflesUnderJoin.isEmpty,
+        s"SPJ did not engage — shuffle under the join:\n$plan")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def collectNodes[A](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]): Seq[A] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here: Seq[A] = if (pf.isDefinedAt(p)) Seq(pf(p)) else Seq.empty
+    val kids: Seq[A] = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)(pf)
+      case q: QueryStageExec => collectNodes(q.plan)(pf)
+      case other => other.children.flatMap(c => collectNodes(c)(pf))
+    }
+    here ++ kids
+  }
+
   private def collectBatchScans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
