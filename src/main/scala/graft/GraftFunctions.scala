@@ -65,13 +65,18 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the SQL function surface plus the
+  * MERGE INTO planner strategy for commit-log tables (also installed
+  * automatically when [[graft.sources.CommitLogCatalog]] initializes).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.MergeIntoCommitLogStrategy)
+  }
 }

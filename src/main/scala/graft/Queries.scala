@@ -2375,6 +2375,47 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Build (once per session) the `MERGE INTO` SQL demo: target = events
+    * with event_id%4<2 as a commit-log CATALOG table; source = events
+    * with event_id%3=0, value transformed; one three-clause SQL MERGE
+    * (conditional UPDATE / unconditional DELETE / INSERT *) lands as a
+    * single transactional commit. The table lives inside a catalog
+    * warehouse so `MERGE INTO <cat>.default.t` resolves through the
+    * TableCatalog (the only surface Spark plans MERGE against).
+    */
+  private def commitLogMergeSqlDir(s: SparkSession, dir: String): String = {
+    val wh = stampedTmpDir(s, dir, "graft-commitlog-mergesql", "events")
+    val tdir = s"$wh/default/t"
+    SessionMemo.once(s, s"commitlogMergeSql:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tdir)) {
+        val cat = "graft_msql_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tgt = ev.filter(col("event_id") % 4 < 2)
+        graft.tables.CommitLogTable.create(s, tdir, tgt.schema).append(tgt)
+        ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2 + 5).as("value"))
+          .createOrReplaceTempView("graft_merge_sql_src")
+        s.sql(
+          s"""MERGE INTO $cat.default.t AS t
+             |USING graft_merge_sql_src AS s ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.value > 100 THEN UPDATE SET value = s.value
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+    }
+    tdir
+  }
+
+  def tableMergeSql(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogMergeSqlDir(s, dir)).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+
   /** Build (once per session) the storage-partitioned-join demo: a fact
     * and a per-day dim table, BOTH commitlog tables partitioned on the
     * same derived `day` key — the co-location that lets the join below

@@ -176,6 +176,7 @@ object SparkEntry {
     "q_table_skip" -> (Queries.tableSkip _),
     "q_table_dsv2" -> (Queries.tableDsv2 _),
     "q_table_spj" -> (Queries.tableSpj _),
+    "q_table_merge_sql" -> (Queries.tableMergeSql _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
     "q_table_clone" -> (Queries.tableClone _),
@@ -3768,6 +3769,33 @@ object SparkEntry {
       FROM events
       WHERE event_id % 4 <= 2 AND value >= 50.0 AND value <= 100.0
       GROUP BY event_type""",
+
+    // SQL MERGE INTO demo: target=%4<2, source=%3=0 with value*2+5;
+    // matched rows update when the new value > 100, otherwise DELETE
+    // (a NULL-valued source row falls to DELETE — its update condition
+    // is NULL); unmatched source rows insert
+    "q_table_merge_sql" -> """
+      WITH tgt AS (SELECT event_id, event_type, value FROM events
+                   WHERE event_id % 4 < 2),
+           src AS (SELECT event_id, event_type, value * 2 + 5 AS value
+                   FROM events WHERE event_id % 3 = 0),
+           kept AS (
+             SELECT t.event_type,
+                    CASE WHEN s.event_id IS NOT NULL
+                              AND COALESCE(s.value > 100, FALSE)
+                         THEN s.value ELSE t.value END AS value
+             FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+             WHERE s.event_id IS NULL OR COALESCE(s.value > 100, FALSE)
+           ),
+           ins AS (
+             SELECT s.event_type, s.value
+             FROM src s LEFT JOIN tgt t ON t.event_id = s.event_id
+             WHERE t.event_id IS NULL
+           ),
+           merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM merged GROUP BY event_type""",
 
     // storage-partitioned join: fact ⋈ per-day dim on the shared
     // partition key (both commitlog tables partitioned by day); the

@@ -57,6 +57,15 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"commitlog catalog '$name': set spark.sql.catalog.$name.warehouse"))
+    // MERGE INTO needs a planner strategy (Spark only plans MergeIntoTable
+    // for row-level-operation connectors); install it with the catalog so
+    // `MERGE INTO <cat>.ns.t` works without spark.sql.extensions. The
+    // experimental-methods list is the supported runtime injection point;
+    // idempotent by identity (the strategy is a singleton object).
+    val exp = SparkSession.active.experimental
+    if (!exp.extraStrategies.contains(graft.plans.MergeIntoCommitLogStrategy))
+      exp.extraStrategies =
+        exp.extraStrategies :+ graft.plans.MergeIntoCommitLogStrategy
   }
   override def name(): String = catalogName
 

@@ -237,6 +237,7 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
 
 class CommitLogV2Table(spark: SparkSession, dir: String,
     version: Option[Long]) extends Table with SupportsRead {
+  private[graft] def tableDir: String = dir
   private val table = CommitLogTable.open(spark, dir)
   private[sources] val snap: Manifest = table.resolvedManifest(version)
   // pinned (time-travel) reads fail fast if vacuum already dropped them —

@@ -616,6 +616,219 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       } finally latest.unpersist(false)
     }
 
+  /** General ANSI MERGE — the engine behind `MERGE INTO` SQL (Delta's
+    * `MergeIntoCommand` analogue), one transactional commit for an
+    * arbitrary mix of ordered WHEN clauses:
+    *
+    *   - `matched`   (ON true, both sides present): UPDATE SET / DELETE
+    *   - `notMatched`(source row, no target match): INSERT
+    *   - `bySource`  (target row, no source match): UPDATE SET / DELETE
+    *
+    * Clause conditions and assignment values are Columns over the join
+    * of the target (alias `t`) and `source` (alias `s`) — reference
+    * columns as `col("t.x")` / `col("s.y")`. Per ANSI, the FIRST clause
+    * whose condition holds applies; a target row matching MULTIPLE
+    * source rows under `condition` is rejected when update/delete
+    * clauses exist (nondeterministic — Delta errors identically).
+    * NULL-evaluating conditions never match. CDF records
+    * insert/update_pre+post/delete images; a no-effect merge publishes
+    * nothing.
+    *
+    * Scale: copy-on-write over the AFFECTED file set. Without bySource
+    * clauses, an equi-conjunct `t.<partitionCol> = s.<col>` in the ON
+    * condition prunes the rewrite (and the join's target side) to the
+    * source batch's partitions — the same bounded-collect pruning
+    * [[merge]] uses; bySource clauses touch every target row by
+    * definition, so they rewrite the table. Reference:
+    * docs/databricks_setup.md:170-198 (the documented Silver MERGE).
+    */
+  def mergeInto(source: DataFrame, condition: Column,
+      matched: Seq[CommitLogTable.MatchedClause],
+      notMatched: Seq[CommitLogTable.NotMatchedInsert],
+      bySource: Seq[CommitLogTable.BySourceClause]): Long = {
+    import CommitLogTable.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate}
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "mergeInto: at least one WHEN clause required")
+    retryCommit("merge") { snap =>
+      val schema = snap.schema
+      def named(m: Map[String, Column], what: String): Map[String, Column] =
+        m.map { case (k, v) =>
+          val f = schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"mergeInto: $what references unknown column '$k'"))
+          f -> v
+        }
+      val src = source.persist()
+      try {
+        // file scope: bySource clauses reach every target row; otherwise
+        // an ON equi-conjunct over the partition column bounds the
+        // rewrite to the source batch's partitions (bounded collect,
+        // like merge()). NULL source keys never equi-match — no partition.
+        val (affected, untouched) =
+          if (bySource.nonEmpty) (snap.files, Seq.empty[LogFile])
+          else mergeIntoPrunedFiles(snap, condition, src)
+        val tgt = readFiles(affected, schema, snap.columnMapping)
+          .withColumn("__graft_rid", monotonically_increasing_id())
+          .withColumn("__graft_t", lit(true)).as("t")
+        val s2 = src.withColumn("__graft_s", lit(true)).as("s")
+        val joined = tgt.join(s2, condition, "full_outer").persist()
+        try {
+          val tP = col("t.__graft_t").isNotNull
+          val sP = col("s.__graft_s").isNotNull
+          val pairs = joined.filter(tP && sP)
+          if (matched.nonEmpty) {
+            // ANSI cardinality guard (evaluated on the persisted join —
+            // no extra scan): which update/delete would win is undefined
+            val dup = pairs.groupBy(col("t.__graft_rid")).count()
+              .filter(col("count") > 1).limit(1).count()
+            if (dup > 0) throw new IllegalStateException(
+              "MERGE INTO: a target row matched multiple source rows — " +
+                "make the ON condition selective enough to pair at most one")
+          }
+          def firstIdx(conds: Seq[Option[Column]]): Column =
+            conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
+              when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i))
+                .otherwise(els)
+            }
+          val mIdx = firstIdx(matched.map(_.cond))
+          val iIdx = firstIdx(notMatched.map(_.cond))
+          val bIdx = firstIdx(bySource.map(_.cond))
+          val tOut = schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq
+          def updOut(set: Map[String, Column]) = schema.fields.map(f =>
+            set.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(s"t.${f.name}").as(f.name))).toSeq
+          def insOut(values: Map[String, Column]) = schema.fields.map(f =>
+            values.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(lit(null).cast(f.dataType).as(f.name))).toSeq
+
+          val targetOnly = joined.filter(tP && !sP)
+          val sourceOnly = joined.filter(!tP && sP)
+          // boolean shorthands for counts/CDF: does SOME update (resp.
+          // delete) clause win for this row?
+          def idxIn(idx: Column, is: Seq[Int]): Column =
+            is.map(i => idx === i).reduceOption(_ || _).getOrElse(lit(false))
+          val mUpdIs = matched.zipWithIndex.collect { case (_: MatchedUpdate, i) => i }
+          val mDelIs = matched.zipWithIndex.collect { case (_: MatchedDelete, i) => i }
+          val bUpdIs = bySource.zipWithIndex.collect { case (_: BySourceUpdate, i) => i }
+          val bDelIs = bySource.zipWithIndex.collect { case (_: BySourceDelete, i) => i }
+          val insHit = iIdx >= 0
+
+          // one pass over the persisted join prices the whole commit —
+          // and gates the no-op exit BEFORE anything is written
+          val cRow = joined.agg(
+            sum(when(!tP && sP && insHit, 1L).otherwise(0L)),
+            sum(when(tP && sP && idxIn(mIdx, mUpdIs), 1L).otherwise(0L)) +
+              sum(when(tP && !sP && idxIn(bIdx, bUpdIs), 1L).otherwise(0L)),
+            sum(when(tP && sP && idxIn(mIdx, mDelIs), 1L).otherwise(0L)) +
+              sum(when(tP && !sP && idxIn(bIdx, bDelIs), 1L).otherwise(0L))).head()
+          val (ins, upd, del) =
+            (zeroIfNull(cRow, 0), zeroIfNull(cRow, 1), zeroIfNull(cRow, 2))
+          if (ins + upd + del == 0) throw NoOpCommit
+
+          val matchedUpdated = matched.zipWithIndex.collect {
+            case (MatchedUpdate(_, set), i) =>
+              pairs.filter(mIdx === i).select(updOut(named(set, "UPDATE SET")): _*)
+          }
+          val bySourceUpdated = bySource.zipWithIndex.collect {
+            case (BySourceUpdate(_, set), i) =>
+              targetOnly.filter(bIdx === i)
+                .select(updOut(named(set, "UPDATE SET")): _*)
+          }
+          val inserted = notMatched.zipWithIndex.map { case (cl, i) =>
+            sourceOnly.filter(iIdx === i)
+              .select(insOut(named(cl.values, "INSERT")): _*)
+          }
+          // unchanged matched rows: with matched clauses the cardinality
+          // guard holds (≤1 pair per target row); without them a
+          // multi-matched row is legal and must collapse to ONE copy
+          val matchedUnchangedRaw = pairs.filter(mIdx === -1)
+          val matchedUnchanged =
+            if (matched.isEmpty)
+              matchedUnchangedRaw
+                .select(col("t.__graft_rid").as("__graft_rid") +: tOut: _*)
+                .dropDuplicates("__graft_rid").drop("__graft_rid")
+            else matchedUnchangedRaw.select(tOut: _*)
+          val kept = (matchedUnchanged +:
+            (targetOnly.filter(bIdx === -1).select(tOut: _*) +:
+              (matchedUpdated ++ bySourceUpdated ++ inserted)))
+            .reduce(_ unionByName _)
+
+          val postImages = (matchedUpdated ++ bySourceUpdated)
+            .reduceOption(_ unionByName _)
+          val changed = (postImages.toSeq ++
+            inserted.reduceOption(_ unionByName _).toSeq)
+            .reduceOption(_ unionByName _)
+          changed.foreach(enforceConstraints(snap, _, "merge"))
+
+          val preImages = pairs.filter(idxIn(mIdx, mUpdIs)).select(tOut: _*)
+            .unionByName(targetOnly.filter(idxIn(bIdx, bUpdIs)).select(tOut: _*))
+          val deleted = pairs.filter(idxIn(mIdx, mDelIs)).select(tOut: _*)
+            .unionByName(targetOnly.filter(idxIn(bIdx, bDelIs)).select(tOut: _*))
+          val ct = "_change_type"
+          val changes = inserted.reduceOption(_ unionByName _)
+            .map(_.withColumn(ct, lit("insert")))
+            .toSeq ++
+            Seq(preImages.withColumn(ct, lit("update_preimage")),
+              deleted.withColumn(ct, lit("delete"))) ++
+            postImages.map(_.withColumn(ct, lit("update_postimage"))).toSeq
+          val allChanges = changes.reduce(_ unionByName _)
+
+          val (newFiles, _, _) = writeData(kept, snap.partitionCol,
+            snap.columnMapping)
+          val changesSub = writeChanges(allChanges, snap.version + 1,
+            snap.columnMapping)
+          mkManifest(snap, "merge", untouched ++ newFiles,
+            rowsInserted = ins, rowsUpdated = upd, rowsDeleted = del,
+            rowsTotal = snap.rowsTotal - affected.map(_.rows).sum +
+              newFiles.map(_.rows).sum,
+            changesDir = Some(changesSub))
+        } finally joined.unpersist(false)
+      } finally src.unpersist(false)
+    }
+  }
+
+  /** ON-condition partition pruning for [[mergeInto]]: find a conjunct
+    * `t.<partitionCol> = s.<col>` (either side order), collect the
+    * source's distinct NON-NULL values of that column (bounded — one
+    * batch's partitions), and split the snapshot into (affected,
+    * carried). No such conjunct → everything is in scope.
+    */
+  private def mergeIntoPrunedFiles(snap: Manifest, condition: Column,
+      src: DataFrame): (Seq[LogFile], Seq[LogFile]) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq}
+    snap.partitionCol match {
+      case Some(p) =>
+        val e = org.apache.spark.sql.graftbridge.toCatalystExpression(condition)
+        def conjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          x match {
+            case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+            case o => Seq(o)
+          }
+        def isT(a: UnresolvedAttribute): Boolean =
+          a.nameParts.length == 2 && a.nameParts.head == "t" &&
+            a.nameParts(1).equalsIgnoreCase(p)
+        def isS(a: UnresolvedAttribute): Boolean =
+          a.nameParts.length == 2 && a.nameParts.head == "s"
+        val sCol = conjuncts(e).collectFirst {
+          case CEq(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if isT(a) && isS(b) => b.nameParts(1)
+          case CEq(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if isT(b) && isS(a) => a.nameParts(1)
+        }
+        sCol match {
+          case Some(sc) =>
+            val vals = src.select(col(sc).cast("string").as("v"))
+              .filter(col("v").isNotNull).distinct()
+              .collect().map(_.getString(0)).toSet
+            snap.files.partition(f => f.partition.exists(vals.contains))
+          case None => (snap.files, Seq.empty)
+        }
+      case None => (snap.files, Seq.empty)
+    }
+  }
+
   /** UPDATE rows matching `predicate`: each matched row's `set` columns
     * are recomputed (expressions may reference the row's current
     * values); unmatched rows carry over byte-identical. SQL semantics on
@@ -2033,6 +2246,22 @@ object CommitLogTable {
       rows: Long, bytes: Long,
       stats: Map[String, (String, String)] = Map.empty,
       pendingDelete: Option[String] = None)
+
+  /** Ordered WHEN clauses for [[CommitLogTable.mergeInto]]. Conditions
+    * and values are Columns over the merge join — target columns as
+    * `col("t.x")`, source columns as `col("s.y")`; `cond = None` ≡
+    * always applies.
+    */
+  sealed trait MatchedClause { def cond: Option[Column] }
+  final case class MatchedUpdate(cond: Option[Column],
+      set: Map[String, Column]) extends MatchedClause
+  final case class MatchedDelete(cond: Option[Column]) extends MatchedClause
+  final case class NotMatchedInsert(cond: Option[Column],
+      values: Map[String, Column])
+  sealed trait BySourceClause { def cond: Option[Column] }
+  final case class BySourceUpdate(cond: Option[Column],
+      set: Map[String, Column]) extends BySourceClause
+  final case class BySourceDelete(cond: Option[Column]) extends BySourceClause
 
   /** The attempt's file-level footprint relative to the snapshot it was
     * computed against — the invariant a rebase re-applies on top of a

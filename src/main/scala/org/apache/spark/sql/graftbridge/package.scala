@@ -46,6 +46,14 @@ package object graftbridge {
       classicDf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Wrap an (analyzed or unresolved) LogicalPlan as a DataFrame — the
+    * `Dataset.ofRows` every command implementation needs (Delta's merge
+    * command does exactly this with its source plan).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function on a live session (the runtime twin of
     * `SparkSessionExtensions.injectFunction` for sessions built without
     * `spark.sql.extensions`).
