@@ -2375,6 +2375,41 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Build (once per session) the bloom-index demo: events in FOUR
+    * interleaved commits (event_id % 4 per slice, so every file's
+    * (min, max) spans the whole id domain — stats prune nothing) with
+    * `graft.bloom.columns=event_id`. A point/IN lookup then prunes
+    * files via the sidecar blooms alone.
+    */
+  private def commitLogBloomDir(s: SparkSession, dir: String): String = {
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-bloom", "events")
+    SessionMemo.once(s, s"commitlogBloom:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+        t.setProperties(Map(
+          graft.tables.CommitLogTable.BloomColsProp -> "event_id"))
+        (0 until 4).foreach(i =>
+          t.append(ev.filter(col("event_id") % 4 === i).coalesce(1),
+            recordChanges = false))
+      }
+    }
+    tableDir
+  }
+
+  /** IN-list point lookup through the DSv2 reader: each probed id is
+    * refuted per file by its bloom sidecar (min/max can't help — every
+    * file spans the id domain). Result must equal the plain filter.
+    */
+  def tableBloom(s: SparkSession, dir: String): DataFrame = {
+    val ids: Seq[Any] = (0 until 50).map(i => i * 199L + 7L)
+    s.read.format("commitlog").load(commitLogBloomDir(s, dir))
+      .filter(col("event_id").isin(ids: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+  }
+
   /** Build (once per session) the `MERGE INTO` SQL demo: target = events
     * with event_id%4<2 as a commit-log CATALOG table; source = events
     * with event_id%3=0, value transformed; one three-clause SQL MERGE

@@ -177,6 +177,7 @@ object SparkEntry {
     "q_table_dsv2" -> (Queries.tableDsv2 _),
     "q_table_spj" -> (Queries.tableSpj _),
     "q_table_merge_sql" -> (Queries.tableMergeSql _),
+    "q_table_bloom" -> (Queries.tableBloom _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
     "q_table_clone" -> (Queries.tableClone _),
@@ -3768,6 +3769,15 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events
       WHERE event_id % 4 <= 2 AND value >= 50.0 AND value <= 100.0
+      GROUP BY event_type""",
+
+    // bloom-index point lookup: IN-list over event_id against the
+    // 4-way interleaved bloom demo table — equal to the plain filter
+    "q_table_bloom" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id IN (SELECT (i * 199 + 7)::BIGINT FROM range(50) r(i))
       GROUP BY event_type""",
 
     // SQL MERGE INTO demo: target=%4<2, source=%3=0 with value*2+5;

@@ -275,6 +275,9 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
     case sources.LessThan(a, v) => Seq((a, "<", v))
     case sources.LessThanOrEqual(a, v) => Seq((a, "<=", v))
     case sources.And(l, r) => comparisons(l) ++ comparisons(r)
+    // an IN prunes per-value (file survives if ANY member may match);
+    // oversized lists skip rather than pay O(files × values) arithmetic
+    case sources.In(a, vs) if vs.length <= 1000 => Seq((a, "in", vs.toSeq))
     case _ => Seq.empty
   }
 

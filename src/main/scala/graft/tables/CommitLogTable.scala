@@ -1051,6 +1051,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       simple: Option[(String, String, Any)]): Boolean = {
     simple match {
       case None => true
+      case Some((name, "in", vs: Seq[_])) =>
+        // disjunction of equalities: the file survives if ANY member may
+        // match; a NULL member proves nothing either way, so keep
+        vs.exists(v => v == null ||
+          lazyDeleteMayMatch(snap, f, Some((name, "=", v))))
       case Some((name, op, v)) =>
         val field = snap.schema.fields.find(_.name.equalsIgnoreCase(name))
         val result = for {
@@ -1068,7 +1073,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           case _ => statCompare(mn, bound).forall(_ <= 0) &&
             statCompare(mx, bound).forall(_ >= 0)
         }
-        result.getOrElse(true)
+        // equality probes additionally consult the file's bloom sidecar
+        // (if indexed): the pruning that works where min/max can't —
+        // point lookups on scattered high-cardinality keys
+        result.getOrElse(true) &&
+          (op != "=" || field.forall(fl => bloomMayContain(snap, f, fl, v)))
     }
   }
 
@@ -1622,7 +1631,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           s"mergeSchema cannot change the type of '${f.name}': table has " +
             s"${existing(f.name)}, batch has ${f.dataType.catalogString}")
       }
-      val newFields = df.schema.fields.filterNot(f => existing.contains(f.name)).toSeq
+      // an ADDED column is always nullable regardless of the batch's
+      // field (Delta does the same): every pre-evolution row has no
+      // value for it, and a required-but-missing column is a read error
+      // in Spark's vectorized parquet reader
+      val newFields = df.schema.fields.filterNot(f => existing.contains(f.name))
+        .map(_.copy(nullable = true)).toSeq
       val schema2 = StructType(snap.schema.fields ++ newFields)
       val mapping2 = snap.columnMapping ++ assignPhysical(snap, newFields)
       val aligned = df.select(schema2.fields.map { f =>
@@ -1665,7 +1679,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       mkManifest(snap, "evolve", snap.files, rowsInserted = 0,
         rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
         changesDir = None,
-        schema = StructType(snap.schema.fields ++ fields),
+        // added columns are always nullable: pre-existing rows null-fill
+        schema = StructType(snap.schema.fields ++
+          fields.map(_.copy(nullable = true))),
         columnMapping = snap.columnMapping ++ assignPhysical(snap, fields),
         clusteredBy = snap.clusteredBy)
     }
@@ -1940,13 +1956,139 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       properties: Map[String, String] = null): Manifest =
     Manifest(snap.version + 1, action, System.currentTimeMillis(),
       Option(schema).getOrElse(snap.schema),
-      Option(partitionCol).getOrElse(snap.partitionCol), files,
+      Option(partitionCol).getOrElse(snap.partitionCol),
+      attachBlooms(snap, files, Option(schema).getOrElse(snap.schema),
+        Option(columnMapping).getOrElse(snap.columnMapping)),
       rowsInserted, rowsUpdated, rowsDeleted, rowsTotal, changesDir,
       clusteredBy, Option(columnMapping).getOrElse(snap.columnMapping),
       Option(retiredPhysical).getOrElse(snap.retiredPhysical),
       Option(txns).getOrElse(snap.txns),
       Option(constraints).getOrElse(snap.constraints),
       Option(properties).getOrElse(snap.properties))
+
+  /** Build sidecar bloom filters for the files a commit ADDS (every
+    * commit funnels through [[mkManifest]]), when the table configures
+    * [[CommitLogTable.BloomColsProp]]. One distributed pass over just
+    * the new files computes a per-(file, column) bloom over the
+    * column's `CAST(... AS STRING)` canonical form; sidecars land next
+    * to their data file as `_bloom.<file>.<physCol>` (leading
+    * underscore: invisible to [[enumerate]], cleaned with a losing
+    * attempt's data dir, vacuumed with the data file). Bloomed files
+    * are flagged in the manifest (`LogFile.blooms`), so the read-side
+    * prover pays ZERO filesystem probes on unbloomd tables/files.
+    *
+    * Scale: the job reads only the commit's own output (batch-
+    * proportional); pre-existing files backfill at their natural next
+    * rewrite (compact/merge/update) — never a table scan. Pre-evolution
+    * files read the column as all-NULL and get an empty bloom, which
+    * correctly prunes every equality probe (the column IS null there).
+    */
+  private def attachBlooms(snap: Manifest, files: Seq[LogFile],
+      schema: StructType, mapping: Map[String, String]): Seq[LogFile] = {
+    val spec = snap.properties.get(CommitLogTable.BloomColsProp)
+    if (spec.isEmpty) return files
+    val bits = snap.properties
+      .getOrElse(CommitLogTable.BloomBitsProp, "131072").toInt
+    val k = snap.properties
+      .getOrElse(CommitLogTable.BloomHashesProp, "5").toInt
+    require(bits > 0 && bits % 64 == 0,
+      s"${CommitLogTable.BloomBitsProp} must be a positive multiple of 64")
+    require(k > 0, s"${CommitLogTable.BloomHashesProp} must be positive")
+    val fields = spec.get.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))
+      .filter(f => CommitLogTable.bloomSupported(f.dataType))
+    if (fields.isEmpty) return files
+    val physCols = fields.map(f => mapping.getOrElse(f.name, f.name))
+    val basePaths = snap.files.map(_.path).toSet
+    val fresh = files.filter(f => !basePaths.contains(f.path) &&
+      f.blooms.isEmpty && !f.path.startsWith("/")) // "/…" = clone reference
+    if (fresh.isEmpty) return files
+    val byRel = fresh.map(f => f.path -> f).toMap
+    val nCols = physCols.length
+    val wordsPer = bits / 64
+    val readSchema = StructType(fields.zip(physCols).map { case (f, p) =>
+      org.apache.spark.sql.types.StructField(p, f.dataType)
+    })
+    val selected = spark.read.schema(readSchema)
+      .parquet(fresh.map(f => dataPath(f).toString): _*)
+      .select(input_file_name().as("__f") +:
+        physCols.map(c => col(s"`$c`").cast("string")): _*)
+    // per-partition imperative bit math — the one shape the DataFrame
+    // API can't express without a UDAF round-trip through Rows
+    val collected = selected.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap.empty[String, Array[Array[Long]]]
+      it.foreach { r =>
+        val arr = acc.getOrElseUpdate(r.getString(0),
+          Array.fill(nCols)(new Array[Long](wordsPer)))
+        var i = 0
+        while (i < nCols) {
+          if (!r.isNullAt(i + 1))
+            CommitLogTable.bloomAdd(arr(i), r.getString(i + 1), k)
+          i += 1
+        }
+      }
+      acc.iterator
+    }.reduceByKey { (a, b) =>
+      var i = 0
+      while (i < a.length) {
+        var w = 0
+        while (w < wordsPer) { a(i)(w) |= b(i)(w); w += 1 }
+        i += 1
+      }
+      a
+    }.collect()
+    // executor paths are URIs; resolve each back to its manifest entry
+    // by relative-path suffix (unique within a table)
+    val computed: Map[String, Array[Array[Long]]] = collected.flatMap {
+      case (abs, arr) => byRel.keys.find(abs.endsWith(_)).map(_ -> arr)
+    }.toMap
+    fresh.foreach { f =>
+      val blooms = computed.getOrElse(f.path,
+        Array.fill(nCols)(new Array[Long](wordsPer)))
+      physCols.zipWithIndex.foreach { case (pc, i) =>
+        CommitLogTable.writeBloomSidecar(bloomSidecarPath(f, pc), k, blooms(i))
+      }
+    }
+    files.map(f =>
+      if (byRel.contains(f.path)) f.copy(blooms = physCols) else f)
+  }
+
+  private def bloomSidecarPath(f: LogFile, physCol: String): Path = {
+    val p = dataPath(f)
+    p.getParent.resolve(s"_bloom.${p.getFileName}.$physCol")
+  }
+
+  /** Read-side bloom consult for an EQUALITY probe that per-file
+    * (min, max) stats could not refute: "bits absent" is proof of
+    * absence (blooms have no false negatives), anything else keeps the
+    * file. Sidecars cache per table handle; the canonical probe string
+    * mirrors the write side's CAST AS STRING exactly (which is why only
+    * string/integral columns are bloomed).
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def bloomMayContain(snap: Manifest, f: LogFile,
+      fld: org.apache.spark.sql.types.StructField, v: Any): Boolean = {
+    if (v == null || !CommitLogTable.bloomSupported(fld.dataType)) return true
+    val phys = snap.columnMapping.getOrElse(fld.name, fld.name)
+    if (!f.blooms.contains(phys)) return true
+    val canon = v match {
+      case s: String => s
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => v.toString
+      case _ => return true
+    }
+    val key = bloomSidecarPath(f, phys).toString
+    if (bloomCache.size > 8192) bloomCache.clear() // crude, sufficient bound
+    val loaded = bloomCache.computeIfAbsent(key,
+      _ => CommitLogTable.readBloomSidecar(Paths.get(key))
+        .map(x => (x._1, x._2)): Option[(Int, Array[Long])])
+    loaded.asInstanceOf[Option[(Int, Array[Long])]] match {
+      case Some((k, words)) => CommitLogTable.bloomTest(words, canon, k)
+      case None => true // sidecar unreadable — never prune on doubt
+    }
+  }
 
   private def mkDiff(base: Manifest, m: Manifest): AttemptDiff = {
     val mPaths = m.files.map(_.path).toSet
@@ -2245,7 +2387,95 @@ object CommitLogTable {
   final case class LogFile(path: String, partition: Option[String],
       rows: Long, bytes: Long,
       stats: Map[String, (String, String)] = Map.empty,
-      pendingDelete: Option[String] = None)
+      pendingDelete: Option[String] = None,
+      blooms: Seq[String] = Seq.empty)
+
+  // ---- per-file bloom-filter index (Delta's bloomFilterIndex analogue) --
+
+  /** Table properties configuring the index: `graft.bloom.columns` is a
+    * comma-separated list of logical column names; every LATER-written
+    * file gets one sidecar bloom per listed column (existing files
+    * backfill at their next rewrite — OPTIMIZE materializes eagerly).
+    */
+  val BloomColsProp = "graft.bloom.columns"
+  val BloomBitsProp = "graft.bloom.bits" // per file-column; default 131072 (16 KiB)
+  val BloomHashesProp = "graft.bloom.hashes" // default 5
+
+  /** String/integral only: their Spark `CAST(col AS STRING)` (the
+    * write-side canonical form) is reproducible driver-side from a
+    * filter literal; float formatting is not, so fractional columns are
+    * never bloomed.
+    */
+  private[tables] def bloomSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == StringType || dt == LongType || dt == IntegerType ||
+      dt == ShortType || dt == ByteType
+  }
+
+  /** Double-hashing bloom over the canonical string: MD5 split into two
+    * 64-bit halves, probe i at `(h1 + i·h2) mod bits`. Deterministic and
+    * identical on the executor (add) and driver (test) side.
+    */
+  private[tables] def bloomHashPair(s: String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8))
+    def longAt(o: Int): Long = {
+      var x = 0L; var i = 0
+      while (i < 8) { x = (x << 8) | (d(o + i) & 0xffL); i += 1 }
+      x
+    }
+    (longAt(0), longAt(8))
+  }
+
+  private[tables] def bloomAdd(words: Array[Long], s: String, k: Int): Unit = {
+    val bits = words.length.toLong * 64
+    val (h1, h2) = bloomHashPair(s)
+    var i = 0
+    while (i < k) {
+      val b = java.lang.Math.floorMod(h1 + i * h2, bits)
+      words((b >>> 6).toInt) |= 1L << (b & 63)
+      i += 1
+    }
+  }
+
+  private[tables] def bloomTest(words: Array[Long], s: String, k: Int): Boolean = {
+    val bits = words.length.toLong * 64
+    val (h1, h2) = bloomHashPair(s)
+    var i = 0
+    while (i < k) {
+      val b = java.lang.Math.floorMod(h1 + i * h2, bits)
+      if ((words((b >>> 6).toInt) & (1L << (b & 63))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private val BloomMagic = 0x47424c4d // "GBLM"
+
+  private[tables] def writeBloomSidecar(p: Path, k: Int,
+      words: Array[Long]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(BloomMagic); out.writeInt(k); out.writeInt(words.length)
+    words.foreach(out.writeLong)
+    out.flush()
+    Files.write(p, bos.toByteArray)
+  }
+
+  /** (k, words); None when the sidecar is missing/corrupt — the caller
+    * falls back to "may contain".
+    */
+  private[tables] def readBloomSidecar(p: Path): Option[(Int, Array[Long])] =
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(p)))
+      if (in.readInt() != BloomMagic) None
+      else {
+        val k = in.readInt()
+        val words = Array.fill(in.readInt())(in.readLong())
+        Some((k, words))
+      }
+    } catch { case _: java.io.IOException => None }
 
   /** Ordered WHEN clauses for [[CommitLogTable.mergeInto]]. Conditions
     * and values are Columns over the merge join — target columns as
@@ -2461,6 +2691,13 @@ object CommitLogTable {
         val rel = Paths.get(dir).relativize(p).toString
         if (!retainedRefs.contains(rel) && (anyRefs.contains(rel) || aged(p))) {
           Files.deleteIfExists(p); deleted += 1
+          // bloom sidecars ride their data file
+          val prefix = s"_bloom.${p.getFileName}."
+          val s = Files.list(p.getParent)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(prefix))
+            .foreach(Files.deleteIfExists)
+          finally s.close()
         }
       }
     // bottom-up: drop commit dirs holding nothing but markers (_SUCCESS/.crc)
@@ -2621,6 +2858,10 @@ object CommitLogTable {
         }
       }
       f.pendingDelete.foreach(o.put("pendingDelete", _))
+      if (f.blooms.nonEmpty) {
+        val b = o.putArray("blooms")
+        f.blooms.sorted.foreach(b.add)
+      }
     }
   }
 
@@ -2653,7 +2894,10 @@ object CommitLogTable {
         if (f.hasNonNull("partition")) Some(f.get("partition").asText) else None,
         f.get("rows").asLong, f.get("bytes").asLong, stats,
         if (f.hasNonNull("pendingDelete")) Some(f.get("pendingDelete").asText)
-        else None)
+        else None,
+        if (f.hasNonNull("blooms"))
+          f.get("blooms").elements().asScala.map(_.asText).toVector
+        else Seq.empty)
     }.toVector
 
   private[tables] def parseRaw(s: String): RawManifest = {
