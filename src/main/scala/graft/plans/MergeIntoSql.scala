@@ -43,8 +43,10 @@ object MergeIntoCommitLogStrategy extends SparkStrategy {
         case Some((tbl, attrs)) =>
           if (withSchemaEvolution) throw new UnsupportedOperationException(
             "MERGE INTO commitlog: WITH SCHEMA EVOLUTION is not supported")
-          Seq(MergeIntoCommitLogExec(tbl.tableDir, source, attrs, cond,
-            matchedA, notMatchedA, bySourceA))
+          // capture the PLANNING session: execution may happen on a
+          // thread where a different (cloned) session is active
+          Seq(MergeIntoCommitLogExec(SparkSession.active, tbl.tableDir,
+            source, attrs, cond, matchedA, notMatchedA, bySourceA))
         case None => Nil // not ours — fall through to the stock planner
       }
     case _ => Nil
@@ -73,14 +75,14 @@ object MergeIntoCommitLogStrategy extends SparkStrategy {
   * merge commits once, on whichever of `executeCollect`/`doExecute`
   * Spark's eager-command execution invokes first.
   */
-final case class MergeIntoCommitLogExec(dir: String, source: LogicalPlan,
-    targetAttrs: Seq[Attribute], cond: Expression,
+final case class MergeIntoCommitLogExec(spark: SparkSession, dir: String,
+    source: LogicalPlan, targetAttrs: Seq[Attribute], cond: Expression,
     matchedA: Seq[MergeAction], notMatchedA: Seq[MergeAction],
     bySourceA: Seq[MergeAction]) extends LeafExecNode {
 
   override def output: Seq[Attribute] = Nil
 
-  private lazy val done: Unit = runMerge(SparkSession.active)
+  private lazy val done: Unit = runMerge(spark)
 
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
   override protected def doExecute(): RDD[InternalRow] = {

@@ -98,6 +98,18 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
     new CommitLogCatalogTable(spark, dirOf(ident), Some(version.toLong))
   }
 
+  /** SQL time travel by instant: `… FOR TIMESTAMP AS OF '2026-08-14
+    * 12:00:00'` — Spark hands epoch MICROseconds; resolves to the
+    * latest commit at-or-before it (Delta's timestampAsOf rule).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val v = graft.tables.CommitLogTable.open(spark, dir)
+      .versionAt(Math.floorDiv(timestampMicros, 1000L))
+    new CommitLogCatalogTable(spark, dir, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -172,7 +184,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("optimize", "vacuum").map(Identifier.of(Array("system"), _))
+      Array("optimize", "vacuum", "restore").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -188,8 +200,9 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
     ident.name match {
       case "optimize" => new OptimizeProcedure(tableOf)
       case "vacuum" => new VacuumProcedure(tableOf)
+      case "restore" => new RestoreProcedure(tableOf)
       case other => throw new UnsupportedOperationException(
-        s"commitlog catalog: no procedure `$other` (have: optimize, vacuum)")
+        s"commitlog catalog: no procedure `$other` (have: optimize, vacuum, restore)")
     }
   }
 }
@@ -282,6 +295,36 @@ private final class VacuumProcedure(tableOf: String => CommitLogTable)
       org.apache.spark.sql.types.StructField("log_segments_removed", IntegerType)))
     java.util.Collections.singletonList(
       new ProcedureResult(schema, Seq(Seq[Any](nData, nLog))): Scan).iterator()
+  }
+}
+
+/** `CALL cat.system.restore(table => 'ns.t', version => 3)` — Delta's
+  * `RESTORE TABLE`: one metadata-only commit re-pointing the snapshot
+  * at the target version (fails fast if vacuum dropped its files).
+  * Returns (restored_to_version, new_version).
+  */
+private final class RestoreProcedure(tableOf: String => CommitLogTable)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "restore"
+  override def description(): String =
+    "metadata-only rollback of the table to an earlier version"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("version", org.apache.spark.sql.types.LongType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val t = tableOf(input.getUTF8String(0).toString)
+    val target = input.getLong(1)
+    val newV = t.restore(target)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("restored_to_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("new_version",
+        org.apache.spark.sql.types.LongType)))
+    java.util.Collections.singletonList(
+      new ProcedureResult(schema, Seq(Seq[Any](target, newV))): Scan).iterator()
   }
 }
 

@@ -69,9 +69,31 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException(
         "commitlog: specify the table directory via .load(dir)/.save(dir)"))
 
+  /** `timestampAsOf` option value → epoch millis: a raw epoch-millis
+    * number, a date ("2026-08-14"), or a local timestamp ("2026-08-14
+    * 12:00:00[.SSS]") — string forms interpreted in the SESSION
+    * timezone, so the option and SQL `TIMESTAMP AS OF` (which Spark
+    * converts in session TZ) agree on the same literal.
+    */
+  private def parseTsMillis(s: String, spark: SparkSession): Long =
+    scala.util.Try(s.toLong).getOrElse {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val local = scala.util.Try(java.time.LocalDateTime.parse(
+          s.trim.replace(' ', 'T')))
+        .getOrElse(java.time.LocalDate.parse(s.trim).atStartOfDay())
+      local.atZone(zone).toInstant.toEpochMilli
+    }
+
   private def tableFor(options: CaseInsensitiveStringMap): Table = {
     val path = pathOf(options)
-    val version = Option(options.get("versionAsOf")).map(_.toLong)
+    def version: Option[Long] =
+      Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(Option(options.get("timestampAsOf")).map { s =>
+          val spark = SparkSession.active
+          CommitLogTable.open(spark, path)
+            .versionAt(parseTsMillis(s, spark))
+        })
     // a missing table surfaces as a capability-less stub: reads fail with
     // Spark's "does not support read" (the table genuinely has nothing to
     // read), while the V1 write path below gets its create-on-first-write

@@ -664,9 +664,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         // an ON equi-conjunct over the partition column bounds the
         // rewrite to the source batch's partitions (bounded collect,
         // like merge()). NULL source keys never equi-match — no partition.
-        val (affected, untouched) =
+        val (affected, prunedAway) =
           if (bySource.nonEmpty) (snap.files, Seq.empty[LogFile])
           else mergeIntoPrunedFiles(snap, condition, src)
+        // insert-only merges (Delta's insert-only optimization): target
+        // rows are read ONLY to suppress matched inserts — every target
+        // file carries by reference and the commit appends just the
+        // inserted rows, instead of rewriting unchanged data
+        val insertOnly = matched.isEmpty && bySource.isEmpty
+        val rewritten = if (insertOnly) Seq.empty[LogFile] else affected
+        val untouched = if (insertOnly) snap.files else prunedAway
         val tgt = readFiles(affected, schema, snap.columnMapping)
           .withColumn("__graft_rid", monotonically_increasing_id())
           .withColumn("__graft_t", lit(true)).as("t")
@@ -676,15 +683,6 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           val tP = col("t.__graft_t").isNotNull
           val sP = col("s.__graft_s").isNotNull
           val pairs = joined.filter(tP && sP)
-          if (matched.nonEmpty) {
-            // ANSI cardinality guard (evaluated on the persisted join —
-            // no extra scan): which update/delete would win is undefined
-            val dup = pairs.groupBy(col("t.__graft_rid")).count()
-              .filter(col("count") > 1).limit(1).count()
-            if (dup > 0) throw new IllegalStateException(
-              "MERGE INTO: a target row matched multiple source rows — " +
-                "make the ON condition selective enough to pair at most one")
-          }
           def firstIdx(conds: Seq[Option[Column]]): Column =
             conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
               when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i))
@@ -713,6 +711,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           val bDelIs = bySource.zipWithIndex.collect { case (_: BySourceDelete, i) => i }
           val insHit = iIdx >= 0
 
+          if (matched.nonEmpty) {
+            // ANSI/Delta cardinality guard: a target row may pair with
+            // multiple source rows ONLY if at most one pair makes an
+            // update/delete clause fire — two firing pairs means which
+            // modification wins is undefined (pairs where every matched
+            // clause falls through are harmless and collapse below)
+            val dup = pairs.filter(mIdx >= 0)
+              .groupBy(col("t.__graft_rid")).count()
+              .filter(col("count") > 1).limit(1).count()
+            if (dup > 0) throw new IllegalStateException(
+              "MERGE INTO: a target row matched multiple source rows " +
+                "with an applying update/delete clause — make the ON " +
+                "condition or clause conditions selective enough")
+          }
+
           // one pass over the persisted join prices the whole commit —
           // and gates the no-op exit BEFORE anything is written
           val cRow = joined.agg(
@@ -738,20 +751,29 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             sourceOnly.filter(iIdx === i)
               .select(insOut(named(cl.values, "INSERT")): _*)
           }
-          // unchanged matched rows: with matched clauses the cardinality
-          // guard holds (≤1 pair per target row); without them a
-          // multi-matched row is legal and must collapse to ONE copy
-          val matchedUnchangedRaw = pairs.filter(mIdx === -1)
-          val matchedUnchanged =
-            if (matched.isEmpty)
-              matchedUnchangedRaw
-                .select(col("t.__graft_rid").as("__graft_rid") +: tOut: _*)
-                .dropDuplicates("__graft_rid").drop("__graft_rid")
-            else matchedUnchangedRaw.select(tOut: _*)
-          val kept = (matchedUnchanged +:
+          // unchanged matched rows: a multi-matched row whose pairs all
+          // fall through is legal and must collapse to ONE copy; a row
+          // with one firing pair must NOT also emit an unchanged copy
+          // for its fall-through pairs (the guard capped firing pairs
+          // at one)
+          val appliedRids = pairs.filter(mIdx >= 0)
+            .select(col("t.__graft_rid").as("__graft_ar")).distinct()
+          val matchedUnchanged = pairs.filter(mIdx === -1)
+            .join(appliedRids,
+              col("t.__graft_rid") === col("__graft_ar"), "left_anti")
+            .select(col("t.__graft_rid").as("__graft_rid") +: tOut: _*)
+            .dropDuplicates("__graft_rid").drop("__graft_rid")
+          val keptAll = (matchedUnchanged +:
             (targetOnly.filter(bIdx === -1).select(tOut: _*) +:
               (matchedUpdated ++ bySourceUpdated ++ inserted)))
             .reduce(_ unionByName _)
+          // insert-only: unchanged target rows carry in their original
+          // files — only the inserts are written
+          val kept =
+            if (insertOnly)
+              inserted.reduceOption(_ unionByName _)
+                .getOrElse(keptAll.limit(0))
+            else keptAll
 
           val postImages = (matchedUpdated ++ bySourceUpdated)
             .reduceOption(_ unionByName _)
@@ -779,7 +801,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             snap.columnMapping)
           mkManifest(snap, "merge", untouched ++ newFiles,
             rowsInserted = ins, rowsUpdated = upd, rowsDeleted = del,
-            rowsTotal = snap.rowsTotal - affected.map(_.rows).sum +
+            rowsTotal = snap.rowsTotal - rewritten.map(_.rows).sum +
               newFiles.map(_.rows).sum,
             changesDir = Some(changesSub))
         } finally joined.unpersist(false)
@@ -942,6 +964,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           newFiles.map(_.rows).sum,
         changesDir = Some(changesSub))
     } finally current.unpersist(false)
+  }
+
+  /** Resolve a wall-clock instant to a version — Delta's
+    * `timestampAsOf` rule: the LATEST commit at-or-before `tsMillis`.
+    * Commit timestamps are the publisher's `System.currentTimeMillis`
+    * (nondecreasing in practice; a racing pair may interleave by a few
+    * ms — the scan walks newest-first, so the latest qualifying version
+    * wins regardless). Errors before the first commit, like Delta.
+    */
+  def versionAt(tsMillis: Long): Long = {
+    val vs = listVersions
+    vs.reverse.find(v => manifest(v).tsMillis <= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestampAsOf $tsMillis predates the table (first commit at " +
+          s"${manifest(vs.head).tsMillis})"))
   }
 
   /** MERGE-ON-READ delete — the deletion-vector analogue (Delta/Iceberg
@@ -1958,7 +1995,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       Option(schema).getOrElse(snap.schema),
       Option(partitionCol).getOrElse(snap.partitionCol),
       attachBlooms(snap, files, Option(schema).getOrElse(snap.schema),
-        Option(columnMapping).getOrElse(snap.columnMapping)),
+        Option(columnMapping).getOrElse(snap.columnMapping), action),
       rowsInserted, rowsUpdated, rowsDeleted, rowsTotal, changesDir,
       clusteredBy, Option(columnMapping).getOrElse(snap.columnMapping),
       Option(retiredPhysical).getOrElse(snap.retiredPhysical),
@@ -1984,7 +2021,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * correctly prunes every equality probe (the column IS null there).
     */
   private def attachBlooms(snap: Manifest, files: Seq[LogFile],
-      schema: StructType, mapping: Map[String, String]): Seq[LogFile] = {
+      schema: StructType, mapping: Map[String, String],
+      action: String): Seq[LogFile] = {
+    // restore re-references files from an OLD version: building blooms
+    // there would turn a documented metadata-only rollback into a table
+    // scan (pre-bloom-era files backfill at their next real rewrite)
+    if (action == "restore") return files
     val spec = snap.properties.get(CommitLogTable.BloomColsProp)
     if (spec.isEmpty) return files
     val bits = snap.properties
@@ -2037,20 +2079,29 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       }
       a
     }.collect()
-    // executor paths are URIs; resolve each back to its manifest entry
-    // by relative-path suffix (unique within a table)
+    // executor paths come back URI-encoded ("file:///…", %-escaped) —
+    // decode once so a Hive-escaped partition segment (itself containing
+    // literal '%XX') or a space in the table dir still matches the
+    // manifest-relative path by suffix (unique within a table)
     val computed: Map[String, Array[Array[Long]]] = collected.flatMap {
-      case (abs, arr) => byRel.keys.find(abs.endsWith(_)).map(_ -> arr)
+      case (abs, arr) =>
+        val decoded = try new java.net.URI(abs).getPath catch {
+          case _: java.net.URISyntaxException => abs
+        }
+        byRel.keys.find(rel => decoded.endsWith(rel) || abs.endsWith(rel))
+          .map(_ -> arr)
     }.toMap
-    fresh.foreach { f =>
-      val blooms = computed.getOrElse(f.path,
-        Array.fill(nCols)(new Array[Long](wordsPer)))
+    // a file the job's paths failed to resolve is left UNFLAGGED (no
+    // bloom = no pruning) — an empty sidecar would wrongly refute every
+    // probe and silently drop the file's live rows
+    computed.foreach { case (rel, blooms) =>
+      val f = byRel(rel)
       physCols.zipWithIndex.foreach { case (pc, i) =>
         CommitLogTable.writeBloomSidecar(bloomSidecarPath(f, pc), k, blooms(i))
       }
     }
     files.map(f =>
-      if (byRel.contains(f.path)) f.copy(blooms = physCols) else f)
+      if (computed.contains(f.path)) f.copy(blooms = physCols) else f)
   }
 
   private def bloomSidecarPath(f: LogFile, physCol: String): Path = {

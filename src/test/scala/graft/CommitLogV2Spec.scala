@@ -307,6 +307,43 @@ class CommitLogV2Spec extends AnyFunSuite {
       s"expected 2 files post-DPP, got ${cls.head.prunedFiles.size}")
   }
 
+  test("timestampAsOf: DSv2 option, SQL FOR TIMESTAMP AS OF, and CALL restore") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.graft_ts",
+      "graft.sources.CommitLogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ts.warehouse", wh)
+    spark.sql("CREATE TABLE graft_ts.default.t (k BIGINT) USING commitlog")
+    val dir = s"$wh/default/t"
+    val t = CommitLogTable.open(spark, dir)
+    (1 to 3).foreach { i =>
+      Thread.sleep(5) // distinct commit timestamps
+      t.append(spark.range(i).select($"id".as("k")), recordChanges = false)
+    }
+    val hist = t.history.collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+    // versionAt: latest commit at-or-before each instant
+    assert(t.versionAt(hist(2L)) == 2L)
+    assert(t.versionAt(hist(3L) + 100000L) == 3L)
+    intercept[IllegalArgumentException](t.versionAt(hist(0L) - 10L))
+    // DSv2 option (epoch millis form): state as of version 2 = 1+2 rows
+    assert(spark.read.format("commitlog")
+      .option("timestampAsOf", hist(2L).toString).load(dir).count() == 3)
+    // SQL time travel by instant (session runs UTC)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val tsLit = fmt.format(new java.util.Date(hist(2L)))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_ts.default.t TIMESTAMP AS OF '$tsLit'")
+      .head.getLong(0) == 3)
+    // CALL restore: metadata-only rollback to version 1 (1 row)
+    val res = spark.sql(
+      "CALL graft_ts.system.restore(table => 'default.t', version => 1)")
+      .collect()(0)
+    assert((res.getLong(0), res.getLong(1)) == ((1L, 4L)))
+    assert(spark.table("graft_ts.default.t").count() == 1)
+    assert(CommitLogTable.open(spark, dir).history.collect()
+      .map(_.getString(1)).contains("restore"))
+  }
+
   test("storage-partitioned join: co-partitioned tables join with no shuffle on either side") {
     val dirA = tmpDir() + "/spjA"
     val dirB = tmpDir() + "/spjB"

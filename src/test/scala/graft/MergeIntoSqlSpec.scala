@@ -127,6 +127,57 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.default.t").count() == 401)
   }
 
+  test("MERGE INTO: multi-match is legal while no update/delete pair fires") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.default.t (k BIGINT, v BIGINT) USING commitlog")
+    spark.sql(s"INSERT INTO $cat.default.t VALUES (1, 10)")
+    val t = CommitLogTable.open(spark, s"$wh/default/t")
+    val vBefore = t.history.collect().map(_.getLong(0)).max
+    // two source rows match k=1, but the clause fires for NEITHER:
+    // legal (no modification is ambiguous), the row stays single, and
+    // nothing publishes
+    Seq((1L, -5L), (1L, -6L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_mm_none")
+    spark.sql(
+      s"""MERGE INTO $cat.default.t AS t USING merge_mm_none AS s ON t.k = s.k
+         |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $cat.default.t").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 10L)))
+    assert(CommitLogTable.open(spark, s"$wh/default/t")
+      .history.collect().map(_.getLong(0)).max == vBefore)
+    // exactly ONE of the pairs fires: applies cleanly, single row out
+    Seq((1L, -5L), (1L, 7L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_mm_one")
+    spark.sql(
+      s"""MERGE INTO $cat.default.t AS t USING merge_mm_one AS s ON t.k = s.k
+         |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $cat.default.t").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 7L)))
+  }
+
+  test("MERGE INTO: insert-only merge appends — no target file is rewritten") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.default.t (day BIGINT, k BIGINT) " +
+      "USING commitlog PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.default.t " +
+      "SELECT id % 4 AS day, id AS k FROM range(0, 100)")
+    val before = CommitLogTable.open(spark, s"$wh/default/t")
+      .resolvedManifest(None).files.map(_.path).toSet
+    Seq((2L, 1002L), (2L, 50L)).toDF("day", "k")
+      .createOrReplaceTempView("merge_insonly")
+    spark.sql(
+      s"""MERGE INTO $cat.default.t AS t USING merge_insonly AS s
+         |ON t.day = s.day AND t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = CommitLogTable.open(spark, s"$wh/default/t")
+      .resolvedManifest(None).files.map(_.path).toSet
+    // every original file carried by reference; only the insert's file is new
+    assert(before.subsetOf(after), "a target file was rewritten")
+    assert((after -- before).nonEmpty)
+    // k=50 existed (day 2) → suppressed; k=1002 inserted
+    assert(spark.table(s"$cat.default.t").count() == 101)
+  }
+
   test("MERGE INTO: insert-only merge with clause condition") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.default.t (k BIGINT, v BIGINT) USING commitlog")
