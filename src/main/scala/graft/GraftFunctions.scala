@@ -78,5 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.MergeIntoCommitLogStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.UpdateCommitLogStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.DeleteFromCommitLogStrategy)
   }
 }

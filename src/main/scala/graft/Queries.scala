@@ -2451,6 +2451,40 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Build (once per session) the SQL UPDATE/DELETE demo: target =
+    * events with event_id%4<2 as a commit-log catalog table; one SQL
+    * `UPDATE … SET value = value*2+1 WHERE event_id%3 = 0` (stats-pruned
+    * copy-on-write through the injected strategy), then one SQL
+    * `DELETE FROM … WHERE event_id%5 = 4` — a predicate with NO V1
+    * Filter form, so it exercises the arbitrary-predicate DELETE
+    * strategy, not the SupportsDelete bridge.
+    */
+  private def commitLogDmlSqlDir(s: SparkSession, dir: String): String = {
+    val wh = stampedTmpDir(s, dir, "graft-commitlog-dmlsql", "events")
+    val tdir = s"$wh/default/t"
+    SessionMemo.once(s, s"commitlogDmlSql:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tdir)) {
+        val cat = "graft_dsql_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tgt = ev.filter(col("event_id") % 4 < 2)
+        graft.tables.CommitLogTable.create(s, tdir, tgt.schema).append(tgt)
+        s.sql(s"UPDATE $cat.default.t SET value = value * 2 + 1 " +
+          "WHERE event_id % 3 = 0")
+        s.sql(s"DELETE FROM $cat.default.t WHERE event_id % 5 = 4")
+      }
+    }
+    tdir
+  }
+
+  def tableDmlSql(s: SparkSession, dir: String): DataFrame =
+    graft.tables.CommitLogTable.open(s, commitLogDmlSqlDir(s, dir)).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+
   /** Build (once per session) the storage-partitioned-join demo: a fact
     * and a per-day dim table, BOTH commitlog tables partitioned on the
     * same derived `day` key — the co-location that lets the join below

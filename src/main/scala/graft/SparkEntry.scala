@@ -177,6 +177,7 @@ object SparkEntry {
     "q_table_dsv2" -> (Queries.tableDsv2 _),
     "q_table_spj" -> (Queries.tableSpj _),
     "q_table_merge_sql" -> (Queries.tableMergeSql _),
+    "q_table_dml_sql" -> (Queries.tableDmlSql _),
     "q_table_bloom" -> (Queries.tableBloom _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
@@ -3782,6 +3783,16 @@ object SparkEntry {
 
     // SQL MERGE INTO demo: target=%4<2, source=%3=0 with value*2+5;
     // matched rows update when the new value > 100, otherwise DELETE
+    // SQL UPDATE (value doubled+1 where id%3=0) then SQL DELETE of
+    // id%5=4 (no V1 Filter form — the strategy path) over the %4<2 load
+    "q_table_dml_sql" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 + 1
+               ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id % 4 < 2 AND NOT (event_id % 5 = 4)
+      GROUP BY event_type""",
+
     // (a NULL-valued source row falls to DELETE — its update condition
     // is NULL); unmatched source rows insert
     "q_table_merge_sql" -> """

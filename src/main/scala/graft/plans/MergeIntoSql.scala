@@ -54,7 +54,12 @@ object MergeIntoCommitLogStrategy extends SparkStrategy {
 
   /** The planner sees the OPTIMIZED plan: aliases eliminated and the
     * relation already converted to a scan relation — match both forms.
+    * (Shared with [[UpdateCommitLogStrategy]], which targets the same
+    * relation shapes.)
     */
+  private[plans] def unwrapTarget(
+      p: LogicalPlan): Option[(CommitLogV2Table, Seq[Attribute])] = unwrap(p)
+
   private def unwrap(p: LogicalPlan): Option[(CommitLogV2Table, Seq[Attribute])] =
     p match {
       case SubqueryAlias(_, child) => unwrap(child)

@@ -63,9 +63,12 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
     // experimental-methods list is the supported runtime injection point;
     // idempotent by identity (the strategy is a singleton object).
     val exp = SparkSession.active.experimental
-    if (!exp.extraStrategies.contains(graft.plans.MergeIntoCommitLogStrategy))
-      exp.extraStrategies =
-        exp.extraStrategies :+ graft.plans.MergeIntoCommitLogStrategy
+    Seq(graft.plans.MergeIntoCommitLogStrategy,
+        graft.plans.UpdateCommitLogStrategy,
+        graft.plans.DeleteFromCommitLogStrategy).foreach { st =>
+      if (!exp.extraStrategies.contains(st))
+        exp.extraStrategies = exp.extraStrategies :+ st
+    }
   }
   override def name(): String = catalogName
 
@@ -375,10 +378,11 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
   /** SQL `DELETE FROM cat.ns.t WHERE …` (and, via the default
     * `truncateTable`, `TRUNCATE TABLE`): the conjunction lands as ONE
     * transactional copy-on-write delete — stats-pruned file carry-over,
-    * CDF delete images, no-op publishes nothing. A predicate the filter
-    * bridge can't express (so Spark couldn't hand it to us faithfully)
-    * is refused at analysis; use [[CommitLogTable.delete]] for arbitrary
-    * Column predicates.
+    * CDF delete images, no-op publishes nothing. Non-subquery DELETEs
+    * are normally intercepted upstream by
+    * [[graft.plans.DeleteFromCommitLogStrategy]] (which also takes
+    * predicates this V1-Filter bridge can't express); this path remains
+    * for sessions without the injected strategies and for TRUNCATE.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => FilterToColumn(f).isDefined)
