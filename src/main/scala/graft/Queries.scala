@@ -2485,6 +2485,33 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Build (once per session) the metadata-columns demo: events
+    * partitioned by `event_type` as a commit-log table.
+    */
+  private def commitLogMetaDir(s: SparkSession, dir: String): String = {
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-meta", "events")
+    SessionMemo.once(s, s"commitlogMeta:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .filter(col("event_id") % 4 < 3)
+        graft.tables.CommitLogTable
+          .create(s, tableDir, ev.schema, Some("event_type")).append(ev)
+      }
+    }
+    tableDir
+  }
+
+  /** Lineage metadata columns through the DSv2 reader: grouping by
+    * `_partition` (the row's file-level partition value, straight from
+    * the manifest — zero extra IO) must equal grouping by the partition
+    * column itself.
+    */
+  def tableMetaCols(s: SparkSession, dir: String): DataFrame =
+    s.read.format("commitlog").load(commitLogMetaDir(s, dir))
+      .groupBy(col("_partition").as("part"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+
   /** Build (once per session) the storage-partitioned-join demo: a fact
     * and a per-day dim table, BOTH commitlog tables partitioned on the
     * same derived `day` key — the co-location that lets the join below

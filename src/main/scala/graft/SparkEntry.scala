@@ -178,6 +178,7 @@ object SparkEntry {
     "q_table_spj" -> (Queries.tableSpj _),
     "q_table_merge_sql" -> (Queries.tableMergeSql _),
     "q_table_dml_sql" -> (Queries.tableDmlSql _),
+    "q_table_meta_cols" -> (Queries.tableMetaCols _),
     "q_table_bloom" -> (Queries.tableBloom _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
@@ -3783,6 +3784,13 @@ object SparkEntry {
 
     // SQL MERGE INTO demo: target=%4<2, source=%3=0 with value*2+5;
     // matched rows update when the new value > 100, otherwise DELETE
+    // _partition metadata column == the event_type partition value the
+    // writer serialized, so the group-by is replayable from the raw table
+    "q_table_meta_cols" -> """
+      SELECT event_type AS part, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 4 < 3 GROUP BY event_type""",
+
     // SQL UPDATE (value doubled+1 where id%3=0) then SQL DELETE of
     // id%5=4 (no V1 Filter form — the strategy path) over the %4<2 load
     "q_table_dml_sql" -> """

@@ -258,7 +258,8 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
 }
 
 class CommitLogV2Table(spark: SparkSession, dir: String,
-    version: Option[Long]) extends Table with SupportsRead {
+    version: Option[Long]) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private[graft] def tableDir: String = dir
   private val table = CommitLogTable.open(spark, dir)
   private[sources] val snap: Manifest = table.resolvedManifest(version)
@@ -274,6 +275,41 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CommitLogScanBuilder(spark, table, snap)
+
+  /** Lineage metadata columns (Delta's `_metadata` / Iceberg's `_file`
+    * analogue), per-row constants the MANIFEST already knows — selecting
+    * them costs zero extra IO: `_file_path` (absolute path of the row's
+    * data file), `_file_size` (its bytes), `_partition` (the file's
+    * table-partition value string, NULL on unpartitioned tables). A data
+    * column with the same name shadows the metadata column (Spark's
+    * standard conflict rule).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    CommitLogV2Table.MetaCols
+}
+
+object CommitLogV2Table {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  private def metaCol(n: String, dt: DataType, nullable: Boolean,
+      doc: String): MetadataColumn = new MetadataColumn {
+    override def name(): String = n
+    override def dataType(): DataType = dt
+    override def isNullable: Boolean = nullable
+    override def comment(): String = doc
+  }
+
+  private[sources] val MetaCols: Array[MetadataColumn] = Array(
+    metaCol("_file_path", StringType, nullable = false,
+      "absolute path of the data file holding the row"),
+    metaCol("_file_size", LongType, nullable = false,
+      "size in bytes of the data file holding the row"),
+    metaCol("_partition", StringType, nullable = true,
+      "table-partition value string of the row's file (NULL when unpartitioned)"))
+
+  private[sources] val MetaNames: Set[String] = MetaCols.map(_.name).toSet
 }
 
 final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
@@ -282,6 +318,7 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = snap.schema
+  private var outputSchema: StructType = snap.schema
   private var accepted: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[Any])] = None
 
@@ -308,8 +345,18 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
     filters // everything stays residual: stats pruning is never the filter
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+
+  /** `requiredSchema` may interleave requested METADATA columns
+    * (`_file_path`…) with data columns; keep the full requested shape
+    * for the scan's output order, and the data-only projection for the
+    * parquet read. A data column sharing a metadata name shadows it.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    outputSchema = requiredSchema
+    required = StructType(requiredSchema.fields.filterNot(f =>
+      CommitLogV2Table.MetaNames.contains(f.name) &&
+        !snap.schema.fieldNames.contains(f.name)))
+  }
 
   /** METADATA-ONLY aggregation: a global (no GROUP BY) `COUNT(*)` /
     * `MIN(col)` / `MAX(col)` answers from the manifest — file row counts
@@ -393,7 +440,7 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
   override def build(): Scan = aggResult match {
     case Some((schema, row)) => new CommitLogAggScan(snap, schema, row)
     case None =>
-      new CommitLogScan(spark, table, snap, required,
+      new CommitLogScan(spark, table, snap, required, outputSchema,
         accepted.flatMap(comparisons).toSeq, accepted.toSeq)
   }
 }
@@ -427,7 +474,7 @@ final class CommitLogAggScan(snap: Manifest, aggSchema: StructType,
 }
 
 final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
-    snap: Manifest, required: StructType,
+    snap: Manifest, required: StructType, outputSchema: StructType,
     preds: Seq[(String, String, Any)], pushed: Seq[Filter])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -599,7 +646,7 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
           .UnknownPartitioning(0)
     }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = outputSchema
   override def toBatch: Batch = this
   override def description(): String = {
     val pf = prunedFiles.size
@@ -663,6 +710,14 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     }
   }
 
+  /** Requested metadata fields, in output order — the fields
+    * pruneColumns split out of `required`.
+    */
+  private def metaFields: Seq[org.apache.spark.sql.types.StructField] =
+    outputSchema.fields.toSeq.filter(f =>
+      CommitLogV2Table.MetaNames.contains(f.name) &&
+        !snap.schema.fieldNames.contains(f.name))
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // mark-referenced logical columns must be read (then projected out)
     // so the row-level pendingDelete filter can evaluate
@@ -713,7 +768,8 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
       new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
 
     val marked = prunedFiles.filter(_.pendingDelete.isDefined)
-    if (marked.isEmpty && extraFields.isEmpty) inner
+    val meta = metaFields
+    if (marked.isEmpty && extraFields.isEmpty && meta.isEmpty) inner
     else {
       // bind each distinct mark predicate against the EXTENDED logical
       // schema via the analyzer (type coercion included), then rebase the
@@ -742,18 +798,49 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
         .filter(_.pendingDelete.isDefined)
         .map(f => table.dataPath(f).toString -> bound(f.pendingDelete.get))
         .toMap
-      MarkFilteringReaderFactory(inner, perPath, required.length,
-        extendedLogical)
+      // per-file metadata-column values, already internal-typed; keyed by
+      // the same absolute path string the executor's PartitionedFile has
+      val metaByPath: Map[String, InternalRow] =
+        if (meta.isEmpty) Map.empty
+        else prunedFiles.map { f =>
+          val abs = table.dataPath(f).toString
+          val vals: Array[Any] = meta.map(_.name match {
+            case "_file_path" =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(abs)
+            case "_file_size" => f.bytes
+            case "_partition" => f.partition
+              .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+            case other => throw new IllegalStateException(
+              s"unknown metadata column $other")
+          }).toArray
+          abs -> (new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals): InternalRow)
+        }.toMap
+      // output bindings over JoinedRow(extendedRow, metaRow): data fields
+      // by their extended position, metadata fields after the extension
+      val out: Seq[BoundReference] = outputSchema.fields.toSeq.map { f =>
+        val mi = meta.indexWhere(_.name == f.name)
+        if (mi >= 0)
+          BoundReference(extendedLogical.length + mi, f.dataType, f.nullable)
+        else {
+          val di = extendedLogical.fieldNames.indexOf(f.name)
+          BoundReference(di, f.dataType, f.nullable)
+        }
+      }
+      AssemblingReaderFactory(inner, perPath, extendedLogical.length,
+        metaByPath, out)
     }
   }
 }
 
-/** Wraps the stock parquet reader factory with per-file merge-on-read
-  * delete filtering: rows matching the file's `pendingDelete` predicate
-  * are dropped (TRUE drops; NULL keeps — SQL DELETE semantics, matching
-  * `CommitLogTable.readFiles`), then rows project back down to the
-  * scan's pruned output schema. Row-based only — a marked table trades
-  * the columnar fast path for correctness until its marks materialize.
+/** Row-assembly wrapper over the stock parquet reader factory (see
+  * [[AssemblingReaderFactory]] below): per-file merge-on-read delete
+  * filtering (TRUE drops; NULL keeps — SQL DELETE semantics, matching
+  * `CommitLogTable.readFiles`), then one projection from the extended
+  * read row + the file's metadata-column constants to the scan's
+  * requested output. Row-based only — marked or metadata-selecting
+  * reads trade the columnar fast path; plain reads bypass the wrapper
+  * entirely.
   */
 /** A [[FilePartition]] (so the stock parquet reader factories accept it
   * unchanged) that also carries its table-partition key, making it
@@ -769,29 +856,35 @@ final class KeyedFilePartition(idx: Int,
   override def partitionKey(): InternalRow = key
 }
 
-final case class MarkFilteringReaderFactory(
+final case class AssemblingReaderFactory(
     inner: ParquetPartitionReaderFactory,
     predicates: Map[String, Expression],
-    keepColumns: Int,
-    extendedSchema: StructType) extends FilePartitionReaderFactory {
+    extendedLen: Int,
+    metaByPath: Map[String, InternalRow],
+    out: Seq[BoundReference]) extends FilePartitionReaderFactory {
 
   override def options: org.apache.spark.sql.catalyst.FileSourceOptions =
     inner.options
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
+  /** Output is the extended row unchanged: no reorder, no meta, no drop. */
+  private def isIdentity: Boolean =
+    out.length == extendedLen &&
+      out.zipWithIndex.forall { case (b, i) => b.ordinal == i }
+
   override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] = {
     val raw = inner.buildReader(file)
     val predExpr = predicates.get(file.filePath.toString)
-    val needsProject = keepColumns < extendedSchema.length
-    if (predExpr.isEmpty && !needsProject) raw
+    if (predExpr.isEmpty && isIdentity) raw
     else new PartitionReader[InternalRow] {
       private val pred = predExpr.map(CatalystPredicate.create) // executor-side codegen
-      private val proj =
-        if (!needsProject) null
-        else UnsafeProjection.create(
-          (0 until keepColumns).map(i => BoundReference(i,
-            extendedSchema.fields(i).dataType,
-            extendedSchema.fields(i).nullable)))
+      private val metaRow =
+        metaByPath.getOrElse(file.filePath.toString, InternalRow.empty)
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      // ONE projection shape for every file (meta rides the joined row,
+      // not per-file literals), so codegen compiles once per task
+      private val proj = UnsafeProjection.create(out)
       private var row: InternalRow = _
       override def next(): Boolean = {
         while (raw.next()) {
@@ -800,8 +893,7 @@ final case class MarkFilteringReaderFactory(
         }
         false
       }
-      override def get(): InternalRow =
-        if (proj == null) row else proj(row)
+      override def get(): InternalRow = proj(joined(row, metaRow))
       override def close(): Unit = raw.close()
     }
   }

@@ -344,6 +344,44 @@ class CommitLogV2Spec extends AnyFunSuite {
       .map(_.getString(1)).contains("restore"))
   }
 
+  test("metadata columns: _file_path/_file_size/_partition from the manifest") {
+    val wh = tmpDir()
+    val dir = s"$wh/default/meta"
+    val df = spark.range(100).select(($"id" % 4).as("day"), $"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df.schema,
+      partitionCol = Some("day"))
+    t.append(df, recordChanges = false)
+    val files = t.resolvedManifest(None).files
+    val v2 = spark.read.format("commitlog").load(dir)
+    // per-row constants agree with the manifest, zero extra IO
+    val got = v2.select($"k", $"_file_path", $"_file_size", $"_partition")
+      .collect()
+    assert(got.length == 100)
+    val byPath = files.map(f => (dir + "/" + f.path) -> f).toMap
+    got.foreach { r =>
+      val f = byPath.getOrElse(r.getString(1),
+        fail(s"_file_path ${r.getString(1)} not in manifest"))
+      assert(r.getLong(2) == f.bytes)
+      assert(Option(r.getString(3)) == f.partition)
+    }
+    assert(got.map(_.getString(1)).distinct.length == files.size)
+    // grouping by _partition == grouping by the partition column
+    val byMeta = v2.groupBy($"_partition").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMeta == Map("0" -> 25L, "1" -> 25L, "2" -> 25L, "3" -> 25L))
+    // SQL surface through the catalog resolves the metadata columns too
+    spark.conf.set("spark.sql.catalog.graft_meta",
+      "graft.sources.CommitLogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_meta.warehouse", wh)
+    assert(spark.sql(
+      "SELECT count(DISTINCT _file_path) FROM graft_meta.default.meta")
+      .head.getLong(0) == files.size)
+    // metadata columns compose with merge-on-read delete marks
+    t.deleteLazy("k < 10")
+    assert(spark.read.format("commitlog").load(dir)
+      .select($"k", $"_file_path").count() == 90)
+  }
+
   test("storage-partitioned join: co-partitioned tables join with no shuffle on either side") {
     val dirA = tmpDir() + "/spjA"
     val dirB = tmpDir() + "/spjB"
