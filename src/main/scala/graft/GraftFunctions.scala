@@ -80,5 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.MergeIntoCommitLogStrategy)
     e.injectPlannerStrategy(_ => graft.plans.UpdateCommitLogStrategy)
     e.injectPlannerStrategy(_ => graft.plans.DeleteFromCommitLogStrategy)
+    // Hints batch — BEFORE ResolveSessionCatalog can refuse view DDL on
+    // a non-session catalog (see plans/ViewSql.scala)
+    e.injectHintResolutionRule(s => new graft.plans.ResolveCommitLogViews(s))
   }
 }

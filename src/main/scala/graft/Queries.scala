@@ -2485,6 +2485,46 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Build (once per session) the SQL-view demo — the reference's gold
+    * layer shape (`CREATE OR REPLACE VIEW gold.price_features AS …`,
+    * docs/databricks_setup.md:209): a commit-log catalog table of
+    * events (event_id%4<2), a view aggregating it, both via SQL DDL.
+    * Returns the catalog name.
+    */
+  private def commitLogViewCat(s: SparkSession, dir: String): String = {
+    val wh = stampedTmpDir(s, dir, "graft-commitlog-viewsql", "events")
+    val cat = "graft_vsql_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    SessionMemo.once(s, s"commitlogViewSql:$dir") {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitLogCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      if (!graft.tables.CommitLogTable.exists(s"$wh/gold/t")) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .filter(col("event_id") % 4 < 2)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$wh/gold"))
+        graft.tables.CommitLogTable.create(s, s"$wh/gold/t", ev.schema)
+          .append(ev)
+      }
+      s.sql(
+        s"""CREATE OR REPLACE VIEW $cat.gold.price_features AS
+           |SELECT event_type, count(*) AS n_rows,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           |         AS sum_value
+           |FROM $cat.gold.t GROUP BY event_type""".stripMargin)
+    }
+    cat
+  }
+
+  /** Read through the stored SQL view (late-binding expansion through
+    * the injected view rule — the only analyzer path that can serve a
+    * ViewCatalog view in stock Spark 4.1).
+    */
+  def tableViewSql(s: SparkSession, dir: String): DataFrame =
+    s.sql(s"SELECT event_type, n_rows, sum_value FROM " +
+      s"${commitLogViewCat(s, dir)}.gold.price_features")
+
   /** Build (once per session) the metadata-columns demo: events
     * partitioned by `event_type` as a commit-log table.
     */

@@ -28,6 +28,9 @@ object Sessions {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      // SQL functions + DML strategies + view rules; analyzer rules can
+      // only be injected at construction (plans/ViewSql.scala)
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

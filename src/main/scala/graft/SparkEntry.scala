@@ -179,6 +179,7 @@ object SparkEntry {
     "q_table_merge_sql" -> (Queries.tableMergeSql _),
     "q_table_dml_sql" -> (Queries.tableDmlSql _),
     "q_table_meta_cols" -> (Queries.tableMetaCols _),
+    "q_table_view_sql" -> (Queries.tableViewSql _),
     "q_table_bloom" -> (Queries.tableBloom _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
@@ -3784,6 +3785,12 @@ object SparkEntry {
 
     // SQL MERGE INTO demo: target=%4<2, source=%3=0 with value*2+5;
     // matched rows update when the new value > 100, otherwise DELETE
+    // gold view over the %4<2 commit-log table (late-binding SQL view)
+    "q_table_view_sql" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 4 < 2 GROUP BY event_type""",
+
     // _partition metadata column == the event_type partition value the
     // writer serialized, so the group-by is replayable from the raw table
     "q_table_meta_cols" -> """

@@ -47,7 +47,8 @@ import graft.tables.CommitLogTable
   * SET/UNSET TBLPROPERTIES, RENAME/DROP/ADD COLUMN — each one manifest
   * write, never a data rewrite.
   */
-final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
+final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -184,6 +185,171 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog {
   //      reference's Delta maintenance (`docs/databricks_setup.md`
   //      OPTIMIZE ... ZORDER BY (as_of_date, symbol)), as SQL-callable
   //      stored procedures over the table format
+
+  // ---- views (the reference's `CREATE OR REPLACE VIEW gold.price_features
+  // AS …`, docs/databricks_setup.md:209): each view is one JSON file
+  // `<warehouse>/<ns…>/<name>.view.json` holding the definition Spark
+  // hands over — SQL text, the session's catalog/namespace context (so
+  // unqualified names in the text re-resolve identically later), the
+  // analyzed schema, column aliases/comments, properties. Stateless like
+  // the tables: the filesystem IS the metastore, atomic replace via
+  // temp-file + ATOMIC_MOVE. ----
+
+  private def viewPath(ident: Identifier): java.nio.file.Path =
+    Paths.get((Seq(warehouse) ++ ident.namespace().toSeq :+
+      s"${ident.name()}.view.json").mkString("/"))
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.isRegularFile(viewPath(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val nsDir = Paths.get((Seq(warehouse) ++ namespace).mkString("/"))
+    if (!Files.isDirectory(nsDir)) Array.empty
+    else {
+      val s = Files.list(nsDir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".view.json"))
+        .map(p => Identifier.of(namespace.toArray,
+          p.getFileName.toString.stripSuffix(".view.json")))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    val n = CommitLogCatalog.viewMapper.readTree(
+      Files.readString(viewPath(ident)))
+    def strs(field: String): Array[String] = {
+      val a = n.get(field)
+      if (a == null || a.isNull) null
+      else (0 until a.size).map(i =>
+        if (a.get(i).isNull) null else a.get(i).asText()).toArray
+    }
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = ident.toString
+      override def query(): String = n.get("sql").asText()
+      override def currentCatalog(): String = n.get("currentCatalog").asText()
+      override def currentNamespace(): Array[String] = strs("currentNamespace")
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(
+          n.get("schemaJson").asText()).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        Option(strs("queryColumnNames")).getOrElse(Array.empty)
+      override def columnAliases(): Array[String] = strs("columnAliases")
+      override def columnComments(): Array[String] = strs("columnComments")
+      override def properties(): JMap[String, String] = {
+        val p = n.get("properties")
+        val m = new java.util.HashMap[String, String]()
+        if (p != null) p.properties().asScala
+          .foreach(e => m.put(e.getKey, e.getValue.asText()))
+        m
+      }
+    }
+  }
+
+  private def writeViewFile(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      replace: Boolean): Unit = {
+    val m = CommitLogCatalog.viewMapper
+    val root = m.createObjectNode()
+    root.put("sql", info.sql)
+    root.put("currentCatalog", info.currentCatalog)
+    def putArr(field: String, a: Array[String]): Unit =
+      if (a != null) {
+        val arr = root.putArray(field)
+        a.foreach(arr.add)
+      }
+    putArr("currentNamespace", info.currentNamespace)
+    root.put("schemaJson", info.schema.json)
+    putArr("queryColumnNames", info.queryColumnNames)
+    putArr("columnAliases", info.columnAliases)
+    putArr("columnComments", info.columnComments)
+    val props = root.putObject("properties")
+    info.properties.asScala.foreach { case (k, v) => props.put(k, v) }
+    val path = viewPath(info.ident)
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString +
+      s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, m.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root))
+    try {
+      if (replace)
+        Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(info.ident)
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (tableExists(info.ident))
+      throw new TableAlreadyExistsException(info.ident)
+    if (viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident)
+    writeViewFile(info, replace = false)
+    loadView(info.ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident)
+    writeViewFile(info, replace = true)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val v = loadView(ident) // throws NoSuchViewException when absent
+    val props = new java.util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case s: ViewChange.SetProperty => props.put(s.property(), s.value())
+      case r: ViewChange.RemoveProperty => props.remove(r.property())
+      case other => throw new IllegalArgumentException(
+        s"commitlog catalog: unsupported view change $other")
+    }
+    writeViewFile(new org.apache.spark.sql.connector.catalog.ViewInfo(
+      ident, v.query(), v.currentCatalog(), v.currentNamespace(),
+      v.schema(), v.queryColumnNames(), v.columnAliases(),
+      v.columnComments(), props), replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewPath(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(viewPath(newIdent).getParent)
+    try Files.move(viewPath(oldIdent), viewPath(newIdent),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(newIdent)
+    }
+  }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -412,4 +578,10 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
           }
       }
     }
+}
+
+object CommitLogCatalog {
+  /** Shared, thread-safe Jackson mapper for the view-definition files. */
+  private[sources] val viewMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 }
