@@ -2269,6 +2269,35 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
 
+  /** Streaming DATA read of the commit-log demo table — Delta's
+    * `spark.readStream.table` semantics (the read the reference's silver
+    * notebook opens on its bronze table): an `AvailableNow` drain
+    * through [[graft.sources.CommitLogStreamSource]] into a parquet
+    * sink, then aggregated. The drain's initial snapshot pins the head
+    * version, so the result ≡ a batch read of the current table — the
+    * oracle is the same SQL that describes the demo's final contents.
+    */
+  def tableStreamData(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = commitLogDemoDir(s, dir)
+    val outDir = stampedTmpDir(s, dir, "graft-commitlog-stream", "events")
+    SessionMemo.once(s, s"commitlogStream:$dir") {
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(outDir, "out"))) {
+        val q = s.readStream.format("commitlog").option("path", tableDir)
+          .load()
+          .writeStream.format("parquet").option("path", s"$outDir/out")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000L),
+          "commitlog data-stream drain timed out")
+      }
+    }
+    s.read.parquet(s"$outDir/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+  }
+
   /** Build (once per session) the schema-evolution + rename demo table:
     *   v1 append of event_id%4==0 rows under (event_id, event_type, value);
     *   v2 `mergeSchema` append of %4==1 rows carrying a NEW

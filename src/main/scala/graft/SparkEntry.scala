@@ -180,6 +180,7 @@ object SparkEntry {
     "q_table_dml_sql" -> (Queries.tableDmlSql _),
     "q_table_meta_cols" -> (Queries.tableMetaCols _),
     "q_table_view_sql" -> (Queries.tableViewSql _),
+    "q_table_stream" -> (Queries.tableStreamData _),
     "q_table_bloom" -> (Queries.tableBloom _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
@@ -3721,6 +3722,18 @@ object SparkEntry {
              CAST(SUM(CAST(CASE WHEN m = 0 THEN value ELSE value * 2 END
                AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM e WHERE m < 3 GROUP BY event_type""",
+
+    // streaming DATA drain of the demo table: the initial snapshot pins
+    // the head, so the result is the table's FINAL contents — m=0
+    // original, m=1 first-merge *2, m∈{2,3} second-merge *3
+    "q_table_stream" -> """
+      WITH e AS (SELECT *, event_id % 4 AS m FROM events)
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(CASE WHEN m = 0 THEN value
+                                WHEN m = 1 THEN value * 2
+                                ELSE value * 3 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY event_type""",
 
     // evolution demo: v1 append %4=0 (no score column — reads back NULL),
     // v2 mergeSchema append %4=1 with score=value*2, v3 rename value→amount

@@ -539,6 +539,9 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      // readStream.table(...): the V2 micro-batch DATA stream — the
+      // read the reference's silver notebook opens on bronze
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** SQL `DELETE FROM cat.ns.t WHERE …` (and, via the default

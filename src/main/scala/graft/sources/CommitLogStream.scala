@@ -1,0 +1,381 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+import graft.tables.CommitLogTable
+import graft.tables.CommitLogTable.LogFile
+
+/** Shared planning core of the streaming DATA reads of a commit-log
+  * table (the V1 [[CommitLogStreamSource]] behind
+  * `readStream.format("commitlog")` and the V2
+  * [[CommitLogMicroBatchStream]] behind `readStream.table(...)`):
+  * offset arithmetic over the immutable commit log.
+  *
+  * Offsets ([[CommitLogStreamSource.Pos]]) address `(version,
+  * fileIndex[, snapshot])`: `snap=true` → the first `i` files of the
+  * initial snapshot resolved AT version `v`; `snap=false` → versions
+  * < `v` fully consumed plus the first `i` files of `v`'s adds. Both
+  * phases enumerate manifest-stored file order — immutable once
+  * committed — so any (from, to] range replays to the identical file
+  * list: the exactly-once guarantee.
+  *
+  * Scale: planning is driver-side arithmetic on per-commit diffs —
+  * O(files ADDED) per micro-batch, never O(table files) — and version
+  * adds resolve from the raw diff manifest (one small file read,
+  * memoized).
+  */
+private[sources] final class StreamWalk(table: CommitLogTable, path: String,
+    startingVersion: Option[Long], skipChangeCommits: Boolean) {
+  import CommitLogStreamSource.Pos
+
+  // versionAdds memo — versions are immutable, so entries never
+  // invalidate; one raw-manifest read per version per stream incarnation
+  private val addsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (String, Seq[LogFile])]()
+  private def addsAt(v: Long): (String, Seq[LogFile]) =
+    addsCache.computeIfAbsent(v, _ => table.versionAdds(v))
+
+  // snapshot file list for the pinned snapshot version — at most one
+  // version is ever used per stream (the one in the offsets)
+  @volatile private var snapMemo: Option[(Long, Seq[LogFile])] = None
+  private[sources] def snapshotFiles(v: Long): Seq[LogFile] = snapMemo match {
+    case Some((sv, fs)) if sv == v => fs
+    case _ =>
+      val m = table.resolvedManifest(Some(v))
+      table.requireFilesPresent(m,
+        s"commitlog streaming source initial snapshot @v$v")
+      snapMemo = Some((v, m.files))
+      m.files
+  }
+
+  /** Additive / data-neutral / data-change classification. Unknown
+    * future actions land in data-change — fail loudly, never silently
+    * mis-stream.
+    */
+  private def isAdditive(v: Long, action: String): Boolean =
+    v == 0L || action == "append" || action == "create"
+
+  /** Enumerate files strictly AFTER `from`, in offset order, stopping at
+    * whichever comes first: the file/byte caps, `stopAt` (inclusive), or
+    * version `head`. Returns (position reached, files). Deterministic
+    * for fixed offsets — the replay guarantee.
+    */
+  def walk(from: Option[Pos], capFiles: Long, capBytes: Long,
+      stopAt: Option[Pos], head: Long): (Option[Pos], Seq[LogFile]) = {
+    val out = Vector.newBuilder[LogFile]
+    var nFiles = 0L
+    var nBytes = 0L
+    var last: Option[Pos] = from
+    def done: Boolean = stopAt.isDefined && last == stopAt
+
+    // emits fs[startIdx..); false = stop the walk (cap hit or stopAt)
+    def take(fs: Seq[LogFile], v: Long, startIdx: Long, snap: Boolean): Boolean = {
+      var idx = startIdx
+      fs.drop(startIdx.toInt).foreach { f =>
+        if (nFiles >= capFiles || nBytes >= capBytes || done) return false
+        out += f; nFiles += 1; nBytes += f.bytes; idx += 1
+        last = Some(Pos(v, idx, snap))
+      }
+      !done
+    }
+
+    // phase 1: the initial snapshot (absent under startingVersion)
+    var v: Long = from match {
+      case Some(p) if p.snap =>
+        val fs = snapshotFiles(p.v)
+        if (!take(fs, p.v, p.i, snap = true)) return (last, out.result())
+        p.v + 1
+      case Some(p) => p.v // may be mid-version; resume index below
+      case None => startingVersion match {
+        case Some(sv) => sv
+        case None =>
+          // replaying a checkpointed first batch must re-pin the SAME
+          // snapshot version the original run chose — it's in `stopAt`
+          val h = stopAt.filter(_.snap).map(_.v).getOrElse(head)
+          last = Some(Pos(h, 0, snap = true))
+          if (done) return (last, out.result())
+          if (!take(snapshotFiles(h), h, 0, snap = true))
+            return (last, out.result())
+          h + 1
+      }
+    }
+    var resumeIdx: Long = from match {
+      case Some(p) if !p.snap && p.v == v => p.i
+      case _ => 0L
+    }
+
+    // phase 2: incremental commits
+    while (v <= head) {
+      val (action, adds) = addsAt(v)
+      if (isAdditive(v, action)) {
+        if (!take(adds, v, resumeIdx, snap = false))
+          return (last, out.result())
+        last = Some(Pos(v, adds.size.toLong max resumeIdx, snap = false))
+      } else if (CommitLogStreamSource.NeutralActions.contains(action)
+          || skipChangeCommits) {
+        // consumed-without-emitting: position jumps past the whole version
+        last = Some(Pos(v, adds.size.toLong max resumeIdx, snap = false))
+      } else {
+        throw new IllegalStateException(
+          s"commitlog streaming source at $path: version $v is a " +
+            s"'$action' commit, which updates or removes rows already " +
+            "streamed. Set .option(\"skipChangeCommits\", true) to skip " +
+            "such commits, or stream the change feed instead " +
+            "(.option(\"readChangeFeed\", true)).")
+      }
+      if (done) return (last, out.result())
+      resumeIdx = 0L
+      v += 1
+    }
+    (last, out.result())
+  }
+}
+
+private[sources] object StreamWalk {
+  /** Translate the engine's read limit to (fileCap, byteCap); the
+    * configured caps are the fallback for row-based limits a
+    * file-granular source can't honor exactly.
+    */
+  def caps(limit: ReadLimit, maxFiles: Int, maxBytes: Option[Long]): (Long, Long) =
+    limit match {
+      case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
+      case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+      case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+      case c: CompositeReadLimit => c.getReadLimits
+        .map(caps(_, maxFiles, maxBytes))
+        .reduce((a, b) => (a._1 min b._1, a._2 min b._2))
+      case _ => (maxFiles.toLong, maxBytes.getOrElse(Long.MaxValue))
+    }
+
+  def defaultLimit(maxFiles: Int, maxBytes: Option[Long]): ReadLimit =
+    maxBytes match {
+      case Some(b) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(maxFiles), ReadLimit.maxBytes(b)))
+      case None => ReadLimit.maxFiles(maxFiles)
+    }
+}
+
+/** Streaming DATA read of a commit-log table — Delta's default
+  * streaming-source semantics (what the reference's silver layer
+  * consumes via `spark.readStream.table("bronze_prices")`,
+  * `silver_prices_transform.ipynb`): the first batches replay the
+  * table's CURRENT snapshot, then each appended commit streams
+  * incrementally as its added files.
+  *
+  * {{{
+  *   spark.readStream.format("commitlog").option("path", dir)
+  *     [.option("maxFilesPerTrigger", 100)]       // admission control
+  *     [.option("maxBytesPerTrigger", 128000000)]
+  *     [.option("startingVersion", 7)]   // incremental-only, no snapshot
+  *     [.option("skipChangeCommits", true)]
+  *     .load()
+  * }}}
+  *
+  * Semantics (each the Delta contract):
+  *
+  *  - '''Initial snapshot.''' A fresh stream pins the head version H in
+  *    its first offset and replays the resolved snapshot AT H (lazy
+  *    delete marks applied) before streaming commits > H. Restart
+  *    re-derives the same file list from the checkpointed offset's
+  *    version — deterministic replay as long as log retention out-lives
+  *    the stream's lag (`vacuumLog` / `vacuum` deeper than the slowest
+  *    consumer, the same retention contract Delta documents).
+  *  - '''startingVersion''' skips the snapshot: only commits ≥ the given
+  *    version stream (a consumer bootstrapped from a snapshot at V
+  *    starts with V+1).
+  *  - '''Data-change commits fail the stream''' (merge / update / delete
+  *    / delete_lazy / overwrite / restore — anything that changes or
+  *    removes already-streamed rows): an append-only consumer reading
+  *    past one would silently diverge from the table. `skipChangeCommits
+  *    =true` opts into skipping those commits whole. Compactions and
+  *    metadata commits (compact / evolve / rename / drop / constraint /
+  *    properties) are data-neutral rewrites of rows already streamed and
+  *    always skip — Delta's `dataChange=false` rule.
+  *  - '''Admission control.''' `maxFilesPerTrigger` (default 1000, like
+  *    Delta) and `maxBytesPerTrigger` bound each micro-batch through
+  *    [[SupportsAdmissionControl]], always admitting at least one file;
+  *    a version's adds split across batches. Under
+  *    `Trigger.AvailableNow` the head is pinned at start and the stream
+  *    drains to it batch-by-batch at the configured rate.
+  *
+  * The declared schema is pinned at stream start (files store immutable
+  * physical names, so adds from before a mid-stream rename still read
+  * correctly; restart after an evolution picks up widened columns — the
+  * standard source schema-change contract).
+  */
+final class CommitLogStreamSource(spark: SparkSession, path: String,
+    options: Map[String, String]) extends Source
+    with SupportsTriggerAvailableNow {
+
+  import CommitLogStreamSource._
+
+  private val table = CommitLogTable.open(spark, path)
+  // pinned at construction: every batch this incarnation emits uses ONE
+  // logical schema + physical mapping (see class doc)
+  private val pinned = table.resolvedManifest(None)
+
+  private val maxFiles: Int =
+    options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(1000)
+  private val maxBytes: Option[Long] =
+    options.get("maxBytesPerTrigger").map(_.toLong)
+  require(maxFiles > 0, "maxFilesPerTrigger must be positive")
+  require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
+
+  private val walker = new StreamWalk(table, path,
+    options.get("startingVersion").map(_.toLong),
+    options.get("skipChangeCommits").exists(_.toBoolean))
+
+  override def schema: StructType = pinned.schema
+
+  /** AvailableNow pins the drain target at start; commits racing in
+    * after it wait for the next invocation.
+    */
+  @volatile private var availableNowHead: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(table.latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    StreamWalk.defaultLimit(maxFiles, maxBytes)
+
+  /** The engine's admission-control entry point (it never calls
+    * [[getOffset]] on a SupportsAdmissionControl source): walk forward
+    * from the engine-supplied start position under the limit's caps.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(startOffset).map(Pos.of)
+    val (capF, capB) = StreamWalk.caps(limit, maxFiles, maxBytes)
+    val head = availableNowHead.getOrElse(table.latestVersion)
+    val (next, _) = walker.walk(from, capF, capB, stopAt = None, head)
+    next.orNull
+  }
+
+  override def getOffset: Option[V1Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the entry point for this source")
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(Pos.of)
+    val to = Pos.of(end)
+    val (_, files) = walker.walk(from, Long.MaxValue, Long.MaxValue,
+      stopAt = Some(to), head = to.v)
+    org.apache.spark.sql.graftbridge.asStreamingFrame(
+      table.readFilesAs(files, pinned.schema, pinned.columnMapping))
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"CommitLogDataSource[$path]"
+}
+
+object CommitLogStreamSource {
+  /** Data-neutral commit actions: rewrites/metadata over rows already
+    * streamed (Delta's `dataChange=false` rule).
+    */
+  private[sources] val NeutralActions = Set(
+    "compact", "evolve", "rename", "drop", "constraint", "properties")
+
+  /** Stream position: `snap=true` → `i` files of the initial snapshot
+    * AT version `v` consumed; `snap=false` → versions < `v` consumed
+    * plus the first `i` files of `v`'s adds.
+    */
+  private[sources] final case class Pos(v: Long, i: Long, snap: Boolean)
+      extends V1Offset {
+    override def json: String = s"""{"v":$v,"i":$i,"snap":$snap}"""
+  }
+
+  private[sources] object Pos {
+    def of(o: OffsetV2): Pos = o match {
+      case p: Pos => p
+      case other => fromJson(other.json)
+    }
+    def fromJson(j: String): Pos = {
+      val n = CommitLogCatalog.viewMapper.readTree(j)
+      Pos(n.get("v").asLong, n.get("i").asLong, n.get("snap").asBoolean)
+    }
+  }
+}
+
+/** V2 micro-batch stream behind `spark.readStream.table("cat.ns.t")` on
+  * a [[CommitLogCatalog]] table — the exact read the reference's silver
+  * notebook opens on its bronze Delta table. Same offset arithmetic,
+  * admission control, and data-change contract as
+  * [[CommitLogStreamSource]] (options flow through
+  * `readStream.option(...)` into the scan), with two V2 upgrades:
+  *
+  *  - the initial snapshot pins the version the SCAN resolved (so
+  *    merge-on-read delete marks in the read path always agree with the
+  *    planned snapshot), persisted in the offset log via
+  *    `initialOffset` — restarts replay the identical snapshot;
+  *  - pushed-down filters keep working: each micro-batch's file list is
+  *    stats-pruned by the scan's pushed predicates before planning
+  *    (every filter stays residual, so pruning is purely an
+  *    optimization — same soundness rule as the batch scan).
+  */
+final class CommitLogMicroBatchStream(spark: SparkSession,
+    table: CommitLogTable, path: String, scan: CommitLogScan,
+    snapVersion: Long, options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  import CommitLogStreamSource.Pos
+
+  private val startingVersion: Option[Long] =
+    options.get("startingversion").map(_.toLong)
+  private val maxFiles: Int =
+    options.get("maxfilespertrigger").map(_.toInt).getOrElse(1000)
+  private val maxBytes: Option[Long] =
+    options.get("maxbytespertrigger").map(_.toLong)
+  require(maxFiles > 0, "maxFilesPerTrigger must be positive")
+  require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
+
+  private val walker = new StreamWalk(table, path, startingVersion,
+    options.get("skipchangecommits").exists(_.toBoolean))
+
+  override def initialOffset(): OffsetV2 = startingVersion match {
+    case Some(sv) => Pos(sv, 0, snap = false)
+    case None => Pos(snapVersion, 0, snap = true)
+  }
+
+  @volatile private var availableNowHead: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(table.latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    StreamWalk.defaultLimit(maxFiles, maxBytes)
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(startOffset).map(Pos.of)
+    val (capF, capB) = StreamWalk.caps(limit, maxFiles, maxBytes)
+    val head = availableNowHead.getOrElse(table.latestVersion)
+    val (next, _) = walker.walk(from, capF, capB, stopAt = None, head)
+    next.getOrElse(initialOffset())
+  }
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the entry point for this stream")
+
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val to = Pos.of(end)
+    val (_, files) = walker.walk(Some(Pos.of(start)), Long.MaxValue,
+      Long.MaxValue, stopAt = Some(to), head = to.v)
+    // the scan's pushed predicates stats-prune the batch's files — a
+    // filtered stream never plans a provably-unmatched file
+    scan.planStreamPartitions(files)
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    // mark handling built over the pinned snapshot's files (the only
+    // files that can carry merge-on-read marks on this stream's path —
+    // incremental adds come from append commits)
+    scan.streamReaderFactory(walker.snapshotFiles(snapVersion))
+
+  override def deserializeOffset(json: String): OffsetV2 = Pos.fromJson(json)
+  override def commit(end: OffsetV2): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"CommitLogMicroBatchStream[$path@v$snapVersion]"
+}

@@ -198,28 +198,38 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     }
   }
 
-  /** V1 STREAMING CDF source (`spark.readStream.format("commitlog")`
-    * .option("path", dir)` — Delta's `readChangeFeed` streaming read
-    * behind the stock surface): each micro-batch is the change rows of
-    * the commit versions between the checkpointed offset and the current
-    * head, tagged `_change_type` / `_commit_version`. Offsets are commit
-    * versions — deterministic replay (versions are immutable), so
-    * exactly-once falls out of the engine's offset log. Options:
-    * `startingVersion` (exclude earlier commits — a consumer
-    * bootstrapped from a snapshot at V streams with V+1). The declared
-    * schema is the table's CURRENT change schema; restart a stream after
-    * a schema evolution to pick up the widened columns (same contract as
-    * any streaming source schema change). Note `vacuumLog` drops old
-    * change files with their versions — keep log retention deeper than
-    * the slowest consumer's lag.
+  /** V1 STREAMING source (`spark.readStream.format("commitlog")
+    * .option("path", dir)`) — two modes, the Delta split:
+    *
+    *  - '''default: the DATA stream''' ([[CommitLogStreamSource]]) —
+    *    initial snapshot then appended rows, `maxFilesPerTrigger` /
+    *    `maxBytesPerTrigger` admission, `skipChangeCommits`. What
+    *    `spark.readStream.table` gives a Delta user.
+    *  - '''`readChangeFeed=true`: the CDF stream''' — each micro-batch
+    *    is the change rows of the commit versions between the
+    *    checkpointed offset and the current head, tagged `_change_type`
+    *    / `_commit_version`. Offsets are commit versions —
+    *    deterministic replay (versions are immutable), so exactly-once
+    *    falls out of the engine's offset log.
+    *
+    * Shared options: `startingVersion` (exclude earlier commits — a
+    * consumer bootstrapped from a snapshot at V streams with V+1). The
+    * declared schema is the table's CURRENT (change) schema; restart a
+    * stream after a schema evolution to pick up the widened columns
+    * (same contract as any streaming source schema change). Note
+    * `vacuumLog` drops old change files with their versions — keep log
+    * retention deeper than the slowest consumer's lag.
     */
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("commitlog source: missing path"))
-    (shortName(),
-      CommitLogTable.open(sqlContext.sparkSession, path).cdfSchema)
+    val table = CommitLogTable.open(sqlContext.sparkSession, path)
+    (shortName(), if (isCdf(parameters)) table.cdfSchema else table.schema)
   }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
@@ -231,6 +241,8 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("commitlog source: missing path"))
+    if (!isCdf(parameters))
+      return new CommitLogStreamSource(spark, path, parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
     val table = CommitLogTable.open(spark, path)
     val declaredSchema = table.cdfSchema
@@ -274,7 +286,7 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CommitLogScanBuilder(spark, table, snap)
+    new CommitLogScanBuilder(spark, table, snap, options)
 
   /** Lineage metadata columns (Delta's `_metadata` / Iceberg's `_file`
     * analogue), per-row constants the MANIFEST already knows — selecting
@@ -313,7 +325,9 @@ object CommitLogV2Table {
 }
 
 final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
-    snap: Manifest) extends ScanBuilder
+    snap: Manifest,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -441,7 +455,10 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
     case Some((schema, row)) => new CommitLogAggScan(snap, schema, row)
     case None =>
       new CommitLogScan(spark, table, snap, required, outputSchema,
-        accepted.flatMap(comparisons).toSeq, accepted.toSeq)
+        accepted.flatMap(comparisons).toSeq, accepted.toSeq,
+        options.entrySet().asScala
+          .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) -> e.getValue)
+          .toMap)
   }
 }
 
@@ -475,7 +492,8 @@ final class CommitLogAggScan(snap: Manifest, aggSchema: StructType,
 
 final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     snap: Manifest, required: StructType, outputSchema: StructType,
-    preds: Seq[(String, String, Any)], pushed: Seq[Filter])
+    preds: Seq[(String, String, Any)], pushed: Seq[Filter],
+    options: Map[String, String] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -678,22 +696,32 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     pushed.flatMap(rename).toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Byte-balanced split size for a file set — the arithmetic Spark's
+    * own file sources run (`maxPartitionBytes` / `openCostInBytes` /
+    * default parallelism).
+    */
+  private def splitSize(fs: Seq[LogFile]): Long = {
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val minPart = conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
-    val totalBytes = prunedFiles.map(_.bytes + openCost).sum
+    val totalBytes = fs.map(_.bytes + openCost).sum
     val bytesPerCore = totalBytes / math.max(1, minPart)
-    val maxSplit = math.min(conf.filesMaxPartitionBytes,
-      math.max(openCost, bytesPerCore))
-    def splits(fs: Seq[LogFile]): Seq[PartitionedFile] = fs.flatMap { f =>
+    math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+  }
+
+  private def splitFiles(fs: Seq[LogFile], maxSplit: Long): Seq[PartitionedFile] =
+    fs.flatMap { f =>
       val abs = table.dataPath(f).toString
       (0L until math.max(1L, f.bytes) by maxSplit).map { off =>
         PartitionedFile(InternalRow.empty, SparkPath.fromPathString(abs),
           off, math.min(maxSplit, f.bytes - off), Array.empty, 0L, f.bytes)
       }
     }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxSplit = splitSize(prunedFiles)
+    def splits(fs: Seq[LogFile]): Seq[PartitionedFile] = splitFiles(fs, maxSplit)
     keyedGroups match {
       case Some(groups) =>
         // byte-balanced splits WITHIN each key group, every split tagged
@@ -718,9 +746,49 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
       CommitLogV2Table.MetaNames.contains(f.name) &&
         !snap.schema.fieldNames.contains(f.name))
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  // ---- streaming (micro-batch) read path ----
+
+  /** `readStream.table(...)` entry point (see
+    * [[CommitLogMicroBatchStream]]): same pinned snapshot, pushed
+    * filters, and read machinery as the batch scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(metaFields.isEmpty,
+      "commitlog streaming read does not support metadata columns " +
+        s"(requested: ${metaFields.map(_.name).mkString(", ")})")
+    new CommitLogMicroBatchStream(spark, table, table.dir, this,
+      snap.version, options)
+  }
+
+  /** Plan one micro-batch: the scan's pushed predicates stats-prune the
+    * batch's files (same conservative prover as the batch path; every
+    * filter stays residual), then byte-balanced splits. No SPJ keying —
+    * streaming joins reshuffle anyway.
+    */
+  private[sources] def planStreamPartitions(files: Seq[LogFile])
+      : Array[InputPartition] = {
+    val kept = files.filter(f =>
+      preds.forall(p => table.lazyDeleteMayMatch(snap, f, Some(p))))
+    FilePartition.getFilePartitions(spark,
+      splitFiles(kept, splitSize(kept)), splitSize(kept)).toArray
+  }
+
+  /** Reader factory for the stream: mark handling built over
+    * `markFiles` (the pinned snapshot — the only files that can carry
+    * merge-on-read marks on a data stream), never metadata columns
+    * (refused in [[toMicroBatchStream]]).
+    */
+  private[sources] def streamReaderFactory(markFiles: Seq[LogFile])
+      : PartitionReaderFactory = mkReaderFactory(markFiles)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    mkReaderFactory(prunedFiles)
+
+  private def mkReaderFactory(markSource: Seq[LogFile]): PartitionReaderFactory = {
     // mark-referenced logical columns must be read (then projected out)
     // so the row-level pendingDelete filter can evaluate
+    val prunedFiles = markSource
     val markRefs: Seq[String] = prunedFiles.flatMap(_.pendingDelete).distinct
       .flatMap(table.sqlRefs).distinct
     val extraFields = markRefs

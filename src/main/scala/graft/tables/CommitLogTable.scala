@@ -1615,6 +1615,34 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private[graft] def resolvedManifest(version: Option[Long] = None): Manifest =
     manifest(version.getOrElse(latestVersion))
 
+  /** `(action, files ADDED at version)` — the admission unit of the
+    * streaming DATA source ([[graft.sources.CommitLogStreamSource]]).
+    * O(raw diff bytes) when the commit serialized as a diff (the common
+    * case under the checkpointed log); a checkpoint commit pays one
+    * cached parent resolve plus a set difference. Same-path
+    * remove+add pairs (in-place lazy-delete marks) are NOT adds.
+    */
+  private[graft] def versionAdds(version: Long): (String, Seq[LogFile]) =
+    CommitLogTable.readRaw(dir, version) match {
+      case d: RawDiff =>
+        (d.meta.action, d.added.filterNot(f => d.removed.contains(f.path)))
+      case RawFull(m) =>
+        if (version == 0) (m.action, m.files)
+        else {
+          val prev = manifest(version - 1).files.map(_.path).toSet
+          (m.action, m.files.filterNot(f => prev.contains(f.path)))
+        }
+    }
+
+  /** Explicit-file read under a CALLER-pinned logical schema + column
+    * mapping (package-internal): the streaming data source reads every
+    * batch under the schema it declared at stream start, so a mid-stream
+    * rename or added column never shifts the frames it emits.
+    */
+  private[graft] def readFilesAs(files: Seq[LogFile], schema: StructType,
+      mapping: Map[String, String]): DataFrame =
+    readFiles(files, schema, mapping)
+
   /** Resolve a manifest file entry to a filesystem path: entries are
     * table-relative except SHALLOW-CLONE references, which are absolute
     * (they live under the source table's root).

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.CommitLogTable
+
+/** Streaming DATA read of a commit-log table (`readStream.format
+  * ("commitlog")` without `readChangeFeed`) — the Delta streaming-source
+  * semantics the reference's silver layer consumes
+  * (`silver_prices_transform.ipynb`: `spark.readStream.table(bronze)`):
+  * initial snapshot, incremental appends, admission control,
+  * data-change refusal, exactly-once restart.
+  */
+class CommitLogStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-clstream").toString
+
+  private def drain(dir: String, out: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("commitlog").option("path", dir)
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+  }
+
+  private def sink(out: String): Seq[(Long, Double)] =
+    spark.read.parquet(out).as[(Long, Double)].collect().sorted.toSeq
+
+  test("initial snapshot, then appends stream incrementally; restart is exactly-once; idle restart a no-op") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    t.append(Seq((3L, 3.0)).toDF("k", "v"))
+
+    drain(dir, root + "/out", root + "/ckpt")
+    assert(sink(root + "/out") == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      "first run = the full current snapshot")
+
+    // only the delta arrives on restart
+    t.append(Seq((4L, 4.0)).toDF("k", "v"))
+    drain(dir, root + "/out", root + "/ckpt")
+    assert(sink(root + "/out") ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+
+    // idle restart: nothing new, no duplicates
+    drain(dir, root + "/out", root + "/ckpt")
+    assert(sink(root + "/out").size == 4)
+  }
+
+  test("maxFilesPerTrigger paces the AvailableNow drain across micro-batches") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    (0 until 3).foreach(i => t.append(
+      Seq((i * 2L, 1.0), (i * 2L + 1, 1.0)).toDF("k", "v")))
+    val nFiles = t.fileCount()
+    assert(nFiles >= 3)
+
+    val q = spark.readStream.format("commitlog").option("path", dir)
+      .option("maxFilesPerTrigger", 1).load()
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(sink(root + "/out").map(_._1) == (0L until 6L),
+      "rate limiting must not lose or duplicate rows")
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == nFiles,
+      s"one file per micro-batch expected ($nFiles files), saw $dataBatches")
+  }
+
+  test("data-change commits fail the stream; skipChangeCommits skips them whole") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    drain(dir, root + "/out", root + "/ckpt")
+
+    // an UPDATE between runs: the checkpointed stream must refuse
+    t.update($"k" === 2L, Map("v" -> org.apache.spark.sql.functions.lit(20.0)))
+    t.append(Seq((5L, 5.0)).toDF("k", "v"))
+    val ex = intercept[StreamingQueryException](
+      drain(dir, root + "/out", root + "/ckpt"))
+    assert(ex.getMessage.contains("skipChangeCommits"),
+      s"refusal must name the escape hatch, got: ${ex.getMessage}")
+
+    // opting in skips the update commit, streams the later append
+    drain(dir, root + "/out", root + "/ckpt",
+      Map("skipChangeCommits" -> "true"))
+    assert(sink(root + "/out") == Seq((1L, 1.0), (2L, 2.0), (5L, 5.0)),
+      "the updated row's new value must NOT re-stream")
+  }
+
+  test("readStream.table through the SQL catalog: snapshot, incremental restart, option-paced drain") {
+    val root = tmpDir()
+    spark.conf.set("spark.sql.catalog.graft_st",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_st.warehouse", root + "/wh")
+    spark.sql("CREATE TABLE graft_st.br.prices (k BIGINT, v DOUBLE) USING commitlog")
+    spark.sql("INSERT INTO graft_st.br.prices VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graft_st.br.prices VALUES (3, 3.0)")
+
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.option("maxFilesPerTrigger", 1)
+        .table("graft_st.br.prices")
+        .writeStream.format("parquet").option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+      q
+    }
+    val q1 = run()
+    assert(sink(root + "/out") == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      "first run = the full current snapshot")
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      "maxFilesPerTrigger=1 must pace the snapshot drain")
+
+    // restart: only the newly inserted rows arrive
+    spark.sql("INSERT INTO graft_st.br.prices VALUES (4, 4.0)")
+    run()
+    assert(sink(root + "/out") ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+
+    // idle restart: no duplicates
+    run()
+    assert(sink(root + "/out").size == 4)
+  }
+
+  test("snapshot applies history (merge/delete/lazy marks); startingVersion skips it; compaction is data-neutral") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    t.append(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")) // v1
+    t.merge(Seq((2L, 20.0), (4L, 4.0)).toDF("k", "v"),
+      Seq("k"), Seq($"v"))                                        // v2
+    t.delete($"k" === 3L)                                         // v3
+    t.deleteLazy("k = 1")                                         // v4 (mark)
+
+    // fresh stream: exactly the CURRENT rows — history never replays
+    drain(dir, root + "/out", root + "/ckpt")
+    assert(sink(root + "/out") == Seq((2L, 20.0), (4L, 4.0)))
+
+    // a compaction (materializes the lazy mark) is dataChange=false:
+    // nothing streams, the offset just advances past it
+    t.compact(targetFileBytes = 64 * 1024 * 1024)                 // v5
+    t.append(Seq((6L, 6.0)).toDF("k", "v"))                       // v6
+    drain(dir, root + "/out", root + "/ckpt")
+    assert(sink(root + "/out") == Seq((2L, 20.0), (4L, 4.0), (6L, 6.0)))
+
+    // startingVersion: incremental-only, no snapshot
+    drain(dir, root + "/out2", root + "/ckpt2",
+      Map("startingVersion" -> "6"))
+    assert(sink(root + "/out2") == Seq((6L, 6.0)))
+  }
+}

@@ -189,7 +189,8 @@ class CommitLogV2Spec extends AnyFunSuite {
     t.merge(Seq((2L, "b", 20.0), (3L, "c", 3.0)).toDF("k", "cat", "v"),
       Seq("k"), Seq($"v"))
     def run(): Unit = {
-      val q = spark.readStream.format("commitlog").option("path", dir).load()
+      val q = spark.readStream.format("commitlog").option("path", dir)
+        .option("readChangeFeed", "true").load()
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", root + "/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -212,7 +213,7 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(got().size == 6)
     // startingVersion excludes earlier commits
     val s2 = spark.readStream.format("commitlog").option("path", dir)
-      .option("startingVersion", 3).load()
+      .option("readChangeFeed", "true").option("startingVersion", 3).load()
       .writeStream.format("parquet").option("path", root + "/out2")
       .option("checkpointLocation", root + "/ckpt2")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
