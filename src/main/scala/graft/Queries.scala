@@ -2298,6 +2298,43 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
   }
 
+  /** Streaming WRITE through `writeStream.toTable` — the reference's
+    * Auto Loader bronze sink (`bronze_prices_auto_loader.ipynb` cell 3):
+    * the demo table's data stream drains through the V2 epoch sink
+    * ([[graft.sources.CommitLogStreamingWrite]]) into a commit-log
+    * CATALOG table — executor-staged parquet, one transactional
+    * txn-idempotent append per epoch — then aggregates the landed
+    * table. Chains the streaming source AND sink through the engine;
+    * result ≡ the demo table's final contents (same oracle as
+    * [[tableStreamData]]).
+    */
+  def tableStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = commitLogDemoDir(s, dir)
+    val outDir = stampedTmpDir(s, dir, "graft-commitlog-sink", "events")
+    val cat = "graft_sink_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    SessionMemo.once(s, s"commitlogSink:$dir") {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CommitLogCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$outDir/wh")
+      if (!graft.tables.CommitLogTable.exists(s"$outDir/wh/silver/events")) {
+        val demoSchema = graft.tables.CommitLogTable.open(s, tableDir).schema
+        s.sql(s"CREATE TABLE $cat.silver.events (${demoSchema.toDDL}) " +
+          "USING commitlog")
+        val q = s.readStream.format("commitlog").option("path", tableDir)
+          .load()
+          .writeStream.option("checkpointLocation", s"$outDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.silver.events")
+        require(q.awaitTermination(180000L),
+          "commitlog toTable drain timed out")
+      }
+    }
+    s.table(s"$cat.silver.events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("sum_value"))
+  }
+
   /** Build (once per session) the schema-evolution + rename demo table:
     *   v1 append of event_id%4==0 rows under (event_id, event_type, value);
     *   v2 `mergeSchema` append of %4==1 rows carrying a NEW

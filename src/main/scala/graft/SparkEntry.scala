@@ -181,6 +181,7 @@ object SparkEntry {
     "q_table_meta_cols" -> (Queries.tableMetaCols _),
     "q_table_view_sql" -> (Queries.tableViewSql _),
     "q_table_stream" -> (Queries.tableStreamData _),
+    "q_table_sink" -> (Queries.tableStreamSink _),
     "q_table_bloom" -> (Queries.tableBloom _),
     "q_table_update" -> (Queries.tableUpdate _),
     "q_table_lazy_delete" -> (Queries.tableLazyDelete _),
@@ -3722,6 +3723,17 @@ object SparkEntry {
              CAST(SUM(CAST(CASE WHEN m = 0 THEN value ELSE value * 2 END
                AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM e WHERE m < 3 GROUP BY event_type""",
+
+    // streaming source -> writeStream.toTable epoch sink, then aggregate
+    // the landed catalog table: same final contents as q_table_stream
+    "q_table_sink" -> """
+      WITH e AS (SELECT *, event_id % 4 AS m FROM events)
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(CASE WHEN m = 0 THEN value
+                                WHEN m = 1 THEN value * 2
+                                ELSE value * 3 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY event_type""",
 
     // streaming DATA drain of the demo table: the initial snapshot pins
     // the head, so the result is the table's FINAL contents — m=0

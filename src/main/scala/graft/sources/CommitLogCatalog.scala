@@ -542,6 +542,8 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
       // readStream.table(...): the V2 micro-batch DATA stream — the
       // read the reference's silver notebook opens on bronze
       TableCapability.MICRO_BATCH_READ,
+      // writeStream.toTable(...): the two-phase exactly-once epoch sink
+      TableCapability.STREAMING_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** SQL `DELETE FROM cat.ns.t WHERE …` (and, via the default
@@ -579,6 +581,13 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
               else t.append(data)
             }
           }
+        /** `writeStream.toTable(...)` — see [[CommitLogStreamingWrite]]. */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!replace, "commitlog streaming write supports Append " +
+            "output mode only (Complete would overwrite the table each epoch)")
+          new CommitLogStreamingWrite(spark, dir, info)
+        }
       }
     }
 }

@@ -285,8 +285,18 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
   override def schema(): StructType = snap.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // refuse rather than silently serve DATA where the caller asked for
+    // the change feed: catalog reads don't implement the CDF relation
+    // (the format path and readChanges/readChangesStream do)
+    if (options.getBoolean("readChangeFeed", false))
+      throw new UnsupportedOperationException(
+        "readChangeFeed is not supported through the catalog table read; " +
+          "use spark.read/readStream.format(\"commitlog\")" +
+          ".option(\"readChangeFeed\", true).option(\"path\", dir) or the " +
+          "readChanges/readChangesStream table API")
     new CommitLogScanBuilder(spark, table, snap, options)
+  }
 
   /** Lineage metadata columns (Delta's `_metadata` / Iceberg's `_file`
     * analogue), per-row constants the MANIFEST already knows — selecting

@@ -484,6 +484,68 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         txns = snap.txns ++ txn.toMap)
     }
 
+  /** Streaming-sink commit (the V2 `writeStream.toTable` path,
+    * [[graft.sources.CommitLogStreamingWrite]]): publish EXECUTOR-written
+    * parquet files as ONE transactional append. `staged` pairs each
+    * file with its table-partition value string (None on unpartitioned
+    * tables); files are moved — same-filesystem renames — into a fresh
+    * commit dir laid out exactly like [[writeData]]'s output, then the
+    * commit enumerates footers for stats and publishes with the same
+    * CDF images, CHECK constraints, and txn idempotence as [[append]].
+    * A replayed epoch (txn already recorded) drops the duplicate files
+    * and publishes nothing — exactly-once across sink restarts.
+    */
+  private[graft] def appendStagedFiles(
+      staged: Seq[(Path, Option[String])],
+      writtenSchema: StructType, txn: (String, Long)): Long = {
+    val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
+    staged.zipWithIndex.foreach { case ((p, part), i) =>
+      val dirPart = part.map { s =>
+        val v = if (s.isEmpty)
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(s)
+        s"$ShadowPartCol=$v/"
+      }.getOrElse("")
+      val target = Paths.get(dir, sub, dirPart + f"f-$i%05d.parquet")
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    retryCommit("append") { snap =>
+      if (snap.txns.get(txn._1).exists(_ >= txn._2)) {
+        deleteRecursively(Paths.get(dir, sub))
+        throw NoOpCommit
+      }
+      require(snap.partitionCol.isDefined == staged.exists(_._2.isDefined)
+          || staged.isEmpty,
+        s"streaming write partition routing does not match the table's " +
+          s"partitioning (partitionCol=${snap.partitionCol})")
+      require(schemaSig(writtenSchema) == schemaSig(snap.schema),
+        s"streaming write schema drift: table now has ${snap.schema.toDDL}, " +
+          s"the stream writes ${writtenSchema.toDDL} — restart the stream")
+      val (files, empties) = enumerate(Paths.get(dir, sub), sub)
+        .partition(_.rows > 0)
+      empties.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+      val dataRows = files.map(_.rows).sum
+      if (files.nonEmpty)
+        try enforceConstraints(snap,
+          readFiles(files, snap.schema, snap.columnMapping), "append")
+        catch { case e: Throwable =>
+          deleteRecursively(Paths.get(dir, sub)); throw e }
+      val changesSub =
+        if (files.isEmpty) None
+        else Some(writeChanges(
+          readFiles(files, snap.schema, snap.columnMapping)
+            .withColumn("_change_type", lit("insert")),
+          snap.version + 1, snap.columnMapping))
+      mkManifest(snap, "append", snap.files ++ files,
+        rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
+        rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub,
+        txns = snap.txns + txn)
+    }
+  }
+
   /** Atomic full REPLACE (`df.write.mode("overwrite")` / `INSERT
     * OVERWRITE`): one commit swaps the entire snapshot for the batch.
     * Readers pinned at earlier versions keep their files (until vacuum);
@@ -2754,6 +2816,23 @@ object CommitLogTable {
           all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
           deleted += 1
         }
+    }
+    // crashed streaming-sink epochs: committed epochs MOVED their files
+    // out and swept their dir ([[appendStagedFiles]] callers), so any
+    // staged file left past the grace window is a dead stream's orphan
+    val streamStage = Paths.get(dir, "_streaming_stage")
+    if (Files.isDirectory(streamStage)) {
+      val s = Files.walk(streamStage)
+      val all = try s.iterator().asScala.toVector finally s.close()
+      all.filter(p => Files.isRegularFile(p) && aged(p)).foreach { p =>
+        if (Files.deleteIfExists(p)) deleted += 1
+      }
+      // prune now-empty epoch/query dirs (deepest first)
+      all.filter(Files.isDirectory(_)).sortBy(-_.getNameCount).foreach { d =>
+        val l = Files.list(d)
+        val empty = try !l.iterator().hasNext finally l.close()
+        if (empty && d != streamStage && aged(d)) Files.deleteIfExists(d)
+      }
     }
     val dataRoot = Paths.get(dir, DataDirName)
     if (!Files.isDirectory(dataRoot)) return deleted

@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.CommitLogTable
+
+/** V2 streaming WRITE into commit-log catalog tables
+  * (`writeStream.toTable`, `CommitLogStreamingWrite`) — the sink the
+  * reference's Auto Loader notebook runs against bronze
+  * (`bronze_prices_auto_loader.ipynb` cell 3): executor-written staged
+  * parquet, one transactional epoch commit, txn-idempotent replay.
+  */
+class CommitLogSinkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val cat = s"graft_sink$n"
+    val root = Files.createTempDirectory("graft-clsink").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root + "/wh")
+    (cat, root)
+  }
+
+  private def addInput(dir: String, batch: Int, rows: Seq[(Long, String, Double)]): Unit =
+    rows.toDF("k", "part", "v").repartition(2).write.parquet(s"$dir/b$batch")
+
+  private def drainInto(root: String, target: String): Unit = {
+    val q = spark.readStream.schema("k BIGINT, part STRING, v DOUBLE")
+      .parquet(root + "/in/*")
+      .writeStream.option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow()).toTable(target)
+    assert(q.awaitTermination(120000))
+    // awaitTermination can return before the manager unregisters the
+    // query; a fast restart on the same checkpoint then trips Spark's
+    // concurrent-use check
+    while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+  }
+
+  test("toTable: epoch commits land as transactional appends with CDF; replay after a lost engine commit is a no-op") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.t (k BIGINT, part STRING, v DOUBLE) USING commitlog")
+    Files.createDirectories(Paths.get(root + "/in"))
+    addInput(root + "/in", 0, Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    drainInto(root, s"$cat.br.t")
+    assert(spark.sql(s"SELECT k, v FROM $cat.br.t ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
+
+    val dir = root + "/wh/br/t"
+    val t = CommitLogTable.open(spark, dir)
+    val hist = t.history.collect()
+    assert(hist.map(_.getString(1)).count(_ == "append") == 1,
+      "one streamed epoch = one append commit")
+    // CDF insert images recorded at the epoch's version
+    val changes = t.readChanges(1, t.latestVersion)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(changes.sorted == Seq((1L, "insert"), (2L, "insert")))
+
+    // crash between the TABLE commit and the ENGINE's checkpoint commit:
+    // drop the sink's last commit marker (and its Hadoop .crc sidecar —
+    // a stale checksum blocks the marker's rewrite) so the engine
+    // replays the epoch
+    val commits = Paths.get(root + "/ckpt/commits")
+    val last = Files.list(commits).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    while (last.hasNext) { val p = last.next(); if (!p.getFileName.toString.startsWith(".")) names += p }
+    val victim = names.maxBy(_.getFileName.toString.toLong)
+    Files.delete(victim)
+    Files.deleteIfExists(victim.resolveSibling(s".${victim.getFileName}.crc"))
+    drainInto(root, s"$cat.br.t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.br.t").head.getLong(0) == 2,
+      "replayed epoch must publish nothing (txn-recorded)")
+    assert(t.latestVersion == hist.map(_.getLong(0)).max,
+      "no new version on replay")
+
+    // new input streams incrementally
+    addInput(root + "/in", 1, Seq((3L, "a", 3.0)))
+    drainInto(root, s"$cat.br.t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.br.t").head.getLong(0) == 3)
+  }
+
+  test("toTable on a PARTITIONED table routes files by partition value; stats prune per partition") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.p (k BIGINT, part STRING, v DOUBLE) " +
+      "USING commitlog PARTITIONED BY (part)")
+    Files.createDirectories(Paths.get(root + "/in"))
+    addInput(root + "/in", 0,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, null, 4.0)))
+    drainInto(root, s"$cat.br.p")
+
+    val t = CommitLogTable.open(spark, root + "/wh/br/p")
+    val m = t.resolvedManifest(None)
+    assert(m.files.nonEmpty && m.files.forall(_.partition.isDefined),
+      "every streamed file must carry its partition value")
+    val parts = m.files.flatMap(_.partition).toSet
+    assert(parts.contains("a") && parts.contains("b") &&
+      parts.exists(p => p.contains("DEFAULT_PARTITION")),
+      s"expected a/b/null partitions, got $parts")
+    // partition-selective read touches only that partition's files
+    val aRows = t.readPartitions(Set("a"))
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(aRows == Seq(1L, 3L))
+    assert(spark.sql(s"SELECT k FROM $cat.br.p WHERE part IS NULL")
+      .as[Long].head() == 4L)
+  }
+
+  test("readChangeFeed through a catalog table read is refused, never silently served as data") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.c (k BIGINT) USING commitlog")
+    spark.sql(s"INSERT INTO $cat.br.c VALUES (1)")
+    val exB = intercept[Exception](
+      spark.read.option("readChangeFeed", "true").table(s"$cat.br.c").collect())
+    assert(exB.getMessage.contains("readChangeFeed"), exB.getMessage)
+    val exS = intercept[Exception] {
+      spark.readStream.option("readChangeFeed", "true").table(s"$cat.br.c")
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    assert(exS.getMessage.contains("readChangeFeed") ||
+      Option(exS.getCause).exists(_.getMessage.contains("readChangeFeed")),
+      exS.getMessage)
+  }
+
+  test("vacuum sweeps a crashed stream's staging debris past the grace window") {
+    val (_, root) = freshCatalog()
+    val dir = root + "/wh/br/v"
+    CommitLogTable.create(spark, dir,
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    val stage = Paths.get(dir, "_streaming_stage", "dead-query", "0")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("t0-0-0.parquet"), "debris")
+    // within grace: untouched (could be an in-flight epoch)
+    CommitLogTable.vacuumPath(dir, retainVersions = 1)
+    assert(Files.exists(stage.resolve("t0-0-0.parquet")))
+    // past grace: swept, empty dirs pruned
+    CommitLogTable.vacuumPath(dir, retainVersions = 1, orphanGraceMillis = 0)
+    assert(!Files.exists(stage.resolve("t0-0-0.parquet")))
+    assert(!Files.exists(stage), "empty epoch dir pruned")
+  }
+
+  test("medallion: readStream.table(bronze) -> transform -> toTable(silver), end to end exactly-once") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.prices (k BIGINT, part STRING, v DOUBLE) USING commitlog")
+    spark.sql(s"CREATE TABLE $cat.ag.prices (k BIGINT, v2 DOUBLE) USING commitlog")
+    spark.sql(s"INSERT INTO $cat.br.prices VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+
+    def run(): Unit = {
+      val q = spark.readStream.table(s"$cat.br.prices")
+        .selectExpr("k", "v * 2 AS v2")
+        .writeStream.option("checkpointLocation", root + "/ckpt2")
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.ag.prices")
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    assert(spark.sql(s"SELECT k, v2 FROM $cat.ag.prices ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0), (2L, 4.0)))
+
+    spark.sql(s"INSERT INTO $cat.br.prices VALUES (3, 'a', 3.0)")
+    run()
+    assert(spark.sql(s"SELECT k, v2 FROM $cat.ag.prices ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)))
+
+    run() // idle: no new versions on either side
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ag.prices").head.getLong(0) == 3)
+  }
+
+  test("schema drift between epochs fails the commit with a restart instruction; Complete mode refused") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.s (k BIGINT, part STRING, v DOUBLE) USING commitlog")
+    Files.createDirectories(Paths.get(root + "/in"))
+    addInput(root + "/in", 0, Seq((1L, "a", 1.0)))
+    drainInto(root, s"$cat.br.s")
+    // table evolves AFTER the stream's first run
+    spark.sql(s"ALTER TABLE $cat.br.s ADD COLUMNS (extra BIGINT)")
+    addInput(root + "/in", 1, Seq((2L, "b", 2.0)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drainInto(root, s"$cat.br.s"))
+    assert(ex.getMessage.contains("restart the stream") ||
+      Option(ex.getCause).exists(_.getMessage.contains("restart the stream")),
+      s"got: ${ex.getMessage}")
+
+    // Complete output mode is refused up front
+    val agg = spark.readStream.schema("k BIGINT, part STRING, v DOUBLE")
+      .parquet(root + "/in/*").groupBy($"part").count()
+    val ex2 = intercept[Exception] {
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", root + "/ckptC")
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.br.s")
+      q.awaitTermination(120000)
+    }
+    assert(ex2.getMessage.contains("Append") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("Append")))
+  }
+}
