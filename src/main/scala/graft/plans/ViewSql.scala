@@ -37,10 +37,14 @@ final class ResolveCommitLogViews(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   private def catalogOf(name: String): Option[CommitLogCatalog] =
-    try spark.sessionState.catalogManager.catalog(name) match {
+    // conf pre-check first: this rule sees EVERY multi-part relation in
+    // every query, and exception-driven catalogManager.catalog lookups
+    // on plain `db.table` names would tax all workloads
+    if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty) None
+    else try spark.sessionState.catalogManager.catalog(name) match {
       case c: CommitLogCatalog => Some(c)
       case _ => None
-    } catch { case _: Exception => None } // unknown catalog name
+    } catch { case _: Exception => None } // unregisterable catalog
 
   private def split(parts: Seq[String]): Option[(CommitLogCatalog, Identifier)] =
     if (parts.length < 2) None
@@ -95,11 +99,19 @@ final class ResolveCommitLogViews(spark: SparkSession)
         split(u.multipartIdentifier) match {
           case Some((cat, ident)) if cat.viewExists(ident) =>
             // RENAME TO takes a bare or qualified name; resolve it into
-            // the SAME catalog (cross-catalog moves are refused)
+            // the SAME catalog. A name prefixed with a DIFFERENT
+            // catalog is refused loudly — falling through would write
+            // the file under a bogus nested namespace in this catalog.
             val target = newName match {
               case Seq(one) => Identifier.of(ident.namespace(), one)
               case head +: rest if catalogOf(head).contains(cat) =>
                 Identifier.of(rest.dropRight(1).toArray, rest.last)
+              case head +: _ if spark.conf.getOption(
+                  s"spark.sql.catalog.$head").isDefined =>
+                throw new UnsupportedOperationException(
+                  s"ALTER VIEW RENAME across catalogs is not supported " +
+                    s"(from ${u.multipartIdentifier.mkString(".")} " +
+                    s"to ${newName.mkString(".")})")
               case other => Identifier.of(
                 other.dropRight(1).toArray, other.last)
             }
@@ -137,9 +149,26 @@ private object CommitLogViewExpansion {
     val analyzed =
       try {
         // full nested analysis: CTEs in the view text get their own
-        // Substitution pass, nested views re-enter this expansion
+        // Substitution pass, nested views re-enter this expansion.
+        // Unqualified names in the stored text must resolve in the
+        // DEFINING session's catalog/namespace context (persisted at
+        // CREATE VIEW) — not whatever the reading session's current
+        // database happens to be, which would silently bind to a
+        // different table. Set-and-restore around the nested analysis;
+        // the window is synchronous (concurrent analyses on one session
+        // share CatalogManager state — Spark's own caveat).
+        val cm = spark.sessionState.catalogManager
+        val (prevCat, prevNs) = (cm.currentCatalog.name(), cm.currentNamespace)
         val parsed = spark.sessionState.sqlParser.parsePlan(v.query())
-        graftbridge.ofRows(spark, parsed).queryExecution.analyzed
+        try {
+          if (v.currentCatalog() != null) cm.setCurrentCatalog(v.currentCatalog())
+          if (v.currentNamespace() != null && v.currentNamespace().nonEmpty)
+            cm.setCurrentNamespace(v.currentNamespace())
+          graftbridge.ofRows(spark, parsed).queryExecution.analyzed
+        } finally {
+          cm.setCurrentCatalog(prevCat)
+          if (prevNs != null && prevNs.nonEmpty) cm.setCurrentNamespace(prevNs)
+        }
       } finally depth.set(depth.get() - 1)
     val aliases = v.columnAliases()
     val aliased =

@@ -371,8 +371,12 @@ final class CommitLogMicroBatchStream(spark: SparkSession,
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     // mark handling built over the pinned snapshot's files (the only
     // files that can carry merge-on-read marks on this stream's path —
-    // incremental adds come from append commits)
-    scan.streamReaderFactory(walker.snapshotFiles(snapVersion))
+    // incremental adds come from append commits). A startingVersion
+    // stream never emits the snapshot, so it never pays the O(table
+    // files) resolve + presence check
+    scan.streamReaderFactory(
+      if (startingVersion.isDefined) Seq.empty
+      else walker.snapshotFiles(snapVersion))
 
   override def deserializeOffset(json: String): OffsetV2 = Pos.fromJson(json)
   override def commit(end: OffsetV2): Unit = ()

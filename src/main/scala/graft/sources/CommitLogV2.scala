@@ -59,10 +59,15 @@ import graft.tables.CommitLogTable.{LogFile, Manifest}
   * exactly like Spark's own file sources.
   */
 final class CommitLogDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "commitlog"
+
+  private def wantsCdf(parameters: Map[String, String]): Boolean =
+    parameters.keys.find(_.equalsIgnoreCase("readChangeFeed"))
+      .exists(k => parameters(k).toBoolean)
 
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
@@ -87,6 +92,16 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
 
   private def tableFor(options: CaseInsensitiveStringMap): Table = {
     val path = pathOf(options)
+    // a batch readChangeFeed read declines the V2 path (capability-less
+    // stub → DataFrameReader falls back to the V1 RelationProvider
+    // below, which serves the change relation)
+    if (options.getBoolean("readChangeFeed", false)) return new Table {
+      override def name(): String = s"commitlog.`$path` (changeFeed)"
+      override def schema(): StructType =
+        CommitLogTable.open(SparkSession.active, path).cdfSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.Collections.emptySet()
+    }
     def version: Option[Long] =
       Option(options.get("versionAsOf")).map(_.toLong)
         .orElse(Option(options.get("timestampAsOf")).map { s =>
@@ -112,6 +127,40 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     tableFor(new CaseInsensitiveStringMap(properties))
+
+  /** V1 batch READ path — serves ONLY the Change Data Feed
+    * (`spark.read.format("commitlog").option("readChangeFeed", true)
+    * [.option("startingVersion", a)][.option("endingVersion", b)]
+    * .load(dir)` — Delta's batch `readChangeFeed` surface). The V2
+    * table declines this read (capability-less stub above), so
+    * DataFrameReader lands here; the relation wraps
+    * [[CommitLogTable.readChanges]] — change rows of the requested
+    * commit range under current logical names, `_change_type` /
+    * `_commit_version` tagged.
+    */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    require(wantsCdf(parameters),
+      "commitlog: plain batch reads ride the V2 path; this V1 relation " +
+        "serves only readChangeFeed=true")
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("commitlog read: missing path"))
+    val t = CommitLogTable.open(spark, path)
+    val from = parameters.find(_._1.equalsIgnoreCase("startingVersion"))
+      .map(_._2.toLong).getOrElse(1L)
+    val to = parameters.find(_._1.equalsIgnoreCase("endingVersion"))
+      .map(_._2.toLong).getOrElse(t.latestVersion)
+    val df = t.readChanges(from, to)
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      override def schema: StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.rdd
+    }
+  }
 
   /** V1 batch WRITE path (`df.write.format("commitlog").mode(...)
     * .save(dir)`): DataFrameWriter falls back here because the V2 table
@@ -292,9 +341,11 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
     if (options.getBoolean("readChangeFeed", false))
       throw new UnsupportedOperationException(
         "readChangeFeed is not supported through the catalog table read; " +
-          "use spark.read/readStream.format(\"commitlog\")" +
-          ".option(\"readChangeFeed\", true).option(\"path\", dir) or the " +
-          "readChanges/readChangesStream table API")
+          "use spark.read.format(\"commitlog\").option(\"readChangeFeed\", " +
+          "true).load(dir) for a batch range, spark.readStream.format(" +
+          "\"commitlog\").option(\"readChangeFeed\", true).option(\"path\", " +
+          "dir) for the stream, or the readChanges/readChangesStream " +
+          "table API")
     new CommitLogScanBuilder(spark, table, snap, options)
   }
 

@@ -524,21 +524,27 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       require(schemaSig(writtenSchema) == schemaSig(snap.schema),
         s"streaming write schema drift: table now has ${snap.schema.toDDL}, " +
           s"the stream writes ${writtenSchema.toDDL} — restart the stream")
+      // a fully-filtered epoch stages nothing (routine in a silver-layer
+      // transform): publish NOTHING — an idle epoch must not grow the
+      // log or tick the vacuum retention window. Skipping its txn is
+      // safe: replaying an empty epoch re-applies nothing.
+      if (staged.isEmpty) throw NoOpCommit
       val (files, empties) = enumerate(Paths.get(dir, sub), sub)
         .partition(_.rows > 0)
       empties.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+      if (files.isEmpty) { // zero-row part files only: same idle rule
+        deleteRecursively(Paths.get(dir, sub))
+        throw NoOpCommit
+      }
       val dataRows = files.map(_.rows).sum
-      if (files.nonEmpty)
-        try enforceConstraints(snap,
-          readFiles(files, snap.schema, snap.columnMapping), "append")
-        catch { case e: Throwable =>
-          deleteRecursively(Paths.get(dir, sub)); throw e }
-      val changesSub =
-        if (files.isEmpty) None
-        else Some(writeChanges(
-          readFiles(files, snap.schema, snap.columnMapping)
-            .withColumn("_change_type", lit("insert")),
-          snap.version + 1, snap.columnMapping))
+      try enforceConstraints(snap,
+        readFiles(files, snap.schema, snap.columnMapping), "append")
+      catch { case e: Throwable =>
+        deleteRecursively(Paths.get(dir, sub)); throw e }
+      val changesSub = Some(writeChanges(
+        readFiles(files, snap.schema, snap.columnMapping)
+          .withColumn("_change_type", lit("insert")),
+        snap.version + 1, snap.columnMapping))
       mkManifest(snap, "append", snap.files ++ files,
         rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
         rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub,

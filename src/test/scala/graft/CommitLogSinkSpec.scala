@@ -110,6 +110,39 @@ class CommitLogSinkSpec extends AnyFunSuite {
       .as[Long].head() == 4L)
   }
 
+  test("a fully-filtered epoch publishes nothing: idle micro-batches never grow the log") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.f (k BIGINT, part STRING, v DOUBLE) USING commitlog")
+    Files.createDirectories(Paths.get(root + "/in"))
+    addInput(root + "/in", 0, Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val q = spark.readStream.schema("k BIGINT, part STRING, v DOUBLE")
+      .parquet(root + "/in/*").filter("k > 100") // drops every row
+      .writeStream.option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow()).toTable(s"$cat.br.f")
+    assert(q.awaitTermination(120000))
+    val t = CommitLogTable.open(spark, root + "/wh/br/f")
+    assert(t.latestVersion == 0L,
+      "an all-filtered epoch must not publish a version")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.br.f").head.getLong(0) == 0)
+  }
+
+  test("batch readChangeFeed through the format path serves the commit range") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.cdf (k BIGINT, v DOUBLE) USING commitlog")
+    spark.sql(s"INSERT INTO $cat.br.cdf VALUES (1, 1.0), (2, 2.0)") // v1
+    spark.sql(s"UPDATE $cat.br.cdf SET v = 20.0 WHERE k = 2")        // v2
+    val dir = root + "/wh/br/cdf"
+    val all = spark.read.format("commitlog").option("readChangeFeed", "true")
+      .load(dir).select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(all == Seq((1L, "insert", 1L), (2L, "insert", 1L),
+      (2L, "update_postimage", 2L), (2L, "update_preimage", 2L)))
+    val ranged = spark.read.format("commitlog")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(dir).select("_change_type").as[String].collect().toSeq.sorted
+    assert(ranged == Seq("update_postimage", "update_preimage"))
+  }
+
   test("readChangeFeed through a catalog table read is refused, never silently served as data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.br.c (k BIGINT) USING commitlog")

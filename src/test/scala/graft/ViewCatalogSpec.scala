@@ -51,6 +51,40 @@ class ViewCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 2)
   }
 
+  test("view body's unqualified names resolve in the DEFINING session context, not the reader's") {
+    val (cat, _) = freshCatalog()
+    val loc = Files.createTempDirectory("graft-view-ctx")
+    spark.sql("CREATE DATABASE IF NOT EXISTS vdb1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS vdb2")
+    // explicit unique locations: the in-memory catalog forgets tables
+    // across suite runs but managed locations persist on disk
+    spark.sql("DROP TABLE IF EXISTS vdb1.vt")
+    spark.sql("DROP TABLE IF EXISTS vdb2.vt")
+    spark.sql(s"CREATE TABLE vdb1.vt (k BIGINT) USING parquet LOCATION '$loc/t1'")
+    spark.sql(s"CREATE TABLE vdb2.vt (k BIGINT) USING parquet LOCATION '$loc/t2'")
+    spark.sql("INSERT INTO vdb1.vt VALUES (7)")
+    spark.sql("INSERT INTO vdb2.vt VALUES (99)")
+    try {
+      spark.sql("USE vdb1")
+      spark.sql(s"CREATE VIEW $cat.g.v AS SELECT k FROM vt")
+      spark.sql("USE vdb2") // same unqualified name now means another table
+      assert(spark.sql(s"SELECT k FROM $cat.g.v")
+        .as[Long].collect().toSeq == Seq(7L),
+        "the view must keep binding to the table its definer saw")
+    } finally spark.sql("USE default")
+  }
+
+  test("ALTER VIEW RENAME across catalogs is refused, not silently nested") {
+    val (cat, _) = freshCatalog()
+    val (cat2, _) = freshCatalog()
+    spark.sql(s"CREATE VIEW $cat.ns.v AS SELECT 1 AS x")
+    val ex = intercept[Exception](spark.sql(
+      s"ALTER VIEW $cat.ns.v RENAME TO $cat2.ns.v"))
+    assert(ex.getMessage.contains("across catalogs"), ex.getMessage)
+    // still readable under the original name — nothing moved
+    assert(spark.sql(s"SELECT x FROM $cat.ns.v").head.getInt(0) == 1)
+  }
+
   test("SHOW VIEWS, ALTER VIEW properties, RENAME, DROP") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.default.t (k BIGINT) USING commitlog")
