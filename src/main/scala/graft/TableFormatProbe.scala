@@ -142,6 +142,18 @@ object TableFormatProbe {
         CommitLogTable.open(spark, dir).fileCount())._2)
       rec(fc, "files_cold_plan", timeMs(
         CommitLogTable.open(spark, dir).read().queryExecution.executedPlan)._2)
+      // streaming admission is O(new commits), not O(table files): a
+      // data-stream source resuming at the head admits one appended
+      // file by reading that commit's raw DIFF manifest alone — flat
+      // while the table's live file count grows 100×
+      val sv = t.latestVersion + 1
+      val src = new graft.sources.CommitLogStreamSource(spark, dir,
+        Map("startingVersion" -> sv.toString))
+      val one2 = spark.range(1).select((col("id") + 20000000L).as("k"),
+        lit(1.0).as("w")).coalesce(1)
+      t.append(one2, recordChanges = false)
+      rec(fc, "files_stream_admit_1file",
+        timeMs(src.latestOffset(null, src.getDefaultReadLimit))._2)
     }
 
     // per-op scale ratio across whichever two scales the op ran at:
