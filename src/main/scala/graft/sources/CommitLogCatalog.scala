@@ -353,7 +353,8 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("optimize", "vacuum", "restore").map(Identifier.of(Array("system"), _))
+      Array("optimize", "vacuum", "restore", "history")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -370,8 +371,10 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
       case "optimize" => new OptimizeProcedure(tableOf)
       case "vacuum" => new VacuumProcedure(tableOf)
       case "restore" => new RestoreProcedure(tableOf)
+      case "history" => new HistoryProcedure(tableOf)
       case other => throw new UnsupportedOperationException(
-        s"commitlog catalog: no procedure `$other` (have: optimize, vacuum, restore)")
+        s"commitlog catalog: no procedure `$other` " +
+          "(have: optimize, vacuum, restore, history)")
     }
   }
 }
@@ -497,6 +500,33 @@ private final class RestoreProcedure(tableOf: String => CommitLogTable)
   }
 }
 
+/** `CALL cat.system.history(table => 'ns.t')` — the reference's
+  * `DESCRIBE HISTORY` surface on its Delta tables: one row per
+  * committed version (action + row/file statistics), computed from
+  * manifests alone — no data read.
+  */
+private final class HistoryProcedure(tableOf: String => CommitLogTable)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "history"
+  override def description(): String =
+    "per-version commit history from the manifests (no data read)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val t = tableOf(input.getUTF8String(0).toString)
+    val rows = t.history.collect().toSeq.map { r =>
+      Seq[Any](r.getLong(0), UTF8String.fromString(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getInt(6), r.getLong(7))
+    }
+    java.util.Collections.singletonList(
+      new ProcedureResult(CommitLogTable.HistorySchema, rows): Scan).iterator()
+  }
+}
+
 /** V1 `Filter` → `Column` for the SQL DELETE path: the supported shapes
   * translate exactly; an untranslatable filter makes `canDeleteWhere`
   * refuse, and Spark reports the unsupported DELETE instead of silently
@@ -564,14 +594,20 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
     CommitLogTable.open(spark, dir).delete(cond)
   }
 
-  override def properties(): JMap[String, String] =
-    snap.properties.asJava
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    snap.properties.foreach { case (k, v) => m.put(k, v) }
+    // reserved key SHOW CREATE TABLE / DESCRIBE render as `USING`
+    m.put(TableCatalog.PROP_PROVIDER, "commitlog")
+    m
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new V1Write {
+      override def build(): Write = new V1Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
@@ -581,6 +617,27 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
               else t.append(data)
             }
           }
+        /** Cluster epoch rows by the table-partition column before the
+          * STREAMING writers (the V1 batch path repartitions inside
+          * `writeData` instead): without it every task opens a writer
+          * per partition value it sees — task-count × partition-value
+          * small files per epoch at scale. V1 fallback execs ignore
+          * this; only the micro-batch write plan applies it.
+          */
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          import org.apache.spark.sql.connector.distributions.Distributions
+          CommitLogTable.open(spark, dir).resolvedManifest(None)
+            .partitionCol match {
+            case Some(p) => Distributions.clustered(Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(p)))
+            case None => Distributions.unspecified()
+          }
+        }
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         /** `writeStream.toTable(...)` — see [[CommitLogStreamingWrite]]. */
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {

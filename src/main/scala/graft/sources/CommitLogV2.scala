@@ -332,6 +332,15 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
   override def name(): String =
     s"commitlog.`$dir`" + version.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snap.schema
+  /** Identity partitioning on the table's partition column — what SHOW
+    * CREATE TABLE / DESCRIBE render as `PARTITIONED BY` and what write
+    * distribution planning sees.
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    snap.partitionCol.map(p =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(p))
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

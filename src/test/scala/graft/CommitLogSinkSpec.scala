@@ -102,6 +102,12 @@ class CommitLogSinkSpec extends AnyFunSuite {
     assert(parts.contains("a") && parts.contains("b") &&
       parts.exists(p => p.contains("DEFAULT_PARTITION")),
       s"expected a/b/null partitions, got $parts")
+    // RequiresDistributionAndOrdering clusters the epoch by partition
+    // value before the writers: ONE file per touched partition, not
+    // task-count × value (the input arrived across 2 shuffle partitions)
+    assert(m.files.size == parts.size,
+      s"expected one file per partition value, got ${m.files.size} files " +
+        s"for ${parts.size} values")
     // partition-selective read touches only that partition's files
     val aRows = t.readPartitions(Set("a"))
       .select("k").as[Long].collect().toSeq.sorted

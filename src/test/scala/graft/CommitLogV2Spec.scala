@@ -484,6 +484,21 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(vac.getInt(0) >= 0 && vac.getInt(1) >= 0)
     // maintenance changed layout, never content
     assert(spark.sql("SELECT count(*) FROM graft_m.db.t").head.getLong(0) == 975)
+    // SHOW CREATE TABLE round-trips provider + partitioning + properties
+    spark.sql("ALTER TABLE graft_m.db.t SET TBLPROPERTIES ('layer'='silver')")
+    val ddl = spark.sql("SHOW CREATE TABLE graft_m.db.t").head.getString(0)
+    assert(ddl.contains("USING commitlog") && ddl.contains("'layer' = 'silver'"),
+      ddl)
+    // CALL history: the DESCRIBE HISTORY surface — per-version rows from
+    // manifests alone, matching the table API
+    val hist = spark.sql("CALL graft_m.system.history(table => 'db.t')")
+    assert(hist.columns.toSeq == Seq("version", "action", "rows_inserted",
+      "rows_updated", "rows_deleted", "rows_total", "num_files", "ts_millis"))
+    val apiHist = CommitLogTable.open(spark, s"$wh/db/t").history
+      .select("version", "action").as[(Long, String)].collect().toSeq
+    assert(hist.select("version", "action").as[(Long, String)]
+      .collect().toSeq.sorted == apiHist.sorted)
+    assert(apiHist.map(_._2).contains("compact"))
     // TRUNCATE = DELETE FROM with the always-true filter, one commit
     spark.sql("TRUNCATE TABLE graft_m.db.t")
     assert(spark.sql("SELECT count(*) FROM graft_m.db.t").head.getLong(0) == 0)
