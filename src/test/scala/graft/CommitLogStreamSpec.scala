@@ -104,6 +104,72 @@ class CommitLogStreamSpec extends AnyFunSuite {
       "the updated row's new value must NOT re-stream")
   }
 
+  test("model parity: random commit sequences vs an append-only stream model (skipChangeCommits)") {
+    // the interactions no single spec exercises — an update between two
+    // drains, an append whose rows a LATER update rewrites before the
+    // next drain (the sink must keep the as-appended values), a compact
+    // materializing marks mid-stream. Model: sink = table content at
+    // first drain + every row appended after, at its append-time value.
+    // Seeded: deterministic across runs.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 2) {
+      val root = tmpDir()
+      val dir = root + "/t"
+      def mk(rows: Seq[(Long, String, Double)]) =
+        rows.toDF("k", "cat", "v")
+      val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+      var nextKey = trial * 100000L
+      def freshRows(n: Int): Seq[(Long, String, Double)] =
+        (1 to n).map { _ =>
+          nextKey += 1
+          (nextKey, s"c${rnd.nextInt(3)}", rnd.nextInt(100) / 2.0)
+        }
+      t.append(mk(freshRows(3)).coalesce(1)) // pre-stream content
+      var started = false
+      var expect = Vector.empty[(Long, String, Double)]
+      var pending = Vector.empty[(Long, String, Double)]
+      def tableRows(): Vector[(Long, String, Double)] =
+        t.read().collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toVector
+      def drain(step: Int): Unit = {
+        val q = spark.readStream.format("commitlog").option("path", dir)
+          .option("skipChangeCommits", "true").load()
+          .writeStream.format("parquet").option("path", root + "/out")
+          .option("checkpointLocation", root + "/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000))
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+        if (!started) { expect = tableRows(); started = true }
+        else { expect ++= pending }
+        pending = Vector.empty
+        val got = spark.read.parquet(root + "/out").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toVector
+        assert(got.sorted == expect.sorted,
+          s"trial $trial diverged after drain at step $step")
+      }
+      for (step <- 1 to 12) {
+        rnd.nextInt(8) match {
+          case 0 | 1 =>
+            val rows = freshRows(1 + rnd.nextInt(3))
+            t.append(mk(rows).coalesce(1))
+            if (started) pending ++= rows
+          case 2 => // upsert: a data-change commit the stream must skip WHOLE
+            val rows = freshRows(1) ++ tableRows().take(1)
+              .map { case (k, c, _) => (k, c, 999.0) }
+            t.merge(mk(rows).coalesce(1), Seq("k"), Seq($"v"))
+          case 3 =>
+            t.update($"v" >= rnd.nextInt(40).toDouble,
+              Map("v" -> (org.apache.spark.sql.functions.col("v") + 0.25)))
+          case 4 => t.delete($"v" < rnd.nextInt(10).toDouble)
+          case 5 => t.deleteLazy(s"v < ${rnd.nextInt(10)}")
+          case 6 => t.compact(targetFileBytes = 4L * 1024)
+          case 7 => drain(step)
+        }
+      }
+      drain(13)
+    }
+  }
+
   test("readStream.table through the SQL catalog: snapshot, incremental restart, option-paced drain") {
     val root = tmpDir()
     spark.conf.set("spark.sql.catalog.graft_st",
