@@ -83,5 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hints batch — BEFORE ResolveSessionCatalog can refuse view DDL on
     // a non-session catalog (see plans/ViewSql.scala)
     e.injectHintResolutionRule(s => new graft.plans.ResolveCommitLogViews(s))
+    // per-micro-batch: Spark builds streaming scans with no pushdown
+    // pass (see plans/StreamScanPushdown.scala)
+    e.injectOptimizerRule(s => new graft.plans.PushFiltersIntoCommitLogStream(s))
   }
 }

@@ -394,6 +394,26 @@ object CommitLogV2Table {
   private[sources] val MetaNames: Set[String] = MetaCols.map(_.name).toSet
 }
 
+/** Conjuncts a V1 filter contributes that manifest stats can test. An
+  * OR contributes nothing (pruning on one branch would be wrong); an
+  * AND contributes each provable side — pruning on a subset of
+  * conjuncts is always sound. An IN prunes per-value (file survives if
+  * ANY member may match); oversized lists skip rather than pay
+  * O(files × values) arithmetic.
+  */
+private[graft] object V1Comparisons {
+  def apply(f: Filter): Seq[(String, String, Any)] = f match {
+    case sources.EqualTo(a, v) => Seq((a, "=", v))
+    case sources.GreaterThan(a, v) => Seq((a, ">", v))
+    case sources.GreaterThanOrEqual(a, v) => Seq((a, ">=", v))
+    case sources.LessThan(a, v) => Seq((a, "<", v))
+    case sources.LessThanOrEqual(a, v) => Seq((a, "<=", v))
+    case sources.And(l, r) => apply(l) ++ apply(r)
+    case sources.In(a, vs) if vs.length <= 1000 => Seq((a, "in", vs.toSeq))
+    case _ => Seq.empty
+  }
+}
+
 final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
     snap: Manifest,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
@@ -406,23 +426,8 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
   private var accepted: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[Any])] = None
 
-  /** Conjuncts a filter contributes that manifest stats can test. An OR
-    * contributes nothing (pruning on one branch would be wrong); an AND
-    * contributes each provable side — pruning on a subset of conjuncts
-    * is always sound.
-    */
-  private def comparisons(f: Filter): Seq[(String, String, Any)] = f match {
-    case sources.EqualTo(a, v) => Seq((a, "=", v))
-    case sources.GreaterThan(a, v) => Seq((a, ">", v))
-    case sources.GreaterThanOrEqual(a, v) => Seq((a, ">=", v))
-    case sources.LessThan(a, v) => Seq((a, "<", v))
-    case sources.LessThanOrEqual(a, v) => Seq((a, "<=", v))
-    case sources.And(l, r) => comparisons(l) ++ comparisons(r)
-    // an IN prunes per-value (file survives if ANY member may match);
-    // oversized lists skip rather than pay O(files × values) arithmetic
-    case sources.In(a, vs) if vs.length <= 1000 => Seq((a, "in", vs.toSeq))
-    case _ => Seq.empty
-  }
+  private def comparisons(f: Filter): Seq[(String, String, Any)] =
+    V1Comparisons(f)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(f => comparisons(f).nonEmpty)
@@ -831,15 +836,27 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
       snap.version, options)
   }
 
-  /** Plan one micro-batch: the scan's pushed predicates stats-prune the
-    * batch's files (same conservative prover as the batch path; every
-    * filter stays residual), then byte-balanced splits. No SPJ keying —
-    * streaming joins reshuffle anyway.
+  /** Filters the per-micro-batch OPTIMIZER rule
+    * ([[graft.plans.PushFiltersIntoCommitLogStream]]) hands over: Spark
+    * builds streaming scans with NO pushdown pass, so without the rule
+    * a filtered `readStream.table` would read every added file. Set
+    * before each batch's execution; the Filter node itself always stays
+    * in the plan, so pruning here is purely an optimization.
+    */
+  @volatile private var streamFilters: Seq[Filter] = Seq.empty
+  private[graft] def setStreamFilters(fs: Seq[Filter]): Unit =
+    streamFilters = fs
+
+  /** Plan one micro-batch: predicates stats-prune the batch's files
+    * (same conservative prover as the batch path; every filter stays
+    * residual), then byte-balanced splits. No SPJ keying — streaming
+    * joins reshuffle anyway.
     */
   private[sources] def planStreamPartitions(files: Seq[LogFile])
       : Array[InputPartition] = {
+    val all = preds ++ streamFilters.flatMap(V1Comparisons(_))
     val kept = files.filter(f =>
-      preds.forall(p => table.lazyDeleteMayMatch(snap, f, Some(p))))
+      all.forall(p => table.lazyDeleteMayMatch(snap, f, Some(p))))
     FilePartition.getFilePartitions(spark,
       splitFiles(kept, splitSize(kept)), splitSize(kept)).toArray
   }

@@ -54,6 +54,14 @@ package object graftbridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Catalyst predicate → V1 `sources.Filter` (protected[sql] in
+    * `DataSourceStrategy`) — the translation the streaming-scan pushdown
+    * rule needs (plans/StreamScanPushdown.scala).
+    */
+  def translateFilterV1(e: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy.translateFilter(e,
+      supportNestedPredicatePushdown = true)
+
   /** Register a temp SQL function on a live session (the runtime twin of
     * `SparkSessionExtensions.injectFunction` for sessions built without
     * `spark.sql.extensions`).

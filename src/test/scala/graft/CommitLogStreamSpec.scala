@@ -205,6 +205,47 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(sink(root + "/out").size == 4)
   }
 
+  test("CTAS / RTAS / partitioned CTAS land as transactional catalog tables") {
+    val root = tmpDir()
+    spark.conf.set("spark.sql.catalog.graft_ctas",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ctas.warehouse", root + "/wh")
+    spark.sql("CREATE TABLE graft_ctas.db.c USING commitlog AS " +
+      "SELECT id AS k, id * 0.5 AS v FROM range(10)")
+    assert(spark.sql("SELECT count(*) FROM graft_ctas.db.c").head.getLong(0) == 10)
+    spark.sql("REPLACE TABLE graft_ctas.db.c USING commitlog AS " +
+      "SELECT id AS k FROM range(3)")
+    assert(spark.sql("SELECT count(*) FROM graft_ctas.db.c").head.getLong(0) == 3)
+    spark.sql("CREATE TABLE graft_ctas.db.p USING commitlog " +
+      "PARTITIONED BY (d) AS " +
+      "SELECT id AS k, concat('d', id % 3) AS d FROM range(9)")
+    val t = CommitLogTable.open(spark, root + "/wh/db/p")
+    assert(t.resolvedManifest(None).files.flatMap(_.partition).toSet
+      == Set("d0", "d1", "d2"), "CTAS must route partition values")
+  }
+
+  test("pushed filters stats-prune each streaming micro-batch's files") {
+    val root = tmpDir()
+    spark.conf.set("spark.sql.catalog.graft_sp",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sp.warehouse", root + "/wh")
+    spark.sql("CREATE TABLE graft_sp.db.t (k BIGINT, v DOUBLE) USING commitlog")
+    // two appends with DISJOINT k ranges -> two files with disjoint stats
+    spark.sql("INSERT INTO graft_sp.db.t SELECT id, id * 1.0 FROM range(0, 100)")
+    spark.sql("INSERT INTO graft_sp.db.t SELECT id, id * 1.0 FROM range(1000, 1100)")
+    val q = spark.readStream.table("graft_sp.db.t").where("k >= 1000")
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(sink(root + "/out").size == 100)
+    // numInputRows counts rows the SOURCE produced: a pruned file's 100
+    // rows must never have been read
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows == 100,
+      s"expected the k<1000 file pruned from the scan, read $inputRows rows")
+  }
+
   test("snapshot applies history (merge/delete/lazy marks); startingVersion skips it; compaction is data-neutral") {
     val root = tmpDir()
     val dir = root + "/t"
