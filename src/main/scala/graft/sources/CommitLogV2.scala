@@ -250,11 +250,17 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
   /** V1 STREAMING source (`spark.readStream.format("commitlog")
     * .option("path", dir)`) — two modes, the Delta split:
     *
-    *  - '''default: the DATA stream''' ([[CommitLogStreamSource]]) —
-    *    initial snapshot then appended rows, `maxFilesPerTrigger` /
-    *    `maxBytesPerTrigger` admission, `skipChangeCommits`. What
-    *    `spark.readStream.table` gives a Delta user.
-    *  - '''`readChangeFeed=true`: the CDF stream''' — each micro-batch
+    *  - '''default: the DATA stream''' — normally served by the V2
+    *    [[CommitLogMicroBatchStream]] (the table declares
+    *    MICRO_BATCH_READ, so DataStreamReader prefers it); the V1
+    *    [[CommitLogStreamSource]] twin below remains for direct V1
+    *    construction. Initial snapshot then appended rows,
+    *    `maxFilesPerTrigger` / `maxBytesPerTrigger` admission,
+    *    `skipChangeCommits`. What `spark.readStream.table` gives a
+    *    Delta user.
+    *  - '''`readChangeFeed=true`: the CDF stream''' — the changeFeed
+    *    stub table declares no capabilities, so DataStreamReader falls
+    *    back HERE (V1). Each micro-batch
     *    is the change rows of the commit versions between the
     *    checkpointed offset and the current head, tagged `_change_type`
     *    / `_commit_version`. Offsets are commit versions —
@@ -342,7 +348,13 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
       org.apache.spark.sql.connector.expressions.Expressions.identity(p))
       .toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // MICRO_BATCH_READ routes readStream.format("commitlog") data
+    // streams onto the V2 micro-batch stream (admission control, pinned
+    // initialOffset, per-batch filter pruning); readChangeFeed streams
+    // still reach the V1 CDF source because the changeFeed stub above
+    // declares no capabilities and DataStreamReader falls back
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // refuse rather than silently serve DATA where the caller asked for
     // the change feed: catalog reads don't implement the CDF relation
