@@ -107,7 +107,12 @@ final class ResolveCommitLogViews(spark: SparkSession)
               case head +: rest if catalogOf(head).contains(cat) =>
                 Identifier.of(rest.dropRight(1).toArray, rest.last)
               case head +: _ if spark.conf.getOption(
-                  s"spark.sql.catalog.$head").isDefined =>
+                    s"spark.sql.catalog.$head").isDefined ||
+                  head == "spark_catalog" =>
+                // conf-registered catalogs AND the always-present
+                // session catalog (never conf-registered, the
+                // CatalogManager.SESSION_CATALOG_NAME constant —
+                // private[sql]) both refuse
                 throw new UnsupportedOperationException(
                   s"ALTER VIEW RENAME across catalogs is not supported " +
                     s"(from ${u.multipartIdentifier.mkString(".")} " +
@@ -145,31 +150,40 @@ private object CommitLogViewExpansion {
         messageParameters = Map("msg" ->
           s"view ${parts.mkString(".")}: cyclic or >$MaxDepth-deep view nesting"))
     val v = cat.loadView(ident)
+    // Unqualified names in the stored text must resolve in the DEFINING
+    // session's catalog/namespace context (persisted at CREATE VIEW) —
+    // not whatever the reading session's current database happens to
+    // be, which would silently bind to a different table. The context
+    // switch happens on a THROWAWAY CLONE of the session (same confs,
+    // temp views, catalog registrations): mutating the live session's
+    // CatalogManager would race a concurrent analysis on another thread
+    // into resolving ITS unqualified names in the view's namespace.
+    // Nested views (depth > 0) already run inside the clone's analyzer
+    // — its rule instance binds the clone — so they set-and-restore on
+    // that clone, which is single-threaded within this analysis.
+    val nested = depth.get() > 0
+    val target = if (nested) spark else graftbridge.cloneSession(spark)
+    val cm = target.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name(), cm.currentNamespace)
     depth.set(depth.get() + 1)
     val analyzed =
       try {
         // full nested analysis: CTEs in the view text get their own
-        // Substitution pass, nested views re-enter this expansion.
-        // Unqualified names in the stored text must resolve in the
-        // DEFINING session's catalog/namespace context (persisted at
-        // CREATE VIEW) — not whatever the reading session's current
-        // database happens to be, which would silently bind to a
-        // different table. Set-and-restore around the nested analysis;
-        // the window is synchronous (concurrent analyses on one session
-        // share CatalogManager state — Spark's own caveat).
-        val cm = spark.sessionState.catalogManager
-        val (prevCat, prevNs) = (cm.currentCatalog.name(), cm.currentNamespace)
-        val parsed = spark.sessionState.sqlParser.parsePlan(v.query())
-        try {
-          if (v.currentCatalog() != null) cm.setCurrentCatalog(v.currentCatalog())
-          if (v.currentNamespace() != null && v.currentNamespace().nonEmpty)
-            cm.setCurrentNamespace(v.currentNamespace())
-          graftbridge.ofRows(spark, parsed).queryExecution.analyzed
-        } finally {
+        // Substitution pass, nested views re-enter this expansion
+        val parsed = target.sessionState.sqlParser.parsePlan(v.query())
+        if (v.currentCatalog() != null) cm.setCurrentCatalog(v.currentCatalog())
+        if (v.currentNamespace() != null && v.currentNamespace().nonEmpty)
+          cm.setCurrentNamespace(v.currentNamespace())
+        graftbridge.ofRows(target, parsed).queryExecution.analyzed
+      } finally {
+        depth.set(depth.get() - 1)
+        if (nested) {
+          // restore exactly (setCurrentCatalog alone no-ops when the
+          // name is unchanged and would leak the namespace)
           cm.setCurrentCatalog(prevCat)
-          if (prevNs != null && prevNs.nonEmpty) cm.setCurrentNamespace(prevNs)
+          if (prevNs != null) cm.setCurrentNamespace(prevNs)
         }
-      } finally depth.set(depth.get() - 1)
+      }
     val aliases = v.columnAliases()
     val aliased =
       if (aliases == null || aliases.isEmpty) analyzed

@@ -618,17 +618,19 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
             }
           }
         /** Cluster epoch rows by the table-partition column before the
-          * STREAMING writers (the V1 batch path repartitions inside
-          * `writeData` instead): without it every task opens a writer
-          * per partition value it sees — task-count × partition-value
-          * small files per epoch at scale. V1 fallback execs ignore
-          * this; only the micro-batch write plan applies it.
+          * STREAMING writers: without it every task opens a writer per
+          * partition value it sees — task-count × partition-value small
+          * files per epoch at scale. Scoped to streaming writes only
+          * (detected by the checkpointLocation option every stream
+          * carries): V2Writes applies this to batch AppendData too, and
+          * the V1 batch path already repartitions inside `writeData` —
+          * declaring it there would shuffle every INSERT twice.
           */
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution = {
           import org.apache.spark.sql.connector.distributions.Distributions
-          CommitLogTable.open(spark, dir).resolvedManifest(None)
-            .partitionCol match {
+          val streaming = info.options().containsKey("checkpointLocation")
+          (if (streaming) snap.partitionCol else None) match {
             case Some(p) => Distributions.clustered(Array(
               org.apache.spark.sql.connector.expressions.Expressions
                 .identity(p)))

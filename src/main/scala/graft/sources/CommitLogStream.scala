@@ -333,9 +333,20 @@ final class CommitLogMicroBatchStream(spark: SparkSession,
   private val walker = new StreamWalk(table, path, startingVersion,
     options.get("skipchangecommits").exists(_.toBoolean))
 
+  /** The snapshot version THIS RUN's offsets actually reference — on a
+    * fresh stream the scan's pin, on restart whatever version the
+    * checkpointed offsets carry (every restored offset passes through
+    * [[deserializeOffset]] before any batch executes). Mark handling
+    * must follow the OFFSET's version: a lazy delete committed after
+    * the original pin must not leak into the remaining snapshot
+    * batches of a restarted drain.
+    */
+  @volatile private var snapUsed: Long = snapVersion
+  private def observe(p: Pos): Pos = { if (p.snap) snapUsed = p.v; p }
+
   override def initialOffset(): OffsetV2 = startingVersion match {
     case Some(sv) => Pos(sv, 0, snap = false)
-    case None => Pos(snapVersion, 0, snap = true)
+    case None => observe(Pos(snapVersion, 0, snap = true))
   }
 
   @volatile private var availableNowHead: Option[Long] = None
@@ -360,7 +371,7 @@ final class CommitLogMicroBatchStream(spark: SparkSession,
   override def planInputPartitions(start: OffsetV2, end: OffsetV2)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val to = Pos.of(end)
-    val (_, files) = walker.walk(Some(Pos.of(start)), Long.MaxValue,
+    val (_, files) = walker.walk(Some(observe(Pos.of(start))), Long.MaxValue,
       Long.MaxValue, stopAt = Some(to), head = to.v)
     // the scan's pushed predicates stats-prune the batch's files — a
     // filtered stream never plans a provably-unmatched file
@@ -369,16 +380,17 @@ final class CommitLogMicroBatchStream(spark: SparkSession,
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    // mark handling built over the pinned snapshot's files (the only
-    // files that can carry merge-on-read marks on this stream's path —
-    // incremental adds come from append commits). A startingVersion
-    // stream never emits the snapshot, so it never pays the O(table
-    // files) resolve + presence check
+    // mark handling built over the files of the snapshot version the
+    // OFFSETS reference (the only files that can carry merge-on-read
+    // marks on this stream's path — incremental adds come from append
+    // commits). A startingVersion stream never emits the snapshot, so
+    // it never pays the O(table files) resolve + presence check
     scan.streamReaderFactory(
       if (startingVersion.isDefined) Seq.empty
-      else walker.snapshotFiles(snapVersion))
+      else walker.snapshotFiles(snapUsed))
 
-  override def deserializeOffset(json: String): OffsetV2 = Pos.fromJson(json)
+  override def deserializeOffset(json: String): OffsetV2 =
+    observe(Pos.fromJson(json))
   override def commit(end: OffsetV2): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"CommitLogMicroBatchStream[$path@v$snapVersion]"

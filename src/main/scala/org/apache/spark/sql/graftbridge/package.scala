@@ -54,6 +54,15 @@ package object graftbridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Clone a session with its CURRENT state (confs, temp views, catalog
+    * registrations) — `cloneSession` is `private[sql]`. The view
+    * expansion rule analyzes view bodies on a throwaway clone so the
+    * defining-context catalog/namespace switch never mutates state a
+    * concurrent analysis on the original session could observe.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Catalyst predicate → V1 `sources.Filter` (protected[sql] in
     * `DataSourceStrategy`) — the translation the streaming-scan pushdown
     * rule needs (plans/StreamScanPushdown.scala).

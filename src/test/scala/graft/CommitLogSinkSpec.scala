@@ -177,7 +177,10 @@ class CommitLogSinkSpec extends AnyFunSuite {
     // within grace: untouched (could be an in-flight epoch)
     CommitLogTable.vacuumPath(dir, retainVersions = 1)
     assert(Files.exists(stage.resolve("t0-0-0.parquet")))
-    // past grace: swept, empty dirs pruned
+    // past grace: swept, empty dirs pruned. (aged() is STRICTLY greater
+    // — a file written in the same millisecond as the sweep isn't past
+    // a zero grace window; step past it)
+    Thread.sleep(20)
     CommitLogTable.vacuumPath(dir, retainVersions = 1, orphanGraceMillis = 0)
     assert(!Files.exists(stage.resolve("t0-0-0.parquet")))
     assert(!Files.exists(stage), "empty epoch dir pruned")
