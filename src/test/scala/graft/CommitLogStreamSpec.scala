@@ -205,6 +205,59 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(sink(root + "/out").size == 4)
   }
 
+  test("restart mid-snapshot replays the OFFSET's snapshot: marks committed after the pin don't leak in") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    t.append(Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    t.append(Seq((2L, 2.0)).toDF("k", "v").coalesce(1))
+    t.append(Seq((3L, 3.0)).toDF("k", "v").coalesce(1))
+
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def mkStream(opts: java.util.Map[String, String] =
+        java.util.Collections.emptyMap()) =
+      new graft.sources.CommitLogV2Table(spark, dir, None)
+        .newScanBuilder(new CaseInsensitiveStringMap(opts)).build()
+        .toMicroBatchStream(root + "/ckpt")
+        .asInstanceOf[graft.sources.CommitLogMicroBatchStream]
+    def rowsOf(stream: org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
+        a: org.apache.spark.sql.connector.read.streaming.Offset,
+        b: org.apache.spark.sql.connector.read.streaming.Offset): Seq[Long] = {
+      val factory = stream.createReaderFactory()
+      stream.planInputPartitions(a, b).toSeq.flatMap { p =>
+        val r = factory.createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (r.next()) out += r.get().getLong(0)
+        r.close(); out.toSeq
+      }
+    }
+
+    // run 1: consume ONE snapshot file, then "crash"
+    val s1 = mkStream()
+    val o0 = s1.initialOffset()
+    val o1 = s1.latestOffset(o0, ReadLimit.maxFiles(1))
+    val firstBatch = rowsOf(s1, o0, o1)
+    assert(firstBatch.size == 1)
+
+    // between runs: a lazy delete marks EVERY file at a newer version
+    t.deleteLazy("k >= 1")
+
+    // run 2 (fresh scan pins the NEWER version; skipChangeCommits lets
+    // the walk pass the delete commit): the restored offset's snapshot
+    // must replay as of the ORIGINAL pin — the rows the first run
+    // hadn't reached yet, with no v4 marks applied
+    val s2 = mkStream(java.util.Map.of("skipChangeCommits", "true"))
+    val restored = s2.deserializeOffset(o1.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.Offset].json)
+    val o2 = s2.latestOffset(restored, ReadLimit.allAvailable())
+    val rest = rowsOf(s2, restored, o2)
+    assert((firstBatch ++ rest).sorted == Seq(1L, 2L, 3L),
+      s"restart must complete the pinned snapshot exactly; " +
+        s"got first=$firstBatch rest=$rest")
+  }
+
   test("CTAS / RTAS / partitioned CTAS land as transactional catalog tables") {
     val root = tmpDir()
     spark.conf.set("spark.sql.catalog.graft_ctas",
