@@ -86,5 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // per-micro-batch: Spark builds streaming scans with no pushdown
     // pass (see plans/StreamScanPushdown.scala)
     e.injectOptimizerRule(s => new graft.plans.PushFiltersIntoCommitLogStream(s))
+    // Delta's table_changes TVF (see plans/TableChanges.scala)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("commitlog_table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        graft.plans.CommitLogTableChanges.getClass.getCanonicalName,
+        "commitlog_table_changes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.CommitLogTableChanges.build(args)))
   }
 }

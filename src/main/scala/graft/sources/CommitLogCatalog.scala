@@ -77,6 +77,11 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   private def dirOf(ident: Identifier): String =
     (Seq(warehouse) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
 
+  /** Table directory resolution for package-internal callers (the
+    * `commitlog_table_changes` TVF resolves `cat.ns.t` names).
+    */
+  private[graft] def tableDir(ident: Identifier): String = dirOf(ident)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = Paths.get((Seq(warehouse) ++ namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)

@@ -147,6 +147,15 @@ class CommitLogSinkSpec extends AnyFunSuite {
       .option("readChangeFeed", "true").option("startingVersion", "2")
       .load(dir).select("_change_type").as[String].collect().toSeq.sorted
     assert(ranged == Seq("update_postimage", "update_preimage"))
+    // the table_changes TVF: same rows through SQL, by catalog name and
+    // by path, version-ranged
+    val tvf = spark.sql("SELECT _change_type FROM " +
+      s"commitlog_table_changes('$cat.br.cdf', 2)")
+      .as[String].collect().toSeq.sorted
+    assert(tvf == ranged)
+    assert(spark.sql(
+      s"SELECT count(*) FROM commitlog_table_changes('$dir', 1, 1)")
+      .head.getLong(0) == 2, "path form + endingVersion")
   }
 
   test("readChangeFeed through a catalog table read is refused, never silently served as data") {
