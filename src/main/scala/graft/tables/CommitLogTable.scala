@@ -2833,11 +2833,15 @@ object CommitLogTable {
       all.filter(p => Files.isRegularFile(p) && aged(p)).foreach { p =>
         if (Files.deleteIfExists(p)) deleted += 1
       }
-      // prune now-empty epoch/query dirs (deepest first)
+      // prune now-empty epoch/query dirs (deepest first). Empty alone is
+      // sufficient evidence: a live writer mkdirs-on-demand before staging,
+      // and the sweep above just refreshed the parent's mtime by deleting
+      // its debris — an aged(d) check here would race against our own
+      // deletes and nondeterministically skip the prune.
       all.filter(Files.isDirectory(_)).sortBy(-_.getNameCount).foreach { d =>
         val l = Files.list(d)
         val empty = try !l.iterator().hasNext finally l.close()
-        if (empty && d != streamStage && aged(d)) Files.deleteIfExists(d)
+        if (empty && d != streamStage) Files.deleteIfExists(d)
       }
     }
     val dataRoot = Paths.get(dir, DataDirName)
