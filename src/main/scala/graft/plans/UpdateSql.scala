@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.lit
@@ -30,7 +30,14 @@ import graft.tables.CommitLogTable
 object UpdateCommitLogStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+    // subquery conditions/values are excluded (like DeleteFromCommitLog):
+    // Expression.transform does not descend into a subquery's plan, so the
+    // rebind would leave stale exprIds inside it — let such statements
+    // fall through to Spark's clean unsupported-statement refusal
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved &&
+          !condition.exists(SubqueryExpression.hasSubquery) &&
+          !assignments.exists(a => SubqueryExpression.hasSubquery(a.value)) =>
       MergeIntoCommitLogStrategy.unwrapTarget(target) match {
         case Some((tbl, attrs)) =>
           Seq(UpdateCommitLogExec(SparkSession.active, tbl.tableDir,

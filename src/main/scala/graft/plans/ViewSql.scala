@@ -117,8 +117,17 @@ final class ResolveCommitLogViews(spark: SparkSession)
                   s"ALTER VIEW RENAME across catalogs is not supported " +
                     s"(from ${u.multipartIdentifier.mkString(".")} " +
                     s"to ${newName.mkString(".")})")
-              case other => Identifier.of(
-                other.dropRight(1).toArray, other.last)
+              case other =>
+                // a head that names NO catalog is almost always a typo'd
+                // catalog, and treating it as a namespace would silently
+                // land the view under a bogus nested namespace here — the
+                // exact misplacement the branch above guards against.
+                // Namespace moves stay expressible as <thisCatalog>.ns.v.
+                throw new UnsupportedOperationException(
+                  s"ALTER VIEW RENAME target ${other.mkString(".")}: " +
+                    s"'${other.head}' is not a registered catalog; to move " +
+                    s"the view to a namespace of this catalog, qualify it " +
+                    s"as ${cat.name()}.${other.mkString(".")}")
             }
             RenameCommitLogViewCommand(cat, ident, target)
           case _ => r

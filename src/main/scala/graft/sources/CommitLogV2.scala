@@ -124,9 +124,38 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     tableFor(options).schema()
 
+  // route user-supplied .schema(...) to getTable so it can be validated
+  // against the table's own schema (refused on mismatch, Delta-style)
+  // instead of being silently ignored by a fallback path
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    tableFor(new CaseInsensitiveStringMap(properties))
+      properties: JMap[String, String]): Table = {
+    val t = tableFor(new CaseInsensitiveStringMap(properties))
+    // a commitlog table owns its schema (like Delta): silently READING a
+    // user-supplied .schema(...) under the table's own would be a lie.
+    // getTable also fronts the WRITE paths though (DataFrameWriter and
+    // DataStreamWriter pass the input schema here before falling back to
+    // the V1 writers, and evolution/overwrite writes legitimately differ),
+    // so the refusal is deferred to scan creation: writes never build one.
+    if (schema != null && schema.nonEmpty && t.schema().nonEmpty &&
+        schema != t.schema())
+      new Table with SupportsRead {
+        override def name(): String = t.name()
+        override def schema(): StructType = t.schema()
+        override def partitioning(): Array[Transform] = t.partitioning()
+        override def properties(): JMap[String, String] = t.properties()
+        override def capabilities(): java.util.Set[TableCapability] =
+          t.capabilities()
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          throw new UnsupportedOperationException(
+            "commitlog does not support user-specified schemas: the " +
+              s"table schema is ${t.schema().simpleString}, drop " +
+              ".schema(...)")
+      }
+    else t
+  }
 
   /** V1 batch READ path — serves ONLY the Change Data Feed
     * (`spark.read.format("commitlog").option("readChangeFeed", true)
@@ -505,13 +534,18 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
       if (!perFile.forall(_.isDefined)) return None // a stat-less file
       val parsed = perFile.map(_.get).map(mm => if (takeMax) mm._2 else mm._1)
       val best = f.dataType match {
-        case StringType => if (takeMax) parsed.max else parsed.min
+        case StringType => Some(if (takeMax) parsed.max else parsed.min)
         case _ =>
-          val nums = parsed.map(BigDecimal(_))
-          val b = if (takeMax) nums.max else nums.min
-          parsed(nums.indexOf(b))
+          // footer stats can record non-decimal forms ('Infinity', 'NaN')
+          // for float/double columns — fall back to the row-path aggregate
+          // rather than throwing mid-planning
+          try {
+            val nums = parsed.map(BigDecimal(_))
+            val b = if (takeMax) nums.max else nums.min
+            Some(parsed(nums.indexOf(b)))
+          } catch { case _: NumberFormatException => None }
       }
-      internal(f, best)
+      best.flatMap(internal(f, _))
     }
     val out = agg.aggregateExpressions().toSeq.map {
       case _: CountStar =>
@@ -961,9 +995,17 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
                 a.dataType, a.nullable)
           }
         }.toMap
+      // the executor looks these maps up by file.filePath.toString, which
+      // is SparkPath's URI-encoded form (splitFiles builds splits via
+      // SparkPath.fromPathString) — a raw-path key silently misses when a
+      // segment URI-encodes differently (space in the table dir, '%' or
+      // ':' in a Hive-escaped partition value), dropping delete marks and
+      // metadata rows. Key with the identical encoding.
+      def splitKey(f: LogFile): String =
+        SparkPath.fromPathString(table.dataPath(f).toString).toString
       val perPath: Map[String, Expression] = prunedFiles
         .filter(_.pendingDelete.isDefined)
-        .map(f => table.dataPath(f).toString -> bound(f.pendingDelete.get))
+        .map(f => splitKey(f) -> bound(f.pendingDelete.get))
         .toMap
       // per-file metadata-column values, already internal-typed; keyed by
       // the same absolute path string the executor's PartitionedFile has
@@ -980,7 +1022,7 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
             case other => throw new IllegalStateException(
               s"unknown metadata column $other")
           }).toArray
-          abs -> (new org.apache.spark.sql.catalyst.expressions
+          splitKey(f) -> (new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(vals): InternalRow)
         }.toMap
       // output bindings over JoinedRow(extendedRow, metaRow): data fields

@@ -504,6 +504,50 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_m.db.t").head.getLong(0) == 0)
   }
 
+  test("delete marks + metadata columns survive URI-encoding paths (space in dir, ':' in partition value)") {
+    // splits carry SparkPath's URI-encoded form; the reader-factory maps
+    // must key with the SAME encoding or the lookups silently miss —
+    // a space URI-encodes to %20, and a Hive-escaped ':' (%3A) re-encodes
+    // its '%' to %25 under new Path(...).toUri
+    val dir = tmpDir() + "/enc table"
+    val df = Seq(("t:0", 1L), ("t:0", 2L), ("t:1", 3L)).toDF("part", "k")
+    val t = CommitLogTable.create(spark, dir, df.schema, Some("part"))
+    t.append(df, recordChanges = false)
+    t.deleteLazy("k = 1")
+    val v2 = spark.read.format("commitlog").load(dir)
+    assert(v2.select($"k").as[Long].collect().sorted.toSeq == Seq(2L, 3L),
+      "lazily-deleted row resurfaced: pendingDelete predicate lost on lookup")
+    val got = v2.select($"k", $"_partition").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "t:0", 3L -> "t:1"))
+  }
+
+  test("pushed global MIN/MAX falls back to the row path when footer stats record Infinity") {
+    val dir = tmpDir()
+    val df = Seq(1.0, Double.PositiveInfinity, -3.0).toDF("v")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df, recordChanges = false)
+    // pre-guard this threw NumberFormatException("Infinity") during
+    // planning (supportCompletePushDown); now it must fall back cleanly
+    val r = spark.read.format("commitlog").load(dir)
+      .agg(min($"v").as("mn"), max($"v").as("mx")).head
+    assert(r.getDouble(0) == -3.0)
+    assert(r.getDouble(1).isPosInfinity)
+  }
+
+  test("user-specified schema: exact match accepted, mismatch refused (not silently ignored)") {
+    val dir = tmpDir()
+    val df = Seq((1L, "a")).toDF("k", "s")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df, recordChanges = false)
+    val own = spark.read.format("commitlog").load(dir).schema
+    assert(spark.read.format("commitlog").schema(own).load(dir).count() == 1)
+    val e = intercept[Exception](
+      spark.read.format("commitlog")
+        .schema("k INT, wrong STRING").load(dir).collect())
+    assert(e.getMessage.contains("user-specified schemas"), e.getMessage)
+  }
+
   test("DSv2 time travel via versionAsOf matches read(version); vacuumed pins fail fast") {
     val dir = tmpDir()
     val t = buildTable(dir)

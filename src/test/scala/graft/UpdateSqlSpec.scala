@@ -85,6 +85,29 @@ class UpdateSqlSpec extends AnyFunSuite {
       "no day=1 file may be rewritten by a day=2-selective UPDATE")
   }
 
+  test("UPDATE with a subquery condition falls through to Spark's clean refusal") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.default.t (k BIGINT, v BIGINT) USING commitlog")
+    spark.sql(s"CREATE TABLE $cat.default.s (k BIGINT) USING commitlog")
+    spark.sql(s"INSERT INTO $cat.default.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $cat.default.s VALUES (1)")
+    // Expression.transform cannot rebind inside a subquery's plan, so the
+    // strategy must decline and let the stock planner refuse the statement
+    // instead of failing later with a stale-exprId resolution error
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $cat.default.t SET v = 0 " +
+        s"WHERE k IN (SELECT k FROM $cat.default.s)"))
+    assert(e.getMessage.toLowerCase.contains("not supported"),
+      s"expected Spark's unsupported-statement refusal, got: ${e.getMessage}")
+    // a subquery in a SET value declines the same way
+    val e2 = intercept[Exception](spark.sql(
+      s"UPDATE $cat.default.t SET v = (SELECT max(k) FROM $cat.default.s)"))
+    assert(e2.getMessage.toLowerCase.contains("not supported"),
+      s"expected Spark's unsupported-statement refusal, got: ${e2.getMessage}")
+    // and the table is untouched
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.default.t").head.getLong(0) == 30)
+  }
+
   test("DELETE: arbitrary (filter-untranslatable) predicate deletes with CDF") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.default.t (k BIGINT, v BIGINT) USING commitlog")

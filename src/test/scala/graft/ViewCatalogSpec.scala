@@ -83,6 +83,15 @@ class ViewCatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("across catalogs"), ex.getMessage)
     // still readable under the original name — nothing moved
     assert(spark.sql(s"SELECT x FROM $cat.ns.v").head.getInt(0) == 1)
+    // a TYPO'D catalog head (registered nowhere) must refuse too, not be
+    // silently treated as a nested namespace inside this catalog
+    val ex2 = intercept[Exception](spark.sql(
+      s"ALTER VIEW $cat.ns.v RENAME TO ${cat}_typo.ns.v"))
+    assert(ex2.getMessage.contains("not a registered catalog"), ex2.getMessage)
+    assert(spark.sql(s"SELECT x FROM $cat.ns.v").head.getInt(0) == 1)
+    // the supported namespace-move spelling still works: <catalog>.ns2.v
+    spark.sql(s"ALTER VIEW $cat.ns.v RENAME TO $cat.ns2.v")
+    assert(spark.sql(s"SELECT x FROM $cat.ns2.v").head.getInt(0) == 1)
   }
 
   test("SHOW VIEWS, ALTER VIEW properties, RENAME, DROP") {
