@@ -99,6 +99,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private[graft] val commitRecomputes = new java.util.concurrent.atomic.AtomicLong
   private[graft] val commitRebases = new java.util.concurrent.atomic.AtomicLong
 
+  /** Publish arbitration — session-selected (`spark.graft.commit
+    * .coordinator`), test-injectable. See [[CommitCoordinator]].
+    */
+  private[graft] var coordinator: CommitCoordinator =
+    CommitCoordinator.forSession(spark)
+
   // ---------------------------------------------------------------- reads
 
   /** Latest committed version (0 = created empty). Resolved via the
@@ -2434,26 +2440,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   private def tryPublish(m: Manifest): Boolean = {
     val (json, resolved) = serializeForPublish(m)
-    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    // SYNC: the manifest bytes must be durable BEFORE the link makes the
-    // version visible — otherwise power loss after the link leaves a
-    // torn v<N>.json that bricks every subsequent read
-    Files.write(tmp, json.getBytes(UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.SYNC)
-    val won =
-      try { Files.createLink(logDir.resolve(manifestName(m.version)), tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
-      finally Files.deleteIfExists(tmp)
-    // best-effort directory-entry durability for the link itself
-    if (won) {
-      try {
-        val ch = java.nio.channels.FileChannel.open(logDir,
-          java.nio.file.StandardOpenOption.READ)
-        try ch.force(true) finally ch.close()
-      } catch { case _: Exception => () }
-    }
+    // arbitration is delegated to the session's CommitCoordinator: the
+    // default rides atomic create-if-absent (hard link); object stores
+    // without that primitive plug in the lease coordinator instead —
+    // see [[CommitCoordinator]] for the contract
+    val won = coordinator.tryClaim(logDir, manifestName(m.version),
+      json.getBytes(UTF_8))
     // the commit is durable once the manifest link exists; promotion into
     // the stream-visible changes/ dir is repaired lazily by readers if a
     // crash lands exactly here
@@ -2806,6 +2798,22 @@ object CommitLogTable {
         finally s.close()
       tmps.filter(aged).foreach { p =>
         if (Files.deleteIfExists(p)) deleted += 1
+      }
+      // crashed lease claimants leak .claims-<name>/ election dirs
+      // (LeaseCoordinator) — sweep aged entries, prune emptied dirs
+      val claimDirs = { val s = Files.list(logRoot)
+        try s.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(".claims-")).toVector
+        finally s.close() }
+      claimDirs.foreach { d =>
+        val entries = { val s = Files.list(d)
+          try s.iterator().asScala.toVector finally s.close() }
+        entries.filter(aged).foreach { p =>
+          if (Files.deleteIfExists(p)) deleted += 1
+        }
+        try Files.deleteIfExists(d)
+        catch { case _: java.io.IOException => () } // live claimant inside
       }
     }
     // stale staging dirs: promoted ones were MOVED out, so anything left
