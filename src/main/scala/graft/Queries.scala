@@ -2775,6 +2775,31 @@ object Queries {
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
         max(col("value")).as("max_value"))
 
+  /** GROUPED metadata-only aggregate: `GROUP BY <partition column>`
+    * answers from per-file partition values + manifest row counts/stats —
+    * zero data files read, one output row per table partition (the
+    * per-day monitoring rollups of `docs/databricks_setup.md:301-310`,
+    * served the way Delta/Iceberg's metadata-only optimization serves
+    * them). Demo table: `events` partitioned by `event_type`, built once
+    * per session in a single commit.
+    */
+  def tableAggGroup(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = stampedTmpDir(s, dir, "graft-commitlog-parted", "events")
+    SessionMemo.once(s, s"commitlogParted:$dir") {
+      if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema,
+          partitionCol = Some("event_type"))
+        t.append(ev, recordChanges = false)
+      }
+    }
+    s.read.format("commitlog").load(tableDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("min_id"),
+        max(col("value")).as("max_value"))
+  }
+
   /** Build-and-query entirely through the SQL surface
     * ([[graft.sources.CommitLogCatalog]]): CREATE TABLE … via the
     * catalog, two INSERT INTO … SELECT commits (each one transactional

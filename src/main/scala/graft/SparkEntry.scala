@@ -188,6 +188,7 @@ object SparkEntry {
     "q_table_clone" -> (Queries.tableClone _),
     "q_table_ckpt" -> (Queries.tableCkpt _),
     "q_table_agg" -> (Queries.tableAgg _),
+    "q_table_agg_group" -> (Queries.tableAggGroup _),
     "q_table_sql" -> (Queries.tableSql _),
   )
 
@@ -3917,6 +3918,13 @@ object SparkEntry {
       SELECT count(*) AS n_rows, min(event_id) AS min_id,
              max(event_id) AS max_id, max(value) AS max_value
       FROM events""",
+
+    // grouped metadata-only aggregate: GROUP BY the table's partition
+    // column, answered from the manifest alone (zero data files read)
+    "q_table_agg_group" -> """
+      SELECT event_type, count(*) AS n_rows, min(event_id) AS min_id,
+             max(value) AS max_value
+      FROM events GROUP BY event_type""",
 
     // SQL-catalog demo: two INSERT INTO halves reassemble all of events
     "q_table_sql" -> """

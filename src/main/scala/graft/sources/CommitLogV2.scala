@@ -465,7 +465,7 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
   private var required: StructType = snap.schema
   private var outputSchema: StructType = snap.schema
   private var accepted: Array[Filter] = Array.empty
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
 
   private def comparisons(f: Filter): Seq[(String, String, Any)] =
     V1Comparisons(f)
@@ -488,24 +488,27 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
         !snap.schema.fieldNames.contains(f.name)))
   }
 
-  /** METADATA-ONLY aggregation: a global (no GROUP BY) `COUNT(*)` /
-    * `MIN(col)` / `MAX(col)` answers from the manifest — file row counts
-    * and per-file stats — with ZERO data scanned: at 100 TB a count is a
-    * driver-side sum over the resolved snapshot, the trick Delta's
-    * metadata-only query optimization plays. Refused (→ normal scan)
-    * whenever metadata can't answer exactly: any merge-on-read delete
-    * mark (hidden rows), a stat-less file for the min/max column, or a
-    * residual filter (Spark only attempts the pushdown when every filter
-    * was fully consumed, which this source never claims — so filtered
-    * aggregates always take the row path).
+  /** METADATA-ONLY aggregation: `COUNT(*)` / `MIN(col)` / `MAX(col)`,
+    * global OR grouped by the table's partition column, answers from
+    * the manifest — file row counts, per-file stats, per-file partition
+    * values — with ZERO data scanned: at 100 TB a per-day count rollup
+    * (the reference's monitoring queries, docs/databricks_setup.md) is
+    * a driver-side fold over the resolved snapshot, the trick
+    * Delta/Iceberg's metadata-only query optimization plays. Refused
+    * (→ normal scan) whenever metadata can't answer exactly: any
+    * merge-on-read delete mark (hidden rows), a stat-less file for the
+    * min/max column, grouping on anything but the partition column, a
+    * partition value string that doesn't round-trip the column's type,
+    * or a residual filter (Spark only attempts the pushdown when every
+    * filter was fully consumed, which this source never claims — so
+    * filtered aggregates always take the row path).
     */
   private def translateAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
-    if (agg.groupByExpressions().nonEmpty) return None
     if (snap.files.exists(_.pendingDelete.isDefined)) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
@@ -527,10 +530,10 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
         case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
         case _ => None
       } catch { case _: NumberFormatException => None }
-    def bound(f: StructField, takeMax: Boolean): Option[Any] = {
-      if (snap.files.isEmpty) return Some(null) // empty table: NULL min/max
+    def bound(fs: Seq[LogFile], f: StructField, takeMax: Boolean): Option[Any] = {
+      if (fs.isEmpty) return Some(null) // empty table: NULL min/max
       val phys = snap.columnMapping.getOrElse(f.name, f.name)
-      val perFile = snap.files.map(_.stats.get(phys))
+      val perFile = fs.map(_.stats.get(phys))
       if (!perFile.forall(_.isDefined)) return None // a stat-less file
       val parsed = perFile.map(_.get).map(mm => if (takeMax) mm._2 else mm._1)
       val best = f.dataType match {
@@ -547,18 +550,58 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
       }
       best.flatMap(internal(f, _))
     }
-    val out = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count", LongType, nullable = false),
-          snap.files.map(_.rows).sum: Any))
-      case m: Min => colOf(m.column).flatMap(f =>
-        bound(f, takeMax = false).map(v => (StructField("min", f.dataType), v)))
-      case m: Max => colOf(m.column).flatMap(f =>
-        bound(f, takeMax = true).map(v => (StructField("max", f.dataType), v)))
-      case _ => None
+    // one aggregate row over a file group: (schema fields, values)
+    def aggRow(fs: Seq[LogFile]): Option[Seq[(StructField, Any)]] = {
+      val out = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count", LongType, nullable = false),
+            fs.map(_.rows).sum: Any))
+        case m: Min => colOf(m.column).flatMap(f =>
+          bound(fs, f, takeMax = false)
+            .map(v => (StructField("min", f.dataType), v)))
+        case m: Max => colOf(m.column).flatMap(f =>
+          bound(fs, f, takeMax = true)
+            .map(v => (StructField("max", f.dataType), v)))
+        case _ => None
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
     }
-    if (out.exists(_.isEmpty)) None
-    else Some((StructType(out.map(_.get._1)), out.map(_.get._2)))
+    agg.groupByExpressions().toSeq match {
+      case Nil =>
+        aggRow(snap.files).map(r => (StructType(r.map(_._1)), Seq(r.map(_._2))))
+      case groups =>
+        // grouped: answerable only when EVERY grouping expression is the
+        // table's partition column — each group is then a manifest file
+        // subset keyed by its recorded partition value
+        val pcol = snap.partitionCol.getOrElse(return None)
+        val pfield = snap.schema.fields.find(_.name == pcol).getOrElse(return None)
+        val allPart = groups.forall {
+          case r: NamedReference =>
+            r.fieldNames.length == 1 && r.fieldNames.head == pcol
+          case _ => false
+        }
+        if (!allPart) return None
+        // a file without a partition value can't be placed in any group
+        if (snap.files.exists(_.partition.isEmpty)) return None
+        val hiveNull = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        val rows = snap.files.groupBy(_.partition.get).toSeq
+          .map { case (pv, fs) =>
+            val key: Option[Any] =
+              if (pv == hiveNull) Some(null)
+              else internal(pfield, pv) // None = string doesn't round-trip
+            for { k <- key; r <- aggRow(fs) } yield (k, r)
+          }
+        if (rows.exists(_.isEmpty)) return None
+        val done = rows.map(_.get)
+        // field shapes from any group, or (empty table: zero groups) from
+        // the aggregate exprs alone — unsupported exprs refuse either way
+        val aggFields = done.headOption.map(_._2.map(_._1))
+          .orElse(aggRow(Nil).map(_.map(_._1)))
+          .getOrElse(return None)
+        Some((StructType(pfield +: aggFields),
+          done.map { case (k, r) => k +: r.map(_._2) }))
+    }
   }
 
   override def supportCompletePushDown(
@@ -583,28 +626,31 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
   }
 }
 
-/** The one-row scan a completely-pushed metadata aggregate resolves to:
-  * no files, no tasks beyond a single empty partition yielding the
-  * pre-computed row.
+/** The scan a completely-pushed metadata aggregate resolves to: no data
+  * files, a single empty input partition yielding the pre-computed rows
+  * (one for a global aggregate, one per table partition for a grouped
+  * one — at most the table's partition count, driver-sized by
+  * construction).
   */
 final class CommitLogAggScan(snap: Manifest, aggSchema: StructType,
-    values: Seq[Any]) extends Scan with Batch with Serializable {
+    rows: Seq[Seq[Any]]) extends Scan with Batch with Serializable {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"CommitLogAggScan metadata-only ${aggSchema.fieldNames.mkString("[", ",", "]")} " +
-      s"over ${snap.files.size} manifest entries"
+      s"${rows.size} rows over ${snap.files.size} manifest entries"
   override def planInputPartitions(): Array[InputPartition] =
     Array(new InputPartition {})
   override def createReaderFactory(): PartitionReaderFactory = {
-    val row = values.toArray
+    val data = rows.map(_.toArray).toArray
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var done = false
-          override def next(): Boolean = if (done) false else { done = true; true }
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
           override def get(): InternalRow =
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(data(i))
           override def close(): Unit = ()
         }
     }

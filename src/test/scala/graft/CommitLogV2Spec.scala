@@ -103,8 +103,61 @@ class CommitLogV2Spec extends AnyFunSuite {
     val fq = v2.filter($"k" >= 500).agg(count(lit(1)))
     assert(fq.head.getLong(0) == 500)
     assert(!fq.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
-    // grouped aggregates are never pushed
-    assert(v2.groupBy("cat").count().count() == 5)
+    // grouping on a NON-partition column is never pushed (this table is
+    // unpartitioned — the grouped pushdown serves partition columns only)
+    val gq = v2.groupBy("cat").count()
+    assert(!gq.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    assert(gq.count() == 5)
+  }
+
+  test("grouped metadata aggregates: GROUP BY partition column answers from the manifest") {
+    val dir = tmpDir() + "/gagg"
+    val df = spark.range(120).select(($"id" % 4).as("day"), $"id".as("k"),
+      ($"id" * 0.5).as("v"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Some("day"))
+    t.append(df, recordChanges = false)
+    t.append(df, recordChanges = false) // several files per partition
+    val v2 = spark.read.format("commitlog").load(dir)
+    val q = v2.groupBy($"day").agg(count(lit(1)).as("n"),
+      min($"k").as("mn"), max($"v").as("mx"))
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val exp = (0L to 3L).map { d =>
+      val ks = (0L until 120L).filter(_ % 4 == d)
+      (d, 2L * ks.size, ks.min, ks.max * 0.5)
+    }
+    assert(got == exp)
+    // the plan is the metadata scan — ZERO data files planned or read
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("CommitLogAggScan"), plan)
+    assert(!plan.toLowerCase.contains("parquet"), plan)
+    // NULL partition values group under a NULL key (Hive default marker)
+    t.append(spark.range(7).select(lit(null).cast("long").as("day"),
+      $"id".as("k"), lit(0.0).as("v")), recordChanges = false)
+    val qn = spark.read.format("commitlog").load(dir)
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    assert(qn.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    assert(qn.collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap ==
+      Map(-1L -> 7L, 0L -> 60L, 1L -> 60L, 2L -> 60L, 3L -> 60L))
+    // fallbacks stay correct: a filter forces the row path…
+    val fq = v2.groupBy($"day").agg(count(lit(1)).as("n"))
+      .filter($"day" >= 2)
+    // (filter ABOVE the agg is fine — it prunes pushed groups; a filter
+    // BELOW the agg must refuse)
+    val fq2 = v2.filter($"k" >= 60).groupBy($"day").count()
+    assert(!fq2.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    assert(fq2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (0L to 3L).map(d => d -> 2L * (60L until 120L).count(_ % 4 == d)).toMap)
+    assert(fq.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // …and a merge-on-read mark hides rows metadata can't see
+    t.deleteLazy("k < 4")
+    val mq = spark.read.format("commitlog").load(dir).groupBy($"day").count()
+    assert(!mq.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    assert(mq.collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap ==
+      Map(-1L -> 3L, 0L -> 58L, 1L -> 58L, 2L -> 58L, 3L -> 58L))
   }
 
   test("batch write path: every SaveMode maps onto one transactional commit") {
