@@ -2363,7 +2363,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     var onto = base // the snapshot m currently claims on top of
     var failures = 0
     while (failures < MaxCommitRetries) {
-      if (tryPublish(m)) return m.version
+      if (tryPublish(m)) { maybeAutoCompact(m, action, diff); return m.version }
       failures += 1
       val fresh = snapshot()
       rebased(diff, m, onto, fresh) match {
@@ -2381,6 +2381,39 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     }
     throw new IllegalStateException(
       s"$action lost $MaxCommitRetries commit races at $dir")
+  }
+
+  /** Post-commit small-file trigger (Delta's `autoCompact` /
+    * `optimizeWrite` analogue, the Bronze write options of
+    * bronze_prices_auto_loader.ipynb cell 3): when
+    * `TBLPROPERTIES('graft.autoCompact.minFiles'=N)` is set and a
+    * data-adding commit leaves one of ITS OWN partitions holding ≥N
+    * undersized files (< targetBytes/2, the OPTIMIZE rule), bin-pack
+    * just those partitions — a separate follow-up version through the
+    * normal [[compact]] path, so the no-op guard, lazy-delete
+    * materialization, and CDF semantics all hold. Only the commit's
+    * touched partitions are examined (O(diff), never O(table)); quiet
+    * partitions never compact. Best-effort: the triggering commit is
+    * already durable, so an auto-compact failure (e.g. lost races under
+    * heavy contention) never surfaces to the writer.
+    */
+  private def maybeAutoCompact(m: Manifest, action: String,
+      diff: AttemptDiff): Unit = {
+    if (action == "compact" || diff == null || diff.added.isEmpty) return
+    val minFiles = m.properties.get(AutoCompactMinFilesProp)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 1).getOrElse(return)
+    val target = m.properties.get(AutoCompactTargetBytesProp)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(AutoCompactDefaultTargetBytes)
+    val due = m.files
+      .filter(f => diff.partitions.contains(f.partition.getOrElse("")))
+      .groupBy(_.partition.getOrElse(""))
+      .filter { case (_, fs) => fs.count(_.bytes < target / 2) >= minFiles }
+      .keys.toSeq.sorted
+    if (due.nonEmpty)
+      try { compact(target, values = Some(due)); () }
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def cleanupLostAttempt(diff: AttemptDiff, m: Manifest): Unit = {
@@ -2536,6 +2569,15 @@ object CommitLogTable {
     * file gets one sidecar bloom per listed column (existing files
     * backfill at their next rewrite — OPTIMIZE materializes eagerly).
     */
+  /** Auto-compact table properties ([[CommitLogTable.maybeAutoCompact]]):
+    * `minFiles` arms the post-commit trigger (≥ that many undersized
+    * files in a touched partition → bin-pack it); `targetBytes` sets the
+    * bin-pack target (default 128 MiB, Delta's OPTIMIZE default).
+    */
+  val AutoCompactMinFilesProp = "graft.autoCompact.minFiles"
+  val AutoCompactTargetBytesProp = "graft.autoCompact.targetBytes"
+  val AutoCompactDefaultTargetBytes: Long = 128L * 1024 * 1024
+
   val BloomColsProp = "graft.bloom.columns"
   val BloomBitsProp = "graft.bloom.bits" // per file-column; default 131072 (16 KiB)
   val BloomHashesProp = "graft.bloom.hashes" // default 5
