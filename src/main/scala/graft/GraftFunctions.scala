@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    // DESCRIBE HISTORY / OPTIMIZE [ZORDER BY] / VACUUM [RETAIN] sugar —
+    // rewrites to the CALL system.* procedures (plans/TableServiceSql.scala)
+    e.injectParser((s, delegate) =>
+      new graft.plans.TableServiceSqlParser(s, delegate))
     e.injectPlannerStrategy(_ => graft.plans.MergeIntoCommitLogStrategy)
     e.injectPlannerStrategy(_ => graft.plans.UpdateCommitLogStrategy)
     e.injectPlannerStrategy(_ => graft.plans.DeleteFromCommitLogStrategy)

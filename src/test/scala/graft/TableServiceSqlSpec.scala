@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.CommitLogTable
+
+/** SQL statement sugar for the table services
+  * (`plans/TableServiceSql.scala`): `DESCRIBE HISTORY`, `OPTIMIZE
+  * [ZORDER BY]`, `VACUUM [RETAIN n VERSIONS]` rewrite to the existing
+  * `CALL system.*` procedures — the Databricks statements the
+  * reference's runbooks use (docs/databricks_setup.md,
+  * bronze_prices_auto_loader.ipynb cell 4). Non-commitlog targets must
+  * fall through to Spark's own parser errors, and the CALL path must
+  * stay intact.
+  */
+class TableServiceSqlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val cat = s"graft_svc$n"
+    val wh = Files.createTempDirectory("graft-service-sql").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  private def seed(cat: String): String = {
+    spark.sql(s"CREATE TABLE $cat.default.t (k BIGINT, v DOUBLE) USING commitlog")
+    (0 until 6).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.default.t VALUES ($i, $i.5)"))
+    s"$cat.default.t"
+  }
+
+  test("DESCRIBE HISTORY == CALL system.history; DESC abbreviation works") {
+    val (cat, _) = freshCatalog()
+    val t = seed(cat)
+    val sugar = spark.sql(s"DESCRIBE HISTORY $t").collect()
+    val call = spark.sql(
+      s"CALL $cat.system.history(table => 'default.t')").collect()
+    assert(sugar.map(_.toString).toSeq == call.map(_.toString).toSeq)
+    assert(sugar.length == 7) // create + 6 inserts
+    assert(spark.sql(s"DESC HISTORY $t").count() == 7)
+  }
+
+  test("OPTIMIZE bin-packs; OPTIMIZE ZORDER BY clusters; VACUUM RETAIN sweeps") {
+    val (cat, wh) = freshCatalog()
+    val t = seed(cat)
+    val before = CommitLogTable.open(spark, s"$wh/default/t")
+      .resolvedManifest(None).files.size
+    assert(before == 6)
+    val rep = spark.sql(s"OPTIMIZE $t")
+    assert(rep.columns.toSeq == Seq("partition", "files_before", "files_after"))
+    assert(rep.head.getInt(2) < before)
+    assert(CommitLogTable.open(spark, s"$wh/default/t")
+      .resolvedManifest(None).files.size == rep.head.getInt(2))
+    // zorder form parses with and without parens
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO $t VALUES (${100 + i}, $i.25)"))
+    spark.sql(s"OPTIMIZE $t ZORDER BY (k, v)")
+    assert(CommitLogTable.open(spark, s"$wh/default/t").history.collect()
+      .map(_.getString(1)).count(_ == "compact") == 2)
+    spark.sql(s"OPTIMIZE $t ZORDER BY k, v") // idempotent no-op, still parses
+    // vacuum: superseded pre-compact files sweep (retention floor 2)
+    val swept = spark.sql(s"VACUUM $t RETAIN 2 VERSIONS").head
+    assert(swept.schema.fieldNames.toSeq ==
+      Seq("data_files_removed", "log_segments_removed"))
+    assert(swept.getInt(0) > 0)
+    // reads still whole after the sweep
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $t")
+      .as[(Long, Long)].head == ((10L, 421L)))
+  }
+
+  test("current-catalog targets resolve without a prefix; non-commitlog targets fall through") {
+    val (cat, _) = freshCatalog()
+    seed(cat)
+    spark.sql(s"USE $cat")
+    try {
+      assert(spark.sql("DESCRIBE HISTORY default.t").count() == 7)
+      assert(spark.sql("OPTIMIZE default.t").head.getInt(1) == 6)
+    } finally spark.sql("USE spark_catalog.default")
+    // outside a commitlog catalog the statements are NOT ours: Spark's
+    // stock parser reports them (OPTIMIZE/VACUUM aren't Spark SQL)
+    intercept[Exception](spark.sql("OPTIMIZE spark_catalog.default.nope"))
+    intercept[Exception](spark.sql("VACUUM spark_catalog.default.nope"))
+    intercept[Exception](spark.sql("DESCRIBE HISTORY spark_catalog.default.nope"))
+  }
+}
