@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DeltaSqlTableOps
+import graft.tables.{CommitLogTable, DeltaLogBridge}
+
+/** Protocol-level Delta interop WITHOUT the delta-spark jar
+  * ([[graft.tables.DeltaLogBridge]]): a hand-authored `_delta_log`
+  * (JSON actions verbatim from the public protocol spec) must read
+  * correctly — adds, removes, partitionValues, schemaString, version
+  * replay — and a commit-log snapshot must export to the same actions
+  * zero-copy and read back identically. This is the in-sandbox half of
+  * the interop evidence; `DeltaInteropSpec` drives real delta-spark
+  * when the jar is present (it self-cancels here).
+  */
+class DeltaFixtureSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-delta-fixture").toString
+
+  /** The committed fixture: a two-version Delta log written action by
+    * action — v0 creates a day-partitioned table with two files (one in
+    * a space-bearing subdir, exercising the protocol's %-encoded
+    * relative-URI paths), v1 removes day=2's file and adds a
+    * replacement. Data files deliberately OMIT the partition column:
+    * Delta sources those values from the log.
+    */
+  private def buildFixture(dir: String): Unit = {
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/sub dir/d1")
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/d2")
+    Seq((30L, "z"), (31L, "y")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/d2b")
+    def onePart(sub: String): String = {
+      val s = Files.list(Paths.get(dir, sub))
+      val f = try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      s"$sub/${f.getFileName}"
+    }
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))).json
+      .replace("\"", "\\\"")
+    val f1 = onePart("sub dir/d1").replace("sub dir", "sub%20dir")
+    val f2 = onePart("d2")
+    val f2b = onePart("d2b")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"f00d","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["day"],"configuration":{},"createdTime":1700000000000}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |{"add":{"path":"$f2","partitionValues":{"day":"2"},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000001.json"),
+      (s"""{"commitInfo":{"operation":"REPLACE WHERE day = 2"}}
+         |{"remove":{"path":"$f2","deletionTimestamp":1700000001000,"dataChange":true}}
+         |{"add":{"path":"$f2b","partitionValues":{"day":"2"},"size":100,"modificationTime":1700000001000,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+  }
+
+  test("hand-authored protocol fixture: adds/removes/partitionValues/time travel") {
+    val dir = tmpDir()
+    buildFixture(dir)
+    val latest = DeltaLogBridge.read(spark, dir)
+    assert(latest.schema.fieldNames.toSeq == Seq("day", "k", "s"))
+    assert(latest.orderBy("k").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 30L, "z"), (2L, 31L, "y")),
+      "partition values must come from the LOG (files omit the column)")
+    val v0 = DeltaLogBridge.read(spark, dir, versionAsOf = Some(0L))
+    assert(v0.orderBy("k").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c")),
+      "time travel must replay only through the pinned version")
+    // a checkpointed log is out of the v1 surface — refused loudly
+    Files.write(Paths.get(dir, "_delta_log/_last_checkpoint"),
+      """{"version":1,"size":3}""".getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
+  test("commitlog snapshot exports to Delta actions zero-copy and reads back identically") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(40).select(
+      when($"id" % 4 === 0, lit(null).cast("long"))
+        .otherwise($"id" % 4).as("day"),
+      $"id".as("k"), ($"id" * 0.5).as("v"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Some("day"))
+    t.append(df, recordChanges = false)
+    t.append(df.limit(0), recordChanges = false) // no-op append publishes nothing
+    val nFiles = DeltaLogBridge.export(t)
+    assert(nFiles == t.resolvedManifest(None).files.size)
+    // no data copied: the log references the table's own parquet
+    val logLines = new String(Files.readAllBytes(
+      Paths.get(dir, "_delta_log/00000000000000000000.json")), UTF_8)
+    assert(logLines.contains("\"minReaderVersion\":1"))
+    val back = DeltaLogBridge.read(spark, dir)
+    def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("k").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getDouble(2))).toSeq
+    assert(key(back) == key(t.read()),
+      "exported Delta log must read back exactly the commitlog snapshot " +
+        "(NULL partition values included)")
+    // if real delta-spark is on the classpath, it must read the export too
+    if (DeltaSqlTableOps.sessionReady(spark))
+      assert(spark.read.format("delta").load(dir).count() == 40)
+  }
+
+  test("export refuses snapshots the v1 protocol can't express") {
+    val dir = tmpDir() + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df, recordChanges = false)
+    t.deleteLazy("k = 1")
+    val e1 = intercept[IllegalArgumentException](DeltaLogBridge.export(t))
+    assert(e1.getMessage.contains("deletion vectors"))
+    // materializing the mark (OPTIMIZE) makes it exportable again
+    t.compact(1024L * 1024 * 1024)
+    assert(DeltaLogBridge.export(t) == t.resolvedManifest(None).files.size)
+    // a renamed column = live column mapping → refused
+    val dir2 = tmpDir() + "/t2"
+    val t2 = CommitLogTable.create(spark, dir2, df.schema)
+    t2.append(df, recordChanges = false)
+    t2.renameColumn("s", "s2")
+    val e2 = intercept[IllegalArgumentException](DeltaLogBridge.export(t2))
+    assert(e2.getMessage.contains("column mapping"))
+  }
+}
