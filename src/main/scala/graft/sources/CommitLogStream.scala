@@ -395,3 +395,168 @@ final class CommitLogMicroBatchStream(spark: SparkSession,
   override def stop(): Unit = ()
   override def toString: String = s"CommitLogMicroBatchStream[$path@v$snapVersion]"
 }
+
+/** V2 micro-batch CDF stream (`readStream.format("commitlog")
+  * .option("readChangeFeed", true)`) — the change-feed twin of
+  * [[CommitLogMicroBatchStream]], so BOTH streaming reads ride the same
+  * V2 machinery: offsets in the engine's offset log, admission control
+  * (`maxFilesPerTrigger`/`maxBytesPerTrigger`, counted over change
+  * files), Trigger.AvailableNow. Each micro-batch is the change rows of
+  * a contiguous commit-version range, `_change_type` tagged and
+  * `_commit_version` filled per file (stored by post-tag writers,
+  * synthesized from the version for legacy files).
+  *
+  * Offsets are LAST-CONSUMED COMMIT VERSIONS and serialize as the bare
+  * number — byte-identical to the V1 source's `LongOffset` json, so a
+  * checkpoint written by the old V1 route restarts on this stream
+  * unchanged. Admission is version-atomic (a version's change rows
+  * never split across batches — CDF consumers see transactions whole),
+  * with ≥1 version per batch so an oversized commit still progresses.
+  *
+  * Scale: planning is O(new versions' change files) per trigger — one
+  * manifest lookup + one directory listing per version, memoized
+  * (versions are immutable); never O(table).
+  */
+final class CommitLogCdfMicroBatchStream(spark: SparkSession,
+    table: CommitLogTable, path: String, options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val starting: Long =
+    options.get("startingversion").map(_.toLong).getOrElse(1L)
+  private val maxFiles: Int =
+    options.get("maxfilespertrigger").map(_.toInt).getOrElse(1000)
+  private val maxBytes: Option[Long] =
+    options.get("maxbytespertrigger").map(_.toLong)
+  require(maxFiles > 0, "maxFilesPerTrigger must be positive")
+  require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
+
+  // declared ONCE at stream construction (same contract as the V1
+  // source and Delta: restart after a schema evolution to widen)
+  private val logicalSchema = table.cdfSchema
+  private val physSchema = table.cdfPhysicalSchema
+
+  // change files per version, memoized — versions are immutable
+  private val filesCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, Long)]]()
+  private def filesAt(v: Long): Seq[(String, Long)] =
+    filesCache.computeIfAbsent(v, table.changeFilesAt)
+
+  private final case class CdfOff(v: Long) extends OffsetV2 {
+    override def json: String = v.toString
+  }
+  private def ver(o: OffsetV2): Long = o match {
+    case CdfOff(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def initialOffset(): OffsetV2 = CdfOff(starting - 1)
+
+  @volatile private var availableNowHead: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(table.latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    StreamWalk.defaultLimit(maxFiles, maxBytes)
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val (capF, capB) = StreamWalk.caps(limit, maxFiles, maxBytes)
+    val head = availableNowHead.getOrElse(table.latestVersion)
+    var v = ver(startOffset)
+    var nF = 0L
+    var nB = 0L
+    var advanced = false
+    while (v < head) {
+      val fs = filesAt(v + 1)
+      val (f2, b2) = (nF + fs.size, nB + fs.map(_._2).sum)
+      // version-atomic admission: stop BEFORE the version that busts a
+      // cap — unless it would be the batch's first (progress guarantee)
+      if (advanced && fs.nonEmpty && (f2 > capF || b2 > capB))
+        return CdfOff(v)
+      v += 1; nF = f2; nB = b2
+      if (fs.nonEmpty) advanced = true
+    }
+    CdfOff(v)
+  }
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the entry point for this stream")
+
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val files = ((ver(start) + 1) to ver(end)).flatMap(filesAt)
+    CommitLogParquet.filePartitions(spark, files)
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    // every version this incarnation can ever plan — for the per-file
+    // _commit_version backfill map (legacy change files carry a null)
+    val inner = CommitLogParquet.factory(spark, physSchema, physSchema,
+      Seq.empty)
+    CdfAssemblingFactory(inner, logicalSchema,
+      logicalSchema.fieldIndex("_commit_version"), versionByPath)
+  }
+
+  /** version of every memoized change file, keyed by the SparkPath
+    * (URI-encoded) form the executor's PartitionedFile carries.
+    */
+  private def versionByPath: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    filesCache.entrySet().asScala.flatMap { e =>
+      e.getValue.map { case (abs, _) =>
+        org.apache.spark.paths.SparkPath.fromPathString(abs).toString ->
+          e.getKey.longValue()
+      }
+    }.toMap
+  }
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    CdfOff(json.trim.toLong)
+  override def commit(end: OffsetV2): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"CommitLogCdfMicroBatchStream[$path]"
+}
+
+/** Row-assembly wrapper for the CDF stream's parquet reads: rows come
+  * back positionally as the physical change schema (aligned with the
+  * logical one); the single transformation is `_commit_version :=
+  * coalesce(stored, <file's version>)` — one codegen'd projection per
+  * file, constant-folded on the version literal.
+  */
+private[sources] final case class CdfAssemblingFactory(
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory,
+    logicalSchema: StructType,
+    cvOrdinal: Int,
+    versionByPath: Map[String, Long])
+    extends org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory {
+
+  override def options: org.apache.spark.sql.catalyst.FileSourceOptions =
+    inner.options
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def buildReader(
+      file: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce, Literal, UnsafeProjection}
+    val raw = inner.buildReader(file)
+    val v = versionByPath.getOrElse(file.filePath.toString,
+      throw new IllegalStateException(
+        s"CDF stream: change file ${file.filePath} not in the planned map"))
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(
+        logicalSchema.fields.zipWithIndex.map { case (f, i) =>
+          if (i == cvOrdinal)
+            Coalesce(Seq(BoundReference(i, f.dataType, f.nullable),
+              Literal(v, f.dataType)))
+          else BoundReference(i, f.dataType, f.nullable)
+        }.toSeq)
+      override def next(): Boolean = raw.next()
+      override def get(): InternalRow = proj(raw.get())
+      override def close(): Unit = raw.close()
+    }
+  }
+}

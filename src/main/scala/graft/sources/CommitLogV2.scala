@@ -92,16 +92,14 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
 
   private def tableFor(options: CaseInsensitiveStringMap): Table = {
     val path = pathOf(options)
-    // a batch readChangeFeed read declines the V2 path (capability-less
-    // stub → DataFrameReader falls back to the V1 RelationProvider
-    // below, which serves the change relation)
-    if (options.getBoolean("readChangeFeed", false)) return new Table {
-      override def name(): String = s"commitlog.`$path` (changeFeed)"
-      override def schema(): StructType =
-        CommitLogTable.open(SparkSession.active, path).cdfSchema
-      override def capabilities(): java.util.Set[TableCapability] =
-        java.util.Collections.emptySet()
-    }
+    // the changeFeed table: STREAMING reads ride the V2
+    // CommitLogCdfMicroBatchStream (MICRO_BATCH_READ — admission
+    // control, engine offset log, AvailableNow, one code path with the
+    // data stream); BATCH reads still fall back to the V1
+    // RelationProvider below (no BATCH_READ declared), which serves the
+    // change relation
+    if (options.getBoolean("readChangeFeed", false))
+      return new CommitLogCdfTable(SparkSession.active, path)
     def version: Option[Long] =
       Option(options.get("versionAsOf")).map(_.toLong)
         .orElse(Option(options.get("timestampAsOf")).map { s =>
@@ -978,41 +976,7 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     val physRead = toPhysical(extendedLogical)
     val physData = toPhysical(snap.schema)
 
-    val hc: Configuration = spark.sessionState.newHadoopConf()
-    // the conf entries ParquetScan plants for its own factory: the
-    // requested (physical) schema for both the vectorized reader and the
-    // ReadSupport row path
-    hc.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    hc.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physRead.json)
-    hc.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, physRead.json)
-    ParquetWriteSupport.setSchema(physRead, hc)
-    // ParquetToSparkSchemaConverter(Configuration) reads these with NO
-    // default (`conf.get(key).toBoolean` throws on an absent key), so
-    // every one must be planted — the same block ParquetScan runs
-    locally {
-      import org.apache.spark.sql.internal.SQLConf
-      val sqlConf = spark.sessionState.conf
-      Seq(SQLConf.PARQUET_BINARY_AS_STRING,
-        SQLConf.PARQUET_INT96_AS_TIMESTAMP,
-        SQLConf.CASE_SENSITIVE,
-        SQLConf.PARQUET_FIELD_ID_READ_ENABLED,
-        SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
-        SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
-        SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
-        SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION,
-        SQLConf.VARIANT_ALLOW_READING_SHREDDED)
-        .foreach(e => hc.setBoolean(e.key, sqlConf.getConf(e)))
-      hc.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
-      hc.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
-        sqlConf.nestedSchemaPruningEnabled)
-      hc.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
-    }
-    val broadcasted = spark.sparkContext.broadcast(new SerializableConfiguration(hc))
-    val inner = ParquetPartitionReaderFactory(
-      spark.sessionState.conf, broadcasted, physData, physRead,
-      new StructType(), physFilters, None,
-      new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+    val inner = CommitLogParquet.factory(spark, physData, physRead, physFilters)
 
     val marked = prunedFiles.filter(_.pendingDelete.isDefined)
     val meta = metaFields
@@ -1152,4 +1116,103 @@ final case class AssemblingReaderFactory(
       override def close(): Unit = raw.close()
     }
   }
+}
+
+/** Shared construction of the stock [[ParquetPartitionReaderFactory]]
+  * — the factory `ParquetScan` itself builds, with every no-default
+  * Hadoop-conf entry planted (the converter constructors read them with
+  * `conf.get(key).toBoolean`, which throws on an absent key). Used by
+  * the batch/data-stream scan ([[CommitLogScan]]) and the CDF
+  * micro-batch stream.
+  */
+private[sources] object CommitLogParquet {
+  def factory(spark: SparkSession, physData: StructType,
+      physRead: StructType, physFilters: Seq[Filter])
+      : ParquetPartitionReaderFactory = {
+    val hc: Configuration = spark.sessionState.newHadoopConf()
+    hc.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hc.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physRead.json)
+    hc.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, physRead.json)
+    ParquetWriteSupport.setSchema(physRead, hc)
+    locally {
+      import org.apache.spark.sql.internal.SQLConf
+      val sqlConf = spark.sessionState.conf
+      Seq(SQLConf.PARQUET_BINARY_AS_STRING,
+        SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+        SQLConf.CASE_SENSITIVE,
+        SQLConf.PARQUET_FIELD_ID_READ_ENABLED,
+        SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+        SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+        SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
+        SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION,
+        SQLConf.VARIANT_ALLOW_READING_SHREDDED)
+        .foreach(e => hc.setBoolean(e.key, sqlConf.getConf(e)))
+      hc.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+      hc.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      hc.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    }
+    val broadcasted =
+      spark.sparkContext.broadcast(new SerializableConfiguration(hc))
+    ParquetPartitionReaderFactory(
+      spark.sessionState.conf, broadcasted, physData, physRead,
+      new StructType(), physFilters.toArray, None,
+      new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+  }
+
+  /** Byte-balanced [[FilePartition]]s over absolute paths — the same
+    * `maxPartitionBytes`/`openCostInBytes` arithmetic Spark's file
+    * sources run, for file lists that aren't manifest [[LogFile]]s
+    * (the CDF stream's change files).
+    */
+  def filePartitions(spark: SparkSession, files: Seq[(String, Long)])
+      : Array[InputPartition] = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPart = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = files.map(_._2 + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPart)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val splits = files.flatMap { case (abs, bytes) =>
+      (0L until math.max(1L, bytes) by maxSplit).map { off =>
+        PartitionedFile(InternalRow.empty, SparkPath.fromPathString(abs),
+          off, math.min(maxSplit, bytes - off), Array.empty, 0L, bytes)
+      }
+    }
+    FilePartition.getFilePartitions(spark, splits, maxSplit)
+      .toArray[InputPartition]
+  }
+}
+
+/** The `readChangeFeed=true` table: declares ONLY `MICRO_BATCH_READ`,
+  * so `readStream` builds the V2 [[CommitLogCdfMicroBatchStream]] while
+  * batch `spark.read` falls back to the V1 change relation — the same
+  * split the data path makes (batch scan vs micro-batch stream), one
+  * planning core each.
+  */
+final class CommitLogCdfTable(spark: SparkSession, path: String)
+    extends Table with SupportsRead {
+  private val table = CommitLogTable.open(spark, path)
+
+  override def name(): String = s"commitlog.`$path` (changeFeed)"
+  override def schema(): StructType = table.cdfSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = table.cdfSchema
+        override def description(): String = s"CommitLogCdfScan $path"
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new CommitLogCdfMicroBatchStream(spark, table, path,
+            options.entrySet().asScala
+              .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) ->
+                e.getValue).toMap)
+      }
+    }
 }

@@ -423,6 +423,37 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   private[graft] def cdfSchema: StructType = changeSchema(snapshot().schema)
 
+  /** CURRENT-snapshot PHYSICAL change schema — the on-disk column names
+    * of change files, positionally aligned with [[cdfSchema]] (the V2
+    * CDF micro-batch stream reads under it and serves rows positionally
+    * as the logical schema).
+    */
+  private[graft] def cdfPhysicalSchema: StructType = {
+    val snap = snapshot()
+    toPhysicalSchema(changeSchema(snap.schema), snap.columnMapping)
+  }
+
+  /** Promoted change files of ONE version: (absolute path, bytes), Nil
+    * when the version recorded no changes. Repairs a crashed promotion
+    * first (same as [[readChanges]]). O(that version's change files) —
+    * the per-trigger planning cost of the V2 CDF stream.
+    */
+  private[graft] def changeFilesAt(version: Long): Seq[(String, Long)] =
+    manifest(version).changesDir match {
+      case None => Seq.empty
+      case Some(sub) =>
+        promoteChanges(sub)
+        val p = Paths.get(dir, sub)
+        if (!Files.isDirectory(p)) Seq.empty
+        else {
+          val s = Files.list(p)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => (f.toString, Files.size(f))).toVector.sortBy(_._1)
+          finally s.close()
+        }
+    }
+
   private def changeSchema(base: StructType): StructType =
     new StructType(base.fields :+
       org.apache.spark.sql.types.StructField("_change_type",

@@ -326,4 +326,50 @@ class CommitLogStreamSpec extends AnyFunSuite {
       Map("startingVersion" -> "6"))
     assert(sink(root + "/out2") == Seq((6L, 6.0)))
   }
+
+  test("CDF stream rides the V2 micro-batch source with version-atomic admission") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    (0 until 3).foreach(i => t.append(Seq((i.toLong, i * 1.0)).toDF("k", "v")))
+    val q = spark.readStream.format("commitlog").option("path", dir)
+      .option("readChangeFeed", "true").option("maxFilesPerTrigger", 1)
+      .load()
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // the route IS the V2 stream, not the V1 fallback
+    val desc = q.recentProgress.flatMap(_.sources.map(_.description)).distinct
+    assert(desc.exists(_.contains("CommitLogCdfMicroBatchStream")),
+      s"expected the V2 CDF stream, saw: ${desc.mkString("; ")}")
+    // content parity with the batch CDF read
+    val got = spark.read.parquet(root + "/out")
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val batch = spark.read.format("commitlog")
+      .option("readChangeFeed", "true").load(dir)
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == batch && got.size == 3)
+    // maxFilesPerTrigger=1 → version-atomic pacing: every data batch
+    // carries exactly ONE commit version (a version never splits, and
+    // the cap stops the batch at the next version's files)
+    val perBatch = q.recentProgress.filter(_.numInputRows > 0)
+    assert(perBatch.length == 3,
+      s"3 single-file change commits should pace to 3 batches, saw " +
+        s"${perBatch.length}")
+    // restart after one more commit: only the delta, exactly once
+    t.delete(org.apache.spark.sql.functions.expr("k = 0"))
+    val q2 = spark.readStream.format("commitlog").option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+    val after = spark.read.parquet(root + "/out").count()
+    assert(after == 4, s"restart must append exactly the delete image, " +
+      s"got $after rows")
+  }
 }
