@@ -2224,15 +2224,20 @@ object Queries {
     SessionMemo.once(s, s"commitlog:$dir") {
       // applicationId-unique path: a completed build survives drainAll()
       if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        // persist: the three commits otherwise re-scan events.parquet
+        // (and re-run its timestamp normalization) once each
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        val m = col("event_id") % 4
-        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
-        t.append(ev.filter(m < 2))
-        t.merge(ev.filter(m === 1 || m === 2)
-          .withColumn("value", col("value") * 2), Seq("event_id"), Seq(col("event_id")))
-        t.merge(ev.filter(m === 2 || m === 3)
-          .withColumn("value", col("value") * 3), Seq("event_id"), Seq(col("event_id")))
+          .persist()
+        try {
+          val m = col("event_id") % 4
+          val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+          t.append(ev.filter(m < 2))
+          t.merge(ev.filter(m === 1 || m === 2)
+            .withColumn("value", col("value") * 2), Seq("event_id"), Seq(col("event_id")))
+          t.merge(ev.filter(m === 2 || m === 3)
+            .withColumn("value", col("value") * 3), Seq("event_id"), Seq(col("event_id")))
+        } finally ev.unpersist()
       }
     }
     tableDir
