@@ -31,6 +31,12 @@ import graft.sources.CommitLogCatalog
   * Spark's own errors surface verbatim. graft retention is
   * version-based, hence `RETAIN n VERSIONS` where Databricks writes
   * `RETAIN n HOURS`.
+  *
+  * Known shadowing, shared with Databricks' own statement: inside a
+  * commitlog catalog, `DESCRIBE history day` parses as `DESCRIBE
+  * HISTORY <table day>`, not as describe-column `day` of a table
+  * literally named `history` — the HISTORY keyword wins, exactly as on
+  * a Databricks cluster; qualify the table to describe it.
   */
 final class TableServiceSqlParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
@@ -45,11 +51,26 @@ final class TableServiceSqlParser(session: SparkSession,
     def target(ident: String): Option[(String, String)] = {
       // the delegate's identifier parser owns backticks/escapes
       val parts = delegate.parseMultipartIdentifier(ident)
-      def isCommitLog(cat: String): Boolean =
+      // the CALL procedures' table argument re-splits on '.', so a
+      // quoted part containing one (`a.b`) cannot round-trip — fall
+      // through to the stock parser's error rather than resolve a
+      // DIFFERENT table
+      if (parts.exists(_.contains('.'))) return None
+      def confCatalog(cat: String): Option[String] =
         session.conf.getOption(s"spark.sql.catalog.$cat")
-          .contains(classOf[CommitLogCatalog].getName)
+      def isCommitLog(cat: String): Boolean =
+        confCatalog(cat).contains(classOf[CommitLogCatalog].getName)
+      // a head that names ANY catalog decides the statement: commitlog →
+      // ours; any other (spark_catalog, or a conf-registered
+      // other-provider catalog) → NOT ours, even when the CURRENT
+      // catalog is commitlog — hijacking an explicitly-qualified target
+      // into the current catalog would run the service against the
+      // wrong table
       if (parts.length >= 2 && isCommitLog(parts.head))
         Some((parts.head, parts.tail.mkString(".")))
+      else if (parts.length >= 2 &&
+          (parts.head == "spark_catalog" || confCatalog(parts.head).isDefined))
+        None
       else {
         val current = session.sessionState.catalogManager.currentCatalog
         if (current.isInstanceOf[CommitLogCatalog])

@@ -514,7 +514,14 @@ final class CommitLogCdfMicroBatchStream(spark: SparkSession,
 
   override def deserializeOffset(json: String): OffsetV2 =
     CdfOff(json.trim.toLong)
-  override def commit(end: OffsetV2): Unit = ()
+  override def commit(end: OffsetV2): Unit = {
+    // bound the memo (and the per-batch versionByPath map it feeds) to
+    // the in-flight window: committed versions never replan, so a
+    // long-running stream over a high-commit-rate table stays O(window),
+    // not O(every version ever streamed)
+    val v = ver(end)
+    filesCache.keySet().removeIf(_ <= v)
+  }
   override def stop(): Unit = ()
   override def toString: String = s"CommitLogCdfMicroBatchStream[$path]"
 }

@@ -136,6 +136,8 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     // DataStreamWriter pass the input schema here before falling back to
     // the V1 writers, and evolution/overwrite writes legitimately differ),
     // so the refusal is deferred to scan creation: writes never build one.
+    val loadOptions = properties // the caller's map, NOT Table.properties()
+    val userSchema = schema // capture: the member defs shadow the params
     if (schema != null && schema.nonEmpty && t.schema().nonEmpty &&
         schema != t.schema())
       new Table with SupportsRead {
@@ -146,11 +148,22 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
         override def capabilities(): java.util.Set[TableCapability] =
           t.capabilities()
         override def newScanBuilder(
-            options: CaseInsensitiveStringMap): ScanBuilder =
-          throw new UnsupportedOperationException(
-            "commitlog does not support user-specified schemas: the " +
-              s"table schema is ${t.schema().simpleString}, drop " +
-              ".schema(...)")
+            options: CaseInsensitiveStringMap): ScanBuilder = {
+          // the mismatch may be a RACE, not a user schema: Spark calls
+          // inferSchema then getTable on two independently-resolved
+          // snapshots, and a schema-changing commit can land between.
+          // Re-resolve once — if the caller's schema matches NOW, serve
+          // the read; only a genuinely foreign schema refuses.
+          val fresh = tableFor(new CaseInsensitiveStringMap(loadOptions))
+          fresh match {
+            case r: SupportsRead if userSchema == fresh.schema() =>
+              r.newScanBuilder(options)
+            case _ => throw new UnsupportedOperationException(
+              "commitlog does not support user-specified schemas: the " +
+                s"table schema is ${fresh.schema().simpleString}, drop " +
+                ".schema(...)")
+          }
+        }
       }
     else t
   }
@@ -583,6 +596,14 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
         if (snap.files.exists(_.partition.isEmpty)) return None
         val hiveNull = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        // a STRING partition column conflates "" and NULL in the
+        // directory marker (Spark's dynamic-partition writer maps both
+        // to the Hive default), but the data files physically carry the
+        // column — the row path distinguishes them, so a marker-bearing
+        // string partition must fall back rather than return a key the
+        // row path wouldn't
+        if (pfield.dataType == StringType &&
+            snap.files.exists(_.partition.contains(hiveNull))) return None
         val rows = snap.files.groupBy(_.partition.get).toSeq
           .map { case (pv, fs) =>
             val key: Option[Any] =

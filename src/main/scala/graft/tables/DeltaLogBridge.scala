@@ -52,7 +52,15 @@ object DeltaLogBridge {
   // decode on read
   private def encodePath(p: String): String =
     new java.net.URI(null, null, p, null).getRawPath
-  private def decodePath(p: String): String = new java.net.URI(p).getPath
+  private def decodePath(p: String): String = {
+    val u = new java.net.URI(p)
+    // the protocol also allows ABSOLUTE URIs (s3://…) — out of this
+    // bridge's scope; refuse loudly rather than silently mangling the
+    // path into a table-relative one
+    require(u.getScheme == null && !p.startsWith("/"),
+      s"DeltaLogBridge reads table-relative add/remove paths only, got $p")
+    u.getPath
+  }
 
   /** Read a Delta table directory (JSON-commit log) into a DataFrame,
     * optionally pinned at `versionAsOf` — replaying
@@ -79,9 +87,10 @@ object DeltaLogBridge {
     require(versions.headOption.contains(0L),
       s"log at $dir does not start at version 0 (vacuumed?): $versions")
     val upTo = versionAsOf.getOrElse(versions.max)
-    require(versions.contains(upTo), s"version $upTo not in log $versions")
+    val vset = versions.toSet
+    require(vset.contains(upTo), s"version $upTo not in log $versions")
     // contiguity: replay must not skip commits
-    (0L to upTo).foreach(v => require(versions.contains(v),
+    (0L to upTo).foreach(v => require(vset.contains(v),
       s"log at $dir is missing version $v"))
 
     var schema: Option[StructType] = None

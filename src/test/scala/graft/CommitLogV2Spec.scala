@@ -141,6 +141,18 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(qn.collect().map(r =>
         (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap ==
       Map(-1L -> 7L, 0L -> 60L, 1L -> 60L, 2L -> 60L, 3L -> 60L))
+    // a STRING partition column with the Hive default marker ("" and
+    // NULL conflate in the directory name) must refuse the pushdown —
+    // the row path distinguishes them via the physically-present column
+    val dirS = tmpDir() + "/gaggs"
+    val dfS = Seq(("", 1L), (null: String, 2L), ("x", 3L)).toDF("p", "k")
+    val tS = CommitLogTable.create(spark, dirS, dfS.schema, Some("p"))
+    tS.append(dfS, recordChanges = false)
+    val qs = spark.read.format("commitlog").load(dirS).groupBy($"p").count()
+    assert(!qs.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    // row path distinguishes "" and null (the data files carry the
+    // column) — 3 groups; the pushed result would have conflated them
+    assert(qs.count() == 3)
     // fallbacks stay correct: a filter forces the row path…
     val fq = v2.groupBy($"day").agg(count(lit(1)).as("n"))
       .filter($"day" >= 2)

@@ -92,6 +92,21 @@ class DeltaFixtureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("absolute add.path URIs are refused loudly, not silently mangled") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))).json.replace("\"", "\\\"")
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"s3://bucket/data/f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+    assert(e.getMessage.contains("table-relative"), e.getMessage)
+  }
+
   test("commitlog snapshot exports to Delta actions zero-copy and reads back identically") {
     val dir = tmpDir() + "/t"
     val df = spark.range(40).select(

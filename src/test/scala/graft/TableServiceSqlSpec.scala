@@ -83,6 +83,17 @@ class TableServiceSqlSpec extends AnyFunSuite {
     try {
       assert(spark.sql("DESCRIBE HISTORY default.t").count() == 7)
       assert(spark.sql("OPTIMIZE default.t").head.getInt(1) == 6)
+      // an EXPLICITLY other-catalog-qualified target is never hijacked
+      // into the current commitlog catalog — it falls through to the
+      // stock parser's own error
+      intercept[Exception](
+        spark.sql("VACUUM spark_catalog.default.nope"))
+      intercept[Exception](
+        spark.sql("OPTIMIZE spark_catalog.default.nope"))
+      // a quoted part containing '.' can't round-trip through the CALL
+      // procedures' dotted table argument — refused via fall-through,
+      // never resolved to a DIFFERENT table
+      intercept[Exception](spark.sql("OPTIMIZE default.`a.b`"))
     } finally spark.sql("USE spark_catalog.default")
     // outside a commitlog catalog the statements are NOT ours: Spark's
     // stock parser reports them (OPTIMIZE/VACUUM aren't Spark SQL)
