@@ -87,6 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hints batch — BEFORE ResolveSessionCatalog can refuse view DDL on
     // a non-session catalog (see plans/ViewSql.scala)
     e.injectHintResolutionRule(s => new graft.plans.ResolveCommitLogViews(s))
+    // table-read CDF (spark.read.option("readChangeFeed", true)
+    // .table(...)) — relation swap onto the CDF table, Delta-style
+    // (plans/CdfRelation.scala)
+    e.injectResolutionRule(s => new graft.plans.ResolveCommitLogCdfRelation(s))
     // per-micro-batch: Spark builds streaming scans with no pushdown
     // pass (see plans/StreamScanPushdown.scala)
     e.injectOptimizerRule(s => new graft.plans.PushFiltersIntoCommitLogStream(s))

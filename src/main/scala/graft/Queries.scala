@@ -2836,6 +2836,21 @@ object Queries {
       FROM graft_sql.gold.events GROUP BY event_type""")
   }
 
+  /** Change feed through the TABLE read — Delta's
+    * `spark.read.option("readChangeFeed", true).table(t)` spelling over
+    * the SQL-catalog demo table (two INSERT INTO commits): every change
+    * row is an insert image tagged with its commit version, identical
+    * to what `readChanges`/the format read serve
+    * ([[graft.plans.ResolveCommitLogCdfRelation]]).
+    */
+  def tableCdf(s: SparkSession, dir: String): DataFrame = {
+    tableSql(s, dir) // builds graft_sql.gold.events once per session
+    s.read.option("readChangeFeed", "true").table("graft_sql.gold.events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
   /** Shallow clone of the 3-commit demo table PINNED at version 2 (built
     * once per session): a zero-copy fork whose reads must equal the
     * source's pinned snapshot — the same oracle as time travel, taken

@@ -189,6 +189,7 @@ object SparkEntry {
     "q_table_ckpt" -> (Queries.tableCkpt _),
     "q_table_agg" -> (Queries.tableAgg _),
     "q_table_agg_group" -> (Queries.tableAggGroup _),
+    "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
   )
 
@@ -3925,6 +3926,14 @@ object SparkEntry {
       SELECT event_type, count(*) AS n_rows, min(event_id) AS min_id,
              max(value) AS max_value
       FROM events GROUP BY event_type""",
+
+    // table-read CDF over the SQL-catalog demo: two INSERT INTO halves
+    // (even event_ids at version 1, odd at version 2), all insert images
+    "q_table_cdf" -> """
+      SELECT event_id, event_type, value, 'insert' AS change_type,
+             CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS commit_version
+      FROM events""",
 
     // SQL-catalog demo: two INSERT INTO halves reassemble all of events
     "q_table_sql" -> """

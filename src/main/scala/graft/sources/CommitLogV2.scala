@@ -368,6 +368,10 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
     version: Option[Long]) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private[graft] def tableDir: String = dir
+  /** Time-travel pin (None = live) — bounds a table-read CDF's default
+    * ending version ([[graft.plans.ResolveCommitLogCdfRelation]]).
+    */
+  private[graft] def pinnedVersion: Option[Long] = version
   private val table = CommitLogTable.open(spark, dir)
   private[sources] val snap: Manifest = table.resolvedManifest(version)
   // pinned (time-travel) reads fail fast if vacuum already dropped them —
@@ -396,17 +400,21 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // refuse rather than silently serve DATA where the caller asked for
-    // the change feed: catalog reads don't implement the CDF relation
-    // (the format path and readChanges/readChangesStream do)
-    if (options.getBoolean("readChangeFeed", false))
-      throw new UnsupportedOperationException(
-        "readChangeFeed is not supported through the catalog table read; " +
-          "use spark.read.format(\"commitlog\").option(\"readChangeFeed\", " +
-          "true).load(dir) for a batch range, spark.readStream.format(" +
-          "\"commitlog\").option(\"readChangeFeed\", true).option(\"path\", " +
-          "dir) for the stream, or the readChanges/readChangesStream " +
-          "table API")
+    // the change feed through the table read — Delta's exact spelling
+    // (`spark.read/.readStream.option("readChangeFeed", true).table(t)
+    // [.option("startingVersion", a)][.option("endingVersion", b)]`):
+    // batch plans the version range's change files directly, streaming
+    // rides the V2 CDF micro-batch stream. A time-travel pin bounds the
+    // batch range's default end at the pinned version.
+    if (options.getBoolean("readChangeFeed", false)) {
+      val opts = options.entrySet().asScala
+        .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) -> e.getValue)
+        .toMap
+      return new ScanBuilder {
+        override def build(): Scan =
+          new CommitLogCdfScan(spark, table, dir, opts, snap.version)
+      }
+    }
     new CommitLogScanBuilder(spark, table, snap, options)
   }
 
@@ -1208,32 +1216,79 @@ private[sources] object CommitLogParquet {
   }
 }
 
-/** The `readChangeFeed=true` table: declares ONLY `MICRO_BATCH_READ`,
-  * so `readStream` builds the V2 [[CommitLogCdfMicroBatchStream]] while
-  * batch `spark.read` falls back to the V1 change relation — the same
-  * split the data path makes (batch scan vs micro-batch stream), one
-  * planning core each.
+/** The `readChangeFeed=true` table behind the FORMAT path
+  * (`spark.read[.readStream].format("commitlog").option("readChangeFeed",
+  * true)`): both batch and streaming resolve to the same
+  * [[CommitLogCdfScan]] the catalog table read uses — ONE code path for
+  * every CDF surface. (The V1 `RelationProvider` change relation remains
+  * only as the legacy direct-V1 entry; `DataFrameReader` never reaches
+  * it now that this table declares BATCH_READ.)
   */
-final class CommitLogCdfTable(spark: SparkSession, path: String)
+final class CommitLogCdfTable(spark: SparkSession, path: String,
+    endBound: Option[Long] = None)
     extends Table with SupportsRead {
   private val table = CommitLogTable.open(spark, path)
 
   override def name(): String = s"commitlog.`$path` (changeFeed)"
   override def schema(): StructType = table.cdfSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = table.cdfSchema
-        override def description(): String = s"CommitLogCdfScan $path"
-        override def toMicroBatchStream(checkpointLocation: String)
-            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-          new CommitLogCdfMicroBatchStream(spark, table, path,
-            options.entrySet().asScala
-              .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) ->
-                e.getValue).toMap)
-      }
+      override def build(): Scan = new CommitLogCdfScan(spark, table, path,
+        options.entrySet().asScala
+          .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) ->
+            e.getValue).toMap,
+        endBound.getOrElse(table.latestVersion))
     }
+}
+
+/** The change feed as a DSv2 Scan — what
+  * `spark.read.option("readChangeFeed", true).table(t)` (batch) and
+  * `spark.readStream.option("readChangeFeed", true).table(t)`
+  * (streaming) resolve to through the catalog: Delta's table-read CDF
+  * spelling. Batch plans the `(startingVersion..endingVersion)` range's
+  * change files directly (default 1..snapshot version — a time-travel
+  * pin bounds the end); streaming delegates to
+  * [[CommitLogCdfMicroBatchStream]]. Both serve rows via the same
+  * per-file `_commit_version`-backfilling reader, so table-read CDF ≡
+  * format-read CDF ≡ `readChanges` by construction.
+  */
+final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
+    dir: String, options: Map[String, String], snapVersion: Long)
+    extends Scan with Batch {
+
+  private val logicalSchema = table.cdfSchema
+  override def readSchema(): StructType = logicalSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"CommitLogCdfScan $dir"
+
+  private def starting: Long =
+    options.get("startingversion").map(_.toLong).getOrElse(1L)
+  private def ending: Long =
+    options.get("endingversion").map(_.toLong).getOrElse(snapVersion)
+
+  // (version, change files) of the batch range — resolved once per scan
+  private lazy val ranged: Seq[(Long, Seq[(String, Long)])] =
+    (starting to ending).map(v => v -> table.changeFilesAt(v))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    CommitLogParquet.filePartitions(spark, ranged.flatMap(_._2))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val phys = table.cdfPhysicalSchema
+    val inner = CommitLogParquet.factory(spark, phys, phys, Seq.empty)
+    val byPath = ranged.flatMap { case (v, fs) =>
+      fs.map { case (abs, _) =>
+        SparkPath.fromPathString(abs).toString -> v }
+    }.toMap
+    CdfAssemblingFactory(inner, logicalSchema,
+      logicalSchema.fieldIndex("_commit_version"), byPath)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CommitLogCdfMicroBatchStream(spark, table, dir, options)
 }

@@ -289,6 +289,48 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(late == Seq((1L, "delete")))
   }
 
+  test("readChangeFeed through the catalog table read: batch range, streaming, pinned bound") {
+    val wh = tmpDir()
+    spark.conf.set("spark.sql.catalog.graft_cdf",
+      "graft.sources.CommitLogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdf.warehouse", wh)
+    spark.sql("CREATE TABLE graft_cdf.default.t (k BIGINT, v DOUBLE) USING commitlog")
+    spark.sql("INSERT INTO graft_cdf.default.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("UPDATE graft_cdf.default.t SET v = 20.0 WHERE k = 2")
+    spark.sql("DELETE FROM graft_cdf.default.t WHERE k = 1")
+    val dir = s"$wh/default/t"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"_change_type", $"_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._3, x._1, x._2)).toSeq
+    // batch: Delta's spelling == the table API's readChanges
+    val viaTable = spark.read.option("readChangeFeed", "true")
+      .table("graft_cdf.default.t")
+    val t = CommitLogTable.open(spark, dir)
+    assert(key(viaTable) == key(t.readChanges(1, t.latestVersion)))
+    assert(key(viaTable).map(_._2).toSet ==
+      Set("insert", "update_preimage", "update_postimage", "delete"))
+    // version range options bound the batch
+    assert(key(spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("endingVersion", 2)
+      .table("graft_cdf.default.t")) == key(t.readChanges(2, 2)))
+    // a time-travel pin bounds the default end at the pinned version
+    assert(key(spark.read.option("readChangeFeed", "true")
+      .option("versionAsOf", 2).table("graft_cdf.default.t")) ==
+      key(t.readChanges(1, 2)))
+    // streaming: same spelling, rides the V2 CDF micro-batch stream
+    val root = tmpDir()
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("graft_cdf.default.t")
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val desc = q.recentProgress.flatMap(_.sources.map(_.description)).distinct
+    assert(desc.exists(_.contains("CommitLogCdfMicroBatchStream")), desc.toSeq)
+    assert(key(spark.read.parquet(root + "/out")) == key(viaTable))
+  }
+
   test("SQL catalog: CREATE/INSERT/SELECT/ALTER/VERSION AS OF/RENAME/DROP all land as table-format commits") {
     val wh = tmpDir()
     spark.conf.set("spark.sql.catalog.graft_t",
