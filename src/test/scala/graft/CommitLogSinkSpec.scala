@@ -158,21 +158,28 @@ class CommitLogSinkSpec extends AnyFunSuite {
       .head.getLong(0) == 2, "path form + endingVersion")
   }
 
-  test("readChangeFeed through a catalog table read is refused, never silently served as data") {
-    val (cat, _) = freshCatalog()
+  test("readChangeFeed through a catalog table read serves CHANGES, never silently data") {
+    // round 12 closes the gap this test used to pin as a refusal: the
+    // table-read CDF spelling now serves the change feed itself
+    // (plans/CdfRelation.scala) — the invariant is unchanged, data rows
+    // must never masquerade as the change feed
+    val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.br.c (k BIGINT) USING commitlog")
     spark.sql(s"INSERT INTO $cat.br.c VALUES (1)")
-    val exB = intercept[Exception](
-      spark.read.option("readChangeFeed", "true").table(s"$cat.br.c").collect())
-    assert(exB.getMessage.contains("readChangeFeed"), exB.getMessage)
-    val exS = intercept[Exception] {
-      spark.readStream.option("readChangeFeed", "true").table(s"$cat.br.c")
-        .writeStream.format("noop")
-        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
-    }
-    assert(exS.getMessage.contains("readChangeFeed") ||
-      Option(exS.getCause).exists(_.getMessage.contains("readChangeFeed")),
-      exS.getMessage)
+    val got = spark.read.option("readChangeFeed", "true")
+      .table(s"$cat.br.c")
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "insert", 1L)))
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table(s"$cat.br.c")
+      .writeStream.format("parquet").option("path", root + "/cdfout")
+      .option("checkpointLocation", root + "/cdfckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(root + "/cdfout")
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "insert")))
   }
 
   test("vacuum sweeps a crashed stream's staging debris past the grace window") {
