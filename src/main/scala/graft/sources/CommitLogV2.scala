@@ -410,10 +410,7 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
       val opts = options.entrySet().asScala
         .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) -> e.getValue)
         .toMap
-      return new ScanBuilder {
-        override def build(): Scan =
-          new CommitLogCdfScan(spark, table, dir, opts, snap.version)
-      }
+      return new CommitLogCdfScanBuilder(spark, table, dir, opts, snap.version)
     }
     new CommitLogScanBuilder(spark, table, snap, options)
   }
@@ -1236,13 +1233,26 @@ final class CommitLogCdfTable(spark: SparkSession, path: String,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new CommitLogCdfScan(spark, table, path,
-        options.entrySet().asScala
-          .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) ->
-            e.getValue).toMap,
-        endBound.getOrElse(table.latestVersion))
-    }
+    new CommitLogCdfScanBuilder(spark, table, path,
+      options.entrySet().asScala
+        .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) ->
+          e.getValue).toMap,
+      endBound.getOrElse(table.latestVersion))
+}
+
+/** CDF scan builder with column pruning — the only pushdown that makes
+  * sense on a change feed (filters can't prune change FILES: a commit's
+  * changes are one opaque blob until read).
+  */
+private[sources] final class CommitLogCdfScanBuilder(spark: SparkSession,
+    table: CommitLogTable, dir: String, options: Map[String, String],
+    endBound: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var pruned: Option[StructType] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = Some(requiredSchema)
+  override def build(): Scan =
+    new CommitLogCdfScan(spark, table, dir, options, endBound, pruned)
 }
 
 /** The change feed as a DSv2 Scan — what
@@ -1257,13 +1267,17 @@ final class CommitLogCdfTable(spark: SparkSession, path: String,
   * format-read CDF ≡ `readChanges` by construction.
   */
 final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
-    dir: String, options: Map[String, String], snapVersion: Long)
+    dir: String, options: Map[String, String], snapVersion: Long,
+    pruned: Option[StructType] = None)
     extends Scan with Batch {
 
-  private val logicalSchema = table.cdfSchema
+  // column pruning: a 2-column projection over a wide table's feed must
+  // not scan every column — the builder's pruneColumns lands here
+  private val logicalSchema = pruned.getOrElse(table.cdfSchema)
   override def readSchema(): StructType = logicalSchema
   override def toBatch: Batch = this
-  override def description(): String = s"CommitLogCdfScan $dir"
+  override def description(): String =
+    s"CommitLogCdfScan $dir ReadSchema: ${logicalSchema.simpleString}"
 
   private def starting: Long =
     options.get("startingversion").map(_.toLong).getOrElse(1L)
@@ -1278,14 +1292,17 @@ final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
     CommitLogParquet.filePartitions(spark, ranged.flatMap(_._2))
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val phys = table.cdfPhysicalSchema
+    val phys = table.cdfPhysical(logicalSchema)
     val inner = CommitLogParquet.factory(spark, phys, phys, Seq.empty)
+    val cv = logicalSchema.fieldNames.indexOf("_commit_version")
+    // without _commit_version in the projection there is nothing to
+    // backfill — the stock factory serves the pruned read as-is
+    if (cv < 0) return inner
     val byPath = ranged.flatMap { case (v, fs) =>
       fs.map { case (abs, _) =>
         SparkPath.fromPathString(abs).toString -> v }
     }.toMap
-    CdfAssemblingFactory(inner, logicalSchema,
-      logicalSchema.fieldIndex("_commit_version"), byPath)
+    CdfAssemblingFactory(inner, logicalSchema, cv, byPath)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -433,6 +433,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     toPhysicalSchema(changeSchema(snap.schema), snap.columnMapping)
   }
 
+  /** An arbitrary LOGICAL subset of [[cdfSchema]] under physical names
+    * (column-pruned CDF scans read only their projection's columns).
+    */
+  private[graft] def cdfPhysical(subset: StructType): StructType =
+    toPhysicalSchema(subset, snapshot().columnMapping)
+
   /** Promoted change files of ONE version: (absolute path, bytes), Nil
     * when the version recorded no changes. Repairs a crashed promotion
     * first (same as [[readChanges]]). O(that version's change files) —

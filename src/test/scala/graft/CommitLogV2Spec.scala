@@ -318,6 +318,15 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(key(spark.read.option("readChangeFeed", "true")
       .option("versionAsOf", 2).table("graft_cdf.default.t")) ==
       key(t.readChanges(1, 2)))
+    // column pruning reaches the change-file read: a projection without
+    // _commit_version reads only its columns (and skips the backfill)
+    val pq = spark.read.option("readChangeFeed", "true")
+      .table("graft_cdf.default.t").select($"k", $"_change_type")
+    val pplan = pq.queryExecution.executedPlan.toString
+    assert(pplan.contains("struct<k:bigint,_change_type:string>"),
+      s"CDF read schema not pruned to the projection:\n$pplan")
+    assert(pq.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == key(viaTable).map(x => (x._1, x._2)).sorted)
     // streaming: same spelling, rides the V2 CDF micro-batch stream
     val root = tmpDir()
     val q = spark.readStream.option("readChangeFeed", "true")
