@@ -73,9 +73,6 @@ object DeltaLogBridge {
       versionAsOf: Option[Long] = None): DataFrame = {
     val logDir = Paths.get(dir, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $dir")
-    require(!Files.exists(logDir.resolve("_last_checkpoint")),
-      "DeltaLogBridge reads JSON-commit logs only (protocol v1 surface); " +
-        "this table has parquet checkpoints — use a full Delta reader")
     val versions = {
       val s = Files.list(logDir)
       try s.iterator().asScala.map(_.getFileName.toString)
@@ -84,39 +81,38 @@ object DeltaLogBridge {
         .map(_.dropRight(5).toLong).toVector.sorted
       finally s.close()
     }
-    require(versions.headOption.contains(0L),
-      s"log at $dir does not start at version 0 (vacuumed?): $versions")
-    val upTo = versionAsOf.getOrElse(versions.max)
     val vset = versions.toSet
-    require(vset.contains(upTo), s"version $upTo not in log $versions")
-    // contiguity: replay must not skip commits
-    (0L to upTo).foreach(v => require(vset.contains(v),
-      s"log at $dir is missing version $v"))
 
+    // table state the actions mutate, replayed in spec order
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     // live file set: decoded relative path → partitionValues
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
-    (0L to upTo).foreach { v =>
+
+    def requireReaderV1(minReader: Int): Unit = require(minReader <= 1,
+      s"table requires Delta reader version $minReader; this bridge " +
+        "implements the v1 (JSON actions + classic checkpoints) surface only")
+    def applyMetaData(schemaString: String, provider: String,
+        pcs: Seq[String]): Unit = {
+      require(provider == "parquet",
+        "non-parquet Delta tables are out of scope")
+      schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
+      partCols = pcs
+    }
+    def applyJson(v: Long): Unit = {
       val lines = new String(
         Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
         .split('\n').filter(_.trim.nonEmpty)
       lines.foreach { line =>
         val n = M.readTree(line)
-        if (n.has("protocol")) {
-          val r = n.get("protocol").get("minReaderVersion").asInt
-          require(r <= 1,
-            s"table requires Delta reader version $r; this bridge " +
-              "implements the v1 (JSON actions) surface only")
-        }
+        if (n.has("protocol"))
+          requireReaderV1(n.get("protocol").get("minReaderVersion").asInt)
         if (n.has("metaData")) {
           val md = n.get("metaData")
-          require(md.get("format").get("provider").asText == "parquet",
-            "non-parquet Delta tables are out of scope")
-          schema = Some(DataType.fromJson(md.get("schemaString").asText)
-            .asInstanceOf[StructType])
-          partCols = md.get("partitionColumns").elements().asScala
-            .map(_.asText).toSeq
+          applyMetaData(md.get("schemaString").asText,
+            md.get("format").get("provider").asText,
+            md.get("partitionColumns").elements().asScala
+              .map(_.asText).toSeq)
         }
         if (n.has("add")) {
           val a = n.get("add")
@@ -131,6 +127,81 @@ object DeltaLogBridge {
         if (n.has("remove"))
           live.remove(decodePath(n.get("remove").get("path").asText))
       }
+    }
+
+    /** `_last_checkpoint` → (version, checkpoint part files), classic
+      * (pre-v2) checkpoints only.
+      */
+    def lastCheckpoint: Option[(Long, Seq[String])] = {
+      val p = logDir.resolve("_last_checkpoint")
+      if (!Files.exists(p)) return None
+      val n = M.readTree(new String(Files.readAllBytes(p), UTF_8))
+      val v = n.get("version").asLong
+      val parts = Option(n.get("parts")).map(_.asInt)
+      val names = parts match {
+        case Some(k) => (1 to k).map(i =>
+          f"$v%020d.checkpoint.$i%010d.$k%010d.parquet")
+        case None => Seq(f"$v%020d.checkpoint.parquet")
+      }
+      names.foreach(f => require(Files.exists(logDir.resolve(f)),
+        s"checkpoint part $f named by _last_checkpoint is missing " +
+          "(UUID-named v2/sidecar checkpoints are out of this bridge's scope)"))
+      Some((v, names))
+    }
+
+    /** Seed the state from a classic checkpoint parquet: one row per
+      * action, nullable structs `protocol`/`metaData`/`add` (`remove`
+      * rows are tombstones — already absent from the live set). Driver-
+      * collected, same driver-sized-state scope as the JSON replay.
+      */
+    def applyCheckpoint(names: Seq[String]): Unit = {
+      val df = spark.read.parquet(names.map(n => s"$dir/_delta_log/$n"): _*)
+      val cols = df.columns.toSet
+      if (cols.contains("protocol"))
+        df.select("protocol.minReaderVersion").na.drop().collect()
+          .foreach(r => requireReaderV1(r.getInt(0)))
+      require(cols.contains("metaData") && cols.contains("add"),
+        "checkpoint carries no metaData/add columns")
+      df.select("metaData.schemaString", "metaData.format.provider",
+          "metaData.partitionColumns")
+        .where("metaData IS NOT NULL").collect()
+        .foreach(r => applyMetaData(r.getString(0), r.getString(1),
+          r.getSeq[String](2)))
+      df.select("add.path", "add.partitionValues")
+        .where("add IS NOT NULL").collect()
+        .foreach { r =>
+          val pv = Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          live.put(decodePath(r.getString(0)), pv)
+        }
+    }
+
+    val ckpt = lastCheckpoint
+    val upTo = versionAsOf.getOrElse(
+      (versions :+ ckpt.map(_._1).getOrElse(-1L)).max)
+    require(vset.contains(upTo) || ckpt.exists(_._1 == upTo),
+      s"version $upTo not in log (json $versions, checkpoint " +
+        s"${ckpt.map(_._1)})")
+    // prefer the pure JSON replay when the full chain exists (it also
+    // serves pins BELOW the checkpoint); otherwise seed from the
+    // checkpoint and replay the JSON tail
+    if (versions.headOption.contains(0L) &&
+        (0L to upTo).forall(vset.contains)) {
+      (0L to upTo).foreach(applyJson)
+    } else ckpt match {
+      case Some((cv, names)) if cv <= upTo =>
+        ((cv + 1) to upTo).foreach(v => require(vset.contains(v),
+          s"log at $dir is missing version $v after checkpoint $cv"))
+        applyCheckpoint(names)
+        ((cv + 1) to upTo).foreach(applyJson)
+      case Some((cv, _)) =>
+        throw new IllegalArgumentException(
+          s"version $upTo predates checkpoint $cv and the JSON chain " +
+            s"0..$upTo is no longer complete (vacuumed)")
+      case None =>
+        throw new IllegalArgumentException(
+          s"log at $dir does not start at version 0 and carries no " +
+            s"checkpoint: $versions")
     }
     val s = schema.getOrElse(
       throw new IllegalStateException(s"log at $dir carries no metaData"))

@@ -11,6 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.DeltaSqlTableOps
 import graft.tables.{CommitLogTable, DeltaLogBridge}
 
+// classic-checkpoint fixture shapes (top-level for Encoder derivation)
+case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int)
+case class CkptFormat(provider: String)
+case class CkptMeta(id: String, format: CkptFormat, schemaString: String,
+    partitionColumns: Seq[String])
+case class CkptAdd(path: String, partitionValues: Map[String, String],
+    size: Long, modificationTime: Long, dataChange: Boolean)
+case class CkptRow(protocol: Option[CkptProtocol],
+    metaData: Option[CkptMeta], add: Option[CkptAdd])
+
 /** Protocol-level Delta interop WITHOUT the delta-spark jar
   * ([[graft.tables.DeltaLogBridge]]): a hand-authored `_delta_log`
   * (JSON actions verbatim from the public protocol spec) must read
@@ -90,6 +100,66 @@ class DeltaFixtureSpec extends AnyFunSuite {
       """{"version":1,"size":3}""".getBytes(UTF_8))
     val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
     assert(e.getMessage.contains("checkpoint"))
+  }
+
+  test("classic checkpoint: seed state from the parquet, replay the JSON tail, refuse pre-checkpoint pins once vacuumed") {
+    val dir = tmpDir()
+    buildFixture(dir)
+    // the live state AT v1 (what a writer checkpoints): f1 (day=1), f2b (day=2)
+    def onePart(sub: String): String = {
+      val s = Files.list(Paths.get(dir, sub))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))).json
+    val rows = Seq(
+      CkptRow(Some(CkptProtocol(1, 2)), None, None),
+      CkptRow(None, Some(CkptMeta("f00d", CkptFormat("parquet"),
+        schemaJson, Seq("day"))), None),
+      CkptRow(None, None, Some(CkptAdd(
+        "sub%20dir/d1/" + onePart("sub dir/d1"),
+        Map("day" -> "1"), 100L, 1L, dataChange = false))),
+      CkptRow(None, None, Some(CkptAdd(
+        "d2b/" + onePart("d2b"),
+        Map("day" -> "2"), 100L, 1L, dataChange = false))))
+    val tmpCk = tmpDir()
+    rows.toDS().coalesce(1).write.parquet(tmpCk + "/ck")
+    val part = { val s = Files.list(Paths.get(tmpCk, "ck"))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close() }
+    Files.copy(part,
+      Paths.get(dir, "_delta_log/00000000000000000001.checkpoint.parquet"))
+    Files.write(Paths.get(dir, "_delta_log/_last_checkpoint"),
+      """{"version":1,"size":4}""".getBytes(UTF_8))
+    // a JSON tail after the checkpoint
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000002.json"),
+      (s"""{"remove":{"path":"sub%20dir/d1/${onePart("sub dir/d1")}","deletionTimestamp":2,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    def latest() = DeltaLogBridge.read(spark, dir).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    // with the full JSON chain present, the pure replay still serves
+    assert(latest() == Seq((2L, 30L, "z"), (2L, 31L, "y")))
+    assert(DeltaLogBridge.read(spark, dir, Some(0L)).count() == 3)
+    // vacuum the pre-checkpoint JSON: state must seed from the parquet
+    Files.delete(Paths.get(dir, "_delta_log/00000000000000000000.json"))
+    assert(latest() == Seq((2L, 30L, "z"), (2L, 31L, "y")))
+    assert(DeltaLogBridge.read(spark, dir, Some(1L)).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 30L, "z"), (2L, 31L, "y")))
+    // a pin BELOW the checkpoint is gone with the vacuumed chain
+    val e = intercept[IllegalArgumentException](
+      DeltaLogBridge.read(spark, dir, Some(0L)))
+    assert(e.getMessage.contains("not in log") ||
+      e.getMessage.contains("predates checkpoint"), e.getMessage)
   }
 
   test("absolute add.path URIs are refused loudly, not silently mangled") {
