@@ -489,15 +489,15 @@ final class CommitLogCdfMicroBatchStream(spark: SparkSession,
     CommitLogParquet.filePartitions(spark, files)
   }
 
+  // the read schema never changes within an incarnation: build (and
+  // broadcast) the stock factory once, not once per micro-batch
+  private lazy val innerFactory =
+    CommitLogParquet.factory(spark, physSchema, physSchema, Seq.empty)
+
   override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-    // every version this incarnation can ever plan — for the per-file
-    // _commit_version backfill map (legacy change files carry a null)
-    val inner = CommitLogParquet.factory(spark, physSchema, physSchema,
-      Seq.empty)
-    CdfAssemblingFactory(inner, logicalSchema,
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    CdfAssemblingFactory(innerFactory, logicalSchema,
       logicalSchema.fieldIndex("_commit_version"), versionByPath)
-  }
 
   /** version of every memoized change file, keyed by the SparkPath
     * (URI-encoded) form the executor's PartitionedFile carries.
@@ -506,8 +506,7 @@ final class CommitLogCdfMicroBatchStream(spark: SparkSession,
     import scala.jdk.CollectionConverters._
     filesCache.entrySet().asScala.flatMap { e =>
       e.getValue.map { case (abs, _) =>
-        org.apache.spark.paths.SparkPath.fromPathString(abs).toString ->
-          e.getKey.longValue()
+        CommitLogParquet.sparkPathKey(abs) -> e.getKey.longValue()
       }
     }.toMap
   }

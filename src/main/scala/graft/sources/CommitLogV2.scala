@@ -1038,7 +1038,7 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
       // ':' in a Hive-escaped partition value), dropping delete marks and
       // metadata rows. Key with the identical encoding.
       def splitKey(f: LogFile): String =
-        SparkPath.fromPathString(table.dataPath(f).toString).toString
+        CommitLogParquet.sparkPathKey(table.dataPath(f).toString)
       val perPath: Map[String, Expression] = prunedFiles
         .filter(_.pendingDelete.isDefined)
         .map(f => splitKey(f) -> bound(f.pendingDelete.get))
@@ -1152,6 +1152,13 @@ final case class AssemblingReaderFactory(
   * micro-batch stream.
   */
 private[sources] object CommitLogParquet {
+  /** The URI-encoded form `PartitionedFile.filePath.toString` carries on
+    * the executor — the ONLY safe key for per-file lookup maps (raw
+    * paths diverge on spaces/'%'/':' in path segments).
+    */
+  def sparkPathKey(abs: String): String =
+    SparkPath.fromPathString(abs).toString
+
   def factory(spark: SparkSession, physData: StructType,
       physRead: StructType, physFilters: Seq[Filter])
       : ParquetPartitionReaderFactory = {
@@ -1300,7 +1307,7 @@ final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
     if (cv < 0) return inner
     val byPath = ranged.flatMap { case (v, fs) =>
       fs.map { case (abs, _) =>
-        SparkPath.fromPathString(abs).toString -> v }
+        CommitLogParquet.sparkPathKey(abs) -> v }
     }.toMap
     CdfAssemblingFactory(inner, logicalSchema, cv, byPath)
   }
