@@ -327,6 +327,64 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(sink(root + "/out2") == Seq((6L, 6.0)))
   }
 
+  test("CDF model parity: random commit sequences stream == batch readChanges under random admission") {
+    // the invariant the offset/admission/replay machinery must keep: a
+    // CDF stream drained in arbitrary chunks (random maxFilesPerTrigger,
+    // restart per drain) accumulates EXACTLY the change rows the batch
+    // readChanges(1, head) serves — no version skipped, split, or
+    // duplicated. Seeded: deterministic across runs.
+    val rnd = new scala.util.Random(12)
+    for (trial <- 1 to 2) {
+      val root = tmpDir()
+      val dir = root + "/t"
+      def mk(rows: Seq[(Long, String, Double)]) = rows.toDF("k", "cat", "v")
+      val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+      var nextKey = trial * 100000L
+      def freshRows(n: Int): Seq[(Long, String, Double)] =
+        (1 to n).map { _ =>
+          nextKey += 1
+          (nextKey, s"c${rnd.nextInt(3)}", rnd.nextInt(100) / 2.0)
+        }
+      def changeKey(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "cat", "v", "_change_type", "_commit_version")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getString(3), r.getLong(4))).sorted.toVector
+      def drain(step: Int): Unit = {
+        val q = spark.readStream.format("commitlog").option("path", dir)
+          .option("readChangeFeed", "true")
+          .option("maxFilesPerTrigger", (1 + rnd.nextInt(3)).toString)
+          .load()
+          .writeStream.format("parquet").option("path", root + "/out")
+          .option("checkpointLocation", root + "/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000))
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+        assert(changeKey(spark.read.parquet(root + "/out")) ==
+          changeKey(t.readChanges(1, t.latestVersion)),
+          s"trial $trial diverged from batch readChanges after step $step")
+      }
+      t.append(mk(freshRows(2)).coalesce(1))
+      for (step <- 1 to 12) {
+        rnd.nextInt(8) match {
+          case 0 | 1 => t.append(mk(freshRows(1 + rnd.nextInt(3))).coalesce(1))
+          case 2 =>
+            val existing = t.read().limit(1).collect()
+              .map(r => (r.getLong(0), r.getString(1), 999.0)).toSeq
+            t.merge(mk(freshRows(1) ++ existing).coalesce(1),
+              Seq("k"), Seq($"v"))
+          case 3 => t.update($"v" >= rnd.nextInt(40).toDouble,
+            Map("v" -> (org.apache.spark.sql.functions.col("v") + 0.25)))
+          case 4 => t.delete($"v" < rnd.nextInt(10).toDouble)
+          case 5 => t.deleteLazy(s"v < ${rnd.nextInt(10)}")
+          case 6 => t.compact(targetFileBytes = 4L * 1024)
+          case 7 => drain(step)
+        }
+      }
+      drain(13)
+    }
+  }
+
   test("CDF stream rides the V2 micro-batch source with version-atomic admission") {
     val root = tmpDir()
     val dir = root + "/t"
