@@ -551,7 +551,7 @@ private[sources] final case class CdfAssemblingFactory(
     val raw = inner.buildReader(file)
     val v = versionByPath.getOrElse(file.filePath.toString,
       throw new IllegalStateException(
-        s"CDF stream: change file ${file.filePath} not in the planned map"))
+        s"CDF read: change file ${file.filePath} not in the planned map"))
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private val proj = UnsafeProjection.create(
         logicalSchema.fields.zipWithIndex.map { case (f, i) =>

@@ -92,12 +92,11 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
 
   private def tableFor(options: CaseInsensitiveStringMap): Table = {
     val path = pathOf(options)
-    // the changeFeed table: STREAMING reads ride the V2
-    // CommitLogCdfMicroBatchStream (MICRO_BATCH_READ — admission
-    // control, engine offset log, AvailableNow, one code path with the
-    // data stream); BATCH reads still fall back to the V1
-    // RelationProvider below (no BATCH_READ declared), which serves the
-    // change relation
+    // the changeFeed table: batch AND streaming reads resolve to the
+    // shared CommitLogCdfScan (BATCH_READ + MICRO_BATCH_READ — admission
+    // control, engine offset log, column pruning); the V1
+    // RelationProvider change relation below remains only as the legacy
+    // direct-V1 entry
     if (options.getBoolean("readChangeFeed", false))
       return new CommitLogCdfTable(SparkSession.active, path)
     def version: Option[Long] =
@@ -168,15 +167,11 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     else t
   }
 
-  /** V1 batch READ path — serves ONLY the Change Data Feed
-    * (`spark.read.format("commitlog").option("readChangeFeed", true)
-    * [.option("startingVersion", a)][.option("endingVersion", b)]
-    * .load(dir)` — Delta's batch `readChangeFeed` surface). The V2
-    * table declines this read (capability-less stub above), so
-    * DataFrameReader lands here; the relation wraps
-    * [[CommitLogTable.readChanges]] — change rows of the requested
-    * commit range under current logical names, `_change_type` /
-    * `_commit_version` tagged.
+  /** LEGACY V1 batch READ entry — the Change Data Feed relation over
+    * [[CommitLogTable.readChanges]]. `DataFrameReader` no longer routes
+    * here (the changeFeed table declares BATCH_READ, so batch CDF rides
+    * [[CommitLogCdfScan]]); this remains only for direct V1
+    * `RelationProvider` integrations.
     */
   override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
@@ -400,18 +395,18 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // the change feed through the table read — Delta's exact spelling
-    // (`spark.read/.readStream.option("readChangeFeed", true).table(t)
-    // [.option("startingVersion", a)][.option("endingVersion", b)]`):
-    // batch plans the version range's change files directly, streaming
-    // rides the V2 CDF micro-batch stream. A time-travel pin bounds the
-    // batch range's default end at the pinned version.
-    if (options.getBoolean("readChangeFeed", false)) {
-      val opts = options.entrySet().asScala
-        .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) -> e.getValue)
-        .toMap
-      return new CommitLogCdfScanBuilder(spark, table, dir, opts, snap.version)
-    }
+    // the change feed through the table read is served by a RELATION
+    // swap ([[graft.plans.ResolveCommitLogCdfRelation]] — the relation's
+    // output must be the CDF schema, which only the analyzer can change).
+    // Reaching HERE with the option means no extension rule ran (a
+    // catalog-only session): refuse loudly — serving change-row images
+    // pruned to the DATA schema would silently return the wrong multiset
+    if (options.getBoolean("readChangeFeed", false))
+      throw new UnsupportedOperationException(
+        "readChangeFeed through the catalog table read needs the " +
+          "graft.GraftExtensions analyzer rule (spark.sql.extensions); " +
+          "without it use spark.read.format(\"commitlog\")" +
+          ".option(\"readChangeFeed\", true).load(dir) or readChanges")
     new CommitLogScanBuilder(spark, table, snap, options)
   }
 
@@ -1244,7 +1239,7 @@ final class CommitLogCdfTable(spark: SparkSession, path: String,
       options.entrySet().asScala
         .map(e => e.getKey.toLowerCase(java.util.Locale.ROOT) ->
           e.getValue).toMap,
-      endBound.getOrElse(table.latestVersion))
+      endBound)
 }
 
 /** CDF scan builder with column pruning — the only pushdown that makes
@@ -1253,13 +1248,13 @@ final class CommitLogCdfTable(spark: SparkSession, path: String,
   */
 private[sources] final class CommitLogCdfScanBuilder(spark: SparkSession,
     table: CommitLogTable, dir: String, options: Map[String, String],
-    endBound: Long)
+    pin: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var pruned: Option[StructType] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = Some(requiredSchema)
   override def build(): Scan =
-    new CommitLogCdfScan(spark, table, dir, options, endBound, pruned)
+    new CommitLogCdfScan(spark, table, dir, options, pin, pruned)
 }
 
 /** The change feed as a DSv2 Scan — what
@@ -1274,7 +1269,7 @@ private[sources] final class CommitLogCdfScanBuilder(spark: SparkSession,
   * format-read CDF ≡ `readChanges` by construction.
   */
 final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
-    dir: String, options: Map[String, String], snapVersion: Long,
+    dir: String, options: Map[String, String], pin: Option[Long],
     pruned: Option[StructType] = None)
     extends Scan with Batch {
 
@@ -1288,8 +1283,15 @@ final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
 
   private def starting: Long =
     options.get("startingversion").map(_.toLong).getOrElse(1L)
-  private def ending: Long =
-    options.get("endingversion").map(_.toLong).getOrElse(snapVersion)
+  private def ending: Long = options.get("endingversion").map(_.toLong) match {
+    case Some(e) =>
+      // an explicit range may NARROW a time-travel pin, never escape it —
+      // a relation pinned @vN must not serve changes committed after N
+      require(pin.forall(e <= _),
+        s"endingVersion $e exceeds the versionAsOf pin ${pin.get}")
+      e
+    case None => pin.getOrElse(table.latestVersion)
+  }
 
   // (version, change files) of the batch range — resolved once per scan
   private lazy val ranged: Seq[(Long, Seq[(String, Long)])] =

@@ -440,11 +440,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     toPhysicalSchema(subset, snapshot().columnMapping)
 
   /** Promoted change files of ONE version: (absolute path, bytes), Nil
-    * when the version recorded no changes. Repairs a crashed promotion
-    * first (same as [[readChanges]]). O(that version's change files) —
-    * the per-trigger planning cost of the V2 CDF stream.
+    * when the version recorded no changes — or when the version itself
+    * was log-vacuumed ([[readChanges]] likewise serves only surviving
+    * versions; README: keep log retention deeper than the slowest
+    * consumer's lag). Repairs a crashed promotion first. O(that
+    * version's change files) — the per-trigger planning cost of the V2
+    * CDF stream.
     */
-  private[graft] def changeFilesAt(version: Long): Seq[(String, Long)] =
+  private[graft] def changeFilesAt(version: Long): Seq[(String, Long)] = {
+    if (!Files.exists(logDir.resolve(
+        CommitLogTable.manifestName(version)))) return Seq.empty
     manifest(version).changesDir match {
       case None => Seq.empty
       case Some(sub) =>
@@ -459,6 +464,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           finally s.close()
         }
     }
+  }
 
   private def changeSchema(base: StructType): StructType =
     new StructType(base.fields :+

@@ -318,6 +318,15 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(key(spark.read.option("readChangeFeed", "true")
       .option("versionAsOf", 2).table("graft_cdf.default.t")) ==
       key(t.readChanges(1, 2)))
+    // an explicit endingVersion may NARROW the pin, never escape it
+    assert(key(spark.read.option("readChangeFeed", "true")
+      .option("versionAsOf", 2).option("endingVersion", 1)
+      .table("graft_cdf.default.t")) == key(t.readChanges(1, 1)))
+    val eEsc = intercept[Exception](spark.read
+      .option("readChangeFeed", "true").option("versionAsOf", 2)
+      .option("endingVersion", 3).table("graft_cdf.default.t").collect())
+    assert(eEsc.getMessage.contains("exceeds the versionAsOf pin"),
+      eEsc.getMessage)
     // column pruning reaches the change-file read: a projection without
     // _commit_version reads only its columns (and skips the backfill)
     val pq = spark.read.option("readChangeFeed", "true")
@@ -338,6 +347,16 @@ class CommitLogV2Spec extends AnyFunSuite {
     val desc = q.recentProgress.flatMap(_.sources.map(_.description)).distinct
     assert(desc.exists(_.contains("CommitLogCdfMicroBatchStream")), desc.toSeq)
     assert(key(spark.read.parquet(root + "/out")) == key(viaTable))
+    // a log-vacuumed table serves the SURVIVING versions, exactly like
+    // readChanges (README contract: keep retention deeper than the
+    // slowest consumer's lag) — never throws on the vacuumed prefix
+    val t2 = CommitLogTable.open(spark, dir)
+    assert(t2.vacuumLog(retainVersions = 2) > 0,
+      "vacuumLog must prune superseded versions or this regression is vacuous")
+    val after = spark.read.option("readChangeFeed", "true")
+      .table("graft_cdf.default.t")
+    assert(key(after) == key(t2.readChanges(1, t2.latestVersion)),
+      "vacuumed-log CDF batch read must match readChanges' survivors")
   }
 
   test("SQL catalog: CREATE/INSERT/SELECT/ALTER/VERSION AS OF/RENAME/DROP all land as table-format commits") {
