@@ -683,6 +683,28 @@ class CommitLogV2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("user-specified schemas"), e.getMessage)
   }
 
+  test("legacy V1 change relation still serves direct RelationProvider callers") {
+    // DataFrameReader routes batch CDF onto the V2 scan now; the V1
+    // createRelation remains the documented direct-V1 entry — keep it
+    // honest with a direct construction
+    val dir = tmpDir() + "/v1cdf"
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val t = CommitLogTable.create(spark, dir, df.schema)
+    t.append(df)
+    t.delete($"k" === 1L)
+    val rel = new graft.sources.CommitLogDataSource().createRelation(
+      spark.sqlContext, Map("path" -> dir, "readChangeFeed" -> "true"))
+    val got = spark.baseRelationToDataFrame(rel)
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1L, "delete", 2L), (1L, "insert", 1L),
+      (2L, "insert", 1L)))
+    // and a non-CDF request still refuses (plain reads are V2-only)
+    intercept[IllegalArgumentException](
+      new graft.sources.CommitLogDataSource().createRelation(
+        spark.sqlContext, Map("path" -> dir)))
+  }
+
   test("DSv2 time travel via versionAsOf matches read(version); vacuumed pins fail fast") {
     val dir = tmpDir()
     val t = buildTable(dir)
