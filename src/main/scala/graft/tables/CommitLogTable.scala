@@ -360,11 +360,15 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val physSch = toPhysicalSchema(sch, latest.columnMapping)
     val logicalCols = sch.fields.map(f =>
       col(latest.columnMapping.getOrElse(f.name, f.name)).as(f.name)).toSeq
-    val frames = ms.map { m =>
-      spark.read.schema(physSch).parquet(s"$dir/${m.changesDir.get}")
+    val frames = ms.flatMap { m =>
+      // exact named files, never a directory glob (resolveChangeFiles —
+      // the object-store-safe read the manifest's changeFiles enable)
+      val paths = resolveChangeFiles(m).map(_.toString)
+      if (paths.isEmpty) None
+      else Some(spark.read.schema(physSch).parquet(paths: _*)
         .withColumn("_commit_version",
           coalesce(col("_commit_version"), lit(m.version)))
-        .select(logicalCols: _*)
+        .select(logicalCols: _*))
     }
     if (frames.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), sch)
@@ -450,20 +454,46 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private[graft] def changeFilesAt(version: Long): Seq[(String, Long)] = {
     if (!Files.exists(logDir.resolve(
         CommitLogTable.manifestName(version)))) return Seq.empty
-    manifest(version).changesDir match {
-      case None => Seq.empty
-      case Some(sub) =>
-        promoteChanges(sub)
-        val p = Paths.get(dir, sub)
-        if (!Files.isDirectory(p)) Seq.empty
-        else {
-          val s = Files.list(p)
-          try s.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(f => (f.toString, Files.size(f))).toVector.sortBy(_._1)
-          finally s.close()
+    resolveChangeFiles(manifest(version))
+      .map(p => (p.toString, Files.size(p)))
+  }
+
+  /** Resolve one committed version's change files to concrete paths.
+    * Manifests that NAME their files (current format) resolve each name
+    * directly — promoted location first, the staged one as fallback —
+    * so the read never depends on directory-listing consistency or the
+    * promotion rename being atomic (mid-"rename" on an object store =
+    * per-object copies; every named file exists whole in at least one
+    * location). Legacy name-less manifests fall back to listing the
+    * promoted dir.
+    */
+  private def resolveChangeFiles(m: Manifest): Seq[Path] = m.changesDir match {
+    case None => Seq.empty
+    case Some(sub) =>
+      promoteChanges(sub) // local crash repair, idempotent
+      val promoted = Paths.get(dir, sub)
+      if (m.changeFiles.nonEmpty) {
+        val staged = Paths.get(dir, StagedChangesDirName,
+          Paths.get(sub).getFileName.toString)
+        m.changeFiles.map { name =>
+          val p = promoted.resolve(name)
+          if (Files.exists(p)) p
+          else {
+            val st = staged.resolve(name)
+            require(Files.exists(st),
+              s"change file $name of v${m.version} missing at $dir " +
+                "(log-vacuumed change dir, or external deletion)")
+            st
+          }
         }
-    }
+      } else if (!Files.isDirectory(promoted)) Seq.empty
+      else {
+        val s = Files.list(promoted)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toVector.sortBy(_.toString)
+        finally s.close()
+      }
   }
 
   private def changeSchema(base: StructType): StructType =
@@ -2125,6 +2155,23 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     } finally r.close()
   }
 
+  /** Basenames of a just-staged change dir's parquet files — what the
+    * manifest records as [[CommitLogTable.Manifest.changeFiles]]. Runs
+    * in the WRITER right after [[writeChanges]] produced them, so the
+    * listing is of its own writes (safe on any store).
+    */
+  private def stagedChangeNames(sub: String): Seq[String] = {
+    val staged = Paths.get(dir, StagedChangesDirName,
+      Paths.get(sub).getFileName.toString)
+    if (!Files.isDirectory(staged)) Seq.empty
+    else {
+      val s = Files.list(staged)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toVector.sorted
+      finally s.close()
+    }
+  }
+
   private def mkManifest(snap: Manifest, action: String, files: Seq[LogFile],
       rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
       rowsTotal: Long, changesDir: Option[String],
@@ -2146,7 +2193,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       Option(retiredPhysical).getOrElse(snap.retiredPhysical),
       Option(txns).getOrElse(snap.txns),
       Option(constraints).getOrElse(snap.constraints),
-      Option(properties).getOrElse(snap.properties))
+      Option(properties).getOrElse(snap.properties),
+      changeFiles = changesDir.map(stagedChangeNames).getOrElse(Seq.empty))
 
   /** Build sidecar bloom filters for the files a commit ADDS (every
     * commit funnels through [[mkManifest]]), when the table configures
@@ -2367,7 +2415,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       constraints = m.constraints,
       // a winner's property commit survives the rebase (this attempt
       // never touches properties — the properties action is not rebasable)
-      properties = fresh.properties))
+      properties = fresh.properties,
+      // the restamp rewrote the staged dir — re-list its fresh names
+      changeFiles = newChanges.map(stagedChangeNames).getOrElse(Seq.empty)))
   }
 
   /** Rewrite a staged change dir with a new `_commit_version` stamp (the
@@ -2745,7 +2795,14 @@ object CommitLogTable {
       // nearest full-snapshot (checkpoint) version at-or-below this one —
       // assigned at publish time (-1 = in-flight, not yet serialized);
       // the resolver replays diffs forward from it
-      checkpointVersion: Long = -1L)
+      checkpointVersion: Long = -1L,
+      // the change FILES of this commit by name (within changesDir) —
+      // readers resolve exact files instead of listing the directory,
+      // so the change plane never depends on rename atomicity or
+      // listing consistency (the object-store gap the data plane's
+      // named files never had). Empty on legacy manifests → readers
+      // fall back to listing.
+      changeFiles: Seq[String] = Seq.empty)
 
   val HistorySchema: StructType = StructType.fromDDL(
     "version BIGINT, action STRING, rows_inserted BIGINT, " +
@@ -3079,6 +3136,10 @@ object CommitLogTable {
     root.put("rowsTotal", m.rowsTotal)
     root.put("checkpoint", m.checkpointVersion)
     m.changesDir.foreach(root.put("changesDir", _))
+    if (m.changeFiles.nonEmpty) {
+      val cf = root.putArray("changeFiles")
+      m.changeFiles.foreach(cf.add)
+    }
     m.clusteredBy.foreach(root.put("clusteredBy", _))
     if (m.columnMapping.nonEmpty) {
       val cm = root.putObject("columnMapping")
@@ -3198,7 +3259,11 @@ object CommitLogTable {
       n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,
       optText("changesDir"), optText("clusteredBy"), mapping, retired, txns,
-      optMap("constraints"), optMap("properties"), ckpt)
+      optMap("constraints"), optMap("properties"), ckpt,
+      changeFiles =
+        if (n.hasNonNull("changeFiles"))
+          n.get("changeFiles").elements().asScala.map(_.asText).toVector
+        else Seq.empty)
     if (isFull) RawFull(meta)
     else RawDiff(meta,
       parseFiles(n.get("filesAdded")),

@@ -520,7 +520,15 @@ class CommitLogSpec extends AnyFunSuite {
     try f.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
     finally f.close()
     spark.createDataFrame(legacyRows.asJava, legacySchema).write.parquet(sub.toString)
-    val ch = t.readChanges(1, 1)
+    // a true pre-tag log also predates manifest-named change files —
+    // strip the names so the listing fallback serves the rewritten dir
+    val mjson = Paths.get(dir, "_graft_log/v00000000000000000001.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(new String(Files.readAllBytes(mjson)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("changeFiles")
+    Files.write(mjson, om.writeValueAsString(node).getBytes)
+    val ch = CommitLogTable.open(spark, dir).readChanges(1, 1)
     assert(ch.count() == 2 &&
       ch.select("_commit_version").as[Long].collect().toSet == Set(1L),
       "legacy change files must report the manifest's version, not NULL")
@@ -1244,5 +1252,50 @@ class CommitLogSpec extends AnyFunSuite {
     val (restored, deleted) = ops.vacuum(dir)
     assert(restored == 0)
     assert(t.read().count() == 3L) // retention window keeps the live snapshot
+  }
+
+  test("manifest-named change files: a mid-promotion split reads whole; legacy name-less manifests fall back to listing") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir() + "/t"
+    val df = spark.range(8).selectExpr("id AS k", "id * 1.0 AS v")
+    val t = graft.tables.CommitLogTable.create(spark, dir, df.schema)
+    t.append(df.repartition(2)) // records changes across >= 2 change files
+    def changeRows(): Seq[Long] =
+      graft.tables.CommitLogTable.open(spark, dir).readChanges(1, 1)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(changeRows() == (0L until 8L))
+    // the committed manifest NAMES its change files
+    val mjson = Paths.get(dir, "_graft_log/v00000000000000000001.json")
+    assert(new String(Files.readAllBytes(mjson)).contains("changeFiles"))
+    // simulate an object store mid-"rename" (copy-per-object): one change
+    // file promoted, the other back in staging — named resolution must
+    // still serve every row (a directory listing would silently drop one)
+    val sub = { val s = Files.list(Paths.get(dir, "_graft_log/changes"))
+      try s.iterator().next() finally s.close() }
+    val parts = { val s = Files.list(sub)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toVector }
+      finally s.close() }
+    assert(parts.size >= 2, s"need >= 2 change files, got $parts")
+    val staged = Paths.get(dir, "_graft_log/staged_changes",
+      sub.getFileName.toString)
+    Files.createDirectories(staged)
+    Files.move(parts.head, staged.resolve(parts.head.getFileName))
+    assert(changeRows() == (0L until 8L),
+      "named change files must resolve across promoted AND staged locations")
+    // V2 batch CDF (the format path) reads the same way
+    assert(spark.read.format("commitlog").option("readChangeFeed", "true")
+      .load(dir).select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 8L))
+    // restore the layout, then strip the names: a LEGACY manifest (no
+    // changeFiles field) must fall back to listing the promoted dir
+    Files.move(staged.resolve(parts.head.getFileName), parts.head)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(new String(Files.readAllBytes(mjson)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("changeFiles")
+    Files.write(mjson, om.writeValueAsString(node).getBytes)
+    assert(changeRows() == (0L until 8L),
+      "legacy name-less manifests must keep reading via the dir listing")
   }
 }
