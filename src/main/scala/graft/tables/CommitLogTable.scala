@@ -1769,6 +1769,28 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * cached parent resolve plus a set difference. Same-path
     * remove+add pairs (in-place lazy-delete marks) are NOT adds.
     */
+  /** One version's file diff in the log's remove+add convention (a
+    * same-path entry whose LogFile changed appears in BOTH sets — the
+    * consumer must apply removes before adds): (action, added files,
+    * removed paths). What the Delta mirror translates to actions.
+    */
+  private[graft] def versionFileDiff(version: Long)
+      : (String, Seq[LogFile], Set[String]) =
+    CommitLogTable.readRaw(dir, version) match {
+      case d: RawDiff => (d.meta.action, d.added, d.removed)
+      case RawFull(m) =>
+        if (version == 0) (m.action, m.files, Set.empty)
+        else {
+          val prev = manifest(version - 1).files
+          val prevByPath = prev.map(f => f.path -> f).toMap
+          val curByPath = m.files.map(f => f.path -> f).toMap
+          val added = m.files.filterNot(f => prevByPath.get(f.path).contains(f))
+          val removed = prev
+            .filterNot(f => curByPath.get(f.path).contains(f)).map(_.path).toSet
+          (m.action, added, removed)
+        }
+    }
+
   private[graft] def versionAdds(version: Long): (String, Seq[LogFile]) =
     CommitLogTable.readRaw(dir, version) match {
       case d: RawDiff =>
@@ -2456,7 +2478,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     var onto = base // the snapshot m currently claims on top of
     var failures = 0
     while (failures < MaxCommitRetries) {
-      if (tryPublish(m)) { maybeAutoCompact(m, action, diff); return m.version }
+      if (tryPublish(m)) {
+        maybeAutoCompact(m, action, diff)
+        maybeMirrorDelta(m)
+        return m.version
+      }
       failures += 1
       val fresh = snapshot()
       rebased(diff, m, onto, fresh) match {
@@ -2508,6 +2534,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       try { compact(target, values = Some(due)); () }
       catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Post-commit Delta mirroring
+    * (`TBLPROPERTIES('graft.deltaMirror.enabled'='true')` —
+    * [[DeltaLogBridge.mirrorCatchUp]]). Best-effort like auto-compact:
+    * the commit is already durable, and a failed catch-up re-runs on
+    * the next commit (translation is deterministic).
+    */
+  private def maybeMirrorDelta(m: Manifest): Unit =
+    if (m.properties.get(DeltaLogBridge.MirrorProp).exists(_.toBoolean))
+      try { DeltaLogBridge.mirrorCatchUp(this); () }
+      catch { case scala.util.control.NonFatal(_) => () }
 
   private def cleanupLostAttempt(diff: AttemptDiff, m: Manifest): Unit = {
     val committed = listVersions.flatMap(v => manifest(v).files.map(_.path)).toSet

@@ -288,4 +288,199 @@ object DeltaLogBridge {
     finally Files.deleteIfExists(tmp)
     snap.files.size
   }
+
+  // ----------------------------------------------------------- live mirror
+
+  /** `TBLPROPERTIES('graft.deltaMirror.enabled'='true')` keeps a
+    * `_delta_log` in lockstep with the commit log — external Delta
+    * readers (delta-spark, delta-rs, DuckDB delta) FOLLOW the live
+    * table, zero data copied. The post-commit hook calls
+    * [[mirrorCatchUp]]: the first run seeds a classic CHECKPOINT at the
+    * current graft version (so late enablement and vacuumed history
+    * need no version 0), then every graft commit appends the 1:1 Delta
+    * JSON commit translated from its manifest diff. Translation is
+    * DETERMINISTIC (stable table id, manifest timestamps), so racing
+    * catch-up writers produce byte-identical commits and the
+    * atomic-create claim makes the duplicate write harmless.
+    *
+    * Commits the v1 protocol can't express — a lazy-delete mark, live
+    * column mapping, an in-place file-entry change — write a
+    * `_GRAFT_MIRROR_BROKEN` marker and STOP the mirror: Delta readers
+    * keep the last consistent snapshot rather than silently drifting
+    * (delete the marker and the `_delta_log` after an OPTIMIZE to
+    * re-seed). Compaction mirrors with `dataChange=false`.
+    */
+  val MirrorProp = "graft.deltaMirror.enabled"
+  private val BrokenMarker = "_GRAFT_MIRROR_BROKEN"
+
+  private def stableId(dir: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      s"graft-delta-mirror:$dir".getBytes(UTF_8)).toString
+
+  private def metaDataJson(dir: String, schema: StructType,
+      partitionCol: Option[String], tsMillis: Long): String = {
+    val md = M.createObjectNode()
+    val mdN = md.putObject("metaData")
+    mdN.put("id", stableId(dir))
+    val fmt = mdN.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    mdN.put("schemaString", schema.json)
+    val pc = mdN.putArray("partitionColumns")
+    partitionCol.foreach(pc.add)
+    mdN.putObject("configuration")
+    mdN.put("createdTime", tsMillis)
+    M.writeValueAsString(md)
+  }
+
+  private def addJson(partitionCol: Option[String], f: CommitLogTable.LogFile,
+      tsMillis: Long, dataChange: Boolean): String = {
+    val add = M.createObjectNode()
+    val a = add.putObject("add")
+    a.put("path", encodePath(f.path))
+    val pv = a.putObject("partitionValues")
+    (partitionCol, f.partition) match {
+      case (Some(c), Some(v)) =>
+        if (v == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) pv.putNull(c)
+        else pv.put(c, v)
+      case _ => ()
+    }
+    a.put("size", f.bytes)
+    a.put("modificationTime", tsMillis)
+    a.put("dataChange", dataChange)
+    M.writeValueAsString(add)
+  }
+
+  /** Bring the mirror up to the table's latest version. Returns the
+    * mirrored head, or -1 if the mirror is (or just became) broken.
+    * Best-effort by contract: a crash mid-catch-up just re-runs on the
+    * next commit (translation is deterministic, claims are atomic).
+    */
+  def mirrorCatchUp(table: CommitLogTable): Long = {
+    val logDir = Paths.get(table.dir, "_delta_log")
+    if (Files.exists(logDir.resolve(BrokenMarker))) return -1L
+    val head = table.latestVersion
+    val snap = table.resolvedManifest(None)
+
+    def break(reason: String): Long = {
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(BrokenMarker),
+        s"mirror stopped at graft version $head: $reason\n".getBytes(UTF_8))
+      -1L
+    }
+
+    // first contact: seed a classic checkpoint at the CURRENT version
+    val mirrored: Long = {
+      if (!Files.isDirectory(logDir)) -1L
+      else {
+        val s = Files.list(logDir)
+        val vs = try s.iterator().asScala.map(_.getFileName.toString)
+          .flatMap { n =>
+            if (n.length == 25 && n.endsWith(".json") &&
+              n.dropRight(5).forall(_.isDigit)) Some(n.dropRight(5).toLong)
+            else if (n.endsWith(".checkpoint.parquet") &&
+              n.takeWhile(_.isDigit).length == 20)
+              Some(n.take(20).toLong)
+            else None
+          }.toVector
+        finally s.close()
+        if (vs.isEmpty) -1L else vs.max
+      }
+    }
+    if (mirrored < 0) {
+      if (snap.columnMapping.nonEmpty)
+        return break("live column mapping needs Delta reader v2+")
+      if (snap.files.exists(_.pendingDelete.isDefined))
+        return break("pending lazy-delete marks need deletion vectors")
+      exportCheckpoint(table, head)
+      return head
+    }
+
+    ((mirrored + 1) to head).foreach { v =>
+      val (action, added, removed) = table.versionFileDiff(v)
+      val m = table.resolvedManifest(Some(v))
+      if (m.columnMapping.nonEmpty)
+        return break(s"v$v introduced column mapping (Delta reader v2+)")
+      if (added.exists(_.pendingDelete.isDefined))
+        return break(s"v$v carries a lazy-delete mark (deletion vectors)")
+      if (added.exists(f => removed.contains(f.path)))
+        return break(s"v$v changed a file entry in place")
+      val prevSchema = table.resolvedManifest(Some(v - 1))
+      val sb = new StringBuilder
+      if (m.schema != prevSchema.schema ||
+          m.partitionCol != prevSchema.partitionCol)
+        sb.append(metaDataJson(table.dir, m.schema, m.partitionCol,
+          m.tsMillis)).append('\n')
+      val dataChange = action != "compact"
+      removed.toSeq.sorted.foreach { p =>
+        val rm = M.createObjectNode()
+        val r = rm.putObject("remove")
+        r.put("path", encodePath(p))
+        r.put("deletionTimestamp", m.tsMillis)
+        r.put("dataChange", dataChange)
+        sb.append(M.writeValueAsString(rm)).append('\n')
+      }
+      added.foreach(f =>
+        sb.append(addJson(m.partitionCol, f, m.tsMillis, dataChange))
+          .append('\n'))
+      // a no-op translation (e.g. a properties commit) still writes the
+      // empty commit — Delta versions must stay contiguous with graft's
+      AtomicCreateCoordinator.tryClaim(logDir, deltaName(v),
+        sb.toString.getBytes(UTF_8))
+    }
+    head
+  }
+
+  /** Seed a Delta log with ONE classic checkpoint at `version` (the
+    * current snapshot's protocol/metaData/adds as parquet action rows)
+    * plus `_last_checkpoint` — a legal log start with no version 0, so
+    * a mirror enabled late (or after history vacuum) begins exactly
+    * where the table is.
+    */
+  def exportCheckpoint(table: CommitLogTable, version: Long): Unit = {
+    val spark = table.spark
+    val snap = table.resolvedManifest(None)
+    val logDir = Paths.get(table.dir, "_delta_log")
+    Files.createDirectories(logDir)
+    import spark.implicits._
+    val hiveNull = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    val rows: Seq[(Option[(Int, Int)],
+        Option[(String, String, String, Seq[String])],
+        Option[(String, Map[String, String], Long, Long, Boolean)])] =
+      (Some((1, 2)), None, None) +:
+      (None, Some((stableId(table.dir), "parquet", snap.schema.json,
+        snap.partitionCol.toSeq)), None) +:
+      snap.files.map { f =>
+        val pv: Map[String, String] = (snap.partitionCol, f.partition) match {
+          case (Some(c), Some(v)) if v != hiveNull => Map(c -> v)
+          case (Some(c), Some(_)) => Map(c -> null)
+          case _ => Map.empty
+        }
+        (None, None,
+          Some((encodePath(f.path), pv, f.bytes, snap.tsMillis, false)))
+      }
+    val df = rows.toDF("p", "m", "a").selectExpr(
+      "named_struct('minReaderVersion', p._1, 'minWriterVersion', p._2) AS protocol",
+      "named_struct('id', m._1, 'format', named_struct('provider', m._2, " +
+        "'options', map()), 'schemaString', m._3, 'partitionColumns', m._4, " +
+        "'configuration', map(), 'createdTime', 0L) AS metaData",
+      "named_struct('path', a._1, 'partitionValues', a._2, 'size', a._3, " +
+        "'modificationTime', a._4, 'dataChange', a._5) AS add")
+      .selectExpr(
+        "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
+        "IF(metaData.id IS NULL, NULL, metaData) AS metaData",
+        "IF(add.path IS NULL, NULL, add) AS add")
+    val tmp = Files.createTempDirectory("graft-delta-ckpt").toString
+    df.coalesce(1).write.parquet(tmp + "/ck")
+    val part = { val s = Files.list(Paths.get(tmp, "ck"))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close() }
+    Files.copy(part, logDir.resolve(f"$version%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8))
+  }
 }

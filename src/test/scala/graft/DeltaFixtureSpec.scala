@@ -204,6 +204,57 @@ class DeltaFixtureSpec extends AnyFunSuite {
       assert(spark.read.format("delta").load(dir).count() == 40)
   }
 
+  test("live Delta mirror: every commit appends a 1:1 Delta commit; breaks cleanly on unmappables") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(20).select(($"id" % 3).as("day"), $"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Some("day"))
+    t.append(df, recordChanges = false) // v1, pre-mirror history
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true")) // v2: seeds
+    def mirrorEq(): Unit = {
+      val tt = CommitLogTable.open(spark, dir)
+      def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(key(DeltaLogBridge.read(spark, dir)) == key(tt.read()),
+        "the mirrored Delta log must read back the live table")
+      if (graft.operators.DeltaSqlTableOps.sessionReady(spark))
+        assert(spark.read.format("delta").load(dir).count() == tt.read().count())
+    }
+    mirrorEq() // checkpoint seed at v2
+    t.append(df.filter($"k" < 5).withColumn("k", $"k" + 100L))
+    mirrorEq() // v3 as Delta JSON commit 3
+    t.delete($"k" >= 100L) // copy-on-write: removes + re-adds
+    mirrorEq()
+    t.compact(1024L * 1024 * 1024) // may no-op; mirror stays consistent
+    mirrorEq()
+    // versions stay 1:1 — the Delta commit for graft v3 exists by name
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, "_delta_log/00000000000000000003.json")))
+    // an unmappable commit BREAKS the mirror instead of drifting:
+    // readers keep the last consistent snapshot
+    val before = DeltaLogBridge.read(spark, dir).count()
+    t.deleteLazy("k = 0")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, "_delta_log/_GRAFT_MIRROR_BROKEN")))
+    assert(DeltaLogBridge.read(spark, dir).count() == before,
+      "a broken mirror must freeze, not drift")
+    // and stays stopped on later commits
+    t.append(df.limit(1))
+    assert(DeltaLogBridge.read(spark, dir).count() == before)
+
+    // checkpoint seeding with a NULL partition value round-trips too
+    val dir2 = tmpDir() + "/tn"
+    val dfn = spark.range(6).select(
+      when($"id" % 2 === 0, lit(null).cast("long")).otherwise(1L).as("day"),
+      $"id".as("k"))
+    val tn = CommitLogTable.create(spark, dir2, dfn.schema, Some("day"))
+    tn.append(dfn, recordChanges = false)
+    tn.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    val back = DeltaLogBridge.read(spark, dir2).orderBy("k").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
+    assert(back == (0L until 6L).map(k =>
+      (if (k % 2 == 0) -1L else 1L, k)))
+  }
+
   test("export refuses snapshots the v1 protocol can't express") {
     val dir = tmpDir() + "/t"
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
