@@ -189,6 +189,7 @@ object SparkEntry {
     "q_table_ckpt" -> (Queries.tableCkpt _),
     "q_table_agg" -> (Queries.tableAgg _),
     "q_table_agg_group" -> (Queries.tableAggGroup _),
+    "q_table_multipart" -> (Queries.tableMultipart _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
   )
@@ -3926,6 +3927,15 @@ object SparkEntry {
       SELECT event_type, count(*) AS n_rows, min(event_id) AS min_id,
              max(value) AS max_value
       FROM events GROUP BY event_type""",
+
+    // grouped metadata-only aggregate over a MULTI-COLUMN-partitioned
+    // table: GROUP BY both partition columns, answered from the
+    // manifest's per-file partition tuples (zero data files read)
+    "q_table_multipart" -> """
+      SELECT event_type, CAST(event_id % 4 AS BIGINT) AS bucket,
+             count(*) AS n_rows, min(event_id) AS min_id,
+             max(value) AS max_value
+      FROM events GROUP BY 1, 2""",
 
     // table-read CDF over the SQL-catalog demo: two INSERT INTO halves
     // (even event_ids at version 1, odd at version 2), all insert images

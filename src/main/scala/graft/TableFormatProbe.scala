@@ -48,7 +48,7 @@ object TableFormatProbe {
         col("id").as("k"),
         (col("id") % p).cast("string").as("part"),
         ((col("id") * 7 % 1000) / 10.0).as("v"))
-      val t = CommitLogTable.create(spark, dir, df.schema, Some("part"))
+      val t = CommitLogTable.create(spark, dir, df.schema, Seq("part"))
       rec(p, "append_full", timeMs(t.append(df, recordChanges = false))._2)
 
       // snapshot resolution + plan only (no execution): the reader-side

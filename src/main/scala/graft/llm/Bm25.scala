@@ -200,7 +200,7 @@ object Bm25 {
     // which owns the change feed — insert images here would double the
     // append's write volume for re-derivable rows
     try graft.tables.CommitLogTable.forPath(spark, dir, batch.schema,
-      Some("term_bucket")).append(batch, recordChanges = false)
+      Seq("term_bucket")).append(batch, recordChanges = false)
     finally base.unpersist(false)
   }
 

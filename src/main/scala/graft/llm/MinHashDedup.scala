@@ -58,7 +58,7 @@ object MinHashDedup {
         col("__mh").getItem(i).as(s"m$i")): _*)
     // recordChanges=false: signatures are derived from the document
     // table, which owns the change feed
-    graft.tables.CommitLogTable.forPath(spark, dir, sigs.schema, None)
+    graft.tables.CommitLogTable.forPath(spark, dir, sigs.schema, Seq.empty)
       .append(sigs, recordChanges = false)
   }
 

@@ -512,7 +512,7 @@ object Similarity {
       .select(col("vec_id"), col("__v").as("vec"),
         col("__vn").as("norm2"), col("centroid_id"))
     val table = graft.tables.CommitLogTable.forPath(spark, dir,
-      assigned.schema, Some("centroid_id"))
+      assigned.schema, Seq("centroid_id"))
     // recordChanges=false: inverted-list rows are derived (assignment of
     // the corpus batch) — the embeddings table owns the change feed
     table.append(assigned, recordChanges = false)

@@ -109,14 +109,14 @@ object CommitLogTableOps extends TableOps {
   override def upsertPartitions(batch: DataFrame, targetDir: String,
       keys: Seq[String], order: Seq[Column], dayCol: String): Unit = {
     val tbl = CommitLogTable.forPath(batch.sparkSession, targetDir,
-      batch.schema, Some(dayCol))
+      batch.schema, Seq(dayCol))
     tbl.merge(batch, keys, order, mergeSchema = evolves(tbl, batch))
   }
 
   override def upsert(batch: DataFrame, targetDir: String, keys: Seq[String],
       order: Seq[Column]): Unit = {
     val tbl = CommitLogTable.forPath(batch.sparkSession, targetDir,
-      batch.schema, None)
+      batch.schema, Seq.empty)
     tbl.merge(batch, keys, order, mergeSchema = evolves(tbl, batch))
   }
 

@@ -122,16 +122,15 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partitionCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-        Some(t.references.head.fieldNames.mkString("."))
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
       case other => throw new IllegalArgumentException(
-        s"commitlog tables support one identity partition column, got " +
-          other.mkString(", "))
+        s"commitlog tables support identity partition columns only, got " +
+          other.toString)
     }
     Files.createDirectories(Paths.get(dirOf(ident)).getParent)
-    val t = CommitLogTable.create(spark, dirOf(ident), schema, partitionCol)
+    val t = CommitLogTable.create(spark, dirOf(ident), schema, partitionCols)
     // USING/option properties that are Spark bookkeeping don't persist
     val props = properties.asScala.toMap --
       Seq("provider", "location", "owner", "external")
@@ -635,12 +634,12 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
             : org.apache.spark.sql.connector.distributions.Distribution = {
           import org.apache.spark.sql.connector.distributions.Distributions
           val streaming = info.options().containsKey("checkpointLocation")
-          (if (streaming) snap.partitionCol else None) match {
-            case Some(p) => Distributions.clustered(Array(
-              org.apache.spark.sql.connector.expressions.Expressions
-                .identity(p)))
-            case None => Distributions.unspecified()
-          }
+          val pcols = if (streaming) snap.partitionCols else Seq.empty
+          if (pcols.nonEmpty) Distributions.clustered(pcols.map(p =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(p): org.apache.spark.sql.connector.expressions
+              .Expression).toArray)
+          else Distributions.unspecified()
         }
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =

@@ -88,7 +88,7 @@ final class CommitLogStreamingWrite(spark: SparkSession, dir: String,
     hc.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     CommitLogEpochWriterFactory(stageRoot,
       new SerializableConfiguration(hc), physSchema,
-      snap.partitionCol.map(logicalSchema.fieldIndex),
+      snap.partitionCols.map(logicalSchema.fieldIndex),
       sqlConf.sessionLocalTimeZone)
   }
 
@@ -127,14 +127,15 @@ final class CommitLogStreamingWrite(spark: SparkSession, dir: String,
 }
 
 /** One commit message per task: the staged files it wrote, each with
-  * its table-partition value string (None on unpartitioned tables).
+  * its table-partition value strings (empty on unpartitioned tables),
+  * positionally aligned with the table's partition columns.
   */
-final case class CommitLogStageMessage(files: Seq[(String, Option[String])])
+final case class CommitLogStageMessage(files: Seq[(String, Seq[String])])
     extends WriterCommitMessage
 
 final case class CommitLogEpochWriterFactory(stageRoot: String,
     conf: SerializableConfiguration, physSchema: StructType,
-    partIdx: Option[Int], zone: String) extends StreamingDataWriterFactory {
+    partIdx: Seq[Int], zone: String) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new CommitLogEpochWriter(s"$stageRoot/$epochId", conf.value, physSchema,
@@ -150,25 +151,27 @@ final case class CommitLogEpochWriterFactory(stageRoot: String,
   * values.
   */
 final class CommitLogEpochWriter(stageDir: String, conf: Configuration,
-    physSchema: StructType, partIdx: Option[Int], zone: String,
+    physSchema: StructType, partIdx: Seq[Int], zone: String,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   private val writers =
-    mutable.LinkedHashMap.empty[Option[String], (String, ParquetWriter[InternalRow])]
+    mutable.LinkedHashMap.empty[Seq[String], (String, ParquetWriter[InternalRow])]
 
-  private val partOf: InternalRow => Option[String] = partIdx match {
-    case None => _ => None
-    case Some(i) =>
-      val f = physSchema(i)
-      val cast = Cast(BoundReference(i, f.dataType, f.nullable), StringType,
-        Some(zone), EvalMode.LEGACY)
-      row => {
+  private val partOf: InternalRow => Seq[String] =
+    if (partIdx.isEmpty) { _ => Seq.empty }
+    else {
+      val casts = partIdx.map { i =>
+        val f = physSchema(i)
+        Cast(BoundReference(i, f.dataType, f.nullable), StringType,
+          Some(zone), EvalMode.LEGACY)
+      }
+      row => casts.map { cast =>
         val v = cast.eval(row)
         // null partition value routes to the default-partition sentinel
         // (appendStagedFiles maps "" there, matching partitionBy)
-        Some(if (v == null) "" else v.toString)
+        if (v == null) "" else v.toString
       }
-  }
+    }
 
   private final class B(path: HPath)
       extends ParquetWriter.Builder[InternalRow, B](path) {

@@ -197,13 +197,23 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     }
   }
 
+  /** Partition columns from write options: `partitionCols` (comma-
+    * separated) preferred, legacy single-column `partitionCol` accepted.
+    */
+  private def partitionColsOption(parameters: Map[String, String]): Seq[String] =
+    parameters.get("partitionCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(parameters.get("partitionCol").map(Seq(_)))
+      .getOrElse(Seq.empty)
+
   /** V1 batch WRITE path (`df.write.format("commitlog").mode(...)
     * .save(dir)`): DataFrameWriter falls back here because the V2 table
     * deliberately exposes no BATCH_WRITE — every mode maps onto one
     * TRANSACTIONAL table commit (blind append, atomic overwrite), so a
     * plain `df.write` user gets the commit log's atomicity, CDF, and
-    * stats without touching the table API. Options: `partitionCol` (used
-    * at creation), `mergeSchema` (schema evolution on append/overwrite).
+    * stats without touching the table API. Options: `partitionCols`
+    * (comma-separated, used at creation; legacy `partitionCol` accepted),
+    * `mergeSchema` (schema evolution on append/overwrite).
     */
   override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
       mode: org.apache.spark.sql.SaveMode,
@@ -213,28 +223,28 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("commitlog write: missing path"))
-    val partitionCol = parameters.get("partitionCol")
+    val partitionCols = partitionColsOption(parameters)
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     val existed = CommitLogTable.exists(path)
     mode match {
       case Append =>
-        CommitLogTable.forPath(spark, path, data.schema, partitionCol)
+        CommitLogTable.forPath(spark, path, data.schema, partitionCols)
           .append(data, mergeSchema = mergeSchema)
       case Overwrite =>
         if (existed)
           CommitLogTable.open(spark, path)
             .overwrite(data, mergeSchema = mergeSchema)
         else
-          CommitLogTable.create(spark, path, data.schema, partitionCol)
+          CommitLogTable.create(spark, path, data.schema, partitionCols)
             .append(data)
       case ErrorIfExists =>
         if (existed) throw new IllegalStateException(
           s"commitlog table already exists at $path (mode=ErrorIfExists)")
-        CommitLogTable.create(spark, path, data.schema, partitionCol)
+        CommitLogTable.create(spark, path, data.schema, partitionCols)
           .append(data)
       case Ignore =>
         if (!existed)
-          CommitLogTable.create(spark, path, data.schema, partitionCol)
+          CommitLogTable.create(spark, path, data.schema, partitionCols)
             .append(data)
     }
     new org.apache.spark.sql.sources.BaseRelation {
@@ -266,15 +276,17 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(s"commitlog-sink:$path")
-    val partitionCol =
-      parameters.get("partitionCol").orElse(partitionColumns.headOption)
+    val partitionCols = {
+      val opt = partitionColsOption(parameters)
+      if (opt.nonEmpty) opt else partitionColumns
+    }
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
           data: org.apache.spark.sql.DataFrame): Unit = {
         val batch = org.apache.spark.sql.graftbridge.asBatchFrame(data)
         CommitLogTable
-          .forPath(sqlContext.sparkSession, path, batch.schema, partitionCol)
+          .forPath(sqlContext.sparkSession, path, batch.schema, partitionCols)
           .append(batch, mergeSchema = mergeSchema,
             txn = Some((appId, batchId)))
       }
@@ -377,13 +389,13 @@ class CommitLogV2Table(spark: SparkSession, dir: String,
   override def name(): String =
     s"commitlog.`$dir`" + version.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snap.schema
-  /** Identity partitioning on the table's partition column — what SHOW
+  /** Identity partitioning on the table's partition columns — what SHOW
     * CREATE TABLE / DESCRIBE render as `PARTITIONED BY` and what write
     * distribution planning sees.
     */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    snap.partitionCol.map(p =>
+    snap.partitionCols.map(p =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(p))
       .toArray
   override def capabilities(): java.util.Set[TableCapability] =
@@ -581,19 +593,27 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
       case Nil =>
         aggRow(snap.files).map(r => (StructType(r.map(_._1)), Seq(r.map(_._2))))
       case groups =>
-        // grouped: answerable only when EVERY grouping expression is the
-        // table's partition column — each group is then a manifest file
-        // subset keyed by its recorded partition value
-        val pcol = snap.partitionCol.getOrElse(return None)
-        val pfield = snap.schema.fields.find(_.name == pcol).getOrElse(return None)
-        val allPart = groups.forall {
-          case r: NamedReference =>
-            r.fieldNames.length == 1 && r.fieldNames.head == pcol
-          case _ => false
+        // grouped: answerable only when EVERY grouping expression names
+        // one of the table's PARTITION columns — each group is then a
+        // manifest file subset keyed by its recorded partition tuple.
+        // Spark's pushdown contract expects ONE output key column PER
+        // groupBy expression (duplicated expressions included), so the
+        // key columns are emitted positionally from `groups`, not from
+        // the distinct column set.
+        if (snap.partitionCols.isEmpty) return None
+        // each grouping expression → index of the partition column it names
+        val groupIdx: Seq[Int] = groups.map {
+          case r: NamedReference if r.fieldNames.length == 1 =>
+            snap.partitionCols.indexOf(r.fieldNames.head)
+          case _ => -1
         }
-        if (!allPart) return None
-        // a file without a partition value can't be placed in any group
-        if (snap.files.exists(_.partition.isEmpty)) return None
+        if (groupIdx.exists(_ < 0)) return None
+        val groupFields = groupIdx.map(i =>
+          snap.schema.fields.find(_.name == snap.partitionCols(i))
+            .getOrElse(return None))
+        // a file without a full partition tuple can't be placed in any group
+        if (snap.files.exists(_.partitionVals.length != snap.partitionCols.length))
+          return None
         val hiveNull = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
         // a STRING partition column conflates "" and NULL in the
@@ -602,14 +622,26 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
         // column — the row path distinguishes them, so a marker-bearing
         // string partition must fall back rather than return a key the
         // row path wouldn't
-        if (pfield.dataType == StringType &&
-            snap.files.exists(_.partition.contains(hiveNull))) return None
-        val rows = snap.files.groupBy(_.partition.get).toSeq
-          .map { case (pv, fs) =>
-            val key: Option[Any] =
-              if (pv == hiveNull) Some(null)
-              else internal(pfield, pv) // None = string doesn't round-trip
-            for { k <- key; r <- aggRow(fs) } yield (k, r)
+        val usedIdx = groupIdx.distinct
+        if (usedIdx.exists { i =>
+          groupFields(groupIdx.indexOf(i)).dataType == StringType &&
+            snap.files.exists(_.partitionVals(i) == hiveNull)
+        }) return None
+        // grouping is over the DISTINCT referenced columns' value tuples
+        // (a duplicated groupBy expression re-reads the same value)
+        val rows = snap.files.groupBy(f => usedIdx.map(f.partitionVals)).toSeq
+          .map { case (tuple, fs) =>
+            val keys: Seq[Option[Any]] = groupIdx.zip(groupFields).map {
+              case (i, fld) =>
+                val pv = tuple(usedIdx.indexOf(i))
+                if (pv == hiveNull) Some(null)
+                else internal(fld, pv) // None = string doesn't round-trip
+            }
+            for {
+              ks <- if (keys.exists(_.isEmpty)) None
+                    else Some(keys.map(_.get))
+              r <- aggRow(fs)
+            } yield (ks, r)
           }
         if (rows.exists(_.isEmpty)) return None
         val done = rows.map(_.get)
@@ -618,8 +650,8 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
         val aggFields = done.headOption.map(_._2.map(_._1))
           .orElse(aggRow(Nil).map(_.map(_._1)))
           .getOrElse(return None)
-        Some((StructType(pfield +: aggFields),
-          done.map { case (k, r) => k +: r.map(_._2) }))
+        Some((StructType(groupFields ++ aggFields),
+          done.map { case (ks, r) => ks ++ r.map(_._2) }))
     }
   }
 
@@ -783,47 +815,57 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
 
   // ---- storage-partitioned joins (SPARK-37375, the Iceberg pattern) ----
 
-  private def partitionField: Option[org.apache.spark.sql.types.StructField] =
-    snap.partitionCol.flatMap(p =>
+  private def partitionFields: Seq[org.apache.spark.sql.types.StructField] =
+    snap.partitionCols.flatMap(p =>
       snap.schema.fields.find(_.name.equalsIgnoreCase(p)))
 
-  /** File groups keyed by the table's partition value, in the value's
-    * INTERNAL Catalyst form — the unit of a storage-partitioned join.
+  /** File groups keyed by the table's partition TUPLE, each value in
+    * its INTERNAL Catalyst form — the unit of a storage-partitioned
+    * join (composite keys report a multi-expression
+    * KeyGroupedPartitioning, exactly Iceberg's multi-identity shape).
     * None when the scan can't guarantee key-grouping: no partition
-    * column, the column was projected away (nothing to resolve the key
-    * against), a pre-partitioning file with no recorded value, or a
+    * columns, a partition column was projected away (nothing to resolve
+    * the key against), a pre-partitioning file with no full tuple, or a
     * value string that doesn't round-trip through a TRY cast.
     * Recomputed per call (cheap driver arithmetic) so runtime filtering
     * ([[filter]]) and partition planning always agree on the groups.
     */
-  private def keyedGroups: Option[Seq[(InternalRow, Seq[LogFile])]] =
-    partitionField.flatMap { f =>
-      if (!required.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
-          prunedFiles.isEmpty || prunedFiles.exists(_.partition.isEmpty)) None
-      else {
-        import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
-        val sentinel = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
-        // group by the STRING the writer serialized (canonical per value —
-        // every file of one partition carries the identical string)
-        val keyed = prunedFiles.groupBy(_.partition.get).toSeq.sortBy(_._1)
-          .map { case (s, fs) =>
+  private def keyedGroups: Option[Seq[(InternalRow, Seq[LogFile])]] = {
+    val fields = partitionFields
+    if (fields.length != snap.partitionCols.length || fields.isEmpty) return None
+    if (!fields.forall(f =>
+          required.fieldNames.exists(_.equalsIgnoreCase(f.name))) ||
+        prunedFiles.isEmpty ||
+        prunedFiles.exists(_.partitionVals.length != fields.length)) None
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+      val sentinel = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      // group by the STRING tuple the writer serialized (canonical per
+      // value — every file of one partition carries identical strings)
+      val keyed = prunedFiles.groupBy(_.partitionVals).toSeq
+        .sortBy(_._1.mkString(" "))
+        .map { case (tuple, fs) =>
+          val vs = tuple.zip(fields).map { case (s, f) =>
             val v =
               if (s == sentinel) null // partitionBy's NULL-value sentinel
               else Cast(Literal(
                 org.apache.spark.unsafe.types.UTF8String.fromString(s),
                 org.apache.spark.sql.types.StringType),
                 f.dataType, zone, EvalMode.TRY).eval()
-            (s, v, fs)
+            (s, v)
           }
-        if (keyed.exists { case (s, v, _) => v == null && s != sentinel }) None
-        else Some(keyed.map { case (_, v, fs) =>
-          (new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array[Any](v)): InternalRow, fs)
-        })
-      }
+          (vs, fs)
+        }
+      if (keyed.exists { case (vs, _) =>
+            vs.exists { case (s, v) => v == null && s != sentinel } }) None
+      else Some(keyed.map { case (vs, fs) =>
+        (new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vs.map(_._2).toArray[Any]): InternalRow, fs)
+      })
     }
+  }
 
   /** Reported whenever the file list is key-groupable; INERT until
     * `spark.sql.sources.v2.bucketing.enabled` — with it off (the
@@ -842,9 +884,10 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     keyedGroups match {
       case Some(g) =>
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(Array(
+          .KeyGroupedPartitioning(partitionFields.map(f =>
             org.apache.spark.sql.connector.expressions.Expressions
-              .identity(partitionField.get.name)), g.size)
+              .identity(f.name): org.apache.spark.sql.connector
+              .expressions.Expression).toArray, g.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -1048,8 +1091,10 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
             case "_file_path" =>
               org.apache.spark.unsafe.types.UTF8String.fromString(abs)
             case "_file_size" => f.bytes
-            case "_partition" => f.partition
-              .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+            case "_partition" =>
+              if (f.partitionVals.isEmpty) null
+              else org.apache.spark.unsafe.types.UTF8String
+                .fromString(f.partitionKey)
             case other => throw new IllegalStateException(
               s"unknown metadata column $other")
           }).toArray

@@ -216,7 +216,7 @@ object FileStreamIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.tables.CommitLogTable
-          .forPath(batch.sparkSession, tableDir, batch.schema, None)
+          .forPath(batch.sparkSession, tableDir, batch.schema, Seq.empty)
           .append(batch, txn = Some((appId, batchId)))
         ()
       }
@@ -240,7 +240,7 @@ object FileStreamIngest {
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.tables.CommitLogTable
-          .forPath(batch.sparkSession, tableDir, batch.schema, None)
+          .forPath(batch.sparkSession, tableDir, batch.schema, Seq.empty)
           .append(batch, txn = Some((appId, batchId)))
         ()
       }

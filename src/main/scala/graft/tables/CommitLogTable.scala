@@ -180,9 +180,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   def readPartitions(values: Set[String],
       version: Option[Long] = None): DataFrame = {
     val m = manifest(version.getOrElse(latestVersion))
-    require(m.partitionCol.isDefined,
+    require(m.partitionCols.nonEmpty,
       s"readPartitions on unpartitioned table $dir")
-    val pruned = m.files.filter(_.partition.exists(values.contains))
+    // `values` match the FIRST partition column (single-column tables:
+    // exactly the historical behavior; composite tables: prefix pruning)
+    val pruned = m.files.filter(_.partitionVals.headOption.exists(values.contains))
     version.foreach(v => requireFilesPresent(
       m.copy(files = pruned), s"readPartitions(version=$v)"))
     readFiles(pruned, m.schema, m.columnMapping)
@@ -535,7 +537,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         if (snap.txns.get(appId).exists(_ >= v)) throw NoOpCommit }
       val (schema2, mapping2, aligned) = resolveSchema(df, snap, mergeSchema)
       enforceConstraints(snap, aligned, "append")
-      val (newFiles, dataRows, sub) = writeData(aligned, snap.partitionCol, mapping2)
+      val (newFiles, dataRows, sub) = writeData(aligned, snap.partitionCols, mapping2)
       // idle-stream guard, detected POST-write (costs no extra action —
       // an isEmpty pre-probe would re-execute the batch pipeline): an
       // empty batch must not publish a version, or a scheduled append
@@ -575,18 +577,18 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * and publishes nothing — exactly-once across sink restarts.
     */
   private[graft] def appendStagedFiles(
-      staged: Seq[(Path, Option[String])],
+      staged: Seq[(Path, Seq[String])],
       writtenSchema: StructType, txn: (String, Long)): Long = {
     val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
-    staged.zipWithIndex.foreach { case ((p, part), i) =>
-      val dirPart = part.map { s =>
+    staged.zipWithIndex.foreach { case ((p, partVals), i) =>
+      val dirPart = partVals.zipWithIndex.map { case (s, j) =>
         val v = if (s.isEmpty)
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .DEFAULT_PARTITION_NAME
         else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(s)
-        s"$ShadowPartCol=$v/"
-      }.getOrElse("")
+        s"${shadowColName(j)}=$v/"
+      }.mkString
       val target = Paths.get(dir, sub, dirPart + f"f-$i%05d.parquet")
       Files.createDirectories(target.getParent)
       Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -596,10 +598,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         deleteRecursively(Paths.get(dir, sub))
         throw NoOpCommit
       }
-      require(snap.partitionCol.isDefined == staged.exists(_._2.isDefined)
-          || staged.isEmpty,
+      require(staged.isEmpty ||
+          staged.forall(_._2.length == snap.partitionCols.length),
         s"streaming write partition routing does not match the table's " +
-          s"partitioning (partitionCol=${snap.partitionCol})")
+          s"partitioning (partitionCols=${snap.partitionCols.mkString(",")})")
       require(schemaSig(writtenSchema) == schemaSig(snap.schema),
         s"streaming write schema drift: table now has ${snap.schema.toDDL}, " +
           s"the stream writes ${writtenSchema.toDDL} — restart the stream")
@@ -646,7 +648,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     retryCommit("overwrite") { snap =>
       val (schema2, mapping2, aligned) = resolveSchema(df, snap, mergeSchema)
       enforceConstraints(snap, aligned, "overwrite")
-      val (newFiles, dataRows, _) = writeData(aligned, snap.partitionCol, mapping2)
+      val (newFiles, dataRows, _) = writeData(aligned, snap.partitionCols, mapping2)
       val changesSub = if (!recordChanges) None else Some(writeChanges(
         readFiles(snap.files, snap.schema, snap.columnMapping)
           .withColumn("_change_type", lit("delete"))
@@ -707,19 +709,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // is the materialization the body pays anyway)
       if (latest.isEmpty) throw NoOpCommit
       enforceConstraints(snap, latest, "merge")
-      val (affected, untouched) = snap.partitionCol match {
-        case Some(p) =>
-          // bounded driver collect: distinct partition values of ONE batch
+      val (affected, untouched) =
+        if (snap.partitionCols.isEmpty) (snap.files, Seq.empty[LogFile])
+        else {
+          // bounded driver collect: distinct partition TUPLES of ONE batch
           // (micro-batches touch a handful of days; a backfill, a few
           // hundred) — never corpus-scale. NULL partition values must map
           // to the Hive default-partition name the manifest stores, or
           // the NULL-partition file would silently escape the rewrite
-          val vals = latest.select(
-              coalesce(col(p).cast("string"), lit(HiveDefaultPartition)))
-            .distinct().collect().map(_.getString(0)).toSet
-          snap.files.partition(f => f.partition.exists(vals.contains))
-        case None => (snap.files, Seq.empty[LogFile])
-      }
+          val tuples = latest.select(snap.partitionCols.map(p =>
+              coalesce(col(p).cast("string"), lit(HiveDefaultPartition))): _*)
+            .distinct().collect()
+            .map(r => snap.partitionCols.indices.map(r.getString): Seq[String])
+            .toSet
+          snap.files.partition(f => tuples.contains(f.partitionVals))
+        }
       val target = readFiles(affected, schema2, mapping2)
       // explicit presence markers, NOT key-nullness: a NULL merge key never
       // equi-matches (SQL semantics — it inserts, like Delta MERGE), and
@@ -747,7 +751,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           .unionByName(joined.filter(uP && tP).select(side("u"): _*)
             .withColumn("_change_type", lit("update_postimage")))
         val (newFiles, _, _) = writeData(joined.select(picks: _*),
-          snap.partitionCol, mapping2)
+          snap.partitionCols, mapping2)
         val changesSub = writeChanges(changes, snap.version + 1, mapping2)
         val counts = joined.agg(
           sum(when(uP && !tP, 1L).otherwise(0L)),
@@ -942,7 +946,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             postImages.map(_.withColumn(ct, lit("update_postimage"))).toSeq
           val allChanges = changes.reduce(_ unionByName _)
 
-          val (newFiles, _, _) = writeData(kept, snap.partitionCol,
+          val (newFiles, _, _) = writeData(kept, snap.partitionCols,
             snap.columnMapping)
           val changesSub = writeChanges(allChanges, snap.version + 1,
             snap.columnMapping)
@@ -966,36 +970,52 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       src: DataFrame): (Seq[LogFile], Seq[LogFile]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq}
-    snap.partitionCol match {
-      case Some(p) =>
-        val e = org.apache.spark.sql.graftbridge.toCatalystExpression(condition)
-        def conjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          x match {
-            case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
-            case o => Seq(o)
-          }
-        def isT(a: UnresolvedAttribute): Boolean =
-          a.nameParts.length == 2 && a.nameParts.head == "t" &&
-            a.nameParts(1).equalsIgnoreCase(p)
-        def isS(a: UnresolvedAttribute): Boolean =
-          a.nameParts.length == 2 && a.nameParts.head == "s"
-        val sCol = conjuncts(e).collectFirst {
-          case CEq(a: UnresolvedAttribute, b: UnresolvedAttribute)
-            if isT(a) && isS(b) => b.nameParts(1)
-          case CEq(a: UnresolvedAttribute, b: UnresolvedAttribute)
-            if isT(b) && isS(a) => a.nameParts(1)
-        }
-        sCol match {
-          case Some(sc) =>
-            val vals = src.select(col(sc).cast("string").as("v"))
-              .filter(col("v").isNotNull).distinct()
-              .collect().map(_.getString(0)).toSet
-            snap.files.partition(f => f.partition.exists(vals.contains))
-          case None => (snap.files, Seq.empty)
-        }
-      case None => (snap.files, Seq.empty)
+    if (snap.partitionCols.isEmpty) return (snap.files, Seq.empty)
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr}
+    val e = org.apache.spark.sql.graftbridge.toCatalystExpression(condition)
+    // the SQL parser builds And/EqualTo Catalyst nodes; the Column DSL
+    // builds UnresolvedFunction('and'/'=') — both spellings must prune
+    def conjuncts(x: CExpr): Seq[CExpr] = x match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case UnresolvedFunction(Seq("and"), Seq(l, r), false, _, _, _, _) =>
+        conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
     }
+    def eqSides(x: CExpr): Option[(CExpr, CExpr)] = x match {
+      case CEq(l, r) => Some((l, r))
+      case UnresolvedFunction(Seq("="), Seq(l, r), false, _, _, _, _) =>
+        Some((l, r))
+      case _ => None
+    }
+    def isT(a: UnresolvedAttribute, p: String): Boolean =
+      a.nameParts.length == 2 && a.nameParts.head == "t" &&
+        a.nameParts(1).equalsIgnoreCase(p)
+    def isS(a: UnresolvedAttribute): Boolean =
+      a.nameParts.length == 2 && a.nameParts.head == "s"
+    val eqs: Seq[(UnresolvedAttribute, UnresolvedAttribute)] =
+      conjuncts(e).flatMap(eqSides).collect {
+        case (a: UnresolvedAttribute, b: UnresolvedAttribute) => (a, b)
+      }
+    // per-partition-column source binding: any partition column with an
+    // equi-conjunct prunes independently (the per-column value sets are
+    // a superset of the exact tuple set — always sound, and one bound
+    // column already bounds the rewrite; NULL source keys never match)
+    val bound: Seq[(Int, Set[String])] = snap.partitionCols.zipWithIndex
+      .flatMap { case (p, i) =>
+        eqs.collectFirst {
+          case (a, b) if isT(a, p) && isS(b) => b.nameParts(1)
+          case (a, b) if isT(b, p) && isS(a) => a.nameParts(1)
+        }.map { sc =>
+          val vals = src.select(col(sc).cast("string").as("v"))
+            .filter(col("v").isNotNull).distinct()
+            .collect().map(_.getString(0)).toSet
+          (i, vals)
+        }
+      }
+    if (bound.isEmpty) (snap.files, Seq.empty)
+    else snap.files.partition(f => bound.forall { case (i, vals) =>
+      f.partitionVals.lift(i).exists(vals.contains) })
   }
 
   /** UPDATE rows matching `predicate`: each matched row's `set` columns
@@ -1013,8 +1033,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     retryCommit("update") { snap =>
       set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
         s"update: no column '$c' in ${snap.schema.fieldNames.mkString(",")}"))
-      require(!snap.partitionCol.exists(set.contains),
-        "update: cannot SET the partition column (a row may not move partitions)")
+      require(!snap.partitionCols.exists(set.contains),
+        "update: cannot SET a partition column (a row may not move partitions)")
       // stats pruning (same prover as deleteLazy): files whose (min, max)
       // PROVE no row matches carry over BY REFERENCE, marks and all — a
       // one-partition-selective UPDATE on a clustered 100 TB table
@@ -1034,7 +1054,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         enforceConstraints(snap, updatedRows, "update")
         val (newFiles, _, updSub) = writeData(
           current.filter(!hits).unionByName(updatedRows),
-          snap.partitionCol, snap.columnMapping)
+          snap.partitionCols, snap.columnMapping)
         val changesSub = writeChanges(
           current.filter(hits).withColumn("_change_type", lit("update_preimage"))
             .unionByName(updatedRows
@@ -1083,7 +1103,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val goes = coalesce(predicate, lit(false))
     try {
       val (newFiles, _, delSub) = writeData(current.filter(!goes),
-        snap.partitionCol, snap.columnMapping)
+        snap.partitionCols, snap.columnMapping)
       val changesSub = writeChanges(
         current.filter(goes).withColumn("_change_type", lit("delete")),
         snap.version + 1, snap.columnMapping)
@@ -1312,14 +1332,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val mapping2 = (snap.columnMapping - oldName) ++
         (if (physName == newName) Map.empty[String, String]
          else Map(newName -> physName))
-      val pcol2 = snap.partitionCol.map(p => if (p == oldName) newName else p)
+      val pcols2 = snap.partitionCols.map(p => if (p == oldName) newName else p)
       // metadata-only: the files (and their sort order) are untouched, so
       // the clustered marker survives — dropping it would make the next
       // scheduled clustered compact rewrite the whole table for nothing
       mkManifest(snap, "rename", snap.files, rowsInserted = 0,
         rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
         changesDir = None, schema = schema2, columnMapping = mapping2,
-        partitionCol = pcol2, clusteredBy = snap.clusteredBy)
+        partitionCols = pcols2, clusteredBy = snap.clusteredBy)
     }
 
   /** Metadata-only column DROP (the other half of Delta column mapping):
@@ -1334,8 +1354,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   def dropColumn(name: String): Long = retryCommit("drop") { snap =>
     require(snap.schema.fieldNames.contains(name),
       s"dropColumn: no column '$name' in ${snap.schema.fieldNames.mkString(",")}")
-    require(!snap.partitionCol.contains(name),
-      s"dropColumn: '$name' is the partition column")
+    require(!snap.partitionCols.contains(name),
+      s"dropColumn: '$name' is a partition column")
     require(snap.schema.fields.length > 1,
       "dropColumn: cannot drop the last column")
     constraintRefs(snap).foreach { case (n, refs) =>
@@ -1481,7 +1501,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // compact would re-read and rewrite the whole table on every idle
       // run, which is exactly what the no-op guard below exists to stop
       val alreadyClustered = sortKey.isEmpty || snap.clusteredBy == sortKey
-      val groups = snap.files.groupBy(_.partition.getOrElse(""))
+      val groups = snap.files.groupBy(_.partitionKey)
         .filter { case (v, _) => values.forall(_.contains(v)) }
       val results = inParallel(groups.toSeq.sortBy(_._1)) { case (v, fs) =>
         val bytes = fs.map(_.bytes).sum
@@ -1505,7 +1525,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             else if (nOut == 1) src.coalesce(1).sortWithinPartitions(sortCols: _*)
             else src.repartitionByRange(nOut, sortCols: _*)
               .sortWithinPartitions(sortCols: _*)
-          val (nf, _, _) = writeData(df, snap.partitionCol, snap.columnMapping,
+          val (nf, _, _) = writeData(df, snap.partitionCols, snap.columnMapping,
             preClustered = true)
           (v, fs.size, nf.size, fs, nf)
         }
@@ -1643,7 +1663,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     mkManifest(snap, "restore", old.files, rowsInserted = 0, rowsUpdated = 0,
       rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None,
       schema = old.schema, columnMapping = old.columnMapping,
-      partitionCol = old.partitionCol, retiredPhysical = old.retiredPhysical,
+      partitionCols = old.partitionCols, retiredPhysical = old.retiredPhysical,
       // constraints travel with the schema they reference (a head-side
       // constraint may name a column the restored schema lacks), and the
       // restored version's clustered marker is exactly as valid as its
@@ -1683,7 +1703,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       if (f.path.startsWith("/")) f.path // cloning a clone: already absolute
       else Paths.get(dir, f.path).toAbsolutePath.normalize.toString))
     val v0 = Manifest(0L, "clone", System.currentTimeMillis(), m.schema,
-      m.partitionCol, absolute, 0, 0, 0, m.rowsTotal, None, m.clusteredBy,
+      m.partitionCols, absolute, 0, 0, 0, m.rowsTotal, None, m.clusteredBy,
       m.columnMapping, m.retiredPhysical, m.txns, m.constraints,
       m.properties)
     require(t.tryPublish(v0), s"shallowCloneTo: lost the v0 race at $targetDir")
@@ -1981,24 +2001,29 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * the data files — explicit-file reads then need no path-based
     * partition reconstruction, which cannot span multiple commit roots.
     */
-  private def writeData(df: DataFrame, partitionCol: Option[String],
+  private def writeData(df: DataFrame, partitionCols: Seq[String],
       mapping: Map[String, String],
       preClustered: Boolean = false): (Seq[LogFile], Long, String) = {
     val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
     val abs = s"$dir/$sub"
     val physDf = toPhysical(df, mapping)
-    partitionCol match {
-      case Some(p) =>
-        // preClustered: the caller already co-located (and possibly
-        // sorted) the rows — compact's per-partition rewrites — and a
-        // repartition here would both redistribute and UNSORT them
+    if (partitionCols.nonEmpty) {
+      // preClustered: the caller already co-located (and possibly
+      // sorted) the rows — compact's per-partition rewrites — and a
+      // repartition here would both redistribute and UNSORT them.
+      // One shadow column per partition column, written in partition
+      // order so the directory nesting is positionally decodable.
+      val shadows = partitionCols.zipWithIndex.map { case (p, i) =>
         val physP = mapping.getOrElse(p, p)
-        val shadowed = physDf.withColumn(ShadowPartCol, col(physP).cast("string"))
-        val arranged =
-          if (preClustered) shadowed else shadowed.repartition(col(ShadowPartCol))
-        arranged.write.partitionBy(ShadowPartCol).parquet(abs)
-      case None => physDf.write.parquet(abs)
-    }
+        (shadowColName(i), col(physP).cast("string"))
+      }
+      val shadowed = shadows.foldLeft(physDf) { case (d, (n, c)) =>
+        d.withColumn(n, c) }
+      val arranged =
+        if (preClustered) shadowed
+        else shadowed.repartition(shadows.map(s => col(s._1)): _*)
+      arranged.write.partitionBy(shadows.map(_._1): _*).parquet(abs)
+    } else physDf.write.parquet(abs)
     // zero-row part files (an empty write task, a delete that emptied its
     // slice) never enter the manifest: they carry no stats, so every
     // later stats-pruned op would conservatively rewrite them forever —
@@ -2065,13 +2090,15 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     // of footers serially would dominate small-batch commit latency)
     inParallel(paths) { p =>
       val rel = s"$sub/${root.relativize(p)}"
-      val partition = root.relativize(p).iterator().asScala.toSeq.init
-        .map(_.toString).find(_.contains("=")).map { seg =>
+      // one value per `k=v` directory segment, in path (= partitionBy)
+      // order — positionally aligned with the manifest's partitionCols
+      val partitionVals = root.relativize(p).iterator().asScala.toSeq.init
+        .map(_.toString).filter(_.contains("=")).map { seg =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.substring(seg.indexOf('=') + 1))
         }
       val (rows, stats) = footerInfo(p)
-      LogFile(rel, partition, rows, Files.size(p), stats)
+      LogFile(rel, partitionVals, rows, Files.size(p), stats)
     }
   }
 
@@ -2200,14 +2227,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       clusteredBy: Option[String] = None,
       schema: StructType = null,
       columnMapping: Map[String, String] = null,
-      partitionCol: Option[String] = null,
+      partitionCols: Seq[String] = null,
       retiredPhysical: Seq[String] = null,
       txns: Map[String, Long] = null,
       constraints: Map[String, String] = null,
       properties: Map[String, String] = null): Manifest =
     Manifest(snap.version + 1, action, System.currentTimeMillis(),
       Option(schema).getOrElse(snap.schema),
-      Option(partitionCol).getOrElse(snap.partitionCol),
+      Option(partitionCols).getOrElse(snap.partitionCols),
       attachBlooms(snap, files, Option(schema).getOrElse(snap.schema),
         Option(columnMapping).getOrElse(snap.columnMapping), action),
       rowsInserted, rowsUpdated, rowsDeleted, rowsTotal, changesDir,
@@ -2362,7 +2389,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val removedFiles = base.files.filterNot(f => mPaths.contains(f.path))
     val added = m.files.filterNot(f => basePaths.contains(f.path))
     AttemptDiff(removedFiles.map(_.path).toSet, removedFiles.map(_.rows).sum,
-      added, (removedFiles ++ added).map(_.partition.getOrElse("")).toSet)
+      added, (removedFiles ++ added).map(_.partitionKey).toSet)
   }
 
   /** Commutativity check + manifest rebase for a lost publish race
@@ -2398,7 +2425,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     if (schemaSig(fresh.schema) != schemaSig(onto.schema) ||
         fresh.columnMapping != onto.columnMapping ||
         fresh.retiredPhysical != onto.retiredPhysical ||
-        fresh.partitionCol != onto.partitionCol ||
+        fresh.partitionCols != onto.partitionCols ||
         // a constraint added underneath this attempt must re-validate
         // the batch — the recompute path enforces it
         fresh.constraints != onto.constraints) return None
@@ -2415,7 +2442,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     if (m.action == "merge") {
       val ontoPaths = onto.files.map(_.path).toSet
       val winnerAdded = fresh.files.filterNot(f => ontoPaths.contains(f.path))
-        .map(_.partition.getOrElse("")).toSet
+        .map(_.partitionKey).toSet
       if (winnerAdded.intersect(diff.partitions).nonEmpty) return None
     }
     // txn commutativity: OUR txn record must still be news under fresh —
@@ -2428,7 +2455,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       if (fresh.txns.get(a).exists(_ >= v)) return None }
     val newChanges = m.changesDir.map(restampChanges(_, fresh.version + 1))
     Some(Manifest(fresh.version + 1, m.action, System.currentTimeMillis(),
-      m.schema, m.partitionCol,
+      m.schema, m.partitionCols,
       fresh.files.filterNot(f => diff.removed.contains(f.path)) ++ diff.added,
       m.rowsInserted, m.rowsUpdated, m.rowsDeleted,
       fresh.rowsTotal - diff.removedRows + diff.added.map(_.rows).sum,
@@ -2526,8 +2553,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .filter(_ > 0).getOrElse(AutoCompactDefaultTargetBytes)
     val due = m.files
-      .filter(f => diff.partitions.contains(f.partition.getOrElse("")))
-      .groupBy(_.partition.getOrElse(""))
+      .filter(f => diff.partitions.contains(f.partitionKey))
+      .groupBy(_.partitionKey)
       .filter { case (_, fs) => fs.count(_.bytes < target / 2) >= minFiles }
       .keys.toSeq.sorted
     if (due.nonEmpty)
@@ -2631,6 +2658,12 @@ object CommitLogTable {
   private val ChangesDirName = s"$LogDirName/changes"
   private val StagedChangesDirName = s"$LogDirName/staged_changes"
   private val ShadowPartCol = "__part"
+  /** Shadow column for the i-th partition column. The 0th keeps the
+    * historical bare name, so single-column tables lay out exactly as
+    * every already-written table does.
+    */
+  private def shadowColName(i: Int): String =
+    if (i == 0) ShadowPartCol else s"$ShadowPartCol$i"
   private val MaxCommitRetries = 20
 
   /** A full-snapshot (checkpoint) manifest is forced at least every this
@@ -2686,11 +2719,30 @@ object CommitLogTable {
     * readers filter it out, the next rewrite of the file materializes
     * it. Multiple lazy deletes OR-combine. None = file is clean.
     */
-  final case class LogFile(path: String, partition: Option[String],
+  /** `partitionVals`: the file's partition-value STRINGS, positionally
+    * aligned with the manifest's `partitionCols` (empty = the table is
+    * unpartitioned, or the file predates partitioning). NULL values are
+    * stored as the Hive default-partition marker, exactly what the
+    * dynamic-partition writer renders into the directory name.
+    */
+  final case class LogFile(path: String, partitionVals: Seq[String],
       rows: Long, bytes: Long,
       stats: Map[String, (String, String)] = Map.empty,
       pendingDelete: Option[String] = None,
-      blooms: Seq[String] = Seq.empty)
+      blooms: Seq[String] = Seq.empty) {
+    /** Composite grouping key over all partition values — the unit of
+      * partition-scoped operations (compact, auto-compact, merge rebase
+      * conflict detection). Single-column tables key by the RAW value
+      * (back-compatible with every caller that passes e.g. a date
+      * string); composite keys join path-escaped segments with `/`,
+      * which is injective because escaped segments cannot contain a raw
+      * slash. "" = unpartitioned.
+      */
+    def partitionKey: String =
+      if (partitionVals.lengthCompare(1) <= 0) partitionVals.headOption.getOrElse("")
+      else partitionVals.map(org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName).mkString("/")
+  }
 
   // ---- per-file bloom-filter index (Delta's bloomFilterIndex analogue) --
 
@@ -2820,7 +2872,7 @@ object CommitLogTable {
     * takes a fresh physical name, so stale values never resurface).
     */
   final case class Manifest(version: Long, action: String, tsMillis: Long,
-      schema: StructType, partitionCol: Option[String], files: Seq[LogFile],
+      schema: StructType, partitionCols: Seq[String], files: Seq[LogFile],
       rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long,
       rowsTotal: Long, changesDir: Option[String],
       clusteredBy: Option[String] = None,
@@ -2864,15 +2916,17 @@ object CommitLogTable {
     * concurrent creator won the v0 race or it already exists.
     */
   def create(spark: SparkSession, dir: String, schema: StructType,
-      partitionCol: Option[String] = None): CommitLogTable = {
-    partitionCol.foreach(p => require(schema.fieldNames.contains(p),
+      partitionCols: Seq[String] = Seq.empty): CommitLogTable = {
+    partitionCols.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
+    require(partitionCols.distinct.length == partitionCols.length,
+      s"duplicate partition columns: ${partitionCols.mkString(",")}")
     val logDir = Paths.get(dir, LogDirName)
     Files.createDirectories(logDir.resolve("changes"))
     Files.createDirectories(logDir.resolve("staged_changes"))
     val t = new CommitLogTable(spark, dir)
     val v0 = Manifest(0L, "create", System.currentTimeMillis(), schema,
-      partitionCol, Seq.empty, 0, 0, 0, 0, None)
+      partitionCols, Seq.empty, 0, 0, 0, 0, None)
     t.tryPublish(v0) // losing the race means someone else created it: fine
     t
   }
@@ -2881,9 +2935,9 @@ object CommitLogTable {
     * before v0) is re-created rather than opened broken.
     */
   def forPath(spark: SparkSession, dir: String, schema: StructType,
-      partitionCol: Option[String] = None): CommitLogTable =
+      partitionCols: Seq[String] = Seq.empty): CommitLogTable =
     if (exists(dir) && listVersionsAt(dir).nonEmpty) open(spark, dir)
-    else create(spark, dir, schema, partitionCol)
+    else create(spark, dir, schema, partitionCols)
 
   private def manifestName(version: Long): String = f"v$version%020d.json"
 
@@ -3166,7 +3220,15 @@ object CommitLogTable {
     root.put("action", m.action)
     root.put("tsMillis", m.tsMillis)
     root.put("schemaDdl", m.schema.toDDL)
-    m.partitionCol.foreach(root.put("partitionCol", _))
+    // single-column tables keep writing the legacy scalar field (older
+    // readers of on-disk logs keep working); composite keys need the list
+    m.partitionCols match {
+      case Seq() => ()
+      case Seq(p) => root.put("partitionCol", p)
+      case ps =>
+        val arr = root.putArray("partitionCols")
+        ps.foreach(arr.add)
+    }
     root.put("rowsInserted", m.rowsInserted)
     root.put("rowsUpdated", m.rowsUpdated)
     root.put("rowsDeleted", m.rowsDeleted)
@@ -3207,7 +3269,13 @@ object CommitLogTable {
     files.foreach { f =>
       val o = arr.addObject()
       o.put("path", f.path)
-      f.partition.foreach(o.put("partition", _))
+      f.partitionVals match {
+        case Seq() => ()
+        case Seq(v) => o.put("partition", v) // legacy scalar spelling
+        case vs =>
+          val pa = o.putArray("partitionVals")
+          vs.foreach(pa.add)
+      }
       o.put("rows", f.rows)
       o.put("bytes", f.bytes)
       if (f.stats.nonEmpty) {
@@ -3250,7 +3318,10 @@ object CommitLogTable {
           }.toMap
         } else Map.empty[String, (String, String)]
       LogFile(f.get("path").asText,
-        if (f.hasNonNull("partition")) Some(f.get("partition").asText) else None,
+        if (f.hasNonNull("partitionVals"))
+          f.get("partitionVals").elements().asScala.map(_.asText).toVector
+        else if (f.hasNonNull("partition")) Seq(f.get("partition").asText)
+        else Seq.empty,
         f.get("rows").asLong, f.get("bytes").asLong, stats,
         if (f.hasNonNull("pendingDelete")) Some(f.get("pendingDelete").asText)
         else None,
@@ -3291,7 +3362,10 @@ object CommitLogTable {
       else version
     val meta = Manifest(version, n.get("action").asText,
       n.get("tsMillis").asLong,
-      StructType.fromDDL(n.get("schemaDdl").asText), optText("partitionCol"),
+      StructType.fromDDL(n.get("schemaDdl").asText),
+      if (n.hasNonNull("partitionCols"))
+        n.get("partitionCols").elements().asScala.map(_.asText).toVector
+      else optText("partitionCol").toSeq,
       if (isFull) parseFiles(n.get("files")) else Seq.empty,
       n.get("rowsInserted").asLong, n.get("rowsUpdated").asLong,
       n.get("rowsDeleted").asLong, n.get("rowsTotal").asLong,

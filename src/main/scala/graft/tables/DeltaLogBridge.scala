@@ -48,6 +48,19 @@ object DeltaLogBridge {
 
   private def deltaName(v: Long): String = f"$v%020d.json"
 
+  private val HiveNull = org.apache.spark.sql.catalyst.catalog
+    .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** A file's `add.partitionValues` entries: one per table partition
+    * column, positionally zipped with the file's recorded values; the
+    * Hive default-partition marker maps to the protocol's JSON null.
+    */
+  private def partitionValuesOf(partitionCols: Seq[String],
+      f: CommitLogTable.LogFile): Seq[(String, Option[String])] =
+    partitionCols.zip(f.partitionVals).map { case (c, v) =>
+      c -> (if (v == HiveNull) None else Some(v))
+    }
+
   // add.path is a RELATIVE URI per the protocol — %-encode on write,
   // decode on read
   private def encodePath(p: String): String =
@@ -260,7 +273,7 @@ object DeltaLogBridge {
     fmt.putObject("options")
     mdN.put("schemaString", snap.schema.json)
     val pc = mdN.putArray("partitionColumns")
-    snap.partitionCol.foreach(pc.add)
+    snap.partitionCols.foreach(pc.add)
     mdN.putObject("configuration")
     mdN.put("createdTime", now)
     sb.append(M.writeValueAsString(md)).append('\n')
@@ -269,12 +282,9 @@ object DeltaLogBridge {
       val a = add.putObject("add")
       a.put("path", encodePath(f.path))
       val pv = a.putObject("partitionValues")
-      (snap.partitionCol, f.partition) match {
-        case (Some(c), Some(v)) =>
-          if (v == org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) pv.putNull(c)
-          else pv.put(c, v)
-        case _ => ()
+      partitionValuesOf(snap.partitionCols, f).foreach {
+        case (c, Some(v)) => pv.put(c, v)
+        case (c, None) => pv.putNull(c)
       }
       a.put("size", f.bytes)
       a.put("modificationTime", now)
@@ -318,7 +328,7 @@ object DeltaLogBridge {
       s"graft-delta-mirror:$dir".getBytes(UTF_8)).toString
 
   private def metaDataJson(dir: String, schema: StructType,
-      partitionCol: Option[String], tsMillis: Long): String = {
+      partitionCols: Seq[String], tsMillis: Long): String = {
     val md = M.createObjectNode()
     val mdN = md.putObject("metaData")
     mdN.put("id", stableId(dir))
@@ -327,24 +337,21 @@ object DeltaLogBridge {
     fmt.putObject("options")
     mdN.put("schemaString", schema.json)
     val pc = mdN.putArray("partitionColumns")
-    partitionCol.foreach(pc.add)
+    partitionCols.foreach(pc.add)
     mdN.putObject("configuration")
     mdN.put("createdTime", tsMillis)
     M.writeValueAsString(md)
   }
 
-  private def addJson(partitionCol: Option[String], f: CommitLogTable.LogFile,
+  private def addJson(partitionCols: Seq[String], f: CommitLogTable.LogFile,
       tsMillis: Long, dataChange: Boolean): String = {
     val add = M.createObjectNode()
     val a = add.putObject("add")
     a.put("path", encodePath(f.path))
     val pv = a.putObject("partitionValues")
-    (partitionCol, f.partition) match {
-      case (Some(c), Some(v)) =>
-        if (v == org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) pv.putNull(c)
-        else pv.put(c, v)
-      case _ => ()
+    partitionValuesOf(partitionCols, f).foreach {
+      case (c, Some(v)) => pv.put(c, v)
+      case (c, None) => pv.putNull(c)
     }
     a.put("size", f.bytes)
     a.put("modificationTime", tsMillis)
@@ -409,8 +416,8 @@ object DeltaLogBridge {
       val prevSchema = table.resolvedManifest(Some(v - 1))
       val sb = new StringBuilder
       if (m.schema != prevSchema.schema ||
-          m.partitionCol != prevSchema.partitionCol)
-        sb.append(metaDataJson(table.dir, m.schema, m.partitionCol,
+          m.partitionCols != prevSchema.partitionCols)
+        sb.append(metaDataJson(table.dir, m.schema, m.partitionCols,
           m.tsMillis)).append('\n')
       val dataChange = action != "compact"
       removed.toSeq.sorted.foreach { p =>
@@ -422,7 +429,7 @@ object DeltaLogBridge {
         sb.append(M.writeValueAsString(rm)).append('\n')
       }
       added.foreach(f =>
-        sb.append(addJson(m.partitionCol, f, m.tsMillis, dataChange))
+        sb.append(addJson(m.partitionCols, f, m.tsMillis, dataChange))
           .append('\n'))
       // a no-op translation (e.g. a properties commit) still writes the
       // empty commit — Delta versions must stay contiguous with graft's
@@ -451,13 +458,11 @@ object DeltaLogBridge {
         Option[(String, Map[String, String], Long, Long, Boolean)])] =
       (Some((1, 2)), None, None) +:
       (None, Some((stableId(table.dir), "parquet", snap.schema.json,
-        snap.partitionCol.toSeq)), None) +:
+        snap.partitionCols)), None) +:
       snap.files.map { f =>
-        val pv: Map[String, String] = (snap.partitionCol, f.partition) match {
-          case (Some(c), Some(v)) if v != hiveNull => Map(c -> v)
-          case (Some(c), Some(_)) => Map(c -> null)
-          case _ => Map.empty
-        }
+        val pv: Map[String, String] =
+          partitionValuesOf(snap.partitionCols, f)
+            .map { case (c, v) => c -> v.orNull }.toMap
         (None, None,
           Some((encodePath(f.path), pv, f.bytes, snap.tsMillis, false)))
       }

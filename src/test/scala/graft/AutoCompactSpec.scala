@@ -33,12 +33,12 @@ class AutoCompactSpec extends AnyFunSuite {
 
   private def filesPerPartition(dir: String): Map[String, Int] =
     CommitLogTable.open(spark, dir).resolvedManifest(None).files
-      .groupBy(_.partition.getOrElse("")).map { case (p, fs) => p -> fs.size }
+      .groupBy(_.partitionKey).map { case (p, fs) => p -> fs.size }
 
   test("armed table: repeated small appends converge; quiet partitions untouched") {
     val dir = Files.createTempDirectory("graft-ac-batch").toString + "/t"
     val df0 = Seq((0L, "hot", 0.0)).toDF("k", "part", "v")
-    val t = CommitLogTable.create(spark, dir, df0.schema, Some("part"))
+    val t = CommitLogTable.create(spark, dir, df0.schema, Seq("part"))
     t.setProperties(Map(
       CommitLogTable.AutoCompactMinFilesProp -> "4",
       CommitLogTable.AutoCompactTargetBytesProp -> (1024 * 1024).toString))
@@ -46,7 +46,7 @@ class AutoCompactSpec extends AnyFunSuite {
     t.append(Seq((1000L, "quiet", 1.0)).toDF("k", "part", "v"),
       recordChanges = false)
     val quietFile = CommitLogTable.open(spark, dir).resolvedManifest(None)
-      .files.filter(_.partition.contains("quiet")).map(_.path)
+      .files.filter(_.partitionVals.contains("quiet")).map(_.path)
     assert(quietFile.size == 1)
     // 12 epoch-sized appends to the hot partition: without the hook this
     // leaves 12 files; with minFiles=4 it must keep converging
@@ -63,7 +63,7 @@ class AutoCompactSpec extends AnyFunSuite {
     assert(rows == (1L to 12L))
     // the quiet partition's ORIGINAL file survives — no compact touched it
     val quietNow = CommitLogTable.open(spark, dir).resolvedManifest(None)
-      .files.filter(_.partition.contains("quiet")).map(_.path)
+      .files.filter(_.partitionVals.contains("quiet")).map(_.path)
     assert(quietNow == quietFile, "a quiet partition must never be compacted")
     // compact commits happened, and each was its own version
     val hist = CommitLogTable.open(spark, dir).history.collect()
@@ -74,7 +74,7 @@ class AutoCompactSpec extends AnyFunSuite {
   test("unarmed table: no compact commits ever fire") {
     val dir = Files.createTempDirectory("graft-ac-off").toString + "/t"
     val df0 = Seq((0L, "hot", 0.0)).toDF("k", "part", "v")
-    val t = CommitLogTable.create(spark, dir, df0.schema, Some("part"))
+    val t = CommitLogTable.create(spark, dir, df0.schema, Seq("part"))
     (1 to 8).foreach { i =>
       t.append(Seq((i.toLong, "hot", i * 0.5)).toDF("k", "part", "v"),
         recordChanges = false)

@@ -96,9 +96,9 @@ class CommitLogSinkSpec extends AnyFunSuite {
 
     val t = CommitLogTable.open(spark, root + "/wh/br/p")
     val m = t.resolvedManifest(None)
-    assert(m.files.nonEmpty && m.files.forall(_.partition.isDefined),
+    assert(m.files.nonEmpty && m.files.forall(_.partitionVals.nonEmpty),
       "every streamed file must carry its partition value")
-    val parts = m.files.flatMap(_.partition).toSet
+    val parts = m.files.flatMap(_.partitionVals).toSet
     assert(parts.contains("a") && parts.contains("b") &&
       parts.exists(p => p.contains("DEFAULT_PARTITION")),
       s"expected a/b/null partitions, got $parts")

@@ -150,7 +150,7 @@ class CommitLogSpec extends AnyFunSuite {
     val dir = tmpDir()
     val df = Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0))
       .toDF("k", "cat", "v")
-    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCols = Seq("cat"))
     t.append(df)
     def filesOf(cat: String): Set[String] = {
       // observe the active file list through a fresh read's inputFiles
@@ -271,7 +271,7 @@ class CommitLogSpec extends AnyFunSuite {
     val dir = tmpDir()
     val df = Seq((1L, Some("d1"), 1.0), (2L, Option.empty[String], 2.0))
       .toDF("k", "cat", "v")
-    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCols = Seq("cat"))
     t.append(df)
     // key 2 lives in the __HIVE_DEFAULT_PARTITION__ file; the update's
     // NULL partition value must select that file for the rewrite
@@ -455,7 +455,7 @@ class CommitLogSpec extends AnyFunSuite {
     // the partition column and the last column refuse to drop
     intercept[IllegalArgumentException](t.dropColumn("nope"))
     val pd = Seq((1L, "x", 1.0)).toDF("k", "cat", "v")
-    val tp = CommitLogTable.create(spark, tmpDir(), pd.schema, Some("cat"))
+    val tp = CommitLogTable.create(spark, tmpDir(), pd.schema, Seq("cat"))
     intercept[IllegalArgumentException](tp.dropColumn("cat"))
   }
 
@@ -540,7 +540,7 @@ class CommitLogSpec extends AnyFunSuite {
     import scala.concurrent.ExecutionContext.Implicits.global
     val dir = tmpDir()
     val df = Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("k", "cat", "v")
-    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCols = Seq("cat"))
     t.append(df)
     CommitGate.reset()
     // the d1 merge resolves its snapshot, then stalls inside its body
@@ -570,7 +570,7 @@ class CommitLogSpec extends AnyFunSuite {
     import scala.concurrent.ExecutionContext.Implicits.global
     val dir = tmpDir()
     val df = Seq((1L, "d1", 1.0)).toDF("k", "cat", "v")
-    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCols = Seq("cat"))
     t.append(df)
     CommitGate.reset()
     val slow = Seq((1L, "d1", 101.0)).toDF("k", "cat", "v").filter(CommitGate.udf())
@@ -606,7 +606,7 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.latestVersion == v, "no-match update grew the log")
     // the partition column cannot be SET (rows may not move partitions)
     val pd = Seq((1L, "d1", 1.0)).toDF("k", "cat", "v")
-    val tp = CommitLogTable.create(spark, tmpDir(), pd.schema, Some("cat"))
+    val tp = CommitLogTable.create(spark, tmpDir(), pd.schema, Seq("cat"))
     tp.append(pd)
     intercept[IllegalArgumentException](
       tp.update($"k" === 1L, Map("cat" -> lit("d2"))))
@@ -710,7 +710,7 @@ class CommitLogSpec extends AnyFunSuite {
     // idle appends on a PARTITIONED table leave no orphan commit dirs
     // for vacuum to babysit through the 24h grace window
     val pdf = Seq((1L, "d1", 1.0)).toDF("k", "cat", "v")
-    val tp = CommitLogTable.create(spark, tmpDir(), pdf.schema, Some("cat"))
+    val tp = CommitLogTable.create(spark, tmpDir(), pdf.schema, Seq("cat"))
     tp.append(pdf)
     def dataDirs(d: String) = {
       val s = Files.list(Paths.get(d, "data")); try s.count() finally s.close()
@@ -813,7 +813,7 @@ class CommitLogSpec extends AnyFunSuite {
     // predicate's footprint provable from the manifest
     val df = (0L until 400L).map(k => (k, (k / 100).toString, k * 1.0))
       .toDF("k", "part", "v")
-    val t = CommitLogTable.create(spark, tmpDir(), df.schema, Some("part"))
+    val t = CommitLogTable.create(spark, tmpDir(), df.schema, Seq("part"))
     t.append(df)
     val before = t.read().inputFiles.toSet
     // a delete PROVABLY matching nothing publishes no version at all
@@ -874,7 +874,7 @@ class CommitLogSpec extends AnyFunSuite {
     val dir = tmpDir()
     val df = Seq((0L, "d0", 0.0), (1L, "d1", 1.0), (2L, "d2", 2.0),
       (3L, "d3", 3.0)).toDF("k", "cat", "v")
-    val t = CommitLogTable.create(spark, dir, df.schema, partitionCol = Some("cat"))
+    val t = CommitLogTable.create(spark, dir, df.schema, partitionCols = Seq("cat"))
     t.append(df)
     // five concurrent writers: two blind appends, three single-partition
     // merges — whatever order the publish races resolve in (rebases for
@@ -993,7 +993,7 @@ class CommitLogSpec extends AnyFunSuite {
 
   test("checkpointed log: commits diff, checkpoints recur, cold reopen resolves across the boundary") {
     val dir = tmpDir()
-    val t = CommitLogTable.create(spark, dir, mk(Nil).schema, Some("cat"))
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema, Seq("cat"))
     val expect = scala.collection.mutable.Set.empty[(Long, String, Double)]
     (1 to 14).foreach { i =>
       val r = Seq((i.toLong, s"c${i % 3}", i * 1.0))
@@ -1026,7 +1026,7 @@ class CommitLogSpec extends AnyFunSuite {
     val dir = tmpDir()
     val df = spark.range(400).select($"id".as("k"),
       ($"id" % 64).cast("string").as("cat"), ($"id" * 1.0).as("v"))
-    val t = CommitLogTable.create(spark, dir, df.schema, Some("cat"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("cat"))
     t.append(df, recordChanges = false) // 64 files
     val v = t.renameColumn("v", "amount")
     val renameBytes = rawJson(dir, v).length

@@ -273,7 +273,7 @@ class CommitLogStreamSpec extends AnyFunSuite {
       "PARTITIONED BY (d) AS " +
       "SELECT id AS k, concat('d', id % 3) AS d FROM range(9)")
     val t = CommitLogTable.open(spark, root + "/wh/db/p")
-    assert(t.resolvedManifest(None).files.flatMap(_.partition).toSet
+    assert(t.resolvedManifest(None).files.flatMap(_.partitionVals).toSet
       == Set("d0", "d1", "d2"), "CTAS must route partition values")
   }
 

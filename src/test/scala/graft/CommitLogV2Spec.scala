@@ -114,7 +114,7 @@ class CommitLogV2Spec extends AnyFunSuite {
     val dir = tmpDir() + "/gagg"
     val df = spark.range(120).select(($"id" % 4).as("day"), $"id".as("k"),
       ($"id" * 0.5).as("v"))
-    val t = CommitLogTable.create(spark, dir, df.schema, Some("day"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
     t.append(df, recordChanges = false)
     t.append(df, recordChanges = false) // several files per partition
     val v2 = spark.read.format("commitlog").load(dir)
@@ -146,7 +146,7 @@ class CommitLogV2Spec extends AnyFunSuite {
     // the row path distinguishes them via the physically-present column
     val dirS = tmpDir() + "/gaggs"
     val dfS = Seq(("", 1L), (null: String, 2L), ("x", 3L)).toDF("p", "k")
-    val tS = CommitLogTable.create(spark, dirS, dfS.schema, Some("p"))
+    val tS = CommitLogTable.create(spark, dirS, dfS.schema, Seq("p"))
     tS.append(dfS, recordChanges = false)
     val qs = spark.read.format("commitlog").load(dirS).groupBy($"p").count()
     assert(!qs.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
@@ -485,7 +485,7 @@ class CommitLogV2Spec extends AnyFunSuite {
     val dir = s"$wh/default/meta"
     val df = spark.range(100).select(($"id" % 4).as("day"), $"id".as("k"))
     val t = CommitLogTable.create(spark, dir, df.schema,
-      partitionCol = Some("day"))
+      partitionCols = Seq("day"))
     t.append(df, recordChanges = false)
     val files = t.resolvedManifest(None).files
     val v2 = spark.read.format("commitlog").load(dir)
@@ -498,7 +498,7 @@ class CommitLogV2Spec extends AnyFunSuite {
       val f = byPath.getOrElse(r.getString(1),
         fail(s"_file_path ${r.getString(1)} not in manifest"))
       assert(r.getLong(2) == f.bytes)
-      assert(Option(r.getString(3)) == f.partition)
+      assert(Option(r.getString(3)) == (if (f.partitionVals.isEmpty) None else Some(f.partitionKey)))
     }
     assert(got.map(_.getString(1)).distinct.length == files.size)
     // grouping by _partition == grouping by the partition column
@@ -524,8 +524,8 @@ class CommitLogV2Spec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     val schemaA = StructType(Seq(StructField("day", LongType),
       StructField("v", LongType)))
-    val ta = CommitLogTable.create(spark, dirA, schemaA, Some("day"))
-    val tb = CommitLogTable.create(spark, dirB, schemaA, Some("day"))
+    val ta = CommitLogTable.create(spark, dirA, schemaA, Seq("day"))
+    val tb = CommitLogTable.create(spark, dirB, schemaA, Seq("day"))
     ta.append(spark.range(0L, 400L).select(($"id" % 4).as("day"), $"id".as("v")),
       recordChanges = false)
     tb.append(spark.range(0L, 40L).select(($"id" % 4).as("day"), $"id".as("v")),
@@ -646,7 +646,7 @@ class CommitLogV2Spec extends AnyFunSuite {
     // its '%' to %25 under new Path(...).toUri
     val dir = tmpDir() + "/enc table"
     val df = Seq(("t:0", 1L), ("t:0", 2L), ("t:1", 3L)).toDF("part", "k")
-    val t = CommitLogTable.create(spark, dir, df.schema, Some("part"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("part"))
     t.append(df, recordChanges = false)
     t.deleteLazy("k = 1")
     val v2 = spark.read.format("commitlog").load(dir)

@@ -183,7 +183,7 @@ class DeltaFixtureSpec extends AnyFunSuite {
       when($"id" % 4 === 0, lit(null).cast("long"))
         .otherwise($"id" % 4).as("day"),
       $"id".as("k"), ($"id" * 0.5).as("v"))
-    val t = CommitLogTable.create(spark, dir, df.schema, Some("day"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
     t.append(df, recordChanges = false)
     t.append(df.limit(0), recordChanges = false) // no-op append publishes nothing
     val nFiles = DeltaLogBridge.export(t)
@@ -207,7 +207,7 @@ class DeltaFixtureSpec extends AnyFunSuite {
   test("live Delta mirror: every commit appends a 1:1 Delta commit; breaks cleanly on unmappables") {
     val dir = tmpDir() + "/t"
     val df = spark.range(20).select(($"id" % 3).as("day"), $"id".as("k"))
-    val t = CommitLogTable.create(spark, dir, df.schema, Some("day"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
     t.append(df, recordChanges = false) // v1, pre-mirror history
     t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true")) // v2: seeds
     def mirrorEq(): Unit = {
@@ -246,7 +246,7 @@ class DeltaFixtureSpec extends AnyFunSuite {
     val dfn = spark.range(6).select(
       when($"id" % 2 === 0, lit(null).cast("long")).otherwise(1L).as("day"),
       $"id".as("k"))
-    val tn = CommitLogTable.create(spark, dir2, dfn.schema, Some("day"))
+    val tn = CommitLogTable.create(spark, dir2, dfn.schema, Seq("day"))
     tn.append(dfn, recordChanges = false)
     tn.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
     val back = DeltaLogBridge.read(spark, dir2).orderBy("k").collect()

@@ -107,7 +107,7 @@ class MergeIntoSqlSpec extends AnyFunSuite {
       "SELECT id % 8 AS day, id AS k, id AS v FROM range(0, 400)")
     val t = CommitLogTable.open(spark, s"$wh/default/t")
     val filesBefore = t.resolvedManifest(None).files
-      .map(f => f.partition.get -> f.path).toMap
+      .map(f => f.partitionKey -> f.path).toMap
     Seq((3L, 1003L, -1L)).toDF("day", "k", "v")
       .createOrReplaceTempView("merge_part_src")
     spark.sql(
@@ -117,7 +117,7 @@ class MergeIntoSqlSpec extends AnyFunSuite {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     val after = CommitLogTable.open(spark, s"$wh/default/t")
     val filesAfter = after.resolvedManifest(None).files
-      .map(f => f.partition.get -> f.path).toMap
+      .map(f => f.partitionKey -> f.path).toMap
     // every partition except day=3 carried its file BY REFERENCE
     filesBefore.foreach { case (p, path) =>
       if (p != "3") assert(filesAfter(p) == path, s"partition $p was rewritten")
