@@ -98,6 +98,33 @@ object Bench {
       .agg(sum(col("d"))).count()
   }
 
+  /** Table-format warm-up on synthetic data in a throwaway dir: the
+    * first commitlog MERGE of a session pays ~5 s of one-time codegen
+    * (the full-outer-join change-set plan, manifest serde, parquet
+    * footer readers) that round 12's A/B memo attribution proved is
+    * session-scoped, not per-table — so single-sample driver benches
+    * swung ±3 s on whichever query built the first demo table. One
+    * untimed append+merge+CDF exercise moves that cost out of the
+    * timings, exactly like [[warmUpOperators]] does for stock plans.
+    */
+  private def warmUpTableFormat(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bench-warm").toString + "/t"
+    val df = spark.range(0, 2000).select(col("id").as("k"),
+      (col("id") % 5).cast("string").as("part"), (col("id") * 0.5).as("v"))
+    val t = graft.tables.CommitLogTable.create(spark, dir, df.schema,
+      Seq("part"))
+    t.append(df)
+    t.merge(df.limit(500).withColumn("v", col("v") + 1.0),
+      keys = Seq("k"), order = Seq(col("v")))
+    t.readChanges(1, t.latestVersion).write.format("noop")
+      .mode("overwrite").save()
+    spark.read.format("commitlog").load(dir).filter(col("k") >= 1500)
+      .groupBy(col("part")).agg(count(lit(1))).count()
+    () // the throwaway dir dies with /tmp — nothing to clean inline
+  }
+
   /** The FROZEN round-1 query basket (the 29 queries of the first green
     * sf0.1 run, BENCH_r01.json) — its subtotal is emitted every round as
     * `basket_r1`, so the self-relative baseline compares like against like
@@ -149,6 +176,7 @@ object Bench {
     warmSafe("documents")(Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save())
     warmSafe("embeddings")(Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save())
     warmSafe("operators")(warmUpOperators(spark))
+    warmSafe("tableFormat")(warmUpTableFormat(spark))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, fn)
     }

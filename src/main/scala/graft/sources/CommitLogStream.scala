@@ -422,8 +422,17 @@ final class CommitLogCdfMicroBatchStream(spark: SparkSession,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  /** Default start (no `startingVersion` option) clamps to the oldest
+    * SURVIVING version — the from-the-beginning read over a
+    * log-vacuumed table serves the survivors (the documented retention
+    * contract). An EXPLICIT startingVersion below the floor, or a
+    * checkpointed offset resuming into vacuumed history, hits
+    * [[CommitLogTable.changeFilesAt]]'s loud refusal instead — silent
+    * gaps in an incremental feed are data loss.
+    */
   private val starting: Long =
-    options.get("startingversion").map(_.toLong).getOrElse(1L)
+    options.get("startingversion").map(_.toLong)
+      .getOrElse(math.max(1L, table.earliestVersion))
   private val maxFiles: Int =
     options.get("maxfilespertrigger").map(_.toInt).getOrElse(1000)
   private val maxBytes: Option[Long] =

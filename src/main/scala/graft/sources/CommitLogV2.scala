@@ -141,7 +141,12 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
         schema != t.schema())
       new Table with SupportsRead {
         override def name(): String = t.name()
-        override def schema(): StructType = t.schema()
+        // report the schema the scan will actually serve if it serves at
+        // all: the wrapper only ever builds a scan after confirming the
+        // caller's schema matches a fresh resolve (the race case), so
+        // declaring the stale t.schema() here would let the relation's
+        // output attributes diverge from the scan's readSchema
+        override def schema(): StructType = userSchema
         override def partitioning(): Array[Transform] = t.partitioning()
         override def properties(): JMap[String, String] = t.properties()
         override def capabilities(): java.util.Set[TableCapability] =
@@ -1326,8 +1331,15 @@ final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
   override def description(): String =
     s"CommitLogCdfScan $dir ReadSchema: ${logicalSchema.simpleString}"
 
+  /** Default start (no option) clamps to the oldest SURVIVING version —
+    * the from-the-beginning read over a log-vacuumed table serves the
+    * survivors (the retention contract). An EXPLICIT startingVersion
+    * below the floor reaches [[CommitLogTable.changeFilesAt]]'s loud
+    * refusal instead of a silently incomplete feed.
+    */
   private def starting: Long =
-    options.get("startingversion").map(_.toLong).getOrElse(1L)
+    options.get("startingversion").map(_.toLong)
+      .getOrElse(math.max(1L, table.earliestVersion))
   private def ending: Long = options.get("endingversion").map(_.toLong) match {
     case Some(e) =>
       // an explicit range may NARROW a time-travel pin, never escape it —

@@ -354,8 +354,23 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * so historical change files survive renames).
     */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
-    val ms = listVersions.filter(v => v >= fromVersion && v <= toVersion)
-      .map(manifest).filter(_.changesDir.isDefined)
+    val live = listVersions.filter(v => v >= fromVersion && v <= toVersion)
+    // an EXPLICIT lower bound (> 1) that reaches into log-vacuumed
+    // history must fail, not silently skip: an incremental consumer
+    // passing its cursor here would otherwise read an incomplete feed
+    // that looks complete (Delta's VersionNotFound). The default
+    // from-the-beginning read (fromVersion ≤ 1) keeps serving the
+    // SURVIVING versions — the documented retention contract.
+    if (fromVersion > 1) {
+      val hi = math.min(toVersion, latestVersion)
+      val missing = (fromVersion to hi).filterNot(live.contains)
+      require(missing.isEmpty,
+        s"readChanges($fromVersion, $toVersion): version(s) " +
+          s"${missing.min}..${missing.max} were log-vacuumed — the " +
+          "requested change range is no longer replayable; restart " +
+          s"from $earliestVersion or later")
+    }
+    val ms = live.map(manifest).filter(_.changesDir.isDefined)
     ms.foreach(m => promoteChanges(m.changesDir.get)) // crash repair
     val latest = snapshot()
     val sch = changeSchema(latest.schema)
@@ -455,10 +470,28 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   private[graft] def changeFilesAt(version: Long): Seq[(String, Long)] = {
     if (!Files.exists(logDir.resolve(
-        CommitLogTable.manifestName(version)))) return Seq.empty
+        CommitLogTable.manifestName(version)))) {
+      // a missing manifest AT-OR-BELOW the head is a log-vacuumed
+      // version: its change dir went with it, and silently serving an
+      // empty batch would be INVISIBLE data loss for an incremental
+      // consumer (Delta raises VersionNotFound here). Versions beyond
+      // the head are the stream racing an in-flight commit —
+      // legitimately nothing yet.
+      require(version < 1 || version > latestVersion,
+        s"change feed version $version at $dir was log-vacuumed — its " +
+          "changes are no longer replayable; restart the consumer from " +
+          "a surviving version (and keep vacuumLog retention deeper " +
+          "than the slowest consumer's lag)")
+      return Seq.empty
+    }
     resolveChangeFiles(manifest(version))
       .map(p => (p.toString, Files.size(p)))
   }
+
+  /** Oldest version whose manifest survives `vacuumLog` — the change
+    * feed's replayable floor.
+    */
+  private[graft] def earliestVersion: Long = listVersions.head
 
   /** Resolve one committed version's change files to concrete paths.
     * Manifests that NAME their files (current format) resolve each name
@@ -1526,7 +1559,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             else src.repartitionByRange(nOut, sortCols: _*)
               .sortWithinPartitions(sortCols: _*)
           val (nf, _, _) = writeData(df, snap.partitionCols, snap.columnMapping,
-            preClustered = true)
+            preClustered = true, keepOrder = sortCols)
           (v, fs.size, nf.size, fs, nf)
         }
       }
@@ -2003,7 +2036,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   private def writeData(df: DataFrame, partitionCols: Seq[String],
       mapping: Map[String, String],
-      preClustered: Boolean = false): (Seq[LogFile], Long, String) = {
+      preClustered: Boolean = false,
+      keepOrder: Seq[Column] = Seq.empty): (Seq[LogFile], Long, String) = {
     val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
     val abs = s"$dir/$sub"
     val physDf = toPhysical(df, mapping)
@@ -2020,7 +2054,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val shadowed = shadows.foldLeft(physDf) { case (d, (n, c)) =>
         d.withColumn(n, c) }
       val arranged =
-        if (preClustered) shadowed
+        if (preClustered)
+          // the dynamic-partition writer REQUIRES rows ordered by the
+          // partition expressions and inserts its own (unstable) sort
+          // when the plan doesn't provide it — which would scramble a
+          // clustered rewrite's row order INSIDE each file. Sorting here
+          // by (shadow cols, caller's cluster order) satisfies the
+          // writer's requirement (prefix), so no extra sort is planned
+          // and the within-file clustering survives the write.
+          shadowed.sortWithinPartitions(
+            shadows.map(s => col(s._1)) ++ keepOrder: _*)
         else shadowed.repartition(shadows.map(s => col(s._1)): _*)
       arranged.write.partitionBy(shadows.map(_._1): _*).parquet(abs)
     } else physDf.write.parquet(abs)
@@ -2557,9 +2600,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       .groupBy(_.partitionKey)
       .filter { case (_, fs) => fs.count(_.bytes < target / 2) >= minFiles }
       .keys.toSeq.sorted
-    if (due.nonEmpty)
-      try { compact(target, values = Some(due)); () }
+    if (due.nonEmpty) {
+      // declared sort columns turn the bin-pack into a per-leaf
+      // re-cluster (unknown names are skipped rather than failing the
+      // best-effort hook — the property may predate a rename)
+      val sortCols = m.properties.get(AutoCompactSortColsProp)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+        .filter(c => m.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      try { compact(target, values = Some(due),
+        sortCols = sortCols.map(col(_)),
+        clusterLabel =
+          if (sortCols.isEmpty) None
+          else Some(s"autoCompact(${sortCols.mkString(",")})")); () }
       catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Post-commit Delta mirroring
@@ -2758,6 +2813,15 @@ object CommitLogTable {
     */
   val AutoCompactMinFilesProp = "graft.autoCompact.minFiles"
   val AutoCompactTargetBytesProp = "graft.autoCompact.targetBytes"
+  /** Optional comma-separated sort columns for the post-commit bin-pack
+    * (`graft.autoCompact.sortCols`): with it set, auto-compact SORTS the
+    * rows of each leaf partition it rewrites instead of a plain
+    * coalesce, so the within-file clustering an `OPTIMIZE … ZORDER BY`
+    * established keeps being re-established as the stream appends —
+    * files stay both few AND stats-skippable. Without it (default) the
+    * bin-pack is a pure coalesce, exactly Delta's autoCompact.
+    */
+  val AutoCompactSortColsProp = "graft.autoCompact.sortCols"
   val AutoCompactDefaultTargetBytes: Long = 128L * 1024 * 1024
 
   val BloomColsProp = "graft.bloom.columns"

@@ -27,20 +27,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     `remove` actions with `dataChange`;
   *   - manifest `schema` ↔ `metaData.schemaString` (the SAME Spark
   *     StructType JSON encoding on both sides);
-  *   - manifest `partitionCol` + per-file partition value ↔
+  *   - manifest `partitionCols` + per-file partition tuples ↔
   *     `metaData.partitionColumns` + `add.partitionValues`;
   *   - snapshot resolve (replay to a pin) ↔ Delta time travel
   *     (`versionAsOf` here = replay actions through that version).
   *
-  * Scope is the protocol's v1 reader surface: JSON commits only (a
-  * `_last_checkpoint` is refused loudly), protocol/metaData/add/remove
-  * actions honored, commitInfo/txn ignored. Exported logs declare
-  * `minReaderVersion=1, minWriterVersion=2`, so any spec-conforming
-  * Delta reader (delta-spark, delta-rs, DuckDB delta) can read a graft
-  * table's files in place — zero data copied. Export refuses snapshots
-  * whose semantics v1 cannot carry: live column mapping (renames/drops
-  * need reader v2+) or pending merge-on-read delete marks (deletion
-  * vectors need reader v3).
+  * READ scope is the protocol's v1–v3 reader surface: JSON commits,
+  * classic (single and multi-part) checkpoints, UUID-named v2
+  * manifest+sidecar checkpoints, and the table-features protocol —
+  * reader v2/v3 tables read when every declared feature is understood
+  * or provably unused (column mapping mode none, no deletion vectors on
+  * adds); genuinely-used DV/column-mapping refuse loudly.
+  * `_last_checkpoint` is a HINT, tolerated when stale or unreadable.
+  * protocol/metaData/add/remove actions honored, commitInfo/txn
+  * ignored. EXPORTED logs declare `minReaderVersion=1,
+  * minWriterVersion=2`, so any spec-conforming Delta reader
+  * (delta-spark, delta-rs, DuckDB delta) can read a graft table's files
+  * in place — zero data copied. Export refuses snapshots whose
+  * semantics v1 cannot carry: live column mapping (renames/drops need
+  * reader v2+) or pending merge-on-read delete marks (deletion vectors
+  * need reader v3).
   */
 object DeltaLogBridge {
 
@@ -75,42 +81,95 @@ object DeltaLogBridge {
     u.getPath
   }
 
-  /** Read a Delta table directory (JSON-commit log) into a DataFrame,
-    * optionally pinned at `versionAsOf` — replaying
-    * protocol/metaData/add/remove exactly as the spec orders them.
+  /** Reader features this bridge can either EXECUTE or PROVE unused.
+    * A declared feature outside this set refuses loudly — the protocol
+    * forbids reading past a feature you don't understand.
+    */
+  private val TolerableReaderFeatures = Set(
+    "columnMapping", // tolerated iff delta.columnMapping.mode is none/absent
+    "deletionVectors", // tolerated iff no add carries a deletionVector
+    "timestampNtz", // a type, carried by schemaString — Spark reads it
+    "variantType-preview", "variantType", // ditto
+    "typeWidening-preview", "typeWidening", // widened types live in schemaString
+    "v2Checkpoint", // this bridge reads manifest+sidecar checkpoints
+    "vacuumProtocolCheck" // write-side only; no read semantics
+  )
+
+  /** Read a Delta table directory into a DataFrame, optionally pinned
+    * at `versionAsOf` — replaying protocol/metaData/add/remove exactly
+    * as the spec orders them, seeded from the newest usable checkpoint
+    * (classic single-file, classic multi-part, or v2 manifest+sidecar)
+    * when the JSON chain alone can't serve the pin.
+    *
+    * Protocol handling follows the table-features spec: reader v1 reads
+    * as before; v2 (implicit column mapping) and v3 (explicit
+    * readerFeatures) are accepted when every declared feature is either
+    * understood or PROVABLY unused in this snapshot — column mapping
+    * with `delta.columnMapping.mode` none/absent, deletionVectors with
+    * no `add.deletionVector` present. Genuinely-used column mapping or
+    * DVs refuse loudly.
+    *
+    * `_last_checkpoint` is a HINT, per the spec: unreadable, stale, or
+    * dangling hints never fail a read the log itself can serve — the
+    * reader falls back to the complete JSON chain or a listed
+    * checkpoint.
+    *
     * Partition-column values come from `add.partitionValues` (Delta
-    * files need not carry those columns physically), attached per
-    * file-group and cast to the declared type.
+    * files need not carry those columns physically), attached via ONE
+    * parquet scan over all live files plus a broadcast
+    * `_metadata.file_path` → values lookup — never a per-partition
+    * union (a 1 000-partition table must plan one FileScan, not 1 000).
     */
   def read(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val logDir = Paths.get(dir, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $dir")
-    val versions = {
+    val names = {
       val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.length == 25 && n.endsWith(".json") &&
-          n.dropRight(5).forall(_.isDigit))
-        .map(_.dropRight(5).toLong).toVector.sorted
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
       finally s.close()
     }
+    val versions = names
+      .filter(n => n.length == 25 && n.endsWith(".json") &&
+        n.dropRight(5).forall(_.isDigit))
+      .map(_.dropRight(5).toLong).sorted
     val vset = versions.toSet
 
     // table state the actions mutate, replayed in spec order
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
+    var columnMappingMode: String = "none"
+    var declaredFeatures: Seq[String] = Seq.empty
+    var minReaderSeen: Int = 1
     // live file set: decoded relative path → partitionValues
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
 
-    def requireReaderV1(minReader: Int): Unit = require(minReader <= 1,
-      s"table requires Delta reader version $minReader; this bridge " +
-        "implements the v1 (JSON actions + classic checkpoints) surface only")
+    def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
+      minReaderSeen = minReader
+      declaredFeatures = features
+      require(minReader <= 3,
+        s"table requires Delta reader version $minReader; this bridge " +
+          "implements the v1-v3 (table features) surface")
+      val unknown = features.filterNot(TolerableReaderFeatures.contains)
+      require(unknown.isEmpty,
+        s"table declares reader feature(s) ${unknown.mkString(", ")} this " +
+          "bridge does not understand — refusing rather than misreading")
+    }
     def applyMetaData(schemaString: String, provider: String,
-        pcs: Seq[String]): Unit = {
+        pcs: Seq[String], configuration: Map[String, String]): Unit = {
       require(provider == "parquet",
         "non-parquet Delta tables are out of scope")
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pcs
+      columnMappingMode = configuration
+        .getOrElse("delta.columnMapping.mode", "none")
+    }
+    def applyAdd(path: String, pv: Map[String, String],
+        hasDv: Boolean): Unit = {
+      require(!hasDv,
+        s"file $path carries a deletion vector — reading it as-is would " +
+          "resurrect deleted rows; this bridge refuses DV-bearing tables")
+      live.put(path, pv)
     }
     def applyJson(v: Long): Unit = {
       val lines = new String(
@@ -118,14 +177,27 @@ object DeltaLogBridge {
         .split('\n').filter(_.trim.nonEmpty)
       lines.foreach { line =>
         val n = M.readTree(line)
-        if (n.has("protocol"))
-          requireReaderV1(n.get("protocol").get("minReaderVersion").asInt)
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          val feats =
+            if (p.hasNonNull("readerFeatures"))
+              p.get("readerFeatures").elements().asScala.map(_.asText).toSeq
+            else Seq.empty
+          applyProtocol(p.get("minReaderVersion").asInt, feats)
+        }
         if (n.has("metaData")) {
           val md = n.get("metaData")
+          val conf =
+            if (md.hasNonNull("configuration")) {
+              val c = md.get("configuration")
+              c.properties().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null
+                  else e.getValue.asText)).toMap
+            } else Map.empty[String, String]
           applyMetaData(md.get("schemaString").asText,
             md.get("format").get("provider").asText,
             md.get("partitionColumns").elements().asScala
-              .map(_.asText).toSeq)
+              .map(_.asText).toSeq, conf)
         }
         if (n.has("add")) {
           val a = n.get("add")
@@ -135,107 +207,222 @@ object DeltaLogBridge {
                 .map(e => e.getKey -> (if (e.getValue.isNull) null
                   else e.getValue.asText)).toMap
             else Map.empty[String, String]
-          live.put(decodePath(a.get("path").asText), pv)
+          applyAdd(decodePath(a.get("path").asText), pv,
+            a.hasNonNull("deletionVector"))
         }
         if (n.has("remove"))
           live.remove(decodePath(n.get("remove").get("path").asText))
       }
     }
 
-    /** `_last_checkpoint` → (version, checkpoint part files), classic
-      * (pre-v2) checkpoints only.
+    /** A checkpoint this reader could seed from: (version, the parquet
+      * files to read, isV2). Classic: `v.checkpoint.parquet` or
+      * `v.checkpoint.i.k.parquet` (all k parts present). V2:
+      * `v.checkpoint.<unique>.parquet` (manifest; sidecars resolve at
+      * read). Discovered from the LISTING — `_last_checkpoint` only
+      * prioritizes, never gates.
       */
-    def lastCheckpoint: Option[(Long, Seq[String])] = {
-      val p = logDir.resolve("_last_checkpoint")
-      if (!Files.exists(p)) return None
-      val n = M.readTree(new String(Files.readAllBytes(p), UTF_8))
-      val v = n.get("version").asLong
-      val parts = Option(n.get("parts")).map(_.asInt)
-      val names = parts match {
-        case Some(k) => (1 to k).map(i =>
-          f"$v%020d.checkpoint.$i%010d.$k%010d.parquet")
-        case None => Seq(f"$v%020d.checkpoint.parquet")
+    def listedCheckpoints: Seq[(Long, Seq[String], Boolean)] = {
+      val Classic = """(\d{20})\.checkpoint\.parquet""".r
+      val classic = names.collect {
+        case n @ Classic(v) => (v.toLong, Seq(n), false)
       }
-      names.foreach(f => require(Files.exists(logDir.resolve(f)),
-        s"checkpoint part $f named by _last_checkpoint is missing " +
-          "(UUID-named v2/sidecar checkpoints are out of this bridge's scope)"))
-      Some((v, names))
+      val MultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+      val multi = names.collect { case MultiPart(v, _, k) => (v.toLong, k.toInt) }
+        .distinct.flatMap { case (v, k) =>
+          val parts = (1 to k).map(i =>
+            f"$v%020d.checkpoint.$i%010d.$k%010d.parquet")
+          if (parts.forall(names.contains)) Some((v, parts, false)) else None
+        }
+      val V2Name = """(\d{20})\.checkpoint\.([^.]+)\.parquet""".r
+      val v2 = names.collect {
+        case n @ V2Name(v, u) if !u.forall(_.isDigit) => (v.toLong, Seq(n), true)
+      }
+      classic ++ multi ++ v2
     }
 
-    /** Seed the state from a classic checkpoint parquet: one row per
-      * action, nullable structs `protocol`/`metaData`/`add` (`remove`
-      * rows are tombstones — already absent from the live set). Driver-
-      * collected, same driver-sized-state scope as the JSON replay.
+    /** Parse `_last_checkpoint` tolerantly — the spec calls it a hint
+      * readers must survive: unreadable/missing → None.
       */
-    def applyCheckpoint(names: Seq[String]): Unit = {
-      val df = spark.read.parquet(names.map(n => s"$dir/_delta_log/$n"): _*)
+    def checkpointHint: Option[Long] =
+      try {
+        val p = logDir.resolve("_last_checkpoint")
+        if (!Files.exists(p)) None
+        else Some(M.readTree(new String(Files.readAllBytes(p), UTF_8))
+          .get("version").asLong)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Seed the state from a checkpoint: one row per action, nullable
+      * structs `protocol`/`metaData`/`add` (`remove` rows are tombstones
+      * — already absent from the live set). A v2 manifest additionally
+      * carries `sidecar` rows naming `_delta_log/_sidecars/` files that
+      * hold the add/remove actions. Driver-collected, same driver-sized-
+      * state scope as the JSON replay.
+      */
+    def applyCheckpoint(ckNames: Seq[String], isV2: Boolean): Unit = {
+      val df = spark.read.parquet(ckNames.map(n => s"$dir/_delta_log/$n"): _*)
       val cols = df.columns.toSet
-      if (cols.contains("protocol"))
-        df.select("protocol.minReaderVersion").na.drop().collect()
-          .foreach(r => requireReaderV1(r.getInt(0)))
-      require(cols.contains("metaData") && cols.contains("add"),
-        "checkpoint carries no metaData/add columns")
-      df.select("metaData.schemaString", "metaData.format.provider",
-          "metaData.partitionColumns")
+      if (cols.contains("protocol")) {
+        val hasFeats = df.select("protocol.*").columns.contains("readerFeatures")
+        val sel =
+          if (hasFeats) df.selectExpr("protocol.minReaderVersion",
+            "protocol.readerFeatures")
+          else df.selectExpr("protocol.minReaderVersion",
+            "CAST(NULL AS ARRAY<STRING>)")
+        sel.where("protocol.minReaderVersion IS NOT NULL").collect()
+          .foreach(r => applyProtocol(r.getInt(0),
+            Option(r.getSeq[String](1)).getOrElse(Seq.empty)))
+      }
+      require(cols.contains("metaData"),
+        "checkpoint carries no metaData column")
+      val hasConf = df.select("metaData.*").columns.contains("configuration")
+      df.selectExpr("metaData.schemaString", "metaData.format.provider",
+          "metaData.partitionColumns",
+          if (hasConf) "metaData.configuration"
+          else "CAST(NULL AS MAP<STRING, STRING>)")
         .where("metaData IS NOT NULL").collect()
         .foreach(r => applyMetaData(r.getString(0), r.getString(1),
-          r.getSeq[String](2)))
-      df.select("add.path", "add.partitionValues")
-        .where("add IS NOT NULL").collect()
-        .foreach { r =>
-          val pv = Option(r.getMap[String, String](1))
-            .map(_.toMap).getOrElse(Map.empty[String, String])
-          live.put(decodePath(r.getString(0)), pv)
+          r.getSeq[String](2),
+          Option(r.getMap[String, String](3)).map(_.toMap)
+            .getOrElse(Map.empty)))
+      val actionFrames: Seq[DataFrame] =
+        if (!isV2) Seq(df)
+        else {
+          // the v2 manifest may carry actions inline AND/OR in sidecars
+          val side =
+            if (!cols.contains("sidecar")) Seq.empty
+            else df.select("sidecar.path").where("sidecar IS NOT NULL")
+              .collect().map(_.getString(0)).toSeq
+          df +: side.map(p =>
+            spark.read.parquet(s"$dir/_delta_log/_sidecars/$p"))
         }
+      actionFrames.foreach { fr =>
+        val fc = fr.columns.toSet
+        if (fc.contains("add")) {
+          val hasDv = fr.select("add.*").columns.contains("deletionVector")
+          val sel =
+            if (hasDv) fr.selectExpr("add.path", "add.partitionValues",
+              "add.deletionVector IS NOT NULL")
+            else fr.selectExpr("add.path", "add.partitionValues", "false")
+          sel.where("add IS NOT NULL").collect().foreach { r =>
+            val pv = Option(r.getMap[String, String](1))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            applyAdd(decodePath(r.getString(0)), pv, r.getBoolean(2))
+          }
+        }
+      }
     }
 
-    val ckpt = lastCheckpoint
+    val ckpts = listedCheckpoints
+    val hint = checkpointHint
     val upTo = versionAsOf.getOrElse(
-      (versions :+ ckpt.map(_._1).getOrElse(-1L)).max)
-    require(vset.contains(upTo) || ckpt.exists(_._1 == upTo),
-      s"version $upTo not in log (json $versions, checkpoint " +
-        s"${ckpt.map(_._1)})")
+      (versions ++ ckpts.map(_._1) :+ -1L).max)
+    require(vset.contains(upTo) || ckpts.exists(_._1 == upTo),
+      s"version $upTo not in log (json $versions, checkpoints " +
+        s"${ckpts.map(_._1).sorted.distinct})")
     // prefer the pure JSON replay when the full chain exists (it also
-    // serves pins BELOW the checkpoint); otherwise seed from the
-    // checkpoint and replay the JSON tail
+    // serves pins BELOW the checkpoint); otherwise seed from the newest
+    // usable checkpoint at-or-below the pin and replay the JSON tail
     if (versions.headOption.contains(0L) &&
         (0L to upTo).forall(vset.contains)) {
       (0L to upTo).foreach(applyJson)
-    } else ckpt match {
-      case Some((cv, names)) if cv <= upTo =>
-        ((cv + 1) to upTo).foreach(v => require(vset.contains(v),
-          s"log at $dir is missing version $v after checkpoint $cv"))
-        applyCheckpoint(names)
-        ((cv + 1) to upTo).foreach(applyJson)
-      case Some((cv, _)) =>
-        throw new IllegalArgumentException(
-          s"version $upTo predates checkpoint $cv and the JSON chain " +
-            s"0..$upTo is no longer complete (vacuumed)")
-      case None =>
-        throw new IllegalArgumentException(
-          s"log at $dir does not start at version 0 and carries no " +
-            s"checkpoint: $versions")
+    } else {
+      val usable = ckpts.filter(c => c._1 <= upTo &&
+          ((c._1 + 1) to upTo).forall(vset.contains))
+        .sortBy(c => (c._1, hint.contains(c._1), !c._3)).lastOption
+      usable match {
+        case Some((cv, ckNames, isV2)) =>
+          applyCheckpoint(ckNames, isV2)
+          ((cv + 1) to upTo).foreach(applyJson)
+        case None if ckpts.exists(_._1 > upTo) =>
+          throw new IllegalArgumentException(
+            s"version $upTo predates checkpoint " +
+              s"${ckpts.map(_._1).filter(_ > upTo).min} and the JSON " +
+              s"chain 0..$upTo is no longer complete (vacuumed)")
+        case None =>
+          throw new IllegalArgumentException(
+            s"log at $dir cannot serve version $upTo: the JSON chain is " +
+              s"incomplete and no checkpoint at-or-below it has a " +
+              s"complete tail (json $versions, checkpoints " +
+              s"${ckpts.map(_._1).sorted.distinct})")
+      }
     }
+    // feature validation against the REPLAYED state: declared-but-unused
+    // column mapping / DVs are readable; used ones were refused above
+    require(columnMappingMode == "none" || columnMappingMode == null,
+      s"table uses column mapping mode '$columnMappingMode' — physical " +
+        "field resolution is out of this bridge's scope")
+    require(minReaderSeen < 3 || declaredFeatures.nonEmpty,
+      "reader version 3 requires an explicit readerFeatures list")
     val s = schema.getOrElse(
       throw new IllegalStateException(s"log at $dir carries no metaData"))
+    assembleRead(spark, dir, s, partCols, live.toSeq)
+  }
+
+  /** ONE parquet scan over every live file, with log-sourced partition
+    * values attached via a broadcast `_metadata.file_path` → values
+    * lookup — the scale path: a 1 000-partition snapshot plans a single
+    * FileScan node instead of a 1 000-way union. An unmatched file path
+    * RAISES (a silent null partition value would be corruption, and the
+    * lookup key is an exact SparkPath rendering that must track the
+    * scan's).
+    */
+  private def assembleRead(spark: SparkSession, dir: String,
+      s: StructType, partCols: Seq[String],
+      live: Seq[(String, Map[String, String])]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val dataSchema = StructType(s.fields.filterNot(f => partCols.contains(f.name)))
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    // one read per distinct partitionValues tuple, values attached as
-    // typed literals (Delta semantics: the LOG is the source of
-    // partition values, whether or not files carry the columns)
-    val groups = live.toSeq.groupBy(_._2).toSeq
-    groups.map { case (pv, files) =>
-      val paths = files.map { case (p, _) => s"$dir/$p" }
-      val df = spark.read.schema(dataSchema).parquet(paths: _*)
-      partCols.foldLeft(df) { (d, pc) =>
-        val f = s.fields.find(_.name == pc).getOrElse(
-          throw new IllegalStateException(
-            s"partition column $pc missing from schemaString"))
-        d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
-      }.select(s.fieldNames.map(col).toSeq: _*)
-    }.reduce(_.unionByName(_))
+    partCols.foreach(pc => require(s.fields.exists(_.name == pc),
+      s"partition column $pc missing from schemaString"))
+    val paths = live.map { case (p, _) => s"$dir/$p" }
+    val base = spark.read.schema(dataSchema).parquet(paths: _*)
+    if (partCols.isEmpty)
+      return base.select(s.fieldNames.map(col).toSeq: _*)
+    // lookup keys must render exactly as the scan's _metadata.file_path
+    // does: the listing's FileStatus paths carry a NULL authority on
+    // filesystems whose default has none (local → "file:/x", not
+    // "file:///x"), so the qualified URI re-renders with an empty
+    // authority stripped; the path part URL-encodes exactly as
+    // SparkPath does (space → %20, % → %25)
+    val hconf = spark.sessionState.newHadoopConf()
+    def key(abs: String): String = {
+      val p = new org.apache.hadoop.fs.Path(abs)
+      val q = p.getFileSystem(hconf).makeQualified(p).toUri
+      new java.net.URI(q.getScheme,
+        if (q.getAuthority != null && q.getAuthority.isEmpty) null
+        else q.getAuthority,
+        q.getPath, null, null).toString
+    }
+    val pvSchema = StructType(
+      org.apache.spark.sql.types.StructField("__graft_fp",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      partCols.map(pc => org.apache.spark.sql.types.StructField(
+        s"__graft_pv_$pc", org.apache.spark.sql.types.StringType)))
+    val rows = live.map { case (p, pv) =>
+      org.apache.spark.sql.Row.fromSeq(
+        key(s"$dir/$p") +: partCols.map(pc => pv.getOrElse(pc, null)))
+    }
+    val pvDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), pvSchema)
+      .withColumn("__graft_hit", lit(true))
+    val joined = base
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .join(broadcast(pvDf), Seq("__graft_fp"), "left")
+    val outCols = s.fields.map { f =>
+      if (partCols.contains(f.name))
+        org.apache.spark.sql.functions.when(col("__graft_hit").isNull,
+            org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(
+                lit("DeltaLogBridge: no partition values for file "),
+                col("__graft_fp"))))
+          .otherwise(col(s"__graft_pv_${f.name}").cast(f.dataType))
+          .as(f.name)
+      else col(f.name)
+    }.toSeq
+    joined.select(outCols: _*)
   }
 
   /** Export the CURRENT snapshot of a commit-log table as a Delta v1
@@ -316,9 +503,13 @@ object DeltaLogBridge {
     * Commits the v1 protocol can't express — a lazy-delete mark, live
     * column mapping, an in-place file-entry change — write a
     * `_GRAFT_MIRROR_BROKEN` marker and STOP the mirror: Delta readers
-    * keep the last consistent snapshot rather than silently drifting
-    * (delete the marker and the `_delta_log` after an OPTIMIZE to
-    * re-seed). Compaction mirrors with `dataChange=false`.
+    * keep the last consistent snapshot rather than silently drifting.
+    * The break SELF-CURES: the first later commit whose snapshot is
+    * expressible again (an OPTIMIZE materialized the marks, a
+    * compactRewrite shed the mapping) re-seeds a fresh checkpoint at
+    * the current head and drops the marker — external readers jump to
+    * the cured snapshot via `_last_checkpoint`. Compaction mirrors with
+    * `dataChange=false`.
     */
   val MirrorProp = "graft.deltaMirror.enabled"
   private val BrokenMarker = "_GRAFT_MIRROR_BROKEN"
@@ -359,14 +550,69 @@ object DeltaLogBridge {
     M.writeValueAsString(add)
   }
 
+  /** What a v1 Delta log cannot express about a snapshot, or None. */
+  private def inexpressible(m: CommitLogTable.Manifest): Option[String] =
+    if (m.columnMapping.nonEmpty)
+      Some("live column mapping needs Delta reader v2+")
+    else if (m.files.exists(_.pendingDelete.isDefined))
+      Some("pending lazy-delete marks need deletion vectors")
+    else None
+
+  /** `_last_checkpoint`'s version, when it parses AND its classic
+    * checkpoint file exists — the mirror's seed COMMIT POINT: a
+    * checkpoint parquet without the hint is an in-flight (or crashed)
+    * seed, never a mirrored head.
+    */
+  private def committedSeedVersion(logDir: Path): Option[Long] =
+    try {
+      val p = logDir.resolve("_last_checkpoint")
+      if (!Files.exists(p)) None
+      else {
+        val v = M.readTree(new String(Files.readAllBytes(p), UTF_8))
+          .get("version").asLong
+        if (Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
+          Some(v)
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Seed (or re-seed) the mirror: ONE classic checkpoint pinned at
+    * `version`, made visible by `_last_checkpoint` — which is written
+    * LAST, so a torn seed is invisible rather than a log no reader can
+    * open. The seed is arbitrated through the table's commit
+    * COORDINATOR (atomic-create locally, the lease on object stores):
+    * racing seeders claim per-version markers, and a loser whose winner
+    * crashed redoes the same deterministic translation idempotently
+    * (REPLACE_EXISTING on identical content). Returns the seeded head.
+    */
+  private def seed(table: CommitLogTable, logDir: Path,
+      version: Long): Long = {
+    Files.createDirectories(logDir)
+    val won = table.coordinator.tryClaim(logDir,
+      f"_graft_seed.$version%020d",
+      s"seed claim for graft v$version\n".getBytes(UTF_8))
+    if (!won && committedSeedVersion(logDir).exists(_ >= version))
+      return version // another seeder already committed this (or newer)
+    // winner — or crash-repair of one: the translation is deterministic
+    // for a pinned version, so the redo converges
+    exportCheckpoint(table, version)
+    version
+  }
+
   /** Bring the mirror up to the table's latest version. Returns the
     * mirrored head, or -1 if the mirror is (or just became) broken.
     * Best-effort by contract: a crash mid-catch-up just re-runs on the
     * next commit (translation is deterministic, claims are atomic).
+    *
+    * A BROKEN mirror self-cures: when the marker is present but the
+    * current snapshot is expressible again (an OPTIMIZE materialized
+    * the lazy deletes, a compactRewrite shed the column mapping), the
+    * next catch-up re-seeds a fresh checkpoint at the current head —
+    * `_last_checkpoint` jumps external readers over the stale chain,
+    * old JSON below it is dead weight, and the marker comes off.
     */
   def mirrorCatchUp(table: CommitLogTable): Long = {
     val logDir = Paths.get(table.dir, "_delta_log")
-    if (Files.exists(logDir.resolve(BrokenMarker))) return -1L
     val head = table.latestVersion
     val snap = table.resolvedManifest(None)
 
@@ -377,32 +623,39 @@ object DeltaLogBridge {
       -1L
     }
 
-    // first contact: seed a classic checkpoint at the CURRENT version
-    val mirrored: Long = {
-      if (!Files.isDirectory(logDir)) -1L
-      else {
-        val s = Files.list(logDir)
-        val vs = try s.iterator().asScala.map(_.getFileName.toString)
-          .flatMap { n =>
-            if (n.length == 25 && n.endsWith(".json") &&
-              n.dropRight(5).forall(_.isDigit)) Some(n.dropRight(5).toLong)
-            else if (n.endsWith(".checkpoint.parquet") &&
-              n.takeWhile(_.isDigit).length == 20)
-              Some(n.take(20).toLong)
-            else None
-          }.toVector
-        finally s.close()
-        if (vs.isEmpty) -1L else vs.max
-      }
-    }
-    if (mirrored < 0) {
-      if (snap.columnMapping.nonEmpty)
-        return break("live column mapping needs Delta reader v2+")
-      if (snap.files.exists(_.pendingDelete.isDefined))
-        return break("pending lazy-delete marks need deletion vectors")
-      exportCheckpoint(table, head)
+    if (Files.exists(logDir.resolve(BrokenMarker))) {
+      // auto-reseed: only once the snapshot is expressible again
+      if (inexpressible(snap).isDefined) return -1L
+      seed(table, logDir, head)
+      Files.deleteIfExists(logDir.resolve(BrokenMarker))
       return head
     }
+
+    val jsonVs: Seq[Long] = {
+      if (!Files.isDirectory(logDir)) Seq.empty
+      else {
+        val s = Files.list(logDir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.length == 25 && n.endsWith(".json") &&
+            n.dropRight(5).forall(_.isDigit))
+          .map(_.dropRight(5).toLong).toVector.sorted
+        finally s.close()
+      }
+    }
+    val seedV = committedSeedVersion(logDir)
+    val mirrored: Long = (jsonVs ++ seedV).foldLeft(-1L)(math.max)
+    if (mirrored < 0) {
+      inexpressible(snap).foreach(r => return break(r))
+      return seed(table, logDir, head)
+    }
+    // contiguity from the committed seed (or 0) to the mirrored head:
+    // appending past a gap would hand external readers a log that skips
+    // commits — break instead, and let the reseed path cure it
+    val base = seedV.getOrElse(0L)
+    val gap = ((base + 1) to mirrored).filterNot(jsonVs.contains)
+    if (gap.nonEmpty)
+      return break(s"mirror log gap at Delta version(s) " +
+        s"${gap.min}..${gap.max} — refusing to append past it")
 
     ((mirrored + 1) to head).foreach { v =>
       val (action, added, removed) = table.versionFileDiff(v)
@@ -432,27 +685,29 @@ object DeltaLogBridge {
         sb.append(addJson(m.partitionCols, f, m.tsMillis, dataChange))
           .append('\n'))
       // a no-op translation (e.g. a properties commit) still writes the
-      // empty commit — Delta versions must stay contiguous with graft's
-      AtomicCreateCoordinator.tryClaim(logDir, deltaName(v),
+      // empty commit — Delta versions must stay contiguous with graft's.
+      // Claims route through the table's SESSION-SELECTED coordinator,
+      // so a lease-configured (object-store) table mirrors safely too.
+      table.coordinator.tryClaim(logDir, deltaName(v),
         sb.toString.getBytes(UTF_8))
     }
     head
   }
 
-  /** Seed a Delta log with ONE classic checkpoint at `version` (the
-    * current snapshot's protocol/metaData/adds as parquet action rows)
-    * plus `_last_checkpoint` — a legal log start with no version 0, so
-    * a mirror enabled late (or after history vacuum) begins exactly
-    * where the table is.
+  /** Write ONE classic checkpoint PINNED at `version` (that version's
+    * protocol/metaData/adds as parquet action rows) plus
+    * `_last_checkpoint` — written LAST: it is the seed's commit point
+    * ([[committedSeedVersion]]), so a crash before it leaves an
+    * invisible orphan parquet, never a half-seeded log. A legal log
+    * start with no version 0 — a mirror enabled late (or after history
+    * vacuum) begins exactly where the table is.
     */
   def exportCheckpoint(table: CommitLogTable, version: Long): Unit = {
     val spark = table.spark
-    val snap = table.resolvedManifest(None)
+    val snap = table.resolvedManifest(Some(version))
     val logDir = Paths.get(table.dir, "_delta_log")
     Files.createDirectories(logDir)
     import spark.implicits._
-    val hiveNull = org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     val rows: Seq[(Option[(Int, Int)],
         Option[(String, String, String, Seq[String])],
         Option[(String, Map[String, String], Long, Long, Boolean)])] =
@@ -483,9 +738,21 @@ object DeltaLogBridge {
       try s.iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
       finally s.close() }
-    Files.copy(part, logDir.resolve(f"$version%020d.checkpoint.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.write(logDir.resolve("_last_checkpoint"),
-      s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8))
+    // atomic moves: a racing seed redo must never expose a half-copied
+    // checkpoint to a reader that already followed _last_checkpoint
+    def atomically(target: Path, write: Path => Unit): Unit = {
+      val t = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      write(t)
+      try Files.move(t, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally Files.deleteIfExists(t)
+    }
+    atomically(logDir.resolve(f"$version%020d.checkpoint.parquet"),
+      t => Files.copy(part, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    atomically(logDir.resolve("_last_checkpoint"),
+      t => { Files.write(t,
+        s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8)); () })
   }
 }

@@ -114,4 +114,51 @@ class AutoCompactSpec extends AnyFunSuite {
     assert(hist.count(_ == "append") == 10, "one append per epoch")
     assert(hist.count(_ == "compact") >= 2, hist.mkString(","))
   }
+
+  test("two-level partitioning: epoch-per-file stream converges per LEAF " +
+      "with within-file clustering preserved (sortCols)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.br.mp (k BIGINT, ep STRING, dt STRING, " +
+      "v DOUBLE) USING commitlog PARTITIONED BY (ep, dt) " +
+      s"TBLPROPERTIES ('${CommitLogTable.AutoCompactMinFilesProp}'='4', " +
+      s"'${CommitLogTable.AutoCompactSortColsProp}'='k')")
+    Files.createDirectories(Paths.get(root + "/in"))
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k BIGINT, ep STRING, dt STRING, v DOUBLE")
+        .parquet(root + "/in/*")
+        .writeStream.option("checkpointLocation", root + "/ckpt")
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.br.mp")
+      assert(q.awaitTermination(120000))
+      while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+    }
+    // 12 epochs round-robining two leaves of one endpoint, DESCENDING k
+    // within each epoch (so a coalesce-only compact would leave k
+    // unsorted in the packed file)
+    (0 until 12).foreach { b =>
+      val dt = if (b % 2 == 0) "d1" else "d2"
+      Seq((100L - b, "prices", dt, b * 1.0))
+        .toDF("k", "ep", "dt", "v")
+        .coalesce(1).write.parquet(s"$root/in/b$b")
+      drain()
+    }
+    val dir = root + "/wh/br/mp"
+    val perLeaf = filesPerPartition(dir)
+    assert(perLeaf.keySet == Set("prices/d1", "prices/d2"), perLeaf.toString)
+    assert(perLeaf.values.forall(_ < 4),
+      s"every leaf must converge below minFiles, got $perLeaf")
+    // exactly-once across the interleaved sorted compacts
+    assert(spark.sql(s"SELECT k FROM $cat.br.mp ORDER BY k DESC")
+      .as[Long].collect().toSeq == (89L to 100L).reverse)
+    // clustering preserved: each multi-row compacted file is SORTED by k
+    // (probe the parquet directly — row order inside the file, not the
+    // query result, is what stats-skipping depends on)
+    val m = CommitLogTable.open(spark, dir).resolvedManifest(None)
+    val packed = m.files.filter(_.rows > 1)
+    assert(packed.nonEmpty, "expected at least one bin-packed file")
+    packed.foreach { f =>
+      val ks = spark.read.parquet(s"$dir/${f.path}")
+        .select("k").as[Long].collect().toSeq
+      assert(ks == ks.sorted, s"file ${f.path} must be k-sorted, got $ks")
+    }
+  }
 }

@@ -1076,6 +1076,32 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t2.vacuumLog(retainVersions = 5) == 0)
   }
 
+  test("vacuumed change feed: default start serves survivors, an explicit " +
+      "cursor into the gap fails loudly (never a silent hole)") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    (1 to 25).foreach(i =>
+      t.append(mk(Seq((i.toLong, "a", i * 1.0))).coalesce(1)))
+    assert(t.vacuumLog(retainVersions = 5) > 0)
+    val t2 = CommitLogTable.open(spark, dir)
+    val floor = t2.earliestVersion
+    assert(floor > 1)
+    // from-the-beginning read: the survivors, no throw (retention contract)
+    val survivors = t2.readChanges(1, t2.latestVersion)
+    assert(survivors.select("_commit_version").distinct().count() ==
+      t2.latestVersion - floor + 1)
+    // an incremental consumer's explicit cursor below the floor = data
+    // loss made VISIBLE (Delta's VersionNotFound), not an empty result
+    val e = intercept[IllegalArgumentException](
+      t2.readChanges(2, t2.latestVersion).count())
+    assert(e.getMessage.contains("log-vacuumed"), e.getMessage)
+    // the V2 stream's per-version resolve refuses the same way
+    val e2 = intercept[IllegalArgumentException](t2.changeFilesAt(floor - 1))
+    assert(e2.getMessage.contains("log-vacuumed"), e2.getMessage)
+    // a version beyond the head is merely "nothing yet", never an error
+    assert(t2.changeFilesAt(t2.latestVersion + 3).isEmpty)
+  }
+
   test("stats-pruned eager DELETE/UPDATE: unmatched files carry by reference, CDF intact, provable no-ops publish nothing") {
     val dir = tmpDir()
     // 8 files with EXACT disjoint k ranges [i*100, (i+1)*100) — appended

@@ -1,0 +1,314 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.{CommitLogTable, DeltaLogBridge, LeaseCoordinator}
+
+// v2-checkpoint fixture shapes (top-level for Encoder derivation)
+case class V2Protocol(minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Seq[String], writerFeatures: Seq[String])
+case class V2Format(provider: String)
+case class V2Meta(id: String, format: V2Format, schemaString: String,
+    partitionColumns: Seq[String], configuration: Map[String, String])
+case class V2Sidecar(path: String, sizeInBytes: Long)
+case class V2ManifestRow(protocol: Option[V2Protocol],
+    metaData: Option[V2Meta], sidecar: Option[V2Sidecar])
+case class V2Dv(storageType: String, pathOrInlineDv: String, offset: Int,
+    sizeInBytes: Int, cardinality: Long)
+case class V2Add(path: String, partitionValues: Map[String, String],
+    size: Long, modificationTime: Long, dataChange: Boolean,
+    deletionVector: Option[V2Dv])
+case class V2SidecarRow(add: Option[V2Add])
+
+/** Round-13 Delta-bridge surface: modern protocol reads (reader v2/v3
+  * table features accepted when declared features are understood or
+  * provably unused; genuinely-used DV / column mapping refuse loudly),
+  * UUID-named v2 checkpoints with sidecars, multi-part classic
+  * checkpoints, and the SINGLE-SCAN read assembly (one FileScan node no
+  * matter how many partitions — the round-12 `weak` finding). Reference
+  * anchor: the reference's Bronze tables are Databricks-written with
+  * column mapping enabled (`bronze_prices_auto_loader.ipynb` cell 4),
+  * so real-world `_delta_log`s routinely carry reader v2+.
+  */
+class DeltaBridgeModernSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-delta-modern").toString
+
+  private def onePart(dir: String, sub: String): String = {
+    val s = Files.list(Paths.get(dir, sub))
+    val f = try s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    s"$sub/${f.getFileName}"
+  }
+
+  private val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("day",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType))).json
+
+  /** One-commit v3 log over one physical file; `extraProtocol` and
+    * `extraMeta` splice into the protocol / metaData actions.
+    */
+  private def v3Fixture(dir: String, readerFeatures: Seq[String],
+      configuration: String = "{}", dvOnAdd: Boolean = false): Unit = {
+    Seq(7L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")
+    val f1 = onePart(dir, "d1")
+    val feats = readerFeatures.map("\"" + _ + "\"").mkString(",")
+    val dv = if (dvOnAdd)
+      ""","deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,"sizeInBytes":36,"cardinality":1}"""
+      else ""
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$feats],"writerFeatures":[]}}
+         |{"metaData":{"id":"beef","format":{"provider":"parquet","options":{}},"schemaString":${M(schemaJson)},"partitionColumns":["day"],"configuration":$configuration,"createdTime":1}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":9,"modificationTime":1,"dataChange":true$dv}}
+         |""".stripMargin).getBytes(UTF_8))
+  }
+  private def M(s: String): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(s)
+
+  test("reader v3 with declared-but-unused features reads; rows and partition values intact") {
+    val dir = tmpDir()
+    v3Fixture(dir, Seq("columnMapping", "deletionVectors", "v2Checkpoint",
+      "timestampNtz", "vacuumProtocolCheck"),
+      configuration = """{"delta.columnMapping.mode":"none"}""")
+    val df = DeltaLogBridge.read(spark, dir)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7L)))
+  }
+
+  test("genuinely-used deletion vector refuses loudly") {
+    val dir = tmpDir()
+    v3Fixture(dir, Seq("deletionVectors"), dvOnAdd = true)
+    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+  }
+
+  test("genuinely-used column mapping refuses loudly") {
+    val dir = tmpDir()
+    v3Fixture(dir, Seq("columnMapping"),
+      configuration = """{"delta.columnMapping.mode":"name"}""")
+    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
+  test("unknown reader feature refuses loudly (never misread past it)") {
+    val dir = tmpDir()
+    v3Fixture(dir, Seq("someFutureFeature"))
+    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+    assert(e.getMessage.contains("someFutureFeature"), e.getMessage)
+  }
+
+  test("reader v2 (implicit column mapping) reads when the mode is none/absent") {
+    val dir = tmpDir()
+    Seq(9L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")
+    val f1 = onePart(dir, "d1")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"c0de","format":{"provider":"parquet","options":{}},"schemaString":${M(schemaJson)},"partitionColumns":["day"],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"4"},"size":9,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    assert(DeltaLogBridge.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 9L)))
+  }
+
+  test("v2 UUID checkpoint with sidecars seeds the state; JSON tail replays on top") {
+    val dir = tmpDir()
+    Seq(1L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")
+    Seq(2L).toDF("k").coalesce(1).write.parquet(s"$dir/d2")
+    Seq(3L).toDF("k").coalesce(1).write.parquet(s"$dir/d3")
+    val (f1, f2, f3) = (onePart(dir, "d1"), onePart(dir, "d2"), onePart(dir, "d3"))
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir.resolve("_sidecars"))
+    // sidecar parquet: the adds live HERE, not in the manifest
+    def writeOneParquet[T <: Product : org.apache.spark.sql.Encoder](
+        rows: Seq[T], target: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("v2ck").toString
+      rows.toDS().toDF().coalesce(1).write.parquet(tmp + "/p")
+      val part = { val s = Files.list(Paths.get(tmp, "p"))
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close() }
+      Files.copy(part, target)
+    }
+    writeOneParquet(Seq(
+      V2SidecarRow(Some(V2Add(f1, Map("day" -> "1"), 9, 1, true, None))),
+      V2SidecarRow(Some(V2Add(f2, Map("day" -> "2"), 9, 1, true, None)))),
+      logDir.resolve("_sidecars/part-0001.parquet"))
+    writeOneParquet(Seq(
+      V2ManifestRow(Some(V2Protocol(3, 7, Seq("v2Checkpoint"), Seq.empty)),
+        None, None),
+      V2ManifestRow(None, Some(V2Meta("feed", V2Format("parquet"),
+        schemaJson, Seq("day"), Map.empty)), None),
+      V2ManifestRow(None, None,
+        Some(V2Sidecar("part-0001.parquet", 100L)))),
+      logDir.resolve(
+        "00000000000000000004.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":4,"size":3}""".getBytes(UTF_8))
+    // a JSON tail past the checkpoint: v5 adds d3, removes d1
+    Files.write(logDir.resolve("00000000000000000005.json"),
+      (s"""{"add":{"path":"$f3","partitionValues":{"day":"3"},"size":9,"modificationTime":2,"dataChange":true}}
+         |{"remove":{"path":"$f1","deletionTimestamp":2,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val latest = DeltaLogBridge.read(spark, dir)
+    assert(latest.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 2L), (3L, 3L)))
+    // pinned at the checkpoint version itself
+    assert(DeltaLogBridge.read(spark, dir, Some(4L)).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("multi-part classic checkpoint: all parts read, missing part falls back") {
+    val dir = tmpDir()
+    Seq(1L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")
+    Seq(2L).toDF("k").coalesce(1).write.parquet(s"$dir/d2")
+    val (f1, f2) = (onePart(dir, "d1"), onePart(dir, "d2"))
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    def part(rows: Seq[CkptRow], name: String): Unit = {
+      val tmp = Files.createTempDirectory("mpck").toString
+      rows.toDS().toDF().coalesce(1).write.parquet(tmp + "/p")
+      val p = { val s = Files.list(Paths.get(tmp, "p"))
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close() }
+      Files.copy(p, logDir.resolve(name))
+    }
+    part(Seq(
+      CkptRow(Some(CkptProtocol(1, 2)), None, None),
+      CkptRow(None, Some(CkptMeta(" 2par", CkptFormat("parquet"),
+        schemaJson, Seq("day"))), None),
+      CkptRow(None, None, Some(CkptAdd(f1, Map("day" -> "1"), 9, 1, true)))),
+      "00000000000000000003.checkpoint.0000000001.0000000002.parquet")
+    part(Seq(
+      CkptRow(None, None, Some(CkptAdd(f2, Map("day" -> "2"), 9, 1, true)))),
+      "00000000000000000003.checkpoint.0000000002.0000000002.parquet")
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":3,"parts":2,"size":4}""".getBytes(UTF_8))
+    assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 2L)))
+    // delete one part: the incomplete part-set must not be used (and
+    // with no JSON chain either, the read refuses)
+    Files.delete(logDir.resolve(
+      "00000000000000000003.checkpoint.0000000002.0000000002.parquet"))
+    intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+  }
+
+  test("scale: a many-partition snapshot reads through ONE FileScan node, byte-identical") {
+    val dir = tmpDir() + "/t"
+    val n = 1000
+    val df = spark.range(n).select(($"id" % n).as("day"), $"id".as("k"),
+      ($"id" * 0.5).as("v"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.append(df, recordChanges = false)
+    assert(t.resolvedManifest(None).files.size == n)
+    DeltaLogBridge.export(t)
+    val back = DeltaLogBridge.read(spark, dir)
+    val plan = back.queryExecution.executedPlan.toString
+    // exactly one parquet scan — never a per-partition union
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"expected one FileScan over $n partitions:\n${plan.take(2000)}")
+    def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(key(back) == key(t.read()))
+  }
+
+  test("mirror self-cures: lazy delete breaks it, OPTIMIZE re-seeds, readers see the cured snapshot") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(12).select(($"id" % 3).as("day"), $"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    t.append(df, recordChanges = false)
+    assert(DeltaLogBridge.read(spark, dir).count() == 12)
+    t.deleteLazy("k = 0") // unmappable → broken
+    val marker = Paths.get(dir, "_delta_log/_GRAFT_MIRROR_BROKEN")
+    assert(Files.exists(marker))
+    assert(DeltaLogBridge.read(spark, dir).count() == 12,
+      "broken mirror freezes at the last consistent snapshot")
+    // OPTIMIZE materializes the mark → its own post-commit hook re-seeds
+    t.compact(1024L * 1024 * 1024)
+    assert(!Files.exists(marker), "cured mirror must drop the marker")
+    assert(DeltaLogBridge.read(spark, dir).count() == 11,
+      "external readers must see the cured (materialized-delete) snapshot")
+    // and the mirror keeps following again
+    t.append(spark.range(100, 103).select(($"id" % 3).as("day"), $"id".as("k")),
+      recordChanges = false)
+    assert(DeltaLogBridge.read(spark, dir).count() == 14)
+  }
+
+  test("mirror gap detection: a deleted Delta commit breaks the mirror instead of appending past it") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(6).select(($"id" % 2).as("day"), $"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    t.append(df, recordChanges = false)
+    t.append(df.withColumn("k", $"k" + 10), recordChanges = false)
+    t.append(df.withColumn("k", $"k" + 20), recordChanges = false)
+    // sabotage: remove a MID-chain Delta commit (deleting the newest one
+    // is harmless — deterministic translation just re-writes it; a hole
+    // BELOW the mirrored head is the unrecoverable-by-append case)
+    val victim = Paths.get(dir, "_delta_log/00000000000000000003.json")
+    assert(Files.exists(victim))
+    Files.delete(victim)
+    t.append(df.withColumn("k", $"k" + 30), recordChanges = false)
+    assert(Files.exists(Paths.get(dir, "_delta_log/_GRAFT_MIRROR_BROKEN")),
+      "appending past a log gap would hand readers a log that skips commits")
+    // the cure: any expressible commit re-seeds past the damage
+    t.compact(1024L * 1024 * 1024)
+    val healed = t.append(df.withColumn("k", $"k" + 40), recordChanges = false)
+    assert(!Files.exists(Paths.get(dir, "_delta_log/_GRAFT_MIRROR_BROKEN")))
+    assert(DeltaLogBridge.read(spark, dir).count() ==
+      CommitLogTable.open(spark, dir).read().count())
+    assert(healed > 0)
+  }
+
+  test("racing first catch-ups under the LEASE coordinator seed one consistent mirror") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(8).select(($"id" % 2).as("day"), $"id".as("k"))
+    val t1 = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t1.append(df, recordChanges = false)
+    val t2 = CommitLogTable.open(spark, dir)
+    // object-store posture: no atomic create — both handles arbitrate
+    // through lease claims only
+    t1.coordinator = new LeaseCoordinator(settleMillis = 30L)
+    t2.coordinator = new LeaseCoordinator(settleMillis = 30L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = DeltaLogBridge.mirrorCatchUp(t1) })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = DeltaLogBridge.mirrorCatchUp(t2) })
+      assert(Set(f1.get(), f2.get()) == Set(1L),
+        "both racers must converge on the seeded head")
+    } finally pool.shutdown()
+    // exactly one committed seed: _last_checkpoint names an existing
+    // classic checkpoint, and the read serves the table
+    val lc = new String(Files.readAllBytes(
+      Paths.get(dir, "_delta_log/_last_checkpoint")), UTF_8)
+    assert(lc.contains("\"version\":1"), lc)
+    assert(Files.exists(Paths.get(dir,
+      "_delta_log/00000000000000000001.checkpoint.parquet")))
+    assert(DeltaLogBridge.read(spark, dir).count() == 8)
+    // later commits keep appending 1:1 through the lease coordinator too
+    t1.append(df.withColumn("k", $"k" + 50), recordChanges = false)
+    DeltaLogBridge.mirrorCatchUp(t1)
+    assert(DeltaLogBridge.read(spark, dir).count() == 16)
+  }
+}

@@ -95,11 +95,16 @@ class DeltaFixtureSpec extends AnyFunSuite {
     assert(v0.orderBy("k").as[(Long, Long, String)].collect().toSeq ==
       Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c")),
       "time travel must replay only through the pinned version")
-    // a checkpointed log is out of the v1 surface — refused loudly
+    // _last_checkpoint is a HINT readers must tolerate (protocol spec):
+    // a dangling one — no checkpoint parquet exists — must NOT fail a
+    // read the complete JSON chain can serve
     Files.write(Paths.get(dir, "_delta_log/_last_checkpoint"),
       """{"version":1,"size":3}""".getBytes(UTF_8))
-    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
-    assert(e.getMessage.contains("checkpoint"))
+    assert(DeltaLogBridge.read(spark, dir).count() == 4)
+    // ... and an unparseable hint is equally harmless
+    Files.write(Paths.get(dir, "_delta_log/_last_checkpoint"),
+      "not json{{{".getBytes(UTF_8))
+    assert(DeltaLogBridge.read(spark, dir).count() == 4)
   }
 
   test("classic checkpoint: seed state from the parquet, replay the JSON tail, refuse pre-checkpoint pins once vacuumed") {
