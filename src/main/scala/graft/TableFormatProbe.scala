@@ -107,6 +107,34 @@ object TableFormatProbe {
       rec(p, "vacuum", timeMs(t.vacuum(retainVersions = 2, orphanGraceMillis = 0L))._2)
     }
 
+    // ---- COMPOSITE-KEY axis (round 13, Manifest.partitionCols): the
+    // same O(touched)/O(manifest) claims must hold when the partition
+    // key is a TUPLE — (endpoint, dt) at 8 × p/8 leaves. The grouped
+    // metadata aggregate answers from per-file partition tuples (zero
+    // data files), a keyed merge rewrites one LEAF, and OPTIMIZE WHERE
+    // compacts one leaf — none may track total leaf count.
+    for (p <- scales) {
+      val dir = s"$outRoot/mp$p-${System.nanoTime()}"
+      val dts = math.max(1, p / 8)
+      val df = spark.range(p * 200L).select(
+        col("id").as("k"),
+        (col("id") % 8).cast("string").as("ep"),
+        (col("id") % dts).cast("string").as("dt"),
+        ((col("id") * 7 % 1000) / 10.0).as("v"))
+      val t = CommitLogTable.create(spark, dir, df.schema, Seq("ep", "dt"))
+      rec(p, "mp_build_append", timeMs(t.append(df, recordChanges = false))._2)
+      rec(p, "mp_grouped_agg_meta", timeMs(
+        spark.read.format("commitlog").load(dir)
+          .groupBy(col("ep"), col("dt")).agg(count(lit(1))).count())._2)
+      val one = spark.range(3).select((col("id") + 1000000L).as("k"),
+        lit("3").as("ep"), lit("0").as("dt"), lit(1.5).as("v"))
+      rec(p, "mp_pruned_merge_1leaf",
+        timeMs(t.merge(one, Seq("k", "ep", "dt"), Seq(col("v"))))._2)
+      rec(p, "mp_optimize_where_1leaf", timeMs(
+        t.compact(128L * 1024 * 1024,
+          values = Some(t.partitionKeysWhere("ep = '3' AND dt = '0'"))))._2)
+    }
+
     // ---- FILE-COUNT axis (checkpointed log): a metadata-only commit on
     // the diff-serialized log must cost O(diff) — flat wall time AND flat
     // manifest bytes while the live file count grows 100×. Before the

@@ -17,7 +17,7 @@ import graft.sources.CommitLogCatalog
   *
   * {{{
   *   DESCRIBE HISTORY cat.ns.t
-  *   OPTIMIZE cat.ns.t [ZORDER BY (c1, c2)]
+  *   OPTIMIZE cat.ns.t [WHERE <partition predicate>] [ZORDER BY (c1, c2)]
   *   VACUUM cat.ns.t [RETAIN 5 VERSIONS]
   * }}}
   *
@@ -84,11 +84,13 @@ final class TableServiceSqlParser(session: SparkSession,
       s"CALL `$c`.system.history(table => ${quoted(t)})" }
     val optimize = OptimizeRe.matcher(sqlText)
     if (optimize.matches()) return target(optimize.group(1)).map { case (c, t) =>
+      val where = Option(optimize.group(2)).map(_.trim)
       // normalize "(a, b)" / "a, b" to the procedure's 'a,b' form
-      val zorder = Option(optimize.group(2)).map(
+      val zorder = Option(optimize.group(3)).map(
         _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
           .mkString(","))
       s"CALL `$c`.system.optimize(table => ${quoted(t)}" +
+        where.map(w => s", where => ${quoted(w)}").getOrElse("") +
         zorder.map(z => s", zorder_by => ${quoted(z)}").getOrElse("") + ")"
     }
     val vacuum = VacuumRe.matcher(sqlText)
@@ -135,7 +137,8 @@ private object TableServiceSqlParser {
   val HistoryRe: Pattern =
     re(s"""\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ident\\s*;?\\s*""")
   val OptimizeRe: Pattern = re(
-    s"""\\s*OPTIMIZE\\s+$Ident(?:\\s+ZORDER\\s+BY\\s+\\(?([^()]+?)\\)?)?\\s*;?\\s*""")
+    s"""\\s*OPTIMIZE\\s+$Ident(?:\\s+WHERE\\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s+\(?([^()]+?)\)?)?\s*;?\s*""")
   val VacuumRe: Pattern = re(
     s"""\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""")
 }

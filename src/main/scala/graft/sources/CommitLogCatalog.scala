@@ -414,6 +414,10 @@ private final class OptimizeProcedure(tableOf: String => CommitLogTable)
     ProcedureParameter.in("zorder_by", StringType)
       .defaultValue("CAST(NULL AS STRING)").build(),
     ProcedureParameter.in("sort_by", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    // partition-scoped OPTIMIZE (Delta's `OPTIMIZE t WHERE …`): a SQL
+    // boolean over the PARTITION columns picks the leaves to compact
+    ProcedureParameter.in("where", StringType)
       .defaultValue("CAST(NULL AS STRING)").build())
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -425,9 +429,11 @@ private final class OptimizeProcedure(tableOf: String => CommitLogTable)
       else Some(input.getUTF8String(3).toString.split(',').map(_.trim).toSeq)
     require(zorder.isEmpty || sortBy.isEmpty,
       "optimize: give zorder_by OR sort_by, not both")
+    val values = if (input.isNullAt(4)) None
+      else Some(t.partitionKeysWhere(input.getUTF8String(4).toString))
     val report = zorder match {
-      case Some(cols) => t.compactZOrder(targetBytes, cols)
-      case None => t.compact(targetBytes,
+      case Some(cols) => t.compactZOrder(targetBytes, cols, values = values)
+      case None => t.compact(targetBytes, values = values,
         sortCols = sortBy.getOrElse(Seq.empty).map(col))
     }
     val schema = StructType(Seq(

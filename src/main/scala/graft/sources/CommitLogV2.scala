@@ -1335,12 +1335,15 @@ final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
     * the from-the-beginning read over a log-vacuumed table serves the
     * survivors (the retention contract). An EXPLICIT startingVersion
     * below the floor reaches [[CommitLogTable.changeFilesAt]]'s loud
-    * refusal instead of a silently incomplete feed.
+    * refusal instead of a silently incomplete feed. Lazy vals: the
+    * default resolve is a FULL log listing (O(#versions) — the cost
+    * the `_latest` hint exists to avoid), so it must price once per
+    * scan, never per planning evaluation.
     */
-  private def starting: Long =
+  private lazy val starting: Long =
     options.get("startingversion").map(_.toLong)
       .getOrElse(math.max(1L, table.earliestVersion))
-  private def ending: Long = options.get("endingversion").map(_.toLong) match {
+  private lazy val ending: Long = options.get("endingversion").map(_.toLong) match {
     case Some(e) =>
       // an explicit range may NARROW a time-travel pin, never escape it —
       // a relation pinned @vN must not serve changes committed after N

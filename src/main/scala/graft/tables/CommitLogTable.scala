@@ -1610,6 +1610,47 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     report
   }
 
+  /** Partition KEYS of the current snapshot whose partition values
+    * satisfy `predicate` (a SQL boolean over the partition columns,
+    * typed as declared — `dt >= '2024-01-01' AND exchange = 'NYSE'`,
+    * `day IS NULL`). The scope resolver behind `OPTIMIZE … WHERE`:
+    * evaluated driver-side over the DISTINCT partition tuples (manifest
+    * metadata, never a data scan — bounded by live-partition count).
+    * A predicate referencing anything but a partition column fails
+    * loudly, exactly Delta's OPTIMIZE-WHERE rule.
+    */
+  def partitionKeysWhere(predicate: String): Seq[String] = {
+    val snap = snapshot()
+    require(snap.partitionCols.nonEmpty,
+      s"partition predicate on unpartitioned table $dir")
+    val fields = snap.partitionCols.map(p => snap.schema(p))
+    val tuples = snap.files
+      .filter(_.partitionVals.length == snap.partitionCols.length)
+      .map(f => (f.partitionVals, f.partitionKey)).distinct
+    val schema = org.apache.spark.sql.types.StructType(
+      fields.map(f => org.apache.spark.sql.types.StructField(
+        f.name, org.apache.spark.sql.types.StringType)) :+
+      org.apache.spark.sql.types.StructField("__graft_key",
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val rows = tuples.map { case (vals, key) =>
+      Row.fromSeq(vals.map(v =>
+        if (v == HiveDefaultPartition) null else v) :+ key)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema)
+    val typed = df.select(fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)) :+ col("__graft_key"): _*)
+    val filtered =
+      try typed.filter(expr(predicate)).select("__graft_key")
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"partition predicate may reference only the partition " +
+            s"column(s) ${snap.partitionCols.mkString(", ")}: " +
+            e.getMessage)
+      }
+    filtered.collect().map(_.getString(0)).toSeq
+  }
+
   /** Multi-column Z-ORDER compact — the real `OPTIMIZE … ZORDER BY (a, b)`
     * (the reference's table service, `docs/databricks_setup.md`): rows
     * sort by the BIT-INTERLEAVED normalized codes of the cluster columns,
@@ -1626,7 +1667,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * correctness (the residual predicate always applies).
     */
   def compactZOrder(targetFileBytes: Long, cols: Seq[String],
-      bitsPerColumn: Int = 16): Map[String, (Int, Int)] = {
+      bitsPerColumn: Int = 16,
+      values: Option[Seq[String]] = None): Map[String, (Int, Int)] = {
     require(cols.size >= 2 && cols.size <= 4,
       s"compactZOrder: 2-4 cluster columns, got ${cols.size}")
     require(bitsPerColumn * cols.size <= 63,
@@ -1675,7 +1717,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val bit = shiftright(codes(i), j).bitwiseAND(lit(1L))
       z = z.bitwiseOR(shiftleft(bit, j * codes.size + i))
     }
-    compact(targetFileBytes, values = None, sortCols = Seq(z),
+    compact(targetFileBytes, values = values, sortCols = Seq(z),
       clusterLabel = Some(
         s"zorder(${cols.mkString(",")},bits=$bitsPerColumn)"))
   }

@@ -141,8 +141,9 @@ object DeltaLogBridge {
     var columnMappingMode: String = "none"
     var declaredFeatures: Seq[String] = Seq.empty
     var minReaderSeen: Int = 1
-    // live file set: decoded relative path → partitionValues
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    // live file set: decoded relative path → (partitionValues, carries-DV)
+    val live = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Map[String, String], Boolean)]
 
     def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
       minReaderSeen = minReader
@@ -164,13 +165,12 @@ object DeltaLogBridge {
       columnMappingMode = configuration
         .getOrElse("delta.columnMapping.mode", "none")
     }
+    // DV presence is recorded, not raised: a HISTORICAL add with a DV
+    // whose file is removed (or rewritten clean) before the pin is
+    // provably unused — only the final LIVE set is judged, mirroring
+    // how columnMappingMode validates after replay
     def applyAdd(path: String, pv: Map[String, String],
-        hasDv: Boolean): Unit = {
-      require(!hasDv,
-        s"file $path carries a deletion vector — reading it as-is would " +
-          "resurrect deleted rows; this bridge refuses DV-bearing tables")
-      live.put(path, pv)
-    }
+        hasDv: Boolean): Unit = live.put(path, (pv, hasDv))
     def applyJson(v: Long): Unit = {
       val lines = new String(
         Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
@@ -234,23 +234,19 @@ object DeltaLogBridge {
             f"$v%020d.checkpoint.$i%010d.$k%010d.parquet")
           if (parts.forall(names.contains)) Some((v, parts, false)) else None
         }
-      val V2Name = """(\d{20})\.checkpoint\.([^.]+)\.parquet""".r
+      // v2 manifests come in BOTH spec formats: parquet and JSON
+      // (commit-version names are all-digit middles — excluded)
+      val V2Name = """(\d{20})\.checkpoint\.([^.]+)\.(parquet|json)""".r
       val v2 = names.collect {
-        case n @ V2Name(v, u) if !u.forall(_.isDigit) => (v.toLong, Seq(n), true)
+        case n @ V2Name(v, u, _) if !u.forall(_.isDigit) =>
+          (v.toLong, Seq(n), true)
       }
       classic ++ multi ++ v2
     }
-
-    /** Parse `_last_checkpoint` tolerantly — the spec calls it a hint
-      * readers must survive: unreadable/missing → None.
-      */
-    def checkpointHint: Option[Long] =
-      try {
-        val p = logDir.resolve("_last_checkpoint")
-        if (!Files.exists(p)) None
-        else Some(M.readTree(new String(Files.readAllBytes(p), UTF_8))
-          .get("version").asLong)
-      } catch { case scala.util.control.NonFatal(_) => None }
+    // `_last_checkpoint` is deliberately NOT consulted: the listing
+    // already discovers a superset of what the hint could name, and the
+    // spec calls the hint something readers must merely survive — so
+    // the simplest conforming posture is to ignore it on reads
 
     /** Seed the state from a checkpoint: one row per action, nullable
       * structs `protocol`/`metaData`/`add` (`remove` rows are tombstones
@@ -259,7 +255,90 @@ object DeltaLogBridge {
       * hold the add/remove actions. Driver-collected, same driver-sized-
       * state scope as the JSON replay.
       */
+    // sidecar paths are URI-encoded and _sidecars-relative per the spec
+    // (absolute URIs are legal there too — out of scope, refused loudly
+    // like absolute add.paths, never silently mangled)
+    def sidecarFile(raw: String): String = {
+      val u = new java.net.URI(raw)
+      require(u.getScheme == null && !raw.startsWith("/"),
+        s"v2 checkpoint sidecar must be _sidecars-relative, got $raw")
+      u.getPath
+    }
+
+    /** A JSON-format v2 manifest (`<v>.checkpoint.<uuid>.json`, spec-
+      * legal): newline-delimited actions exactly like a commit, plus
+      * `sidecar` rows naming the parquet files that hold the adds.
+      */
+    def applyJsonV2Manifest(name: String): Unit = {
+      val lines = new String(
+        Files.readAllBytes(logDir.resolve(name)), UTF_8)
+        .split('\n').filter(_.trim.nonEmpty)
+      val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines.foreach { line =>
+        val n = M.readTree(line)
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          val feats =
+            if (p.hasNonNull("readerFeatures"))
+              p.get("readerFeatures").elements().asScala.map(_.asText).toSeq
+            else Seq.empty
+          applyProtocol(p.get("minReaderVersion").asInt, feats)
+        }
+        if (n.has("metaData")) {
+          val md = n.get("metaData")
+          val conf =
+            if (md.hasNonNull("configuration")) {
+              val c = md.get("configuration")
+              c.properties().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null
+                  else e.getValue.asText)).toMap
+            } else Map.empty[String, String]
+          applyMetaData(md.get("schemaString").asText,
+            md.get("format").get("provider").asText,
+            md.get("partitionColumns").elements().asScala
+              .map(_.asText).toSeq, conf)
+        }
+        if (n.has("add")) {
+          val a = n.get("add")
+          val pv =
+            if (a.has("partitionValues"))
+              a.get("partitionValues").properties().asScala
+                .map(e => e.getKey -> (if (e.getValue.isNull) null
+                  else e.getValue.asText)).toMap
+            else Map.empty[String, String]
+          applyAdd(decodePath(a.get("path").asText), pv,
+            a.hasNonNull("deletionVector"))
+        }
+        if (n.has("sidecar"))
+          sidecars += sidecarFile(n.get("sidecar").get("path").asText)
+      }
+      if (sidecars.nonEmpty)
+        applyActionFrames(sidecars.toSeq.map(p =>
+          spark.read.parquet(s"$dir/_delta_log/_sidecars/$p")))
+    }
+
+    def applyActionFrames(frames: Seq[DataFrame]): Unit =
+      frames.foreach { fr =>
+        val fc = fr.columns.toSet
+        if (fc.contains("add")) {
+          val hasDv = fr.select("add.*").columns.contains("deletionVector")
+          val sel =
+            if (hasDv) fr.selectExpr("add.path", "add.partitionValues",
+              "add.deletionVector IS NOT NULL")
+            else fr.selectExpr("add.path", "add.partitionValues", "false")
+          sel.where("add IS NOT NULL").collect().foreach { r =>
+            val pv = Option(r.getMap[String, String](1))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            applyAdd(decodePath(r.getString(0)), pv, r.getBoolean(2))
+          }
+        }
+      }
+
     def applyCheckpoint(ckNames: Seq[String], isV2: Boolean): Unit = {
+      if (isV2 && ckNames.forall(_.endsWith(".json"))) {
+        ckNames.foreach(applyJsonV2Manifest)
+        return
+      }
       val df = spark.read.parquet(ckNames.map(n => s"$dir/_delta_log/$n"): _*)
       val cols = df.columns.toSet
       if (cols.contains("protocol")) {
@@ -292,29 +371,14 @@ object DeltaLogBridge {
           val side =
             if (!cols.contains("sidecar")) Seq.empty
             else df.select("sidecar.path").where("sidecar IS NOT NULL")
-              .collect().map(_.getString(0)).toSeq
+              .collect().map(r => sidecarFile(r.getString(0))).toSeq
           df +: side.map(p =>
             spark.read.parquet(s"$dir/_delta_log/_sidecars/$p"))
         }
-      actionFrames.foreach { fr =>
-        val fc = fr.columns.toSet
-        if (fc.contains("add")) {
-          val hasDv = fr.select("add.*").columns.contains("deletionVector")
-          val sel =
-            if (hasDv) fr.selectExpr("add.path", "add.partitionValues",
-              "add.deletionVector IS NOT NULL")
-            else fr.selectExpr("add.path", "add.partitionValues", "false")
-          sel.where("add IS NOT NULL").collect().foreach { r =>
-            val pv = Option(r.getMap[String, String](1))
-              .map(_.toMap).getOrElse(Map.empty[String, String])
-            applyAdd(decodePath(r.getString(0)), pv, r.getBoolean(2))
-          }
-        }
-      }
+      applyActionFrames(actionFrames)
     }
 
     val ckpts = listedCheckpoints
-    val hint = checkpointHint
     val upTo = versionAsOf.getOrElse(
       (versions ++ ckpts.map(_._1) :+ -1L).max)
     require(vset.contains(upTo) || ckpts.exists(_._1 == upTo),
@@ -327,9 +391,11 @@ object DeltaLogBridge {
         (0L to upTo).forall(vset.contains)) {
       (0L to upTo).foreach(applyJson)
     } else {
+      // newest usable version; classic preferred over v2 at a tie
+      // (fewer files to open)
       val usable = ckpts.filter(c => c._1 <= upTo &&
           ((c._1 + 1) to upTo).forall(vset.contains))
-        .sortBy(c => (c._1, hint.contains(c._1), !c._3)).lastOption
+        .sortBy(c => (c._1, !c._3)).lastOption
       usable match {
         case Some((cv, ckNames, isV2)) =>
           applyCheckpoint(ckNames, isV2)
@@ -354,9 +420,15 @@ object DeltaLogBridge {
         "field resolution is out of this bridge's scope")
     require(minReaderSeen < 3 || declaredFeatures.nonEmpty,
       "reader version 3 requires an explicit readerFeatures list")
+    val dvLive = live.collect { case (p, (_, true)) => p }
+    require(dvLive.isEmpty,
+      s"live file(s) ${dvLive.take(3).mkString(", ")} carry deletion " +
+        "vectors — reading them as-is would resurrect deleted rows; " +
+        "this bridge refuses DV-bearing snapshots")
     val s = schema.getOrElse(
       throw new IllegalStateException(s"log at $dir carries no metaData"))
-    assembleRead(spark, dir, s, partCols, live.toSeq)
+    assembleRead(spark, dir, s, partCols,
+      live.toSeq.map { case (p, (pv, _)) => (p, pv) })
   }
 
   /** ONE parquet scan over every live file, with log-sourced partition
@@ -614,7 +686,11 @@ object DeltaLogBridge {
   def mirrorCatchUp(table: CommitLogTable): Long = {
     val logDir = Paths.get(table.dir, "_delta_log")
     val head = table.latestVersion
-    val snap = table.resolvedManifest(None)
+    // expressibility must be judged on the EXACT snapshot a seed would
+    // export (seed pins at `head`): a resolvedManifest(None) here could
+    // race a concurrent commit and bless a head version whose
+    // mark-bearing files would read as plain adds — resurrected rows
+    val snap = table.resolvedManifest(Some(head))
 
     def break(reason: String): Long = {
       Files.createDirectories(logDir)

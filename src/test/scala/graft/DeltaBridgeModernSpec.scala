@@ -174,6 +174,64 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
       Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("a HISTORICAL deletion vector whose file was purged before the pin reads fine; " +
+      "the DV-bearing pin itself refuses") {
+    val dir = tmpDir()
+    Seq(1L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")
+    Seq(2L).toDF("k").coalesce(1).write.parquet(s"$dir/d2")
+    val (f1, f2) = (onePart(dir, "d1"), onePart(dir, "d2"))
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    // v0: a DV-bearing add; v1: REORG-style purge (remove + clean re-add)
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":[]}}
+         |{"metaData":{"id":"dead","format":{"provider":"parquet","options":{}},"schemaString":${M(schemaJson)},"partitionColumns":["day"],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":9,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,"sizeInBytes":36,"cardinality":1}}}
+         |""".stripMargin).getBytes(UTF_8))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000001.json"),
+      (s"""{"remove":{"path":"$f1","deletionTimestamp":2,"dataChange":true}}
+         |{"add":{"path":"$f2","partitionValues":{"day":"2"},"size":9,"modificationTime":2,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    // latest: the DV-bearing file is GONE — provably unused, reads fine
+    assert(DeltaLogBridge.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
+    // pinned AT the DV-bearing version: refusal, not resurrected rows
+    val e = intercept[IllegalArgumentException](
+      DeltaLogBridge.read(spark, dir, Some(0L)))
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+  }
+
+  test("JSON-format v2 manifest (spec-legal .checkpoint.<uuid>.json) seeds with sidecars") {
+    val dir = tmpDir()
+    Seq(5L).toDF("k").coalesce(1).write.parquet(s"$dir/d5")
+    val f5 = onePart(dir, "d5")
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir.resolve("_sidecars"))
+    val tmp = Files.createTempDirectory("v2jck").toString
+    Seq(V2SidecarRow(Some(V2Add(f5, Map("day" -> "5"), 9, 1, true, None))))
+      .toDS().toDF().coalesce(1).write.parquet(tmp + "/p")
+    val part = { val s = Files.list(Paths.get(tmp, "p"))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close() }
+    Files.copy(part, logDir.resolve("_sidecars/sc-01.parquet"))
+    Files.write(logDir.resolve(
+      "00000000000000000007.checkpoint.3a7a0069-55ae-4860-bfbe-cd0799dfa0b9.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}
+         |{"metaData":{"id":"cafe","format":{"provider":"parquet","options":{}},"schemaString":${M(schemaJson)},"partitionColumns":["day"],"configuration":{},"createdTime":1}}
+         |{"sidecar":{"path":"sc-01.parquet","sizeInBytes":100}}
+         |""".stripMargin).getBytes(UTF_8))
+    assert(DeltaLogBridge.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 5L)))
+    // an absolute sidecar path refuses loudly rather than mangles
+    Files.write(logDir.resolve(
+      "00000000000000000007.checkpoint.3a7a0069-55ae-4860-bfbe-cd0799dfa0b9.json"),
+      (s"""{"metaData":{"id":"cafe","format":{"provider":"parquet","options":{}},"schemaString":${M(schemaJson)},"partitionColumns":["day"],"configuration":{},"createdTime":1}}
+         |{"sidecar":{"path":"/abs/sc-01.parquet","sizeInBytes":100}}
+         |""".stripMargin).getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+    assert(e.getMessage.contains("_sidecars-relative"), e.getMessage)
+  }
+
   test("multi-part classic checkpoint: all parts read, missing part falls back") {
     val dir = tmpDir()
     Seq(1L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")

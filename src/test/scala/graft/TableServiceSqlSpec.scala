@@ -76,6 +76,43 @@ class TableServiceSqlSpec extends AnyFunSuite {
       .as[(Long, Long)].head == ((10L, 421L)))
   }
 
+  test("OPTIMIZE WHERE scopes the compaction to matching partitions (Delta's partition predicate)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.default.p (k BIGINT, ep STRING, dt STRING) " +
+      "USING commitlog PARTITIONED BY (ep, dt)")
+    // 3 small files per leaf, two leaves per endpoint
+    for (i <- 0 until 3; ep <- Seq("prices", "news"); dt <- Seq("d1", "d2"))
+      spark.sql(s"INSERT INTO $cat.default.p VALUES (${i * 10}, '$ep', '$dt')")
+    val dir = s"$wh/default/p"
+    def filesPer(): Map[String, Int] = CommitLogTable.open(spark, dir)
+      .resolvedManifest(None).files.groupBy(_.partitionKey)
+      .map { case (p, fs) => p -> fs.size }
+    assert(filesPer().values.forall(_ == 3))
+    // a predicate over BOTH partition columns (typed comparison on dt)
+    val rep = spark.sql(
+      s"OPTIMIZE $cat.default.p WHERE ep = 'prices' AND dt >= 'd2'")
+    assert(rep.collect().map(_.getString(0)).toSeq == Seq("prices/d2"))
+    val after = filesPer()
+    assert(after("prices/d2") == 1, after.toString)
+    assert(after("prices/d1") == 3 && after("news/d1") == 3 &&
+      after("news/d2") == 3, s"unmatched leaves must stay untouched: $after")
+    // WHERE composes with ZORDER BY — only the scoped leaf rewrites
+    val rep2 = spark.sql(
+      s"OPTIMIZE $cat.default.p WHERE ep = 'news' AND dt = 'd1' ZORDER BY (k, k)")
+    assert(rep2.collect().map(_.getString(0)).toSeq == Seq("news/d1"))
+    assert(filesPer()("news/d1") == 1 && filesPer()("news/d2") == 3)
+    // a non-partition column in the predicate refuses loudly
+    val e = intercept[Exception](
+      spark.sql(s"OPTIMIZE $cat.default.p WHERE k > 5").collect())
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // a predicate matching nothing is a clean no-op
+    assert(spark.sql(s"OPTIMIZE $cat.default.p WHERE ep = 'missing'")
+      .count() == 0)
+    // content intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.p")
+      .head().getLong(0) == 12)
+  }
+
   test("current-catalog targets resolve without a prefix; non-commitlog targets fall through") {
     val (cat, _) = freshCatalog()
     seed(cat)
