@@ -17,8 +17,10 @@ import graft.sources.CommitLogCatalog
   *
   * {{{
   *   DESCRIBE HISTORY cat.ns.t
+  *   DESCRIBE DETAIL cat.ns.t
   *   OPTIMIZE cat.ns.t [WHERE <partition predicate>] [ZORDER BY (c1, c2)]
   *   VACUUM cat.ns.t [RETAIN 5 VERSIONS]
+  *   RESTORE [TABLE] cat.ns.t [TO] VERSION AS OF 3
   * }}}
   *
   * Injected as a PARSER wrapper ([[graft.GraftExtensions]]): a matched
@@ -82,6 +84,13 @@ final class TableServiceSqlParser(session: SparkSession,
     val history = HistoryRe.matcher(sqlText)
     if (history.matches()) return target(history.group(1)).map { case (c, t) =>
       s"CALL `$c`.system.history(table => ${quoted(t)})" }
+    val detail = DetailRe.matcher(sqlText)
+    if (detail.matches()) return target(detail.group(1)).map { case (c, t) =>
+      s"CALL `$c`.system.detail(table => ${quoted(t)})" }
+    val restore = RestoreRe.matcher(sqlText)
+    if (restore.matches()) return target(restore.group(1)).map { case (c, t) =>
+      s"CALL `$c`.system.restore(table => ${quoted(t)}, " +
+        s"version => ${restore.group(2)})" }
     val optimize = OptimizeRe.matcher(sqlText)
     if (optimize.matches()) return target(optimize.group(1)).map { case (c, t) =>
       val where = Option(optimize.group(2)).map(_.trim)
@@ -136,6 +145,10 @@ private object TableServiceSqlParser {
 
   val HistoryRe: Pattern =
     re(s"""\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ident\\s*;?\\s*""")
+  val DetailRe: Pattern =
+    re(s"""\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ident\\s*;?\\s*""")
+  val RestoreRe: Pattern = re(
+    s"""\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
   val OptimizeRe: Pattern = re(
     s"""\\s*OPTIMIZE\\s+$Ident(?:\\s+WHERE\\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s+\(?([^()]+?)\)?)?\s*;?\s*""")

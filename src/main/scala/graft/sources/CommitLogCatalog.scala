@@ -357,7 +357,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("optimize", "vacuum", "restore", "history")
+      Array("optimize", "vacuum", "restore", "history", "detail")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -376,10 +376,57 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
       case "vacuum" => new VacuumProcedure(tableOf)
       case "restore" => new RestoreProcedure(tableOf)
       case "history" => new HistoryProcedure(tableOf)
+      case "detail" => new DetailProcedure(tableOf)
       case other => throw new UnsupportedOperationException(
         s"commitlog catalog: no procedure `$other` " +
-          "(have: optimize, vacuum, restore, history)")
+          "(have: optimize, vacuum, restore, history, detail)")
     }
+  }
+}
+
+/** `CALL cat.system.detail(table => 'ns.t')` — Delta's `DESCRIBE
+  * DETAIL`: one row of snapshot facts (format, location, version, file
+  * and row counts, byte size, partition columns, clustering marker,
+  * properties), answered from the latest manifest alone — no data read.
+  */
+private final class DetailProcedure(tableOf: String => CommitLogTable)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "detail"
+  override def description(): String =
+    "one-row snapshot detail (DESCRIBE DETAIL), manifest-only"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.types.{LongType, IntegerType}
+    val t = tableOf(input.getUTF8String(0).toString)
+    val m = t.resolvedManifest(None)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("format", StringType),
+      org.apache.spark.sql.types.StructField("location", StringType),
+      org.apache.spark.sql.types.StructField("version", LongType),
+      org.apache.spark.sql.types.StructField("num_files", IntegerType),
+      org.apache.spark.sql.types.StructField("size_bytes", LongType),
+      org.apache.spark.sql.types.StructField("rows_total", LongType),
+      org.apache.spark.sql.types.StructField("partition_columns", StringType),
+      org.apache.spark.sql.types.StructField("clustered_by", StringType),
+      org.apache.spark.sql.types.StructField("properties", StringType)))
+    val props = m.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
+    val row = Seq[Any](
+      UTF8String.fromString("commitlog"),
+      UTF8String.fromString(t.dir),
+      m.version,
+      m.files.size,
+      m.files.map(_.bytes).sum,
+      m.rowsTotal,
+      UTF8String.fromString(m.partitionCols.mkString(",")),
+      m.clusteredBy.map(UTF8String.fromString).orNull,
+      UTF8String.fromString(props))
+    java.util.Collections.singletonList(
+      new ProcedureResult(schema, Seq(row)): Scan).iterator()
   }
 }
 

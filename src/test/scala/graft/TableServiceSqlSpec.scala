@@ -113,6 +113,28 @@ class TableServiceSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 12)
   }
 
+  test("DESCRIBE DETAIL and RESTORE ... VERSION AS OF round the service surface") {
+    val (cat, wh) = freshCatalog()
+    val t = seed(cat)
+    val d = spark.sql(s"DESCRIBE DETAIL $t").head()
+    assert(d.getString(0) == "commitlog")
+    assert(d.getString(1) == s"$wh/default/t")
+    assert(d.getLong(2) == 6L) // create + 6 inserts = v6
+    assert(d.getInt(3) == 6 && d.getLong(5) == 6L)
+    assert(d.getString(6) == "") // unpartitioned
+    // detail over a composite-partitioned table names both key columns
+    spark.sql(s"CREATE TABLE $cat.default.p2 (k BIGINT, ep STRING, dt STRING) " +
+      "USING commitlog PARTITIONED BY (ep, dt)")
+    assert(spark.sql(s"DESCRIBE DETAIL $cat.default.p2").head().getString(6)
+      == "ep,dt")
+    // RESTORE sugar = CALL system.restore; reads roll back, history grows
+    val rowsAtV3 = 3L
+    spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 3")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == rowsAtV3)
+    assert(spark.sql(s"RESTORE $t VERSION AS OF 6").head().getLong(1) == 8L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 6L)
+  }
+
   test("current-catalog targets resolve without a prefix; non-commitlog targets fall through") {
     val (cat, _) = freshCatalog()
     seed(cat)
