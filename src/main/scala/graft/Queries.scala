@@ -2832,6 +2832,35 @@ object Queries {
         max(col("value")).as("max_value"))
   }
 
+  /** ZERO-COPY ADOPTION (`CONVERT TO DELTA`'s analogue,
+    * [[graft.tables.CommitLogTable.convert]]): a pre-existing plain-
+    * parquet dump of events becomes a transactional commit-log table in
+    * place — no data rewritten, footer stats adopted — and the very
+    * first read through the DSv2 path already stats-prunes. The 100 TB
+    * adoption story: a corpus migrates to the format for the cost of
+    * one footer pass, not a rewrite.
+    */
+  def tableConvert(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-convert-demo", "events")
+    SessionMemo.once(s, s"commitlogConvert:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root)))
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id")
+            .write.parquet(root)
+        graft.tables.CommitLogTable.convert(s, root)
+      }
+    }
+    s.read.format("commitlog").load(root)
+      .filter(col("event_id") % 5 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value"), 6).as("sum_value"),
+        min(col("event_id")).as("min_id"))
+  }
+
   /** Build-and-query entirely through the SQL surface
     * ([[graft.sources.CommitLogCatalog]]): CREATE TABLE … via the
     * catalog, two INSERT INTO … SELECT commits (each one transactional

@@ -190,6 +190,7 @@ object SparkEntry {
     "q_table_agg" -> (Queries.tableAgg _),
     "q_table_agg_group" -> (Queries.tableAggGroup _),
     "q_table_multipart" -> (Queries.tableMultipart _),
+    "q_table_convert" -> (Queries.tableConvert _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
   )
@@ -3936,6 +3937,14 @@ object SparkEntry {
              count(*) AS n_rows, min(event_id) AS min_id,
              max(value) AS max_value
       FROM events GROUP BY 1, 2""",
+
+    // zero-copy CONVERT adoption of a plain-parquet events dump: the
+    // adopted table must answer exactly like the raw data
+    "q_table_convert" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(event_id) AS min_id
+      FROM events WHERE event_id % 5 = 0 GROUP BY event_type""",
 
     // table-read CDF over the SQL-catalog demo: two INSERT INTO halves
     // (even event_ids at version 1, odd at version 2), all insert images

@@ -2160,6 +2160,62 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Adoption commit behind [[CommitLogTable.convert]]: walk the table
+    * root for pre-existing parquet (skipping `_`/`.` dirs — the log
+    * itself, markers), parse Hive `col=value` segments by NAME against
+    * the declared partition columns, footer-read stats, and publish ONE
+    * `convert` manifest. Deliberately NOT a retryCommit: the adopted
+    * files are not this attempt's output, and a lost-race cleanup must
+    * never be able to delete them — on the (fresh-table) race the
+    * publish just fails loudly.
+    */
+  private[tables] def adoptExisting(partitionCols: Seq[String]): Unit = {
+    val root = Paths.get(dir)
+    val paths = {
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter { p =>
+        Files.isRegularFile(p) && {
+          val rel = root.relativize(p)
+          val segs = rel.iterator().asScala.map(_.toString).toSeq
+          segs.forall(n => !n.startsWith("_") && !n.startsWith(".")) &&
+            segs.last.endsWith(".parquet")
+        }
+      }.toVector
+      finally s.close()
+    }
+    require(paths.nonEmpty, s"convert: no parquet files under $dir")
+    val files = inParallel(paths) { p =>
+      val rel = root.relativize(p)
+      val kv = rel.iterator().asScala.map(_.toString).toSeq.init
+        .filter(_.contains("=")).map { seg =>
+          val i = seg.indexOf('=')
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.take(i)) ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(i + 1))
+        }.toMap
+      if (partitionCols.isEmpty)
+        require(kv.isEmpty,
+          s"convert: $rel is directory-partitioned (${kv.keys.mkString(",")}" +
+            ") — adopting it unpartitioned would silently drop the " +
+            "directory-encoded column(s); pass partitionCols")
+      val partitionVals = partitionCols.map(c => kv.getOrElse(c, throw
+        new IllegalArgumentException(
+          s"convert: $rel carries no '$c=' directory segment — every " +
+            "file of a partitioned conversion must sit in the Hive " +
+            s"layout naming ${partitionCols.mkString(", ")}")))
+      val (rows, stats) = footerInfo(p)
+      LogFile(rel.toString, partitionVals, rows, Files.size(p), stats)
+    }.filter(_.rows > 0) // zero-row debris is never referenced (nor deleted)
+    val snap = snapshot()
+    require(snap.version == 0 && snap.files.isEmpty,
+      s"convert: table at $dir already has commits")
+    val total = files.map(_.rows).sum
+    val m = mkManifest(snap, "convert", files, rowsInserted = total,
+      rowsUpdated = 0, rowsDeleted = 0, rowsTotal = total, changesDir = None)
+    require(tryPublish(m), s"convert: lost the adoption race at $dir")
+  }
+
   private def enumerate(root: Path, sub: String): Seq[LogFile] = {
     val paths = {
       val s = Files.walk(root)
@@ -3044,6 +3100,43 @@ object CommitLogTable {
       partitionCols: Seq[String] = Seq.empty): CommitLogTable =
     if (exists(dir) && listVersionsAt(dir).nonEmpty) open(spark, dir)
     else create(spark, dir, schema, partitionCols)
+
+  /** `CONVERT TO DELTA`'s analogue: adopt an EXISTING plain-parquet
+    * directory as a commit-log table IN PLACE — zero bytes copied, one
+    * footer pass for row counts and skipping stats, one `convert`
+    * manifest referencing the files where they sit. From then on the
+    * directory has everything the format gives: ACID commits, MERGE,
+    * time travel, CDF (for post-convert commits), OPTIMIZE, stats
+    * pruning. At 100 TB this is the adoption path — the alternative is
+    * rewriting the corpus.
+    *
+    * Partitioned adoption requires BOTH the Hive `col=value` directory
+    * layout naming exactly `partitionCols` AND the files physically
+    * carrying those columns (the format reads partition columns from
+    * the files; manifest values are pruning metadata). A
+    * `df.write.partitionBy(...)` layout strips the columns from the
+    * files, so it refuses loudly with the rewrite guidance instead of
+    * silently returning NULL partition columns. Likewise, a dir with
+    * `k=v` segments adopted WITHOUT partitionCols refuses — dropping
+    * the directory-encoded column would silently narrow the data.
+    */
+  def convert(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Seq.empty): CommitLogTable = {
+    require(!exists(dir), s"convert: a commit-log table already exists at $dir")
+    require(Files.isDirectory(Paths.get(dir)), s"convert: no directory at $dir")
+    // physical schema only: recursiveFileLookup disables Hive partition
+    // discovery, so directory-encoded columns never sneak into the schema
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir).schema
+    partitionCols.foreach(p => require(schema.fieldNames.contains(p),
+      s"convert: partition column '$p' is directory-encoded only — the " +
+        "files do not carry it, and this format reads partition columns " +
+        "from the files. Rewrite once (read with partition discovery, " +
+        "append into a fresh partitioned table) instead of converting."))
+    val t = create(spark, dir, schema, partitionCols)
+    t.adoptExisting(partitionCols)
+    t
+  }
 
   private def manifestName(version: Long): String = f"v$version%020d.json"
 

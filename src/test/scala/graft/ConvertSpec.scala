@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.CommitLogTable
+
+/** `CommitLogTable.convert` — the CONVERT TO DELTA analogue: adopt an
+  * existing plain-parquet directory as a commit-log table IN PLACE
+  * (zero bytes copied, one footer pass), refusing the layouts that
+  * cannot adopt soundly. At 100 TB this is the adoption path; the
+  * alternative is rewriting the corpus.
+  */
+class ConvertSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unpartitioned adoption: zero-copy, stats prune, full table services after") {
+    val dir = Files.createTempDirectory("graft-convert").toString + "/t"
+    spark.range(1000).select($"id".as("k"), ($"id" * 0.5).as("v"))
+      .repartitionByRange(5, $"k").sortWithinPartitions("k")
+      .write.parquet(dir)
+    val before = Files.walk(Paths.get(dir)).filter(p =>
+      p.toString.endsWith(".parquet")).count()
+    val t = CommitLogTable.convert(spark, dir)
+    val m = t.resolvedManifest(None)
+    assert(m.action == "convert" && m.files.size == 5 && m.rowsTotal == 1000)
+    // zero-copy: exactly the same parquet files, adopted where they sit
+    val after = Files.walk(Paths.get(dir)).filter(p =>
+      p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_graft_log")).count()
+    assert(after == before)
+    assert(t.read().count() == 1000)
+    // footer stats landed → manifest-level skipping works immediately
+    assert(t.rangeFiles(m, "k", 10L, 20L).size == 1)
+    // the adopted table is a full citizen: merge, time travel, history
+    t.merge(Seq((5L, 99.0)).toDF("k", "v"), Seq("k"), Seq(col("v")))
+    assert(t.read().filter($"k" === 5).head().getDouble(1) == 99.0)
+    assert(t.read(Some(1L)).filter($"k" === 5).head().getDouble(1) == 2.5)
+    assert(t.history.collect().map(_.getString(1)).toSeq
+      .containsSlice(Seq("convert", "merge")))
+    // and the DSv2 read path serves it with pushdown
+    assert(spark.read.format("commitlog").load(dir)
+      .filter($"k" >= 990).count() == 10)
+  }
+
+  test("partitionBy layout without carried columns refuses with rewrite guidance") {
+    val dir = Files.createTempDirectory("graft-convert-hive").toString + "/t"
+    spark.range(100).select($"id".as("k"), ($"id" % 3).as("day"))
+      .write.partitionBy("day").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      CommitLogTable.convert(spark, dir, Seq("day")))
+    assert(e.getMessage.contains("directory-encoded only"), e.getMessage)
+    // and adopting it UNPARTITIONED refuses too — the day column would
+    // silently vanish from the data
+    val e2 = intercept[IllegalArgumentException](
+      CommitLogTable.convert(spark, dir))
+    assert(e2.getMessage.contains("silently drop"), e2.getMessage)
+  }
+
+  test("Hive layout WITH carried columns adopts partitioned, tuples recorded") {
+    val dir = Files.createTempDirectory("graft-convert-carried").toString + "/t"
+    // build the adoptable shape by hand: named k=v dirs, files CARRY the
+    // partition columns physically
+    for (ep <- Seq("prices", "news"); dt <- Seq("d1", "d2"))
+      spark.range(10).select($"id".as("k"), lit(ep).as("ep"), lit(dt).as("dt"))
+        .coalesce(1).write.parquet(s"$dir/ep=$ep/dt=$dt")
+    val t = CommitLogTable.convert(spark, dir, Seq("ep", "dt"))
+    val m = t.resolvedManifest(None)
+    assert(m.partitionCols == Seq("ep", "dt"))
+    assert(m.files.map(_.partitionVals).toSet == Set(
+      Seq("prices", "d1"), Seq("prices", "d2"),
+      Seq("news", "d1"), Seq("news", "d2")))
+    assert(t.read().count() == 40)
+    // manifest partition pruning works on the adopted tuples
+    assert(t.readPartitions(Set("prices")).count() == 20)
+    // grouped metadata aggregate answers from the adopted manifest alone
+    val q = spark.read.format("commitlog").load(dir)
+      .groupBy($"ep", $"dt").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    assert(q.collect().forall(_.getLong(2) == 10L))
+  }
+
+  test("double convert and convert-over-table refuse; a racing convert loses loudly") {
+    val dir = Files.createTempDirectory("graft-convert-twice").toString + "/t"
+    spark.range(10).select($"id".as("k")).coalesce(1).write.parquet(dir)
+    CommitLogTable.convert(spark, dir)
+    val e = intercept[IllegalArgumentException](CommitLogTable.convert(spark, dir))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+}
