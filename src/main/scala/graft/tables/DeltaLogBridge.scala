@@ -34,19 +34,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * READ scope is the protocol's v1–v3 reader surface: JSON commits,
   * classic (single and multi-part) checkpoints, UUID-named v2
-  * manifest+sidecar checkpoints, and the table-features protocol —
-  * reader v2/v3 tables read when every declared feature is understood
-  * or provably unused (column mapping mode none, no deletion vectors on
-  * adds); genuinely-used DV/column-mapping refuse loudly.
-  * `_last_checkpoint` is a HINT, tolerated when stale or unreadable.
-  * protocol/metaData/add/remove actions honored, commitInfo/txn
-  * ignored. EXPORTED logs declare `minReaderVersion=1,
-  * minWriterVersion=2`, so any spec-conforming Delta reader
-  * (delta-spark, delta-rs, DuckDB delta) can read a graft table's files
-  * in place — zero data copied. Export refuses snapshots whose
-  * semantics v1 cannot carry: live column mapping (renames/drops need
-  * reader v2+) or pending merge-on-read delete marks (deletion vectors
-  * need reader v3).
+  * manifest+sidecar checkpoints (parquet AND JSON manifests), and the
+  * table-features protocol — reader v2/v3 tables read when every
+  * declared feature is either IMPLEMENTED (column mapping mode `name`
+  * resolves fields by their physical names) or provably unused
+  * (deletion vectors with no `add.deletionVector` live); genuinely-used
+  * DVs and id-mode mapping refuse loudly. `_last_checkpoint` is a HINT,
+  * tolerated when stale or unreadable. protocol/metaData/add/remove
+  * actions honored, commitInfo/txn ignored.
+  *
+  * EXPORTED logs declare `minReaderVersion=1, minWriterVersion=2` for
+  * plain snapshots — and a column-MAPPED snapshot (renames, post-drop
+  * re-adds) exports as a reader-v2 NAME-mode log (mapped schemaString
+  * field metadata, `delta.columnMapping.mode=name`, physical
+  * partitionValues keys), the same encoding Databricks-written mapped
+  * tables use — so any spec-conforming Delta reader (delta-spark,
+  * delta-rs, DuckDB delta) can read a graft table's files in place,
+  * zero data copied. Export refuses only what no protocol level can
+  * express without rewriting: pending merge-on-read delete marks
+  * (deletion vectors need a DV WRITER, out of scope).
   */
 object DeltaLogBridge {
 
@@ -81,12 +87,46 @@ object DeltaLogBridge {
     u.getPath
   }
 
+  /** Stable field id for the column-mapping metadata, derived from the
+    * PHYSICAL name alone so it never shifts across schema evolution
+    * (the protocol wants ids immutable per column; name-mode readers
+    * resolve by physicalName, id-mode readers by this). Uniqueness is
+    * checked at build time — a 31-bit hash collision over a table's
+    * column names is astronomically unlikely, and failing loudly beats
+    * silently aliasing two columns.
+    */
+  private def fieldId(phys: String): Int =
+    scala.util.hashing.MurmurHash3.stringHash(phys) & 0x7fffffff
+
+  /** Spark StructType JSON with Delta column-mapping field metadata
+    * (`delta.columnMapping.id` / `.physicalName`) for every field —
+    * what a reader-v2 `schemaString` carries in mode `name`. Returns
+    * (json, maxColumnId).
+    */
+  private def mappedSchemaJson(schema: StructType,
+      mapping: Map[String, String]): (String, Int) = {
+    val fields = schema.fields.map { f =>
+      val phys = mapping.getOrElse(f.name, f.name)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", fieldId(phys).toLong)
+        .putString("delta.columnMapping.physicalName", phys)
+        .build()
+      f.copy(metadata = mb)
+    }
+    val ids = fields.map(f =>
+      f.metadata.getLong("delta.columnMapping.id"))
+    require(ids.distinct.length == ids.length,
+      "column-mapping field-id hash collision — rename a column")
+    (StructType(fields).json, ids.max.toInt)
+  }
+
   /** Reader features this bridge can either EXECUTE or PROVE unused.
     * A declared feature outside this set refuses loudly — the protocol
     * forbids reading past a feature you don't understand.
     */
   private val TolerableReaderFeatures = Set(
-    "columnMapping", // tolerated iff delta.columnMapping.mode is none/absent
+    "columnMapping", // mode name IMPLEMENTED (physical resolution); id refuses
     "deletionVectors", // tolerated iff no add carries a deletionVector
     "timestampNtz", // a type, carried by schemaString — Spark reads it
     "variantType-preview", "variantType", // ditto
@@ -104,10 +144,11 @@ object DeltaLogBridge {
     * Protocol handling follows the table-features spec: reader v1 reads
     * as before; v2 (implicit column mapping) and v3 (explicit
     * readerFeatures) are accepted when every declared feature is either
-    * understood or PROVABLY unused in this snapshot — column mapping
-    * with `delta.columnMapping.mode` none/absent, deletionVectors with
-    * no `add.deletionVector` present. Genuinely-used column mapping or
-    * DVs refuse loudly.
+    * IMPLEMENTED — column mapping mode `name`: the scan reads files by
+    * their PHYSICAL field names and surfaces logical ones — or provably
+    * unused in this snapshot (deletionVectors with no live
+    * `add.deletionVector`). Genuinely-used DVs and id-mode mapping
+    * refuse loudly.
     *
     * `_last_checkpoint` is a HINT, per the spec: unreadable, stale, or
     * dangling hints never fail a read the log itself can serve — the
@@ -414,10 +455,14 @@ object DeltaLogBridge {
       }
     }
     // feature validation against the REPLAYED state: declared-but-unused
-    // column mapping / DVs are readable; used ones were refused above
-    require(columnMappingMode == "none" || columnMappingMode == null,
-      s"table uses column mapping mode '$columnMappingMode' — physical " +
-        "field resolution is out of this bridge's scope")
+    // DVs are readable (used ones refuse below); column mapping mode
+    // NAME is fully resolved — files read by their physical field names
+    // and surface under the logical ones. Mode `id` (parquet field-id
+    // resolution) stays out of scope.
+    require(columnMappingMode == "none" || columnMappingMode == null ||
+        columnMappingMode == "name",
+      s"table uses column mapping mode '$columnMappingMode' — only " +
+        "name-mode physical resolution is implemented")
     require(minReaderSeen < 3 || declaredFeatures.nonEmpty,
       "reader version 3 requires an explicit readerFeatures list")
     val dvLive = live.collect { case (p, (_, true)) => p }
@@ -427,8 +472,23 @@ object DeltaLogBridge {
         "this bridge refuses DV-bearing snapshots")
     val s = schema.getOrElse(
       throw new IllegalStateException(s"log at $dir carries no metaData"))
-    assembleRead(spark, dir, s, partCols,
-      live.toSeq.map { case (p, (pv, _)) => (p, pv) })
+    // name-mode: scan by PHYSICAL names, alias back to logical at the
+    // end; partitionValues keys are physical per the protocol's column-
+    // mapping rules (logical keys tolerated — some writers emit them)
+    val physOf: Map[String, String] = s.fields.map { f =>
+      f.name -> (if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name)
+    }.toMap
+    val physSchema = StructType(s.fields.map(f => f.copy(name = physOf(f.name))))
+    val physPartCols = partCols.map(pc => physOf.getOrElse(pc, pc))
+    val liveNorm = live.toSeq.map { case (p, (pv, _)) =>
+      (p, partCols.zip(physPartCols).map { case (lc, pc) =>
+        pc -> pv.getOrElse(pc, pv.getOrElse(lc, null))
+      }.toMap)
+    }
+    assembleRead(spark, dir, physSchema, physPartCols, liveNorm,
+      outNames = s.fieldNames.toSeq)
   }
 
   /** ONE parquet scan over every live file, with log-sourced partition
@@ -441,18 +501,24 @@ object DeltaLogBridge {
     */
   private def assembleRead(spark: SparkSession, dir: String,
       s: StructType, partCols: Seq[String],
-      live: Seq[(String, Map[String, String])]): DataFrame = {
+      live: Seq[(String, Map[String, String])],
+      outNames: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    def out(cols: Seq[org.apache.spark.sql.Column])
+        : Seq[org.apache.spark.sql.Column] =
+      cols.zip(outNames).map { case (c, n) => c.as(n) }
     val dataSchema = StructType(s.fields.filterNot(f => partCols.contains(f.name)))
     if (live.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(s.fields.zip(outNames).map { case (f, n) =>
+          f.copy(name = n) }))
     partCols.foreach(pc => require(s.fields.exists(_.name == pc),
       s"partition column $pc missing from schemaString"))
     val paths = live.map { case (p, _) => s"$dir/$p" }
     val base = spark.read.schema(dataSchema).parquet(paths: _*)
     if (partCols.isEmpty)
-      return base.select(s.fieldNames.map(col).toSeq: _*)
+      return base.select(out(s.fieldNames.toSeq.map(col)): _*)
     // lookup keys must render exactly as the scan's _metadata.file_path
     // does: the listing's FileStatus paths carry a NULL authority on
     // filesystems whose default has none (local → "file:/x", not
@@ -483,7 +549,7 @@ object DeltaLogBridge {
     val joined = base
       .withColumn("__graft_fp", col("_metadata.file_path"))
       .join(broadcast(pvDf), Seq("__graft_fp"), "left")
-    val outCols = s.fields.map { f =>
+    val outCols = s.fields.toSeq.map { f =>
       if (partCols.contains(f.name))
         org.apache.spark.sql.functions.when(col("__graft_hit").isNull,
             org.apache.spark.sql.functions.raise_error(
@@ -491,10 +557,9 @@ object DeltaLogBridge {
                 lit("DeltaLogBridge: no partition values for file "),
                 col("__graft_fp"))))
           .otherwise(col(s"__graft_pv_${f.name}").cast(f.dataType))
-          .as(f.name)
       else col(f.name)
-    }.toSeq
-    joined.select(outCols: _*)
+    }
+    joined.select(out(outCols): _*)
   }
 
   /** Export the CURRENT snapshot of a commit-log table as a Delta v1
@@ -510,12 +575,14 @@ object DeltaLogBridge {
     */
   def export(table: CommitLogTable, overwrite: Boolean = false): Int = {
     val snap = table.resolvedManifest(None)
-    require(snap.columnMapping.isEmpty,
-      "export: live column mapping (renames/drops) needs Delta column " +
-        "mapping (reader v2+); compactRewrite the table first")
     require(snap.files.forall(_.pendingDelete.isEmpty),
       "export: pending lazy-delete marks need deletion vectors (reader " +
         "v3); run OPTIMIZE to materialize them first")
+    // live column mapping (renames, post-drop re-adds) exports as a
+    // reader-v2 NAME-mode log: schemaString fields carry the mapping
+    // metadata, partitionValues key by physical names — the same
+    // encoding Databricks-written mapped tables use
+    val mapped = snap.columnMapping.nonEmpty
     val logDir = Paths.get(table.dir, "_delta_log")
     require(overwrite || !Files.exists(logDir.resolve(deltaName(0L))),
       s"a _delta_log already exists at ${table.dir}")
@@ -523,17 +590,24 @@ object DeltaLogBridge {
     val now = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+      if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    ).append('\n')
     val md = M.createObjectNode()
     val mdN = md.putObject("metaData")
     mdN.put("id", java.util.UUID.randomUUID().toString)
     val fmt = mdN.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
-    mdN.put("schemaString", snap.schema.json)
+    val conf = mdN.putObject("configuration")
+    if (mapped) {
+      val (json, maxId) = mappedSchemaJson(snap.schema, snap.columnMapping)
+      mdN.put("schemaString", json)
+      conf.put("delta.columnMapping.mode", "name")
+      conf.put("delta.columnMapping.maxColumnId", maxId.toString)
+    } else mdN.put("schemaString", snap.schema.json)
     val pc = mdN.putArray("partitionColumns")
     snap.partitionCols.foreach(pc.add)
-    mdN.putObject("configuration")
     mdN.put("createdTime", now)
     sb.append(M.writeValueAsString(md)).append('\n')
     snap.files.foreach { f =>
@@ -541,7 +615,9 @@ object DeltaLogBridge {
       val a = add.putObject("add")
       a.put("path", encodePath(f.path))
       val pv = a.putObject("partitionValues")
-      partitionValuesOf(snap.partitionCols, f).foreach {
+      // column-mapped logs key partition values by PHYSICAL name
+      partitionValuesOf(snap.partitionCols
+          .map(c => snap.columnMapping.getOrElse(c, c)), f).foreach {
         case (c, Some(v)) => pv.put(c, v)
         case (c, None) => pv.putNull(c)
       }
@@ -591,17 +667,23 @@ object DeltaLogBridge {
       s"graft-delta-mirror:$dir".getBytes(UTF_8)).toString
 
   private def metaDataJson(dir: String, schema: StructType,
-      partitionCols: Seq[String], tsMillis: Long): String = {
+      partitionCols: Seq[String], tsMillis: Long,
+      mapping: Map[String, String]): String = {
     val md = M.createObjectNode()
     val mdN = md.putObject("metaData")
     mdN.put("id", stableId(dir))
     val fmt = mdN.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
-    mdN.put("schemaString", schema.json)
+    val conf = mdN.putObject("configuration")
+    if (mapping.nonEmpty) {
+      val (json, maxId) = mappedSchemaJson(schema, mapping)
+      mdN.put("schemaString", json)
+      conf.put("delta.columnMapping.mode", "name")
+      conf.put("delta.columnMapping.maxColumnId", maxId.toString)
+    } else mdN.put("schemaString", schema.json)
     val pc = mdN.putArray("partitionColumns")
     partitionCols.foreach(pc.add)
-    mdN.putObject("configuration")
     mdN.put("createdTime", tsMillis)
     M.writeValueAsString(md)
   }
@@ -622,11 +704,13 @@ object DeltaLogBridge {
     M.writeValueAsString(add)
   }
 
-  /** What a v1 Delta log cannot express about a snapshot, or None. */
+  /** What the mirror cannot express about a snapshot, or None.
+    * Column mapping is NOT on this list any more — renames/drops mirror
+    * as reader-v2 name-mode metaData; only merge-on-read delete marks
+    * (deletion vectors, reader v3) stay out of scope.
+    */
   private def inexpressible(m: CommitLogTable.Manifest): Option[String] =
-    if (m.columnMapping.nonEmpty)
-      Some("live column mapping needs Delta reader v2+")
-    else if (m.files.exists(_.pendingDelete.isDefined))
+    if (m.files.exists(_.pendingDelete.isDefined))
       Some("pending lazy-delete marks need deletion vectors")
     else None
 
@@ -736,18 +820,24 @@ object DeltaLogBridge {
     ((mirrored + 1) to head).foreach { v =>
       val (action, added, removed) = table.versionFileDiff(v)
       val m = table.resolvedManifest(Some(v))
-      if (m.columnMapping.nonEmpty)
-        return break(s"v$v introduced column mapping (Delta reader v2+)")
       if (added.exists(_.pendingDelete.isDefined))
         return break(s"v$v carries a lazy-delete mark (deletion vectors)")
       if (added.exists(f => removed.contains(f.path)))
         return break(s"v$v changed a file entry in place")
       val prevSchema = table.resolvedManifest(Some(v - 1))
       val sb = new StringBuilder
+      // a rename/drop upgrades the log to reader-v2 name mode IN the
+      // commit that introduces the mapping (protocol action + mapped
+      // metaData), exactly how Delta itself enables column mapping
+      if (m.columnMapping.nonEmpty && prevSchema.columnMapping.isEmpty)
+        sb.append(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+          .append('\n')
       if (m.schema != prevSchema.schema ||
-          m.partitionCols != prevSchema.partitionCols)
+          m.partitionCols != prevSchema.partitionCols ||
+          m.columnMapping != prevSchema.columnMapping)
         sb.append(metaDataJson(table.dir, m.schema, m.partitionCols,
-          m.tsMillis)).append('\n')
+          m.tsMillis, m.columnMapping)).append('\n')
       val dataChange = action != "compact"
       removed.toSeq.sorted.foreach { p =>
         val rm = M.createObjectNode()
@@ -758,8 +848,9 @@ object DeltaLogBridge {
         sb.append(M.writeValueAsString(rm)).append('\n')
       }
       added.foreach(f =>
-        sb.append(addJson(m.partitionCols, f, m.tsMillis, dataChange))
-          .append('\n'))
+        sb.append(addJson(
+          m.partitionCols.map(c => m.columnMapping.getOrElse(c, c)),
+          f, m.tsMillis, dataChange)).append('\n'))
       // a no-op translation (e.g. a properties commit) still writes the
       // empty commit — Delta versions must stay contiguous with graft's.
       // Claims route through the table's SESSION-SELECTED coordinator,
@@ -784,15 +875,27 @@ object DeltaLogBridge {
     val logDir = Paths.get(table.dir, "_delta_log")
     Files.createDirectories(logDir)
     import spark.implicits._
+    // a column-mapped snapshot seeds a reader-v2 NAME-mode checkpoint:
+    // mapped schemaString, mode configuration, physical pv keys
+    val mapped = snap.columnMapping.nonEmpty
+    val (schemaJson, conf) =
+      if (!mapped) (snap.schema.json, Map.empty[String, String])
+      else {
+        val (json, maxId) = mappedSchemaJson(snap.schema, snap.columnMapping)
+        (json, Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
+    val pvCols = snap.partitionCols
+      .map(c => snap.columnMapping.getOrElse(c, c))
     val rows: Seq[(Option[(Int, Int)],
-        Option[(String, String, String, Seq[String])],
+        Option[(String, String, String, Seq[String], Map[String, String])],
         Option[(String, Map[String, String], Long, Long, Boolean)])] =
-      (Some((1, 2)), None, None) +:
-      (None, Some((stableId(table.dir), "parquet", snap.schema.json,
-        snap.partitionCols)), None) +:
+      (Some(if (mapped) (2, 5) else (1, 2)), None, None) +:
+      (None, Some((stableId(table.dir), "parquet", schemaJson,
+        snap.partitionCols, conf)), None) +:
       snap.files.map { f =>
         val pv: Map[String, String] =
-          partitionValuesOf(snap.partitionCols, f)
+          partitionValuesOf(pvCols, f)
             .map { case (c, v) => c -> v.orNull }.toMap
         (None, None,
           Some((encodePath(f.path), pv, f.bytes, snap.tsMillis, false)))
@@ -801,7 +904,7 @@ object DeltaLogBridge {
       "named_struct('minReaderVersion', p._1, 'minWriterVersion', p._2) AS protocol",
       "named_struct('id', m._1, 'format', named_struct('provider', m._2, " +
         "'options', map()), 'schemaString', m._3, 'partitionColumns', m._4, " +
-        "'configuration', map(), 'createdTime', 0L) AS metaData",
+        "'configuration', m._5, 'createdTime', 0L) AS metaData",
       "named_struct('path', a._1, 'partitionValues', a._2, 'size', a._3, " +
         "'modificationTime', a._4, 'dataChange', a._5) AS add")
       .selectExpr(

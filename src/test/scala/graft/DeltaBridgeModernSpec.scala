@@ -96,12 +96,82 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletion vector"), e.getMessage)
   }
 
-  test("genuinely-used column mapping refuses loudly") {
+  test("column mapping mode NAME resolves physical fields to logical names") {
+    val dir = tmpDir()
+    // the FILE carries physical names (k_7, day is directory-sourced)
+    Seq(42L).toDF("k_7").coalesce(1).write.parquet(s"$dir/d1")
+    val f1 = onePart(dir, "d1")
+    val mappedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", 1L)
+          .putString("delta.columnMapping.physicalName", "day_p").build()),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", 2L)
+          .putString("delta.columnMapping.physicalName", "k_7").build()))).json
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"abcd","format":{"provider":"parquet","options":{}},"schemaString":${M(mappedSchema)},"partitionColumns":["day"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}
+         |{"add":{"path":"$f1","partitionValues":{"day_p":"6"},"size":9,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val df = DeltaLogBridge.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("day", "k"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((6L, 42L)))
+  }
+
+  test("column mapping mode ID refuses loudly (field-id resolution out of scope)") {
     val dir = tmpDir()
     v3Fixture(dir, Seq("columnMapping"),
-      configuration = """{"delta.columnMapping.mode":"name"}""")
+      configuration = """{"delta.columnMapping.mode":"id"}""")
     val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
     assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
+  test("a RENAMED graft table exports as a reader-v2 name-mode log and round-trips") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(10).select(($"id" % 2).as("day"), $"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.append(df, recordChanges = false)
+    t.renameColumn("k", "key") // live column mapping: key -> physical k
+    assert(DeltaLogBridge.export(t) == t.resolvedManifest(None).files.size)
+    val v0 = new String(Files.readAllBytes(Paths.get(dir,
+      "_delta_log/00000000000000000000.json")), UTF_8)
+    assert(v0.contains("\"minReaderVersion\":2"), v0)
+    assert(v0.contains("delta.columnMapping.mode"), v0)
+    assert(v0.contains("\"delta.columnMapping.physicalName\\\":\\\"k\\\""), v0)
+    val back = DeltaLogBridge.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("day", "key"))
+    assert(back.orderBy("key").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq ==
+      t.read().orderBy("key").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("the mirror follows a RENAME (protocol upgrade + mapped metaData), no break") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(6).select(($"id" % 2).as("day"), $"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    t.append(df, recordChanges = false)
+    assert(DeltaLogBridge.read(spark, dir).count() == 6)
+    t.renameColumn("k", "key")
+    assert(!Files.exists(Paths.get(dir, "_delta_log/_GRAFT_MIRROR_BROKEN")),
+      "a rename must mirror as reader-v2 name mode, not break")
+    val afterRename = DeltaLogBridge.read(spark, dir)
+    assert(afterRename.schema.fieldNames.toSeq == Seq("day", "key"))
+    // and the mirror keeps appending normally after the upgrade
+    t.append(spark.range(100, 103).select(($"id" % 2).as("day"),
+      $"id".as("key")), recordChanges = false)
+    assert(DeltaLogBridge.read(spark, dir).count() == 9)
+    // the upgrade commit carries the protocol action
+    val renameCommit = new String(Files.readAllBytes(Paths.get(dir,
+      f"_delta_log/${t.latestVersion - 1}%020d.json")), UTF_8)
+    assert(renameCommit.contains("\"minReaderVersion\":2"), renameCommit)
   }
 
   test("unknown reader feature refuses loudly (never misread past it)") {

@@ -271,12 +271,16 @@ class DeltaFixtureSpec extends AnyFunSuite {
     // materializing the mark (OPTIMIZE) makes it exportable again
     t.compact(1024L * 1024 * 1024)
     assert(DeltaLogBridge.export(t) == t.resolvedManifest(None).files.size)
-    // a renamed column = live column mapping → refused
+    // a renamed column = live column mapping → exports as a reader-v2
+    // NAME-mode log (round 13) and round-trips with logical names
     val dir2 = tmpDir() + "/t2"
     val t2 = CommitLogTable.create(spark, dir2, df.schema)
     t2.append(df, recordChanges = false)
     t2.renameColumn("s", "s2")
-    val e2 = intercept[IllegalArgumentException](DeltaLogBridge.export(t2))
-    assert(e2.getMessage.contains("column mapping"))
+    assert(DeltaLogBridge.export(t2) == t2.resolvedManifest(None).files.size)
+    val back = DeltaLogBridge.read(spark, dir2)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s2"))
+    assert(back.orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
   }
 }
