@@ -2169,21 +2169,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * never be able to delete them — on the (fresh-table) race the
     * publish just fails loudly.
     */
-  private[tables] def adoptExisting(partitionCols: Seq[String]): Unit = {
+  private[tables] def adoptExisting(partitionCols: Seq[String],
+      paths: Seq[Path]): Unit = {
     val root = Paths.get(dir)
-    val paths = {
-      val s = Files.walk(root)
-      try s.iterator().asScala.filter { p =>
-        Files.isRegularFile(p) && {
-          val rel = root.relativize(p)
-          val segs = rel.iterator().asScala.map(_.toString).toSeq
-          segs.forall(n => !n.startsWith("_") && !n.startsWith(".")) &&
-            segs.last.endsWith(".parquet")
-        }
-      }.toVector
-      finally s.close()
-    }
-    require(paths.nonEmpty, s"convert: no parquet files under $dir")
     val files = inParallel(paths) { p =>
       val rel = root.relativize(p)
       val kv = rel.iterator().asScala.map(_.toString).toSeq.init
@@ -2194,11 +2182,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.substring(i + 1))
         }.toMap
-      if (partitionCols.isEmpty)
-        require(kv.isEmpty,
-          s"convert: $rel is directory-partitioned (${kv.keys.mkString(",")}" +
-            ") — adopting it unpartitioned would silently drop the " +
-            "directory-encoded column(s); pass partitionCols")
+      // EVERY directory-encoded column must be declared — an undeclared
+      // `hour=` segment would silently vanish from the adopted table,
+      // the same narrowing the unpartitioned refusal below guards
+      val undeclared = kv.keySet -- partitionCols
+      require(undeclared.isEmpty,
+        s"convert: $rel is directory-partitioned by " +
+          s"${undeclared.mkString(",")} — adopting would silently drop " +
+          "the directory-encoded column(s); declare them in partitionCols")
       val partitionVals = partitionCols.map(c => kv.getOrElse(c, throw
         new IllegalArgumentException(
           s"convert: $rel carries no '$c=' directory segment — every " +
@@ -3124,18 +3115,66 @@ object CommitLogTable {
       partitionCols: Seq[String] = Seq.empty): CommitLogTable = {
     require(!exists(dir), s"convert: a commit-log table already exists at $dir")
     require(Files.isDirectory(Paths.get(dir)), s"convert: no directory at $dir")
-    // physical schema only: recursiveFileLookup disables Hive partition
-    // discovery, so directory-encoded columns never sneak into the schema
-    val schema = spark.read.option("recursiveFileLookup", "true")
-      .parquet(dir).schema
+    // a directory already governed by ANOTHER transaction log must not
+    // blind-adopt: its log excludes tombstoned/uncommitted parquet that
+    // a raw walk would resurrect as live rows
+    Seq("_delta_log", "_spark_metadata").foreach(g =>
+      require(!Files.exists(Paths.get(dir, g)),
+        s"convert: $dir is governed by $g — a raw file walk would " +
+          "adopt files that log has removed or never committed; read " +
+          "it through its own format instead"))
+    val paths = adoptablePaths(Paths.get(dir))
+    require(paths.nonEmpty, s"convert: no parquet files under $dir")
+    // UNION schema across every footer (mergeSchema): deterministic
+    // regardless of footer-visit order — files lacking a later column
+    // null-backfill, exactly the format's own evolution semantics; a
+    // TYPE conflict fails loudly here instead of mid-scan later. Hive
+    // partition discovery never runs (explicit file list), so
+    // directory-encoded columns cannot sneak into the schema.
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(_.toString): _*).schema
     partitionCols.foreach(p => require(schema.fieldNames.contains(p),
       s"convert: partition column '$p' is directory-encoded only — the " +
         "files do not carry it, and this format reads partition columns " +
         "from the files. Rewrite once (read with partition discovery, " +
         "append into a fresh partitioned table) instead of converting."))
     val t = create(spark, dir, schema, partitionCols)
-    t.adoptExisting(partitionCols)
+    t.adoptExisting(partitionCols, paths)
     t
+  }
+
+  /** Pre-existing data files a [[convert]] may adopt: every regular
+    * file outside `_`/`.` directories that IS parquet — by the PAR1
+    * magic, not the suffix, so extensionless Hive/Impala part files
+    * (`000000_0`) adopt too instead of silently narrowing the dataset.
+    * A `.parquet`-suffixed file WITHOUT the magic fails loudly (torn
+    * copy — adopting around it would silently drop rows).
+    */
+  private def adoptablePaths(root: Path): Seq[Path] = {
+    def hasParquetMagic(p: Path): Boolean = {
+      if (Files.size(p) < 12) return false
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(4)
+        ch.read(buf)
+        java.util.Arrays.equals(buf.array(), "PAR1".getBytes(UTF_8))
+      } finally ch.close()
+    }
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter { p =>
+      Files.isRegularFile(p) && {
+        val segs = root.relativize(p).iterator().asScala
+          .map(_.toString).toSeq
+        segs.forall(n => !n.startsWith("_") && !n.startsWith(".")) && {
+          val magic = hasParquetMagic(p)
+          require(magic || !segs.last.endsWith(".parquet"),
+            s"convert: $p is named .parquet but lacks the PAR1 magic — " +
+              "torn or corrupt; remove or repair it before converting")
+          magic
+        }
+      }
+    }.toVector
+    finally s.close()
   }
 
   private def manifestName(version: Long): String = f"v$version%020d.json"

@@ -98,27 +98,69 @@ object DeltaLogBridge {
   private def fieldId(phys: String): Int =
     scala.util.hashing.MurmurHash3.stringHash(phys) & 0x7fffffff
 
+  private val IdKey = "delta.columnMapping.id"
+  private val PhysKey = "delta.columnMapping.physicalName"
+
   /** Spark StructType JSON with Delta column-mapping field metadata
-    * (`delta.columnMapping.id` / `.physicalName`) for every field —
-    * what a reader-v2 `schemaString` carries in mode `name`. Returns
+    * (`delta.columnMapping.id` / `.physicalName`) on EVERY field — the
+    * spec requires the annotations on nested struct fields too, and
+    * delta-spark validates exactly that. graft's own mapping renames
+    * only top-level columns, so nested fields keep their names as
+    * physical; their ids derive from the physical PATH. Returns
     * (json, maxColumnId).
     */
   private def mappedSchemaJson(schema: StructType,
       mapping: Map[String, String]): (String, Int) = {
-    val fields = schema.fields.map { f =>
-      val phys = mapping.getOrElse(f.name, f.name)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def annotate(f: org.apache.spark.sql.types.StructField,
+        phys: String, path: String): org.apache.spark.sql.types.StructField = {
+      val id = fieldId(path).toLong
+      ids += id
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
-        .putLong("delta.columnMapping.id", fieldId(phys).toLong)
-        .putString("delta.columnMapping.physicalName", phys)
+        .putLong(IdKey, id)
+        .putString(PhysKey, phys)
         .build()
-      f.copy(metadata = mb)
+      f.copy(dataType = decorate(f.dataType, path), metadata = mb)
     }
-    val ids = fields.map(f =>
-      f.metadata.getLong("delta.columnMapping.id"))
+    def decorate(dt: org.apache.spark.sql.types.DataType,
+        path: String): org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f => annotate(f, f.name, s"$path.${f.name}")))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = decorate(at.elementType, s"$path.element"))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(keyType = decorate(mt.keyType, s"$path.key"),
+          valueType = decorate(mt.valueType, s"$path.value"))
+      case o => o
+    }
+    val fields = schema.fields.map { f =>
+      val phys = mapping.getOrElse(f.name, f.name)
+      annotate(f, phys, phys)
+    }
     require(ids.distinct.length == ids.length,
       "column-mapping field-id hash collision — rename a column")
     (StructType(fields).json, ids.max.toInt)
+  }
+
+  /** The PHYSICAL rendering of a (possibly nested) type per the
+    * column-mapping metadata: every struct field anywhere takes its
+    * declared physicalName (absent = its own name). The read schema a
+    * name-mode scan must request from the parquet files.
+    */
+  private def physicalType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val phys = if (f.metadata.contains(PhysKey))
+        f.metadata.getString(PhysKey) else f.name
+      f.copy(name = phys, dataType = physicalType(f.dataType))
+    })
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = physicalType(at.elementType))
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = physicalType(mt.keyType),
+        valueType = physicalType(mt.valueType))
+    case o => o
   }
 
   /** Reader features this bridge can either EXECUTE or PROVE unused.
@@ -472,15 +514,23 @@ object DeltaLogBridge {
         "this bridge refuses DV-bearing snapshots")
     val s = schema.getOrElse(
       throw new IllegalStateException(s"log at $dir carries no metaData"))
-    // name-mode: scan by PHYSICAL names, alias back to logical at the
-    // end; partitionValues keys are physical per the protocol's column-
-    // mapping rules (logical keys tolerated — some writers emit them)
-    val physOf: Map[String, String] = s.fields.map { f =>
-      f.name -> (if (f.metadata.contains("delta.columnMapping.physicalName"))
-        f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name)
-    }.toMap
-    val physSchema = StructType(s.fields.map(f => f.copy(name = physOf(f.name))))
+    // name-mode: scan by PHYSICAL names (nested fields included) and
+    // surface logical ones; partitionValues keys are physical per the
+    // protocol's column-mapping rules (logical keys tolerated — some
+    // writers emit them). Mode none/absent IGNORES any leftover mapping
+    // metadata, as the spec requires — stale annotations on a
+    // derived schema must not redirect the scan.
+    val nameMode = columnMappingMode == "name"
+    val physOf: Map[String, String] =
+      if (!nameMode) s.fieldNames.map(n => n -> n).toMap
+      else s.fields.map { f =>
+        f.name -> (if (f.metadata.contains(PhysKey))
+          f.metadata.getString(PhysKey) else f.name)
+      }.toMap
+    val physSchema =
+      if (!nameMode) s
+      else StructType(s.fields.map(f => f.copy(name = physOf(f.name),
+        dataType = physicalType(f.dataType))))
     val physPartCols = partCols.map(pc => physOf.getOrElse(pc, pc))
     val liveNorm = live.toSeq.map { case (p, (pv, _)) =>
       (p, partCols.zip(physPartCols).map { case (lc, pc) =>
@@ -488,7 +538,7 @@ object DeltaLogBridge {
       }.toMap)
     }
     assembleRead(spark, dir, physSchema, physPartCols, liveNorm,
-      outNames = s.fieldNames.toSeq)
+      outFields = s.fields.toSeq)
   }
 
   /** ONE parquet scan over every live file, with log-sourced partition
@@ -502,17 +552,39 @@ object DeltaLogBridge {
   private def assembleRead(spark: SparkSession, dir: String,
       s: StructType, partCols: Seq[String],
       live: Seq[(String, Map[String, String])],
-      outNames: Seq[String]): DataFrame = {
+      outFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // surface each column under its LOGICAL name and type: the cast
+    // renames name-mode nested struct fields back to logical
+    // (struct casts are positional), and the empty-metadata alias
+    // strips the columnMapping annotations — a frame derived from this
+    // read must never carry stale physical redirections
+    // cast targets are all-nullable: parquet scans surface nullable
+    // structs, and a cast TO a non-nullable nested field is illegal —
+    // the cast exists to restore logical NAMES, never to tighten nulls
+    def nullableDeep(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = nullableDeep(at.elementType),
+          containsNull = true)
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(keyType = nullableDeep(mt.keyType),
+          valueType = nullableDeep(mt.valueType), valueContainsNull = true)
+      case o => o
+    }
     def out(cols: Seq[org.apache.spark.sql.Column])
         : Seq[org.apache.spark.sql.Column] =
-      cols.zip(outNames).map { case (c, n) => c.as(n) }
+      cols.zip(outFields).map { case (c, f) =>
+        c.cast(nullableDeep(f.dataType)).as(f.name,
+          org.apache.spark.sql.types.Metadata.empty) }
     val dataSchema = StructType(s.fields.filterNot(f => partCols.contains(f.name)))
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(s.fields.zip(outNames).map { case (f, n) =>
-          f.copy(name = n) }))
+        StructType(outFields.map(f =>
+          f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
     partCols.foreach(pc => require(s.fields.exists(_.name == pc),
       s"partition column $pc missing from schemaString"))
     val paths = live.map { case (p, _) => s"$dir/$p" }

@@ -83,6 +83,50 @@ class ConvertSpec extends AnyFunSuite {
     assert(q.collect().forall(_.getLong(2) == 10L))
   }
 
+  test("an UNDECLARED directory-encoded column refuses (no silent narrowing)") {
+    val dir = Files.createTempDirectory("graft-convert-undeclared").toString + "/t"
+    // two-level layout where files carry day but not hour
+    spark.range(10).select($"id".as("k"), lit("d1").as("day"))
+      .coalesce(1).write.parquet(s"$dir/day=d1/hour=00")
+    val e = intercept[IllegalArgumentException](
+      CommitLogTable.convert(spark, dir, Seq("day")))
+    assert(e.getMessage.contains("hour"), e.getMessage)
+  }
+
+  test("a directory governed by another transaction log refuses") {
+    val dir = Files.createTempDirectory("graft-convert-governed").toString + "/t"
+    spark.range(10).select($"id".as("k")).coalesce(1).write.parquet(dir)
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val e = intercept[IllegalArgumentException](CommitLogTable.convert(spark, dir))
+    assert(e.getMessage.contains("_delta_log"), e.getMessage)
+  }
+
+  test("extensionless parquet (Hive/Impala part files) adopts by magic; " +
+      "a torn .parquet refuses; heterogeneous schemas union") {
+    val dir = Files.createTempDirectory("graft-convert-magic").toString + "/t"
+    spark.range(5).select($"id".as("k")).coalesce(1).write.parquet(dir)
+    // rename the part file to the Hive spelling (no extension)
+    val part = Files.list(Paths.get(dir)).iterator()
+    import scala.jdk.CollectionConverters._
+    val pq = part.asScala.find(_.toString.endsWith(".parquet")).get
+    Files.move(pq, pq.resolveSibling("000000_0"))
+    // a second file with an EXTRA column: schema must union (mergeSchema)
+    spark.range(5, 8).select($"id".as("k"), ($"id" * 2.0).as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val t = CommitLogTable.convert(spark, dir)
+    assert(t.resolvedManifest(None).files.size == 2)
+    assert(t.read().count() == 8)
+    assert(t.read().schema.fieldNames.toSet == Set("k", "v"))
+    assert(t.read().filter($"k" < 5).select("v").collect().forall(_.isNullAt(0)),
+      "old files null-backfill the unioned column")
+    // a truncated .parquet file fails the conversion loudly
+    val dir2 = Files.createTempDirectory("graft-convert-torn").toString + "/t"
+    spark.range(3).select($"id".as("k")).coalesce(1).write.parquet(dir2)
+    Files.write(Paths.get(dir2, "torn.parquet"), Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException](CommitLogTable.convert(spark, dir2))
+    assert(e.getMessage.contains("PAR1"), e.getMessage)
+  }
+
   test("double convert and convert-over-table refuse; a racing convert loses loudly") {
     val dir = Files.createTempDirectory("graft-convert-twice").toString + "/t"
     spark.range(10).select($"id".as("k")).coalesce(1).write.parquet(dir)

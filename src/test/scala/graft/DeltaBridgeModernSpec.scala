@@ -124,6 +124,52 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
       Seq((6L, 42L)))
   }
 
+  test("NESTED name-mode fields resolve too; mode-none ignores leftover mapping metadata") {
+    val dir = tmpDir()
+    // file carries physical names at BOTH levels: top k_7, nested n_1
+    spark.sql("SELECT 42L AS k_7, named_struct('n_1', 7L) AS s_2")
+      .coalesce(1).write.parquet(s"$dir/d1")
+    val f1 = onePart(dir, "d1")
+    def fld(name: String, dt: org.apache.spark.sql.types.DataType,
+        phys: String, id: Long) =
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+    val nested = org.apache.spark.sql.types.StructType(Seq(
+      fld("n", org.apache.spark.sql.types.LongType, "n_1", 3L)))
+    val mappedSchema = org.apache.spark.sql.types.StructType(Seq(
+      fld("k", org.apache.spark.sql.types.LongType, "k_7", 1L),
+      fld("s", nested, "s_2", 2L))).json
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    def writeLog(configuration: String): Unit =
+      Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+        (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+           |{"metaData":{"id":"abcd","format":{"provider":"parquet","options":{}},"schemaString":${M(mappedSchema)},"partitionColumns":[],"configuration":$configuration,"createdTime":1}}
+           |{"add":{"path":"$f1","partitionValues":{},"size":9,"modificationTime":1,"dataChange":true}}
+           |""".stripMargin).getBytes(UTF_8))
+    writeLog("""{"delta.columnMapping.mode":"name"}""")
+    val df = DeltaLogBridge.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "s"))
+    val row = df.head()
+    assert(row.getLong(0) == 42L &&
+      row.getStruct(1).getLong(0) == 7L,
+      "nested struct fields must resolve by their physical names")
+    assert(df.select($"s.n").head().getLong(0) == 7L)
+    // derived frames carry NO mapping metadata (a re-export must not
+    // inherit stale physical redirections)
+    assert(df.schema.fields.forall(!_.metadata
+      .contains("delta.columnMapping.physicalName")))
+    // mode-none: the SAME metadata-bearing schemaString must be read by
+    // LOGICAL names (the spec: mapping metadata is inert without the
+    // mode) — here the files carry physical names, so the logical
+    // columns legitimately read as absent (null), never misdirected
+    writeLog("{}")
+    val plain = DeltaLogBridge.read(spark, dir)
+    assert(plain.head().isNullAt(0),
+      "mode none must ignore physicalName metadata, not resolve through it")
+  }
+
   test("column mapping mode ID refuses loudly (field-id resolution out of scope)") {
     val dir = tmpDir()
     v3Fixture(dir, Seq("columnMapping"),
@@ -134,7 +180,10 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
 
   test("a RENAMED graft table exports as a reader-v2 name-mode log and round-trips") {
     val dir = tmpDir() + "/t"
-    val df = spark.range(10).select(($"id" % 2).as("day"), $"id".as("k"))
+    // a nested struct column rides along: the spec requires mapping
+    // metadata on NESTED fields too (delta-spark validates it)
+    val df = spark.range(10).select(($"id" % 2).as("day"), $"id".as("k"),
+      struct($"id".as("inner")).as("s"))
     val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
     t.append(df, recordChanges = false)
     t.renameColumn("k", "key") // live column mapping: key -> physical k
@@ -144,12 +193,25 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
     assert(v0.contains("\"minReaderVersion\":2"), v0)
     assert(v0.contains("delta.columnMapping.mode"), v0)
     assert(v0.contains("\"delta.columnMapping.physicalName\\\":\\\"k\\\""), v0)
+    // nested fields are annotated too (spec-required; delta-spark checks)
+    assert(v0.contains("\\\"inner\\\""), v0)
+    val schemaStr = com.fasterxml.jackson.databind.json.JsonMapper
+      .builder().build().readTree(v0.linesIterator
+        .find(_.contains("metaData")).get)
+      .get("metaData").get("schemaString").asText
+    val exported = org.apache.spark.sql.types.DataType.fromJson(schemaStr)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val innerMeta = exported("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("inner").metadata
+    assert(innerMeta.contains("delta.columnMapping.physicalName") &&
+      innerMeta.contains("delta.columnMapping.id"),
+      "nested struct fields must carry mapping metadata")
     val back = DeltaLogBridge.read(spark, dir)
-    assert(back.schema.fieldNames.toSeq == Seq("day", "key"))
+    assert(back.schema.fieldNames.toSeq == Seq("day", "key", "s"))
     assert(back.orderBy("key").collect().map(r =>
-        (r.getLong(0), r.getLong(1))).toSeq ==
+        (r.getLong(0), r.getLong(1), r.getStruct(2).getLong(0))).toSeq ==
       t.read().orderBy("key").collect().map(r =>
-        (r.getLong(0), r.getLong(1))).toSeq)
+        (r.getLong(0), r.getLong(1), r.getStruct(2).getLong(0))).toSeq)
   }
 
   test("the mirror follows a RENAME (protocol upgrade + mapped metaData), no break") {
