@@ -52,6 +52,14 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   private var catalogName: String = _
   private var warehouse: String = _
 
+  /** ANSI constraint DDL (`ALTER TABLE … ADD CONSTRAINT … CHECK`)
+    * routes through [[alterTable]] only when the catalog declares it.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -160,6 +168,23 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
           "commitlog: nested column add unsupported")
         t.addColumns(Seq(org.apache.spark.sql.types.StructField(
           c.fieldNames.head, c.dataType, c.isNullable)))
+      // ANSI constraint DDL (Spark 4.1): `ALTER TABLE t ADD CONSTRAINT
+      // n CHECK (expr)` lands as the table format's stored CHECK — the
+      // add validates existing rows and every later write enforces it,
+      // Delta's constraint semantics
+      case c: TableChange.AddConstraint =>
+        c.constraint match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            t.addConstraint(chk.name, chk.predicateSql)
+          case other => throw new UnsupportedOperationException(
+            s"commitlog: only CHECK constraints are supported, got " +
+              other.toDDL)
+        }
+      case c: TableChange.DropConstraint =>
+        try t.dropConstraint(c.name)
+        catch {
+          case e: IllegalArgumentException if c.ifExists => ()
+        }
       case other => throw new UnsupportedOperationException(
         s"commitlog catalog: unsupported ALTER ${other.getClass.getSimpleName}")
     }
@@ -632,6 +657,21 @@ final class CommitLogCatalogTable(spark: SparkSession, dir: String,
       // writeStream.toTable(...): the two-phase exactly-once epoch sink
       TableCapability.STREAMING_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Stored CHECK constraints surfaced through the V2 metadata API
+    * (what `DESCRIBE EXTENDED` and constraint-aware planning read).
+    * Enforced-and-validated: the add scanned the table, every write
+    * re-validates ([[graft.tables.CommitLogTable.addConstraint]]).
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** SQL `DELETE FROM cat.ns.t WHERE …` (and, via the default
     * `truncateTable`, `TRUNCATE TABLE`): the conjunction lands as ONE

