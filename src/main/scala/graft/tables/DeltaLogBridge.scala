@@ -36,12 +36,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * classic (single and multi-part) checkpoints, UUID-named v2
   * manifest+sidecar checkpoints (parquet AND JSON manifests), and the
   * table-features protocol — reader v2/v3 tables read when every
-  * declared feature is either IMPLEMENTED (column mapping mode `name`
-  * resolves fields by their physical names) or provably unused
-  * (deletion vectors with no `add.deletionVector` live); genuinely-used
-  * DVs and id-mode mapping refuse loudly. `_last_checkpoint` is a HINT,
-  * tolerated when stale or unreadable. protocol/metaData/add/remove
-  * actions honored, commitInfo/txn ignored.
+  * declared feature is IMPLEMENTED: column mapping mode `name` resolves
+  * fields by their physical names, and live DELETION VECTORS (inline
+  * and u-storage, [[DeletionVectors]]) filter their marked row indexes
+  * out of the scan — the post-DBR-14 Databricks default, so any table
+  * that saw an UPDATE/DELETE/MERGE reads correctly. Id-mode mapping and
+  * absolute-path (`p`) DVs refuse loudly. File actions key by
+  * `(path, deletionVector.uniqueId)` exactly as the spec demands.
+  * `_last_checkpoint` is a HINT, tolerated when stale or unreadable.
+  * protocol/metaData/add/remove actions honored, commitInfo/txn ignored.
   *
   * EXPORTED logs declare `minReaderVersion=1, minWriterVersion=2` for
   * plain snapshots — and a column-MAPPED snapshot (renames, post-drop
@@ -54,6 +57,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * express without rewriting: pending merge-on-read delete marks
   * (deletion vectors need a DV WRITER, out of scope).
   */
+/** Executor-side deletion-vector probe: the broadcast carries bitmaps
+  * SERIALIZED (compact), each deserializing at most once per executor
+  * into the transient cache. Files without a DV miss the map → row kept.
+  */
+private final class DvLookup(
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+    extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DeletionVectors.Resolved]()
+  def deleted(filePath: String, rowIndex: Long): Boolean =
+    bc.value.contains(filePath) &&
+      cache.computeIfAbsent(filePath, fp =>
+        DeletionVectors.Resolved(
+          DeletionVectors.deserializeBitmap(bc.value(fp))))
+        .contains(rowIndex)
+}
+
 object DeltaLogBridge {
 
   private val M = new ObjectMapper()
@@ -224,9 +244,14 @@ object DeltaLogBridge {
     var columnMappingMode: String = "none"
     var declaredFeatures: Seq[String] = Seq.empty
     var minReaderSeen: Int = 1
-    // live file set: decoded relative path → (partitionValues, carries-DV)
-    val live = scala.collection.mutable
-      .LinkedHashMap.empty[String, (Map[String, String], Boolean)]
+    // live file set keyed the way the PROTOCOL keys file actions:
+    // (path, deletionVector.uniqueId) — an add that swaps a file's DV
+    // is a DIFFERENT action from the add it supersedes, and the paired
+    // remove names the OLD uniqueId; keying by path alone would let
+    // that remove delete the new add. value = (partitionValues, DV)
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (Map[String, String],
+        Option[DeletionVectors.Descriptor])]
 
     def applyProtocol(minReader: Int, features: Seq[String]): Unit = {
       minReaderSeen = minReader
@@ -248,12 +273,29 @@ object DeltaLogBridge {
       columnMappingMode = configuration
         .getOrElse("delta.columnMapping.mode", "none")
     }
-    // DV presence is recorded, not raised: a HISTORICAL add with a DV
-    // whose file is removed (or rewritten clean) before the pin is
-    // provably unused — only the final LIVE set is judged, mirroring
-    // how columnMappingMode validates after replay
+    // DVs are recorded per action and SERVED at assembly: the marked
+    // row indexes filter out of the scan. Only the final LIVE set's
+    // descriptors are resolved (a historical DV whose file action was
+    // removed before the pin costs nothing), mirroring how
+    // columnMappingMode validates after replay.
     def applyAdd(path: String, pv: Map[String, String],
-        hasDv: Boolean): Unit = live.put(path, (pv, hasDv))
+        dv: Option[DeletionVectors.Descriptor]): Unit =
+      live.put((path, dv.map(_.uniqueId).getOrElse("")), (pv, dv))
+    def applyRemove(path: String,
+        dv: Option[DeletionVectors.Descriptor]): Unit =
+      live.remove((path, dv.map(_.uniqueId).getOrElse("")))
+    def parseDv(a: com.fasterxml.jackson.databind.JsonNode)
+        : Option[DeletionVectors.Descriptor] =
+      if (!a.hasNonNull("deletionVector")) None
+      else {
+        val d = a.get("deletionVector")
+        Some(DeletionVectors.Descriptor(
+          d.get("storageType").asText,
+          d.get("pathOrInlineDv").asText,
+          if (d.hasNonNull("offset")) Some(d.get("offset").asInt) else None,
+          d.get("sizeInBytes").asInt,
+          d.get("cardinality").asLong))
+      }
     def applyJson(v: Long): Unit = {
       val lines = new String(
         Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
@@ -290,11 +332,12 @@ object DeltaLogBridge {
                 .map(e => e.getKey -> (if (e.getValue.isNull) null
                   else e.getValue.asText)).toMap
             else Map.empty[String, String]
-          applyAdd(decodePath(a.get("path").asText), pv,
-            a.hasNonNull("deletionVector"))
+          applyAdd(decodePath(a.get("path").asText), pv, parseDv(a))
         }
-        if (n.has("remove"))
-          live.remove(decodePath(n.get("remove").get("path").asText))
+        if (n.has("remove")) {
+          val r = n.get("remove")
+          applyRemove(decodePath(r.get("path").asText), parseDv(r))
+        }
       }
     }
 
@@ -389,8 +432,7 @@ object DeltaLogBridge {
                 .map(e => e.getKey -> (if (e.getValue.isNull) null
                   else e.getValue.asText)).toMap
             else Map.empty[String, String]
-          applyAdd(decodePath(a.get("path").asText), pv,
-            a.hasNonNull("deletionVector"))
+          applyAdd(decodePath(a.get("path").asText), pv, parseDv(a))
         }
         if (n.has("sidecar"))
           sidecars += sidecarFile(n.get("sidecar").get("path").asText)
@@ -407,12 +449,25 @@ object DeltaLogBridge {
           val hasDv = fr.select("add.*").columns.contains("deletionVector")
           val sel =
             if (hasDv) fr.selectExpr("add.path", "add.partitionValues",
-              "add.deletionVector IS NOT NULL")
-            else fr.selectExpr("add.path", "add.partitionValues", "false")
+              "add.deletionVector.storageType",
+              "add.deletionVector.pathOrInlineDv",
+              "add.deletionVector.offset",
+              "add.deletionVector.sizeInBytes",
+              "add.deletionVector.cardinality")
+            else fr.selectExpr("add.path", "add.partitionValues",
+              "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+              "CAST(NULL AS INT)", "CAST(NULL AS INT)",
+              "CAST(NULL AS BIGINT)")
           sel.where("add IS NOT NULL").collect().foreach { r =>
             val pv = Option(r.getMap[String, String](1))
               .map(_.toMap).getOrElse(Map.empty[String, String])
-            applyAdd(decodePath(r.getString(0)), pv, r.getBoolean(2))
+            val dv =
+              if (r.isNullAt(2)) None
+              else Some(DeletionVectors.Descriptor(r.getString(2),
+                r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getInt(4)),
+                r.getInt(5), r.getLong(6)))
+            applyAdd(decodePath(r.getString(0)), pv, dv)
           }
         }
       }
@@ -507,11 +562,20 @@ object DeltaLogBridge {
         "name-mode physical resolution is implemented")
     require(minReaderSeen < 3 || declaredFeatures.nonEmpty,
       "reader version 3 requires an explicit readerFeatures list")
-    val dvLive = live.collect { case (p, (_, true)) => p }
-    require(dvLive.isEmpty,
-      s"live file(s) ${dvLive.take(3).mkString(", ")} carry deletion " +
-        "vectors — reading them as-is would resurrect deleted rows; " +
-        "this bridge refuses DV-bearing snapshots")
+    // one data file surviving under TWO action keys (distinct DV states,
+    // neither removed) is a log no conforming writer produces — refuse
+    // rather than double-read the file
+    val dupPaths = live.keysIterator.map(_._1).toVector
+      .groupBy(identity).collect { case (p, g) if g.size > 1 => p }
+    require(dupPaths.isEmpty,
+      s"file(s) ${dupPaths.take(3).mkString(", ")} are live under multiple " +
+        "deletion-vector states — corrupt log (the paired remove is missing)")
+    // live deletion vectors RESOLVE here (inline or u-storage .bin),
+    // validated against their declared size/cardinality — the assembly
+    // filters the marked row indexes out of the single scan
+    val dvByPath: Map[String, Array[Byte]] = live.iterator.collect {
+      case ((p, _), (_, Some(d))) => p -> DeletionVectors.resolveData(dir, d)
+    }.toMap
     val s = schema.getOrElse(
       throw new IllegalStateException(s"log at $dir carries no metaData"))
     // name-mode: scan by PHYSICAL names (nested fields included) and
@@ -532,13 +596,13 @@ object DeltaLogBridge {
       else StructType(s.fields.map(f => f.copy(name = physOf(f.name),
         dataType = physicalType(f.dataType))))
     val physPartCols = partCols.map(pc => physOf.getOrElse(pc, pc))
-    val liveNorm = live.toSeq.map { case (p, (pv, _)) =>
+    val liveNorm = live.toSeq.map { case ((p, _), (pv, _)) =>
       (p, partCols.zip(physPartCols).map { case (lc, pc) =>
         pc -> pv.getOrElse(pc, pv.getOrElse(lc, null))
       }.toMap)
     }
     assembleRead(spark, dir, physSchema, physPartCols, liveNorm,
-      outFields = s.fields.toSeq)
+      outFields = s.fields.toSeq, dvByPath = dvByPath)
   }
 
   /** ONE parquet scan over every live file, with log-sourced partition
@@ -552,7 +616,8 @@ object DeltaLogBridge {
   private def assembleRead(spark: SparkSession, dir: String,
       s: StructType, partCols: Seq[String],
       live: Seq[(String, Map[String, String])],
-      outFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+      outFields: Seq[org.apache.spark.sql.types.StructField],
+      dvByPath: Map[String, Array[Byte]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     // surface each column under its LOGICAL name and type: the cast
     // renames name-mode nested struct fields back to logical
@@ -589,8 +654,6 @@ object DeltaLogBridge {
       s"partition column $pc missing from schemaString"))
     val paths = live.map { case (p, _) => s"$dir/$p" }
     val base = spark.read.schema(dataSchema).parquet(paths: _*)
-    if (partCols.isEmpty)
-      return base.select(out(s.fieldNames.toSeq.map(col)): _*)
     // lookup keys must render exactly as the scan's _metadata.file_path
     // does: the listing's FileStatus paths carry a NULL authority on
     // filesystems whose default has none (local → "file:/x", not
@@ -606,6 +669,25 @@ object DeltaLogBridge {
         else q.getAuthority,
         q.getPath, null, null).toString
     }
+    // deletion vectors filter by (file, row-ordinal-within-file) — the
+    // exact pair `_metadata` surfaces. Bitmaps travel SERIALIZED in one
+    // broadcast and deserialize once per executor (DvLookup's transient
+    // cache); per row the probe is a bitmap contains. DV-less files miss
+    // the map and pass untouched. This is the bridge/interop read path —
+    // a scalar UDF probe is the honest cost of merge-on-read parity, and
+    // it never touches the engine's own (manifest-native) scans.
+    val deduped =
+      if (dvByPath.isEmpty) base
+      else {
+        val dvByKey = dvByPath.map { case (p, b) => key(s"$dir/$p") -> b }
+        val lookup = new DvLookup(spark.sparkContext.broadcast(dvByKey))
+        val deletedUdf = org.apache.spark.sql.functions.udf(
+          (fp: String, ri: Long) => lookup.deleted(fp, ri))
+        base.where(!deletedUdf(col("_metadata.file_path"),
+          col("_metadata.row_index")))
+      }
+    if (partCols.isEmpty)
+      return deduped.select(out(s.fieldNames.toSeq.map(col)): _*)
     val pvSchema = StructType(
       org.apache.spark.sql.types.StructField("__graft_fp",
         org.apache.spark.sql.types.StringType, nullable = false) +:
@@ -618,7 +700,7 @@ object DeltaLogBridge {
     val pvDf = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), pvSchema)
       .withColumn("__graft_hit", lit(true))
-    val joined = base
+    val joined = deduped
       .withColumn("__graft_fp", col("_metadata.file_path"))
       .join(broadcast(pvDf), Seq("__graft_fp"), "left")
     val outCols = s.fields.toSeq.map { f =>

@@ -65,9 +65,15 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
     Seq(7L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")
     val f1 = onePart(dir, "d1")
     val feats = readerFeatures.map("\"" + _ + "\"").mkString(",")
-    val dv = if (dvOnAdd)
-      ""","deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,"sizeInBytes":36,"cardinality":1}"""
-      else ""
+    // a REAL u-storage DV marking the file's only row (index 0) deleted
+    val dv = if (!dvOnAdd) "" else {
+      val uuid = java.util.UUID.fromString(
+        "a1a1a1a1-b2b2-c3c3-d4d4-e5e5e5e5e5e5")
+      val bm = graft.tables.DeletionVectors.serializeBitmap(Iterator(0L))
+      val off = graft.tables.DeletionVectors.writeFile(
+        Paths.get(dir, s"deletion_vector_$uuid.bin"), Seq(bm)).head
+      s""","deletionVector":{"storageType":"u","pathOrInlineDv":"${graft.tables.DeletionVectors.z85Uuid(uuid)}","offset":$off,"sizeInBytes":${bm.length},"cardinality":1}"""
+    }
     Files.createDirectories(Paths.get(dir, "_delta_log"))
     Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
       (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[$feats],"writerFeatures":[]}}
@@ -89,11 +95,13 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
       Seq((1L, 7L)))
   }
 
-  test("genuinely-used deletion vector refuses loudly") {
+  test("genuinely-used deletion vector READS (round-14 flip: refuse → serve)") {
+    // the v3Fixture's single-row file with a real u-storage DV marking
+    // row 0 deleted: the read must return ZERO rows, not refuse and not
+    // resurrect the row — the post-DBR-14 Databricks default path
     val dir = tmpDir()
     v3Fixture(dir, Seq("deletionVectors"), dvOnAdd = true)
-    val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
-    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    assert(DeltaLogBridge.read(spark, dir).count() == 0L)
   }
 
   test("column mapping mode NAME resolves physical fields to logical names") {
@@ -306,30 +314,37 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
       Seq((1L, 1L), (2L, 2L)))
   }
 
-  test("a HISTORICAL deletion vector whose file was purged before the pin reads fine; " +
-      "the DV-bearing pin itself refuses") {
+  test("a HISTORICAL deletion vector whose .bin was vacuumed reads fine once purged; " +
+      "pinning AT the DV-bearing version fails loudly (never resurrects rows)") {
     val dir = tmpDir()
     Seq(1L).toDF("k").coalesce(1).write.parquet(s"$dir/d1")
     Seq(2L).toDF("k").coalesce(1).write.parquet(s"$dir/d2")
     val (f1, f2) = (onePart(dir, "d1"), onePart(dir, "d2"))
     Files.createDirectories(Paths.get(dir, "_delta_log"))
-    // v0: a DV-bearing add; v1: REORG-style purge (remove + clean re-add)
+    // a plausible u-storage descriptor whose .bin was VACUUMED away —
+    // the log is still readable wherever that DV is no longer live
+    val goneDv = {
+      val uuid = java.util.UUID.fromString(
+        "99999999-8888-7777-6666-555544443333")
+      s"""{"storageType":"u","pathOrInlineDv":"${graft.tables.DeletionVectors.z85Uuid(uuid)}","offset":1,"sizeInBytes":36,"cardinality":1}"""
+    }
+    // v0: a DV-bearing add; v1: REORG-style purge — the remove NAMES the
+    // DV state it retires (the (path, uniqueId) action key), + clean re-add
     Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
       (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":[]}}
          |{"metaData":{"id":"dead","format":{"provider":"parquet","options":{}},"schemaString":${M(schemaJson)},"partitionColumns":["day"],"configuration":{},"createdTime":1}}
-         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":9,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,"sizeInBytes":36,"cardinality":1}}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":9,"modificationTime":1,"dataChange":true,"deletionVector":$goneDv}}
          |""".stripMargin).getBytes(UTF_8))
     Files.write(Paths.get(dir, "_delta_log/00000000000000000001.json"),
-      (s"""{"remove":{"path":"$f1","deletionTimestamp":2,"dataChange":true}}
+      (s"""{"remove":{"path":"$f1","deletionTimestamp":2,"dataChange":true,"deletionVector":$goneDv}}
          |{"add":{"path":"$f2","partitionValues":{"day":"2"},"size":9,"modificationTime":2,"dataChange":true}}
          |""".stripMargin).getBytes(UTF_8))
-    // latest: the DV-bearing file is GONE — provably unused, reads fine
+    // latest: the DV-bearing action is GONE — its .bin is never opened
     assert(DeltaLogBridge.read(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
-    // pinned AT the DV-bearing version: refusal, not resurrected rows
-    val e = intercept[IllegalArgumentException](
-      DeltaLogBridge.read(spark, dir, Some(0L)))
-    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    // pinned AT the DV-bearing version: the missing .bin fails the read
+    // loudly — serving the file without its DV would resurrect rows
+    intercept[Exception](DeltaLogBridge.read(spark, dir, Some(0L)))
   }
 
   test("JSON-format v2 manifest (spec-legal .checkpoint.<uuid>.json) seeds with sidecars") {
