@@ -2861,6 +2861,36 @@ object Queries {
         min(col("event_id")).as("min_id"))
   }
 
+  /** Merge-on-read interop end to end: a commit-log table takes a LAZY
+    * delete (metadata-only mark, [[graft.tables.CommitLogTable.deleteLazy]]),
+    * exports as a Delta log whose adds carry protocol DELETION VECTORS
+    * (reader v3, `deletion_vector_*.bin` in RoaringBitmap portable
+    * format), and the aggregate runs over
+    * [[graft.tables.DeltaLogBridge.read]] — the full mark → DV → filtered
+    *-scan round trip, against the raw-data oracle. Reference anchor: the
+    * reference's Bronze is a post-DBR-14 Databricks Delta table whose
+    * DELETEs materialize as exactly these DVs
+    * (`bronze_prices_auto_loader.ipynb` cell 4).
+    */
+  def deltaDvRead(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-delta-dv-demo", "events")
+    SessionMemo.once(s, s"deltaDv:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        val df = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, root, df.schema)
+        t.append(df, recordChanges = false)
+        t.deleteLazy("event_id % 3 = 0")
+        graft.tables.DeltaLogBridge.export(t)
+      }
+    }
+    graft.tables.DeltaLogBridge.read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value"), 6).as("sum_value"),
+        min(col("event_id")).as("min_id"))
+  }
+
   /** Build-and-query entirely through the SQL surface
     * ([[graft.sources.CommitLogCatalog]]): CREATE TABLE … via the
     * catalog, two INSERT INTO … SELECT commits (each one transactional

@@ -191,6 +191,7 @@ object SparkEntry {
     "q_table_agg_group" -> (Queries.tableAggGroup _),
     "q_table_multipart" -> (Queries.tableMultipart _),
     "q_table_convert" -> (Queries.tableConvert _),
+    "q_delta_dv_read" -> (Queries.deltaDvRead _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
   )
@@ -3937,6 +3938,15 @@ object SparkEntry {
              count(*) AS n_rows, min(event_id) AS min_id,
              max(value) AS max_value
       FROM events GROUP BY 1, 2""",
+
+    // lazy delete → Delta deletion-vector export → bridge read: the
+    // DV-filtered scan must answer exactly like the raw data minus the
+    // marked rows (mark predicate: event_id % 3 = 0)
+    "q_delta_dv_read" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(event_id) AS min_id
+      FROM events WHERE event_id % 3 <> 0 GROUP BY event_type""",
 
     // zero-copy CONVERT adoption of a plain-parquet events dump: the
     // adopted table must answer exactly like the raw data

@@ -2068,6 +2068,31 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       }.reduce(_.unionByName(_))
     }
 
+  /** Serialized 64-bit-roaring deletion bitmap (+ cardinality) for one
+    * file's outstanding lazy-delete mark: the file-ordinal row indexes
+    * (what `_metadata.row_index` surfaces) of rows the predicate
+    * matches TRUE — exactly the rows [[readFiles]] hides (NULL
+    * evaluations survive, SQL DELETE semantics). The Delta mirror
+    * materializes this into a protocol deletion vector
+    * ([[DeltaLogBridge]]). Driver state is one file's deleted indexes —
+    * the same per-file scope Delta's own DV writer holds.
+    */
+  private[tables] def pendingDeleteBitmap(snap: Manifest,
+      f: LogFile): (Array[Byte], Long) = {
+    val pred = f.pendingDelete.getOrElse(throw new IllegalStateException(
+      s"${f.path} carries no lazy-delete mark"))
+    val base = spark.read
+      .schema(toPhysicalSchema(snap.schema, snap.columnMapping))
+      .parquet(dataPath(f).toString)
+    val logical = base.select(
+      (col("_metadata.row_index").as("__graft_ri") +:
+        snap.schema.fields.toSeq.map(fl =>
+          col(snap.columnMapping.getOrElse(fl.name, fl.name)).as(fl.name))): _*)
+    val ris = logical.where(coalesce(expr(pred), lit(false)))
+      .select(col("__graft_ri")).collect().map(_.getLong(0)).sorted
+    (DeletionVectors.serializeBitmap(ris.iterator), ris.length.toLong)
+  }
+
   /** Write `df` (logical column names) as this commit's immutable data
     * files under PHYSICAL names; returns (file entries with footer row
     * counts, total rows). Partitioned tables co-locate each partition

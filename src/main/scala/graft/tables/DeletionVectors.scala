@@ -234,6 +234,27 @@ private[graft] object DeletionVectors {
     data
   }
 
+  /** Read the single DV a one-bitmap `.bin` stores at offset 1 (the
+    * layout [[writeFile]] produces for the mirror), trusting the file's
+    * own size field — the idempotency probe: a later translation
+    * recovers size and cardinality without re-scanning the data file.
+    */
+  def readSole(file: Path): Array[Byte] = {
+    val header = {
+      val ch = Files.newByteChannel(file)
+      try {
+        val b = ByteBuffer.allocate(5)
+        while (b.hasRemaining && ch.read(b) >= 0) {}
+        require(!b.hasRemaining, s"deletion-vector file $file truncated")
+        b.flip(); b
+      } finally ch.close()
+    }
+    require(header.get(0) == FormatVersion,
+      s"deletion-vector file $file has version ${header.get(0)}")
+    val size = header.order(ByteOrder.BIG_ENDIAN).getInt(1)
+    readFromFile(file, 1, size)
+  }
+
   /** Write one-or-more DVs into a single `.bin` (version byte, then
     * each as size/data/crc) atomically; returns each bitmap's offset in
     * descriptor order. The caller owns naming (deterministic UUIDs for

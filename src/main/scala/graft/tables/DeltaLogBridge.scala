@@ -729,13 +729,12 @@ object DeltaLogBridge {
     */
   def export(table: CommitLogTable, overwrite: Boolean = false): Int = {
     val snap = table.resolvedManifest(None)
-    require(snap.files.forall(_.pendingDelete.isEmpty),
-      "export: pending lazy-delete marks need deletion vectors (reader " +
-        "v3); run OPTIMIZE to materialize them first")
     // live column mapping (renames, post-drop re-adds) exports as a
     // reader-v2 NAME-mode log: schemaString fields carry the mapping
     // metadata, partitionValues key by physical names — the same
-    // encoding Databricks-written mapped tables use
+    // encoding Databricks-written mapped tables use. Pending lazy-delete
+    // marks export as protocol DELETION VECTORS (reader v3 / writer v7
+    // table features), so merge-on-read state ships without a rewrite.
     val mapped = snap.columnMapping.nonEmpty
     val logDir = Paths.get(table.dir, "_delta_log")
     require(overwrite || !Files.exists(logDir.resolve(deltaName(0L))),
@@ -743,10 +742,7 @@ object DeltaLogBridge {
     Files.createDirectories(logDir)
     val now = System.currentTimeMillis()
     val sb = new StringBuilder
-    sb.append(
-      if (mapped) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
-      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    ).append('\n')
+    sb.append(protocolJson(protocolNeed(snap))).append('\n')
     val md = M.createObjectNode()
     val mdN = md.putObject("metaData")
     mdN.put("id", java.util.UUID.randomUUID().toString)
@@ -778,6 +774,7 @@ object DeltaLogBridge {
       a.put("size", f.bytes)
       a.put("modificationTime", now)
       a.put("dataChange", true)
+      f.pendingDelete.foreach(_ => putDv(a, dvDescriptorFor(table, snap, f)))
       sb.append(M.writeValueAsString(add)).append('\n')
     }
     val tmp = logDir.resolve(s".tmp-export-${java.util.UUID.randomUUID()}")
@@ -802,16 +799,20 @@ object DeltaLogBridge {
     * catch-up writers produce byte-identical commits and the
     * atomic-create claim makes the duplicate write harmless.
     *
-    * Commits the v1 protocol can't express — a lazy-delete mark, live
-    * column mapping, an in-place file-entry change — write a
-    * `_GRAFT_MIRROR_BROKEN` marker and STOP the mirror: Delta readers
-    * keep the last consistent snapshot rather than silently drifting.
-    * The break SELF-CURES: the first later commit whose snapshot is
-    * expressible again (an OPTIMIZE materialized the marks, a
-    * compactRewrite shed the mapping) re-seeds a fresh checkpoint at
-    * the current head and drops the marker — external readers jump to
-    * the cured snapshot via `_last_checkpoint`. Compaction mirrors with
-    * `dataChange=false`.
+    * A lazy-delete mark mirrors as a protocol DELETION VECTOR (reader
+    * v3 / writer v7 table features): the mark's matching row indexes
+    * materialize once into a deterministic `deletion_vector_<uuid>.bin`
+    * and the commit swaps the file action to one carrying the DV — the
+    * table's cheapest write verb never pauses the mirror, and the later
+    * OPTIMIZE mirrors as the DV-clearing rewrite. Live column mapping
+    * mirrors as reader-v2 name mode. The only genuinely inexpressible
+    * commit left — an in-place file-entry mutation beyond the mark —
+    * writes a `_GRAFT_MIRROR_BROKEN` marker and STOPS the mirror: Delta
+    * readers keep the last consistent snapshot rather than silently
+    * drifting. The break SELF-CURES: the next catch-up re-seeds a fresh
+    * checkpoint at the current head and drops the marker — external
+    * readers jump to the cured snapshot via `_last_checkpoint`.
+    * Compaction mirrors with `dataChange=false`.
     */
   val MirrorProp = "graft.deltaMirror.enabled"
   private val BrokenMarker = "_GRAFT_MIRROR_BROKEN"
@@ -843,7 +844,8 @@ object DeltaLogBridge {
   }
 
   private def addJson(partitionCols: Seq[String], f: CommitLogTable.LogFile,
-      tsMillis: Long, dataChange: Boolean): String = {
+      tsMillis: Long, dataChange: Boolean,
+      dv: Option[DeletionVectors.Descriptor] = None): String = {
     val add = M.createObjectNode()
     val a = add.putObject("add")
     a.put("path", encodePath(f.path))
@@ -855,18 +857,106 @@ object DeltaLogBridge {
     a.put("size", f.bytes)
     a.put("modificationTime", tsMillis)
     a.put("dataChange", dataChange)
+    dv.foreach(putDv(a, _))
     M.writeValueAsString(add)
   }
 
-  /** What the mirror cannot express about a snapshot, or None.
-    * Column mapping is NOT on this list any more — renames/drops mirror
-    * as reader-v2 name-mode metaData; only merge-on-read delete marks
-    * (deletion vectors, reader v3) stay out of scope.
+  private def putDv(parent: com.fasterxml.jackson.databind.node.ObjectNode,
+      d: DeletionVectors.Descriptor): Unit = {
+    val dn = parent.putObject("deletionVector")
+    dn.put("storageType", d.storageType)
+    dn.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(dn.put("offset", _))
+    dn.put("sizeInBytes", d.sizeInBytes)
+    dn.put("cardinality", d.cardinality)
+  }
+
+  // ------------------------------------------------- deletion-vector writes
+
+  /** Deterministic DV identity for a (file, cumulative-predicate) mark:
+    * the UUID derives from the stable table id + path + predicate text,
+    * so racing mirror writers — and the LATER translation that must
+    * emit the matching `remove` — all derive the identical descriptor
+    * from the manifest alone, no side registry. One `.bin` per marked
+    * file at the table root (vacuum sweeps only `data/`), written
+    * idempotently at first need.
     */
-  private def inexpressible(m: CommitLogTable.Manifest): Option[String] =
-    if (m.files.exists(_.pendingDelete.isDefined))
-      Some("pending lazy-delete marks need deletion vectors")
-    else None
+  private def dvUuid(dir: String, path: String,
+      predicate: String): java.util.UUID =
+    java.util.UUID.nameUUIDFromBytes(
+      s"graft-dv:${stableId(dir)}:$path:$predicate".getBytes(UTF_8))
+
+  /** The descriptor for a marked file entry, materializing the `.bin`
+    * on first need: an existing file answers size/cardinality without
+    * re-scanning data (how a remove-side translation stays cheap); a
+    * missing one recomputes the bitmap from the data file — a pure
+    * function of (file content, predicate), so the redo converges.
+    */
+  private def dvDescriptorFor(table: CommitLogTable,
+      m: CommitLogTable.Manifest,
+      f: CommitLogTable.LogFile): DeletionVectors.Descriptor = {
+    val pred = f.pendingDelete.getOrElse(throw new IllegalStateException(
+      s"dvDescriptorFor on unmarked file ${f.path}"))
+    val uuid = dvUuid(table.dir, f.path, pred)
+    val z = DeletionVectors.z85Uuid(uuid)
+    val bin = DeletionVectors.uStoragePath(table.dir, z)
+    val data =
+      if (Files.exists(bin)) DeletionVectors.readSole(bin)
+      else {
+        val (bm, _) = table.pendingDeleteBitmap(m, f)
+        DeletionVectors.writeFile(bin, Seq(bm))
+        bm
+      }
+    val card = DeletionVectors
+      .Resolved(DeletionVectors.deserializeBitmap(data)).cardinality
+    DeletionVectors.Descriptor("u", z, Some(1), data.length, card)
+  }
+
+  /** The protocol a snapshot NEEDS: (minReader, minWriter,
+    * readerFeatures, writerFeatures). Lazy-delete marks need the
+    * deletionVectors reader-writer feature (v3/v7, with the previous
+    * level's implied legacy writer features listed explicitly, as the
+    * table-features spec requires); live column mapping alone keeps the
+    * legacy (2,5) spelling round 13 shipped; plain snapshots stay (1,2).
+    */
+  private def protocolNeed(m: CommitLogTable.Manifest)
+      : (Int, Int, Seq[String], Seq[String]) = {
+    val marks = m.files.exists(_.pendingDelete.isDefined)
+    val mapped = m.columnMapping.nonEmpty
+    if (marks && mapped)
+      (3, 7, Seq("columnMapping", "deletionVectors"),
+        Seq("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+          "generatedColumns", "columnMapping", "deletionVectors"))
+    else if (marks)
+      (3, 7, Seq("deletionVectors"),
+        Seq("appendOnly", "invariants", "deletionVectors"))
+    else if (mapped) (2, 5, Seq.empty, Seq.empty)
+    else (1, 2, Seq.empty, Seq.empty)
+  }
+
+  /** Does `by` already grant everything `need` asks? (The mirror emits
+    * a protocol action only on a genuine upgrade — never a downgrade
+    * no-op per commit.)
+    */
+  private def needCovered(by: (Int, Int, Seq[String], Seq[String]),
+      need: (Int, Int, Seq[String], Seq[String])): Boolean =
+    need._1 <= by._1 && need._2 <= by._2 &&
+      need._3.toSet.subsetOf(by._3.toSet) &&
+      need._4.toSet.subsetOf(by._4.toSet)
+
+  private def protocolJson(n: (Int, Int, Seq[String], Seq[String])): String = {
+    val p = M.createObjectNode()
+    val pn = p.putObject("protocol")
+    pn.put("minReaderVersion", n._1)
+    pn.put("minWriterVersion", n._2)
+    if (n._1 >= 3 || n._3.nonEmpty) {
+      val rf = pn.putArray("readerFeatures"); n._3.foreach(rf.add)
+    }
+    if (n._2 >= 7 || n._4.nonEmpty) {
+      val wf = pn.putArray("writerFeatures"); n._4.foreach(wf.add)
+    }
+    M.writeValueAsString(p)
+  }
 
   /** `_last_checkpoint`'s version, when it parses AND its classic
     * checkpoint file exists — the mirror's seed COMMIT POINT: a
@@ -924,11 +1014,6 @@ object DeltaLogBridge {
   def mirrorCatchUp(table: CommitLogTable): Long = {
     val logDir = Paths.get(table.dir, "_delta_log")
     val head = table.latestVersion
-    // expressibility must be judged on the EXACT snapshot a seed would
-    // export (seed pins at `head`): a resolvedManifest(None) here could
-    // race a concurrent commit and bless a head version whose
-    // mark-bearing files would read as plain adds — resurrected rows
-    val snap = table.resolvedManifest(Some(head))
 
     def break(reason: String): Long = {
       Files.createDirectories(logDir)
@@ -938,8 +1023,10 @@ object DeltaLogBridge {
     }
 
     if (Files.exists(logDir.resolve(BrokenMarker))) {
-      // auto-reseed: only once the snapshot is expressible again
-      if (inexpressible(snap).isDefined) return -1L
+      // auto-reseed at the current head: every snapshot is expressible
+      // now that marks write as deletion vectors — only a mid-chain
+      // in-place mutation (detected per-commit below) breaks, and a
+      // fresh checkpoint expresses the RESULTING state regardless
       seed(table, logDir, head)
       Files.deleteIfExists(logDir.resolve(BrokenMarker))
       return head
@@ -958,10 +1045,7 @@ object DeltaLogBridge {
     }
     val seedV = committedSeedVersion(logDir)
     val mirrored: Long = (jsonVs ++ seedV).foldLeft(-1L)(math.max)
-    if (mirrored < 0) {
-      inexpressible(snap).foreach(r => return break(r))
-      return seed(table, logDir, head)
-    }
+    if (mirrored < 0) return seed(table, logDir, head)
     // contiguity from the committed seed (or 0) to the mirrored head:
     // appending past a gap would hand external readers a log that skips
     // commits — break instead, and let the reseed path cure it
@@ -974,22 +1058,30 @@ object DeltaLogBridge {
     ((mirrored + 1) to head).foreach { v =>
       val (action, added, removed) = table.versionFileDiff(v)
       val m = table.resolvedManifest(Some(v))
-      if (added.exists(_.pendingDelete.isDefined))
-        return break(s"v$v carries a lazy-delete mark (deletion vectors)")
-      if (added.exists(f => removed.contains(f.path)))
-        return break(s"v$v changed a file entry in place")
-      val prevSchema = table.resolvedManifest(Some(v - 1))
+      val prevM = table.resolvedManifest(Some(v - 1))
+      val prevByPath = prevM.files.map(f => f.path -> f).toMap
+      // a same-path remove+add pair is expressible exactly when the ONLY
+      // entry change is the lazy-delete mark (Delta's DV swap: remove the
+      // old (path, uniqueId) state, re-add with the new DV); any other
+      // in-place mutation still breaks
+      val badInPlace = added.filter(f => removed.contains(f.path) &&
+        prevByPath.get(f.path).forall(p =>
+          p.copy(pendingDelete = None) != f.copy(pendingDelete = None)))
+      if (badInPlace.nonEmpty)
+        return break(s"v$v changed file entr${
+          if (badInPlace.size == 1) "y" else "ies"} in place beyond the " +
+          s"lazy-delete mark (first: ${badInPlace.head.path})")
       val sb = new StringBuilder
-      // a rename/drop upgrades the log to reader-v2 name mode IN the
-      // commit that introduces the mapping (protocol action + mapped
-      // metaData), exactly how Delta itself enables column mapping
-      if (m.columnMapping.nonEmpty && prevSchema.columnMapping.isEmpty)
-        sb.append(
-          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
-          .append('\n')
-      if (m.schema != prevSchema.schema ||
-          m.partitionCols != prevSchema.partitionCols ||
-          m.columnMapping != prevSchema.columnMapping)
+      // a rename/drop upgrades the log to reader-v2 name mode; a
+      // lazy-delete mark upgrades it to v3/v7 table features with
+      // deletionVectors — each IN the commit that first needs it,
+      // exactly how Delta itself enables features. Never a downgrade.
+      val need = protocolNeed(m)
+      if (!needCovered(protocolNeed(prevM), need))
+        sb.append(protocolJson(need)).append('\n')
+      if (m.schema != prevM.schema ||
+          m.partitionCols != prevM.partitionCols ||
+          m.columnMapping != prevM.columnMapping)
         sb.append(metaDataJson(table.dir, m.schema, m.partitionCols,
           m.tsMillis, m.columnMapping)).append('\n')
       val dataChange = action != "compact"
@@ -999,12 +1091,18 @@ object DeltaLogBridge {
         r.put("path", encodePath(p))
         r.put("deletionTimestamp", m.tsMillis)
         r.put("dataChange", dataChange)
+        // the remove must name the DV state it retires — (path, uniqueId)
+        // is the action key; descriptors re-derive deterministically
+        prevByPath.get(p).filter(_.pendingDelete.isDefined)
+          .foreach(pf => putDv(r, dvDescriptorFor(table, prevM, pf)))
         sb.append(M.writeValueAsString(rm)).append('\n')
       }
       added.foreach(f =>
         sb.append(addJson(
           m.partitionCols.map(c => m.columnMapping.getOrElse(c, c)),
-          f, m.tsMillis, dataChange)).append('\n'))
+          f, m.tsMillis, dataChange,
+          dv = f.pendingDelete.map(_ => dvDescriptorFor(table, m, f))))
+          .append('\n'))
       // a no-op translation (e.g. a properties commit) still writes the
       // empty commit — Delta versions must stay contiguous with graft's.
       // Claims route through the table's SESSION-SELECTED coordinator,
@@ -1041,26 +1139,42 @@ object DeltaLogBridge {
       }
     val pvCols = snap.partitionCols
       .map(c => snap.columnMapping.getOrElse(c, c))
-    val rows: Seq[(Option[(Int, Int)],
+    val need = protocolNeed(snap)
+    val rows: Seq[(Option[(Int, Int, Seq[String], Seq[String])],
         Option[(String, String, String, Seq[String], Map[String, String])],
-        Option[(String, Map[String, String], Long, Long, Boolean)])] =
-      (Some(if (mapped) (2, 5) else (1, 2)), None, None) +:
+        Option[(String, Map[String, String], Long, Long, Boolean,
+          Option[(String, String, Int, Int, Long)])])] =
+      (Some(need), None, None) +:
       (None, Some((stableId(table.dir), "parquet", schemaJson,
         snap.partitionCols, conf)), None) +:
       snap.files.map { f =>
         val pv: Map[String, String] =
           partitionValuesOf(pvCols, f)
             .map { case (c, v) => c -> v.orNull }.toMap
+        // marked files checkpoint WITH their deletion vector — a seed at
+        // a marks-bearing head is a complete, readable log start
+        val dv = f.pendingDelete.map { _ =>
+          val d = dvDescriptorFor(table, snap, f)
+          (d.storageType, d.pathOrInlineDv, d.offset.getOrElse(1),
+            d.sizeInBytes, d.cardinality)
+        }
         (None, None,
-          Some((encodePath(f.path), pv, f.bytes, snap.tsMillis, false)))
+          Some((encodePath(f.path), pv, f.bytes, snap.tsMillis, false, dv)))
       }
     val df = rows.toDF("p", "m", "a").selectExpr(
-      "named_struct('minReaderVersion', p._1, 'minWriterVersion', p._2) AS protocol",
+      "named_struct('minReaderVersion', p._1, 'minWriterVersion', p._2, " +
+        "'readerFeatures', IF(p._1 >= 3, p._3, CAST(NULL AS ARRAY<STRING>)), " +
+        "'writerFeatures', IF(p._2 >= 7, p._4, CAST(NULL AS ARRAY<STRING>))" +
+        ") AS protocol",
       "named_struct('id', m._1, 'format', named_struct('provider', m._2, " +
         "'options', map()), 'schemaString', m._3, 'partitionColumns', m._4, " +
         "'configuration', m._5, 'createdTime', 0L) AS metaData",
       "named_struct('path', a._1, 'partitionValues', a._2, 'size', a._3, " +
-        "'modificationTime', a._4, 'dataChange', a._5) AS add")
+        "'modificationTime', a._4, 'dataChange', a._5, " +
+        "'deletionVector', IF(a._6 IS NULL, NULL, named_struct(" +
+        "'storageType', a._6._1, 'pathOrInlineDv', a._6._2, " +
+        "'offset', a._6._3, 'sizeInBytes', a._6._4, " +
+        "'cardinality', a._6._5))) AS add")
       .selectExpr(
         "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
         "IF(metaData.id IS NULL, NULL, metaData) AS metaData",

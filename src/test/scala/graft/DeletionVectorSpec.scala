@@ -268,6 +268,32 @@ class DeletionVectorSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(10L, 11L, 13L, 14L))
   }
 
+  test("a mirror SEEDED at a marks-bearing head checkpoints DV descriptors (v3 seed)") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(10).select(($"id" % 2).as("day"), $"id".as("k"))
+    val t = graft.tables.CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.append(df, recordChanges = false)
+    t.deleteLazy("k < 4") // marks exist BEFORE the mirror does
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true")) // seeds at head
+    val back = DeltaLogBridge.read(spark, dir)
+    def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(key(back) == key(t.read()),
+      "the seed checkpoint must carry the marks as DVs")
+    assert(back.count() == 6)
+    // the checkpoint itself declares the v3 protocol with the feature
+    val ck = spark.read.parquet(
+      s"$dir/_delta_log/${f"${t.latestVersion}%020d"}.checkpoint.parquet")
+    val prot = ck.selectExpr("protocol.minReaderVersion",
+      "protocol.readerFeatures").where("protocol IS NOT NULL").head()
+    assert(prot.getInt(0) == 3 &&
+      prot.getSeq[String](1).contains("deletionVectors"))
+    // and follow-up commits keep mirroring on top of the DV seed
+    t.append(spark.range(100, 104).select(($"id" % 2).as("day"), $"id".as("k")),
+      recordChanges = false)
+    assert(key(DeltaLogBridge.read(spark, dir)) == key(t.read()))
+  }
+
   test("absolute-path ('p') DV storage refuses loudly; cardinality mismatch refuses") {
     val dir = tmpDir()
     val f1 = dataFile(dir)

@@ -435,27 +435,58 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
     assert(key(back) == key(t.read()))
   }
 
-  test("mirror self-cures: lazy delete breaks it, OPTIMIZE re-seeds, readers see the cured snapshot") {
+  test("lazy delete mirrors as a DV commit; OPTIMIZE mirrors as the DV-clearing rewrite") {
     val dir = tmpDir() + "/t"
     val df = spark.range(12).select(($"id" % 3).as("day"), $"id".as("k"))
     val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
     t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
     t.append(df, recordChanges = false)
     assert(DeltaLogBridge.read(spark, dir).count() == 12)
-    t.deleteLazy("k = 0") // unmappable → broken
     val marker = Paths.get(dir, "_delta_log/_GRAFT_MIRROR_BROKEN")
-    assert(Files.exists(marker))
-    assert(DeltaLogBridge.read(spark, dir).count() == 12,
-      "broken mirror freezes at the last consistent snapshot")
-    // OPTIMIZE materializes the mark → its own post-commit hook re-seeds
-    t.compact(1024L * 1024 * 1024)
-    assert(!Files.exists(marker), "cured mirror must drop the marker")
+    t.deleteLazy("k = 0") // mirrors 1:1 as a deletion-vector swap
+    assert(!Files.exists(marker),
+      "the cheapest write verb must never pause the mirror")
     assert(DeltaLogBridge.read(spark, dir).count() == 11,
-      "external readers must see the cured (materialized-delete) snapshot")
-    // and the mirror keeps following again
+      "external readers must see the lazy delete immediately")
+    // the commit carries the protocol upgrade + the DV action pair:
+    // remove of the clean state, re-add with a u-storage descriptor
+    val dvCommit = new String(Files.readAllBytes(Paths.get(dir,
+      f"_delta_log/${t.latestVersion}%020d.json")), UTF_8)
+    assert(dvCommit.contains("\"minReaderVersion\":3") &&
+      dvCommit.contains("\"deletionVectors\""), dvCommit)
+    assert(dvCommit.contains("\"storageType\":\"u\""), dvCommit)
+    assert(dvCommit.contains("\"remove\""), dvCommit)
+    // a SECOND lazy delete widens the DV: the remove must name the OLD
+    // uniqueId (the (path, uniqueId) action key), the add the new one
+    t.deleteLazy("k = 1")
+    assert(!Files.exists(marker))
+    assert(DeltaLogBridge.read(spark, dir).count() == 10)
+    val widen = new String(Files.readAllBytes(Paths.get(dir,
+      f"_delta_log/${t.latestVersion}%020d.json")), UTF_8)
+    // the day=0 file was ALREADY marked ("k = 0") — ITS remove retires
+    // the old DV state; the freshly-marked day=1 file removes clean
+    assert(widen.linesIterator.exists(l => l.contains("\"remove\"") &&
+      l.contains("__part=0") && l.contains("deletionVector")),
+      s"the widening remove must carry the retired DV state:\n$widen")
+    assert(widen.linesIterator.exists(l => l.contains("\"remove\"") &&
+      l.contains("__part=1") && !l.contains("deletionVector")),
+      s"a first-mark remove retires the CLEAN state (no DV):\n$widen")
+    // OPTIMIZE materializes the marks → mirrors as remove-with-DV +
+    // clean adds, and the mirror keeps following
+    t.compact(1024L * 1024 * 1024)
+    assert(!Files.exists(marker))
+    assert(DeltaLogBridge.read(spark, dir).count() == 10)
+    val opt = new String(Files.readAllBytes(Paths.get(dir,
+      f"_delta_log/${t.latestVersion}%020d.json")), UTF_8)
+    assert(opt.linesIterator.filter(_.contains("\"remove\""))
+      .forall(_.contains("deletionVector")),
+      s"the clearing rewrite must retire the DV-bearing states:\n$opt")
+    assert(opt.linesIterator.filter(_.contains("\"add\""))
+      .forall(!_.contains("deletionVector")),
+      s"materialized files must re-add clean:\n$opt")
     t.append(spark.range(100, 103).select(($"id" % 3).as("day"), $"id".as("k")),
       recordChanges = false)
-    assert(DeltaLogBridge.read(spark, dir).count() == 14)
+    assert(DeltaLogBridge.read(spark, dir).count() == 13)
   }
 
   test("mirror gap detection: a deleted Delta commit breaks the mirror instead of appending past it") {

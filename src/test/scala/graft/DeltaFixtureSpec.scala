@@ -234,17 +234,16 @@ class DeltaFixtureSpec extends AnyFunSuite {
     // versions stay 1:1 — the Delta commit for graft v3 exists by name
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
       dir, "_delta_log/00000000000000000003.json")))
-    // an unmappable commit BREAKS the mirror instead of drifting:
-    // readers keep the last consistent snapshot
-    val before = DeltaLogBridge.read(spark, dir).count()
+    // a LAZY delete mirrors as a deletion-vector commit (round 14):
+    // the mirror never pauses on the table's cheapest write verb
     t.deleteLazy("k = 0")
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
-      dir, "_delta_log/_GRAFT_MIRROR_BROKEN")))
-    assert(DeltaLogBridge.read(spark, dir).count() == before,
-      "a broken mirror must freeze, not drift")
-    // and stays stopped on later commits
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, "_delta_log/_GRAFT_MIRROR_BROKEN")),
+      "a lazy delete must mirror as a DV commit, not break")
+    mirrorEq()
+    // and later commits keep following
     t.append(df.limit(1))
-    assert(DeltaLogBridge.read(spark, dir).count() == before)
+    mirrorEq()
 
     // checkpoint seeding with a NULL partition value round-trips too
     val dir2 = tmpDir() + "/tn"
@@ -260,17 +259,28 @@ class DeltaFixtureSpec extends AnyFunSuite {
       (if (k % 2 == 0) -1L else 1L, k)))
   }
 
-  test("export refuses snapshots the v1 protocol can't express") {
+  test("export expresses lazy-delete marks as deletion vectors (round-14 flip)") {
     val dir = tmpDir() + "/t"
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     val t = CommitLogTable.create(spark, dir, df.schema)
     t.append(df, recordChanges = false)
     t.deleteLazy("k = 1")
-    val e1 = intercept[IllegalArgumentException](DeltaLogBridge.export(t))
-    assert(e1.getMessage.contains("deletion vectors"))
-    // materializing the mark (OPTIMIZE) makes it exportable again
-    t.compact(1024L * 1024 * 1024)
+    // pending marks export as a reader-v3 DV log, zero data copied
     assert(DeltaLogBridge.export(t) == t.resolvedManifest(None).files.size)
+    val v0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log/00000000000000000000.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(v0.contains("\"minReaderVersion\":3") &&
+      v0.contains("deletionVectors") && v0.contains("\"storageType\":\"u\""), v0)
+    val dvBack = DeltaLogBridge.read(spark, dir)
+    assert(dvBack.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")),
+      "the exported DV must hide exactly the marked rows")
+    // materializing the mark (OPTIMIZE) still exports cleanly
+    t.compact(1024L * 1024 * 1024)
+    assert(DeltaLogBridge.export(t, overwrite = true) ==
+      t.resolvedManifest(None).files.size)
+    assert(DeltaLogBridge.read(spark, dir).count() == 1)
     // a renamed column = live column mapping → exports as a reader-v2
     // NAME-mode log (round 13) and round-trips with logical names
     val dir2 = tmpDir() + "/t2"
