@@ -107,35 +107,121 @@ object DeltaLogBridge {
     u.getPath
   }
 
-  /** Stable field id for the column-mapping metadata, derived from the
-    * PHYSICAL name alone so it never shifts across schema evolution
-    * (the protocol wants ids immutable per column; name-mode readers
-    * resolve by physicalName, id-mode readers by this). Uniqueness is
-    * checked at build time — a 31-bit hash collision over a table's
-    * column names is astronomically unlikely, and failing loudly beats
-    * silently aliasing two columns.
-    */
-  private def fieldId(phys: String): Int =
-    scala.util.hashing.MurmurHash3.stringHash(phys) & 0x7fffffff
-
   private val IdKey = "delta.columnMapping.id"
   private val PhysKey = "delta.columnMapping.physicalName"
+  private val MaxIdKey = "delta.columnMapping.maxColumnId"
+
+  /** Field-id state already declared by a `_delta_log`: ids by PHYSICAL
+    * path (top-level physical name, nested joined with '.') from the
+    * NEWEST metaData action, plus the declared maxColumnId. The protocol
+    * makes both immutable-forward — a column keeps its id for life and
+    * maxColumnId never decreases, even across drops of the
+    * highest-numbered column — so every metaData rewrite must seed from
+    * what the log last said, never recompute. Scans mirrored commits
+    * newest-first, then the seed checkpoint.
+    */
+  private def fieldIdsFromSchemaJson(schemaString: String,
+      conf: Map[String, String]): (Map[String, Long], Long) = {
+    val ids = scala.collection.mutable.Map.empty[String, Long]
+    def walk(dt: DataType, prefix: String): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        val phys = if (f.metadata.contains(PhysKey))
+          f.metadata.getString(PhysKey) else f.name
+        val path = if (prefix.isEmpty) phys else s"$prefix.$phys"
+        if (f.metadata.contains(IdKey))
+          ids.put(path, f.metadata.getLong(IdKey))
+        walk(f.dataType, path)
+      }
+      case at: org.apache.spark.sql.types.ArrayType =>
+        walk(at.elementType, prefix)
+      case mt: org.apache.spark.sql.types.MapType =>
+        walk(mt.keyType, prefix); walk(mt.valueType, prefix)
+      case _ => ()
+    }
+    walk(DataType.fromJson(schemaString).asInstanceOf[StructType], "")
+    val declaredMax = conf.get(MaxIdKey).map(_.toLong).getOrElse(0L)
+    (ids.toMap, math.max(declaredMax, (ids.values.toSeq :+ 0L).max))
+  }
+
+  private def priorFieldIds(spark: SparkSession,
+      logDir: Path): (Map[String, Long], Long) = {
+    if (!Files.isDirectory(logDir)) return (Map.empty, 0L)
+    val names = { val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close() }
+    val jsonVs = names.filter(n => n.length == 25 && n.endsWith(".json") &&
+      n.dropRight(5).forall(_.isDigit)).map(_.dropRight(5).toLong).sorted
+    // the NEWEST metaData provides the live path→id map; maxColumnId
+    // folds over EVERY metaData still in the log, so a schema rewrite
+    // that momentarily shed the mapping cannot reset the counter and
+    // re-issue a retired id
+    var newest: Option[Map[String, Long]] = None
+    var maxSeen = 0L
+    def fold(schemaString: String, conf: Map[String, String]): Unit = {
+      val (ids, mx) = fieldIdsFromSchemaJson(schemaString, conf)
+      if (newest.isEmpty) newest = Some(ids)
+      maxSeen = math.max(maxSeen, mx)
+    }
+    jsonVs.reverse.foreach { v =>
+      val lines = new String(
+        Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
+        .split('\n').filter(_.trim.nonEmpty)
+      lines.foreach { line =>
+        val n = M.readTree(line)
+        if (n.has("metaData")) {
+          val md = n.get("metaData")
+          val conf = if (!md.hasNonNull("configuration")) Map.empty[String, String]
+            else md.get("configuration").properties().asScala
+              .map(e => e.getKey -> (if (e.getValue.isNull) null
+                else e.getValue.asText)).toMap
+          fold(md.get("schemaString").asText, conf)
+        }
+      }
+    }
+    val Ck = """(\d{20})\.checkpoint\.parquet""".r
+    names.collect { case n @ Ck(v) => (v.toLong, n) }.sortBy(-_._1)
+      .headOption.foreach { case (_, n) =>
+        // the checkpoint is parquet: one tiny Spark read, seed-rare
+        spark.read.parquet(logDir.resolve(n).toString)
+          .selectExpr("metaData.schemaString", "metaData.configuration")
+          .where("metaData IS NOT NULL").collect()
+          .foreach(r => fold(r.getString(0),
+            Option(r.getMap[String, String](1)).map(_.toMap)
+              .getOrElse(Map.empty)))
+      }
+    (newest.getOrElse(Map.empty), maxSeen)
+  }
 
   /** Spark StructType JSON with Delta column-mapping field metadata
     * (`delta.columnMapping.id` / `.physicalName`) on EVERY field — the
     * spec requires the annotations on nested struct fields too, and
     * delta-spark validates exactly that. graft's own mapping renames
     * only top-level columns, so nested fields keep their names as
-    * physical; their ids derive from the physical PATH. Returns
-    * (json, maxColumnId).
+    * physical; their ids key by the physical PATH.
+    *
+    * Ids are SEQUENTIAL and carried forward from `prior` (the log's
+    * newest metaData): a column keeps the id the log first gave it,
+    * new physical paths take maxColumnId+1… in schema order, and the
+    * returned maxColumnId is monotonic across rewrites — dropping the
+    * highest-numbered column never re-issues its id to a later add,
+    * exactly the protocol's never-reuse invariant.
     */
   private def mappedSchemaJson(schema: StructType,
-      mapping: Map[String, String]): (String, Int) = {
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      mapping: Map[String, String],
+      prior: (Map[String, Long], Long) = (Map.empty, 0L)): (String, Long) = {
+    val (priorIds, priorMax) = prior
+    var nextId = priorMax
+    val seen = scala.collection.mutable.Set.empty[Long]
+    def idFor(path: String): Long = {
+      val id = priorIds.getOrElse(path, { nextId += 1; nextId })
+      require(seen.add(id),
+        s"column-mapping field id $id assigned twice (at $path) — " +
+          "corrupt prior metaData")
+      id
+    }
     def annotate(f: org.apache.spark.sql.types.StructField,
         phys: String, path: String): org.apache.spark.sql.types.StructField = {
-      val id = fieldId(path).toLong
-      ids += id
+      val id = idFor(path)
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
         .putLong(IdKey, id)
@@ -158,28 +244,43 @@ object DeltaLogBridge {
       val phys = mapping.getOrElse(f.name, f.name)
       annotate(f, phys, phys)
     }
-    require(ids.distinct.length == ids.length,
-      "column-mapping field-id hash collision — rename a column")
-    (StructType(fields).json, ids.max.toInt)
+    (StructType(fields).json, math.max(nextId, (seen.toSeq :+ 0L).max))
   }
 
-  /** The PHYSICAL rendering of a (possibly nested) type per the
+  /** The PHYSICAL rendering of a (possibly nested) field per the
     * column-mapping metadata: every struct field anywhere takes its
-    * declared physicalName (absent = its own name). The read schema a
-    * name-mode scan must request from the parquet files.
+    * declared physicalName (absent = its own name) — the read schema a
+    * name-mode scan requests from the parquet files. In id mode each
+    * field ADDITIONALLY carries `parquet.field.id` (from its
+    * delta.columnMapping.id, required on every field — a mode-id schema
+    * without ids is corrupt), which flips Spark's parquet reader to
+    * field-id matching.
     */
-  private def physicalType(dt: org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.types.DataType = dt match {
+  private def physicalField(f: org.apache.spark.sql.types.StructField,
+      phys: String, idMode: Boolean): org.apache.spark.sql.types.StructField = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+    if (idMode) {
+      require(f.metadata.contains(IdKey),
+        s"column mapping mode 'id': field '${f.name}' carries no $IdKey " +
+          "annotation — corrupt mapped schema, refusing")
+      mb.putLong("parquet.field.id", f.metadata.getLong(IdKey))
+    }
+    f.copy(name = phys, dataType = physicalType(f.dataType, idMode),
+      metadata = mb.build())
+  }
+
+  private def physicalType(dt: org.apache.spark.sql.types.DataType,
+      idMode: Boolean): org.apache.spark.sql.types.DataType = dt match {
     case st: StructType => StructType(st.fields.map { f =>
       val phys = if (f.metadata.contains(PhysKey))
         f.metadata.getString(PhysKey) else f.name
-      f.copy(name = phys, dataType = physicalType(f.dataType))
+      physicalField(f, phys, idMode)
     })
     case at: org.apache.spark.sql.types.ArrayType =>
-      at.copy(elementType = physicalType(at.elementType))
+      at.copy(elementType = physicalType(at.elementType, idMode))
     case mt: org.apache.spark.sql.types.MapType =>
-      mt.copy(keyType = physicalType(mt.keyType),
-        valueType = physicalType(mt.valueType))
+      mt.copy(keyType = physicalType(mt.keyType, idMode),
+        valueType = physicalType(mt.valueType, idMode))
     case o => o
   }
 
@@ -551,15 +652,14 @@ object DeltaLogBridge {
               s"${ckpts.map(_._1).sorted.distinct})")
       }
     }
-    // feature validation against the REPLAYED state: declared-but-unused
-    // DVs are readable (used ones refuse below); column mapping mode
-    // NAME is fully resolved — files read by their physical field names
-    // and surface under the logical ones. Mode `id` (parquet field-id
-    // resolution) stays out of scope.
+    // feature validation against the REPLAYED state: column mapping
+    // mode NAME resolves files by physical field names, mode ID by
+    // parquet field ids (Spark's field-id matching over an id-annotated
+    // read schema); both surface logical names. Anything else refuses.
     require(columnMappingMode == "none" || columnMappingMode == null ||
-        columnMappingMode == "name",
-      s"table uses column mapping mode '$columnMappingMode' — only " +
-        "name-mode physical resolution is implemented")
+        columnMappingMode == "name" || columnMappingMode == "id",
+      s"table uses column mapping mode '$columnMappingMode' — this " +
+        "bridge implements name- and id-mode resolution")
     require(minReaderSeen < 3 || declaredFeatures.nonEmpty,
       "reader version 3 requires an explicit readerFeatures list")
     // one data file surviving under TWO action keys (distinct DV states,
@@ -581,20 +681,30 @@ object DeltaLogBridge {
     // name-mode: scan by PHYSICAL names (nested fields included) and
     // surface logical ones; partitionValues keys are physical per the
     // protocol's column-mapping rules (logical keys tolerated — some
-    // writers emit them). Mode none/absent IGNORES any leftover mapping
-    // metadata, as the spec requires — stale annotations on a
-    // derived schema must not redirect the scan.
-    val nameMode = columnMappingMode == "name"
+    // writers emit them). Id-mode additionally annotates the read
+    // schema with `parquet.field.id` so Spark's reader matches by the
+    // delta.columnMapping.id — a file PREDATING the ids fails Spark's
+    // own "no field ids" check, the loud refusal the protocol wants.
+    // Mode none/absent IGNORES any leftover mapping metadata, as the
+    // spec requires — stale annotations on a derived schema must not
+    // redirect the scan.
+    val mappedMode = columnMappingMode == "name" || columnMappingMode == "id"
+    val idMode = columnMappingMode == "id"
     val physOf: Map[String, String] =
-      if (!nameMode) s.fieldNames.map(n => n -> n).toMap
+      if (!mappedMode) s.fieldNames.map(n => n -> n).toMap
       else s.fields.map { f =>
         f.name -> (if (f.metadata.contains(PhysKey))
           f.metadata.getString(PhysKey) else f.name)
       }.toMap
     val physSchema =
-      if (!nameMode) s
-      else StructType(s.fields.map(f => f.copy(name = physOf(f.name),
-        dataType = physicalType(f.dataType))))
+      if (!mappedMode) s
+      else StructType(s.fields.map(f =>
+        physicalField(f, physOf(f.name), idMode)))
+    if (idMode)
+      // session-scoped on purpose: the flag only activates for scans
+      // whose REQUESTED schema carries parquet.field.id metadata —
+      // exactly the schemas this bridge builds, nothing else
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val physPartCols = partCols.map(pc => physOf.getOrElse(pc, pc))
     val liveNorm = live.toSeq.map { case ((p, _), (pv, _)) =>
       (p, partCols.zip(physPartCols).map { case (lc, pc) =>
@@ -751,10 +861,13 @@ object DeltaLogBridge {
     fmt.putObject("options")
     val conf = mdN.putObject("configuration")
     if (mapped) {
-      val (json, maxId) = mappedSchemaJson(snap.schema, snap.columnMapping)
+      // ids carry forward from whatever the log (overwrite case) already
+      // declared — maxColumnId is monotonic, retired ids never re-issue
+      val (json, maxId) = mappedSchemaJson(snap.schema, snap.columnMapping,
+        priorFieldIds(table.spark, logDir))
       mdN.put("schemaString", json)
       conf.put("delta.columnMapping.mode", "name")
-      conf.put("delta.columnMapping.maxColumnId", maxId.toString)
+      conf.put(MaxIdKey, maxId.toString)
     } else mdN.put("schemaString", snap.schema.json)
     val pc = mdN.putArray("partitionColumns")
     snap.partitionCols.foreach(pc.add)
@@ -821,9 +934,13 @@ object DeltaLogBridge {
     java.util.UUID.nameUUIDFromBytes(
       s"graft-delta-mirror:$dir".getBytes(UTF_8)).toString
 
+  /** One metaData action line; returns it plus the UPDATED field-id
+    * carry (new columns consumed ids) for the caller's next emission.
+    */
   private def metaDataJson(dir: String, schema: StructType,
       partitionCols: Seq[String], tsMillis: Long,
-      mapping: Map[String, String]): String = {
+      mapping: Map[String, String],
+      prior: (Map[String, Long], Long)): (String, (Map[String, Long], Long)) = {
     val md = M.createObjectNode()
     val mdN = md.putObject("metaData")
     mdN.put("id", stableId(dir))
@@ -831,16 +948,18 @@ object DeltaLogBridge {
     fmt.put("provider", "parquet")
     fmt.putObject("options")
     val conf = mdN.putObject("configuration")
+    var carry = prior
     if (mapping.nonEmpty) {
-      val (json, maxId) = mappedSchemaJson(schema, mapping)
+      val (json, maxId) = mappedSchemaJson(schema, mapping, prior)
       mdN.put("schemaString", json)
       conf.put("delta.columnMapping.mode", "name")
-      conf.put("delta.columnMapping.maxColumnId", maxId.toString)
+      conf.put(MaxIdKey, maxId.toString)
+      carry = (fieldIdsFromSchemaJson(json, Map.empty)._1, maxId)
     } else mdN.put("schemaString", schema.json)
     val pc = mdN.putArray("partitionColumns")
     partitionCols.foreach(pc.add)
     mdN.put("createdTime", tsMillis)
-    M.writeValueAsString(md)
+    (M.writeValueAsString(md), carry)
   }
 
   private def addJson(partitionCols: Seq[String], f: CommitLogTable.LogFile,
@@ -1055,6 +1174,9 @@ object DeltaLogBridge {
       return break(s"mirror log gap at Delta version(s) " +
         s"${gap.min}..${gap.max} — refusing to append past it")
 
+    // field-id carry across this catch-up's metaData emissions: seeded
+    // from the log's own declarations, so a crash-redo racer converges
+    var idCarry = priorFieldIds(table.spark, logDir)
     ((mirrored + 1) to head).foreach { v =>
       val (action, added, removed) = table.versionFileDiff(v)
       val m = table.resolvedManifest(Some(v))
@@ -1081,9 +1203,12 @@ object DeltaLogBridge {
         sb.append(protocolJson(need)).append('\n')
       if (m.schema != prevM.schema ||
           m.partitionCols != prevM.partitionCols ||
-          m.columnMapping != prevM.columnMapping)
-        sb.append(metaDataJson(table.dir, m.schema, m.partitionCols,
-          m.tsMillis, m.columnMapping)).append('\n')
+          m.columnMapping != prevM.columnMapping) {
+        val (line, carry2) = metaDataJson(table.dir, m.schema,
+          m.partitionCols, m.tsMillis, m.columnMapping, idCarry)
+        idCarry = carry2
+        sb.append(line).append('\n')
+      }
       val dataChange = action != "compact"
       removed.toSeq.sorted.foreach { p =>
         val rm = M.createObjectNode()
@@ -1133,9 +1258,11 @@ object DeltaLogBridge {
     val (schemaJson, conf) =
       if (!mapped) (snap.schema.json, Map.empty[String, String])
       else {
-        val (json, maxId) = mappedSchemaJson(snap.schema, snap.columnMapping)
+        // a RESEED carries the old log's ids forward before overwriting
+        val (json, maxId) = mappedSchemaJson(snap.schema,
+          snap.columnMapping, priorFieldIds(spark, logDir))
         (json, Map("delta.columnMapping.mode" -> "name",
-          "delta.columnMapping.maxColumnId" -> maxId.toString))
+          MaxIdKey -> maxId.toString))
       }
     val pvCols = snap.partitionCols
       .map(c => snap.columnMapping.getOrElse(c, c))

@@ -178,12 +178,106 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
       "mode none must ignore physicalName metadata, not resolve through it")
   }
 
-  test("column mapping mode ID refuses loudly (field-id resolution out of scope)") {
+  test("column mapping mode ID without id annotations refuses loudly (corrupt schema)") {
     val dir = tmpDir()
     v3Fixture(dir, Seq("columnMapping"),
       configuration = """{"delta.columnMapping.mode":"id"}""")
     val e = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
     assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
+  test("column mapping mode ID resolves by parquet FIELD IDS (round-14 flip), names are decoys") {
+    val dir = tmpDir()
+    import org.apache.spark.sql.types._
+    def idMeta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    // the data FILE: field names deliberately unrelated to both logical
+    // and declared-physical names — only the ids can resolve them
+    val fileSchema = StructType(Seq(
+      StructField("zz_a", LongType, nullable = true, idMeta(2)),
+      StructField("zz_b", LongType, nullable = true, idMeta(5)),
+      StructField("zz_s", StructType(Seq(
+        StructField("zz_n", LongType, nullable = true, idMeta(8)))),
+        nullable = true, idMeta(7))))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row(42L, 7L, org.apache.spark.sql.Row(9L)))
+    spark.createDataFrame(rows, fileSchema).coalesce(1)
+      .write.parquet(s"$dir/d1")
+    val f1 = onePart(dir, "d1")
+    def fld(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val mappedSchema = StructType(Seq(
+      fld("k", LongType, "decoy_k", 2L),
+      fld("v", LongType, "decoy_v", 5L),
+      fld("s", StructType(Seq(
+        fld("n", LongType, "decoy_n", 8L))), "decoy_s", 7L))).json
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"idm","format":{"provider":"parquet","options":{}},"schemaString":${M(mappedSchema)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"8"},"createdTime":1}}
+         |{"add":{"path":"$f1","partitionValues":{},"size":9,"modificationTime":1,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val df = DeltaLogBridge.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v", "s"))
+    val r = df.head()
+    assert(r.getLong(0) == 42L && r.getLong(1) == 7L &&
+      r.getStruct(2).getLong(0) == 9L,
+      "id-mode must resolve every (nested) field through its parquet field id")
+    // a file PREDATING the ids fails Spark's own field-id check loudly
+    Seq(1L).toDF("plain").coalesce(1).write.parquet(s"$dir/d2")
+    val f2 = onePart(dir, "d2")
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000001.json"),
+      (s"""{"add":{"path":"$f2","partitionValues":{},"size":9,"modificationTime":2,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val e = intercept[Exception](DeltaLogBridge.read(spark, dir).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("mapped field ids are SEQUENTIAL and maxColumnId is monotonic across drops (never reused)") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(4).select($"id".as("day"), $"id".as("k"),
+      $"id".as("x"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    t.append(df, recordChanges = false)
+    t.renameColumn("k", "key") // mapping appears: metaData with ids
+    def latestMeta(): (Map[String, Long], Long) = {
+      val n = new String(Files.readAllBytes(Paths.get(dir,
+        f"_delta_log/${t.latestVersion}%020d.json")), UTF_8)
+        .linesIterator.find(_.contains("metaData")).get
+      val md = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().readTree(n).get("metaData")
+      val sch = org.apache.spark.sql.types.DataType
+        .fromJson(md.get("schemaString").asText)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val ids = sch.fields.map(f => f.name ->
+        f.metadata.getLong("delta.columnMapping.id")).toMap
+      (ids, md.get("configuration")
+        .get("delta.columnMapping.maxColumnId").asText.toLong)
+    }
+    val (ids1, max1) = latestMeta()
+    assert(ids1.values.toSeq.sorted == Seq(1L, 2L, 3L),
+      s"ids must be sequential from 1, got $ids1")
+    assert(max1 == 3L)
+    val xId = ids1("x")
+    t.dropColumn("x") // retires the column — its id must NEVER re-issue
+    val (ids2, max2) = latestMeta()
+    assert(!ids2.contains("x") && max2 == max1,
+      s"maxColumnId must not decrease on drop: $max2 vs $max1")
+    assert(ids2.forall { case (n, i) => ids1(n) == i },
+      "surviving columns keep their ids across the rewrite")
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("y",
+      org.apache.spark.sql.types.LongType)))
+    val (ids3, max3) = latestMeta()
+    assert(ids3("y") == max1 + 1 && max3 == max1 + 1,
+      s"a new column takes maxColumnId+1 (never $xId): $ids3 max $max3")
+    // and the mirrored log still round-trips
+    def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(key(DeltaLogBridge.read(spark, dir).select("day", "key")) ==
+      key(t.read().select("day", "key")))
   }
 
   test("a RENAMED graft table exports as a reader-v2 name-mode log and round-trips") {
