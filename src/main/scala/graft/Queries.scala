@@ -2937,6 +2937,40 @@ object Queries {
         col("_commit_version").as("commit_version"))
   }
 
+  /** Table-read CDF bounded by TIMESTAMPS (Delta's `startingTimestamp`
+    * / `endingTimestamp` options): a two-commit demo whose commits are
+    * forced onto distinct wall-clock millis, then the feed is read with
+    * both bounds pinned at commit 2's instant — Delta's rules
+    * (`startingTimestamp`: at-or-after, earliest qualifying version;
+    * `endingTimestamp`: at-or-before, latest) must select EXACTLY the
+    * second commit's insert images.
+    */
+  def tableCdfTs(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-cdfts-demo", "events")
+    SessionMemo.once(s, s"cdfTs:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        val df = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, root, df.schema)
+        t.append(df.filter(col("event_id") % 2 === 0))
+        // the timestamp bound below must SEPARATE v1 from v2: hold the
+        // second commit until the clock has moved past v1's millisecond
+        val ts1 = t.resolvedManifest(Some(1L)).tsMillis
+        while (System.currentTimeMillis() <= ts1) Thread.sleep(1L)
+        t.append(df.filter(col("event_id") % 2 === 1))
+      }
+    }
+    val t = graft.tables.CommitLogTable.open(s, root)
+    val ts2 = t.resolvedManifest(Some(2L)).tsMillis
+    s.read.format("commitlog").option("readChangeFeed", "true")
+      .option("startingTimestamp", ts2.toString)
+      .option("endingTimestamp", ts2.toString)
+      .load(root)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
   /** Shallow clone of the 3-commit demo table PINNED at version 2 (built
     * once per session): a zero-copy fork whose reads must equal the
     * source's pinned snapshot — the same oracle as time travel, taken

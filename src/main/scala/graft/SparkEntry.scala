@@ -192,6 +192,7 @@ object SparkEntry {
     "q_table_multipart" -> (Queries.tableMultipart _),
     "q_table_convert" -> (Queries.tableConvert _),
     "q_delta_dv_read" -> (Queries.deltaDvRead _),
+    "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
   )
@@ -3955,6 +3956,14 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              min(event_id) AS min_id
       FROM events WHERE event_id % 5 = 0 GROUP BY event_type""",
+
+    // CDF bounded by TIMESTAMPS pinned at commit 2's instant: exactly
+    // the second commit (odd event_ids) qualifies under Delta's
+    // at-or-after / at-or-before rules
+    "q_table_cdf_ts" -> """
+      SELECT event_id, event_type, value, 'insert' AS change_type,
+             CAST(2 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 2 = 1""",
 
     // table-read CDF over the SQL-catalog demo: two INSERT INTO halves
     // (even event_ids at version 1, odd at version 2), all insert images

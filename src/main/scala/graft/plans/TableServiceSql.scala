@@ -21,6 +21,9 @@ import graft.sources.CommitLogCatalog
   *   OPTIMIZE cat.ns.t [WHERE <partition predicate>] [ZORDER BY (c1, c2)]
   *   VACUUM cat.ns.t [RETAIN 5 VERSIONS]
   *   RESTORE [TABLE] cat.ns.t [TO] VERSION AS OF 3
+  *   RESTORE [TABLE] cat.ns.t [TO] TIMESTAMP AS OF '2026-08-14 12:00:00'
+  *   CREATE TABLE cat.ns.tgt SHALLOW CLONE cat.ns.src [VERSION AS OF 3]
+  *   CONVERT TO COMMITLOG parquet.`/path/to/dump` [PARTITIONED BY (day)]
   * }}}
   *
   * Injected as a PARSER wrapper ([[graft.GraftExtensions]]): a matched
@@ -81,6 +84,15 @@ final class TableServiceSqlParser(session: SparkSession,
       }
     }
     def quoted(s: String): String = "'" + s.replace("'", "''") + "'"
+    // a regex-extracted SQL fragment must actually PARSE before it is
+    // trusted: a partition predicate containing the literal text
+    // 'zorder by' (or an unbalanced quote/paren) mis-splits the groups,
+    // and rewriting the garbage would run the service with a mangled
+    // predicate — validate, then retry the WHERE-only reading, then
+    // give the statement back to the stock parser's own error
+    def parses(e: String): Boolean =
+      e.nonEmpty && (try { delegate.parseExpression(e); true }
+        catch { case _: Exception => false })
     val history = HistoryRe.matcher(sqlText)
     if (history.matches()) return target(history.group(1)).map { case (c, t) =>
       s"CALL `$c`.system.history(table => ${quoted(t)})" }
@@ -91,16 +103,65 @@ final class TableServiceSqlParser(session: SparkSession,
     if (restore.matches()) return target(restore.group(1)).map { case (c, t) =>
       s"CALL `$c`.system.restore(table => ${quoted(t)}, " +
         s"version => ${restore.group(2)})" }
+    val restoreTs = RestoreTsRe.matcher(sqlText)
+    if (restoreTs.matches()) return target(restoreTs.group(1)).map { case (c, t) =>
+      s"CALL `$c`.system.restore(table => ${quoted(t)}, " +
+        s"timestamp => ${quoted(restoreTs.group(2))})" }
+    val clone = CloneRe.matcher(sqlText)
+    if (clone.matches()) {
+      // target and source must land in the SAME commitlog catalog — a
+      // cross-catalog clone falls through to the stock parser's error
+      return (target(clone.group(1)), target(clone.group(2))) match {
+        case (Some((c1, tgt)), Some((c2, src))) if c1 == c2 =>
+          Some(s"CALL `$c1`.system.clone(table => ${quoted(src)}, " +
+            s"target => ${quoted(tgt)}" +
+            Option(clone.group(3)).map(v => s", version => $v")
+              .getOrElse("") + ")")
+        case _ => None
+      }
+    }
+    val convert = ConvertRe.matcher(sqlText)
+    if (convert.matches()) {
+      // CONVERT names a PATH, not an identifier: route to the CURRENT
+      // catalog when it is a commitlog one
+      val current = session.sessionState.catalogManager.currentCatalog
+      if (current.isInstanceOf[CommitLogCatalog]) {
+        val cols = Option(convert.group(2)).map(
+          _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).mkString(","))
+        return Some(s"CALL `${current.name()}`.system.convert(" +
+          s"path => ${quoted(convert.group(1))}" +
+          cols.map(cs => s", partition_cols => ${quoted(cs)}")
+            .getOrElse("") + ")")
+      }
+      return None
+    }
     val optimize = OptimizeRe.matcher(sqlText)
-    if (optimize.matches()) return target(optimize.group(1)).map { case (c, t) =>
+    if (optimize.matches()) {
       val where = Option(optimize.group(2)).map(_.trim)
       // normalize "(a, b)" / "a, b" to the procedure's 'a,b' form
       val zorder = Option(optimize.group(3)).map(
         _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
           .mkString(","))
-      s"CALL `$c`.system.optimize(table => ${quoted(t)}" +
-        where.map(w => s", where => ${quoted(w)}").getOrElse("") +
-        zorder.map(z => s", zorder_by => ${quoted(z)}").getOrElse("") + ")"
+      val wellSplit = where.forall(parses) &&
+        zorder.forall(_.split(',').forall(c => parses(c.trim)))
+      if (wellSplit)
+        return target(optimize.group(1)).map { case (c, t) =>
+          s"CALL `$c`.system.optimize(table => ${quoted(t)}" +
+            where.map(w => s", where => ${quoted(w)}").getOrElse("") +
+            zorder.map(z => s", zorder_by => ${quoted(z)}").getOrElse("") + ")"
+        }
+      // mis-split (e.g. 'ZORDER BY' inside a string literal): the whole
+      // remainder may be one valid WHERE predicate
+      val whereOnly = OptimizeWhereOnlyRe.matcher(sqlText)
+      if (whereOnly.matches() &&
+          Option(whereOnly.group(2)).map(_.trim).forall(parses))
+        return target(whereOnly.group(1)).map { case (c, t) =>
+          s"CALL `$c`.system.optimize(table => ${quoted(t)}" +
+            Option(whereOnly.group(2)).map(w =>
+              s", where => ${quoted(w.trim)}").getOrElse("") + ")"
+        }
+      return None
     }
     val vacuum = VacuumRe.matcher(sqlText)
     if (vacuum.matches()) return target(vacuum.group(1)).map { case (c, t) =>
@@ -149,9 +210,23 @@ private object TableServiceSqlParser {
     re(s"""\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ident\\s*;?\\s*""")
   val RestoreRe: Pattern = re(
     s"""\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
+  val RestoreTsRe: Pattern = re(
+    s"""\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""")
+  // Delta's `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n]`
+  val CloneRe: Pattern = re(
+    s"""\\s*CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident""" +
+      """(?:\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")
+  // Delta's `CONVERT TO DELTA parquet.`/path``, commitlog-spelled
+  val ConvertRe: Pattern = re(
+    """\s*CONVERT\s+TO\s+COMMITLOG\s+parquet\s*\.\s*`([^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?\s*;?\s*""")
   val OptimizeRe: Pattern = re(
     s"""\\s*OPTIMIZE\\s+$Ident(?:\\s+WHERE\\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s+\(?([^()]+?)\)?)?\s*;?\s*""")
+  // the no-ZORDER reading of the same statement, for predicates whose
+  // TEXT contains 'zorder by' (mis-split repair — see rewrite())
+  val OptimizeWhereOnlyRe: Pattern = re(
+    s"""\\s*OPTIMIZE\\s+$Ident(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""")
   val VacuumRe: Pattern = re(
     s"""\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""")
 }

@@ -181,10 +181,10 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
               other.toDDL)
         }
       case c: TableChange.DropConstraint =>
-        try t.dropConstraint(c.name)
-        catch {
-          case e: IllegalArgumentException if c.ifExists => ()
-        }
+        // IF EXISTS forgives ONLY the constraint being absent — a
+        // require tripped inside the commit path must still surface
+        if (!c.ifExists || t.constraints.contains(c.name))
+          t.dropConstraint(c.name)
       case other => throw new UnsupportedOperationException(
         s"commitlog catalog: unsupported ALTER ${other.getClass.getSimpleName}")
     }
@@ -382,7 +382,8 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("optimize", "vacuum", "restore", "history", "detail")
+      Array("optimize", "vacuum", "restore", "history", "detail",
+        "convert", "clone")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -396,16 +397,97 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
       if (!tableExists(id)) throw new NoSuchTableException(id)
       CommitLogTable.open(spark, dirOf(id))
     }
+    // a target identifier's directory — for CLONE, whose target must
+    // NOT exist yet (shallowCloneTo enforces)
+    val dirOfName: String => String = { name =>
+      val parts = name.split('.')
+      dirOf(Identifier.of(parts.init, parts.last))
+    }
     ident.name match {
       case "optimize" => new OptimizeProcedure(tableOf)
       case "vacuum" => new VacuumProcedure(tableOf)
       case "restore" => new RestoreProcedure(tableOf)
       case "history" => new HistoryProcedure(tableOf)
       case "detail" => new DetailProcedure(tableOf)
+      case "convert" => new ConvertProcedure(spark)
+      case "clone" => new CloneProcedure(tableOf, dirOfName)
       case other => throw new UnsupportedOperationException(
         s"commitlog catalog: no procedure `$other` " +
-          "(have: optimize, vacuum, restore, history, detail)")
+          "(have: optimize, vacuum, restore, history, detail, convert, clone)")
     }
+  }
+}
+
+/** `CALL cat.system.convert(path => '/data/dump' [, partition_cols =>
+  * 'a,b'])` — Delta's `CONVERT TO DELTA parquet.`…``: zero-copy
+  * adoption of an existing parquet directory into a commit-log table
+  * IN PLACE ([[CommitLogTable.convert]] owns the safety rules: PAR1
+  * magic, foreign-log refusal, Hive-layout checks).
+  */
+private final class ConvertProcedure(spark: SparkSession)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "convert"
+  override def description(): String =
+    "zero-copy adoption of a parquet directory (CONVERT TO COMMITLOG)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", StringType).build(),
+    ProcedureParameter.in("partition_cols", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = input.getUTF8String(0).toString
+    val cols = if (input.isNullAt(1)) Seq.empty[String]
+      else input.getUTF8String(1).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    val t = CommitLogTable.convert(spark, path, cols)
+    val m = t.resolvedManifest(None)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("location", StringType),
+      org.apache.spark.sql.types.StructField("num_files",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("rows_total",
+        org.apache.spark.sql.types.LongType)))
+    java.util.Collections.singletonList(
+      new ProcedureResult(schema, Seq(Seq[Any](
+        UTF8String.fromString(t.dir), m.files.size, m.rowsTotal)))
+        : Scan).iterator()
+  }
+}
+
+/** `CALL cat.system.clone(table => 'ns.src', target => 'ns.tgt'
+  * [, version => 3])` — Delta's `CREATE TABLE tgt SHALLOW CLONE src
+  * [VERSION AS OF n]`: a metadata-only copy referencing the source's
+  * files in place ([[CommitLogTable.shallowCloneTo]]).
+  */
+private final class CloneProcedure(tableOf: String => CommitLogTable,
+    dirOfName: String => String)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "clone"
+  override def description(): String =
+    "metadata-only shallow clone (CREATE TABLE … SHALLOW CLONE …)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target", StringType).build(),
+    ProcedureParameter.in("version", org.apache.spark.sql.types.LongType)
+      .defaultValue("CAST(NULL AS BIGINT)").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = tableOf(input.getUTF8String(0).toString)
+    val targetDir = dirOfName(input.getUTF8String(1).toString)
+    val version = if (input.isNullAt(2)) None else Some(input.getLong(2))
+    val t = src.shallowCloneTo(targetDir, version)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("location", StringType),
+      org.apache.spark.sql.types.StructField("cloned_version",
+        org.apache.spark.sql.types.LongType)))
+    java.util.Collections.singletonList(
+      new ProcedureResult(schema, Seq(Seq[Any](
+        UTF8String.fromString(t.dir),
+        version.getOrElse(src.latestVersion)))): Scan).iterator()
   }
 }
 
@@ -566,11 +648,21 @@ private final class RestoreProcedure(tableOf: String => CommitLogTable)
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
-    ProcedureParameter.in("version", org.apache.spark.sql.types.LongType).build())
+    ProcedureParameter.in("version", org.apache.spark.sql.types.LongType)
+      .defaultValue("CAST(NULL AS BIGINT)").build(),
+    // Delta's `RESTORE … TIMESTAMP AS OF`: an instant resolves to the
+    // latest version committed at-or-before it (versionAt's rule)
+    ProcedureParameter.in("timestamp", StringType)
+      .defaultValue("CAST(NULL AS STRING)").build())
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val t = tableOf(input.getUTF8String(0).toString)
-    val target = input.getLong(1)
+    require(input.isNullAt(1) != input.isNullAt(2),
+      "restore: give exactly one of version / timestamp")
+    val target =
+      if (!input.isNullAt(1)) input.getLong(1)
+      else t.versionAt(CommitLogTable.parseTsMillis(
+        input.getUTF8String(2).toString, t.spark))
     val newV = t.restore(target)
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("restored_to_version",

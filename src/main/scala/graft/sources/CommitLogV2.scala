@@ -81,14 +81,7 @@ final class CommitLogDataSource extends TableProvider with DataSourceRegister
     * converts in session TZ) agree on the same literal.
     */
   private def parseTsMillis(s: String, spark: SparkSession): Long =
-    scala.util.Try(s.toLong).getOrElse {
-      val zone = java.time.ZoneId.of(
-        spark.sessionState.conf.sessionLocalTimeZone)
-      val local = scala.util.Try(java.time.LocalDateTime.parse(
-          s.trim.replace(' ', 'T')))
-        .getOrElse(java.time.LocalDate.parse(s.trim).atStartOfDay())
-      local.atZone(zone).toInstant.toEpochMilli
-    }
+    CommitLogTable.parseTsMillis(s, spark)
 
   private def tableFor(options: CaseInsensitiveStringMap): Table = {
     val path = pathOf(options)
@@ -1340,10 +1333,28 @@ final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
     * the `_latest` hint exists to avoid), so it must price once per
     * scan, never per planning evaluation.
     */
-  private lazy val starting: Long =
-    options.get("startingversion").map(_.toLong)
+  private lazy val starting: Long = {
+    val v = options.get("startingversion")
+    val ts = options.get("startingtimestamp")
+    require(v.isEmpty || ts.isEmpty,
+      "CDF read: give startingVersion OR startingTimestamp, not both")
+    v.map(_.toLong)
+      // Delta's rule: changes committed AT OR AFTER the instant — the
+      // earliest qualifying version, not versionAt's at-or-before floor
+      .orElse(ts.map(s =>
+        table.versionAtOrAfter(CommitLogTable.parseTsMillis(s, spark))))
       .getOrElse(math.max(1L, table.earliestVersion))
-  private lazy val ending: Long = options.get("endingversion").map(_.toLong) match {
+  }
+  private lazy val ending: Long = {
+    val v = options.get("endingversion")
+    val ts = options.get("endingtimestamp")
+    require(v.isEmpty || ts.isEmpty,
+      "CDF read: give endingVersion OR endingTimestamp, not both")
+    v.map(_.toLong)
+      // latest version committed at-or-before the instant
+      .orElse(ts.map(s =>
+        table.versionAt(CommitLogTable.parseTsMillis(s, spark))))
+  } match {
     case Some(e) =>
       // an explicit range may NARROW a time-travel pin, never escape it —
       // a relation pinned @vN must not serve changes committed after N

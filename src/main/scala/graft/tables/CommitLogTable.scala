@@ -182,8 +182,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val m = manifest(version.getOrElse(latestVersion))
     require(m.partitionCols.nonEmpty,
       s"readPartitions on unpartitioned table $dir")
-    // `values` match the FIRST partition column (single-column tables:
-    // exactly the historical behavior; composite tables: prefix pruning)
+    // bare values are unambiguous only with ONE partition column — on a
+    // composite table a caller's values could target any of them, and
+    // matching the first silently returns the wrong (usually empty) set
+    require(m.partitionCols.lengthCompare(1) == 0,
+      s"readPartitions takes bare values, ambiguous over composite " +
+        s"partitioning ${m.partitionCols.mkString("(", ", ", ")")} — " +
+        "use partitionKeysWhere + readFiles, or read() with a filter")
     val pruned = m.files.filter(_.partitionVals.headOption.exists(values.contains))
     version.foreach(v => requireFilesPresent(
       m.copy(files = pruned), s"readPartitions(version=$v)"))
@@ -1181,6 +1186,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           s"${manifest(vs.head).tsMillis})"))
   }
 
+  /** The EARLIEST version committed at-or-after `tsMillis` — Delta's
+    * CDF `startingTimestamp` rule ("changes committed at or after"),
+    * the mirror bound of [[versionAt]]. Errors past the last commit,
+    * like Delta.
+    */
+  def versionAtOrAfter(tsMillis: Long): Long =
+    listVersions.find(v => manifest(v).tsMillis >= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"startingTimestamp $tsMillis is after the table's last commit " +
+          s"(at ${manifest(latestVersion).tsMillis})"))
+
   /** MERGE-ON-READ delete — the deletion-vector analogue (Delta/Iceberg
     * position deletes): `predicate` (SQL text over logical columns) is
     * recorded per file in the manifest; readers filter matching rows
@@ -1409,6 +1425,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 
   /** Current table properties (latest manifest's). */
   def properties: Map[String, String] = snapshot().properties
+
+  /** Stored CHECK constraints (name → SQL) of the current snapshot. */
+  def constraints: Map[String, String] = snapshot().constraints
 
   /** SET table properties (Delta `ALTER TABLE … SET TBLPROPERTIES` —
     * the reference's DDL sets `delta.enableChangeDataFeed` and column
@@ -2821,6 +2840,25 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
 }
 
 object CommitLogTable {
+
+  /** A user-supplied time-travel instant → epoch millis: a raw
+    * epoch-millis number, a date ("2026-08-14"), or a local timestamp
+    * ("2026-08-14 12:00:00[.SSS]") — string forms interpreted in the
+    * SESSION timezone, so options, `RESTORE … TIMESTAMP AS OF`, and CDF
+    * timestamp bounds all agree with SQL's own literal conversion. ONE
+    * definition for every timestamp-accepting surface.
+    */
+  private[graft] def parseTsMillis(s: String,
+      spark: org.apache.spark.sql.SparkSession): Long =
+    scala.util.Try(s.toLong).getOrElse {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val local = scala.util.Try(java.time.LocalDateTime.parse(
+          s.trim.replace(' ', 'T')))
+        .getOrElse(java.time.LocalDate.parse(s.trim).atStartOfDay())
+      local.atZone(zone).toInstant.toEpochMilli
+    }
+
   private val LogDirName = "_graft_log"
   private val LatestHintName = "_latest"
   private val DataDirName = "data"

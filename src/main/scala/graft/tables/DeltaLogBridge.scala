@@ -88,10 +88,18 @@ object DeltaLogBridge {
     * Hive default-partition marker maps to the protocol's JSON null.
     */
   private def partitionValuesOf(partitionCols: Seq[String],
-      f: CommitLogTable.LogFile): Seq[(String, Option[String])] =
+      f: CommitLogTable.LogFile): Seq[(String, Option[String])] = {
+    // the spec requires one partitionValues entry per partition column —
+    // a short tuple (a pre-partitioning legacy file) must refuse loudly,
+    // not zip-truncate into an action missing required keys
+    require(f.partitionVals.lengthCompare(partitionCols.length) == 0,
+      s"file ${f.path} carries ${f.partitionVals.length} partition " +
+        s"value(s) for ${partitionCols.length} partition column(s) — " +
+        "inexpressible as a Delta add action")
     partitionCols.zip(f.partitionVals).map { case (c, v) =>
       c -> (if (v == HiveNull) None else Some(v))
     }
+  }
 
   // add.path is a RELATIVE URI per the protocol — %-encode on write,
   // decode on read

@@ -185,4 +185,112 @@ class TableServiceSqlSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("VACUUM spark_catalog.default.nope"))
     intercept[Exception](spark.sql("DESCRIBE HISTORY spark_catalog.default.nope"))
   }
+
+  test("RESTORE TIMESTAMP AS OF resolves the instant to the at-or-before version") {
+    val (cat, wh) = freshCatalog()
+    val t = seed(cat) // create + 6 inserts → versions 0..6
+    val table = CommitLogTable.open(spark, s"$wh/default/t")
+    val ts3 = table.resolvedManifest(Some(3L)).tsMillis
+    // epoch-millis string form (the canonical exact spelling)
+    val res = spark.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF '$ts3'").head
+    assert(res.getLong(0) == 3L, res.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3,
+      "restored snapshot must hold versions ≤ 3's rows")
+    // a date-string far in the future resolves to the (new) latest
+    spark.sql(s"RESTORE $t TIMESTAMP AS OF '2999-01-01'")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3)
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE … [VERSION AS OF] is a zero-copy fork") {
+    val (cat, wh) = freshCatalog()
+    val t = seed(cat)
+    val res = spark.sql(
+      s"CREATE TABLE $cat.default.t2 SHALLOW CLONE $t VERSION AS OF 4").head
+    assert(res.getLong(1) == 4L, res.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.t2")
+      .head.getLong(0) == 4)
+    // unpinned clone takes the head; the clone is independent metadata
+    spark.sql(s"CREATE TABLE $cat.default.t3 SHALLOW CLONE $t")
+    spark.sql(s"INSERT INTO $cat.default.t3 VALUES (99, 9.9)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.t3")
+      .head.getLong(0) == 7)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 6,
+      "writes to the clone must never touch the source")
+    // a cross-catalog clone is not ours — stock parser error
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE spark_catalog.default.x SHALLOW CLONE $t"))
+  }
+
+  test("CONVERT TO COMMITLOG parquet.`path` adopts in place (current catalog routes)") {
+    val (cat, _) = freshCatalog()
+    val dump = Files.createTempDirectory("graft-convert-sql").toString + "/d"
+    spark.range(10).selectExpr("id AS k", "id * 0.5 AS v")
+      .coalesce(2).write.parquet(dump)
+    spark.sql(s"USE $cat")
+    try {
+      val res = spark.sql(s"CONVERT TO COMMITLOG parquet.`$dump`").head
+      assert(res.getLong(2) == 10L, res.toString)
+      assert(spark.read.format("commitlog").load(dump).count() == 10)
+      // re-converting refuses (already a table); outside a commitlog
+      // catalog the statement is not ours
+      intercept[Exception](
+        spark.sql(s"CONVERT TO COMMITLOG parquet.`$dump`"))
+    } finally spark.sql("USE spark_catalog.default")
+    intercept[Exception](
+      spark.sql(s"CONVERT TO COMMITLOG parquet.`$dump`"))
+  }
+
+  test("OPTIMIZE WHERE survives 'zorder by' inside a string literal (mis-split repair)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.default.p (label STRING, v DOUBLE) " +
+      "USING commitlog PARTITIONED BY (label)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO $cat.default.p VALUES ('zorder by x', $i.0)"))
+    (0 until 2).foreach(i => spark.sql(
+      s"INSERT INTO $cat.default.p VALUES ('plain', $i.0)"))
+    // the literal contains the ZORDER keyword: the naive split yields a
+    // non-parsing predicate — the WHERE-only reading must win
+    val rep = spark.sql(
+      s"OPTIMIZE $cat.default.p WHERE label = 'zorder by x'").collect()
+    assert(rep.length == 1 && rep.head.getInt(1) == 3 &&
+      rep.head.getInt(2) == 1, rep.mkString(","))
+    // the 'plain' partition was never touched
+    val t = CommitLogTable.open(spark, s"$wh/default/p")
+    assert(t.resolvedManifest(None).files
+      .count(_.partitionVals.head == "plain") == 2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.p")
+      .head.getLong(0) == 5)
+  }
+
+  test("batch CDF timestamp bounds select by commit instants (Delta's rules)") {
+    val wh = Files.createTempDirectory("graft-cdf-ts").toString + "/t"
+    val df = spark.range(6).selectExpr("id AS k")
+    val t = CommitLogTable.create(spark, wh, df.schema)
+    t.append(df.filter($"k" < 2))
+    def waitPast(v: Long): Unit = {
+      val ts = t.resolvedManifest(Some(v)).tsMillis
+      while (System.currentTimeMillis() <= ts) Thread.sleep(1L)
+    }
+    waitPast(1L)
+    t.append(df.filter($"k" >= 2 && $"k" < 4))
+    waitPast(2L)
+    t.append(df.filter($"k" >= 4))
+    val ts2 = t.resolvedManifest(Some(2L)).tsMillis
+    def cdf(opts: (String, String)*): Seq[Long] = {
+      var r = spark.read.format("commitlog").option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(wh).select("k").collect().map(_.getLong(0)).toSeq.sorted
+    }
+    // starting at v2's instant: at-or-after → commits 2 and 3
+    assert(cdf("startingTimestamp" -> ts2.toString) == Seq(2L, 3L, 4L, 5L))
+    // ending at v2's instant: at-or-before → commits 1 and 2
+    assert(cdf("endingTimestamp" -> ts2.toString) == Seq(0L, 1L, 2L, 3L))
+    // both bounds pinned: exactly commit 2
+    assert(cdf("startingTimestamp" -> ts2.toString,
+      "endingTimestamp" -> ts2.toString) == Seq(2L, 3L))
+    // version and timestamp for the same bound conflict loudly
+    val e = intercept[Exception](cdf("startingVersion" -> "1",
+      "startingTimestamp" -> ts2.toString))
+    assert(e.getMessage.contains("not both"), e.getMessage)
+  }
 }
