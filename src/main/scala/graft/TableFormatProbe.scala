@@ -157,6 +157,15 @@ object TableFormatProbe {
       rec(fc, "files_set_property",
         timeMs(t.setProperties(Map("owner" -> "probe")))._2)
       rec(fc, "files_lazy_delete", timeMs(t.deleteLazy("k < 5"))._2)
+      // round 14: convert's adoption probe (PAR1 magic + footer stats)
+      // runs as a SPARK JOB — wall time may grow with the file count but
+      // ms-per-file must stay ~flat (the I/O distributes across cores),
+      // never the superlinear driver-serialized walk it replaced
+      val cdir = s"$outRoot/cv$fc-${System.nanoTime()}"
+      spark.range(fc * 10L).select(col("id").as("k"),
+        (col("id") * 0.5).as("v")).repartition(fc).write.parquet(cdir)
+      rec(fc, "convert_adopt",
+        timeMs(CommitLogTable.convert(spark, cdir))._2)
       def manifestBytes(v: Long): Long =
         Files.size(Paths.get(dir, "_graft_log", f"v$v%020d.json"))
       rec(fc, "files_meta_manifest_bytes",

@@ -2214,9 +2214,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * publish just fails loudly.
     */
   private[tables] def adoptExisting(partitionCols: Seq[String],
-      paths: Seq[Path]): Unit = {
+      probes: Seq[(Path, Long, Long, Map[String, (String, String)])]): Unit = {
     val root = Paths.get(dir)
-    val files = inParallel(paths) { p =>
+    // footer facts arrived pre-probed from the adoption Spark job —
+    // what remains is pure driver-side string work over the listing
+    val files = probes.map { case (p, rows, bytes, stats) =>
       val rel = root.relativize(p)
       val kv = rel.iterator().asScala.map(_.toString).toSeq.init
         .filter(_.contains("=")).map { seg =>
@@ -2239,8 +2241,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           s"convert: $rel carries no '$c=' directory segment — every " +
             "file of a partitioned conversion must sit in the Hive " +
             s"layout naming ${partitionCols.mkString(", ")}")))
-      val (rows, stats) = footerInfo(p)
-      LogFile(rel.toString, partitionVals, rows, Files.size(p), stats)
+      LogFile(rel.toString, partitionVals, rows, bytes, stats)
     }.filter(_.rows > 0) // zero-row debris is never referenced (nor deleted)
     val snap = snapshot()
     require(snap.version == 0 && snap.files.isEmpty,
@@ -2304,81 +2305,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * would misread the scale). Capped to the first
     * [[MaxStatsColumns]] schema-order columns.
     */
-  private def footerInfo(p: Path): (Long, Map[String, (String, String)]) = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
+  private def footerInfo(p: Path): (Long, Map[String, (String, String)]) =
+    CommitLogTable.footerInfoAt(new org.apache.hadoop.fs.Path(p.toUri),
       spark.sparkContext.hadoopConfiguration)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val blocks = r.getFooter.getBlocks.asScala.toSeq
-      val rows = blocks.map(_.getRowCount).sum
-      val schemaOrder = r.getFooter.getFileMetaData.getSchema.getFields
-        .asScala.map(_.getName).zipWithIndex.toMap
-      val byCol = blocks.flatMap(_.getColumns.asScala)
-        .groupBy(_.getPath.toDotString)
-      val stats = byCol.toSeq
-        .filter { case (name, _) => !name.contains(".") }
-        .sortBy { case (name, _) => schemaOrder.getOrElse(name, Int.MaxValue) }
-        .take(MaxStatsColumns)
-        .flatMap { case (name, chunks) =>
-          val pt = chunks.head.getPrimitiveType
-          val ann = pt.getLogicalTypeAnnotation
-          val isDecimal =
-            ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
-          // only MICROS timestamps may prune (statBound converts query
-          // bounds to micros); a MILLIS/NANOS file would compare 1000×
-          // off and silently drop matching files
-          val badTimeUnit = ann match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
-            case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => true
-            case _ => false
-          }
-          // EVERY chunk must either carry value stats or be provably
-          // all-null — parquet also omits stats for oversized binary
-          // bounds, and treating such a chunk as all-null would narrow
-          // the file bounds and wrongly prune rows it actually holds
-          val accounted = chunks.forall { c =>
-            val s = c.getStatistics
-            s != null && (s.hasNonNullValue ||
-              (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
-          }
-          val ss = chunks.map(_.getStatistics)
-            .filter(s => s != null && s.hasNonNullValue)
-          if (ss.isEmpty || !accounted || isDecimal || badTimeUnit) None
-          else pt.getPrimitiveTypeName match {
-            case INT32 | INT64 =>
-              val mn = ss.map(_.genericGetMin.asInstanceOf[Number].longValue).min
-              val mx = ss.map(_.genericGetMax.asInstanceOf[Number].longValue).max
-              Some(name -> (mn.toString, mx.toString))
-            case FLOAT | DOUBLE =>
-              val mn = ss.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min
-              val mx = ss.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max
-              if (mn.isNaN || mx.isNaN) None
-              else Some(name -> (mn.toString, mx.toString))
-            case BINARY if ann
-                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-              val mn = ss.map(_.genericGetMin
-                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min
-              val mx = ss.map(_.genericGetMax
-                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max
-              // ASCII-only: parquet orders string stats by unsigned UTF-8
-              // bytes, Java compares UTF-16 chars — the orders agree only
-              // on ASCII, and a mismatch silently prunes matching files
-              // (supplementary characters sort before U+E000..U+FFFF in
-              // UTF-8 but after in UTF-16). Non-ASCII bounds → no stats.
-              def ascii(s: String) = s.forall(c => c >= ' ' && c < 127)
-              if (mn.length > 64 || mx.length > 64 || !ascii(mn) || !ascii(mx))
-                None
-              else Some(name -> (mn, mx))
-            case _ => None
-          }
-        }.toMap
-      (rows, stats)
-    } finally r.close()
-  }
+
 
   /** Basenames of a just-staged change dir's parquet files — what the
     * manifest records as [[CommitLogTable.Manifest.changeFiles]]. Runs
@@ -3186,8 +3116,8 @@ object CommitLogTable {
         s"convert: $dir is governed by $g — a raw file walk would " +
           "adopt files that log has removed or never committed; read " +
           "it through its own format instead"))
-    val paths = adoptablePaths(Paths.get(dir))
-    require(paths.nonEmpty, s"convert: no parquet files under $dir")
+    val probes = adoptProbes(spark, Paths.get(dir))
+    require(probes.nonEmpty, s"convert: no parquet files under $dir")
     // UNION schema across every footer (mergeSchema): deterministic
     // regardless of footer-visit order — files lacking a later column
     // null-backfill, exactly the format's own evolution semantics; a
@@ -3195,49 +3125,196 @@ object CommitLogTable {
     // partition discovery never runs (explicit file list), so
     // directory-encoded columns cannot sneak into the schema.
     val schema = spark.read.option("mergeSchema", "true")
-      .parquet(paths.map(_.toString): _*).schema
+      .parquet(probes.map(_._1.toString): _*).schema
     partitionCols.foreach(p => require(schema.fieldNames.contains(p),
       s"convert: partition column '$p' is directory-encoded only — the " +
         "files do not carry it, and this format reads partition columns " +
         "from the files. Rewrite once (read with partition discovery, " +
         "append into a fresh partitioned table) instead of converting."))
     val t = create(spark, dir, schema, partitionCols)
-    t.adoptExisting(partitionCols, paths)
+    t.adoptExisting(partitionCols, probes)
     t
   }
 
-  /** Pre-existing data files a [[convert]] may adopt: every regular
-    * file outside `_`/`.` directories that IS parquet — by the PAR1
-    * magic, not the suffix, so extensionless Hive/Impala part files
-    * (`000000_0`) adopt too instead of silently narrowing the dataset.
-    * A `.parquet`-suffixed file WITHOUT the magic fails loudly (torn
-    * copy — adopting around it would silently drop rows).
+  /** Pre-existing data files a [[convert]] may adopt, with their footer
+    * facts: every regular file outside `_`/`.` directories that IS
+    * parquet — by the PAR1 magic, not the suffix, so extensionless
+    * Hive/Impala part files (`000000_0`) adopt too instead of silently
+    * narrowing the dataset. A `.parquet`-suffixed file WITHOUT the
+    * magic fails loudly (torn copy — adopting around it would silently
+    * drop rows). Returns (path, rows, bytes, stats) per adoptable file.
+    *
+    * The LISTING is driver metadata work; the per-file I/O (magic probe
+    * + footer read) runs as ONE SPARK JOB over the candidate paths — at
+    * millions of object-store files a driver thread pool would
+    * serialize exactly the reads Delta's own CONVERT distributes, and
+    * adoption wall-time must stay flat per core as the file count
+    * grows.
     */
-  private def adoptablePaths(root: Path): Seq[Path] = {
-    def hasParquetMagic(p: Path): Boolean = {
-      if (Files.size(p) < 12) return false
-      val ch = java.nio.channels.FileChannel.open(p)
-      try {
-        val buf = java.nio.ByteBuffer.allocate(4)
-        ch.read(buf)
-        java.util.Arrays.equals(buf.array(), "PAR1".getBytes(UTF_8))
-      } finally ch.close()
+  private def adoptProbes(spark: SparkSession, root: Path)
+      : Seq[(Path, Long, Long, Map[String, (String, String)])] = {
+    val candidates = {
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter { p =>
+        Files.isRegularFile(p) &&
+          root.relativize(p).iterator().asScala.map(_.toString)
+            .forall(n => !n.startsWith("_") && !n.startsWith("."))
+      }.toVector
+      finally s.close()
     }
-    val s = Files.walk(root)
-    try s.iterator().asScala.filter { p =>
-      Files.isRegularFile(p) && {
-        val segs = root.relativize(p).iterator().asScala
-          .map(_.toString).toSeq
-        segs.forall(n => !n.startsWith("_") && !n.startsWith(".")) && {
-          val magic = hasParquetMagic(p)
-          require(magic || !segs.last.endsWith(".parquet"),
-            s"convert: $p is named .parquet but lacks the PAR1 magic — " +
-              "torn or corrupt; remove or repair it before converting")
-          magic
-        }
+    if (candidates.isEmpty) return Seq.empty
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val slices = math.max(1, math.min(candidates.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val probed =
+      try spark.sparkContext
+        .parallelize(candidates.map(_.toUri.toString), slices)
+        .map(p => p -> CommitLogTable.adoptProbe(p, conf.value))
+        .collect().toSeq
+      catch { case e: Throwable =>
+        // surface the probe's own refusal (torn .parquet) with its
+        // message instead of Spark's task-failure wrapper
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .foreach {
+            case iae: IllegalArgumentException => throw iae
+            case _ => ()
+          }
+        throw e
       }
-    }.toVector
-    finally s.close()
+    probed.collect { case (p, Some((rows, bytes, stats))) =>
+      (Paths.get(new java.net.URI(p)), rows, bytes, stats)
+    }
+  }
+
+  /** One adoption probe, run INSIDE a Spark task: the PAR1 magic check
+    * plus the footer's row count and column stats. None = not parquet,
+    * skip; a `.parquet`-NAMED non-parquet throws (torn copy).
+    */
+  private def adoptProbe(abs: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(Long, Long, Map[String, (String, String)])] = {
+    val hp = new org.apache.hadoop.fs.Path(abs)
+    val fs = hp.getFileSystem(conf)
+    val len = fs.getFileStatus(hp).getLen
+    val magic = len >= 12 && {
+      val in = fs.open(hp)
+      try {
+        val b = new Array[Byte](4)
+        in.readFully(0, b)
+        java.util.Arrays.equals(b, "PAR1".getBytes(UTF_8))
+      } finally in.close()
+    }
+    require(magic || !hp.getName.endsWith(".parquet"),
+      s"convert: $abs is named .parquet but lacks the PAR1 magic — " +
+        "torn or corrupt; remove or repair it before converting")
+    if (!magic) None
+    else {
+      val (rows, stats) = footerInfoAt(hp, conf)
+      Some((rows, len, stats))
+    }
+  }
+
+  /** Minimal serializable Hadoop-conf carrier for executor-side footer
+    * probes (Spark's own SerializableConfiguration is spark-private).
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Footer-only row count + per-column (min, max) — never a data
+    * scan; static so [[adoptProbe]] can run it inside a Spark task.
+    * Row-group stats merge to file-level bounds; null-only groups are
+    * skipped (NULL rows never match a range predicate, so the remaining
+    * bounds stay valid for skipping). Supported: int/long (incl. date
+    * days, timestamp micros — their logical annotations ride the
+    * physical int), float/double (NaN bounds dropped), short UTF8
+    * strings. Decimals and nested paths are excluded (a raw int bound
+    * would misread the scale). Capped to the first
+    * [[MaxStatsColumns]] schema-order columns.
+    */
+  private def footerInfoAt(hp: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Map[String, (String, String)]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val schemaOrder = r.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName).zipWithIndex.toMap
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      val stats = byCol.toSeq
+        .filter { case (name, _) => !name.contains(".") }
+        .sortBy { case (name, _) => schemaOrder.getOrElse(name, Int.MaxValue) }
+        .take(MaxStatsColumns)
+        .flatMap { case (name, chunks) =>
+          val pt = chunks.head.getPrimitiveType
+          val ann = pt.getLogicalTypeAnnotation
+          val isDecimal =
+            ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          // only MICROS timestamps may prune (statBound converts query
+          // bounds to micros); a MILLIS/NANOS file would compare 1000×
+          // off and silently drop matching files
+          val badTimeUnit = ann match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
+            case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => true
+            case _ => false
+          }
+          // EVERY chunk must either carry value stats or be provably
+          // all-null — parquet also omits stats for oversized binary
+          // bounds, and treating such a chunk as all-null would narrow
+          // the file bounds and wrongly prune rows it actually holds
+          val accounted = chunks.forall { c =>
+            val s = c.getStatistics
+            s != null && (s.hasNonNullValue ||
+              (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+          }
+          val ss = chunks.map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          if (ss.isEmpty || !accounted || isDecimal || badTimeUnit) None
+          else pt.getPrimitiveTypeName match {
+            case INT32 | INT64 =>
+              val mn = ss.map(_.genericGetMin.asInstanceOf[Number].longValue).min
+              val mx = ss.map(_.genericGetMax.asInstanceOf[Number].longValue).max
+              Some(name -> (mn.toString, mx.toString))
+            case FLOAT | DOUBLE =>
+              val mn = ss.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min
+              val mx = ss.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max
+              if (mn.isNaN || mx.isNaN) None
+              else Some(name -> (mn.toString, mx.toString))
+            case BINARY if ann
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              val mn = ss.map(_.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min
+              val mx = ss.map(_.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max
+              // ASCII-only: parquet orders string stats by unsigned UTF-8
+              // bytes, Java compares UTF-16 chars — the orders agree only
+              // on ASCII, and a mismatch silently prunes matching files
+              // (supplementary characters sort before U+E000..U+FFFF in
+              // UTF-8 but after in UTF-16). Non-ASCII bounds → no stats.
+              def ascii(s: String) = s.forall(c => c >= ' ' && c < 127)
+              if (mn.length > 64 || mx.length > 64 || !ascii(mn) || !ascii(mx))
+                None
+              else Some(name -> (mn, mx))
+            case _ => None
+          }
+        }.toMap
+      (rows, stats)
+    } finally r.close()
   }
 
   private def manifestName(version: Long): String = f"v$version%020d.json"

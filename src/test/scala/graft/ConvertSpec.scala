@@ -74,8 +74,12 @@ class ConvertSpec extends AnyFunSuite {
       Seq("prices", "d1"), Seq("prices", "d2"),
       Seq("news", "d1"), Seq("news", "d2")))
     assert(t.read().count() == 40)
-    // manifest partition pruning works on the adopted tuples
-    assert(t.readPartitions(Set("prices")).count() == 20)
+    // manifest partition pruning works on the adopted tuples — via the
+    // column-explicit surface (bare-value readPartitions is ambiguous
+    // over composite keys and refuses, round-14 hardening)
+    assert(t.partitionKeysWhere("ep = 'prices'").size == 2)
+    intercept[IllegalArgumentException](t.readPartitions(Set("prices")))
+    assert(t.read().filter($"ep" === "prices").count() == 20)
     // grouped metadata aggregate answers from the adopted manifest alone
     val q = spark.read.format("commitlog").load(dir)
       .groupBy($"ep", $"dt").agg(count(lit(1)).as("n"))
