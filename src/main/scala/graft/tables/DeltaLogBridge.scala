@@ -942,6 +942,31 @@ object DeltaLogBridge {
     java.util.UUID.nameUUIDFromBytes(
       s"graft-delta-mirror:$dir".getBytes(UTF_8)).toString
 
+  /** File-count threshold past which a seed writes the V2
+    * (manifest+sidecar) checkpoint instead of one classic parquet —
+    * Delta splits its checkpoints for the same reason: at 100 TB file
+    * counts a monolithic checkpoint file is the write AND read
+    * bottleneck. Table-property tunable for tests and small tables.
+    */
+  val V2CheckpointMinFilesProp = "graft.deltaMirror.v2CheckpointMinFiles"
+  private val V2CheckpointMinFilesDefault = 10000
+  private def v2CheckpointMinFiles(m: CommitLogTable.Manifest): Int =
+    m.properties.get(V2CheckpointMinFilesProp).map(_.toInt)
+      .getOrElse(V2CheckpointMinFilesDefault)
+
+  private val V2CheckpointNeed: (Int, Int, Seq[String], Seq[String]) =
+    (3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))
+
+  /** Deterministic v2-checkpoint identity: racing seeders of the same
+    * version produce the same manifest and sidecar names, so the
+    * atomic-replace redo converges exactly like the classic seed.
+    */
+  private def v2CheckpointUuid(dir: String, version: Long): java.util.UUID =
+    java.util.UUID.nameUUIDFromBytes(
+      s"graft-v2ck:${stableId(dir)}:$version".getBytes(UTF_8))
+  private def v2ManifestName(dir: String, version: Long): String =
+    f"$version%020d.checkpoint.${v2CheckpointUuid(dir, version)}.parquet"
+
   /** One metaData action line; returns it plus the UPDATED field-id
     * carry (new columns consumed ids) for the caller's next emission.
     */
@@ -1061,15 +1086,54 @@ object DeltaLogBridge {
     else (1, 2, Seq.empty, Seq.empty)
   }
 
-  /** Does `by` already grant everything `need` asks? (The mirror emits
-    * a protocol action only on a genuine upgrade — never a downgrade
-    * no-op per commit.)
+  /** A legacy protocol level expressed as its IMPLIED feature lists —
+    * the table-features spec's translation table. Needed whenever a
+    * legacy need merges into (or compares against) an explicit-features
+    * protocol: upgrading a (2,5) column-mapped table to v3/v7 must list
+    * columnMapping explicitly or strict readers reject the table.
+    */
+  private def featForm(n: (Int, Int, Seq[String], Seq[String]))
+      : (Int, Int, Seq[String], Seq[String]) =
+    if (n._1 >= 3 || n._2 >= 7) n
+    else {
+      val rf = if (n._1 >= 2) Seq("columnMapping") else Seq.empty
+      val wf = Seq("appendOnly", "invariants") ++
+        (if (n._2 >= 3) Seq("checkConstraints") else Seq.empty) ++
+        (if (n._2 >= 4) Seq("changeDataFeed", "generatedColumns") else Seq.empty) ++
+        (if (n._2 >= 5) Seq("columnMapping") else Seq.empty) ++
+        (if (n._2 >= 6) Seq("identityColumns") else Seq.empty)
+      (n._1, n._2, rf, wf)
+    }
+
+  /** Does `by` already grant everything `need` asks? Feature subsets
+    * compare in feature FORM, so a legacy (2,5) need is not "covered"
+    * by a (3,7) protocol that never listed columnMapping. The mirror
+    * emits a protocol action only on a genuine upgrade — never a
+    * downgrade.
     */
   private def needCovered(by: (Int, Int, Seq[String], Seq[String]),
-      need: (Int, Int, Seq[String], Seq[String])): Boolean =
+      need: (Int, Int, Seq[String], Seq[String])): Boolean = {
+    val (bf, nf) = (featForm(by), featForm(need))
     need._1 <= by._1 && need._2 <= by._2 &&
-      need._3.toSet.subsetOf(by._3.toSet) &&
-      need._4.toSet.subsetOf(by._4.toSet)
+      nf._3.toSet.subsetOf(bf._3.toSet) &&
+      nf._4.toSet.subsetOf(bf._4.toSet)
+  }
+
+  /** Componentwise-max merge; stays in the legacy spelling while both
+    * sides are legacy, otherwise unions the feature forms.
+    */
+  private def mergeNeed(a: (Int, Int, Seq[String], Seq[String]),
+      b: (Int, Int, Seq[String], Seq[String]))
+      : (Int, Int, Seq[String], Seq[String]) = {
+    val r = math.max(a._1, b._1)
+    val w = math.max(a._2, b._2)
+    if (r < 3 && w < 7) (r, w, Seq.empty, Seq.empty)
+    else {
+      val (af, bf) = (featForm(a), featForm(b))
+      (math.max(3, r), math.max(7, w),
+        (af._3 ++ bf._3).distinct.sorted, (af._4 ++ bf._4).distinct.sorted)
+    }
+  }
 
   private def protocolJson(n: (Int, Int, Seq[String], Seq[String])): String = {
     val p = M.createObjectNode()
@@ -1085,10 +1149,10 @@ object DeltaLogBridge {
     M.writeValueAsString(p)
   }
 
-  /** `_last_checkpoint`'s version, when it parses AND its classic
-    * checkpoint file exists — the mirror's seed COMMIT POINT: a
-    * checkpoint parquet without the hint is an in-flight (or crashed)
-    * seed, never a mirrored head.
+  /** `_last_checkpoint`'s version, when it parses AND its checkpoint
+    * file exists (classic single-part OR a v2 UUID manifest) — the
+    * mirror's seed COMMIT POINT: a checkpoint parquet without the hint
+    * is an in-flight (or crashed) seed, never a mirrored head.
     */
   private def committedSeedVersion(logDir: Path): Option[Long] =
     try {
@@ -1097,9 +1161,12 @@ object DeltaLogBridge {
       else {
         val v = M.readTree(new String(Files.readAllBytes(p), UTF_8))
           .get("version").asLong
-        if (Files.exists(logDir.resolve(f"$v%020d.checkpoint.parquet")))
-          Some(v)
-        else None
+        val Named = (f"$v%020d" + """\.checkpoint(\.[^.]+)?\.parquet""").r
+        val hit = { val s = Files.list(logDir)
+          try s.iterator().asScala.exists(f =>
+            Named.pattern.matcher(f.getFileName.toString).matches())
+          finally s.close() }
+        if (hit) Some(v) else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1124,6 +1191,45 @@ object DeltaLogBridge {
     // for a pinned version, so the redo converges
     exportCheckpoint(table, version)
     version
+  }
+
+  /** The protocol the mirrored log has DECLARED so far: the newest
+    * protocol action in the JSON chain, else the seed checkpoint's —
+    * recomputed deterministically from the seed version's manifest
+    * (plus the v2Checkpoint feature when the seed wrote the v2 format)
+    * instead of a per-commit parquet read.
+    */
+  private def priorProtocol(table: CommitLogTable, logDir: Path,
+      jsonVs: Seq[Long], seedV: Option[Long])
+      : (Int, Int, Seq[String], Seq[String]) = {
+    jsonVs.sorted.reverse.foreach { v =>
+      val lines = new String(
+        Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
+        .split('\n').filter(_.trim.nonEmpty)
+      lines.reverse.foreach { line =>
+        if (line.contains("\"protocol\"")) {
+          val n = M.readTree(line)
+          if (n.has("protocol")) {
+            val p = n.get("protocol")
+            def arr(k: String): Seq[String] =
+              if (p.hasNonNull(k))
+                p.get(k).elements().asScala.map(_.asText).toSeq
+              else Seq.empty
+            return (p.get("minReaderVersion").asInt,
+              p.get("minWriterVersion").asInt,
+              arr("readerFeatures"), arr("writerFeatures"))
+          }
+        }
+      }
+    }
+    seedV match {
+      case Some(v) =>
+        val base = protocolNeed(table.resolvedManifest(Some(v)))
+        if (Files.exists(logDir.resolve(v2ManifestName(table.dir, v))))
+          mergeNeed(base, V2CheckpointNeed)
+        else base
+      case None => (1, 2, Seq.empty, Seq.empty)
+    }
   }
 
   /** Bring the mirror up to the table's latest version. Returns the
@@ -1185,6 +1291,13 @@ object DeltaLogBridge {
     // field-id carry across this catch-up's metaData emissions: seeded
     // from the log's own declarations, so a crash-redo racer converges
     var idCarry = priorFieldIds(table.spark, logDir)
+    // DECLARED-protocol carry for upgrade emission: seeded lazily from
+    // the log (plain (1,2) tables never pay the walk), merged upward
+    // only — the log must never downgrade below a feature still gating
+    // an earlier artifact (a v2 seed checkpoint, a past DV commit)
+    lazy val declared0 = priorProtocol(table, logDir, jsonVs, seedV)
+    var declaredCur: Option[(Int, Int, Seq[String], Seq[String])] = None
+    val LegacyBase = (1, 2, Seq.empty[String], Seq.empty[String])
     ((mirrored + 1) to head).foreach { v =>
       val (action, added, removed) = table.versionFileDiff(v)
       val m = table.resolvedManifest(Some(v))
@@ -1205,10 +1318,17 @@ object DeltaLogBridge {
       // a rename/drop upgrades the log to reader-v2 name mode; a
       // lazy-delete mark upgrades it to v3/v7 table features with
       // deletionVectors — each IN the commit that first needs it,
-      // exactly how Delta itself enables features. Never a downgrade.
+      // exactly how Delta itself enables features. Never a downgrade:
+      // the emission merges into what the log already DECLARED.
       val need = protocolNeed(m)
-      if (!needCovered(protocolNeed(prevM), need))
-        sb.append(protocolJson(need)).append('\n')
+      if (need != LegacyBase) {
+        val d = declaredCur.getOrElse(declared0)
+        if (!needCovered(d, need)) {
+          val up = mergeNeed(d, need)
+          sb.append(protocolJson(up)).append('\n')
+          declaredCur = Some(up)
+        } else declaredCur = Some(d)
+      }
       if (m.schema != prevM.schema ||
           m.partitionCols != prevM.partitionCols ||
           m.columnMapping != prevM.columnMapping) {
@@ -1274,7 +1394,15 @@ object DeltaLogBridge {
       }
     val pvCols = snap.partitionCols
       .map(c => snap.columnMapping.getOrElse(c, c))
-    val need = protocolNeed(snap)
+    // past the file-count threshold the seed writes the V2 format:
+    // one small UUID manifest + the adds in a `_sidecars/` parquet —
+    // the split Delta itself uses so a 100 TB table's checkpoint is not
+    // one monolithic file every reader must fully parse. V2 checkpoints
+    // are gated by the v2Checkpoint table feature (reader v3).
+    val v2 = snap.files.size >= v2CheckpointMinFiles(snap)
+    val need =
+      if (v2) mergeNeed(protocolNeed(snap), V2CheckpointNeed)
+      else protocolNeed(snap)
     val rows: Seq[(Option[(Int, Int, Seq[String], Seq[String])],
         Option[(String, String, String, Seq[String], Map[String, String])],
         Option[(String, Map[String, String], Long, Long, Boolean,
@@ -1296,14 +1424,18 @@ object DeltaLogBridge {
         (None, None,
           Some((encodePath(f.path), pv, f.bytes, snap.tsMillis, false, dv)))
       }
-    val df = rows.toDF("p", "m", "a").selectExpr(
+    val protocolExpr =
       "named_struct('minReaderVersion', p._1, 'minWriterVersion', p._2, " +
         "'readerFeatures', IF(p._1 >= 3, p._3, CAST(NULL AS ARRAY<STRING>)), " +
         "'writerFeatures', IF(p._2 >= 7, p._4, CAST(NULL AS ARRAY<STRING>))" +
-        ") AS protocol",
+        ") AS protocol"
+    val metaExpr =
       "named_struct('id', m._1, 'format', named_struct('provider', m._2, " +
         "'options', map()), 'schemaString', m._3, 'partitionColumns', m._4, " +
-        "'configuration', m._5, 'createdTime', 0L) AS metaData",
+        "'configuration', m._5, 'createdTime', 0L) AS metaData"
+    val df = rows.toDF("p", "m", "a").selectExpr(
+      protocolExpr,
+      metaExpr,
       "named_struct('path', a._1, 'partitionValues', a._2, 'size', a._3, " +
         "'modificationTime', a._4, 'dataChange', a._5, " +
         "'deletionVector', IF(a._6 IS NULL, NULL, named_struct(" +
@@ -1314,25 +1446,56 @@ object DeltaLogBridge {
         "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
         "IF(metaData.id IS NULL, NULL, metaData) AS metaData",
         "IF(add.path IS NULL, NULL, add) AS add")
-    val tmp = Files.createTempDirectory("graft-delta-ckpt").toString
-    df.coalesce(1).write.parquet(tmp + "/ck")
-    val part = { val s = Files.list(Paths.get(tmp, "ck"))
+    def writeOne(frame: DataFrame, sub: String): Path = {
+      val tmp = Files.createTempDirectory("graft-delta-ckpt").toString
+      frame.coalesce(1).write.parquet(s"$tmp/$sub")
+      val s = Files.list(Paths.get(tmp, sub))
       try s.iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
-      finally s.close() }
+      finally s.close()
+    }
     // atomic moves: a racing seed redo must never expose a half-copied
     // checkpoint to a reader that already followed _last_checkpoint
     def atomically(target: Path, write: Path => Unit): Unit = {
-      val t = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      val t = target.getParent.resolve(
+        s".tmp-${java.util.UUID.randomUUID()}")
       write(t)
       try Files.move(t, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally Files.deleteIfExists(t)
     }
-    atomically(logDir.resolve(f"$version%020d.checkpoint.parquet"),
-      t => Files.copy(part, t,
+    def copyTo(target: Path, part: Path): Unit =
+      atomically(target, t => Files.copy(part, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    if (!v2) {
+      copyTo(logDir.resolve(f"$version%020d.checkpoint.parquet"),
+        writeOne(df, "ck"))
+    } else {
+      // sidecar first (the adds), manifest second, hint LAST — each
+      // earlier artifact is invisible until the later ones land
+      val uuid = v2CheckpointUuid(table.dir, version)
+      Files.createDirectories(logDir.resolve("_sidecars"))
+      val sidecarTarget = logDir.resolve(s"_sidecars/$uuid.parquet")
+      copyTo(sidecarTarget, writeOne(df.where("add IS NOT NULL")
+        .select("add"), "sc"))
+      val scSize = Files.size(sidecarTarget)
+      val mrows: Seq[(Option[(Int, Int, Seq[String], Seq[String])],
+          Option[(String, String, String, Seq[String], Map[String, String])],
+          Option[(String, Long)])] = Seq(
+        (rows.head._1, None, None),
+        (None, rows(1)._2, None),
+        (None, None, Some((s"$uuid.parquet", scSize))))
+      val mdf = mrows.toDF("p", "m", "sc").selectExpr(
+        protocolExpr, metaExpr,
+        "named_struct('path', sc._1, 'sizeInBytes', sc._2) AS sidecar")
+        .selectExpr(
+          "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
+          "IF(metaData.id IS NULL, NULL, metaData) AS metaData",
+          "IF(sidecar.path IS NULL, NULL, sidecar) AS sidecar")
+      copyTo(logDir.resolve(v2ManifestName(table.dir, version)),
+        writeOne(mdf, "mf"))
+    }
     atomically(logDir.resolve("_last_checkpoint"),
       t => { Files.write(t,
         s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8)); () })

@@ -609,6 +609,53 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
     assert(healed > 0)
   }
 
+  test("past the file-count threshold the mirror SEEDS a v2 manifest+sidecar checkpoint") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(64).select(($"id" % 16).as("day"), $"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.append(df, recordChanges = false) // 16 files, mirror not yet on
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true",
+      DeltaLogBridge.V2CheckpointMinFilesProp -> "8")) // seeds at head
+    val logDir = Paths.get(dir, "_delta_log")
+    val names = { val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close() }
+    val V2Name = """\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet""".r
+    val manifest = names.find(n => V2Name.pattern.matcher(n).matches())
+    assert(manifest.isDefined, s"expected a v2 UUID manifest, got $names")
+    assert(!names.exists(_.matches("""\d{20}\.checkpoint\.parquet""")),
+      "past the threshold the seed must be v2, not classic")
+    assert(Files.list(logDir.resolve("_sidecars")).count() >= 1)
+    // the manifest protocol declares the gating feature
+    val prot = spark.read.parquet(s"$dir/_delta_log/${manifest.get}")
+      .selectExpr("protocol.minReaderVersion", "protocol.readerFeatures")
+      .where("protocol IS NOT NULL").head()
+    assert(prot.getInt(0) == 3 &&
+      prot.getSeq[String](1).contains("v2Checkpoint"), prot.toString)
+    // the bridge's own reader round-trips the seed…
+    def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(key(DeltaLogBridge.read(spark, dir)) == key(t.read()))
+    // …and the seed is a recognized COMMIT POINT: later commits append
+    // JSON on top instead of re-seeding or breaking
+    t.append(spark.range(100, 104).select(($"id" % 16).as("day"),
+      $"id".as("k")), recordChanges = false)
+    assert(!Files.exists(logDir.resolve("_GRAFT_MIRROR_BROKEN")))
+    assert(Files.exists(logDir.resolve(
+      f"${t.latestVersion}%020d.json".replace("v", ""))) ||
+      Files.exists(logDir.resolve(f"${t.latestVersion}%020d.json")))
+    assert(key(DeltaLogBridge.read(spark, dir)) == key(t.read()))
+    // a rename AFTER the v2 seed: the upgrade merges INTO the declared
+    // protocol — columnMapping joins v2Checkpoint, never replaces it
+    t.renameColumn("k", "key")
+    val renameCommit = new String(Files.readAllBytes(logDir.resolve(
+      f"${t.latestVersion}%020d.json")), UTF_8)
+    assert(renameCommit.contains("\"minReaderVersion\":3") &&
+      renameCommit.contains("v2Checkpoint") &&
+      renameCommit.contains("columnMapping"), renameCommit)
+    assert(DeltaLogBridge.read(spark, dir).schema.fieldNames.contains("key"))
+  }
+
   test("racing first catch-ups under the LEASE coordinator seed one consistent mirror") {
     val dir = tmpDir() + "/t"
     val df = spark.range(8).select(($"id" % 2).as("day"), $"id".as("k"))
