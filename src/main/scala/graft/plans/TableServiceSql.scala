@@ -139,12 +139,15 @@ final class TableServiceSqlParser(session: SparkSession,
     val optimize = OptimizeRe.matcher(sqlText)
     if (optimize.matches()) {
       val where = Option(optimize.group(2)).map(_.trim)
-      // normalize "(a, b)" / "a, b" to the procedure's 'a,b' form
-      val zorder = Option(optimize.group(3)).map(
-        _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
-          .mkString(","))
+      // validate the RAW tokens (backticks intact — `2col` parses as an
+      // attribute, its stripped form does not), then normalize
+      // "(a, b)" / "a, b" to the procedure's 'a,b' form
+      val zorderRaw = Option(optimize.group(3))
+        .map(_.split(',').map(_.trim).toSeq)
+      val zorder = zorderRaw.map(
+        _.map(_.stripPrefix("`").stripSuffix("`")).mkString(","))
       val wellSplit = where.forall(parses) &&
-        zorder.forall(_.split(',').forall(c => parses(c.trim)))
+        zorderRaw.forall(_.forall(parses))
       if (wellSplit)
         return target(optimize.group(1)).map { case (c, t) =>
           s"CALL `$c`.system.optimize(table => ${quoted(t)}" +

@@ -422,17 +422,28 @@ final class CommitLogCdfMicroBatchStream(spark: SparkSession,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  /** Default start (no `startingVersion` option) clamps to the oldest
-    * SURVIVING version — the from-the-beginning read over a
-    * log-vacuumed table serves the survivors (the documented retention
-    * contract). An EXPLICIT startingVersion below the floor, or a
-    * checkpointed offset resuming into vacuumed history, hits
-    * [[CommitLogTable.changeFilesAt]]'s loud refusal instead — silent
-    * gaps in an incremental feed are data loss.
+  /** Default start (no option) clamps to the oldest SURVIVING version —
+    * the from-the-beginning read over a log-vacuumed table serves the
+    * survivors (the documented retention contract). An EXPLICIT
+    * startingVersion below the floor, a startingTimestamp reaching into
+    * vacuumed history, or a checkpointed offset resuming into it, hits
+    * the loud refusal instead — silent gaps in an incremental feed are
+    * data loss. `startingTimestamp` resolves by Delta's at-or-after
+    * rule; ending bounds are a batch concept and refuse on a stream.
     */
-  private val starting: Long =
-    options.get("startingversion").map(_.toLong)
+  private val starting: Long = {
+    val v = options.get("startingversion")
+    val ts = options.get("startingtimestamp")
+    require(v.isEmpty || ts.isEmpty,
+      "CDF stream: give startingVersion OR startingTimestamp, not both")
+    require(!options.contains("endingversion") &&
+        !options.contains("endingtimestamp"),
+      "CDF stream: ending bounds apply to batch reads only")
+    v.map(_.toLong)
+      .orElse(ts.map(s => table.cdfStartingVersionAt(
+        graft.tables.CommitLogTable.parseTsMillis(s, spark))))
       .getOrElse(math.max(1L, table.earliestVersion))
+  }
   private val maxFiles: Int =
     options.get("maxfilespertrigger").map(_.toInt).getOrElse(1000)
   private val maxBytes: Option[Long] =

@@ -1340,9 +1340,11 @@ final class CommitLogCdfScan(spark: SparkSession, table: CommitLogTable,
       "CDF read: give startingVersion OR startingTimestamp, not both")
     v.map(_.toLong)
       // Delta's rule: changes committed AT OR AFTER the instant — the
-      // earliest qualifying version, not versionAt's at-or-before floor
+      // earliest qualifying version, not versionAt's at-or-before
+      // floor; an instant reaching into log-vacuumed history refuses
+      // (explicit cursor, silent clamping = data loss)
       .orElse(ts.map(s =>
-        table.versionAtOrAfter(CommitLogTable.parseTsMillis(s, spark))))
+        table.cdfStartingVersionAt(CommitLogTable.parseTsMillis(s, spark))))
       .getOrElse(math.max(1L, table.earliestVersion))
   }
   private lazy val ending: Long = {

@@ -1197,6 +1197,25 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         s"startingTimestamp $tsMillis is after the table's last commit " +
           s"(at ${manifest(latestVersion).tsMillis})"))
 
+  /** Resolve a CDF `startingTimestamp` to its version — [[versionAtOrAfter]]
+    * plus the explicit-cursor retention rule: when log vacuum already
+    * dropped versions whose commits could fall INSIDE the requested
+    * window (the instant is at-or-before the earliest survivor's
+    * timestamp and history below it is gone), REFUSE loudly instead of
+    * silently clamping — a clamped incremental feed is data loss, the
+    * same contract `changeFilesAt` enforces for explicit versions.
+    */
+  private[graft] def cdfStartingVersionAt(tsMillis: Long): Long = {
+    val v = versionAtOrAfter(tsMillis)
+    val e = earliestVersion
+    require(e <= 1 || tsMillis > manifest(e).tsMillis,
+      s"startingTimestamp $tsMillis reaches into log-vacuumed history " +
+        s"(earliest surviving version $e, committed at " +
+        s"${manifest(e).tsMillis}) — changes before it are gone; use an " +
+        "explicit startingVersion at-or-after the floor to acknowledge")
+    v
+  }
+
   /** MERGE-ON-READ delete — the deletion-vector analogue (Delta/Iceberg
     * position deletes): `predicate` (SQL text over logical columns) is
     * recorded per file in the manifest; readers filter matching rows

@@ -210,28 +210,44 @@ private[graft] object DeletionVectors {
 
   /** Read ONE DV out of a `.bin` per the file framing: at `offset`, a
     * 4-byte big-endian size (must equal the descriptor's), the bitmap
-    * bytes, a 4-byte big-endian CRC-32 over them.
+    * bytes, a 4-byte big-endian CRC-32 over them. RANGED read — many
+    * descriptors share one packed `.bin` (how Databricks writes them),
+    * and re-reading the whole file per marked data file would multiply
+    * the I/O by the file count.
     */
   def readFromFile(file: Path, offset: Int, sizeInBytes: Int): Array[Byte] = {
-    val all = Files.readAllBytes(file)
-    require(all.length >= 1 && all(0) == FormatVersion,
-      s"deletion-vector file $file has version ${if (all.isEmpty) "?" else all(0)}")
-    require(offset >= 1 && offset.toLong + 8 + sizeInBytes <= all.length,
-      s"deletion-vector offset $offset + $sizeInBytes overruns $file (${all.length} bytes)")
-    val buf = ByteBuffer.wrap(all, offset, 8 + sizeInBytes)
-      .order(ByteOrder.BIG_ENDIAN)
-    val declared = buf.getInt
-    require(declared == sizeInBytes,
-      s"deletion-vector size mismatch in $file@$offset: file says $declared, " +
-        s"descriptor says $sizeInBytes")
-    val data = new Array[Byte](sizeInBytes)
-    buf.get(data)
-    val crcStored = buf.order(ByteOrder.BIG_ENDIAN).getInt
-    val crc = new CRC32()
-    crc.update(data)
-    require(crcStored == crc.getValue.toInt,
-      s"deletion-vector checksum mismatch in $file@$offset")
-    data
+    val ch = Files.newByteChannel(file)
+    try {
+      val total = ch.size()
+      def readFully(buf: ByteBuffer, at: Long): Unit = {
+        ch.position(at)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        require(!buf.hasRemaining, s"deletion-vector file $file truncated")
+        buf.flip()
+      }
+      val vb = ByteBuffer.allocate(1)
+      require(total >= 1, s"deletion-vector file $file is empty")
+      readFully(vb, 0L)
+      require(vb.get(0) == FormatVersion,
+        s"deletion-vector file $file has version ${vb.get(0)}")
+      require(offset >= 1 && offset.toLong + 8 + sizeInBytes <= total,
+        s"deletion-vector offset $offset + $sizeInBytes overruns $file ($total bytes)")
+      val buf = ByteBuffer.allocate(8 + sizeInBytes)
+      readFully(buf, offset.toLong)
+      buf.order(ByteOrder.BIG_ENDIAN)
+      val declared = buf.getInt
+      require(declared == sizeInBytes,
+        s"deletion-vector size mismatch in $file@$offset: file says $declared, " +
+          s"descriptor says $sizeInBytes")
+      val data = new Array[Byte](sizeInBytes)
+      buf.get(data)
+      val crcStored = buf.getInt
+      val crc = new CRC32()
+      crc.update(data)
+      require(crcStored == crc.getValue.toInt,
+        s"deletion-vector checksum mismatch in $file@$offset")
+      data
+    } finally ch.close()
   }
 
   /** Read the single DV a one-bitmap `.bin` stores at offset 1 (the

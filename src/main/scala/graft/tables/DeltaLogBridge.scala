@@ -131,6 +131,10 @@ object DeltaLogBridge {
   private def fieldIdsFromSchemaJson(schemaString: String,
       conf: Map[String, String]): (Map[String, Long], Long) = {
     val ids = scala.collection.mutable.Map.empty[String, Long]
+    // path segments MUST mirror mappedSchemaJson's decorate exactly
+    // ('.element'/'.key'/'.value' for containers) or ids carried
+    // forward never match for struct fields nested in arrays/maps and
+    // silently reassign on every rewrite
     def walk(dt: DataType, prefix: String): Unit = dt match {
       case st: StructType => st.fields.foreach { f =>
         val phys = if (f.metadata.contains(PhysKey))
@@ -141,9 +145,10 @@ object DeltaLogBridge {
         walk(f.dataType, path)
       }
       case at: org.apache.spark.sql.types.ArrayType =>
-        walk(at.elementType, prefix)
+        walk(at.elementType, s"$prefix.element")
       case mt: org.apache.spark.sql.types.MapType =>
-        walk(mt.keyType, prefix); walk(mt.valueType, prefix)
+        walk(mt.keyType, s"$prefix.key")
+        walk(mt.valueType, s"$prefix.value")
       case _ => ()
     }
     walk(DataType.fromJson(schemaString).asInstanceOf[StructType], "")
@@ -186,17 +191,24 @@ object DeltaLogBridge {
         }
       }
     }
-    val Ck = """(\d{20})\.checkpoint\.parquet""".r
-    names.collect { case n @ Ck(v) => (v.toLong, n) }.sortBy(-_._1)
-      .headOption.foreach { case (_, n) =>
-        // the checkpoint is parquet: one tiny Spark read, seed-rare
-        spark.read.parquet(logDir.resolve(n).toString)
-          .selectExpr("metaData.schemaString", "metaData.configuration")
-          .where("metaData IS NOT NULL").collect()
-          .foreach(r => fold(r.getString(0),
-            Option(r.getMap[String, String](1)).map(_.toMap)
-              .getOrElse(Map.empty)))
-      }
+    // classic AND v2 UUID manifests both carry the metaData row (the
+    // v2 seed puts adds in sidecars but metaData in the manifest) —
+    // ignoring the v2 shape would reassign ids right after a v2 seed
+    val Classic = """(\d{20})\.checkpoint\.parquet""".r
+    val V2M = """(\d{20})\.checkpoint\.([^.]+)\.parquet""".r
+    val cks = names.collect {
+      case n @ Classic(v) => (v.toLong, n)
+      case n @ V2M(v, u) if !u.forall(_.isDigit) => (v.toLong, n)
+    }
+    cks.sortBy(-_._1).headOption.foreach { case (_, n) =>
+      // the checkpoint is parquet: one tiny Spark read, seed-rare
+      spark.read.parquet(logDir.resolve(n).toString)
+        .selectExpr("metaData.schemaString", "metaData.configuration")
+        .where("metaData IS NOT NULL").collect()
+        .foreach(r => fold(r.getString(0),
+          Option(r.getMap[String, String](1)).map(_.toMap)
+            .getOrElse(Map.empty)))
+    }
     (newest.getOrElse(Map.empty), maxSeen)
   }
 
@@ -709,9 +721,14 @@ object DeltaLogBridge {
       else StructType(s.fields.map(f =>
         physicalField(f, physOf(f.name), idMode)))
     if (idMode)
-      // session-scoped on purpose: the flag only activates for scans
-      // whose REQUESTED schema carries parquet.field.id metadata —
-      // exactly the schemas this bridge builds, nothing else
+      // session-scoped AND sticky on purpose: Spark's parquet reader
+      // re-reads this flag from the session conf when the physical plan
+      // builds, so a set/restore around this (lazy) DataFrame would
+      // race its own execution. The flag only activates for scans whose
+      // REQUESTED schema carries parquet.field.id metadata — the
+      // schemas this bridge builds, plus any user schema that already
+      // carries explicit ids, for which id-resolution is the annotated
+      // intent anyway.
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val physPartCols = partCols.map(pc => physOf.getOrElse(pc, pc))
     val liveNorm = live.toSeq.map { case ((p, _), (pv, _)) =>
@@ -1298,7 +1315,7 @@ object DeltaLogBridge {
     lazy val declared0 = priorProtocol(table, logDir, jsonVs, seedV)
     var declaredCur: Option[(Int, Int, Seq[String], Seq[String])] = None
     val LegacyBase = (1, 2, Seq.empty[String], Seq.empty[String])
-    ((mirrored + 1) to head).foreach { v =>
+    ((mirrored + 1) to head).foreach { v => try {
       val (action, added, removed) = table.versionFileDiff(v)
       val m = table.resolvedManifest(Some(v))
       val prevM = table.resolvedManifest(Some(v - 1))
@@ -1362,7 +1379,14 @@ object DeltaLogBridge {
       // so a lease-configured (object-store) table mirrors safely too.
       table.coordinator.tryClaim(logDir, deltaName(v),
         sb.toString.getBytes(UTF_8))
-    }
+    } catch {
+      // a translation failure (e.g. a DV recompute whose source file was
+      // since vacuumed) must BREAK visibly — the post-commit hook
+      // swallows exceptions, and a silent stall would pin external
+      // readers to a stale snapshot with no marker and no self-cure
+      case scala.util.control.NonFatal(e) =>
+        return break(s"translating v$v failed: ${e.getMessage}")
+    }}
     head
   }
 

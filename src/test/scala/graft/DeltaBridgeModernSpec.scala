@@ -237,13 +237,15 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
 
   test("mapped field ids are SEQUENTIAL and maxColumnId is monotonic across drops (never reused)") {
     val dir = tmpDir() + "/t"
+    // an array<struct> rides along: ids of container-nested fields must
+    // carry forward too (their paths thread '.element')
     val df = spark.range(4).select($"id".as("day"), $"id".as("k"),
-      $"id".as("x"))
+      $"id".as("x"), array(struct($"id".as("n"))).as("arr"))
     val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
     t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
     t.append(df, recordChanges = false)
     t.renameColumn("k", "key") // mapping appears: metaData with ids
-    def latestMeta(): (Map[String, Long], Long) = {
+    def latestMeta(): (Map[String, Long], Long, Long) = {
       val n = new String(Files.readAllBytes(Paths.get(dir,
         f"_delta_log/${t.latestVersion}%020d.json")), UTF_8)
         .linesIterator.find(_.contains("metaData")).get
@@ -254,24 +256,30 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val ids = sch.fields.map(f => f.name ->
         f.metadata.getLong("delta.columnMapping.id")).toMap
+      val nestedId = sch("arr").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("n")
+        .metadata.getLong("delta.columnMapping.id")
       (ids, md.get("configuration")
-        .get("delta.columnMapping.maxColumnId").asText.toLong)
+        .get("delta.columnMapping.maxColumnId").asText.toLong, nestedId)
     }
-    val (ids1, max1) = latestMeta()
-    assert(ids1.values.toSeq.sorted == Seq(1L, 2L, 3L),
-      s"ids must be sequential from 1, got $ids1")
-    assert(max1 == 3L)
+    val (ids1, max1, nested1) = latestMeta()
+    assert((ids1.values.toSeq :+ nested1).sorted == Seq(1L, 2L, 3L, 4L, 5L),
+      s"ids must be sequential from 1, got $ids1 + nested $nested1")
+    assert(max1 == 5L)
     val xId = ids1("x")
     t.dropColumn("x") // retires the column — its id must NEVER re-issue
-    val (ids2, max2) = latestMeta()
+    val (ids2, max2, nested2) = latestMeta()
     assert(!ids2.contains("x") && max2 == max1,
       s"maxColumnId must not decrease on drop: $max2 vs $max1")
     assert(ids2.forall { case (n, i) => ids1(n) == i },
       "surviving columns keep their ids across the rewrite")
+    assert(nested2 == nested1,
+      "an array-nested struct field keeps its id across the rewrite")
     t.addColumns(Seq(org.apache.spark.sql.types.StructField("y",
       org.apache.spark.sql.types.LongType)))
-    val (ids3, max3) = latestMeta()
-    assert(ids3("y") == max1 + 1 && max3 == max1 + 1,
+    val (ids3, max3, nested3) = latestMeta()
+    assert(ids3("y") == max1 + 1 && max3 == max1 + 1 && nested3 == nested1,
       s"a new column takes maxColumnId+1 (never $xId): $ids3 max $max3")
     // and the mirrored log still round-trips
     def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("key").collect()
@@ -654,6 +662,37 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
       renameCommit.contains("v2Checkpoint") &&
       renameCommit.contains("columnMapping"), renameCommit)
     assert(DeltaLogBridge.read(spark, dir).schema.fieldNames.contains("key"))
+  }
+
+  test("field-id carry reads the v2 MANIFEST: a drop after a mapped v2 seed keeps maxColumnId") {
+    val dir = tmpDir() + "/t"
+    val df = spark.range(16).select(($"id" % 8).as("day"), $"id".as("k"),
+      $"id".as("x"))
+    val t = CommitLogTable.create(spark, dir, df.schema, Seq("day"))
+    t.append(df, recordChanges = false) // 8 files, no mirror yet
+    t.renameColumn("k", "key") // mapping exists BEFORE the seed
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true",
+      DeltaLogBridge.V2CheckpointMinFilesProp -> "4")) // MAPPED v2 seed
+    // the only id/maxColumnId declaration lives in the v2 manifest —
+    // the next metaData emission must carry it, not restart at 1
+    t.dropColumn("x")
+    val n = new String(Files.readAllBytes(Paths.get(dir,
+      f"_delta_log/${t.latestVersion}%020d.json")), UTF_8)
+      .linesIterator.find(_.contains("metaData")).get
+    val md = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(n).get("metaData")
+    val sch = org.apache.spark.sql.types.DataType
+      .fromJson(md.get("schemaString").asText)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val ids = sch.fields.map(f => f.name ->
+      f.metadata.getLong("delta.columnMapping.id")).toMap
+    val maxId = md.get("configuration")
+      .get("delta.columnMapping.maxColumnId").asText.toLong
+    assert(ids == Map("day" -> 1L, "key" -> 2L),
+      s"ids must carry from the v2 manifest, got $ids")
+    assert(maxId == 3L,
+      s"maxColumnId must stay at the v2 manifest's 3 (x retired), got $maxId")
+    assert(DeltaLogBridge.read(spark, dir).count() == 16)
   }
 
   test("racing first catch-ups under the LEASE coordinator seed one consistent mirror") {

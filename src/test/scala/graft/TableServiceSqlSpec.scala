@@ -260,6 +260,15 @@ class TableServiceSqlSpec extends AnyFunSuite {
       .count(_.partitionVals.head == "plain") == 2)
     assert(spark.sql(s"SELECT count(*) FROM $cat.default.p")
       .head.getLong(0) == 5)
+    // a ZORDER column that REQUIRES backticks still rewrites (the
+    // validation parses the raw token, not its stripped form)
+    spark.sql(s"CREATE TABLE $cat.default.q (`2col` BIGINT, v DOUBLE) " +
+      "USING commitlog")
+    (0 until 2).foreach(i => spark.sql(
+      s"INSERT INTO $cat.default.q VALUES ($i, $i.0)"))
+    spark.sql(s"OPTIMIZE $cat.default.q ZORDER BY (`2col`, v)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.q")
+      .head.getLong(0) == 2)
   }
 
   test("batch CDF timestamp bounds select by commit instants (Delta's rules)") {
@@ -292,5 +301,60 @@ class TableServiceSqlSpec extends AnyFunSuite {
     val e = intercept[Exception](cdf("startingVersion" -> "1",
       "startingTimestamp" -> ts2.toString))
     assert(e.getMessage.contains("not both"), e.getMessage)
+    // STREAMING honors startingTimestamp too (at-or-after, same rule)
+    val q = spark.readStream.format("commitlog")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", ts2.toString)
+      .load(wh)
+      .writeStream.format("memory").queryName("svc_cdf_ts_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("svc_cdf_ts_stream").select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L, 5L),
+      "the stream must start at the instant's at-or-after version")
+    // a stream refuses conflicting starts and batch-only ending bounds
+    def streamFails(opts: (String, String)*): Unit = {
+      var r = spark.readStream.format("commitlog")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val qq = r.load(wh).writeStream.format("memory")
+        .queryName(s"svc_cdf_fail_${math.abs(opts.hashCode)}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        qq.awaitTermination())
+    }
+    streamFails("startingVersion" -> "1",
+      "startingTimestamp" -> ts2.toString)
+    streamFails("endingTimestamp" -> ts2.toString)
+  }
+
+  test("CDF startingTimestamp reaching into log-vacuumed history refuses (no silent clamp)") {
+    val wh = Files.createTempDirectory("graft-cdf-ts-vac").toString + "/t"
+    val df = spark.range(1).selectExpr("id AS k")
+    val t = CommitLogTable.create(spark, wh, df.schema)
+    val ts = new Array[Long](26)
+    (1 to 25).foreach { i =>
+      t.append(df.selectExpr(s"k + $i AS k"))
+      ts(i) = t.resolvedManifest(Some(i.toLong)).tsMillis
+      // distinct instants so timestamp bounds are unambiguous
+      while (System.currentTimeMillis() <= ts(i)) Thread.sleep(1L)
+    }
+    assert(t.vacuumLog(retainVersions = 5) > 0)
+    val floor = t.earliestVersion
+    assert(floor > 1)
+    def cdfFrom(tsv: Long): Seq[Long] =
+      spark.read.format("commitlog").option("readChangeFeed", "true")
+        .option("startingTimestamp", tsv.toString)
+        .load(wh).select("k").collect().map(_.getLong(0)).toSeq.sorted
+    // an instant inside the vacuumed range must refuse, not clamp
+    val e = intercept[Exception](cdfFrom(ts(2)))
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("log-vacuumed"), messages(e))
+    // strictly past the floor's instant still serves the complete tail
+    assert(cdfFrom(ts(floor.toInt) + 1) == ((floor + 1) to 25L).sorted)
   }
 }
