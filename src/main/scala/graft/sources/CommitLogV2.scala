@@ -1042,7 +1042,17 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
 
     val marked = prunedFiles.filter(_.pendingDelete.isDefined)
     val meta = metaFields
-    if (marked.isEmpty && extraFields.isEmpty && meta.isEmpty) inner
+    // columns some pruned file serves from the MANIFEST instead of its
+    // parquet bytes (adopted Hive/Delta layouts — LogFile.manifestVals):
+    // the physical read of such a column is all-NULL for that file, so
+    // the output binds coalesce(data, per-file constant) below. Fields
+    // ordered by their extendedLogical position.
+    val attachedFields: Seq[org.apache.spark.sql.types.StructField] = {
+      val names = prunedFiles.flatMap(_.manifestVals.keys).distinct
+      extendedLogical.fields.toSeq.filter(f => names.contains(f.name))
+    }
+    if (marked.isEmpty && extraFields.isEmpty && meta.isEmpty &&
+        attachedFields.isEmpty) inner
     else {
       // bind each distinct mark predicate against the EXTENDED logical
       // schema via the analyzer (type coercion included), then rebase the
@@ -1079,13 +1089,18 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
         .filter(_.pendingDelete.isDefined)
         .map(f => splitKey(f) -> bound(f.pendingDelete.get))
         .toMap
-      // per-file metadata-column values, already internal-typed; keyed by
-      // the same absolute path string the executor's PartitionedFile has
+      // per-file constants, already internal-typed; keyed by the same
+      // absolute path string the executor's PartitionedFile has. Layout:
+      // metadata-column values first, then one slot per attached
+      // (manifest-valued) field — NULL for files that carry the column
+      // physically, so the coalesce bindings below fall through to the
+      // data read.
+      val zone = spark.sessionState.conf.sessionLocalTimeZone
       val metaByPath: Map[String, InternalRow] =
-        if (meta.isEmpty) Map.empty
+        if (meta.isEmpty && attachedFields.isEmpty) Map.empty
         else prunedFiles.map { f =>
           val abs = table.dataPath(f).toString
-          val vals: Array[Any] = meta.map(_.name match {
+          val metaVals: Seq[Any] = meta.map(_.name match {
             case "_file_path" =>
               org.apache.spark.unsafe.types.UTF8String.fromString(abs)
             case "_file_size" => f.bytes
@@ -1095,22 +1110,58 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
                 .fromString(f.partitionKey)
             case other => throw new IllegalStateException(
               s"unknown metadata column $other")
-          }).toArray
+          })
+          val attVals: Seq[Any] = attachedFields.map(af =>
+            f.manifestVals.get(af.name)
+              .map(CommitLogTable.internalManifestValue(_, af.dataType, zone))
+              .orNull)
           splitKey(f) -> (new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(vals): InternalRow)
+            .GenericInternalRow((metaVals ++ attVals).toArray): InternalRow)
         }.toMap
+      def attachedRef(f: org.apache.spark.sql.types.StructField,
+          ai: Int): Expression =
+        BoundReference(extendedLogical.length + meta.length + ai,
+          f.dataType, nullable = true)
       // output bindings over JoinedRow(extendedRow, metaRow): data fields
-      // by their extended position, metadata fields after the extension
-      val out: Seq[BoundReference] = outputSchema.fields.toSeq.map { f =>
+      // by their extended position, metadata fields after the extension,
+      // attached fields as coalesce(data, per-file constant) — a flagged
+      // file's physical read is all-NULL, an unflagged file's constant
+      // slot is NULL, so one projection shape serves both
+      val out: Seq[Expression] = outputSchema.fields.toSeq.map { f =>
         val mi = meta.indexWhere(_.name == f.name)
         if (mi >= 0)
           BoundReference(extendedLogical.length + mi, f.dataType, f.nullable)
         else {
           val di = extendedLogical.fieldNames.indexOf(f.name)
-          BoundReference(di, f.dataType, f.nullable)
+          val dataRef = BoundReference(di, f.dataType, f.nullable)
+          val ai = attachedFields.indexWhere(_.name == f.name)
+          if (ai >= 0)
+            org.apache.spark.sql.catalyst.expressions.Coalesce(
+              Seq(dataRef, attachedRef(attachedFields(ai), ai)))
+          else dataRef
         }
       }
-      AssemblingReaderFactory(inner, perPath, extendedLogical.length,
+      // mark predicates evaluate over the SAME joined row: rewrite any
+      // reference to an attached column into the same coalesce, so a
+      // lazy-delete predicate over an adopted file's partition column
+      // sees the manifest value instead of the parquet NULL
+      val attachedByOrdinal: Map[Int, Expression] =
+        attachedFields.map { af =>
+          extendedLogical.fieldNames.indexOf(af.name) ->
+            attachedRef(af, attachedFields.indexOf(af))
+        }.toMap
+      val perPathAttached: Map[String, Expression] =
+        if (attachedByOrdinal.isEmpty) perPath
+        else perPath.map { case (k, e) => k -> e.transformUp {
+          // transformUp: the produced Coalesce is not re-descended, so
+          // the inner reference is wrapped exactly once
+          case b: BoundReference
+              if b.ordinal < extendedLogical.length &&
+                attachedByOrdinal.contains(b.ordinal) =>
+            org.apache.spark.sql.catalyst.expressions.Coalesce(
+              Seq(b, attachedByOrdinal(b.ordinal)))
+        } }
+      AssemblingReaderFactory(inner, perPathAttached, extendedLogical.length,
         metaByPath, out)
     }
   }
@@ -1144,7 +1195,7 @@ final case class AssemblingReaderFactory(
     predicates: Map[String, Expression],
     extendedLen: Int,
     metaByPath: Map[String, InternalRow],
-    out: Seq[BoundReference]) extends FilePartitionReaderFactory {
+    out: Seq[Expression]) extends FilePartitionReaderFactory {
 
   override def options: org.apache.spark.sql.catalyst.FileSourceOptions =
     inner.options
@@ -1153,7 +1204,10 @@ final case class AssemblingReaderFactory(
   /** Output is the extended row unchanged: no reorder, no meta, no drop. */
   private def isIdentity: Boolean =
     out.length == extendedLen &&
-      out.zipWithIndex.forall { case (b, i) => b.ordinal == i }
+      out.zipWithIndex.forall {
+        case (b: BoundReference, i) => b.ordinal == i
+        case _ => false
+      }
 
   override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] = {
     val raw = inner.buildReader(file)
@@ -1165,14 +1219,18 @@ final case class AssemblingReaderFactory(
         metaByPath.getOrElse(file.filePath.toString, InternalRow.empty)
       private val joined =
         new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      // ONE projection shape for every file (meta rides the joined row,
-      // not per-file literals), so codegen compiles once per task
+      // ONE projection shape for every file (meta and attached values
+      // ride the joined row, not per-file literals), so codegen
+      // compiles once per task
       private val proj = UnsafeProjection.create(out)
       private var row: InternalRow = _
       override def next(): Boolean = {
         while (raw.next()) {
           val r = raw.get()
-          if (!pred.exists(_.eval(r))) { row = r; return true }
+          // predicates may reference attached per-file constants (the
+          // coalesce rewrite) — evaluate over the same joined shape the
+          // output projection uses
+          if (!pred.exists(_.eval(joined(r, metaRow)))) { row = r; return true }
         }
         false
       }

@@ -2096,15 +2096,65 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val groups = files.groupBy(_.pendingDelete).toSeq
         .sortBy(_._1.getOrElse(""))
       groups.map { case (pd, fs) =>
-        val base = spark.read.schema(toPhysicalSchema(schema, mapping))
-          .parquet(fs.map(f => dataPath(f).toString): _*)
-          .select(schema.fields.map(f =>
-            col(mapping.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+        val base = scanWithManifestVals(fs, schema, mapping)
         pd.filter(_ => applyMarks)
           .map(p => base.filter(!coalesce(expr(p), lit(false))))
           .getOrElse(base)
       }.reduce(_.unionByName(_))
     }
+
+  /** One scan over `fs` surfacing logical names. Columns a file does
+    * not physically carry (adopted Hive/Delta layouts —
+    * [[CommitLogTable.LogFile.manifestVals]]) attach from the manifest
+    * via a broadcast `_metadata.file_path` lookup: the flagged file's
+    * physical read of such a column is all-NULL (the parquet
+    * missing-column contract), so `coalesce(data, lookup)` is exact —
+    * unflagged files miss the lookup row and keep their physical
+    * values, a flagged file's genuine NULL value stays NULL on both
+    * sides. Filters over an attached column can no longer push to the
+    * parquet reader (the output expression depends on the file path),
+    * which is precisely correct: at the parquet level the column does
+    * not exist, and file-level pruning on the manifest already did the
+    * partition-grain work. Unflagged file sets (every graft-written
+    * table) take the original single-select plan untouched.
+    */
+  private def scanWithManifestVals(fs: Seq[LogFile], schema: StructType,
+      mapping: Map[String, String]): DataFrame = {
+    val physRead = spark.read.schema(toPhysicalSchema(schema, mapping))
+      .parquet(fs.map(f => dataPath(f).toString): _*)
+    val plain = schema.fields.toSeq.map(f =>
+      col(mapping.getOrElse(f.name, f.name)).as(f.name))
+    val flagged = fs.filter(_.manifestVals.nonEmpty)
+    if (flagged.isEmpty) return physRead.select(plain: _*)
+    val attachCols = schema.fields.map(_.name)
+      .filter(n => flagged.exists(_.manifestVals.contains(n))).toSeq
+    val lookupSchema = StructType(
+      org.apache.spark.sql.types.StructField("__graft_fp",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      attachCols.map(c => org.apache.spark.sql.types.StructField(
+        s"__graft_mv_$c", org.apache.spark.sql.types.StringType)))
+    val hconf = spark.sessionState.newHadoopConf()
+    val rows = flagged.map { f =>
+      Row.fromSeq(
+        CommitLogTable.fileMetaPathKey(dataPath(f).toString, hconf) +:
+        attachCols.map(c => f.manifestVals.get(c) match {
+          case Some(v) if v != CommitLogTable.HivePartitionNull => v
+          case _ => null
+        }))
+    }
+    val lookup = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), lookupSchema)
+    val joined = physRead
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .join(broadcast(lookup), Seq("__graft_fp"), "left")
+    joined.select(schema.fields.toSeq.map { f =>
+      val data = col(mapping.getOrElse(f.name, f.name))
+      if (attachCols.contains(f.name))
+        coalesce(data, col(s"__graft_mv_${f.name}").cast(f.dataType))
+          .as(f.name)
+      else data.as(f.name)
+    }: _*)
+  }
 
   /** Serialized 64-bit-roaring deletion bitmap (+ cardinality) for one
     * file's outstanding lazy-delete mark: the file-ordinal row indexes
@@ -2124,8 +2174,18 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       .parquet(dataPath(f).toString)
     val logical = base.select(
       (col("_metadata.row_index").as("__graft_ri") +:
-        snap.schema.fields.toSeq.map(fl =>
-          col(snap.columnMapping.getOrElse(fl.name, fl.name)).as(fl.name))): _*)
+        snap.schema.fields.toSeq.map { fl =>
+          val data = col(snap.columnMapping.getOrElse(fl.name, fl.name))
+          // a manifest-valued column (adopted file) reads all-NULL from
+          // the parquet — substitute the file's single value so a mark
+          // predicate over a partition column evaluates correctly
+          f.manifestVals.get(fl.name) match {
+            case Some(v) if v != CommitLogTable.HivePartitionNull =>
+              lit(v).cast(fl.dataType).as(fl.name)
+            case Some(_) => lit(null).cast(fl.dataType).as(fl.name)
+            case None => data.as(fl.name)
+          }
+        }): _*)
     val ris = logical.where(coalesce(expr(pred), lit(false)))
       .select(col("__graft_ri")).collect().map(_.getLong(0)).sorted
     (DeletionVectors.serializeBitmap(ris.iterator), ris.length.toLong)
@@ -2233,11 +2293,14 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * publish just fails loudly.
     */
   private[tables] def adoptExisting(partitionCols: Seq[String],
-      probes: Seq[(Path, Long, Long, Map[String, (String, String)])]): Unit = {
+      probes: Seq[(Path, Long, Long, Map[String, (String, String)], Set[String])])
+      : Unit = {
     val root = Paths.get(dir)
+    val schema0 = snapshot().schema
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
     // footer facts arrived pre-probed from the adoption Spark job —
     // what remains is pure driver-side string work over the listing
-    val files = probes.map { case (p, rows, bytes, stats) =>
+    val files = probes.map { case (p, rows, bytes, stats, fields) =>
       val rel = root.relativize(p)
       val kv = rel.iterator().asScala.map(_.toString).toSeq.init
         .filter(_.contains("=")).map { seg =>
@@ -2260,7 +2323,23 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           s"convert: $rel carries no '$c=' directory segment — every " +
             "file of a partitioned conversion must sit in the Hive " +
             s"layout naming ${partitionCols.mkString(", ")}")))
-      LogFile(rel.toString, partitionVals, rows, bytes, stats)
+      // partition columns this file does NOT physically carry (a
+      // partitionBy layout strips them): serve from the manifest, plus
+      // a synthetic min=max stat so pruning / metadata aggregates /
+      // DPP treat the column exactly like a physically-carried one
+      val absent = partitionCols.filterNot(fields.contains)
+      val manifestVals = absent.map(c => c -> kv(c)).toMap
+      val synthetic = absent.flatMap { c =>
+        val dt = schema0.fields.find(_.name == c).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        // validate NOW that the value casts to the column's type — a
+        // refusal at adoption beats a scan-time manifest-corruption error
+        CommitLogTable.internalManifestValue(kv(c), dt, zone)
+        CommitLogTable.statEncodedValue(kv(c), dt, zone)
+          .map(enc => c -> (enc, enc))
+      }.toMap
+      LogFile(rel.toString, partitionVals, rows, bytes, stats ++ synthetic,
+        manifestVals = manifestVals)
     }.filter(_.rows > 0) // zero-row debris is never referenced (nor deleted)
     val snap = snapshot()
     require(snap.version == 0 && snap.files.isEmpty,
@@ -2293,7 +2372,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.substring(seg.indexOf('=') + 1))
         }
-      val (rows, stats) = footerInfo(p)
+      val (rows, stats, _) = footerInfo(p)
       LogFile(rel, partitionVals, rows, Files.size(p), stats)
     }
   }
@@ -2324,7 +2403,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * would misread the scale). Capped to the first
     * [[MaxStatsColumns]] schema-order columns.
     */
-  private def footerInfo(p: Path): (Long, Map[String, (String, String)]) =
+  private def footerInfo(p: Path)
+      : (Long, Map[String, (String, String)], Set[String]) =
     CommitLogTable.footerInfoAt(new org.apache.hadoop.fs.Path(p.toUri),
       spark.sparkContext.hadoopConfiguration)
 
@@ -2885,7 +2965,16 @@ object CommitLogTable {
       rows: Long, bytes: Long,
       stats: Map[String, (String, String)] = Map.empty,
       pendingDelete: Option[String] = None,
-      blooms: Seq[String] = Seq.empty) {
+      blooms: Seq[String] = Seq.empty,
+      // columns this data file does NOT physically carry, served from
+      // the manifest at scan time: logical column name → the file's
+      // value string ([[CommitLogTable.HivePartitionNull]] for NULL).
+      // Only adoption writes these (a Hive `partitionBy` layout or a
+      // Delta table strips partition columns from the files); every
+      // graft-written rewrite materializes the columns physically and
+      // clears the entry. Keys are always a subset of the table's
+      // partition columns.
+      manifestVals: Map[String, String] = Map.empty) {
     /** Composite grouping key over all partition values — the unit of
       * partition-scoped operations (compact, auto-compact, merge rebase
       * conflict detection). Single-column tables key by the RAW value
@@ -2898,6 +2987,85 @@ object CommitLogTable {
       if (partitionVals.lengthCompare(1) <= 0) partitionVals.headOption.getOrElse("")
       else partitionVals.map(org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName).mkString("/")
+  }
+
+  /** The serialized NULL partition value — Hive's default-partition
+    * sentinel, the same string `partitionBy` writes into directory
+    * names and [[enumerate]] already records in `partitionVals`.
+    */
+  val HivePartitionNull: String = org.apache.spark.sql.catalyst.catalog
+    .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** An absolute path rendered exactly as the scan's
+    * `_metadata.file_path` renders it — the only safe key for per-file
+    * lookup joins. The qualified URI's empty authority is stripped
+    * (local filesystems render "file:/x", not "file:///x") and the path
+    * part URL-encodes the way SparkPath does (space → %20, % → %25).
+    * Same contract as `CommitLogParquet.sparkPathKey`, for the
+    * DataFrame plane.
+    */
+  private[graft] def fileMetaPathKey(abs: String,
+      hconf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(abs)
+    val q = p.getFileSystem(hconf).makeQualified(p).toUri
+    new java.net.URI(q.getScheme,
+      if (q.getAuthority != null && q.getAuthority.isEmpty) null
+      else q.getAuthority,
+      q.getPath, null, null).toString
+  }
+
+  /** A manifest value string in its column's INTERNAL Catalyst form
+    * (UTF8String / epoch days / epoch micros …) — what the DSv2 reader
+    * attaches per file. The sentinel is NULL; anything else must cast
+    * cleanly (validated at adoption, so a failure here is a corrupted
+    * manifest, not user input) — a silent TRY-null would leak wrong
+    * rows into every later read.
+    */
+  private[graft] def internalManifestValue(s: String,
+      dt: org.apache.spark.sql.types.DataType, zone: String): Any = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    if (s == HivePartitionNull) null
+    else {
+      val v = Cast(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), dt, Some(zone),
+        EvalMode.TRY).eval()
+      require(v != null,
+        s"manifest value '$s' does not cast to ${dt.catalogString}")
+      v
+    }
+  }
+
+  /** A partition value string re-encoded the way [[footerInfoAt]]
+    * encodes file stats (dates as epoch days, timestamps as epoch
+    * micros, integrals plain, ASCII strings raw) — so an adopted file
+    * whose partition column lives only in the manifest still carries a
+    * min=max stat for it, and stats pruning / metadata-only aggregates
+    * / DPP treat it exactly like a physically-carried column. None =
+    * not encodable (the sentinel, a non-ASCII/long string, an
+    * unsupported type) — absence is always safe, it only costs pruning.
+    */
+  private[graft] def statEncodedValue(s: String,
+      dt: org.apache.spark.sql.types.DataType, zone: String): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (s == HivePartitionNull) return None
+    def cast(): Any = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+      Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        StringType), dt, Some(zone), EvalMode.TRY).eval()
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        Option(cast()).map {
+          case n: Number => n.longValue.toString
+          case other => other.toString
+        }
+      case StringType
+          if s.length <= 64 && s.forall(c => c >= ' ' && c < 127) =>
+        Some(s)
+      case _ => None
+    }
   }
 
   // ---- per-file bloom-filter index (Delta's bloomFilterIndex analogue) --
@@ -3113,15 +3281,19 @@ object CommitLogTable {
     * pruning. At 100 TB this is the adoption path — the alternative is
     * rewriting the corpus.
     *
-    * Partitioned adoption requires BOTH the Hive `col=value` directory
-    * layout naming exactly `partitionCols` AND the files physically
-    * carrying those columns (the format reads partition columns from
-    * the files; manifest values are pruning metadata). A
-    * `df.write.partitionBy(...)` layout strips the columns from the
-    * files, so it refuses loudly with the rewrite guidance instead of
-    * silently returning NULL partition columns. Likewise, a dir with
-    * `k=v` segments adopted WITHOUT partitionCols refuses — dropping
-    * the directory-encoded column would silently narrow the data.
+    * Partitioned adoption requires the Hive `col=value` directory
+    * layout naming exactly `partitionCols`. Files that physically carry
+    * those columns adopt as-is; a `df.write.partitionBy(...)` layout —
+    * which strips the columns from the files — adopts too: each such
+    * file records the column in [[LogFile.manifestVals]] and every scan
+    * plane attaches the value from the manifest (plus a synthetic
+    * min=max file stat, so pruning and metadata-only aggregates treat
+    * it like any other column). A directory-encoded-only column joins
+    * the schema as STRING — the one type the path segments actually
+    * are; cast in a view if a typed column is wanted, or let the next
+    * OPTIMIZE materialize it physically. A dir with `k=v` segments
+    * adopted WITHOUT partitionCols still refuses — dropping the
+    * directory-encoded column would silently narrow the data.
     */
   def convert(spark: SparkSession, dir: String,
       partitionCols: Seq[String] = Seq.empty): CommitLogTable = {
@@ -3143,13 +3315,16 @@ object CommitLogTable {
     // TYPE conflict fails loudly here instead of mid-scan later. Hive
     // partition discovery never runs (explicit file list), so
     // directory-encoded columns cannot sneak into the schema.
-    val schema = spark.read.option("mergeSchema", "true")
+    val fileSchema = spark.read.option("mergeSchema", "true")
       .parquet(probes.map(_._1.toString): _*).schema
-    partitionCols.foreach(p => require(schema.fieldNames.contains(p),
-      s"convert: partition column '$p' is directory-encoded only — the " +
-        "files do not carry it, and this format reads partition columns " +
-        "from the files. Rewrite once (read with partition discovery, " +
-        "append into a fresh partitioned table) instead of converting."))
+    // a directory-encoded-only partition column joins the schema as
+    // STRING (path segments are strings); its per-file values serve
+    // from the manifest (LogFile.manifestVals) — zero-copy adoption of
+    // a partitionBy layout instead of the 100 TB rewrite
+    val schema = StructType(fileSchema.fields ++
+      partitionCols.filterNot(fileSchema.fieldNames.contains).map(p =>
+        org.apache.spark.sql.types.StructField(p,
+          org.apache.spark.sql.types.StringType)))
     val t = create(spark, dir, schema, partitionCols)
     t.adoptExisting(partitionCols, probes)
     t
@@ -3171,7 +3346,7 @@ object CommitLogTable {
     * grows.
     */
   private def adoptProbes(spark: SparkSession, root: Path)
-      : Seq[(Path, Long, Long, Map[String, (String, String)])] = {
+      : Seq[(Path, Long, Long, Map[String, (String, String)], Set[String])] = {
     val candidates = {
       val s = Files.walk(root)
       try s.iterator().asScala.filter { p =>
@@ -3181,6 +3356,16 @@ object CommitLogTable {
       }.toVector
       finally s.close()
     }
+    probePaths(spark, candidates)
+  }
+
+  /** The distributed adoption probe over an EXPLICIT path list — one
+    * Spark job running [[adoptProbe]] (PAR1 magic, footer row count /
+    * stats / field names) per candidate; shared by the directory-walk
+    * [[convert]] and the log-driven [[convertFromDelta]].
+    */
+  private def probePaths(spark: SparkSession, candidates: Seq[Path])
+      : Seq[(Path, Long, Long, Map[String, (String, String)], Set[String])] = {
     if (candidates.isEmpty) return Seq.empty
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val slices = math.max(1, math.min(candidates.size,
@@ -3200,8 +3385,8 @@ object CommitLogTable {
           }
         throw e
       }
-    probed.collect { case (p, Some((rows, bytes, stats))) =>
-      (Paths.get(new java.net.URI(p)), rows, bytes, stats)
+    probed.collect { case (p, Some((rows, bytes, stats, fields))) =>
+      (Paths.get(new java.net.URI(p)), rows, bytes, stats, fields)
     }
   }
 
@@ -3211,7 +3396,7 @@ object CommitLogTable {
     */
   private def adoptProbe(abs: String,
       conf: org.apache.hadoop.conf.Configuration)
-      : Option[(Long, Long, Map[String, (String, String)])] = {
+      : Option[(Long, Long, Map[String, (String, String)], Set[String])] = {
     val hp = new org.apache.hadoop.fs.Path(abs)
     val fs = hp.getFileSystem(conf)
     val len = fs.getFileStatus(hp).getLen
@@ -3228,8 +3413,8 @@ object CommitLogTable {
         "torn or corrupt; remove or repair it before converting")
     if (!magic) None
     else {
-      val (rows, stats) = footerInfoAt(hp, conf)
-      Some((rows, len, stats))
+      val (rows, stats, fields) = footerInfoAt(hp, conf)
+      Some((rows, len, stats, fields))
     }
   }
 
@@ -3262,7 +3447,7 @@ object CommitLogTable {
     */
   private def footerInfoAt(hp: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration)
-      : (Long, Map[String, (String, String)]) = {
+      : (Long, Map[String, (String, String)], Set[String]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
@@ -3332,7 +3517,7 @@ object CommitLogTable {
             case _ => None
           }
         }.toMap
-      (rows, stats)
+      (rows, stats, schemaOrder.keySet.toSet)
     } finally r.close()
   }
 
@@ -3686,6 +3871,11 @@ object CommitLogTable {
         val b = o.putArray("blooms")
         f.blooms.sorted.foreach(b.add)
       }
+      if (f.manifestVals.nonEmpty) {
+        val mv = o.putObject("manifestVals")
+        f.manifestVals.toSeq.sortBy(_._1).foreach { case (c, v) =>
+          mv.put(c, v) }
+      }
     }
   }
 
@@ -3724,7 +3914,11 @@ object CommitLogTable {
         else None,
         if (f.hasNonNull("blooms"))
           f.get("blooms").elements().asScala.map(_.asText).toVector
-        else Seq.empty)
+        else Seq.empty,
+        if (f.hasNonNull("manifestVals")) {
+          val mv = f.get("manifestVals")
+          mv.fieldNames().asScala.map(c => c -> mv.get(c).asText).toMap
+        } else Map.empty)
     }.toVector
 
   private[tables] def parseRaw(s: String): RawManifest = {

@@ -46,18 +46,103 @@ class ConvertSpec extends AnyFunSuite {
       .filter($"k" >= 990).count() == 10)
   }
 
-  test("partitionBy layout without carried columns refuses with rewrite guidance") {
+  test("partitionBy layout (columns NOT in the files) adopts: manifest-valued " +
+      "columns attach on every read plane, prune, and materialize on rewrite") {
     val dir = Files.createTempDirectory("graft-convert-hive").toString + "/t"
     spark.range(100).select($"id".as("k"), ($"id" % 3).as("day"))
       .write.partitionBy("day").parquet(dir)
-    val e = intercept[IllegalArgumentException](
-      CommitLogTable.convert(spark, dir, Seq("day")))
-    assert(e.getMessage.contains("directory-encoded only"), e.getMessage)
-    // and adopting it UNPARTITIONED refuses too — the day column would
+    val t = CommitLogTable.convert(spark, dir, Seq("day"))
+    val m = t.resolvedManifest(None)
+    // the stripped column joined the schema as STRING (path segments are
+    // strings) and every file records its value in manifestVals + a
+    // synthetic min=max stat
+    assert(m.schema("day").dataType.typeName == "string")
+    assert(m.files.forall(f => f.manifestVals.get("day").contains(
+      f.partitionVals.head)))
+    assert(m.files.forall(f => f.stats.get("day").exists(s => s._1 == s._2)))
+    // DataFrame plane: values attach from the manifest
+    val byDay = t.read().groupBy($"day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDay == Map("0" -> 34, "1" -> 33, "2" -> 33))
+    // DSv2 plane: same values, and a day predicate file-prunes via the
+    // synthetic stats (the filter itself stays residual and re-evaluates
+    // over the attached values — exactness, not trust)
+    val v2 = spark.read.format("commitlog").load(dir).filter($"day" === "1")
+    assert(v2.count() == 33)
+    val desc = v2.queryExecution.executedPlan.toString
+    // one day's files survive pruning (the writer emitted 4 part files
+    // per day directory)
+    assert(desc.contains("files=4/12"), desc)
+    // metadata-only grouped aggregate answers from the manifest alone
+    val q = spark.read.format("commitlog").load(dir)
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("CommitLogAggScan"))
+    assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      byDay)
+    // a lazy-delete mark over the manifest-valued column evaluates
+    // against the attached value, both planes
+    t.deleteLazy("day = '2' AND k >= 90") // hides 92, 95, 98
+    assert(t.read().count() == 97)
+    assert(spark.read.format("commitlog").load(dir).count() == 97)
+    // a rewrite materializes the column physically and clears the flag
+    t.compact(targetFileBytes = 1L << 30)
+    val m2 = t.resolvedManifest(None)
+    assert(m2.files.forall(_.manifestVals.isEmpty))
+    assert(t.read().groupBy($"day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("0" -> 34, "1" -> 33, "2" -> 30))
+    // adopting it UNPARTITIONED still refuses — the day column would
     // silently vanish from the data
+    val dir2 = Files.createTempDirectory("graft-convert-hive2").toString + "/t"
+    spark.range(10).select($"id".as("k"), ($"id" % 2).as("day"))
+      .write.partitionBy("day").parquet(dir2)
     val e2 = intercept[IllegalArgumentException](
-      CommitLogTable.convert(spark, dir))
+      CommitLogTable.convert(spark, dir2))
     assert(e2.getMessage.contains("silently drop"), e2.getMessage)
+  }
+
+  test("mixed carry: files WITH the column physically and files WITHOUT " +
+      "coexist — coalesce picks the physical value, manifest fills the rest") {
+    val dir = Files.createTempDirectory("graft-convert-mixed").toString + "/t"
+    // file A carries day physically (typed LONG) under day=7
+    spark.range(5).select($"id".as("k"), lit(7L).as("day"))
+      .coalesce(1).write.parquet(s"$dir/day=7")
+    // file B is a partitionBy-style stripped file under day=8
+    spark.range(5, 9).select($"id".as("k"))
+      .coalesce(1).write.parquet(s"$dir/day=8")
+    val t = CommitLogTable.convert(spark, dir, Seq("day"))
+    val m = t.resolvedManifest(None)
+    // the column kept file A's LONG type; only file B is manifest-valued
+    // (its "8" validated castable to LONG at adoption)
+    assert(m.schema("day").dataType.typeName == "long")
+    assert(m.files.count(_.manifestVals.nonEmpty) == 1)
+    val got = t.read().groupBy($"day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 5, 8L -> 4))
+    assert(spark.read.format("commitlog").load(dir)
+      .filter($"day" === 8L).select(sum($"k")).head().getLong(0) == 26)
+    // a NON-castable dir value for a typed column refuses at adoption
+    val dir2 = Files.createTempDirectory("graft-convert-badcast").toString + "/t"
+    spark.range(3).select($"id".as("k"), lit(1L).as("day"))
+      .coalesce(1).write.parquet(s"$dir2/day=1")
+    spark.range(3, 6).select($"id".as("k"))
+      .coalesce(1).write.parquet(s"$dir2/day=oops")
+    val e = intercept[IllegalArgumentException](
+      CommitLogTable.convert(spark, dir2, Seq("day")))
+    assert(e.getMessage.contains("does not cast"), e.getMessage)
+  }
+
+  test("NULL partition directory (__HIVE_DEFAULT_PARTITION__) adopts as NULL") {
+    val dir = Files.createTempDirectory("graft-convert-nullpart").toString + "/t"
+    spark.range(6).select($"id".as("k"),
+      when($"id" % 2 === 0, concat(lit("d"), $"id" % 2)).as("day"))
+      .write.partitionBy("day").parquet(dir)
+    val t = CommitLogTable.convert(spark, dir, Seq("day"))
+    val got = t.read().select($"day").collect().map(r =>
+      if (r.isNullAt(0)) "NULL" else r.getString(0))
+    assert(got.count(_ == "NULL") == 3 && got.count(_ == "d0") == 3)
+    assert(spark.read.format("commitlog").load(dir)
+      .filter($"day".isNull).count() == 3)
   }
 
   test("Hive layout WITH carried columns adopts partitioned, tuples recorded") {
