@@ -2861,6 +2861,97 @@ object Queries {
         min(col("event_id")).as("min_id"))
   }
 
+  /** Zero-copy adoption of an existing DELTA table
+    * ([[graft.tables.CommitLogTable.convertFromDelta]]): the demo
+    * builds what a Databricks pipeline leaves behind — a
+    * `partitionBy(event_type)` layout whose files OMIT the partition
+    * column, governed by a `_delta_log` whose adds carry the
+    * partitionValues — then adopts it via the LOG (never a directory
+    * walk) and aggregates grouped by the manifest-attached column.
+    * This is the migration verb a user of the reference runs first:
+    * their Bronze/Silver tables ARE Delta tables
+    * (`bronze_prices_auto_loader.ipynb` cell 4,
+    * `docs/databricks_setup.md:96`).
+    */
+  def tableConvertDelta(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-convert-delta-demo", "events")
+    SessionMemo.once(s, s"commitlogConvertDelta:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        import java.nio.file.{Files, Paths}
+        if (!Files.isDirectory(Paths.get(root, "_delta_log"))) {
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .repartitionByRange(4, col("event_id"))
+            .write.partitionBy("event_type").parquet(root)
+          // author the Delta log over the layout: one metaData + one
+          // add per part file, partitionValues from the dir names
+          val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))).json
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val lines = new scala.collection.mutable.ArrayBuffer[String]
+          locally {
+            val proto = m.createObjectNode()
+            proto.putObject("protocol")
+              .put("minReaderVersion", 1).put("minWriterVersion", 2)
+            lines += m.writeValueAsString(proto)
+            val md = m.createObjectNode()
+            val mdo = md.putObject("metaData")
+            mdo.put("id", "graft-convert-delta-demo")
+            mdo.putObject("format").put("provider", "parquet")
+              .putObject("options")
+            mdo.put("schemaString", schemaJson)
+            mdo.putArray("partitionColumns").add("event_type")
+            mdo.putObject("configuration")
+            mdo.put("createdTime", 0L)
+            lines += m.writeValueAsString(md)
+          }
+          import scala.jdk.CollectionConverters._
+          val rootP = Paths.get(root)
+          val parts = {
+            val w = Files.walk(rootP)
+            try w.iterator().asScala.filter(p =>
+              Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+              .toVector.sortBy(_.toString)
+            finally w.close()
+          }
+          parts.foreach { p =>
+            val rel = rootP.relativize(p).toString
+            val et = rel.split('/').head.stripPrefix("event_type=")
+            val a = m.createObjectNode()
+            val ao = a.putObject("add")
+            ao.put("path", rel.split('/').map(seg =>
+              java.net.URLEncoder.encode(seg, "UTF-8")
+                .replace("+", "%20")).mkString("/"))
+            ao.putObject("partitionValues").put("event_type",
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(et))
+            ao.put("size", Files.size(p))
+            ao.put("modificationTime", 0L)
+            ao.put("dataChange", true)
+            lines += m.writeValueAsString(a)
+          }
+          Files.createDirectories(Paths.get(root, "_delta_log"))
+          Files.write(Paths.get(root, "_delta_log",
+            "00000000000000000000.json"),
+            (lines.mkString("\n") + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        graft.tables.CommitLogTable.convertFromDelta(s, root)
+      }
+    }
+    s.read.format("commitlog").load(root)
+      .filter(col("event_id") % 7 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value"), 6).as("sum_value"),
+        min(col("event_id")).as("min_id"))
+  }
+
   /** Merge-on-read interop end to end: a commit-log table takes a LAZY
     * delete (metadata-only mark, [[graft.tables.CommitLogTable.deleteLazy]]),
     * exports as a Delta log whose adds carry protocol DELETION VECTORS

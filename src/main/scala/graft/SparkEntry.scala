@@ -191,6 +191,7 @@ object SparkEntry {
     "q_table_agg_group" -> (Queries.tableAggGroup _),
     "q_table_multipart" -> (Queries.tableMultipart _),
     "q_table_convert" -> (Queries.tableConvert _),
+    "q_table_convert_delta" -> (Queries.tableConvertDelta _),
     "q_delta_dv_read" -> (Queries.deltaDvRead _),
     "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
@@ -3956,6 +3957,16 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              min(event_id) AS min_id
       FROM events WHERE event_id % 5 = 0 GROUP BY event_type""",
+
+    // zero-copy CONVERT adoption of an existing DELTA table (partitionBy
+    // layout, partition values sourced from the log → manifest-attached
+    // at scan): grouped by the attached column, must answer exactly like
+    // the raw data
+    "q_table_convert_delta" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(event_id) AS min_id
+      FROM events WHERE event_id % 7 = 0 GROUP BY event_type""",
 
     // CDF bounded by TIMESTAMPS pinned at commit 2's instant: exactly
     // the second commit (odd event_ids) qualifies under Delta's

@@ -126,12 +126,19 @@ final class TableServiceSqlParser(session: SparkSession,
       // catalog when it is a commitlog one
       val current = session.sessionState.catalogManager.currentCatalog
       if (current.isInstanceOf[CommitLogCatalog]) {
-        val cols = Option(convert.group(2)).map(
+        val source = convert.group(1).toLowerCase(java.util.Locale.ROOT)
+        val cols = Option(convert.group(3)).map(
           _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).mkString(","))
+        // a delta adoption takes its partition columns from the log —
+        // a PARTITIONED BY clause there is a contradiction, not ours
+        // to guess at; let the stock parser produce the error
+        if (source == "delta" && cols.isDefined) return None
         return Some(s"CALL `${current.name()}`.system.convert(" +
-          s"path => ${quoted(convert.group(1))}" +
-          cols.map(cs => s", partition_cols => ${quoted(cs)}")
+          s"path => ${quoted(convert.group(2))}" +
+          (if (source != "parquet") s", source => ${quoted(source)}" else "") +
+          cols.map(cs => s", partition_cols => ${quoted(cs)}").getOrElse("") +
+          Option(convert.group(4)).map(v => s", version => $v")
             .getOrElse("") + ")")
       }
       return None
@@ -219,10 +226,14 @@ private object TableServiceSqlParser {
   val CloneRe: Pattern = re(
     s"""\\s*CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident""" +
       """(?:\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")
-  // Delta's `CONVERT TO DELTA parquet.`/path``, commitlog-spelled
+  // Delta's `CONVERT TO DELTA parquet.`/path``, commitlog-spelled; the
+  // delta source adopts an existing Delta table via its log (optionally
+  // at a pinned version) — partition columns come from the log, so
+  // PARTITIONED BY applies to the parquet source only
   val ConvertRe: Pattern = re(
-    """\s*CONVERT\s+TO\s+COMMITLOG\s+parquet\s*\.\s*`([^`]+)`""" +
-      """(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?\s*;?\s*""")
+    """\s*CONVERT\s+TO\s+COMMITLOG\s+(parquet|delta)\s*\.\s*`([^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""")
   val OptimizeRe: Pattern = re(
     s"""\\s*OPTIMIZE\\s+$Ident(?:\\s+WHERE\\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s+\(?([^()]+?)\)?)?\s*;?\s*""")

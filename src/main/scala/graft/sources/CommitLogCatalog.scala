@@ -418,30 +418,52 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   }
 }
 
-/** `CALL cat.system.convert(path => '/data/dump' [, partition_cols =>
-  * 'a,b'])` — Delta's `CONVERT TO DELTA parquet.`…``: zero-copy
-  * adoption of an existing parquet directory into a commit-log table
-  * IN PLACE ([[CommitLogTable.convert]] owns the safety rules: PAR1
-  * magic, foreign-log refusal, Hive-layout checks).
+/** `CALL cat.system.convert(path => '/data/dump' [, source =>
+  * 'parquet'|'delta'] [, partition_cols => 'a,b'] [, version => 3])` —
+  * Delta's `CONVERT TO DELTA parquet.`…``: zero-copy adoption of an
+  * existing parquet directory — or an existing DELTA table via its log
+  * ([[CommitLogTable.convertFromDelta]], optionally at a pinned
+  * version) — into a commit-log table IN PLACE. The table methods own
+  * the safety rules: PAR1 magic, foreign-log refusal, Hive-layout
+  * checks; live-DV / id-mapping refusal on the delta side.
   */
 private final class ConvertProcedure(spark: SparkSession)
     extends UnboundProcedure with BoundProcedure {
   override def name(): String = "convert"
   override def description(): String =
-    "zero-copy adoption of a parquet directory (CONVERT TO COMMITLOG)"
+    "zero-copy adoption of a parquet directory or Delta table " +
+      "(CONVERT TO COMMITLOG)"
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("path", StringType).build(),
     ProcedureParameter.in("partition_cols", StringType)
-      .defaultValue("CAST(NULL AS STRING)").build())
+      .defaultValue("CAST(NULL AS STRING)").build(),
+    ProcedureParameter.in("source", StringType)
+      .defaultValue("'parquet'").build(),
+    ProcedureParameter.in("version", org.apache.spark.sql.types.LongType)
+      .defaultValue("CAST(NULL AS BIGINT)").build())
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val path = input.getUTF8String(0).toString
     val cols = if (input.isNullAt(1)) Seq.empty[String]
       else input.getUTF8String(1).toString.split(',')
         .map(_.trim).filter(_.nonEmpty).toSeq
-    val t = CommitLogTable.convert(spark, path, cols)
+    val source = if (input.isNullAt(2)) "parquet"
+      else input.getUTF8String(2).toString.toLowerCase(java.util.Locale.ROOT)
+    val version = if (input.isNullAt(3)) None else Some(input.getLong(3))
+    val t = source match {
+      case "parquet" =>
+        require(version.isEmpty,
+          "convert: version pins apply to delta sources only")
+        CommitLogTable.convert(spark, path, cols)
+      case "delta" =>
+        require(cols.isEmpty, "convert: a delta source takes its " +
+          "partition columns from the log — drop partition_cols")
+        CommitLogTable.convertFromDelta(spark, path, version)
+      case other => throw new IllegalArgumentException(
+        s"convert: unknown source '$other' (parquet, delta)")
+    }
     val m = t.resolvedManifest(None)
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("location", StringType),

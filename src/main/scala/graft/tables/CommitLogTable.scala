@@ -2341,12 +2341,23 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       LogFile(rel.toString, partitionVals, rows, bytes, stats ++ synthetic,
         manifestVals = manifestVals)
     }.filter(_.rows > 0) // zero-row debris is never referenced (nor deleted)
+    adoptPrepared(files, Map.empty)
+  }
+
+  /** Publish the single `convert` manifest over pre-built file entries
+    * (the directory-walk path above, or the Delta-log-driven
+    * [[CommitLogTable.convertFromDelta]]). Deliberately NOT a
+    * retryCommit — see [[adoptExisting]]'s contract.
+    */
+  private[tables] def adoptPrepared(files: Seq[LogFile],
+      mapping: Map[String, String]): Unit = {
     val snap = snapshot()
     require(snap.version == 0 && snap.files.isEmpty,
       s"convert: table at $dir already has commits")
     val total = files.map(_.rows).sum
     val m = mkManifest(snap, "convert", files, rowsInserted = total,
-      rowsUpdated = 0, rowsDeleted = 0, rowsTotal = total, changesDir = None)
+      rowsUpdated = 0, rowsDeleted = 0, rowsTotal = total, changesDir = None,
+      columnMapping = if (mapping.isEmpty) null else mapping)
     require(tryPublish(m), s"convert: lost the adoption race at $dir")
   }
 
@@ -3330,6 +3341,83 @@ object CommitLogTable {
     t
   }
 
+  /** `CONVERT TO COMMITLOG delta.`…``: adopt an existing DELTA table as
+    * a commit-log table IN PLACE — zero bytes copied. The live file
+    * set, schema, partition columns, and (name-mode) column mapping
+    * come from the Delta log's replayed state
+    * ([[DeltaLogBridge.snapshot]]), NOT from a directory walk: a raw
+    * walk would resurrect tombstoned and uncommitted parquet as live
+    * rows, which is exactly why plain [[convert]] refuses `_delta_log`
+    * dirs. Delta files do not physically carry partition columns, so
+    * each adopted file records them in [[LogFile.manifestVals]] (every
+    * scan plane attaches the value from the manifest) plus a synthetic
+    * min=max stat for pruning; the first rewrite materializes them.
+    * One footer pass (distributed) takes row counts and skipping stats.
+    *
+    * Refuses loudly what adoption cannot express: live deletion
+    * vectors (purge in Delta first — `REORG … APPLY (PURGE)` — or read
+    * through [[DeltaLogBridge.read]]), column mapping mode `id` (the
+    * commitlog scan resolves by physical NAME), a nested physical
+    * rename, and remote-URI add paths. The stale `_delta_log` stays in
+    * place untouched; re-seed it from the adopted table with
+    * `DeltaLogBridge.export(t, overwrite = true)` if a live mirror is
+    * wanted.
+    */
+  def convertFromDelta(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): CommitLogTable = {
+    require(!exists(dir), s"convert: a commit-log table already exists at $dir")
+    val dsnap = DeltaLogBridge.snapshot(spark, dir, versionAsOf)
+    val withDv = dsnap.live.filter(_._3.isDefined)
+    require(withDv.isEmpty,
+      s"convert: ${withDv.size} live file(s) carry deletion vectors — " +
+        "not expressible as adopted whole files; purge them in Delta " +
+        "first (REORG TABLE … APPLY (PURGE) / OPTIMIZE), or read the " +
+        "table through DeltaLogBridge.read")
+    require(dsnap.columnMappingMode != "id",
+      "convert: column mapping mode 'id' resolves columns by parquet " +
+        "field id, which the commitlog scan does not do — mode 'name' " +
+        "and unmapped tables adopt; read 'id' tables through " +
+        "DeltaLogBridge.read")
+    val (schema, mapping) = DeltaLogBridge.adoptionSchema(dsnap)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val physPart = dsnap.partitionCols.map(c => mapping.getOrElse(c, c))
+    val absOf: String => Path = { p =>
+      require(!p.contains("://"),
+        s"convert: add path '$p' is a remote URI — only local paths adopt")
+      if (p.startsWith("/")) Paths.get(p) else Paths.get(dir, p)
+    }
+    val probeByPath = probePaths(spark, dsnap.live.map(f => absOf(f._1)))
+      .map(pr => (pr._1, pr)).toMap
+    val files = dsnap.live.map { case (rel, pv, _) =>
+      val (_, rows, bytes, stats, fields) = probeByPath.getOrElse(absOf(rel),
+        throw new IllegalArgumentException(
+          s"convert: live file '$rel' is missing or not parquet — the " +
+            "Delta log references it at the adopted version (vacuumed " +
+            "data, or a torn copy)"))
+      // partitionValues keys are PHYSICAL under column mapping (logical
+      // tolerated — some writers emit them); a missing entry is NULL
+      val pvals = dsnap.partitionCols.zip(physPart).map { case (lc, pc) =>
+        Option(pv.getOrElse(pc, pv.getOrElse(lc, null)))
+          .getOrElse(HivePartitionNull)
+      }
+      val absent = dsnap.partitionCols.zip(physPart).zip(pvals).collect {
+        case ((lc, pc), v) if !fields.contains(pc) => (lc, pc, v)
+      }
+      val synthetic = absent.flatMap { case (lc, pc, v) =>
+        val dt = schema.fields.find(_.name == lc).getOrElse(
+          throw new IllegalArgumentException(
+            s"convert: partition column '$lc' is not in the schema")).dataType
+        internalManifestValue(v, dt, zone) // validate castability NOW
+        statEncodedValue(v, dt, zone).map(enc => pc -> (enc, enc))
+      }.toMap
+      LogFile(rel, pvals, rows, bytes, stats ++ synthetic,
+        manifestVals = absent.map { case (lc, _, v) => lc -> v }.toMap)
+    }.filter(_.rows > 0)
+    val t = create(spark, dir, schema, dsnap.partitionCols)
+    t.adoptPrepared(files, mapping)
+    t
+  }
+
   /** Pre-existing data files a [[convert]] may adopt, with their footer
     * facts: every regular file outside `_`/`.` directories that IS
     * parquet — by the PAR1 magic, not the suffix, so extensionless
@@ -3376,11 +3464,16 @@ object CommitLogTable {
         .map(p => p -> CommitLogTable.adoptProbe(p, conf.value))
         .collect().toSeq
       catch { case e: Throwable =>
-        // surface the probe's own refusal (torn .parquet) with its
-        // message instead of Spark's task-failure wrapper
+        // surface the probe's own refusal (torn .parquet, a referenced
+        // file the disk lost) with its message instead of Spark's
+        // task-failure wrapper
         Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
           .foreach {
             case iae: IllegalArgumentException => throw iae
+            case fnf: java.io.FileNotFoundException =>
+              throw new IllegalArgumentException(
+                s"convert: a referenced file is missing or not parquet — " +
+                  s"${fnf.getMessage}", fnf)
             case _ => ()
           }
         throw e

@@ -346,6 +346,23 @@ object DeltaLogBridge {
     */
   def read(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, versionAsOf)
+    readSnapshot(spark, dir, snap)
+  }
+
+  /** The replayed table state of a Delta log at a version — what
+    * [[read]] assembles a scan from and what
+    * `CommitLogTable.convertFromDelta` adopts. `live` preserves the
+    * log's action order: (decoded add path, partitionValues as
+    * recorded, live deletion vector if any).
+    */
+  final case class Snapshot(version: Long, schema: StructType,
+      partitionCols: Seq[String], columnMappingMode: String,
+      live: Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor])])
+
+  def snapshot(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = Paths.get(dir, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $dir")
     val names = {
@@ -690,14 +707,76 @@ object DeltaLogBridge {
     require(dupPaths.isEmpty,
       s"file(s) ${dupPaths.take(3).mkString(", ")} are live under multiple " +
         "deletion-vector states — corrupt log (the paired remove is missing)")
+    Snapshot(upTo,
+      schema.getOrElse(throw new IllegalStateException(
+        s"log at $dir carries no metaData")),
+      partCols, Option(columnMappingMode).getOrElse("none"),
+      live.iterator.map { case ((p, _), (pv, dv)) => (p, pv, dv) }.toVector)
+  }
+
+  /** The adoption view of a [[Snapshot]] — what
+    * `CommitLogTable.convertFromDelta` stores: the logical schema with
+    * every column-mapping / field-id annotation STRIPPED (the adopting
+    * table's own `columnMapping` carries the physical names), plus the
+    * top-level logical→physical map for name-mode tables. Refuses a
+    * NESTED physical rename: the commitlog format's mapping is
+    * top-level-only, and adopting around it would read nested fields
+    * under the wrong names.
+    */
+  def adoptionSchema(snap: Snapshot): (StructType, Map[String, String]) = {
+    import org.apache.spark.sql.types._
+    def nestedRename(dt: DataType): Option[String] = dt match {
+      case st: StructType => st.fields.iterator.flatMap { f =>
+        (if (f.metadata.contains(PhysKey) &&
+            f.metadata.getString(PhysKey) != f.name) Some(f.name)
+         else None).orElse(nestedRename(f.dataType))
+      }.toSeq.headOption
+      case at: ArrayType => nestedRename(at.elementType)
+      case mt: MapType =>
+        nestedRename(mt.keyType).orElse(nestedRename(mt.valueType))
+      case _ => None
+    }
+    snap.schema.fields.foreach { f =>
+      nestedRename(f.dataType).foreach(n => throw new IllegalArgumentException(
+        s"convert: nested field '$n' (inside '${f.name}') carries a " +
+          "physical rename — the commitlog column mapping is " +
+          "top-level-only; read through DeltaLogBridge.read instead"))
+    }
+    val mapping: Map[String, String] =
+      if (snap.columnMappingMode != "name") Map.empty
+      else snap.schema.fields.collect {
+        case f if f.metadata.contains(PhysKey) &&
+            f.metadata.getString(PhysKey) != f.name =>
+          f.name -> f.metadata.getString(PhysKey)
+      }.toMap
+    def strip(m: org.apache.spark.sql.types.Metadata)
+        : org.apache.spark.sql.types.Metadata =
+      new org.apache.spark.sql.types.MetadataBuilder().withMetadata(m)
+        .remove(PhysKey).remove(IdKey).remove("parquet.field.id").build()
+    def cleanType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = cleanType(f.dataType), metadata = strip(f.metadata))))
+      case at: ArrayType => at.copy(elementType = cleanType(at.elementType))
+      case mt: MapType => mt.copy(keyType = cleanType(mt.keyType),
+        valueType = cleanType(mt.valueType))
+      case o => o
+    }
+    (StructType(snap.schema.fields.map(f =>
+      f.copy(dataType = cleanType(f.dataType), metadata = strip(f.metadata)))),
+      mapping)
+  }
+
+  private def readSnapshot(spark: SparkSession, dir: String,
+      snap: Snapshot): DataFrame = {
+    val partCols = snap.partitionCols
+    val columnMappingMode = snap.columnMappingMode
     // live deletion vectors RESOLVE here (inline or u-storage .bin),
     // validated against their declared size/cardinality — the assembly
     // filters the marked row indexes out of the single scan
-    val dvByPath: Map[String, Array[Byte]] = live.iterator.collect {
-      case ((p, _), (_, Some(d))) => p -> DeletionVectors.resolveData(dir, d)
+    val dvByPath: Map[String, Array[Byte]] = snap.live.iterator.collect {
+      case (p, _, Some(d)) => p -> DeletionVectors.resolveData(dir, d)
     }.toMap
-    val s = schema.getOrElse(
-      throw new IllegalStateException(s"log at $dir carries no metaData"))
+    val s = snap.schema
     // name-mode: scan by PHYSICAL names (nested fields included) and
     // surface logical ones; partitionValues keys are physical per the
     // protocol's column-mapping rules (logical keys tolerated — some
@@ -731,7 +810,7 @@ object DeltaLogBridge {
       // intent anyway.
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val physPartCols = partCols.map(pc => physOf.getOrElse(pc, pc))
-    val liveNorm = live.toSeq.map { case ((p, _), (pv, _)) =>
+    val liveNorm = snap.live.map { case (p, pv, _) =>
       (p, partCols.zip(physPartCols).map { case (lc, pc) =>
         pc -> pv.getOrElse(pc, pv.getOrElse(lc, null))
       }.toMap)

@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.{CommitLogTable, DeltaLogBridge}
+
+/** `CommitLogTable.convertFromDelta` — zero-copy adoption of an
+  * existing DELTA table via its log (the reference's Bronze tables ARE
+  * Delta tables; this is the migration verb a switching user runs
+  * first — `docs/databricks_setup.md`). The live file set comes from
+  * the replayed log, never a directory walk: tombstoned files must not
+  * resurrect. Delta files do not carry partition columns physically,
+  * so adoption exercises the manifest-valued column machinery
+  * end-to-end.
+  */
+class DeltaConvertSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-delta-convert").toString
+
+  private def onePart(dir: String, sub: String): String = {
+    val s = Files.list(Paths.get(dir, sub))
+    try s"$sub/" + s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get.getFileName
+    finally s.close()
+  }
+
+  /** Two-version day-partitioned fixture (files OMIT the day column,
+    * Delta's layout): v0 adds d1+d2, v1 replaces d2's file — so the
+    * directory holds THREE parquet files but only two are live.
+    */
+  private def buildFixture(dir: String): Unit = {
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/d1")
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/d2")
+    Seq((30L, "z"), (31L, "y")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/d2b")
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))).json
+      .replace("\"", "\\\"")
+    val (f1, f2, f2b) =
+      (onePart(dir, "d1"), onePart(dir, "d2"), onePart(dir, "d2b"))
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"f00d","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["day"],"configuration":{},"createdTime":1700000000000}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |{"add":{"path":"$f2","partitionValues":{"day":"2"},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000001.json"),
+      (s"""{"remove":{"path":"$f2","deletionTimestamp":1700000001000,"dataChange":true}}
+         |{"add":{"path":"$f2b","partitionValues":{"day":"2"},"size":100,"modificationTime":1700000001000,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+  }
+
+  test("adopt a Delta table: live files only, log-sourced partition values, " +
+      "typed column, pruning, and full table services after") {
+    val dir = tmpDir()
+    buildFixture(dir)
+    val expected = DeltaLogBridge.read(spark, dir)
+      .orderBy("k").collect().toSeq
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    val m = t.resolvedManifest(None)
+    // two LIVE files adopted — the tombstoned d2 file must NOT resurrect
+    assert(m.action == "convert" && m.files.size == 2 && m.rowsTotal == 4)
+    assert(m.partitionCols == Seq("day"))
+    // the partition column keeps its LOGGED type (LONG, not a string)
+    assert(m.schema("day").dataType.typeName == "long")
+    // every adopted file serves day from the manifest + synthetic stat
+    assert(m.files.forall(_.manifestVals.keySet == Set("day")))
+    assert(m.files.forall(f => f.stats.get("day").exists(s => s._1 == s._2)))
+    // row parity with the bridge's own read
+    assert(t.read().orderBy("k").collect().toSeq == expected)
+    // DSv2 plane: values attach, a day predicate file-prunes
+    val v2 = spark.read.format("commitlog").load(dir).filter($"day" === 2L)
+    assert(v2.select(sum($"k")).head().getLong(0) == 61)
+    assert(v2.queryExecution.executedPlan.toString.contains("files=1/2"))
+    // full citizen: merge + time travel across the convert
+    t.merge(Seq((2L, 30L, "Z")).toDF("day", "k", "s"), Seq("k"),
+      Seq(col("day"), col("s")))
+    assert(t.read().filter($"k" === 30L).head().getString(2) == "Z")
+    assert(t.read(Some(1L)).filter($"k" === 30L).head().getString(2) == "z")
+  }
+
+  test("version pin adopts the PINNED file set") {
+    val dir = tmpDir()
+    buildFixture(dir)
+    val t = CommitLogTable.convertFromDelta(spark, dir, Some(0L))
+    assert(t.read().orderBy("k").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c")))
+  }
+
+  test("plain convert still refuses a _delta_log dir; convertFromDelta " +
+      "refuses an existing table and a vacuumed live file") {
+    val dir = tmpDir()
+    buildFixture(dir)
+    val e = intercept[IllegalArgumentException](
+      CommitLogTable.convert(spark, dir))
+    assert(e.getMessage.contains("_delta_log"), e.getMessage)
+    CommitLogTable.convertFromDelta(spark, dir)
+    val e2 = intercept[IllegalArgumentException](
+      CommitLogTable.convertFromDelta(spark, dir))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // a live file the log references but the disk lost (vacuumed by a
+    // foreign writer / torn copy) refuses with the path named
+    val dir2 = tmpDir()
+    buildFixture(dir2)
+    val gone = Files.walk(Paths.get(dir2, "d2b")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.delete(gone)
+    val e3 = intercept[IllegalArgumentException](
+      CommitLogTable.convertFromDelta(spark, dir2))
+    assert(e3.getMessage.contains("missing or not parquet"), e3.getMessage)
+  }
+
+  test("live deletion vectors refuse with purge guidance; a DV consumed " +
+      "by a later rewrite adopts fine") {
+    val dir = tmpDir()
+    buildFixture(dir)
+    val f1 = onePart(dir, "d1")
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000002.json"),
+      (s"""{"remove":{"path":"$f1","deletionTimestamp":1700000002000,"dataChange":true}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000002000,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"xxxx","offset":1,"sizeInBytes":8,"cardinality":1}}}
+         |""".stripMargin).getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException](
+      CommitLogTable.convertFromDelta(spark, dir))
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    // the PINNED pre-DV version still adopts
+    val t = CommitLogTable.convertFromDelta(spark, dir, Some(1L))
+    assert(t.read().count() == 4)
+  }
+
+  test("column mapping mode name adopts (logical names surface, physical " +
+      "names read); mode id refuses") {
+    val dir = tmpDir()
+    // files under PHYSICAL column names
+    Seq((1L, "a"), (2L, "b")).toDF("col-k1", "col-s1").coalesce(1)
+      .write.parquet(s"$dir/d1")
+    val f1 = onePart(dir, "d1")
+    def meta(k: String, phys: String, id: Int) =
+      org.apache.spark.sql.types.Metadata.fromJson(
+        s"""{"delta.columnMapping.physicalName":"$phys",
+           |"delta.columnMapping.id":$id}""".stripMargin)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        meta("k", "col-k1", 1)),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = true,
+        meta("s", "col-s1", 2)))).json.replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    def writeV0(mode: String): Unit =
+      Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+        (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+           |{"metaData":{"id":"f00d","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}
+           |{"add":{"path":"$f1","partitionValues":{},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+           |""".stripMargin).getBytes(UTF_8))
+    writeV0("id")
+    val e = intercept[IllegalArgumentException](
+      CommitLogTable.convertFromDelta(spark, dir))
+    assert(e.getMessage.contains("'id'"), e.getMessage)
+    writeV0("name")
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    val m = t.resolvedManifest(None)
+    // the adopting table's OWN column mapping carries the physical names;
+    // the stored schema is annotation-free
+    assert(m.columnMapping == Map("k" -> "col-k1", "s" -> "col-s1"))
+    assert(m.schema.fields.forall(f =>
+      !f.metadata.contains("delta.columnMapping.physicalName")))
+    assert(t.read().orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(spark.read.format("commitlog").load(dir)
+      .filter($"s" === "b").count() == 1)
+  }
+
+  test("SQL spelling: CONVERT TO COMMITLOG delta.`path` [VERSION AS OF n]") {
+    val cat = "graftsqlconvdelta"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    val root = tmpDir()
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    val prev = spark.catalog.currentCatalog()
+    spark.catalog.setCurrentCatalog(cat)
+    try {
+      val dir = tmpDir() + "/t"
+      buildFixture(dir)
+      val out = spark.sql(s"CONVERT TO COMMITLOG delta.`$dir` VERSION AS OF 0")
+        .collect()
+      assert(out.head.getInt(1) == 2 && out.head.getLong(2) == 3L,
+        out.mkString(","))
+      // PARTITIONED BY contradicts a delta source: not ours, stock error
+      val dir2 = tmpDir() + "/t2"
+      buildFixture(dir2)
+      intercept[Exception](spark.sql(
+        s"CONVERT TO COMMITLOG delta.`$dir2` PARTITIONED BY (day)"))
+    } finally spark.catalog.setCurrentCatalog(prev)
+  }
+}
