@@ -2856,6 +2856,28 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       }
     }
 
+  /** Publish a table's FIRST manifest at an ARBITRARY version — the
+    * adopted-Delta genesis: [[CommitLogTable.convertFromDelta]] lands
+    * its convert manifest AT the adopted Delta version, so graft
+    * versions line up 1:1 with the original `_delta_log` and a later
+    * Delta mirror CONTINUES that log at N+1 instead of forking it.
+    * The resulting log is exactly the post-log-vacuum shape every
+    * reader already handles: the oldest retained version is a full
+    * (self-checkpointed) manifest.
+    */
+  private[tables] def tryPublishGenesis(m: Manifest): Boolean = {
+    require(listVersions.isEmpty,
+      s"genesis publish on a non-empty log at $dir")
+    val r = m.copy(checkpointVersion = m.version)
+    val won = coordinator.tryClaim(logDir, manifestName(m.version),
+      fullJson(r).getBytes(UTF_8))
+    if (won) {
+      manifestCache.putIfAbsent(r.version, r)
+      writeLatestHint(r.version)
+    }
+    won
+  }
+
   private def tryPublish(m: Manifest): Boolean = {
     val (json, resolved) = serializeForPublish(m)
     // arbitration is delegated to the session's CommitCoordinator: the
@@ -3413,8 +3435,34 @@ object CommitLogTable {
       LogFile(rel, pvals, rows, bytes, stats ++ synthetic,
         manifestVals = absent.map { case (lc, _, v) => lc -> v }.toMap)
     }.filter(_.rows > 0)
-    val t = create(spark, dir, schema, dsnap.partitionCols)
-    t.adoptPrepared(files, mapping)
+    // GENESIS at the adopted Delta version: graft versions line up 1:1
+    // with the original log, so enabling the mirror afterwards
+    // ([[DeltaLogBridge.MirrorProp]]) CONTINUES the table's own
+    // `_delta_log` at N+1 — external Delta consumers keep reading the
+    // same table, version-monotonic, while graft takes over writes.
+    // Earlier Delta versions stay readable through
+    // [[DeltaLogBridge.read]]'s own time travel; graft time travel
+    // starts at the adopted version (the post-log-vacuum contract).
+    Files.createDirectories(Paths.get(dir, ChangesDirName))
+    Files.createDirectories(Paths.get(dir, StagedChangesDirName))
+    val t = new CommitLogTable(spark, dir)
+    val total = files.map(_.rows).sum
+    val m = Manifest(dsnap.version, "convert", System.currentTimeMillis(),
+      schema, dsnap.partitionCols, files, rowsInserted = total,
+      rowsUpdated = 0, rowsDeleted = 0, rowsTotal = total,
+      changesDir = None, columnMapping = mapping)
+    require(t.tryPublishGenesis(m),
+      s"convert: lost the adoption race at $dir")
+    // a HEAD-version adoption stamps the alignment proof the mirror
+    // needs to CONTINUE this log ([[DeltaLogBridge.AlignedMarker]]); a
+    // version-pinned adoption leaves the log unstamped — the mirror
+    // then refuses to append and self-cures by checkpoint once the
+    // graft head passes the stale tail
+    if (versionAsOf.isEmpty)
+      Files.write(Paths.get(dir, "_delta_log")
+        .resolve(DeltaLogBridge.AlignedMarker),
+        s"graft adoption aligned at Delta version ${dsnap.version}\n"
+          .getBytes(UTF_8))
     t
   }
 

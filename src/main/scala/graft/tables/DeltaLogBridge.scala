@@ -1033,6 +1033,12 @@ object DeltaLogBridge {
     */
   val MirrorProp = "graft.deltaMirror.enabled"
   private val BrokenMarker = "_GRAFT_MIRROR_BROKEN"
+  /** Stamped into `_delta_log` by a HEAD-version `convertFromDelta`:
+    * the adopted log's state at its head equals the graft genesis
+    * manifest, so the mirror may CONTINUE this log at N+1 (the one
+    * append-alignment proof besides the mirror's own seed claims).
+    */
+  private[tables] val AlignedMarker = "_graft_aligned"
 
   private def stableId(dir: String): String =
     java.util.UUID.nameUUIDFromBytes(
@@ -1351,16 +1357,6 @@ object DeltaLogBridge {
       -1L
     }
 
-    if (Files.exists(logDir.resolve(BrokenMarker))) {
-      // auto-reseed at the current head: every snapshot is expressible
-      // now that marks write as deletion vectors — only a mid-chain
-      // in-place mutation (detected per-commit below) breaks, and a
-      // fresh checkpoint expresses the RESULTING state regardless
-      seed(table, logDir, head)
-      Files.deleteIfExists(logDir.resolve(BrokenMarker))
-      return head
-    }
-
     val jsonVs: Seq[Long] = {
       if (!Files.isDirectory(logDir)) Seq.empty
       else {
@@ -1372,9 +1368,52 @@ object DeltaLogBridge {
         finally s.close()
       }
     }
+
+    if (Files.exists(logDir.resolve(BrokenMarker))) {
+      // auto-reseed at the current head: every snapshot is expressible
+      // now that marks write as deletion vectors — only a mid-chain
+      // in-place mutation (detected per-commit below) breaks, and a
+      // fresh checkpoint expresses the RESULTING state regardless.
+      // EXCEPT when the log carries commits ABOVE the graft head (a
+      // foreign log this table does not version-align with): a seed
+      // checkpoint at head would have those stale jsons replay on top
+      // of it — stay broken rather than cure into corruption.
+      if (jsonVs.exists(_ > head)) return -1L
+      seed(table, logDir, head)
+      Files.deleteIfExists(logDir.resolve(BrokenMarker))
+      return head
+    }
+
     val seedV = committedSeedVersion(logDir)
     val mirrored: Long = (jsonVs ++ seedV).foldLeft(-1L)(math.max)
     if (mirrored < 0) return seed(table, logDir, head)
+    // a log AHEAD of the table is not this table's 1:1 mirror — e.g. a
+    // convertFromDelta pinned BELOW the Delta head, or a foreign log.
+    // Appending would interleave graft translations with stale foreign
+    // commits; break loudly (and the reseed path above refuses too)
+    if (mirrored > head)
+      return break(s"the _delta_log is at version $mirrored, ahead of " +
+        s"graft version $head — not this table's 1:1 mirror (adopt at " +
+        "the latest Delta version, or remove the stale log)")
+    // appending requires PROVEN alignment: either this mirror seeded
+    // the log (a `_graft_seed.*` claim exists), or convertFromDelta
+    // adopted the log's HEAD and stamped `_graft_aligned` — graft
+    // versions then continue the original log 1:1. Anything else (a
+    // version-pinned adoption whose stale tail versions happen to not
+    // exceed head yet, a foreign log) must not be appended to; break,
+    // and let the reseed cure take over once head passes every stale
+    // json (a fresh checkpoint at head expresses the true state, and
+    // jsons BELOW a checkpoint never replay on top of it).
+    val selfMarked = {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).exists(n =>
+        n.startsWith("_graft_seed.") || n == AlignedMarker)
+      finally s.close()
+    }
+    if (!selfMarked)
+      return break("the _delta_log was written by neither this mirror " +
+        "nor a head-version adoption — refusing to append to a log " +
+        "whose history this table cannot vouch for")
     // contiguity from the committed seed (or 0) to the mirrored head:
     // appending past a gap would hand external readers a log that skips
     // commits — break instead, and let the reseed path cure it

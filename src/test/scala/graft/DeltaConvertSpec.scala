@@ -187,6 +187,45 @@ class DeltaConvertSpec extends AnyFunSuite {
       .filter($"s" === "b").count() == 1)
   }
 
+  test("genesis lands AT the adopted Delta version; enabling the mirror " +
+      "CONTINUES the original _delta_log at N+1") {
+    val dir = tmpDir()
+    buildFixture(dir) // Delta head = 1
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    assert(t.latestVersion == 1L, "convert manifest lands at the Delta head")
+    // graft time travel starts at the adopted version, like a vacuumed log
+    intercept[Exception](t.read(Some(0L)).collect())
+    // graft v2 (the property commit) and v3 (an append) mirror as Delta
+    // v2/v3 APPENDED to the original log — no reseed, no fork
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    t.append(Seq((3L, 40L, "w")).toDF("day", "k", "s"))
+    assert(Files.exists(
+      Paths.get(dir, "_delta_log/00000000000000000002.json")))
+    assert(Files.exists(
+      Paths.get(dir, "_delta_log/00000000000000000003.json")))
+    assert(!Files.exists(Paths.get(dir, "_delta_log/_GRAFT_MIRROR_BROKEN")))
+    // an external Delta reader of the SAME log sees graft's writes…
+    assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect().toSeq ==
+      t.read().orderBy("k").collect().toSeq)
+    // …and the PRE-adoption history stays time-travelable via the log
+    assert(DeltaLogBridge.read(spark, dir, Some(0L)).count() == 3)
+    // a version-pinned adoption does NOT version-align with the log's
+    // head: the mirror refuses to append (no alignment proof), then
+    // self-cures by CHECKPOINT once the graft head passes the stale
+    // tail — jsons below a checkpoint never replay on top of it
+    val dir2 = tmpDir()
+    buildFixture(dir2)
+    val t2 = CommitLogTable.convertFromDelta(spark, dir2, Some(0L))
+    t2.setProperties(Map(DeltaLogBridge.MirrorProp -> "true")) // graft v1
+    assert(Files.exists(Paths.get(dir2, "_delta_log/_GRAFT_MIRROR_BROKEN")),
+      "no append without an alignment proof")
+    t2.append(Seq((9L, 90L, "x")).toDF("day", "k", "s")) // graft v2 > stale 1
+    assert(!Files.exists(Paths.get(dir2, "_delta_log/_GRAFT_MIRROR_BROKEN")),
+      "reseed cures once head passes the stale tail")
+    assert(DeltaLogBridge.read(spark, dir2).orderBy("k").collect().toSeq ==
+      t2.read().orderBy("k").collect().toSeq)
+  }
+
   test("SQL spelling: CONVERT TO COMMITLOG delta.`path` [VERSION AS OF n]") {
     val cat = "graftsqlconvdelta"
     spark.conf.set(s"spark.sql.catalog.$cat",
