@@ -1056,6 +1056,16 @@ object DeltaLogBridge {
     m.properties.get(V2CheckpointMinFilesProp).map(_.toInt)
       .getOrElse(V2CheckpointMinFilesDefault)
 
+  /** Mirror checkpoint cadence — Delta's `delta.checkpointInterval`
+    * semantics (default 10): every Nth mirrored commit also writes a
+    * checkpoint, bounding how many jsons an external reader replays.
+    */
+  val CheckpointIntervalProp = "graft.deltaMirror.checkpointInterval"
+  private val CheckpointIntervalDefault = 10
+  private def checkpointInterval(m: CommitLogTable.Manifest): Long =
+    math.max(1L, m.properties.get(CheckpointIntervalProp).map(_.toLong)
+      .getOrElse(CheckpointIntervalDefault.toLong))
+
   private val V2CheckpointNeed: (Int, Int, Seq[String], Seq[String]) =
     (3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))
 
@@ -1497,6 +1507,16 @@ object DeltaLogBridge {
       // so a lease-configured (object-store) table mirrors safely too.
       table.coordinator.tryClaim(logDir, deltaName(v),
         sb.toString.getBytes(UTF_8))
+      // periodic CHECKPOINT cadence, Delta's delta.checkpointInterval
+      // (default 10): without it an external reader replays every json
+      // since the last seed — at 100 TB commit rates that chain is the
+      // read bottleneck Delta bounds the same way. Same deterministic
+      // seed path (claim-arbitrated, _last_checkpoint written last), so
+      // racing catch-up writers converge; a failure is non-fatal (the
+      // json chain still serves readers, the next multiple retries).
+      if (v % checkpointInterval(m) == 0)
+        try { seed(table, logDir, v); () }
+        catch { case scala.util.control.NonFatal(_) => () }
     } catch {
       // a translation failure (e.g. a DV recompute whose source file was
       // since vacuumed) must BREAK visibly — the post-commit hook

@@ -132,6 +132,34 @@ class ConvertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not cast"), e.getMessage)
   }
 
+  test("a STREAMING read of an adopted partitionBy table attaches the " +
+      "manifest-valued column per micro-batch") {
+    val root = Files.createTempDirectory("graft-convert-stream").toString
+    val dir = root + "/t"
+    spark.range(30).select($"id".as("k"), ($"id" % 3).as("day"))
+      .write.partitionBy("day").parquet(dir)
+    val t = CommitLogTable.convert(spark, dir, Seq("day"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("commitlog").option("path", dir)
+        .load().writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain() // initial snapshot: adopted files, day from the manifest
+    val got = spark.read.parquet(root + "/out")
+      .groupBy($"day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("0" -> 10, "1" -> 10, "2" -> 10), got.toString)
+    // an incremental append (physically-carried day) flows alongside
+    t.append(Seq((100L, "9")).toDF("k", "day"))
+    drain()
+    assert(spark.read.parquet(root + "/out")
+      .filter($"day" === "9").count() == 1)
+  }
+
   test("NULL partition directory (__HIVE_DEFAULT_PARTITION__) adopts as NULL") {
     val dir = Files.createTempDirectory("graft-convert-nullpart").toString + "/t"
     spark.range(6).select($"id".as("k"),

@@ -727,4 +727,32 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
     DeltaLogBridge.mirrorCatchUp(t1)
     assert(DeltaLogBridge.read(spark, dir).count() == 16)
   }
+
+  test("mirror checkpoint cadence: every Nth mirrored commit also writes " +
+      "a checkpoint, so readers never replay an unbounded json chain") {
+    val dir = tmpDir() + "/t"
+    val df0 = spark.range(2).select($"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df0.schema)
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true",
+      DeltaLogBridge.CheckpointIntervalProp -> "4")) // v1: seeds
+    (2 to 10).foreach(i =>
+      t.append(df0.withColumn("k", $"k" + i * 10), recordChanges = false))
+    assert(t.latestVersion == 10L)
+    // cadence checkpoints landed at the multiples of 4 past the seed
+    assert(Files.exists(Paths.get(dir,
+      "_delta_log/00000000000000000004.checkpoint.parquet")))
+    assert(Files.exists(Paths.get(dir,
+      "_delta_log/00000000000000000008.checkpoint.parquet")))
+    // the hint follows the newest one
+    val hint = new String(Files.readAllBytes(
+      Paths.get(dir, "_delta_log/_last_checkpoint")), UTF_8)
+    assert(hint.contains("\"version\":8"), hint)
+    // an external reader seeded at the cadence checkpoint sees the full
+    // table even with the pre-checkpoint jsons vacuumed away
+    (1L to 7L).foreach(v => Files.deleteIfExists(
+      Paths.get(dir, f"_delta_log/$v%020d.json")))
+    assert(DeltaLogBridge.read(spark, dir).count() == t.read().count())
+    assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect().toSeq ==
+      t.read().orderBy("k").collect().toSeq)
+  }
 }

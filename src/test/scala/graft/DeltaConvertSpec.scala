@@ -187,6 +187,45 @@ class DeltaConvertSpec extends AnyFunSuite {
       .filter($"s" === "b").count() == 1)
   }
 
+  test("a checkpoint-seeded log (json history vacuumed) adopts from the " +
+      "checkpoint state") {
+    val dir = tmpDir()
+    buildFixture(dir)
+    // checkpoint the v1 live state (f1 day=1, f2b day=2), then vacuum
+    // the json chain — the shape a long-lived Databricks table ships in
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))).json
+    val rows = Seq(
+      CkptRow(Some(CkptProtocol(1, 2)), None, None),
+      CkptRow(None, Some(CkptMeta("f00d", CkptFormat("parquet"),
+        schemaJson, Seq("day"))), None),
+      CkptRow(None, None, Some(CkptAdd(onePart(dir, "d1"),
+        Map("day" -> "1"), 100L, 1L, dataChange = false))),
+      CkptRow(None, None, Some(CkptAdd(onePart(dir, "d2b"),
+        Map("day" -> "2"), 100L, 1L, dataChange = false))))
+    val tmpCk = tmpDir()
+    rows.toDS().coalesce(1).write.parquet(tmpCk + "/ck")
+    val part = { val s = Files.list(Paths.get(tmpCk, "ck"))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close() }
+    Files.copy(part,
+      Paths.get(dir, "_delta_log/00000000000000000001.checkpoint.parquet"))
+    Files.write(Paths.get(dir, "_delta_log/_last_checkpoint"),
+      """{"version":1,"size":4}""".getBytes(UTF_8))
+    Files.delete(Paths.get(dir, "_delta_log/00000000000000000000.json"))
+    Files.delete(Paths.get(dir, "_delta_log/00000000000000000001.json"))
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    assert(t.latestVersion == 1L)
+    assert(t.read().orderBy("k").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 30L, "z"), (2L, 31L, "y")))
+  }
+
   test("genesis lands AT the adopted Delta version; enabling the mirror " +
       "CONTINUES the original _delta_log at N+1") {
     val dir = tmpDir()
