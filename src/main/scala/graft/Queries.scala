@@ -2952,6 +2952,36 @@ object Queries {
         min(col("event_id")).as("min_id"))
   }
 
+  /** GENERATED ALWAYS AS columns end to end (Delta's generated columns
+    * — the Databricks Bronze date-partitioning idiom,
+    * `docs/databricks_setup.md:96`): a `day DATE GENERATED ALWAYS AS
+    * (CAST(ts AS DATE))` partition column, the batch OMITS it, the
+    * write computes it, and the aggregate groups by the generated
+    * value — against a raw-data oracle that derives the same date.
+    */
+  def tableGenerated(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-generated-demo", "events")
+    SessionMemo.once(s, s"commitlogGenerated:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, value DOUBLE, day DATE")
+        val t = graft.tables.CommitLogTable.create(s, root, schema,
+          partitionCols = Seq("day"))
+        t.setProperties(Map(
+          graft.tables.CommitLogTable.GeneratedPropPrefix + "day" ->
+            "CAST(ts AS DATE)"))
+        t.append(Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("value")),
+          recordChanges = false)
+      }
+    }
+    s.read.format("commitlog").load(root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value"), 6).as("sum_value"),
+        min(col("event_id")).as("min_id"))
+  }
+
   /** Merge-on-read interop end to end: a commit-log table takes a LAZY
     * delete (metadata-only mark, [[graft.tables.CommitLogTable.deleteLazy]]),
     * exports as a Delta log whose adds carry protocol DELETION VECTORS

@@ -192,6 +192,7 @@ object SparkEntry {
     "q_table_multipart" -> (Queries.tableMultipart _),
     "q_table_convert" -> (Queries.tableConvert _),
     "q_table_convert_delta" -> (Queries.tableConvertDelta _),
+    "q_table_generated" -> (Queries.tableGenerated _),
     "q_delta_dv_read" -> (Queries.deltaDvRead _),
     "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
@@ -3967,6 +3968,15 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              min(event_id) AS min_id
       FROM events WHERE event_id % 7 = 0 GROUP BY event_type""",
+
+    // GENERATED ALWAYS AS (CAST(ts AS DATE)) partition column, computed
+    // at write because the batch omits it: grouping by the generated
+    // value must answer exactly like deriving the date from raw data
+    "q_table_generated" -> """
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(event_id) AS min_id
+      FROM events GROUP BY 1""",
 
     // CDF bounded by TIMESTAMPS pinned at commit 2's instant: exactly
     // the second commit (odd event_ids) qualifies under Delta's

@@ -52,13 +52,19 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   private var catalogName: String = _
   private var warehouse: String = _
 
-  /** ANSI constraint DDL (`ALTER TABLE … ADD CONSTRAINT … CHECK`)
-    * routes through [[alterTable]] only when the catalog declares it.
+  /** ANSI constraint DDL (`ALTER TABLE … ADD CONSTRAINT … CHECK`) and
+    * `GENERATED ALWAYS AS (expr)` columns route through this catalog
+    * only when it declares the capability; Spark validates generation
+    * expressions (deterministic, no subqueries, no references to other
+    * generated columns) before [[createTable]] ever sees them.
     */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -127,8 +133,48 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
     new CommitLogCatalogTable(spark, dir, Some(v))
   }
 
+  /** GENERATED ALWAYS AS columns travel on the V2 [[Column]] objects
+    * (the schema-based conversion drops `generationExpression`), so the
+    * Column[] variant — the one Spark's CREATE TABLE actually calls —
+    * extracts them here. Spark already validated the expressions
+    * (deterministic, no subqueries, no generated-on-generated) under
+    * the declared capability; they persist as `graft.generated.<col>`
+    * properties because the manifest schema round-trips through DDL,
+    * which drops metadata.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val gencols = columns.flatMap(c =>
+      Option(c.generationExpression()).map(c.name -> _)).toMap
+    val schema = StructType(columns.map { c =>
+      require(c.defaultValue() == null,
+        s"commitlog: column DEFAULT values are not supported ('${c.name}')")
+      require(c.identityColumnSpec() == null,
+        s"commitlog: identity columns are not supported ('${c.name}')")
+      val base = org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable,
+        Option(c.metadataInJSON())
+          .map(org.apache.spark.sql.types.Metadata.fromJson)
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty))
+      Option(c.comment()).map(base.withComment).getOrElse(base)
+    })
+    createTableImpl(ident, schema, partitions, properties, gencols)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    // legacy schema-based entry: generation expressions ride field
+    // metadata when present (programmatic callers)
+    val gencols = schema.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(e => f.name -> e)).toMap
+    createTableImpl(ident, schema, partitions, properties, gencols)
+  }
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      gencols: Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val partitionCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
@@ -138,11 +184,23 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
           other.toString)
     }
     Files.createDirectories(Paths.get(dirOf(ident)).getParent)
-    val t = CommitLogTable.create(spark, dirOf(ident), schema, partitionCols)
+    val cleanSchema =
+      if (gencols.isEmpty) schema
+      else StructType(schema.fields.map { f =>
+        if (!gencols.contains(f.name)) f
+        else f.copy(metadata = new org.apache.spark.sql.types
+          .MetadataBuilder().withMetadata(f.metadata)
+          .remove(org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .GENERATION_EXPRESSION_METADATA_KEY).build())
+      })
+    val t = CommitLogTable.create(spark, dirOf(ident), cleanSchema,
+      partitionCols)
     // USING/option properties that are Spark bookkeeping don't persist
     val props = properties.asScala.toMap --
       Seq("provider", "location", "owner", "external")
-    if (props.nonEmpty) t.setProperties(props)
+    val allProps = props ++ gencols.map { case (c, e) =>
+      (CommitLogTable.GeneratedPropPrefix + c) -> e }
+    if (allProps.nonEmpty) t.setProperties(allProps)
     loadTable(ident)
   }
 

@@ -1073,6 +1073,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         s"update: no column '$c' in ${snap.schema.fieldNames.mkString(",")}"))
       require(!snap.partitionCols.exists(set.contains),
         "update: cannot SET a partition column (a row may not move partitions)")
+      val gens = CommitLogTable.generatedExprs(snap.properties)
+      gens.foreach { case (c, sql) => require(!set.contains(c),
+        s"update: cannot SET generated column '$c' (GENERATED ALWAYS AS " +
+          s"$sql — it recomputes from its base columns)") }
       // stats pruning (same prover as deleteLazy): files whose (min, max)
       // PROVE no row matches carry over BY REFERENCE, marks and all — a
       // one-partition-selective UPDATE on a clustered 100 TB table
@@ -1085,10 +1089,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val current = readFiles(mayMatch, snap.schema, snap.columnMapping).persist()
       val hits = coalesce(predicate, lit(false))
       try {
-        val updatedRows = current.filter(hits).select(
+        val updatedRows = recomputeGenerated(current.filter(hits).select(
           snap.schema.fieldNames.map(c =>
             set.get(c).map(_.cast(snap.schema(c).dataType).as(c))
-              .getOrElse(col(c))).toSeq: _*)
+              .getOrElse(col(c))).toSeq: _*), snap)
         enforceConstraints(snap, updatedRows, "update")
         val (newFiles, _, updSub) = writeData(
           current.filter(!hits).unionByName(updatedRows),
@@ -1394,6 +1398,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       require(!pendingDeleteRefs(snap).exists(_.equalsIgnoreCase(oldName)),
         s"renameColumn: outstanding lazy-delete predicates reference " +
           s"'$oldName' — materialize them (compact) first")
+      CommitLogTable.generatedExprs(snap.properties).foreach { case (c, sql) =>
+        require(!c.equalsIgnoreCase(oldName) &&
+            !sqlRefs(sql).exists(_.equalsIgnoreCase(oldName)),
+          s"renameColumn: generated column '$c' (GENERATED ALWAYS AS $sql) " +
+            s"involves '$oldName' — drop the generation property first") }
       val physName = snap.columnMapping.getOrElse(oldName, oldName)
       val schema2 = StructType(snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -1432,6 +1441,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     require(!pendingDeleteRefs(snap).exists(_.equalsIgnoreCase(name)),
       s"dropColumn: outstanding lazy-delete predicates reference '$name' — " +
         "materialize them (compact) first")
+    val gens = CommitLogTable.generatedExprs(snap.properties)
+    gens.foreach { case (c, sql) =>
+      require(c.equalsIgnoreCase(name) ||
+          !sqlRefs(sql).exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: generated column '$c' (GENERATED ALWAYS AS $sql) " +
+          s"references '$name' — drop the generated column first") }
     val schema2 = StructType(snap.schema.fields.filterNot(_.name == name))
     mkManifest(snap, "drop", snap.files, rowsInserted = 0,
       rowsUpdated = 0, rowsDeleted = 0, rowsTotal = snap.rowsTotal,
@@ -1439,7 +1454,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       columnMapping = snap.columnMapping - name,
       retiredPhysical = snap.retiredPhysical :+
         snap.columnMapping.getOrElse(name, name),
-      clusteredBy = snap.clusteredBy)
+      clusteredBy = snap.clusteredBy,
+      // dropping a generated column retires its generation property too
+      properties =
+        if (gens.exists(_._1.equalsIgnoreCase(name)))
+          snap.properties - (CommitLogTable.GeneratedPropPrefix + name)
+        else null)
   }
 
   /** Current table properties (latest manifest's). */
@@ -1980,6 +2000,53 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       s"schema mismatch: table has ${snap.schema.toDDL}, " +
         s"got ${df.schema.toDDL} (pass mergeSchema=true to evolve)")
 
+  /** GENERATED ALWAYS AS columns (Delta's generated columns, stored as
+    * `graft.generated.<col>` table properties — see
+    * [[CommitLogTable.GeneratedPropPrefix]]): a batch that OMITS the
+    * column gets it computed from the expression; a batch that PROVIDES
+    * it gets a row-level assertion wired into the same write pass
+    * (Delta's rule — explicit values must equal the generation
+    * expression; a mismatch fails the write loudly, single-pass, no
+    * extra scan). Restores table column order afterwards so the
+    * schema-signature check sees the canonical shape; mergeSchema
+    * extras keep trailing.
+    */
+  private def applyGenerated(df: DataFrame, snap: Manifest): DataFrame = {
+    val gens = CommitLogTable.generatedExprs(snap.properties)
+    if (gens.isEmpty) return df
+    var out = df
+    gens.foreach { case (c, sql) =>
+      val dt = snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(throw new IllegalStateException(
+          s"generated column '$c' is not in the table schema"))
+      val gen = expr(sql).cast(dt)
+      out =
+        if (!out.columns.exists(_.equalsIgnoreCase(c)))
+          out.withColumn(c, gen)
+        else out.withColumn(c,
+          when(col(c) <=> gen, col(c)).otherwise(raise_error(concat(
+            lit(s"GENERATED ALWAYS AS violation on '$c': explicit value "),
+            coalesce(col(c).cast("string"), lit("NULL")),
+            lit(s" != generation expression ($sql)")))).cast(dt))
+    }
+    val tableOrder = snap.schema.fieldNames.filter(n =>
+      out.columns.exists(_.equalsIgnoreCase(n))).toSeq
+    val extras = out.columns.toSeq.filterNot(n =>
+      tableOrder.exists(_.equalsIgnoreCase(n)))
+    out.select((tableOrder ++ extras).map(col): _*)
+  }
+
+  /** Unconditional recompute of generated columns — UPDATE's rule: a
+    * SET on a base column re-derives every generated column (Delta does
+    * the same), and SETting a generated column directly refuses.
+    */
+  private def recomputeGenerated(df: DataFrame, snap: Manifest): DataFrame =
+    CommitLogTable.generatedExprs(snap.properties).foldLeft(df) {
+      case (d, (c, sql)) =>
+        val dt = snap.schema(c).dataType
+        d.withColumn(c, expr(sql).cast(dt))
+    }
+
   /** Resolve the WRITE schema of a batch: strict signature equality by
     * default; with `mergeSchema` the batch may ADD columns (appended to
     * the table schema, each assigned an immutable physical name that
@@ -1988,8 +2055,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * (evolved schema, evolved mapping, batch aligned to the schema's
     * column order).
     */
-  private def resolveSchema(df: DataFrame, snap: Manifest,
-      mergeSchema: Boolean): (StructType, Map[String, String], DataFrame) =
+  private def resolveSchema(df0: DataFrame, snap: Manifest,
+      mergeSchema: Boolean): (StructType, Map[String, String], DataFrame) = {
+    // generated columns fill/validate FIRST — a batch legitimately
+    // omits them, and the signature check below must see them present
+    val df = applyGenerated(df0, snap)
     if (!mergeSchema) { requireSchema(df, snap); (snap.schema, snap.columnMapping, df) }
     else {
       val existing = snap.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
@@ -2012,6 +2082,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       }.toSeq: _*)
       (schema2, mapping2, aligned)
     }
+  }
 
   /** Physical-name assignment for NEW logical columns: a column renamed
     * AWAY from 'x' keeps physical 'x' forever, and a DROPPED column's
@@ -3125,6 +3196,25 @@ object CommitLogTable {
     */
   val AutoCompactSortColsProp = "graft.autoCompact.sortCols"
   val AutoCompactDefaultTargetBytes: Long = 128L * 1024 * 1024
+
+  /** GENERATED ALWAYS AS columns (Delta's generated columns): one table
+    * property per column, `graft.generated.<col>` → the generation
+    * expression SQL. Stored as properties (not schema metadata — the
+    * manifest schema round-trips through DDL, which drops metadata).
+    * Every batch write plane fills an omitted generated column from the
+    * expression and row-asserts a provided one; UPDATE recomputes them;
+    * dropping or renaming a referenced base column refuses. Typical
+    * use: a `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))` partition
+    * column — the Databricks Bronze date-partitioning idiom.
+    */
+  val GeneratedPropPrefix = "graft.generated."
+
+  private[tables] def generatedExprs(props: Map[String, String])
+      : Seq[(String, String)] =
+    props.iterator.collect {
+      case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
+    }.toSeq.sortBy(_._1)
 
   val BloomColsProp = "graft.bloom.columns"
   val BloomBitsProp = "graft.bloom.bits" // per file-column; default 131072 (16 KiB)

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.CommitLogTable
+
+/** GENERATED ALWAYS AS columns — Delta's generated columns
+  * (`docs/databricks_setup.md`'s Bronze date-partitioning idiom:
+  * `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))`). Stored as
+  * `graft.generated.<col>` table properties; every batch write plane
+  * fills an omitted generated column from its expression and
+  * row-asserts a provided one; UPDATE recomputes; dropping/renaming a
+  * referenced base column refuses.
+  */
+class GeneratedColumnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cat = "graftgencols"
+  private lazy val setup: Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-gencols-wh").toString)
+  }
+
+  test("SQL CREATE TABLE with a generated partition column: the DDL " +
+      "round-trips into properties; DataFrame appends fill the column") {
+    setup
+    spark.sql(s"""CREATE TABLE $cat.ns.ev (
+        k BIGINT, ts TIMESTAMP,
+        day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+      PARTITIONED BY (day)""")
+    val dir = spark.sql(s"DESCRIBE DETAIL $cat.ns.ev")
+      .select("location").head().getString(0)
+    val t = CommitLogTable.open(spark, dir)
+    assert(t.properties.get("graft.generated.day")
+      .exists(_.toUpperCase.contains("CAST")), t.properties.toString)
+    // a batch that OMITS day gets it computed — and lands partitioned
+    t.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 11:00:00")))
+      .toDF("k", "ts"))
+    val m = t.resolvedManifest(None)
+    assert(m.files.map(_.partitionVals.head).sorted ==
+      Seq("2024-03-01", "2024-03-02"))
+    assert(spark.sql(s"SELECT day FROM $cat.ns.ev WHERE k = 2")
+      .head().getDate(0).toString == "2024-03-02")
+    // partition pruning on the generated column works like any other
+    val pruned = spark.sql(
+      s"SELECT k FROM $cat.ns.ev WHERE day = DATE'2024-03-01'")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("files=1/2"))
+  }
+
+  test("explicit values are ASSERTED row-by-row: matching pass, a " +
+      "mismatch fails the write loudly and commits nothing") {
+    setup
+    spark.sql(s"""CREATE TABLE $cat.ns.ev2 (
+        k BIGINT, ts TIMESTAMP,
+        day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))""")
+    val dir = spark.sql(s"DESCRIBE DETAIL $cat.ns.ev2")
+      .select("location").head().getString(0)
+    val t = CommitLogTable.open(spark, dir)
+    // SQL INSERT provides day explicitly — correct values pass
+    spark.sql(s"INSERT INTO $cat.ns.ev2 VALUES " +
+      "(1, TIMESTAMP'2024-03-01 10:00:00', DATE'2024-03-01')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.ev2").head().getLong(0) == 1)
+    // a wrong explicit value fails the write (GENERATED ALWAYS), and the
+    // failed commit publishes nothing
+    val before = t.latestVersion
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.ns.ev2 VALUES " +
+        "(2, TIMESTAMP'2024-03-01 10:00:00', DATE'1999-01-01')"))
+    def msgs(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("GENERATED ALWAYS")), msgs(e).toString)
+    assert(t.latestVersion == before)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.ev2").head().getLong(0) == 1)
+  }
+
+  test("UPDATE recomputes generated columns when a base changes and " +
+      "refuses to SET them directly; merge fills like append") {
+    val dir = Files.createTempDirectory("graft-gencols-upd").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP, day DATE")
+    val t = CommitLogTable.create(spark, dir, schema)
+    t.setProperties(Map("graft.generated.day" -> "CAST(ts AS DATE)"))
+    t.append(Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))
+      .toDF("k", "ts"))
+    // merge (upsert) fills the generated column for inserted rows too
+    t.merge(Seq((2L, java.sql.Timestamp.valueOf("2024-04-05 09:00:00")))
+      .toDF("k", "ts"), Seq("k"), Seq(col("ts")))
+    assert(t.read().filter($"k" === 2).head().getDate(2).toString ==
+      "2024-04-05")
+    // UPDATE of the base recomputes the generated value
+    t.update($"k" === 1L, Map("ts" ->
+      lit(java.sql.Timestamp.valueOf("2025-12-31 23:00:00"))))
+    assert(t.read().filter($"k" === 1).head().getDate(2).toString ==
+      "2025-12-31")
+    // SET on the generated column itself refuses
+    val e = intercept[IllegalArgumentException](
+      t.update($"k" === 1L, Map("day" -> lit("2020-01-01").cast("date"))))
+    assert(e.getMessage.contains("generated column"), e.getMessage)
+    // dropping/renaming the referenced base column refuses; dropping the
+    // generated column itself retires its property
+    val e2 = intercept[IllegalArgumentException](t.dropColumn("ts"))
+    assert(e2.getMessage.contains("GENERATED ALWAYS"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](t.renameColumn("ts", "ts2"))
+    assert(e3.getMessage.contains("GENERATED ALWAYS"), e3.getMessage)
+    t.dropColumn("day")
+    assert(!t.properties.contains("graft.generated.day"))
+    t.renameColumn("ts", "ts2") // no longer referenced: renames fine
+  }
+
+  test("the V1 path-based writer and streaming sink fill generated " +
+      "columns too (all batch planes funnel through append)") {
+    val root = Files.createTempDirectory("graft-gencols-v1").toString
+    val dir = root + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP, day DATE")
+    val t = CommitLogTable.create(spark, dir, schema, Seq("day"))
+    t.setProperties(Map("graft.generated.day" -> "CAST(ts AS DATE)"))
+    // df.write.format("commitlog") without day
+    Seq((1L, java.sql.Timestamp.valueOf("2024-06-01 08:00:00")))
+      .toDF("k", "ts").write.format("commitlog")
+      .mode("append").save(dir)
+    // V1 streaming sink without day
+    val src = root + "/src"
+    Seq((2L, java.sql.Timestamp.valueOf("2024-06-02 08:00:00")))
+      .toDF("k", "ts").write.parquet(src)
+    val q = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, ts TIMESTAMP"))
+      .parquet(src).writeStream.format("commitlog")
+      .option("path", dir).option("checkpointLocation", root + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(t.read().orderBy("k").collect().map(_.getDate(2).toString).toSeq ==
+      Seq("2024-06-01", "2024-06-02"))
+    assert(t.resolvedManifest(None).files
+      .map(_.partitionVals.head).sorted ==
+      Seq("2024-06-01", "2024-06-02"))
+  }
+}
