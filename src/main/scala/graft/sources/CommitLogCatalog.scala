@@ -64,7 +64,9 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -147,11 +149,19 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val gencols = columns.flatMap(c =>
       Option(c.generationExpression()).map(c.name -> _)).toMap
+    // IDENTITY columns persist as graft.identity.<col> specs; the
+    // table's write planes own assignment and high-water sync
+    val idProps = columns.flatMap(c =>
+      Option(c.identityColumnSpec()).map { s =>
+        require(c.dataType == org.apache.spark.sql.types.LongType ||
+            c.dataType == org.apache.spark.sql.types.IntegerType,
+          s"identity column '${c.name}' must be BIGINT or INT")
+        (CommitLogTable.IdentityPropPrefix + c.name) ->
+          s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}"
+      }).toMap
     val schema = StructType(columns.map { c =>
       require(c.defaultValue() == null,
         s"commitlog: column DEFAULT values are not supported ('${c.name}')")
-      require(c.identityColumnSpec() == null,
-        s"commitlog: identity columns are not supported ('${c.name}')")
       val base = org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable,
         Option(c.metadataInJSON())
@@ -159,7 +169,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
           .getOrElse(org.apache.spark.sql.types.Metadata.empty))
       Option(c.comment()).map(base.withComment).getOrElse(base)
     })
-    createTableImpl(ident, schema, partitions, properties, gencols)
+    createTableImpl(ident, schema, partitions, properties, gencols, idProps)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -169,12 +179,13 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
     val gencols = schema.fields.flatMap(f =>
       org.apache.spark.sql.catalyst.util.GeneratedColumn
         .getGenerationExpression(f).map(e => f.name -> e)).toMap
-    createTableImpl(ident, schema, partitions, properties, gencols)
+    createTableImpl(ident, schema, partitions, properties, gencols, Map.empty)
   }
 
   private def createTableImpl(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String],
-      gencols: Map[String, String]): Table = {
+      gencols: Map[String, String],
+      idProps: Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val partitionCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
@@ -199,7 +210,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
     val props = properties.asScala.toMap --
       Seq("provider", "location", "owner", "external")
     val allProps = props ++ gencols.map { case (c, e) =>
-      (CommitLogTable.GeneratedPropPrefix + c) -> e }
+      (CommitLogTable.GeneratedPropPrefix + c) -> e } ++ idProps
     if (allProps.nonEmpty) t.setProperties(allProps)
     loadTable(ident)
   }

@@ -600,7 +600,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
         rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub,
         schema = schema2, columnMapping = mapping2,
-        txns = snap.txns ++ txn.toMap)
+        txns = snap.txns ++ txn.toMap,
+        properties = identitySyncProps(snap, mapping2, newFiles).orNull)
     }
 
   /** Streaming-sink commit (the V2 `writeStream.toTable` path,
@@ -667,7 +668,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       mkManifest(snap, "append", snap.files ++ files,
         rowsInserted = dataRows, rowsUpdated = 0, rowsDeleted = 0,
         rowsTotal = snap.rowsTotal + dataRows, changesDir = changesSub,
-        txns = snap.txns + txn)
+        txns = snap.txns + txn,
+        properties =
+          identitySyncProps(snap, snap.columnMapping, files).orNull)
     }
   }
 
@@ -702,7 +705,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       mkManifest(snap, "overwrite", newFiles,
         rowsInserted = dataRows, rowsUpdated = 0,
         rowsDeleted = snap.rowsTotal, rowsTotal = dataRows,
-        changesDir = changesSub, schema = schema2, columnMapping = mapping2)
+        changesDir = changesSub, schema = schema2, columnMapping = mapping2,
+        properties = identitySyncProps(snap, mapping2, newFiles).orNull)
     }
 
   /** MERGE upsert, latest-wins per `keys` under `order` (same semantics as
@@ -725,7 +729,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   def merge(updates: DataFrame, keys: Seq[String], order: Seq[Column],
       mergeSchema: Boolean = false): Long =
     retryCommit("merge") { snap =>
-      val (schema2, mapping2, aligned) = resolveSchema(updates, snap, mergeSchema)
+      // identityFill = false: latest-wins replaces WHOLE rows, so a
+      // fresh id for an omitted identity column would re-key existing
+      // rows — the source must carry it
+      val (schema2, mapping2, aligned) =
+        resolveSchema(updates, snap, mergeSchema, identityFill = false)
       // latest-wins collapses only NON-NULL-keyed rows: a NULL merge key
       // never equi-matches anything (itself included) — each NULL-keyed
       // update row is an independent insert, like Delta MERGE — and
@@ -800,7 +808,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           rowsTotal = snap.rowsTotal - affected.map(_.rows).sum +
             newFiles.map(_.rows).sum,
           changesDir = Some(changesSub),
-          schema = schema2, columnMapping = mapping2)
+          schema = schema2, columnMapping = mapping2,
+          properties = identitySyncProps(snap, mapping2, newFiles).orNull)
       } finally joined.unpersist(false)
       } finally latest.unpersist(false)
     }
@@ -992,7 +1001,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             rowsInserted = ins, rowsUpdated = upd, rowsDeleted = del,
             rowsTotal = snap.rowsTotal - rewritten.map(_.rows).sum +
               newFiles.map(_.rows).sum,
-            changesDir = Some(changesSub))
+            changesDir = Some(changesSub),
+            properties =
+              identitySyncProps(snap, snap.columnMapping, newFiles).orNull)
         } finally joined.unpersist(false)
       } finally src.unpersist(false)
     }
@@ -1077,6 +1088,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       gens.foreach { case (c, sql) => require(!set.contains(c),
         s"update: cannot SET generated column '$c' (GENERATED ALWAYS AS " +
           s"$sql — it recomputes from its base columns)") }
+      CommitLogTable.identitySpecs(snap.properties).foreach { id =>
+        require(id.allowExplicit || !set.contains(id.col),
+          s"update: cannot SET identity column '${id.col}' (GENERATED " +
+            "ALWAYS AS IDENTITY)") }
       // stats pruning (same prover as deleteLazy): files whose (min, max)
       // PROVE no row matches carry over BY REFERENCE, marks and all — a
       // one-partition-selective UPDATE on a clustered 100 TB table
@@ -1118,7 +1133,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           rowsInserted = 0, rowsUpdated = nUpd, rowsDeleted = 0,
           rowsTotal = snap.rowsTotal - mayMatch.map(_.rows).sum +
             newFiles.map(_.rows).sum,
-          changesDir = Some(changesSub))
+          changesDir = Some(changesSub),
+          properties =
+            identitySyncProps(snap, snap.columnMapping, newFiles).orNull)
       } finally current.unpersist(false)
     }
   }
@@ -2007,9 +2024,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * it gets a row-level assertion wired into the same write pass
     * (Delta's rule — explicit values must equal the generation
     * expression; a mismatch fails the write loudly, single-pass, no
-    * extra scan). Restores table column order afterwards so the
-    * schema-signature check sees the canonical shape; mergeSchema
-    * extras keep trailing.
+    * extra scan). [[alignToSchemaOrder]] restores table column order
+    * after the fills so the schema-signature check sees the canonical
+    * shape; mergeSchema extras keep trailing.
     */
   private def applyGenerated(df: DataFrame, snap: Manifest): DataFrame = {
     val gens = CommitLogTable.generatedExprs(snap.properties)
@@ -2029,11 +2046,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             coalesce(col(c).cast("string"), lit("NULL")),
             lit(s" != generation expression ($sql)")))).cast(dt))
     }
+    out
+  }
+
+  private def alignToSchemaOrder(df: DataFrame, snap: Manifest): DataFrame = {
     val tableOrder = snap.schema.fieldNames.filter(n =>
-      out.columns.exists(_.equalsIgnoreCase(n))).toSeq
-    val extras = out.columns.toSeq.filterNot(n =>
+      df.columns.exists(_.equalsIgnoreCase(n))).toSeq
+    val extras = df.columns.toSeq.filterNot(n =>
       tableOrder.exists(_.equalsIgnoreCase(n)))
-    out.select((tableOrder ++ extras).map(col): _*)
+    val want = tableOrder ++ extras
+    if (want == df.columns.toSeq) df else df.select(want.map(col): _*)
   }
 
   /** Unconditional recompute of generated columns — UPDATE's rule: a
@@ -2047,6 +2069,83 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         d.withColumn(c, expr(sql).cast(dt))
     }
 
+  /** IDENTITY assignment for a batch ([[CommitLogTable.IdentityPropPrefix]]):
+    * an omitted identity column gets `base + step * mid` where `mid` is
+    * `monotonically_increasing_id()` — one pass, no count job, unique
+    * per batch, gaps permitted (identity semantics). A provided column
+    * requires `BY DEFAULT` (GENERATED ALWAYS refuses). With
+    * `fill = false` (merge paths — latest-wins replaces whole rows, so
+    * a fill would RE-key existing rows) an omitted identity column
+    * refuses instead. High-water sync happens post-write
+    * ([[identitySyncProps]]) in the same commit.
+    */
+  private def applyIdentity(df0: DataFrame, snap: Manifest,
+      fill: Boolean): DataFrame = {
+    val ids = CommitLogTable.identitySpecs(snap.properties)
+    if (ids.isEmpty) return df0
+    var out = df0
+    ids.foreach { case CommitLogTable.IdentitySpec(c, start, step, allow) =>
+      if (out.columns.exists(_.equalsIgnoreCase(c))) {
+        require(allow,
+          s"identity column '$c' is GENERATED ALWAYS AS IDENTITY — " +
+            "explicit values refuse (declare it GENERATED BY DEFAULT " +
+            "to allow them)")
+      } else {
+        require(fill,
+          s"this write path cannot assign identity column '$c' " +
+            "(latest-wins merge replaces whole rows — a fresh id would " +
+            "re-key existing rows); provide the column in the source")
+        val dt = snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(_.dataType).getOrElse(throw new IllegalStateException(
+            s"identity column '$c' is not in the table schema"))
+        val hw = snap.properties
+          .get(CommitLogTable.IdentityPropPrefix + c + ".highWater")
+          .map(_.toLong)
+        val base = hw.map(_ + step).getOrElse(start)
+        out = out.withColumn(c,
+          (lit(base) + lit(step) * monotonically_increasing_id()).cast(dt))
+      }
+    }
+    out
+  }
+
+  /** Post-write identity high-water sync: the furthest value (by step
+    * sign) among the commit's NEW files, from their footer stats — zero
+    * extra passes; a stat-less file (wide table past the stats-column
+    * cap) falls back to one column-pruned max/min scan of just those
+    * files. Returns the full property map for the commit's manifest, or
+    * None when nothing advanced.
+    */
+  private def identitySyncProps(snap: Manifest,
+      mapping: Map[String, String],
+      newFiles: Seq[LogFile]): Option[Map[String, String]] = {
+    val ids = CommitLogTable.identitySpecs(snap.properties)
+    if (ids.isEmpty || newFiles.isEmpty) return None
+    var delta = Map.empty[String, String]
+    ids.foreach { case CommitLogTable.IdentitySpec(c, _, step, _) =>
+      val phys = mapping.getOrElse(c, c)
+      val dataFiles = newFiles.filter(_.rows > 0)
+      val fromStats: Seq[Long] = dataFiles.flatMap(_.stats.get(phys))
+        .map(b => (if (step > 0) b._2 else b._1).toLong)
+      val furthest: Option[Long] =
+        if (dataFiles.isEmpty) None
+        else if (fromStats.size == dataFiles.size)
+          Some(if (step > 0) fromStats.max else fromStats.min)
+        else {
+          val agg = if (step > 0) max(col(c)) else min(col(c))
+          Option(readFiles(dataFiles, snap.schema, mapping)
+            .agg(agg.cast("long")).head().get(0)).map(_.asInstanceOf[Long])
+        }
+      val key = CommitLogTable.IdentityPropPrefix + c + ".highWater"
+      val cur = snap.properties.get(key).map(_.toLong)
+      furthest.foreach { f =>
+        val better = cur.forall(h => if (step > 0) f > h else f < h)
+        if (better) delta += key -> f.toString
+      }
+    }
+    if (delta.isEmpty) None else Some(snap.properties ++ delta)
+  }
+
   /** Resolve the WRITE schema of a batch: strict signature equality by
     * default; with `mergeSchema` the batch may ADD columns (appended to
     * the table schema, each assigned an immutable physical name that
@@ -2056,10 +2155,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * column order).
     */
   private def resolveSchema(df0: DataFrame, snap: Manifest,
-      mergeSchema: Boolean): (StructType, Map[String, String], DataFrame) = {
-    // generated columns fill/validate FIRST — a batch legitimately
-    // omits them, and the signature check below must see them present
-    val df = applyGenerated(df0, snap)
+      mergeSchema: Boolean,
+      identityFill: Boolean = true): (StructType, Map[String, String], DataFrame) = {
+    // generated/identity columns fill/validate FIRST — a batch
+    // legitimately omits them, and the signature check below must see
+    // them present
+    val df = alignToSchemaOrder(
+      applyIdentity(applyGenerated(df0, snap), snap, identityFill), snap)
     if (!mergeSchema) { requireSchema(df, snap); (snap.schema, snap.columnMapping, df) }
     else {
       val existing = snap.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
@@ -3215,6 +3317,33 @@ object CommitLogTable {
       case (k, v) if k.startsWith(GeneratedPropPrefix) =>
         k.stripPrefix(GeneratedPropPrefix) -> v
     }.toSeq.sortBy(_._1)
+
+  /** IDENTITY columns (`GENERATED ALWAYS|BY DEFAULT AS IDENTITY (START
+    * WITH s INCREMENT BY k)`): `graft.identity.<col>` = "start,step,
+    * allowExplicit", plus `graft.identity.<col>.highWater` — the
+    * FURTHEST value handed out so far (by step sign), synced
+    * monotonically in the same commit that writes the rows. Assignment
+    * is one-pass and coordination-free: `start_of_batch + step *
+    * monotonically_increasing_id()` — unique and increasing within the
+    * batch, with GAPS between partitions (identity semantics permit
+    * gaps; Delta's allocator leaves them too), so no count job, no
+    * shuffle, no extra scan at any batch size.
+    */
+  val IdentityPropPrefix = "graft.identity."
+
+  final case class IdentitySpec(col: String, start: Long, step: Long,
+      allowExplicit: Boolean)
+
+  private[tables] def identitySpecs(props: Map[String, String])
+      : Seq[IdentitySpec] =
+    props.iterator.collect {
+      case (k, v) if k.startsWith(IdentityPropPrefix) &&
+          !k.endsWith(".highWater") =>
+        val parts = v.split(',')
+        IdentitySpec(k.stripPrefix(IdentityPropPrefix),
+          parts(0).trim.toLong, parts(1).trim.toLong,
+          parts(2).trim.toBoolean)
+    }.toSeq.sortBy(_.col)
 
   val BloomColsProp = "graft.bloom.columns"
   val BloomBitsProp = "graft.bloom.bits" // per file-column; default 131072 (16 KiB)

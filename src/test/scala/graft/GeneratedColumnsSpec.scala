@@ -117,6 +117,62 @@ class GeneratedColumnsSpec extends AnyFunSuite {
     t.renameColumn("ts", "ts2") // no longer referenced: renames fine
   }
 
+  test("IDENTITY columns: assignment is unique and increasing across " +
+      "commits, the high-water mark syncs in the same commit, and " +
+      "GENERATED ALWAYS refuses explicit values") {
+    setup
+    spark.sql(s"""CREATE TABLE $cat.ns.idt (
+        id BIGINT GENERATED ALWAYS AS IDENTITY,
+        v STRING)""")
+    val dir = spark.sql(s"DESCRIBE DETAIL $cat.ns.idt")
+      .select("location").head().getString(0)
+    val t = CommitLogTable.open(spark, dir)
+    assert(t.properties.get("graft.identity.id").contains("1,1,false"),
+      t.properties.toString)
+    t.append(Seq("a", "b", "c").toDF("v"))
+    val first = t.read().select("id").collect().map(_.getLong(0)).toSeq
+    assert(first.distinct.size == 3 && first.min >= 1)
+    assert(t.properties("graft.identity.id.highWater").toLong == first.max)
+    // the next batch continues PAST the synced high water
+    t.append(Seq("d", "e").toDF("v"))
+    val all = t.read().select("id").collect().map(_.getLong(0)).toSeq
+    assert(all.distinct.size == 5)
+    assert(all.filterNot(first.contains).min > first.max,
+      s"second batch must start past ${first.max}: $all")
+    // GENERATED ALWAYS: an explicit id refuses
+    val e = intercept[Exception](
+      t.append(Seq((99L, "z")).toDF("id", "v")))
+    assert(e.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
+      e.getMessage)
+    // ...and a merge source must CARRY the column (latest-wins merge
+    // replaces whole rows; a fresh id would re-key existing rows)
+    val e2 = intercept[Exception](
+      t.merge(Seq("f").toDF("v"), Seq("v"), Seq(col("v"))))
+    assert(e2.getMessage.contains("cannot assign identity"), e2.getMessage)
+  }
+
+  test("GENERATED BY DEFAULT AS IDENTITY accepts explicit values and " +
+      "advances the watermark past them") {
+    setup
+    spark.sql(s"""CREATE TABLE $cat.ns.idd (
+        id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100
+          INCREMENT BY 10),
+        v STRING)""")
+    val dir = spark.sql(s"DESCRIBE DETAIL $cat.ns.idd")
+      .select("location").head().getString(0)
+    val t = CommitLogTable.open(spark, dir)
+    assert(t.properties.get("graft.identity.id").contains("100,10,true"))
+    t.append(Seq("a").toDF("v"))
+    assert(t.read().head().getLong(0) == 100L)
+    // explicit insert allowed; the watermark advances past it
+    spark.sql(s"INSERT INTO $cat.ns.idd VALUES (5000, 'x')")
+    assert(t.properties("graft.identity.id.highWater").toLong == 5000L)
+    t.append(Seq("b").toDF("v"))
+    val ids = t.read().select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(100L) && ids.contains(5000L))
+    assert(ids.exists(_ > 5000L), ids.toString)
+  }
+
   test("the V1 path-based writer and streaming sink fill generated " +
       "columns too (all batch planes funnel through append)") {
     val root = Files.createTempDirectory("graft-gencols-v1").toString
