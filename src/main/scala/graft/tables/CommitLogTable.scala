@@ -657,9 +657,30 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         throw NoOpCommit
       }
       val dataRows = files.map(_.rows).sum
-      try enforceConstraints(snap,
-        readFiles(files, snap.schema, snap.columnMapping), "append")
-      catch { case e: Throwable =>
+      try {
+        val stagedRead = readFiles(files, snap.schema, snap.columnMapping)
+        enforceConstraints(snap, stagedRead, "append")
+        // the epoch's files were EXECUTOR-written, so the generated-
+        // column assertion the batch planes wire into their write pass
+        // runs here as one column-pruned validation pass over the epoch
+        CommitLogTable.generatedExprs(snap.properties).foreach {
+          case (c, sql) =>
+            val dt = snap.schema(c).dataType
+            val bad = stagedRead
+              .filter(!(col(c) <=> expr(sql).cast(dt))).limit(1).count()
+            require(bad == 0, s"streaming write violates GENERATED " +
+              s"ALWAYS AS on '$c' ($sql) — the epoch commits nothing")
+        }
+        // the epoch sink always writes explicit values (schemaSig forces
+        // the column present), which GENERATED ALWAYS identity forbids
+        CommitLogTable.identitySpecs(snap.properties).foreach { id =>
+          require(id.allowExplicit,
+            s"streaming epoch sink cannot write identity column " +
+              s"'${id.col}' (GENERATED ALWAYS AS IDENTITY) — declare it " +
+              "GENERATED BY DEFAULT, or write through the V1 commitlog " +
+              "sink (df.writeStream.format(\"commitlog\")), which assigns")
+        }
+      } catch { case e: Throwable =>
         deleteRecursively(Paths.get(dir, sub)); throw e }
       val changesSub = Some(writeChanges(
         readFiles(files, snap.schema, snap.columnMapping)
@@ -856,6 +877,59 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
               s"mergeInto: $what references unknown column '$k'"))
           f -> v
         }
+      // generated/identity enforcement — the same rules every other
+      // write plane applies: no direct SET of a generated column (it
+      // recomputes below), no explicit values into GENERATED ALWAYS
+      // identity, and an INSERT clause must provide a BY DEFAULT
+      // identity column (this plane does not assign — the latest-wins
+      // merge()'s refusal, for the same re-keying reason)
+      val gens = CommitLogTable.generatedExprs(snap.properties)
+      val idSpecs = CommitLogTable.identitySpecs(snap.properties)
+      def guardSet(set: Map[String, Column]): Unit = {
+        gens.foreach { case (c, sql) =>
+          require(!set.keys.exists(_.equalsIgnoreCase(c)),
+            s"mergeInto: cannot UPDATE SET generated column '$c' " +
+              s"(GENERATED ALWAYS AS $sql — it recomputes)") }
+        idSpecs.foreach { id =>
+          require(id.allowExplicit ||
+              !set.keys.exists(_.equalsIgnoreCase(id.col)),
+            s"mergeInto: cannot UPDATE SET identity column '${id.col}' " +
+              "(GENERATED ALWAYS AS IDENTITY)") }
+      }
+      matched.foreach {
+        case CommitLogTable.MatchedUpdate(_, set) => guardSet(set)
+        case _ => () }
+      bySource.foreach {
+        case CommitLogTable.BySourceUpdate(_, set) => guardSet(set)
+        case _ => () }
+      notMatched.foreach { cl =>
+        idSpecs.foreach { id =>
+          val has = cl.values.keys.exists(_.equalsIgnoreCase(id.col))
+          require(id.allowExplicit,
+            s"mergeInto: cannot INSERT into a table with GENERATED " +
+              s"ALWAYS AS IDENTITY column '${id.col}' through this plane " +
+              "— insert via append (which assigns), or declare the " +
+              "column GENERATED BY DEFAULT")
+          require(has,
+            s"mergeInto: INSERT omits identity column '${id.col}' — " +
+              "provide it (the column is GENERATED BY DEFAULT)")
+        }
+      }
+      // per-clause INSERT handling for generated columns: an omitted
+      // column computes from its expression, a provided one is
+      // row-asserted — mirroring applyGenerated's batch rule
+      def genFixInsert(frame: DataFrame,
+          provided: Set[String]): DataFrame =
+        gens.foldLeft(frame) { case (d, (c, sql)) =>
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+          val gen = expr(sql).cast(dt)
+          if (!provided.exists(_.equalsIgnoreCase(c))) d.withColumn(c, gen)
+          else d.withColumn(c,
+            when(col(c) <=> gen, col(c)).otherwise(raise_error(concat(
+              lit(s"GENERATED ALWAYS AS violation on '$c': INSERT value "),
+              coalesce(col(c).cast("string"), lit("NULL")),
+              lit(s" != generation expression ($sql)")))).cast(dt))
+        }
       val src = source.persist()
       try {
         // file scope: bySource clauses reach every target row; otherwise
@@ -936,18 +1010,23 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             (zeroIfNull(cRow, 0), zeroIfNull(cRow, 1), zeroIfNull(cRow, 2))
           if (ins + upd + del == 0) throw NoOpCommit
 
+          // generated columns RECOMPUTE on every update output (a SET on
+          // a base column changes them; direct SETs were refused above)
+          // and fill/assert on every insert output
           val matchedUpdated = matched.zipWithIndex.collect {
             case (MatchedUpdate(_, set), i) =>
-              pairs.filter(mIdx === i).select(updOut(named(set, "UPDATE SET")): _*)
+              recomputeGenerated(pairs.filter(mIdx === i)
+                .select(updOut(named(set, "UPDATE SET")): _*), snap)
           }
           val bySourceUpdated = bySource.zipWithIndex.collect {
             case (BySourceUpdate(_, set), i) =>
-              targetOnly.filter(bIdx === i)
-                .select(updOut(named(set, "UPDATE SET")): _*)
+              recomputeGenerated(targetOnly.filter(bIdx === i)
+                .select(updOut(named(set, "UPDATE SET")): _*), snap)
           }
           val inserted = notMatched.zipWithIndex.map { case (cl, i) =>
-            sourceOnly.filter(iIdx === i)
-              .select(insOut(named(cl.values, "INSERT")): _*)
+            genFixInsert(sourceOnly.filter(iIdx === i)
+              .select(insOut(named(cl.values, "INSERT")): _*),
+              named(cl.values, "INSERT").keySet)
           }
           // unchanged matched rows: a multi-matched row whose pairs all
           // fall through is legal and must collapse to ONE copy; a row

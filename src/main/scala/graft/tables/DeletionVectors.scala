@@ -152,11 +152,9 @@ private[graft] object DeletionVectors {
     */
   def serializeBitmap(rowIndexes: Iterator[Long]): Array[Byte] = {
     val buckets = scala.collection.mutable.LongMap.empty[RoaringBitmap]
-    var card = 0L
     rowIndexes.foreach { ri =>
       require(ri >= 0, s"negative row index $ri")
       buckets.getOrElseUpdate(ri >>> 32, new RoaringBitmap()).add(ri.toInt)
-      card += 1
     }
     val maxKey = if (buckets.isEmpty) -1L else buckets.keys.max
     val bs = (0L to maxKey).map(k =>

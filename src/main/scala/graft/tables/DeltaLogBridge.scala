@@ -1435,7 +1435,13 @@ object DeltaLogBridge {
 
     // field-id carry across this catch-up's metaData emissions: seeded
     // from the log's own declarations, so a crash-redo racer converges
-    var idCarry = priorFieldIds(table.spark, logDir)
+    // LAZY like declared0: priorFieldIds parses the whole json chain
+    // and Spark-reads the newest checkpoint — the steady-state append
+    // emits no metaData, so the common catch-up must not pay it
+    var idCarryCache: Option[(Map[String, Long], Long)] = None
+    def idCarry: (Map[String, Long], Long) = idCarryCache.getOrElse {
+      val c = priorFieldIds(table.spark, logDir); idCarryCache = Some(c); c
+    }
     // DECLARED-protocol carry for upgrade emission: seeded lazily from
     // the log (plain (1,2) tables never pay the walk), merged upward
     // only — the log must never downgrade below a feature still gating
@@ -1479,7 +1485,7 @@ object DeltaLogBridge {
           m.columnMapping != prevM.columnMapping) {
         val (line, carry2) = metaDataJson(table.dir, m.schema,
           m.partitionCols, m.tsMillis, m.columnMapping, idCarry)
-        idCarry = carry2
+        idCarryCache = Some(carry2)
         sb.append(line).append('\n')
       }
       val dataChange = action != "compact"
@@ -1562,9 +1568,31 @@ object DeltaLogBridge {
     // one monolithic file every reader must fully parse. V2 checkpoints
     // are gated by the v2Checkpoint table feature (reader v3).
     val v2 = snap.files.size >= v2CheckpointMinFiles(snap)
-    val need =
-      if (v2) mergeNeed(protocolNeed(snap), V2CheckpointNeed)
-      else protocolNeed(snap)
+    // the checkpoint's protocol merges the log's DECLARED protocol, not
+    // just this snapshot's need: a cadence checkpoint of a momentarily
+    // clean snapshot (the marks were cleared two commits ago) must not
+    // DOWNGRADE a (3,7 deletionVectors) log to (1,2) — the protocol has
+    // no downgrade action, and a reader seeding from the checkpoint
+    // would replay a later DV commit with no upgrade in sight
+    val declared = {
+      val jsonVs = {
+        if (!Files.isDirectory(logDir)) Seq.empty[Long]
+        else {
+          val s = Files.list(logDir)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.length == 25 && n.endsWith(".json") &&
+              n.dropRight(5).forall(_.isDigit))
+            .map(_.dropRight(5).toLong).toVector.sorted
+          finally s.close()
+        }
+      }
+      if (jsonVs.isEmpty) None
+      else Some(priorProtocol(table, logDir, jsonVs,
+        committedSeedVersion(logDir)))
+    }
+    val need0 = declared.map(mergeNeed(_, protocolNeed(snap)))
+      .getOrElse(protocolNeed(snap))
+    val need = if (v2) mergeNeed(need0, V2CheckpointNeed) else need0
     val rows: Seq[(Option[(Int, Int, Seq[String], Seq[String])],
         Option[(String, String, String, Seq[String], Map[String, String])],
         Option[(String, Map[String, String], Long, Long, Boolean,
@@ -1642,19 +1670,27 @@ object DeltaLogBridge {
       copyTo(sidecarTarget, writeOne(df.where("add IS NOT NULL")
         .select("add"), "sc"))
       val scSize = Files.size(sidecarTarget)
+      // the spec requires EXACTLY ONE checkpointMetadata action in a V2
+      // checkpoint (carrying its version) — delta-spark's checkpoint
+      // provider keys on it to recognize and validate the format
       val mrows: Seq[(Option[(Int, Int, Seq[String], Seq[String])],
           Option[(String, String, String, Seq[String], Map[String, String])],
-          Option[(String, Long)])] = Seq(
-        (rows.head._1, None, None),
-        (None, rows(1)._2, None),
-        (None, None, Some((s"$uuid.parquet", scSize))))
-      val mdf = mrows.toDF("p", "m", "sc").selectExpr(
+          Option[(String, Long)],
+          Option[Long])] = Seq(
+        (None, None, None, Some(version)),
+        (rows.head._1, None, None, None),
+        (None, rows(1)._2, None, None),
+        (None, None, Some((s"$uuid.parquet", scSize)), None))
+      val mdf = mrows.toDF("p", "m", "sc", "ck").selectExpr(
         protocolExpr, metaExpr,
-        "named_struct('path', sc._1, 'sizeInBytes', sc._2) AS sidecar")
+        "named_struct('path', sc._1, 'sizeInBytes', sc._2) AS sidecar",
+        "named_struct('version', ck) AS checkpointMetadata")
         .selectExpr(
           "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
           "IF(metaData.id IS NULL, NULL, metaData) AS metaData",
-          "IF(sidecar.path IS NULL, NULL, sidecar) AS sidecar")
+          "IF(sidecar.path IS NULL, NULL, sidecar) AS sidecar",
+          "IF(checkpointMetadata.version IS NULL, NULL, " +
+            "checkpointMetadata) AS checkpointMetadata")
       copyTo(logDir.resolve(v2ManifestName(table.dir, version)),
         writeOne(mdf, "mf"))
     }

@@ -635,11 +635,18 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
       "past the threshold the seed must be v2, not classic")
     assert(Files.list(logDir.resolve("_sidecars")).count() >= 1)
     // the manifest protocol declares the gating feature
-    val prot = spark.read.parquet(s"$dir/_delta_log/${manifest.get}")
+    val mfDf = spark.read.parquet(s"$dir/_delta_log/${manifest.get}")
+    val prot = mfDf
       .selectExpr("protocol.minReaderVersion", "protocol.readerFeatures")
       .where("protocol IS NOT NULL").head()
     assert(prot.getInt(0) == 3 &&
       prot.getSeq[String](1).contains("v2Checkpoint"), prot.toString)
+    // …and carries EXACTLY ONE checkpointMetadata action with the seed
+    // version — the spec's v2 marker delta-spark's provider keys on
+    val ckMeta = mfDf.selectExpr("checkpointMetadata.version")
+      .where("checkpointMetadata IS NOT NULL").collect()
+    assert(ckMeta.length == 1 && ckMeta.head.getLong(0) ==
+      CommitLogTable.open(spark, dir).latestVersion, ckMeta.mkString(","))
     // the bridge's own reader round-trips the seed…
     def key(d: org.apache.spark.sql.DataFrame) = d.orderBy("k").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -729,15 +736,32 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
   }
 
   test("mirror checkpoint cadence: every Nth mirrored commit also writes " +
-      "a checkpoint, so readers never replay an unbounded json chain") {
+      "a checkpoint, so readers never replay an unbounded json chain — " +
+      "and a cadence checkpoint NEVER downgrades the declared protocol") {
     val dir = tmpDir() + "/t"
     val df0 = spark.range(2).select($"id".as("k"))
     val t = CommitLogTable.create(spark, dir, df0.schema)
     t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true",
       DeltaLogBridge.CheckpointIntervalProp -> "4")) // v1: seeds
-    (2 to 10).foreach(i =>
+    t.append(df0, recordChanges = false) // v2
+    t.deleteLazy("k = 0") // v3: mirrors as a DV commit → declares (3,7)
+    t.compact(1L << 30) // v4: materializes the mark — snapshot is clean
+    (5 to 10).foreach(i =>
       t.append(df0.withColumn("k", $"k" + i * 10), recordChanges = false))
     assert(t.latestVersion == 10L)
+    // v4/v8 cadence checkpoints were written AFTER the marks cleared —
+    // their protocol must still carry the DECLARED (3,7 deletionVectors)
+    // state: the protocol has no downgrade action, and a reader seeding
+    // from the checkpoint must not replay any DV artifact un-upgraded
+    val ck8 = spark.read.parquet(
+      dir + "/_delta_log/00000000000000000008.checkpoint.parquet")
+    val proto = ck8.select("protocol").where("protocol IS NOT NULL")
+      .collect()
+    assert(proto.length == 1)
+    val p = proto.head.getStruct(0)
+    assert(p.getInt(p.fieldIndex("minReaderVersion")) == 3, p.toString)
+    assert(p.getSeq[String](p.fieldIndex("readerFeatures"))
+      .contains("deletionVectors"), p.toString)
     // cadence checkpoints landed at the multiples of 4 past the seed
     assert(Files.exists(Paths.get(dir,
       "_delta_log/00000000000000000004.checkpoint.parquet")))

@@ -173,6 +173,106 @@ class GeneratedColumnsSpec extends AnyFunSuite {
     assert(ids.exists(_ > 5000L), ids.toString)
   }
 
+  test("MERGE INTO enforces the same rules: UPDATE recomputes generated " +
+      "columns, INSERT fills omitted ones and asserts provided ones, " +
+      "identity clauses are guarded") {
+    val dir = Files.createTempDirectory("graft-gencols-mi").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP, day DATE")
+    val t = CommitLogTable.create(spark, dir, schema)
+    t.setProperties(Map("graft.generated.day" -> "CAST(ts AS DATE)"))
+    t.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "ts"))
+    val src = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-06-06 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2025-07-07 10:00:00")))
+      .toDF("k", "ts")
+    // matched UPDATE sets ts → day recomputes; not-matched INSERT omits
+    // day → computed from the expression
+    t.mergeInto(src, col("t.k") === col("s.k"),
+      matched = Seq(CommitLogTable.MatchedUpdate(None,
+        Map("ts" -> col("s.ts")))),
+      notMatched = Seq(CommitLogTable.NotMatchedInsert(None,
+        Map("k" -> col("s.k"), "ts" -> col("s.ts")))),
+      bySource = Seq.empty)
+    val got = t.read().orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getDate(2).toString).toMap
+    assert(got == Map(1L -> "2025-06-06", 2L -> "2025-07-07"), got.toString)
+    // a direct SET of the generated column refuses
+    val e = intercept[IllegalArgumentException](t.mergeInto(src,
+      col("t.k") === col("s.k"),
+      matched = Seq(CommitLogTable.MatchedUpdate(None,
+        Map("day" -> lit("2020-01-01").cast("date")))),
+      notMatched = Seq.empty, bySource = Seq.empty))
+    assert(e.getMessage.contains("generated column"), e.getMessage)
+    // an INSERT providing a WRONG generated value fails the write
+    val e2 = intercept[Exception](t.mergeInto(
+      Seq((9L, java.sql.Timestamp.valueOf("2025-09-09 10:00:00")))
+        .toDF("k", "ts"),
+      col("t.k") === col("s.k"), matched = Seq.empty,
+      notMatched = Seq(CommitLogTable.NotMatchedInsert(None,
+        Map("k" -> col("s.k"), "ts" -> col("s.ts"),
+          "day" -> lit("1999-01-01").cast("date")))),
+      bySource = Seq.empty))
+    def msgs(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs(e2).exists(_.contains("GENERATED ALWAYS")), msgs(e2))
+    // identity guards: ALWAYS identity tables refuse MERGE-INSERT
+    val dir2 = Files.createTempDirectory("graft-gencols-mi2").toString + "/t"
+    val t2 = CommitLogTable.create(spark, dir2,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+    t2.setProperties(Map("graft.identity.id" -> "1,1,false"))
+    t2.append(Seq("a").toDF("v"))
+    val e3 = intercept[IllegalArgumentException](t2.mergeInto(
+      Seq("b").toDF("v"), col("t.v") === col("s.v"),
+      matched = Seq.empty,
+      notMatched = Seq(CommitLogTable.NotMatchedInsert(None,
+        Map("v" -> col("s.v")))), bySource = Seq.empty))
+    assert(e3.getMessage.contains("ALWAYS AS IDENTITY"), e3.getMessage)
+  }
+
+  test("the streaming epoch sink VALIDATES generated columns per epoch " +
+      "and refuses GENERATED ALWAYS identity") {
+    setup
+    spark.sql(s"""CREATE TABLE $cat.ns.evs (
+        k BIGINT, ts TIMESTAMP,
+        day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))""")
+    val root = Files.createTempDirectory("graft-gencols-epoch").toString
+    // a stream writing a WRONG day must fail the epoch and commit nothing
+    Seq((1L, java.sql.Timestamp.valueOf("2024-06-01 08:00:00"),
+      java.sql.Date.valueOf("1999-01-01"))).toDF("k", "ts", "day")
+      .write.parquet(root + "/bad")
+    val qBad = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, ts TIMESTAMP, day DATE"))
+      .parquet(root + "/bad").writeStream
+      .option("checkpointLocation", root + "/ckptBad")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.ns.evs")
+    val eStream = intercept[Exception](qBad.awaitTermination(120000))
+    assert(Iterator.iterate(eStream: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(
+        _.contains("GENERATED ALWAYS"))), eStream.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.evs")
+      .head().getLong(0) == 0, "the failed epoch must commit nothing")
+    // a CORRECT day streams fine
+    Seq((2L, java.sql.Timestamp.valueOf("2024-06-02 08:00:00"),
+      java.sql.Date.valueOf("2024-06-02"))).toDF("k", "ts", "day")
+      .write.parquet(root + "/good")
+    val qGood = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, ts TIMESTAMP, day DATE"))
+      .parquet(root + "/good").writeStream
+      .option("checkpointLocation", root + "/ckptGood")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.ns.evs")
+    assert(qGood.awaitTermination(120000))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.evs")
+      .head().getLong(0) == 1)
+  }
+
   test("the V1 path-based writer and streaming sink fill generated " +
       "columns too (all batch planes funnel through append)") {
     val root = Files.createTempDirectory("graft-gencols-v1").toString
