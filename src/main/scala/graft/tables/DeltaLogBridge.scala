@@ -1066,6 +1066,64 @@ object DeltaLogBridge {
     math.max(1L, m.properties.get(CheckpointIntervalProp).map(_.toLong)
       .getOrElse(CheckpointIntervalDefault.toLong))
 
+  /** Mirror LOG retention — Delta's `delta.logRetentionDuration`
+    * hygiene, version-spelled like the table's own log vacuum: keep the
+    * newest N checkpoints and every json at-or-above the OLDEST kept
+    * one; older jsons, checkpoints, their sidecars, and seed-claim
+    * markers are dropped at checkpoint time (Delta cleans on checkpoint
+    * too). OFF by default (0 = keep everything): log history is a
+    * time-travel asset, and trimming it is an explicit retention
+    * decision. External readers keep working — a log starting at a
+    * checkpoint is the vacuumed-history shape every Delta reader
+    * handles; pins below the floor fail with the version-not-found
+    * error, exactly like Delta.
+    */
+  val LogRetainCheckpointsProp = "graft.deltaMirror.logRetainCheckpoints"
+
+  private def vacuumMirrorLog(m: CommitLogTable.Manifest,
+      logDir: Path): Unit = {
+    val retain = m.properties.get(LogRetainCheckpointsProp)
+      .map(_.toInt).getOrElse(0)
+    if (retain <= 0) return
+    val names = { val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close() }
+    val Classic = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+    val V2 = """(\d{20})\.checkpoint\.[^.]+\.(?:parquet|json)""".r
+    def ckVersion(n: String): Option[Long] = n match {
+      case Classic(v) => Some(v.toLong)
+      case V2(v) => Some(v.toLong)
+      case _ => None
+    }
+    val ckVs = names.flatMap(ckVersion).distinct.sorted
+    if (ckVs.size <= retain) return
+    val floor = ckVs.takeRight(retain).head
+    val droppedUuids = scala.collection.mutable.Set.empty[String]
+    names.foreach { n =>
+      val drop =
+        ckVersion(n).exists(_ < floor) ||
+        (n.length == 25 && n.endsWith(".json") &&
+          n.dropRight(5).forall(_.isDigit) &&
+          n.dropRight(5).toLong < floor) ||
+        (n.startsWith("_graft_seed.") &&
+          n.stripPrefix("_graft_seed.").forall(_.isDigit) &&
+          n.stripPrefix("_graft_seed.").toLong < floor)
+      if (drop) {
+        if (ckVersion(n).exists(_ < floor))
+          """\d{20}\.checkpoint\.([^.]+)\.parquet""".r
+            .findFirstMatchIn(n).foreach(m0 => droppedUuids += m0.group(1))
+        Files.deleteIfExists(logDir.resolve(n))
+      }
+    }
+    // sidecars: delete ONLY the dropped manifests' own `<uuid>.parquet`
+    // (the name this mirror writes) — a foreign/adopted log's sidecars
+    // may be referenced under arbitrary names by manifests we keep
+    val sidecarDir = logDir.resolve("_sidecars")
+    if (Files.isDirectory(sidecarDir))
+      droppedUuids.foreach(u =>
+        Files.deleteIfExists(sidecarDir.resolve(s"$u.parquet")))
+  }
+
   private val V2CheckpointNeed: (Int, Int, Seq[String], Seq[String]) =
     (3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))
 
@@ -1337,9 +1395,36 @@ object DeltaLogBridge {
     seedV match {
       case Some(v) =>
         val base = protocolNeed(table.resolvedManifest(Some(v)))
-        if (Files.exists(logDir.resolve(v2ManifestName(table.dir, v))))
-          mergeNeed(base, V2CheckpointNeed)
-        else base
+        // the checkpoint PARQUET stores the merged declared protocol
+        // (exportCheckpoint) — read it when present: once log retention
+        // drops the jsons that declared a feature, the manifest-derived
+        // recomputation alone would forget it (a protocol downgrade)
+        val stored: Option[(Int, Int, Seq[String], Seq[String])] = {
+          val classic = logDir.resolve(f"$v%020d.checkpoint.parquet")
+          val v2m = logDir.resolve(v2ManifestName(table.dir, v))
+          val target = if (Files.exists(classic)) Some(classic)
+            else if (Files.exists(v2m)) Some(v2m) else None
+          target.flatMap { p =>
+            try {
+              val r = table.spark.read.parquet(p.toString)
+              if (!r.columns.contains("protocol")) None
+              else r.selectExpr(
+                  "protocol.minReaderVersion", "protocol.minWriterVersion",
+                  "protocol.readerFeatures", "protocol.writerFeatures")
+                .where("protocol IS NOT NULL").collect().headOption.map { row =>
+                  def arr(i: Int): Seq[String] =
+                    if (row.isNullAt(i)) Seq.empty
+                    else row.getSeq[String](i)
+                  (row.getInt(0), row.getInt(1), arr(2), arr(3))
+                }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+        val withV2 =
+          if (Files.exists(logDir.resolve(v2ManifestName(table.dir, v))))
+            mergeNeed(base, V2CheckpointNeed)
+          else base
+        stored.map(mergeNeed(_, withV2)).getOrElse(withV2)
       case None => (1, 2, Seq.empty, Seq.empty)
     }
   }
@@ -1521,7 +1606,7 @@ object DeltaLogBridge {
       // racing catch-up writers converge; a failure is non-fatal (the
       // json chain still serves readers, the next multiple retries).
       if (v % checkpointInterval(m) == 0)
-        try { seed(table, logDir, v); () }
+        try { seed(table, logDir, v); vacuumMirrorLog(m, logDir); () }
         catch { case scala.util.control.NonFatal(_) => () }
     } catch {
       // a translation failure (e.g. a DV recompute whose source file was

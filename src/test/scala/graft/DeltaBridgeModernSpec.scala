@@ -779,4 +779,44 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
     assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect().toSeq ==
       t.read().orderBy("k").collect().toSeq)
   }
+
+  test("mirror log retention: old jsons and checkpoints drop at checkpoint " +
+      "time; the kept checkpoint's STORED protocol prevents a downgrade " +
+      "after the declaring json is gone") {
+    val dir = tmpDir() + "/t"
+    val df0 = spark.range(2).select($"id".as("k"))
+    val t = CommitLogTable.create(spark, dir, df0.schema)
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true",
+      DeltaLogBridge.CheckpointIntervalProp -> "3",
+      DeltaLogBridge.LogRetainCheckpointsProp -> "1")) // v1: seeds
+    t.append(df0, recordChanges = false) // v2
+    t.deleteLazy("k = 0") // v3: DV commit declares (3,7); cadence ckpt at 3
+    t.compact(1L << 30) // v4
+    (5 to 9).foreach(i =>
+      t.append(df0.withColumn("k", $"k" + i * 10), recordChanges = false))
+    // cadence checkpoints landed at 3, 6, 9; retention keeps ONLY the
+    // newest — jsons and checkpoints below 9 are gone
+    val logDir = Paths.get(dir, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val names = { val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close() }
+    assert(!names.exists(_.matches("""0{17}00[1-8]\.json""")), names.sorted)
+    assert(names.contains("00000000000000000009.json"))
+    assert(names.count(_.contains(".checkpoint.")) == 1, names.sorted)
+    // reads still serve, byte-parity with the table
+    assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect().toSeq ==
+      t.read().orderBy("k").collect().toSeq)
+    // the v3 json that DECLARED deletionVectors is vacuumed — a new DV
+    // commit must still see (3,7) as declared (the kept checkpoint's
+    // stored protocol), emitting NO downgrade and NO redundant upgrade
+    t.deleteLazy("k = 50") // v10 (k=50 exists — a no-match lazy delete
+                           // would be a stats-pruned no-op commit)
+    val v10 = new String(Files.readAllBytes(
+      logDir.resolve("00000000000000000010.json")), UTF_8)
+    assert(!v10.contains("\"protocol\""),
+      s"no protocol action expected (already declared): $v10")
+    assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect().toSeq ==
+      t.read().orderBy("k").collect().toSeq)
+  }
 }
