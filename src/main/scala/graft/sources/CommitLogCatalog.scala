@@ -153,9 +153,13 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
     // table's write planes own assignment and high-water sync
     val idProps = columns.flatMap(c =>
       Option(c.identityColumnSpec()).map { s =>
-        require(c.dataType == org.apache.spark.sql.types.LongType ||
-            c.dataType == org.apache.spark.sql.types.IntegerType,
-          s"identity column '${c.name}' must be BIGINT or INT")
+        // BIGINT only (Delta's rule): assignment is base + step *
+        // monotonically_increasing_id(), where partition p contributes
+        // p * 2^33 — out of INT range for any multi-partition batch, so
+        // an INT identity would overflow under ANSI or silently collide
+        // across partitions with ANSI off
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column '${c.name}' must be BIGINT")
         (CommitLogTable.IdentityPropPrefix + c.name) ->
           s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}"
       }).toMap

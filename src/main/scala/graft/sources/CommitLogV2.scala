@@ -1034,9 +1034,18 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
       .flatMap(r => snap.schema.fields.find(_.name.equalsIgnoreCase(r)))
       .filterNot(f => required.fieldNames.exists(_.equalsIgnoreCase(f.name)))
       .distinct
-    val extendedLogical = StructType(required.fields ++ extraFields)
+    // attached (manifest-valued) columns may be ABSENT from adopted
+    // files' parquet schemas; a NOT NULL declaration would make the
+    // vectorized reader refuse the file outright ("Required column is
+    // missing") — read them nullable, the coalesce bindings below
+    // restore the manifest value
+    val attachedNames: Set[String] =
+      markSource.flatMap(_.manifestVals.keys).toSet
+    def relaxed(s: StructType): StructType = StructType(s.fields.map(f =>
+      if (attachedNames.contains(f.name)) f.copy(nullable = true) else f))
+    val extendedLogical = relaxed(StructType(required.fields ++ extraFields))
     val physRead = toPhysical(extendedLogical)
-    val physData = toPhysical(snap.schema)
+    val physData = toPhysical(relaxed(snap.schema))
 
     val inner = CommitLogParquet.factory(spark, physData, physRead, physFilters)
 
@@ -1133,8 +1142,14 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
           BoundReference(extendedLogical.length + mi, f.dataType, f.nullable)
         else {
           val di = extendedLogical.fieldNames.indexOf(f.name)
-          val dataRef = BoundReference(di, f.dataType, f.nullable)
           val ai = attachedFields.indexWhere(_.name == f.name)
+          // an attached (manifest-valued) column reads NULL from files
+          // that don't carry it physically — the data-side reference
+          // must be nullable even when the table schema says NOT NULL,
+          // or codegen never consults the null bit and the coalesce
+          // never falls through to the manifest value
+          val dataRef =
+            BoundReference(di, f.dataType, nullable = f.nullable || ai >= 0)
           if (ai >= 0)
             org.apache.spark.sql.catalyst.expressions.Coalesce(
               Seq(dataRef, attachedRef(attachedFields(ai), ai)))
@@ -1158,8 +1173,11 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
           case b: BoundReference
               if b.ordinal < extendedLogical.length &&
                 attachedByOrdinal.contains(b.ordinal) =>
+            // same nullability rule as the output bindings: the data
+            // slot is NULL for manifest-served files regardless of the
+            // declared schema nullability
             org.apache.spark.sql.catalyst.expressions.Coalesce(
-              Seq(b, attachedByOrdinal(b.ordinal)))
+              Seq(b.copy(nullable = true), attachedByOrdinal(b.ordinal)))
         } }
       AssemblingReaderFactory(inner, perPathAttached, extendedLogical.length,
         metaByPath, out)

@@ -885,6 +885,33 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // merge()'s refusal, for the same re-keying reason)
       val gens = CommitLogTable.generatedExprs(snap.properties)
       val idSpecs = CommitLogTable.identitySpecs(snap.properties)
+      // `UPDATE SET *` expands (in Spark's analyzer) to an assignment
+      // for EVERY target column — including generated and ALWAYS
+      // identity columns the user never named. A full-cover set sheds
+      // those entries instead of refusing (Delta supports SET * on such
+      // tables): generated columns recompute below anyway; an ALWAYS
+      // identity column keeps its target value. A PARTIAL set naming
+      // one stays a refusal (guardSet).
+      def shedStarManaged(set: Map[String, Column]): Map[String, Column] = {
+        val managed = gens.map(_._1) ++
+          idSpecs.filterNot(_.allowExplicit).map(_.col)
+        val covers = schema.fieldNames.forall(f =>
+          set.keys.exists(_.equalsIgnoreCase(f)))
+        if (covers && managed.nonEmpty)
+          set.filterNot { case (k, _) =>
+            managed.exists(_.equalsIgnoreCase(k)) }
+        else set
+      }
+      val matchedS = matched.map {
+        case CommitLogTable.MatchedUpdate(c, set) =>
+          CommitLogTable.MatchedUpdate(c, shedStarManaged(set))
+        case other => other
+      }
+      val bySourceS = bySource.map {
+        case CommitLogTable.BySourceUpdate(c, set) =>
+          CommitLogTable.BySourceUpdate(c, shedStarManaged(set))
+        case other => other
+      }
       def guardSet(set: Map[String, Column]): Unit = {
         gens.foreach { case (c, sql) =>
           require(!set.keys.exists(_.equalsIgnoreCase(c)),
@@ -896,10 +923,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             s"mergeInto: cannot UPDATE SET identity column '${id.col}' " +
               "(GENERATED ALWAYS AS IDENTITY)") }
       }
-      matched.foreach {
+      matchedS.foreach {
         case CommitLogTable.MatchedUpdate(_, set) => guardSet(set)
         case _ => () }
-      bySource.foreach {
+      bySourceS.foreach {
         case CommitLogTable.BySourceUpdate(_, set) => guardSet(set)
         case _ => () }
       notMatched.foreach { cl =>
@@ -1013,12 +1040,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           // generated columns RECOMPUTE on every update output (a SET on
           // a base column changes them; direct SETs were refused above)
           // and fill/assert on every insert output
-          val matchedUpdated = matched.zipWithIndex.collect {
+          val matchedUpdated = matchedS.zipWithIndex.collect {
             case (MatchedUpdate(_, set), i) =>
               recomputeGenerated(pairs.filter(mIdx === i)
                 .select(updOut(named(set, "UPDATE SET")): _*), snap)
           }
-          val bySourceUpdated = bySource.zipWithIndex.collect {
+          val bySourceUpdated = bySourceS.zipWithIndex.collect {
             case (BySourceUpdate(_, set), i) =>
               recomputeGenerated(targetOnly.filter(bIdx === i)
                 .select(updOut(named(set, "UPDATE SET")): _*), snap)
@@ -1499,6 +1526,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             !sqlRefs(sql).exists(_.equalsIgnoreCase(oldName)),
           s"renameColumn: generated column '$c' (GENERATED ALWAYS AS $sql) " +
             s"involves '$oldName' — drop the generation property first") }
+      // identity specs are keyed by column name in table properties — a
+      // rename would orphan them (every later write then throws in
+      // applyIdentity), so refuse like the generated-column guard
+      CommitLogTable.identitySpecs(snap.properties).foreach { id =>
+        require(!id.col.equalsIgnoreCase(oldName),
+          s"renameColumn: '$oldName' is an IDENTITY column — its " +
+            "identity spec is keyed by name; drop the column instead") }
       val physName = snap.columnMapping.getOrElse(oldName, oldName)
       val schema2 = StructType(snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -1551,11 +1585,19 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       retiredPhysical = snap.retiredPhysical :+
         snap.columnMapping.getOrElse(name, name),
       clusteredBy = snap.clusteredBy,
-      // dropping a generated column retires its generation property too
-      properties =
-        if (gens.exists(_._1.equalsIgnoreCase(name)))
-          snap.properties - (CommitLogTable.GeneratedPropPrefix + name)
-        else null)
+      // dropping a generated or identity column retires its properties
+      // too (an orphaned graft.identity.<col> spec would make every
+      // later write throw in applyIdentity); keys are matched
+      // case-insensitively, like the guards above
+      properties = {
+        val stale = snap.properties.keys.filter { k =>
+          k.equalsIgnoreCase(CommitLogTable.GeneratedPropPrefix + name) ||
+            k.equalsIgnoreCase(CommitLogTable.IdentityPropPrefix + name) ||
+            k.equalsIgnoreCase(
+              CommitLogTable.IdentityPropPrefix + name + ".highWater")
+        }.toSeq
+        if (stale.isEmpty) null else snap.properties -- stale
+      })
   }
 
   /** Current table properties (latest manifest's). */
@@ -2372,14 +2414,21 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   private def scanWithManifestVals(fs: Seq[LogFile], schema: StructType,
       mapping: Map[String, String]): DataFrame = {
-    val physRead = spark.read.schema(toPhysicalSchema(schema, mapping))
+    val flagged = fs.filter(_.manifestVals.nonEmpty)
+    val attachCols = schema.fields.map(_.name)
+      .filter(n => flagged.exists(_.manifestVals.contains(n))).toSeq
+    // attached columns may be ABSENT from adopted files' parquet
+    // schemas; a NOT NULL declaration (Delta schemas routinely mark
+    // partition columns so) would make the parquet reader refuse the
+    // file outright ("Required column is missing") — read nullable,
+    // the coalesce below restores the manifest value
+    val readSchema = StructType(schema.fields.map(f =>
+      if (attachCols.contains(f.name)) f.copy(nullable = true) else f))
+    val physRead = spark.read.schema(toPhysicalSchema(readSchema, mapping))
       .parquet(fs.map(f => dataPath(f).toString): _*)
     val plain = schema.fields.toSeq.map(f =>
       col(mapping.getOrElse(f.name, f.name)).as(f.name))
-    val flagged = fs.filter(_.manifestVals.nonEmpty)
     if (flagged.isEmpty) return physRead.select(plain: _*)
-    val attachCols = schema.fields.map(_.name)
-      .filter(n => flagged.exists(_.manifestVals.contains(n))).toSeq
     val lookupSchema = StructType(
       org.apache.spark.sql.types.StructField("__graft_fp",
         org.apache.spark.sql.types.StringType, nullable = false) +:
@@ -2421,8 +2470,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       f: LogFile): (Array[Byte], Long) = {
     val pred = f.pendingDelete.getOrElse(throw new IllegalStateException(
       s"${f.path} carries no lazy-delete mark"))
+    // manifest-valued columns read nullable — the parquet refuses a
+    // required column absent from the file (see scanWithManifestVals)
+    val dvReadSchema = StructType(snap.schema.fields.map(fl =>
+      if (f.manifestVals.contains(fl.name)) fl.copy(nullable = true)
+      else fl))
     val base = spark.read
-      .schema(toPhysicalSchema(snap.schema, snap.columnMapping))
+      .schema(toPhysicalSchema(dvReadSchema, snap.columnMapping))
       .parquet(dataPath(f).toString)
     val logical = base.select(
       (col("_metadata.row_index").as("__graft_ri") +:
@@ -2897,6 +2951,22 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         // a constraint added underneath this attempt must re-validate
         // the batch — the recompute path enforces it
         fresh.constraints != onto.constraints) return None
+    // identity/generated state rides table properties. An attempt that
+    // synced an identity high-water (m.properties != onto.properties)
+    // cannot rebase — `properties = fresh.properties` below would
+    // silently discard the advance, leaving the committed high-water
+    // below the max id actually written (duplicate ids on the next
+    // append). And a winner that moved identity/generated state under
+    // this attempt means the attempt's assigned ids came from a stale
+    // high-water (possibly overlapping the winner's) — either way the
+    // recompute path re-derives against the fresh snapshot.
+    def idGenKeys(p: Map[String, String]): Map[String, String] =
+      p.filter { case (k, _) =>
+        k.startsWith(CommitLogTable.IdentityPropPrefix) ||
+          k.startsWith(CommitLogTable.GeneratedPropPrefix) }
+    if (m.properties != onto.properties ||
+        idGenKeys(fresh.properties) != idGenKeys(onto.properties))
+      return None
     val freshPaths = fresh.files.map(_.path).toSet
     if (!diff.removed.forall(freshPaths.contains)) return None
     // an interleaved LAZY DELETE marks existing file ENTRIES in place: a

@@ -96,6 +96,48 @@ class DeltaConvertSpec extends AnyFunSuite {
     assert(t.read(Some(1L)).filter($"k" === 30L).head().getString(2) == "z")
   }
 
+  test("a NOT NULL partition column adopts and still serves manifest " +
+      "values: the data-side binding must stay nullable or codegen " +
+      "never falls through the coalesce") {
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/d1")
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/d2")
+    // Delta schemas routinely declare partition columns NOT NULL —
+    // the physical read of the (absent) column is still all-NULL
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))).json
+      .replace("\"", "\\\"")
+    val (f1, f2) = (onePart(dir, "d1"), onePart(dir, "d2"))
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"f00e","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["day"],"configuration":{},"createdTime":1700000000000}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |{"add":{"path":"$f2","partitionValues":{"day":"2"},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    // DSv2 plane: the attached values must surface (not 0/garbage from
+    // a non-nullable binding whose null bit codegen never consults)
+    val got = spark.read.format("commitlog").load(dir)
+      .select("day", "k").orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 1L, 1L -> 2L, 2L -> 3L), got.toString)
+    // DataFrame plane agrees
+    assert(t.read().select("day", "k").orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq == got)
+    // a lazy-delete mark referencing the NOT NULL attached column
+    // evaluates over the manifest value on the DSv2 plane too
+    t.deleteLazy("day = 2")
+    assert(spark.read.format("commitlog").load(dir).count() == 2)
+  }
+
   test("version pin adopts the PINNED file set") {
     val dir = tmpDir()
     buildFixture(dir)

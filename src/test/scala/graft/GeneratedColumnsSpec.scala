@@ -273,6 +273,87 @@ class GeneratedColumnsSpec extends AnyFunSuite {
       .head().getLong(0) == 1)
   }
 
+  test("identity hygiene: INT identity refuses at CREATE, dropColumn " +
+      "retires the identity spec (table stays writable), renameColumn " +
+      "refuses on an identity column") {
+    setup
+    // INT identity would overflow/collide — assignment adds p*2^33 per
+    // partition, so only BIGINT is sound (Delta's rule)
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.ns.idint (
+          id INT GENERATED ALWAYS AS IDENTITY, v STRING)"""))
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+    // drop retires graft.identity.<col> AND its highWater — an orphaned
+    // spec would make every later write throw in applyIdentity
+    val dir = Files.createTempDirectory("graft-idhygiene").toString + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+    t.setProperties(Map("graft.identity.id" -> "1,1,false"))
+    t.append(Seq("a", "b").toDF("v"))
+    assert(t.properties.contains("graft.identity.id.highWater"))
+    val eRen = intercept[IllegalArgumentException](
+      t.renameColumn("id", "id2"))
+    assert(eRen.getMessage.contains("IDENTITY"), eRen.getMessage)
+    t.dropColumn("id")
+    assert(!t.properties.keys.exists(_.startsWith("graft.identity.")),
+      t.properties.toString)
+    t.append(Seq("c").toDF("v")) // writable again — no orphaned spec
+    assert(t.read().count() == 3)
+  }
+
+  test("concurrent identity appends never duplicate ids: a losing " +
+      "attempt that synced the high-water recomputes instead of " +
+      "rebasing (the rebase would discard its advance)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-idrace").toString + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+    t.setProperties(Map("graft.identity.id" -> "1,1,false"))
+    val writers = 6
+    val rowsEach = 20
+    val fs = (0 until writers).map { w =>
+      Future(t.append((0 until rowsEach).map(i => s"w$w-$i").toDF("v")))
+    }
+    Await.result(Future.sequence(fs), 300.seconds)
+    val ids = t.read().select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.size == writers * rowsEach)
+    assert(ids.distinct.size == ids.size,
+      s"duplicate identity values: ${ids.groupBy(identity)
+        .filter(_._2.size > 1).keys.toSeq.sorted.take(10)}")
+    // the committed high-water covers the max id actually written
+    assert(t.properties("graft.identity.id.highWater").toLong == ids.max)
+  }
+
+  test("MERGE INTO ... UPDATE SET * works on generated-column tables: " +
+      "star expansion names the generated column, which recomputes " +
+      "instead of refusing; a partial SET naming it still refuses") {
+    setup
+    spark.sql(s"""CREATE TABLE $cat.ns.star (
+        k BIGINT, ts TIMESTAMP,
+        day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))""")
+    spark.sql(s"INSERT INTO $cat.ns.star VALUES " +
+      "(1, TIMESTAMP'2024-01-01 10:00:00', DATE'2024-01-01')")
+    // the source carries a WRONG day — star expansion assigns it, the
+    // shed drops the assignment, and the recompute derives the truth
+    val src = Seq((1L, java.sql.Timestamp.valueOf("2025-06-06 10:00:00"),
+      java.sql.Date.valueOf("1999-01-01")))
+      .toDF("k", "ts", "day").createOrReplaceTempView("star_src")
+    spark.sql(s"""MERGE INTO $cat.ns.star t USING star_src s
+      ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""")
+    assert(spark.sql(s"SELECT day FROM $cat.ns.star WHERE k = 1")
+      .head().getDate(0).toString == "2025-06-06")
+    // a PARTIAL set naming the generated column stays a refusal
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.ns.star t USING star_src s
+        ON t.k = s.k WHEN MATCHED THEN UPDATE SET day = s.day"""))
+    def msgs(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("generated column")), msgs(e).toString)
+  }
+
   test("the V1 path-based writer and streaming sink fill generated " +
       "columns too (all batch planes funnel through append)") {
     val root = Files.createTempDirectory("graft-gencols-v1").toString
