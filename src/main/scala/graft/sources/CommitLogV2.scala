@@ -530,7 +530,11 @@ final class CommitLogScanBuilder(spark: SparkSession, table: CommitLogTable,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
-    if (snap.files.exists(_.pendingDelete.isDefined)) return None
+    // merge-on-read state (predicate marks OR adopted deletion vectors)
+    // invalidates manifest-only answers: counts and bounds must come
+    // from the filtered scan
+    if (snap.files.exists(f =>
+        f.pendingDelete.isDefined || f.adoptedDv.isDefined)) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case r: NamedReference if r.fieldNames.length == 1 =>
@@ -1044,7 +1048,23 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
     def relaxed(s: StructType): StructType = StructType(s.fields.map(f =>
       if (attachedNames.contains(f.name)) f.copy(nullable = true) else f))
     val extendedLogical = relaxed(StructType(required.fields ++ extraFields))
-    val physRead = toPhysical(extendedLogical)
+    // adopted deletion vectors filter POSITIONALLY: the scan requests
+    // Spark's row-index temp column, which the parquet reader fills
+    // with each row's file ordinal (split- and row-group-skip-exact —
+    // the same mechanism `_metadata.row_index` rides), and the
+    // assembling reader drops rows whose index the file's bitmap marks
+    val dvFiles = prunedFiles.filter(_.adoptedDv.isDefined)
+    val needRowIdx = dvFiles.nonEmpty
+    // nullable: the column never exists in files — the reader's
+    // required-missing check must pass it through to the row-index
+    // generator (which fills it by NAME), not refuse the file
+    val rowIdxField = org.apache.spark.sql.types.StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    val physRead =
+      if (!needRowIdx) toPhysical(extendedLogical)
+      else StructType(toPhysical(extendedLogical).fields :+ rowIdxField)
     val physData = toPhysical(relaxed(snap.schema))
 
     val inner = CommitLogParquet.factory(spark, physData, physRead, physFilters)
@@ -1061,8 +1081,12 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
       extendedLogical.fields.toSeq.filter(f => names.contains(f.name))
     }
     if (marked.isEmpty && extraFields.isEmpty && meta.isEmpty &&
-        attachedFields.isEmpty) inner
+        attachedFields.isEmpty && !needRowIdx) inner
     else {
+      // ordinal base for the bindings below: the raw row is
+      // extendedLogical (+ the trailing row-index temp column when DV
+      // files are in scope), then the per-file metadata constants
+      val dataWidth = extendedLogical.length + (if (needRowIdx) 1 else 0)
       // bind each distinct mark predicate against the EXTENDED logical
       // schema via the analyzer (type coercion included), then rebase the
       // resolved attributes onto positional BoundReferences — the rows
@@ -1129,7 +1153,7 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
         }.toMap
       def attachedRef(f: org.apache.spark.sql.types.StructField,
           ai: Int): Expression =
-        BoundReference(extendedLogical.length + meta.length + ai,
+        BoundReference(dataWidth + meta.length + ai,
           f.dataType, nullable = true)
       // output bindings over JoinedRow(extendedRow, metaRow): data fields
       // by their extended position, metadata fields after the extension,
@@ -1139,7 +1163,7 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
       val out: Seq[Expression] = outputSchema.fields.toSeq.map { f =>
         val mi = meta.indexWhere(_.name == f.name)
         if (mi >= 0)
-          BoundReference(extendedLogical.length + mi, f.dataType, f.nullable)
+          BoundReference(dataWidth + mi, f.dataType, f.nullable)
         else {
           val di = extendedLogical.fieldNames.indexOf(f.name)
           val ai = attachedFields.indexWhere(_.name == f.name)
@@ -1179,8 +1203,19 @@ final class CommitLogScan(spark: SparkSession, table: CommitLogTable,
             org.apache.spark.sql.catalyst.expressions.Coalesce(
               Seq(b.copy(nullable = true), attachedByOrdinal(b.ordinal)))
         } }
-      AssemblingReaderFactory(inner, perPathAttached, extendedLogical.length,
-        metaByPath, out)
+      // resolved-once-on-the-driver DV bitmaps, broadcast serialized
+      // (compact), keyed like every other per-file map; the reader
+      // deserializes each at most once per executor (DvLookup cache)
+      val dvLookup: Option[graft.tables.DvLookup] =
+        if (!needRowIdx) None
+        else Some(new graft.tables.DvLookup(spark.sparkContext.broadcast(
+          dvFiles.flatMap(f => f.adoptedDv.map { enc =>
+            splitKey(f) -> graft.tables.DeletionVectors.resolveData(
+              table.dir, graft.tables.DeletionVectors.decodeDescriptor(enc))
+          }).toMap)))
+      AssemblingReaderFactory(inner, perPathAttached, dataWidth,
+        metaByPath, out, dvLookup,
+        if (needRowIdx) extendedLogical.length else -1)
     }
   }
 }
@@ -1213,7 +1248,9 @@ final case class AssemblingReaderFactory(
     predicates: Map[String, Expression],
     extendedLen: Int,
     metaByPath: Map[String, InternalRow],
-    out: Seq[Expression]) extends FilePartitionReaderFactory {
+    out: Seq[Expression],
+    dvLookup: Option[graft.tables.DvLookup] = None,
+    rowIdxOrdinal: Int = -1) extends FilePartitionReaderFactory {
 
   override def options: org.apache.spark.sql.catalyst.FileSourceOptions =
     inner.options
@@ -1230,7 +1267,14 @@ final case class AssemblingReaderFactory(
   override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] = {
     val raw = inner.buildReader(file)
     val predExpr = predicates.get(file.filePath.toString)
-    if (predExpr.isEmpty && isIdentity) raw
+    // adopted-DV probe for THIS file: row indexes the bitmap marks are
+    // logically deleted and never surface (rowIdxOrdinal names the
+    // row-index temp column the parquet reader filled)
+    val fp = file.filePath.toString
+    val dvProbe: Option[Long => Boolean] =
+      if (rowIdxOrdinal < 0) None
+      else dvLookup.filter(_.has(fp)).map(lk => (ri: Long) => lk.deleted(fp, ri))
+    if (predExpr.isEmpty && dvProbe.isEmpty && isIdentity) raw
     else new PartitionReader[InternalRow] {
       private val pred = predExpr.map(CatalystPredicate.create) // executor-side codegen
       private val metaRow =
@@ -1245,10 +1289,13 @@ final case class AssemblingReaderFactory(
       override def next(): Boolean = {
         while (raw.next()) {
           val r = raw.get()
+          val dvHit = dvProbe.exists(p => p(r.getLong(rowIdxOrdinal)))
           // predicates may reference attached per-file constants (the
           // coalesce rewrite) — evaluate over the same joined shape the
           // output projection uses
-          if (!pred.exists(_.eval(joined(r, metaRow)))) { row = r; return true }
+          if (!dvHit && !pred.exists(_.eval(joined(r, metaRow)))) {
+            row = r; return true
+          }
         }
         false
       }

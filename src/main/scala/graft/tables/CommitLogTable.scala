@@ -1741,9 +1741,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         // compresses better, shrinking nOut below the fresh file count
         // and triggering another full rewrite on the next idle run
         val undersized = fs.count(_.bytes < targetFileBytes / 2)
-        // files carrying lazy-delete marks are ALWAYS rewritten: compact
-        // is how merge-on-read deletes materialize
-        val hasPending = fs.exists(_.pendingDelete.isDefined)
+        // files carrying lazy-delete marks or adopted deletion vectors
+        // are ALWAYS rewritten: compact is how merge-on-read deletes
+        // materialize
+        val hasPending = fs.exists(f =>
+          f.pendingDelete.isDefined || f.adoptedDv.isDefined)
         if ((fs.size <= nOut || undersized < 2) && alreadyClustered
             && !hasPending)
           (v, fs.size, fs.size, Seq.empty[LogFile], Seq.empty[LogFile])
@@ -1773,18 +1775,33 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // scan runs anyway). Downstream incremental consumers therefore
       // never miss a lazy deletion — it surfaces at the materializing
       // version, like a DV-aware Delta CDF read.
-      val marked = results.flatMap(_._4).filter(_.pendingDelete.isDefined)
+      val marked = results.flatMap(_._4).filter(f =>
+        f.pendingDelete.isDefined || f.adoptedDv.isDefined)
+      // exact delete images per file: its adopted-DV rows (whatever the
+      // predicate says about them), plus the predicate's matches among
+      // rows the DV does NOT already hide — no double image when both
+      // states mark the same row
       val changesSub =
         if (marked.isEmpty) None
-        else Some(writeChanges(
-          marked.groupBy(_.pendingDelete.get).toSeq.sortBy(_._1)
-            .map { case (pd, mfs) =>
-              readFiles(mfs, snap.schema, snap.columnMapping,
-                applyMarks = false).filter(coalesce(expr(pd), lit(false)))
+        else {
+          val dvImages = marked.filter(_.adoptedDv.isDefined)
+            .groupBy(_.pendingDelete).toSeq.sortBy(_._1.getOrElse(""))
+            .map { case (_, mfs) =>
+              scanWithManifestVals(mfs, snap.schema, snap.columnMapping,
+                dvFiles = mfs, dvKeepDeleted = true)
             }
-            .reduce(_.unionByName(_))
-            .withColumn("_change_type", lit("delete")),
-          snap.version + 1, snap.columnMapping))
+          val pdImages = marked.filter(_.pendingDelete.isDefined)
+            .groupBy(_.pendingDelete.get).toSeq.sortBy(_._1)
+            .map { case (pd, mfs) =>
+              scanWithManifestVals(mfs, snap.schema, snap.columnMapping,
+                dvFiles = mfs.filter(_.adoptedDv.isDefined))
+                .filter(coalesce(expr(pd), lit(false)))
+            }
+          Some(writeChanges(
+            (dvImages ++ pdImages).reduce(_.unionByName(_))
+              .withColumn("_change_type", lit("delete")),
+            snap.version + 1, snap.columnMapping))
+        }
       // the marker holds only for a clustered compact over the WHOLE
       // table (a values-scoped pass leaves other partitions unsorted, and
       // a plain bin-pack's coalesce destroys any previous ordering in the
@@ -2383,14 +2400,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // SQL DELETE semantics — only TRUE-matching rows are hidden, so a
       // NULL-evaluating row survives, mirroring the eager delete()).
       // Almost always one or two groups: clean files plus at most a few
-      // distinct outstanding predicates between rewrites.
-      // `applyMarks = false` reads the raw physical rows — the
-      // materialization path uses it to produce the CDF delete images of
-      // the very rows the marks hide.
-      val groups = files.groupBy(_.pendingDelete).toSeq
-        .sortBy(_._1.getOrElse(""))
-      groups.map { case (pd, fs) =>
-        val base = scanWithManifestVals(fs, schema, mapping)
+      // distinct outstanding predicates between rewrites. Files carrying
+      // an ADOPTED deletion vector additionally filter their bitmap's
+      // row indexes out inside the scan. `applyMarks = false` reads the
+      // raw physical rows — the materialization path uses it to produce
+      // the CDF delete images of the very rows the marks hide.
+      val groups = files
+        .groupBy(f => (f.pendingDelete, f.adoptedDv.isDefined)).toSeq
+        .sortBy { case ((pd, dv), _) => (pd.getOrElse(""), dv) }
+      groups.map { case ((pd, hasDv), fs) =>
+        val base = scanWithManifestVals(fs, schema, mapping,
+          dvFiles = if (hasDv && applyMarks) fs else Seq.empty)
         pd.filter(_ => applyMarks)
           .map(p => base.filter(!coalesce(expr(p), lit(false))))
           .getOrElse(base)
@@ -2413,7 +2433,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * table) take the original single-select plan untouched.
     */
   private def scanWithManifestVals(fs: Seq[LogFile], schema: StructType,
-      mapping: Map[String, String]): DataFrame = {
+      mapping: Map[String, String],
+      dvFiles: Seq[LogFile] = Seq.empty,
+      dvKeepDeleted: Boolean = false): DataFrame = {
     val flagged = fs.filter(_.manifestVals.nonEmpty)
     val attachCols = schema.fields.map(_.name)
       .filter(n => flagged.exists(_.manifestVals.contains(n))).toSeq
@@ -2424,8 +2446,28 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     // the coalesce below restores the manifest value
     val readSchema = StructType(schema.fields.map(f =>
       if (attachCols.contains(f.name)) f.copy(nullable = true) else f))
-    val physRead = spark.read.schema(toPhysicalSchema(readSchema, mapping))
+    val physRead0 = spark.read.schema(toPhysicalSchema(readSchema, mapping))
       .parquet(fs.map(f => dataPath(f).toString): _*)
+    // adopted deletion vectors filter positionally: resolve each file's
+    // bitmap once on the driver (O(marked files), the same scope
+    // Delta's snapshot holds), broadcast serialized, probe
+    // (file_path, row_index) per row — `dvKeepDeleted` inverts the
+    // polarity for the materializing rewrite's CDF delete images
+    val physRead =
+      if (dvFiles.isEmpty) physRead0
+      else {
+        val hconf = spark.sessionState.newHadoopConf()
+        val dvMap: Map[String, Array[Byte]] = dvFiles.flatMap(f =>
+          f.adoptedDv.map { enc =>
+            CommitLogTable.fileMetaPathKey(dataPath(f).toString, hconf) ->
+              DeletionVectors.resolveData(dir,
+                DeletionVectors.decodeDescriptor(enc))
+          }).toMap
+        val lookup = new DvLookup(spark.sparkContext.broadcast(dvMap))
+        val hit = udf((fp: String, ri: Long) => lookup.deleted(fp, ri))
+          .apply(col("_metadata.file_path"), col("_metadata.row_index"))
+        physRead0.where(if (dvKeepDeleted) hit else !hit)
+      }
     val plain = schema.fields.toSeq.map(f =>
       col(mapping.getOrElse(f.name, f.name)).as(f.name))
     if (flagged.isEmpty) return physRead.select(plain: _*)
@@ -2470,6 +2512,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       f: LogFile): (Array[Byte], Long) = {
     val pred = f.pendingDelete.getOrElse(throw new IllegalStateException(
       s"${f.path} carries no lazy-delete mark"))
+    // a file that ALSO carries an adopted DV unions it in: the protocol
+    // descriptor the mirror emits must cover every physically-deleted
+    // row, and predicate matches already hidden by the DV must not
+    // double-count the cardinality
+    val adopted: Option[DeletionVectors.Resolved] = f.adoptedDv.map(enc =>
+      DeletionVectors.resolve(dir, DeletionVectors.decodeDescriptor(enc)))
     // manifest-valued columns read nullable — the parquet refuses a
     // required column absent from the file (see scanWithManifestVals)
     val dvReadSchema = StructType(snap.schema.fields.map(fl =>
@@ -2493,8 +2541,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           }
         }): _*)
     val ris = logical.where(coalesce(expr(pred), lit(false)))
-      .select(col("__graft_ri")).collect().map(_.getLong(0)).sorted
-    (DeletionVectors.serializeBitmap(ris.iterator), ris.length.toLong)
+      .select(col("__graft_ri")).collect().map(_.getLong(0))
+      .filter(ri => !adopted.exists(_.contains(ri)))
+    val card = ris.length.toLong +
+      adopted.map(_.cardinality).getOrElse(0L)
+    (DeletionVectors.serializeBitmap(
+      adopted.map(_.rowIndexes).getOrElse(Iterator.empty) ++ ris.iterator),
+      card)
   }
 
   /** Write `df` (logical column names) as this commit's immutable data
@@ -2973,8 +3026,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     // file this attempt rewrote was read without that mark, so carrying
     // the rewrite would resurrect the deleted rows — same-path entries
     // must be mark-identical between the snapshots or the loser recomputes
-    val ontoPending = onto.files.map(f => f.path -> f.pendingDelete).toMap
-    val freshPending = fresh.files.map(f => f.path -> f.pendingDelete).toMap
+    val ontoPending = onto.files
+      .map(f => f.path -> (f.pendingDelete, f.adoptedDv)).toMap
+    val freshPending = fresh.files
+      .map(f => f.path -> (f.pendingDelete, f.adoptedDv)).toMap
     if (diff.removed.exists(p => ontoPending.get(p) != freshPending.get(p)))
       return None
     if (m.action == "merge") {
@@ -3329,7 +3384,15 @@ object CommitLogTable {
       // graft-written rewrite materializes the columns physically and
       // clears the entry. Keys are always a subset of the table's
       // partition columns.
-      manifestVals: Map[String, String] = Map.empty) {
+      manifestVals: Map[String, String] = Map.empty,
+      // a deletion vector ADOPTED with the file from a Delta log
+      // (`convertFromDelta` on a DML'd table): the encoded protocol
+      // descriptor ([[DeletionVectors.encodeDescriptor]]) whose bitmap
+      // of file-ordinal row indexes every read plane filters out —
+      // merge-on-read like [[pendingDelete]], but positional instead of
+      // predicate. Immutable once adopted; the file's next rewrite
+      // materializes (and clears) it. None = no adopted DV.
+      adoptedDv: Option[String] = None) {
     /** Composite grouping key over all partition values — the unit of
       * partition-scoped operations (compact, auto-compact, merge rebase
       * conflict detection). Single-column tables key by the RAW value
@@ -3757,17 +3820,18 @@ object CommitLogTable {
       versionAsOf: Option[Long] = None): CommitLogTable = {
     require(!exists(dir), s"convert: a commit-log table already exists at $dir")
     val dsnap = DeltaLogBridge.snapshot(spark, dir, versionAsOf)
-    val withDv = dsnap.live.filter(_._3.isDefined)
-    require(withDv.isEmpty,
-      s"convert: ${withDv.size} live file(s) carry deletion vectors — " +
-        "not expressible as adopted whole files; purge them in Delta " +
-        "first (REORG TABLE … APPLY (PURGE) / OPTIMIZE), or read the " +
-        "table through DeltaLogBridge.read")
-    require(dsnap.columnMappingMode != "id",
-      "convert: column mapping mode 'id' resolves columns by parquet " +
-        "field id, which the commitlog scan does not do — mode 'name' " +
-        "and unmapped tables adopt; read 'id' tables through " +
-        "DeltaLogBridge.read")
+    // live deletion vectors adopt AS merge-on-read state: each carries
+    // into [[LogFile.adoptedDv]] — every read plane filters the bitmap,
+    // the first rewrite (OPTIMIZE) materializes it. Resolve each one NOW
+    // so a dangling/corrupt DV fails the adoption, not a later read.
+    dsnap.live.foreach { case (p, _, dv) =>
+      dv.foreach { d =>
+        try DeletionVectors.resolveData(dir, d)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"convert: live file '$p' carries a deletion vector this " +
+            s"adoption cannot resolve: ${e.getMessage}", e) }
+      }
+    }
     val (schema, mapping) = DeltaLogBridge.adoptionSchema(dsnap)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val physPart = dsnap.partitionCols.map(c => mapping.getOrElse(c, c))
@@ -3776,9 +3840,37 @@ object CommitLogTable {
         s"convert: add path '$p' is a remote URI — only local paths adopt")
       if (p.startsWith("/")) Paths.get(p) else Paths.get(dir, p)
     }
+    // column mapping mode 'id' adopts when name-resolution provably
+    // equals id-resolution for THESE files: every top-level parquet
+    // field carrying a field id must bear the schema's declared
+    // physical name for that id (Delta writers emit both; a divergence
+    // would make the commitlog's name-resolving scan read wrong
+    // columns — refuse, with the bridge as the escape hatch). One
+    // distributed footer pass, mode-id tables only.
+    if (dsnap.columnMappingMode == "id") {
+      val expected = DeltaLogBridge.fieldIdExpectations(dsnap)
+      val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+      val paths = dsnap.live.map(f => absOf(f._1).toUri.toString).distinct
+      val slices = math.max(1, math.min(paths.size,
+        spark.sparkContext.defaultParallelism * 2))
+      val mismatches = spark.sparkContext.parallelize(paths, slices)
+        .flatMap { p =>
+          CommitLogTable.footerFieldIds(p, conf.value)
+            .flatMap { case (name, idOpt) =>
+              idOpt.flatMap(id => expected.get(id.toLong).filter(_ != name)
+                .map(want => s"$p binds field id $id to '$name', the " +
+                  s"schema says '$want'"))
+            }.take(1)
+        }.take(3)
+      require(mismatches.isEmpty,
+        "convert: column mapping mode 'id' — field-id resolution " +
+          "diverges from the declared physical names, so a " +
+          "name-resolving scan would read the wrong columns; read the " +
+          s"table through DeltaLogBridge.read. ${mismatches.mkString("; ")}")
+    }
     val probeByPath = probePaths(spark, dsnap.live.map(f => absOf(f._1)))
       .map(pr => (pr._1, pr)).toMap
-    val files = dsnap.live.map { case (rel, pv, _) =>
+    val files = dsnap.live.map { case (rel, pv, dv) =>
       val (_, rows, bytes, stats, fields) = probeByPath.getOrElse(absOf(rel),
         throw new IllegalArgumentException(
           s"convert: live file '$rel' is missing or not parquet — the " +
@@ -3801,7 +3893,8 @@ object CommitLogTable {
         statEncodedValue(v, dt, zone).map(enc => pc -> (enc, enc))
       }.toMap
       LogFile(rel, pvals, rows, bytes, stats ++ synthetic,
-        manifestVals = absent.map { case (lc, _, v) => lc -> v }.toMap)
+        manifestVals = absent.map { case (lc, _, v) => lc -> v }.toMap,
+        adoptedDv = dv.map(DeletionVectors.encodeDescriptor))
     }.filter(_.rows > 0)
     // GENESIS at the adopted Delta version: graft versions line up 1:1
     // with the original log, so enabling the mirror afterwards
@@ -3925,6 +4018,20 @@ object CommitLogTable {
       val (rows, stats, fields) = footerInfoAt(hp, conf)
       Some((rows, len, stats, fields))
     }
+  }
+
+  /** Top-level parquet (field name, field id) pairs of one footer —
+    * the mode-`id` adoption proof runs this inside a Spark task.
+    */
+  private def footerFieldIds(abs: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, Option[Int])] = {
+    val hp = new org.apache.hadoop.fs.Path(abs)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      .map(f => f.getName -> Option(f.getId).map(_.intValue))
+    finally r.close()
   }
 
   /** Minimal serializable Hadoop-conf carrier for executor-side footer
@@ -4385,6 +4492,7 @@ object CommitLogTable {
         f.manifestVals.toSeq.sortBy(_._1).foreach { case (c, v) =>
           mv.put(c, v) }
       }
+      f.adoptedDv.foreach(o.put("adoptedDv", _))
     }
   }
 
@@ -4427,7 +4535,9 @@ object CommitLogTable {
         if (f.hasNonNull("manifestVals")) {
           val mv = f.get("manifestVals")
           mv.fieldNames().asScala.map(c => c -> mv.get(c).asText).toMap
-        } else Map.empty)
+        } else Map.empty,
+        if (f.hasNonNull("adoptedDv")) Some(f.get("adoptedDv").asText)
+        else None)
     }.toVector
 
   private[tables] def parseRaw(s: String): RawManifest = {

@@ -37,6 +37,26 @@ import org.roaringbitmap.RoaringBitmap
   * read side filters `(file, row_index) ∉ DV` and the write side
   * collects exactly that column.
   */
+/** Executor-side deletion-vector probe: the broadcast carries bitmaps
+  * SERIALIZED (compact), each deserializing at most once per executor
+  * into the transient cache. Files without a DV miss the map → row
+  * kept. Shared by the bridge's Delta reads and the commitlog's
+  * adopted-DV scan planes.
+  */
+private[graft] final class DvLookup(
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+    extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DeletionVectors.Resolved]()
+  def has(filePath: String): Boolean = bc.value.contains(filePath)
+  def deleted(filePath: String, rowIndex: Long): Boolean =
+    bc.value.contains(filePath) &&
+      cache.computeIfAbsent(filePath, fp =>
+        DeletionVectors.Resolved(
+          DeletionVectors.deserializeBitmap(bc.value(fp))))
+        .contains(rowIndex)
+}
+
 private[graft] object DeletionVectors {
 
   /** `add.deletionVector` / `remove.deletionVector` as the log carries
@@ -49,6 +69,23 @@ private[graft] object DeletionVectors {
       */
     def uniqueId: String =
       storageType + pathOrInlineDv + offset.map("@" + _).getOrElse("")
+  }
+
+  /** Compact single-string descriptor form for manifest storage
+    * (`LogFile.adoptedDv`): colon-separated fixed fields with the
+    * path LAST — the z85 alphabet contains ':' so only a
+    * limit-bounded split is safe.
+    */
+  def encodeDescriptor(d: Descriptor): String =
+    s"${d.storageType}:${d.offset.map(_.toString).getOrElse("")}:" +
+      s"${d.sizeInBytes}:${d.cardinality}:${d.pathOrInlineDv}"
+
+  def decodeDescriptor(s: String): Descriptor = {
+    val parts = s.split(":", 5)
+    require(parts.length == 5, s"malformed stored DV descriptor '$s'")
+    Descriptor(parts(0), parts(4),
+      if (parts(1).isEmpty) None else Some(parts(1).toInt),
+      parts(2).toInt, parts(3).toLong)
   }
 
   val Magic: Int = 1681511377
@@ -202,6 +239,15 @@ private[graft] object DeletionVectors {
     def contains(rowIndex: Long): Boolean =
       buckets.get(rowIndex >>> 32).exists(_.contains(rowIndex.toInt))
     def cardinality: Long = buckets.valuesIterator.map(_.getLongCardinality).sum
+    /** Every marked row index, ascending — the merge input when an
+      * adopted DV unions with later lazy-delete marks.
+      */
+    def rowIndexes: Iterator[Long] =
+      buckets.toSeq.sortBy(_._1).iterator.flatMap { case (k, b) =>
+        val it = b.iterator()
+        Iterator.continually(()).takeWhile(_ => it.hasNext)
+          .map(_ => (k << 32) | (it.next().toLong & 0xffffffffL))
+      }
   }
 
   // ------------------------------------------------------------ file IO
@@ -318,9 +364,12 @@ private[graft] object DeletionVectors {
   /** Resolve a descriptor to the VALIDATED serialized bitmap bytes
     * (magic + portable) — deserialized once here to check magic and
     * cardinality, returned serialized so a caller can broadcast the
-    * compact form. `p` (absolute-path) storage stays refused — the
-    * bridge's posture on absolute URIs everywhere (add.path, sidecars):
-    * never silently re-scope a path.
+    * compact form. `p` (absolute-path) storage reads under an explicit
+    * scope rule: a LOCAL absolute path (no scheme, or `file:`) that
+    * exists — the shallow-clone case, where the clone's log references
+    * the SOURCE table's DV files by absolute path. Remote schemes and
+    * dangling paths refuse by name, the bridge's posture on absolute
+    * URIs everywhere (add.path, sidecars): never silently re-scope.
     */
   def resolveData(tableDir: String, d: Descriptor): Array[Byte] = {
     val data = d.storageType match {
@@ -328,9 +377,21 @@ private[graft] object DeletionVectors {
       case "u" =>
         val off = d.offset.getOrElse(1)
         readFromFile(uStoragePath(tableDir, d.pathOrInlineDv), off, d.sizeInBytes)
-      case "p" => throw new IllegalArgumentException(
-        "deletion vector with absolute-path storage ('p') — this bridge " +
-          "reads table-relative DVs only, refusing rather than guessing scope")
+      case "p" =>
+        val u = new java.net.URI(d.pathOrInlineDv)
+        require(u.getScheme == null || u.getScheme == "file",
+          s"deletion vector with absolute-path ('p') storage on scheme " +
+            s"'${u.getScheme}' — this bridge reads local paths only, " +
+            "refusing rather than guessing scope")
+        val p = Paths.get(Option(u.getPath).getOrElse(d.pathOrInlineDv))
+        require(p.isAbsolute,
+          s"'p'-storage deletion vector path must be absolute, got " +
+            s"'${d.pathOrInlineDv}'")
+        require(Files.isRegularFile(p),
+          s"'p'-storage deletion vector $p does not exist — the source " +
+            "table this (likely shallow-cloned) log references is gone " +
+            "or unreachable from here")
+        readFromFile(p, d.offset.getOrElse(1), d.sizeInBytes)
       case o => throw new IllegalArgumentException(
         s"unknown deletion-vector storageType '$o'")
     }

@@ -57,23 +57,6 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * express without rewriting: pending merge-on-read delete marks
   * (deletion vectors need a DV WRITER, out of scope).
   */
-/** Executor-side deletion-vector probe: the broadcast carries bitmaps
-  * SERIALIZED (compact), each deserializing at most once per executor
-  * into the transient cache. Files without a DV miss the map → row kept.
-  */
-private final class DvLookup(
-    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
-    extends Serializable {
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DeletionVectors.Resolved]()
-  def deleted(filePath: String, rowIndex: Long): Boolean =
-    bc.value.contains(filePath) &&
-      cache.computeIfAbsent(filePath, fp =>
-        DeletionVectors.Resolved(
-          DeletionVectors.deserializeBitmap(bc.value(fp))))
-        .contains(rowIndex)
-}
-
 object DeltaLogBridge {
 
   private val M = new ObjectMapper()
@@ -742,8 +725,13 @@ object DeltaLogBridge {
           "physical rename — the commitlog column mapping is " +
           "top-level-only; read through DeltaLogBridge.read instead"))
     }
+    // mode `id` tables carry the same physicalName annotations (the
+    // spec requires both in any mapped mode); they adopt name-mapped
+    // AFTER the caller's field-id proof (`convertFromDelta` verifies
+    // every file binds each id to its declared physical name)
     val mapping: Map[String, String] =
-      if (snap.columnMappingMode != "name") Map.empty
+      if (snap.columnMappingMode != "name" &&
+          snap.columnMappingMode != "id") Map.empty
       else snap.schema.fields.collect {
         case f if f.metadata.contains(PhysKey) &&
             f.metadata.getString(PhysKey) != f.name =>
@@ -765,6 +753,19 @@ object DeltaLogBridge {
       f.copy(dataType = cleanType(f.dataType), metadata = strip(f.metadata)))),
       mapping)
   }
+
+  /** Top-level (field id → physical name) a mode-`id` snapshot
+    * declares — the adoption proof's expectation table: a file whose
+    * parquet field ids bind these ids to DIFFERENT names cannot adopt
+    * name-resolved.
+    */
+  private[tables] def fieldIdExpectations(snap: Snapshot): Map[Long, String] =
+    snap.schema.fields.flatMap { f =>
+      if (!f.metadata.contains(IdKey)) None
+      else Some(f.metadata.getLong(IdKey) ->
+        (if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+         else f.name))
+    }.toMap
 
   private def readSnapshot(spark: SparkSession, dir: String,
       snap: Snapshot): DataFrame = {
@@ -991,7 +992,7 @@ object DeltaLogBridge {
       a.put("size", f.bytes)
       a.put("modificationTime", now)
       a.put("dataChange", true)
-      f.pendingDelete.foreach(_ => putDv(a, dvDescriptorFor(table, snap, f)))
+      if (dvMarked(f)) putDv(a, dvDescriptorFor(table, snap, f))
       sb.append(M.writeValueAsString(add)).append('\n')
     }
     val tmp = logDir.resolve(s".tmp-export-${java.util.UUID.randomUUID()}")
@@ -1204,22 +1205,33 @@ object DeltaLogBridge {
     * idempotently at first need.
     */
   private def dvUuid(dir: String, path: String,
-      predicate: String): java.util.UUID =
+      predicate: String, adoptedId: String = ""): java.util.UUID =
     java.util.UUID.nameUUIDFromBytes(
-      s"graft-dv:${stableId(dir)}:$path:$predicate".getBytes(UTF_8))
+      (s"graft-dv:${stableId(dir)}:$path:$predicate" +
+        (if (adoptedId.isEmpty) "" else s":$adoptedId")).getBytes(UTF_8))
 
   /** The descriptor for a marked file entry, materializing the `.bin`
     * on first need: an existing file answers size/cardinality without
     * re-scanning data (how a remove-side translation stays cheap); a
     * missing one recomputes the bitmap from the data file — a pure
     * function of (file content, predicate), so the redo converges.
+    * An entry whose ONLY merge-on-read state is an adopted DV
+    * ([[CommitLogTable.LogFile.adoptedDv]]) translates to its original
+    * descriptor verbatim — the continued `_delta_log` keeps referencing
+    * the very bytes the source table wrote, zero copies; a predicate
+    * mark layered on top derives a fresh DV covering the UNION
+    * ([[CommitLogTable.pendingDeleteBitmap]] merges).
     */
   private def dvDescriptorFor(table: CommitLogTable,
       m: CommitLogTable.Manifest,
       f: CommitLogTable.LogFile): DeletionVectors.Descriptor = {
-    val pred = f.pendingDelete.getOrElse(throw new IllegalStateException(
-      s"dvDescriptorFor on unmarked file ${f.path}"))
-    val uuid = dvUuid(table.dir, f.path, pred)
+    val adopted = f.adoptedDv.map(DeletionVectors.decodeDescriptor)
+    if (f.pendingDelete.isEmpty)
+      return adopted.getOrElse(throw new IllegalStateException(
+        s"dvDescriptorFor on unmarked file ${f.path}"))
+    val pred = f.pendingDelete.get
+    val uuid = dvUuid(table.dir, f.path, pred,
+      adopted.map(_.uniqueId).getOrElse(""))
     val z = DeletionVectors.z85Uuid(uuid)
     val bin = DeletionVectors.uStoragePath(table.dir, z)
     val data =
@@ -1241,9 +1253,15 @@ object DeltaLogBridge {
     * table-features spec requires); live column mapping alone keeps the
     * legacy (2,5) spelling round 13 shipped; plain snapshots stay (1,2).
     */
+  /** Merge-on-read state a file entry carries — either kind translates
+    * to a protocol deletion vector.
+    */
+  private def dvMarked(f: CommitLogTable.LogFile): Boolean =
+    f.pendingDelete.isDefined || f.adoptedDv.isDefined
+
   private def protocolNeed(m: CommitLogTable.Manifest)
       : (Int, Int, Seq[String], Seq[String]) = {
-    val marks = m.files.exists(_.pendingDelete.isDefined)
+    val marks = m.files.exists(dvMarked)
     val mapped = m.columnMapping.nonEmpty
     if (marks && mapped)
       (3, 7, Seq("columnMapping", "deletionVectors"),
@@ -1582,7 +1600,7 @@ object DeltaLogBridge {
         r.put("dataChange", dataChange)
         // the remove must name the DV state it retires — (path, uniqueId)
         // is the action key; descriptors re-derive deterministically
-        prevByPath.get(p).filter(_.pendingDelete.isDefined)
+        prevByPath.get(p).filter(dvMarked)
           .foreach(pf => putDv(r, dvDescriptorFor(table, prevM, pf)))
         sb.append(M.writeValueAsString(rm)).append('\n')
       }
@@ -1590,7 +1608,8 @@ object DeltaLogBridge {
         sb.append(addJson(
           m.partitionCols.map(c => m.columnMapping.getOrElse(c, c)),
           f, m.tsMillis, dataChange,
-          dv = f.pendingDelete.map(_ => dvDescriptorFor(table, m, f))))
+          dv = if (dvMarked(f)) Some(dvDescriptorFor(table, m, f))
+            else None))
           .append('\n'))
       // a no-op translation (e.g. a properties commit) still writes the
       // empty commit — Delta versions must stay contiguous with graft's.
@@ -1691,7 +1710,7 @@ object DeltaLogBridge {
             .map { case (c, v) => c -> v.orNull }.toMap
         // marked files checkpoint WITH their deletion vector — a seed at
         // a marks-bearing head is a complete, readable log start
-        val dv = f.pendingDelete.map { _ =>
+        val dv = if (!dvMarked(f)) None else Some {
           val d = dvDescriptorFor(table, snap, f)
           (d.storageType, d.pathOrInlineDv, d.offset.getOrElse(1),
             d.sizeInBytes, d.cardinality)

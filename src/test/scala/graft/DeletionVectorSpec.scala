@@ -294,7 +294,9 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(key(DeltaLogBridge.read(spark, dir)) == key(t.read()))
   }
 
-  test("absolute-path ('p') DV storage refuses loudly; cardinality mismatch refuses") {
+  test("absolute-path ('p') DV storage: a reachable LOCAL path reads " +
+      "(the shallow-clone case); remote schemes and dangling paths " +
+      "refuse; cardinality mismatch refuses") {
     val dir = tmpDir()
     val f1 = dataFile(dir)
     Files.createDirectories(Paths.get(dir, "_delta_log"))
@@ -304,9 +306,24 @@ class DeletionVectorSpec extends AnyFunSuite {
            |${metaLine()}
            |{"add":{"path":"$f1","partitionValues":{},"size":9,"modificationTime":1,"dataChange":true,"deletionVector":$dv}}
            |""".stripMargin).getBytes(UTF_8))
+    // a shallow clone references the SOURCE table's DV file by absolute
+    // path: reachable local .bin → the read works
+    val srcDir = tmpDir()
+    val bm0 = DV.serializeBitmap(Iterator(1L, 3L)) // drop k=11, k=13
+    val bin = Paths.get(srcDir, "deletion_vector_source.bin")
+    val off = DV.writeFile(bin, Seq(bm0)).head
+    writeLog(dvJson(DV.Descriptor("p", bin.toString, Some(off),
+      bm0.length, 2L)))
+    assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 12L, 14L))
+    // a remote scheme still refuses by name — never guess scope
     writeLog("""{"storageType":"p","pathOrInlineDv":"s3://bucket/dv.bin","offset":1,"sizeInBytes":8,"cardinality":1}""")
     val e1 = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
     assert(e1.getMessage.contains("absolute-path"), e1.getMessage)
+    // a dangling local path refuses with the source-table hint
+    writeLog(s"""{"storageType":"p","pathOrInlineDv":"$srcDir/gone.bin","offset":1,"sizeInBytes":8,"cardinality":1}""")
+    val eGone = intercept[IllegalArgumentException](DeltaLogBridge.read(spark, dir))
+    assert(eGone.getMessage.contains("does not exist"), eGone.getMessage)
     val bm = DV.serializeBitmap(Iterator(1L))
     writeLog(dvJson(DV.Descriptor("i", DV.z85EncodePadded(bm), None,
       bm.length, 5L))) // lies about cardinality

@@ -169,25 +169,68 @@ class DeltaConvertSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("missing or not parquet"), e3.getMessage)
   }
 
-  test("live deletion vectors refuse with purge guidance; a DV consumed " +
-      "by a later rewrite adopts fine") {
+  test("live deletion vectors ADOPT as merge-on-read state: both read " +
+      "planes filter, OPTIMIZE materializes with CDF delete images and " +
+      "mirrors the DV-clearing rewrite; an unresolvable DV refuses") {
+    import graft.tables.{DeletionVectors => DV}
     val dir = tmpDir()
-    buildFixture(dir)
+    buildFixture(dir) // d1 holds (k=1,"a"),(k=2,"b") at row indexes 0,1
     val f1 = onePart(dir, "d1")
+    // v2: Delta DELETEd k=1 — a DV marking row index 0 of d1's file
+    val bm = DV.serializeBitmap(Iterator(0L))
+    val dv = s"""{"storageType":"i","pathOrInlineDv":"${DV.z85EncodePadded(bm)}","sizeInBytes":${bm.length},"cardinality":1}"""
     Files.write(Paths.get(dir, "_delta_log/00000000000000000002.json"),
-      (s"""{"remove":{"path":"$f1","deletionTimestamp":1700000002000,"dataChange":true}}
-         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000002000,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"xxxx","offset":1,"sizeInBytes":8,"cardinality":1}}}
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |{"remove":{"path":"$f1","deletionTimestamp":1700000002000,"dataChange":true}}
+         |{"add":{"path":"$f1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000002000,"dataChange":true,"deletionVector":$dv}}
+         |""".stripMargin).getBytes(UTF_8))
+    val expected = DeltaLogBridge.read(spark, dir)
+      .orderBy("k").collect().toSeq
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    val m = t.resolvedManifest(None)
+    assert(m.files.count(_.adoptedDv.isDefined) == 1)
+    // row parity with the bridge's own DV-filtered read, BOTH planes
+    assert(t.read().orderBy("k").collect().toSeq == expected)
+    assert(spark.read.format("commitlog").load(dir)
+      .orderBy("k").collect().toSeq == expected)
+    assert(!expected.exists(_.getLong(1) == 1L), "k=1 is deleted")
+    // pruning predicates still work alongside the DV filter
+    assert(spark.read.format("commitlog").load(dir)
+      .filter($"k" >= 2L).count() == 3)
+    // mirror continues the original log; OPTIMIZE materializes the DV
+    // and mirrors as the DV-clearing rewrite (remove names the old
+    // uniqueId, the new add carries none)
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    t.compact(targetFileBytes = 1L << 30)
+    val m2 = t.resolvedManifest(None)
+    assert(m2.files.forall(_.adoptedDv.isEmpty))
+    assert(t.read().orderBy("k").collect().toSeq == expected)
+    // the materializing compact stamped the deferred CDF delete image
+    val cdf = t.readChanges(m2.version, m2.version)
+      .filter($"_change_type" === "delete").collect()
+    assert(cdf.map(_.getAs[Long]("k")).toSeq == Seq(1L), cdf.toSeq.toString)
+    // external Delta readers of the continued log agree after the rewrite
+    assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect().toSeq ==
+      expected)
+    // an unresolvable DV fails the ADOPTION, not a later read
+    val dir2 = tmpDir()
+    buildFixture(dir2)
+    val g1 = onePart(dir2, "d1")
+    Files.write(Paths.get(dir2, "_delta_log/00000000000000000002.json"),
+      (s"""{"remove":{"path":"$g1","deletionTimestamp":1700000002000,"dataChange":true}}
+         |{"add":{"path":"$g1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000002000,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"xxxx","offset":1,"sizeInBytes":8,"cardinality":1}}}
          |""".stripMargin).getBytes(UTF_8))
     val e = intercept[IllegalArgumentException](
-      CommitLogTable.convertFromDelta(spark, dir))
+      CommitLogTable.convertFromDelta(spark, dir2))
     assert(e.getMessage.contains("deletion vector"), e.getMessage)
     // the PINNED pre-DV version still adopts
-    val t = CommitLogTable.convertFromDelta(spark, dir, Some(1L))
-    assert(t.read().count() == 4)
+    val t2 = CommitLogTable.convertFromDelta(spark, dir2, Some(1L))
+    assert(t2.read().count() == 4)
   }
 
-  test("column mapping mode name adopts (logical names surface, physical " +
-      "names read); mode id refuses") {
+  test("column mapping modes name AND id adopt (logical names surface, " +
+      "physical names read); an id-mode file whose field ids diverge " +
+      "from the physical names refuses") {
     val dir = tmpDir()
     // files under PHYSICAL column names
     Seq((1L, "a"), (2L, "b")).toDF("col-k1", "col-s1").coalesce(1)
@@ -211,10 +254,37 @@ class DeltaConvertSpec extends AnyFunSuite {
            |{"metaData":{"id":"f00d","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}
            |{"add":{"path":"$f1","partitionValues":{},"size":100,"modificationTime":1700000000000,"dataChange":true}}
            |""".stripMargin).getBytes(UTF_8))
+    // mode id adopts when field-id resolution provably equals name
+    // resolution (this file carries no field ids → names govern)
     writeV0("id")
-    val e = intercept[IllegalArgumentException](
+    val tId = CommitLogTable.convertFromDelta(spark, dir)
+    assert(tId.resolvedManifest(None).columnMapping ==
+      Map("k" -> "col-k1", "s" -> "col-s1"))
+    assert(tId.read().orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // a file binding a declared field id to a DIFFERENT name refuses —
+    // name resolution would read the wrong column
+    Files.walk(Paths.get(dir)).iterator().asScala.toVector
+      .filter(p => p.toString.contains("_graft_log"))
+      .sortBy(-_.toString.length).foreach(Files.deleteIfExists(_))
+    val divergent = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col-other",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        org.apache.spark.sql.types.Metadata.fromJson(
+          """{"parquet.field.id":1}"""))))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        Seq(org.apache.spark.sql.Row(9L)).asJava), divergent)
+      .coalesce(1).write.parquet(s"$dir/d2")
+    val f2 = onePart(dir, "d2")
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000001.json"),
+      (s"""{"add":{"path":"$f2","partitionValues":{},"size":100,"modificationTime":1700000001000,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val eId = intercept[IllegalArgumentException](
       CommitLogTable.convertFromDelta(spark, dir))
-    assert(e.getMessage.contains("'id'"), e.getMessage)
+    assert(eId.getMessage.contains("field id"), eId.getMessage)
+    // back to the clean v0 log for the name-mode half
+    Files.delete(Paths.get(dir, "_delta_log/00000000000000000001.json"))
     writeV0("name")
     val t = CommitLogTable.convertFromDelta(spark, dir)
     val m = t.resolvedManifest(None)
