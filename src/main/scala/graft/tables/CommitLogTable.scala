@@ -1987,9 +1987,24 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     Files.createDirectories(tgtLog.resolve("changes"))
     Files.createDirectories(tgtLog.resolve("staged_changes"))
     val t = new CommitLogTable(spark, targetDir)
-    val absolute = m.files.map(f => f.copy(path =
-      if (f.path.startsWith("/")) f.path // cloning a clone: already absolute
-      else Paths.get(dir, f.path).toAbsolutePath.normalize.toString))
+    val absolute = m.files.map { f =>
+      // an adopted DV with table-relative (u) storage re-scopes to the
+      // SOURCE's absolute .bin — the protocol's own shallow-clone shape
+      // (p storage), which the read path accepts for reachable local
+      // paths; inline (i) descriptors need no re-scoping
+      val dv2 = f.adoptedDv.map { enc =>
+        val d = DeletionVectors.decodeDescriptor(enc)
+        if (d.storageType != "u") enc
+        else DeletionVectors.encodeDescriptor(d.copy(storageType = "p",
+          pathOrInlineDv = DeletionVectors
+            .uStoragePath(dir, d.pathOrInlineDv)
+            .toAbsolutePath.normalize.toString))
+      }
+      f.copy(path =
+        if (f.path.startsWith("/")) f.path // cloning a clone: already absolute
+        else Paths.get(dir, f.path).toAbsolutePath.normalize.toString,
+        adoptedDv = dv2)
+    }
     val v0 = Manifest(0L, "clone", System.currentTimeMillis(), m.schema,
       m.partitionCols, absolute, 0, 0, 0, m.rowsTotal, None, m.clusteredBy,
       m.columnMapping, m.retiredPhysical, m.txns, m.constraints,
@@ -3807,14 +3822,17 @@ object CommitLogTable {
     * min=max stat for pruning; the first rewrite materializes them.
     * One footer pass (distributed) takes row counts and skipping stats.
     *
-    * Refuses loudly what adoption cannot express: live deletion
-    * vectors (purge in Delta first — `REORG … APPLY (PURGE)` — or read
-    * through [[DeltaLogBridge.read]]), column mapping mode `id` (the
-    * commitlog scan resolves by physical NAME), a nested physical
-    * rename, and remote-URI add paths. The stale `_delta_log` stays in
-    * place untouched; re-seed it from the adopted table with
-    * `DeltaLogBridge.export(t, overwrite = true)` if a live mirror is
-    * wanted.
+    * Live deletion vectors adopt AS merge-on-read state
+    * ([[LogFile.adoptedDv]]): every read plane filters the bitmap, the
+    * first rewrite materializes it, and the mirror re-emits the
+    * original descriptor verbatim. Column mapping mode `id` adopts
+    * name-mapped after a distributed footer proof that every file
+    * binds each field id to its declared physical name. Refuses loudly
+    * what adoption genuinely cannot express: an unresolvable DV, a
+    * field-id/name divergence, a nested physical rename, and
+    * remote-URI add paths — [[DeltaLogBridge.read]] is the escape
+    * hatch for all of them. The `_delta_log` stays in place untouched;
+    * a HEAD-version adoption lets the mirror CONTINUE it at N+1.
     */
   def convertFromDelta(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): CommitLogTable = {

@@ -36,26 +36,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * classic (single and multi-part) checkpoints, UUID-named v2
   * manifest+sidecar checkpoints (parquet AND JSON manifests), and the
   * table-features protocol — reader v2/v3 tables read when every
-  * declared feature is IMPLEMENTED: column mapping mode `name` resolves
-  * fields by their physical names, and live DELETION VECTORS (inline
-  * and u-storage, [[DeletionVectors]]) filter their marked row indexes
-  * out of the scan — the post-DBR-14 Databricks default, so any table
-  * that saw an UPDATE/DELETE/MERGE reads correctly. Id-mode mapping and
-  * absolute-path (`p`) DVs refuse loudly. File actions key by
+  * declared feature is IMPLEMENTED: column mapping modes `name` AND
+  * `id` resolve fields (physical names / parquet field ids), and live
+  * DELETION VECTORS (inline `i`, table-relative `u`, and local
+  * absolute-path `p` storage, [[DeletionVectors]]) filter their marked
+  * row indexes out of the scan — the post-DBR-14 Databricks default,
+  * so any table that saw an UPDATE/DELETE/MERGE reads correctly,
+  * including shallow clones whose DVs reference the source table. The
+  * remaining loud refusals are genuine scope edges: remote-scheme URIs
+  * (add paths, sidecars, `p` DVs) and reader features this bridge has
+  * no implementation for. File actions key by
   * `(path, deletionVector.uniqueId)` exactly as the spec demands.
   * `_last_checkpoint` is a HINT, tolerated when stale or unreadable.
   * protocol/metaData/add/remove actions honored, commitInfo/txn ignored.
   *
-  * EXPORTED logs declare `minReaderVersion=1, minWriterVersion=2` for
-  * plain snapshots — and a column-MAPPED snapshot (renames, post-drop
-  * re-adds) exports as a reader-v2 NAME-mode log (mapped schemaString
-  * field metadata, `delta.columnMapping.mode=name`, physical
-  * partitionValues keys), the same encoding Databricks-written mapped
-  * tables use — so any spec-conforming Delta reader (delta-spark,
+  * EXPORTED logs declare the protocol the snapshot NEEDS — (1,2) for
+  * plain snapshots, the legacy writer ladder for constraints / CDF /
+  * generated / identity state, reader-v2 NAME mode for column-mapped
+  * snapshots (mapped schemaString field metadata,
+  * `delta.columnMapping.mode=name`, physical partitionValues keys),
+  * and v3/v7 table features with protocol DELETION VECTORS for
+  * merge-on-read delete marks — the same encodings Databricks-written
+  * tables use, so any spec-conforming Delta reader (delta-spark,
   * delta-rs, DuckDB delta) can read a graft table's files in place,
-  * zero data copied. Export refuses only what no protocol level can
-  * express without rewriting: pending merge-on-read delete marks
-  * (deletion vectors need a DV WRITER, out of scope).
+  * zero data copied. Stored CHECK constraints, user TBLPROPERTIES,
+  * and generated/identity specs travel in `metaData`, so an external
+  * Delta WRITER appending to the exported log enforces them too.
   */
 object DeltaLogBridge {
 
@@ -292,8 +298,8 @@ object DeltaLogBridge {
     * forbids reading past a feature you don't understand.
     */
   private val TolerableReaderFeatures = Set(
-    "columnMapping", // mode name IMPLEMENTED (physical resolution); id refuses
-    "deletionVectors", // tolerated iff no add carries a deletionVector
+    "columnMapping", // modes name AND id IMPLEMENTED (names / field ids)
+    "deletionVectors", // IMPLEMENTED — live DVs filter out of the scan
     "timestampNtz", // a type, carried by schemaString — Spark reads it
     "variantType-preview", "variantType", // ditto
     "typeWidening-preview", "typeWidening", // widened types live in schemaString
@@ -309,12 +315,12 @@ object DeltaLogBridge {
     *
     * Protocol handling follows the table-features spec: reader v1 reads
     * as before; v2 (implicit column mapping) and v3 (explicit
-    * readerFeatures) are accepted when every declared feature is either
-    * IMPLEMENTED — column mapping mode `name`: the scan reads files by
-    * their PHYSICAL field names and surfaces logical ones — or provably
-    * unused in this snapshot (deletionVectors with no live
-    * `add.deletionVector`). Genuinely-used DVs and id-mode mapping
-    * refuse loudly.
+    * readerFeatures) are accepted when every declared feature is
+    * IMPLEMENTED — column mapping mode `name` reads files by their
+    * PHYSICAL field names, mode `id` by parquet field ids (both
+    * surface logical names), and live deletion vectors filter their
+    * marked row indexes out of the scan. A feature outside
+    * [[TolerableReaderFeatures]] refuses loudly.
     *
     * `_last_checkpoint` is a HINT, per the spec: unreadable, stale, or
     * dangling hints never fail a read the log itself can serve — the
@@ -965,15 +971,21 @@ object DeltaLogBridge {
     fmt.put("provider", "parquet")
     fmt.putObject("options")
     val conf = mdN.putObject("configuration")
+    // constraints, user TBLPROPERTIES, and generated/identity specs
+    // travel with the export — an external Delta WRITER appending to
+    // this log enforces what the graft side guarantees
+    deltaConfiguration(snap).toSeq.sortBy(_._1).foreach {
+      case (k, v) => conf.put(k, v) }
+    val exportSchema = deltaSchema(snap)
     if (mapped) {
       // ids carry forward from whatever the log (overwrite case) already
       // declared — maxColumnId is monotonic, retired ids never re-issue
-      val (json, maxId) = mappedSchemaJson(snap.schema, snap.columnMapping,
+      val (json, maxId) = mappedSchemaJson(exportSchema, snap.columnMapping,
         priorFieldIds(table.spark, logDir))
       mdN.put("schemaString", json)
       conf.put("delta.columnMapping.mode", "name")
       conf.put(MaxIdKey, maxId.toString)
-    } else mdN.put("schemaString", snap.schema.json)
+    } else mdN.put("schemaString", exportSchema.json)
     val pc = mdN.putArray("partitionColumns")
     snap.partitionCols.foreach(pc.add)
     mdN.put("createdTime", now)
@@ -1101,11 +1113,14 @@ object DeltaLogBridge {
     val floor = ckVs.takeRight(retain).head
     val droppedUuids = scala.collection.mutable.Set.empty[String]
     names.foreach { n =>
+      val jsonV: Option[Long] =
+        if (n.length == 25 && n.endsWith(".json") &&
+            n.dropRight(5).forall(_.isDigit))
+          Some(n.dropRight(5).toLong)
+        else None
       val drop =
         ckVersion(n).exists(_ < floor) ||
-        (n.length == 25 && n.endsWith(".json") &&
-          n.dropRight(5).forall(_.isDigit) &&
-          n.dropRight(5).toLong < floor) ||
+        jsonV.exists(_ < floor) ||
         (n.startsWith("_graft_seed.") &&
           n.stripPrefix("_graft_seed.").forall(_.isDigit) &&
           n.stripPrefix("_graft_seed.").toLong < floor)
@@ -1113,6 +1128,13 @@ object DeltaLogBridge {
         if (ckVersion(n).exists(_ < floor))
           """\d{20}\.checkpoint\.([^.]+)\.parquet""".r
             .findFirstMatchIn(n).foreach(m0 => droppedUuids += m0.group(1))
+        // a dropped commit's `_change_data` goes with its json — the
+        // cdc directory name derives deterministically from the version
+        jsonV.filter(_ < floor).foreach { v =>
+          val tableDir = logDir.getParent.toString
+          deleteTree(logDir.getParent.resolve("_change_data")
+            .resolve(cdcUuid(tableDir, v).toString))
+        }
         Files.deleteIfExists(logDir.resolve(n))
       }
     }
@@ -1138,12 +1160,66 @@ object DeltaLogBridge {
   private def v2ManifestName(dir: String, version: Long): String =
     f"$version%020d.checkpoint.${v2CheckpointUuid(dir, version)}.parquet"
 
+  /** `delta.enableChangeDataFeed` truthy in table properties — the
+    * user-facing CDF switch (the reference's own Bronze DDL sets it as
+    * a TBLPROPERTY, `docs/databricks_setup.md:96`): when ON, the
+    * mirror writes `_change_data/` parquet + `cdc` actions for every
+    * change-bearing commit, so external Delta consumers run the
+    * reference's CDF-driven Silver MERGE against a graft table.
+    */
+  private def cdfEnabled(m: CommitLogTable.Manifest): Boolean =
+    m.properties.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Delta-native `metaData.configuration` of a manifest: user
+    * TBLPROPERTIES pass through verbatim (the reference sets `delta.*`
+    * keys this way), stored CHECK constraints translate to
+    * `delta.constraints.<name>` — the spelling an external Delta
+    * WRITER enforces before appending. Engine-internal `graft.*` keys
+    * stay home (generated/identity specs travel as schemaString field
+    * metadata instead, [[deltaSchema]]); column-mapping keys are the
+    * emitters' own concern (they depend on the id carry).
+    */
+  private def deltaConfiguration(
+      m: CommitLogTable.Manifest): Map[String, String] =
+    m.properties.filterNot { case (k, _) => k.startsWith("graft.") } ++
+      m.constraints.map { case (n, sql) => s"delta.constraints.$n" -> sql }
+
+  /** The manifest schema with Delta generated/identity FIELD metadata
+    * attached: `graft.generated.<col>` → `delta.generationExpression`,
+    * `graft.identity.<col>` (+ `.highWater`) → `delta.identity.{start,
+    * step,allowExplicitInsert,highWaterMark}` — what delta-spark reads
+    * (and enforces on its own writes) from a mirrored or exported log.
+    */
+  private def deltaSchema(m: CommitLogTable.Manifest): StructType = {
+    val gens = CommitLogTable.generatedExprs(m.properties).toMap
+    val ids = CommitLogTable.identitySpecs(m.properties)
+      .map(s => s.col -> s).toMap
+    if (gens.isEmpty && ids.isEmpty) return m.schema
+    StructType(m.schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      gens.get(f.name).foreach(e =>
+        mb.putString("delta.generationExpression", e))
+      ids.get(f.name).foreach { s =>
+        mb.putLong("delta.identity.start", s.start)
+        mb.putLong("delta.identity.step", s.step)
+        mb.putBoolean("delta.identity.allowExplicitInsert", s.allowExplicit)
+        m.properties
+          .get(CommitLogTable.IdentityPropPrefix + f.name + ".highWater")
+          .foreach(h => mb.putLong("delta.identity.highWaterMark", h.toLong))
+      }
+      f.copy(metadata = mb.build())
+    })
+  }
+
   /** One metaData action line; returns it plus the UPDATED field-id
     * carry (new columns consumed ids) for the caller's next emission.
     */
   private def metaDataJson(dir: String, schema: StructType,
       partitionCols: Seq[String], tsMillis: Long,
       mapping: Map[String, String],
+      extraConf: Map[String, String],
       prior: (Map[String, Long], Long)): (String, (Map[String, Long], Long)) = {
     val md = M.createObjectNode()
     val mdN = md.putObject("metaData")
@@ -1152,6 +1228,7 @@ object DeltaLogBridge {
     fmt.put("provider", "parquet")
     fmt.putObject("options")
     val conf = mdN.putObject("configuration")
+    extraConf.toSeq.sortBy(_._1).foreach { case (k, v) => conf.put(k, v) }
     var carry = prior
     if (mapping.nonEmpty) {
       val (json, maxId) = mappedSchemaJson(schema, mapping, prior)
@@ -1246,32 +1323,133 @@ object DeltaLogBridge {
     DeletionVectors.Descriptor("u", z, Some(1), data.length, card)
   }
 
-  /** The protocol a snapshot NEEDS: (minReader, minWriter,
-    * readerFeatures, writerFeatures). Lazy-delete marks need the
-    * deletionVectors reader-writer feature (v3/v7, with the previous
-    * level's implied legacy writer features listed explicitly, as the
-    * table-features spec requires); live column mapping alone keeps the
-    * legacy (2,5) spelling round 13 shipped; plain snapshots stay (1,2).
-    */
   /** Merge-on-read state a file entry carries — either kind translates
     * to a protocol deletion vector.
     */
   private def dvMarked(f: CommitLogTable.LogFile): Boolean =
     f.pendingDelete.isDefined || f.adoptedDv.isDefined
 
+  // ------------------------------------------------------- change data (cdc)
+
+  /** Deterministic `_change_data` directory identity for one mirrored
+    * commit — racing/redone catch-ups converge on the first writer's
+    * directory, like every other mirror artifact.
+    */
+  private def cdcUuid(dir: String, version: Long): java.util.UUID =
+    java.util.UUID.nameUUIDFromBytes(
+      s"graft-cdc:${stableId(dir)}:$version".getBytes(UTF_8))
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+
+  /** Materialize one mirrored commit's persisted change rows as Delta
+    * `_change_data/` parquet and return its `cdc` action lines —
+    * emitted only when `delta.enableChangeDataFeed` is set AND the
+    * commit carries update/delete images; pure-insert commits let CDF
+    * readers derive inserts from the adds, exactly Delta's own writer
+    * rule (a cdc action makes readers use cdc files EXCLUSIVELY for
+    * that commit, so it must exist precisely when derivation would be
+    * wrong). The parquet is the commit's change files minus the
+    * engine's `_commit_version` stamp (readers take the version from
+    * the action), laid out `partitionBy` the table's physical
+    * partition columns — Delta cdc files omit partition columns and
+    * readers fill them from `cdc.partitionValues`. Cost is
+    * batch-proportional (the change volume Delta's own CDF writer
+    * pays), never table-proportional; the copy also decouples external
+    * CDF retention from the table's own change-log vacuum. Idempotent:
+    * an existing directory is reused byte-for-byte (sizes in the
+    * action lines re-read from it), so a crash-redo emits the
+    * identical commit.
+    */
+  private def cdcActions(table: CommitLogTable,
+      m: CommitLogTable.Manifest): Seq[String] = {
+    if (!cdfEnabled(m)) return Seq.empty
+    if (m.changesDir.isEmpty || m.rowsUpdated + m.rowsDeleted == 0L)
+      return Seq.empty
+    val sub = s"_change_data/${cdcUuid(table.dir, m.version)}"
+    val target = Paths.get(table.dir, sub)
+    if (!Files.isDirectory(target)) {
+      val changeFiles = table.changeFilesAt(m.version)
+      if (changeFiles.isEmpty) return Seq.empty
+      val tmp = Paths.get(table.dir, "_change_data",
+        s".tmp-${java.util.UUID.randomUUID()}")
+      Files.createDirectories(tmp.getParent)
+      val df = table.spark.read.parquet(changeFiles.map(_._1): _*)
+        .drop("_commit_version")
+      val pvPhys = m.partitionCols.map(c => m.columnMapping.getOrElse(c, c))
+      (if (pvPhys.nonEmpty) df.write.partitionBy(pvPhys: _*) else df.write)
+        .parquet(tmp.toString)
+      try Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException |
+                   _: java.nio.file.FileSystemException =>
+        deleteTree(tmp) // a racer landed it first — use theirs
+      }
+    }
+    val parts = {
+      val s = Files.walk(target)
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .toVector.sortBy(_.toString)
+      finally s.close()
+    }
+    val root = Paths.get(table.dir)
+    parts.map { p =>
+      val node = M.createObjectNode()
+      val c = node.putObject("cdc")
+      c.put("path", encodePath(
+        root.relativize(p).iterator().asScala.mkString("/")))
+      val pv = c.putObject("partitionValues")
+      // Hive `col=value` segments between the cdc root and the part
+      // file carry the partition values (unescaped; the default
+      // marker is the protocol's JSON null)
+      target.relativize(p).iterator().asScala.map(_.toString).toSeq
+        .dropRight(1).foreach { seg =>
+          val i = seg.indexOf('=')
+          require(i > 0, s"unexpected _change_data layout segment $seg")
+          val k = seg.substring(0, i)
+          val v = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+          if (v == HiveNull) pv.putNull(k) else pv.put(k, v)
+        }
+      c.put("size", Files.size(p))
+      c.put("dataChange", false)
+      M.writeValueAsString(node)
+    }
+  }
+
+  /** The protocol a snapshot NEEDS: (minReader, minWriter,
+    * readerFeatures, writerFeatures). Legacy writer levels express the
+    * feature ladder Delta itself climbs: CHECK constraints need writer
+    * v3; change data feed and generated columns v4; column mapping the
+    * (2,5) pair; identity columns v6. Merge-on-read marks / adopted
+    * DVs need the deletionVectors reader-writer FEATURE (v3/v7, with
+    * the implied legacy writer features listed explicitly, as the
+    * table-features spec requires). Plain snapshots stay (1,2).
+    */
   private def protocolNeed(m: CommitLogTable.Manifest)
       : (Int, Int, Seq[String], Seq[String]) = {
     val marks = m.files.exists(dvMarked)
     val mapped = m.columnMapping.nonEmpty
-    if (marks && mapped)
-      (3, 7, Seq("columnMapping", "deletionVectors"),
-        Seq("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-          "generatedColumns", "columnMapping", "deletionVectors"))
-    else if (marks)
-      (3, 7, Seq("deletionVectors"),
-        Seq("appendOnly", "invariants", "deletionVectors"))
-    else if (mapped) (2, 5, Seq.empty, Seq.empty)
-    else (1, 2, Seq.empty, Seq.empty)
+    val w = Seq(2,
+      if (m.constraints.nonEmpty) 3 else 2,
+      if (cdfEnabled(m) ||
+          CommitLogTable.generatedExprs(m.properties).nonEmpty) 4 else 2,
+      if (mapped) 5 else 2,
+      if (CommitLogTable.identitySpecs(m.properties).nonEmpty) 6 else 2).max
+    val legacy = (if (mapped) 2 else 1, w,
+      Seq.empty[String], Seq.empty[String])
+    if (!marks) legacy
+    else mergeNeed(legacy, (3, 7, Seq("deletionVectors"),
+      Seq("appendOnly", "invariants", "deletionVectors")))
   }
 
   /** A legacy protocol level expressed as its IMPLIED feature lists —
@@ -1583,11 +1761,18 @@ object DeltaLogBridge {
           declaredCur = Some(up)
         } else declaredCur = Some(d)
       }
-      if (m.schema != prevM.schema ||
+      // metaData re-emits whenever anything it CARRIES moved: the
+      // schema (incl. generated/identity field metadata — an identity
+      // high-water advance re-emits, exactly Delta's own behavior),
+      // partitioning, mapping, or the translated configuration
+      // (constraints, TBLPROPERTIES)
+      if (deltaSchema(m) != deltaSchema(prevM) ||
           m.partitionCols != prevM.partitionCols ||
-          m.columnMapping != prevM.columnMapping) {
-        val (line, carry2) = metaDataJson(table.dir, m.schema,
-          m.partitionCols, m.tsMillis, m.columnMapping, idCarry)
+          m.columnMapping != prevM.columnMapping ||
+          deltaConfiguration(m) != deltaConfiguration(prevM)) {
+        val (line, carry2) = metaDataJson(table.dir, deltaSchema(m),
+          m.partitionCols, m.tsMillis, m.columnMapping,
+          deltaConfiguration(m), idCarry)
         idCarryCache = Some(carry2)
         sb.append(line).append('\n')
       }
@@ -1611,6 +1796,11 @@ object DeltaLogBridge {
           dv = if (dvMarked(f)) Some(dvDescriptorFor(table, m, f))
             else None))
           .append('\n'))
+      // CDF: a change-bearing commit ships its update/delete images as
+      // `_change_data` parquet + cdc actions (cdfEnabled-gated) — the
+      // reference's CDF-driven Silver MERGE pattern for external
+      // Delta consumers of this table
+      cdcActions(table, m).foreach(l => sb.append(l).append('\n'))
       // a no-op translation (e.g. a properties commit) still writes the
       // empty commit — Delta versions must stay contiguous with graft's.
       // Claims route through the table's SESSION-SELECTED coordinator,
@@ -1655,14 +1845,16 @@ object DeltaLogBridge {
     // a column-mapped snapshot seeds a reader-v2 NAME-mode checkpoint:
     // mapped schemaString, mode configuration, physical pv keys
     val mapped = snap.columnMapping.nonEmpty
+    val ckSchema = deltaSchema(snap)
     val (schemaJson, conf) =
-      if (!mapped) (snap.schema.json, Map.empty[String, String])
+      if (!mapped) (ckSchema.json, deltaConfiguration(snap))
       else {
         // a RESEED carries the old log's ids forward before overwriting
-        val (json, maxId) = mappedSchemaJson(snap.schema,
+        val (json, maxId) = mappedSchemaJson(ckSchema,
           snap.columnMapping, priorFieldIds(spark, logDir))
-        (json, Map("delta.columnMapping.mode" -> "name",
-          MaxIdKey -> maxId.toString))
+        (json, deltaConfiguration(snap) ++
+          Map("delta.columnMapping.mode" -> "name",
+            MaxIdKey -> maxId.toString))
       }
     val pvCols = snap.partitionCols
       .map(c => snap.columnMapping.getOrElse(c, c))

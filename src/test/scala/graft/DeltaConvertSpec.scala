@@ -212,6 +212,32 @@ class DeltaConvertSpec extends AnyFunSuite {
     // external Delta readers of the continued log agree after the rewrite
     assert(DeltaLogBridge.read(spark, dir).orderBy("k").collect().toSeq ==
       expected)
+    // a SHALLOW CLONE taken while DVs were live re-scopes u-storage
+    // descriptors to the source's absolute .bin (protocol p storage) —
+    // the clone reads filtered without copying a byte
+    val dirPreClone = tmpDir()
+    buildFixture(dirPreClone)
+    val h1 = onePart(dirPreClone, "d1")
+    // u-storage this time — the clone must RE-SCOPE the table-relative
+    // descriptor, not just copy it
+    val uUuid = java.util.UUID.randomUUID()
+    val uOff = DV.writeFile(Paths.get(dirPreClone,
+      s"deletion_vector_$uUuid.bin"), Seq(bm)).head
+    val uDv = s"""{"storageType":"u","pathOrInlineDv":"${DV.z85Uuid(uUuid)}","offset":$uOff,"sizeInBytes":${bm.length},"cardinality":1}"""
+    Files.write(Paths.get(dirPreClone, "_delta_log/00000000000000000002.json"),
+      (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |{"remove":{"path":"$h1","deletionTimestamp":1700000002000,"dataChange":true}}
+         |{"add":{"path":"$h1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000002000,"dataChange":true,"deletionVector":$uDv}}
+         |""".stripMargin).getBytes(UTF_8))
+    val tSrc = CommitLogTable.convertFromDelta(spark, dirPreClone)
+    val cloneDir = tmpDir() + "/clone"
+    val tClone = tSrc.shallowCloneTo(cloneDir)
+    assert(tClone.read().orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      expected.map(_.getLong(1)))
+    assert(spark.read.format("commitlog").load(cloneDir)
+      .orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      expected.map(_.getLong(1)))
+
     // an unresolvable DV fails the ADOPTION, not a later read
     val dir2 = tmpDir()
     buildFixture(dir2)
