@@ -3012,6 +3012,98 @@ object Queries {
         min(col("event_id")).as("min_id"))
   }
 
+  /** Adopt a Delta table carrying a LIVE deletion vector (round 15 —
+    * the post-DBR-14 default state of any DML'd Databricks table) and
+    * read it THROUGH the commitlog scan planes: the DV rides the
+    * manifest as per-file merge-on-read state
+    * ([[graft.tables.CommitLogTable.LogFile.adoptedDv]]) and the DSv2
+    * read filters its row indexes via the parquet reader's row-index
+    * column + a broadcast bitmap probe — zero-copy adoption, no purge.
+    * The fixture authors the protocol actions directly (u-storage
+    * `.bin`, reader v3 / writer v7 features); the oracle is the raw
+    * data minus the marked rows.
+    */
+  def deltaAdoptDv(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-adopt-dv-demo", "events")
+    SessionMemo.once(s, s"deltaAdoptDv:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        if (!Files.isDirectory(Paths.get(root, "_delta_log"))) {
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .coalesce(1).write.parquet(root)
+          val rootP = Paths.get(root)
+          val part = {
+            val w = Files.list(rootP)
+            try w.iterator().asScala.find(p =>
+              p.toString.endsWith(".parquet")).get
+            finally w.close()
+          }
+          // the DV marks event_id % 4 = 0 by the rows' FILE ordinals —
+          // read the written file's own row indexes, no order assumption
+          val ris = s.read.parquet(part.toString)
+            .select(col("_metadata.row_index"), col("event_id"))
+            .where(col("event_id") % 4 === 0)
+            .collect().map(_.getLong(0)).sorted
+          val bm = graft.tables.DeletionVectors.serializeBitmap(ris.iterator)
+          val dvUuid = java.util.UUID.nameUUIDFromBytes(
+            s"graft-adopt-dv-demo:$root".getBytes("UTF-8"))
+          val off = graft.tables.DeletionVectors.writeFile(
+            rootP.resolve(s"deletion_vector_$dvUuid.bin"), Seq(bm)).head
+          val z85 = graft.tables.DeletionVectors.z85Uuid(dvUuid)
+          val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))).json
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val proto = m.createObjectNode()
+          val pn = proto.putObject("protocol")
+          pn.put("minReaderVersion", 3).put("minWriterVersion", 7)
+          pn.putArray("readerFeatures").add("deletionVectors")
+          pn.putArray("writerFeatures").add("deletionVectors")
+          val md = m.createObjectNode()
+          val mdo = md.putObject("metaData")
+          mdo.put("id", "graft-adopt-dv-demo")
+          mdo.putObject("format").put("provider", "parquet")
+            .putObject("options")
+          mdo.put("schemaString", schemaJson)
+          mdo.putArray("partitionColumns")
+          mdo.putObject("configuration")
+          mdo.put("createdTime", 0L)
+          val a = m.createObjectNode()
+          val ao = a.putObject("add")
+          ao.put("path", part.getFileName.toString)
+          ao.putObject("partitionValues")
+          ao.put("size", Files.size(part))
+          ao.put("modificationTime", 0L)
+          ao.put("dataChange", true)
+          val dvo = ao.putObject("deletionVector")
+          dvo.put("storageType", "u")
+          dvo.put("pathOrInlineDv", z85)
+          dvo.put("offset", off)
+          dvo.put("sizeInBytes", bm.length)
+          dvo.put("cardinality", ris.length.toLong)
+          Files.createDirectories(Paths.get(root, "_delta_log"))
+          Files.write(Paths.get(root, "_delta_log",
+            "00000000000000000000.json"),
+            (Seq(proto, md, a).map(m.writeValueAsString)
+              .mkString("\n") + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        graft.tables.CommitLogTable.convertFromDelta(s, root)
+      }
+    }
+    s.read.format("commitlog").load(root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value"), 6).as("sum_value"),
+        min(col("event_id")).as("min_id"))
+  }
+
   /** Build-and-query entirely through the SQL surface
     * ([[graft.sources.CommitLogCatalog]]): CREATE TABLE … via the
     * catalog, two INSERT INTO … SELECT commits (each one transactional

@@ -194,6 +194,7 @@ object SparkEntry {
     "q_table_convert_delta" -> (Queries.tableConvertDelta _),
     "q_table_generated" -> (Queries.tableGenerated _),
     "q_delta_dv_read" -> (Queries.deltaDvRead _),
+    "q_delta_adopt_dv" -> (Queries.deltaAdoptDv _),
     "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
@@ -3950,6 +3951,15 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              min(event_id) AS min_id
       FROM events WHERE event_id % 3 <> 0 GROUP BY event_type""",
+
+    // adopt a Delta table CARRYING a live deletion vector (no purge):
+    // the commitlog scan must answer exactly like the raw data minus
+    // the DV-marked rows (event_id % 4 = 0)
+    "q_delta_adopt_dv" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(event_id) AS min_id
+      FROM events WHERE event_id % 4 <> 0 GROUP BY event_type""",
 
     // zero-copy CONVERT adoption of a plain-parquet events dump: the
     // adopted table must answer exactly like the raw data
