@@ -3104,6 +3104,38 @@ object Queries {
         min(col("event_id")).as("min_id"))
   }
 
+  /** The CDF loop both ways (round 15): a graft table with
+    * `delta.enableChangeDataFeed=true` mirrors its commits — two
+    * appends (no cdc; readers derive inserts from adds) and one UPDATE
+    * (cdc actions + `_change_data` parquet) — and
+    * [[graft.tables.DeltaLogBridge.readChanges]] consumes the mirrored
+    * `_delta_log` exactly like an external Delta CDF reader would:
+    * the reference's CDF-driven Silver MERGE pattern
+    * (`docs/databricks_setup.md:170-198`) served from a graft table
+    * and validated against a raw-data oracle.
+    */
+  def deltaCdfBridge(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-cdf-bridge-demo", "events")
+    SessionMemo.once(s, s"deltaCdfBridge:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        val df = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, root, df.schema)
+        t.setProperties(Map(
+          graft.tables.DeltaLogBridge.MirrorProp -> "true",
+          "delta.enableChangeDataFeed" -> "true"))
+        t.append(df.filter(col("event_id") % 2 === 0)) // v2
+        t.append(df.filter(col("event_id") % 2 === 1)) // v3
+        t.update(col("event_id") % 100 === 0,
+          Map("value" -> (col("value") + lit(1.0)))) // v4: cdc
+      }
+    }
+    graft.tables.DeltaLogBridge.readChanges(s, root, 2L, 4L)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
   /** Build-and-query entirely through the SQL surface
     * ([[graft.sources.CommitLogCatalog]]): CREATE TABLE … via the
     * catalog, two INSERT INTO … SELECT commits (each one transactional

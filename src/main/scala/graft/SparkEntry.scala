@@ -195,6 +195,7 @@ object SparkEntry {
     "q_table_generated" -> (Queries.tableGenerated _),
     "q_delta_dv_read" -> (Queries.deltaDvRead _),
     "q_delta_adopt_dv" -> (Queries.deltaAdoptDv _),
+    "q_delta_cdf_bridge" -> (Queries.deltaCdfBridge _),
     "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
@@ -3951,6 +3952,29 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              min(event_id) AS min_id
       FROM events WHERE event_id % 3 <> 0 GROUP BY event_type""",
+
+    // the CDF loop both ways: graft commits mirror as Delta cdc (+
+    // derivable inserts), and the bridge READS the feed back like an
+    // external Delta CDF consumer — two insert halves at versions 2/3,
+    // one update's pre/post images at version 4 (value bumped by 1 on
+    // event_id % 100 = 0)
+    "q_delta_cdf_bridge" -> """
+      SELECT event_id, event_type, value, 'insert' AS change_type,
+             CAST(2 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, event_type, value, 'insert' AS change_type,
+             CAST(3 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT event_id, event_type, value, 'update_preimage' AS change_type,
+             CAST(4 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 100 = 0
+      UNION ALL
+      SELECT event_id, event_type, value + 1 AS value,
+             'update_postimage' AS change_type,
+             CAST(4 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 100 = 0""",
 
     // adopt a Delta table CARRYING a live deletion vector (no purge):
     // the commitlog scan must answer exactly like the raw data minus

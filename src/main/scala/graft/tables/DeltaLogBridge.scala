@@ -937,16 +937,147 @@ object DeltaLogBridge {
     joined.select(out(outCols): _*)
   }
 
-  /** Export the CURRENT snapshot of a commit-log table as a Delta v1
-    * log next to its data — `_delta_log/00000000000000000000.json` with
+  /** CHANGE DATA FEED read of a Delta log — the consumption half of
+    * the protocol's CDF surface (the reference's Silver MERGE reads
+    * exactly this, `docs/databricks_setup.md:170-198`): per commit in
+    * `[startingVersion, endingVersion]`, serve the commit's `cdc`
+    * actions when present (their `_change_data` parquet IS the exact
+    * image set — used EXCLUSIVELY, per the spec), else DERIVE: adds
+    * with `dataChange=true` are insert images, removes with
+    * `dataChange=true` are whole-file delete images (partition values
+    * from the remove's own `partitionValues`). A commit that BOTH adds
+    * and removes data without cdc — a copy-on-write rewrite whose
+    * per-row images were never persisted — refuses loudly instead of
+    * fabricating wrong images, as does a DV swap without cdc and a
+    * removed file the disk no longer holds (vacuumed past the
+    * consumer's lag). Rows surface under the END version's schema with
+    * `_change_type` and `_commit_version` appended — the same shape
+    * `CommitLogTable.readChanges` serves, so the mirror's cdc output
+    * round-trips through this reader 1:1 with the engine's own feed.
+    */
+  def readChanges(spark: SparkSession, dir: String,
+      startingVersion: Long, endingVersion: Long): DataFrame = {
+    require(startingVersion >= 0 && endingVersion >= startingVersion,
+      s"bad CDF bounds [$startingVersion, $endingVersion]")
+    val logDir = Paths.get(dir, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $dir")
+    (startingVersion to endingVersion).foreach(v =>
+      require(Files.exists(logDir.resolve(deltaName(v))),
+        s"CDF version $v is not in the log at $dir (vacuumed or never " +
+          "written) — change feeds replay commit JSONs, not checkpoints"))
+    // schema/mapping/partitioning resolve at the END version — Delta's
+    // batch-CDF rule; an incompatible mid-range schema change surfaces
+    // as the read error it is
+    val snap = snapshot(spark, dir, Some(endingVersion))
+    val s = snap.schema
+    val mappedMode = snap.columnMappingMode == "name" ||
+      snap.columnMappingMode == "id"
+    val physOf: Map[String, String] =
+      if (!mappedMode) s.fieldNames.map(n => n -> n).toMap
+      else s.fields.map { f =>
+        f.name -> (if (f.metadata.contains(PhysKey))
+          f.metadata.getString(PhysKey) else f.name)
+      }.toMap
+    val idMode = snap.columnMappingMode == "id"
+    val physSchema =
+      if (!mappedMode) s
+      else StructType(s.fields.map(f =>
+        physicalField(f, physOf(f.name), idMode)))
+    if (idMode)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val ctField = org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType)
+    val physPart = snap.partitionCols.map(pc => physOf.getOrElse(pc, pc))
+    def pvOf(n: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, String] =
+      if (!n.hasNonNull("partitionValues")) Map.empty
+      else n.get("partitionValues").properties().asScala
+        .map(e => e.getKey -> (if (e.getValue.isNull) null
+          else e.getValue.asText)).toMap
+    def normPv(pv: Map[String, String]): Map[String, String] =
+      snap.partitionCols.zip(physPart).map { case (lc, pc) =>
+        pc -> pv.getOrElse(pc, pv.getOrElse(lc, null))
+      }.toMap
+    val frames = (startingVersion to endingVersion).flatMap { v =>
+      val lines = new String(
+        Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
+        .split('\n').filter(_.trim.nonEmpty).map(M.readTree)
+      val cdcs = lines.filter(_.has("cdc")).map(_.get("cdc"))
+        .map(c => (decodePath(c.get("path").asText), normPv(pvOf(c))))
+      if (cdcs.nonEmpty) {
+        // exact images: the cdc parquet carries _change_type in-data
+        Some(assembleRead(spark, dir,
+          StructType(physSchema.fields :+ ctField), physPart,
+          cdcs.toSeq, outFields = s.fields.toSeq :+ ctField)
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        val adds = lines.filter(_.has("add")).map(_.get("add"))
+          .filter(a => !a.has("dataChange") || a.get("dataChange").asBoolean)
+        val removes = lines.filter(_.has("remove")).map(_.get("remove"))
+          .filter(r => !r.has("dataChange") || r.get("dataChange").asBoolean)
+        require(adds.isEmpty || removes.isEmpty,
+          s"CDF: commit $v of $dir rewrote files (adds AND removes) " +
+            "without cdc actions — its per-row images were never " +
+            "persisted; enable delta.enableChangeDataFeed before the " +
+            "commit, or start the feed after it")
+        require(!adds.exists(_.hasNonNull("deletionVector")) &&
+            !removes.exists(_.hasNonNull("deletionVector")),
+          s"CDF: commit $v of $dir changed deletion-vector state " +
+            "without cdc actions — underivable, refusing")
+        val ins =
+          if (adds.isEmpty) None
+          else Some(assembleRead(spark, dir, physSchema, physPart,
+            adds.toSeq.map(a =>
+              (decodePath(a.get("path").asText), normPv(pvOf(a)))),
+            outFields = s.fields.toSeq)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        val del =
+          if (removes.isEmpty) None
+          else {
+            val rs = removes.toSeq.map { r =>
+              val p = decodePath(r.get("path").asText)
+              require(Files.exists(Paths.get(dir, p)),
+                s"CDF: commit $v removed $p, whose bytes are gone " +
+                  "(vacuumed) — delete images are unrecoverable; keep " +
+                  "retention deeper than the slowest consumer's lag")
+              require(snap.partitionCols.isEmpty ||
+                  r.hasNonNull("partitionValues"),
+                s"CDF: commit $v's remove of $p carries no " +
+                  "partitionValues on a partitioned table — " +
+                  "underivable delete images")
+              (p, normPv(pvOf(r)))
+            }
+            Some(assembleRead(spark, dir, physSchema, physPart, rs,
+              outFields = s.fields.toSeq)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        ins.toSeq ++ del.toSeq
+      }
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(s.fields.map(_.copy(metadata = Metadata.empty)) :+
+          ctField :+ StructField("_commit_version", LongType,
+            nullable = false)))
+    }
+  }
+
+  /** Export the CURRENT snapshot of a commit-log table as a Delta log
+    * next to its data — `_delta_log/00000000000000000000.json` with
     * protocol, metaData (the manifest schema verbatim — both formats
     * store Spark StructType JSON), and one `add` per live file,
     * partition values carried from the manifest. ZERO data copied: the
     * actions reference the table's existing parquet in place (graft
     * data files also carry the partition column physically, which the
     * protocol tolerates — readers source those values from the log).
-    * Refuses what v1 can't express: live column mapping or pending
-    * lazy-delete marks. Returns the number of files exported.
+    * Column mapping exports as reader-v2 name mode; merge-on-read
+    * delete marks export as protocol deletion vectors (v3/v7);
+    * constraints/properties/generated/identity specs travel in
+    * metaData. Returns the number of files exported.
     */
   def export(table: CommitLogTable, overwrite: Boolean = false): Int = {
     val snap = table.resolvedManifest(None)

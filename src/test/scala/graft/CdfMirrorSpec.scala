@@ -147,6 +147,50 @@ class CdfMirrorSpec extends AnyFunSuite {
     assert(assembled == own, s"cdc $assembled vs commitlog $own")
     assert(own.exists(_._4 == "update_postimage") &&
       own.exists(_._4 == "insert"), own.toString)
+    // the bridge's own CDF reader consumes the partitioned cdc output
+    // and agrees with the engine's feed
+    val viaBridge = DeltaLogBridge.readChanges(spark, dir, 3L, 3L)
+      .select("day", "k", "v", "_change_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(viaBridge == own, s"bridge $viaBridge vs commitlog $own")
+  }
+
+  test("the bridge READS CDF: the mirror's output round-trips 1:1 with " +
+      "the engine's own change feed (derived inserts + cdc commits); " +
+      "an image-less rewrite commit refuses") {
+    val dir = tmpDir() + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")) // v2
+    t.update($"k" === 2L, Map("v" -> lit("B"))) // v3: cdc
+    t.delete($"k" === 3L) // v4: cdc
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+    val own = shape(t.readChanges(2L, 4L))
+    val viaBridge = shape(DeltaLogBridge.readChanges(spark, dir, 2L, 4L))
+    assert(viaBridge == own, s"bridge $viaBridge vs engine $own")
+    assert(own.exists(_._3 == "insert") && own.exists(_._3 == "delete") &&
+      own.exists(_._3 == "update_preimage"), own.toString)
+    // a COW rewrite on a CDF-LESS mirror (remove+add, no cdc) is
+    // underivable — the reader must refuse, never fabricate images
+    val dir2 = tmpDir() + "/t2"
+    val t2 = CommitLogTable.create(spark, dir2,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t2.setProperties(Map(DeltaLogBridge.MirrorProp -> "true"))
+    t2.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v2
+    t2.update($"k" === 1L, Map("v" -> lit("A"))) // v3: remove+add, no cdc
+    val e = intercept[IllegalArgumentException](
+      DeltaLogBridge.readChanges(spark, dir2, 2L, 3L).collect())
+    assert(e.getMessage.contains("without cdc"), e.getMessage)
+    // ...but the pure-insert prefix still derives
+    assert(shape(DeltaLogBridge.readChanges(spark, dir2, 2L, 2L)) ==
+      Set((1L, "a", "insert", 2L), (2L, "b", "insert", 2L)))
   }
 
   test("constraints, user TBLPROPERTIES, and generated/identity specs " +
