@@ -3926,10 +3926,17 @@ object CommitLogTable {
     Files.createDirectories(Paths.get(dir, StagedChangesDirName))
     val t = new CommitLogTable(spark, dir)
     val total = files.map(_.rows).sum
+    // the table's METADATA migrates with its files: stored CHECKs,
+    // TBLPROPERTIES (incl. delta.enableChangeDataFeed — the mirror
+    // keeps emitting cdc through the migration), generated/identity
+    // specs ([[DeltaLogBridge.adoptionMetadata]])
+    val (adoptedConstraints, adoptedProps) =
+      DeltaLogBridge.adoptionMetadata(dsnap)
     val m = Manifest(dsnap.version, "convert", System.currentTimeMillis(),
       schema, dsnap.partitionCols, files, rowsInserted = total,
       rowsUpdated = 0, rowsDeleted = 0, rowsTotal = total,
-      changesDir = None, columnMapping = mapping)
+      changesDir = None, columnMapping = mapping,
+      constraints = adoptedConstraints, properties = adoptedProps)
     require(t.tryPublishGenesis(m),
       s"convert: lost the adoption race at $dir")
     // a HEAD-version adoption stamps the alignment proof the mirror

@@ -348,7 +348,8 @@ object DeltaLogBridge {
   final case class Snapshot(version: Long, schema: StructType,
       partitionCols: Seq[String], columnMappingMode: String,
       live: Seq[(String, Map[String, String],
-        Option[DeletionVectors.Descriptor])])
+        Option[DeletionVectors.Descriptor])],
+      configuration: Map[String, String] = Map.empty)
 
   def snapshot(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): Snapshot = {
@@ -369,6 +370,7 @@ object DeltaLogBridge {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var columnMappingMode: String = "none"
+    var configuration: Map[String, String] = Map.empty
     var declaredFeatures: Seq[String] = Seq.empty
     var minReaderSeen: Int = 1
     // live file set keyed the way the PROTOCOL keys file actions:
@@ -392,12 +394,13 @@ object DeltaLogBridge {
           "bridge does not understand — refusing rather than misreading")
     }
     def applyMetaData(schemaString: String, provider: String,
-        pcs: Seq[String], configuration: Map[String, String]): Unit = {
+        pcs: Seq[String], conf: Map[String, String]): Unit = {
       require(provider == "parquet",
         "non-parquet Delta tables are out of scope")
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pcs
-      columnMappingMode = configuration
+      configuration = conf
+      columnMappingMode = conf
         .getOrElse("delta.columnMapping.mode", "none")
     }
     // DVs are recorded per action and SERVED at assembly: the marked
@@ -700,7 +703,8 @@ object DeltaLogBridge {
       schema.getOrElse(throw new IllegalStateException(
         s"log at $dir carries no metaData")),
       partCols, Option(columnMappingMode).getOrElse("none"),
-      live.iterator.map { case ((p, _), (pv, dv)) => (p, pv, dv) }.toVector)
+      live.iterator.map { case ((p, _), (pv, dv)) => (p, pv, dv) }.toVector,
+      configuration)
   }
 
   /** The adoption view of a [[Snapshot]] — what
@@ -746,7 +750,14 @@ object DeltaLogBridge {
     def strip(m: org.apache.spark.sql.types.Metadata)
         : org.apache.spark.sql.types.Metadata =
       new org.apache.spark.sql.types.MetadataBuilder().withMetadata(m)
-        .remove(PhysKey).remove(IdKey).remove("parquet.field.id").build()
+        .remove(PhysKey).remove(IdKey).remove("parquet.field.id")
+        // generated/identity specs IMPORT as property specs
+        // ([[adoptionMetadata]]) — the stored schema stays bare, like
+        // the engine's own declarations
+        .remove("delta.generationExpression")
+        .remove("delta.identity.start").remove("delta.identity.step")
+        .remove("delta.identity.allowExplicitInsert")
+        .remove("delta.identity.highWaterMark").build()
     def cleanType(dt: DataType): DataType = dt match {
       case st: StructType => StructType(st.fields.map(f =>
         f.copy(dataType = cleanType(f.dataType), metadata = strip(f.metadata))))
@@ -772,6 +783,52 @@ object DeltaLogBridge {
         (if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
          else f.name))
     }.toMap
+
+  /** The inverse of [[deltaConfiguration]]/[[deltaSchema]] — what a
+    * zero-copy adoption IMPORTS so a migrated table loses nothing:
+    * `delta.constraints.<name>` entries → stored CHECKs (future graft
+    * writes enforce them), every other configuration key → table
+    * properties verbatim (`delta.columnMapping.*` stays in the log —
+    * the manifest's own mapping carries it; an imported
+    * `delta.enableChangeDataFeed=true` keeps the mirror emitting cdc
+    * through the migration), and generated/identity FIELD metadata →
+    * the engine's `graft.generated.`/`graft.identity.` property specs,
+    * so the write planes fill/assert/allocate exactly as for
+    * natively-declared columns. Returns (constraints, properties).
+    */
+  def adoptionMetadata(
+      snap: Snapshot): (Map[String, String], Map[String, String]) = {
+    val constraints = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+    val passthrough = snap.configuration.filterNot { case (k, _) =>
+      k.startsWith("delta.constraints.") ||
+        k.startsWith("delta.columnMapping.") }
+    val genId: Seq[(String, String)] = snap.schema.fields.toSeq.flatMap { f =>
+      val m = f.metadata
+      val gen =
+        if (!m.contains("delta.generationExpression")) Nil
+        else Seq(CommitLogTable.GeneratedPropPrefix + f.name ->
+          m.getString("delta.generationExpression"))
+      val id =
+        if (!m.contains("delta.identity.start")) Nil
+        else {
+          val step = if (m.contains("delta.identity.step"))
+            m.getLong("delta.identity.step") else 1L
+          val allow = m.contains("delta.identity.allowExplicitInsert") &&
+            m.getBoolean("delta.identity.allowExplicitInsert")
+          Seq(CommitLogTable.IdentityPropPrefix + f.name ->
+            s"${m.getLong("delta.identity.start")},$step,$allow") ++
+            (if (!m.contains("delta.identity.highWaterMark")) Nil
+             else Seq(CommitLogTable.IdentityPropPrefix + f.name +
+               ".highWater" ->
+               m.getLong("delta.identity.highWaterMark").toString))
+        }
+      gen ++ id
+    }
+    (constraints, passthrough ++ genId)
+  }
 
   private def readSnapshot(spark: SparkSession, dir: String,
       snap: Snapshot): DataFrame = {

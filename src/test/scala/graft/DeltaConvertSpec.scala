@@ -325,6 +325,64 @@ class DeltaConvertSpec extends AnyFunSuite {
       .filter($"s" === "b").count() == 1)
   }
 
+  test("adoption IMPORTS the table's metadata: CHECK constraints " +
+      "enforce, TBLPROPERTIES carry (CDF stays on through the " +
+      "migration), generated/identity columns keep working") {
+    val dir = tmpDir()
+    Seq((1L, 5L, 6L)).toDF("id", "k", "day").coalesce(1)
+      .write.parquet(s"$dir/d1")
+    val f1 = onePart(dir, "d1")
+    def meta(json: String) =
+      org.apache.spark.sql.types.Metadata.fromJson(json)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        meta("""{"delta.identity.start":1,"delta.identity.step":1,
+               |"delta.identity.allowExplicitInsert":false,
+               |"delta.identity.highWaterMark":1}""".stripMargin)),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        meta("""{"delta.generationExpression":"k + 1"}"""))))
+      .json.replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(Paths.get(dir, "_delta_log/00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}
+         |{"metaData":{"id":"f00f","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.constraints.k_pos":"k > 0","team":"data-eng","delta.enableChangeDataFeed":"true"},"createdTime":1700000000000}}
+         |{"add":{"path":"$f1","partitionValues":{},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin).getBytes(UTF_8))
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    assert(t.constraints == Map("k_pos" -> "k > 0"))
+    assert(t.properties.get("team").contains("data-eng"))
+    assert(t.properties.get("delta.enableChangeDataFeed").contains("true"))
+    assert(t.properties.get("graft.generated.day").contains("k + 1"))
+    assert(t.properties.get("graft.identity.id").contains("1,1,false"))
+    assert(t.properties.get("graft.identity.id.highWater").contains("1"))
+    // the stored schema is annotation-free (specs live as properties)
+    assert(t.resolvedManifest(None).schema.fields.forall(f =>
+      !f.metadata.contains("delta.generationExpression") &&
+        !f.metadata.contains("delta.identity.start")))
+    // generated + identity FILL on the adopted table's first append
+    t.setProperties(Map(DeltaLogBridge.MirrorProp -> "true")) // v1
+    t.append(Seq(7L).toDF("k")) // v2: id allocates past 1, day computes
+    val row = t.read().filter($"k" === 7L).head()
+    assert(row.getLong(0) == 2L, s"identity continues past the " +
+      s"imported high-water: $row")
+    assert(row.getLong(2) == 8L, s"generated day = k + 1: $row")
+    // the imported CHECK refuses a violating write, like a native one
+    val e = intercept[Exception](t.append(Seq(-3L).toDF("k")))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("k_pos"))),
+      e.getMessage)
+    // CDF continuity: the imported flag keeps the CONTINUED log
+    // emitting cdc for change-bearing commits
+    t.update($"k" === 5L, Map("k" -> lit(9L))) // v3
+    val v3 = new String(Files.readAllBytes(
+      Paths.get(dir, "_delta_log/00000000000000000003.json")), UTF_8)
+    assert(v3.contains("\"cdc\""), v3)
+  }
+
   test("a checkpoint-seeded log (json history vacuumed) adopts from the " +
       "checkpoint state") {
     val dir = tmpDir()
