@@ -233,6 +233,34 @@ class CdfMirrorSpec extends AnyFunSuite {
     assert(DeltaLogBridge.read(spark, dir).count() == 1)
   }
 
+  test("a column-MAPPED table's cdc round-trips: change files carry " +
+      "physical names, the bridge reader surfaces logical ones") {
+    val dir = tmpDir() + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v2
+    t.renameColumn("v", "label") // v3: column mapping goes live
+    t.update($"k" === 2L, Map("label" -> lit("B"))) // v4: cdc, mapped
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "label", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+    val own = shape(t.readChanges(4L, 4L))
+    val viaBridge = shape(DeltaLogBridge.readChanges(spark, dir, 4L, 4L))
+    assert(viaBridge == own, s"bridge $viaBridge vs engine $own")
+    assert(own == Set((2L, "b", "update_preimage", 4L),
+      (2L, "B", "update_postimage", 4L)), own.toString)
+    // the cdc parquet itself stores the PHYSICAL column name
+    val cdc = cdcNodes(dir, 4L)
+    val physCols = spark.read
+      .parquet(cdc.map(c => s"$dir/${c.get("path").asText}"): _*).columns
+    assert(physCols.contains("v") && !physCols.contains("label"),
+      physCols.mkString(","))
+  }
+
   test("mirror log retention sweeps a dropped commit's _change_data " +
       "with its json; kept commits' cdc files survive") {
     val dir = tmpDir() + "/t"

@@ -230,6 +230,20 @@ class DeltaConvertSpec extends AnyFunSuite {
          |{"add":{"path":"$h1","partitionValues":{"day":"1"},"size":100,"modificationTime":1700000002000,"dataChange":true,"deletionVector":$uDv}}
          |""".stripMargin).getBytes(UTF_8))
     val tSrc = CommitLogTable.convertFromDelta(spark, dirPreClone)
+    // a STREAMING read of the LIVE-DV adopted table filters too — the
+    // stream's reader factory is the same DV-aware assembly
+    val streamOut = tmpDir()
+    val q = spark.readStream.format("commitlog")
+      .option("path", dirPreClone)
+      .load().writeStream.format("parquet")
+      .option("path", streamOut + "/out")
+      .option("checkpointLocation", streamOut + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(streamOut + "/out")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      expected.map(_.getLong(1)).sorted)
     val cloneDir = tmpDir() + "/clone"
     val tClone = tSrc.shallowCloneTo(cloneDir)
     assert(tClone.read().orderBy("k").collect().map(_.getLong(1)).toSeq ==
