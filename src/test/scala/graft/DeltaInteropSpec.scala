@@ -59,4 +59,65 @@ class DeltaInteropSpec extends AnyFunSuite {
     ops.compact(spark, dir, "k", 128L * 1024 * 1024, Seq.empty)
     ops.readTable(spark, dir) // still readable post-OPTIMIZE
   }
+
+  test("a MIRRORED graft log serves a real delta-spark reader: " +
+      "snapshot, time travel, CDF images, and DV-filtered reads") {
+    assume(graft.operators.DeltaSqlTableOps.available,
+      "io.delta:delta-spark not on the classpath — interop spec skipped")
+    val spark = deltaSession()
+    import spark.implicits._
+    assume(graft.operators.DeltaSqlTableOps.sessionReady(spark),
+      "session lacks DeltaSparkSessionExtension (built before conf?)")
+    val dir = Files.createTempDirectory("graft-mirror-interop")
+      .toString + "/t"
+    val t = graft.tables.CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      graft.tables.DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")) // v2
+    t.update($"k" === 2L, Map("v" -> lit("B"))) // v3: cdc actions
+    t.deleteLazy("k = 3") // v4: protocol deletion vector
+    // snapshot parity — delta-spark must resolve the DV and filter k=3
+    val viaDelta = spark.read.format("delta").load(dir)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(viaDelta == Seq((1L, "a"), (2L, "B")), viaDelta.toString)
+    // time travel to the pre-update version
+    assert(spark.read.format("delta").option("versionAsOf", 2)
+      .load(dir).count() == 3)
+    // CDF: the update commit's cdc images, via delta-spark's reader
+    val cdf = spark.read.format("delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 3).option("endingVersion", 3)
+      .load(dir)
+      .select($"k", $"v", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cdf == Set((2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage")), cdf.toString)
+  }
+
+  test("graft ADOPTS a real delta-spark-written table (DML leaves " +
+      "deletion vectors) zero-copy, row parity with delta's own read") {
+    assume(graft.operators.DeltaSqlTableOps.available,
+      "io.delta:delta-spark not on the classpath — interop spec skipped")
+    val spark = deltaSession()
+    import spark.implicits._
+    assume(graft.operators.DeltaSqlTableOps.sessionReady(spark),
+      "session lacks DeltaSparkSessionExtension (built before conf?)")
+    val dir = Files.createTempDirectory("graft-adopt-interop")
+      .toString + "/t"
+    spark.range(100).select($"id".as("k"), ($"id" % 5).as("g"))
+      .write.format("delta").save(dir)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableDeletionVectors' = 'true')")
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE k % 10 = 0")
+    spark.sql(s"UPDATE delta.`$dir` SET g = g + 100 WHERE k = 7")
+    val expected = spark.read.format("delta").load(dir)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    val t = graft.tables.CommitLogTable.convertFromDelta(spark, dir)
+    assert(t.read().orderBy("k").as[(Long, Long)].collect().toSeq ==
+      expected)
+    assert(spark.read.format("commitlog").load(dir)
+      .orderBy("k").as[(Long, Long)].collect().toSeq == expected)
+  }
 }
