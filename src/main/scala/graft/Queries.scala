@@ -3050,7 +3050,8 @@ object Queries {
           val dvUuid = java.util.UUID.nameUUIDFromBytes(
             s"graft-adopt-dv-demo:$root".getBytes("UTF-8"))
           val off = graft.tables.DeletionVectors.writeFile(
-            rootP.resolve(s"deletion_vector_$dvUuid.bin"), Seq(bm)).head
+            graft.tables.GPath(root, s"deletion_vector_$dvUuid.bin"),
+            Seq(bm)).head
           val z85 = graft.tables.DeletionVectors.z85Uuid(dvUuid)
           val schemaJson = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("event_id",

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import graft.tables.{GFiles, GPath}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -99,14 +99,12 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   private[graft] def tableDir(ident: Identifier): String = dirOf(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val nsDir = Paths.get((Seq(warehouse) ++ namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
-    val s = Files.list(nsDir)
-    try s.iterator().asScala
+    val nsDir = GPath((Seq(warehouse) ++ namespace.toSeq).mkString("/"))
+    if (!GFiles.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
+    GFiles.list(nsDir)
       .filter(p => CommitLogTable.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .map(p => Identifier.of(namespace, p.fileName))
       .toArray
-    finally s.close()
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -198,7 +196,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
         s"commitlog tables support identity partition columns only, got " +
           other.toString)
     }
-    Files.createDirectories(Paths.get(dirOf(ident)).getParent)
+    GFiles.createDirectories(GPath(dirOf(ident)).getParent)
     val cleanSchema =
       if (gencols.isEmpty) schema
       else StructType(schema.fields.map { f =>
@@ -267,19 +265,15 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false
     else {
-      val root = Paths.get(dirOf(ident))
-      val s = Files.walk(root)
-      try s.iterator().asScala.toVector.sortBy(-_.getNameCount)
-        .foreach(Files.deleteIfExists)
-      finally s.close()
+      GFiles.deleteRecursively(GPath(dirOf(ident)))
       true
     }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
-    Files.createDirectories(Paths.get(dirOf(to)).getParent)
-    Files.move(Paths.get(dirOf(from)), Paths.get(dirOf(to)))
+    GFiles.createDirectories(GPath(dirOf(to)).getParent)
+    GFiles.moveNoReplace(GPath(dirOf(from)), GPath(dirOf(to)))
   }
 
   // ---- table-services procedures: `CALL graft.system.optimize(...)` —
@@ -297,25 +291,21 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   // the tables: the filesystem IS the metastore, atomic replace via
   // temp-file + ATOMIC_MOVE. ----
 
-  private def viewPath(ident: Identifier): java.nio.file.Path =
-    Paths.get((Seq(warehouse) ++ ident.namespace().toSeq :+
+  private def viewPath(ident: Identifier): GPath =
+    GPath((Seq(warehouse) ++ ident.namespace().toSeq :+
       s"${ident.name()}.view.json").mkString("/"))
 
   override def viewExists(ident: Identifier): Boolean =
-    Files.isRegularFile(viewPath(ident))
+    GFiles.isRegularFile(viewPath(ident))
 
   override def listViews(namespace: String*): Array[Identifier] = {
-    val nsDir = Paths.get((Seq(warehouse) ++ namespace).mkString("/"))
-    if (!Files.isDirectory(nsDir)) Array.empty
-    else {
-      val s = Files.list(nsDir)
-      try s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".view.json"))
-        .map(p => Identifier.of(namespace.toArray,
-          p.getFileName.toString.stripSuffix(".view.json")))
-        .toArray
-      finally s.close()
-    }
+    val nsDir = GPath((Seq(warehouse) ++ namespace).mkString("/"))
+    if (!GFiles.isDirectory(nsDir)) Array.empty
+    else GFiles.list(nsDir)
+      .filter(p => p.fileName.endsWith(".view.json"))
+      .map(p => Identifier.of(namespace.toArray,
+        p.fileName.stripSuffix(".view.json")))
+      .toArray
   }
 
   override def loadView(ident: Identifier)
@@ -324,7 +314,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
     val n = CommitLogCatalog.viewMapper.readTree(
-      Files.readString(viewPath(ident)))
+      GFiles.readString(viewPath(ident)))
     def strs(field: String): Array[String] = {
       val a = n.get(field)
       if (a == null || a.isNull) null
@@ -373,20 +363,17 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
     val props = root.putObject("properties")
     info.properties.asScala.foreach { case (k, v) => props.put(k, v) }
     val path = viewPath(info.ident)
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString +
+    GFiles.createDirectories(path.getParent)
+    val tmp = path.getParent.resolve(path.fileName +
       s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, m.writerWithDefaultPrettyPrinter()
+    GFiles.writeString(tmp, m.writerWithDefaultPrettyPrinter()
       .writeValueAsString(root))
     try {
-      if (replace)
-        Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      else Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (replace) GFiles.moveReplace(tmp, path)
+      else GFiles.moveNoReplace(tmp, path)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
+        GFiles.deleteIfExists(tmp)
         throw new org.apache.spark.sql.catalyst.analysis
           .ViewAlreadyExistsException(info.ident)
     }
@@ -434,7 +421,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   }
 
   override def dropView(ident: Identifier): Boolean =
-    Files.deleteIfExists(viewPath(ident))
+    GFiles.deleteIfExists(viewPath(ident))
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!viewExists(oldIdent))
@@ -443,9 +430,8 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
     if (viewExists(newIdent) || tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
-    Files.createDirectories(viewPath(newIdent).getParent)
-    try Files.move(viewPath(oldIdent), viewPath(newIdent),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    GFiles.createDirectories(viewPath(newIdent).getParent)
+    try GFiles.moveNoReplace(viewPath(oldIdent), viewPath(newIdent))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis

@@ -98,7 +98,7 @@ final class CommitLogStreamingWrite(spark: SparkSession, dir: String,
       case m: CommitLogStageMessage => m.files
       case other => throw new IllegalStateException(
         s"unexpected commit message $other")
-    }.map { case (p, part) => (java.nio.file.Paths.get(p), part) }
+    }.map { case (p, part) => (graft.tables.GPath(p), part) }
     table.appendStagedFiles(staged, logicalSchema,
       txn = (s"toTable:${info.queryId()}", epochId))
     sweepEpoch(epochId)
@@ -111,16 +111,8 @@ final class CommitLogStreamingWrite(spark: SparkSession, dir: String,
     * whatever remains is abandoned task output.
     */
   private def sweepEpoch(epochId: Long): Unit = {
-    val root = java.nio.file.Paths.get(s"$stageRoot/$epochId")
-    if (java.nio.file.Files.exists(root)) {
-      val s = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally s.close()
-    }
+    graft.tables.GFiles.deleteRecursively(
+      graft.tables.GPath(s"$stageRoot/$epochId"))
   }
 
   override def toString: String = s"CommitLogStreamingWrite[$dir]"
@@ -184,8 +176,7 @@ final class CommitLogEpochWriter(stageDir: String, conf: Configuration,
     val part = partOf(row)
     val (_, w) = writers.getOrElseUpdate(part, {
       val path = s"$stageDir/t$partitionId-$taskId-${writers.size}.parquet"
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(stageDir))
+      graft.tables.GFiles.createDirectories(graft.tables.GPath(stageDir))
       (path, new B(new HPath(path)).withConf(conf)
         .withCompressionCodec(CompressionCodecName.SNAPPY).build())
     })
@@ -203,7 +194,7 @@ final class CommitLogEpochWriter(stageDir: String, conf: Configuration,
     writers.values.foreach(w =>
       try w._2.close() catch { case _: Exception => () })
     writers.values.foreach(w =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(w._1)))
+      graft.tables.GFiles.deleteIfExists(graft.tables.GPath(w._1)))
   }
 
   override def close(): Unit = ()

@@ -1,10 +1,6 @@
 package graft.tables
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Path, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
@@ -15,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * across all processes materializes it and learns it won. On a POSIX
   * filesystem (and HDFS, ABFS, GCS-with-precondition, S3-with-
   * conditional-PUT) that primitive is atomic create-if-absent — the
-  * default [[AtomicCreateCoordinator]]. Object stores WITHOUT it (plain
-  * S3 PUT semantics: unconditional clobber) are exactly why Delta ships
+  * default [[AtomicCreateCoordinator]], served per-scheme by the
+  * [[Store]] seam (hard link locally, `FileContext` rename-no-overwrite
+  * on Hadoop filesystems). Object stores WITHOUT it (plain S3 PUT
+  * semantics: unconditional clobber) are exactly why Delta ships
   * pluggable LogStores / commit coordinators for S3 (the reference's
   * Bronze tables live on `s3://…`, bronze_prices_auto_loader.ipynb cell
   * 3) — for those, [[LeaseCoordinator]] arbitrates by claim-election
@@ -34,7 +32,7 @@ trait CommitCoordinator {
     * caller won: for any given `name`, at most one claimant may ever see
     * true, no matter how many processes race.
     */
-  def tryClaim(logDir: Path, name: String, payload: Array[Byte]): Boolean
+  def tryClaim(logDir: GPath, name: String, payload: Array[Byte]): Boolean
 }
 
 object CommitCoordinator {
@@ -58,37 +56,18 @@ object CommitCoordinator {
     }
 }
 
-/** Default arbitration: write the payload to a synced temp file, then
-  * hard-link it to the target name — `Files.createLink` is atomic
-  * create-if-absent, so exactly one racer avoids
-  * [[FileAlreadyExistsException]]. Correct wherever the filesystem
-  * gives atomic create (local POSIX, HDFS, ABFS; on modern S3 the same
-  * contract maps onto conditional PUT `If-None-Match: *`).
+/** Default arbitration: one [[Store.claim]] — write the payload to a
+  * synced temp file, then make it visible under the target name via the
+  * store's atomic create-if-absent (hard link on local POSIX,
+  * `FileContext.rename(NONE)` on HDFS-style filesystems; modern S3 maps
+  * the same contract onto conditional PUT `If-None-Match: *`). Exactly
+  * one racer avoids the already-exists signal.
   */
 object AtomicCreateCoordinator extends CommitCoordinator {
 
-  override def tryClaim(logDir: Path, name: String,
-      payload: Array[Byte]): Boolean = {
-    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    // SYNC: the bytes must be durable BEFORE the link makes the name
-    // visible — otherwise power loss after the link leaves a torn
-    // manifest that bricks every subsequent read
-    Files.write(tmp, payload, StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE, StandardOpenOption.SYNC)
-    val won =
-      try { Files.createLink(logDir.resolve(name), tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
-      finally Files.deleteIfExists(tmp)
-    // best-effort directory-entry durability for the link itself
-    if (won) {
-      try {
-        val ch = java.nio.channels.FileChannel.open(logDir,
-          StandardOpenOption.READ)
-        try ch.force(true) finally ch.close()
-      } catch { case _: Exception => () }
-    }
-    won
-  }
+  override def tryClaim(logDir: GPath, name: String,
+      payload: Array[Byte]): Boolean =
+    GFiles.claim(logDir.resolve(name), payload)
 }
 
 /** Lock-file/lease arbitration for stores WITHOUT atomic
@@ -118,38 +97,34 @@ object AtomicCreateCoordinator extends CommitCoordinator {
 final class LeaseCoordinator(settleMillis: Long = 50L,
     leaseMillis: Long = 30000L) extends CommitCoordinator {
 
-  /** "PUT" emulation on the local test filesystem: whole-object
-    * visibility via temp + atomic move where available. The
-    * ARBITRATION never relies on this atomicity — it is only the local
-    * stand-in for an object store's all-or-nothing PUT.
+  /** "PUT" emulation through the store seam: whole-object visibility
+    * via temp + replace-move. The ARBITRATION never relies on this
+    * move's atomicity — it is only the stand-in for an object store's
+    * all-or-nothing PUT.
     */
-  private def put(target: Path, payload: Array[Byte]): Unit = {
+  private def put(target: GPath, payload: Array[Byte]): Unit = {
     val tmp = target.getParent.resolve(s".put-${UUID.randomUUID()}")
     // a racer may prune the just-emptied claims dir between our
     // createDirectories and this write — recreate and retry once (object
     // stores have no dirs, so this is purely local-emulation plumbing)
-    try Files.write(tmp, payload, StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE, StandardOpenOption.SYNC)
+    try GFiles.writeSync(tmp, payload)
     catch {
       case _: java.nio.file.NoSuchFileException =>
-        Files.createDirectories(target.getParent)
-        Files.write(tmp, payload, StandardOpenOption.CREATE,
-          StandardOpenOption.WRITE, StandardOpenOption.SYNC)
+        GFiles.createDirectories(target.getParent)
+        GFiles.writeSync(tmp, payload)
+      case _: java.io.FileNotFoundException =>
+        GFiles.createDirectories(target.getParent)
+        GFiles.writeSync(tmp, payload)
     }
-    try Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
-    }
+    GFiles.moveReplace(tmp, target)
   }
 
-  override def tryClaim(logDir: Path, name: String,
+  override def tryClaim(logDir: GPath, name: String,
       payload: Array[Byte]): Boolean = {
     val target = logDir.resolve(name)
-    if (Files.exists(target)) return false
+    if (GFiles.exists(target)) return false
     val claimsDir = logDir.resolve(s".claims-$name")
-    Files.createDirectories(claimsDir)
+    GFiles.createDirectories(claimsDir)
     val myClaim = f"${System.currentTimeMillis()}%020d-${UUID.randomUUID()}"
     put(claimsDir.resolve(myClaim), Array.emptyByteArray)
     try {
@@ -158,13 +133,9 @@ final class LeaseCoordinator(settleMillis: Long = 50L,
       def live(n: String): Boolean =
         scala.util.Try(n.takeWhile(_ != '-').toLong).toOption
           .exists(ts => now - ts <= leaseMillis)
-      val claims = {
-        val s = Files.list(claimsDir)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(live).toVector.sorted
-        finally s.close()
-      }
-      if (claims.headOption.contains(myClaim) && !Files.exists(target)) {
+      val claims = GFiles.list(claimsDir).map(_.fileName)
+        .filter(live).sorted
+      if (claims.headOption.contains(myClaim) && !GFiles.exists(target)) {
         put(target, payload)
         true
       } else false
@@ -173,8 +144,8 @@ final class LeaseCoordinator(settleMillis: Long = 50L,
       // race a late claimant's PUT); the then-empty dir is pruned
       // best-effort, stragglers expire via the lease age
       try {
-        Files.deleteIfExists(claimsDir.resolve(myClaim))
-        Files.deleteIfExists(claimsDir)
+        GFiles.deleteIfExists(claimsDir.resolve(myClaim))
+        GFiles.deleteIfExists(claimsDir)
       } catch { case _: java.io.IOException => () }
     }
   }

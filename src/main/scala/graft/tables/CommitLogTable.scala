@@ -1,7 +1,7 @@
 package graft.tables
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.file.FileAlreadyExistsException
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -42,14 +42,19 @@ import org.apache.spark.sql.types.StructType
   *
   * ATOMICITY & ISOLATION. A commit writes its data files first (invisible
   * to readers — nothing references them), then publishes a fully-written
-  * manifest via hard-link: `Files.createLink(v<N>.json, tmp)` atomically
-  * fails with [[FileAlreadyExistsException]] if another writer claimed
-  * version N, giving optimistic concurrency on any POSIX filesystem —
-  * across THREADS and across PROCESSES alike (nothing is shared in
-  * memory; the cross-JVM race is spec-pinned). Caveat: an object store
-  * without atomic create-if-absent (plain S3) cannot arbitrate this way
-  * — deploy there behind a commit coordinator (a DynamoDB-style
-  * lock/LogStore), exactly as Delta requires for S3 multi-writer.
+  * manifest via the storage seam's atomic create-if-absent
+  * ([[Store.claim]]): a hard link on bare POSIX roots,
+  * `FileContext.rename(NONE)` on Hadoop filesystems (`hdfs://`,
+  * `file:`) — either way exactly one writer claims version N, giving
+  * optimistic concurrency across THREADS and across PROCESSES alike
+  * (nothing is shared in memory; the cross-JVM race is spec-pinned).
+  * All metadata IO dispatches per-scheme through [[GFiles]], so the
+  * same table format deploys on a local disk, HDFS, or an object
+  * store. Caveat: an object store without atomic create-if-absent
+  * (plain S3) cannot arbitrate by claim — deploy there with
+  * `spark.graft.commit.coordinator=lease` ([[LeaseCoordinator]]),
+  * exactly as Delta requires a coordinating LogStore for S3
+  * multi-writer.
   * Losers first try to REBASE (commute) onto the winning snapshot — an
   * append always commutes, and a merge/compact commutes when the
   * interleaved commits touched disjoint partitions (Delta-style conflict
@@ -90,7 +95,7 @@ import org.apache.spark.sql.types.StructType
 final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   import CommitLogTable._
 
-  private val logDir = Paths.get(dir, LogDirName)
+  private val logDir = GPath(dir, LogDirName)
 
   /** Commit-loop observability (spec probes): how many times a commit
     * body was RE-EXECUTED after losing a publish race, vs. how many lost
@@ -123,13 +128,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private def latestFromHint(): Option[Long] =
     try {
       val p = logDir.resolve(LatestHintName)
-      if (!Files.exists(p)) None
+      if (!GFiles.exists(p)) None
       else {
-        val h = new String(Files.readAllBytes(p), UTF_8).trim.toLong
-        if (!Files.exists(logDir.resolve(manifestName(h)))) None
+        val h = new String(GFiles.readAllBytes(p), UTF_8).trim.toLong
+        if (!GFiles.exists(logDir.resolve(manifestName(h)))) None
         else {
           var v = h
-          while (Files.exists(logDir.resolve(manifestName(v + 1)))) v += 1
+          while (GFiles.exists(logDir.resolve(manifestName(v + 1)))) v += 1
           Some(v)
         }
       }
@@ -142,10 +147,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private def writeLatestHint(v: Long): Unit =
     try {
       val tmp = logDir.resolve(s".tmp-hint-${UUID.randomUUID()}")
-      Files.write(tmp, v.toString.getBytes(UTF_8))
-      Files.move(tmp, logDir.resolve(LatestHintName),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      GFiles.write(tmp, v.toString.getBytes(UTF_8))
+      GFiles.moveReplace(tmp, logDir.resolve(LatestHintName))
     } catch { case _: Exception => () }
 
   /** The CURRENT logical schema (latest manifest's). */
@@ -430,7 +433,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val sch = changeSchema(snap.schema)
     val physSch = toPhysicalSchema(sch, snap.columnMapping)
     val legacyMap = ms.collect { case m if m.changesDir.isDefined =>
-      Row(Paths.get(m.changesDir.get).getFileName.toString, m.version) }
+      Row(GPath(m.changesDir.get).getFileName.toString, m.version) }
     val vmap = spark.createDataFrame(legacyMap.asJava,
       StructType.fromDDL("__chdir STRING, __ver BIGINT"))
     spark.readStream.schema(physSch).parquet(s"$dir/$ChangesDirName/*")
@@ -474,7 +477,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * CDF stream.
     */
   private[graft] def changeFilesAt(version: Long): Seq[(String, Long)] = {
-    if (!Files.exists(logDir.resolve(
+    if (!GFiles.exists(logDir.resolve(
         CommitLogTable.manifestName(version)))) {
       // a missing manifest AT-OR-BELOW the head is a log-vacuumed
       // version: its change dir went with it, and silently serving an
@@ -490,7 +493,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       return Seq.empty
     }
     resolveChangeFiles(manifest(version))
-      .map(p => (p.toString, Files.size(p)))
+      .map(p => (p.toString, GFiles.size(p)))
   }
 
   /** Oldest version whose manifest survives `vacuumLog` — the change
@@ -507,32 +510,30 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * location). Legacy name-less manifests fall back to listing the
     * promoted dir.
     */
-  private def resolveChangeFiles(m: Manifest): Seq[Path] = m.changesDir match {
+  private def resolveChangeFiles(m: Manifest): Seq[GPath] = m.changesDir match {
     case None => Seq.empty
     case Some(sub) =>
       promoteChanges(sub) // local crash repair, idempotent
-      val promoted = Paths.get(dir, sub)
+      val promoted = GPath(dir, sub)
       if (m.changeFiles.nonEmpty) {
-        val staged = Paths.get(dir, StagedChangesDirName,
-          Paths.get(sub).getFileName.toString)
+        val staged = GPath(dir, StagedChangesDirName,
+          GPath(sub).getFileName.toString)
         m.changeFiles.map { name =>
           val p = promoted.resolve(name)
-          if (Files.exists(p)) p
+          if (GFiles.exists(p)) p
           else {
             val st = staged.resolve(name)
-            require(Files.exists(st),
+            require(GFiles.exists(st),
               s"change file $name of v${m.version} missing at $dir " +
                 "(log-vacuumed change dir, or external deletion)")
             st
           }
         }
-      } else if (!Files.isDirectory(promoted)) Seq.empty
+      } else if (!GFiles.isDirectory(promoted)) Seq.empty
       else {
-        val s = Files.list(promoted)
-        try s.iterator().asScala
+        GFiles.list(promoted)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toVector.sortBy(_.toString)
-        finally s.close()
+          .sortBy(_.toString)
       }
   }
 
@@ -589,7 +590,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // still be recognizable as committed).
       if (dataRows == 0 && schemaSig(schema2) == schemaSig(snap.schema)
           && txn.isEmpty) {
-        deleteRecursively(Paths.get(dir, sub))
+        deleteRecursively(GPath(dir, sub))
         throw NoOpCommit
       }
       val changesSub = if (recordChanges) Some(writeChanges(
@@ -616,7 +617,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * and publishes nothing — exactly-once across sink restarts.
     */
   private[graft] def appendStagedFiles(
-      staged: Seq[(Path, Seq[String])],
+      staged: Seq[(GPath, Seq[String])],
       writtenSchema: StructType, txn: (String, Long)): Long = {
     val sub = s"$DataDirName/c-${UUID.randomUUID().toString.take(12)}"
     staged.zipWithIndex.foreach { case ((p, partVals), i) =>
@@ -628,13 +629,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           .escapePathName(s)
         s"${shadowColName(j)}=$v/"
       }.mkString
-      val target = Paths.get(dir, sub, dirPart + f"f-$i%05d.parquet")
-      Files.createDirectories(target.getParent)
-      Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val target = GPath(dir, sub, dirPart + f"f-$i%05d.parquet")
+      GFiles.createDirectories(target.getParent)
+      GFiles.moveReplace(p, target)
     }
     retryCommit("append") { snap =>
       if (snap.txns.get(txn._1).exists(_ >= txn._2)) {
-        deleteRecursively(Paths.get(dir, sub))
+        deleteRecursively(GPath(dir, sub))
         throw NoOpCommit
       }
       require(staged.isEmpty ||
@@ -649,11 +650,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // log or tick the vacuum retention window. Skipping its txn is
       // safe: replaying an empty epoch re-applies nothing.
       if (staged.isEmpty) throw NoOpCommit
-      val (files, empties) = enumerate(Paths.get(dir, sub), sub)
+      val (files, empties) = enumerate(GPath(dir, sub), sub)
         .partition(_.rows > 0)
-      empties.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+      empties.foreach(f => GFiles.deleteIfExists(GPath(dir, f.path)))
       if (files.isEmpty) { // zero-row part files only: same idle rule
-        deleteRecursively(Paths.get(dir, sub))
+        deleteRecursively(GPath(dir, sub))
         throw NoOpCommit
       }
       val dataRows = files.map(_.rows).sum
@@ -681,7 +682,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
               "sink (df.writeStream.format(\"commitlog\")), which assigns")
         }
       } catch { case e: Throwable =>
-        deleteRecursively(Paths.get(dir, sub)); throw e }
+        deleteRecursively(GPath(dir, sub)); throw e }
       val changesSub = Some(writeChanges(
         readFiles(files, snap.schema, snap.columnMapping)
           .withColumn("_change_type", lit("insert")),
@@ -1226,9 +1227,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         val nUpd = current.filter(hits).count()
         if (nUpd == 0) {
           // nothing matched: drop this attempt's output, publish nothing
-          deleteRecursively(Paths.get(dir, updSub))
-          deleteRecursively(Paths.get(dir, StagedChangesDirName,
-            Paths.get(changesSub).getFileName.toString))
+          deleteRecursively(GPath(dir, updSub))
+          deleteRecursively(GPath(dir, StagedChangesDirName,
+            GPath(changesSub).getFileName.toString))
           throw NoOpCommit
         }
         // bookkeeping is footer truth on the rewritten slice: the rewrite
@@ -1284,9 +1285,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         // nothing matched: a scheduled delete loop must not pay a
         // rewrite per idle run, grow the log, or tick the vacuum
         // retention window (same guard as update())
-        deleteRecursively(Paths.get(dir, delSub))
-        deleteRecursively(Paths.get(dir, StagedChangesDirName,
-          Paths.get(changesSub).getFileName.toString))
+        deleteRecursively(GPath(dir, delSub))
+        deleteRecursively(GPath(dir, StagedChangesDirName,
+          GPath(changesSub).getFileName.toString))
         throw NoOpCommit
       }
       mkManifest(snap, "delete", carried ++ newFiles,
@@ -1946,7 +1947,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     */
   def restore(version: Long): Long = retryCommit("restore") { snap =>
     val old = manifest(version)
-    old.files.foreach(f => require(Files.exists(dataPath(f)),
+    old.files.foreach(f => require(GFiles.exists(dataPath(f)),
       s"restore($version): data file ${f.path} was vacuumed"))
     mkManifest(snap, "restore", old.files, rowsInserted = 0, rowsUpdated = 0,
       rowsDeleted = 0, rowsTotal = old.rowsTotal, changesDir = None,
@@ -1983,9 +1984,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     requireFilesPresent(m, s"shallowCloneTo($targetDir)")
     require(!CommitLogTable.exists(targetDir),
       s"shallowCloneTo: a table already exists at $targetDir")
-    val tgtLog = Paths.get(targetDir, LogDirName)
-    Files.createDirectories(tgtLog.resolve("changes"))
-    Files.createDirectories(tgtLog.resolve("staged_changes"))
+    val tgtLog = GPath(targetDir, LogDirName)
+    GFiles.createDirectories(tgtLog.resolve("changes"))
+    GFiles.createDirectories(tgtLog.resolve("staged_changes"))
     val t = new CommitLogTable(spark, targetDir)
     val absolute = m.files.map { f =>
       // an adopted DV with table-relative (u) storage re-scopes to the
@@ -1998,11 +1999,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
         else DeletionVectors.encodeDescriptor(d.copy(storageType = "p",
           pathOrInlineDv = DeletionVectors
             .uStoragePath(dir, d.pathOrInlineDv)
-            .toAbsolutePath.normalize.toString))
+            .toAbsoluteNormalized.raw))
       }
       f.copy(path =
-        if (f.path.startsWith("/")) f.path // cloning a clone: already absolute
-        else Paths.get(dir, f.path).toAbsolutePath.normalize.toString,
+        if (GPath.isAbsolute(f.path)) f.path // cloning a clone: already absolute
+        else GPath(dir, f.path).toAbsoluteNormalized.raw,
         adoptedDv = dv2)
     }
     val v0 = Manifest(0L, "clone", System.currentTimeMillis(), m.schema,
@@ -2139,8 +2140,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * table-relative except SHALLOW-CLONE references, which are absolute
     * (they live under the source table's root).
     */
-  private[graft] def dataPath(f: LogFile): Path =
-    if (f.path.startsWith("/")) Paths.get(f.path) else Paths.get(dir, f.path)
+  private[graft] def dataPath(f: LogFile): GPath =
+    if (GPath.isAbsolute(f.path)) GPath(f.path) else GPath(dir, f.path)
 
   /** Fail-fast existence check for PINNED reads: a version past the
     * vacuum retention window raises a clear, immediate error instead of
@@ -2148,7 +2149,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * head's files are always retained).
     */
   private[graft] def requireFilesPresent(m: Manifest, what: String): Unit = {
-    val missing = m.files.filterNot(f => Files.exists(dataPath(f)))
+    val missing = m.files.filterNot(f => GFiles.exists(dataPath(f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"$what at $dir: version ${m.version} is no longer readable — " +
         s"${missing.size} of ${m.files.size} data file(s) were vacuumed " +
@@ -2611,8 +2612,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     // later stats-pruned op would conservatively rewrite them forever —
     // pure dead weight. Dropped from disk immediately (nothing can
     // reference them).
-    val (files, empties) = enumerate(Paths.get(abs), sub).partition(_.rows > 0)
-    empties.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+    val (files, empties) = enumerate(GPath(abs), sub).partition(_.rows > 0)
+    empties.foreach(f => GFiles.deleteIfExists(GPath(dir, f.path)))
     (files, files.map(_.rows).sum, sub)
   }
 
@@ -2645,13 +2646,12 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * loses the rename and finds the target already present.
     */
   private def promoteChanges(finalSub: String): Unit = {
-    val staged = Paths.get(dir, StagedChangesDirName,
-      Paths.get(finalSub).getFileName.toString)
-    val target = Paths.get(dir, finalSub)
-    if (!Files.exists(target) && Files.isDirectory(staged)) {
-      Files.createDirectories(target.getParent)
-      try Files.move(staged, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val staged = GPath(dir, StagedChangesDirName,
+      GPath(finalSub).getFileName.toString)
+    val target = GPath(dir, finalSub)
+    if (!GFiles.exists(target) && GFiles.isDirectory(staged)) {
+      GFiles.createDirectories(target.getParent)
+      try GFiles.moveNoReplace(staged, target)
       catch { case _: FileAlreadyExistsException |
                    _: java.nio.file.NoSuchFileException => () }
     }
@@ -2667,16 +2667,16 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * publish just fails loudly.
     */
   private[tables] def adoptExisting(partitionCols: Seq[String],
-      probes: Seq[(Path, Long, Long, Map[String, (String, String)], Set[String])])
+      probes: Seq[(GPath, Long, Long, Map[String, (String, String)], Set[String])])
       : Unit = {
-    val root = Paths.get(dir)
+    val root = GPath(dir)
     val schema0 = snapshot().schema
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     // footer facts arrived pre-probed from the adoption Spark job —
     // what remains is pure driver-side string work over the listing
     val files = probes.map { case (p, rows, bytes, stats, fields) =>
       val rel = root.relativize(p)
-      val kv = rel.iterator().asScala.map(_.toString).toSeq.init
+      val kv = rel.split('/').toSeq.init
         .filter(_.contains("=")).map { seg =>
           val i = seg.indexOf('=')
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -2735,15 +2735,10 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     require(tryPublish(m), s"convert: lost the adoption race at $dir")
   }
 
-  private def enumerate(root: Path, sub: String): Seq[LogFile] = {
-    val paths = {
-      val s = Files.walk(root)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && {
-          val n = p.getFileName.toString
-          !n.startsWith("_") && !n.startsWith(".")
-        }).toVector
-      finally s.close()
+  private def enumerate(root: GPath, sub: String): Seq[LogFile] = {
+    val paths = GFiles.walkFiles(root).filter { p =>
+      val n = p.fileName
+      !n.startsWith("_") && !n.startsWith(".")
     }
     // footer reads are independent driver-side I/O — fan them out (a
     // partitioned commit writes one file per partition; reading hundreds
@@ -2752,13 +2747,13 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       val rel = s"$sub/${root.relativize(p)}"
       // one value per `k=v` directory segment, in path (= partitionBy)
       // order — positionally aligned with the manifest's partitionCols
-      val partitionVals = root.relativize(p).iterator().asScala.toSeq.init
-        .map(_.toString).filter(_.contains("=")).map { seg =>
+      val partitionVals = root.relativize(p).split('/').toSeq.init
+        .filter(_.contains("=")).map { seg =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.substring(seg.indexOf('=') + 1))
         }
       val (rows, stats, _) = footerInfo(p)
-      LogFile(rel, partitionVals, rows, Files.size(p), stats)
+      LogFile(rel, partitionVals, rows, GFiles.size(p), stats)
     }
   }
 
@@ -2788,9 +2783,9 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * would misread the scale). Capped to the first
     * [[MaxStatsColumns]] schema-order columns.
     */
-  private def footerInfo(p: Path)
+  private def footerInfo(p: GPath)
       : (Long, Map[String, (String, String)], Set[String]) =
-    CommitLogTable.footerInfoAt(new org.apache.hadoop.fs.Path(p.toUri),
+    CommitLogTable.footerInfoAt(p.toHadoop,
       spark.sparkContext.hadoopConfiguration)
 
 
@@ -2800,15 +2795,11 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * listing is of its own writes (safe on any store).
     */
   private def stagedChangeNames(sub: String): Seq[String] = {
-    val staged = Paths.get(dir, StagedChangesDirName,
-      Paths.get(sub).getFileName.toString)
-    if (!Files.isDirectory(staged)) Seq.empty
-    else {
-      val s = Files.list(staged)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toVector.sorted
-      finally s.close()
-    }
+    val staged = GPath(dir, StagedChangesDirName,
+      GPath(sub).getFileName.toString)
+    if (!GFiles.isDirectory(staged)) Seq.empty
+    else GFiles.list(staged).map(_.fileName)
+      .filter(_.endsWith(".parquet")).sorted
   }
 
   private def mkManifest(snap: Manifest, action: String, files: Seq[LogFile],
@@ -2875,7 +2866,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val physCols = fields.map(f => mapping.getOrElse(f.name, f.name))
     val basePaths = snap.files.map(_.path).toSet
     val fresh = files.filter(f => !basePaths.contains(f.path) &&
-      f.blooms.isEmpty && !f.path.startsWith("/")) // "/…" = clone reference
+      f.blooms.isEmpty && !GPath.isAbsolute(f.path)) // absolute = clone reference
     if (fresh.isEmpty) return files
     val byRel = fresh.map(f => f.path -> f).toMap
     val nCols = physCols.length
@@ -2936,7 +2927,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       if (computed.contains(f.path)) f.copy(blooms = physCols) else f)
   }
 
-  private def bloomSidecarPath(f: LogFile, physCol: String): Path = {
+  private def bloomSidecarPath(f: LogFile, physCol: String): GPath = {
     val p = dataPath(f)
     p.getParent.resolve(s"_bloom.${p.getFileName}.$physCol")
   }
@@ -2965,7 +2956,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val key = bloomSidecarPath(f, phys).toString
     if (bloomCache.size > 8192) bloomCache.clear() // crude, sufficient bound
     val loaded = bloomCache.computeIfAbsent(key,
-      _ => CommitLogTable.readBloomSidecar(Paths.get(key))
+      _ => CommitLogTable.readBloomSidecar(GPath(key))
         .map(x => (x._1, x._2)): Option[(Int, Array[Long])])
     loaded.asInstanceOf[Option[(Int, Array[Long])]] match {
       case Some((k, words)) => CommitLogTable.bloomTest(words, canon, k)
@@ -3081,8 +3072,8 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * rebase moved the claim); the old staged dir is dropped.
     */
   private def restampChanges(sub: String, newVersion: Long): String = {
-    val staged = Paths.get(dir, StagedChangesDirName,
-      Paths.get(sub).getFileName.toString)
+    val staged = GPath(dir, StagedChangesDirName,
+      GPath(sub).getFileName.toString)
     val name = s"c-${UUID.randomUUID().toString.take(12)}"
     spark.read.parquet(staged.toString)
       .withColumn("_commit_version", lit(newVersion))
@@ -3101,7 +3092,68 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     * rebase's carried winner files) are never its output and must survive
     * the loss.
     */
+  /** Publish ONE reconciled foreign-Delta commit as graft version
+    * `expectedVersion` — [[DeltaLogBridge.reconcile]]'s write half.
+    * NOT a retryCommit: the content is a deterministic translation of
+    * an already-durable foreign commit, so a lost publish race means a
+    * fellow reconciler landed the same version — verify and accept;
+    * any OTHER action claiming the version is a genuine fork and
+    * refuses loudly.
+    */
+  private[tables] def reconcilePublish(expectedVersion: Long,
+      files: Seq[LogFile], schema: StructType,
+      mapping: Map[String, String], partitionCols: Seq[String],
+      constraints: Map[String, String], properties: Map[String, String],
+      changes: Option[DataFrame], counters: (Long, Long, Long)): Unit = {
+    def verifyExisting(): Unit = {
+      val existing = manifest(expectedVersion)
+      require(existing.action == "reconcile",
+        s"reconcile: graft version $expectedVersion at $dir was " +
+          s"committed as '${existing.action}' while the same Delta " +
+          "version exists in the _delta_log — the two logs forked; " +
+          "restore one side")
+    }
+    val snap = snapshot()
+    if (snap.version >= expectedVersion) { verifyExisting(); return }
+    require(snap.version == expectedVersion - 1,
+      s"reconcile: expected graft head ${expectedVersion - 1} at $dir, " +
+        s"found ${snap.version} — foreign commits replay in order")
+    val changesSub = changes.map(df =>
+      writeChanges(df, expectedVersion, mapping))
+    val total = files.map(_.rows).sum
+    val m = mkManifest(snap, "reconcile", files,
+      rowsInserted = counters._1, rowsUpdated = counters._2,
+      rowsDeleted = counters._3, rowsTotal = total, changesDir = changesSub,
+      schema = schema, columnMapping = mapping,
+      partitionCols = partitionCols, constraints = constraints,
+      properties = properties)
+    if (!tryPublish(m)) {
+      changesSub.foreach(sub => deleteRecursively(
+        GPath(dir, StagedChangesDirName, GPath(sub).fileName)))
+      verifyExisting()
+    }
+  }
+
+  /** Two-engine coexistence pull ([[DeltaLogBridge.reconcile]]): on a
+    * mirror-enabled table whose `_delta_log` holds commits ABOVE the
+    * graft head (an external Delta writer mid-cutover), replay them
+    * into the commit log BEFORE computing this commit — the commit
+    * then lands on the reconciled snapshot and the mirror continues
+    * 1:1 instead of forking. Quiet-path cost: one existence probe.
+    * A pull failure BLOCKS the commit on purpose: committing past
+    * untranslated foreign history would fork both logs.
+    */
+  private def maybePullForeignDelta(): Unit = {
+    val snap = snapshot()
+    if (!snap.properties.get(DeltaLogBridge.MirrorProp)
+        .exists(_.toBoolean)) return
+    val next = GPath(dir, "_delta_log")
+      .resolve(DeltaLogBridge.deltaName(snap.version + 1))
+    if (GFiles.exists(next)) { DeltaLogBridge.reconcile(this); () }
+  }
+
   private def retryCommit(action: String)(body: Manifest => Manifest): Long = {
+    maybePullForeignDelta()
     def compute(): (Manifest, Option[Manifest], AttemptDiff) = {
       val snap = snapshot()
       val m = try body(snap) catch { case NoOpCommit => return (snap, None, null) }
@@ -3196,21 +3248,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
   private def cleanupLostAttempt(diff: AttemptDiff, m: Manifest): Unit = {
     val committed = listVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
     diff.added
-      .map(f => Paths.get(f.path).subpath(0, 2).toString).distinct
+      .map(f => f.path.split('/').take(2).mkString("/")).distinct
       .filterNot(sub => committed.exists(_.startsWith(sub + "/")))
-      .foreach(sub => deleteRecursively(Paths.get(dir, sub)))
+      .foreach(sub => deleteRecursively(GPath(dir, sub)))
     m.changesDir.foreach { sub =>
-      deleteRecursively(Paths.get(dir, StagedChangesDirName,
-        Paths.get(sub).getFileName.toString))
+      deleteRecursively(GPath(dir, StagedChangesDirName,
+        GPath(sub).getFileName.toString))
     }
   }
 
-  private def deleteRecursively(root: Path): Unit = if (Files.exists(root)) {
-    val s = Files.walk(root)
-    try s.iterator().asScala.toVector.sortBy(-_.getNameCount)
-      .foreach(Files.deleteIfExists)
-    finally s.close()
-  }
+  private def deleteRecursively(root: GPath): Unit =
+    GFiles.deleteRecursively(root)
 
   /** Choose the on-disk form for a commit and stamp its checkpoint
     * anchor. A commit serializes as a file DIFF against its parent
@@ -3627,23 +3675,23 @@ object CommitLogTable {
 
   private val BloomMagic = 0x47424c4d // "GBLM"
 
-  private[tables] def writeBloomSidecar(p: Path, k: Int,
+  private[tables] def writeBloomSidecar(p: GPath, k: Int,
       words: Array[Long]): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(BloomMagic); out.writeInt(k); out.writeInt(words.length)
     words.foreach(out.writeLong)
     out.flush()
-    Files.write(p, bos.toByteArray)
+    GFiles.write(p, bos.toByteArray)
   }
 
   /** (k, words); None when the sidecar is missing/corrupt — the caller
     * falls back to "may contain".
     */
-  private[tables] def readBloomSidecar(p: Path): Option[(Int, Array[Long])] =
+  private[tables] def readBloomSidecar(p: GPath): Option[(Int, Array[Long])] =
     try {
       val in = new java.io.DataInputStream(
-        new java.io.ByteArrayInputStream(Files.readAllBytes(p)))
+        new java.io.ByteArrayInputStream(GFiles.readAllBytes(p)))
       if (in.readInt() != BloomMagic) None
       else {
         val k = in.readInt()
@@ -3711,7 +3759,7 @@ object CommitLogTable {
       "num_files INT, ts_millis BIGINT")
 
   def exists(dir: String): Boolean =
-    Files.isDirectory(Paths.get(dir, LogDirName))
+    GFiles.isDirectory(GPath(dir, LogDirName))
 
   /** Open an existing table. Requires at least one published manifest —
     * a log dir with none is the debris of a create() that died before
@@ -3733,9 +3781,9 @@ object CommitLogTable {
       s"partition column $p not in schema"))
     require(partitionCols.distinct.length == partitionCols.length,
       s"duplicate partition columns: ${partitionCols.mkString(",")}")
-    val logDir = Paths.get(dir, LogDirName)
-    Files.createDirectories(logDir.resolve("changes"))
-    Files.createDirectories(logDir.resolve("staged_changes"))
+    val logDir = GPath(dir, LogDirName)
+    GFiles.createDirectories(logDir.resolve("changes"))
+    GFiles.createDirectories(logDir.resolve("staged_changes"))
     val t = new CommitLogTable(spark, dir)
     val v0 = Manifest(0L, "create", System.currentTimeMillis(), schema,
       partitionCols, Seq.empty, 0, 0, 0, 0, None)
@@ -3777,16 +3825,16 @@ object CommitLogTable {
   def convert(spark: SparkSession, dir: String,
       partitionCols: Seq[String] = Seq.empty): CommitLogTable = {
     require(!exists(dir), s"convert: a commit-log table already exists at $dir")
-    require(Files.isDirectory(Paths.get(dir)), s"convert: no directory at $dir")
+    require(GFiles.isDirectory(GPath(dir)), s"convert: no directory at $dir")
     // a directory already governed by ANOTHER transaction log must not
     // blind-adopt: its log excludes tombstoned/uncommitted parquet that
     // a raw walk would resurrect as live rows
     Seq("_delta_log", "_spark_metadata").foreach(g =>
-      require(!Files.exists(Paths.get(dir, g)),
+      require(!GFiles.exists(GPath(dir, g)),
         s"convert: $dir is governed by $g — a raw file walk would " +
           "adopt files that log has removed or never committed; read " +
           "it through its own format instead"))
-    val probes = adoptProbes(spark, Paths.get(dir))
+    val probes = adoptProbes(spark, GPath(dir))
     require(probes.nonEmpty, s"convert: no parquet files under $dir")
     // UNION schema across every footer (mergeSchema): deterministic
     // regardless of footer-visit order — files lacking a later column
@@ -3851,69 +3899,9 @@ object CommitLogTable {
       }
     }
     val (schema, mapping) = DeltaLogBridge.adoptionSchema(dsnap)
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
-    val physPart = dsnap.partitionCols.map(c => mapping.getOrElse(c, c))
-    val absOf: String => Path = { p =>
-      require(!p.contains("://"),
-        s"convert: add path '$p' is a remote URI — only local paths adopt")
-      if (p.startsWith("/")) Paths.get(p) else Paths.get(dir, p)
-    }
-    // column mapping mode 'id' adopts when name-resolution provably
-    // equals id-resolution for THESE files: every top-level parquet
-    // field carrying a field id must bear the schema's declared
-    // physical name for that id (Delta writers emit both; a divergence
-    // would make the commitlog's name-resolving scan read wrong
-    // columns — refuse, with the bridge as the escape hatch). One
-    // distributed footer pass, mode-id tables only.
-    if (dsnap.columnMappingMode == "id") {
-      val expected = DeltaLogBridge.fieldIdExpectations(dsnap)
-      val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-      val paths = dsnap.live.map(f => absOf(f._1).toUri.toString).distinct
-      val slices = math.max(1, math.min(paths.size,
-        spark.sparkContext.defaultParallelism * 2))
-      val mismatches = spark.sparkContext.parallelize(paths, slices)
-        .flatMap { p =>
-          CommitLogTable.footerFieldIds(p, conf.value)
-            .flatMap { case (name, idOpt) =>
-              idOpt.flatMap(id => expected.get(id.toLong).filter(_ != name)
-                .map(want => s"$p binds field id $id to '$name', the " +
-                  s"schema says '$want'"))
-            }.take(1)
-        }.take(3)
-      require(mismatches.isEmpty,
-        "convert: column mapping mode 'id' — field-id resolution " +
-          "diverges from the declared physical names, so a " +
-          "name-resolving scan would read the wrong columns; read the " +
-          s"table through DeltaLogBridge.read. ${mismatches.mkString("; ")}")
-    }
-    val probeByPath = probePaths(spark, dsnap.live.map(f => absOf(f._1)))
-      .map(pr => (pr._1, pr)).toMap
-    val files = dsnap.live.map { case (rel, pv, dv) =>
-      val (_, rows, bytes, stats, fields) = probeByPath.getOrElse(absOf(rel),
-        throw new IllegalArgumentException(
-          s"convert: live file '$rel' is missing or not parquet — the " +
-            "Delta log references it at the adopted version (vacuumed " +
-            "data, or a torn copy)"))
-      // partitionValues keys are PHYSICAL under column mapping (logical
-      // tolerated — some writers emit them); a missing entry is NULL
-      val pvals = dsnap.partitionCols.zip(physPart).map { case (lc, pc) =>
-        Option(pv.getOrElse(pc, pv.getOrElse(lc, null)))
-          .getOrElse(HivePartitionNull)
-      }
-      val absent = dsnap.partitionCols.zip(physPart).zip(pvals).collect {
-        case ((lc, pc), v) if !fields.contains(pc) => (lc, pc, v)
-      }
-      val synthetic = absent.flatMap { case (lc, pc, v) =>
-        val dt = schema.fields.find(_.name == lc).getOrElse(
-          throw new IllegalArgumentException(
-            s"convert: partition column '$lc' is not in the schema")).dataType
-        internalManifestValue(v, dt, zone) // validate castability NOW
-        statEncodedValue(v, dt, zone).map(enc => pc -> (enc, enc))
-      }.toMap
-      LogFile(rel, pvals, rows, bytes, stats ++ synthetic,
-        manifestVals = absent.map { case (lc, _, v) => lc -> v }.toMap,
-        adoptedDv = dv.map(DeletionVectors.encodeDescriptor))
-    }.filter(_.rows > 0)
+    requireFieldIdAlignment(spark, dir, dsnap, "convert")
+    val files = deltaLogFiles(spark, dir, dsnap, schema, mapping,
+      onlyPaths = None, what = "convert")
     // GENESIS at the adopted Delta version: graft versions line up 1:1
     // with the original log, so enabling the mirror afterwards
     // ([[DeltaLogBridge.MirrorProp]]) CONTINUES the table's own
@@ -3922,8 +3910,8 @@ object CommitLogTable {
     // Earlier Delta versions stay readable through
     // [[DeltaLogBridge.read]]'s own time travel; graft time travel
     // starts at the adopted version (the post-log-vacuum contract).
-    Files.createDirectories(Paths.get(dir, ChangesDirName))
-    Files.createDirectories(Paths.get(dir, StagedChangesDirName))
+    GFiles.createDirectories(GPath(dir, ChangesDirName))
+    GFiles.createDirectories(GPath(dir, StagedChangesDirName))
     val t = new CommitLogTable(spark, dir)
     val total = files.map(_.rows).sum
     // the table's METADATA migrates with its files: stored CHECKs,
@@ -3945,11 +3933,105 @@ object CommitLogTable {
     // then refuses to append and self-cures by checkpoint once the
     // graft head passes the stale tail
     if (versionAsOf.isEmpty)
-      Files.write(Paths.get(dir, "_delta_log")
+      GFiles.write(GPath(dir, "_delta_log")
         .resolve(DeltaLogBridge.AlignedMarker),
         s"graft adoption aligned at Delta version ${dsnap.version}\n"
           .getBytes(UTF_8))
     t
+  }
+
+  /** Table-root resolution of a Delta add path: relative under `dir`,
+    * local absolute accepted (the shallow-clone shape), remote URIs
+    * refused by name — adoption/reconciliation never re-scope a
+    * foreign bucket.
+    */
+  private def deltaAbsOf(dir: String, what: String): String => GPath = { p =>
+    require(!p.contains("://"),
+      s"$what: add path '$p' is a remote URI — only local paths adopt")
+    if (GPath.isAbsolute(p)) GPath(p) else GPath(dir, p)
+  }
+
+  /** Column mapping mode 'id' adopts when name-resolution provably
+    * equals id-resolution for THESE files: every top-level parquet
+    * field carrying a field id must bear the schema's declared
+    * physical name for that id (Delta writers emit both; a divergence
+    * would make the commitlog's name-resolving scan read wrong
+    * columns — refuse, with the bridge as the escape hatch). One
+    * distributed footer pass, mode-id logs only. Shared by
+    * [[convertFromDelta]] and [[DeltaLogBridge.reconcile]].
+    */
+  private[tables] def requireFieldIdAlignment(spark: SparkSession,
+      dir: String, dsnap: DeltaLogBridge.Snapshot, what: String): Unit = {
+    if (dsnap.columnMappingMode != "id") return
+    val absOf = deltaAbsOf(dir, what)
+    val expected = DeltaLogBridge.fieldIdExpectations(dsnap)
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val paths = dsnap.live.map(f => absOf(f._1).raw).distinct
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val mismatches = spark.sparkContext.parallelize(paths, slices)
+      .flatMap { p =>
+        CommitLogTable.footerFieldIds(p, conf.value)
+          .flatMap { case (name, idOpt) =>
+            idOpt.flatMap(id => expected.get(id.toLong).filter(_ != name)
+              .map(want => s"$p binds field id $id to '$name', the " +
+                s"schema says '$want'"))
+          }.take(1)
+      }.take(3)
+    require(mismatches.isEmpty,
+      s"$what: column mapping mode 'id' — field-id resolution " +
+        "diverges from the declared physical names, so a " +
+        "name-resolving scan would read the wrong columns; read the " +
+        s"table through DeltaLogBridge.read. ${mismatches.mkString("; ")}")
+  }
+
+  /** Manifest file entries for a Delta snapshot's live files —
+    * footer-probed (ONE distributed job), partition values normalized
+    * to the manifest's Hive encoding, live deletion vectors carried as
+    * [[LogFile.adoptedDv]]. `onlyPaths` restricts the build to a
+    * subset (reconciliation probes only a foreign commit's ADDED
+    * files — O(diff), never O(table)). Shared by [[convertFromDelta]]
+    * and [[DeltaLogBridge.reconcile]].
+    */
+  private[tables] def deltaLogFiles(spark: SparkSession, dir: String,
+      dsnap: DeltaLogBridge.Snapshot, schema: StructType,
+      mapping: Map[String, String], onlyPaths: Option[Set[String]],
+      what: String): Seq[LogFile] = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val physPart = dsnap.partitionCols.map(c => mapping.getOrElse(c, c))
+    val absOf = deltaAbsOf(dir, what)
+    val wanted = onlyPaths match {
+      case None => dsnap.live
+      case Some(ps) => dsnap.live.filter(f => ps.contains(f._1))
+    }
+    val probeByPath = probePaths(spark, wanted.map(f => absOf(f._1)))
+      .map(pr => (pr._1, pr)).toMap
+    wanted.map { case (rel, pv, dv) =>
+      val (_, rows, bytes, stats, fields) = probeByPath.getOrElse(absOf(rel),
+        throw new IllegalArgumentException(
+          s"$what: live file '$rel' is missing or not parquet — the " +
+            "Delta log references it at this version (vacuumed " +
+            "data, or a torn copy)"))
+      // partitionValues keys are PHYSICAL under column mapping (logical
+      // tolerated — some writers emit them); a missing entry is NULL
+      val pvals = dsnap.partitionCols.zip(physPart).map { case (lc, pc) =>
+        Option(pv.getOrElse(pc, pv.getOrElse(lc, null)))
+          .getOrElse(HivePartitionNull)
+      }
+      val absent = dsnap.partitionCols.zip(physPart).zip(pvals).collect {
+        case ((lc, pc), v) if !fields.contains(pc) => (lc, pc, v)
+      }
+      val synthetic = absent.flatMap { case (lc, pc, v) =>
+        val dt = schema.fields.find(_.name == lc).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what: partition column '$lc' is not in the schema")).dataType
+        internalManifestValue(v, dt, zone) // validate castability NOW
+        statEncodedValue(v, dt, zone).map(enc => pc -> (enc, enc))
+      }.toMap
+      LogFile(rel, pvals, rows, bytes, stats ++ synthetic,
+        manifestVals = absent.map { case (lc, _, v) => lc -> v }.toMap,
+        adoptedDv = dv.map(DeletionVectors.encodeDescriptor))
+    }.filter(_.rows > 0)
   }
 
   /** Pre-existing data files a [[convert]] may adopt, with their footer
@@ -3967,16 +4049,11 @@ object CommitLogTable {
     * adoption wall-time must stay flat per core as the file count
     * grows.
     */
-  private def adoptProbes(spark: SparkSession, root: Path)
-      : Seq[(Path, Long, Long, Map[String, (String, String)], Set[String])] = {
-    val candidates = {
-      val s = Files.walk(root)
-      try s.iterator().asScala.filter { p =>
-        Files.isRegularFile(p) &&
-          root.relativize(p).iterator().asScala.map(_.toString)
-            .forall(n => !n.startsWith("_") && !n.startsWith("."))
-      }.toVector
-      finally s.close()
+  private def adoptProbes(spark: SparkSession, root: GPath)
+      : Seq[(GPath, Long, Long, Map[String, (String, String)], Set[String])] = {
+    val candidates = GFiles.walkFiles(root).filter { p =>
+      root.relativize(p).split('/')
+        .forall(n => !n.startsWith("_") && !n.startsWith("."))
     }
     probePaths(spark, candidates)
   }
@@ -3986,15 +4063,15 @@ object CommitLogTable {
     * stats / field names) per candidate; shared by the directory-walk
     * [[convert]] and the log-driven [[convertFromDelta]].
     */
-  private def probePaths(spark: SparkSession, candidates: Seq[Path])
-      : Seq[(Path, Long, Long, Map[String, (String, String)], Set[String])] = {
+  private def probePaths(spark: SparkSession, candidates: Seq[GPath])
+      : Seq[(GPath, Long, Long, Map[String, (String, String)], Set[String])] = {
     if (candidates.isEmpty) return Seq.empty
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val slices = math.max(1, math.min(candidates.size,
       spark.sparkContext.defaultParallelism * 2))
     val probed =
       try spark.sparkContext
-        .parallelize(candidates.map(_.toUri.toString), slices)
+        .parallelize(candidates.map(_.raw), slices)
         .map(p => p -> CommitLogTable.adoptProbe(p, conf.value))
         .collect().toSeq
       catch { case e: Throwable =>
@@ -4013,7 +4090,7 @@ object CommitLogTable {
         throw e
       }
     probed.collect { case (p, Some((rows, bytes, stats, fields))) =>
-      (Paths.get(new java.net.URI(p)), rows, bytes, stats, fields)
+      (GPath(p), rows, bytes, stats, fields)
     }
   }
 
@@ -4165,18 +4242,16 @@ object CommitLogTable {
   private def manifestName(version: Long): String = f"v$version%020d.json"
 
   private[tables] def listVersionsAt(dir: String): Seq[Long] = {
-    val s = Files.list(Paths.get(dir, LogDirName))
-    try s.iterator().asScala.map(_.getFileName.toString)
+    GFiles.list(GPath(dir, LogDirName)).map(_.fileName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.substring(1, n.length - 5).toLong).toVector.sorted
-    finally s.close()
+      .map(n => n.substring(1, n.length - 5).toLong).sorted
   }
 
   private[tables] def readRaw(dir: String, version: Long): RawManifest = {
-    val p = Paths.get(dir, LogDirName).resolve(manifestName(version))
-    require(Files.exists(p), s"version $version does not exist at $dir " +
+    val p = GPath(dir, LogDirName).resolve(manifestName(version))
+    require(GFiles.exists(p), s"version $version does not exist at $dir " +
       "(vacuumed log segment, or never committed)")
-    parseRaw(new String(Files.readAllBytes(p), UTF_8))
+    parseRaw(new String(GFiles.readAllBytes(p), UTF_8))
   }
 
   /** Resolve one version cold: walk back to the nearest full manifest
@@ -4238,108 +4313,93 @@ object CommitLogTable {
       .flatMap(_.files.map(_.path)).toSet
     val anyRefs = committedManifests.flatMap(_.files.map(_.path)).toSet
     val promotedChanges = committedManifests.flatMap(_.changesDir)
-      .map(sub => Paths.get(sub).getFileName.toString).toSet
+      .map(sub => GPath(sub).fileName).toSet
     val now = System.currentTimeMillis()
-    def aged(p: Path): Boolean =
-      try now - Files.getLastModifiedTime(p).toMillis > orphanGraceMillis
+    def aged(p: GPath): Boolean =
+      try now - GFiles.lastModifiedMillis(p) > orphanGraceMillis
       catch { case _: java.io.IOException => false }
     var deleted = 0
     // crashed tryPublish attempts leak .tmp-<uuid> manifests in the log
     // dir (the finally-delete never ran); sweep them past the grace age
-    val logRoot = Paths.get(dir, LogDirName)
-    if (Files.isDirectory(logRoot)) {
-      val s = Files.list(logRoot)
-      val tmps = try s.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(".tmp-")).toVector
-        finally s.close()
+    val logRoot = GPath(dir, LogDirName)
+    if (GFiles.isDirectory(logRoot)) {
+      val tmps = GFiles.list(logRoot)
+        .filter(p => p.fileName.startsWith(".tmp-"))
       tmps.filter(aged).foreach { p =>
-        if (Files.deleteIfExists(p)) deleted += 1
+        if (GFiles.deleteIfExists(p)) deleted += 1
       }
       // crashed lease claimants leak .claims-<name>/ election dirs
       // (LeaseCoordinator) — sweep aged entries, prune emptied dirs
-      val claimDirs = { val s = Files.list(logRoot)
-        try s.iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(".claims-")).toVector
-        finally s.close() }
+      val claimDirs = GFiles.list(logRoot)
+        .filter(p => GFiles.isDirectory(p) &&
+          p.fileName.startsWith(".claims-"))
       claimDirs.foreach { d =>
-        val entries = { val s = Files.list(d)
-          try s.iterator().asScala.toVector finally s.close() }
+        val entries = GFiles.list(d)
         entries.filter(aged).foreach { p =>
-          if (Files.deleteIfExists(p)) deleted += 1
+          if (GFiles.deleteIfExists(p)) deleted += 1
         }
-        try Files.deleteIfExists(d)
+        try GFiles.deleteIfExists(d)
         catch { case _: java.io.IOException => () } // live claimant inside
       }
     }
     // stale staging dirs: promoted ones were MOVED out, so anything left
     // past the grace window is a dead writer's orphan (a referenced-but-
     // unpromoted dir is crash state the readers repair — keep it)
-    val stagedRoot = Paths.get(dir, StagedChangesDirName)
-    if (Files.isDirectory(stagedRoot)) {
-      val s = Files.list(stagedRoot)
-      val dead = try s.iterator().asScala.toVector finally s.close()
-      dead.filter(p => !promotedChanges.contains(p.getFileName.toString) && aged(p))
+    val stagedRoot = GPath(dir, StagedChangesDirName)
+    if (GFiles.isDirectory(stagedRoot)) {
+      val dead = GFiles.list(stagedRoot)
+      dead.filter(p => !promotedChanges.contains(p.fileName) && aged(p))
         .foreach { p =>
-          val f = Files.walk(p)
-          val all = try f.iterator().asScala.toVector finally f.close()
-          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+          GFiles.deleteRecursively(p)
           deleted += 1
         }
     }
     // crashed streaming-sink epochs: committed epochs MOVED their files
     // out and swept their dir ([[appendStagedFiles]] callers), so any
     // staged file left past the grace window is a dead stream's orphan
-    val streamStage = Paths.get(dir, "_streaming_stage")
-    if (Files.isDirectory(streamStage)) {
-      val s = Files.walk(streamStage)
-      val all = try s.iterator().asScala.toVector finally s.close()
-      all.filter(p => Files.isRegularFile(p) && aged(p)).foreach { p =>
-        if (Files.deleteIfExists(p)) deleted += 1
+    val streamStage = GPath(dir, "_streaming_stage")
+    if (GFiles.isDirectory(streamStage)) {
+      val all = GFiles.walkAll(streamStage)
+      all.filter(p => GFiles.isRegularFile(p) && aged(p)).foreach { p =>
+        if (GFiles.deleteIfExists(p)) deleted += 1
       }
       // prune now-empty epoch/query dirs (deepest first). Empty alone is
       // sufficient evidence: a live writer mkdirs-on-demand before staging,
       // and the sweep above just refreshed the parent's mtime by deleting
       // its debris — an aged(d) check here would race against our own
       // deletes and nondeterministically skip the prune.
-      all.filter(Files.isDirectory(_)).sortBy(-_.getNameCount).foreach { d =>
-        val l = Files.list(d)
-        val empty = try !l.iterator().hasNext finally l.close()
-        if (empty && d != streamStage) Files.deleteIfExists(d)
+      all.filter(GFiles.isDirectory(_)).sortBy(-_.raw.length).foreach { d =>
+        val empty = GFiles.list(d).isEmpty
+        if (empty && d != streamStage) GFiles.deleteIfExists(d)
       }
     }
-    val dataRoot = Paths.get(dir, DataDirName)
-    if (!Files.isDirectory(dataRoot)) return deleted
-    def walk[T](f: Iterator[Path] => T): T = {
-      val s = Files.walk(dataRoot)
-      try f(s.iterator().asScala) finally s.close()
-    }
-    def isMarker(p: Path): Boolean = {
-      val n = p.getFileName.toString
+    val dataRoot = GPath(dir, DataDirName)
+    if (!GFiles.isDirectory(dataRoot)) return deleted
+    def walk[T](f: Iterator[GPath] => T): T =
+      f(GFiles.walkAll(dataRoot).iterator)
+    def isMarker(p: GPath): Boolean = {
+      val n = p.fileName
       n.startsWith("_") || n.startsWith(".")
     }
-    walk(_.filter(p => Files.isRegularFile(p) && !isMarker(p)).toVector)
+    walk(_.filter(p => GFiles.isRegularFile(p) && !isMarker(p)).toVector)
       .foreach { p =>
-        val rel = Paths.get(dir).relativize(p).toString
+        val rel = GPath(dir).relativize(p)
         if (!retainedRefs.contains(rel) && (anyRefs.contains(rel) || aged(p))) {
-          Files.deleteIfExists(p); deleted += 1
+          GFiles.deleteIfExists(p); deleted += 1
           // bloom sidecars ride their data file
-          val prefix = s"_bloom.${p.getFileName}."
-          val s = Files.list(p.getParent)
-          try s.iterator().asScala
-            .filter(_.getFileName.toString.startsWith(prefix))
-            .foreach(Files.deleteIfExists)
-          finally s.close()
+          val prefix = s"_bloom.${p.fileName}."
+          GFiles.list(p.getParent)
+            .filter(_.fileName.startsWith(prefix))
+            .foreach(GFiles.deleteIfExists(_))
         }
       }
     // bottom-up: drop commit dirs holding nothing but markers (_SUCCESS/.crc)
-    walk(_.toVector).sortBy(-_.getNameCount).foreach { p =>
-      if (Files.isDirectory(p) && p != dataRoot) {
-        val children = { val s = Files.list(p)
-          try s.iterator().asScala.toVector finally s.close() }
-        if (children.forall(c => Files.isRegularFile(c) && isMarker(c))) {
-          children.foreach(Files.deleteIfExists)
-          Files.deleteIfExists(p)
+    walk(_.toVector).sortBy(-_.raw.length).foreach { p =>
+      if (GFiles.isDirectory(p) && p != dataRoot) {
+        val children = GFiles.list(p)
+        if (children.forall(c => GFiles.isRegularFile(c) && isMarker(c))) {
+          children.foreach(GFiles.deleteIfExists(_))
+          GFiles.deleteIfExists(p)
         }
       }
     }
@@ -4376,19 +4436,14 @@ object CommitLogTable {
         case RawFull(m) => m.changesDir
         case d: RawDiff => d.meta.changesDir
       }
-      changes.foreach(sub => deleteTree(Paths.get(dir, sub)))
-      if (Files.deleteIfExists(
-          Paths.get(dir, LogDirName).resolve(manifestName(v)))) n += 1
+      changes.foreach(sub => deleteTree(GPath(dir, sub)))
+      if (GFiles.deleteIfExists(
+          GPath(dir, LogDirName).resolve(manifestName(v)))) n += 1
     }
     n
   }
 
-  private def deleteTree(root: Path): Unit = if (Files.exists(root)) {
-    val s = Files.walk(root)
-    try s.iterator().asScala.toVector.sortBy(-_.getNameCount)
-      .foreach(Files.deleteIfExists)
-    finally s.close()
-  }
+  private def deleteTree(root: GPath): Unit = GFiles.deleteRecursively(root)
 
   // ----------------------------------------------------------- JSON codec
   // Jackson ships with Spark; manifests are small driver-side documents.

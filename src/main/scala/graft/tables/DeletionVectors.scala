@@ -1,7 +1,6 @@
 package graft.tables
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.zip.CRC32
 
 import org.roaringbitmap.RoaringBitmap
@@ -259,39 +258,28 @@ private[graft] object DeletionVectors {
     * and re-reading the whole file per marked data file would multiply
     * the I/O by the file count.
     */
-  def readFromFile(file: Path, offset: Int, sizeInBytes: Int): Array[Byte] = {
-    val ch = Files.newByteChannel(file)
-    try {
-      val total = ch.size()
-      def readFully(buf: ByteBuffer, at: Long): Unit = {
-        ch.position(at)
-        while (buf.hasRemaining && ch.read(buf) >= 0) {}
-        require(!buf.hasRemaining, s"deletion-vector file $file truncated")
-        buf.flip()
-      }
-      val vb = ByteBuffer.allocate(1)
-      require(total >= 1, s"deletion-vector file $file is empty")
-      readFully(vb, 0L)
-      require(vb.get(0) == FormatVersion,
-        s"deletion-vector file $file has version ${vb.get(0)}")
-      require(offset >= 1 && offset.toLong + 8 + sizeInBytes <= total,
-        s"deletion-vector offset $offset + $sizeInBytes overruns $file ($total bytes)")
-      val buf = ByteBuffer.allocate(8 + sizeInBytes)
-      readFully(buf, offset.toLong)
-      buf.order(ByteOrder.BIG_ENDIAN)
-      val declared = buf.getInt
-      require(declared == sizeInBytes,
-        s"deletion-vector size mismatch in $file@$offset: file says $declared, " +
-          s"descriptor says $sizeInBytes")
-      val data = new Array[Byte](sizeInBytes)
-      buf.get(data)
-      val crcStored = buf.getInt
-      val crc = new CRC32()
-      crc.update(data)
-      require(crcStored == crc.getValue.toInt,
-        s"deletion-vector checksum mismatch in $file@$offset")
-      data
-    } finally ch.close()
+  def readFromFile(file: GPath, offset: Int, sizeInBytes: Int): Array[Byte] = {
+    val total = GFiles.size(file)
+    require(total >= 1, s"deletion-vector file $file is empty")
+    val vb = GFiles.readRange(file, 0L, 1)
+    require(vb(0) == FormatVersion,
+      s"deletion-vector file $file has version ${vb(0)}")
+    require(offset >= 1 && offset.toLong + 8 + sizeInBytes <= total,
+      s"deletion-vector offset $offset + $sizeInBytes overruns $file ($total bytes)")
+    val buf = ByteBuffer.wrap(GFiles.readRange(file, offset.toLong, 8 + sizeInBytes))
+      .order(ByteOrder.BIG_ENDIAN)
+    val declared = buf.getInt
+    require(declared == sizeInBytes,
+      s"deletion-vector size mismatch in $file@$offset: file says $declared, " +
+        s"descriptor says $sizeInBytes")
+    val data = new Array[Byte](sizeInBytes)
+    buf.get(data)
+    val crcStored = buf.getInt
+    val crc = new CRC32()
+    crc.update(data)
+    require(crcStored == crc.getValue.toInt,
+      s"deletion-vector checksum mismatch in $file@$offset")
+    data
   }
 
   /** Read the single DV a one-bitmap `.bin` stores at offset 1 (the
@@ -299,16 +287,8 @@ private[graft] object DeletionVectors {
     * own size field — the idempotency probe: a later translation
     * recovers size and cardinality without re-scanning the data file.
     */
-  def readSole(file: Path): Array[Byte] = {
-    val header = {
-      val ch = Files.newByteChannel(file)
-      try {
-        val b = ByteBuffer.allocate(5)
-        while (b.hasRemaining && ch.read(b) >= 0) {}
-        require(!b.hasRemaining, s"deletion-vector file $file truncated")
-        b.flip(); b
-      } finally ch.close()
-    }
+  def readSole(file: GPath): Array[Byte] = {
+    val header = ByteBuffer.wrap(GFiles.readRange(file, 0L, 5))
     require(header.get(0) == FormatVersion,
       s"deletion-vector file $file has version ${header.get(0)}")
     val size = header.order(ByteOrder.BIG_ENDIAN).getInt(1)
@@ -320,7 +300,7 @@ private[graft] object DeletionVectors {
     * descriptor order. The caller owns naming (deterministic UUIDs for
     * the mirror's racing writers).
     */
-  def writeFile(target: Path, bitmaps: Seq[Array[Byte]]): Seq[Int] = {
+  def writeFile(target: GPath, bitmaps: Seq[Array[Byte]]): Seq[Int] = {
     val size = 1 + bitmaps.map(8 + _.length).sum
     val buf = ByteBuffer.allocate(size).order(ByteOrder.BIG_ENDIAN)
     buf.put(FormatVersion)
@@ -333,13 +313,12 @@ private[graft] object DeletionVectors {
       buf.putInt(crc.getValue.toInt)
       off
     }
-    Files.createDirectories(target.getParent)
+    GFiles.createDirectories(target.getParent)
     val tmp = target.getParent.resolve(
       s".tmp-dv-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, buf.array())
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    finally Files.deleteIfExists(tmp)
+    GFiles.write(tmp, buf.array())
+    try GFiles.moveReplace(tmp, target)
+    finally GFiles.deleteIfExists(tmp)
     offsets
   }
 
@@ -348,13 +327,13 @@ private[graft] object DeletionVectors {
     * them is a directory prefix under the table root; the file is
     * `<prefix>/deletion_vector_<canonical uuid>.bin`.
     */
-  def uStoragePath(tableDir: String, pathOrInlineDv: String): Path = {
+  def uStoragePath(tableDir: String, pathOrInlineDv: String): GPath = {
     require(pathOrInlineDv.length >= 20,
       s"u-storage pathOrInlineDv too short: '$pathOrInlineDv'")
     val (prefix, z) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
     val name = s"deletion_vector_${uuidFromZ85(z)}.bin"
-    if (prefix.isEmpty) Paths.get(tableDir, name)
-    else Paths.get(tableDir, prefix, name)
+    if (prefix.isEmpty) GPath(tableDir, name)
+    else GPath(tableDir, prefix, name)
   }
 
   /** Resolve a descriptor to its probe-form bitmap. */
@@ -383,11 +362,11 @@ private[graft] object DeletionVectors {
           s"deletion vector with absolute-path ('p') storage on scheme " +
             s"'${u.getScheme}' — this bridge reads local paths only, " +
             "refusing rather than guessing scope")
-        val p = Paths.get(Option(u.getPath).getOrElse(d.pathOrInlineDv))
-        require(p.isAbsolute,
+        val p = GPath(Option(u.getPath).getOrElse(d.pathOrInlineDv))
+        require(p.raw.startsWith("/"),
           s"'p'-storage deletion vector path must be absolute, got " +
             s"'${d.pathOrInlineDv}'")
-        require(Files.isRegularFile(p),
+        require(GFiles.isRegularFile(p),
           s"'p'-storage deletion vector $p does not exist — the source " +
             "table this (likely shallow-cloned) log references is gone " +
             "or unreachable from here")

@@ -1,7 +1,6 @@
 package graft.tables
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -67,7 +66,7 @@ object DeltaLogBridge {
 
   private val M = new ObjectMapper()
 
-  private def deltaName(v: Long): String = f"$v%020d.json"
+  private[tables] def deltaName(v: Long): String = f"$v%020d.json"
 
   private val HiveNull = org.apache.spark.sql.catalyst.catalog
     .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -146,11 +145,9 @@ object DeltaLogBridge {
   }
 
   private def priorFieldIds(spark: SparkSession,
-      logDir: Path): (Map[String, Long], Long) = {
-    if (!Files.isDirectory(logDir)) return (Map.empty, 0L)
-    val names = { val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toVector
-      finally s.close() }
+      logDir: GPath): (Map[String, Long], Long) = {
+    if (!GFiles.isDirectory(logDir)) return (Map.empty, 0L)
+    val names = GFiles.list(logDir).map(_.fileName)
     val jsonVs = names.filter(n => n.length == 25 && n.endsWith(".json") &&
       n.dropRight(5).forall(_.isDigit)).map(_.dropRight(5).toLong).sorted
     // the NEWEST metaData provides the live path→id map; maxColumnId
@@ -166,7 +163,7 @@ object DeltaLogBridge {
     }
     jsonVs.reverse.foreach { v =>
       val lines = new String(
-        Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
+        GFiles.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
         .split('\n').filter(_.trim.nonEmpty)
       lines.foreach { line =>
         val n = M.readTree(line)
@@ -353,13 +350,9 @@ object DeltaLogBridge {
 
   def snapshot(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): Snapshot = {
-    val logDir = Paths.get(dir, "_delta_log")
-    require(Files.isDirectory(logDir), s"no _delta_log at $dir")
-    val names = {
-      val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toVector
-      finally s.close()
-    }
+    val logDir = GPath(dir, "_delta_log")
+    require(GFiles.isDirectory(logDir), s"no _delta_log at $dir")
+    val names = GFiles.list(logDir).map(_.fileName)
     val versions = names
       .filter(n => n.length == 25 && n.endsWith(".json") &&
         n.dropRight(5).forall(_.isDigit))
@@ -428,7 +421,7 @@ object DeltaLogBridge {
       }
     def applyJson(v: Long): Unit = {
       val lines = new String(
-        Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
+        GFiles.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
         .split('\n').filter(_.trim.nonEmpty)
       lines.foreach { line =>
         val n = M.readTree(line)
@@ -527,7 +520,7 @@ object DeltaLogBridge {
       */
     def applyJsonV2Manifest(name: String): Unit = {
       val lines = new String(
-        Files.readAllBytes(logDir.resolve(name)), UTF_8)
+        GFiles.readAllBytes(logDir.resolve(name)), UTF_8)
         .split('\n').filter(_.trim.nonEmpty)
       val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
       lines.foreach { line =>
@@ -1016,10 +1009,10 @@ object DeltaLogBridge {
       startingVersion: Long, endingVersion: Long): DataFrame = {
     require(startingVersion >= 0 && endingVersion >= startingVersion,
       s"bad CDF bounds [$startingVersion, $endingVersion]")
-    val logDir = Paths.get(dir, "_delta_log")
-    require(Files.isDirectory(logDir), s"no _delta_log at $dir")
+    val logDir = GPath(dir, "_delta_log")
+    require(GFiles.isDirectory(logDir), s"no _delta_log at $dir")
     (startingVersion to endingVersion).foreach(v =>
-      require(Files.exists(logDir.resolve(deltaName(v))),
+      require(GFiles.exists(logDir.resolve(deltaName(v))),
         s"CDF version $v is not in the log at $dir (vacuumed or never " +
           "written) — change feeds replay commit JSONs, not checkpoints"))
     // schema/mapping/partitioning resolve at the END version — Delta's
@@ -1057,7 +1050,7 @@ object DeltaLogBridge {
       }.toMap
     val frames = (startingVersion to endingVersion).flatMap { v =>
       val lines = new String(
-        Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
+        GFiles.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
         .split('\n').filter(_.trim.nonEmpty).map(M.readTree)
       val cdcs = lines.filter(_.has("cdc")).map(_.get("cdc"))
         .map(c => (decodePath(c.get("path").asText), normPv(pvOf(c))))
@@ -1094,7 +1087,7 @@ object DeltaLogBridge {
           else {
             val rs = removes.toSeq.map { r =>
               val p = decodePath(r.get("path").asText)
-              require(Files.exists(Paths.get(dir, p)),
+              require(GFiles.exists(GPath(dir, p)),
                 s"CDF: commit $v removed $p, whose bytes are gone " +
                   "(vacuumed) — delete images are unrecoverable; keep " +
                   "retention deeper than the slowest consumer's lag")
@@ -1145,10 +1138,10 @@ object DeltaLogBridge {
     // marks export as protocol DELETION VECTORS (reader v3 / writer v7
     // table features), so merge-on-read state ships without a rewrite.
     val mapped = snap.columnMapping.nonEmpty
-    val logDir = Paths.get(table.dir, "_delta_log")
-    require(overwrite || !Files.exists(logDir.resolve(deltaName(0L))),
+    val logDir = GPath(table.dir, "_delta_log")
+    require(overwrite || !GFiles.exists(logDir.resolve(deltaName(0L))),
       s"a _delta_log already exists at ${table.dir}")
-    Files.createDirectories(logDir)
+    GFiles.createDirectories(logDir)
     val now = System.currentTimeMillis()
     val sb = new StringBuilder
     sb.append(protocolJson(protocolNeed(snap))).append('\n')
@@ -1196,10 +1189,9 @@ object DeltaLogBridge {
       sb.append(M.writeValueAsString(add)).append('\n')
     }
     val tmp = logDir.resolve(s".tmp-export-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, sb.toString.getBytes(UTF_8))
-    try Files.move(tmp, logDir.resolve(deltaName(0L)),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally Files.deleteIfExists(tmp)
+    GFiles.write(tmp, sb.toString.getBytes(UTF_8))
+    try GFiles.moveReplace(tmp, logDir.resolve(deltaName(0L)))
+    finally GFiles.deleteIfExists(tmp)
     snap.files.size
   }
 
@@ -1282,13 +1274,11 @@ object DeltaLogBridge {
   val LogRetainCheckpointsProp = "graft.deltaMirror.logRetainCheckpoints"
 
   private def vacuumMirrorLog(m: CommitLogTable.Manifest,
-      logDir: Path): Unit = {
+      logDir: GPath): Unit = {
     val retain = m.properties.get(LogRetainCheckpointsProp)
       .map(_.toInt).getOrElse(0)
     if (retain <= 0) return
-    val names = { val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toVector
-      finally s.close() }
+    val names = GFiles.list(logDir).map(_.fileName)
     val Classic = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
     val V2 = """(\d{20})\.checkpoint\.[^.]+\.(?:parquet|json)""".r
     def ckVersion(n: String): Option[Long] = n match {
@@ -1323,16 +1313,16 @@ object DeltaLogBridge {
           deleteTree(logDir.getParent.resolve("_change_data")
             .resolve(cdcUuid(tableDir, v).toString))
         }
-        Files.deleteIfExists(logDir.resolve(n))
+        GFiles.deleteIfExists(logDir.resolve(n))
       }
     }
     // sidecars: delete ONLY the dropped manifests' own `<uuid>.parquet`
     // (the name this mirror writes) — a foreign/adopted log's sidecars
     // may be referenced under arbitrary names by manifests we keep
     val sidecarDir = logDir.resolve("_sidecars")
-    if (Files.isDirectory(sidecarDir))
+    if (GFiles.isDirectory(sidecarDir))
       droppedUuids.foreach(u =>
-        Files.deleteIfExists(sidecarDir.resolve(s"$u.parquet")))
+        GFiles.deleteIfExists(sidecarDir.resolve(s"$u.parquet")))
   }
 
   private val V2CheckpointNeed: (Int, Int, Seq[String], Seq[String]) =
@@ -1500,7 +1490,7 @@ object DeltaLogBridge {
     val z = DeletionVectors.z85Uuid(uuid)
     val bin = DeletionVectors.uStoragePath(table.dir, z)
     val data =
-      if (Files.exists(bin)) DeletionVectors.readSole(bin)
+      if (GFiles.exists(bin)) DeletionVectors.readSole(bin)
       else {
         val (bm, _) = table.pendingDeleteBitmap(m, f)
         DeletionVectors.writeFile(bin, Seq(bm))
@@ -1527,13 +1517,7 @@ object DeltaLogBridge {
     java.util.UUID.nameUUIDFromBytes(
       s"graft-cdc:${stableId(dir)}:$version".getBytes(UTF_8))
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+  private def deleteTree(p: GPath): Unit = GFiles.deleteRecursively(p)
 
   /** Materialize one mirrored commit's persisted change rows as Delta
     * `_change_data/` parquet and return its `cdc` action lines —
@@ -1560,46 +1544,39 @@ object DeltaLogBridge {
     if (m.changesDir.isEmpty || m.rowsUpdated + m.rowsDeleted == 0L)
       return Seq.empty
     val sub = s"_change_data/${cdcUuid(table.dir, m.version)}"
-    val target = Paths.get(table.dir, sub)
-    if (!Files.isDirectory(target)) {
+    val target = GPath(table.dir, sub)
+    if (!GFiles.isDirectory(target)) {
       val changeFiles = table.changeFilesAt(m.version)
       if (changeFiles.isEmpty) return Seq.empty
-      val tmp = Paths.get(table.dir, "_change_data",
+      val tmp = GPath(table.dir, "_change_data",
         s".tmp-${java.util.UUID.randomUUID()}")
-      Files.createDirectories(tmp.getParent)
+      GFiles.createDirectories(tmp.getParent)
       val df = table.spark.read.parquet(changeFiles.map(_._1): _*)
         .drop("_commit_version")
       val pvPhys = m.partitionCols.map(c => m.columnMapping.getOrElse(c, c))
       (if (pvPhys.nonEmpty) df.write.partitionBy(pvPhys: _*) else df.write)
         .parquet(tmp.toString)
-      try Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.DirectoryNotEmptyException |
-                   _: java.nio.file.FileSystemException =>
-        deleteTree(tmp) // a racer landed it first — use theirs
+      try GFiles.moveNoReplace(tmp, target)
+      catch { case e: java.io.IOException =>
+        if (GFiles.isDirectory(target))
+          deleteTree(tmp) // a racer landed it first — use theirs
+        else throw e
       }
     }
-    val parts = {
-      val s = Files.walk(target)
-      try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .toVector.sortBy(_.toString)
-      finally s.close()
-    }
-    val root = Paths.get(table.dir)
+    val parts = GFiles.walkFiles(target).filter { p =>
+      val n = p.fileName
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.toString)
+    val root = GPath(table.dir)
     parts.map { p =>
       val node = M.createObjectNode()
       val c = node.putObject("cdc")
-      c.put("path", encodePath(
-        root.relativize(p).iterator().asScala.mkString("/")))
+      c.put("path", encodePath(root.relativize(p)))
       val pv = c.putObject("partitionValues")
       // Hive `col=value` segments between the cdc root and the part
       // file carry the partition values (unescaped; the default
       // marker is the protocol's JSON null)
-      target.relativize(p).iterator().asScala.map(_.toString).toSeq
+      target.relativize(p).split('/').toSeq
         .dropRight(1).foreach { seg =>
           val i = seg.indexOf('=')
           require(i > 0, s"unexpected _change_data layout segment $seg")
@@ -1608,7 +1585,7 @@ object DeltaLogBridge {
             .ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
           if (v == HiveNull) pv.putNull(k) else pv.put(k, v)
         }
-      c.put("size", Files.size(p))
+      c.put("size", GFiles.size(p))
       c.put("dataChange", false)
       M.writeValueAsString(node)
     }
@@ -1708,18 +1685,16 @@ object DeltaLogBridge {
     * mirror's seed COMMIT POINT: a checkpoint parquet without the hint
     * is an in-flight (or crashed) seed, never a mirrored head.
     */
-  private def committedSeedVersion(logDir: Path): Option[Long] =
+  private def committedSeedVersion(logDir: GPath): Option[Long] =
     try {
       val p = logDir.resolve("_last_checkpoint")
-      if (!Files.exists(p)) None
+      if (!GFiles.exists(p)) None
       else {
-        val v = M.readTree(new String(Files.readAllBytes(p), UTF_8))
+        val v = M.readTree(new String(GFiles.readAllBytes(p), UTF_8))
           .get("version").asLong
         val Named = (f"$v%020d" + """\.checkpoint(\.[^.]+)?\.parquet""").r
-        val hit = { val s = Files.list(logDir)
-          try s.iterator().asScala.exists(f =>
-            Named.pattern.matcher(f.getFileName.toString).matches())
-          finally s.close() }
+        val hit = GFiles.list(logDir).exists(f =>
+          Named.pattern.matcher(f.fileName).matches())
         if (hit) Some(v) else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1733,9 +1708,9 @@ object DeltaLogBridge {
     * crashed redoes the same deterministic translation idempotently
     * (REPLACE_EXISTING on identical content). Returns the seeded head.
     */
-  private def seed(table: CommitLogTable, logDir: Path,
+  private def seed(table: CommitLogTable, logDir: GPath,
       version: Long): Long = {
-    Files.createDirectories(logDir)
+    GFiles.createDirectories(logDir)
     val won = table.coordinator.tryClaim(logDir,
       f"_graft_seed.$version%020d",
       s"seed claim for graft v$version\n".getBytes(UTF_8))
@@ -1753,12 +1728,12 @@ object DeltaLogBridge {
     * (plus the v2Checkpoint feature when the seed wrote the v2 format)
     * instead of a per-commit parquet read.
     */
-  private def priorProtocol(table: CommitLogTable, logDir: Path,
+  private def priorProtocol(table: CommitLogTable, logDir: GPath,
       jsonVs: Seq[Long], seedV: Option[Long])
       : (Int, Int, Seq[String], Seq[String]) = {
     jsonVs.sorted.reverse.foreach { v =>
       val lines = new String(
-        Files.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
+        GFiles.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
         .split('\n').filter(_.trim.nonEmpty)
       lines.reverse.foreach { line =>
         if (line.contains("\"protocol\"")) {
@@ -1786,8 +1761,8 @@ object DeltaLogBridge {
         val stored: Option[(Int, Int, Seq[String], Seq[String])] = {
           val classic = logDir.resolve(f"$v%020d.checkpoint.parquet")
           val v2m = logDir.resolve(v2ManifestName(table.dir, v))
-          val target = if (Files.exists(classic)) Some(classic)
-            else if (Files.exists(v2m)) Some(v2m) else None
+          val target = if (GFiles.exists(classic)) Some(classic)
+            else if (GFiles.exists(v2m)) Some(v2m) else None
           target.flatMap { p =>
             try {
               val r = table.spark.read.parquet(p.toString)
@@ -1805,7 +1780,7 @@ object DeltaLogBridge {
           }
         }
         val withV2 =
-          if (Files.exists(logDir.resolve(v2ManifestName(table.dir, v))))
+          if (GFiles.exists(logDir.resolve(v2ManifestName(table.dir, v))))
             mergeNeed(base, V2CheckpointNeed)
           else base
         stored.map(mergeNeed(_, withV2)).getOrElse(withV2)
@@ -1826,29 +1801,24 @@ object DeltaLogBridge {
     * old JSON below it is dead weight, and the marker comes off.
     */
   def mirrorCatchUp(table: CommitLogTable): Long = {
-    val logDir = Paths.get(table.dir, "_delta_log")
+    val logDir = GPath(table.dir, "_delta_log")
     val head = table.latestVersion
 
     def break(reason: String): Long = {
-      Files.createDirectories(logDir)
-      Files.write(logDir.resolve(BrokenMarker),
+      GFiles.createDirectories(logDir)
+      GFiles.write(logDir.resolve(BrokenMarker),
         s"mirror stopped at graft version $head: $reason\n".getBytes(UTF_8))
       -1L
     }
 
-    val jsonVs: Seq[Long] = {
-      if (!Files.isDirectory(logDir)) Seq.empty
-      else {
-        val s = Files.list(logDir)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.length == 25 && n.endsWith(".json") &&
-            n.dropRight(5).forall(_.isDigit))
-          .map(_.dropRight(5).toLong).toVector.sorted
-        finally s.close()
-      }
-    }
+    val jsonVs: Seq[Long] =
+      if (!GFiles.isDirectory(logDir)) Seq.empty
+      else GFiles.list(logDir).map(_.fileName)
+        .filter(n => n.length == 25 && n.endsWith(".json") &&
+          n.dropRight(5).forall(_.isDigit))
+        .map(_.dropRight(5).toLong).sorted
 
-    if (Files.exists(logDir.resolve(BrokenMarker))) {
+    if (GFiles.exists(logDir.resolve(BrokenMarker))) {
       // auto-reseed at the current head: every snapshot is expressible
       // now that marks write as deletion vectors — only a mid-chain
       // in-place mutation (detected per-commit below) breaks, and a
@@ -1859,7 +1829,7 @@ object DeltaLogBridge {
       // of it — stay broken rather than cure into corruption.
       if (jsonVs.exists(_ > head)) return -1L
       seed(table, logDir, head)
-      Files.deleteIfExists(logDir.resolve(BrokenMarker))
+      GFiles.deleteIfExists(logDir.resolve(BrokenMarker))
       return head
     }
 
@@ -1883,12 +1853,8 @@ object DeltaLogBridge {
     // and let the reseed cure take over once head passes every stale
     // json (a fresh checkpoint at head expresses the true state, and
     // jsons BELOW a checkpoint never replay on top of it).
-    val selfMarked = {
-      val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString).exists(n =>
-        n.startsWith("_graft_seed.") || n == AlignedMarker)
-      finally s.close()
-    }
+    val selfMarked = GFiles.list(logDir).map(_.fileName).exists(n =>
+      n.startsWith("_graft_seed.") || n == AlignedMarker)
     if (!selfMarked)
       return break("the _delta_log was written by neither this mirror " +
         "nor a head-version adoption — refusing to append to a log " +
@@ -1993,8 +1959,21 @@ object DeltaLogBridge {
       // empty commit — Delta versions must stay contiguous with graft's.
       // Claims route through the table's SESSION-SELECTED coordinator,
       // so a lease-configured (object-store) table mirrors safely too.
-      table.coordinator.tryClaim(logDir, deltaName(v),
-        sb.toString.getBytes(UTF_8))
+      val payload = sb.toString.getBytes(UTF_8)
+      if (!table.coordinator.tryClaim(logDir, deltaName(v), payload)) {
+        // a lost claim is routine for a crash-redo racer — the emission
+        // is deterministic, so a fellow mirror wrote these exact bytes.
+        // DIFFERENT bytes mean a foreign Delta writer committed this
+        // version number while graft committed it too: the histories
+        // forked, and appending past the fork would corrupt both —
+        // break loudly (reconcile pulls foreign commits BEFORE a graft
+        // commit precisely so this cannot happen in the pull-sync flow)
+        val existing = GFiles.readAllBytes(logDir.resolve(deltaName(v)))
+        if (!java.util.Arrays.equals(existing, payload))
+          return break(s"Delta version $v was also committed by a " +
+            "foreign writer with different content — the graft log and " +
+            "the _delta_log forked at this version; restore one side")
+      }
       // periodic CHECKPOINT cadence, Delta's delta.checkpointInterval
       // (default 10): without it an external reader replays every json
       // since the last seed — at 100 TB commit rates that chain is the
@@ -2016,6 +1995,172 @@ object DeltaLogBridge {
     head
   }
 
+  /** Checkpointed STREAMING read of a foreign Delta table's change
+    * feed — [[readChanges]] as a micro-batch source with Delta commit
+    * versions for offsets, no adoption required (the reference's
+    * CDF-driven Silver consumes exactly this way,
+    * `docs/databricks_setup.md:170-198`). Sugar over
+    * `spark.readStream.format("delta-cdf")`
+    * ([[graft.sources.DeltaCdfDataSource]]).
+    */
+  def readChangesStream(spark: SparkSession, dir: String,
+      startingVersion: Option[Long] = None,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("delta-cdf").option("path", dir)
+    startingVersion.foreach(v => r = r.option("startingVersion", v))
+    maxVersionsPerTrigger.foreach(n =>
+      r = r.option("maxVersionsPerTrigger", n))
+    r.load()
+  }
+
+  // --------------------------------------------- foreign-commit pull-sync
+
+  /** Two-engine coexistence on one `_delta_log`: replay FOREIGN Delta
+    * commits (an external writer — the reference's still-running
+    * Databricks Silver MERGE job, `docs/databricks_setup.md:352-373` —
+    * committing mid-cutover) into this table's commit log, one graft
+    * manifest per Delta version, then let the mirror continue 1:1 at
+    * the new head. Invoked automatically before every graft commit on
+    * mirror-enabled tables (one O(1) existence probe on the quiet
+    * path), and callable directly.
+    *
+    * Per foreign version v (graft head + 1 … Delta head):
+    *   - the file DIFF comes from the Delta snapshot at v vs the graft
+    *     manifest at v-1 (aligned by induction): added files footer-
+    *     probe into manifest entries (O(diff) — ONE distributed job per
+    *     version over just its adds), removed paths drop, files whose
+    *     deletion-vector state moved re-enter as adopted merge-on-read
+    *     state ([[CommitLogTable.LogFile.adoptedDv]]);
+    *   - CHANGE IMAGES come from [[readChanges]] over exactly v — cdc
+    *     parquet when the foreign writer emitted it, derived insert /
+    *     whole-file-delete images otherwise, and the underivable cases
+    *     (an image-less COW rewrite, a DV swap without cdc) REFUSE BY
+    *     NAME rather than silently serving an empty feed;
+    *   - metadata (schema evolution, constraints, TBLPROPERTIES,
+    *     generated/identity specs) imports through the same
+    *     [[adoptionSchema]]/[[adoptionMetadata]] path adoption uses,
+    *     with graft-internal properties carried forward when the
+    *     foreign configuration still holds them.
+    *
+    * Refusals are loud and name the untranslatable action; nothing is
+    * applied for the refused version (the graft log stops at v-1 and
+    * the mirror keeps refusing to fork). Racing reconcilers converge:
+    * the translation is deterministic and version-claimed, so a lost
+    * publish race verifies the winner reconciled the same version.
+    * Returns the graft head after the pull.
+    */
+  def reconcile(table: CommitLogTable): Long = {
+    val spark = table.spark
+    val dir = table.dir
+    val logDir = GPath(dir, "_delta_log")
+    var head = table.latestVersion
+    if (!GFiles.isDirectory(logDir)) return head
+    val names = GFiles.list(logDir).map(_.fileName)
+    val jsonVs = names
+      .filter(n => n.length == 25 && n.endsWith(".json") &&
+        n.dropRight(5).forall(_.isDigit))
+      .map(_.dropRight(5).toLong).sorted
+    if (jsonVs.isEmpty || jsonVs.max <= head) return head
+    // only a log this table provably shares history with may pull:
+    // the mirror seeded it, or a head-version adoption aligned it
+    require(names.exists(n =>
+        n.startsWith("_graft_seed.") || n == AlignedMarker),
+      s"reconcile: the _delta_log at $dir was written by neither this " +
+        "table's mirror nor a head-version adoption — refusing to pull " +
+        "commits from a log whose history this table cannot vouch for")
+    val deltaHead = jsonVs.max
+    val gap = ((head + 1) to deltaHead).filterNot(jsonVs.toSet)
+    require(gap.isEmpty,
+      s"reconcile: the _delta_log at $dir is missing version(s) " +
+        s"${gap.min}..${gap.max} between the graft head and its own — " +
+        "cannot replay across the hole")
+    ((head + 1) to deltaHead).foreach { v =>
+      reconcileOne(table, logDir, v)
+      head = v
+    }
+    head
+  }
+
+  private def reconcileOne(table: CommitLogTable, logDir: GPath,
+      v: Long): Unit = {
+    val spark = table.spark
+    val dir = table.dir
+    val prevM = table.resolvedManifest(Some(v - 1))
+    val dsnap = snapshot(spark, dir, Some(v))
+    val (schema, mapping) = adoptionSchema(dsnap)
+    require(dsnap.partitionCols == prevM.partitionCols,
+      s"reconcile: foreign commit $v repartitioned the table " +
+        s"(${prevM.partitionCols.mkString(",")} -> " +
+        s"${dsnap.partitionCols.mkString(",")}) — untranslatable")
+    // physical identities are immutable on both planes: a surviving
+    // logical column must keep its physical name across the pull
+    prevM.columnMapping.foreach { case (lc, pc) =>
+      if (schema.fieldNames.contains(lc))
+        require(mapping.get(lc).contains(pc),
+          s"reconcile: foreign commit $v moved column '$lc' to physical " +
+            s"'${mapping.getOrElse(lc, lc)}' (was '$pc') — physical " +
+            "names are immutable; untranslatable")
+    }
+    CommitLogTable.requireFieldIdAlignment(spark, dir, dsnap, "reconcile")
+    val liveByPath = dsnap.live.map(f => f._1 -> f).toMap
+    require(liveByPath.size == dsnap.live.size,
+      s"reconcile: Delta version $v holds multiple live DV states for " +
+        "one path — untranslatable")
+    val prevByPath = prevM.files.map(f => f.path -> f).toMap
+    val addedPaths = liveByPath.keySet -- prevByPath.keySet
+    // CHANGE IMAGES first: the underivable cases must refuse BEFORE any
+    // state is built (readChanges is the shared judge of derivability)
+    val images = readChanges(spark, dir, v, v)
+    val counts = images.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hasImages = counts.values.sum > 0
+    // continuing files: keep the graft entry VERBATIM (stats, blooms,
+    // marks) unless the foreign commit moved its DV state
+    val kept = prevM.files.flatMap { f =>
+      liveByPath.get(f.path).map { case (_, _, liveDv) =>
+        val prevEmitted: Option[String] =
+          if (f.adoptedDv.isDefined && f.pendingDelete.isEmpty)
+            Some(DeletionVectors.decodeDescriptor(f.adoptedDv.get).uniqueId)
+          else if (dvMarked(f))
+            Some(dvDescriptorFor(table, prevM, f).uniqueId)
+          else None
+        (liveDv.map(_.uniqueId), prevEmitted) match {
+          case (l, p) if l == p => f
+          case (Some(_), _) =>
+            // the foreign writer swapped/added this file's DV (a Delta
+            // merge-on-read delete on top of our emitted state): the new
+            // descriptor is the FULL deleted set — adopt it, superseding
+            // any graft-local mark it already covers
+            val d = liveDv.get
+            try { DeletionVectors.resolveData(dir, d); () }
+            catch { case e: Exception => throw new IllegalArgumentException(
+              s"reconcile: foreign commit $v put an unresolvable " +
+                s"deletion vector on '${f.path}': ${e.getMessage}", e) }
+            f.copy(adoptedDv = Some(DeletionVectors.encodeDescriptor(d)),
+              pendingDelete = None)
+          case (None, Some(_)) => throw new IllegalArgumentException(
+            s"reconcile: foreign commit $v dropped the deletion-vector " +
+              s"state of '${f.path}' without rewriting the file — " +
+              "untranslatable (a Delta writer never un-deletes in place)")
+        }
+      }
+    }
+    val added = CommitLogTable.deltaLogFiles(spark, dir, dsnap, schema,
+      mapping, onlyPaths = Some(addedPaths), what = "reconcile")
+    // metadata travels like adoption; graft-internal properties the
+    // foreign configuration dropped (it shouldn't — writers preserve
+    // configuration) carry forward so the mirror stays enabled
+    val (constraints, adoptedProps) = adoptionMetadata(dsnap)
+    val props = prevM.properties.filter(_._1.startsWith("graft."))
+      .filterNot { case (k, _) => adoptedProps.contains(k) } ++ adoptedProps
+    table.reconcilePublish(v, kept ++ added, schema, mapping,
+      dsnap.partitionCols, constraints, props,
+      changes = if (hasImages) Some(images.drop("_commit_version")) else None,
+      counters = (counts.getOrElse("insert", 0L),
+        counts.getOrElse("update_postimage", 0L),
+        counts.getOrElse("delete", 0L)))
+  }
+
   /** Write ONE classic checkpoint PINNED at `version` (that version's
     * protocol/metaData/adds as parquet action rows) plus
     * `_last_checkpoint` — written LAST: it is the seed's commit point
@@ -2027,8 +2172,8 @@ object DeltaLogBridge {
   def exportCheckpoint(table: CommitLogTable, version: Long): Unit = {
     val spark = table.spark
     val snap = table.resolvedManifest(Some(version))
-    val logDir = Paths.get(table.dir, "_delta_log")
-    Files.createDirectories(logDir)
+    val logDir = GPath(table.dir, "_delta_log")
+    GFiles.createDirectories(logDir)
     import spark.implicits._
     // a column-mapped snapshot seeds a reader-v2 NAME-mode checkpoint:
     // mapped schemaString, mode configuration, physical pv keys
@@ -2060,14 +2205,12 @@ object DeltaLogBridge {
     // would replay a later DV commit with no upgrade in sight
     val declared = {
       val jsonVs = {
-        if (!Files.isDirectory(logDir)) Seq.empty[Long]
+        if (!GFiles.isDirectory(logDir)) Seq.empty[Long]
         else {
-          val s = Files.list(logDir)
-          try s.iterator().asScala.map(_.getFileName.toString)
+          GFiles.list(logDir).map(_.fileName)
             .filter(n => n.length == 25 && n.endsWith(".json") &&
               n.dropRight(5).forall(_.isDigit))
-            .map(_.dropRight(5).toLong).toVector.sorted
-          finally s.close()
+            .map(_.dropRight(5).toLong).sorted
         }
       }
       if (jsonVs.isEmpty) None
@@ -2120,28 +2263,24 @@ object DeltaLogBridge {
         "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
         "IF(metaData.id IS NULL, NULL, metaData) AS metaData",
         "IF(add.path IS NULL, NULL, add) AS add")
-    def writeOne(frame: DataFrame, sub: String): Path = {
-      val tmp = Files.createTempDirectory("graft-delta-ckpt").toString
+    def writeOne(frame: DataFrame, sub: String): GPath = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-delta-ckpt").toString
       frame.coalesce(1).write.parquet(s"$tmp/$sub")
-      val s = Files.list(Paths.get(tmp, sub))
-      try s.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      finally s.close()
+      GFiles.list(GPath(tmp, sub))
+        .find(_.fileName.endsWith(".parquet")).get
     }
     // atomic moves: a racing seed redo must never expose a half-copied
     // checkpoint to a reader that already followed _last_checkpoint
-    def atomically(target: Path, write: Path => Unit): Unit = {
+    def atomically(target: GPath, write: GPath => Unit): Unit = {
       val t = target.getParent.resolve(
         s".tmp-${java.util.UUID.randomUUID()}")
       write(t)
-      try Files.move(t, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally Files.deleteIfExists(t)
+      try GFiles.moveReplace(t, target)
+      finally GFiles.deleteIfExists(t)
     }
-    def copyTo(target: Path, part: Path): Unit =
-      atomically(target, t => Files.copy(part, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    def copyTo(target: GPath, part: GPath): Unit =
+      atomically(target, t => GFiles.copyReplace(part, t))
     if (!v2) {
       copyTo(logDir.resolve(f"$version%020d.checkpoint.parquet"),
         writeOne(df, "ck"))
@@ -2149,11 +2288,11 @@ object DeltaLogBridge {
       // sidecar first (the adds), manifest second, hint LAST — each
       // earlier artifact is invisible until the later ones land
       val uuid = v2CheckpointUuid(table.dir, version)
-      Files.createDirectories(logDir.resolve("_sidecars"))
+      GFiles.createDirectories(logDir.resolve("_sidecars"))
       val sidecarTarget = logDir.resolve(s"_sidecars/$uuid.parquet")
       copyTo(sidecarTarget, writeOne(df.where("add IS NOT NULL")
         .select("add"), "sc"))
-      val scSize = Files.size(sidecarTarget)
+      val scSize = GFiles.size(sidecarTarget)
       // the spec requires EXACTLY ONE checkpointMetadata action in a V2
       // checkpoint (carrying its version) — delta-spark's checkpoint
       // provider keys on it to recognize and validate the format
@@ -2179,7 +2318,7 @@ object DeltaLogBridge {
         writeOne(mdf, "mf"))
     }
     atomically(logDir.resolve("_last_checkpoint"),
-      t => { Files.write(t,
+      t => { GFiles.write(t,
         s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8)); () })
   }
 }

@@ -1,0 +1,535 @@
+package graft.tables
+
+import java.io.IOException
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Storage-seam path: an immutable, scheme-aware path string.
+  *
+  * The commit-log table format keeps ALL metadata (manifests, change
+  * files, deletion vectors, the mirrored `_delta_log`) as small files
+  * next to the data. Until round 15 that IO was `java.nio.file` —
+  * correct on POSIX, undeployable on `hdfs://`/`s3a://`/`abfss://`,
+  * where a 100 TB lake actually lives (the reference's Bronze tables
+  * are S3 locations — `ingest_fmp_prices.py:337-383`,
+  * `docs/databricks_setup.md:75-100`). [[GPath]] + [[Store]] are the
+  * seam: a path is just a string, and every IO call dispatches on its
+  * scheme — bare paths keep the exact `java.nio` fast path
+  * ([[LocalStore]], byte-identical behavior and syscalls to the old
+  * code), any URI scheme routes through the Hadoop `FileSystem` API
+  * ([[HadoopStore]]), which is how Spark itself reaches every cluster
+  * filesystem. `file:` URIs deliberately take the Hadoop path so the
+  * bundled `LocalFileSystem` serves as the in-sandbox test double for
+  * an HDFS-style store.
+  *
+  * A GPath never touches the filesystem: it is string algebra only
+  * (join / parent / name / relativize), so it is cheap, serializable,
+  * and safe to embed in Spark closures.
+  */
+final class GPath private (val raw: String)
+    extends Serializable with Ordered[GPath] {
+
+  /** URI scheme of this path, empty for a bare local path. */
+  def scheme: String = GPath.schemeOf(raw)
+
+  def resolve(child: String): GPath = {
+    require(child.nonEmpty && !child.startsWith("/"),
+      s"resolve expects a relative child, got '$child'")
+    new GPath(if (raw.endsWith("/")) raw + child else raw + "/" + child)
+  }
+
+  /** Last path segment (the file or directory name). */
+  def fileName: String = {
+    val r = if (raw.endsWith("/")) raw.dropRight(1) else raw
+    r.substring(r.lastIndexOf('/') + 1)
+  }
+
+  /** nio-shaped alias so `p.getFileName.toString` reads unchanged. */
+  def getFileName: GPath = new GPath(fileName)
+
+  def getParent: GPath = {
+    val r = if (raw.endsWith("/")) raw.dropRight(1) else raw
+    val i = r.lastIndexOf('/')
+    require(i > 0, s"no parent for '$raw'")
+    new GPath(r.substring(0, i))
+  }
+
+  /** Relative path of `p` under this path (both from the same string
+    * algebra — our own list/walk results, never user input).
+    */
+  def relativize(p: GPath): String = {
+    val base = if (raw.endsWith("/")) raw else raw + "/"
+    require(p.raw.startsWith(base),
+      s"'${p.raw}' is not under '$raw'")
+    p.raw.substring(base.length)
+  }
+
+  def startsWith(other: GPath): Boolean =
+    raw == other.raw || raw.startsWith(
+      if (other.raw.endsWith("/")) other.raw else other.raw + "/")
+
+  /** Local bare paths resolve against the process CWD and normalize;
+    * scheme-ful URIs are already absolute.
+    */
+  def toAbsoluteNormalized: GPath =
+    if (scheme.isEmpty)
+      new GPath(Paths.get(raw).toAbsolutePath.normalize.toString)
+    else this
+
+  /** Hadoop-API form — also valid for bare local paths (default FS). */
+  def toHadoop: HPath = new HPath(raw)
+
+  override def toString: String = raw
+  override def equals(o: Any): Boolean = o match {
+    case g: GPath => g.raw == raw
+    case _ => false
+  }
+  override def hashCode: Int = raw.hashCode
+  override def compare(that: GPath): Int = raw.compareTo(that.raw)
+}
+
+object GPath {
+
+  /** Join parts with '/'; normalizes doubled separators in the
+    * non-scheme tail so string-equality on paths is reliable.
+    */
+  def apply(parts: String*): GPath = {
+    require(parts.nonEmpty && parts.head.nonEmpty, "empty path")
+    val joined = parts.mkString("/")
+    new GPath(normalize(joined))
+  }
+
+  private[tables] def normalize(s: String): String = {
+    val sch = schemeOf(s)
+    if (sch.isEmpty) collapse(s)
+    else {
+      // keep "scheme://authority" intact, collapse only the path tail
+      val afterScheme = s.substring(sch.length + 1)
+      val (prefix, tail) =
+        if (afterScheme.startsWith("//")) {
+          val slash = afterScheme.indexOf('/', 2)
+          if (slash < 0) (s, "") else
+            (s.substring(0, sch.length + 1 + slash), afterScheme.substring(slash))
+        } else (sch + ":", afterScheme)
+      prefix + collapse(tail)
+    }
+  }
+
+  private def collapse(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '/' || b.length() == 0 || b.charAt(b.length() - 1) != '/')
+        b.append(c)
+      i += 1
+    }
+    val out = b.toString
+    if (out.length > 1 && out.endsWith("/")) out.dropRight(1) else out
+  }
+
+  /** Scheme of a path string, "" when it is a bare filesystem path. A
+    * scheme must be at least two chars (rules out Windows drives) and
+    * be followed by '/'.
+    */
+  def schemeOf(s: String): String = {
+    var i = 0
+    while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+        s.charAt(i) == '+' || s.charAt(i) == '.' || s.charAt(i) == '-')) i += 1
+    if (i >= 2 && i < s.length - 1 && s.charAt(i) == ':' &&
+        s.charAt(i + 1) == '/' && s.charAt(0).isLetter)
+      s.substring(0, i)
+    else ""
+  }
+
+  /** Is `s` absolute in either sense — a rooted local path or a URI? */
+  def isAbsolute(s: String): Boolean =
+    s.startsWith("/") || schemeOf(s).nonEmpty
+}
+
+/** One storage binding: the closed set of filesystem operations the
+  * commit-log metadata plane needs. Implementations must make
+  * [[Store.claim]] an atomic create-if-absent — the single primitive
+  * the optimistic commit protocol rests on — or throw a descriptive
+  * error so the caller can select the [[LeaseCoordinator]] instead.
+  */
+sealed trait Store {
+  def exists(p: GPath): Boolean
+  def isDirectory(p: GPath): Boolean
+  def isRegularFile(p: GPath): Boolean
+  def size(p: GPath): Long
+  def lastModifiedMillis(p: GPath): Long
+  def readAllBytes(p: GPath): Array[Byte]
+  /** Ranged read of `len` bytes at `at` (deletion-vector framing). */
+  def readRange(p: GPath, at: Long, len: Int): Array[Byte]
+  def write(p: GPath, bytes: Array[Byte], sync: Boolean): Unit
+  def createDirectories(p: GPath): Unit
+  /** Immediate children (files and dirs), unordered. */
+  def list(p: GPath): Seq[GPath]
+  /** All regular files under `p`, recursively, unordered. */
+  def walkFiles(p: GPath): Seq[GPath]
+  /** Every path under `p` — files AND directories, `p` included. */
+  def walkAll(p: GPath): Seq[GPath]
+  def deleteIfExists(p: GPath): Boolean
+  def deleteRecursively(p: GPath): Unit
+  /** Move, replacing any existing destination (atomic where the store
+    * offers it; the call sites that use this tolerate a non-atomic
+    * replace — hint files, idempotent re-writes of identical content).
+    */
+  def moveReplace(src: GPath, dst: GPath): Unit
+  /** Move that fails with [[FileAlreadyExistsException]] when the
+    * destination exists.
+    */
+  def moveNoReplace(src: GPath, dst: GPath): Unit
+  def copyReplace(src: GPath, dst: GPath): Unit
+  /** Atomic create-if-absent of `target` with `payload` fully durable
+    * before it becomes visible. Returns true iff this caller won; for
+    * any target at most one claimant across all processes sees true.
+    */
+  def claim(target: GPath, payload: Array[Byte]): Boolean
+}
+
+/** `java.nio` binding for bare local paths — the exact pre-seam
+  * behavior: hard-link publish (atomic create-if-absent on POSIX),
+  * fsync'd manifests, ATOMIC_MOVE renames.
+  */
+object LocalStore extends Store {
+  private def nio(p: GPath) = Paths.get(p.raw)
+
+  override def exists(p: GPath): Boolean = Files.exists(nio(p))
+  override def isDirectory(p: GPath): Boolean = Files.isDirectory(nio(p))
+  override def isRegularFile(p: GPath): Boolean = Files.isRegularFile(nio(p))
+  override def size(p: GPath): Long = Files.size(nio(p))
+  override def lastModifiedMillis(p: GPath): Long =
+    Files.getLastModifiedTime(nio(p)).toMillis
+  override def readAllBytes(p: GPath): Array[Byte] =
+    Files.readAllBytes(nio(p))
+
+  override def readRange(p: GPath, at: Long, len: Int): Array[Byte] = {
+    val ch = Files.newByteChannel(nio(p))
+    try {
+      val buf = ByteBuffer.allocate(len)
+      ch.position(at)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      require(!buf.hasRemaining, s"$p truncated: wanted $len bytes at $at")
+      buf.array()
+    } finally ch.close()
+  }
+
+  override def write(p: GPath, bytes: Array[Byte], sync: Boolean): Unit =
+    if (sync)
+      Files.write(nio(p), bytes, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.SYNC)
+    else Files.write(nio(p), bytes)
+
+  override def createDirectories(p: GPath): Unit =
+    Files.createDirectories(nio(p))
+
+  override def list(p: GPath): Seq[GPath] = {
+    val s = Files.list(nio(p))
+    try s.iterator().asScala.map(c => GPath(c.toString)).toVector
+    finally s.close()
+  }
+
+  override def walkFiles(p: GPath): Seq[GPath] = {
+    val s = Files.walk(nio(p))
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(c => GPath(c.toString)).toVector
+    finally s.close()
+  }
+
+  override def walkAll(p: GPath): Seq[GPath] = {
+    val s = Files.walk(nio(p))
+    try s.iterator().asScala.map(c => GPath(c.toString)).toVector
+    finally s.close()
+  }
+
+  override def deleteIfExists(p: GPath): Boolean =
+    Files.deleteIfExists(nio(p))
+
+  override def deleteRecursively(p: GPath): Unit =
+    if (Files.exists(nio(p))) {
+      val s = Files.walk(nio(p))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+
+  override def moveReplace(src: GPath, dst: GPath): Unit =
+    try Files.move(nio(src), nio(dst), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(nio(src), nio(dst), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  override def moveNoReplace(src: GPath, dst: GPath): Unit =
+    Files.move(nio(src), nio(dst))
+
+  override def copyReplace(src: GPath, dst: GPath): Unit =
+    Files.copy(nio(src), nio(dst), StandardCopyOption.REPLACE_EXISTING)
+
+  override def claim(target: GPath, payload: Array[Byte]): Boolean = {
+    val dir = nio(target.getParent)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    // SYNC: the bytes must be durable BEFORE the link makes the name
+    // visible — otherwise power loss after the link leaves a torn
+    // manifest that bricks every subsequent read
+    Files.write(tmp, payload, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.SYNC)
+    val won =
+      try { Files.createLink(nio(target), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    // best-effort directory-entry durability for the link itself
+    if (won) {
+      try {
+        val ch = java.nio.channels.FileChannel.open(dir,
+          StandardOpenOption.READ)
+        try ch.force(true) finally ch.close()
+      } catch { case _: Exception => () }
+    }
+    won
+  }
+}
+
+/** Hadoop `FileSystem` binding for scheme-ful roots. One class serves
+  * every cluster filesystem Spark can reach — `hdfs://`, `file:`,
+  * `s3a://`, `abfss://`, `gs://` — because `Path.getFileSystem`
+  * resolves the scheme against the session's Hadoop configuration
+  * (and `FileSystem` caches instances per scheme+authority).
+  *
+  * [[claim]] follows the published Delta `HDFSLogStore` design: write
+  * a temp file fully, `hsync` it, then `FileContext.rename(…,
+  * Options.Rename.NONE)` — atomic on HDFS (a NameNode metadata op that
+  * fails if the destination exists) and exists-checked on `file:`.
+  * Schemes whose rename is a non-atomic copy (S3 and friends) REFUSE
+  * the claim with a pointer to `spark.graft.commit.coordinator=lease`,
+  * exactly the split Delta makes between `HDFSLogStore` and its S3
+  * commit coordinators.
+  */
+object HadoopStore extends Store {
+
+  /** Rename on these schemes is server-side copy + delete — never an
+    * atomic create-if-absent. (ADLS gen2 `abfss` IS a hierarchical FS
+    * with atomic rename, so it is absent from this list.)
+    */
+  private val NonAtomicRename = Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fs(p: GPath): FileSystem = p.toHadoop.getFileSystem(conf)
+
+  override def exists(p: GPath): Boolean = fs(p).exists(p.toHadoop)
+  override def isDirectory(p: GPath): Boolean =
+    try fs(p).getFileStatus(p.toHadoop).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  override def isRegularFile(p: GPath): Boolean =
+    try fs(p).getFileStatus(p.toHadoop).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+  override def size(p: GPath): Long = fs(p).getFileStatus(p.toHadoop).getLen
+  override def lastModifiedMillis(p: GPath): Long =
+    fs(p).getFileStatus(p.toHadoop).getModificationTime
+
+  override def readAllBytes(p: GPath): Array[Byte] = {
+    val f = fs(p)
+    val len = f.getFileStatus(p.toHadoop).getLen
+    require(len <= Int.MaxValue, s"$p too large to read fully ($len bytes)")
+    val in = f.open(p.toHadoop)
+    try {
+      val out = new Array[Byte](len.toInt)
+      in.readFully(0L, out)
+      out
+    } finally in.close()
+  }
+
+  override def readRange(p: GPath, at: Long, len: Int): Array[Byte] = {
+    val in = fs(p).open(p.toHadoop)
+    try {
+      val out = new Array[Byte](len)
+      in.readFully(at, out)
+      out
+    } finally in.close()
+  }
+
+  override def write(p: GPath, bytes: Array[Byte], sync: Boolean): Unit = {
+    val out = fs(p).create(p.toHadoop, true)
+    try {
+      out.write(bytes)
+      if (sync) {
+        // LocalFileSystem's checksummed stream may not support hsync;
+        // durability there is best-effort, as it is for nio SYNC on tmpfs
+        try out.hsync()
+        catch { case _: UnsupportedOperationException => out.hflush() }
+      }
+    } finally out.close()
+  }
+
+  override def createDirectories(p: GPath): Unit = {
+    if (!fs(p).mkdirs(p.toHadoop))
+      if (!isDirectory(p))
+        throw new IOException(s"mkdirs failed for $p")
+  }
+
+  /** Children as `p.resolve(name)` — NOT the FileSystem's own qualified
+    * URIs, whose rendering (`file:/` vs `file:///`) need not match the
+    * caller's root string; deriving every result from the queried path
+    * keeps relativize/startsWith string algebra exact.
+    */
+  override def list(p: GPath): Seq[GPath] =
+    fs(p).listStatus(p.toHadoop).toSeq
+      .map(st => p.resolve(st.getPath.getName))
+
+  override def walkFiles(p: GPath): Seq[GPath] = {
+    val f = fs(p)
+    def go(cur: GPath): Seq[GPath] =
+      f.listStatus(cur.toHadoop).toSeq.flatMap { st =>
+        val child = cur.resolve(st.getPath.getName)
+        if (st.isDirectory) go(child) else Seq(child)
+      }
+    try {
+      if (f.getFileStatus(p.toHadoop).isFile) Seq(p) else go(p)
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  override def walkAll(p: GPath): Seq[GPath] = {
+    val f = fs(p)
+    def go(cur: GPath): Seq[GPath] =
+      cur +: f.listStatus(cur.toHadoop).toSeq.flatMap { st =>
+        val child = cur.resolve(st.getPath.getName)
+        if (st.isDirectory) go(child) else Seq(child)
+      }
+    try {
+      if (f.getFileStatus(p.toHadoop).isFile) Seq(p) else go(p)
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  override def deleteIfExists(p: GPath): Boolean =
+    try fs(p).delete(p.toHadoop, false)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  override def deleteRecursively(p: GPath): Unit = {
+    fs(p).delete(p.toHadoop, true); ()
+  }
+
+  override def moveReplace(src: GPath, dst: GPath): Unit = {
+    val f = fs(dst)
+    if (!f.rename(src.toHadoop, dst.toHadoop)) {
+      f.delete(dst.toHadoop, false)
+      if (!f.rename(src.toHadoop, dst.toHadoop))
+        throw new IOException(s"rename $src -> $dst failed")
+    }
+  }
+
+  override def moveNoReplace(src: GPath, dst: GPath): Unit = {
+    val f = fs(dst)
+    if (f.exists(dst.toHadoop))
+      throw new FileAlreadyExistsException(dst.raw)
+    if (!f.rename(src.toHadoop, dst.toHadoop)) {
+      if (f.exists(dst.toHadoop))
+        throw new FileAlreadyExistsException(dst.raw)
+      if (!f.exists(src.toHadoop))
+        throw new java.nio.file.NoSuchFileException(src.raw)
+      throw new IOException(s"rename $src -> $dst failed")
+    }
+  }
+
+  override def copyReplace(src: GPath, dst: GPath): Unit =
+    write(dst, readAllBytes(src), sync = false)
+
+  override def claim(target: GPath, payload: Array[Byte]): Boolean = {
+    val scheme = target.scheme
+    if (NonAtomicRename.contains(scheme))
+      throw new IllegalStateException(
+        s"atomic-create commits are unsupported on '$scheme://' (rename is " +
+          "a non-atomic copy there); set " +
+          "spark.graft.commit.coordinator=lease for this table's session")
+    val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
+    // the whole claim rides ONE FileContext (write, durability, rename):
+    // mixing the checksummed FileSystem write with a raw FileContext
+    // rename would strand `.crc` sidecars on `file:` and split the two
+    // halves across APIs with different semantics
+    val fc = FileContext.getFileContext(target.toHadoop.toUri, conf)
+    val out = fc.create(tmp.toHadoop,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try {
+      out.write(payload)
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
+    try {
+      try {
+        fc.rename(tmp.toHadoop, target.toHadoop, Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: FileAlreadyExistsException => false
+        case _: IOException if exists(target) =>
+          // HDFS signals an existing destination as a plain
+          // IOException from some code paths; the claim definitively
+          // lost because the destination is materialized
+          false
+      }
+    } finally {
+      try fc.delete(tmp.toHadoop, false)
+      catch { case _: IOException => () }
+    }
+  }
+}
+
+object Store {
+  /** Scheme-dispatched binding: bare paths keep the nio fast path,
+    * any URI (including `file:`) goes through Hadoop.
+    */
+  def of(p: GPath): Store =
+    if (p.scheme.isEmpty) LocalStore else HadoopStore
+}
+
+/** Drop-in façade with `java.nio.file.Files`-shaped names, dispatching
+  * each call on the path's scheme. The table format's metadata plane
+  * calls ONLY this (and [[GPath]]) for file IO.
+  */
+object GFiles {
+  def exists(p: GPath): Boolean = Store.of(p).exists(p)
+  def isDirectory(p: GPath): Boolean = Store.of(p).isDirectory(p)
+  def isRegularFile(p: GPath): Boolean = Store.of(p).isRegularFile(p)
+  def size(p: GPath): Long = Store.of(p).size(p)
+  def lastModifiedMillis(p: GPath): Long = Store.of(p).lastModifiedMillis(p)
+  def readAllBytes(p: GPath): Array[Byte] = Store.of(p).readAllBytes(p)
+  def readString(p: GPath): String = new String(readAllBytes(p), UTF_8)
+  def readRange(p: GPath, at: Long, len: Int): Array[Byte] =
+    Store.of(p).readRange(p, at, len)
+  def write(p: GPath, bytes: Array[Byte]): Unit =
+    Store.of(p).write(p, bytes, sync = false)
+  def writeSync(p: GPath, bytes: Array[Byte]): Unit =
+    Store.of(p).write(p, bytes, sync = true)
+  def writeString(p: GPath, s: String): Unit = write(p, s.getBytes(UTF_8))
+  def createDirectories(p: GPath): Unit = Store.of(p).createDirectories(p)
+  def list(p: GPath): Seq[GPath] = Store.of(p).list(p)
+  def walkFiles(p: GPath): Seq[GPath] = Store.of(p).walkFiles(p)
+  def walkAll(p: GPath): Seq[GPath] = Store.of(p).walkAll(p)
+  def deleteIfExists(p: GPath): Boolean = Store.of(p).deleteIfExists(p)
+  def deleteRecursively(p: GPath): Unit = Store.of(p).deleteRecursively(p)
+  def moveReplace(src: GPath, dst: GPath): Unit =
+    Store.of(dst).moveReplace(src, dst)
+  def moveNoReplace(src: GPath, dst: GPath): Unit =
+    Store.of(dst).moveNoReplace(src, dst)
+  def copyReplace(src: GPath, dst: GPath): Unit =
+    Store.of(dst).copyReplace(src, dst)
+  def claim(target: GPath, payload: Array[Byte]): Boolean =
+    Store.of(target).claim(target, payload)
+}

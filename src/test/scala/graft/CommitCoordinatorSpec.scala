@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.tables.{AtomicCreateCoordinator, CommitCoordinator, CommitLogTable, LeaseCoordinator}
+import graft.tables.{AtomicCreateCoordinator, CommitCoordinator, CommitLogTable, GPath, LeaseCoordinator}
 
 /** Publish arbitration ([[graft.tables.CommitCoordinator]]): the
   * commit log needs at-most-one-winner per manifest name across
@@ -25,6 +25,9 @@ class CommitCoordinatorSpec extends AnyFunSuite {
   private def tmpDir(): String =
     Files.createTempDirectory("graft-coordinator-spec").toString
 
+  /** Seam-path form of a nio path (the spec drives both). */
+  private def g(p: Path): GPath = GPath(p.toString)
+
   /** The broken primitive: existence check, then unconditional PUT —
     * what a naive writer does on an object store without conditional
     * writes. The barrier forces every racer past the check before any
@@ -32,11 +35,12 @@ class CommitCoordinatorSpec extends AnyFunSuite {
     */
   private final class NonAtomicCoordinator(barrier: CyclicBarrier)
       extends CommitCoordinator {
-    override def tryClaim(logDir: Path, name: String,
+    override def tryClaim(logDir: GPath, name: String,
         payload: Array[Byte]): Boolean = {
-      if (Files.exists(logDir.resolve(name))) return false
+      val t = Paths.get(logDir.raw).resolve(name)
+      if (Files.exists(t)) return false
       barrier.await(20, TimeUnit.SECONDS)
-      Files.write(logDir.resolve(name), payload) // clobbers a racer's PUT
+      Files.write(t, payload) // clobbers a racer's PUT
       true
     }
   }
@@ -59,7 +63,7 @@ class CommitCoordinatorSpec extends AnyFunSuite {
     val barrier = new CyclicBarrier(2)
     val shim = new NonAtomicCoordinator(barrier)
     val wins = race(2)(i =>
-      shim.tryClaim(logDir, "v1.json", s"payload-$i".getBytes))
+      shim.tryClaim(g(logDir), "v1.json", s"payload-$i".getBytes))
     assert(wins.count(identity) == 2,
       "the broken primitive must double-win — that IS the demonstrated bug")
   }
@@ -67,7 +71,7 @@ class CommitCoordinatorSpec extends AnyFunSuite {
   test("AtomicCreateCoordinator: exactly one winner among simultaneous claimants") {
     val logDir = Paths.get(tmpDir())
     val wins = race(8)(i =>
-      AtomicCreateCoordinator.tryClaim(logDir, "v1.json",
+      AtomicCreateCoordinator.tryClaim(g(logDir), "v1.json",
         s"payload-$i".getBytes))
     assert(wins.count(identity) == 1)
     // and the materialized payload is the winner's, intact
@@ -79,12 +83,12 @@ class CommitCoordinatorSpec extends AnyFunSuite {
     val logDir = Paths.get(tmpDir())
     val coord = new LeaseCoordinator(settleMillis = 150)
     val wins = race(8)(i =>
-      coord.tryClaim(logDir, "v1.json", s"payload-$i".getBytes))
+      coord.tryClaim(g(logDir), "v1.json", s"payload-$i".getBytes))
     assert(wins.count(identity) == 1)
     val got = new String(Files.readAllBytes(logDir.resolve("v1.json")))
     assert(got == s"payload-${wins.indexOf(true)}")
     // an already-materialized name refuses immediately
-    assert(!coord.tryClaim(logDir, "v1.json", "late".getBytes))
+    assert(!coord.tryClaim(g(logDir), "v1.json", "late".getBytes))
   }
 
   test("LeaseCoordinator liveness: a crashed claimant's stale entry expires, not bricks") {
@@ -96,7 +100,7 @@ class CommitCoordinatorSpec extends AnyFunSuite {
     val staleTs = System.currentTimeMillis() - 120000L
     Files.write(claims.resolve(f"$staleTs%020d-dead"), Array.emptyByteArray)
     val coord = new LeaseCoordinator(settleMillis = 20, leaseMillis = 30000)
-    assert(coord.tryClaim(logDir, "v1.json", "alive".getBytes))
+    assert(coord.tryClaim(g(logDir), "v1.json", "alive".getBytes))
   }
 
   test("end-to-end: racing appends lose an update under the broken shim, never under the coordinators") {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.tables.CommitLogTable
+import graft.tables.{CommitLogTable, GFiles, GPath}
 
 /** The transactional commit-log table format: atomic versioned commits,
   * snapshot-isolated readers, MERGE with partition-pruned copy-on-write,
@@ -44,7 +44,11 @@ class CommitLogSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  private def tmpDir(): String =
+  /** Table-root factory — [[CommitLogHadoopStoreSpec]] overrides it
+    * with a `file:` URI so THIS WHOLE SUITE re-runs through the Hadoop
+    * `FileSystem` storage binding (the HDFS-style test double).
+    */
+  protected def tmpDir(): String =
     Files.createTempDirectory("graft-commitlog-spec").toString
 
   private def rows(df: DataFrame): Set[(Long, String, Double)] =
@@ -209,14 +213,14 @@ class CommitLogSpec extends AnyFunSuite {
     assert(t.latestVersion == v, "idle compact must not grow the log")
     // a freshly-written unreferenced file (an in-flight commit's output)
     // must survive vacuum's orphan sweep until the grace window passes
-    val orphan = Paths.get(dir, "data", "c-orphan", "part-0.parquet")
-    Files.createDirectories(orphan.getParent)
-    Files.write(orphan, Array[Byte](1, 2, 3))
+    val orphan = GPath(dir, "data", "c-orphan", "part-0.parquet")
+    GFiles.createDirectories(orphan.getParent)
+    GFiles.write(orphan, Array[Byte](1, 2, 3))
     assert(t.vacuum(retainVersions = 2) == 0, "young orphan swept too early")
-    assert(Files.exists(orphan))
+    assert(GFiles.exists(orphan))
     assert(CommitLogTable.vacuumPath(dir, retainVersions = 2,
       orphanGraceMillis = 0L) == 1, "aged orphan must be swept")
-    assert(!Files.exists(orphan))
+    assert(!GFiles.exists(orphan))
   }
 
   test("clustered compact (ZORDER-style): content identical, every file sorted, file ranges disjoint") {
@@ -343,10 +347,7 @@ class CommitLogSpec extends AnyFunSuite {
     assert(total == 4L)
     // losers cleaned up after themselves: exactly one change dir per
     // committed append survives (an orphan would poison the CDF stream)
-    val changeDirs = {
-      val s = Files.list(Paths.get(dir, "_graft_log", "changes"))
-      try s.count() finally s.close()
-    }
+    val changeDirs = GFiles.list(GPath(dir, "_graft_log", "changes")).size.toLong
     assert(changeDirs == 4L, s"orphaned change dirs: $changeDirs != 4")
     assert(t.readChanges(1, 4).count() == 4L)
   }
@@ -477,10 +478,10 @@ class CommitLogSpec extends AnyFunSuite {
     val v = t.latestVersion
     // the `_latest` hint is a FLOOR: a stale value forward-probes to the
     // true head; a missing file falls back to the directory listing
-    val hint = Paths.get(dir, "_graft_log", "_latest")
-    Files.write(hint, "0".getBytes)
+    val hint = GPath(dir, "_graft_log", "_latest")
+    GFiles.write(hint, "0".getBytes)
     assert(t.latestVersion == v, "stale hint must be a floor, not the answer")
-    Files.delete(hint)
+    GFiles.deleteIfExists(hint)
     assert(t.latestVersion == v, "missing hint must fall back to listing")
     // idle append: no version published, no growth
     assert(t.append(mk(Nil)) == v)
@@ -511,23 +512,21 @@ class CommitLogSpec extends AnyFunSuite {
     val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
     t.append(mk(Seq((1L, "a", 1.0), (2L, "b", 2.0)))) // v1
     // simulate the pre-tag on-disk format: strip the stored column
-    val chRoot = Paths.get(dir, "_graft_log", "changes")
-    val sub = { val s = Files.list(chRoot); try s.iterator().next() finally s.close() }
+    val chRoot = GPath(dir, "_graft_log", "changes")
+    val sub = GFiles.list(chRoot).head
     val legacy = spark.read.parquet(sub.toString).drop("_commit_version")
     val (legacyRows, legacySchema) = (legacy.collect().toSeq, legacy.schema)
     import scala.jdk.CollectionConverters._
-    val f = Files.walk(sub)
-    try f.iterator().asScala.toVector.sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
-    finally f.close()
+    GFiles.deleteRecursively(sub)
     spark.createDataFrame(legacyRows.asJava, legacySchema).write.parquet(sub.toString)
     // a true pre-tag log also predates manifest-named change files —
     // strip the names so the listing fallback serves the rewritten dir
-    val mjson = Paths.get(dir, "_graft_log/v00000000000000000001.json")
+    val mjson = GPath(dir, "_graft_log/v00000000000000000001.json")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.readTree(new String(Files.readAllBytes(mjson)))
+    val node = om.readTree(new String(GFiles.readAllBytes(mjson)))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     node.remove("changeFiles")
-    Files.write(mjson, om.writeValueAsString(node).getBytes)
+    GFiles.write(mjson, om.writeValueAsString(node).getBytes)
     val ch = CommitLogTable.open(spark, dir).readChanges(1, 1)
     assert(ch.count() == 2 &&
       ch.select("_commit_version").as[Long].collect().toSet == Set(1L),
@@ -712,9 +711,7 @@ class CommitLogSpec extends AnyFunSuite {
     val pdf = Seq((1L, "d1", 1.0)).toDF("k", "cat", "v")
     val tp = CommitLogTable.create(spark, tmpDir(), pdf.schema, Seq("cat"))
     tp.append(pdf)
-    def dataDirs(d: String) = {
-      val s = Files.list(Paths.get(d, "data")); try s.count() finally s.close()
-    }
+    def dataDirs(d: String) = GFiles.list(GPath(d, "data")).size.toLong
     val before = dataDirs(tp.dir)
     tp.append(pdf.filter($"k" < 0)) // empty batch
     assert(tp.latestVersion == 1L && dataDirs(tp.dir) == before,
@@ -840,7 +837,7 @@ class CommitLogSpec extends AnyFunSuite {
     val cloneDir = tmpDir() + "/clone"
     val c = src.shallowCloneTo(cloneDir)
     // zero data copied: the clone has no local data dir yet
-    assert(!Files.isDirectory(Paths.get(cloneDir, "data")),
+    assert(!GFiles.isDirectory(GPath(cloneDir, "data")),
       "shallow clone copied data")
     assert(rows(c.read()) == rows(src.read()))
     assert(c.latestVersion == 0L && c.history.head().getString(1) == "clone")
@@ -988,8 +985,9 @@ class CommitLogSpec extends AnyFunSuite {
   // -------------------------------------------------- checkpointed log
 
   private def rawJson(dir: String, v: Long): String =
-    new String(Files.readAllBytes(
-      Paths.get(dir, "_graft_log", f"v$v%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+    new String(GFiles.readAllBytes(
+      GPath(dir, "_graft_log", f"v$v%020d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   test("checkpointed log: commits diff, checkpoints recur, cold reopen resolves across the boundary") {
     val dir = tmpDir()
@@ -1050,14 +1048,9 @@ class CommitLogSpec extends AnyFunSuite {
     val before = t.latestVersion
     val dropped = t.vacuumLog(retainVersions = 5)
     assert(dropped > 0)
-    val live = {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(Paths.get(dir, "_graft_log"))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.substring(1, n.length - 5).toLong).toVector.sorted
-      finally s.close()
-    }
+    val live = GFiles.list(GPath(dir, "_graft_log")).map(_.fileName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong).sorted
     // at least the last 5 versions survive; the cut lands ON a checkpoint
     // (the oldest survivor is a full manifest, so every survivor replays)
     assert(live.size >= 5 && live.last == before)
@@ -1160,12 +1153,8 @@ class CommitLogSpec extends AnyFunSuite {
       t.append(df.repartition(8), recordChanges = false)
       (dir, t)
     }
-    def dataBytes(dir: String): Long = {
-      val s = Files.walk(Paths.get(dir, "data"))
-      try s.iterator().asScala.filter(Files.isRegularFile(_))
-        .map(Files.size).sum
-      finally s.close()
-    }
+    def dataBytes(dir: String): Long =
+      GFiles.walkFiles(GPath(dir, "data")).map(GFiles.size).sum
     val (lexDir, lex) = build()
     val (_, zed) = build()
     val target = dataBytes(lexDir) / 16 + 1
@@ -1291,22 +1280,18 @@ class CommitLogSpec extends AnyFunSuite {
         .select("k").collect().map(_.getLong(0)).sorted.toSeq
     assert(changeRows() == (0L until 8L))
     // the committed manifest NAMES its change files
-    val mjson = Paths.get(dir, "_graft_log/v00000000000000000001.json")
-    assert(new String(Files.readAllBytes(mjson)).contains("changeFiles"))
+    val mjson = GPath(dir, "_graft_log/v00000000000000000001.json")
+    assert(new String(GFiles.readAllBytes(mjson)).contains("changeFiles"))
     // simulate an object store mid-"rename" (copy-per-object): one change
     // file promoted, the other back in staging — named resolution must
     // still serve every row (a directory listing would silently drop one)
-    val sub = { val s = Files.list(Paths.get(dir, "_graft_log/changes"))
-      try s.iterator().next() finally s.close() }
-    val parts = { val s = Files.list(sub)
-      try { import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toVector }
-      finally s.close() }
+    val sub = GFiles.list(GPath(dir, "_graft_log/changes")).head
+    val parts = GFiles.list(sub)
+      .filter(_.fileName.endsWith(".parquet")).sortBy(_.toString)
     assert(parts.size >= 2, s"need >= 2 change files, got $parts")
-    val staged = Paths.get(dir, "_graft_log/staged_changes",
-      sub.getFileName.toString)
-    Files.createDirectories(staged)
-    Files.move(parts.head, staged.resolve(parts.head.getFileName))
+    val staged = GPath(dir, "_graft_log/staged_changes", sub.fileName)
+    GFiles.createDirectories(staged)
+    GFiles.moveNoReplace(parts.head, staged.resolve(parts.head.fileName))
     assert(changeRows() == (0L until 8L),
       "named change files must resolve across promoted AND staged locations")
     // V2 batch CDF (the format path) reads the same way
@@ -1315,12 +1300,12 @@ class CommitLogSpec extends AnyFunSuite {
       (0L until 8L))
     // restore the layout, then strip the names: a LEGACY manifest (no
     // changeFiles field) must fall back to listing the promoted dir
-    Files.move(staged.resolve(parts.head.getFileName), parts.head)
+    GFiles.moveNoReplace(staged.resolve(parts.head.fileName), parts.head)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.readTree(new String(Files.readAllBytes(mjson)))
+    val node = om.readTree(new String(GFiles.readAllBytes(mjson)))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     node.remove("changeFiles")
-    Files.write(mjson, om.writeValueAsString(node).getBytes)
+    GFiles.write(mjson, om.writeValueAsString(node).getBytes)
     assert(changeRows() == (0L until 8L),
       "legacy name-less manifests must keep reading via the dir listing")
   }

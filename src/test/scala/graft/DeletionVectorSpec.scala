@@ -83,7 +83,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val dir = tmpDir()
     val b1 = DV.serializeBitmap(Iterator(1L, 3L))
     val b2 = DV.serializeBitmap(Iterator(0L, 2L, 4L))
-    val target = Paths.get(dir, "deletion_vector_test.bin")
+    val target = graft.tables.GPath(dir, "deletion_vector_test.bin")
     val offsets = DV.writeFile(target, Seq(b1, b2))
     assert(offsets == Seq(1, 1 + 4 + b1.length + 4))
     assert(DV.readFromFile(target, offsets(0), b1.length).toSeq == b1.toSeq)
@@ -93,9 +93,9 @@ class DeletionVectorSpec extends AnyFunSuite {
       DV.readFromFile(target, offsets(0), b1.length - 2))
     assert(e1.getMessage.contains("size mismatch"))
     // flip a data byte: CRC catches it
-    val raw = Files.readAllBytes(target)
+    val raw = Files.readAllBytes(Paths.get(target.raw))
     raw(offsets(0) + 4 + 5) = (raw(offsets(0) + 4 + 5) ^ 0x40).toByte
-    Files.write(target, raw)
+    Files.write(Paths.get(target.raw), raw)
     val e2 = intercept[IllegalArgumentException](
       DV.readFromFile(target, offsets(0), b1.length))
     assert(e2.getMessage.contains("checksum"))
@@ -146,7 +146,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val b2 = DV.serializeBitmap(Iterator(1L))     // f2 drops k=21
     val uuid = java.util.UUID.fromString("0f0f0f0f-1111-2222-3333-444455556666")
     val offs = DV.writeFile(
-      Paths.get(dir, s"deletion_vector_$uuid.bin"), Seq(b1, b2))
+      graft.tables.GPath(dir, s"deletion_vector_$uuid.bin"), Seq(b1, b2))
     val d1 = DV.Descriptor("u", DV.z85Uuid(uuid), Some(offs(0)), b1.length, 2L)
     val d2 = DV.Descriptor("u", DV.z85Uuid(uuid), Some(offs(1)), b2.length, 1L)
     Files.createDirectories(Paths.get(dir, "_delta_log"))
@@ -310,7 +310,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     // path: reachable local .bin → the read works
     val srcDir = tmpDir()
     val bm0 = DV.serializeBitmap(Iterator(1L, 3L)) // drop k=11, k=13
-    val bin = Paths.get(srcDir, "deletion_vector_source.bin")
+    val bin = graft.tables.GPath(srcDir, "deletion_vector_source.bin")
     val off = DV.writeFile(bin, Seq(bm0)).head
     writeLog(dvJson(DV.Descriptor("p", bin.toString, Some(off),
       bm0.length, 2L)))

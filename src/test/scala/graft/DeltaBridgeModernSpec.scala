@@ -71,7 +71,7 @@ class DeltaBridgeModernSpec extends AnyFunSuite {
         "a1a1a1a1-b2b2-c3c3-d4d4-e5e5e5e5e5e5")
       val bm = graft.tables.DeletionVectors.serializeBitmap(Iterator(0L))
       val off = graft.tables.DeletionVectors.writeFile(
-        Paths.get(dir, s"deletion_vector_$uuid.bin"), Seq(bm)).head
+        graft.tables.GPath(dir, s"deletion_vector_$uuid.bin"), Seq(bm)).head
       s""","deletionVector":{"storageType":"u","pathOrInlineDv":"${graft.tables.DeletionVectors.z85Uuid(uuid)}","offset":$off,"sizeInBytes":${bm.length},"cardinality":1}"""
     }
     Files.createDirectories(Paths.get(dir, "_delta_log"))

@@ -221,7 +221,7 @@ class DeltaConvertSpec extends AnyFunSuite {
     // u-storage this time — the clone must RE-SCOPE the table-relative
     // descriptor, not just copy it
     val uUuid = java.util.UUID.randomUUID()
-    val uOff = DV.writeFile(Paths.get(dirPreClone,
+    val uOff = DV.writeFile(graft.tables.GPath(dirPreClone,
       s"deletion_vector_$uUuid.bin"), Seq(bm)).head
     val uDv = s"""{"storageType":"u","pathOrInlineDv":"${DV.z85Uuid(uUuid)}","offset":$uOff,"sizeInBytes":${bm.length},"cardinality":1}"""
     Files.write(Paths.get(dirPreClone, "_delta_log/00000000000000000002.json"),
