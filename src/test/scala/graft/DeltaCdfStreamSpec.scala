@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.{CommitLogTable, DeltaLogBridge}
+
+/** Streaming CDF consumption of a FOREIGN `_delta_log`
+  * ([[graft.sources.DeltaCdfDataSource]], `format("delta-cdf")`): a
+  * read-only consumer follows a Delta table's change feed with
+  * checkpointed exactly-once restarts and WITHOUT adopting the table —
+  * the reference's CDF-driven Silver pattern
+  * (`docs/databricks_setup.md:170-198`) as a pure consumer. The
+  * growing log under test is a live graft MIRROR (a real Delta log
+  * with cdc actions for update/delete commits and derived-insert
+  * appends), read here exclusively through the foreign-consumer path.
+  */
+class DeltaCdfStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-delta-cdf-stream").toString
+
+  private def drain(dir: String, out: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("delta-cdf").option("path", dir)
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+  }
+
+  private def images(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, String, String, Long)] =
+    df.select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+
+  test("a growing mirrored Delta log streams exactly-once across " +
+      "restarts, and the stream's images equal the batch feed's") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true")) // Delta v1
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v2: adds
+    t.update($"k" === 2L, Map("v" -> lit("B"))) // v3: cdc images
+    // the mirror SEEDS v1 as a checkpoint (no commit JSON), so the
+    // feed's replayable floor — and the stream's default start — is v2
+    drain(dir, root + "/out", root + "/ckpt")
+    val got1 = images(spark.read.parquet(root + "/out"))
+    val batch13 = images(DeltaLogBridge.readChanges(spark, dir, 2, 3))
+    assert(got1 == batch13, s"stream != batch: $got1 vs $batch13")
+    assert(got1.exists(_._3 == "update_postimage") &&
+      got1.exists(_._3 == "insert"))
+    // the table keeps moving: a delete (cdc) and another append
+    t.delete($"k" === 1L) // v4
+    t.append(Seq((5L, "e")).toDF("k", "v")) // v5
+    // restart from the checkpoint: ONLY v4..v5 arrive — no replays
+    drain(dir, root + "/out", root + "/ckpt")
+    val got2 = images(spark.read.parquet(root + "/out"))
+    assert(got2 == images(DeltaLogBridge.readChanges(spark, dir, 2, 5)))
+    assert((got2 -- got1) ==
+      images(DeltaLogBridge.readChanges(spark, dir, 4, 5)))
+    // an idle restart produces nothing new
+    drain(dir, root + "/out", root + "/ckpt")
+    assert(images(spark.read.parquet(root + "/out")) == got2)
+  }
+
+  test("startingVersion excludes earlier commits; maxVersionsPerTrigger " +
+      "paces catch-up without splitting a version") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v2
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v3
+    t.append(Seq((3L, "c")).toDF("k", "v")) // v4
+    // Trigger.AvailableNow fixes its end offset at start, so a paced
+    // run stops after maxVersionsPerTrigger versions — the first drain
+    // serves ONLY v3, the second catches up to v4 (and a version never
+    // splits across batches)
+    drain(dir, root + "/out", root + "/ckpt",
+      Map("startingVersion" -> "3", "maxVersionsPerTrigger" -> "1"))
+    val first = images(spark.read.parquet(root + "/out"))
+    assert(first == images(DeltaLogBridge.readChanges(spark, dir, 3, 3)))
+    assert(first.map(_._4) == Set(3L))
+    drain(dir, root + "/out", root + "/ckpt",
+      Map("startingVersion" -> "3", "maxVersionsPerTrigger" -> "1"))
+    val got = images(spark.read.parquet(root + "/out"))
+    assert(got == images(DeltaLogBridge.readChanges(spark, dir, 3, 4)))
+    assert(got.map(_._4) == Set(3L, 4L))
+    // paced: the two drains committed one micro-batch each
+    val commits = Files.list(Paths.get(root + "/ckpt", "commits"))
+    val n = try commits.iterator().asScala.count(p =>
+      !p.getFileName.toString.startsWith(".")) finally commits.close()
+    assert(n >= 2, s"expected >=2 paced micro-batches, got $n")
+  }
+
+  test("a retention-trimmed log serves survivors by default; an " +
+      "explicit start below the floor refuses loudly") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true",
+      "graft.deltaMirror.logRetainCheckpoints" -> "1",
+      "graft.deltaMirror.checkpointInterval" -> "2"))
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("k", "v")))
+    // mirror log vacuum dropped early jsons; find the surviving floor
+    val logDir = Paths.get(dir, "_delta_log")
+    val floor = {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.length == 25 && n.endsWith(".json"))
+        .map(_.dropRight(5).toLong).min
+      finally s.close()
+    }
+    assert(floor > 1L, "fixture should have vacuumed the early log")
+    drain(dir, root + "/out", root + "/ckpt")
+    val got = images(spark.read.parquet(root + "/out"))
+    assert(got == images(DeltaLogBridge.readChanges(spark, dir, floor,
+      t.latestVersion)))
+    // explicit below-floor start: the bridge's range check refuses
+    val e = intercept[Exception] {
+      drain(dir, root + "/out2", root + "/ckpt2",
+        Map("startingVersion" -> "1"))
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(_.getMessage != null) &&
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(8).exists(t0 => Option(t0.getMessage)
+          .exists(_.contains("not in the log"))),
+      s"expected the vacuumed-range refusal, got: ${e.getMessage}")
+  }
+}
