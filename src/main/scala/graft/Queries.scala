@@ -3105,6 +3105,63 @@ object Queries {
         min(col("event_id")).as("min_id"))
   }
 
+  /** Two-engine coexistence (round 16): a mirror-enabled graft table's
+    * `_delta_log` receives a FOREIGN Delta commit (an external writer's
+    * plain append, authored here protocol-verbatim — the reference's
+    * still-running Databricks job mid-cutover,
+    * `docs/databricks_setup.md:352-373`), and graft's next commit PULLS
+    * it into the commit log first ([[graft.tables.DeltaLogBridge
+    * .reconcile]] via the pre-commit hook) before appending its own
+    * batch. The final table must hold base ∪ foreign ∪ graft rows
+    * exactly; a failed pull aborts the query loudly instead.
+    */
+  def deltaReconcile(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-reconcile-demo", "events")
+    SessionMemo.once(s, s"deltaReconcile:$dir") {
+      if (!graft.tables.CommitLogTable.exists(root)) {
+        val df = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, root, df.schema)
+        t.setProperties(Map( // graft v1, mirror-seeded at Delta v1
+          graft.tables.DeltaLogBridge.MirrorProp -> "true",
+          "delta.enableChangeDataFeed" -> "true"))
+        t.append(df.filter(col("event_id") % 5 === 1)) // graft/Delta v2
+        // the FOREIGN writer's append: parquet + a protocol add, Delta v3
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        df.filter(col("event_id") % 5 === 2).coalesce(1)
+          .write.parquet(s"$root/foreign1")
+        val part = {
+          val w = Files.list(Paths.get(root, "foreign1"))
+          try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally w.close()
+        }
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val a = m.createObjectNode()
+        val ao = a.putObject("add")
+        ao.put("path", s"foreign1/${part.getFileName}")
+        ao.putObject("partitionValues")
+        ao.put("size", Files.size(part))
+        ao.put("modificationTime", 0L)
+        ao.put("dataChange", true)
+        Files.write(Paths.get(root, "_delta_log",
+          "00000000000000000003.json"),
+          (m.writeValueAsString(a) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // graft's next append pulls Delta v3 in, then lands as v4
+        t.append(df.filter(col("event_id") % 5 === 3))
+        require(t.latestVersion == 4L &&
+          t.resolvedManifest(Some(3L)).action == "reconcile",
+          "reconcile demo: the foreign commit did not pull in")
+      }
+    }
+    s.read.format("commitlog").load(root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("value"), 6).as("sum_value"),
+        min(col("event_id")).as("min_id"))
+  }
+
   /** The CDF loop both ways (round 15): a graft table with
     * `delta.enableChangeDataFeed=true` mirrors its commits — two
     * appends (no cdc; readers derive inserts from adds) and one UPDATE

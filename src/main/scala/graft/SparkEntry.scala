@@ -196,6 +196,7 @@ object SparkEntry {
     "q_delta_dv_read" -> (Queries.deltaDvRead _),
     "q_delta_adopt_dv" -> (Queries.deltaAdoptDv _),
     "q_delta_cdf_bridge" -> (Queries.deltaCdfBridge _),
+    "q_delta_reconcile" -> (Queries.deltaReconcile _),
     "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
@@ -3975,6 +3976,15 @@ object SparkEntry {
              'update_postimage' AS change_type,
              CAST(4 AS BIGINT) AS commit_version
       FROM events WHERE event_id % 100 = 0""",
+
+    // two-engine coexistence: a foreign Delta append pulls into the
+    // commit log before graft's next commit — the final table holds
+    // base (%5=1) ∪ foreign (%5=2) ∪ graft (%5=3) rows exactly
+    "q_delta_reconcile" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(event_id) AS min_id
+      FROM events WHERE event_id % 5 IN (1, 2, 3) GROUP BY event_type""",
 
     // adopt a Delta table CARRYING a live deletion vector (no purge):
     // the commitlog scan must answer exactly like the raw data minus

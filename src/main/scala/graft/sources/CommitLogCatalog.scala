@@ -442,7 +442,7 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("optimize", "vacuum", "restore", "history", "detail",
-        "convert", "clone")
+        "convert", "clone", "delta_reconcile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -470,9 +470,11 @@ final class CommitLogCatalog extends TableCatalog with ProcedureCatalog
       case "detail" => new DetailProcedure(tableOf)
       case "convert" => new ConvertProcedure(spark)
       case "clone" => new CloneProcedure(tableOf, dirOfName)
+      case "delta_reconcile" => new DeltaReconcileProcedure(tableOf)
       case other => throw new UnsupportedOperationException(
         s"commitlog catalog: no procedure `$other` " +
-          "(have: optimize, vacuum, restore, history, detail, convert, clone)")
+          "(have: optimize, vacuum, restore, history, detail, convert, " +
+          "clone, delta_reconcile)")
     }
   }
 }
@@ -533,6 +535,40 @@ private final class ConvertProcedure(spark: SparkSession)
     java.util.Collections.singletonList(
       new ProcedureResult(schema, Seq(Seq[Any](
         UTF8String.fromString(t.dir), m.files.size, m.rowsTotal)))
+        : Scan).iterator()
+  }
+}
+
+/** `CALL cat.system.delta_reconcile(table => 'ns.t')` — pull FOREIGN
+  * Delta commits (an external writer mid-cutover) from the table's own
+  * `_delta_log` into the commit log, one graft version per Delta
+  * version ([[graft.tables.DeltaLogBridge.reconcile]]). Also runs
+  * automatically before every graft commit on mirror-enabled tables;
+  * the explicit call is for pulling WITHOUT writing.
+  */
+private final class DeltaReconcileProcedure(
+    tableOf: String => CommitLogTable)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "delta_reconcile"
+  override def description(): String =
+    "replay foreign Delta commits from the table's _delta_log into " +
+      "the commit log"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val t = tableOf(input.getUTF8String(0).toString)
+    val before = t.latestVersion
+    val head = graft.tables.DeltaLogBridge.reconcile(t)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("versions_pulled",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("head",
+        org.apache.spark.sql.types.LongType)))
+    java.util.Collections.singletonList(
+      new ProcedureResult(schema, Seq(Seq[Any](head - before, head)))
         : Scan).iterator()
   }
 }

@@ -166,6 +166,29 @@ class DeltaReconcileSpec extends AnyFunSuite {
     assert(t.latestVersion == 1L)
   }
 
+  test("CALL system.delta_reconcile pulls foreign commits without a " +
+      "graft write") {
+    val wh = tmpDir()
+    val cat = "graft_rec_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CommitLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.default.t (k BIGINT, s STRING) " +
+      "USING commitlog TBLPROPERTIES (" +
+      s"'${DeltaLogBridge.MirrorProp}'='true', " +
+      "'delta.enableChangeDataFeed'='true')")
+    spark.sql(s"INSERT INTO $cat.default.t VALUES (1, 'a')") // v2
+    val dir = s"$wh/default/t"
+    foreignAppend(dir, 3L, Seq((10L, "x"), (11L, "y")), "fd3")
+    val row = spark.sql(
+      s"CALL $cat.system.delta_reconcile(table => 'default.t')").head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.t")
+      .head().getLong(0) == 3L)
+    val t = CommitLogTable.open(spark, dir)
+    assert(t.resolvedManifest(Some(3L)).action == "reconcile")
+  }
+
   test("a log this table cannot vouch for refuses to reconcile") {
     val dir = tmpDir() + "/t"
     buildBase(dir)
