@@ -143,7 +143,6 @@ object TableFormatProbe {
     val fileScales = args.lift(2).getOrElse("64,6400")
       .split(',').map(_.trim.toInt).toSeq
     for (fc <- fileScales) {
-      import java.nio.file.{Files, Paths}
       val dir = s"$outRoot/f$fc-${System.nanoTime()}"
       val df = spark.range(fc * 10L).select(col("id").as("k"),
         (col("id") * 0.5).as("v")).repartition(fc)
@@ -167,7 +166,8 @@ object TableFormatProbe {
       rec(fc, "convert_adopt",
         timeMs(CommitLogTable.convert(spark, cdir))._2)
       def manifestBytes(v: Long): Long =
-        Files.size(Paths.get(dir, "_graft_log", f"v$v%020d.json"))
+        graft.tables.GFiles.size(
+          graft.tables.GPath(dir, "_graft_log", f"v$v%020d.json"))
       rec(fc, "files_meta_manifest_bytes",
         manifestBytes(t.latestVersion).toDouble)
       // cold MANIFEST resolve from a fresh instance: one checkpoint read

@@ -2109,8 +2109,11 @@ object DeltaLogBridge {
     val prevByPath = prevM.files.map(f => f.path -> f).toMap
     val addedPaths = liveByPath.keySet -- prevByPath.keySet
     // CHANGE IMAGES first: the underivable cases must refuse BEFORE any
-    // state is built (readChanges is the shared judge of derivability)
+    // state is built (readChanges is the shared judge of derivability).
+    // Cached across the two consumers (counters + change-file write) so
+    // the foreign commit's data is read once, not twice
     val images = readChanges(spark, dir, v, v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = images.groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val hasImages = counts.values.sum > 0
@@ -2153,12 +2156,13 @@ object DeltaLogBridge {
     val (constraints, adoptedProps) = adoptionMetadata(dsnap)
     val props = prevM.properties.filter(_._1.startsWith("graft."))
       .filterNot { case (k, _) => adoptedProps.contains(k) } ++ adoptedProps
-    table.reconcilePublish(v, kept ++ added, schema, mapping,
+    try table.reconcilePublish(v, kept ++ added, schema, mapping,
       dsnap.partitionCols, constraints, props,
       changes = if (hasImages) Some(images.drop("_commit_version")) else None,
       counters = (counts.getOrElse("insert", 0L),
         counts.getOrElse("update_postimage", 0L),
         counts.getOrElse("delete", 0L)))
+    finally images.unpersist()
   }
 
   /** Write ONE classic checkpoint PINNED at `version` (that version's

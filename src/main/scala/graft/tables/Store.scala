@@ -328,6 +328,10 @@ object HadoopStore extends Store {
   private def conf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
+      // executor side (no session): the executor's own Hadoop conf,
+      // which carries the cluster's fs.* settings — a blank
+      // Configuration would lose s3a/abfss credentials there
+      .orElse(org.apache.spark.sql.graftbridge.executorHadoopConf)
       .getOrElse(new Configuration())
 
   private def fs(p: GPath): FileSystem = p.toHadoop.getFileSystem(conf)
@@ -392,15 +396,32 @@ object HadoopStore extends Store {
     fs(p).listStatus(p.toHadoop).toSeq
       .map(st => p.resolve(st.getPath.getName))
 
+  /** Recursive file listing via ONE `listFiles(recursive)` sweep — on
+    * HDFS a batched NameNode iterator, on object stores a flat prefix
+    * LIST — instead of a per-directory `listStatus` recursion. Results
+    * re-anchor under the caller's path form by the URI *path-component*
+    * suffix (components are rendering-stable even when the FileSystem
+    * qualifies URIs differently than the caller wrote them).
+    */
   override def walkFiles(p: GPath): Seq[GPath] = {
     val f = fs(p)
-    def go(cur: GPath): Seq[GPath] =
-      f.listStatus(cur.toHadoop).toSeq.flatMap { st =>
-        val child = cur.resolve(st.getPath.getName)
-        if (st.isDirectory) go(child) else Seq(child)
-      }
     try {
-      if (f.getFileStatus(p.toHadoop).isFile) Seq(p) else go(p)
+      if (f.getFileStatus(p.toHadoop).isFile) return Seq(p)
+      val rootPath = f.makeQualified(p.toHadoop).toUri.getPath
+      val prefix =
+        if (rootPath.endsWith("/")) rootPath else rootPath + "/"
+      val it = f.listFiles(p.toHadoop, true)
+      val b = Vector.newBuilder[GPath]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val fp = st.getPath.toUri.getPath
+          require(fp.startsWith(prefix),
+            s"walk result '$fp' escapes root '$prefix'")
+          b += p.resolve(fp.substring(prefix.length))
+        }
+      }
+      b.result()
     } catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 

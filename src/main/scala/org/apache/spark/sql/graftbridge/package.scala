@@ -71,6 +71,14 @@ package object graftbridge {
     execution.datasources.DataSourceStrategy.translateFilter(e,
       supportNestedPredicatePushdown = true)
 
+  /** The executor-local Hadoop configuration (`SparkHadoopUtil` is
+    * `private[spark]`; this package object sits inside the namespace).
+    * None on a driver without a SparkEnv — callers fall back.
+    */
+  def executorHadoopConf: Option[org.apache.hadoop.conf.Configuration] =
+    try Option(org.apache.spark.deploy.SparkHadoopUtil.get.conf)
+    catch { case _: Throwable => None }
+
   /** Register a temp SQL function on a live session (the runtime twin of
     * `SparkSessionExtensions.injectFunction` for sessions built without
     * `spark.sql.extensions`).
