@@ -120,4 +120,57 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(spark.read.format("commitlog").load(dir)
       .orderBy("k").as[(Long, Long)].collect().toSeq == expected)
   }
+
+  test("two-engine coexistence with a REAL delta-spark writer: its " +
+      "appends pull into the commit log before each graft commit, and " +
+      "the delta-cdf stream follows delta-spark's own change feed") {
+    assume(graft.operators.DeltaSqlTableOps.available,
+      "io.delta:delta-spark not on the classpath — interop spec skipped")
+    val spark = deltaSession()
+    import spark.implicits._
+    assume(graft.operators.DeltaSqlTableOps.sessionReady(spark),
+      "session lacks DeltaSparkSessionExtension (built before conf?)")
+    val root = Files.createTempDirectory("graft-reconcile-interop").toString
+    val dir = root + "/t"
+    // delta-spark authors the table; graft adopts it at head (aligned)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("delta").save(dir)
+    val t = graft.tables.CommitLogTable.convertFromDelta(spark, dir)
+    t.setProperties(Map(
+      graft.tables.DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    // the still-running delta-spark job appends mid-cutover
+    Seq((10L, "x"), (11L, "y")).toDF("k", "v")
+      .write.format("delta").mode("append").save(dir)
+    // graft's next commit pulls the foreign commit first
+    t.append(Seq((20L, "g")).toDF("k", "v"))
+    val viaGraft = t.read().orderBy("k").as[(Long, String)].collect().toSeq
+    val viaDelta = spark.read.format("delta").load(dir)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(viaGraft == viaDelta && viaGraft.map(_._1) ==
+      Seq(1L, 2L, 10L, 11L, 20L), s"graft=$viaGraft delta=$viaDelta")
+    assert(t.history.collect().map(_.getString(1)).contains("reconcile"))
+    // the no-adoption streaming consumer over a delta-spark-written log
+    val src = root + "/s"
+    Seq((1L, "p")).toDF("k", "v").write.format("delta").save(src)
+    spark.sql(s"ALTER TABLE delta.`$src` SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")
+    Seq((2L, "q")).toDF("k", "v")
+      .write.format("delta").mode("append").save(src)
+    spark.sql(s"UPDATE delta.`$src` SET v = 'Q' WHERE k = 2")
+    val q = spark.readStream.format("delta-cdf").option("path", src).load()
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.read.parquet(root + "/out")
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = graft.tables.DeltaLogBridge.readChanges(spark, src, 0,
+      graft.tables.DeltaLogBridge.snapshot(spark, src).version)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.exists(_._3 == "update_postimage"))
+  }
 }

@@ -127,6 +127,18 @@ class StoreSpec extends AnyFunSuite {
     assert(!GFiles.claim(logDir.resolve("v1.json"), "late".getBytes))
   }
 
+  test("the lease coordinator arbitrates exactly-once over the Hadoop " +
+      "binding too (the object-store path, file: as the double)") {
+    val logDir = GPath("file:" + tmp())
+    val coord = new graft.tables.LeaseCoordinator(settleMillis = 150)
+    val wins = race(8)(i =>
+      coord.tryClaim(logDir, "v1.json", s"payload-$i".getBytes))
+    assert(wins.count(identity) == 1)
+    val got = new String(GFiles.readAllBytes(logDir.resolve("v1.json")))
+    assert(got == s"payload-${wins.indexOf(true)}")
+    assert(!coord.tryClaim(logDir, "v1.json", "late".getBytes))
+  }
+
   test("claim refuses non-atomic-rename schemes by name, pointing at the lease coordinator") {
     val e = intercept[IllegalStateException](
       HadoopStore.claim(GPath("s3a://bucket/_graft_log/v1.json"),
