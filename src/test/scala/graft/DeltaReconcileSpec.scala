@@ -166,6 +166,90 @@ class DeltaReconcileSpec extends AnyFunSuite {
     assert(t.latestVersion == 1L)
   }
 
+  test("a COLUMN-MAPPED table reconciles: foreign adds keyed by " +
+      "physical partition values pull in, physical identities pinned") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true")) // v1
+    t.append(Seq((1L, "a")).toDF("k", "s")) // v2
+    t.renameColumn("s", "label") // v3: column mapping (name mode)
+    val phys = t.resolvedManifest(None).columnMapping("label")
+    assert(phys == "s", "rename should map label -> physical s")
+    // the foreign writer reads the MAPPED log and appends: its parquet
+    // carries the PHYSICAL column name, like any Delta name-mode writer
+    Seq((10L, "x")).toDF("k", "s").coalesce(1).write.parquet(s"$dir/fm4")
+    val part = {
+      val w = Files.list(Paths.get(dir, "fm4"))
+      try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally w.close()
+    }
+    writeJson(dir, 4L,
+      s"""{"add":{"path":"fm4/${part.getFileName}","partitionValues":{},"size":${Files.size(part)},"modificationTime":1700000004000,"dataChange":true}}
+         |""".stripMargin)
+    assert(DeltaLogBridge.reconcile(t) == 4L)
+    val got = t.read().select("k", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (10L, "x")))
+    // mapping survived the pull and the graft CDF serves LOGICAL names
+    assert(t.resolvedManifest(None).columnMapping("label") == phys)
+    val img = t.readChanges(4, 4).select("k", "label", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(img.toSeq == Seq((10L, "x", "insert")))
+  }
+
+  test("a foreign commit CARRYING cdc actions (the Silver MERGE shape) " +
+      "imports its exact images") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val f0 = buildBase(dir) // rows (1,a) (2,b)
+    val t = CommitLogTable.convertFromDelta(spark, dir)
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true")) // graft v1 / Delta v1
+    // the foreign MERGE: rewrites f0 (2 -> B), emitting cdc images —
+    // exactly what a CDF-enabled delta-spark MERGE writes
+    Seq((1L, "a"), (2L, "B")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$dir/fr2")
+    val newPart = {
+      val w = Files.list(Paths.get(dir, "fr2"))
+      try "fr2/" + w.iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get.getFileName
+      finally w.close()
+    }
+    Seq((2L, "b", "update_preimage"), (2L, "B", "update_postimage"))
+      .toDF("k", "s", "_change_type").coalesce(1)
+      .write.parquet(s"$dir/_change_data/cd2")
+    val cdcPart = {
+      val w = Files.list(Paths.get(dir, "_change_data/cd2"))
+      try "_change_data/cd2/" + w.iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get.getFileName
+      finally w.close()
+    }
+    writeJson(dir, 2L,
+      s"""{"remove":{"path":"$f0","deletionTimestamp":1700000003000,"dataChange":true}}
+         |{"add":{"path":"$newPart","partitionValues":{},"size":100,"modificationTime":1700000003000,"dataChange":true}}
+         |{"cdc":{"path":"$cdcPart","partitionValues":{},"size":100,"dataChange":false}}
+         |""".stripMargin)
+    assert(DeltaLogBridge.reconcile(t) == 2L)
+    val m2 = t.resolvedManifest(Some(2L))
+    assert(m2.action == "reconcile" && m2.rowsUpdated == 1L &&
+      m2.rowsTotal == 2L)
+    assert(rows(t) == Set((1L, "a"), (2L, "B")))
+    // the imported images are the cdc parquet's EXACT rows, on both planes
+    val img = t.readChanges(2, 2).select("k", "s", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(img == Set((2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage")))
+    assert(img == DeltaLogBridge.readChanges(spark, dir, 2, 2)
+      .select("k", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+  }
+
   test("CALL system.delta_reconcile pulls foreign commits without a " +
       "graft write") {
     val wh = tmpDir()
