@@ -888,8 +888,16 @@ object DeltaLogBridge {
       s: StructType, partCols: Seq[String],
       live: Seq[(String, Map[String, String])],
       outFields: Seq[org.apache.spark.sql.types.StructField],
-      dvByPath: Map[String, Array[Byte]] = Map.empty): DataFrame = {
+      dvByPath: Map[String, Array[Byte]] = Map.empty,
+      perFileVersion: Seq[Long] = null): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // perFileVersion (aligned with `live`): attach `_commit_version`
+    // per FILE through the same broadcast file_path join the partition
+    // values ride — the CDF consolidation's one-scan-per-kind shape. A
+    // path listed for several versions fans out in the join, which is
+    // exactly the per-version multiset a version-at-a-time read served.
+    require(perFileVersion == null || perFileVersion.size == live.size,
+      "perFileVersion must align with live")
     // surface each column under its LOGICAL name and type: the cast
     // renames name-mode nested struct fields back to logical
     // (struct casts are positional), and the empty-metadata alias
@@ -957,16 +965,21 @@ object DeltaLogBridge {
         base.where(!deletedUdf(col("_metadata.file_path"),
           col("_metadata.row_index")))
       }
-    if (partCols.isEmpty)
+    if (partCols.isEmpty && perFileVersion == null)
       return deduped.select(out(s.fieldNames.toSeq.map(col)): _*)
+    val withVer = perFileVersion != null
     val pvSchema = StructType(
-      org.apache.spark.sql.types.StructField("__graft_fp",
+      (org.apache.spark.sql.types.StructField("__graft_fp",
         org.apache.spark.sql.types.StringType, nullable = false) +:
       partCols.map(pc => org.apache.spark.sql.types.StructField(
-        s"__graft_pv_$pc", org.apache.spark.sql.types.StringType)))
-    val rows = live.map { case (p, pv) =>
+        s"__graft_pv_$pc", org.apache.spark.sql.types.StringType))) ++
+      (if (withVer) Seq(org.apache.spark.sql.types.StructField(
+        "__graft_ver", org.apache.spark.sql.types.LongType,
+        nullable = false)) else Seq.empty))
+    val rows = live.zipWithIndex.map { case ((p, pv), i) =>
       org.apache.spark.sql.Row.fromSeq(
-        key(s"$dir/$p") +: partCols.map(pc => pv.getOrElse(pc, null)))
+        (key(s"$dir/$p") +: partCols.map(pc => pv.getOrElse(pc, null))) ++
+          (if (withVer) Seq(perFileVersion(i)) else Seq.empty))
     }
     val pvDf = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), pvSchema)
@@ -974,17 +987,28 @@ object DeltaLogBridge {
     val joined = deduped
       .withColumn("__graft_fp", col("_metadata.file_path"))
       .join(broadcast(pvDf), Seq("__graft_fp"), "left")
+    def onHit(c: org.apache.spark.sql.Column, what: String)
+        : org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.when(col("__graft_hit").isNull,
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.concat(
+              lit(s"DeltaLogBridge: no $what for file "),
+              col("__graft_fp"))))
+        .otherwise(c)
     val outCols = s.fields.toSeq.map { f =>
       if (partCols.contains(f.name))
-        org.apache.spark.sql.functions.when(col("__graft_hit").isNull,
-            org.apache.spark.sql.functions.raise_error(
-              org.apache.spark.sql.functions.concat(
-                lit("DeltaLogBridge: no partition values for file "),
-                col("__graft_fp"))))
-          .otherwise(col(s"__graft_pv_${f.name}").cast(f.dataType))
+        onHit(col(s"__graft_pv_${f.name}").cast(f.dataType),
+          "partition values")
       else col(f.name)
     }
-    joined.select(out(outCols): _*)
+    val verCol =
+      if (!withVer) Seq.empty
+      else Seq(org.apache.spark.sql.graftbridge.toColumn(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          org.apache.spark.sql.graftbridge.toCatalystExpression(
+            onHit(col("__graft_ver"), "commit version"))))
+        .as("_commit_version"))
+    joined.select(out(outCols) ++ verCol: _*)
   }
 
   /** CHANGE DATA FEED read of a Delta log — the consumption half of
@@ -1048,7 +1072,17 @@ object DeltaLogBridge {
       snap.partitionCols.zip(physPart).map { case (lc, pc) =>
         pc -> pv.getOrElse(pc, pv.getOrElse(lc, null))
       }.toMap
-    val frames = (startingVersion to endingVersion).flatMap { v =>
+    // ONE pass parses and validates every commit JSON, then AT MOST
+    // THREE scans serve the whole range — cdc files, derived inserts,
+    // derived deletes — with `_commit_version` attached per file by the
+    // same broadcast file_path join the partition values ride. The old
+    // shape unioned one frame PER VERSION: a consumer catching up over
+    // thousands of commits built a thousands-deep union plan; this one
+    // stays three scans deep no matter how wide the range is.
+    val cdcFiles = Vector.newBuilder[(String, Map[String, String], Long)]
+    val insFiles = Vector.newBuilder[(String, Map[String, String], Long)]
+    val delFiles = Vector.newBuilder[(String, Map[String, String], Long)]
+    (startingVersion to endingVersion).foreach { v =>
       val lines = new String(
         GFiles.readAllBytes(logDir.resolve(deltaName(v))), UTF_8)
         .split('\n').filter(_.trim.nonEmpty).map(M.readTree)
@@ -1056,10 +1090,7 @@ object DeltaLogBridge {
         .map(c => (decodePath(c.get("path").asText), normPv(pvOf(c))))
       if (cdcs.nonEmpty) {
         // exact images: the cdc parquet carries _change_type in-data
-        Some(assembleRead(spark, dir,
-          StructType(physSchema.fields :+ ctField), physPart,
-          cdcs.toSeq, outFields = s.fields.toSeq :+ ctField)
-          .withColumn("_commit_version", lit(v)))
+        cdcs.foreach { case (p, pv) => cdcFiles += ((p, pv, v)) }
       } else {
         val adds = lines.filter(_.has("add")).map(_.get("add"))
           .filter(a => !a.has("dataChange") || a.get("dataChange").asBoolean)
@@ -1074,39 +1105,43 @@ object DeltaLogBridge {
             !removes.exists(_.hasNonNull("deletionVector")),
           s"CDF: commit $v of $dir changed deletion-vector state " +
             "without cdc actions — underivable, refusing")
-        val ins =
-          if (adds.isEmpty) None
-          else Some(assembleRead(spark, dir, physSchema, physPart,
-            adds.toSeq.map(a =>
-              (decodePath(a.get("path").asText), normPv(pvOf(a)))),
-            outFields = s.fields.toSeq)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
-        val del =
-          if (removes.isEmpty) None
-          else {
-            val rs = removes.toSeq.map { r =>
-              val p = decodePath(r.get("path").asText)
-              require(GFiles.exists(GPath(dir, p)),
-                s"CDF: commit $v removed $p, whose bytes are gone " +
-                  "(vacuumed) — delete images are unrecoverable; keep " +
-                  "retention deeper than the slowest consumer's lag")
-              require(snap.partitionCols.isEmpty ||
-                  r.hasNonNull("partitionValues"),
-                s"CDF: commit $v's remove of $p carries no " +
-                  "partitionValues on a partitioned table — " +
-                  "underivable delete images")
-              (p, normPv(pvOf(r)))
-            }
-            Some(assembleRead(spark, dir, physSchema, physPart, rs,
-              outFields = s.fields.toSeq)
-              .withColumn("_change_type", lit("delete"))
-              .withColumn("_commit_version", lit(v)))
-          }
-        ins.toSeq ++ del.toSeq
+        adds.foreach(a => insFiles +=
+          ((decodePath(a.get("path").asText), normPv(pvOf(a)), v)))
+        removes.foreach { r =>
+          val p = decodePath(r.get("path").asText)
+          require(GFiles.exists(GPath(dir, p)),
+            s"CDF: commit $v removed $p, whose bytes are gone " +
+              "(vacuumed) — delete images are unrecoverable; keep " +
+              "retention deeper than the slowest consumer's lag")
+          require(snap.partitionCols.isEmpty ||
+              r.hasNonNull("partitionValues"),
+            s"CDF: commit $v's remove of $p carries no " +
+              "partitionValues on a partitioned table — " +
+              "underivable delete images")
+          delFiles += ((p, normPv(pvOf(r)), v))
+        }
       }
     }
-    frames.reduceOption(_.unionByName(_)).getOrElse {
+    def grouped(files: Seq[(String, Map[String, String], Long)],
+        withCt: Boolean, ct: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else {
+        val base = assembleRead(spark, dir,
+          if (withCt) StructType(physSchema.fields :+ ctField)
+          else physSchema,
+          physPart, files.map(f => (f._1, f._2)),
+          outFields =
+            if (withCt) s.fields.toSeq :+ ctField else s.fields.toSeq,
+          perFileVersion = files.map(_._3))
+        Some(if (withCt) base else base.withColumn("_change_type", lit(ct)))
+      }
+    val frames =
+      grouped(cdcFiles.result(), withCt = true, ct = "").toSeq ++
+      grouped(insFiles.result(), withCt = false, ct = "insert").toSeq ++
+      grouped(delFiles.result(), withCt = false, ct = "delete").toSeq
+    frames.map(_.select((s.fieldNames.toSeq :+ "_change_type" :+
+        "_commit_version").map(col): _*))
+      .reduceOption(_.unionByName(_)).getOrElse {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

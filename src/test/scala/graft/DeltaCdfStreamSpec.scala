@@ -110,6 +110,33 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
     assert(n >= 2, s"expected >=2 paced micro-batches, got $n")
   }
 
+  test("a WIDE version range plans a bounded read: at most one scan " +
+      "per image kind, never one frame per version") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    (1 to 25).foreach(i =>
+      t.append(Seq((i.toLong, s"r$i")).toDF("k", "v").coalesce(1)))
+    t.update($"k" === 5L, Map("v" -> lit("R5"))) // one cdc commit
+    val head = t.latestVersion
+    val df = DeltaLogBridge.readChanges(spark, dir, 2, head)
+    // correctness over the whole range
+    val got = images(df)
+    assert(got.count(_._3 == "insert") == 25)
+    assert(got.exists(x => x._3 == "update_postimage" && x._2 == "R5"))
+    // plan shape: 26 versions must NOT plan 26 scans — one parquet scan
+    // per image kind (cdc + derived inserts) plus their broadcast
+    // file-lookup sides, regardless of range width
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.size <= 6,
+      s"expected a consolidated plan, got ${leaves.size} leaves:\n" +
+        df.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("a retention-trimmed log serves survivors by default; an " +
       "explicit start below the floor refuses loudly") {
     val root = tmpDir()
