@@ -385,19 +385,27 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val physSch = toPhysicalSchema(sch, latest.columnMapping)
     val logicalCols = sch.fields.map(f =>
       col(latest.columnMapping.getOrElse(f.name, f.name)).as(f.name)).toSeq
-    val frames = ms.flatMap { m =>
-      // exact named files, never a directory glob (resolveChangeFiles —
-      // the object-store-safe read the manifest's changeFiles enable)
-      val paths = resolveChangeFiles(m).map(_.toString)
-      if (paths.isEmpty) None
-      else Some(spark.read.schema(physSch).parquet(paths: _*)
-        .withColumn("_commit_version",
-          coalesce(col("_commit_version"), lit(m.version)))
-        .select(logicalCols: _*))
-    }
-    if (frames.isEmpty)
+    // ONE scan over every version's change files — exact named files,
+    // never a directory glob (resolveChangeFiles — the object-store-safe
+    // read the manifest's changeFiles enable). `_commit_version` is
+    // stored in-data by post-tag writers; LEGACY files backfill it from
+    // a broadcast change-dir→version map (the streaming source's own
+    // mechanism), so a wide range plans one scan, not one per version.
+    val paths = ms.flatMap(m => resolveChangeFiles(m).map(_.toString))
+    if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), sch)
-    else frames.reduce(_.unionByName(_))
+    else {
+      val vmap = spark.createDataFrame(
+        ms.map(m => Row(GPath(m.changesDir.get).fileName, m.version)).asJava,
+        StructType.fromDDL("__chdir STRING, __ver BIGINT"))
+      spark.read.schema(physSch).parquet(paths: _*)
+        .withColumn("__chdir",
+          element_at(split(col("_metadata.file_path"), "/"), -2))
+        .join(broadcast(vmap), Seq("__chdir"), "left")
+        .withColumn("_commit_version",
+          coalesce(col("_commit_version"), col("__ver")))
+        .select(logicalCols: _*)
+    }
   }
 
   /** STREAMING CDF — the reference's `readChangeFeed` streaming read

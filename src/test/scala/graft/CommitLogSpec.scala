@@ -1309,4 +1309,20 @@ class CommitLogSpec extends AnyFunSuite {
     assert(changeRows() == (0L until 8L),
       "legacy name-less manifests must keep reading via the dir listing")
   }
+
+  test("a WIDE change-feed range plans ONE scan (dir->version backfill " +
+      "join), not one frame per version") {
+    val dir = tmpDir()
+    val t = CommitLogTable.create(spark, dir, mk(Nil).schema)
+    (1 to 20).foreach(i =>
+      t.append(mk(Seq((i.toLong, "a", i * 1.0))).coalesce(1)))
+    val df = t.readChanges(1, t.latestVersion)
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L))
+    assert(df.select("_commit_version").distinct().count() == 20L)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.size <= 3,
+      s"expected one consolidated scan + broadcast map, got " +
+        s"${leaves.size} leaves")
+  }
 }
