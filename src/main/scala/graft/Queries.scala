@@ -3105,6 +3105,35 @@ object Queries {
         min(col("event_id")).as("min_id"))
   }
 
+  /** The STREAMING foreign-CDF consumer under the oracle (round 16):
+    * `format("delta-cdf")` drains the mirrored `_delta_log` that
+    * [[deltaCdfBridge]] builds — an AvailableNow run with a real
+    * checkpoint — and the parquet it lands must hash-match the same
+    * raw-data oracle the batch read does: the no-adoption streaming
+    * path serves byte-equal images (the reference's CDF-driven Silver
+    * as a pure consumer, `docs/databricks_setup.md:170-198`).
+    */
+  def deltaCdfStream(s: SparkSession, dir: String): DataFrame = {
+    deltaCdfBridge(s, dir) // builds + memoizes the mirrored demo table
+    val root = stampedTmpDir(s, dir, "graft-cdf-bridge-demo", "events")
+    val out = stampedTmpDir(s, dir, "graft-cdf-stream-out", "events")
+    SessionMemo.once(s, s"deltaCdfStream:$dir") {
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$out/p"))) {
+        val q = s.readStream.format("delta-cdf").option("path", root).load()
+          .writeStream.format("parquet").option("path", s"$out/p")
+          .option("checkpointLocation", s"$out/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "delta-cdf stream stalled")
+      }
+    }
+    s.read.parquet(s"$out/p")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
   /** Two-engine coexistence (round 16): a mirror-enabled graft table's
     * `_delta_log` receives a FOREIGN Delta commit (an external writer's
     * plain append, authored here protocol-verbatim — the reference's

@@ -197,6 +197,7 @@ object SparkEntry {
     "q_delta_adopt_dv" -> (Queries.deltaAdoptDv _),
     "q_delta_cdf_bridge" -> (Queries.deltaCdfBridge _),
     "q_delta_reconcile" -> (Queries.deltaReconcile _),
+    "q_delta_cdf_stream" -> (Queries.deltaCdfStream _),
     "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
@@ -3960,6 +3961,27 @@ object SparkEntry {
     // one update's pre/post images at version 4 (value bumped by 1 on
     // event_id % 100 = 0)
     "q_delta_cdf_bridge" -> """
+      SELECT event_id, event_type, value, 'insert' AS change_type,
+             CAST(2 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, event_type, value, 'insert' AS change_type,
+             CAST(3 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT event_id, event_type, value, 'update_preimage' AS change_type,
+             CAST(4 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 100 = 0
+      UNION ALL
+      SELECT event_id, event_type, value + 1 AS value,
+             'update_postimage' AS change_type,
+             CAST(4 AS BIGINT) AS commit_version
+      FROM events WHERE event_id % 100 = 0""",
+
+    // the STREAMING no-adoption CDF consumer over the same mirrored
+    // log: a checkpointed format("delta-cdf") drain must land the
+    // identical image multiset the batch bridge read serves
+    "q_delta_cdf_stream" -> """
       SELECT event_id, event_type, value, 'insert' AS change_type,
              CAST(2 AS BIGINT) AS commit_version
       FROM events WHERE event_id % 2 = 0
