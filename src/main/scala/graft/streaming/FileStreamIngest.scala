@@ -137,11 +137,14 @@ object FileStreamIngest {
     */
   private[graft] def loadOrInferSchema(spark: SparkSession, srcDir: String,
       schemaLocation: String): StructType = {
-    val loc = Paths.get(schemaLocation)
+    // storage-seam IO: Auto Loader's schemaLocation lives on the lake
+    // (DBFS/S3 in the reference's setup), so the protocol must work on
+    // any scheme the table format deploys to
+    val loc = graft.tables.GPath(schemaLocation)
     val file = loc.resolve("schema.json")
-    if (Files.exists(file))
+    if (graft.tables.GFiles.exists(file))
       org.apache.spark.sql.types.DataType.fromJson(
-        Files.readString(file)).asInstanceOf[StructType]
+        graft.tables.GFiles.readString(file)).asInstanceOf[StructType]
     else {
       val inferred = spark.read
         .option("recursiveFileLookup", "true")
@@ -151,14 +154,15 @@ object FileStreamIngest {
         _.name == spark.conf.get("spark.sql.columnNameOfCorruptRecord")))
       require(clean.nonEmpty,
         s"schema inference found no parseable JSON under $srcDir")
-      Files.createDirectories(loc)
+      graft.tables.GFiles.createDirectories(loc)
       val tmp = loc.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.writeString(tmp, clean.json)
-      try Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE)
+      graft.tables.GFiles.writeString(tmp, clean.json)
+      try graft.tables.GFiles.moveNoReplace(tmp, file)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp) } // a concurrent first run won: use its schema
+        graft.tables.GFiles.deleteIfExists(tmp)
+        () } // a concurrent first run won: use its schema
       org.apache.spark.sql.types.DataType.fromJson(
-        Files.readString(file)).asInstanceOf[StructType]
+        graft.tables.GFiles.readString(file)).asInstanceOf[StructType]
     }
   }
 
@@ -619,9 +623,10 @@ object FileStreamIngest {
     * real table format), not the rename emulation.
     */
   private def requireLocalPath(targetDir: String): Unit =
-    require(!targetDir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
-      s"upsert emulation requires a local path, got URI '$targetDir' — " +
-        "use TableOps.commitLog or a transactional format for remote storage")
+    require(graft.tables.GPath.schemeOf(targetDir).isEmpty,
+      s"upsert emulation requires a bare local path, got URI '$targetDir' " +
+        "— its isolation rides atomic POSIX directory renames; use " +
+        "TableOps.commitLog (any scheme) for remote storage")
 
   /** Project the live table to the batch's schema. A NARROWER batch is
     * refused (it would silently project existing columns AWAY from every

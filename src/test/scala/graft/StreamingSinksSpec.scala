@@ -150,6 +150,34 @@ class StreamingSinksSpec extends AnyFunSuite {
       "a restart must never silently re-infer the recorded schema")
   }
 
+  test("schemaLocation at a file: URI records and holds through the " +
+      "Hadoop storage binding (Auto Loader's schemaLocation lives on " +
+      "the lake)") {
+    import java.nio.file.Paths
+    val src = tmp("infh-src"); val out = tmp("infh-out")
+    val ckpt = tmp("infh-ckpt")
+    val schemaLoc = "file:" + tmp("infh-schema")
+    Files.writeString(Paths.get(src, "a.json"),
+      "{\"id\": 1, \"px\": 10.5}\n")
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeJsonStreamInferred(spark, src, schemaLoc),
+      out, ckpt)
+    val f = graft.tables.GPath(schemaLoc, "schema.json")
+    assert(graft.tables.GFiles.exists(f),
+      "schema must record at the scheme'd location")
+    val recorded = graft.tables.GFiles.readString(f)
+    // a restart resolves the RECORDED schema from the scheme'd location
+    Files.writeString(Paths.get(src, "b.json"), "{\"id\": 2, \"px\": 1.0}\n")
+    FileStreamIngest.runAvailableNowAppend(
+      FileStreamIngest.bronzeJsonStreamInferred(spark, src, schemaLoc),
+      out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(graft.tables.GFiles.readString(f) == recorded)
+    // don't leak a still-unregistering query into the next test (the
+    // metrics-listener test counts events on the shared session)
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+  }
+
   test("parquet upsert evolves on a wider batch: pre-evolution snapshot null-backfills, never crashes") {
     // the upgrade path: a pipeline restarted with a batch that gained a
     // column (widened source, or an engine upgrade adding a surrogate
