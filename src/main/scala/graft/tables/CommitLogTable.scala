@@ -43,9 +43,10 @@ import org.apache.spark.sql.types.StructType
   * ATOMICITY & ISOLATION. A commit writes its data files first (invisible
   * to readers — nothing references them), then publishes a fully-written
   * manifest via the storage seam's atomic create-if-absent
-  * ([[Store.claim]]): a hard link on bare POSIX roots,
-  * `FileContext.rename(NONE)` on Hadoop filesystems (`hdfs://`,
-  * `file:`) — either way exactly one writer claims version N, giving
+  * ([[Store.claim]]): a hard link on POSIX roots (bare paths and
+  * `file:` URIs), `FileContext.rename(NONE)` on cluster filesystems
+  * with atomic rename (`hdfs://`, `abfss://`) — either way exactly
+  * one writer claims version N, giving
   * optimistic concurrency across THREADS and across PROCESSES alike
   * (nothing is shared in memory; the cross-JVM race is spec-pinned).
   * All metadata IO dispatches per-scheme through [[GFiles]], so the

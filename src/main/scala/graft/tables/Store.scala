@@ -311,9 +311,13 @@ object LocalStore extends Store {
   * [[claim]] follows the published Delta `HDFSLogStore` design: write
   * a temp file fully, `hsync` it, then `FileContext.rename(…,
   * Options.Rename.NONE)` — atomic on HDFS (a NameNode metadata op that
-  * fails if the destination exists) and exists-checked on `file:`.
-  * Schemes whose rename is a non-atomic copy (S3 and friends) REFUSE
-  * the claim with a pointer to `spark.graft.commit.coordinator=lease`,
+  * fails if the destination exists). `file:` URIs do NOT take that
+  * path: the local FileContext's rename(NONE) is exists-checked, not
+  * atomic (a forced race double-wins it), and a `file:` URI is local
+  * by definition — so local URIs claim through [[LocalStore]]'s POSIX
+  * hard link instead, atomic across threads AND processes. Schemes
+  * whose rename is a non-atomic copy (S3 and friends) REFUSE the
+  * claim with a pointer to `spark.graft.commit.coordinator=lease`,
   * exactly the split Delta makes between `HDFSLogStore` and its S3
   * commit coordinators.
   */
@@ -477,6 +481,16 @@ object HadoopStore extends Store {
         s"atomic-create commits are unsupported on '$scheme://' (rename is " +
           "a non-atomic copy there); set " +
           "spark.graft.commit.coordinator=lease for this table's session")
+    // `file:` URIs are local by definition, and the local FileContext's
+    // rename(NONE) is exists-CHECKED, not atomic (a forced 8-way race
+    // double-wins it) — so local URIs claim through the POSIX hard-link
+    // primitive, which IS atomic across threads and processes. The
+    // rename-based claim below is reserved for the filesystems whose
+    // rename really is atomic (HDFS at the NameNode, ADLS gen2).
+    if (scheme == "file") {
+      val localPath = target.toHadoop.toUri.getPath
+      return LocalStore.claim(GPath(localPath), payload)
+    }
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
     // the whole claim rides ONE FileContext (write, durability, rename):
     // mixing the checksummed FileSystem write with a raw FileContext
