@@ -113,7 +113,20 @@ final class DeltaCdfDataSource extends DataSourceRegister
       override def getBatch(start: Option[V1Offset],
           end: V1Offset): org.apache.spark.sql.DataFrame = {
         val from = start.map(ver(_) + 1).getOrElse(starting)
-        consumed = math.max(consumed, ver(end))
+        // seed pacing from BOTH bounds: recovery may call this with the
+        // checkpointed range, and the start offset alone must be enough
+        // to keep getOffset at-or-above the checkpoint even if the
+        // engine's recovery replay behavior ever changes
+        consumed = math.max(consumed,
+          math.max(ver(end), start.map(ver).getOrElse(Long.MinValue)))
+        if (ver(end) < from)
+          // a stale/clamped end below the recovered start is an empty
+          // batch, never a "bad CDF bounds" failure wedging the
+          // checkpoint
+          return org.apache.spark.sql.graftbridge.asStreamingFrame(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              declaredSchema))
         org.apache.spark.sql.graftbridge.asStreamingFrame(
           DeltaLogBridge.readChanges(spark, dir, from, ver(end)))
       }

@@ -4368,50 +4368,86 @@ object CommitLogTable {
     // staged file left past the grace window is a dead stream's orphan
     val streamStage = GPath(dir, "_streaming_stage")
     if (GFiles.isDirectory(streamStage)) {
-      val all = GFiles.walkAll(streamStage)
-      all.filter(p => GFiles.isRegularFile(p) && aged(p)).foreach { p =>
-        if (GFiles.deleteIfExists(p)) deleted += 1
+      // ONE batched sweep serves both passes: file mtimes arrive with
+      // the listing (no per-path stat round-trips), and the dir prune
+      // below works off the same in-memory entries
+      val all = GFiles.walkStatuses(streamStage)
+      val removed = scala.collection.mutable.Set.empty[String]
+      all.foreach { e =>
+        if (!e.isDir && now - e.mtimeMillis > orphanGraceMillis &&
+            GFiles.deleteIfExists(e.path)) {
+          deleted += 1
+          removed += e.path.raw
+        }
       }
       // prune now-empty epoch/query dirs (deepest first). Empty alone is
       // sufficient evidence: a live writer mkdirs-on-demand before staging,
       // and the sweep above just refreshed the parent's mtime by deleting
       // its debris — an aged(d) check here would race against our own
-      // deletes and nondeterministically skip the prune.
-      all.filter(GFiles.isDirectory(_)).sortBy(-_.raw.length).foreach { d =>
-        val empty = GFiles.list(d).isEmpty
-        if (empty && d != streamStage) GFiles.deleteIfExists(d)
+      // deletes and nondeterministically skip the prune. Candidates come
+      // from the sweep: a dir still holding a surviving file (or any
+      // ancestor of one) can't be empty, so it is never even listed.
+      val blocked = scala.collection.mutable.Set.empty[String]
+      all.foreach { e =>
+        if (!e.isDir && !removed.contains(e.path.raw)) {
+          var a = e.path.getParent
+          while (a.raw != streamStage.raw && blocked.add(a.raw))
+            a = a.getParent
+        }
       }
+      all.filter(e => e.isDir && !blocked.contains(e.path.raw))
+        .map(_.path).sortBy(-_.raw.length).foreach { d =>
+          if (GFiles.list(d).isEmpty) GFiles.deleteIfExists(d)
+        }
     }
     val dataRoot = GPath(dir, DataDirName)
     if (!GFiles.isDirectory(dataRoot)) return deleted
-    def walk[T](f: Iterator[GPath] => T): T =
-      f(GFiles.walkAll(dataRoot).iterator)
-    def isMarker(p: GPath): Boolean = {
-      val n = p.fileName
-      n.startsWith("_") || n.startsWith(".")
-    }
-    walk(_.filter(p => GFiles.isRegularFile(p) && !isMarker(p)).toVector)
-      .foreach { p =>
-        val rel = GPath(dir).relativize(p)
-        if (!retainedRefs.contains(rel) && (anyRefs.contains(rel) || aged(p))) {
-          GFiles.deleteIfExists(p); deleted += 1
+    def isMarker(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
+    // ONE batched status sweep serves the orphan pass, the bloom-sidecar
+    // lookups, AND the marker-dir prune: file mtimes ride the listing
+    // (no per-path stat), sidecars resolve from an in-memory group-by
+    // (no per-parent list), and only dirs whose subtree holds nothing
+    // but markers/deleted files are candidates for the prune — on an
+    // object store this is O(1) listings plus one per pruned dir,
+    // instead of one RPC per directory per pass
+    val entries = GFiles.walkStatuses(dataRoot)
+    val fileRaw = entries.filter(!_.isDir).map(_.path.raw).toSet
+    val byParent = entries.filter(!_.isDir).groupBy(_.path.getParent.raw)
+    val prunedBlock = scala.collection.mutable.Set.empty[String]
+    entries.foreach { e =>
+      if (!e.isDir && !isMarker(e.path.fileName)) {
+        val rel = GPath(dir).relativize(e.path)
+        if (!retainedRefs.contains(rel) && (anyRefs.contains(rel) ||
+            now - e.mtimeMillis > orphanGraceMillis)) {
+          GFiles.deleteIfExists(e.path); deleted += 1
           // bloom sidecars ride their data file
-          val prefix = s"_bloom.${p.fileName}."
-          GFiles.list(p.getParent)
-            .filter(_.fileName.startsWith(prefix))
-            .foreach(GFiles.deleteIfExists(_))
-        }
-      }
-    // bottom-up: drop commit dirs holding nothing but markers (_SUCCESS/.crc)
-    walk(_.toVector).sortBy(-_.raw.length).foreach { p =>
-      if (GFiles.isDirectory(p) && p != dataRoot) {
-        val children = GFiles.list(p)
-        if (children.forall(c => GFiles.isRegularFile(c) && isMarker(c))) {
-          children.foreach(GFiles.deleteIfExists(_))
-          GFiles.deleteIfExists(p)
+          val prefix = s"_bloom.${e.path.fileName}."
+          byParent.getOrElse(e.path.getParent.raw, Seq.empty)
+            .filter(_.path.fileName.startsWith(prefix))
+            .foreach(b => GFiles.deleteIfExists(b.path))
+        } else {
+          // a SURVIVING data file blocks the marker-dir prune for its
+          // whole ancestor chain — those dirs are never even listed
+          var a = e.path.getParent
+          while (a.raw != dataRoot.raw && prunedBlock.add(a.raw))
+            a = a.getParent
         }
       }
     }
+    // bottom-up: drop commit dirs holding nothing but markers
+    // (_SUCCESS/.crc). Each candidate's ONE listing re-verifies against
+    // racers: a child that is a directory, unknown to the sweep, or a
+    // non-marker file blocks the drop (the old per-child isRegularFile
+    // gate, answered from the sweep instead of an RPC per child)
+    entries.filter(e => e.isDir && !prunedBlock.contains(e.path.raw))
+      .map(_.path).sortBy(-_.raw.length).foreach { d =>
+        val children = GFiles.list(d)
+        if (children.forall(c => isMarker(c.fileName) &&
+            fileRaw.contains(c.raw))) {
+          children.foreach(GFiles.deleteIfExists(_))
+          GFiles.deleteIfExists(d)
+        }
+      }
     deleted
   }
 

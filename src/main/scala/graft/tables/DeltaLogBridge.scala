@@ -894,8 +894,12 @@ object DeltaLogBridge {
     // perFileVersion (aligned with `live`): attach `_commit_version`
     // per FILE through the same broadcast file_path join the partition
     // values ride — the CDF consolidation's one-scan-per-kind shape. A
-    // path listed for several versions fans out in the join, which is
-    // exactly the per-version multiset a version-at-a-time read served.
+    // path listed at several versions (foreign RESTORE, remove-then-
+    // re-add) must surface once PER LISTING: the scan reads each
+    // DISTINCT path exactly once and the broadcast rows alone fan the
+    // multiplicity out — scanning the duplicated path list too would
+    // square it (k listings → k scans × k join rows = k² copies),
+    // because Spark does not dedupe duplicate scan paths.
     require(perFileVersion == null || perFileVersion.size == live.size,
       "perFileVersion must align with live")
     // surface each column under its LOGICAL name and type: the cast
@@ -931,7 +935,13 @@ object DeltaLogBridge {
           f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
     partCols.foreach(pc => require(s.fields.exists(_.name == pc),
       s"partition column $pc missing from schemaString"))
-    val paths = live.map { case (p, _) => s"$dir/$p" }
+    val allPaths = live.map { case (p, _) => s"$dir/$p" }
+    // when the broadcast join attaches pv/version, it alone carries the
+    // per-listing multiplicity, so the scan MUST be distinct; on the
+    // join-less early-return path below the scan itself is the
+    // multiplicity, so the raw list is the correct one there
+    val joinAttaches = partCols.nonEmpty || perFileVersion != null
+    val paths = if (joinAttaches) allPaths.distinct else allPaths
     val base = spark.read.schema(dataSchema).parquet(paths: _*)
     // lookup keys must render exactly as the scan's _metadata.file_path
     // does: the listing's FileStatus paths carry a NULL authority on

@@ -155,6 +155,12 @@ object GPath {
     s.startsWith("/") || schemeOf(s).nonEmpty
 }
 
+/** One recursive-sweep result row: a file or directory under the
+  * swept root, with the modification time the sweep observed
+  * (0 when the binding inferred the directory rather than listing it).
+  */
+final case class WalkEntry(path: GPath, isDir: Boolean, mtimeMillis: Long)
+
 /** One storage binding: the closed set of filesystem operations the
   * commit-log metadata plane needs. Implementations must make
   * [[Store.claim]] an atomic create-if-absent — the single primitive
@@ -176,8 +182,21 @@ sealed trait Store {
   def list(p: GPath): Seq[GPath]
   /** All regular files under `p`, recursively, unordered. */
   def walkFiles(p: GPath): Seq[GPath]
-  /** Every path under `p` — files AND directories, `p` included. */
-  def walkAll(p: GPath): Seq[GPath]
+  /** One status entry per path under `p` (`p` itself EXCLUDED),
+    * unordered, batched where the store allows it: on the Hadoop
+    * binding this is ONE `listFiles(recursive)` sweep (a NameNode
+    * iterator / flat object-store LIST) with directories INFERRED from
+    * the file paths, plus one probe per file-less subtree hanging off
+    * `p` — never a per-directory `listStatus` recursion (O(dirs) RPCs
+    * on an object store). Two documented fidelity bounds of that
+    * shape, both fine for the vacuum/sweep callers: directory
+    * `mtimeMillis` may be 0 (inferred dirs), and an EMPTY directory
+    * nested under a directory that holds files elsewhere in its
+    * subtree may be omitted (invisible to a file sweep; such dirs are
+    * crashed-writer debris a later sweep retries). The nio binding has
+    * full fidelity. Returns empty for a file or missing `p`.
+    */
+  def walkStatuses(p: GPath): Seq[WalkEntry]
   def deleteIfExists(p: GPath): Boolean
   def deleteRecursively(p: GPath): Unit
   /** Move, replacing any existing destination (atomic where the store
@@ -247,10 +266,37 @@ object LocalStore extends Store {
     finally s.close()
   }
 
-  override def walkAll(p: GPath): Seq[GPath] = {
-    val s = Files.walk(nio(p))
-    try s.iterator().asScala.map(c => GPath(c.toString)).toVector
-    finally s.close()
+  override def walkStatuses(p: GPath): Seq[WalkEntry] = {
+    val root = nio(p)
+    if (!Files.isDirectory(root)) return Seq.empty
+    // one walkFileTree pass: attributes arrive WITH each visit, no
+    // second stat per path; full fidelity (empty dirs included)
+    val b = Vector.newBuilder[WalkEntry]
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[
+        java.nio.file.Path] {
+      override def preVisitDirectory(d: java.nio.file.Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        if (d != root)
+          b += WalkEntry(GPath(d.toString), isDir = true,
+            attrs.lastModifiedTime.toMillis)
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFile(f: java.nio.file.Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        if (attrs.isRegularFile)
+          b += WalkEntry(GPath(f.toString), isDir = false,
+            attrs.lastModifiedTime.toMillis)
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: java.nio.file.Path,
+          e: IOException): java.nio.file.FileVisitResult =
+        // a racer deleted it mid-walk — skip, as Files.walk would throw
+        // where this sweep can simply not report the vanished path
+        java.nio.file.FileVisitResult.CONTINUE
+    })
+    b.result()
   }
 
   override def deleteIfExists(p: GPath): Boolean =
@@ -324,10 +370,16 @@ object LocalStore extends Store {
 object HadoopStore extends Store {
 
   /** Rename on these schemes is server-side copy + delete — never an
-    * atomic create-if-absent. (ADLS gen2 `abfss` IS a hierarchical FS
-    * with atomic rename, so it is absent from this list.)
+    * atomic create-if-absent. `wasb`/`wasbs` (classic Azure blob) and
+    * `swift` belong here too: their rename is client-driven copy.
+    * `abfs`/`abfss` is exempt ONLY because ADLS Gen2 with a
+    * HIERARCHICAL namespace renames atomically at the service; on a
+    * flat-namespace account the driver falls back to copy — deploy
+    * rename-claimed tables on HNS-enabled accounts only, or set
+    * `spark.graft.commit.coordinator=lease` (as for S3).
     */
-  private val NonAtomicRename = Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+  private val NonAtomicRename =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs", "swift")
 
   private def conf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -429,16 +481,55 @@ object HadoopStore extends Store {
     } catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
-  override def walkAll(p: GPath): Seq[GPath] = {
+  /** Batched recursive status sweep — the `walkFiles` shape (ONE
+    * `listFiles(recursive)` round-trip) with directories INFERRED from
+    * the returned file paths (mtime 0, unknowable without a listing),
+    * plus one `listStatus` per FILE-LESS subtree hanging off `p` so a
+    * crashed writer's bare `mkdirs` debris is still discovered (that
+    * probe costs zero RPCs when every subtree holds files — the normal
+    * case). An empty dir nested under a dir with files elsewhere stays
+    * invisible, as the trait contract documents.
+    */
+  override def walkStatuses(p: GPath): Seq[WalkEntry] = {
     val f = fs(p)
-    def go(cur: GPath): Seq[GPath] =
-      cur +: f.listStatus(cur.toHadoop).toSeq.flatMap { st =>
-        val child = cur.resolve(st.getPath.getName)
-        if (st.isDirectory) go(child) else Seq(child)
-      }
     try {
-      if (f.getFileStatus(p.toHadoop).isFile) Seq(p) else go(p)
-    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+      if (f.getFileStatus(p.toHadoop).isFile) return Seq.empty
+    } catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val rootPath = f.makeQualified(p.toHadoop).toUri.getPath
+    val prefix = if (rootPath.endsWith("/")) rootPath else rootPath + "/"
+    val files = Vector.newBuilder[WalkEntry]
+    val dirRels = scala.collection.mutable.LinkedHashSet[String]()
+    val it = f.listFiles(p.toHadoop, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val fp = st.getPath.toUri.getPath
+        require(fp.startsWith(prefix),
+          s"walk result '$fp' escapes root '$prefix'")
+        val rel = fp.substring(prefix.length)
+        files += WalkEntry(p.resolve(rel), isDir = false,
+          st.getModificationTime)
+        var cut = rel.lastIndexOf('/')
+        while (cut > 0 && dirRels.add(rel.substring(0, cut)))
+          cut = rel.lastIndexOf('/', cut - 1)
+      }
+    }
+    // file-less subtrees: recurse ONLY into child dirs the file sweep
+    // never touched — each listing visits a dir that provably holds no
+    // files, so the probe's cost IS the debris being discovered
+    def probe(cur: GPath, curRel: String): Unit =
+      (try f.listStatus(cur.toHadoop).toSeq
+       catch { case _: java.io.FileNotFoundException => Seq.empty })
+        .foreach { st =>
+          if (st.isDirectory) {
+            val name = st.getPath.getName
+            val rel = if (curRel.isEmpty) name else s"$curRel/$name"
+            if (dirRels.add(rel)) probe(cur.resolve(name), rel)
+          }
+        }
+    probe(p, "")
+    files.result() ++
+      dirRels.toVector.map(r => WalkEntry(p.resolve(r), isDir = true, 0L))
   }
 
   override def deleteIfExists(p: GPath): Boolean =
@@ -452,6 +543,20 @@ object HadoopStore extends Store {
   override def moveReplace(src: GPath, dst: GPath): Unit = {
     val f = fs(dst)
     if (!f.rename(src.toHadoop, dst.toHadoop)) {
+      // the replace fallback below is delete-then-rename, which opens a
+      // window where the destination is absent. The deterministic-
+      // content racers (DV files, hint rewrites) replace with IDENTICAL
+      // bytes — detect that case and succeed without ever deleting the
+      // destination, so concurrent readers never see it vanish
+      val dstSt =
+        try Some(f.getFileStatus(dst.toHadoop))
+        catch { case _: java.io.FileNotFoundException => None }
+      if (dstSt.exists(st => st.isFile && st.getLen <= (64L << 20) &&
+          st.getLen == f.getFileStatus(src.toHadoop).getLen &&
+          java.util.Arrays.equals(readAllBytes(dst), readAllBytes(src)))) {
+        f.delete(src.toHadoop, false)
+        return
+      }
       f.delete(dst.toHadoop, false)
       if (!f.rename(src.toHadoop, dst.toHadoop))
         throw new IOException(s"rename $src -> $dst failed")
@@ -556,7 +661,7 @@ object GFiles {
   def createDirectories(p: GPath): Unit = Store.of(p).createDirectories(p)
   def list(p: GPath): Seq[GPath] = Store.of(p).list(p)
   def walkFiles(p: GPath): Seq[GPath] = Store.of(p).walkFiles(p)
-  def walkAll(p: GPath): Seq[GPath] = Store.of(p).walkAll(p)
+  def walkStatuses(p: GPath): Seq[WalkEntry] = Store.of(p).walkStatuses(p)
   def deleteIfExists(p: GPath): Boolean = Store.of(p).deleteIfExists(p)
   def deleteRecursively(p: GPath): Unit = Store.of(p).deleteRecursively(p)
   def moveReplace(src: GPath, dst: GPath): Unit =

@@ -137,6 +137,75 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("a path listed at k versions in one range (foreign RESTORE / " +
+      "remove-then-re-add) yields k image sets, never k²") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    // hand-authored foreign log: the SAME data file is added at v0,
+    // removed at v1, re-added at v2 — so the consolidated derived-insert
+    // read lists one path at TWO versions. The scan must read the path
+    // once and let the broadcast (path, version) rows fan the
+    // multiplicity out; scanning the duplicated list too squares it.
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1).write.parquet(dir)
+    val dataFile = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .find(_.endsWith(".parquet")).get
+      finally s.close()
+    }
+    // a cdc parquet shared by TWO commits (v3, v4) — same dup shape on
+    // the cdc-exclusive branch, _change_type travels in-data
+    Seq((9L, "u", "update_postimage")).toDF("k", "s", "_change_type")
+      .coalesce(1).write.parquet(s"$dir/_change_data")
+    val cdcFile = {
+      val s = Files.list(Paths.get(dir, "_change_data"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .find(_.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))).json.replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    def jsonAt(v: Int, body: String): Unit =
+      Files.write(Paths.get(dir,
+        f"_delta_log/$v%020d.json"), body.getBytes(UTF_8))
+    jsonAt(0,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"feed","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}
+         |{"add":{"path":"$dataFile","partitionValues":{},"size":100,"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin)
+    jsonAt(1,
+      s"""{"remove":{"path":"$dataFile","deletionTimestamp":1700000001000,"dataChange":true}}
+         |""".stripMargin)
+    jsonAt(2,
+      s"""{"add":{"path":"$dataFile","partitionValues":{},"size":100,"modificationTime":1700000002000,"dataChange":true}}
+         |""".stripMargin)
+    jsonAt(3,
+      s"""{"cdc":{"path":"_change_data/$cdcFile","partitionValues":{},"size":100,"dataChange":false}}
+         |""".stripMargin)
+    jsonAt(4,
+      s"""{"cdc":{"path":"_change_data/$cdcFile","partitionValues":{},"size":100,"dataChange":false}}
+         |""".stripMargin)
+    val df = DeltaLogBridge.readChanges(spark, dir, 0, 4)
+    val got = df.select("k", "s", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // exactly one image per (row, listing): 2 inserts @v0, 2 deletes
+    // @v1, 2 inserts @v2, 1 cdc image @v3 and @v4 — 8 rows, all distinct
+    assert(got.size == 8, s"expected 8 images (k per listing), got " +
+      s"${got.size}: ${got.sorted.mkString("; ")}")
+    assert(got.distinct.size == 8, "duplicate images — the scan is " +
+      "multiplying the broadcast fan-out")
+    assert(got.count(x => x._3 == "insert" && x._4 == 0L) == 2)
+    assert(got.count(x => x._3 == "delete" && x._4 == 1L) == 2)
+    assert(got.count(x => x._3 == "insert" && x._4 == 2L) == 2)
+    assert(got.count(x => x._3 == "update_postimage" && x._4 == 3L) == 1)
+    assert(got.count(x => x._3 == "update_postimage" && x._4 == 4L) == 1)
+  }
+
   test("a retention-trimmed log serves survivors by default; an " +
       "explicit start below the floor refuses loudly") {
     val root = tmpDir()

@@ -72,8 +72,19 @@ class StoreSpec extends AnyFunSuite {
     // list sees the child by the caller's own path form
     assert(st.list(dir).map(_.raw) == Seq(f.raw))
     assert(st.walkFiles(root).map(_.raw) == Seq(f.raw))
-    assert(st.walkAll(root).map(_.raw).toSet ==
-      Set(root.raw, root.resolve("d1").raw, dir.raw, f.raw))
+    // batched status sweep: the file with a real mtime, both ancestor
+    // dirs present, root excluded
+    val sw = st.walkStatuses(root)
+    assert(sw.map(e => (e.path.raw, e.isDir)).toSet ==
+      Set((root.resolve("d1").raw, true), (dir.raw, true), (f.raw, false)))
+    assert(sw.find(_.path.raw == f.raw).get.mtimeMillis > 0L)
+    // a crashed writer's bare mkdirs — a FILE-LESS subtree, invisible
+    // to a recursive file listing — is still discovered by the probe
+    st.createDirectories(root.resolve("ghost").resolve("sub"))
+    assert(st.walkStatuses(root).filter(_.isDir).map(_.path.raw).toSet ==
+      Set(root.resolve("d1").raw, dir.raw, root.resolve("ghost").raw,
+        root.resolve("ghost").resolve("sub").raw))
+    st.deleteRecursively(root.resolve("ghost"))
     // moveNoReplace refuses an existing destination
     val g = dir.resolve("y.bin")
     st.moveNoReplace(f, g)
