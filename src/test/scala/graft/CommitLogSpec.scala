@@ -51,6 +51,13 @@ class CommitLogSpec extends AnyFunSuite {
   protected def tmpDir(): String =
     Files.createTempDirectory("graft-commitlog-spec").toString
 
+  /** Extra JVM flags for the cross-JVM race's second process —
+    * [[CommitLogLeaseSpec]] passes the lease-coordinator conf through
+    * (SparkSession.builder absorbs `spark.*` system properties), so
+    * both racing processes arbitrate by the SAME protocol.
+    */
+  protected def raceJvmFlags: Seq[String] = Seq.empty
+
   private def rows(df: DataFrame): Set[(Long, String, Double)] =
     df.select("k", "cat", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
@@ -1218,9 +1225,10 @@ class CommitLogSpec extends AnyFunSuite {
     val n = 4
     val jvm = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
-    val pb = new ProcessBuilder(jvm, "-Xmx2g", "-cp",
-      System.getProperty("java.class.path"),
-      "graft.CommitRaceAppender", dir, n.toString, "other")
+    val pb = new ProcessBuilder(
+      (Seq(jvm, "-Xmx2g") ++ raceJvmFlags ++ Seq("-cp",
+        System.getProperty("java.class.path"),
+        "graft.CommitRaceAppender", dir, n.toString, "other")): _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
     // race it from THIS process while the other JVM spins up and appends

@@ -137,6 +137,67 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("restart-to-widen: a foreign schema evolution mid-stream is " +
+      "served after restart — new column on post-evolution images, " +
+      "null-backfill on pre-evolution rows") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true")) // v1 (mirror seeds here)
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v2, pre-evolution
+    // schema-flexible drain: foreachBatch records rows under whatever
+    // schema the restarted source declares (a parquet sink would pin
+    // wave 1's schema and hide the widening)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[Long], String, Long)]
+    def drainFB(ckpt: String): org.apache.spark.sql.types.StructType = {
+      var schema: org.apache.spark.sql.types.StructType = null
+      val q = spark.readStream.format("delta-cdf").option("path", dir)
+        .load().writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          schema = df.schema
+          val hasExtra = df.schema.fieldNames.contains("extra")
+          df.collect().foreach { r =>
+            seen.synchronized { seen += ((r.getLong(r.fieldIndex("k")),
+              r.getString(r.fieldIndex("v")),
+              if (hasExtra && !r.isNullAt(r.fieldIndex("extra")))
+                Some(r.getLong(r.fieldIndex("extra"))) else None,
+              r.getString(r.fieldIndex("_change_type")),
+              r.getLong(r.fieldIndex("_commit_version")))) }
+          }
+        }.trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+      schema
+    }
+    val s1 = drainFB(root + "/ckpt")
+    assert(!s1.fieldNames.contains("extra"))
+    assert(seen.toSet == Set((1L, "a", None, "insert", 2L)))
+    // the FOREIGN writer evolves the schema mid-stream (the reference's
+    // Auto Loader addNewColumns restart pattern,
+    // docs/databricks_setup.md:120): a wider append commits v3 with the
+    // mirrored metaData carrying the new column
+    t.append(Seq((2L, "b", 7L)).toDF("k", "v", "extra"),
+      mergeSchema = true) // v3
+    // restart widens: the source re-resolves the log HEAD's schema, and
+    // ONLY v3 arrives (exactly-once held across the widening)
+    seen.clear()
+    val s2 = drainFB(root + "/ckpt")
+    assert(s2.fieldNames.contains("extra"),
+      s"restart must widen, got ${s2.fieldNames.mkString(",")}")
+    assert(seen.toSet == Set((2L, "b", Some(7L), "insert", 3L)))
+    // a FRESH consumer starting from scratch post-evolution reads the
+    // whole feed under the END schema: the pre-evolution image
+    // null-backfills the new column
+    seen.clear()
+    drainFB(root + "/ckpt2")
+    assert(seen.toSet == Set(
+      (1L, "a", None, "insert", 2L),
+      (2L, "b", Some(7L), "insert", 3L)))
+  }
+
   test("a path listed at k versions in one range (foreign RESTORE / " +
       "remove-then-re-add) yields k image sets, never k²") {
     val root = tmpDir()
