@@ -3134,6 +3134,70 @@ object Queries {
         col("_commit_version").as("commit_version"))
   }
 
+  /** The reference's FULL CDF-driven Silver loop over a foreign log,
+    * composed end-to-end as a pure consumer (round 17;
+    * `docs/databricks_setup.md:170-198`): a `format("delta-cdf")` stream
+    * follows a foreign Delta table's change feed and each micro-batch
+    * MERGEs latest-wins into a commit-log Silver table — checkpointed
+    * across TWO waves of foreign commits (appends + cdc updates), so
+    * wave 2 replays nothing of wave 1 — and the gold read serves the
+    * reconstructed state with a per-type window rank. No adoption
+    * anywhere: the foreign log stays foreign; Silver is the consumer's
+    * own transactional table.
+    */
+  def deltaSilverMedallion(s: SparkSession, dir: String): DataFrame = {
+    val root = stampedTmpDir(s, dir, "graft-silver-medallion", "events")
+    val bronze = s"$root/bronze"
+    val silver = s"$root/silver"
+    def drain(): Unit = {
+      val q = s.readStream.format("delta-cdf").option("path", bronze)
+        .load().writeStream.option("checkpointLocation", s"$root/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the reference's Silver recipe: drop preimages, collapse to
+          // the LATEST image per key in the batch, MERGE
+          val latest = graft.operators.Dedup.keepLast(
+            batch.where(col("_change_type")
+              .isin("insert", "update_postimage")),
+            Seq("event_id"), Seq(col("_commit_version").desc))
+            .select(col("event_id"), col("event_type"), col("value"))
+          graft.tables.CommitLogTable.open(s, silver)
+            .merge(latest, Seq("event_id"), Seq(col("event_id")))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "medallion stream stalled")
+    }
+    SessionMemo.once(s, s"deltaSilverMedallion:$dir") {
+      if (!graft.tables.CommitLogTable.exists(bronze)) {
+        val df = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val t = graft.tables.CommitLogTable.create(s, bronze, df.schema)
+        t.setProperties(Map( // v1, mirror seeds here
+          graft.tables.DeltaLogBridge.MirrorProp -> "true",
+          "delta.enableChangeDataFeed" -> "true"))
+        graft.tables.CommitLogTable.create(s, silver, df.schema)
+        // wave 1: an append and a cdc update, drained through the
+        // checkpointed consumer
+        t.append(df.filter(col("event_id") % 3 === 0)) // v2
+        t.update(col("event_id") % 100 === 0,
+          Map("value" -> (col("value") + lit(1.0)))) // v3: cdc
+        drain()
+        // wave 2: the foreign writer keeps moving; the restarted
+        // consumer serves ONLY v4..v5
+        t.append(df.filter(col("event_id") % 3 === 1)) // v4
+        t.update(col("event_id") % 100 === 1,
+          Map("value" -> (col("value") + lit(2.0)))) // v5: cdc
+        drain()
+      }
+    }
+    s.read.format("commitlog").load(silver)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy(col("event_type"))
+        .orderBy(col("event_id"))))
+  }
+
   /** Two-engine coexistence (round 16): a mirror-enabled graft table's
     * `_delta_log` receives a FOREIGN Delta commit (an external writer's
     * plain append, authored here protocol-verbatim — the reference's

@@ -198,6 +198,7 @@ object SparkEntry {
     "q_delta_cdf_bridge" -> (Queries.deltaCdfBridge _),
     "q_delta_reconcile" -> (Queries.deltaReconcile _),
     "q_delta_cdf_stream" -> (Queries.deltaCdfStream _),
+    "q_delta_silver_medallion" -> (Queries.deltaSilverMedallion _),
     "q_table_cdf_ts" -> (Queries.tableCdfTs _),
     "q_table_cdf" -> (Queries.tableCdf _),
     "q_table_sql" -> (Queries.tableSql _),
@@ -3998,6 +3999,22 @@ object SparkEntry {
              'update_postimage' AS change_type,
              CAST(4 AS BIGINT) AS commit_version
       FROM events WHERE event_id % 100 = 0""",
+
+    // the composed CDF-driven Silver loop over a foreign log: two
+    // checkpointed delta-cdf waves MERGE latest-wins into a commitlog
+    // Silver — wave 1 lands %3=0 rows with +1 on %100=0 (the update
+    // only matched rows already present, i.e. %3=0); wave 2 adds %3=1
+    // rows and applies +2 on %100=1 to every present row
+    "q_delta_silver_medallion" -> """
+      SELECT event_id, event_type,
+             value
+               + CASE WHEN event_id % 100 = 0 AND event_id % 3 = 0
+                      THEN 1.0 ELSE 0.0 END
+               + CASE WHEN event_id % 100 = 1 THEN 2.0 ELSE 0.0 END
+               AS value,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY event_id) AS INT) AS rn
+      FROM events WHERE event_id % 3 IN (0, 1)""",
 
     // two-engine coexistence: a foreign Delta append pulls into the
     // commit log before graft's next commit — the final table holds
