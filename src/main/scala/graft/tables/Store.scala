@@ -452,52 +452,65 @@ object HadoopStore extends Store {
     fs(p).listStatus(p.toHadoop).toSeq
       .map(st => p.resolve(st.getPath.getName))
 
-  /** Recursive file listing via ONE `listFiles(recursive)` sweep — on
-    * HDFS a batched NameNode iterator, on object stores a flat prefix
-    * LIST — instead of a per-directory `listStatus` recursion. Results
-    * re-anchor under the caller's path form by the URI *path-component*
-    * suffix (components are rendering-stable even when the FileSystem
-    * qualifies URIs differently than the caller wrote them).
+  /** `listFiles(recursive)` is the server-batched sweep on real remote
+    * filesystems (one NameNode iterator on HDFS, a flat prefix LIST on
+    * object stores) — but on the bundled LOCAL filesystem every
+    * `LocatedFileStatus` eagerly loads permissions by exec'ing `ls`
+    * PER FILE (~8 ms each; a 6 400-file sweep measured 54 s), while
+    * plain `listStatus` keeps permissions lazy and costs ~0.2 ms per
+    * directory. `file:` URIs therefore walk by per-directory
+    * `listStatus` — the local double's fast path, which also has full
+    * empty-directory fidelity — and every genuinely remote scheme
+    * takes the one batched call.
     */
-  override def walkFiles(p: GPath): Seq[GPath] = {
-    val f = fs(p)
-    try {
-      if (f.getFileStatus(p.toHadoop).isFile) return Seq(p)
-      val rootPath = f.makeQualified(p.toHadoop).toUri.getPath
-      val prefix =
-        if (rootPath.endsWith("/")) rootPath else rootPath + "/"
-      val it = f.listFiles(p.toHadoop, true)
-      val b = Vector.newBuilder[GPath]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile) {
-          val fp = st.getPath.toUri.getPath
-          require(fp.startsWith(prefix),
-            s"walk result '$fp' escapes root '$prefix'")
-          b += p.resolve(fp.substring(prefix.length))
-        }
-      }
-      b.result()
-    } catch { case _: java.io.FileNotFoundException => Seq.empty }
-  }
+  private def batchedListing(p: GPath): Boolean = p.scheme != "file"
 
-  /** Batched recursive status sweep — the `walkFiles` shape (ONE
-    * `listFiles(recursive)` round-trip) with directories INFERRED from
+  /** Recursive file listing: ONE `listFiles(recursive)` sweep on
+    * remote schemes (see [[batchedListing]]), per-directory
+    * `listStatus` on `file:`. Results re-anchor under the caller's
+    * path form by the URI *path-component* suffix (components are
+    * rendering-stable even when the FileSystem qualifies URIs
+    * differently than the caller wrote them).
+    */
+  override def walkFiles(p: GPath): Seq[GPath] =
+    walkStatuses(p).collect { case WalkEntry(path, false, _) => path } match {
+      case files if files.nonEmpty || !isRegularFile(p) => files
+      case _ => Seq(p) // a file root: walkFiles reports the file itself
+    }
+
+  /** Batched recursive status sweep. Remote schemes: ONE
+    * `listFiles(recursive)` round-trip with directories INFERRED from
     * the returned file paths (mtime 0, unknowable without a listing),
     * plus one `listStatus` per FILE-LESS subtree hanging off `p` so a
     * crashed writer's bare `mkdirs` debris is still discovered (that
-    * probe costs zero RPCs when every subtree holds files — the normal
-    * case). An empty dir nested under a dir with files elsewhere stays
-    * invisible, as the trait contract documents.
+    * probe costs zero extra RPCs when every subtree holds files — the
+    * normal case); an empty dir nested under a dir with files
+    * elsewhere stays invisible, as the trait contract documents.
+    * `file:` URIs: per-directory `listStatus` recursion (see
+    * [[batchedListing]] — the batched call is pathological on the
+    * local filesystem), statuses collected in the same pass, full
+    * fidelity.
     */
   override def walkStatuses(p: GPath): Seq[WalkEntry] = {
     val f = fs(p)
     try {
       if (f.getFileStatus(p.toHadoop).isFile) return Seq.empty
     } catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val out = Vector.newBuilder[WalkEntry]
+    if (!batchedListing(p)) {
+      def go(cur: GPath): Unit =
+        (try f.listStatus(cur.toHadoop).toSeq
+         catch { case _: java.io.FileNotFoundException => Seq.empty })
+          .foreach { st =>
+            val child = cur.resolve(st.getPath.getName)
+            out += WalkEntry(child, st.isDirectory, st.getModificationTime)
+            if (st.isDirectory) go(child)
+          }
+      go(p)
+      return out.result()
+    }
     val rootPath = f.makeQualified(p.toHadoop).toUri.getPath
     val prefix = if (rootPath.endsWith("/")) rootPath else rootPath + "/"
-    val files = Vector.newBuilder[WalkEntry]
     val dirRels = scala.collection.mutable.LinkedHashSet[String]()
     val it = f.listFiles(p.toHadoop, true)
     while (it.hasNext) {
@@ -507,7 +520,7 @@ object HadoopStore extends Store {
         require(fp.startsWith(prefix),
           s"walk result '$fp' escapes root '$prefix'")
         val rel = fp.substring(prefix.length)
-        files += WalkEntry(p.resolve(rel), isDir = false,
+        out += WalkEntry(p.resolve(rel), isDir = false,
           st.getModificationTime)
         var cut = rel.lastIndexOf('/')
         while (cut > 0 && dirRels.add(rel.substring(0, cut)))
@@ -528,7 +541,7 @@ object HadoopStore extends Store {
           }
         }
     probe(p, "")
-    files.result() ++
+    out.result() ++
       dirRels.toVector.map(r => WalkEntry(p.resolve(r), isDir = true, 0L))
   }
 

@@ -137,6 +137,35 @@ class DeltaCdfStreamSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("pacing recovery is seeded by the start offset alone: a stale " +
+      "end below the recovered start is an empty batch, and the next " +
+      "offset never falls below the checkpoint") {
+    val root = tmpDir()
+    val dir = root + "/t"
+    val t = CommitLogTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    t.setProperties(Map(
+      DeltaLogBridge.MirrorProp -> "true",
+      "delta.enableChangeDataFeed" -> "true")) // v1 (checkpoint seed)
+    (1 to 4).foreach(i =>
+      t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))) // v2..v5
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = new graft.sources.DeltaCdfDataSource().createSource(
+      spark.sqlContext, root + "/meta", None, "delta-cdf",
+      Map("path" -> dir, "maxVersionsPerTrigger" -> "1"))
+    // the engine's recovery replay hands back the checkpointed range
+    // with a stale end: end(3) < recovered start(4)+1 must be an EMPTY
+    // frame, never the "bad CDF bounds" failure that wedges the
+    // checkpoint
+    val empty = src.getBatch(Some(LongOffset(4L)), LongOffset(3L))
+    assert(empty.schema.fieldNames.contains("_commit_version"))
+    // ...and the recovered START seeded the pacing state: with one
+    // version per trigger the next offset is 5 (4+1), not the 4 a
+    // stale-end-only seed would produce (which could replan at or
+    // below the checkpoint)
+    assert(src.getOffset.map(_.json.toLong).contains(5L))
+  }
+
   test("restart-to-widen: a foreign schema evolution mid-stream is " +
       "served after restart — new column on post-evolution images, " +
       "null-backfill on pre-evolution rows") {
