@@ -317,7 +317,7 @@ private[graft] object DeletionVectors {
     val tmp = target.getParent.resolve(
       s".tmp-dv-${java.util.UUID.randomUUID()}")
     GFiles.write(tmp, buf.array())
-    try GFiles.moveReplace(tmp, target)
+    try GFiles.moveReplaceIdempotent(tmp, target)
     finally GFiles.deleteIfExists(tmp)
     offsets
   }

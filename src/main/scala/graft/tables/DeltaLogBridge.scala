@@ -1235,7 +1235,7 @@ object DeltaLogBridge {
     }
     val tmp = logDir.resolve(s".tmp-export-${java.util.UUID.randomUUID()}")
     GFiles.write(tmp, sb.toString.getBytes(UTF_8))
-    try GFiles.moveReplace(tmp, logDir.resolve(deltaName(0L)))
+    try GFiles.moveReplaceIdempotent(tmp, logDir.resolve(deltaName(0L)))
     finally GFiles.deleteIfExists(tmp)
     snap.files.size
   }
@@ -2325,7 +2325,7 @@ object DeltaLogBridge {
       val t = target.getParent.resolve(
         s".tmp-${java.util.UUID.randomUUID()}")
       write(t)
-      try GFiles.moveReplace(t, target)
+      try GFiles.moveReplaceIdempotent(t, target)
       finally GFiles.deleteIfExists(t)
     }
     def copyTo(target: GPath, part: GPath): Unit =

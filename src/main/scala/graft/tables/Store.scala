@@ -201,9 +201,16 @@ sealed trait Store {
   def deleteRecursively(p: GPath): Unit
   /** Move, replacing any existing destination (atomic where the store
     * offers it; the call sites that use this tolerate a non-atomic
-    * replace — hint files, idempotent re-writes of identical content).
+    * replace — hint files, lease puts).
     */
   def moveReplace(src: GPath, dst: GPath): Unit
+  /** [[moveReplace]] for DETERMINISTIC-content targets (DV files, the
+    * mirror's seed emissions): when the destination already holds
+    * exactly `src`'s bytes — a racer's identical publish — succeed
+    * WITHOUT deleting it, so concurrent readers never observe the
+    * target absent. Falls back to a plain replace when bytes differ.
+    */
+  def moveReplaceIdempotent(src: GPath, dst: GPath): Unit
   /** Move that fails with [[FileAlreadyExistsException]] when the
     * destination exists.
     */
@@ -295,6 +302,11 @@ object LocalStore extends Store {
         // a racer deleted it mid-walk — skip, as Files.walk would throw
         // where this sweep can simply not report the vanished path
         java.nio.file.FileVisitResult.CONTINUE
+      override def postVisitDirectory(d: java.nio.file.Path,
+          e: IOException): java.nio.file.FileVisitResult =
+        // same tolerance for a directory vanishing mid-iteration — the
+        // default rethrows, which would crash a concurrent vacuum
+        java.nio.file.FileVisitResult.CONTINUE
     })
     b.result()
   }
@@ -317,6 +329,11 @@ object LocalStore extends Store {
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         Files.move(nio(src), nio(dst), StandardCopyOption.REPLACE_EXISTING)
     }
+
+  // ATOMIC_MOVE replaces with no absence window — the idempotent
+  // contract holds without a byte compare
+  override def moveReplaceIdempotent(src: GPath, dst: GPath): Unit =
+    moveReplace(src, dst)
 
   override def moveNoReplace(src: GPath, dst: GPath): Unit =
     Files.move(nio(src), nio(dst))
@@ -467,16 +484,47 @@ object HadoopStore extends Store {
 
   /** Recursive file listing: ONE `listFiles(recursive)` sweep on
     * remote schemes (see [[batchedListing]]), per-directory
-    * `listStatus` on `file:`. Results re-anchor under the caller's
-    * path form by the URI *path-component* suffix (components are
-    * rendering-stable even when the FileSystem qualifies URIs
-    * differently than the caller wrote them).
+    * `listStatus` on `file:`. No directory inference, no file-less
+    * probe — files only, the minimum round-trips. Results re-anchor
+    * under the caller's path form by the URI *path-component* suffix
+    * (components are rendering-stable even when the FileSystem
+    * qualifies URIs differently than the caller wrote them). A path
+    * vanishing mid-iteration (concurrent vacuum/cleanup) yields the
+    * entries listed so far rather than crashing the caller.
     */
-  override def walkFiles(p: GPath): Seq[GPath] =
-    walkStatuses(p).collect { case WalkEntry(path, false, _) => path } match {
-      case files if files.nonEmpty || !isRegularFile(p) => files
-      case _ => Seq(p) // a file root: walkFiles reports the file itself
+  override def walkFiles(p: GPath): Seq[GPath] = {
+    val f = fs(p)
+    try {
+      if (f.getFileStatus(p.toHadoop).isFile) return Seq(p)
+    } catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val b = Vector.newBuilder[GPath]
+    if (!batchedListing(p)) {
+      def go(cur: GPath): Unit =
+        (try f.listStatus(cur.toHadoop).toSeq
+         catch { case _: java.io.FileNotFoundException => Seq.empty })
+          .foreach { st =>
+            val child = cur.resolve(st.getPath.getName)
+            if (st.isDirectory) go(child) else b += child
+          }
+      go(p)
+      return b.result()
     }
+    val rootPath = f.makeQualified(p.toHadoop).toUri.getPath
+    val prefix = if (rootPath.endsWith("/")) rootPath else rootPath + "/"
+    try {
+      val it = f.listFiles(p.toHadoop, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val fp = st.getPath.toUri.getPath
+          require(fp.startsWith(prefix),
+            s"walk result '$fp' escapes root '$prefix'")
+          b += p.resolve(fp.substring(prefix.length))
+        }
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    b.result()
+  }
 
   /** Batched recursive status sweep. Remote schemes: ONE
     * `listFiles(recursive)` round-trip with directories INFERRED from
@@ -512,21 +560,25 @@ object HadoopStore extends Store {
     val rootPath = f.makeQualified(p.toHadoop).toUri.getPath
     val prefix = if (rootPath.endsWith("/")) rootPath else rootPath + "/"
     val dirRels = scala.collection.mutable.LinkedHashSet[String]()
-    val it = f.listFiles(p.toHadoop, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile) {
-        val fp = st.getPath.toUri.getPath
-        require(fp.startsWith(prefix),
-          s"walk result '$fp' escapes root '$prefix'")
-        val rel = fp.substring(prefix.length)
-        out += WalkEntry(p.resolve(rel), isDir = false,
-          st.getModificationTime)
-        var cut = rel.lastIndexOf('/')
-        while (cut > 0 && dirRels.add(rel.substring(0, cut)))
-          cut = rel.lastIndexOf('/', cut - 1)
+    // a directory vanishing mid-iteration (concurrent vacuum/cleanup)
+    // yields the entries seen so far, as the old guarded walk did
+    try {
+      val it = f.listFiles(p.toHadoop, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val fp = st.getPath.toUri.getPath
+          require(fp.startsWith(prefix),
+            s"walk result '$fp' escapes root '$prefix'")
+          val rel = fp.substring(prefix.length)
+          out += WalkEntry(p.resolve(rel), isDir = false,
+            st.getModificationTime)
+          var cut = rel.lastIndexOf('/')
+          while (cut > 0 && dirRels.add(rel.substring(0, cut)))
+            cut = rel.lastIndexOf('/', cut - 1)
+        }
       }
-    }
+    } catch { case _: java.io.FileNotFoundException => () }
     // file-less subtrees: recurse ONLY into child dirs the file sweep
     // never touched — each listing visits a dir that provably holds no
     // files, so the probe's cost IS the debris being discovered
@@ -556,24 +608,30 @@ object HadoopStore extends Store {
   override def moveReplace(src: GPath, dst: GPath): Unit = {
     val f = fs(dst)
     if (!f.rename(src.toHadoop, dst.toHadoop)) {
-      // the replace fallback below is delete-then-rename, which opens a
-      // window where the destination is absent. The deterministic-
-      // content racers (DV files, hint rewrites) replace with IDENTICAL
-      // bytes — detect that case and succeed without ever deleting the
-      // destination, so concurrent readers never see it vanish
-      val dstSt =
-        try Some(f.getFileStatus(dst.toHadoop))
-        catch { case _: java.io.FileNotFoundException => None }
-      if (dstSt.exists(st => st.isFile && st.getLen <= (64L << 20) &&
-          st.getLen == f.getFileStatus(src.toHadoop).getLen &&
-          java.util.Arrays.equals(readAllBytes(dst), readAllBytes(src)))) {
-        f.delete(src.toHadoop, false)
-        return
-      }
       f.delete(dst.toHadoop, false)
       if (!f.rename(src.toHadoop, dst.toHadoop))
         throw new IOException(s"rename $src -> $dst failed")
     }
+  }
+
+  override def moveReplaceIdempotent(src: GPath, dst: GPath): Unit = {
+    val f = fs(dst)
+    if (f.rename(src.toHadoop, dst.toHadoop)) return
+    // the replace fallback is delete-then-rename, which opens a window
+    // where the destination is absent. Idempotent targets replace with
+    // IDENTICAL bytes (a racer's deterministic publish) — detect that
+    // and succeed without ever deleting the destination, so concurrent
+    // readers never see it vanish. Every probe is race-guarded: a file
+    // vanishing mid-compare just falls through to the plain replace.
+    val same =
+      try {
+        val dstSt = f.getFileStatus(dst.toHadoop)
+        dstSt.isFile && dstSt.getLen <= (64L << 20) &&
+          dstSt.getLen == f.getFileStatus(src.toHadoop).getLen &&
+          java.util.Arrays.equals(readAllBytes(dst), readAllBytes(src))
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (same) { f.delete(src.toHadoop, false); return }
+    moveReplace(src, dst)
   }
 
   override def moveNoReplace(src: GPath, dst: GPath): Unit = {
@@ -679,6 +737,8 @@ object GFiles {
   def deleteRecursively(p: GPath): Unit = Store.of(p).deleteRecursively(p)
   def moveReplace(src: GPath, dst: GPath): Unit =
     Store.of(dst).moveReplace(src, dst)
+  def moveReplaceIdempotent(src: GPath, dst: GPath): Unit =
+    Store.of(dst).moveReplaceIdempotent(src, dst)
   def moveNoReplace(src: GPath, dst: GPath): Unit =
     Store.of(dst).moveNoReplace(src, dst)
   def copyReplace(src: GPath, dst: GPath): Unit =

@@ -97,6 +97,19 @@ class StoreSpec extends AnyFunSuite {
     assert(!st.exists(f))
     st.copyReplace(g, f)
     assert(st.readAllBytes(f).toSeq == Seq[Byte](9))
+    // idempotent replace: identical destination bytes succeed with the
+    // src consumed and the destination untouched; different bytes
+    // replace as usual
+    val h1 = dir.resolve("h1.bin")
+    val h2 = dir.resolve("h2.bin")
+    st.write(h1, Array[Byte](7, 7), sync = false)
+    st.write(h2, Array[Byte](7, 7), sync = false)
+    st.moveReplaceIdempotent(h1, h2)
+    assert(!st.exists(h1) && st.readAllBytes(h2).toSeq == Seq[Byte](7, 7))
+    st.write(h1, Array[Byte](8), sync = false)
+    st.moveReplaceIdempotent(h1, h2)
+    assert(!st.exists(h1) && st.readAllBytes(h2).toSeq == Seq[Byte](8))
+    st.deleteIfExists(h2)
     assert(st.deleteIfExists(f) && !st.deleteIfExists(f))
     st.deleteRecursively(root.resolve("d1"))
     assert(!st.exists(dir))
