@@ -23,6 +23,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # a temp_directory lets DuckDB SPILL big hash joins/group-bys instead
+    # of dying with "Failed to allocate block" when the box is loaded —
+    # the heavy shared-CTE oracles (minhash reach) hit that twice at
+    # sf0.1 under co-tenant memory pressure
+    con.sql("SET temp_directory='/tmp/duckdb_verify_spill'")
+    con.sql("SET max_temp_directory_size='60GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
