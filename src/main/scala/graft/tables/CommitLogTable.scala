@@ -776,16 +776,26 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
       // idle-batch guard would ADD a pipeline execution instead of
       // reusing one)
       val latest = graft.operators.Dedup
-        .keepLast(aligned.filter(!anyKeyNull), keys, order)
-        .unionByName(aligned.filter(anyKeyNull)).persist()
+        .keepLast(aligned.filter(!anyKeyNull), keys, order).persist()
+      // NULL-keyed rows are independent inserts (a NULL merge key never
+      // equi-matches anything) that BYPASS the join: unioning them into
+      // `latest` would destroy the dedup window's hash partitioning and
+      // force the join to re-shuffle the whole batch a second time
+      // (guide §2.4 — the window and the join share one exchange now);
+      // they rejoin as unions into the snapshot write and the change
+      // set below, and their target files are fresh inserts, so their
+      // partitions don't enter the copy-on-write affected set at all.
+      val nullRows = aligned.filter(anyKeyNull)
+        .select(schema2.fieldNames.map(col).toSeq: _*).persist()
       try {
       // idle-stream guard: an empty update batch must not publish — on
       // an unpartitioned table it would select EVERY file as affected
       // and rewrite the whole snapshot for nothing, once per idle
       // micro-batch (the probe reads the persisted frame, so the cost
-      // is the materialization the body pays anyway)
-      if (latest.isEmpty) throw NoOpCommit
-      enforceConstraints(snap, latest, "merge")
+      // is the materialization the body pays anyway; the null-keyed
+      // probe only runs when the deduped side is already empty)
+      if (latest.isEmpty && nullRows.isEmpty) throw NoOpCommit
+      enforceConstraints(snap, latest.unionByName(nullRows), "merge")
       val (affected, untouched) =
         if (snap.partitionCols.isEmpty) (snap.files, Seq.empty[LogFile])
         else {
@@ -827,13 +837,31 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             .withColumn("_change_type", lit("update_preimage")))
           .unionByName(joined.filter(uP && tP).select(side("u"): _*)
             .withColumn("_change_type", lit("update_postimage")))
-        val (newFiles, _, _) = writeData(joined.select(picks: _*),
-          snap.partitionCols, mapping2)
-        val changesSub = writeChanges(changes, snap.version + 1, mapping2)
-        val counts = joined.agg(
-          sum(when(uP && !tP, 1L).otherwise(0L)),
-          sum(when(uP && tP, 1L).otherwise(0L))).head()
-        val (ins, upd) = (zeroIfNull(counts, 0), zeroIfNull(counts, 1))
+          .unionByName(nullRows.withColumn("_change_type", lit("insert")))
+        // insert/update counts ride the change write as observed metrics
+        // (CollectMetrics is a zero-pass accumulator inside the job), and
+        // the snapshot write and change write are INDEPENDENT consumers of
+        // the persisted join — run them concurrently so the commit pays
+        // one write wall-time, not two plus a third counting pass (guide
+        // §2.6 overlap / §1.2 don't compute things twice)
+        val obs = org.apache.spark.sql.Observation()
+        val observed = changes.observe(obs,
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("ins"),
+          sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L))
+            .as("upd"))
+        val written = inParallel[() => Either[(Seq[LogFile], Long, String), String],
+            Either[(Seq[LogFile], Long, String), String]](Seq(
+          () => Left(writeData(joined.select(picks: _*)
+            .unionByName(nullRows), snap.partitionCols, mapping2)),
+          () => Right(writeChanges(observed, snap.version + 1, mapping2))))(f => f())
+        val newFiles = written.collectFirst { case Left((fs, _, _)) => fs }.get
+        val changesSub = written.collectFirst { case Right(sub) => sub }.get
+        val row = obs.get
+        def metric(name: String): Long = row.get(name) match {
+          case Some(l: Long) => l
+          case _ => 0L // sum over zero rows observes NULL
+        }
+        val (ins, upd) = (metric("ins"), metric("upd"))
         mkManifest(snap, "merge", untouched ++ newFiles,
           rowsInserted = ins, rowsUpdated = upd, rowsDeleted = 0,
           rowsTotal = snap.rowsTotal - affected.map(_.rows).sum +
@@ -842,7 +870,7 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           schema = schema2, columnMapping = mapping2,
           properties = identitySyncProps(snap, mapping2, newFiles).orNull)
       } finally joined.unpersist(false)
-      } finally latest.unpersist(false)
+      } finally { latest.unpersist(false); nullRows.unpersist(false) }
     }
 
   /** General ANSI MERGE — the engine behind `MERGE INTO` SQL (Delta's
@@ -1020,31 +1048,30 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
           val bDelIs = bySource.zipWithIndex.collect { case (_: BySourceDelete, i) => i }
           val insHit = iIdx >= 0
 
-          if (matched.nonEmpty) {
-            // ANSI/Delta cardinality guard: a target row may pair with
-            // multiple source rows ONLY if at most one pair makes an
-            // update/delete clause fire — two firing pairs means which
-            // modification wins is undefined (pairs where every matched
-            // clause falls through are harmless and collapse below)
-            val dup = pairs.filter(mIdx >= 0)
-              .groupBy(col("t.__graft_rid")).count()
-              .filter(col("count") > 1).limit(1).count()
-            if (dup > 0) throw new IllegalStateException(
-              "MERGE INTO: a target row matched multiple source rows " +
-                "with an applying update/delete clause — make the ON " +
-                "condition or clause conditions selective enough")
-          }
-
-          // one pass over the persisted join prices the whole commit —
-          // and gates the no-op exit BEFORE anything is written
+          // ONE pass over the persisted join prices the whole commit,
+          // gates the no-op exit BEFORE anything is written, AND checks
+          // the ANSI/Delta cardinality guard: a target row may pair with
+          // multiple source rows only if at most one pair makes an
+          // update/delete clause fire — firing-pair count exceeding the
+          // count of DISTINCT firing target rows is exactly that
+          // violation (rid is unique per target row), so the former
+          // separate groupBy-count pass folds into this aggregate.
+          val firing = tP && sP && mIdx >= 0
           val cRow = joined.agg(
             sum(when(!tP && sP && insHit, 1L).otherwise(0L)),
             sum(when(tP && sP && idxIn(mIdx, mUpdIs), 1L).otherwise(0L)) +
               sum(when(tP && !sP && idxIn(bIdx, bUpdIs), 1L).otherwise(0L)),
             sum(when(tP && sP && idxIn(mIdx, mDelIs), 1L).otherwise(0L)) +
-              sum(when(tP && !sP && idxIn(bIdx, bDelIs), 1L).otherwise(0L))).head()
+              sum(when(tP && !sP && idxIn(bIdx, bDelIs), 1L).otherwise(0L)),
+            sum(when(firing, 1L).otherwise(0L)),
+            count_distinct(when(firing, col("t.__graft_rid")))).head()
           val (ins, upd, del) =
             (zeroIfNull(cRow, 0), zeroIfNull(cRow, 1), zeroIfNull(cRow, 2))
+          if (matched.nonEmpty && zeroIfNull(cRow, 3) > zeroIfNull(cRow, 4))
+            throw new IllegalStateException(
+              "MERGE INTO: a target row matched multiple source rows " +
+                "with an applying update/delete clause — make the ON " +
+                "condition or clause conditions selective enough")
           if (ins + upd + del == 0) throw NoOpCommit
 
           // generated columns RECOMPUTE on every update output (a SET on
@@ -1109,10 +1136,17 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             postImages.map(_.withColumn(ct, lit("update_postimage"))).toSeq
           val allChanges = changes.reduce(_ unionByName _)
 
-          val (newFiles, _, _) = writeData(kept, snap.partitionCols,
-            snap.columnMapping)
-          val changesSub = writeChanges(allChanges, snap.version + 1,
-            snap.columnMapping)
+          // the snapshot write and the change write are independent
+          // consumers of the persisted join — overlap them (same
+          // rationale as merge())
+          val written = inParallel[() => Either[(Seq[LogFile], Long, String), String],
+              Either[(Seq[LogFile], Long, String), String]](Seq(
+            () => Left(writeData(kept, snap.partitionCols,
+              snap.columnMapping)),
+            () => Right(writeChanges(allChanges, snap.version + 1,
+              snap.columnMapping))))(f => f())
+          val newFiles = written.collectFirst { case Left((fs, _, _)) => fs }.get
+          val changesSub = written.collectFirst { case Right(sub) => sub }.get
           mkManifest(snap, "merge", untouched ++ newFiles,
             rowsInserted = ins, rowsUpdated = upd, rowsDeleted = del,
             rowsTotal = snap.rowsTotal - rewritten.map(_.rows).sum +
@@ -1225,15 +1259,29 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
             set.get(c).map(_.cast(snap.schema(c).dataType).as(c))
               .getOrElse(col(c))).toSeq: _*), snap)
         enforceConstraints(snap, updatedRows, "update")
-        val (newFiles, _, updSub) = writeData(
-          current.filter(!hits).unionByName(updatedRows),
-          snap.partitionCols, snap.columnMapping)
-        val changesSub = writeChanges(
-          current.filter(hits).withColumn("_change_type", lit("update_preimage"))
-            .unionByName(updatedRows
-              .withColumn("_change_type", lit("update_postimage"))),
-          snap.version + 1, snap.columnMapping)
-        val nUpd = current.filter(hits).count()
+        // the matched-row count rides the change write as an observed
+        // metric, and the two writes are independent consumers of the
+        // persisted slice — overlap them (same shape as merge())
+        val obs = org.apache.spark.sql.Observation()
+        val changes = current.filter(hits)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updatedRows
+            .withColumn("_change_type", lit("update_postimage")))
+          .observe(obs, sum(when(col("_change_type") === "update_preimage",
+            1L).otherwise(0L)).as("upd"))
+        val written = inParallel[() => Either[(Seq[LogFile], Long, String), String],
+            Either[(Seq[LogFile], Long, String), String]](Seq(
+          () => Left(writeData(current.filter(!hits).unionByName(updatedRows),
+            snap.partitionCols, snap.columnMapping)),
+          () => Right(writeChanges(changes, snap.version + 1,
+            snap.columnMapping))))(f => f())
+        val (newFiles, _, updSub) =
+          written.collectFirst { case Left(r) => r }.get
+        val changesSub = written.collectFirst { case Right(sub) => sub }.get
+        val nUpd = obs.get.get("upd") match {
+          case Some(l: Long) => l
+          case _ => 0L // sum over zero rows observes NULL
+        }
         if (nUpd == 0) {
           // nothing matched: drop this attempt's output, publish nothing
           deleteRecursively(GPath(dir, updSub))
@@ -1277,19 +1325,31 @@ final class CommitLogTable private (val spark: SparkSession, val dir: String) {
     val current = readFiles(mayMatch, snap.schema, snap.columnMapping).persist()
     val goes = coalesce(predicate, lit(false))
     try {
-      val (newFiles, _, delSub) = writeData(current.filter(!goes),
-        snap.partitionCols, snap.columnMapping)
-      val changesSub = writeChanges(
-        current.filter(goes).withColumn("_change_type", lit("delete")),
-        snap.version + 1, snap.columnMapping)
       // rows_deleted = the PREDICATE's count (what the CDF records) —
       // NOT a before/after file diff, which would also fold in any lazy
       // deletes this rewrite happens to materialize (`current` reads
       // through the marks on the files it rewrites) and report phantom
       // deletions against the change feed; rowsTotal stays footer truth:
       // carried files keep their physical counts, rewritten files
-      // contribute theirs
-      val nDel = current.filter(goes).count()
+      // contribute theirs. The count rides the change write as an
+      // observed metric and the two writes overlap (same as merge()).
+      val obs = org.apache.spark.sql.Observation()
+      val changes = current.filter(goes)
+        .withColumn("_change_type", lit("delete"))
+        .observe(obs, count(lit(1)).as("del"))
+      val written = inParallel[() => Either[(Seq[LogFile], Long, String), String],
+          Either[(Seq[LogFile], Long, String), String]](Seq(
+        () => Left(writeData(current.filter(!goes),
+          snap.partitionCols, snap.columnMapping)),
+        () => Right(writeChanges(changes, snap.version + 1,
+          snap.columnMapping))))(f => f())
+      val (newFiles, _, delSub) =
+        written.collectFirst { case Left(r) => r }.get
+      val changesSub = written.collectFirst { case Right(sub) => sub }.get
+      val nDel = obs.get.get("del") match {
+        case Some(l: Long) => l
+        case _ => 0L
+      }
       if (nDel == 0) {
         // nothing matched: a scheduled delete loop must not pay a
         // rewrite per idle run, grow the log, or tick the vacuum
