@@ -38,6 +38,21 @@ object CacheBin {
   /** Session-tier registration: survives `drain()`, released by `drainAll()`. */
   def pin[T <: Dataset[_]](df: T): T = { pinnedBin.add(df); df }
 
+  private val pinnedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Session-tier registration of a LOCALLY-CHECKPOINTED frame: the
+    * checkpoint's backing RDD blocks are what hold the rows (a plain
+    * `Dataset.unpersist` would not touch them), so `drainAll()` releases
+    * the RDDs directly.
+    */
+  def pinCheckpoint[T <: Dataset[_]](df: T): T = {
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(pinnedCheckpoints.add)
+    df
+  }
+
   /** Run `hook` on `drainAll()` — memo owners use this to clear entries
     * whose cached frames are about to be unpersisted.
     */
@@ -58,6 +73,8 @@ object CacheBin {
     drain()
     var df = pinnedBin.poll()
     while (df != null) { df.unpersist(false); df = pinnedBin.poll() }
+    var rdd = pinnedCheckpoints.poll()
+    while (rdd != null) { rdd.unpersist(false); rdd = pinnedCheckpoints.poll() }
     invalidationHooks.forEach(h => h())
   }
 }
@@ -148,16 +165,24 @@ object SessionMemo {
     memo.synchronized {
       memo.getOrElseUpdate((spark, key), timedSelf(key) {
         val df = build
-        // builders that persist (and materialize) internally stay as-is —
-        // re-persisting would only log CacheManager noise
-        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-        // materialize NOW (noop sink fills the cache) so the build cost is
+        // LINEAGE-TRUNCATED materialization: an eager localCheckpoint
+        // both fills the memo's storage NOW (so the build cost is
         // attributable to the memo rather than smeared into whichever
-        // consumer acts first — the work happens in the same timed window
-        // either way (cached() runs inside the first consumer's plan
-        // build), this only makes it measurable
-        df.write.format("noop").mode("overwrite").save()
-        CacheBin.pin(df)
+        // consumer acts first) and replaces the build's — often
+        // enormous — logical plan with a leaf. Under the old
+        // persist+noop form every consumer re-ANALYZED the full build
+        // lineage per query (measured 0.3-0.6 s of driver time per
+        // construction on the pair/IVF/BM25 consumers at sf0.1); the
+        // cache manager only substitutes the cached subtree after that
+        // analysis pass. A builder's internal persists stay registered
+        // with their own CacheBin tier and drain as before — the
+        // checkpoint holds the rows from then on; its blocks release
+        // at drainAll() like every pinned frame.
+        val ck = df.localCheckpoint()
+        // builders that persisted internally for the BUILD's benefit are
+        // done with that cache once the checkpoint is materialized; the
+        // per-query/pinned drains release them later as usual
+        CacheBin.pinCheckpoint(ck)
       })
     }
 }
