@@ -869,19 +869,33 @@ object Queries {
       .unionAll(one("clusters_kept", dedupKeep(s, dir)))
   }
 
+  /** Session-memoized (doc_id, fingerprint) table at one width — the
+    * sha256-per-token SimHash pass is the expensive part of every
+    * simhash consumer, and the banded self-join previously recomputed
+    * it on BOTH join sides (the broadcast build side defeats exchange
+    * reuse). One fingerprint pass per (session, corpus, width) now
+    * serves q_simhash[64], both hamming sweeps, and the bucket audit —
+    * the same materialize-once shape as `MinHashDedup.signaturesShared`
+    * (at 100 TB the fingerprint table is materialized next to the
+    * corpus for exactly this reason).
+    */
+  private def simhashShared(s: SparkSession, dir: String, bits: Int): DataFrame =
+    SessionMemo.cached(s, s"simhash:$dir:$bits") {
+      SimHash.hashes(Tables.documents(s, dir), "doc_id", "text", bits)
+    }
+
   def simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), SimHash.simhash32(col("text")).as("simhash"))
+    simhashShared(s, dir, 32)
 
   /** 64-bit SimHash — the production width (16-bit bands don't saturate). */
   def simhash64(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), SimHash.simhash64(col("text")).as("simhash64"))
+    simhashShared(s, dir, 64).select(col("doc_id"),
+      col("simhash").as("simhash64"))
 
   /** 64-bit hamming near-dup pairs over 4×16-bit bands. */
   def simhashHamming64(s: SparkSession, dir: String): DataFrame =
-    SimHash.hammingPairs(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 3, bits = 64)
+    SimHash.hammingPairsOn(simhashShared(s, dir, 64), "doc_id", "simhash",
+      maxHamming = 3, bucketCap = 10000, bits = 64)
 
   /** Band-bucket occupancy audit for the 64-bit simhash sweep (same
     * width and cap as `q_simhash64_hamming`; see
@@ -889,10 +903,8 @@ object Queries {
     * plane, so this is the audit to watch across corpus growth.
     */
   def simhashBucketStats(s: SparkSession, dir: String): DataFrame =
-    SimHash.bandCoverage(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), SimHash.simhash64(col("text")).as("simhash64")),
-      "doc_id", "simhash64", bucketCap = 10000, bits = 64)
+    SimHash.bandCoverage(simhashShared(s, dir, 64),
+      "doc_id", "simhash", bucketCap = 10000, bits = 64)
 
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")
@@ -1428,8 +1440,8 @@ object Queries {
 
   /** SimHash near-dup pairs at hamming ≤ 1 (byte-band candidates, capped). */
   def simhashHamming(s: SparkSession, dir: String): DataFrame =
-    SimHash.hammingPairs(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 1)
+    SimHash.hammingPairsOn(simhashShared(s, dir, 32), "doc_id", "simhash",
+      maxHamming = 1, bucketCap = 10000, bits = 32)
 
   /** IVF-probed ANN top-k: 5 query vectors, 3 probes, adaptive ⌈√n⌉
     * centroids — the bucketed scale path next to brute-force cosineTopK.

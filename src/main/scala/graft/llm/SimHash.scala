@@ -107,16 +107,25 @@ object SimHash {
     * every band value floods its bucket and the cap starts costing recall;
     * 64-bit moves that saturation point out by 256×.
     */
+  /** The (id, fingerprint) projection at one width, input-spread for the
+    * per-row-heavy hash pass — the frame callers memoize so one
+    * fingerprint pass serves every simhash consumer.
+    */
+  def hashes(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bits: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sh = if (bits == 64) simhash64(col(textCol)) else simhash32(col(textCol))
+    Spread(docs).select(col(idCol), sh.as("simhash"))
+  }
+
   def hammingPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, maxHamming: Int, bucketCap: Int = 10000,
       bits: Int = 32): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
     require(maxHamming <= 3, "4 bands guarantee recall only up to hamming 3")
     // width check lives in bandStructs: any other value silently computes
     // the 32-bit fingerprint with misaligned bands (e.g. bits=48 → one
     // all-zero band = a single capped mega-bucket, losing recall silently)
-    val sh = if (bits == 64) simhash64(col(textCol)) else simhash32(col(textCol))
-    hammingPairsOn(Spread(docs).select(col(idCol), sh.as("simhash")),
+    hammingPairsOn(hashes(docs, idCol, textCol, bits),
       idCol, "simhash", maxHamming, bucketCap, bits)
   }
 
@@ -180,15 +189,29 @@ object SimHash {
       .withColumn("__bn", count(lit(1)).over(w))
       .filter(col("__bn") >= 2 && col("__bn") <= bucketCap)
       .drop("__bn")
+    // the probe side arrives partitioned by (band, bv) from the window's
+    // exchange, so a HOT bucket's whole n² pair expansion lands in ONE
+    // task while the rest of the cluster idles (the build side is a
+    // broadcast — generation cost lives entirely on the probe side).
+    // Re-keying the probe side by doc id spreads each bucket's rows
+    // evenly: per-row probe work is proportional to its bucket's size,
+    // so hot-bucket rows distribute across all tasks (guide §2.5 —
+    // deterministic key, safe under retry). The tiny band-row shuffle
+    // costs far less than a serialized hot bucket.
     val a = inOk.select(col(idCol).as("doc_a"), col("__h").as("sh_a"),
-      col("band"), col("bv"))
+      col("band"), col("bv")).repartition(col("doc_a"))
     val b = inOk.select(col(idCol).as("doc_b"), col("__h").as("sh_b"),
       col("band"), col("bv"))
+    // hamming filter BEFORE the dedup shuffle: a saturated band (the
+    // 32-bit byte-band regime) emits millions of candidate pairs but
+    // only a sliver survive the distance cut — bit_count is a scan-local
+    // per-row op, so applying it first means the distinct() exchange
+    // carries matching pairs only (guide §2.3, shuffle fewer bytes)
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }
