@@ -415,8 +415,11 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val setExpr = array_distinct(expr(
       s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))"))
-    val sets = docs.filter(length(col("text")) >= k)
+    // persisted: the corpus explode and the probe explode both read the
+    // shingle-set projection — one distinct-shingle pass, not two
+    val sets = CacheBin.register(docs.filter(length(col("text")) >= k)
       .select(col("doc_id"), setExpr.as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val corpusSh = sets.select(col("doc_id"),
       size(col("__sh")).cast("long").as("n_c"), explode(col("__sh")).as("sh"))
     val probeN = dedupProbeN(s, dir)
@@ -1325,10 +1328,18 @@ object Queries {
   /** Word-3-gram Jaccard on a deterministic candidate sample (adjacent doc
     * ids); the pair source is pluggable (LSH/blocking in production).
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    MinHashDedup.ngramJaccard(docs, "doc_id", "text", 3, adjacentPairs(docs))
-  }
+  /** The session-memoized full n-gram overlap profile BOTH n-gram
+    * queries read — the jaccard projection and the containment profile
+    * previously each re-ran the gram explode + pair joins.
+    */
+  private def ngramOverlapShared(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"ngramoverlap:$dir:3") {
+      val docs = Tables.documents(s, dir)
+      MinHashDedup.ngramOverlap(docs, "doc_id", "text", 3, adjacentPairs(docs))
+    }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramOverlapShared(s, dir).select("doc_a", "doc_b", "jaccard")
 
   private def adjacentPairs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("doc_a"))
@@ -1339,10 +1350,8 @@ object Queries {
     * candidate sample — containment catches sub-document duplication
     * resemblance misses (see [[MinHashDedup.ngramOverlap]]).
     */
-  def ngramContainment(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    MinHashDedup.ngramOverlap(docs, "doc_id", "text", 3, adjacentPairs(docs))
-  }
+  def ngramContainment(s: SparkSession, dir: String): DataFrame =
+    ngramOverlapShared(s, dir)
 
   /** Embedding-cosine near-dup pairs, blocked by IVF centroid + label.
     * Centroid count scales with the corpus (⌈√n⌉); mega-blocks capped.

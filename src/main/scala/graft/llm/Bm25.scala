@@ -73,13 +73,17 @@ object Bm25 {
   private def queryTermTable(base: DataFrame, idCol: String,
       nQueries: Long, queryTerms: Int): DataFrame = {
     val qw = Window.partitionBy("query_id").orderBy(col("__fp"), col("term"))
-    base.filter(col(idCol) < nQueries)
+    // persisted: the tiny query-term table drives the bucket collect and
+    // two broadcast builds — each would otherwise re-run the query
+    // tokenize + first-appearance window
+    graft.CacheBin.register(base.filter(col(idCol) < nQueries)
       .select(col(idCol).as("query_id"),
         posexplode(col("__toks")).as(Seq("__p", "term")))
       .groupBy("query_id", "term").agg(min(col("__p")).as("__fp"))
       .withColumn("__rn", row_number().over(qw))
       .filter(col("__rn") <= queryTerms)
       .select("query_id", "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** The shared scoring tail: df rollup + rational-idf contributions +

@@ -33,8 +33,13 @@ object ChunkDedup {
     * must carry (idCol, `n_chunks`, `__chunklist`: array&lt;string&gt;);
     * `keyOf` picks the first-occurrence window key from the chunk text.
     */
-  private def dedupChunkList(base: DataFrame, idCol: String)
+  private def dedupChunkList(base0: DataFrame, idCol: String)
       (keyOf: Column => Column): DataFrame = {
+    // persisted: the chunk explode AND the final per-document join both
+    // read the chunk list — without the persist the chunking pass (for
+    // CDC, a sha256 per trailing gram) runs once per consumer
+    val base = graft.CacheBin.register(base0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunks = base.select(col(idCol), col("n_chunks"),
       posexplode(col("__chunklist")))
       .select(col(idCol), col("n_chunks"), col("pos").as("__idx"),

@@ -332,12 +332,17 @@ object MinHashDedup {
             .withColumn("__new", lit(false)))
       case None => sigPass(spread)
     }
-    val bands = sigs.select(
+    // persisted: the bucket-size gate aggregation AND the bucket join
+    // both consume the banded rows — without the persist the new
+    // batch's MinHash pass (numHashes sha256 slices per shingle) runs
+    // once per consumer
+    val bands = graft.CacheBin.register(sigs.select(
       col(idCol), col("__new"),
       explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
           concat(col(s"m${bandRows * i}"), col(s"m${bandRows * i + 1}")).as("sig"))): _*)).as("b"))
       .select(col(idCol), col("__new"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // gate on TOTAL bucket size (same cap as the full sweep — candidate
     // pairs involving a new doc are identical to the full pipeline's) AND
     // on the bucket containing at least one new doc
@@ -362,9 +367,14 @@ object MinHashDedup {
       .union(pairs.select(col("doc_b").as(idCol)))
     val setExpr = array_distinct(expr(
       s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
-    val candSets = spread.join(candDocs, Seq(idCol), "left_semi")
+    // persisted: the exact-verify join attaches shingle sets to BOTH
+    // pair sides — without the persist the candidate-sliver explode
+    // would run once per side
+    val candSets = graft.CacheBin.register(spread
+      .join(candDocs, Seq(idCol), "left_semi")
       .filter(length(col(textCol)) >= k)
       .select(col(idCol), setExpr.as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val verified = pairs
       .join(candSets.select(col(idCol).as("doc_a"), col("__sh").as("__sha")), Seq("doc_a"))
       .join(candSets.select(col(idCol).as("doc_b"), col("__sh").as("__shb")), Seq("doc_b"))
@@ -378,11 +388,13 @@ object MinHashDedup {
       .filter(col("jaccard") >= threshold)
     // a verified pair (a < b) evicts b when b is new (a precedes it: old
     // corpus or earlier new), and evicts a only when b is OLD — each pair
-    // contributes to exactly one side, so n_dups = distinct partners
-    val hits = verified.filter(col("__b_new")).select(col("doc_b").as(idCol))
-      .union(verified.filter(col("__a_new") && not(col("__b_new")))
-        .select(col("doc_a").as(idCol)))
-    val dups = hits.groupBy(col(idCol)).agg(count(lit(1)).as("n_dups"))
+    // contributes to exactly ONE side, so the victim is a per-row `when`
+    // (the former two-branch filter-union re-ran the verify joins once
+    // per branch) and n_dups = distinct partners
+    val victim = when(col("__b_new"), col("doc_b"))
+      .when(col("__a_new") && not(col("__b_new")), col("doc_a"))
+    val dups = verified.select(victim.as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dups"))
     spread.filter(col("__new")).select(col(idCol))
       .join(dups, Seq(idCol), "left")
       .select(col(idCol),
@@ -526,7 +538,11 @@ object MinHashDedup {
     */
   def ngramOverlap(docs: DataFrame, idCol: String, textCol: String, n: Int,
       pairs: DataFrame): DataFrame = {
-    val grams = TextOps.wordNgrams(docs, idCol, textCol, n).distinct()
+    // persisted: the per-doc counts and BOTH pair sides read the
+    // distinct-gram rows — one explode+distinct pass, not three
+    val grams = graft.CacheBin.register(
+      TextOps.wordNgrams(docs, idCol, textCol, n).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
     val ga = grams.withColumnRenamed(idCol, "doc_a")
     val gb = grams.withColumnRenamed(idCol, "doc_b")
