@@ -179,9 +179,14 @@ object SessionMemo {
         // checkpoint holds the rows from then on; its blocks release
         // at drainAll() like every pinned frame.
         val ck = df.localCheckpoint()
-        // builders that persisted internally for the BUILD's benefit are
-        // done with that cache once the checkpoint is materialized; the
-        // per-query/pinned drains release them later as usual
+        // a builder that persisted its RESULT frame (relying on the old
+        // pin-until-drainAll contract) is done with that cache the
+        // moment the checkpoint is materialized — release it now, or
+        // nothing ever would (builder-INTERNAL persists register with
+        // CacheBin themselves and drain as before; double-unpersist is
+        // a no-op)
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          df.unpersist(false)
         CacheBin.pinCheckpoint(ck)
       })
     }

@@ -57,7 +57,11 @@ object Queries {
     * pins the actual ordering.
     */
   def goldViewSorted(s: SparkSession, dir: String): DataFrame =
-    goldFeatures(s, dir)
+    // persisted: a global orderBy is a RANGE exchange whose bound
+    // sampling pass executes the child once and the sort re-executes it
+    // — caching the features frame halves the window pipeline's runs
+    CacheBin.register(goldFeatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy(col("user_id").asc, col("ts").desc, col("event_id").desc)
 
   def silverMerge(s: SparkSession, dir: String): DataFrame = {
@@ -954,8 +958,11 @@ object Queries {
     * (see [[graft.llm.Packing]]).
     */
   def packSequences(s: SparkSession, dir: String): DataFrame =
-    Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
-      budget = PackBudget)
+    // session-memoized: the distributed prefix-sum serves the packing
+    // query, the sequence manifest, and the shard-balance rollup
+    SessionMemo.cached(s, s"packseq:$dir")(
+      Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        budget = PackBudget))
 
   /** Per-sequence MANIFEST: where each document lands inside its
     * training sequence — intra-sequence offset and whether the document
@@ -1762,8 +1769,12 @@ object Queries {
     * whitespace proxy (`q_token_count`).
     */
   def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
-      bpeModel(s, dir))
+    // session-memoized: the learned-BPE tokenization pass serves three
+    // consumers (the counts query, the fertility rollup, BPE packing) —
+    // one corpus pass, not one per consumer
+    SessionMemo.cached(s, s"bpetokens:$dir")(
+      graft.llm.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
+        bpeModel(s, dir)))
 
   /** Sequence packing on LEARNED-BPE token counts — [[packSequences]]
     * with the proxy count column swapped for [[bpeTokenCounts]] through

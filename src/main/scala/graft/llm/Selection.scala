@@ -45,9 +45,13 @@ object Selection {
       s"keep fraction $keepNum/$keepDen outside (0, 1]")
     val toks = docs.select(col(idCol), targetPred.as("__t"),
       explode(TextOps.tokens(col(textCol))).as("token"))
-    val stats = toks.groupBy(col("token")).agg(
+    // persisted: the vocabulary totals and the scoring broadcast both
+    // read the per-token stats — without it each re-runs the corpus
+    // token aggregate
+    val stats = graft.CacheBin.register(toks.groupBy(col("token")).agg(
       count(lit(1)).as("__cr"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = stats.agg(
       sum(col("__cr")).as("__nr"),
       sum(col("__ct")).as("__nt"),
@@ -58,12 +62,16 @@ object Selection {
     val ratio = ((col("__ct") + 1).cast("double") * (col("__nr") + col("__v")).cast("double") /
       ((col("__cr") + 1).cast("double") * (col("__nt") + col("__v")).cast("double")))
       .cast(DecimalType(28, 12))
-    val scored = toks
+    // persisted: the two TakeOrdered threshold passes and the final
+    // selection join all read the per-document scores — one scoring
+    // pass, not three
+    val scored = graft.CacheBin.register(toks
       .join(broadcast(stats), Seq("token"))
       .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         (sum(ratio).cast("double") / count(lit(1))).as("dsir_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // threshold row via TakeOrdered twice (k-th best), not a global
     // window: rank the top-k slice ascending and keep its last row.
     // The limit() below needs the corpus size as a PLAN-TIME literal, so

@@ -686,11 +686,17 @@ object Similarity {
     val flagged = embeddings.select(
       col(labelCol).cast("long").as("__lbl"),
       isNew.cast("int").cast("long").as("__snap"), col(vecCol))
-    val cents = exactMeanVectors(
+    // persisted: the old/new filters each read the centroid table and
+    // the count rollup — without the persists the posexplode centroid
+    // pass (and the corpus count scan) would run once per snapshot side
+    val cents = graft.CacheBin.register(exactMeanVectors(
       flagged.withColumn("__k", col("__lbl") * 2 + col("__snap")),
       "__k", vecCol, "cv")
-    val counts = flagged.groupBy(col("__lbl"), col("__snap"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = graft.CacheBin.register(flagged
+      .groupBy(col("__lbl"), col("__snap"))
       .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val oldC = cents.filter(col("__k") % 2 === 0)
       .select((col("__k") / 2).cast("long").as("label"), col("cv").as("__co"))
     val newC = cents.filter(col("__k") % 2 === 1)

@@ -638,9 +638,13 @@ object TextOps {
     */
   def distinctiveTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    // persisted: the document-frequency rollup and the scoring join both
+    // read the tf rows — one token explode, not two
+    val tf = graft.CacheBin.register(df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("df").asc, col("tf").desc, col("token").asc)

@@ -611,20 +611,29 @@ class LlmSpec extends AnyFunSuite {
     assert(trainFrac > 0.85 && trainFrac < 0.95, s"train fraction $trainFrac")
   }
 
-  test("SessionMemo: builds once per key, no re-persist of pre-persisted frames, drainAll evicts") {
+  test("SessionMemo: builds once per key, lineage-truncated result, drainAll evicts") {
     var builds = 0
     def build() = { builds += 1; Seq((1L, "x")).toDF("id", "t") }
     val a = SessionMemo.cached(spark, "memo-spec-k1")(build())
     val b = SessionMemo.cached(spark, "memo-spec-k1")(build())
     assert(builds == 1 && (a eq b))
-    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-    // a builder that persisted (+ materialized) itself is left as-is
+    // the memo hands out a lineage-truncated (checkpointed) frame: every
+    // consumer analyzes a leaf, not the build pipeline
+    assert(a.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr }.nonEmpty,
+      a.queryExecution.analyzed.toString)
+    assert(a.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a builder that persisted (+ materialized) its RESULT frame is
+    // released as soon as the checkpoint is materialized — the
+    // checkpoint now holds the rows, and nothing else would ever
+    // unpersist the builder's cache
     val pre = Seq((2L, "y")).toDF("id", "t").persist()
     pre.count()
     val c = SessionMemo.cached(spark, "memo-spec-k2")(pre)
-    assert(c eq pre)
-    CacheBin.drainAll()
+    assert(!(c eq pre))
     assert(pre.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(c.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    CacheBin.drainAll()
     val d = SessionMemo.cached(spark, "memo-spec-k1")(build())
     assert(builds == 2 && !(a eq d)) // evicted: rebuilt fresh
     CacheBin.drainAll()

@@ -172,7 +172,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dsir/lm/oov stats sides broadcast; the corpus stream never sort-merges") {
-    for (q <- Seq(Queries.dsirWeights _, Queries.lmScore _, Queries.oovRate _)) {
+    // lmScore's QUERY plan is now a memoized checkpoint leaf — assert
+    // the BUILD pipeline's shape by invoking the operator directly
+    val lmBuild = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.llm.Selection.lmScore(Tables.documents(s, dir), "doc_id", "text")
+    for (q <- Seq(Queries.dsirWeights _, lmBuild, Queries.oovRate _)) {
       val df = q(spark, TestSpark.sfDir)
       df.collect() // AQE final plan
       val plan = df.queryExecution.executedPlan.toString
