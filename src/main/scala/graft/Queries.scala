@@ -754,8 +754,18 @@ object Queries {
         Bm25IndexBuckets)
     }
     graft.llm.Bm25.topKFromIndex(docs, "doc_id", "text", idxDir,
-      Bm25IndexBuckets, Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK)
+      Bm25IndexBuckets, Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK,
+      qtIn = Some(bm25QueryTermsShared(s, dir)))
   }
+
+  /** Session-memoized BM25 query-term table — every indexed/maintained
+    * read derives the identical table from the identical query docs, so
+    * it builds once per (session, corpus) instead of once per sample.
+    */
+  private def bm25QueryTermsShared(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(s, s"bm25qt:$dir")(
+      graft.llm.Bm25.queryTerms(Tables.documents(s, dir), "doc_id", "text",
+        Bm25NQueries, Bm25QueryTerms))
 
   /** BM25 over an incrementally MAINTAINED commit-log postings index:
     * the corpus arrives as two batches, each committed atomically with
@@ -785,7 +795,8 @@ object Queries {
     }
     graft.llm.Bm25.topKFromLog(docs, "doc_id", "text",
       graft.tables.CommitLogTable.open(s, idxDir), Bm25IndexBuckets,
-      Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK)
+      Bm25NQueries, Bm25QueryTerms, Bm25K1, Bm25B, Bm25TopK,
+      qtIn = Some(bm25QueryTermsShared(s, dir)))
   }
 
   /** Hard-negative mining for retriever training: each query's dense
@@ -2769,12 +2780,17 @@ object Queries {
     val tableDir = stampedTmpDir(s, dir, "graft-commitlog-ckpt", "events")
     SessionMemo.once(s, s"commitlogCkpt:$dir") {
       if (!graft.tables.CommitLogTable.exists(tableDir)) {
+        // persisted: twelve appends each filter this frame — one source
+        // scan, not twelve
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"))
-        val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
-        (0 until 12).foreach { i =>
-          t.append(ev.filter(col("event_id") % 12 === i))
-        }
+          .persist()
+        try {
+          val t = graft.tables.CommitLogTable.create(s, tableDir, ev.schema)
+          (0 until 12).foreach { i =>
+            t.append(ev.filter(col("event_id") % 12 === i))
+          }
+        } finally ev.unpersist(false)
       }
     }
     tableDir

@@ -70,6 +70,16 @@ object Bm25 {
     * ordered by first appearance (distinct terms have distinct first
     * positions; the term tiebreak is belt-and-braces).
     */
+  /** The query-term table as a public kernel so callers can memoize it
+    * per (session, corpus): every BM25 variant derives the SAME table,
+    * and the index readers consume it three ways per call (bucket
+    * collect + two broadcasts).
+    */
+  def queryTerms(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Long, queryTerms: Int): DataFrame =
+    queryTermTable(tokenized(docs.filter(col(idCol) < nQueries),
+      idCol, textCol), idCol, nQueries, queryTerms)
+
   private def queryTermTable(base: DataFrame, idCol: String,
       nQueries: Long, queryTerms: Int): DataFrame = {
     val qw = Window.partitionBy("query_id").orderBy(col("__fp"), col("term"))
@@ -216,10 +226,11 @@ object Bm25 {
     */
   def topKFromLog(docs: DataFrame, idCol: String, textCol: String,
       table: graft.tables.CommitLogTable, nBuckets: Int, nQueries: Long,
-      queryTerms: Int, k1: Double, b: Double, topK: Int): DataFrame = {
-    val qt = queryTermTable(
+      queryTerms: Int, k1: Double, b: Double, topK: Int,
+      qtIn: Option[DataFrame] = None): DataFrame = {
+    val qt = qtIn.getOrElse(queryTermTable(
       tokenized(docs.filter(col(idCol) < nQueries), idCol, textCol),
-      idCol, nQueries, queryTerms)
+      idCol, nQueries, queryTerms))
     val buckets = qt
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
         .as("__b"))
@@ -245,11 +256,12 @@ object Bm25 {
     */
   def topKFromIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int, nQueries: Long, queryTerms: Int,
-      k1: Double, b: Double, topK: Int): DataFrame = {
+      k1: Double, b: Double, topK: Int,
+      qtIn: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
-    val qt = queryTermTable(
+    val qt = qtIn.getOrElse(queryTermTable(
       tokenized(docs.filter(col(idCol) < nQueries), idCol, textCol),
-      idCol, nQueries, queryTerms)
+      idCol, nQueries, queryTerms))
     val buckets = qt
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
         .as("__b"))

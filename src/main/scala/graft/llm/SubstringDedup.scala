@@ -125,20 +125,22 @@ object SubstringDedup {
       s"minSpanTokens must be >= 2, got $minSpanTokens")
     val L = minSpanTokens
     // persisted: the token-array projection feeds the gram explode, the
-    // token explode, AND the final n_tokens select — and the gram rows
-    // feed both the first-occurrence aggregate and the non-first join —
-    // without the persists each consumer re-runs the tokenize/explode
+    // token explode, AND the final n_tokens select — without the persist
+    // each consumer re-runs the tokenize. The gram rows themselves stay
+    // unpersisted: re-exploding from the cached token arrays is cheaper
+    // than caching the corpus-size gram table (measured: caching grams
+    // regressed the in-bench median 1.9 -> 2.8 s under suite-wide cache
+    // pressure).
     val base = graft.CacheBin.register(docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val grams = graft.CacheBin.register(base
+    val grams = base
       .filter(size(col("__toks")) >= L)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(1, size(__toks) - ${L - 1}), " +
           s"i -> concat_ws(' ', slice(__toks, i, $L)))")))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("__g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one aggregate decides BOTH duplication and the surviving copy:
     // min(struct(doc, pos)) is the lexicographic first occurrence
     val dupFirst = grams

@@ -530,8 +530,9 @@ object HadoopStore extends Store {
     * `listFiles(recursive)` round-trip with directories INFERRED from
     * the returned file paths (mtime 0, unknowable without a listing),
     * plus one `listStatus` per FILE-LESS subtree hanging off `p` so a
-    * crashed writer's bare `mkdirs` debris is still discovered (that
-    * probe costs zero extra RPCs when every subtree holds files — the
+    * crashed writer's bare `mkdirs` debris is still discovered (the
+    * root probe always issues one `listStatus`; beyond that the probe
+    * costs nothing when every subtree holds files — the
     * normal case); an empty dir nested under a dir with files
     * elsewhere stays invisible, as the trait contract documents.
     * `file:` URIs: per-directory `listStatus` recursion (see
@@ -629,7 +630,16 @@ object HadoopStore extends Store {
         dstSt.isFile && dstSt.getLen <= (64L << 20) &&
           dstSt.getLen == f.getFileStatus(src.toHadoop).getLen &&
           java.util.Arrays.equals(readAllBytes(dst), readAllBytes(src))
-      } catch { case _: java.io.FileNotFoundException => false }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // src gone + dst present = a racer already completed this
+          // identical publish and cleanup removed our src — success;
+          // falling through to moveReplace would DELETE dst and then
+          // throw on the rename, recreating the reader-visible absence
+          // window this method exists to prevent
+          if (!f.exists(src.toHadoop) && f.exists(dst.toHadoop)) return
+          false
+      }
     if (same) { f.delete(src.toHadoop, false); return }
     moveReplace(src, dst)
   }
