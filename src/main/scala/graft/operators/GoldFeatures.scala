@@ -49,10 +49,13 @@ object GoldFeatures {
     val vol = when(n20 > 1,
       sqrt(greatest((s2 - s1 * s1 / n20) / (n20 - lit(1)), lit(0.0))))
     val prev = lag(v, 1).over(w)
-    df.withColumn("ma_20", ma(w20))
-      .withColumn("ma_50", ma(w50))
-      .withColumn("vol_20", vol)
-      .withColumn("prev_value", prev)
-      .withColumn("daily_return", (v - prev) / nullif(prev, lit(0.0)))
+    // ONE select for every window column: a withColumn chain hands the
+    // extractor one window expression per nested Project and the plan
+    // comes out as THREE sequential Window nodes (three buffered passes
+    // over each sorted partition); a single projection lets Catalyst
+    // group all five into one Window node over the shared sort
+    df.select(col("*"), ma(w20).as("ma_20"), ma(w50).as("ma_50"),
+      vol.as("vol_20"), prev.as("prev_value"),
+      ((v - prev) / nullif(prev, lit(0.0))).as("daily_return"))
   }
 }
